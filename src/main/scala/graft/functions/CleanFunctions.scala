@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Column-level cleaning / hashing utilities.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * so it stays inside whole-stage codegen, and everything is ANSI-safe
+  * (Spark 4 ships with spark.sql.ansi.enabled=true): bad casts go through
+  * try_cast and divisions are nullif-guarded by callers.
+  */
+object CleanFunctions {
+
+  /** Locale-tolerant numeric cleaning (reference: src/preprocessing.py:99-122
+    * clean_numeric_column): comma decimal separator -> dot, strip everything
+    * but digits and dots, collapse a second dot, coerce failures to null.
+    */
+  def cleanNumeric(c: Column): Column = {
+    val dotted    = regexp_replace(c, ",", ".")
+    val stripped  = regexp_replace(dotted, "[^0-9.]", "")
+    val singleDot = regexp_replace(stripped, "(\\.[0-9]*)\\.", "$1")
+    singleDot.try_cast(org.apache.spark.sql.types.DoubleType)
+  }
+
+  /** DuckDB SQL equivalent of [[cleanNumeric]] applied to SQL fragment `s`. */
+  def cleanNumericSql(s: String): String =
+    s"TRY_CAST(regexp_replace(regexp_replace(replace($s, ',', '.'), '[^0-9.]', '', 'g'), '(\\.[0-9]*)\\.', '\\1', 'g') AS DOUBLE)"
+
+  /** Timestamp parsing with an explicit format and inference fallback
+    * (reference: src/preprocessing.py:10-49 preprocess_timestamps).
+    */
+  def toTsFmt(c: Column, fmt: String): Column =
+    coalesce(try_to_timestamp(c, lit(fmt)), try_to_timestamp(c))
+
+  /** Deterministic 60-bit hash shared with the DuckDB oracle:
+    * first 15 hex chars of md5 parsed base-16. DuckDB side:
+    * ('0x' || substring(md5(s),1,15))::BIGINT.
+    */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).try_cast(org.apache.spark.sql.types.LongType)
+
+  /** DuckDB SQL equivalent of [[md5Hash64]]. */
+  def md5Hash64Sql(s: String): String =
+    s"CAST(('0x' || substring(md5($s), 1, 15)) AS BIGINT)"
+
+  /** Epoch microseconds of a (possibly NTZ) timestamp column; session tz is
+    * UTC so NTZ and LTZ agree. DuckDB side: epoch_us(ts).
+    */
+  def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
+
+  /** Safe division: null when the denominator is 0 or null. */
+  def safeDiv(num: Column, den: Column): Column = num / nullif(den, lit(0.0))
+
+  // ---- Cross-engine exact aggregation (SURVEY.md §4) ---------------------
+  // Double sums accumulate in engine-specific order, so Spark and DuckDB
+  // can disagree in the last ulp — fatal when the true value sits exactly
+  // on a rounding boundary. Summing in DECIMAL is exact in both engines;
+  // casting the identical exact decimal to double is deterministic IEEE
+  // nearest. Means divide that identical double by the count: also
+  // identical. No output rounding needed.
+  import org.apache.spark.sql.expressions.WindowSpec
+  import org.apache.spark.sql.types.{DecimalType, DoubleType}
+  private val SumDec = DecimalType(18, 6)
+
+  /** Exact grouped/global sum of a (few-decimal-places) double column. */
+  def exactSum(c: Column): Column = sum(c.cast(SumDec)).cast(DoubleType)
+
+  /** Exact grouped mean (ignores nulls like avg). */
+  def exactMean(c: Column): Column = exactSum(c) / count(c)
+
+  /** Exact windowed sum / mean. */
+  def exactSumOver(c: Column, w: WindowSpec): Column =
+    sum(c.cast(SumDec)).over(w).cast(DoubleType)
+  def exactMeanOver(c: Column, w: WindowSpec): Column =
+    exactSumOver(c, w) / count(c).over(w)
+
+  /** DuckDB SQL equivalents. `over` is e.g. "OVER w" or "" for grouped. */
+  def exactSumSql(x: String, over: String = ""): String =
+    s"CAST(sum(CAST($x AS DECIMAL(18,6))) $over AS DOUBLE)"
+  def exactMeanSql(x: String, over: String = ""): String =
+    s"(${exactSumSql(x, over)} / count($x) $over)"
+}

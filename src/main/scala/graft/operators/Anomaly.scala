@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftConfig
+import graft.functions.CleanFunctions.safeDiv
+
+/** Anomaly detectors over keyed time series.
+  *
+  * The reference's end state (main.py:223-230) is: score each
+  * sliding-window sequence by reconstruction error and flag scores above a
+  * threshold (config.py:23 ANOMALY_THRESHOLD=3.0 sigmas). These detectors
+  * express that family declaratively: global z-score, trailing-window
+  * z-score, IQR and MAD robust variants, and a reconstruction-error scorer
+  * whose predictor is a deterministic trailing-mean (the LSTM decode is a
+  * training-time concern, not query semantics — see SURVEY.md §6).
+  *
+  * Scale posture: all statistics are per-series window aggregates or
+  * grouped aggregates joined back (broadcast when small); nothing touches
+  * the driver.
+  */
+object Anomaly {
+
+  /** Global per-series z-score; |z| > threshold flags (ref config.py:23). */
+  def zscore(df: DataFrame, keys: Seq[String], target: String,
+             threshold: Double = GraftConfig.AnomalyThreshold): DataFrame = {
+    val w  = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val z  = safeDiv(col(target) - avg(col(target)).over(w), stddev_samp(col(target)).over(w))
+    df.withColumn("z", z)
+      .withColumn("is_anomaly", (abs(col("z")) > threshold).cast("long"))
+  }
+
+  /** Trailing-window z-score: current value vs the PAST `win` rows'
+    * mean/stddev (shift-1 semantics like the reference's rolling features).
+    */
+  def rollingZscore(df: DataFrame, keys: Seq[String], order: Seq[String],
+                    target: String, win: Int = GraftConfig.SequenceLength,
+                    threshold: Double = GraftConfig.AnomalyThreshold): DataFrame = {
+    val w  = TimeSeriesOps.seriesWindow(keys, order).rowsBetween(-win, -1)
+    val mu = avg(col(target)).over(w)
+    val sd = stddev_samp(col(target)).over(w)
+    df.withColumn("z", safeDiv(col(target) - mu, sd))
+      .withColumn("is_anomaly", coalesce((abs(col("z")) > threshold).cast("long"), lit(0L)))
+  }
+
+  /** IQR fences: value outside [q1 - k*iqr, q3 + k*iqr]. Quantiles are an
+    * exact grouped aggregate (one shuffle over the key, tiny result)
+    * broadcast-joined back onto the events — at 100 TB the stats side is
+    * |keys| rows, always broadcastable.
+    */
+  def iqr(df: DataFrame, keys: Seq[String], target: String, k: Double = 1.5): DataFrame = {
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      expr(s"percentile($target, 0.25)").as("q1"),
+      expr(s"percentile($target, 0.75)").as("q3"))
+    val withFences = stats
+      .withColumn("lo", col("q1") - lit(k) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(k) * (col("q3") - col("q1")))
+    df.join(broadcast(withFences), keys)
+      .withColumn("is_anomaly", (col(target) < col("lo") || col(target) > col("hi")).cast("long"))
+  }
+
+  /** Median-absolute-deviation robust z: 0.6745*(x-med)/mad, |rz|>3.5.
+    * Two grouped-aggregate passes (median, then MAD) — both tiny,
+    * broadcast back.
+    */
+  def mad(df: DataFrame, keys: Seq[String], target: String,
+          scale: Double = GraftConfig.MadScale,
+          threshold: Double = GraftConfig.MadThreshold): DataFrame = {
+    val med = df.groupBy(keys.map(col): _*).agg(median(col(target)).as("med"))
+    val withMed = df.join(broadcast(med), keys)
+    val madAgg = withMed.groupBy(keys.map(col): _*)
+      .agg(median(abs(col(target) - col("med"))).as("mad"))
+    withMed.join(broadcast(madAgg), keys)
+      .withColumn("rz", safeDiv(lit(scale) * (col(target) - col("med")), col("mad")))
+      .withColumn("is_anomaly", coalesce((abs(col("rz")) > threshold).cast("long"), lit(0L)))
+  }
+
+  /** Reconstruction-error scoring (ref main.py:223-230): predictor =
+    * trailing mean of the past `win` rows (deterministic stand-in for the
+    * LSTM-AE decode), per-row squared error, sequence score = mean error
+    * over the trailing sequence window, flag = score > `flagFactor` x the
+    * series' mean score. Everything stays in two window passes.
+    */
+  def reconstructionError(df: DataFrame, keys: Seq[String], order: Seq[String],
+                          target: String, win: Int = GraftConfig.SequenceLength,
+                          flagFactor: Double = 4.0): DataFrame = {
+    val base   = TimeSeriesOps.seriesWindow(keys, order)
+    val past   = base.rowsBetween(-win, -1)
+    val seqW   = base.rowsBetween(-(win - 1), 0)
+    val keyW   = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val pred   = graft.functions.CleanFunctions.exactMeanOver(col(target), past)
+    val scored = df
+      .withColumn("err", pow(col(target) - pred, 2))
+      .withColumn("seq_err", avg(col("err")).over(seqW))
+      .withColumn("__rn", row_number().over(base))
+      .filter(col("__rn") >= 2 * win) // warm-up: full predictor + full sequence
+      .drop("__rn")
+    scored
+      .withColumn("is_anomaly",
+        (col("seq_err") > lit(flagFactor) * avg(col("seq_err")).over(keyW)).cast("long"))
+  }
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CleanFunctions.safeDiv
+
+/** Time-series operators re-expressing the reference's pandas pipeline
+  * (reference: src/preprocessing.py) Spark-first.
+  *
+  * Scale posture: the reference holds ONE series in RAM; here every
+  * operator takes explicit series-key columns so windows partition by key
+  * and distribute across executors. A 100 TB events table with millions of
+  * series keys shuffles once per window spec and never concentrates on a
+  * single partition. Passing an empty key list is supported (true global
+  * series) but collapses to one partition — callers at scale must key.
+  */
+object TimeSeriesOps {
+
+  /** Window over one series ordered by event time (tie-broken). */
+  def seriesWindow(keys: Seq[String], order: Seq[String]): WindowSpec = {
+    val w = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    w.orderBy(order.map(col): _*)
+  }
+
+  /** Calendar features from the time index (ref: preprocessing.py:175-196
+    * add_time_features). `dayofweek` is Monday=0 like pandas; all outputs
+    * are LongType for oracle-dtype parity.
+    */
+  def addTimeFeatures(df: DataFrame, tsCol: String): DataFrame = {
+    val ts = col(tsCol)
+    df.withColumns(Map(
+      "hour"       -> hour(ts).cast("long"),
+      "dayofweek"  -> weekday(ts).cast("long"),
+      "dayofmonth" -> dayofmonth(ts).cast("long"),
+      "dayofyear"  -> dayofyear(ts).cast("long"),
+      "month"      -> month(ts).cast("long"),
+      "year"       -> year(ts).cast("long"),
+      "quarter"    -> quarter(ts).cast("long"),
+      "weekofyear" -> weekofyear(ts).cast("long"),
+      "is_weekend" -> (weekday(ts) >= 5).cast("long")
+    ))
+  }
+
+  /** Lag features per series (ref: preprocessing.py:198-221
+    * add_lag_features). One window spec shared by every lag -> a single
+    * shuffle + sort regardless of how many lags are requested.
+    */
+  def addLags(df: DataFrame, keys: Seq[String], order: Seq[String],
+              target: String, lags: Seq[Int]): DataFrame = {
+    val w = seriesWindow(keys, order)
+    lags.filter(_ > 0).foldLeft(df) { (d, l) =>
+      d.withColumn(s"${target}_lag_$l", lag(col(target), l).over(w))
+    }
+  }
+
+  /** Rolling features over PAST-only rows — the reference computes
+    * rolling stats on shift(1) so the current row never leaks
+    * (ref: preprocessing.py:223-260 add_rolling_features). Frame is
+    * ROWS [-w, -1], min_periods=1 falls out of SQL null semantics.
+    */
+  def addRolling(df: DataFrame, keys: Seq[String], order: Seq[String],
+                 target: String, windows: Seq[Int],
+                 aggs: Seq[String] = graft.GraftConfig.RollingAggs): DataFrame = {
+    val base = seriesWindow(keys, order)
+    windows.filter(_ > 0).foldLeft(df) { (d, win) =>
+      val w = base.rowsBetween(-win, -1)
+      aggs.foldLeft(d) { (dd, a) =>
+        val c = a match {
+          case "mean" => graft.functions.CleanFunctions.exactMeanOver(col(target), w)
+          case "std"  => stddev_samp(col(target)).over(w)
+          case "min"  => min(col(target)).over(w)
+          case "max"  => max(col(target)).over(w)
+          case "sum"  => sum(col(target)).over(w)
+          case other  => throw new IllegalArgumentException(s"unknown rolling agg: $other")
+        }
+        dd.withColumn(s"${target}_roll_${a}_${win}h", c)
+      }
+    }
+  }
+
+  /** Missing-value strategies (ref: preprocessing.py:125-173
+    * handle_missing_values). ffill/bfill leave leading/trailing nulls ->
+    * the reference then zero-fills the residue (preprocessing.py:170-171),
+    * controlled here by `residualZero`.
+    */
+  def fill(df: DataFrame, keys: Seq[String], order: Seq[String],
+           target: String, strategy: String, residualZero: Boolean = true): DataFrame = {
+    val t = col(target)
+    val filled: Column = strategy match {
+      case "ffill" =>
+        val w = seriesWindow(keys, order).rowsBetween(Window.unboundedPreceding, 0)
+        last(t, ignoreNulls = true).over(w)
+      case "bfill" =>
+        val w = seriesWindow(keys, order).rowsBetween(0, Window.unboundedFollowing)
+        first(t, ignoreNulls = true).over(w)
+      case "mean" =>
+        val w = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+        coalesce(t, graft.functions.CleanFunctions.exactMeanOver(t, w))
+      case "median" =>
+        val w = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+        coalesce(t, median(t).over(w))
+      case "zero" => coalesce(t, lit(0.0))
+      case other  => throw new IllegalArgumentException(s"unknown fill strategy: $other")
+    }
+    val out = if (residualZero && (strategy == "ffill" || strategy == "bfill"))
+      coalesce(filled, lit(0.0)) else filled
+    df.withColumn(target, out)
+  }
+
+  /** Drop rows with nulls in any of `cols` (ref: main.py:150 dropna after
+    * lag/rolling warm-up).
+    */
+  def dropNulls(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop(cols)
+
+  /** Duplicate-timestamp resolution keep=first/keep=last (ref:
+    * preprocessing.py:76-81). `tie` breaks ordering among duplicates so the
+    * result is deterministic under any partitioning.
+    */
+  def dedupIndex(df: DataFrame, keys: Seq[String], tsExpr: Column,
+                 tie: Seq[String], keep: String): DataFrame = {
+    val ord = keep match {
+      case "first" => tie.map(col)
+      case "last"  => tie.map(c => col(c).desc)
+      case other   => throw new IllegalArgumentException(s"unknown keep: $other")
+    }
+    val w = Window.partitionBy(keys.map(col) :+ tsExpr: _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Duplicate-timestamp resolution by MEAN of numeric columns, first of
+    * others (ref: preprocessing.py:82-91). Expressed as a grouped
+    * aggregation -> partial aggregation map-side, one shuffle.
+    */
+  def dedupIndexMean(df: DataFrame, keys: Seq[String], tsExpr: Column, tsName: String,
+                     numericCols: Seq[String], firstCols: Seq[String]): DataFrame = {
+    val aggs = numericCols.map(c => graft.functions.CleanFunctions.exactMean(col(c)).as(c)) ++
+      firstCols.map(c => min(col(c)).as(c))
+    df.groupBy(keys.map(col) :+ tsExpr.as(tsName): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Time-bucket resampling: truncate to `unit`, aggregate per series.
+    * The reference's data is already hourly; ours buckets arbitrary event
+    * times. Grouped agg -> map-side partial, single shuffle at scale.
+    */
+  def resample(df: DataFrame, keys: Seq[String], tsCol: String, unit: String,
+               valueCol: String): DataFrame = {
+    val bucket = date_trunc(unit, col(tsCol)).as("bucket")
+    import graft.functions.CleanFunctions.{exactMean, exactSum}
+    df.groupBy(keys.map(col) :+ bucket: _*).agg(
+      count(lit(1)).as("n"),
+      exactMean(col(valueCol)).as("avg_value"),
+      min(col(valueCol)).as("min_value"),
+      max(col(valueCol)).as("max_value"),
+      exactSum(col(valueCol)).as("sum_value")
+    )
+  }
+
+  /** MinMax scaling per series (ref: preprocessing.py:264-294
+    * scale_features). Fit = window min/max (or a grouped agg + broadcast
+    * join at scale), transform = pure expression -> stays in codegen.
+    */
+  def minMaxScale(df: DataFrame, keys: Seq[String], target: String,
+                  outCol: String): DataFrame = {
+    val w = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    val mn = min(col(target)).over(w)
+    val mx = max(col(target)).over(w)
+    df.withColumn(outCol, safeDiv(col(target) - mn, mx - mn))
+  }
+
+  /** Standard (z) scaling per series; sample stddev for oracle parity. */
+  def standardScale(df: DataFrame, keys: Seq[String], target: String,
+                    outCol: String): DataFrame = {
+    val w = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    df.withColumn(outCol, safeDiv(col(target) - avg(col(target)).over(w),
+      stddev_samp(col(target)).over(w)))
+  }
+
+  /** Sliding-window sequences per series (ref: preprocessing.py:296-312
+    * create_sequences; seq length config.py LSTM_SEQUENCE_LENGTH=24).
+    * Window collect over a bounded ROWS frame: O(seqLen) state per row,
+    * never collects to the driver. Only full windows are kept, matching
+    * the reference's `len(data) - L + 1` sequence count.
+    */
+  def sequences(df: DataFrame, keys: Seq[String], order: Seq[String],
+                target: String, seqLen: Int, outCol: String = "seq"): DataFrame = {
+    val w    = seriesWindow(keys, order)
+    val coll = collect_list(col(target)).over(w.rowsBetween(-(seqLen - 1), 0))
+    df.withColumn(outCol, coll)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") >= seqLen)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TimeSeriesOps => TS}
+import graft.sources.Tables
+
+/** The flagship end-to-end feature pipeline (reference: main.py:93-181):
+  * time features -> lag features -> PAST-only rolling stats -> drop
+  * warm-up rows with any null feature -> MinMax scale, per series key.
+  *
+  * One window spec drives lags + rollings (single shuffle/sort per series
+  * key); the dropna + scale are pure expressions on top. At 100 TB this is
+  * shuffle-once-per-key then codegen all the way down.
+  */
+object PipelineQueries {
+
+  private val K    = Seq("user_id")
+  private val Ord  = Seq("ts", "event_id")
+  private val Lags = Seq(1, 2, 3, 24)
+  private val Wins = Seq(3, 24)
+
+  def featurePipeline(s: SparkSession, d: String): DataFrame = {
+    val featureCols =
+      Lags.map(l => s"value_lag_$l") ++
+        (for (w <- Wins; a <- Seq("mean", "std", "min", "max")) yield s"value_roll_${a}_${w}h")
+    val feats = TS.addRolling(
+      TS.addLags(
+        TS.addTimeFeatures(Tables.events(s, d), "ts"),
+        K, Ord, "value", Lags),
+      K, Ord, "value", Wins)
+    val complete = TS.dropNulls(feats, featureCols)
+    TS.minMaxScale(complete, K, "value", "scaled")
+      .select(col("event_id"), round(col("scaled"), 4).as("scaled"),
+        col("value_lag_1"), col("value_lag_24"),
+        col("value_roll_mean_24h").as("roll_mean_24h"),
+        round(col("value_roll_std_24h"), 4).as("roll_std_24h"),
+        col("hour"), col("dayofweek"), col("is_weekend"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_feature_pipeline" -> (featurePipeline _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ts_feature_pipeline" -> {
+      val w = "PARTITION BY user_id ORDER BY ts, event_id"
+      s"""WITH f AS (
+         |SELECT event_id, user_id, value,
+         |CAST(hour(ts) AS BIGINT) AS hour, CAST(isodow(ts)-1 AS BIGINT) AS dayofweek,
+         |CAST(CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+         |lag(value,1) OVER w AS value_lag_1, lag(value,2) OVER w AS l2,
+         |lag(value,3) OVER w AS l3, lag(value,24) OVER w AS value_lag_24,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) / count(value) OVER w3) AS m3, stddev_samp(value) OVER w3 AS s3,
+         |min(value) OVER w3 AS mn3, max(value) OVER w3 AS mx3,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w24 AS DOUBLE) / count(value) OVER w24) AS m24, stddev_samp(value) OVER w24 AS s24,
+         |min(value) OVER w24 AS mn24, max(value) OVER w24 AS mx24
+         |FROM events WINDOW w AS ($w),
+         |w3 AS ($w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+         |w24 AS ($w ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+         |), g AS (
+         |SELECT * FROM f WHERE value_lag_1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+         |AND value_lag_24 IS NOT NULL AND m3 IS NOT NULL AND s3 IS NOT NULL AND mn3 IS NOT NULL
+         |AND mx3 IS NOT NULL AND m24 IS NOT NULL AND s24 IS NOT NULL AND mn24 IS NOT NULL AND mx24 IS NOT NULL
+         |)
+         |SELECT event_id,
+         |round((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0), 4) AS scaled,
+         |value_lag_1, value_lag_24, m24 AS roll_mean_24h, round(s24,4) AS roll_std_24h,
+         |hour, dayofweek, is_weekend
+         |FROM g WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin
+    }
+  )
+}

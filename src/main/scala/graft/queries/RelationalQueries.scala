@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.CleanFunctions
+import graft.sources.Tables
+
+/** Relational / analytics queries over the star schema — the table-stakes
+  * engine surface (scan+pushdown, grouped agg, broadcast joins, window
+  * rank, anti join) plus the reference's numeric-cleaning semantics
+  * exercised end-to-end.
+  *
+  * Scale notes: dimension sides (region/nation/customer/supplier, grouped
+  * fence stats) are explicitly `broadcast()`; fact-fact joins
+  * (orders x lineitem) shuffle on the join key and rely on AQE for skew.
+  */
+object RelationalQueries {
+
+  import org.apache.spark.sql.types.DecimalType
+  import graft.functions.CleanFunctions.{exactMean, exactSum}
+  // Exact-decimal money arithmetic (SURVEY.md §4): prices/qty are 2dp,
+  // rates (discount/tax) 2dp in [0,1); products stay within DECIMAL(38,_)
+  // so sums are exact and identical across engines.
+  private def dPrice(c: Column) = c.cast(DecimalType(12, 2))
+  private def dRate(c: Column)  = c.cast(DecimalType(4, 2))
+  private val decOne            = lit(1).cast(DecimalType(3, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount")))
+            * (decOne + dRate(col("l_tax")))).cast("double").as("sum_charge"),
+          exactMean(col("l_quantity")).as("avg_qty"),
+          exactMean(col("l_extendedprice")).as("avg_price"),
+          exactMean(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q3_revenue" -> { (s, d) =>
+      val c  = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o  = Tables.orders(s, d).filter(to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1999-01-01")))
+      val li = Tables.lineitem(s, d).filter(to_date(col("l_shipdate")) > lit(java.sql.Date.valueOf("1999-01-01")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), CleanFunctions.epochUs(col("o_orderdate")).as("o_orderdate_us"))
+        .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    "q5_region_revenue" -> { (s, d) =>
+      val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n  = Tables.nation(s, d)
+      val c  = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    "topk_customer_orders" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    },
+
+    "orders_no_lineitem" -> { (s, d) =>
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
+    "clean_numeric" -> { (s, d) =>
+      val dirty = concat(lit("€ "),
+        regexp_replace(format_string("%.2f", col("l_quantity")), "\\.", ","), lit(" units"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+          CleanFunctions.cleanNumeric(dirty).as("cleaned"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "csv_roundtrip" -> { (s, d) =>
+      // Exercise CsvSource end-to-end: dump events as ';'-delimited CSV with
+      // the reference's date format (data_loader.py:16-21), read it back,
+      // parse dates (preprocessing.py:10-49). Rows-only check (no oracle:
+      // the CSV lives in a temp dir DuckDB never sees).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Tables.events(s, d)
+        .select(col("event_id"),
+          date_format(col("ts"), "MMM d, yyyy h:mm a").as("Start date"),
+          col("value"))
+        .write.mode("overwrite").option("header", "true").option("delimiter", ";").csv(tmp)
+      graft.sources.CsvSource.load(s, tmp, ";", Seq("Start date"))
+        .select(col("event_id").try_cast(LongType).as("event_id"),
+          CleanFunctions.epochUs(col("Start date")).as("start_us"),
+          col("value").try_cast(org.apache.spark.sql.types.DoubleType).as("value"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+        |CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue" ->
+      """SELECT l_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |AND CAST(o_orderdate AS DATE) < DATE '1999-01-01' AND CAST(l_shipdate AS DATE) > DATE '1999-01-01'
+        |GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM region, nation, customer, supplier, orders, lineitem
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey
+        |AND s_nationkey = c_nationkey AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+        |AND l_suppkey = s_suppkey
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "topk_customer_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM
+        |(SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "orders_no_lineitem" ->
+      """SELECT o_orderkey FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "clean_numeric" -> {
+      val dirty = "'€ ' || replace(printf('%.2f', l_quantity), '.', ',') || ' units'"
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         |${CleanFunctions.cleanNumericSql(dirty)} AS cleaned
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftConfig
+import graft.operators.{Anomaly, TimeSeriesOps => TS}
+import graft.functions.CleanFunctions.{epochUs, safeDiv}
+import graft.sources.Tables
+
+/** Driver-verified time-series queries over the `events` table
+  * (user_id = series key, ts = time index, value = metric) plus their
+  * DuckDB oracle SQL. Oracle-parity rules are in SURVEY.md §4: identical
+  * aliases, floats rounded to 4dp on both sides, integers as BIGINT,
+  * deterministic ORDER BY everywhere.
+  */
+object TimeSeriesQueries {
+
+  private val K   = Seq("user_id")
+  private val Ord = Seq("ts", "event_id")
+  /** SQL window body shared by most oracles. */
+  private val W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  /** Nulls for the fill operators: treat 'click' rows as missing. */
+  private def withNulled(df: DataFrame): DataFrame =
+    df.withColumn("value_n", when(col("event_type") === "click", lit(null)).otherwise(col("value")))
+  private val nulledSql = "CASE WHEN event_type = 'click' THEN NULL ELSE value END"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_time_features" -> { (s, d) =>
+      TS.addTimeFeatures(Tables.events(s, d), "ts")
+        .select("event_id", "hour", "dayofweek", "dayofmonth", "dayofyear",
+          "month", "year", "quarter", "weekofyear", "is_weekend")
+        .orderBy("event_id")
+    },
+
+    "ts_lag_features" -> { (s, d) =>
+      TS.addLags(Tables.events(s, d), K, Ord, "value", Seq(1, 2, 3, 24))
+        .select("event_id", "value", "value_lag_1", "value_lag_2", "value_lag_3", "value_lag_24")
+        .orderBy("event_id")
+    },
+
+    "ts_rolling_features" -> { (s, d) =>
+      TS.addRolling(Tables.events(s, d), K, Ord, "value", Seq(3, 24))
+        .select(col("event_id"),
+          col("value_roll_mean_3h").as("roll_mean_3h"),
+          round(col("value_roll_std_3h"), 4).as("roll_std_3h"),
+          col("value_roll_min_3h").as("roll_min_3h"),
+          col("value_roll_max_3h").as("roll_max_3h"),
+          col("value_roll_mean_24h").as("roll_mean_24h"),
+          round(col("value_roll_std_24h"), 4).as("roll_std_24h"),
+          col("value_roll_min_24h").as("roll_min_24h"),
+          col("value_roll_max_24h").as("roll_max_24h"))
+        .orderBy("event_id")
+    },
+
+    "ts_fill_ffill" -> { (s, d) =>
+      TS.fill(withNulled(Tables.events(s, d)), K, Ord, "value_n", "ffill")
+        .select(col("event_id"), col("value_n").as("filled"))
+        .orderBy("event_id")
+    },
+
+    "ts_fill_bfill" -> { (s, d) =>
+      TS.fill(withNulled(Tables.events(s, d)), K, Ord, "value_n", "bfill")
+        .select(col("event_id"), col("value_n").as("filled"))
+        .orderBy("event_id")
+    },
+
+    "ts_fill_stats" -> { (s, d) =>
+      val base = withNulled(Tables.events(s, d))
+      val m  = TS.fill(base, K, Ord, "value_n", "mean").withColumnRenamed("value_n", "f_mean")
+      val md = TS.fill(base, K, Ord, "value_n", "median")
+      val z  = TS.fill(base, K, Ord, "value_n", "zero")
+      m.select(col("event_id"), col("f_mean").as("filled_mean"))
+        .join(md.select(col("event_id"), col("value_n").as("filled_median")), "event_id")
+        .join(z.select(col("event_id"), col("value_n").as("filled_zero")), "event_id")
+        .orderBy("event_id")
+    },
+
+    "ts_dedup_first" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      TS.dedupIndex(ev, K, date_trunc("hour", col("ts")), Ord, "first")
+        .select(col("event_id"), col("user_id"),
+          epochUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+        .orderBy("event_id")
+    },
+
+    "ts_dedup_last" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      TS.dedupIndex(ev, K, date_trunc("hour", col("ts")), Ord, "last")
+        .select(col("event_id"), col("user_id"),
+          epochUs(date_trunc("hour", col("ts"))).as("bucket_us"))
+        .orderBy("event_id")
+    },
+
+    "ts_dedup_mean" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("bucket_us", epochUs(date_trunc("hour", col("ts"))))
+      TS.dedupIndexMean(ev, K, col("bucket_us"), "bucket_us", Seq("value"), Seq("event_id"))
+        .select(col("user_id"), col("bucket_us"),
+          col("value").as("mean_value"), col("event_id").as("first_event"))
+        .orderBy("user_id", "bucket_us")
+    },
+
+    "ts_resample_1h" -> { (s, d) =>
+      TS.resample(Tables.events(s, d), K, "ts", "hour", "value")
+        .select(col("user_id"), epochUs(col("bucket")).as("bucket_us"), col("n"),
+          col("avg_value"), col("min_value"), col("max_value"), col("sum_value"))
+        .orderBy("user_id", "bucket_us")
+    },
+
+    "ts_scale_minmax" -> { (s, d) =>
+      TS.minMaxScale(Tables.events(s, d), K, "value", "scaled")
+        .select(col("event_id"), round(col("scaled"), 4).as("scaled"))
+        .orderBy("event_id")
+    },
+
+    "ts_scale_standard" -> { (s, d) =>
+      TS.standardScale(Tables.events(s, d), K, "value", "scaled")
+        .select(col("event_id"), round(col("scaled"), 4).as("scaled"))
+        .orderBy("event_id")
+    },
+
+    "ts_zscore_anomaly" -> { (s, d) =>
+      Anomaly.zscore(Tables.events(s, d), K, "value")
+        .select(col("event_id"), round(col("z"), 4).as("z"), col("is_anomaly"))
+        .orderBy("event_id")
+    },
+
+    "ts_rolling_zscore" -> { (s, d) =>
+      Anomaly.rollingZscore(Tables.events(s, d), K, Ord, "value")
+        .select(col("event_id"), round(col("z"), 4).as("z"), col("is_anomaly"))
+        .orderBy("event_id")
+    },
+
+    "ts_iqr_anomaly" -> { (s, d) =>
+      Anomaly.iqr(Tables.events(s, d), K, "value")
+        .select(col("event_id"), round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+          col("is_anomaly"))
+        .orderBy("event_id")
+    },
+
+    "ts_mad_anomaly" -> { (s, d) =>
+      Anomaly.mad(Tables.events(s, d), K, "value")
+        .select(col("event_id"), round(col("rz"), 4).as("rz"), col("is_anomaly"))
+        .orderBy("event_id")
+    },
+
+    "ts_sequences" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("vstr", format_string("%.2f", col("value")))
+      TS.sequences(ev, K, Ord, "vstr", GraftConfig.SequenceLength)
+        .select(col("event_id"), array_join(col("seq"), ",").as("seq"))
+        .orderBy("event_id")
+    },
+
+    "ts_recon_error" -> { (s, d) =>
+      Anomaly.reconstructionError(Tables.events(s, d), K, Ord, "value")
+        .select(col("event_id"), round(col("seq_err"), 4).as("seq_err"), col("is_anomaly"))
+        .orderBy("event_id")
+    },
+
+    "ts_event_counts" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(epochUs(date_trunc("hour", col("ts"))).as("bucket_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.functions.CleanFunctions.exactSum(col("value")).as("sum_value"))
+        .orderBy("bucket_us", "event_type")
+    },
+
+    "events_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").try_cast(org.apache.spark.sql.types.LongType).as("k"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ts_time_features" ->
+      s"""SELECT event_id, CAST(hour(ts) AS BIGINT) AS hour, CAST(isodow(ts)-1 AS BIGINT) AS dayofweek,
+         |CAST(day(ts) AS BIGINT) AS dayofmonth, CAST(dayofyear(ts) AS BIGINT) AS dayofyear,
+         |CAST(month(ts) AS BIGINT) AS month, CAST(year(ts) AS BIGINT) AS year,
+         |CAST(quarter(ts) AS BIGINT) AS quarter, CAST(weekofyear(ts) AS BIGINT) AS weekofyear,
+         |CAST(CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_lag_features" ->
+      s"""SELECT event_id, value, lag(value,1) OVER w AS value_lag_1, lag(value,2) OVER w AS value_lag_2,
+         |lag(value,3) OVER w AS value_lag_3, lag(value,24) OVER w AS value_lag_24
+         |FROM events WINDOW w AS ($W) ORDER BY event_id""".stripMargin,
+
+    "ts_rolling_features" ->
+      s"""SELECT event_id,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) / count(value) OVER w3) AS roll_mean_3h, round(stddev_samp(value) OVER w3, 4) AS roll_std_3h,
+         |min(value) OVER w3 AS roll_min_3h, max(value) OVER w3 AS roll_max_3h,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w24 AS DOUBLE) / count(value) OVER w24) AS roll_mean_24h, round(stddev_samp(value) OVER w24, 4) AS roll_std_24h,
+         |min(value) OVER w24 AS roll_min_24h, max(value) OVER w24 AS roll_max_24h
+         |FROM events
+         |WINDOW w3 AS ($W ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+         |w24 AS ($W ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+         |ORDER BY event_id""".stripMargin,
+
+    "ts_fill_ffill" ->
+      s"""SELECT event_id, coalesce(last_value($nulledSql IGNORE NULLS)
+         |OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_fill_bfill" ->
+      s"""SELECT event_id, coalesce(first_value($nulledSql IGNORE NULLS)
+         |OVER ($W ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 0.0) AS filled
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_fill_stats" ->
+      s"""SELECT event_id,
+         |coalesce(v, CAST(sum(CAST(v AS DECIMAL(18,6))) OVER u AS DOUBLE) / count(v) OVER u) AS filled_mean,
+         |coalesce(v, median(v) OVER u) AS filled_median,
+         |coalesce(v, 0.0) AS filled_zero
+         |FROM (SELECT event_id, user_id, $nulledSql AS v FROM events)
+         |WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
+
+    "ts_dedup_first" ->
+      s"""SELECT event_id, user_id, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn FROM events)
+         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "ts_dedup_last" ->
+      s"""SELECT event_id, user_id, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us
+         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "ts_dedup_mean" ->
+      s"""SELECT user_id, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS mean_value, min(event_id) AS first_event
+         |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket_us""".stripMargin,
+
+    "ts_resample_1h" ->
+      s"""SELECT user_id, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+         |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value, min(value) AS min_value,
+         |max(value) AS max_value, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket_us""".stripMargin,
+
+    "ts_scale_minmax" ->
+      s"""SELECT event_id, round((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0), 4) AS scaled
+         |FROM events WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
+
+    "ts_scale_standard" ->
+      s"""SELECT event_id, round((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0), 4) AS scaled
+         |FROM events WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
+
+    "ts_zscore_anomaly" ->
+      s"""SELECT event_id, round(z, 4) AS z,
+         |CAST(CASE WHEN abs(z) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM (SELECT event_id, (value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0) AS z
+         |FROM events WINDOW u AS (PARTITION BY user_id)) ORDER BY event_id""".stripMargin,
+
+    "ts_rolling_zscore" ->
+      s"""SELECT event_id, round(z, 4) AS z,
+         |CAST(coalesce(CASE WHEN abs(z) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS is_anomaly
+         |FROM (SELECT event_id, (value - avg(value) OVER w) / nullif(stddev_samp(value) OVER w, 0) AS z
+         |FROM events WINDOW w AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength} PRECEDING AND 1 PRECEDING))
+         |ORDER BY event_id""".stripMargin,
+
+    "ts_iqr_anomaly" ->
+      s"""WITH s AS (SELECT user_id, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+         |FROM events GROUP BY user_id)
+         |SELECT e.event_id, round(s.q1 - 1.5*(s.q3 - s.q1), 6) AS lo, round(s.q3 + 1.5*(s.q3 - s.q1), 6) AS hi,
+         |CAST(CASE WHEN e.value < s.q1 - 1.5*(s.q3 - s.q1) OR e.value > s.q3 + 1.5*(s.q3 - s.q1) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM events e JOIN s USING (user_id) ORDER BY e.event_id""".stripMargin,
+
+    "ts_mad_anomaly" ->
+      s"""WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+         |md AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad FROM events e JOIN m USING (user_id) GROUP BY e.user_id)
+         |SELECT e.event_id, round(${GraftConfig.MadScale} * (e.value - m.med) / nullif(md.mad, 0), 4) AS rz,
+         |CAST(coalesce(CASE WHEN abs(${GraftConfig.MadScale} * (e.value - m.med) / nullif(md.mad, 0)) > ${GraftConfig.MadThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS is_anomaly
+         |FROM events e JOIN m USING (user_id) JOIN md USING (user_id) ORDER BY e.event_id""".stripMargin,
+
+    "ts_sequences" ->
+      s"""WITH x AS (SELECT event_id,
+         |string_agg(printf('%.2f', value), ',') OVER ($W ROWS BETWEEN ${GraftConfig.SequenceLength - 1} PRECEDING AND CURRENT ROW) AS seq,
+         |row_number() OVER ($W) AS rn FROM events)
+         |SELECT event_id, seq FROM x WHERE rn >= ${GraftConfig.SequenceLength} ORDER BY event_id""".stripMargin,
+
+    "ts_recon_error" ->
+      s"""WITH e1 AS (SELECT user_id, event_id, ts,
+         |pow(value - (CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wp AS DOUBLE) / count(value) OVER wp), 2) AS err,
+         |row_number() OVER ($W) AS rn FROM events
+         |WINDOW wp AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength} PRECEDING AND 1 PRECEDING)),
+         |e2 AS (SELECT user_id, event_id, ts, rn,
+         |avg(err) OVER ($W ROWS BETWEEN ${GraftConfig.SequenceLength - 1} PRECEDING AND CURRENT ROW) AS seq_err
+         |FROM e1),
+         |e3 AS (SELECT * FROM e2 WHERE rn >= ${2 * GraftConfig.SequenceLength})
+         |SELECT event_id, round(seq_err, 4) AS seq_err,
+         |CAST(CASE WHEN seq_err > 4.0 * avg(seq_err) OVER (PARTITION BY user_id) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM e3 ORDER BY event_id""".stripMargin,
+
+    "ts_event_counts" ->
+      s"""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us, event_type,
+         |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    "events_json_extract" ->
+      s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Anomaly
+import graft.sources.Tables
+
+class AnomalySpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private lazy val ev = Tables.events(spark, sfDir).cache()
+
+  test("zscore flags exactly |z| > 3") {
+    val r = Anomaly.zscore(ev, Seq("user_id"), "value")
+    assert(r.filter((abs(col("z")) > 3.0).cast("long") =!= col("is_anomaly")).count() == 0)
+  }
+
+  test("injected spike is caught by rolling zscore") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => (i.toLong, "u", 10.0 + (i % 5) * 0.1))
+    val spiked = base.updated(150, (151L, "u", 500.0))
+    val df = spiked.toDF("event_id", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("event_id") * 3600L * 1000000L))
+    val r = Anomaly.rollingZscore(df, Seq("user_id"), Seq("ts", "event_id"), "value")
+    assert(r.filter(col("event_id") === 151L && col("is_anomaly") === 1L).count() == 1)
+    assert(r.filter(col("is_anomaly") === 1L).count() <= 3) // spike + shadow only
+  }
+
+  test("iqr fences bracket the bulk of the data") {
+    val r = Anomaly.iqr(ev, Seq("user_id"), "value")
+    val frac = r.filter(col("is_anomaly") === 1L).count().toDouble / r.count()
+    assert(frac < 0.05)
+    assert(r.filter(col("lo") >= col("hi")).count() == 0)
+  }
+
+  test("mad robust z flags extremes only") {
+    val r = Anomaly.mad(ev, Seq("user_id"), "value")
+    val frac = r.filter(col("is_anomaly") === 1L).count().toDouble / r.count()
+    assert(frac < 0.10)
+  }
+
+  test("reconstruction error drops warm-up and scores all remaining rows") {
+    val r = Anomaly.reconstructionError(ev, Seq("user_id"), Seq("ts", "event_id"), "value")
+    assert(r.count() > 0)
+    assert(r.filter(col("seq_err").isNull).count() == 0)
+    assert(r.filter(col("seq_err") < 0).count() == 0)
+  }
+}
