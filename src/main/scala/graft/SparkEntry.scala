@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, RelationalQueries, TimeSeriesQueries}
+import graft.queries.{DedupQueries, MultimodalQueries, PipelineQueries, RelationalQueries, SimilarityQueries, TextQueries, TimeSeriesQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,11 +16,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TimeSeriesQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
+    TimeSeriesQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    TimeSeriesQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
+    TimeSeriesQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

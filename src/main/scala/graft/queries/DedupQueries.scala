@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.GraftConfig
+import graft.functions.{CleanFunctions, TextFunctions}
+import graft.sources.Tables
+
+/** Near-duplicate detection over `documents` / `embeddings`
+  * (SURVEY.md §2.8). Every variant generates candidates through an
+  * equi-join (shingle, MinHash band, SimHash chunk, hyperplane bucket) —
+  * never an O(n^2) cross join — then scores exactly within candidates.
+  * That is the 100 TB-safe shape: candidate generation is a shuffle on a
+  * key, and the per-doc state (token/shingle arrays) is bounded by doc
+  * size, not corpus size.
+  *
+  * Oracle parity: MinHash/LSH candidate sets are probabilistic in recall,
+  * so their DuckDB oracles replicate the banding EXACTLY (same md5-derived
+  * hashes, same permutation constants from GraftConfig). SimHash banding
+  * (6 chunks of 10 bits, threshold hamming<=5) has guaranteed recall by
+  * pigeonhole, so its oracle is the honest all-pairs scan.
+  */
+object DedupQueries {
+
+  private val K = GraftConfig.ShingleSize // 3-token shingles
+  private val JaccardThreshold = 0.8
+  private val MinhashVerifyThreshold = 0.7
+  private val SimhashChunks = 6 // 6 x 10 bits; recall guaranteed to hamming<=5
+  private val SimhashMaxHamming = 5
+  private val CosineThreshold = 0.4 // max pairwise cosine in testdata ~0.51
+  private val EmbBands = 4
+  private val EmbRowsPerBand = 4 // 16 planes = GraftConfig.LshPlanes
+
+  /** doc_id + distinct-shingle array (docs with >= K tokens only: Spark's
+    * `sequence(0, n-K)` runs descending for n<K).
+    */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= K)
+      .select(col("doc_id"), TextFunctions.shingles(col("t"), K).as("sh"))
+  }
+
+  private val shingleSetsSql: String = {
+    val t = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""tok AS (SELECT doc_id, $t AS t FROM documents WHERE len($t) >= $K),
+       |sset AS (SELECT doc_id, ${TextFunctions.shinglesSql("t", K)} AS sh FROM tok)""".stripMargin
+  }
+
+  /** Exact Jaccard for candidate pairs carrying both shingle arrays. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val common = size(array_intersect(a, b)).cast(DoubleType)
+    common / (size(a) + size(b) - size(array_intersect(a, b))).cast(DoubleType)
+  }
+  private def jaccardSql(a: String, b: String): String =
+    s"(CAST(len(list_intersect($a, $b)) AS DOUBLE) / CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // N-gram Jaccard: explode shingles, equi-join on shingle, count common
+    // per pair (one shuffle on shingle; hot-shingle skew is AQE's job),
+    // then Jaccard from per-doc set sizes.
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      val sets = shingleSets(s, d).cache()
+      val ex = sets.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      val pairs = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).cast(DoubleType).as("common"))
+      pairs
+        .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // MinHash + LSH: 16 permutations of the md5 shingle hash -> min per
+    // permutation (single map-side-combinable aggregation), 4 bands of 4
+    // rows -> band-key equi-join for candidates, exact Jaccard verify.
+    "dedup_minhash_lsh" -> { (s, d) =>
+      val sets = shingleSets(s, d).cache()
+      val hashed = sets.select(col("doc_id"),
+        explode(col("sh")).as("s")).select(col("doc_id"),
+        CleanFunctions.md5Hash64(col("s")).as("x"))
+      val mhCols = (0 until GraftConfig.MinHashK).map(i =>
+        min(TextFunctions.minhashPerm(col("x"), i)).as(s"h$i"))
+      val mh = hashed.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val bands = mh.select(col("doc_id"), explode(array(
+        (0 until GraftConfig.MinHashK / GraftConfig.MinHashRowsPerBand).map { b =>
+          val ks = (0 until GraftConfig.MinHashRowsPerBand)
+            .map(r => col(s"h${b * GraftConfig.MinHashRowsPerBand + r}"))
+          struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+        .distinct()
+      cand
+        .join(sets.as("sa"), col("doc_id_a") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("doc_id_b") === col("sb.doc_id"))
+        .withColumn("jaccard", jaccard(col("sa.sh"), col("sb.sh")))
+        .filter(col("jaccard") >= MinhashVerifyThreshold)
+        .select(col("doc_id_a"), col("doc_id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // SimHash: 60-bit signature per doc (array-fold, no explosion), banded
+    // into 6 chunks of 10 bits for the candidate join, exact hamming <= 5.
+    "dedup_simhash" -> { (s, d) =>
+      val sim = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.simhash60(TextFunctions.tokens(col("text"))).as("sig"))
+        .cache()
+      val chunks = sim.select(col("doc_id"), col("sig"), explode(array(
+        (0 until SimhashChunks).map(c =>
+          struct(lit(c).as("c"), shiftright(col("sig"), c * 10).bitwiseAND(lit(1023L)).as("v"))): _*)).as("ck"))
+        .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast(LongType).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= SimhashMaxHamming)
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // Embedding near-dup: banded random-hyperplane LSH (4 bands x 4
+    // deterministic +-1 planes) -> bucket equi-join -> exact cosine.
+    // Probabilistic recall (~50% at cos=0.4); the oracle replicates the
+    // identical banding so parity is exact.
+    "dedup_embedding" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val signs = e.select(
+        col("vec_id") +: col("embedding") +:
+          (0 until EmbBands * EmbRowsPerBand).map(p =>
+            TextFunctions.lshSign(col("embedding"), p).as(s"b$p")): _*)
+      val bands = signs.select(col("vec_id"), col("embedding"), explode(array(
+        (0 until EmbBands).map { b =>
+          val key = TextFunctions.packBits(
+            (0 until EmbRowsPerBand).map(r => col(s"b${b * EmbRowsPerBand + r}")))
+          struct(lit(b).as("band"), key.as("key"))
+        }: _*)).as("bk"))
+        .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.key").as("key"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
+          TextFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .distinct()
+        .filter(col("cos") >= CosineThreshold)
+        .select(col("vec_id_a"), col("vec_id_b"), round(col("cos"), 4).as("cosine"))
+        .orderBy("vec_id_a", "vec_id_b")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleSetsSql,
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sset),
+         |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb,
+         |  CAST(count(*) AS DOUBLE) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
+         |SELECT doc_id_a, doc_id_b, round(common / (na + nb - common), 4) AS jaccard
+         |FROM p WHERE common / (na + nb - common) >= $JaccardThreshold
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until GraftConfig.MinHashK).map(i =>
+        s"min(${TextFunctions.minhashPermSql(CleanFunctions.md5Hash64Sql("s"), i)}) AS h$i").mkString(",\n  ")
+      val bandRows = (0 until GraftConfig.MinHashK / GraftConfig.MinHashRowsPerBand).map { b =>
+        val ks = (0 until GraftConfig.MinHashRowsPerBand)
+          .map(r => s"h${b * GraftConfig.MinHashRowsPerBand + r}").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($ks) AS key FROM mh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $shingleSetsSql,
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sset),
+         |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b, round(${jaccardSql("sa.sh", "sb.sh")}, 4) AS jaccard
+         |FROM cand JOIN sset sa ON doc_id_a = sa.doc_id JOIN sset sb ON doc_id_b = sb.doc_id
+         |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinhashVerifyThreshold
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin
+    },
+
+    // All-pairs oracle: banding with 6 chunks has guaranteed recall for
+    // hamming <= 5, so the honest quadratic scan gives the same rows.
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
+         |h AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("t")} AS h FROM tok),
+         |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
+         |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+         |  FROM v GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "dedup_embedding" -> {
+      val signCols = (0 until EmbBands * EmbRowsPerBand).map(p =>
+        s"${TextFunctions.lshSignSql("embedding", p)} AS b$p").mkString(",\n  ")
+      val bandRows = (0 until EmbBands).map { b =>
+        val key = (0 until EmbRowsPerBand)
+          .map(r => s"(b${b * EmbRowsPerBand + r} << $r)").mkString(" + ")
+        s"SELECT vec_id, embedding, $b AS band, $key AS key FROM signs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |  ${TextFunctions.cosineSql("a.embedding", "b.embedding")} AS cos
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+         |SELECT vec_id_a, vec_id_b, round(cos, 4) AS cosine
+         |FROM cand WHERE cos >= $CosineThreshold
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over `embeddings`
+  * (SURVEY.md §2.9). Query set = vec_id % 50 == 0 (a stand-in for "the
+  * batch of vectors being searched").
+  *
+  * - Brute force: broadcast the (small) query batch against the corpus —
+  *   a BroadcastNestedLoopJoin, which is exactly the right plan when one
+  *   side fits in memory; the corpus side streams, nothing shuffles.
+  * - LSH: 6 deterministic +-1 hyperplanes -> 64 buckets; candidates are a
+  *   bucket equi-join (shuffle on bucket id), exact cosine re-rank within
+  *   bucket. The 100 TB path: buckets partition the corpus, each executor
+  *   re-ranks only its bucket residents. Recall is probabilistic; the
+  *   DuckDB oracle replicates the identical bucketing for exact parity.
+  *
+  * Ranking is on the 4dp-rounded score with vec_id tiebreak so both
+  * engines order identically despite last-ulp float differences.
+  */
+object SimilarityQueries {
+
+  private val TopK = 10
+  private val AnnPlanes = 6
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_cosine" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(TextFunctions.cosine(col("q_emb"), col("embedding")), 4).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .orderBy("q_id", "rk")
+    },
+
+    "ann_lsh_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val sb = e.select(col("vec_id"), col("embedding"),
+        TextFunctions.packBits((0 until AnnPlanes).map(p =>
+          TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
+      val scored = sb.as("a").join(sb.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") % 50 === 0 && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+          round(TextFunctions.cosine(col("a.embedding"), col("b.embedding")), 4).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .orderBy("q_id", "rk")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_topk_cosine" ->
+      s"""SELECT q_id, n_id, score, rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |    round(${TextFunctions.cosineSql("q.embedding", "e.embedding")}, 4) AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${TextFunctions.cosineSql("q.embedding", "e.embedding")}, 4) DESC, e.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin,
+
+    "ann_lsh_topk" -> {
+      val bucket = (0 until AnnPlanes)
+        .map(p => s"(${TextFunctions.lshSignSql("embedding", p)} << $p)").mkString(" + ")
+      s"""WITH sb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT q_id, n_id, score, rk FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |    round(${TextFunctions.cosineSql("a.embedding", "b.embedding")}, 4) AS score,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(${TextFunctions.cosineSql("a.embedding", "b.embedding")}, 4) DESC, b.vec_id) AS rk
+         |  FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 50 = 0)
+         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.{CleanFunctions, TextFunctions}
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.10) plus exact
+  * dedup (§2.8). All per-row map work — no shuffle except dedup_exact's
+  * hash-keyed window — so the plan is a single WholeStageCodegen over the
+  * parquet scan and scales linearly with input.
+  */
+object TextQueries {
+
+  /** BPE-ish token pattern: letter runs | digit runs | single non-space
+    * symbol (GPT-2-style pre-tokenizer, simplified to what both regex
+    * engines — Java and RE2 — agree on).
+    */
+  private val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+  private val MarkerSets: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + BPE-ish regex tokens + chars.
+    "text_tokens" -> { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("ws_tokens"),
+          regexp_count(col("text"), lit(BpePattern)).cast(LongType).as("bpe_tokens"),
+          length(col("text")).cast(LongType).as("chars"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length/alpha/punct/stopword signals -> [0,1] score.
+    "text_quality" -> { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast(DoubleType).as("n_chars"),
+          size(toks).cast(DoubleType).as("n_tokens"),
+          size(filter(toks, t => t.isin(Stopwords: _*))).cast(DoubleType).as("n_stop"),
+          regexp_count(col("text"), lit("[a-zA-Z]")).cast(DoubleType).as("n_alpha"),
+          regexp_count(col("text"), lit("[.,!?;:]")).cast(DoubleType).as("n_punct"))
+        .select(col("doc_id"),
+          col("n_tokens").cast(LongType).as("n_tokens"),
+          round(CleanFunctions.safeDiv(col("n_stop"), col("n_tokens")), 4).as("stopword_ratio"),
+          round(CleanFunctions.safeDiv(col("n_alpha"), col("n_chars")), 4).as("alpha_ratio"),
+          round(CleanFunctions.safeDiv(col("n_punct"), col("n_chars")), 4).as("punct_ratio"),
+          round(
+            lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+              + lit(0.3) * CleanFunctions.safeDiv(col("n_alpha"), col("n_chars"))
+              + lit(0.2) * (lit(1.0) - CleanFunctions.safeDiv(col("n_punct"), col("n_chars")))
+              + lit(0.2) * CleanFunctions.safeDiv(col("n_stop"), col("n_tokens")), 4).as("quality_score"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID: marker-token counts per language, deterministic argmax.
+    "text_langid" -> { (s, d) =>
+      val toks = TextFunctions.tokens(lower(col("text")))
+      val scored = Tables.documents(s, d).select(
+        col("doc_id") +: MarkerSets.map { case (lang, ws) =>
+          size(filter(toks, t => t.isin(ws: _*))).cast(LongType).as(s"s_$lang")
+        }: _*)
+      val best = greatest(MarkerSets.map { case (l, _) => col(s"s_$l") }: _*)
+      val pred = MarkerSets.foldRight(lit("und")) { case ((l, _), acc) =>
+        when(best > 0 && col(s"s_$l") === best, l).otherwise(acc)
+      }
+      scored.withColumn("pred_lang", pred).orderBy("doc_id")
+    },
+
+    // Fingerprinting: md5-derived content hash of normalized text + the
+    // min shingle hash (a 1-perm minhash, stable under reordering edits).
+    "text_fingerprint" -> { (s, d) =>
+      val norm = trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .filter(size(TextFunctions.tokens(col("text"))) >= graft.GraftConfig.ShingleSize)
+        .select(col("doc_id"),
+          CleanFunctions.md5Hash64(norm).as("content_fp"),
+          array_min(transform(TextFunctions.shingles(toks, graft.GraftConfig.ShingleSize),
+            sh => CleanFunctions.md5Hash64(sh))).as("min_shingle_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Exact dedup: canonical id = min doc_id per content hash. Window over
+    // the hash key (hash-partition shuffle, no driver collect); at 100 TB
+    // this is the standard one-shuffle canonicalization.
+    "dedup_exact" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = {
+    val t = "regexp_split_to_array(trim(text), '\\s+')"
+    val tl = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    Map(
+      "text_tokens" ->
+        s"""SELECT doc_id, len($t) AS ws_tokens,
+           |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens,
+           |length(text) AS chars FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_quality" ->
+        s"""WITH m AS (SELECT doc_id,
+           |CAST(length(text) AS DOUBLE) AS n_chars,
+           |CAST(len($t) AS DOUBLE) AS n_tokens,
+           |CAST(len(list_filter($t, x -> list_contains(${sqlList(Stopwords)}, x))) AS DOUBLE) AS n_stop,
+           |CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) AS n_alpha,
+           |CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct
+           |FROM documents)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |round(n_stop / nullif(n_tokens, 0), 4) AS stopword_ratio,
+           |round(n_alpha / nullif(n_chars, 0), 4) AS alpha_ratio,
+           |round(n_punct / nullif(n_chars, 0), 4) AS punct_ratio,
+           |round(0.3 * least(1.0, n_tokens / 100.0) + 0.3 * (n_alpha / nullif(n_chars, 0))
+           | + 0.2 * (1.0 - n_punct / nullif(n_chars, 0)) + 0.2 * (n_stop / nullif(n_tokens, 0)), 4) AS quality_score
+           |FROM m ORDER BY doc_id""".stripMargin,
+
+      "text_langid" -> {
+        val scores = MarkerSets.map { case (l, ws) =>
+          s"len(list_filter($tl, x -> list_contains(${sqlList(ws)}, x))) AS s_$l"
+        }.mkString(",\n")
+        val best = MarkerSets.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+        val pred = MarkerSets.foldRight("'und'") { case ((l, _), acc) =>
+          s"CASE WHEN $best > 0 AND s_$l = $best THEN '$l' ELSE $acc END"
+        }
+        s"""WITH m AS (SELECT doc_id,\n$scores\nFROM documents)
+           |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, $pred AS pred_lang
+           |FROM m ORDER BY doc_id""".stripMargin
+      },
+
+      "text_fingerprint" -> {
+        val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+        val sh = TextFunctions.shinglesSql("t", graft.GraftConfig.ShingleSize)
+        s"""WITH tok AS (SELECT doc_id, text, $t AS t FROM documents WHERE len($t) >= ${graft.GraftConfig.ShingleSize})
+           |SELECT doc_id, ${CleanFunctions.md5Hash64Sql(norm)} AS content_fp,
+           |list_min(list_transform($sh, sh -> ${CleanFunctions.md5Hash64Sql("sh")})) AS min_shingle_fp
+           |FROM tok ORDER BY doc_id""".stripMargin
+      },
+
+      "dedup_exact" ->
+        """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+          |doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+          |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}
