@@ -70,16 +70,30 @@ object TextFunctions {
       lit(0L), (acc, b) => acc + b)
   }
 
-  /** Cosine similarity of two float-array columns, computed in double with
-    * strictly sequential accumulation (aggregate is a left fold) so the
-    * DuckDB twin — list_sum over the same element order — bit-matches.
+  /** Sequential-accumulation dot product (codegen'd expression — see
+    * [[graft.expressions.FloatVectorDot]]); same fold order as DuckDB's
+    * `list_sum`, so oracle parity is bitwise.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (u, v) => u.cast(DoubleType) * v.cast(DoubleType)),
-      lit(0.0), (acc, p) => acc + p)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def dot(x: Column, y: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.floatDot(x, y)
+
+  /** L2 norm of a float-array column. */
+  def vecNorm(x: Column): Column = sqrt(dot(x, x))
+
+  /** Cosine similarity of two float-array columns, computed in double with
+    * strictly sequential accumulation so the DuckDB twin — list_sum over
+    * the same element order — bit-matches.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  /** Cosine from a precomputed dot and precomputed per-vector norms —
+    * arithmetically identical to [[cosine]] (norm = sqrt(dot(x,x)) either
+    * way) but lets candidate-pair scoring reuse per-vector state instead
+    * of recomputing two self-dots per pair.
+    */
+  def cosineFromNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
   def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -87,14 +101,15 @@ object TextFunctions {
   }
 
   /** Signed projection of an embedding onto deterministic +-1 hyperplane
-    * `p` (GraftConfig.lshWeightExpr semantics), sequential accumulation.
+    * `p`: the weights are a foldable literal float array, so the dot is
+    * one codegen'd loop ([[dot]]) — identical arithmetic to the unrolled
+    * SQL twin (+-1.0f widens to +-1.0 exactly).
     */
   def lshSign(emb: Column, plane: Int): Column = {
-    val dotv = aggregate(
-      zip_with(emb, sequence(lit(0), lit(63)), (v, i) =>
-        v.cast(DoubleType) * when((lit(plane) * 8191 + i * 524287) % 97 % 2 === 0, 1.0).otherwise(-1.0)),
-      lit(0.0), (acc, x) => acc + x)
-    when(dotv >= 0, 1L).otherwise(0L)
+    val w: Array[Float] = Array.tabulate(64) { i =>
+      if (((plane * 8191L + i * 524287L) % 97) % 2 == 0) 1.0f else -1.0f
+    }
+    when(dot(emb, lit(w)) >= 0, 1L).otherwise(0L)
   }
   def lshSignSql(embSql: String, plane: Int): String = {
     val terms = (0 until 64).map { i =>

@@ -134,25 +134,33 @@ object DedupQueries {
     // deterministic +-1 planes) -> bucket equi-join -> exact cosine.
     // Probabilistic recall (~50% at cos=0.4); the oracle replicates the
     // identical banding so parity is exact.
+    // Candidate ids go through distinct BEFORE scoring (a pair colliding in
+    // k bands would otherwise be cosine-scored k times), and each side's
+    // norm is computed once per vector in the scan, not per pair.
     "dedup_embedding" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      val signs = e.select(
-        col("vec_id") +: col("embedding") +:
-          (0 until EmbBands * EmbRowsPerBand).map(p =>
-            TextFunctions.lshSign(col("embedding"), p).as(s"b$p")): _*)
-      val bands = signs.select(col("vec_id"), col("embedding"), explode(array(
+        .select(col("vec_id"), col("embedding"),
+          TextFunctions.vecNorm(col("embedding")).as("nrm"))
+      val bands = e.select(col("vec_id"), explode(array(
         (0 until EmbBands).map { b =>
           val key = TextFunctions.packBits(
-            (0 until EmbRowsPerBand).map(r => col(s"b${b * EmbRowsPerBand + r}")))
+            (0 until EmbRowsPerBand).map(r =>
+              TextFunctions.lshSign(col("embedding"), b * EmbRowsPerBand + r)))
           struct(lit(b).as("band"), key.as("key"))
         }: _*)).as("bk"))
-        .select(col("vec_id"), col("embedding"), col("bk.band").as("band"), col("bk.key").as("key"))
-      bands.as("a").join(bands.as("b"),
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"),
-          TextFunctions.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .select(col("a.vec_id").as("vec_id_a"), col("b.vec_id").as("vec_id_b"))
         .distinct()
+      cand
+        .join(e.as("ea"), col("vec_id_a") === col("ea.vec_id"))
+        .join(e.as("eb"), col("vec_id_b") === col("eb.vec_id"))
+        .select(col("vec_id_a"), col("vec_id_b"),
+          TextFunctions.cosineFromNorms(
+            TextFunctions.dot(col("ea.embedding"), col("eb.embedding")),
+            col("ea.nrm"), col("eb.nrm")).as("cos"))
         .filter(col("cos") >= CosineThreshold)
         .select(col("vec_id_a"), col("vec_id_b"), round(col("cos"), 4).as("cosine"))
         .orderBy("vec_id_a", "vec_id_b")

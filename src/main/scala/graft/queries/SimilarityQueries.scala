@@ -31,11 +31,15 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          TextFunctions.vecNorm(col("embedding")).as("nrm"))
       val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          round(TextFunctions.cosine(col("q_emb"), col("embedding")), 4).as("score"))
+          round(TextFunctions.cosineFromNorms(
+            TextFunctions.dot(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")), 4).as("score"))
       val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
@@ -45,13 +49,16 @@ object SimilarityQueries {
     "ann_lsh_topk" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val sb = e.select(col("vec_id"), col("embedding"),
+        TextFunctions.vecNorm(col("embedding")).as("nrm"),
         TextFunctions.packBits((0 until AnnPlanes).map(p =>
           TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
       val scored = sb.as("a").join(sb.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") % 50 === 0 && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-          round(TextFunctions.cosine(col("a.embedding"), col("b.embedding")), 4).as("score"))
+          round(TextFunctions.cosineFromNorms(
+            TextFunctions.dot(col("a.embedding"), col("b.embedding")),
+            col("a.nrm"), col("b.nrm")), 4).as("score"))
       val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.graft.VectorExpressions
+import graft.functions.TextFunctions
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  test("floatDot matches the aggregate/zip_with fold bit-for-bit") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, -0.6f))
+    ).toDF("a", "b")
+    val folded = aggregate(
+      zip_with(col("a"), col("b"), (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+    val rows = df.select(
+      VectorExpressions.floatDot(col("a"), col("b")).as("fast"),
+      folded.as("slow")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("floatDot nulls propagate; cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(1.0f, 2.0f))),
+      (None: Option[Array[Float]], Some(Array(1.0f, 2.0f)))
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.floatDot(col("a"), col("b")).as("d"),
+      TextFunctions.cosine(col("a"), col("b")).as("c")).collect()
+    assert(rows(0).getDouble(0) == 5.0)
+    assert(math.abs(rows(0).getDouble(1) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+
+  test("lshSign with literal-weight dot matches the interpreted formula") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array.tabulate(64)(i => (i % 7 - 3).toFloat))).toDF("e")
+    for (p <- 0 until 16) {
+      val expected = {
+        val v = Array.tabulate(64) { i =>
+          val w = if (((p * 8191L + i * 524287L) % 97) % 2 == 0) 1.0 else -1.0
+          (i % 7 - 3).toDouble * w
+        }.sum
+        if (v >= 0) 1L else 0L
+      }
+      val got = df.select(TextFunctions.lshSign(col("e"), p)).head().getLong(0)
+      assert(got == expected, s"plane $p")
+    }
+  }
+}
