@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.GraftConfig
+
+/** A single event of the keyed time series (the streaming face of the
+  * `events` table: `user_id` = series key, `ts` = event time, `value` =
+  * metric — SURVEY.md §3).
+  */
+case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Rolling-zscore output. `z` is None during warm-up (< 2 trailing values)
+  * or when the trailing stddev is 0 — same contract as the batch
+  * `Anomaly.rollingZscore` (null z, flag 0).
+  */
+case class ScoredEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                       value: Double, z: Option[Double], is_anomaly: Long)
+
+/** Per-series trailing buffer, oldest first, at most `win` values. */
+case class SeriesState(recent: Seq[Double])
+
+/** Structured Streaming face of the anomaly pipeline (SURVEY.md §2.12).
+  *
+  * The reference scores a static frame in RAM (main.py:183-233); the
+  * streaming re-expression keeps the same per-series semantics but runs
+  * continuously: events partition by `user_id` across executors, window
+  * aggregations carry watermark-bounded state, and the z-score detector
+  * carries O(win) doubles per key — both shapes hold at 100 TB/day because
+  * state never grows with history, only with |keys| x win.
+  */
+object StreamingAnomaly {
+
+  /** Watermarked tumbling-window event aggregation — the streaming twin of
+    * the batch `ts_event_counts` query. Append-mode: a window row is
+    * emitted exactly once, when the watermark passes its end.
+    */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "1 hour",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful trailing-window z-score per series key: each event is scored
+    * against the mean/sample-stddev of the previous `win` values of its
+    * series (shift-1 semantics, exactly the batch `Anomaly.rollingZscore`).
+    *
+    * Events are ordered by event time within each micro-batch; late data
+    * across batches scores against the state as of arrival (documented
+    * streaming relaxation — exact event-time order would need
+    * watermark-buffered state).
+    */
+  def rollingZscore(events: Dataset[Event],
+                    win: Int = GraftConfig.SequenceLength,
+                    threshold: Double = GraftConfig.AnomalyThreshold): Dataset[ScoredEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[SeriesState]) =>
+          val buf = scala.collection.mutable.ArrayBuffer[Double]()
+          buf ++= state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = it.toIndexedSeq.sortBy(_.ts.getTime).map { e =>
+            val n = buf.length
+            val zOpt =
+              if (n < 2) None
+              else {
+                val mu = buf.sum / n
+                val sd = math.sqrt(buf.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+                if (sd == 0.0) None else Some((e.value - mu) / sd)
+              }
+            buf += e.value
+            if (buf.length > win) buf.remove(0, buf.length - win)
+            ScoredEvent(e.event_id, e.ts, e.user_id, e.value, zOpt,
+              if (zOpt.exists(z => math.abs(z) > threshold)) 1L else 0L)
+          }
+          state.update(SeriesState(buf.toVector))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Event, StreamingAnomaly}
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  test("windowed counts finalize once the watermark passes the window") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.windowedCounts(ms.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      ms.addData(
+        Event(1, ts("2026-01-01 00:05:00"), 1, "click", 2.0),
+        Event(2, ts("2026-01-01 00:40:00"), 2, "click", 3.0),
+        Event(3, ts("2026-01-01 00:50:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      // Watermark still inside hour 0: nothing emitted yet.
+      assert(spark.table("wc").count() == 0)
+      // An event at 02:30 pushes the watermark past 01:00 -> hour 0 closes.
+      ms.addData(Event(4, ts("2026-01-01 02:30:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").as[(Timestamp, String, Long, Double)]
+        .collect().sortBy(r => (r._1.getTime, r._2))
+      assert(rows.toList == List(
+        (ts("2026-01-01 00:00:00"), "click", 2L, 5.0),
+        (ts("2026-01-01 00:00:00"), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful rolling zscore carries the trailing buffer across batches") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)
+      .writeStream.format("memory").queryName("rz")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      ms.addData(
+        Event(1, ts("2026-01-01 00:00:00"), 7, "m", 10.0),
+        Event(2, ts("2026-01-01 01:00:00"), 7, "m", 12.0),
+        Event(3, ts("2026-01-01 02:00:00"), 7, "m", 11.0))
+      q.processAllAvailable()
+      // Second batch: state (10,12,11) persisted; a wild value must flag.
+      ms.addData(
+        Event(4, ts("2026-01-01 03:00:00"), 7, "m", 11.5),
+        Event(5, ts("2026-01-01 04:00:00"), 7, "m", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("rz")
+        .as[(Long, Timestamp, Long, Double, Option[Double], Long)]
+        .collect().sortBy(_._1).toList
+      assert(rows.map(_._5.isDefined) == List(false, false, true, true, true))
+      assert(rows.map(_._6) == List(0L, 0L, 0L, 0L, 1L))
+      // Event 3 scored against (10,12): z = (11-11)/sqrt(2) = 0.
+      assert(math.abs(rows(2)._5.get) < 1e-12)
+      // Event 5 scored against trailing buffer incl. batch-1 values.
+      assert(rows(4)._5.get > 3.0)
+    } finally q.stop()
+  }
+
+  test("different series keys never share state") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)
+      .writeStream.format("memory").queryName("rz2")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      ms.addData(
+        Event(1, ts("2026-01-01 00:00:00"), 1, "m", 1.0),
+        Event(2, ts("2026-01-01 00:00:00"), 2, "m", 1000.0),
+        Event(3, ts("2026-01-01 01:00:00"), 1, "m", 2.0),
+        Event(4, ts("2026-01-01 01:00:00"), 2, "m", 2000.0),
+        Event(5, ts("2026-01-01 02:00:00"), 1, "m", 1.5))
+      q.processAllAvailable()
+      val rows = spark.table("rz2")
+        .as[(Long, Timestamp, Long, Double, Option[Double], Long)]
+        .collect().sortBy(_._1).toList
+      // user 1's third event scores against (1,2) only — z = -0/..., small.
+      assert(rows(4)._5.isDefined && math.abs(rows(4)._5.get) < 1.0)
+      // users' first two events are warm-up regardless of the other key.
+      assert(rows.take(4).forall(_._5.isEmpty))
+    } finally q.stop()
+  }
+}
