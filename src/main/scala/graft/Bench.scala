@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JIT/codegen paths + parquet footer reads, so the
+    // first timed query doesn't absorb one-time JVM costs.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      SparkEntry.entry(spark).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -4,11 +4,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 
 /** Dot product of two float-array columns, accumulated in double strictly
   * left-to-right — the same order as a `functions.aggregate` left fold and
@@ -62,9 +62,68 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 60-bit SimHash of a token array in one fused pass: per token, the
+  * md5-derived 60-bit hash (first 15 hex chars — identical to
+  * `CleanFunctions.md5Hash64` and the DuckDB oracle's
+  * `('0x' || substring(md5(t),1,15))::BIGINT`), a +-1 vote per bit
+  * position, then sign bits packed into a long.
+  *
+  * Replaces a nested `aggregate(zip_with(...))` formulation that
+  * interpreted two lambdas per token per bit (tokens x 60 closure calls
+  * and a 60-element intermediate array per step). Eval-only
+  * (CodegenFallback): it runs once per document, not per candidate pair,
+  * so the fused JVM loop is what matters, not codegen fusion.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    var t = 0
+    val n = toks.numElements()
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        md.reset()
+        val digest = md.digest(toks.getUTF8String(t).getBytes)
+        // First 15 hex chars == first 60 bits: big-endian first 8 bytes >>> 4.
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+        h = h >>> 4
+        var b = 0
+        while (b < 60) {
+          votes(b) += (((h >>> b) & 1L).toInt * 2) - 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product of two ArrayType(FloatType) columns. */
   def floatDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level 60-bit SimHash of an ArrayType(StringType) column. */
+  def simhash60(toks: Column): Column =
+    ExpressionUtils.column(SimHash60(ExpressionUtils.expression(toks)))
 }

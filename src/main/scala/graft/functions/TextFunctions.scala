@@ -53,22 +53,13 @@ object TextFunctions {
     s"(${GraftConfig.MinHashA(i)} * (($xSql) % $p) + ${GraftConfig.MinHashB(i)}) % $p"
   }
 
-  /** 60-bit SimHash of a token array, no explosion: hash each token once,
-    * accumulate a +-1 vote per bit position sequentially (deterministic,
-    * same order as the SQL twin), then pack sign bits into a long.
+  /** 60-bit SimHash of a token array, no explosion: hash each token once
+    * (md5-derived, shared with the DuckDB oracle), +-1 vote per bit,
+    * sign bits packed into a long. One fused pass — see
+    * [[org.apache.spark.sql.graft.SimHash60]].
     */
-  def simhash60(toks: Column): Column = {
-    val hashes = transform(toks, t => CleanFunctions.md5Hash64(t))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 60),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
-        (a, i) => a + (call_function("shiftright", h, i) % 2L) * 2L - 1L))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(59)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc + b)
-  }
+  def simhash60(toks: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.simhash60(toks)
 
   /** Sequential-accumulation dot product (codegen'd expression — see
     * [[graft.expressions.FloatVectorDot]]); same fold order as DuckDB's

@@ -38,6 +38,29 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
   }
 
+  test("SimHash60 expression matches the aggregate/zip_with formulation") {
+    import spark.implicits._
+    import graft.functions.CleanFunctions
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three four five six seven",
+      "hello").toDF("text").select(TextFunctions.tokens(col("text")).as("t"))
+    val slow = {
+      val hashes = transform(col("t"), t => CleanFunctions.md5Hash64(t))
+      val votes = aggregate(
+        hashes,
+        array_repeat(lit(0L), 60),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(59)),
+          (a, i) => a + (call_function("shiftright", h, i) % 2L) * 2L - 1L))
+      aggregate(
+        zip_with(votes, sequence(lit(0), lit(59)),
+          (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+        lit(0.0).cast("long"), (acc, b) => acc + b)
+    }
+    val rows = df.select(TextFunctions.simhash60(col("t")).as("fast"), slow.as("slow")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("lshSign with literal-weight dot matches the interpreted formula") {
     import spark.implicits._
     val df = Seq(Tuple1(Array.tabulate(64)(i => (i % 7 - 3).toFloat))).toDF("e")
