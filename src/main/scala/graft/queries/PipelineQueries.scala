@@ -41,7 +41,19 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_feature_pipeline" -> (featurePipeline _)
+    "ts_feature_pipeline" -> (featurePipeline _),
+
+    // Linear-AE (PCA) reconstruction-error detector — model-based scoring
+    // end to end. No SQL oracle (eigendecomposition isn't expressible);
+    // driver records the rows-only check, semantics covered by
+    // PcaReconstructionSpec.
+    "ts_pca_recon" -> { (s, d) =>
+      graft.operators.PcaReconstruction
+        .detect(Tables.events(s, d), K, Ord, "value", seqLen = 24, k = 4)
+        .select(col("event_id"), round(col("recon_err"), 4).as("recon_err"),
+          col("is_anomaly"))
+        .orderBy("event_id")
+    }
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Output side of the engine. The reference only plots (notebooks/); a
+  * 100 TB pipeline needs real sinks, and HOW data lands determines the
+  * cost of every downstream read:
+  *
+  *  - `partitionedParquet` prunes downstream scans on the partition key
+  *    (date, language, source shard) — directory-level pruning, zero I/O
+  *    for filtered-out partitions.
+  *  - `bucketedTable` pre-shuffles on the join/agg key at write time, so
+  *    repeated joins on that key skip their exchange entirely.
+  *  - `csv`/`json` interop writers mirror the CSV-in contract of the
+  *    reference (data_loader.py) on the way out.
+  */
+object Sinks {
+
+  def parquet(df: DataFrame, path: String,
+              mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** Hive-style partitioned layout: one directory per distinct value of
+    * `partitionCols`. Keep partition cardinality bounded (dates, enums —
+    * not ids): small-file explosion is the classic 100 TB failure mode.
+    */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+                         mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: `numBuckets` files per partition,
+    * rows hashed on `bucketCol`. A later join or groupBy on `bucketCol`
+    * between co-bucketed tables runs exchange-free.
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def csv(df: DataFrame, path: String, delimiter: String = ",",
+          header: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("delimiter", delimiter).option("header", header.toString)
+      .csv(path)
+
+  def jsonLines(df: DataFrame, path: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+}
