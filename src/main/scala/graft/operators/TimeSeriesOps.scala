@@ -193,4 +193,52 @@ object TimeSeriesOps {
       .filter(col("__rn") >= seqLen)
       .drop("__rn")
   }
+
+  /** As-of join: for each left row, attach `valueCols` from the most
+    * recent right row with right.`tsCol` <= left.`tsCol` (inclusive) on
+    * the same key. Implemented as union + last(ignoreNulls) over a
+    * bounded-state window — ONE shuffle on the key and O(1) state per
+    * row, versus a range-condition join which Spark would execute as a
+    * per-key cross product. This is the 100 TB shape: both sides
+    * co-partition on the key, the tagged merge sorts once.
+    *
+    * Caller contract: right must be unique per (key, tsCol) — pre-dedup
+    * with an aggregate — and `valueCols` must be non-null (a null value
+    * would fall through to the previous right row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, valueCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val lSel = left.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(1).as("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"$prefix$c")) ++
+        leftOnly.map(col): _*)
+    val rSel = right.select(
+      keys.map(col) ++ Seq(col(tsCol), lit(0).as("__side")) ++
+        valueCols.map(c => col(c).as(s"$prefix$c")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = seriesWindow(keys, Seq(tsCol, "__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(lSel.unionByName(rSel)) { (df, c) =>
+      df.withColumn(s"$prefix$c", last(col(s"$prefix$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the previous event of the same key exceeds `gap` (in the unit of the
+    * numeric `tsCol`, e.g. microseconds). Session ids are 1-based and
+    * consecutive per key — two window functions over one sort, no
+    * self-join, state O(1) per row.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], order: Seq[String],
+                 tsCol: String, gap: Long,
+                 outCol: String = "session_id"): DataFrame = {
+    val w = seriesWindow(keys, order)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L)
+    df.withColumn(outCol,
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

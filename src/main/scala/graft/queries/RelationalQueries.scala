@@ -121,6 +121,30 @@ object RelationalQueries {
           CleanFunctions.epochUs(col("Start date")).as("start_us"),
           col("value").try_cast(org.apache.spark.sql.types.DoubleType).as("value"))
         .orderBy("event_id")
+    },
+
+    // Shuffle-dedup at scale: exact distinct cardinality per group. The
+    // partial-aggregate pass dedups map-side before the exchange.
+    "events_distinct_users" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+
+    // Sketch-based aggregates (HLL++ distinct, GK quantiles) — the 100 TB
+    // answer when exactness isn't required: one pass, tiny fixed-size
+    // state, no shuffle of raw values. Algorithms differ across engines,
+    // so no SQL oracle (rows-only); accuracy asserted in QueriesSpec
+    // against the exact values.
+    "events_approx_stats" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("approx_p50"),
+          round(percentile_approx(col("value"), lit(0.99), lit(10000)), 4).as("approx_p99"))
+        .orderBy("event_type")
     }
   )
 
@@ -170,6 +194,10 @@ object RelationalQueries {
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          |${CleanFunctions.cleanNumericSql(dirty)} AS cleaned
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
-    }
+    },
+
+    "events_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

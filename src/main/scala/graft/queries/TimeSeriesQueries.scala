@@ -171,6 +171,43 @@ object TimeSeriesQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").try_cast(org.apache.spark.sql.types.LongType).as("k"))
         .orderBy("event_id")
+    },
+
+    // As-of join: every event picks up the most recent (<= its time)
+    // purchase value of its user. Right side pre-deduped per (user, ts)
+    // so the most-recent row is unique; oracle is DuckDB's native
+    // ASOF LEFT JOIN on the same epoch-us integers.
+    "ts_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val l = ev.select(col("event_id"), col("user_id"),
+        epochUs(col("ts")).as("tsu"), col("value"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), epochUs(col("ts")).as("tsu"))
+        .agg(max(col("value")).as("pval"))
+      TS.asofJoin(l, r, K, "tsu", Seq("pval"))
+        .select(col("event_id"), col("value"),
+          col("asof_pval").as("last_purchase_value"))
+        .orderBy("event_id")
+    },
+
+    // Gap-based sessionization: 30-minute inactivity cuts a session.
+    "ts_sessionize" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("tsu", epochUs(col("ts")))
+      TS.sessionize(ev, K, Ord, "tsu", 30L * 60 * 1000000)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+        .orderBy("event_id")
+    },
+
+    // Per-session aggregates on top of sessionization: length + duration.
+    "ts_session_stats" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("tsu", epochUs(col("ts")))
+      TS.sessionize(ev, K, Ord, "tsu", 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(tsu) - min(tsu)) div 1000000").as("duration_s"))
+        .orderBy("user_id", "session_id")
     }
   )
 
@@ -299,6 +336,39 @@ object TimeSeriesQueries {
 
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
-         |FROM events ORDER BY event_id""".stripMargin
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_asof_join" ->
+      s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),
+         |r AS (SELECT user_id, epoch_us(ts) AS tsu, max(value) AS pval
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         |SELECT l.event_id, l.value, r.pval AS last_purchase_value
+         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
+         |ORDER BY l.event_id""".stripMargin,
+
+    "ts_sessionize" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+         |f AS (SELECT event_id, user_id, tsu,
+         |  CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > ${30L * 60 * 1000000}
+         |       THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+         |SELECT event_id, user_id,
+         |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |FROM f ORDER BY event_id""".stripMargin,
+
+    "ts_session_stats" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+         |f AS (SELECT event_id, user_id, tsu,
+         |  CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > ${30L * 60 * 1000000}
+         |       THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |g AS (SELECT user_id, tsu,
+         |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |FROM f)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  (max(tsu) - min(tsu)) // 1000000 AS duration_s
+         |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
   )
 }

@@ -21,6 +21,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("approx stats land near the exact values") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("events_approx_stats")(spark, sfDir)
+    val exact = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        expr("percentile(value, 0.5)").as("p50"))
+    approx.join(exact, "event_type").collect().foreach { r =>
+      val (au, eu) = (r.getAs[Long]("approx_users"), r.getAs[Long]("n_users"))
+      assert(math.abs(au - eu) <= math.max(2, eu / 10), s"HLL off: $au vs $eu")
+      val (ap, ep) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("p50"))
+      assert(math.abs(ap - ep) <= math.max(0.5, ep * 0.1), s"p50 off: $ap vs $ep")
+    }
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>

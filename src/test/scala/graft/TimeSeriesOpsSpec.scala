@@ -69,6 +69,32 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(seq.filter(size(col("seq")) =!= L).count() == 0)
   }
 
+  test("asof join picks the latest right row at or before each left ts") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val l = Seq((1L, 1L, 10L), (2L, 1L, 20L), (3L, 1L, 5L), (4L, 2L, 20L))
+      .toDF("id", "k", "t")
+    val r = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 25L, 250.0))
+      .toDF("k", "t", "v")
+    val out = TS.asofJoin(l, r, Seq("k"), "t", Seq("v"))
+      .select("id", "asof_v").collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(out(1).contains(100.0), "inclusive match at equal ts")
+    assert(out(2).contains(150.0), "latest of several prior rows")
+    assert(out(3).isEmpty, "no right row yet -> null")
+    assert(out(4).isEmpty, "right row after left ts never matches")
+  }
+
+  test("sessionize cuts on gap and numbers sessions per key") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1L, 1L, 0L), (2L, 1L, 100L), (3L, 1L, 1000L), (4L, 1L, 1050L),
+      (5L, 2L, 0L)).toDF("id", "k", "t")
+    val out = TS.sessionize(df, Seq("k"), Seq("t", "id"), "t", gap = 500L)
+      .select("id", "session_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
   test("dedup keep=first retains earliest event per bucket") {
     val d = TS.dedupIndex(ev, Seq("user_id"), date_trunc("hour", col("ts")),
       Seq("ts", "event_id"), "first")
