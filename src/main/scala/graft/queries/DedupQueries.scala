@@ -60,12 +60,16 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // N-gram Jaccard: explode shingles, equi-join on shingle, count common
-    // per pair (one shuffle on shingle; hot-shingle skew is AQE's job),
-    // then Jaccard from per-doc set sizes.
+    // N-gram Jaccard: explode shingles, equi-join on the 60-bit shingle
+    // hash — an 8-byte join key instead of the shingle text, so the
+    // shuffle moves a fraction of the bytes (hot-shingle skew is AQE's
+    // job) — then Jaccard from per-doc set sizes. The oracle joins on the
+    // same md5-derived hash, so parity is exact.
     "dedup_ngram_jaccard" -> { (s, d) =>
       val sets = shingleSets(s, d).cache()
-      val ex = sets.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      val ex = sets
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("sh_s"))
+        .select(col("doc_id"), col("n"), CleanFunctions.md5Hash64(col("sh_s")).as("s"))
       val pairs = ex.as("a").join(ex.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
@@ -170,7 +174,7 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSetsSql,
-         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sset),
+         |ex AS (SELECT doc_id, len(sh) AS n, ${CleanFunctions.md5Hash64Sql("unnest(sh)")} AS s FROM sset),
          |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb,
          |  CAST(count(*) AS DOUBLE) AS common
          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)

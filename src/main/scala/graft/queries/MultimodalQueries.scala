@@ -49,6 +49,40 @@ object MultimodalQueries {
           col("text").cast("binary").as("payload"))
         .as[MediaRow]
       rows.mapPartitions(_.map(decodeStub)).toDF().orderBy("doc_id")
+    },
+
+    // Frame sampling: treat the payload as fixed-size frames (32 bytes
+    // standing in for a decoded video frame), keep every 4th. The 1->N
+    // row explosion, per-frame slicing, and per-frame hashing are the
+    // real plumbing; only "a frame is 32 bytes" is the stub. Docs are
+    // ASCII so the DuckDB oracle's char substring = our byte slice.
+    "mm_frame_sample" -> { (s, d) =>
+      val F = 32
+      val stride = 4
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("n_frames", expr(s"length(payload) div $F"))
+        .filter(col("n_frames") >= 1)
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          graft.functions.CleanFunctions.md5Hash64(
+            expr(s"substring(payload, cast(frame_idx * $F + 1 as int), $F)")).as("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // Resize/thumbnail stub: deterministic byte-level downsample (first
+    // 256 bytes) + recomputed dimensions. Swap the slice for a real
+    // scaler; schema and per-row transform shape stay identical.
+    "mm_thumbnail" -> { (s, d) =>
+      val h = graft.functions.CleanFunctions.md5Hash64(
+        expr("substring(payload, 1, 256)"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          least(length(col("payload")).cast("long"), lit(256L)).as("thumb_bytes"),
+          (h % 192).as("thumb_w"), (h % 108).as("thumb_h"))
+        .orderBy("doc_id")
     }
   )
 
@@ -59,6 +93,25 @@ object MultimodalQueries {
          |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
          |CAST(strlen(text) AS BIGINT) AS n_bytes,
          |$h % 1920 AS width, $h % 1080 AS height, $h AS checksum
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "mm_frame_sample" -> {
+      val fh = graft.functions.CleanFunctions
+        .md5Hash64Sql("substring(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)")
+      s"""WITH d AS (SELECT doc_id, text, strlen(text) // 32 AS n_frames
+         |  FROM documents WHERE strlen(text) // 32 >= 1),
+         |f AS (SELECT doc_id, text,
+         |  unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx FROM d)
+         |SELECT doc_id, frame_idx, $fh AS frame_hash
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    },
+
+    "mm_thumbnail" -> {
+      val h = graft.functions.CleanFunctions.md5Hash64Sql("substring(text, 1, 256)")
+      s"""SELECT doc_id,
+         |least(CAST(strlen(text) AS BIGINT), 256) AS thumb_bytes,
+         |$h % 192 AS thumb_w, $h % 108 AS thumb_h
          |FROM documents ORDER BY doc_id""".stripMargin
     }
   )

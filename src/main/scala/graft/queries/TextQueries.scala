@@ -93,6 +93,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus term statistics: top-5 tokens per language by frequency.
+    // Explode -> two-level aggregation (map-side partial on (lang, token))
+    // -> per-lang window top-k; deterministic tie-break on the token.
+    "text_top_terms" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("token"))
+      counts.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
+
     // Exact dedup: canonical id = min doc_id per content hash. Window over
     // the hash key (hash-partition shuffle, no driver collect); at 100 TB
     // this is the standard one-shuffle canonicalization.
@@ -110,6 +124,14 @@ object TextQueries {
     val t = "regexp_split_to_array(trim(text), '\\s+')"
     val tl = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     Map(
+      "text_top_terms" ->
+        s"""WITH c AS (SELECT lang, unnest($tl) AS token FROM documents),
+           |g AS (SELECT lang, token, count(*) AS cnt FROM c GROUP BY 1, 2),
+           |r AS (SELECT lang, token, cnt,
+           |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk FROM g)
+           |SELECT lang, token, cnt, rk FROM r WHERE rk <= 5
+           |ORDER BY lang, rk""".stripMargin,
+
       "text_tokens" ->
         s"""SELECT doc_id, len($t) AS ws_tokens,
            |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens,
