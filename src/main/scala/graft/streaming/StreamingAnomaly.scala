@@ -49,6 +49,16 @@ object StreamingAnomaly {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact deduplication on event id: state holds ids only
+    * within the watermark horizon (dropDuplicatesWithinWatermark), so
+    * state size is bounded by the id arrival rate x the delay — the only
+    * dedup shape that survives an unbounded stream.
+    */
+  def dedupEvents(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful trailing-window z-score per series key: each event is scored
     * against the mean/sample-stddev of the previous `win` values of its
     * series (shift-1 semantics, exactly the batch `Anomaly.rollingZscore`).

@@ -67,6 +67,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids across batches") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.dedupEvents(ms.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      ms.addData(
+        Event(1, ts("2026-01-01 00:00:00"), 1, "m", 1.0),
+        Event(1, ts("2026-01-01 00:00:00"), 1, "m", 1.0),
+        Event(2, ts("2026-01-01 00:10:00"), 1, "m", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(1, ts("2026-01-01 00:00:00"), 1, "m", 1.0)) // dup, batch 2
+      q.processAllAvailable()
+      assert(spark.table("dd").count() == 2)
+    } finally q.stop()
+  }
+
   test("different series keys never share state") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)

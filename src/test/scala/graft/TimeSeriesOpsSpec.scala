@@ -85,6 +85,20 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(out(4).isEmpty, "right row after left ts never matches")
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    // 90% of fact rows share one key — the skew scenario.
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toLong))
+      .toDF("k", "payload")
+    val dim = (1 to 2000 by 10).map(_.toLong).map(k => (k, s"d$k")).toDF("k", "attr")
+      .union(Seq((7L, "d7")).toDF("k", "attr"))
+    val plain = fact.join(dim, "k")
+    val salted = graft.operators.JoinOps.saltedJoin(fact, dim, Seq("k"), salt = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
   test("sessionize cuts on gap and numbers sessions per key") {
     import SparkTestSession.spark
     import spark.implicits._
