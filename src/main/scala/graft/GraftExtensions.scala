@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{FloatVectorDot, SimHash60}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same codegen'd hot paths as the DataFrame API.
+  *
+  * Wire-up: `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "float_vector_dot(a, b) takes 2 arguments")
+        FloatVectorDot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash60(tokens) takes 1 argument")
+        SimHash60(args.head)
+      }))
+  }
+}

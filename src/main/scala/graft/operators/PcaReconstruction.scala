@@ -41,7 +41,10 @@ object PcaReconstruction {
              seqLen: Int = GraftConfig.SequenceLength, k: Int = 4,
              flagFactor: Double = 4.0): DataFrame = {
     require(k > 0 && k <= seqLen, s"k=$k must be in [1, seqLen=$seqLen]")
-    val seqs = TimeSeriesOps.sequences(df, keys, order, target, seqLen, "seq")
+    // Cache the sequenced input BEFORE the mean pass: the mean aggregate,
+    // the PCA fit, and the scoring pass all reread it, and sequencing is
+    // the expensive window shuffle.
+    val seqs = TimeSeriesOps.sequences(df, keys, order, target, seqLen, "seq").cache()
 
     // Per-dimension mean: one aggregate, one L-element row to the driver.
     val meanRow = seqs.select(
@@ -51,7 +54,6 @@ object PcaReconstruction {
     val vecs = seqs
       .withColumn("xc", zip_with(col("seq"), lit(meanArr), (x, m) => x - m))
       .withColumn("fv", array_to_vector(col("xc")))
-      .cache()
     val model = new PCA().setInputCol("fv").setOutputCol("pv").setK(k).fit(vecs)
 
     val keyW = if (keys.isEmpty) Window.partitionBy()

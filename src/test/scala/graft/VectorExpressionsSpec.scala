@@ -61,6 +61,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("GraftExtensions expose the expressions to SQL") {
+    import org.apache.spark.sql.SparkSession
+    // Build a sibling session (same context) with the extensions applied.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions).getOrCreate()
+      val d = s2.sql(
+        "SELECT float_vector_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+          "array(cast(3.0 as float), cast(4.0 as float))) AS d").head().getDouble(0)
+      assert(d == 11.0)
+      val sh = s2.sql("SELECT simhash60(array('a', 'b')) AS s").head().getLong(0)
+      val expected = SparkTestSession.spark.range(1)
+        .select(graft.functions.TextFunctions.simhash60(
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.lit("a"),
+            org.apache.spark.sql.functions.lit("b")))).head().getLong(0)
+      assert(sh == expected)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("lshSign with literal-weight dot matches the interpreted formula") {
     import spark.implicits._
     val df = Seq(Tuple1(Array.tabulate(64)(i => (i % 7 - 3).toFloat))).toDF("e")
