@@ -170,6 +170,19 @@ object TimeSeriesOps {
     df.withColumn(outCol, safeDiv(col(target) - mn, mx - mn))
   }
 
+  /** MinMax over a whole feature set at once (ref main.py:168-181 scales
+    * every numeric column): one window pass per key, all columns' min/max
+    * computed in the same shuffle.
+    */
+  def minMaxScaleAll(df: DataFrame, keys: Seq[String], cols: Seq[String],
+                     suffix: String = "_scaled"): DataFrame = {
+    val w = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c + suffix,
+        safeDiv(col(c) - min(col(c)).over(w), max(col(c)).over(w) - min(col(c)).over(w)))
+    }
+  }
+
   /** Standard (z) scaling per series; sample stddev for oracle parity. */
   def standardScale(df: DataFrame, keys: Seq[String], target: String,
                     outCol: String): DataFrame = {

@@ -173,6 +173,31 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Multivariate MinMax (ref main.py:168-181 scales every feature
+    // column): value + its lag-1 scaled in one window pass per key.
+    "ts_scale_multi" -> { (s, d) =>
+      val lagged = TS.addLags(Tables.events(s, d), K, Ord, "value", Seq(1))
+      TS.minMaxScaleAll(lagged, K, Seq("value", "value_lag_1"))
+        .select(col("event_id"),
+          round(col("value_scaled"), 4).as("value_scaled"),
+          round(col("value_lag_1_scaled"), 4).as("lag1_scaled"))
+        .orderBy("event_id")
+    },
+
+    // Multivariate sequences (ref main.py:183-195: windows over the full
+    // feature matrix, shape (L, F)): each step encodes its feature vector
+    // as a string so parity is exact; the window mechanics are identical
+    // for array-of-array payloads.
+    "ts_sequences_multi" -> { (s, d) =>
+      val ev = TS.addLags(Tables.events(s, d), K, Ord, "value", Seq(1))
+        .filter(col("value_lag_1").isNotNull)
+        .withColumn("fvec",
+          format_string("%.2f:%.2f", col("value"), col("value_lag_1")))
+      TS.sequences(ev, K, Ord, "fvec", 8)
+        .select(col("event_id"), array_join(col("seq"), ",").as("seq"))
+        .orderBy("event_id")
+    },
+
     // As-of join: every event picks up the most recent (<= its time)
     // purchase value of its user. Right side pre-deduped per (user, ts)
     // so the most-recent row is unique; oracle is DuckDB's native
@@ -337,6 +362,25 @@ object TimeSeriesQueries {
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_scale_multi" ->
+      s"""WITH l AS (SELECT event_id, user_id, value,
+         |  lag(value, 1) OVER ($W) AS value_lag_1 FROM events)
+         |SELECT event_id,
+         |round((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0), 4) AS value_scaled,
+         |round((value_lag_1 - min(value_lag_1) OVER u) / nullif(max(value_lag_1) OVER u - min(value_lag_1) OVER u, 0), 4) AS lag1_scaled
+         |FROM l WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
+
+    "ts_sequences_multi" ->
+      s"""WITH l AS (SELECT event_id, user_id, ts, value,
+         |  lag(value, 1) OVER ($W) AS value_lag_1 FROM events),
+         |f AS (SELECT event_id, user_id, ts,
+         |  printf('%.2f:%.2f', value, value_lag_1) AS fvec
+         |  FROM l WHERE value_lag_1 IS NOT NULL),
+         |g AS (SELECT event_id,
+         |  string_agg(fvec, ',') OVER ($W ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS seq,
+         |  row_number() OVER ($W) AS rn FROM f)
+         |SELECT event_id, seq FROM g WHERE rn >= 8 ORDER BY event_id""".stripMargin,
 
     "ts_asof_join" ->
       s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),
