@@ -27,6 +27,8 @@ object SimilarityQueries {
 
   private val TopK = 10
   private val AnnPlanes = 6
+  private val IvfCentroids = 16
+  private val IvfProbes = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> { (s, d) =>
@@ -59,6 +61,58 @@ object SimilarityQueries {
           round(TextFunctions.cosineFromNorms(
             TextFunctions.dot(col("a.embedding"), col("b.embedding")),
             col("a.nrm"), col("b.nrm")), 4).as("score"))
+      val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= TopK)
+        .orderBy("q_id", "rk")
+    },
+
+    // IVF (inverted-file) ANN — the other standard scale path: k-means
+    // coarse quantizer (distributed fit, seeded = deterministic), corpus
+    // partitioned by nearest-centroid cell, queries probe their nprobe
+    // nearest cells and re-rank exactly inside them. At 100 TB the cell
+    // id is the partition key: each executor re-ranks only its cells.
+    // K-means isn't SQL-expressible -> rows-only check; recall vs brute
+    // force asserted in QueriesSpec.
+    "ann_ivf_topk" -> { (s, d) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          TextFunctions.vecNorm(col("embedding")).as("nrm"))
+        .withColumn("fv", array_to_vector(
+          transform(col("embedding"), _.cast("double"))))
+      val km = new KMeans().setK(IvfCentroids).setSeed(42)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+      val cells = km.transform(e).drop("fv").cache()
+
+      // Model parameters (16 x 64 doubles) -> driver; queries pick their
+      // nprobe nearest cells by euclidean distance, as a literal table.
+      val centers = km.clusterCenters.map(_.toArray)
+      val centerRows = centers.zipWithIndex.map { case (c, i) =>
+        (i, c.map(_.toFloat))
+      }.toSeq
+      import s.implicits._
+      val centersDf = centerRows.toDF("cell", "center")
+      val probe = cells.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+        .crossJoin(broadcast(centersDf))
+        .withColumn("dist",
+          TextFunctions.dot(col("q_emb"), col("q_emb")) -
+            lit(2.0) * TextFunctions.dot(col("q_emb"), col("center")) +
+            TextFunctions.dot(col("center"), col("center")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+        .filter(col("crk") <= IvfProbes)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
+
+      val scored = cells.join(broadcast(probe),
+          cells("cell") === probe("cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(TextFunctions.cosineFromNorms(
+            TextFunctions.dot(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm")), 4).as("score"))
       val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
