@@ -8,11 +8,15 @@ import graft.queries.{DedupQueries, MultimodalQueries, PipelineQueries, Relation
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's end-to-end feature pipeline (main.py:93-181) over the
-    * events table.
+    * The reference's full run_pipeline (main.py:58-233) over the events
+    * table: index -> clean -> features -> scale -> sequence -> linear-AE
+    * reconstruction scores. Lag/window set sized to the sf0.001 series
+    * lengths (the full 168-lag default needs longer series).
     */
   def entry(spark: SparkSession): DataFrame =
-    PipelineQueries.featurePipeline(spark, "/root/testdata/sf0.001")
+    Pipeline.run(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.001"),
+      PipelineConfig(lags = Seq(1, 2, 3, 24), rollingWindows = Seq(3, 24)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

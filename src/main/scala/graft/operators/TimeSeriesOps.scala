@@ -239,6 +239,27 @@ object TimeSeriesOps {
     filled.filter(col("__side") === 1).drop("__side")
   }
 
+  /** Truncated exponentially-weighted moving average: weights
+    * alpha*(1-alpha)^j over the past `span` rows (j=0 current), normalized
+    * by the present weights so series heads behave like pandas
+    * `ewm(adjust=True)` truncated at `span`. Expressed as a fixed lag
+    * kernel — `span` lag terms inside one window sort, fully codegen'd,
+    * exactly replicable as SQL on any engine (no recursion needed).
+    */
+  def ewma(df: DataFrame, keys: Seq[String], order: Seq[String],
+           target: String, alpha: Double, span: Int,
+           outCol: String = "ewma"): DataFrame = {
+    val w = seriesWindow(keys, order)
+    val terms = (0 until span).map { j =>
+      val wt = lit(math.pow(1 - alpha, j))
+      val v = if (j == 0) col(target) else lag(col(target), j).over(w)
+      (when(v.isNotNull, wt * v), when(v.isNotNull, wt))
+    }
+    val num = terms.map(t => coalesce(t._1, lit(0.0))).reduce(_ + _)
+    val den = terms.map(t => coalesce(t._2, lit(0.0))).reduce(_ + _)
+    df.withColumn(outCol, num / den)
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gap` (in the unit of the
     * numeric `tsCol`, e.g. microseconds). Session ids are 1-based and

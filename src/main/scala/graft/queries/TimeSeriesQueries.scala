@@ -173,6 +173,13 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Truncated EWMA smoothing (span-12 lag kernel, adjust-normalized).
+    "ts_ewma" -> { (s, d) =>
+      TS.ewma(Tables.events(s, d), K, Ord, "value", alpha = 0.3, span = 12)
+        .select(col("event_id"), round(col("ewma"), 4).as("ewma"))
+        .orderBy("event_id")
+    },
+
     // Multivariate MinMax (ref main.py:168-181 scales every feature
     // column): value + its lag-1 scaled in one window pass per key.
     "ts_scale_multi" -> { (s, d) =>
@@ -362,6 +369,19 @@ object TimeSeriesQueries {
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_ewma" -> {
+      val terms = (0 until 12).map { j =>
+        val wt = math.pow(0.7, j)
+        val v = if (j == 0) "value" else s"lag(value, $j) OVER ($W)"
+        (s"coalesce(CASE WHEN $v IS NOT NULL THEN $wt * $v END, 0.0)",
+          s"coalesce(CASE WHEN $v IS NOT NULL THEN $wt END, 0.0)")
+      }
+      s"""SELECT event_id,
+         |round((${terms.map(_._1).mkString(" + ")}) /
+         |      (${terms.map(_._2).mkString(" + ")}), 4) AS ewma
+         |FROM events ORDER BY event_id""".stripMargin
+    },
 
     "ts_scale_multi" ->
       s"""WITH l AS (SELECT event_id, user_id, value,

@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("end-to-end pipeline runs on events and produces scores + flags") {
+    val cfg = PipelineConfig(lags = Seq(1, 2, 3, 24), rollingWindows = Seq(3, 24))
+    val out = Pipeline.run(graft.sources.Tables.events(spark, sfDir), cfg).cache()
+    val n = out.count()
+    assert(n > 0)
+    assert(out.filter(col("recon_err").isNull || col("recon_err") < 0).count() == 0)
+    assert(out.filter(!col("is_anomaly").isin(0L, 1L)).count() == 0)
+    // Scaled features present and in [0,1].
+    Pipeline.featureColumns(cfg).take(2).foreach { c =>
+      assert(out.columns.contains(c + "_scaled"), s"missing ${c}_scaled")
+    }
+    assert(out.filter(col("value_scaled") < 0 || col("value_scaled") > 1).count() == 0)
+  }
+}
