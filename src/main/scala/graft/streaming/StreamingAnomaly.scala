@@ -49,6 +49,21 @@ object StreamingAnomaly {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming sessionization with Spark's native session_window: a
+    * session extends while events keep arriving within `gap`; the window
+    * closes (and emits, in append mode) once the watermark passes
+    * last-event-time + gap. State per key is one open session — the
+    * streaming twin of the batch `TimeSeriesOps.sessionize`.
+    */
+  def sessionAggregates(events: DataFrame, gap: String = "30 minutes",
+                        watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Streaming exact deduplication on event id: state holds ids only
     * within the watermark horizon (dropDuplicatesWithinWatermark), so
     * state size is bounded by the id arrival rate x the delay — the only

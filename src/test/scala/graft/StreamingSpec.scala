@@ -67,6 +67,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge within gap and close after watermark") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.sessionAggregates(ms.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sw")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      ms.addData(
+        Event(1, ts("2026-01-01 00:00:00"), 1, "m", 1.0),
+        Event(2, ts("2026-01-01 00:10:00"), 1, "m", 2.0),  // same session
+        Event(3, ts("2026-01-01 02:00:00"), 1, "m", 4.0))  // new session
+      q.processAllAvailable()
+      ms.addData(Event(4, ts("2026-01-01 05:00:00"), 1, "m", 8.0)) // advance wm
+      q.processAllAvailable()
+      val rows = spark.table("sw")
+        .as[(Long, Timestamp, Timestamp, Long, Double)]
+        .collect().sortBy(_._2.getTime).toList
+      assert(rows.map(r => (r._4, r._5)) == List((2L, 3.0), (1L, 4.0)))
+      // First session spans event1..event2+gap.
+      assert(rows.head._2 == ts("2026-01-01 00:00:00") &&
+        rows.head._3 == ts("2026-01-01 00:40:00"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids across batches") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.dedupEvents(ms.toDF(), "1 hour")
