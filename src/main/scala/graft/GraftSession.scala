@@ -22,6 +22,18 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
+  /** Builder for streaming jobs with large state: RocksDB state store
+    * (spills keyed state to local disk instead of executor heap) +
+    * changelog checkpointing for fast recovery. At 100 TB/day of events,
+    * dedup/session state outgrows the in-memory HDFS-backed store.
+    */
+  def streamingBuilder(master: String = "local[*]",
+                       shufflePartitions: Int = Runtime.getRuntime.availableProcessors): SparkSession.Builder =
+    builder(master, shufflePartitions)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cores]", math.max(cores, 4))
       .config("spark.ui.enabled", "false")

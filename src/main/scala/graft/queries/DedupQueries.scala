@@ -138,6 +138,42 @@ object DedupQueries {
     // deterministic +-1 planes) -> bucket equi-join -> exact cosine.
     // Probabilistic recall (~50% at cos=0.4); the oracle replicates the
     // identical banding so parity is exact.
+    // Near-duplicate GROUPS: simhash pairs as edges, cluster id = min
+    // doc_id reachable in <= 2 label-propagation rounds (near-dup
+    // clusters are tiny — pairs and triples — so 2 fixed rounds converge;
+    // fixing the round count keeps the oracle SQL-expressible). Each
+    // round is one shuffled join + grouped min — the standard iterative-
+    // algorithm shape on Spark; a full connected-components loop would
+    // iterate the same step to fixpoint.
+    "dedup_clusters" -> { (s, d) =>
+      val sim = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.simhash60(TextFunctions.tokens(col("text"))).as("sig"))
+      val chunks = sim.select(col("doc_id"), col("sig"), explode(array(
+        (0 until SimhashChunks).map(c =>
+          struct(lit(c).as("c"), shiftright(col("sig"), c * 10).bitwiseAND(lit(1023L)).as("v"))): _*)).as("ck"))
+        .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      val pairs = chunks.as("a").join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hd"))
+        .distinct()
+        .filter(col("hd") <= SimhashMaxHamming)
+        .select("x", "y")
+      val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y"))).cache()
+      val label0 = edges.select(col("x").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id"))
+      val prop = (l: DataFrame) => {
+        val nb = edges.join(l, edges("x") === l("doc_id"))
+          .groupBy(edges("y").as("doc_id")).agg(min(l("lbl")).as("nbl"))
+        l.join(nb, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+      }
+      val l2 = prop(prop(label0))
+      l2.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+    },
+
     // Candidate ids go through distinct BEFORE scoring (a pair colliding in
     // k bands would otherwise be cosine-scored k times), and each side's
     // norm is computed once per vector in the scan, not per pair.
@@ -201,6 +237,27 @@ object DedupQueries {
          |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinhashVerifyThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin
     },
+
+    // All-pairs oracle for edges (banding is recall-complete at hamming
+    // <= 5), then the SAME two fixed label-propagation rounds.
+    "dedup_clusters" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
+         |h AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("t")} AS h FROM tok),
+         |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
+         |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+         |  FROM v GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS x, b.doc_id AS y FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming),
+         |e AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p),
+         |l0 AS (SELECT DISTINCT x AS doc_id, x AS lbl FROM e),
+         |n1 AS (SELECT e.y AS doc_id, min(l0.lbl) AS nbl FROM e JOIN l0 ON e.x = l0.doc_id GROUP BY e.y),
+         |l1 AS (SELECT l0.doc_id, least(l0.lbl, coalesce(n1.nbl, l0.lbl)) AS lbl
+         |  FROM l0 LEFT JOIN n1 USING (doc_id)),
+         |n2 AS (SELECT e.y AS doc_id, min(l1.lbl) AS nbl FROM e JOIN l1 ON e.x = l1.doc_id GROUP BY e.y),
+         |l2 AS (SELECT l1.doc_id, least(l1.lbl, coalesce(n2.nbl, l1.lbl)) AS lbl
+         |  FROM l1 LEFT JOIN n2 USING (doc_id))
+         |SELECT doc_id, lbl AS cluster_id FROM l2 ORDER BY doc_id""".stripMargin,
 
     // All-pairs oracle: banding with 6 chunks has guaranteed recall for
     // hamming <= 5, so the honest quadratic scan gives the same rows.
