@@ -81,4 +81,13 @@ object CleanFunctions {
     s"CAST(sum(CAST($x AS DECIMAL(18,6))) $over AS DOUBLE)"
   def exactMeanSql(x: String, over: String = ""): String =
     s"(${exactSumSql(x, over)} / count($x) $over)"
+
+  /** Cross-engine-stable 4dp rounding. Plain `round(x, 4)` diverges when
+    * the true value sits exactly on a .00005 boundary: Spark rounds the
+    * EXACT binary expansion (BigDecimal HALF_UP) while DuckDB rounds the
+    * SCALED double. Scaling explicitly on both sides makes every IEEE op
+    * identical, so the results match bit-for-bit whatever they are.
+    */
+  def round4(c: Column): Column = round(c * lit(10000.0)) / 10000.0
+  def round4Sql(x: String): String = s"(round(($x) * 10000.0) / 10000.0)"
 }

@@ -91,14 +91,18 @@ object Anomaly {
     val seqW   = base.rowsBetween(-(win - 1), 0)
     val keyW   = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
     val pred   = graft.functions.CleanFunctions.exactMeanOver(col(target), past)
+    // Exact DECIMAL window means throughout: engines disagree on plain
+    // double window sums (DuckDB's sliding frames aggregate via segment
+    // tree, a different addition order) — fatal at rounding boundaries.
     val scored = df
       .withColumn("err", pow(col(target) - pred, 2))
-      .withColumn("seq_err", avg(col("err")).over(seqW))
+      .withColumn("seq_err", graft.functions.CleanFunctions.exactMeanOver(col("err"), seqW))
       .withColumn("__rn", row_number().over(base))
       .filter(col("__rn") >= 2 * win) // warm-up: full predictor + full sequence
       .drop("__rn")
     scored
       .withColumn("is_anomaly",
-        (col("seq_err") > lit(flagFactor) * avg(col("seq_err")).over(keyW)).cast("long"))
+        (col("seq_err") > lit(flagFactor) *
+          graft.functions.CleanFunctions.exactMeanOver(col("seq_err"), keyW)).cast("long"))
   }
 }

@@ -54,14 +54,14 @@ object TextQueries {
           regexp_count(col("text"), lit("[.,!?;:]")).cast(DoubleType).as("n_punct"))
         .select(col("doc_id"),
           col("n_tokens").cast(LongType).as("n_tokens"),
-          round(CleanFunctions.safeDiv(col("n_stop"), col("n_tokens")), 4).as("stopword_ratio"),
-          round(CleanFunctions.safeDiv(col("n_alpha"), col("n_chars")), 4).as("alpha_ratio"),
-          round(CleanFunctions.safeDiv(col("n_punct"), col("n_chars")), 4).as("punct_ratio"),
-          round(
+          CleanFunctions.round4(CleanFunctions.safeDiv(col("n_stop"), col("n_tokens"))).as("stopword_ratio"),
+          CleanFunctions.round4(CleanFunctions.safeDiv(col("n_alpha"), col("n_chars"))).as("alpha_ratio"),
+          CleanFunctions.round4(CleanFunctions.safeDiv(col("n_punct"), col("n_chars"))).as("punct_ratio"),
+          CleanFunctions.round4(
             lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
               + lit(0.3) * CleanFunctions.safeDiv(col("n_alpha"), col("n_chars"))
               + lit(0.2) * (lit(1.0) - CleanFunctions.safeDiv(col("n_punct"), col("n_chars")))
-              + lit(0.2) * CleanFunctions.safeDiv(col("n_stop"), col("n_tokens")), 4).as("quality_score"))
+              + lit(0.2) * CleanFunctions.safeDiv(col("n_stop"), col("n_tokens"))).as("quality_score"))
         .orderBy("doc_id")
     },
 
@@ -146,11 +146,11 @@ object TextQueries {
            |CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct
            |FROM documents)
            |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           |round(n_stop / nullif(n_tokens, 0), 4) AS stopword_ratio,
-           |round(n_alpha / nullif(n_chars, 0), 4) AS alpha_ratio,
-           |round(n_punct / nullif(n_chars, 0), 4) AS punct_ratio,
-           |round(0.3 * least(1.0, n_tokens / 100.0) + 0.3 * (n_alpha / nullif(n_chars, 0))
-           | + 0.2 * (1.0 - n_punct / nullif(n_chars, 0)) + 0.2 * (n_stop / nullif(n_tokens, 0)), 4) AS quality_score
+           |round(n_stop / nullif(n_tokens, 0) * 10000.0) / 10000.0 AS stopword_ratio,
+           |round(n_alpha / nullif(n_chars, 0) * 10000.0) / 10000.0 AS alpha_ratio,
+           |round(n_punct / nullif(n_chars, 0) * 10000.0) / 10000.0 AS punct_ratio,
+           |round((0.3 * least(1.0, n_tokens / 100.0) + 0.3 * (n_alpha / nullif(n_chars, 0))
+           | + 0.2 * (1.0 - n_punct / nullif(n_chars, 0)) + 0.2 * (n_stop / nullif(n_tokens, 0))) * 10000.0) / 10000.0 AS quality_score
            |FROM m ORDER BY doc_id""".stripMargin,
 
       "text_langid" -> {

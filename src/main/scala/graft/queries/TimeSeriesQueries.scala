@@ -142,7 +142,8 @@ object TimeSeriesQueries {
 
     "ts_mad_anomaly" -> { (s, d) =>
       Anomaly.mad(Tables.events(s, d), K, "value")
-        .select(col("event_id"), round(col("rz"), 4).as("rz"), col("is_anomaly"))
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("rz")).as("rz"), col("is_anomaly"))
         .orderBy("event_id")
     },
 
@@ -155,7 +156,8 @@ object TimeSeriesQueries {
 
     "ts_recon_error" -> { (s, d) =>
       Anomaly.reconstructionError(Tables.events(s, d), K, Ord, "value")
-        .select(col("event_id"), round(col("seq_err"), 4).as("seq_err"), col("is_anomaly"))
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("seq_err")).as("seq_err"), col("is_anomaly"))
         .orderBy("event_id")
     },
 
@@ -338,7 +340,7 @@ object TimeSeriesQueries {
     "ts_mad_anomaly" ->
       s"""WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
          |md AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad FROM events e JOIN m USING (user_id) GROUP BY e.user_id)
-         |SELECT e.event_id, round(${GraftConfig.MadScale} * (e.value - m.med) / nullif(md.mad, 0), 4) AS rz,
+         |SELECT e.event_id, round(${GraftConfig.MadScale} * (e.value - m.med) / nullif(md.mad, 0) * 10000.0) / 10000.0 AS rz,
          |CAST(coalesce(CASE WHEN abs(${GraftConfig.MadScale} * (e.value - m.med) / nullif(md.mad, 0)) > ${GraftConfig.MadThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS is_anomaly
          |FROM events e JOIN m USING (user_id) JOIN md USING (user_id) ORDER BY e.event_id""".stripMargin,
 
@@ -354,12 +356,12 @@ object TimeSeriesQueries {
          |row_number() OVER ($W) AS rn FROM events
          |WINDOW wp AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength} PRECEDING AND 1 PRECEDING)),
          |e2 AS (SELECT user_id, event_id, ts, rn,
-         |avg(err) OVER ($W ROWS BETWEEN ${GraftConfig.SequenceLength - 1} PRECEDING AND CURRENT ROW) AS seq_err
-         |FROM e1),
+         |(CAST(sum(CAST(err AS DECIMAL(18,6))) OVER ws AS DOUBLE) / count(err) OVER ws) AS seq_err
+         |FROM e1 WINDOW ws AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength - 1} PRECEDING AND CURRENT ROW)),
          |e3 AS (SELECT * FROM e2 WHERE rn >= ${2 * GraftConfig.SequenceLength})
-         |SELECT event_id, round(seq_err, 4) AS seq_err,
-         |CAST(CASE WHEN seq_err > 4.0 * avg(seq_err) OVER (PARTITION BY user_id) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
-         |FROM e3 ORDER BY event_id""".stripMargin,
+         |SELECT event_id, round(seq_err * 10000.0) / 10000.0 AS seq_err,
+         |CAST(CASE WHEN seq_err > 4.0 * (CAST(sum(CAST(seq_err AS DECIMAL(18,6))) OVER u AS DOUBLE) / count(seq_err) OVER u) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM e3 WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
     "ts_event_counts" ->
       s"""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us, event_type,
