@@ -32,10 +32,10 @@ object PipelineQueries {
       K, Ord, "value", Wins)
     val complete = TS.dropNulls(feats, featureCols)
     TS.minMaxScale(complete, K, "value", "scaled")
-      .select(col("event_id"), round(col("scaled"), 4).as("scaled"),
+      .select(col("event_id"), graft.functions.CleanFunctions.round4(col("scaled")).as("scaled"),
         col("value_lag_1"), col("value_lag_24"),
         col("value_roll_mean_24h").as("roll_mean_24h"),
-        round(col("value_roll_std_24h"), 4).as("roll_std_24h"),
+        graft.functions.CleanFunctions.round4(col("value_roll_std_24h")).as("roll_std_24h"),
         col("hour"), col("dayofweek"), col("is_weekend"))
       .orderBy("event_id")
   }
@@ -50,7 +50,7 @@ object PipelineQueries {
     "ts_pca_recon" -> { (s, d) =>
       graft.operators.PcaReconstruction
         .detect(Tables.events(s, d), K, Ord, "value", seqLen = 24, k = 4)
-        .select(col("event_id"), round(col("recon_err"), 4).as("recon_err"),
+        .select(col("event_id"), graft.functions.CleanFunctions.round4(col("recon_err")).as("recon_err"),
           col("is_anomaly"))
         .orderBy("event_id")
     }
@@ -78,8 +78,8 @@ object PipelineQueries {
          |AND mx3 IS NOT NULL AND m24 IS NOT NULL AND s24 IS NOT NULL AND mn24 IS NOT NULL AND mx24 IS NOT NULL
          |)
          |SELECT event_id,
-         |round((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0), 4) AS scaled,
-         |value_lag_1, value_lag_24, m24 AS roll_mean_24h, round(s24,4) AS roll_std_24h,
+         |round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 AS scaled,
+         |value_lag_1, value_lag_24, m24 AS roll_mean_24h, round((s24) * 10000.0) / 10000.0 AS roll_std_24h,
          |hour, dayofweek, is_weekend
          |FROM g WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin
     }

@@ -142,8 +142,8 @@ object RelationalQueries {
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("approx_p50"),
-          round(percentile_approx(col("value"), lit(0.99), lit(10000)), 4).as("approx_p99"))
+          graft.functions.CleanFunctions.round4(percentile_approx(col("value"), lit(0.5), lit(10000))).as("approx_p50"),
+          graft.functions.CleanFunctions.round4(percentile_approx(col("value"), lit(0.99), lit(10000))).as("approx_p99"))
         .orderBy("event_type")
     }
   )

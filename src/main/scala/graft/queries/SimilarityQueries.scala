@@ -39,9 +39,9 @@ object SimilarityQueries {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          round(TextFunctions.cosineFromNorms(
+          graft.functions.CleanFunctions.round4(TextFunctions.cosineFromNorms(
             TextFunctions.dot(col("q_emb"), col("embedding")),
-            col("q_nrm"), col("nrm")), 4).as("score"))
+            col("q_nrm"), col("nrm"))).as("score"))
       val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
@@ -58,9 +58,9 @@ object SimilarityQueries {
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") % 50 === 0 && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
-          round(TextFunctions.cosineFromNorms(
+          graft.functions.CleanFunctions.round4(TextFunctions.cosineFromNorms(
             TextFunctions.dot(col("a.embedding"), col("b.embedding")),
-            col("a.nrm"), col("b.nrm")), 4).as("score"))
+            col("a.nrm"), col("b.nrm"))).as("score"))
       val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
@@ -110,9 +110,9 @@ object SimilarityQueries {
       val scored = cells.join(broadcast(probe),
           cells("cell") === probe("cell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          round(TextFunctions.cosineFromNorms(
+          graft.functions.CleanFunctions.round4(TextFunctions.cosineFromNorms(
             TextFunctions.dot(col("q_emb"), col("embedding")),
-            col("q_nrm"), col("nrm")), 4).as("score"))
+            col("q_nrm"), col("nrm"))).as("score"))
       val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
@@ -124,9 +124,9 @@ object SimilarityQueries {
     "ann_topk_cosine" ->
       s"""SELECT q_id, n_id, score, rk FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-         |    round(${TextFunctions.cosineSql("q.embedding", "e.embedding")}, 4) AS score,
+         |    round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 AS score,
          |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY round(${TextFunctions.cosineSql("q.embedding", "e.embedding")}, 4) DESC, e.vec_id) AS rk
+         |      ORDER BY round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 DESC, e.vec_id) AS rk
          |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
          |  WHERE q.vec_id % 50 = 0)
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin,
@@ -137,9 +137,9 @@ object SimilarityQueries {
       s"""WITH sb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
          |SELECT q_id, n_id, score, rk FROM (
          |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-         |    round(${TextFunctions.cosineSql("a.embedding", "b.embedding")}, 4) AS score,
+         |    round((${TextFunctions.cosineSql("a.embedding", "b.embedding")}) * 10000.0) / 10000.0 AS score,
          |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY round(${TextFunctions.cosineSql("a.embedding", "b.embedding")}, 4) DESC, b.vec_id) AS rk
+         |      ORDER BY round((${TextFunctions.cosineSql("a.embedding", "b.embedding")}) * 10000.0) / 10000.0 DESC, b.vec_id) AS rk
          |  FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
          |  WHERE a.vec_id % 50 = 0)
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin

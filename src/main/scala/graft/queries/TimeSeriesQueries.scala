@@ -44,11 +44,11 @@ object TimeSeriesQueries {
       TS.addRolling(Tables.events(s, d), K, Ord, "value", Seq(3, 24))
         .select(col("event_id"),
           col("value_roll_mean_3h").as("roll_mean_3h"),
-          round(col("value_roll_std_3h"), 4).as("roll_std_3h"),
+          graft.functions.CleanFunctions.round4(col("value_roll_std_3h")).as("roll_std_3h"),
           col("value_roll_min_3h").as("roll_min_3h"),
           col("value_roll_max_3h").as("roll_max_3h"),
           col("value_roll_mean_24h").as("roll_mean_24h"),
-          round(col("value_roll_std_24h"), 4).as("roll_std_24h"),
+          graft.functions.CleanFunctions.round4(col("value_roll_std_24h")).as("roll_std_24h"),
           col("value_roll_min_24h").as("roll_min_24h"),
           col("value_roll_max_24h").as("roll_max_24h"))
         .orderBy("event_id")
@@ -111,31 +111,31 @@ object TimeSeriesQueries {
 
     "ts_scale_minmax" -> { (s, d) =>
       TS.minMaxScale(Tables.events(s, d), K, "value", "scaled")
-        .select(col("event_id"), round(col("scaled"), 4).as("scaled"))
+        .select(col("event_id"), graft.functions.CleanFunctions.round4(col("scaled")).as("scaled"))
         .orderBy("event_id")
     },
 
     "ts_scale_standard" -> { (s, d) =>
       TS.standardScale(Tables.events(s, d), K, "value", "scaled")
-        .select(col("event_id"), round(col("scaled"), 4).as("scaled"))
+        .select(col("event_id"), graft.functions.CleanFunctions.round4(col("scaled")).as("scaled"))
         .orderBy("event_id")
     },
 
     "ts_zscore_anomaly" -> { (s, d) =>
       Anomaly.zscore(Tables.events(s, d), K, "value")
-        .select(col("event_id"), round(col("z"), 4).as("z"), col("is_anomaly"))
+        .select(col("event_id"), graft.functions.CleanFunctions.round4(col("z")).as("z"), col("is_anomaly"))
         .orderBy("event_id")
     },
 
     "ts_rolling_zscore" -> { (s, d) =>
       Anomaly.rollingZscore(Tables.events(s, d), K, Ord, "value")
-        .select(col("event_id"), round(col("z"), 4).as("z"), col("is_anomaly"))
+        .select(col("event_id"), graft.functions.CleanFunctions.round4(col("z")).as("z"), col("is_anomaly"))
         .orderBy("event_id")
     },
 
     "ts_iqr_anomaly" -> { (s, d) =>
       Anomaly.iqr(Tables.events(s, d), K, "value")
-        .select(col("event_id"), round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+        .select(col("event_id"), graft.functions.CleanFunctions.round6(col("lo")).as("lo"), graft.functions.CleanFunctions.round6(col("hi")).as("hi"),
           col("is_anomaly"))
         .orderBy("event_id")
     },
@@ -178,7 +178,7 @@ object TimeSeriesQueries {
     // Truncated EWMA smoothing (span-12 lag kernel, adjust-normalized).
     "ts_ewma" -> { (s, d) =>
       TS.ewma(Tables.events(s, d), K, Ord, "value", alpha = 0.3, span = 12)
-        .select(col("event_id"), round(col("ewma"), 4).as("ewma"))
+        .select(col("event_id"), graft.functions.CleanFunctions.round4(col("ewma")).as("ewma"))
         .orderBy("event_id")
     },
 
@@ -188,8 +188,8 @@ object TimeSeriesQueries {
       val lagged = TS.addLags(Tables.events(s, d), K, Ord, "value", Seq(1))
       TS.minMaxScaleAll(lagged, K, Seq("value", "value_lag_1"))
         .select(col("event_id"),
-          round(col("value_scaled"), 4).as("value_scaled"),
-          round(col("value_lag_1_scaled"), 4).as("lag1_scaled"))
+          graft.functions.CleanFunctions.round4(col("value_scaled")).as("value_scaled"),
+          graft.functions.CleanFunctions.round4(col("value_lag_1_scaled")).as("lag1_scaled"))
         .orderBy("event_id")
     },
 
@@ -261,9 +261,9 @@ object TimeSeriesQueries {
 
     "ts_rolling_features" ->
       s"""SELECT event_id,
-         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) / count(value) OVER w3) AS roll_mean_3h, round(stddev_samp(value) OVER w3, 4) AS roll_std_3h,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) / count(value) OVER w3) AS roll_mean_3h, round((stddev_samp(value) OVER w3) * 10000.0) / 10000.0 AS roll_std_3h,
          |min(value) OVER w3 AS roll_min_3h, max(value) OVER w3 AS roll_max_3h,
-         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w24 AS DOUBLE) / count(value) OVER w24) AS roll_mean_24h, round(stddev_samp(value) OVER w24, 4) AS roll_std_24h,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w24 AS DOUBLE) / count(value) OVER w24) AS roll_mean_24h, round((stddev_samp(value) OVER w24) * 10000.0) / 10000.0 AS roll_std_24h,
          |min(value) OVER w24 AS roll_min_24h, max(value) OVER w24 AS roll_max_24h
          |FROM events
          |WINDOW w3 AS ($W ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
@@ -310,21 +310,21 @@ object TimeSeriesQueries {
          |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket_us""".stripMargin,
 
     "ts_scale_minmax" ->
-      s"""SELECT event_id, round((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0), 4) AS scaled
+      s"""SELECT event_id, round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 AS scaled
          |FROM events WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
     "ts_scale_standard" ->
-      s"""SELECT event_id, round((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0), 4) AS scaled
+      s"""SELECT event_id, round(((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0)) * 10000.0) / 10000.0 AS scaled
          |FROM events WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
     "ts_zscore_anomaly" ->
-      s"""SELECT event_id, round(z, 4) AS z,
+      s"""SELECT event_id, round((z) * 10000.0) / 10000.0 AS z,
          |CAST(CASE WHEN abs(z) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM (SELECT event_id, (value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0) AS z
          |FROM events WINDOW u AS (PARTITION BY user_id)) ORDER BY event_id""".stripMargin,
 
     "ts_rolling_zscore" ->
-      s"""SELECT event_id, round(z, 4) AS z,
+      s"""SELECT event_id, round((z) * 10000.0) / 10000.0 AS z,
          |CAST(coalesce(CASE WHEN abs(z) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS is_anomaly
          |FROM (SELECT event_id, (value - avg(value) OVER w) / nullif(stddev_samp(value) OVER w, 0) AS z
          |FROM events WINDOW w AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength} PRECEDING AND 1 PRECEDING))
@@ -333,7 +333,7 @@ object TimeSeriesQueries {
     "ts_iqr_anomaly" ->
       s"""WITH s AS (SELECT user_id, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
          |FROM events GROUP BY user_id)
-         |SELECT e.event_id, round(s.q1 - 1.5*(s.q3 - s.q1), 6) AS lo, round(s.q3 + 1.5*(s.q3 - s.q1), 6) AS hi,
+         |SELECT e.event_id, round((s.q1 - 1.5*(s.q3 - s.q1)) * 1000000.0) / 1000000.0 AS lo, round((s.q3 + 1.5*(s.q3 - s.q1)) * 1000000.0) / 1000000.0 AS hi,
          |CAST(CASE WHEN e.value < s.q1 - 1.5*(s.q3 - s.q1) OR e.value > s.q3 + 1.5*(s.q3 - s.q1) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM events e JOIN s USING (user_id) ORDER BY e.event_id""".stripMargin,
 
@@ -380,8 +380,8 @@ object TimeSeriesQueries {
           s"coalesce(CASE WHEN $v IS NOT NULL THEN $wt END, 0.0)")
       }
       s"""SELECT event_id,
-         |round((${terms.map(_._1).mkString(" + ")}) /
-         |      (${terms.map(_._2).mkString(" + ")}), 4) AS ewma
+         |round(((${terms.map(_._1).mkString(" + ")}) /
+         |      (${terms.map(_._2).mkString(" + ")})) * 10000.0) / 10000.0 AS ewma
          |FROM events ORDER BY event_id""".stripMargin
     },
 
@@ -389,8 +389,8 @@ object TimeSeriesQueries {
       s"""WITH l AS (SELECT event_id, user_id, value,
          |  lag(value, 1) OVER ($W) AS value_lag_1 FROM events)
          |SELECT event_id,
-         |round((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0), 4) AS value_scaled,
-         |round((value_lag_1 - min(value_lag_1) OVER u) / nullif(max(value_lag_1) OVER u - min(value_lag_1) OVER u, 0), 4) AS lag1_scaled
+         |round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 AS value_scaled,
+         |round(((value_lag_1 - min(value_lag_1) OVER u) / nullif(max(value_lag_1) OVER u - min(value_lag_1) OVER u, 0)) * 10000.0) / 10000.0 AS lag1_scaled
          |FROM l WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
     "ts_sequences_multi" ->
