@@ -133,6 +133,33 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // Pivot: long -> wide on a known value set (explicit values = single
+    // pass, no distinct-discovery job; at scale always enumerate).
+    "events_pivot" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("hour", hour(col("ts")).cast(LongType))
+        .groupBy("hour")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("hour")
+    },
+
+    // Rollup: hierarchical subtotals in one pass (partial aggregation
+    // handles each grouping set map-side; no per-level rescans).
+    "events_rollup" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("hour", hour(col("ts")).cast(LongType))
+        .rollup("event_type", "hour")
+        .agg(count(lit(1)).as("n"),
+          CleanFunctions.exactSum(col("value")).as("sum_value"))
+        // Sentinels for subtotal rows: null-object comparison is
+        // harness-hostile and '(all)' reads better anyway.
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("hour"), lit(-1L)).as("hour"), col("n"), col("sum_value"))
+        .orderBy("event_type", "hour")
+    },
+
     // Sketch-based aggregates (HLL++ distinct, GK quantiles) — the 100 TB
     // answer when exactness isn't required: one pass, tiny fixed-size
     // state, no shuffle of raw values. Algorithms differ across engines,
@@ -198,6 +225,22 @@ object RelationalQueries {
 
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_pivot" -> {
+      val cols = Seq("click", "view", "purchase", "signup", "error")
+        .map(t => s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS $t")
+        .mkString(",\n")
+      s"""SELECT CAST(hour(ts) AS BIGINT) AS hour,
+         |$cols
+         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
+    },
+
+    "events_rollup" ->
+      """WITH r AS (SELECT event_type AS et, CAST(hour(ts) AS BIGINT) AS h, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ROLLUP (et, h))
+        |SELECT coalesce(et, '(all)') AS event_type, coalesce(h, -1) AS hour, n, sum_value
+        |FROM r ORDER BY event_type, hour""".stripMargin
   )
 }
