@@ -160,6 +160,20 @@ object RelationalQueries {
         .orderBy("event_type", "hour")
     },
 
+    // Unpivot (melt): wide -> long, the inverse of events_pivot. Zero
+    // cells survive the roundtrip, so the oracle builds the full grid.
+    "events_unpivot" -> { (s, d) =>
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      Tables.events(s, d)
+        .withColumn("hour", hour(col("ts")).cast(LongType))
+        .groupBy("hour")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("hour")), types.map(col).toArray, "event_type", "n")
+        .orderBy("hour", "event_type")
+    },
+
     // Sketch-based aggregates (HLL++ distinct, GK quantiles) — the 100 TB
     // answer when exactness isn't required: one pass, tiny fixed-size
     // state, no shuffle of raw values. Algorithms differ across engines,
@@ -235,6 +249,15 @@ object RelationalQueries {
          |$cols
          |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
     },
+
+    "events_unpivot" ->
+      """WITH g AS (SELECT DISTINCT CAST(hour(ts) AS BIGINT) AS hour FROM events),
+        |t(event_type) AS (VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')),
+        |c AS (SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT g.hour, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM g CROSS JOIN t LEFT JOIN c ON c.hour = g.hour AND c.event_type = t.event_type
+        |ORDER BY g.hour, t.event_type""".stripMargin,
 
     "events_rollup" ->
       """WITH r AS (SELECT event_type AS et, CAST(hour(ts) AS BIGINT) AS h, count(*) AS n,
