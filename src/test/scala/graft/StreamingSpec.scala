@@ -107,6 +107,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state survives a query restart from the checkpoint") {
+    import graft.streaming.ScoredEvent
+    val ms = MemoryStream[Event](spark)
+    val ck = ckpt()
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[ScoredEvent]()
+    // foreachBatch (unlike the memory sink) supports checkpoint recovery.
+    def start() = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ScoredEvent], _: Long) =>
+        batch.collect().foreach(sink.add)
+      }
+      .outputMode("append").option("checkpointLocation", ck).start()
+    val q1 = start()
+    ms.addData(
+      Event(1, ts("2026-01-01 00:00:00"), 9, "m", 10.0),
+      Event(2, ts("2026-01-01 01:00:00"), 9, "m", 12.0),
+      Event(3, ts("2026-01-01 02:00:00"), 9, "m", 11.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // Restart: the trailing buffer (10,12,11) must come back from the
+    // state store, so the next event scores against it.
+    val q2 = start()
+    try {
+      ms.addData(Event(4, ts("2026-01-01 03:00:00"), 9, "m", 99.0))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = sink.asScala.toList.sortBy(_.event_id)
+      assert(rows.map(_.event_id) == List(1L, 2L, 3L, 4L))
+      assert(rows(3).z.exists(_ > 3.0) && rows(3).is_anomaly == 1L,
+        s"restarted query lost state: ${rows(3)}")
+    } finally q2.stop()
+  }
+
   test("different series keys never share state") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)
