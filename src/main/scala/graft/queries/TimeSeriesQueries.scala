@@ -175,6 +175,21 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Differencing + expanding aggregates: first difference (pandas
+    // .diff, the detrending primitive), running total and running max
+    // over the expanding window — one window sort serves all three.
+    "ts_diff_cumsum" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val exp = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          (col("value") - lag(col("value"), 1).over(w)).as("diff_1"),
+          graft.functions.CleanFunctions.exactSumOver(col("value"), exp).as("running_sum"),
+          max(col("value")).over(exp).as("running_max"))
+        .orderBy("event_id")
+    },
+
     // Truncated EWMA smoothing (span-12 lag kernel, adjust-normalized).
     "ts_ewma" -> { (s, d) =>
       TS.ewma(Tables.events(s, d), K, Ord, "value", alpha = 0.3, span = 12)
@@ -371,6 +386,14 @@ object TimeSeriesQueries {
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_diff_cumsum" ->
+      s"""SELECT event_id,
+         |value - lag(value, 1) OVER ($W) AS diff_1,
+         |CAST(sum(CAST(value AS DECIMAL(18,6))) OVER we AS DOUBLE) AS running_sum,
+         |max(value) OVER we AS running_max
+         |FROM events WINDOW we AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
 
     "ts_ewma" -> {
       val terms = (0 until 12).map { j =>
