@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftConfig
 import graft.operators.{Anomaly, TimeSeriesOps => TS}
+import graft.functions.CleanFunctions
 import graft.functions.CleanFunctions.{epochUs, safeDiv}
 import graft.sources.Tables
 
@@ -172,6 +173,29 @@ object TimeSeriesQueries {
       Tables.events(s, d)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").try_cast(org.apache.spark.sql.types.LongType).as("k"))
+        .orderBy("event_id")
+    },
+
+    // Seasonal adjustment: the reference's domain is hourly energy load,
+    // where the daily cycle dominates. Remove the per-(series, hour-of-
+    // day) seasonal mean, z-score the residual per series — anomalies
+    // are departures from the series' own seasonal shape, not from the
+    // raw mean. Two window passes, both partitioned by key.
+    "ts_seasonal_adjust" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val seasW = Window.partitionBy(col("user_id"), hour(col("ts")))
+      val keyW = Window.partitionBy("user_id")
+      val seasonal = graft.functions.CleanFunctions.exactMeanOver(col("value"), seasW)
+      val withRes = Tables.events(s, d)
+        .withColumn("seasonal_mean", seasonal)
+        .withColumn("resid", col("value") - col("seasonal_mean"))
+      val z = safeDiv(col("resid") - graft.functions.CleanFunctions.exactMeanOver(col("resid"), keyW),
+        stddev_samp(col("resid")).over(keyW))
+      withRes
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("seasonal_mean")).as("seasonal_mean"),
+          graft.functions.CleanFunctions.round4(col("resid")).as("resid"),
+          coalesce((abs(z) > GraftConfig.AnomalyThreshold).cast("long"), lit(0L)).as("is_anomaly"))
         .orderBy("event_id")
     },
 
@@ -386,6 +410,17 @@ object TimeSeriesQueries {
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_seasonal_adjust" ->
+      s"""WITH a AS (SELECT event_id, user_id, value,
+         |  ${CleanFunctions.exactMeanSql("value", "OVER ws")} AS seasonal_mean
+         |  FROM events WINDOW ws AS (PARTITION BY user_id, hour(ts))),
+         |b AS (SELECT event_id, user_id, seasonal_mean, value - seasonal_mean AS resid FROM a)
+         |SELECT event_id,
+         |round((seasonal_mean) * 10000.0) / 10000.0 AS seasonal_mean,
+         |round((resid) * 10000.0) / 10000.0 AS resid,
+         |CAST(coalesce(CASE WHEN abs((resid - ${CleanFunctions.exactMeanSql("resid", "OVER u")}) / nullif(stddev_samp(resid) OVER u, 0)) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS is_anomaly
+         |FROM b WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
     "ts_diff_cumsum" ->
       s"""SELECT event_id,
