@@ -138,6 +138,34 @@ object DedupQueries {
     // deterministic +-1 planes) -> bucket equi-join -> exact cosine.
     // Probabilistic recall (~50% at cos=0.4); the oracle replicates the
     // identical banding so parity is exact.
+    // End-to-end corpus dedup: drop exact duplicates (keep min doc_id
+    // per content hash), then drop the larger id of every simhash
+    // near-dup pair among the survivors. The composition a pipeline
+    // user actually runs; each stage is the operator verified above.
+    "dedup_pipeline" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val exactW = Window.partitionBy(md5(col("text")))
+      val exactKept = docs
+        .withColumn("canonical", min(col("doc_id")).over(exactW))
+        .filter(col("doc_id") === col("canonical"))
+        .select(col("doc_id"), col("text"))
+      val sim = exactKept
+        .select(col("doc_id"), TextFunctions.simhash60(TextFunctions.tokens(col("text"))).as("sig"))
+      val chunks = sim.select(col("doc_id"), col("sig"), explode(array(
+        (0 until SimhashChunks).map(c =>
+          struct(lit(c).as("c"), shiftright(col("sig"), c * 10).bitwiseAND(lit(1023L)).as("v"))): _*)).as("ck"))
+        .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      val nearDropped = chunks.as("a").join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= SimhashMaxHamming)
+        .select(col("b.doc_id").as("doc_id")).distinct()
+      exactKept.join(nearDropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+
     // Near-duplicate GROUPS: simhash pairs as edges, cluster id = min
     // doc_id reachable in <= 2 label-propagation rounds (near-dup
     // clusters are tiny — pairs and triples — so 2 fixed rounds converge;
@@ -237,6 +265,21 @@ object DedupQueries {
          |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinhashVerifyThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin
     },
+
+    "dedup_pipeline" ->
+      s"""WITH kept AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+         |  FROM documents) WHERE doc_id = canonical),
+         |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM kept),
+         |h AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("t")} AS h FROM tok),
+         |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
+         |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+         |  FROM v GROUP BY doc_id),
+         |dropped AS (SELECT DISTINCT b.doc_id FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming)
+         |SELECT doc_id FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     // All-pairs oracle for edges (banding is recall-complete at hamming
     // <= 5), then the SAME two fixed label-propagation rounds.

@@ -69,6 +69,22 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(seq.filter(size(col("seq")) =!= L).count() == 0)
   }
 
+  test("ewma matches the hand-computed truncated adjust-normalized value") {
+    import SparkTestSession.spark
+    import spark.implicits._
+    val vals = Seq(1.0, 2.0, 4.0, 8.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, 1L, v) }.toDF("t", "k", "v")
+    val got = TS.ewma(df, Seq("k"), Seq("t"), "v", alpha = 0.5, span = 3)
+      .orderBy("t").select("ewma").collect().map(_.getDouble(0))
+    def expect(i: Int): Double = {
+      val terms = (0 to math.min(i, 2)).map(j => (math.pow(0.5, j), vals(i - j)))
+      terms.map { case (w, v) => w * v }.sum / terms.map(_._1).sum
+    }
+    got.zipWithIndex.foreach { case (g, i) =>
+      assert(math.abs(g - expect(i)) < 1e-12, s"row $i: $g vs ${expect(i)}")
+    }
+  }
+
   test("asof join picks the latest right row at or before each left ts") {
     import SparkTestSession.spark
     import spark.implicits._
