@@ -176,6 +176,56 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Change-point score: sliding two-sample mean shift — |mean of the
+    // next w rows - mean of the past w rows| / series stddev. Recursive
+    // CUSUM isn't window-expressible; the two-window test is, and both
+    // windows ride the same per-key sort.
+    "ts_changepoint" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = 24
+      val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val before = base.rowsBetween(-w, -1)
+      val after = base.rowsBetween(0, w - 1)
+      val keyW = Window.partitionBy("user_id")
+      val score = safeDiv(
+        abs(CleanFunctions.exactMeanOver(col("value"), after) -
+          CleanFunctions.exactMeanOver(col("value"), before)),
+        stddev_samp(col("value")).over(keyW))
+      Tables.events(s, d)
+        .withColumn("score", score)
+        .withColumn("nb", count(col("value")).over(before))
+        .withColumn("na", count(col("value")).over(after))
+        .filter(col("nb") === w && col("na") === w) // full windows only
+        .select(col("event_id"), CleanFunctions.round4(col("score")).as("cp_score"))
+        .orderBy("event_id")
+    },
+
+    // Alert episodes: consecutive anomalous rows collapse into one
+    // episode per series (run-length encoding via the change-flag +
+    // cumulative-sum trick — same one-sort shape as sessionize). Turns
+    // point flags into the alerts an operator actually pages on.
+    "ts_alert_episodes" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val keyW = Window.partitionBy("user_id")
+      val z = safeDiv(col("value") - CleanFunctions.exactMeanOver(col("value"), keyW),
+        stddev_samp(col("value")).over(keyW))
+      val flagged = Tables.events(s, d)
+        .withColumn("tsu", epochUs(col("ts")))
+        .withColumn("flag", coalesce((abs(z) > lit(2.0)).cast("long"), lit(0L)))
+        .withColumn("chg",
+          when(lag(col("flag"), 1).over(w).isNull ||
+            col("flag") =!= lag(col("flag"), 1).over(w), 1L).otherwise(0L))
+        .withColumn("grp", sum(col("chg")).over(cum))
+      flagged.filter(col("flag") === 1)
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"))
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .orderBy("user_id", "start_us")
+    },
+
     // Seasonal adjustment: the reference's domain is hourly energy load,
     // where the daily cycle dominates. Remove the per-(series, hour-of-
     // day) seasonal mean, z-score the residual per series — anomalies
@@ -410,6 +460,29 @@ object TimeSeriesQueries {
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_changepoint" ->
+      s"""WITH c AS (SELECT event_id, user_id, value,
+         |  count(value) OVER wb AS nb, count(value) OVER wa AS na,
+         |  ${CleanFunctions.exactMeanSql("value", "OVER wa")} AS ma,
+         |  ${CleanFunctions.exactMeanSql("value", "OVER wb")} AS mb,
+         |  stddev_samp(value) OVER u AS sd
+         |  FROM events WINDOW wb AS ($W ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+         |  wa AS ($W ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING),
+         |  u AS (PARTITION BY user_id))
+         |SELECT event_id, round((abs(ma - mb) / nullif(sd, 0)) * 10000.0) / 10000.0 AS cp_score
+         |FROM c WHERE nb = 24 AND na = 24 ORDER BY event_id""".stripMargin,
+
+    "ts_alert_episodes" ->
+      s"""WITH f AS (SELECT event_id, user_id, ts, epoch_us(ts) AS tsu,
+         |  CASE WHEN abs((value - ${CleanFunctions.exactMeanSql("value", "OVER u")}) / nullif(stddev_samp(value) OVER u, 0)) > 2.0
+         |       THEN 1 ELSE 0 END AS flag
+         |  FROM events WINDOW u AS (PARTITION BY user_id)),
+         |g AS (SELECT *, CASE WHEN lag(flag) OVER w IS NULL OR flag <> lag(flag) OVER w THEN 1 ELSE 0 END AS chg
+         |  FROM f WINDOW w AS ($W)),
+         |h AS (SELECT *, sum(chg) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g)
+         |SELECT user_id, count(*) AS n_events, min(tsu) AS start_us, max(tsu) AS end_us
+         |FROM h WHERE flag = 1 GROUP BY user_id, grp ORDER BY user_id, start_us""".stripMargin,
 
     "ts_seasonal_adjust" ->
       s"""WITH a AS (SELECT event_id, user_id, value,
