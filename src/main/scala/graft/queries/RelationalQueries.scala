@@ -174,6 +174,42 @@ object RelationalQueries {
         .orderBy("hour", "event_type")
     },
 
+    // Fixed-width histogram: bin id = floor(value / width) — pure
+    // integer-ish map work + one grouped count, the standard
+    // distribution profile at any scale.
+    "events_histogram" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("bin", floor(col("value") / 5.0).cast(LongType))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    },
+
+    // Pearson correlation from exact DECIMAL moments: engines implement
+    // corr() with different accumulation algorithms (one-pass vs
+    // Welford), so the built-in can differ in late digits; the moment
+    // formula over exact decimal sums is bit-identical on both sides.
+    "events_corr" -> { (s, d) =>
+      val x = col("value")
+      val y = hour(col("ts")).cast("double")
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(28, 6)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x.cast(dec)).cast("double").as("sx"),
+          sum(y.cast(dec)).cast("double").as("sy"),
+          sum((x * y).cast(dec)).cast("double").as("sxy"),
+          sum((x * x).cast(dec)).cast("double").as("sxx"),
+          sum((y * y).cast(dec)).cast("double").as("syy"))
+        .select(col("event_type"),
+          CleanFunctions.round4(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_value_hour"))
+        .orderBy("event_type")
+    },
+
     // Sketch-based aggregates (HLL++ distinct, GK quantiles) — the 100 TB
     // answer when exactness isn't required: one pass, tiny fixed-size
     // state, no shuffle of raw values. Algorithms differ across engines,
@@ -249,6 +285,23 @@ object RelationalQueries {
          |$cols
          |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
     },
+
+    "events_histogram" ->
+      """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "events_corr" ->
+      """WITH m AS (SELECT event_type,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(value * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000.0) / 10000.0 AS corr_value_hour
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "events_unpivot" ->
       """WITH g AS (SELECT DISTINCT CAST(hour(ts) AS BIGINT) AS hour FROM events),
