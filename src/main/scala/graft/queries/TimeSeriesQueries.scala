@@ -176,6 +176,42 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Autocorrelation at lags 1 and 24 per series — the seasonality
+    // probe for hourly data (a daily cycle shows as an acf_24 peak).
+    // Pearson over (x_t, x_{t-k}) pairs from exact DECIMAL moments in
+    // ONE pass: lag columns ride the series sort, moments are
+    // map-side-combinable conditional sums.
+    "ts_acf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dec = DecimalType(28, 6)
+      def moments(k: Int): Seq[org.apache.spark.sql.Column] = {
+        val x = col("value")
+        val y = col(s"y$k")
+        val valid = y.isNotNull
+        Seq(
+          count(when(valid, 1)).cast("double").as(s"n$k"),
+          sum(when(valid, x).cast(dec)).cast("double").as(s"sx$k"),
+          sum(when(valid, y).cast(dec)).cast("double").as(s"sy$k"),
+          sum(when(valid, x * y).cast(dec)).cast("double").as(s"sxy$k"),
+          sum(when(valid, x * x).cast(dec)).cast("double").as(s"sxx$k"),
+          sum(when(valid, y * y).cast(dec)).cast("double").as(s"syy$k"))
+      }
+      def corrOf(k: Int) = CleanFunctions.round4(
+        (col(s"n$k") * col(s"sxy$k") - col(s"sx$k") * col(s"sy$k")) /
+          sqrt((col(s"n$k") * col(s"sxx$k") - col(s"sx$k") * col(s"sx$k")) *
+            (col(s"n$k") * col(s"syy$k") - col(s"sy$k") * col(s"sy$k"))))
+      val aggs = moments(1) ++ moments(24)
+      Tables.events(s, d)
+        .withColumn("y1", lag(col("value"), 1).over(w))
+        .withColumn("y24", lag(col("value"), 24).over(w))
+        .groupBy("user_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("user_id"), corrOf(1).as("acf_1"), corrOf(24).as("acf_24"))
+        .orderBy("user_id")
+    },
+
     // Change-point score: sliding two-sample mean shift — |mean of the
     // next w rows - mean of the past w rows| / series stddev. Recursive
     // CUSUM isn't window-expressible; the two-window test is, and both
@@ -460,6 +496,26 @@ object TimeSeriesQueries {
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_acf" -> {
+      def m(k: Int) =
+        s"""  CAST(count(CASE WHEN y$k IS NOT NULL THEN 1 END) AS DOUBLE) AS n$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS sx$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k END AS DECIMAL(28,6))) AS DOUBLE) AS sy$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS sxy$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * value END AS DECIMAL(28,6))) AS DOUBLE) AS sxx$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS syy$k""".stripMargin
+      def corrOf(k: Int) =
+        s"round(((n$k * sxy$k - sx$k * sy$k) / sqrt((n$k * sxx$k - sx$k * sx$k) * (n$k * syy$k - sy$k * sy$k))) * 10000.0) / 10000.0"
+      s"""WITH l AS (SELECT user_id, value,
+         |  lag(value, 1) OVER ($W) AS y1, lag(value, 24) OVER ($W) AS y24 FROM events),
+         |m AS (SELECT user_id,
+         |${m(1)},
+         |${m(24)}
+         |  FROM l GROUP BY user_id)
+         |SELECT user_id, ${corrOf(1)} AS acf_1, ${corrOf(24)} AS acf_24
+         |FROM m ORDER BY user_id""".stripMargin
+    },
 
     "ts_changepoint" ->
       s"""WITH c AS (SELECT event_id, user_id, value,
