@@ -77,6 +77,46 @@ object Anomaly {
       .withColumn("is_anomaly", coalesce((abs(col("rz")) > threshold).cast("long"), lit(0L)))
   }
 
+  /** Change-point score: sliding two-sample mean shift — |mean of the
+    * next `win` rows - mean of the past `win` rows| / series stddev,
+    * full windows only. The window-expressible stand-in for recursive CUSUM:
+    * both windows ride one per-key sort, no state beyond the frames.
+    */
+  def changePointScore(df: DataFrame, keys: Seq[String], order: Seq[String],
+                       target: String, win: Int): DataFrame = {
+    val base   = TimeSeriesOps.seriesWindow(keys, order)
+    val before = base.rowsBetween(-win, -1)
+    val after  = base.rowsBetween(0, win - 1)
+    val keyW   = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    import graft.functions.CleanFunctions.exactMeanOver
+    df.withColumn("cp_score", safeDiv(
+        abs(exactMeanOver(col(target), after) - exactMeanOver(col(target), before)),
+        stddev_samp(col(target)).over(keyW)))
+      .withColumn("__nb", count(col(target)).over(before))
+      .withColumn("__na", count(col(target)).over(after))
+      .filter(col("__nb") === win && col("__na") === win)
+      .drop("__nb", "__na")
+  }
+
+  /** Alert episodes: run-length-group consecutive anomalous rows
+    * (boolean `flagCol`) into one row per episode with count and span.
+    * Same one-sort change-flag + cumulative-sum shape as sessionize.
+    */
+  def alertEpisodes(df: DataFrame, keys: Seq[String], order: Seq[String],
+                    flagCol: String, tsNumCol: String): DataFrame = {
+    val w   = TimeSeriesOps.seriesWindow(keys, order)
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__chg",
+        when(lag(col(flagCol), 1).over(w).isNull ||
+          col(flagCol) =!= lag(col(flagCol), 1).over(w), 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__chg")).over(cum))
+      .filter(col(flagCol) === 1)
+      .groupBy(keys.map(col) :+ col("__grp"): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsNumCol)).as("start_us"), max(col(tsNumCol)).as("end_us"))
+      .drop("__grp")
+  }
+
   /** Reconstruction-error scoring (ref main.py:223-230): predictor =
     * trailing mean of the past `win` rows (deterministic stand-in for the
     * LSTM-AE decode), per-row squared error, sequence score = mean error

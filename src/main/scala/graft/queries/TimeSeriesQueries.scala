@@ -217,22 +217,8 @@ object TimeSeriesQueries {
     // CUSUM isn't window-expressible; the two-window test is, and both
     // windows ride the same per-key sort.
     "ts_changepoint" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = 24
-      val base = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val before = base.rowsBetween(-w, -1)
-      val after = base.rowsBetween(0, w - 1)
-      val keyW = Window.partitionBy("user_id")
-      val score = safeDiv(
-        abs(CleanFunctions.exactMeanOver(col("value"), after) -
-          CleanFunctions.exactMeanOver(col("value"), before)),
-        stddev_samp(col("value")).over(keyW))
-      Tables.events(s, d)
-        .withColumn("score", score)
-        .withColumn("nb", count(col("value")).over(before))
-        .withColumn("na", count(col("value")).over(after))
-        .filter(col("nb") === w && col("na") === w) // full windows only
-        .select(col("event_id"), CleanFunctions.round4(col("score")).as("cp_score"))
+      Anomaly.changePointScore(Tables.events(s, d), K, Ord, "value", win = 24)
+        .select(col("event_id"), CleanFunctions.round4(col("cp_score")).as("cp_score"))
         .orderBy("event_id")
     },
 
@@ -242,22 +228,13 @@ object TimeSeriesQueries {
     // point flags into the alerts an operator actually pages on.
     "ts_alert_episodes" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val cum = w.rowsBetween(Window.unboundedPreceding, 0)
       val keyW = Window.partitionBy("user_id")
       val z = safeDiv(col("value") - CleanFunctions.exactMeanOver(col("value"), keyW),
         stddev_samp(col("value")).over(keyW))
       val flagged = Tables.events(s, d)
         .withColumn("tsu", epochUs(col("ts")))
         .withColumn("flag", coalesce((abs(z) > lit(2.0)).cast("long"), lit(0L)))
-        .withColumn("chg",
-          when(lag(col("flag"), 1).over(w).isNull ||
-            col("flag") =!= lag(col("flag"), 1).over(w), 1L).otherwise(0L))
-        .withColumn("grp", sum(col("chg")).over(cum))
-      flagged.filter(col("flag") === 1)
-        .groupBy("user_id", "grp")
-        .agg(count(lit(1)).as("n_events"),
-          min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"))
+      Anomaly.alertEpisodes(flagged, K, Ord, "flag", "tsu")
         .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
         .orderBy("user_id", "start_us")
     },
