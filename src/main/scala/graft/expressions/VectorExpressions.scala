@@ -126,4 +126,17 @@ object VectorExpressions {
   /** Column-level 60-bit SimHash of an ArrayType(StringType) column. */
   def simhash60(toks: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(toks)))
+
+  /** Membership probe against a serialized `util.sketch.BloomFilter`
+    * (from `df.stat.bloomFilter`), via Spark's internal
+    * BloomFilterMightContain — the same expression the optimizer's
+    * runtime row-level filtering injects. Long-typed values probe with
+    * `mightContainLong`, matching the builder's `putLong`.
+    */
+  def bloomMightContain(filterBytes: Array[Byte], value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(filterBytes,
+          org.apache.spark.sql.types.BinaryType),
+        ExpressionUtils.expression(value)))
 }

@@ -174,6 +174,28 @@ object RelationalQueries {
         .orderBy("hour", "event_type")
     },
 
+    // Bloom-prefiltered join: the selective dim side (top-priced orders)
+    // builds a compact bloom filter; the fact scan probes it BEFORE the
+    // join via the same internal expression Spark's runtime row-level
+    // filtering injects, so ~90% of lineitem rows never reach the
+    // exchange. The exact join afterwards removes false positives —
+    // results identical to the plain join, which is the oracle.
+    "bloom_prefilter_join" -> { (s, d) =>
+      val hot = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 449000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val bf = hot.stat.bloomFilter("o_orderkey", 2000L, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val pre = Tables.lineitem(s, d).filter(
+        org.apache.spark.sql.graft.VectorExpressions
+          .bloomMightContain(bos.toByteArray, col("l_orderkey")))
+      pre.join(broadcast(hot), pre("l_orderkey") === hot("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"), exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_orderkey")
+    },
+
     // Fixed-width histogram: bin id = floor(value / width) — pure
     // integer-ish map work + one grouped count, the standard
     // distribution profile at any scale.
@@ -285,6 +307,13 @@ object RelationalQueries {
          |$cols
          |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
     },
+
+    "bloom_prefilter_join" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 449000.0
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "events_histogram" ->
       """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
