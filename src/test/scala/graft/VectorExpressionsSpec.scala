@@ -61,6 +61,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("bloomMightContain has no false negatives on member keys") {
+    import spark.implicits._
+    val members = (1L to 500L).filter(_ % 3 == 0)
+    val df = members.toDF("k")
+    val bf = df.stat.bloomFilter("k", 200L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = (1L to 500L).toDF("k")
+      .filter(VectorExpressions.bloomMightContain(bos.toByteArray, col("k")))
+      .collect().map(_.getLong(0)).toSet
+    assert(members.forall(probe.contains), "bloom dropped a member key")
+    // FP rate sane: kept set not wildly larger than the true set.
+    assert(probe.size <= members.size + 25, s"too many false positives: ${probe.size}")
+  }
+
   test("GraftExtensions expose the expressions to SQL") {
     import org.apache.spark.sql.SparkSession
     // Build a sibling session (same context) with the extensions applied.
