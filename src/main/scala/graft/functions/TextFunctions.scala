@@ -76,7 +76,7 @@ object TextFunctions {
     * the same element order — bit-matches.
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (vecNorm(a) * vecNorm(b))
+    CleanFunctions.safeDiv(dot(a, b), vecNorm(a) * vecNorm(b))
 
   /** Cosine from a precomputed dot and precomputed per-vector norms —
     * arithmetically identical to [[cosine]] (norm = sqrt(dot(x,x)) either
@@ -84,11 +84,11 @@ object TextFunctions {
     * of recomputing two self-dots per pair.
     */
   def cosineFromNorms(dotAB: Column, normA: Column, normB: Column): Column =
-    dotAB / (normA * normB)
+    CleanFunctions.safeDiv(dotAB, normA * normB)
   def cosineSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+    s"(${dot(a, b)} / nullif(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}), 0.0))"
   }
 
   /** Signed projection of an embedding onto deterministic +-1 hyperplane

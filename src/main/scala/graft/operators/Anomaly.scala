@@ -126,23 +126,46 @@ object Anomaly {
   def reconstructionError(df: DataFrame, keys: Seq[String], order: Seq[String],
                           target: String, win: Int = GraftConfig.SequenceLength,
                           flagFactor: Double = 4.0): DataFrame = {
-    val base   = TimeSeriesOps.seriesWindow(keys, order)
-    val past   = base.rowsBetween(-win, -1)
-    val seqW   = base.rowsBetween(-(win - 1), 0)
+    val scored = reconstructionScores(df, keys, order, target, win)
     val keyW   = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
-    val pred   = graft.functions.CleanFunctions.exactMeanOver(col(target), past)
-    // Exact DECIMAL window means throughout: engines disagree on plain
-    // double window sums (DuckDB's sliding frames aggregate via segment
-    // tree, a different addition order) — fatal at rounding boundaries.
-    val scored = df
-      .withColumn("err", pow(col(target) - pred, 2))
-      .withColumn("seq_err", graft.functions.CleanFunctions.exactMeanOver(col("err"), seqW))
-      .withColumn("__rn", row_number().over(base))
-      .filter(col("__rn") >= 2 * win) // warm-up: full predictor + full sequence
-      .drop("__rn")
     scored
       .withColumn("is_anomaly",
         (col("seq_err") > lit(flagFactor) *
           graft.functions.CleanFunctions.exactMeanOver(col("seq_err"), keyW)).cast("long"))
+  }
+
+  /** Quantile-threshold variant: flag sequences whose error exceeds the
+    * per-series `q`-quantile of errors — the threshold shape that survives
+    * heavy-tailed error distributions where a mean-factor drowns. Exact
+    * interpolated percentile here (small per-key state); at 100 TB swap in
+    * `approx_percentile` — one pass, fixed sketch size, same plan shape.
+    */
+  def reconstructionErrorQuantile(df: DataFrame, keys: Seq[String], order: Seq[String],
+                                  target: String, win: Int = GraftConfig.SequenceLength,
+                                  q: Double = 0.95): DataFrame = {
+    val scored = reconstructionScores(df, keys, order, target, win)
+    val keyW   = if (keys.isEmpty) Window.partitionBy() else Window.partitionBy(keys.map(col): _*)
+    scored
+      .withColumn("thr", expr(s"percentile(seq_err, $q)").over(keyW))
+      .withColumn("is_anomaly", (col("seq_err") > col("thr")).cast("long"))
+  }
+
+  /** Shared scoring pass: trailing-mean predictor, per-row squared error,
+    * trailing-window mean error, warm-up rows dropped.
+    */
+  private def reconstructionScores(df: DataFrame, keys: Seq[String], order: Seq[String],
+                                   target: String, win: Int): DataFrame = {
+    val base = TimeSeriesOps.seriesWindow(keys, order)
+    val past = base.rowsBetween(-win, -1)
+    val seqW = base.rowsBetween(-(win - 1), 0)
+    val pred = graft.functions.CleanFunctions.exactMeanOver(col(target), past)
+    // Exact DECIMAL window means throughout: engines disagree on plain
+    // double window sums (DuckDB's sliding frames aggregate via segment
+    // tree, a different addition order) — fatal at rounding boundaries.
+    df.withColumn("err", pow(col(target) - pred, 2))
+      .withColumn("seq_err", graft.functions.CleanFunctions.exactMeanOver(col("err"), seqW))
+      .withColumn("__rn", row_number().over(base))
+      .filter(col("__rn") >= 2 * win) // warm-up: full predictor + full sequence
+      .drop("__rn")
   }
 }

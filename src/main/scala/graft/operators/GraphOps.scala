@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Small-graph primitives for near-duplicate clustering
+  * (SURVEY.md §2.8: near-dup cluster ids over simhash/minhash pair edges).
+  */
+object GraphOps {
+
+  /** Min-label propagation to FIXPOINT: connected components where the
+    * cluster id is the minimum node id in the component. Each round is one
+    * shuffled join + grouped min over the edges PLUS a pointer-jumping
+    * step (lbl <- lbl(lbl), the classic doubling trick), so label distance
+    * doubles per round and convergence needs O(log diameter) rounds —
+    * maxRounds=10 covers diameter ~2^10, where edge-only propagation needs
+    * diameter rounds and silently mislabels longer chains at the cap
+    * (observed at sf0.1: a >10-hop near-dup chain). Convergence is a
+    * changed-label count hitting zero; the fixpoint is unique (min
+    * reachable id), so the oracle's recursive closure matches exactly.
+    * Pointer jumping is sound because labels only ever move to ids
+    * reachable over the symmetrized edges: lbl(v) is reachable from v,
+    * hence lbl(lbl(v)) is too.
+    *
+    * Scale: per-round state is one (id, lbl) row per node — tiny next to
+    * the corpus. Each round `localCheckpoint()`s its labels: the round-t
+    * plan references round t-1 THREE times (nb join + least + changed
+    * check), so without lineage truncation the logical plan grows 3^t —
+    * a gigabyte-scale plan string by round 10 (observed: a 2 GB plan blew
+    * the driver heap). Checkpointing collapses each round to a LogicalRDD.
+    * On a cluster, swap localCheckpoint for reliable `checkpoint` if
+    * executor loss during the loop must be survivable.
+    *
+    * @param edges DataFrame with long columns `x`, `y` (undirected pairs;
+    *              symmetrized internally).
+    * @return DataFrame (id, lbl): every node appearing in edges, labeled
+    *         with the min id reachable from it.
+    */
+  def minLabelPropagate(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val sym = edges.select(col("x"), col("y"))
+      .union(edges.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    var labels = sym.select(col("x").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nb = sym.join(labels, sym("x") === labels("id"))
+        .groupBy(sym("y").as("id")).agg(min(col("lbl")).as("nbl"))
+      val prop = labels.join(nb, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+      // Pointer jumping: chase one level of indirection through the label
+      // table itself — turns O(diameter) convergence into O(log diameter).
+      val next = prop.as("n")
+        .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")).as("m"),
+          col("n.lbl") === col("jid"), "left")
+        .select(col("n.id").as("id"),
+          least(col("n.lbl"), coalesce(col("jlbl"), col("n.lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("p"), "id")
+        .filter(col("n.lbl") =!= col("p.lbl")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    labels
+  }
+}

@@ -245,10 +245,19 @@ object TimeSeriesOps {
     * `ewm(adjust=True)` truncated at `span`. Expressed as a fixed lag
     * kernel — `span` lag terms inside one window sort, fully codegen'd,
     * exactly replicable as SQL on any engine (no recursion needed).
+    *
+    * `span` is capped at 64: the kernel materializes one lag term per step,
+    * so a large span blows up the expression tree (and past ~64 the dropped
+    * tail weight (1-alpha)^span is below double noise anyway). A span-500
+    * smoother needs the recursive segment-scan formulation (per-partition
+    * running state via mapPartitions), not a wider kernel.
     */
   def ewma(df: DataFrame, keys: Seq[String], order: Seq[String],
            target: String, alpha: Double, span: Int,
            outCol: String = "ewma"): DataFrame = {
+    require(span >= 1 && span <= 64,
+      s"ewma span=$span out of range [1, 64]: the lag-kernel formulation " +
+        "materializes span expression terms; use a recursive segment-scan variant for longer spans")
     val w = seriesWindow(keys, order)
     val terms = (0 until span).map { j =>
       val wt = lit(math.pow(1 - alpha, j))
@@ -257,7 +266,7 @@ object TimeSeriesOps {
     }
     val num = terms.map(t => coalesce(t._1, lit(0.0))).reduce(_ + _)
     val den = terms.map(t => coalesce(t._2, lit(0.0))).reduce(_ + _)
-    df.withColumn(outCol, num / den)
+    df.withColumn(outCol, safeDiv(num, den))
   }
 
   /** Gap-based sessionization: a new session starts when the time since

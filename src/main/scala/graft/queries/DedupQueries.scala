@@ -25,6 +25,7 @@ import graft.sources.Tables
 object DedupQueries {
 
   private val K = GraftConfig.ShingleSize // 3-token shingles
+  private val MaxShingleDf = 100 // df-pruning bound for the shingle self-join
   private val JaccardThreshold = 0.8
   private val MinhashVerifyThreshold = 0.7
   private val SimhashChunks = 6 // 6 x 10 bits; recall guaranteed to hamming<=5
@@ -62,14 +63,24 @@ object DedupQueries {
 
     // N-gram Jaccard: explode shingles, equi-join on the 60-bit shingle
     // hash — an 8-byte join key instead of the shingle text, so the
-    // shuffle moves a fraction of the bytes (hot-shingle skew is AQE's
-    // job) — then Jaccard from per-doc set sizes. The oracle joins on the
-    // same md5-derived hash, so parity is exact.
+    // shuffle moves a fraction of the bytes — then Jaccard from per-doc
+    // set sizes. Document-frequency pruning BEFORE the self-join: a
+    // shingle in df docs generates O(df^2) candidate pairs, so a single
+    // corpus-boilerplate shingle (df=100k at 100 TB) would explode the
+    // join; shingles with df > MaxShingleDf carry no near-dup signal and
+    // are dropped on BOTH engines (standard practice — the set sizes na/nb
+    // stay unpruned, so common/(na+nb-common) underestimates only for
+    // boilerplate-heavy pairs). The oracle joins on the same md5-derived
+    // hash with the same pruning, so parity is exact.
     "dedup_ngram_jaccard" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val sets = shingleSets(s, d).cache()
       val ex = sets
         .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("sh_s"))
         .select(col("doc_id"), col("n"), CleanFunctions.md5Hash64(col("sh_s")).as("s"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df")
       val pairs = ex.as("a").join(ex.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
@@ -167,12 +178,12 @@ object DedupQueries {
     },
 
     // Near-duplicate GROUPS: simhash pairs as edges, cluster id = min
-    // doc_id reachable in <= 2 label-propagation rounds (near-dup
-    // clusters are tiny — pairs and triples — so 2 fixed rounds converge;
-    // fixing the round count keeps the oracle SQL-expressible). Each
-    // round is one shuffled join + grouped min — the standard iterative-
-    // algorithm shape on Spark; a full connected-components loop would
-    // iterate the same step to fixpoint.
+    // doc_id in the connected component, computed by min-label propagation
+    // iterated to FIXPOINT (GraphOps.minLabelPropagate — convergence is a
+    // changed-label count, capped at 10 rounds). A fixed round count would
+    // silently split chains longer than the round count; the fixpoint is
+    // the unique min-reachable-id labeling, which the oracle replicates
+    // with a recursive transitive-closure CTE.
     "dedup_clusters" -> { (s, d) =>
       val sim = Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.simhash60(TextFunctions.tokens(col("text"))).as("sig"))
@@ -188,18 +199,9 @@ object DedupQueries {
         .distinct()
         .filter(col("hd") <= SimhashMaxHamming)
         .select("x", "y")
-      val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y"))).cache()
-      val label0 = edges.select(col("x").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id"))
-      val prop = (l: DataFrame) => {
-        val nb = edges.join(l, edges("x") === l("doc_id"))
-          .groupBy(edges("y").as("doc_id")).agg(min(l("lbl")).as("nbl"))
-        l.join(nb, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-      }
-      val l2 = prop(prop(label0))
-      l2.select(col("doc_id"), col("lbl").as("cluster_id")).orderBy("doc_id")
+      graft.operators.GraphOps.minLabelPropagate(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
     },
 
     // Candidate ids go through distinct BEFORE scoring (a pair colliding in
@@ -238,7 +240,8 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSetsSql,
-         |ex AS (SELECT doc_id, len(sh) AS n, ${CleanFunctions.md5Hash64Sql("unnest(sh)")} AS s FROM sset),
+         |ex0 AS (SELECT doc_id, len(sh) AS n, ${CleanFunctions.md5Hash64Sql("unnest(sh)")} AS s FROM sset),
+         |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY s) <= $MaxShingleDf),
          |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb,
          |  CAST(count(*) AS DOUBLE) AS common
          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
@@ -282,9 +285,10 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin,
 
     // All-pairs oracle for edges (banding is recall-complete at hamming
-    // <= 5), then the SAME two fixed label-propagation rounds.
+    // <= 5), then connected components as a recursive transitive-closure
+    // CTE: min reachable id == the Spark side's label-propagation fixpoint.
     "dedup_clusters" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
          |h AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("t")} AS h FROM tok),
          |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
          |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
@@ -293,14 +297,11 @@ object DedupQueries {
          |p AS (SELECT a.doc_id AS x, b.doc_id AS y FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming),
          |e AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p),
-         |l0 AS (SELECT DISTINCT x AS doc_id, x AS lbl FROM e),
-         |n1 AS (SELECT e.y AS doc_id, min(l0.lbl) AS nbl FROM e JOIN l0 ON e.x = l0.doc_id GROUP BY e.y),
-         |l1 AS (SELECT l0.doc_id, least(l0.lbl, coalesce(n1.nbl, l0.lbl)) AS lbl
-         |  FROM l0 LEFT JOIN n1 USING (doc_id)),
-         |n2 AS (SELECT e.y AS doc_id, min(l1.lbl) AS nbl FROM e JOIN l1 ON e.x = l1.doc_id GROUP BY e.y),
-         |l2 AS (SELECT l1.doc_id, least(l1.lbl, coalesce(n2.nbl, l1.lbl)) AS lbl
-         |  FROM l1 LEFT JOIN n2 USING (doc_id))
-         |SELECT doc_id, lbl AS cluster_id FROM l2 ORDER BY doc_id""".stripMargin,
+         |reach(doc_id, lbl) AS (
+         |  SELECT DISTINCT x AS doc_id, x AS lbl FROM e
+         |  UNION
+         |  SELECT e.y AS doc_id, r.lbl FROM reach r JOIN e ON e.x = r.doc_id)
+         |SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // All-pairs oracle: banding with 6 chunks has guaranteed recall for
     // hamming <= 5, so the honest quadratic scan gives the same rows.

@@ -53,6 +53,19 @@ object PipelineQueries {
         .select(col("event_id"), graft.functions.CleanFunctions.round4(col("recon_err")).as("recon_err"),
           col("is_anomaly"))
         .orderBy("event_id")
+    },
+
+    // Nonlinear (tied-weight MLP) autoencoder detector — the literal
+    // encode-bottleneck-decode counterpart of the reference's LSTM-AE
+    // (deep_learning_models.py), trained via mapPartitions SGD + parameter
+    // averaging. No SQL oracle (SGD isn't expressible); rows-only check,
+    // recall-vs-PCA asserted in MlpAutoencoderSpec.
+    "ts_ae_recon" -> { (s, d) =>
+      graft.operators.MlpAutoencoder
+        .detect(Tables.events(s, d), K, Ord, "value", seqLen = 24, hidden = 8)
+        .select(col("event_id"), graft.functions.CleanFunctions.round4(col("recon_err")).as("recon_err"),
+          col("is_anomaly"))
+        .orderBy("event_id")
     }
   )
 

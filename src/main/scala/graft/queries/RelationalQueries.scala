@@ -108,8 +108,10 @@ object RelationalQueries {
     "csv_roundtrip" -> { (s, d) =>
       // Exercise CsvSource end-to-end: dump events as ';'-delimited CSV with
       // the reference's date format (data_loader.py:16-21), read it back,
-      // parse dates (preprocessing.py:10-49). Rows-only check (no oracle:
-      // the CSV lives in a temp dir DuckDB never sees).
+      // parse dates (preprocessing.py:10-49). The oracle never reads the
+      // temp CSV — it asserts the roundtrip is LOSSLESS: output must equal
+      // the original events at minute precision (the date format keeps
+      // minutes; longs and doubles roundtrip exactly through text).
       val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
       Tables.events(s, d)
         .select(col("event_id"),
@@ -196,6 +198,29 @@ object RelationalQueries {
         .orderBy("l_orderkey")
     },
 
+    // Bucketed-table join: both sides land pre-hashed on the join key
+    // (Sinks.bucketedTable), so the join AND the groupBy on that key run
+    // exchange-free — the write-once/join-many layout that amortizes the
+    // shuffle across every downstream consumer at 100 TB. Results are
+    // identical to the plain join (the oracle); the exchange-free plan is
+    // asserted in SinksSpec.
+    "bucketed_join" -> { (s, d) =>
+      graft.sources.Sinks.bucketedTable(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        "graft_bkt_orders", "o_orderkey", 8)
+      graft.sources.Sinks.bucketedTable(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+        "graft_bkt_lineitem", "l_orderkey", 8)
+      val o  = s.table("graft_bkt_orders")
+      val li = s.table("graft_bkt_lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          exactSum(col("l_quantity")).as("sum_qty"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("l_orderkey")
+    },
+
     // Fixed-width histogram: bin id = floor(value / width) — pure
     // integer-ish map work + one grouped count, the standard
     // distribution profile at any scale.
@@ -225,10 +250,12 @@ object RelationalQueries {
           sum((x * x).cast(dec)).cast("double").as("sxx"),
           sum((y * y).cast(dec)).cast("double").as("syy"))
         .select(col("event_type"),
-          CleanFunctions.round4(
-            (col("n") * col("sxy") - col("sx") * col("sy")) /
-              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-                (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_value_hour"))
+          // nullif-guarded: a constant series (zero variance) yields null
+          // instead of an ANSI DIVIDE_BY_ZERO crash.
+          CleanFunctions.round4(CleanFunctions.safeDiv(
+            col("n") * col("sxy") - col("sx") * col("sy"),
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))))).as("corr_value_hour"))
         .orderBy("event_type")
     },
 
@@ -295,6 +322,14 @@ object RelationalQueries {
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
 
+    // Lossless-roundtrip identity: the Spark side writes events to CSV
+    // ("MMM d, yyyy h:mm a" dates, text longs/doubles) and reads it back;
+    // text roundtrips are exact, so the expected result is the original
+    // table truncated to minute precision.
+    "csv_roundtrip" ->
+      """SELECT event_id, CAST(epoch_us(date_trunc('minute', ts)) AS BIGINT) AS start_us, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -315,6 +350,14 @@ object RelationalQueries {
         |WHERE o_totalprice > 449000.0
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
+    // Bucketing changes layout, not semantics: the oracle is the plain join.
+    "bucketed_join" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |max(o_totalprice) AS max_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
     "events_histogram" ->
       """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
@@ -329,7 +372,7 @@ object RelationalQueries {
         |  CAST(sum(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS syy
         |  FROM events GROUP BY event_type)
         |SELECT event_type,
-        |round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 10000.0) / 10000.0 AS corr_value_hour
+        |round(((n * sxy - sx * sy) / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)) * 10000.0) / 10000.0 AS corr_value_hour
         |FROM m ORDER BY event_type""".stripMargin,
 
     "events_unpivot" ->

@@ -14,11 +14,13 @@ import graft.sources.Tables
   * - Brute force: broadcast the (small) query batch against the corpus —
   *   a BroadcastNestedLoopJoin, which is exactly the right plan when one
   *   side fits in memory; the corpus side streams, nothing shuffles.
-  * - LSH: 6 deterministic +-1 hyperplanes -> 64 buckets; candidates are a
-  *   bucket equi-join (shuffle on bucket id), exact cosine re-rank within
-  *   bucket. The 100 TB path: buckets partition the corpus, each executor
-  *   re-ranks only its bucket residents. Recall is probabilistic; the
-  *   DuckDB oracle replicates the identical bucketing for exact parity.
+  * - LSH: deterministic +-1 hyperplanes, plane count derived from corpus
+  *   size (expected occupancy ~64/bucket at any scale) with hamming-1
+  *   multi-probe for recall; candidates are a bucket equi-join (shuffle on
+  *   bucket id), exact cosine re-rank within bucket. The 100 TB path:
+  *   buckets partition the corpus, each executor re-ranks only its bucket
+  *   residents. Recall is probabilistic; the DuckDB oracle replicates the
+  *   identical sizing + bucketing for exact parity.
   *
   * Ranking is on the 4dp-rounded score with vec_id tiebreak so both
   * engines order identically despite last-ulp float differences.
@@ -26,9 +28,19 @@ import graft.sources.Tables
 object SimilarityQueries {
 
   private val TopK = 10
-  private val AnnPlanes = 6
+  // Adaptive LSH sizing: nplanes = smallest p with n <= TargetOccupancy *
+  // 2^p (so expected bucket occupancy stays ~TargetOccupancy as the corpus
+  // grows — a fixed plane count degenerates to brute-force-per-bucket at
+  // scale), capped at MaxAnnPlanes. Integer thresholds, so the SQL twin's
+  // unrolled CASE matches exactly.
+  private val AnnTargetOccupancy = 64L
+  private val MaxAnnPlanes = 16
+  private def annPlanes(n: Long): Int =
+    (1 to MaxAnnPlanes).find(p => n <= (AnnTargetOccupancy << p)).getOrElse(MaxAnnPlanes)
   private val IvfCentroids = 16
   private val IvfProbes = 4
+  private val IvfIters = 2
+  private val EmbDim = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_cosine" -> { (s, d) =>
@@ -48,62 +60,68 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     },
 
+    // LSH ANN with size-adaptive bucket count and hamming-1 multi-probe:
+    // each query searches its own bucket plus the np buckets one sign-flip
+    // away, recovering the neighbors a single hyperplane split would lose.
+    // Probe buckets are distinct and each corpus vector lives in exactly
+    // one bucket, so candidate pairs are already unique — no distinct
+    // needed before scoring.
     "ann_lsh_topk" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
+      val np = annPlanes(e.count())
       val sb = e.select(col("vec_id"), col("embedding"),
         TextFunctions.vecNorm(col("embedding")).as("nrm"),
-        TextFunctions.packBits((0 until AnnPlanes).map(p =>
-          TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
-      val scored = sb.as("a").join(sb.as("b"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") % 50 === 0 && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("n_id"),
+        TextFunctions.packBits((0 until np).map(p =>
+          TextFunctions.lshSign(col("embedding"), p))).as("bucket")).cache()
+      val probes = sb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"),
+          explode(array(col("bucket") +: (0 until np).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("pbucket"))
+      val scored = sb.join(broadcast(probes),
+          sb("bucket") === probes("pbucket") && sb("vec_id") =!= probes("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
           graft.functions.CleanFunctions.round4(TextFunctions.cosineFromNorms(
-            TextFunctions.dot(col("a.embedding"), col("b.embedding")),
-            col("a.nrm"), col("b.nrm"))).as("score"))
+            TextFunctions.dot(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm"))).as("score"))
       val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
         .orderBy("q_id", "rk")
     },
 
-    // IVF (inverted-file) ANN — the other standard scale path: k-means
-    // coarse quantizer (distributed fit, seeded = deterministic), corpus
+    // IVF (inverted-file) ANN — the other standard scale path: a
+    // deterministic Lloyd's k-means coarse quantizer (graft.operators
+    // .IvfIndex — strided-id init, DECIMAL-exact center updates), corpus
     // partitioned by nearest-centroid cell, queries probe their nprobe
     // nearest cells and re-rank exactly inside them. At 100 TB the cell
     // id is the partition key: each executor re-ranks only its cells.
-    // K-means isn't SQL-expressible -> rows-only check; recall vs brute
-    // force asserted in QueriesSpec.
+    // Every arithmetic step is replicated by the DuckDB oracle (the SQL
+    // twin COMPUTES the same centers), so the check is exact-hash.
     "ann_ivf_topk" -> { (s, d) =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           TextFunctions.vecNorm(col("embedding")).as("nrm"))
-        .withColumn("fv", array_to_vector(
-          transform(col("embedding"), _.cast("double"))))
-      val km = new KMeans().setK(IvfCentroids).setSeed(42)
-        .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
-      val cells = km.transform(e).drop("fv").cache()
+      val centers = graft.operators.IvfIndex.fit(
+        e, "vec_id", "embedding", IvfCentroids, EmbDim, IvfIters)
+      val cells = e.withColumn("cell",
+        graft.operators.IvfIndex.cellExpr(col("embedding"), centers)).cache()
 
-      // Model parameters (16 x 64 doubles) -> driver; queries pick their
-      // nprobe nearest cells by euclidean distance, as a literal table.
-      val centers = km.clusterCenters.map(_.toArray)
-      val centerRows = centers.zipWithIndex.map { case (c, i) =>
-        (i, c.map(_.toFloat))
-      }.toSeq
+      // Model parameters (16 x 64 floats) as a broadcast table; queries
+      // rank cells by the shared -2*dot+cc score (|q|^2 is constant per
+      // query, so ordering matches true euclidean distance).
       import s.implicits._
-      val centersDf = centerRows.toDF("cell", "center")
+      val centersDf = centers.map { case (cid, c) =>
+        (cid, c, c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+      }.toDF("cell", "center", "cc")
       val probe = cells.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"))
         .crossJoin(broadcast(centersDf))
-        .withColumn("dist",
-          TextFunctions.dot(col("q_emb"), col("q_emb")) -
-            lit(2.0) * TextFunctions.dot(col("q_emb"), col("center")) +
-            TextFunctions.dot(col("center"), col("center")))
+        .withColumn("score_c",
+          lit(-2.0) * TextFunctions.dot(col("q_emb"), col("center")) + col("cc"))
         .withColumn("crk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("dist"), col("cell"))))
+          Window.partitionBy("q_id").orderBy(col("score_c"), col("cell"))))
         .filter(col("crk") <= IvfProbes)
         .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
 
@@ -131,17 +149,76 @@ object SimilarityQueries {
          |  WHERE q.vec_id % 50 = 0)
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin,
 
+    // Twin of the adaptive multi-probe LSH: the same integer-threshold
+    // CASE derives np from count(*), all MaxAnnPlanes sign bits are
+    // computed once and the bucket sums only the first np of them.
     "ann_lsh_topk" -> {
-      val bucket = (0 until AnnPlanes)
-        .map(p => s"(${TextFunctions.lshSignSql("embedding", p)} << $p)").mkString(" + ")
-      s"""WITH sb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+      val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
+        s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
+      val signCols = (0 until MaxAnnPlanes)
+        .map(p => s"${TextFunctions.lshSignSql("embedding", p)} AS g$p").mkString(",\n  ")
+      val bucket = (0 until MaxAnnPlanes)
+        .map(p => s"(CASE WHEN $p < np THEN (g$p << $p) ELSE 0 END)").mkString(" + ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |npt AS (SELECT ($npCase) AS np FROM nn),
+         |signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
+         |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM signs, npt),
+         |qp AS (SELECT vec_id AS q_id, embedding AS q_emb,
+         |    unnest(list_prepend(bucket, [xor(bucket, CAST(1 AS BIGINT) << p) for p in generate_series(0, np - 1)])) AS pbucket
+         |  FROM sb, npt WHERE vec_id % 50 = 0)
          |SELECT q_id, n_id, score, rk FROM (
-         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-         |    round((${TextFunctions.cosineSql("a.embedding", "b.embedding")}) * 10000.0) / 10000.0 AS score,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY round((${TextFunctions.cosineSql("a.embedding", "b.embedding")}) * 10000.0) / 10000.0 DESC, b.vec_id) AS rk
-         |  FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 50 = 0)
+         |  SELECT q.q_id, b.vec_id AS n_id,
+         |    round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 AS score,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 DESC, b.vec_id) AS rk
+         |  FROM qp q JOIN sb b ON b.bucket = q.pbucket AND b.vec_id <> q.q_id)
+         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+    },
+
+    // Exact twin of the deterministic IVF build (see IvfIndex's
+    // determinism contract): same strided init, same -2*dot+cc argmin
+    // (sequential double fold = list_sum order), same DECIMAL(28,6)
+    // center means cast to FLOAT, same probe and re-rank.
+    "ann_ivf_topk" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      // argmin assignment of each corpus vector to a cell of centers `ct`
+      def assign(name: String, ct: String) =
+        s"""$name AS (SELECT vec_id, embedding, cell FROM (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY (-2.0 * ${dot("e.embedding", "c.center")} + ${dot("c.center", "c.center")}), c.cell) AS r
+           |  FROM embeddings e, $ct c) WHERE r = 1)""".stripMargin
+      // per-dimension DECIMAL-exact mean of the vectors assigned in `at`
+      def update(cdName: String, cName: String, at: String) =
+        s"""$cdName AS (SELECT a.cell, d.i AS dim,
+           |  CAST(sum(CAST(CAST(a.embedding[d.i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+           |  FROM $at a, dims d GROUP BY a.cell, d.i),
+           |$cName AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS center FROM $cdName GROUP BY cell)""".stripMargin
+      val iterSql = (1 to IvfIters).map { t =>
+        assign(s"a${t - 1}", s"c${t - 1}") + ",\n" + update(s"cd$t", s"c$t", s"a${t - 1}")
+      }.mkString(",\n")
+      s"""WITH dims AS (SELECT unnest(generate_series(1, $EmbDim)) AS i),
+         |pk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings),
+         |st AS (SELECT greatest(count(*) // $IvfCentroids, 1) AS stride FROM embeddings),
+         |c0 AS (SELECT CAST((pk.rn - 1) // st.stride AS INT) AS cell, e.embedding AS center
+         |  FROM pk, st, embeddings e
+         |  WHERE pk.vec_id = e.vec_id AND (pk.rn - 1) % st.stride = 0
+         |    AND (pk.rn - 1) // st.stride < $IvfCentroids),
+         |$iterSql,
+         |${assign("af", s"c$IvfIters")},
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+         |pr AS (SELECT q_id, q_emb, cell FROM (
+         |  SELECT q.q_id, q.q_emb, c.cell,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY (-2.0 * ${dot("q.q_emb", "c.center")} + ${dot("c.center", "c.center")}), c.cell) AS r
+         |  FROM q, c$IvfIters c) WHERE r <= $IvfProbes),
+         |sc AS (SELECT pr.q_id, a.vec_id AS n_id,
+         |  round((${TextFunctions.cosineSql("pr.q_emb", "a.embedding")}) * 10000.0) / 10000.0 AS score
+         |  FROM pr JOIN af a ON a.cell = pr.cell AND a.vec_id <> pr.q_id)
+         |SELECT q_id, n_id, score, rk FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk FROM sc)
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
     }
   )

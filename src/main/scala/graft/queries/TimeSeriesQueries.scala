@@ -162,6 +162,17 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Quantile-threshold detector on the same reconstruction scores:
+    // flag sequences above the per-series p95 error (exact interpolated
+    // percentile here, approx_percentile at scale — see Anomaly).
+    "ts_recon_quantile" -> { (s, d) =>
+      Anomaly.reconstructionErrorQuantile(Tables.events(s, d), K, Ord, "value", q = 0.95)
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("seq_err")).as("seq_err"),
+          graft.functions.CleanFunctions.round6(col("thr")).as("thr"), col("is_anomaly"))
+        .orderBy("event_id")
+    },
+
     "ts_event_counts" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(epochUs(date_trunc("hour", col("ts"))).as("bucket_us"), col("event_type"))
@@ -198,10 +209,12 @@ object TimeSeriesQueries {
           sum(when(valid, x * x).cast(dec)).cast("double").as(s"sxx$k"),
           sum(when(valid, y * y).cast(dec)).cast("double").as(s"syy$k"))
       }
-      def corrOf(k: Int) = CleanFunctions.round4(
-        (col(s"n$k") * col(s"sxy$k") - col(s"sx$k") * col(s"sy$k")) /
-          sqrt((col(s"n$k") * col(s"sxx$k") - col(s"sx$k") * col(s"sx$k")) *
-            (col(s"n$k") * col(s"syy$k") - col(s"sy$k") * col(s"sy$k"))))
+      // nullif-guarded denominator: a stuck-constant series has zero
+      // variance and must yield null, not an ANSI DIVIDE_BY_ZERO crash.
+      def corrOf(k: Int) = CleanFunctions.round4(safeDiv(
+        col(s"n$k") * col(s"sxy$k") - col(s"sx$k") * col(s"sy$k"),
+        sqrt((col(s"n$k") * col(s"sxx$k") - col(s"sx$k") * col(s"sx$k")) *
+          (col(s"n$k") * col(s"syy$k") - col(s"sy$k") * col(s"sy$k")))))
       val aggs = moments(1) ++ moments(24)
       Tables.events(s, d)
         .withColumn("y1", lag(col("value"), 1).over(w))
@@ -465,6 +478,20 @@ object TimeSeriesQueries {
          |CAST(CASE WHEN seq_err > 4.0 * (CAST(sum(CAST(seq_err AS DECIMAL(18,6))) OVER u AS DOUBLE) / count(seq_err) OVER u) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM e3 WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
+    "ts_recon_quantile" ->
+      s"""WITH e1 AS (SELECT user_id, event_id, ts,
+         |pow(value - (CAST(sum(CAST(value AS DECIMAL(18,6))) OVER wp AS DOUBLE) / count(value) OVER wp), 2) AS err,
+         |row_number() OVER ($W) AS rn FROM events
+         |WINDOW wp AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength} PRECEDING AND 1 PRECEDING)),
+         |e2 AS (SELECT user_id, event_id, ts, rn,
+         |(CAST(sum(CAST(err AS DECIMAL(18,6))) OVER ws AS DOUBLE) / count(err) OVER ws) AS seq_err
+         |FROM e1 WINDOW ws AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength - 1} PRECEDING AND CURRENT ROW)),
+         |e3 AS (SELECT * FROM e2 WHERE rn >= ${2 * GraftConfig.SequenceLength})
+         |SELECT event_id, round(seq_err * 10000.0) / 10000.0 AS seq_err,
+         |round((quantile_cont(seq_err, 0.95) OVER u) * 1000000.0) / 1000000.0 AS thr,
+         |CAST(CASE WHEN seq_err > quantile_cont(seq_err, 0.95) OVER u THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM e3 WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
+
     "ts_event_counts" ->
       s"""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us, event_type,
          |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -483,7 +510,7 @@ object TimeSeriesQueries {
            |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * value END AS DECIMAL(28,6))) AS DOUBLE) AS sxx$k,
            |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS syy$k""".stripMargin
       def corrOf(k: Int) =
-        s"round(((n$k * sxy$k - sx$k * sy$k) / sqrt((n$k * sxx$k - sx$k * sx$k) * (n$k * syy$k - sy$k * sy$k))) * 10000.0) / 10000.0"
+        s"round(((n$k * sxy$k - sx$k * sy$k) / nullif(sqrt((n$k * sxx$k - sx$k * sx$k) * (n$k * syy$k - sy$k * sy$k)), 0.0)) * 10000.0) / 10000.0"
       s"""WITH l AS (SELECT user_id, value,
          |  lag(value, 1) OVER ($W) AS y1, lag(value, 24) OVER ($W) AS y24 FROM events),
          |m AS (SELECT user_id,
@@ -545,7 +572,7 @@ object TimeSeriesQueries {
       }
       s"""SELECT event_id,
          |round(((${terms.map(_._1).mkString(" + ")}) /
-         |      (${terms.map(_._2).mkString(" + ")})) * 10000.0) / 10000.0 AS ewma
+         |      nullif(${terms.map(_._2).mkString(" + ")}, 0.0)) * 10000.0) / 10000.0 AS ewma
          |FROM events ORDER BY event_id""".stripMargin
     },
 

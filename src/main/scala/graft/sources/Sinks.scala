@@ -31,14 +31,32 @@ object Sinks {
   /** Bucketed + sorted managed table: `numBuckets` files per partition,
     * rows hashed on `bucketCol`. A later join or groupBy on `bucketCol`
     * between co-bucketed tables runs exchange-free.
+    *
+    * Overwrite also clears a STALE warehouse directory left by an earlier
+    * session: the in-memory catalog forgets tables on restart but the
+    * location survives, and saveAsTable refuses to reuse it.
     */
   def bucketedTable(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (mode == SaveMode.Overwrite) {
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = new java.io.File(wh, table.toLowerCase)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
     df.write.mode(mode)
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def csv(df: DataFrame, path: String, delimiter: String = ",",
           header: Boolean = true, mode: SaveMode = SaveMode.Overwrite): Unit =

@@ -24,7 +24,11 @@ object Tables {
     * parity. Integer `div`, not `/`: nanos exceed double's 53-bit mantissa.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Prefer setting this at session build (Verify/Bench/GraftSession do);
+    // the fallback here only fires for driver-owned sessions that did not,
+    // and is skipped once set to avoid mutating shared conf per plan build.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

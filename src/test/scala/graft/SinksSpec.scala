@@ -42,6 +42,22 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed_join query entry runs exchange-free with broadcast disabled") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("bucketed_join")(spark, SparkTestSession.sfDir)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join+agg must not shuffle on the bucket key:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    }
+  }
+
   test("csv and json writers roundtrip") {
     val dir = tmp()
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "s", "v")
