@@ -93,7 +93,9 @@ object StreamingAnomaly {
         (_: Long, it: Iterator[Event], state: GroupState[SeriesState]) =>
           val buf = scala.collection.mutable.ArrayBuffer[Double]()
           buf ++= state.getOption.map(_.recent).getOrElse(Seq.empty)
-          val out = it.toIndexedSeq.sortBy(_.ts.getTime).map { e =>
+          // (ts, event_id) order — the batch operators' tie-break, so a
+          // single-batch replay of a static table scores identically.
+          val out = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
             val n = buf.length
             val zOpt =
               if (n < 2) None

@@ -140,6 +140,117 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  // ---- Streaming <-> batch equivalence on real driver-generated data ----
+  // The same events parquet, replayed through MemoryStream, must produce
+  // the batch operators' answers once the watermark closes all windows.
+
+  import org.apache.spark.sql.functions._
+  import graft.functions.CleanFunctions.epochUs
+  import graft.sources.Tables
+
+  private lazy val realEvents: Array[Event] = Tables.events(spark, SparkTestSession.sfDir)
+    .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+
+  test("streaming windowed counts equal batch ts_event_counts on real data") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.windowedCounts(ms.toDF(), "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("wc_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val (h1, h2) = realEvents.splitAt(realEvents.length / 2)
+      ms.addData(h1.toSeq); q.processAllAvailable()
+      ms.addData(h2.toSeq); q.processAllAvailable()
+      // Sentinel far past the last event closes every real window.
+      val maxTs = realEvents.map(_.ts.getTime).max
+      ms.addData(Event(-1L, new Timestamp(maxTs + 3 * 3600 * 1000L), -999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("wc_eq").filter(col("event_type") =!= "sentinel")
+        .select(unix_micros(col("window_start")).as("b"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val want = Tables.events(spark, SparkTestSession.sfDir)
+        .groupBy(epochUs(date_trunc("hour", col("ts"))).as("b"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(got.keySet == want.keySet, "window/bucket key sets differ")
+      want.foreach { case (k, (n, s)) =>
+        val (gn, gs) = got(k)
+        assert(gn == n, s"count mismatch at $k: $gn != $n")
+        assert(math.abs(gs - s) < 1e-6, s"sum mismatch at $k: $gs != $s")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming rolling zscore equals batch Anomaly.rollingZscore on real data") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 24, threshold = 3.0)
+      .writeStream.format("memory").queryName("rz_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // One batch, (ts, event_id)-sorted: identical trailing windows.
+      ms.addData(realEvents.toSeq); q.processAllAvailable()
+      val got = spark.table("rz_eq")
+        .select(col("event_id"), col("z"), col("is_anomaly"))
+        .as[(Long, Option[Double], Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val want = graft.operators.Anomaly.rollingZscore(
+          Tables.events(spark, SparkTestSession.sfDir),
+          Seq("user_id"), Seq("ts", "event_id"), "value", win = 24, threshold = 3.0)
+        .select(col("event_id"), col("z"), col("is_anomaly"))
+        .as[(Long, Option[Double], Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (id, (wz, wf)) =>
+        val (gz, gf) = got(id)
+        assert(gz.isDefined == wz.isDefined, s"null-z mismatch at event $id: $gz vs $wz")
+        for (g <- gz; w <- wz)
+          assert(math.abs(g - w) < 1e-6, s"z mismatch at event $id: $g != $w")
+        assert(gf == wf, s"flag mismatch at event $id")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming session aggregates equal batch sessionize on real data") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.sessionAggregates(ms.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sw_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val (h1, h2) = realEvents.splitAt(realEvents.length / 2)
+      ms.addData(h1.toSeq); q.processAllAvailable()
+      ms.addData(h2.toSeq); q.processAllAvailable()
+      val maxTs = realEvents.map(_.ts.getTime).max
+      ms.addData(Event(-1L, new Timestamp(maxTs + 3 * 3600 * 1000L), -999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      // (Boundary note: an event at EXACTLY prev+gap would start a new
+      // session here but extend it in the batch operator; the testdata's
+      // microsecond-random timestamps never land on the boundary.)
+      val got = spark.table("sw_eq").filter(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"), col("n_events"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val ev = Tables.events(spark, SparkTestSession.sfDir)
+        .withColumn("tsu", epochUs(col("ts")))
+      val want = graft.operators.TimeSeriesOps
+        .sessionize(ev, Seq("user_id"), Seq("ts", "event_id"), "tsu", 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("tsu")).as("start_us"), max(col("tsu")).as("end_us"),
+          count(lit(1)).as("n"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._3) -> (r._4 + 30L * 60 * 1000000, r._5)).toMap
+      assert(got.keySet == want.keySet, "session (user, start) sets differ")
+      want.foreach { case (k, (end, n)) =>
+        val (gEnd, gn) = got(k)
+        assert(gn == n, s"session size mismatch at $k: $gn != $n")
+        assert(gEnd == end, s"session end mismatch at $k: $gEnd != $end")
+      }
+    } finally q.stop()
+  }
+
   test("different series keys never share state") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)
