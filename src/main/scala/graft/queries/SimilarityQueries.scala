@@ -60,12 +60,13 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     },
 
-    // LSH ANN with size-adaptive bucket count and hamming-1 multi-probe:
-    // each query searches its own bucket plus the np buckets one sign-flip
-    // away, recovering the neighbors a single hyperplane split would lose.
-    // Probe buckets are distinct and each corpus vector lives in exactly
-    // one bucket, so candidate pairs are already unique — no distinct
-    // needed before scoring.
+    // LSH ANN with size-adaptive bucket count and hamming<=2 multi-probe:
+    // each query searches its own bucket plus every bucket one or two
+    // sign-flips away (1 + np + np(np-1)/2 probes — at np=9 that is 46 of
+    // 512 buckets, ~9% of the corpus), recovering neighbors a hyperplane
+    // split would lose. Probe buckets are distinct and each corpus vector
+    // lives in exactly one bucket, so candidate pairs are already unique —
+    // no distinct needed before scoring.
     "ann_lsh_topk" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val np = annPlanes(e.count())
@@ -73,11 +74,14 @@ object SimilarityQueries {
         TextFunctions.vecNorm(col("embedding")).as("nrm"),
         TextFunctions.packBits((0 until np).map(p =>
           TextFunctions.lshSign(col("embedding"), p))).as("bucket")).cache()
+      val flips: Seq[org.apache.spark.sql.Column] =
+        (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
+          (for { p <- 0 until np; q <- p + 1 until np }
+            yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))))
       val probes = sb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"),
-          explode(array(col("bucket") +: (0 until np).map(p =>
-            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("pbucket"))
+          explode(array(col("bucket") +: flips: _*)).as("pbucket"))
       val scored = sb.join(broadcast(probes),
           sb("bucket") === probes("pbucket") && sb("vec_id") =!= probes("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
@@ -163,9 +167,16 @@ object SimilarityQueries {
          |npt AS (SELECT ($npCase) AS np FROM nn),
          |signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
          |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM signs, npt),
-         |qp AS (SELECT vec_id AS q_id, embedding AS q_emb,
-         |    unnest(list_prepend(bucket, [xor(bucket, CAST(1 AS BIGINT) << p) for p in generate_series(0, np - 1)])) AS pbucket
-         |  FROM sb, npt WHERE vec_id % 50 = 0)
+         |ps AS (SELECT unnest(generate_series(0, ${MaxAnnPlanes - 1})) AS p),
+         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM sb WHERE vec_id % 50 = 0),
+         |qp AS (
+         |  SELECT q_id, q_emb, bucket AS pbucket FROM qs
+         |  UNION ALL
+         |  SELECT q_id, q_emb, xor(bucket, CAST(1 AS BIGINT) << p) AS pbucket
+         |    FROM qs, ps, npt WHERE p < np
+         |  UNION ALL
+         |  SELECT q_id, q_emb, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
+         |    FROM qs, ps a, ps b, npt WHERE a.p < b.p AND b.p < np)
          |SELECT q_id, n_id, score, rk FROM (
          |  SELECT q.q_id, b.vec_id AS n_id,
          |    round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 AS score,

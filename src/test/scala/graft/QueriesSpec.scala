@@ -46,6 +46,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall@10 too low: $recall")
   }
 
+  test("multi-probe LSH ANN recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val bf = SparkEntry.queries("ann_topk_cosine")(spark, sfDir)
+      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("ann_lsh_topk")(spark, sfDir)
+      .select(col("q_id"), col("n_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"adaptive multi-probe LSH recall@10 too low: $recall")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
