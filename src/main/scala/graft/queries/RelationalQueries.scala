@@ -125,6 +125,51 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // Salted join: the skewed side sprays rows across `salt` sub-keys so
+    // no single hot key pins one reducer; results equal the plain inner
+    // join exactly (the oracle). The explicit fallback when the build
+    // side can't broadcast and AQE's partition splitting isn't enough.
+    "salted_join" -> { (s, d) =>
+      val large = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val small = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("okey"), col("o_totalprice"))
+      graft.operators.JoinOps.saltedJoin(large, small, Seq("okey"), salt = 8)
+        .groupBy("okey")
+        .agg(count(lit(1)).as("n_lines"), exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("okey")
+    },
+
+    // Partitioned parquet sink end-to-end: write events partitioned by
+    // event type, read back with a partition filter (directory pruning —
+    // zero I/O for other types), recover the original rows. Oracle = the
+    // equivalent filter on the source table (parquet roundtrips doubles
+    // exactly).
+    "partitioned_write" -> { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pw").toString
+      graft.sources.Sinks.partitionedParquet(
+        Tables.events(s, d).select(col("event_id"), col("event_type").as("etype"), col("value")),
+        tmp, Seq("etype"))
+      s.read.parquet(tmp)
+        .filter(col("etype") === "purchase")
+        .select(col("event_id"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // JSON-lines sink end-to-end: write, read back with schema inference,
+    // recover the original rows (shortest-roundtrip doubles, exact longs).
+    "jsonl_roundtrip" -> { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jl").toString
+      graft.sources.Sinks.jsonLines(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")), tmp)
+      s.read.json(tmp)
+        .select(col("event_id").try_cast(LongType).as("event_id"),
+          col("event_type"),
+          col("value").try_cast(org.apache.spark.sql.types.DoubleType).as("value"))
+        .orderBy("event_id")
+    },
+
     // Shuffle-dedup at scale: exact distinct cardinality per group. The
     // partial-aggregate pass dedups map-side before the exchange.
     "events_distinct_users" -> { (s, d) =>
@@ -329,6 +374,21 @@ object RelationalQueries {
     "csv_roundtrip" ->
       """SELECT event_id, CAST(epoch_us(date_trunc('minute', ts)) AS BIGINT) AS start_us, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // Salting changes physical distribution, not semantics: plain join.
+    "salted_join" ->
+      """SELECT l_orderkey AS okey, count(*) AS n_lines,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY 1 ORDER BY okey""".stripMargin,
+
+    "partitioned_write" ->
+      """SELECT event_id, value FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "jsonl_roundtrip" ->
+      """SELECT event_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
 
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

@@ -103,9 +103,12 @@ object SimilarityQueries {
     // Every arithmetic step is replicated by the DuckDB oracle (the SQL
     // twin COMPUTES the same centers), so the check is exact-hash.
     "ann_ivf_topk" -> { (s, d) =>
+      // Cached: the fit re-scans it per Lloyd round (count, init join,
+      // assignment aggregates) and the probe/score passes read it again.
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
           TextFunctions.vecNorm(col("embedding")).as("nrm"))
+        .cache()
       val centers = graft.operators.IvfIndex.fit(
         e, "vec_id", "embedding", IvfCentroids, EmbDim, IvfIters)
       val cells = e.withColumn("cell",
