@@ -269,6 +269,51 @@ object TimeSeriesOps {
     df.withColumn(outCol, safeDiv(num, den))
   }
 
+  /** Recursive (full-history) EWMA — the long-span path the lag-kernel
+    * [[ewma]] guards against: state-scan recurrence
+    *   num_t = [x_t] + (1-alpha) * num_{t-1}
+    *   den_t = [1]   + (1-alpha) * den_{t-1}     (brackets: only if x_t non-null)
+    *   ewma_t = num_t / den_t
+    * which is exactly pandas `ewm(adjust=True)` with position-aged weights
+    * (a null row ages the weights but contributes nothing). No window
+    * expression can carry this state, so this is the documented
+    * mapPartitions case: repartition on the series key, sort within
+    * partitions on (key, order), one O(1)-state pass per partition.
+    * Distribution-safe: each key's rows are contiguous in exactly one
+    * partition, so results are independent of partition count.
+    */
+  def ewmaRecursive(df: DataFrame, keys: Seq[String], order: Seq[String],
+                    target: String, alpha: Double,
+                    outCol: String = "ewma", numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "ewmaRecursive needs series keys (single-series mode: add a literal key)")
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(outCol, DoubleType))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val tIdx = sorted.schema.fieldIndex(target)
+    val decay = 1.0 - alpha
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var num = 0.0
+        var den = 0.0
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; num = 0.0; den = 0.0 }
+          num *= decay
+          den *= decay
+          if (!r.isNullAt(tIdx)) { num += r.getDouble(tIdx); den += 1.0 }
+          Row.fromSeq(r.toSeq :+ (if (den == 0.0) null else num / den))
+        }
+      }, schema)
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gap` (in the unit of the
     * numeric `tsCol`, e.g. microseconds). Session ids are 1-based and

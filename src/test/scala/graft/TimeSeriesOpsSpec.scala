@@ -11,6 +11,48 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
 
   private lazy val ev = Tables.events(spark, sfDir).cache()
 
+  test("recursive EWMA matches a driver-side reference, nulls age the weights") {
+    import spark.implicits._
+    val vals: Seq[Option[Double]] =
+      Seq(Some(10.0), Some(12.0), None, Some(8.0), Some(9.0), None, None, Some(20.0))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "u", v) }
+      .toDF("event_id", "user_id", "value")
+    val r = TS.ewmaRecursive(df, Seq("user_id"), Seq("event_id"), "value", alpha = 0.3)
+      .orderBy("event_id").select("ewma").collect().map(x => Option(x.get(0)).map(_.asInstanceOf[Double]))
+    // Reference recurrence, computed independently here.
+    var (num, den) = (0.0, 0.0)
+    val want = vals.map { v =>
+      num *= 0.7; den *= 0.7
+      v.foreach { x => num += x; den += 1.0 }
+      if (den == 0.0) None else Some(num / den)
+    }
+    r.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.isDefined == w.isDefined, s"row $i null mismatch")
+      for (gv <- g; wv <- w) assert(gv == wv, s"row $i: $gv != $wv")
+    }
+  }
+
+  test("recursive EWMA is partition-count invariant and converges to the kernel") {
+    val base = ev.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val r1 = TS.ewmaRecursive(base, Seq("user_id"), Seq("ts", "event_id"), "value",
+      alpha = 0.3, numPartitions = 1).select("event_id", "ewma")
+    val r7 = TS.ewmaRecursive(base, Seq("user_id"), Seq("ts", "event_id"), "value",
+      alpha = 0.3, numPartitions = 7).select("event_id", "ewma")
+    assert(r1.exceptAll(r7).count() == 0 && r7.exceptAll(r1).count() == 0,
+      "recursive EWMA must not depend on partitioning")
+    // Past 64 rows of history, the truncated kernel's dropped tail is
+    // below (0.7)^64 ~ 1e-10 of the mass: the two formulations agree.
+    val kernel = TS.ewma(base, Seq("user_id"), Seq("ts", "event_id"), "value",
+      alpha = 0.3, span = 64, outCol = "ewma_k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val joined = kernel.withColumn("rn", row_number().over(w)).filter(col("rn") > 64)
+      .select(col("event_id"), col("ewma_k"))
+      .join(r1, "event_id")
+    val maxDiff = joined.select(max(abs(col("ewma_k") - col("ewma")))).head().getDouble(0)
+    assert(maxDiff < 1e-8, s"kernel/recursive divergence $maxDiff")
+  }
+
   test("time features match pandas semantics (Mon=0, ISO week)") {
     import spark.implicits._
     val df = Seq(("2024-01-01 10:30:00"), ("2024-01-07 23:00:00")) // Mon, Sun
