@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CleanFunctions
+import graft.operators.{TimeSeriesOps => TS}
+
+/** Seeded randomized tests against independent driver-side reference
+  * models — the edge-case net the DuckDB oracles (which share the SQL
+  * formulation) cannot provide. Every generator is seeded: failures
+  * reproduce exactly.
+  */
+class RandomizedRefSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cleanNumeric matches the documented contract on 300 decorated numerics") {
+    val rng = new scala.util.Random(11)
+    // Reference model: comma->dot, strip junk, collapse a second dot
+    // (global regex replace, same as Spark's regexp_replace).
+    def ref(s: String): Option[Double] = {
+      val dotted = s.replace(',', '.')
+      val stripped = dotted.replaceAll("[^0-9.]", "")
+      val collapsed = stripped.replaceAll("(\\.[0-9]*)\\.", "$1")
+      try { val d = collapsed.toDouble; if (d.isNaN) None else Some(d) }
+      catch { case _: NumberFormatException => None }
+    }
+    val decorations = Seq[Double => String](
+      d => f"€ $d%.2f",
+      d => f"$d%.2f kWh",
+      d => f"  $d%.1f  ",
+      d => f"$d%.2f".replace('.', ','),        // comma decimal
+      d => "%,.2f".formatLocal(java.util.Locale.GERMANY, d), // 1.234,56
+      d => f"x$d%.0f~",
+      _ => "n/a",
+      _ => "--",
+      _ => "")
+    val cases = (1 to 300).map { i =>
+      val d = (rng.nextDouble() - 0.3) * 10000
+      (i.toLong, decorations(rng.nextInt(decorations.length))(math.abs(d)))
+    }
+    val got = cases.toDF("id", "s")
+      .select(col("id"), CleanFunctions.cleanNumeric(col("s")).as("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    cases.foreach { case (id, s) =>
+      assert(got(id) == ref(s), s"cleanNumeric('$s'): got ${got(id)}, want ${ref(s)}")
+    }
+  }
+
+  test("asofJoin matches a brute-force reference on 500 random rows") {
+    val rng = new scala.util.Random(23)
+    val leftRows = (1 to 500).map(i =>
+      (i.toLong, rng.nextInt(5).toLong, rng.nextInt(10000).toLong, rng.nextDouble()))
+    val rightRows = (1 to 200).map { i =>
+      (rng.nextInt(5).toLong, rng.nextInt(10000).toLong, rng.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique per (key, ts)
+    val left = leftRows.toDF("event_id", "k", "tsu", "value")
+    val right = rightRows.toDF("k", "tsu", "rv")
+    val got = TS.asofJoin(left, right, Seq("k"), "tsu", Seq("rv"))
+      .select(col("event_id"), col("asof_rv"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    leftRows.foreach { case (id, k, tsu, _) =>
+      val want = rightRows.filter(r => r._1 == k && r._2 <= tsu)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(id) == want, s"asof mismatch for event $id (k=$k tsu=$tsu)")
+    }
+  }
+
+  test("sessionize matches a driver reference on random gap patterns") {
+    val rng = new scala.util.Random(31)
+    val gap = 100L
+    val rows = (for (k <- 0 until 4) yield {
+      var t = 0L
+      (1 to 150).map { i =>
+        t += (if (rng.nextBoolean()) rng.nextInt(100).toLong + 1  // within gap
+              else 101L + rng.nextInt(500))                       // breaks session
+        (k.toLong * 1000 + i, k.toLong, t)
+      }
+    }).flatten
+    val got = TS.sessionize(rows.toDF("event_id", "k", "tsu"), Seq("k"), Seq("tsu", "event_id"),
+        "tsu", gap)
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (_, evs) =>
+      var sid = 0L
+      var prev = Long.MinValue
+      evs.sortBy(e => (e._3, e._1)).foreach { case (id, _, t) =>
+        if (prev == Long.MinValue || t - prev > gap) sid += 1
+        assert(got(id) == sid, s"session mismatch for event $id")
+        prev = t
+      }
+    }
+  }
+
+  test("saltedJoin equals the plain join on random skewed data") {
+    val rng = new scala.util.Random(41)
+    // 80% of large-side rows share one hot key — the salted join's reason to exist.
+    val large = (1 to 2000).map { i =>
+      val k = if (rng.nextDouble() < 0.8) 7L else rng.nextInt(50).toLong
+      (i.toLong, k, rng.nextDouble())
+    }.toDF("id", "k", "v")
+    val small = (0 until 50).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val salted = graft.operators.JoinOps.saltedJoin(large, small, Seq("k"), salt = 6)
+      .select("id", "k", "name")
+    val plain = large.join(small, "k").select("id", "k", "name")
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+}

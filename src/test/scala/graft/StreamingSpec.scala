@@ -251,6 +251,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup equals batch distinct on real data with replayed duplicates") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.dedupEvents(ms.toDF(), "10 hours")
+      .writeStream.format("memory").queryName("dd_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val (h1, h2) = realEvents.splitAt(realEvents.length / 2)
+      ms.addData(h1.toSeq); q.processAllAvailable()
+      // Replay a slice of batch 1 inside the watermark horizon: all dups.
+      ms.addData((h1.take(100) ++ h2).toSeq); q.processAllAvailable()
+      assert(spark.table("dd_eq").count() == realEvents.map(_.event_id).distinct.length.toLong)
+    } finally q.stop()
+  }
+
   test("different series keys never share state") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)
