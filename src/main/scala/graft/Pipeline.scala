@@ -19,7 +19,12 @@ case class PipelineConfig(
     rollingWindows: Seq[Int] = GraftConfig.DefaultWindows, // main.py:132
     seqLen: Int = GraftConfig.SequenceLength,             // config.py:27
     pcaComponents: Int = 4,                               // bottleneck dim stand-in
-    flagFactor: Double = 4.0)
+    flagFactor: Double = 4.0,
+    // "pca" = linear AE on the scaled target (deterministic closed form);
+    // "mlp" = nonlinear tied-weight AE on the FULL scaled feature matrix,
+    // the reference's literal (L, F) training input (main.py:183-195).
+    model: String = "pca",
+    mlpHidden: Int = 8)
 
 /** The reference's `run_pipeline` (main.py:58-233) as one composable
   * call: index -> clean -> features -> dropna -> scale -> sequence ->
@@ -53,10 +58,18 @@ object Pipeline {
     // 4. Drop warm-up rows (any null feature), like main.py:151.
     val complete = TS.dropNulls(feats, featureColumns(cfg))
     // 5. Scale target + features per series (main.py:168-181 scales all).
+    val scaledCols = (cfg.target +: featureColumns(cfg)).map(_ + "_scaled")
     val scaled = TS.minMaxScaleAll(complete, cfg.seriesKeys,
       cfg.target +: featureColumns(cfg))
-    // 6. Sequence + PCA (linear-AE) reconstruction scoring + flags.
-    PcaReconstruction.detect(scaled, cfg.seriesKeys, cfg.order,
-      s"${cfg.target}_scaled", cfg.seqLen, cfg.pcaComponents, cfg.flagFactor)
+    // 6. Sequence + autoencoder reconstruction scoring + flags.
+    cfg.model match {
+      case "pca" =>
+        PcaReconstruction.detect(scaled, cfg.seriesKeys, cfg.order,
+          s"${cfg.target}_scaled", cfg.seqLen, cfg.pcaComponents, cfg.flagFactor)
+      case "mlp" =>
+        operators.MlpAutoencoder.detectMulti(scaled, cfg.seriesKeys, cfg.order,
+          scaledCols, cfg.seqLen, cfg.mlpHidden, flagFactor = cfg.flagFactor)
+      case other => throw new IllegalArgumentException(s"unknown model: $other")
+    }
   }
 }

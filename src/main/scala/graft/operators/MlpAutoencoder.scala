@@ -154,9 +154,8 @@ object MlpAutoencoder {
     params
   }
 
-  /** Full detector: sequence + center (per-dimension global mean, like the
-    * PCA detector), train, score every window, flag scores above
-    * `flagFactor` x the per-series mean error.
+  /** Univariate detector: sequence the target, center, train, score every
+    * window, flag scores above `flagFactor` x the per-series mean error.
     *
     * Partitioning contract: training data is repartitioned by the series
     * key and sorted within partitions by (key, order) so per-partition SGD
@@ -166,16 +165,51 @@ object MlpAutoencoder {
              seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
              epochs: Int = 3, lr: Double = 0.05, seed: Long = 42L,
              flagFactor: Double = 4.0, trainPartitions: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val seqs = TimeSeriesOps.sequences(
         df.withColumn("__t", col(target).cast(DoubleType)), keys, order, "__t", seqLen, "seq")
       .drop("__t")
+    detectOnSequences(seqs, "seq", keys, order, seqLen, hidden, epochs, lr,
+      seed, flagFactor, trainPartitions)
+  }
+
+  /** Multivariate detector — the reference's literal training input
+    * (main.py:183-195: sequences over the FULL scaled feature matrix,
+    * shape (L, F), LSTM input_dim = F). Each row's feature vector is
+    * windowed to (L, F) and flattened to an L*F input; everything else
+    * (centering, SGD + averaging, scoring, flagging) is the shared path.
+    */
+  def detectMulti(df: DataFrame, keys: Seq[String], order: Seq[String],
+                  featureCols: Seq[String],
+                  seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
+                  epochs: Int = 3, lr: Double = 0.05, seed: Long = 42L,
+                  flagFactor: Double = 4.0, trainPartitions: Int = 8): DataFrame = {
+    require(featureCols.nonEmpty, "detectMulti needs at least one feature column")
+    val vec = array(featureCols.map(c => col(c).cast(DoubleType)): _*)
+    val seqs = TimeSeriesOps.sequences(
+        df.withColumn("__fv", vec), keys, order, "__fv", seqLen, "seqv")
+      .drop("__fv")
+      .withColumn("seq", flatten(col("seqv")))
+      .drop("seqv")
+    detectOnSequences(seqs, "seq", keys, order, seqLen * featureCols.length,
+      hidden, epochs, lr, seed, flagFactor, trainPartitions)
+  }
+
+  /** Shared center + train + score + flag over a D-dimensional window
+    * column. Only the D-element mean vector and the model parameters ever
+    * touch the driver.
+    */
+  private def detectOnSequences(seqs: DataFrame, seqCol: String,
+                                keys: Seq[String], order: Seq[String], dim: Int,
+                                hidden: Int, epochs: Int, lr: Double, seed: Long,
+                                flagFactor: Double, trainPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = seqs.sparkSession
     // Mean-center per dimension (one tiny aggregate row to the driver).
     val meanRow = seqs.select(
-      (0 until seqLen).map(i => avg(element_at(col("seq"), i + 1)).as(s"m$i")): _*).head()
-    val meanArr = Array.tabulate(seqLen)(meanRow.getDouble)
+      (0 until dim).map(i => avg(element_at(col(seqCol), i + 1)).as(s"m$i")): _*).head()
+    val meanArr = Array.tabulate(dim)(meanRow.getDouble)
     val centered = seqs
-      .withColumn("xc", zip_with(col("seq"), lit(meanArr), (x, m) => x - m))
+      .withColumn("xc", zip_with(col(seqCol), lit(meanArr), (x, m) => x - m))
       .cache()
 
     val ordCols = (keys ++ order).map(col)
@@ -183,16 +217,16 @@ object MlpAutoencoder {
       .repartition(trainPartitions, keys.map(col): _*)
       .sortWithinPartitions(ordCols: _*)
       .select(col("xc"))
-    val params = fit(train, "xc", seqLen, hidden, epochs, lr, seed)
+    val params = fit(train, "xc", dim, hidden, epochs, lr, seed)
 
-    val bc = df.sparkSession.sparkContext.broadcast(params)
+    val bc = spark.sparkContext.broadcast(params)
     val schema = StructType(centered.schema.fields :+ StructField("recon_err", DoubleType))
     val xcIdx = centered.schema.fieldIndex("xc")
-    val scored = df.sparkSession.createDataFrame(
+    val scored = spark.createDataFrame(
       centered.rdd.mapPartitions { rows =>
         val p = bc.value
         rows.map { r =>
-          val err = meanError(p, r.getSeq[Double](xcIdx).toArray, seqLen, hidden)
+          val err = meanError(p, r.getSeq[Double](xcIdx).toArray, dim, hidden)
           Row.fromSeq(r.toSeq :+ err)
         }
       }, schema)
@@ -201,6 +235,6 @@ object MlpAutoencoder {
     scored
       .withColumn("is_anomaly",
         (col("recon_err") > lit(flagFactor) * avg(col("recon_err")).over(keyW)).cast(LongType))
-      .drop("seq", "xc")
+      .drop(seqCol, "xc")
   }
 }

@@ -19,4 +19,17 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(out.filter(col("value_scaled") < 0 || col("value_scaled") > 1).count() == 0)
   }
+
+  test("mlp model trains the nonlinear AE on the full (L, F) feature matrix") {
+    val cfg = PipelineConfig(lags = Seq(1, 2, 3, 24), rollingWindows = Seq(3, 24),
+      model = "mlp", seqLen = 12)
+    val out = Pipeline.run(graft.sources.Tables.events(spark, sfDir), cfg).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("recon_err").isNull || col("recon_err") < 0).count() == 0)
+    assert(out.filter(!col("is_anomaly").isin(0L, 1L)).count() == 0)
+    // Deterministic: a second run reproduces the scores exactly.
+    val out2 = Pipeline.run(graft.sources.Tables.events(spark, sfDir), cfg)
+    assert(out.select("event_id", "recon_err")
+      .exceptAll(out2.select("event_id", "recon_err")).count() == 0)
+  }
 }
