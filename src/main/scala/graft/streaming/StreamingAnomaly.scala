@@ -25,6 +25,15 @@ case class ScoredEvent(event_id: Long, ts: Timestamp, user_id: Long,
 /** Per-series trailing buffer, oldest first, at most `win` values. */
 case class SeriesState(recent: Seq[Double])
 
+/** A detector-flagged event entering episode grouping. */
+case class FlaggedEvent(event_id: Long, ts: Timestamp, user_id: Long, flag: Long)
+
+/** One closed alert episode (run of consecutive flagged events). */
+case class Episode(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+/** Open-episode state: count + span of the current flagged run. */
+case class EpisodeState(n: Long, startUs: Long, endUs: Long)
+
 /** Structured Streaming face of the anomaly pipeline (SURVEY.md §2.12).
   *
   * The reference scores a static frame in RAM (main.py:183-233); the
@@ -73,6 +82,43 @@ object StreamingAnomaly {
     events
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming alert episodes: run-length-group consecutive flagged
+    * events per series into one row per episode (the streaming twin of
+    * the batch `Anomaly.alertEpisodes`). State per key is ONE open
+    * episode (count + span); an episode emits when the run breaks — a
+    * non-flagged event of the same series arrives. Run-length semantics
+    * close on data, not time, so there is no watermark: an episode with
+    * no subsequent event stays open in state (exactly the batch
+    * behavior for a series ending mid-run, which never emits a closed
+    * group either until more data arrives).
+    */
+  def alertEpisodes(flagged: Dataset[FlaggedEvent]): Dataset[Episode] = {
+    import flagged.sparkSession.implicits._
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    flagged
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[FlaggedEvent], state: GroupState[EpisodeState]) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[Episode]()
+          it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            if (e.flag == 1L) {
+              open = Some(open.fold(EpisodeState(1L, t, t))(s =>
+                EpisodeState(s.n + 1, s.startUs, t)))
+            } else {
+              open.foreach(s => out += Episode(key, s.n, s.startUs, s.endUs))
+              open = None
+            }
+          }
+          open match {
+            case Some(s) => state.update(s)
+            case None    => state.remove()
+          }
+          out.iterator
+      }
+  }
 
   /** Stateful trailing-window z-score per series key: each event is scored
     * against the mean/sample-stddev of the previous `win` values of its

@@ -251,6 +251,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming alert episodes equal batch run-length grouping on real data") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.{Episode, FlaggedEvent}
+    import graft.functions.CleanFunctions
+    // Batch-side flags (the ts_alert_episodes rule: |z| > 2 per series).
+    val keyW = Window.partitionBy("user_id")
+    val z = CleanFunctions.safeDiv(
+      col("value") - CleanFunctions.exactMeanOver(col("value"), keyW),
+      stddev_samp(col("value")).over(keyW))
+    val flaggedDf = Tables.events(spark, SparkTestSession.sfDir)
+      .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+      .withColumn("flag", coalesce((abs(z) > lit(2.0)).cast("long"), lit(0L)))
+    val want = graft.operators.Anomaly
+      .alertEpisodes(flaggedDf, Seq("user_id"), Seq("ts", "event_id"), "flag", "tsu")
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val input = flaggedDf.select(col("event_id"), col("ts"), col("user_id"), col("flag"))
+      .as[FlaggedEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[FlaggedEvent](spark)
+    val q = StreamingAnomaly.alertEpisodes(ms.toDS())
+      .writeStream.format("memory").queryName("ep_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val (h1, h2) = input.splitAt(input.length / 2)
+      ms.addData(h1.toSeq); q.processAllAvailable()
+      ms.addData(h2.toSeq); q.processAllAvailable()
+      // Per-key flag-0 flush closes trailing runs (which the batch
+      // operator, seeing the full static table, emits as groups).
+      val maxTs = input.map(_.ts.getTime).max
+      val flush = input.map(_.user_id).distinct.zipWithIndex.map { case (u, i) =>
+        FlaggedEvent(-1000L - i, new Timestamp(maxTs + 3600 * 1000L), u, 0L)
+      }
+      ms.addData(flush.toSeq); q.processAllAvailable()
+      val got = spark.table("ep_eq").as[Episode].collect()
+        .map(e => (e.user_id, e.n_events, e.start_us, e.end_us)).toSet
+      assert(got == want,
+        s"episode sets differ: extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup equals batch distinct on real data with replayed duplicates") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.dedupEvents(ms.toDF(), "10 hours")
