@@ -20,6 +20,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet (see Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   /** Builder for streaming jobs with large state: RocksDB state store

@@ -165,8 +165,13 @@ object MlpAutoencoder {
              seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
              epochs: Int = 3, lr: Double = 0.05, seed: Long = 42L,
              flagFactor: Double = 4.0, trainPartitions: Int = 8): DataFrame = {
+    // Null targets are dropped BEFORE windowing (collect_list silently
+    // skips nulls, which would misalign windows); fill first if the
+    // series needs imputation rather than omission.
     val seqs = TimeSeriesOps.sequences(
-        df.withColumn("__t", col(target).cast(DoubleType)), keys, order, "__t", seqLen, "seq")
+        df.filter(col(target).isNotNull)
+          .withColumn("__t", col(target).cast(DoubleType)),
+        keys, order, "__t", seqLen, "seq")
       .drop("__t")
     detectOnSequences(seqs, "seq", keys, order, seqLen, hidden, epochs, lr,
       seed, flagFactor, trainPartitions)
@@ -184,9 +189,14 @@ object MlpAutoencoder {
                   epochs: Int = 3, lr: Double = 0.05, seed: Long = 42L,
                   flagFactor: Double = 4.0, trainPartitions: Int = 8): DataFrame = {
     require(featureCols.nonEmpty, "detectMulti needs at least one feature column")
+    // Rows with any null feature are dropped before windowing: a null
+    // element would otherwise unbox to a silent 0.0 in training (the
+    // plausible-but-wrong failure FloatVectorDot's length guard exists
+    // to prevent). Callers wanting imputation fill first.
     val vec = array(featureCols.map(c => col(c).cast(DoubleType)): _*)
     val seqs = TimeSeriesOps.sequences(
-        df.withColumn("__fv", vec), keys, order, "__fv", seqLen, "seqv")
+        df.na.drop(featureCols).withColumn("__fv", vec),
+        keys, order, "__fv", seqLen, "seqv")
       .drop("__fv")
       .withColumn("seq", flatten(col("seqv")))
       .drop("seqv")
@@ -203,12 +213,22 @@ object MlpAutoencoder {
                                 hidden: Int, epochs: Int, lr: Double, seed: Long,
                                 flagFactor: Double, trainPartitions: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.CleanFunctions
     val spark = seqs.sparkSession
-    // Mean-center per dimension (one tiny aggregate row to the driver).
-    val meanRow = seqs.select(
-      (0 until dim).map(i => avg(element_at(col(seqCol), i + 1)).as(s"m$i")): _*).head()
+    // Full windows only — a partial window (possible if upstream data
+    // slipped nulls past the pre-filters) would misalign every dimension
+    // past the gap and score plausibly instead of failing.
+    val full = seqs.filter(size(col(seqCol)) === dim)
+    // Mean-center per dimension. DECIMAL-exact means: a plain double avg
+    // merges partial states in shuffle-fetch order, which would break the
+    // documented bit-for-bit determinism on a real cluster.
+    val meanRow = full.select(
+      (0 until dim).map(i =>
+        CleanFunctions.exactMean(element_at(col(seqCol), i + 1)).as(s"m$i")): _*).head()
+    require(!meanRow.anyNull,
+      "MlpAutoencoder: no complete windows to train on (all inputs null or shorter than seqLen)")
     val meanArr = Array.tabulate(dim)(meanRow.getDouble)
-    val centered = seqs
+    val centered = full
       .withColumn("xc", zip_with(col(seqCol), lit(meanArr), (x, m) => x - m))
       .cache()
 
@@ -234,7 +254,8 @@ object MlpAutoencoder {
                else Window.partitionBy(keys.map(col): _*)
     scored
       .withColumn("is_anomaly",
-        (col("recon_err") > lit(flagFactor) * avg(col("recon_err")).over(keyW)).cast(LongType))
+        (col("recon_err") > lit(flagFactor) *
+          CleanFunctions.exactMeanOver(col("recon_err"), keyW)).cast(LongType))
       .drop(seqCol, "xc")
   }
 }

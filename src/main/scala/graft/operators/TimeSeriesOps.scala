@@ -292,11 +292,15 @@ object TimeSeriesOps {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
                 else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.repartition(parts, keys.map(col): _*)
+    // Append a double-cast shadow of the target so any numeric type
+    // (decimal/float/int) works — getDouble on the raw column would
+    // ClassCastException for non-double numerics.
+    val sorted = df.withColumn("__ewma_in", col(target).cast(DoubleType))
+      .repartition(parts, keys.map(col): _*)
       .sortWithinPartitions((keys ++ order).map(col): _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(outCol, DoubleType))
+    val schema = StructType(df.schema.fields :+ StructField(outCol, DoubleType))
     val keyIdx = keys.map(sorted.schema.fieldIndex)
-    val tIdx = sorted.schema.fieldIndex(target)
+    val tIdx = sorted.schema.fieldIndex("__ewma_in")
     val decay = 1.0 - alpha
     spark.createDataFrame(
       sorted.rdd.mapPartitions { rows =>
@@ -309,7 +313,8 @@ object TimeSeriesOps {
           num *= decay
           den *= decay
           if (!r.isNullAt(tIdx)) { num += r.getDouble(tIdx); den += 1.0 }
-          Row.fromSeq(r.toSeq :+ (if (den == 0.0) null else num / den))
+          // Drop the shadow column (last) and append the smoothed value.
+          Row.fromSeq(r.toSeq.init :+ (if (den == 0.0) null else num / den))
         }
       }, schema)
   }

@@ -68,12 +68,14 @@ object SimilarityQueries {
     // lives in exactly one bucket, so candidate pairs are already unique —
     // no distinct needed before scoring.
     "ann_lsh_topk" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      // Cache BEFORE the sizing count so deriving np and building the
+      // bucketed view costs one corpus scan, not two.
+      val e = Tables.embeddings(s, d).cache()
       val np = annPlanes(e.count())
       val sb = e.select(col("vec_id"), col("embedding"),
         TextFunctions.vecNorm(col("embedding")).as("nrm"),
         TextFunctions.packBits((0 until np).map(p =>
-          TextFunctions.lshSign(col("embedding"), p))).as("bucket")).cache()
+          TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
       val flips: Seq[org.apache.spark.sql.Column] =
         (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
           (for { p <- 0 until np; q <- p + 1 until np }

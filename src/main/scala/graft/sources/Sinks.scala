@@ -40,16 +40,15 @@ object Sinks {
                     numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
     if (mode == SaveMode.Overwrite) {
       val spark = df.sparkSession
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-      val loc = new java.io.File(wh, table.toLowerCase)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(loc)
-      }
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // Resolve the managed location through the catalog (handles db-
+      // qualified names and URI encoding) and delete via the Hadoop FS
+      // API (works on any filesystem, not just file:).
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
     }
     df.write.mode(mode)
       .bucketBy(numBuckets, bucketCol)

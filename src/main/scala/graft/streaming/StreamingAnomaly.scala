@@ -45,6 +45,13 @@ case class EpisodeState(n: Long, startUs: Long, endUs: Long)
   */
 object StreamingAnomaly {
 
+  /** Epoch microseconds of a Timestamp — the batch operators' epochUs.
+    * Sorting on this (NOT getTime, which truncates to milliseconds) keeps
+    * sub-millisecond ties ordered exactly like the batch (ts, event_id)
+    * window sort.
+    */
+  private def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Watermarked tumbling-window event aggregation — the streaming twin of
     * the batch `ts_event_counts` query. Append-mode: a window row is
     * emitted exactly once, when the watermark passes its end.
@@ -95,18 +102,21 @@ object StreamingAnomaly {
     */
   def alertEpisodes(flagged: Dataset[FlaggedEvent]): Dataset[Episode] = {
     import flagged.sparkSession.implicits._
-    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     flagged
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[FlaggedEvent], state: GroupState[EpisodeState]) =>
           var open = state.getOption
           val out = scala.collection.mutable.ArrayBuffer[Episode]()
-          it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
             val t = us(e.ts)
             if (e.flag == 1L) {
+              // min/max span: a flagged event arriving LATE across
+              // micro-batches joins the open episode without regressing
+              // its span (documented streaming relaxation — exact
+              // event-time runs would need watermark-buffered state).
               open = Some(open.fold(EpisodeState(1L, t, t))(s =>
-                EpisodeState(s.n + 1, s.startUs, t)))
+                EpisodeState(s.n + 1, math.min(s.startUs, t), math.max(s.endUs, t))))
             } else {
               open.foreach(s => out += Episode(key, s.n, s.startUs, s.endUs))
               open = None
@@ -139,9 +149,9 @@ object StreamingAnomaly {
         (_: Long, it: Iterator[Event], state: GroupState[SeriesState]) =>
           val buf = scala.collection.mutable.ArrayBuffer[Double]()
           buf ++= state.getOption.map(_.recent).getOrElse(Seq.empty)
-          // (ts, event_id) order — the batch operators' tie-break, so a
-          // single-batch replay of a static table scores identically.
-          val out = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+          // (ts-in-microseconds, event_id) order — the batch operators'
+          // tie-break, so a single-batch replay scores identically.
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
             val n = buf.length
             val zOpt =
               if (n < 2) None
