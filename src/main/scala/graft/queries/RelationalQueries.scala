@@ -170,6 +170,19 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ORC sink/source end-to-end: columnar write, filtered read-back with
+    // predicate pushdown into the ORC scan. Oracle = the same filter on
+    // the source table (ORC roundtrips longs/doubles exactly).
+    "orc_roundtrip" -> { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      graft.sources.Sinks.orc(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("value")), tmp)
+      s.read.orc(tmp)
+        .filter(col("value") > 50.0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    },
+
     // Shuffle-dedup at scale: exact distinct cardinality per group. The
     // partial-aggregate pass dedups map-side before the exchange.
     "events_distinct_users" -> { (s, d) =>
@@ -389,6 +402,10 @@ object RelationalQueries {
 
     "jsonl_roundtrip" ->
       """SELECT event_id, event_type, value FROM events ORDER BY event_id""".stripMargin,
+
+    "orc_roundtrip" ->
+      """SELECT event_id, user_id, value FROM events WHERE value > 50.0
+        |ORDER BY event_id""".stripMargin,
 
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

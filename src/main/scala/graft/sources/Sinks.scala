@@ -66,4 +66,11 @@ object Sinks {
   def jsonLines(df: DataFrame, path: String,
                 mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** ORC interop writer — the other columnar format a lake ingests;
+    * same pushdown/pruning story as parquet on read.
+    */
+  def orc(df: DataFrame, path: String,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 }
