@@ -220,6 +220,20 @@ object RelationalQueries {
         .orderBy("event_type", "hour")
     },
 
+    // Cube: all 2^k grouping-set combinations in one pass (rollup's
+    // hierarchical subset is events_rollup) — partial aggregation covers
+    // every set map-side.
+    "events_cube" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("hour", hour(col("ts")).cast(LongType))
+        .cube("event_type", "hour")
+        .agg(count(lit(1)).as("n"),
+          CleanFunctions.exactSum(col("value")).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("hour"), lit(-1L)).as("hour"), col("n"), col("sum_value"))
+        .orderBy("event_type", "hour")
+    },
+
     // Unpivot (melt): wide -> long, the inverse of events_pivot. Zero
     // cells survive the roundtrip, so the oracle builds the full grid.
     "events_unpivot" -> { (s, d) =>
@@ -465,6 +479,13 @@ object RelationalQueries {
       """WITH r AS (SELECT event_type AS et, CAST(hour(ts) AS BIGINT) AS h, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY ROLLUP (et, h))
+        |SELECT coalesce(et, '(all)') AS event_type, coalesce(h, -1) AS hour, n, sum_value
+        |FROM r ORDER BY event_type, hour""".stripMargin,
+
+    "events_cube" ->
+      """WITH r AS (SELECT event_type AS et, CAST(hour(ts) AS BIGINT) AS h, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE (et, h))
         |SELECT coalesce(et, '(all)') AS event_type, coalesce(h, -1) AS hour, n, sum_value
         |FROM r ORDER BY event_type, hour""".stripMargin
   )

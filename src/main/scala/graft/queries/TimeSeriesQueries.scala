@@ -290,6 +290,59 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // TIME-RANGE rolling stats: the trailing window is defined by event
+    // TIME (last 24 hours strictly before this row), not row count — the
+    // two differ whenever a series has gaps or bursts, which the
+    // reference's strictly-hourly data never shows. RANGE frame over
+    // epoch-us with an exclusive right edge (current row excluded, like
+    // the shift-1 ROWS features).
+    "ts_rolling_time_range" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 24L * 3600 * 1000000
+      val w = Window.partitionBy("user_id").orderBy("tsu")
+        .rangeBetween(-dayUs, -1)
+      Tables.events(s, d)
+        .withColumn("tsu", epochUs(col("ts")))
+        .select(col("event_id"),
+          count(col("value")).over(w).as("n_24h"),
+          CleanFunctions.exactMeanOver(col("value"), w).as("mean_24h"),
+          max(col("value")).over(w).as("max_24h"))
+        .orderBy("event_id")
+    },
+
+    // Cross-series correlation: pairwise Pearson between user series on
+    // the hourly resampled grid (equi-join on the bucket — k^2 pairs of
+    // k SERIES, never of rows; series count is small by definition at
+    // any scale). The reference's EDA notebooks do exactly this heatmap.
+    "ts_cross_corr" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(28, 6)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), epochUs(date_trunc("hour", col("ts"))).as("b"))
+        .agg(CleanFunctions.exactMean(col("value")).as("v"))
+      val joined = hourly.as("x").join(hourly.as("y"),
+          col("x.b") === col("y.b") && col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("u1"), col("y.user_id").as("u2"),
+          col("x.v").as("xv"), col("y.v").as("yv"))
+      joined.groupBy("u1", "u2")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("xv").cast(dec)).cast("double").as("sx"),
+          sum(col("yv").cast(dec)).cast("double").as("sy"),
+          sum((col("xv") * col("yv")).cast(dec)).cast("double").as("sxy"),
+          sum((col("xv") * col("xv")).cast(dec)).cast("double").as("sxx"),
+          sum((col("yv") * col("yv")).cast(dec)).cast("double").as("syy"))
+        .select(col("u1"), col("u2"),
+          // Variances clamped at 0: n*sxx - sx^2 can cancel to a tiny
+          // negative in double when the series is near-constant (DuckDB
+          // errors on sqrt(<0)); the exact-decimal moments are identical
+          // on both engines, so the clamp decision agrees bit-for-bit.
+          CleanFunctions.round4(safeDiv(
+            col("n") * col("sxy") - col("sx") * col("sy"),
+            sqrt(greatest(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)) *
+              greatest(col("n") * col("syy") - col("sy") * col("sy"), lit(0.0))))).as("corr"))
+        .orderBy("u1", "u2")
+    },
+
     // Truncated EWMA smoothing (span-12 lag kernel, adjust-normalized).
     "ts_ewma" -> { (s, d) =>
       TS.ewma(Tables.events(s, d), K, Ord, "value", alpha = 0.3, span = 12)
@@ -562,6 +615,35 @@ object TimeSeriesQueries {
          |max(value) OVER we AS running_max
          |FROM events WINDOW we AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY event_id""".stripMargin,
+
+    "ts_rolling_time_range" -> {
+      val dayUs = 24L * 3600 * 1000000
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events)
+         |SELECT event_id,
+         |count(value) OVER w AS n_24h,
+         |${CleanFunctions.exactMeanSql("value", "OVER w")} AS mean_24h,
+         |max(value) OVER w AS max_24h
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+         |  RANGE BETWEEN $dayUs PRECEDING AND 1 PRECEDING)
+         |ORDER BY event_id""".stripMargin
+    },
+
+    "ts_cross_corr" ->
+      s"""WITH h AS (SELECT user_id, CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS b,
+         |  ${CleanFunctions.exactMeanSql("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |j AS (SELECT x.user_id AS u1, y.user_id AS u2, x.v AS xv, y.v AS yv
+         |  FROM h x JOIN h y ON x.b = y.b AND x.user_id < y.user_id),
+         |m AS (SELECT u1, u2, CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(CAST(xv AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(yv AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(xv * yv AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         |  CAST(sum(CAST(xv * xv AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(yv * yv AS DECIMAL(28,6))) AS DOUBLE) AS syy
+         |  FROM j GROUP BY 1, 2)
+         |SELECT u1, u2,
+         |round(((n * sxy - sx * sy) / nullif(sqrt(greatest(n * sxx - sx * sx, 0.0) * greatest(n * syy - sy * sy, 0.0)), 0.0)) * 10000.0) / 10000.0 AS corr
+         |FROM m ORDER BY u1, u2""".stripMargin,
 
     "ts_ewma" -> {
       val terms = (0 until 12).map { j =>
