@@ -107,6 +107,56 @@ object TextQueries {
         .orderBy("lang", "rk")
     },
 
+    // TF-IDF: score = tf * ln(N / df), top-3 terms per doc. Two grouped
+    // aggregations (doc-term counts, per-term doc frequency) + one join
+    // on the term — the textbook distributed TF-IDF shape; ranking is on
+    // the 4dp-rounded score with a term tie-break so both engines order
+    // identically.
+    "text_tfidf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val terms = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+      tf.join(df, "term")
+        .withColumn("tfidf",
+          CleanFunctions.round4(col("tf") * log(lit(n.toDouble) / col("df"))))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
+        .orderBy("doc_id", "rk")
+    },
+
+    // Benchmark decontamination — the training-data hygiene op: flag
+    // training docs sharing any k-gram with the held-out benchmark set
+    // (k=4 here so the synthetic corpus's near-dup structure shows up;
+    // web-scale pipelines run the same plan with k=8..13)
+    // (stand-in: doc_id % 97 == 0). Candidates come from an equi-join on
+    // the 60-bit shingle hash (never doc x doc); output is one row per
+    // contaminated training doc with the match evidence.
+    "text_decontaminate" -> { (s, d) =>
+      val k = 4
+      val toks = TextFunctions.tokens(col("text"))
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= k)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("t"), k)).as("s"))
+        .select(col("doc_id"), CleanFunctions.md5Hash64(col("s")).as("h"))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"), col("h"))
+      val train = sh.filter(col("doc_id") % 97 =!= 0)
+      train.join(bench, "h")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
+          countDistinct(col("h")).as("n_shared_shingles"))
+        .orderBy("doc_id")
+    },
+
     // Exact dedup: canonical id = min doc_id per content hash. Window over
     // the hash key (hash-partition shuffle, no driver collect); at 100 TB
     // this is the standard one-shuffle canonicalization.
@@ -174,6 +224,28 @@ object TextQueries {
            |list_min(list_transform($sh, sh -> ${CleanFunctions.md5Hash64Sql("sh")})) AS min_shingle_fp
            |FROM tok ORDER BY doc_id""".stripMargin
       },
+
+      "text_tfidf" ->
+        s"""WITH terms AS (SELECT doc_id, unnest($tl) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+           |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           |  round((tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df)) * 10000.0) / 10000.0 AS tfidf
+           |  FROM tf JOIN df USING (term)),
+           |r AS (SELECT doc_id, term, tf, df, tfidf,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
+           |SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 3
+           |ORDER BY doc_id, rk""".stripMargin,
+
+      "text_decontaminate" ->
+        s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents WHERE len($t) >= 4),
+           |sh AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("unnest(" + TextFunctions.shinglesSql("t", 4) + ")")} AS h FROM tok),
+           |bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 97 = 0),
+           |train AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0)
+           |SELECT train.doc_id, count(DISTINCT bench.bench_id) AS n_bench_docs,
+           |  count(DISTINCT train.h) AS n_shared_shingles
+           |FROM train JOIN bench ON train.h = bench.h
+           |GROUP BY train.doc_id ORDER BY train.doc_id""".stripMargin,
 
       "dedup_exact" ->
         """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
