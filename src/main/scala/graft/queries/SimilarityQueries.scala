@@ -43,6 +43,21 @@ object SimilarityQueries {
   private val EmbDim = 64
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-label embedding centroids (class prototypes): posexplode to
+    // (label, dim, value) and aggregate DECIMAL-exact per-dimension means
+    // — one shuffle on (label, dim), map-side partial sums, long-format
+    // output so the oracle compares scalars, not nested lists.
+    "emb_centroids" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      Tables.embeddings(s, d)
+        .select(col("label").cast(LongType).as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
+        .agg(graft.functions.CleanFunctions.round6(
+          graft.functions.CleanFunctions.exactMean(col("v").cast(DoubleType))).as("centroid"))
+        .orderBy("label", "dim")
+    },
+
     "ann_topk_cosine" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
@@ -148,6 +163,12 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "emb_centroids" ->
+      s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+         |round((${graft.functions.CleanFunctions.exactMeanSql("CAST(embedding[i] AS DOUBLE)")}) * 1000000.0) / 1000000.0 AS centroid
+         |FROM embeddings, (SELECT unnest(generate_series(1, $EmbDim)) AS i) dims
+         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
     "ann_topk_cosine" ->
       s"""SELECT q_id, n_id, score, rk FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
