@@ -78,6 +78,30 @@ object RelationalQueries {
         .orderBy(desc("revenue"), col("n_name"))
     },
 
+    // Left-outer aggregation: every customer with their order count and
+    // spend, INCLUDING zero-order customers (the rows an inner join
+    // silently drops).
+    "customer_order_counts" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          exactSum(col("o_totalprice")).as("total_spend"))
+        .orderBy("c_custkey")
+    },
+
+    // Quantile bucketing: decile of value within event type (ntile over a
+    // tie-broken sort) — the binning primitive behind quantile features.
+    "events_ntile" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          ntile(10).over(w).cast(LongType).as("decile"))
+        .orderBy("event_id")
+    },
+
     "topk_customer_orders" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -375,6 +399,17 @@ object RelationalQueries {
         |AND s_nationkey = c_nationkey AND o_custkey = c_custkey AND l_orderkey = o_orderkey
         |AND l_suppkey = s_suppkey
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "customer_order_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "events_ntile" ->
+      """SELECT event_id, event_type,
+        |ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "topk_customer_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM
