@@ -107,6 +107,28 @@ object TextQueries {
         .orderBy("lang", "rk")
     },
 
+    // Context chunking: split each document into fixed-size token chunks
+    // with overlap (size 50, stride 40) — the training-prep op that turns
+    // documents into model-context windows. Pure per-row explode + slice
+    // (no shuffle); chunks are emitted as (id, fingerprint, token count)
+    // so the oracle verifies content without megabyte text columns.
+    "text_chunk" -> { (s, d) =>
+      val chunkSize = 50
+      val stride = 40
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), col("t"),
+          posexplode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(stride)))
+            .as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+          array_join(slice(col("t"), col("start") + 1, lit(chunkSize)), " ").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          CleanFunctions.md5Hash64(col("chunk")).as("chunk_fp"),
+          size(TextFunctions.tokens(col("chunk"))).cast(LongType).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // TF-IDF: score = tf * ln(N / df), top-3 terms per doc. Two grouped
     // aggregations (doc-term counts, per-term doc frequency) + one join
     // on the term — the textbook distributed TF-IDF shape; ranking is on
@@ -224,6 +246,17 @@ object TextQueries {
            |list_min(list_transform($sh, sh -> ${CleanFunctions.md5Hash64Sql("sh")})) AS min_shingle_fp
            |FROM tok ORDER BY doc_id""".stripMargin
       },
+
+      "text_chunk" ->
+        s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
+           |st AS (SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 1, 0), 40)) AS start,
+           |  generate_subscripts(generate_series(0, greatest(len(t) - 1, 0), 40), 1) - 1 AS chunk_id
+           |  FROM tok),
+           |c AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           |  array_to_string(t[start + 1 : start + 50], ' ') AS chunk FROM st)
+           |SELECT doc_id, chunk_id, ${CleanFunctions.md5Hash64Sql("chunk")} AS chunk_fp,
+           |len(regexp_split_to_array(trim(chunk), '\\s+')) AS n_tokens
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
       "text_tfidf" ->
         s"""WITH terms AS (SELECT doc_id, unnest($tl) AS term FROM documents),
