@@ -53,6 +53,24 @@ object CleanFunctions {
   /** Safe division: null when the denominator is 0 or null. */
   def safeDiv(num: Column, den: Column): Column = num / nullif(den, lit(0.0))
 
+  /** Pearson correlation from raw moments, shared by every moment-formula
+    * query. Variances are clamped at 0 before the sqrt: near-constant
+    * groups cancel n*sxx - sx^2 to a tiny NEGATIVE double, which Spark
+    * turns into NaN and DuckDB rejects outright (Out of Range on
+    * sqrt(<0)). The moments are DECIMAL-exact and identical on both
+    * engines, so the clamp decision agrees bit-for-bit.
+    */
+  def momentCorr(n: Column, sx: Column, sy: Column,
+                 sxy: Column, sxx: Column, syy: Column): Column =
+    safeDiv(n * sxy - sx * sy,
+      sqrt(greatest(n * sxx - sx * sx, lit(0.0)) *
+        greatest(n * syy - sy * sy, lit(0.0))))
+
+  /** DuckDB twin of [[momentCorr]]. */
+  def momentCorrSql(n: String, sx: String, sy: String,
+                    sxy: String, sxx: String, syy: String): String =
+    s"(($n * $sxy - $sx * $sy) / nullif(sqrt(greatest($n * $sxx - $sx * $sx, 0.0) * greatest($n * $syy - $sy * $sy, 0.0)), 0.0))"
+
   // ---- Cross-engine exact aggregation (SURVEY.md §4) ---------------------
   // Double sums accumulate in engine-specific order, so Spark and DuckDB
   // can disagree in the last ulp — fatal when the true value sits exactly

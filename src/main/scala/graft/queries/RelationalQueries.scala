@@ -346,12 +346,11 @@ object RelationalQueries {
           sum((x * x).cast(dec)).cast("double").as("sxx"),
           sum((y * y).cast(dec)).cast("double").as("syy"))
         .select(col("event_type"),
-          // nullif-guarded: a constant series (zero variance) yields null
-          // instead of an ANSI DIVIDE_BY_ZERO crash.
-          CleanFunctions.round4(CleanFunctions.safeDiv(
-            col("n") * col("sxy") - col("sx") * col("sy"),
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy"))))).as("corr_value_hour"))
+          // Shared clamped+guarded moment formula: constant groups yield
+          // null, not NaN/DIVIDE_BY_ZERO/sqrt(<0) (see momentCorr).
+          CleanFunctions.round4(CleanFunctions.momentCorr(
+            col("n"), col("sx"), col("sy"),
+            col("sxy"), col("sxx"), col("syy"))).as("corr_value_hour"))
         .orderBy("event_type")
     },
 
@@ -489,7 +488,7 @@ object RelationalQueries {
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
 
     "events_corr" ->
-      """WITH m AS (SELECT event_type,
+      s"""WITH m AS (SELECT event_type,
         |  CAST(count(*) AS DOUBLE) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
         |  CAST(sum(CAST(CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
@@ -498,7 +497,7 @@ object RelationalQueries {
         |  CAST(sum(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS syy
         |  FROM events GROUP BY event_type)
         |SELECT event_type,
-        |round(((n * sxy - sx * sy) / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0)) * 10000.0) / 10000.0 AS corr_value_hour
+        |round((${CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")}) * 10000.0) / 10000.0 AS corr_value_hour
         |FROM m ORDER BY event_type""".stripMargin,
 
     "events_unpivot" ->

@@ -136,10 +136,12 @@ object TextQueries {
     // identically.
     "text_tfidf" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val terms = docs
+      // terms cached: the tokenize+explode pass feeds BOTH the tf and df
+      // branches (N's count(*) is parquet-metadata-only, no data scan).
+      val n = Tables.documents(s, d).count()
+      val terms = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .cache()
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = terms.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
@@ -163,19 +165,24 @@ object TextQueries {
     "text_decontaminate" -> { (s, d) =>
       val k = 4
       val toks = TextFunctions.tokens(col("text"))
+      // The JOIN KEY is the 60-bit shingle hash (cheap shuffle compares);
+      // the shingle STRING rides along and is re-checked after the join,
+      // so a birthday collision in the hash space can never fabricate
+      // contamination evidence (same prefilter-then-confirm shape as
+      // bloom_prefilter_join). Distinct-shingle counting uses the string.
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), toks.as("t"))
         .filter(size(col("t")) >= k)
         .select(col("doc_id"),
           explode(TextFunctions.shingles(col("t"), k)).as("s"))
-        .select(col("doc_id"), CleanFunctions.md5Hash64(col("s")).as("h"))
+        .select(col("doc_id"), col("s"), CleanFunctions.md5Hash64(col("s")).as("h"))
       val bench = sh.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("bench_id"), col("h"))
+        .select(col("doc_id").as("bench_id"), col("s").as("bs"), col("h"))
       val train = sh.filter(col("doc_id") % 97 =!= 0)
-      train.join(bench, "h")
-        .groupBy("doc_id")
+      train.join(bench, train("h") === bench("h") && train("s") === bench("bs"))
+        .groupBy(train("doc_id"))
         .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
-          countDistinct(col("h")).as("n_shared_shingles"))
+          countDistinct(train("s")).as("n_shared_shingles"))
         .orderBy("doc_id")
     },
 
@@ -272,12 +279,13 @@ object TextQueries {
 
       "text_decontaminate" ->
         s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents WHERE len($t) >= 4),
-           |sh AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("unnest(" + TextFunctions.shinglesSql("t", 4) + ")")} AS h FROM tok),
-           |bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 97 = 0),
-           |train AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0)
+           |sh0 AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("t", 4)}) AS s FROM tok),
+           |sh AS (SELECT doc_id, s, ${CleanFunctions.md5Hash64Sql("s")} AS h FROM sh0),
+           |bench AS (SELECT doc_id AS bench_id, s AS bs, h FROM sh WHERE doc_id % 97 = 0),
+           |train AS (SELECT doc_id, s, h FROM sh WHERE doc_id % 97 <> 0)
            |SELECT train.doc_id, count(DISTINCT bench.bench_id) AS n_bench_docs,
-           |  count(DISTINCT train.h) AS n_shared_shingles
-           |FROM train JOIN bench ON train.h = bench.h
+           |  count(DISTINCT train.s) AS n_shared_shingles
+           |FROM train JOIN bench ON train.h = bench.h AND train.s = bench.bs
            |GROUP BY train.doc_id ORDER BY train.doc_id""".stripMargin,
 
       "dedup_exact" ->
