@@ -80,6 +80,30 @@ object StreamingAnomaly {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Watermarked stream-stream INTERVAL join: each left event picks up
+    * right-stream rows of the same key whose event time falls in
+    * [left.ts - lookback, left.ts]. Both sides are watermarked and the
+    * time-range predicate bounds the join state: a buffered right row can
+    * be dropped once the watermark passes its time + lookback — without
+    * the interval condition the state store would grow forever. This is
+    * the streaming face of the batch as-of/enrichment join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   key: String = "user_id", lookback: String = "1 hour",
+                   watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).as("l")
+    val r = right
+      .withColumnRenamed("ts", "r_ts")
+      .withColumn("r_value", col("value")).drop("value")
+      .withWatermark("r_ts", watermarkDelay).as("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("ts"))
+      .select(col("l.event_id").as("event_id"), col(s"l.$key").as(key),
+        col("ts"), col("r.event_id").as("matched_id"), col("r_ts"), col("r_value"))
+  }
+
   /** Streaming exact deduplication on event id: state holds ids only
     * within the watermark horizon (dropDuplicatesWithinWatermark), so
     * state size is bounded by the id arrival rate x the delay — the only

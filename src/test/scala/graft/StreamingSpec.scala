@@ -251,6 +251,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches rows within the lookback only") {
+    val msL = MemoryStream[Event](spark)
+    val msR = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.intervalJoin(msL.toDF(), msR.toDF(), "user_id", "1 hour")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      msR.addData(
+        Event(100, ts("2026-01-01 09:30:00"), 1, "p", 7.0),  // within 1h of left@10:00
+        Event(101, ts("2026-01-01 08:00:00"), 1, "p", 8.0),  // too old for left@10:00
+        Event(102, ts("2026-01-01 09:45:00"), 2, "p", 9.0))  // other key
+      msL.addData(
+        Event(1, ts("2026-01-01 10:00:00"), 1, "m", 1.0),
+        Event(2, ts("2026-01-01 10:15:00"), 2, "m", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select(col("event_id"), col("matched_id"), col("r_value"))
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toList
+      assert(rows == List((1L, 100L, 7.0), (2L, 102L, 9.0)),
+        s"interval join matched wrong rows: $rows")
+    } finally q.stop()
+  }
+
   test("streaming alert episodes equal batch run-length grouping on real data") {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.{Episode, FlaggedEvent}
