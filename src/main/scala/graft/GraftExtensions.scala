@@ -14,19 +14,31 @@ import org.apache.spark.sql.graft.{FloatVectorDot, SimHash60}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("float_vector_dot"),
+    GraftExtensions.functions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("float_vector_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "float_vector_dot(a, b) takes 2 arguments")
         FloatVectorDot(args.head, args(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("simhash60"),
+      }),
+    (new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60(tokens) takes 1 argument")
         SimHash60(args.head)
       }))
-  }
+
+  /** Register the same functions into an ALREADY-RUNNING session (the
+    * extensions path only applies at session build; a driver-owned
+    * session opts in at runtime with this).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

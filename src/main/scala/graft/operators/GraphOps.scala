@@ -40,8 +40,12 @@ object GraphOps {
     val sym = edges.select(col("x"), col("y"))
       .union(edges.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
-    var labels = sym.select(col("x").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // Seed with min(id, min neighbor) — the result of the first
+    // identity-label round, folded into one aggregate (every node appears
+    // as some y because edges are symmetrized), saving a full round.
+    var labels = sym.groupBy(col("y").as("id")).agg(min(col("x")).as("nbl"))
+      .select(col("id"), least(col("id"), col("nbl")).as("lbl"))
+      .localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {

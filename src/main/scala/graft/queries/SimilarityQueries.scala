@@ -58,6 +58,19 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     },
 
+    // SQL surface: the custom codegen'd expressions reached through
+    // spark.sql (runtime registration via GraftExtensions.register — the
+    // same builders the SparkSessionExtensions path injects). The oracle
+    // replicates float_vector_dot's sequential fold with list_sum.
+    "sql_surface" -> { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_emb")
+      s.sql(s"""
+        SELECT vec_id,
+          round(float_vector_dot(embedding, embedding) * 10000.0) / 10000.0 AS self_dot
+        FROM graft_emb ORDER BY vec_id""")
+    },
+
     "ann_topk_cosine" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
@@ -163,6 +176,11 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sql_surface" ->
+      s"""SELECT vec_id,
+         |round((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 AS self_dot
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     "emb_centroids" ->
       s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
          |round((${graft.functions.CleanFunctions.exactMeanSql("CAST(embedding[i] AS DOUBLE)")}) * 1000000.0) / 1000000.0 AS centroid
