@@ -18,7 +18,10 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       SparkEntry.entry(spark).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted name order: Map iteration order shifts whenever entries are
+    // added, which would reshuffle warm-up/pressure effects between
+    // rounds and make per-query comparisons apples-to-oranges.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -33,7 +36,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
