@@ -67,6 +67,11 @@ object GraphOps {
       converged = changed == 0
       round += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"minLabelPropagate hit maxRounds=$maxRounds before the fixpoint: " +
+          "returned labels may split components (raise maxRounds; " +
+          "pointer jumping covers diameter ~2^rounds)")
     labels
   }
 }

@@ -124,10 +124,14 @@ object MlpAutoencoder {
           epochs: Int, lr: Double, seed: Long): Params = {
     val spark = seqs.sparkSession
     val idx = seqs.schema.fieldIndex(seqCol)
+    // Materialize the training RDD ONCE: each epoch re-reads it, and
+    // without the cache every epoch would replay the upstream
+    // repartition+sort shuffle (the dominant cost at scale).
+    val trainRdd = seqs.rdd.cache()
     var params = init(seqLen, hidden, seed)
     for (_ <- 1 to epochs) {
       val bc = spark.sparkContext.broadcast(params)
-      val partResults = seqs.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val partResults = trainRdd.mapPartitionsWithIndex { (pid, rows) =>
         val p = bc.value.copyOf()
         var n = 0L
         rows.foreach { r =>
@@ -137,6 +141,7 @@ object MlpAutoencoder {
         }
         if (n == 0) Iterator.empty else Iterator.single((pid, p, n))
       }.collect().sortBy(_._1) // fixed accumulation order => deterministic
+      bc.destroy() // params rebroadcast next epoch; don't accumulate blocks
       val total = partResults.map(_._3).sum.toDouble
       val acc = Params(new Array[Double](hidden * seqLen),
         new Array[Double](hidden), new Array[Double](seqLen))
@@ -151,6 +156,7 @@ object MlpAutoencoder {
       }
       params = acc
     }
+    trainRdd.unpersist(blocking = false)
     params
   }
 

@@ -287,6 +287,13 @@ object TimeSeriesOps {
                     outCol: String = "ewma", numPartitions: Int = 0): DataFrame = {
     require(keys.nonEmpty, "ewmaRecursive needs series keys (single-series mode: add a literal key)")
     require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    // The shadow column is dropped POSITIONALLY (last field) after the
+    // scan; a pre-existing column with either name would make withColumn
+    // replace-in-place and silently misalign every row.
+    require(!df.columns.contains("__ewma_in"),
+      "ewmaRecursive: input already has a __ewma_in column")
+    require(!df.columns.contains(outCol),
+      s"ewmaRecursive: input already has the output column '$outCol'")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession

@@ -44,17 +44,24 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label embedding centroids (class prototypes): posexplode to
-    // (label, dim, value) and aggregate DECIMAL-exact per-dimension means
-    // — one shuffle on (label, dim), map-side partial sums, long-format
-    // output so the oracle compares scalars, not nested lists.
+    // (label, dim, value) and aggregate order-independent per-dimension
+    // means — one shuffle on (label, dim), map-side partial sums,
+    // long-format output so the oracle compares scalars, not nested
+    // lists. DECIMAL(28,10) accumulator: scale 10 sits three orders
+    // below float's own ulp at unit scale (~1.2e-7), so the summed
+    // values are the float components to within their own precision —
+    // unlike the 1e-6 scale of the generic exactMean, which would
+    // quantize coarser than the inputs.
     "emb_centroids" -> { (s, d) =>
-      import org.apache.spark.sql.types.{DoubleType, LongType}
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val dec = DecimalType(28, 10)
       Tables.embeddings(s, d)
         .select(col("label").cast(LongType).as("label"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("dim"))
         .agg(graft.functions.CleanFunctions.round6(
-          graft.functions.CleanFunctions.exactMean(col("v").cast(DoubleType))).as("centroid"))
+          sum(col("v").cast(DoubleType).cast(dec)).cast(DoubleType) / count(col("v"))
+        ).as("centroid"))
         .orderBy("label", "dim")
     },
 
@@ -183,7 +190,7 @@ object SimilarityQueries {
 
     "emb_centroids" ->
       s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
-         |round((${graft.functions.CleanFunctions.exactMeanSql("CAST(embedding[i] AS DOUBLE)")}) * 1000000.0) / 1000000.0 AS centroid
+         |round((CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(embedding[i])) * 1000000.0) / 1000000.0 AS centroid
          |FROM embeddings, (SELECT unnest(generate_series(1, $EmbDim)) AS i) dims
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 

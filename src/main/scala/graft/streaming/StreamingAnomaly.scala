@@ -119,10 +119,14 @@ object StreamingAnomaly {
     * the batch `Anomaly.alertEpisodes`). State per key is ONE open
     * episode (count + span); an episode emits when the run breaks — a
     * non-flagged event of the same series arrives. Run-length semantics
-    * close on data, not time, so there is no watermark: an episode with
-    * no subsequent event stays open in state (exactly the batch
-    * behavior for a series ending mid-run, which never emits a closed
-    * group either until more data arrives).
+    * close on data, not time, so there is no watermark.
+    *
+    * Divergence from batch, by design: on a FINITE replay the batch
+    * operator emits a trailing still-flagged run as a group (it sees the
+    * whole table), while this operator holds it open awaiting more data
+    * — on an unbounded stream "the series ended" is unknowable. To drain
+    * open episodes at end-of-stream, feed one flag-0 sentinel per key
+    * (as the equivalence spec does) or add a timeout policy.
     */
   def alertEpisodes(flagged: Dataset[FlaggedEvent]): Dataset[Episode] = {
     import flagged.sparkSession.implicits._
