@@ -289,6 +289,30 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Time spine + gap fill (pandas reindex/asfreq): materialize EVERY
+    // hourly bucket between each series' first and last event — the rows
+    // that don't exist in the data — left-join the observed hourly means
+    // onto the spine, and forward-fill the gaps. Spine generation is a
+    // per-key sequence explode (rows proportional to key-span, fully
+    // parallel); the fill is the standard last-ignoreNulls window.
+    "ts_time_spine" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"), CleanFunctions.exactMean(col("value")).as("v"))
+      val spine = hourly.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+      val w = Window.partitionBy("user_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(hourly, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), epochUs(col("bucket")).as("bucket_us"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          CleanFunctions.round4(last(col("v"), ignoreNulls = true).over(w)).as("v_ffill"))
+        .orderBy("user_id", "bucket_us")
+    },
+
     // TIME-RANGE rolling stats: the trailing window is defined by event
     // TIME (last 24 hours strictly before this row), not row count — the
     // two differ whenever a series has gaps or bursts, which the
@@ -615,6 +639,19 @@ object TimeSeriesQueries {
          |max(value) OVER we AS running_max
          |FROM events WINDOW we AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY event_id""".stripMargin,
+
+    "ts_time_spine" ->
+      s"""WITH h AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+         |  count(*) AS n, ${CleanFunctions.exactMeanSql("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM h GROUP BY 1),
+         |sp AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM b),
+         |j AS (SELECT sp.user_id, sp.bucket, coalesce(h.n, 0) AS n, h.v
+         |  FROM sp LEFT JOIN h ON sp.user_id = h.user_id AND sp.bucket = h.bucket)
+         |SELECT user_id, CAST(epoch_us(bucket) AS BIGINT) AS bucket_us, n,
+         |round((last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0) / 10000.0 AS v_ffill
+         |FROM j ORDER BY user_id, bucket_us""".stripMargin,
 
     "ts_rolling_time_range" -> {
       val dayUs = 24L * 3600 * 1000000
