@@ -416,6 +416,31 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Sequential funnel: per user, the first view, the first click
+    // STRICTLY AFTER that view, and the first purchase strictly after
+    // that click — order-dependent conversion, not mere co-occurrence.
+    // Three grouped mins chained by broadcastable per-user join-backs
+    // (each stage's table is <= |users| rows); stage = how deep the user
+    // converted.
+    "events_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tsu")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(broadcast(v), "user_id")
+        .filter(col("tsu") > col("t_view"))
+        .groupBy("user_id").agg(min(col("tsu")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id")
+        .filter(col("tsu") > col("t_click"))
+        .groupBy("user_id").agg(min(col("tsu")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1L) + col("t_click").isNotNull.cast("long")
+            + col("t_purchase").isNotNull.cast("long")).as("stage"))
+        .orderBy("user_id")
+    },
+
     // Gap-based sessionization: 30-minute inactivity cuts a session.
     "ts_sessionize" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -721,6 +746,18 @@ object TimeSeriesQueries {
          |SELECT l.event_id, l.value, r.pval AS last_purchase_value
          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
          |ORDER BY l.event_id""".stripMargin,
+
+    "events_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |v AS (SELECT user_id, min(tsu) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.tsu) AS t_click FROM e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.tsu > v.t_view GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.tsu) AS t_purchase FROM e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.tsu > c.t_click GROUP BY 1)
+         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+         |  1 + CAST(c.t_click IS NOT NULL AS BIGINT) + CAST(p.t_purchase IS NOT NULL AS BIGINT) AS stage
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |ORDER BY user_id""".stripMargin,
 
     "ts_sessionize" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
