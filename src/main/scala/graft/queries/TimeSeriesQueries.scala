@@ -441,6 +441,22 @@ object TimeSeriesQueries {
         .orderBy("user_id")
     },
 
+    // Cohort retention: users grouped by first-seen day, distinct-user
+    // counts per (cohort, day offset) — the activity-decay matrix. One
+    // grouped min (cohort per user, <= |users| rows, broadcast back) +
+    // one distinct-count aggregation.
+    "events_retention" -> { (s, d) =>
+      val dayUs = 24L * 3600 * 1000000
+      val ev = Tables.events(s, d)
+        .withColumn("day_us", epochUs(date_trunc("day", col("ts"))))
+      val cohort = ev.groupBy("user_id").agg(min(col("day_us")).as("cohort_us"))
+      ev.join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_us"),
+          expr(s"(day_us - cohort_us) div $dayUs").as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_us", "offset_days")
+    },
+
     // Gap-based sessionization: 30-minute inactivity cuts a session.
     "ts_sessionize" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -746,6 +762,14 @@ object TimeSeriesQueries {
          |SELECT l.event_id, l.value, r.pval AS last_purchase_value
          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
          |ORDER BY l.event_id""".stripMargin,
+
+    "events_retention" ->
+      s"""WITH e AS (SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us FROM events),
+         |c AS (SELECT user_id, min(day_us) AS cohort_us FROM e GROUP BY 1)
+         |SELECT c.cohort_us, (e.day_us - c.cohort_us) // ${24L * 3600 * 1000000} AS offset_days,
+         |  count(DISTINCT e.user_id) AS n_users
+         |FROM e JOIN c USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_us, offset_days""".stripMargin,
 
     "events_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
