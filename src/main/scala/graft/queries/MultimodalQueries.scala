@@ -71,6 +71,27 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Per-frame FEATURE EXTRACTION stub: frame "energy" = sum of the
+    // frame's 32 code units — the plumbing of an audio RMS / image
+    // intensity feature (swap the codepoint sum for a real codec call;
+    // sampling, slicing, per-frame schema all stay). Unrolled 32-term
+    // codepoint sum keeps the arithmetic identical in DuckDB.
+    "mm_frame_energy" -> { (s, d) =>
+      val F = 32
+      val stride = 4
+      val energy = (1 to F).map(i =>
+        expr(s"ascii(substring(text, cast(frame_idx * $F + $i as int), 1))").cast("long"))
+        .reduce(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_frames", expr(s"length(text) div $F"))
+        .filter(col("n_frames") >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"), energy.as("energy"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // Resize/thumbnail stub: deterministic byte-level downsample (first
     // 256 bytes) + recomputed dimensions. Swap the slice for a real
     // scaler; schema and per-row transform shape stay identical.
@@ -104,6 +125,18 @@ object MultimodalQueries {
          |f AS (SELECT doc_id, text,
          |  unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx FROM d)
          |SELECT doc_id, frame_idx, $fh AS frame_hash
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    },
+
+    "mm_frame_energy" -> {
+      val energy = (1 to 32).map(i =>
+        s"CAST(ascii(substr(text, CAST(frame_idx * 32 + $i AS BIGINT), 1)) AS BIGINT)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text, strlen(text) // 32 AS n_frames
+         |  FROM documents WHERE strlen(text) // 32 >= 1),
+         |f AS (SELECT doc_id, text,
+         |  unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx FROM d)
+         |SELECT doc_id, frame_idx, $energy AS energy
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin
     },
 
