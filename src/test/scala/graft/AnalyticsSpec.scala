@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ordering-semantics tests for the events-analytics entries on crafted
+  * sequences the synthetic corpus cannot guarantee to contain.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Write a synthetic events table in the testdata layout (ts as INT64
+    * nanos, like the driver-generated parquet) and return its directory.
+    */
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    rows.toDF("event_id", "tsu", "user_id", "event_type", "value")
+      .withColumn("ts", col("tsu") * 1000L) // micros -> nanos
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private val H = 3600L * 1000000 // one hour in micros
+
+  test("funnel counts only strictly-ordered view -> click -> purchase") {
+    val d = eventsDir(Seq(
+      // u1: full ordered funnel -> stage 3
+      (1L, 1 * H, 1L, "view", 1.0), (2L, 2 * H, 1L, "click", 1.0), (3L, 3 * H, 1L, "purchase", 1.0),
+      // u2: click BEFORE the first view, purchase after -> stage 1
+      (4L, 1 * H, 2L, "click", 1.0), (5L, 2 * H, 2L, "view", 1.0), (6L, 3 * H, 2L, "purchase", 1.0),
+      // u3: view only -> stage 1
+      (7L, 1 * H, 3L, "view", 1.0),
+      // u4: purchase between view and click -> stage 2 (no purchase AFTER click)
+      (8L, 1 * H, 4L, "view", 1.0), (9L, 2 * H, 4L, "purchase", 1.0), (10L, 3 * H, 4L, "click", 1.0)))
+    val stages = SparkEntry.queries("events_funnel")(spark, d)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(stages == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L), s"got $stages")
+  }
+
+  test("retention offsets are measured from each user's first-seen day") {
+    val day = 24 * H
+    val d = eventsDir(Seq(
+      (1L, 0 * day + H, 1L, "view", 1.0),      // u1 cohort day 0
+      (2L, 2 * day + H, 1L, "view", 1.0),      // u1 back on day 2
+      (3L, 1 * day + H, 2L, "view", 1.0),      // u2 cohort day 1
+      (4L, 2 * day + H, 2L, "view", 1.0)))     // u2 back on day 1 offset
+    val r = SparkEntry.queries("events_retention")(spark, d)
+      .select("cohort_us", "offset_days", "n_users").as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((0L, 0L, 1L), (0L, 2L, 1L), (1L * day, 0L, 1L), (1L * day, 1L, 1L)), s"got $r")
+  }
+
+  test("time spine materializes every hourly bucket and forward-fills gaps") {
+    val d = eventsDir(Seq(
+      (1L, 1 * H, 1L, "view", 10.0),
+      (2L, 4 * H, 1L, "view", 40.0)))  // 3-hour gap -> buckets 2,3 synthesized
+    val r = SparkEntry.queries("ts_time_spine")(spark, d)
+      .select("bucket_us", "n", "v_ffill").as[(Long, Long, Double)].collect()
+      .sortBy(_._1).toList
+    assert(r.map(_._1) == List(1 * H, 2 * H, 3 * H, 4 * H), "spine must cover every hour")
+    assert(r.map(_._2) == List(1L, 0L, 0L, 1L), "synthesized buckets carry n=0")
+    assert(r.map(_._3) == List(10.0, 10.0, 10.0, 40.0), "gaps forward-fill the last mean")
+  }
+}
