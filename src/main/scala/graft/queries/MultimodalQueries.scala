@@ -132,8 +132,8 @@ object MultimodalQueries {
       val energy = (1 to 32).map(i =>
         s"CAST(ascii(substr(text, CAST(frame_idx * 32 + $i AS BIGINT), 1)) AS BIGINT)")
         .mkString(" + ")
-      s"""WITH d AS (SELECT doc_id, text, strlen(text) // 32 AS n_frames
-         |  FROM documents WHERE strlen(text) // 32 >= 1),
+      s"""WITH d AS (SELECT doc_id, text, length(text) // 32 AS n_frames
+         |  FROM documents WHERE length(text) // 32 >= 1),
          |f AS (SELECT doc_id, text,
          |  unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx FROM d)
          |SELECT doc_id, frame_idx, $energy AS energy

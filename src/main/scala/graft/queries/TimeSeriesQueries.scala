@@ -297,9 +297,10 @@ object TimeSeriesQueries {
     // parallel); the fill is the standard last-ignoreNulls window.
     "ts_time_spine" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val hourly = Tables.events(s, d)
-        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n"), CleanFunctions.exactMean(col("value")).as("v"))
+      // Bucketing delegates to the resample operator so spine buckets can
+      // never drift from ts_resample_1h's semantics.
+      val hourly = TS.resample(Tables.events(s, d), K, "ts", "hour", "value")
+        .select(col("user_id"), col("bucket"), col("n"), col("avg_value").as("v"))
       val spine = hourly.groupBy(col("user_id"))
         .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
         .select(col("user_id"),
@@ -419,19 +420,20 @@ object TimeSeriesQueries {
     // Sequential funnel: per user, the first view, the first click
     // STRICTLY AFTER that view, and the first purchase strictly after
     // that click — order-dependent conversion, not mere co-occurrence.
-    // Three grouped mins chained by broadcastable per-user join-backs
-    // (each stage's table is <= |users| rows); stage = how deep the user
-    // converted.
+    // Three grouped mins chained by per-user join-backs; the stage
+    // tables are <= |users| rows but |users| grows with data here, so
+    // join strategy is left to the optimizer (broadcast at test scale,
+    // shuffle at billions of users — a forced broadcast() would OOM).
     "events_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("tsu")).as("t_view"))
       val c = ev.filter(col("event_type") === "click")
-        .join(broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(col("tsu") > col("t_view"))
         .groupBy("user_id").agg(min(col("tsu")).as("t_click"))
       val p = ev.filter(col("event_type") === "purchase")
-        .join(broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(col("tsu") > col("t_click"))
         .groupBy("user_id").agg(min(col("tsu")).as("t_purchase"))
       v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
@@ -443,14 +445,15 @@ object TimeSeriesQueries {
 
     // Cohort retention: users grouped by first-seen day, distinct-user
     // counts per (cohort, day offset) — the activity-decay matrix. One
-    // grouped min (cohort per user, <= |users| rows, broadcast back) +
+    // grouped min (cohort per user) joined back on the key (optimizer
+    // picks broadcast vs shuffle; the per-user table grows with data) +
     // one distinct-count aggregation.
     "events_retention" -> { (s, d) =>
       val dayUs = 24L * 3600 * 1000000
       val ev = Tables.events(s, d)
         .withColumn("day_us", epochUs(date_trunc("day", col("ts"))))
       val cohort = ev.groupBy("user_id").agg(min(col("day_us")).as("cohort_us"))
-      ev.join(broadcast(cohort), "user_id")
+      ev.join(cohort, "user_id")
         .groupBy(col("cohort_us"),
           expr(s"(day_us - cohort_us) div $dayUs").as("offset_days"))
         .agg(countDistinct(col("user_id")).as("n_users"))

@@ -6,15 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Ordering-semantics tests for the events-analytics entries on crafted
   * sequences the synthetic corpus cannot guarantee to contain.
   */
-class AnalyticsSpec extends AnyFunSuite {
+class AnalyticsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private val spark = SparkTestSession.spark
   import spark.implicits._
+
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer[String]()
+  override def afterAll(): Unit = tmpDirs.foreach { d =>
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(d))
+  }
 
   /** Write a synthetic events table in the testdata layout (ts as INT64
     * nanos, like the driver-generated parquet) and return its directory.
     */
   private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    tmpDirs += dir
     rows.toDF("event_id", "tsu", "user_id", "event_type", "value")
       .withColumn("ts", col("tsu") * 1000L) // micros -> nanos
       .withColumn("props", lit("{}"))
