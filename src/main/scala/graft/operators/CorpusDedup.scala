@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** User-facing corpus deduplication API (SURVEY.md §2.8): the exact +
+  * near-dup composition the `dedup_pipeline` query runs, callable on any
+  * document DataFrame. Stages:
+  *
+  *  1. exact: keep the minimum id per content hash (one hash-partition
+  *     window, no driver collect);
+  *  2. near-dup: simhash the survivors, band the 60-bit signatures into
+  *     6 x 10-bit chunks (recall GUARANTEED by pigeonhole for hamming <=
+  *     maxHamming = 5), candidate pairs from the chunk equi-join, drop
+  *     the larger id of every pair within the hamming threshold.
+  *
+  * Both stages are equi-join/window shapes — never an O(n^2) cross join —
+  * so the composition survives corpus scale; candidates are bounded by
+  * band-bucket occupancy. The `dedup_pipeline` driver-verified query
+  * delegates here, so this API is DuckDB-oracle-checked end to end.
+  */
+object CorpusDedup {
+
+  val SimhashChunks = 6
+  val SimhashMaxHamming = 5
+
+  /** Surviving ids after exact dedup: min id per distinct content. */
+  def exactSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    docs
+      .withColumn("__canonical", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__canonical"))
+      .drop("__canonical")
+  }
+
+  /** (id, chunk index, chunk value, full signature) for banded matching. */
+  private def simhashChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sim = docs.select(col(idCol),
+      TextFunctions.simhash60(TextFunctions.tokens(col(textCol))).as("sig"))
+    sim.select(col(idCol), col("sig"), explode(array(
+      (0 until SimhashChunks).map(c =>
+        struct(lit(c).as("c"), shiftright(col("sig"), c * 10).bitwiseAND(lit(1023L)).as("v"))): _*)).as("ck"))
+      .select(col(idCol), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+  }
+
+  /** Ids dropped by near-dup stage: the larger id of every candidate pair
+    * within `maxHamming` (<= SimhashMaxHamming for guaranteed recall).
+    */
+  def nearDupDropped(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    require(maxHamming <= SimhashMaxHamming,
+      s"maxHamming=$maxHamming exceeds the $SimhashChunks-chunk banding's guaranteed recall bound $SimhashMaxHamming")
+    val chunks = simhashChunks(docs, idCol, textCol)
+    chunks.as("a").join(chunks.as("b"),
+        col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("a.c") === col("b.c") && col("a.v") === col("b.v"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= maxHamming)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+  }
+
+  /** Full composition: rows of `docs` surviving exact then near-dup
+    * dedup, original columns preserved.
+    */
+  def run(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+          maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val kept = exactSurvivors(docs, idCol, textCol)
+    kept.join(nearDupDropped(kept, idCol, textCol, maxHamming), Seq(idCol), "left_anti")
+  }
+}

@@ -151,28 +151,11 @@ object DedupQueries {
     // identical banding so parity is exact.
     // End-to-end corpus dedup: drop exact duplicates (keep min doc_id
     // per content hash), then drop the larger id of every simhash
-    // near-dup pair among the survivors. The composition a pipeline
-    // user actually runs; each stage is the operator verified above.
+    // near-dup pair among the survivors. Delegates to the user-facing
+    // graft.operators.CorpusDedup API, so the library surface itself is
+    // what the oracle verifies.
     "dedup_pipeline" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val exactW = Window.partitionBy(md5(col("text")))
-      val exactKept = docs
-        .withColumn("canonical", min(col("doc_id")).over(exactW))
-        .filter(col("doc_id") === col("canonical"))
-        .select(col("doc_id"), col("text"))
-      val sim = exactKept
-        .select(col("doc_id"), TextFunctions.simhash60(TextFunctions.tokens(col("text"))).as("sig"))
-      val chunks = sim.select(col("doc_id"), col("sig"), explode(array(
-        (0 until SimhashChunks).map(c =>
-          struct(lit(c).as("c"), shiftright(col("sig"), c * 10).bitwiseAND(lit(1023L)).as("v"))): _*)).as("ck"))
-        .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
-      val nearDropped = chunks.as("a").join(chunks.as("b"),
-          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= SimhashMaxHamming)
-        .select(col("b.doc_id").as("doc_id")).distinct()
-      exactKept.join(nearDropped, Seq("doc_id"), "left_anti")
+      graft.operators.CorpusDedup.run(Tables.documents(s, d))
         .select(col("doc_id"))
         .orderBy("doc_id")
     },
