@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CleanFunctions, TextFunctions}
+
+/** User-facing similarity-search API (SURVEY.md §2.9), callable on any
+  * (id, embedding) corpus. Three strategies, one output contract
+  * (q_id, n_id, score, rk — score 4dp-rounded, rank tie-broken on n_id
+  * so results are deterministic):
+  *
+  *  - [[bruteForceTopK]]: broadcast the query batch against the corpus —
+  *    exact, the right plan whenever the batch fits in memory; the corpus
+  *    side streams, nothing shuffles.
+  *  - [[lshTopK]]: size-adaptive random-hyperplane buckets (expected
+  *    occupancy ~`targetOccupancy`) with hamming<=2 multi-probe; exact
+  *    cosine re-rank inside probed buckets. The 100 TB path: buckets
+  *    partition the corpus.
+  *  - IVF (coarse-quantizer cells + nprobe): see [[IvfIndex]] — fit,
+  *    assign with `IvfIndex.cellExpr`, probe nearest cells, re-rank, as
+  *    composed by the `ann_ivf_topk` query.
+  *
+  * The `ann_topk_cosine` / `ann_lsh_topk` driver entries delegate here,
+  * so this surface is DuckDB-oracle-checked.
+  */
+object AnnSearch {
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("q_id", "rk")
+  }
+
+  /** Exact top-k cosine of every query against the corpus (self-matches
+    * excluded by id). `queries` must be small enough to broadcast.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, embCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol), col(embCol),
+      TextFunctions.vecNorm(col(embCol)).as("nrm"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+      TextFunctions.vecNorm(col(embCol)).as("q_nrm"))
+    val scored = c.join(broadcast(q), col(idCol) =!= col("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        CleanFunctions.round4(TextFunctions.cosineFromNorms(
+          TextFunctions.dot(col("q_emb"), col(embCol)),
+          col("q_nrm"), col("nrm"))).as("score"))
+    ranked(scored, k)
+  }
+
+  /** Plane count for a corpus of `n` vectors: smallest p with
+    * n <= targetOccupancy * 2^p, capped. Integer thresholds so SQL twins
+    * can replicate the derivation exactly.
+    */
+  def annPlanes(n: Long, targetOccupancy: Long = 64L, maxPlanes: Int = 16): Int =
+    (1 to maxPlanes).find(p => n <= (targetOccupancy << p)).getOrElse(maxPlanes)
+
+  /** Approximate top-k via adaptive hyperplane LSH with hamming<=2
+    * multi-probe. `corpus` should be cached by the caller if reused (the
+    * sizing count and the bucketed scan both read it).
+    */
+  def lshTopK(corpus: DataFrame, queryPred: Column,
+              idCol: String, embCol: String, k: Int,
+              targetOccupancy: Long = 64L): DataFrame = {
+    val np = annPlanes(corpus.count(), targetOccupancy)
+    val sb = corpus.select(col(idCol), col(embCol),
+      TextFunctions.vecNorm(col(embCol)).as("nrm"),
+      TextFunctions.packBits((0 until np).map(p =>
+        TextFunctions.lshSign(col(embCol), p))).as("bucket")).cache()
+    val flips: Seq[Column] =
+      (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
+        (for { p <- 0 until np; q <- p + 1 until np }
+          yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))))
+    val probes = sb.filter(queryPred)
+      .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
+        col("nrm").as("q_nrm"),
+        explode(array(col("bucket") +: flips: _*)).as("pbucket"))
+    val scored = sb.join(broadcast(probes),
+        sb("bucket") === probes("pbucket") && sb(idCol) =!= probes("q_id"))
+      .select(col("q_id"), col(idCol).as("n_id"),
+        CleanFunctions.round4(TextFunctions.cosineFromNorms(
+          TextFunctions.dot(col("q_emb"), col(embCol)),
+          col("q_nrm"), col("nrm"))).as("score"))
+    ranked(scored, k)
+  }
+}

@@ -78,21 +78,11 @@ object SimilarityQueries {
         FROM graft_emb ORDER BY vec_id""")
     },
 
+    // Delegates to the user-facing AnnSearch API (oracle-verified there).
     "ann_topk_cosine" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          TextFunctions.vecNorm(col("embedding")).as("nrm"))
-      val q = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          graft.functions.CleanFunctions.round4(TextFunctions.cosineFromNorms(
-            TextFunctions.dot(col("q_emb"), col("embedding")),
-            col("q_nrm"), col("nrm"))).as("score"))
-      val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= TopK)
-        .orderBy("q_id", "rk")
+      graft.operators.AnnSearch.bruteForceTopK(
+        e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", TopK)
     },
 
     // LSH ANN with size-adaptive bucket count and hamming<=2 multi-probe:
@@ -103,32 +93,11 @@ object SimilarityQueries {
     // lives in exactly one bucket, so candidate pairs are already unique —
     // no distinct needed before scoring.
     "ann_lsh_topk" -> { (s, d) =>
-      // Cache BEFORE the sizing count so deriving np and building the
-      // bucketed view costs one corpus scan, not two.
+      // Cached BEFORE the API's sizing count: one corpus scan total.
       val e = Tables.embeddings(s, d).cache()
-      val np = annPlanes(e.count())
-      val sb = e.select(col("vec_id"), col("embedding"),
-        TextFunctions.vecNorm(col("embedding")).as("nrm"),
-        TextFunctions.packBits((0 until np).map(p =>
-          TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
-      val flips: Seq[org.apache.spark.sql.Column] =
-        (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
-          (for { p <- 0 until np; q <- p + 1 until np }
-            yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))))
-      val probes = sb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"),
-          explode(array(col("bucket") +: flips: _*)).as("pbucket"))
-      val scored = sb.join(broadcast(probes),
-          sb("bucket") === probes("pbucket") && sb("vec_id") =!= probes("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          graft.functions.CleanFunctions.round4(TextFunctions.cosineFromNorms(
-            TextFunctions.dot(col("q_emb"), col("embedding")),
-            col("q_nrm"), col("nrm"))).as("score"))
-      val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= TopK)
-        .orderBy("q_id", "rk")
+      graft.operators.AnnSearch.lshTopK(
+        e, col("vec_id") % 50 === 0, "vec_id", "embedding", TopK,
+        targetOccupancy = AnnTargetOccupancy)
     },
 
     // IVF (inverted-file) ANN — the other standard scale path: a
