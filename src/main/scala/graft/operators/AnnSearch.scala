@@ -51,11 +51,18 @@ object AnnSearch {
     ranked(scored, k)
   }
 
+  /** Defaults shared with the DuckDB oracle twins (SimilarityQueries
+    * builds its unrolled CASE from these same values).
+    */
+  val DefaultTargetOccupancy = 64L
+  val DefaultMaxPlanes = 16
+
   /** Plane count for a corpus of `n` vectors: smallest p with
     * n <= targetOccupancy * 2^p, capped. Integer thresholds so SQL twins
     * can replicate the derivation exactly.
     */
-  def annPlanes(n: Long, targetOccupancy: Long = 64L, maxPlanes: Int = 16): Int =
+  def annPlanes(n: Long, targetOccupancy: Long = DefaultTargetOccupancy,
+                maxPlanes: Int = DefaultMaxPlanes): Int =
     (1 to maxPlanes).find(p => n <= (targetOccupancy << p)).getOrElse(maxPlanes)
 
   /** Approximate top-k via adaptive hyperplane LSH with hamming<=2

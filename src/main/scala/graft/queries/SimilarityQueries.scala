@@ -28,15 +28,10 @@ import graft.sources.Tables
 object SimilarityQueries {
 
   private val TopK = 10
-  // Adaptive LSH sizing: nplanes = smallest p with n <= TargetOccupancy *
-  // 2^p (so expected bucket occupancy stays ~TargetOccupancy as the corpus
-  // grows — a fixed plane count degenerates to brute-force-per-bucket at
-  // scale), capped at MaxAnnPlanes. Integer thresholds, so the SQL twin's
-  // unrolled CASE matches exactly.
-  private val AnnTargetOccupancy = 64L
-  private val MaxAnnPlanes = 16
-  private def annPlanes(n: Long): Int =
-    (1 to MaxAnnPlanes).find(p => n <= (AnnTargetOccupancy << p)).getOrElse(MaxAnnPlanes)
+  // Adaptive LSH sizing constants come from the AnnSearch API so the SQL
+  // twin's unrolled CASE can never drift from what lshTopK computes.
+  private val AnnTargetOccupancy = graft.operators.AnnSearch.DefaultTargetOccupancy
+  private val MaxAnnPlanes = graft.operators.AnnSearch.DefaultMaxPlanes
   private val IvfCentroids = 16
   private val IvfProbes = 4
   private val IvfIters = 2
