@@ -107,6 +107,19 @@ object TextQueries {
         .orderBy("lang", "rk")
     },
 
+    // Deterministic train/val split: assignment from the md5-derived
+    // content-id hash — stable across runs, engines, and partitionings
+    // (a rand()-based split would re-deal on every retry). 90/10 by
+    // hash bucket; stratification keys (lang here) ride along so split
+    // balance is auditable per stratum.
+    "text_split" -> { (s, d) =>
+      val bucket = CleanFunctions.md5Hash64(concat(lit("split:"), col("doc_id"))) % 100
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(bucket < 90, "train").otherwise("val").as("split"))
+        .orderBy("doc_id")
+    },
+
     // Context chunking: split each document into fixed-size token chunks
     // with overlap (size 50, stride 40) — the training-prep op that turns
     // documents into model-context windows. Pure per-row explode + slice
@@ -253,6 +266,12 @@ object TextQueries {
            |list_min(list_transform($sh, sh -> ${CleanFunctions.md5Hash64Sql("sh")})) AS min_shingle_fp
            |FROM tok ORDER BY doc_id""".stripMargin
       },
+
+      "text_split" ->
+        s"""SELECT doc_id, lang,
+           |CASE WHEN ${CleanFunctions.md5Hash64Sql("'split:' || doc_id")} % 100 < 90
+           |     THEN 'train' ELSE 'val' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "text_chunk" ->
         s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),
