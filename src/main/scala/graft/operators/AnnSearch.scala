@@ -66,17 +66,20 @@ object AnnSearch {
     (1 to maxPlanes).find(p => n <= (targetOccupancy << p)).getOrElse(maxPlanes)
 
   /** Approximate top-k via adaptive hyperplane LSH with hamming<=2
-    * multi-probe. `corpus` should be cached by the caller if reused (the
-    * sizing count and the bucketed scan both read it).
+    * multi-probe. Cache `corpus` before calling if the session reuses it:
+    * the sizing count, the probe build and the candidate join all read it
+    * (the derived sign bits are cheap to recompute from a cached corpus,
+    * and an API-internal cache would leak pinned executor memory the
+    * caller has no handle to release).
     */
   def lshTopK(corpus: DataFrame, queryPred: Column,
               idCol: String, embCol: String, k: Int,
-              targetOccupancy: Long = 64L): DataFrame = {
+              targetOccupancy: Long = DefaultTargetOccupancy): DataFrame = {
     val np = annPlanes(corpus.count(), targetOccupancy)
     val sb = corpus.select(col(idCol), col(embCol),
       TextFunctions.vecNorm(col(embCol)).as("nrm"),
       TextFunctions.packBits((0 until np).map(p =>
-        TextFunctions.lshSign(col(embCol), p))).as("bucket")).cache()
+        TextFunctions.lshSign(col(embCol), p))).as("bucket"))
     val flips: Seq[Column] =
       (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
         (for { p <- 0 until np; q <- p + 1 until np }

@@ -29,6 +29,8 @@ object CorpusDedup {
 
   /** Surviving ids after exact dedup: min id per distinct content. */
   def exactSurvivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!docs.columns.contains("__canonical"),
+      "CorpusDedup: input already has a __canonical column (would be clobbered)")
     val w = Window.partitionBy(md5(col(textCol)))
     docs
       .withColumn("__canonical", min(col(idCol)).over(w))
@@ -36,8 +38,11 @@ object CorpusDedup {
       .drop("__canonical")
   }
 
-  /** (id, chunk index, chunk value, full signature) for banded matching. */
-  private def simhashChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (id, chunk index, chunk value, full signature) for banded matching —
+    * the single home of the 6 x 10-bit banding used by CorpusDedup AND
+    * the dedup_simhash / dedup_clusters queries.
+    */
+  def simhashChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sim = docs.select(col(idCol),
       TextFunctions.simhash60(TextFunctions.tokens(col(textCol))).as("sig"))
     sim.select(col(idCol), col("sig"), explode(array(

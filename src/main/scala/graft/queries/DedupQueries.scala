@@ -28,8 +28,10 @@ object DedupQueries {
   private val MaxShingleDf = 100 // df-pruning bound for the shingle self-join
   private val JaccardThreshold = 0.8
   private val MinhashVerifyThreshold = 0.7
-  private val SimhashChunks = 6 // 6 x 10 bits; recall guaranteed to hamming<=5
-  private val SimhashMaxHamming = 5
+  // Shared with the CorpusDedup API so the oracle SQL can never drift
+  // from what the delegating queries compute.
+  private val SimhashChunks = graft.operators.CorpusDedup.SimhashChunks
+  private val SimhashMaxHamming = graft.operators.CorpusDedup.SimhashMaxHamming
   private val CosineThreshold = 0.4 // max pairwise cosine in testdata ~0.51
   private val EmbBands = 4
   private val EmbRowsPerBand = 4 // 16 planes = GraftConfig.LshPlanes
@@ -128,13 +130,8 @@ object DedupQueries {
     // SimHash: 60-bit signature per doc (array-fold, no explosion), banded
     // into 6 chunks of 10 bits for the candidate join, exact hamming <= 5.
     "dedup_simhash" -> { (s, d) =>
-      val sim = Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.simhash60(TextFunctions.tokens(col("text"))).as("sig"))
-        .cache()
-      val chunks = sim.select(col("doc_id"), col("sig"), explode(array(
-        (0 until SimhashChunks).map(c =>
-          struct(lit(c).as("c"), shiftright(col("sig"), c * 10).bitwiseAND(lit(1023L)).as("v"))): _*)).as("ck"))
-        .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      val chunks = graft.operators.CorpusDedup
+        .simhashChunks(Tables.documents(s, d), "doc_id", "text")
       chunks.as("a").join(chunks.as("b"),
           col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -168,12 +165,8 @@ object DedupQueries {
     // the unique min-reachable-id labeling, which the oracle replicates
     // with a recursive transitive-closure CTE.
     "dedup_clusters" -> { (s, d) =>
-      val sim = Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.simhash60(TextFunctions.tokens(col("text"))).as("sig"))
-      val chunks = sim.select(col("doc_id"), col("sig"), explode(array(
-        (0 until SimhashChunks).map(c =>
-          struct(lit(c).as("c"), shiftright(col("sig"), c * 10).bitwiseAND(lit(1023L)).as("v"))): _*)).as("ck"))
-        .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      val chunks = graft.operators.CorpusDedup
+        .simhashChunks(Tables.documents(s, d), "doc_id", "text")
       val pairs = chunks.as("a").join(chunks.as("b"),
           col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
             col("a.doc_id") < col("b.doc_id"))
