@@ -34,16 +34,24 @@ object AnnSearch {
       .orderBy("q_id", "rk")
   }
 
-  /** Exact top-k cosine of every query against the corpus (self-matches
-    * excluded by id). `queries` must be small enough to broadcast.
+  /** Exact top-k cosine of every query against the corpus. `queries` must
+    * be small enough to broadcast.
+    *
+    * `excludeSelf=true` (the default) drops pairs whose ids are equal and
+    * therefore assumes `queries` is drawn from the corpus id space; if the
+    * queries are an EXTERNAL table whose ids are unrelated to the corpus,
+    * pass `excludeSelf=false`, or valid neighbors that coincidentally
+    * share an id value would be silently dropped.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, embCol: String, k: Int): DataFrame = {
+                     idCol: String, embCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol), col(embCol),
       TextFunctions.vecNorm(col(embCol)).as("nrm"))
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
       TextFunctions.vecNorm(col(embCol)).as("q_nrm"))
-    val scored = c.join(broadcast(q), col(idCol) =!= col("q_id"))
+    val joinCond = if (excludeSelf) col(idCol) =!= col("q_id") else lit(true)
+    val scored = c.join(broadcast(q), joinCond)
       .select(col("q_id"), col(idCol).as("n_id"),
         CleanFunctions.round4(TextFunctions.cosineFromNorms(
           TextFunctions.dot(col("q_emb"), col(embCol)),
@@ -88,7 +96,13 @@ object AnnSearch {
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
         col("nrm").as("q_nrm"),
         explode(array(col("bucket") +: flips: _*)).as("pbucket"))
-    val scored = sb.join(broadcast(probes),
+    // No broadcast hint on the probe side: it is corpus-proportional
+    // (|queries| x (1 + np + np(np-1)/2) rows), so a forced broadcast
+    // would OOM once the corpus — and with it the query batch — grows
+    // 100x. The bucket equi-join shuffles fine on `pbucket`/`bucket`,
+    // and AQE still picks a broadcast at runtime whenever the measured
+    // probe side is actually small.
+    val scored = sb.join(probes,
         sb("bucket") === probes("pbucket") && sb(idCol) =!= probes("q_id"))
       .select(col("q_id"), col(idCol).as("n_id"),
         CleanFunctions.round4(TextFunctions.cosineFromNorms(

@@ -1,0 +1,409 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.GraftConfig
+
+/** LSTM autoencoder anomaly detector — the literal recurrent counterpart of
+  * the reference architecture (reference: src/models/deep_learning_models.py
+  * :1-93: LSTM encoder -> FC bottleneck -> FC -> LSTM decoder -> FC output;
+  * main.py:183-233 sequence -> score). Where [[MlpAutoencoder]] reads the
+  * whole (L,F) window as one flat vector, this model consumes it STEP BY
+  * STEP through gated recurrent state, so reconstruction depends on
+  * temporal order — a sequence and its permutation score differently.
+  *
+  * Architecture (hidden size H, bottleneck B, per-step input dim F):
+  *   encoder LSTM over x_1..x_L -> h_L
+  *   bottleneck c = tanh(Wb h_L + bb)           (the reference's FC latent)
+  *   decoder LSTM fed c at every step (RepeatVector shape) -> d_1..d_L
+  *   output xhat_t = Wo d_t + bo
+  * Loss = mean squared reconstruction error over all L*F elements.
+  *
+  * Training and scoring reuse the [[DistributedSgd]] harness — the same
+  * mapPartitions SGD + weighted parameter averaging and the same
+  * determinism contract as the MLP detector: seeded init, per-partition
+  * row order fixed by sortWithinPartitions, partition results averaged in
+  * partition-id order; same data + same partitioning => identical model,
+  * bit for bit. Backprop-through-time runs in plain fused Scala loops on
+  * executors; only the flat parameter vector crosses the wire.
+  */
+object LstmAutoencoder {
+
+  /** Parameter layout for the flat vector. Per gate: W (h x in) row-major,
+    * then U (h x h), then bias (h). Gate order i, f, o, g for both LSTMs.
+    */
+  final case class LstmDims(f: Int, l: Int, h: Int, b: Int) {
+    val encGate: Int = h * f + h * h + h
+    val decGate: Int = h * b + h * h + h
+    val oEnc: Int  = 0                    // 4 encoder gates
+    val oBott: Int = oEnc + 4 * encGate   // Wb (b x h) ++ bb (b)
+    val oDec: Int  = oBott + b * h + b    // 4 decoder gates
+    val oOut: Int  = oDec + 4 * decGate   // Wo (f x h) ++ bo (f)
+    val total: Int = oOut + f * h + f
+  }
+
+  /** Reusable per-partition scratch: forward activations kept for BPTT. */
+  private final class Ws(d: LstmDims) {
+    val hs  = new Array[Double]((d.l + 1) * d.h)  // encoder hidden, row 0 = 0
+    val cs  = new Array[Double]((d.l + 1) * d.h)  // encoder cell,   row 0 = 0
+    val ig  = new Array[Double](d.l * d.h)
+    val fg  = new Array[Double](d.l * d.h)
+    val og  = new Array[Double](d.l * d.h)
+    val gg  = new Array[Double](d.l * d.h)
+    val hs2 = new Array[Double]((d.l + 1) * d.h)  // decoder hidden
+    val cs2 = new Array[Double]((d.l + 1) * d.h)
+    val ig2 = new Array[Double](d.l * d.h)
+    val fg2 = new Array[Double](d.l * d.h)
+    val og2 = new Array[Double](d.l * d.h)
+    val gg2 = new Array[Double](d.l * d.h)
+    val cvec  = new Array[Double](d.b)
+    val e     = new Array[Double](d.l * d.f)      // d(loss)/d(xhat)
+    val dcvec = new Array[Double](d.b)
+    var dh  = new Array[Double](d.h)
+    var dc  = new Array[Double](d.h)
+    var dhP = new Array[Double](d.h)
+    var dcP = new Array[Double](d.h)
+  }
+
+  private def sigmoid(a: Double): Double = 1.0 / (1.0 + math.exp(-a))
+
+  /** Seeded Xavier-uniform init in layout order (one RNG stream — same
+    * params every run); biases 0 except forget gates at 1.0 (the standard
+    * keep-the-cell-open start, deterministic).
+    */
+  def init(d: LstmDims, seed: Long): Array[Double] = {
+    val rng = new scala.util.Random(seed)
+    val p = new Array[Double](d.total)
+    def xavier(base: Int, rows: Int, cols: Int): Unit = {
+      val lim = math.sqrt(6.0 / (rows + cols))
+      var k = 0
+      while (k < rows * cols) { p(base + k) = (rng.nextDouble() * 2 - 1) * lim; k += 1 }
+    }
+    def gates(base0: Int, gateSize: Int, in: Int): Unit = {
+      var gi = 0
+      while (gi < 4) {
+        val base = base0 + gi * gateSize
+        xavier(base, d.h, in)
+        xavier(base + d.h * in, d.h, d.h)
+        if (gi == 1) { // forget-gate bias
+          val bBase = base + d.h * in + d.h * d.h
+          java.util.Arrays.fill(p, bBase, bBase + d.h, 1.0)
+        }
+        gi += 1
+      }
+    }
+    gates(d.oEnc, d.encGate, d.f)
+    xavier(d.oBott, d.b, d.h)
+    gates(d.oDec, d.decGate, d.b)
+    xavier(d.oOut, d.f, d.h)
+    p
+  }
+
+  /** One LSTM step: reads x[xOff..xOff+in), hs/cs row t; writes gate
+    * activations at row t of ig/fg/og/gg and new state at row t+1.
+    */
+  private def lstmStep(p: Array[Double], base0: Int, gateSize: Int, in: Int, h: Int,
+                       x: Array[Double], xOff: Int,
+                       hs: Array[Double], cs: Array[Double], t: Int,
+                       ig: Array[Double], fg: Array[Double],
+                       og: Array[Double], gg: Array[Double]): Unit = {
+    val pOff = t * h
+    val nOff = (t + 1) * h
+    val gOff = t * h
+    var gi = 0
+    while (gi < 4) {
+      val base = base0 + gi * gateSize
+      val uBase = base + h * in
+      val bBase = uBase + h * h
+      val dst = gi match { case 0 => ig; case 1 => fg; case 2 => og; case _ => gg }
+      var i = 0
+      while (i < h) {
+        var a = p(bBase + i)
+        var j = 0
+        while (j < in) { a += p(base + i * in + j) * x(xOff + j); j += 1 }
+        j = 0
+        while (j < h) { a += p(uBase + i * h + j) * hs(pOff + j); j += 1 }
+        dst(gOff + i) = if (gi == 3) math.tanh(a) else sigmoid(a)
+        i += 1
+      }
+      gi += 1
+    }
+    var i = 0
+    while (i < h) {
+      val c = fg(gOff + i) * cs(pOff + i) + ig(gOff + i) * gg(gOff + i)
+      cs(nOff + i) = c
+      hs(nOff + i) = og(gOff + i) * math.tanh(c)
+      i += 1
+    }
+  }
+
+  /** BPTT for one step. On entry ws-dh/dc hold d(loss)/d(h_t, c_t); on
+    * return dhP/dcP hold d(loss)/d(h_{t-1}, c_{t-1}). Accumulates weight
+    * grads into `grad` and (when `dx` non-null) input grads into dx[dxOff..).
+    */
+  private def lstmBackStep(p: Array[Double], grad: Array[Double],
+                           base0: Int, gateSize: Int, in: Int, h: Int,
+                           x: Array[Double], xOff: Int,
+                           hs: Array[Double], cs: Array[Double], t: Int,
+                           ig: Array[Double], fg: Array[Double],
+                           og: Array[Double], gg: Array[Double],
+                           dh: Array[Double], dc: Array[Double],
+                           dhPrev: Array[Double], dcPrev: Array[Double],
+                           dx: Array[Double], dxOff: Int): Unit = {
+    val pOff = t * h
+    val nOff = (t + 1) * h
+    val gOff = t * h
+    val dia = new Array[Double](h)
+    val dfa = new Array[Double](h)
+    val doa = new Array[Double](h)
+    val dga = new Array[Double](h)
+    var i = 0
+    while (i < h) {
+      val o = og(gOff + i); val icur = ig(gOff + i)
+      val fcur = fg(gOff + i); val g = gg(gOff + i)
+      val tc = math.tanh(cs(nOff + i))
+      doa(i) = dh(i) * tc * o * (1 - o)
+      val dcTot = dc(i) + dh(i) * o * (1 - tc * tc)
+      dia(i) = dcTot * g * icur * (1 - icur)
+      dfa(i) = dcTot * cs(pOff + i) * fcur * (1 - fcur)
+      dga(i) = dcTot * icur * (1 - g * g)
+      dcPrev(i) = dcTot * fcur
+      i += 1
+    }
+    java.util.Arrays.fill(dhPrev, 0.0)
+    var gi = 0
+    while (gi < 4) {
+      val da = gi match { case 0 => dia; case 1 => dfa; case 2 => doa; case _ => dga }
+      val base = base0 + gi * gateSize
+      val uBase = base + h * in
+      val bBase = uBase + h * h
+      var i2 = 0
+      while (i2 < h) {
+        val dv = da(i2)
+        var j = 0
+        while (j < in) {
+          grad(base + i2 * in + j) += dv * x(xOff + j)
+          if (dx != null) dx(dxOff + j) += p(base + i2 * in + j) * dv
+          j += 1
+        }
+        j = 0
+        while (j < h) {
+          grad(uBase + i2 * h + j) += dv * hs(pOff + j)
+          dhPrev(j) += p(uBase + i2 * h + j) * dv
+          j += 1
+        }
+        grad(bBase + i2) += dv
+        i2 += 1
+      }
+      gi += 1
+    }
+  }
+
+  /** Forward pass over one flattened time-major window x (length l*f);
+    * fills ws activations + ws.e and returns the mean squared
+    * reconstruction error.
+    */
+  private def forwardLoss(p: Array[Double], x: Array[Double], d: LstmDims,
+                          ws: Ws): Double = {
+    import d._
+    var t = 0
+    while (t < l) {
+      lstmStep(p, oEnc, encGate, f, h, x, t * f, ws.hs, ws.cs, t,
+        ws.ig, ws.fg, ws.og, ws.gg)
+      t += 1
+    }
+    var bi = 0
+    while (bi < b) {
+      var a = p(oBott + b * h + bi)
+      var j = 0
+      while (j < h) { a += p(oBott + bi * h + j) * ws.hs(l * h + j); j += 1 }
+      ws.cvec(bi) = math.tanh(a)
+      bi += 1
+    }
+    t = 0
+    while (t < l) {
+      lstmStep(p, oDec, decGate, b, h, ws.cvec, 0, ws.hs2, ws.cs2, t,
+        ws.ig2, ws.fg2, ws.og2, ws.gg2)
+      t += 1
+    }
+    var loss = 0.0
+    val n = l * f
+    t = 0
+    while (t < l) {
+      var fi = 0
+      while (fi < f) {
+        var a = p(oOut + f * h + fi)
+        var i = 0
+        while (i < h) { a += p(oOut + fi * h + i) * ws.hs2((t + 1) * h + i); i += 1 }
+        val diff = a - x(t * f + fi)
+        loss += diff * diff
+        ws.e(t * f + fi) = 2.0 * diff / n
+        fi += 1
+      }
+      t += 1
+    }
+    loss / n
+  }
+
+  /** Loss + full gradient (accumulated into `grad`, caller zeroes) for one
+    * window — the unit the finite-difference spec checks.
+    */
+  def lossAndGrad(p: Array[Double], x: Array[Double], d: LstmDims,
+                  grad: Array[Double]): Double = lossAndGrad(p, x, d, grad, new Ws(d))
+
+  private def lossAndGrad(p: Array[Double], x: Array[Double], d: LstmDims,
+                          grad: Array[Double], ws: Ws): Double = {
+    import d._
+    val loss = forwardLoss(p, x, d, ws)
+    java.util.Arrays.fill(ws.dh, 0.0)
+    java.util.Arrays.fill(ws.dc, 0.0)
+    java.util.Arrays.fill(ws.dcvec, 0.0)
+    // decoder + output backward
+    var t = l - 1
+    while (t >= 0) {
+      var fi = 0
+      while (fi < f) {
+        val ef = ws.e(t * f + fi)
+        var i = 0
+        while (i < h) {
+          grad(oOut + fi * h + i) += ef * ws.hs2((t + 1) * h + i)
+          ws.dh(i) += p(oOut + fi * h + i) * ef
+          i += 1
+        }
+        grad(oOut + f * h + fi) += ef
+        fi += 1
+      }
+      lstmBackStep(p, grad, oDec, decGate, b, h, ws.cvec, 0, ws.hs2, ws.cs2, t,
+        ws.ig2, ws.fg2, ws.og2, ws.gg2, ws.dh, ws.dc, ws.dhP, ws.dcP, ws.dcvec, 0)
+      val th = ws.dh; ws.dh = ws.dhP; ws.dhP = th
+      val tc = ws.dc; ws.dc = ws.dcP; ws.dcP = tc
+      t -= 1
+    }
+    // bottleneck backward -> d(loss)/d(h_L)
+    java.util.Arrays.fill(ws.dh, 0.0)
+    java.util.Arrays.fill(ws.dc, 0.0)
+    var bi = 0
+    while (bi < b) {
+      val dcb = ws.dcvec(bi) * (1 - ws.cvec(bi) * ws.cvec(bi))
+      var j = 0
+      while (j < h) {
+        grad(oBott + bi * h + j) += dcb * ws.hs(l * h + j)
+        ws.dh(j) += p(oBott + bi * h + j) * dcb
+        j += 1
+      }
+      grad(oBott + b * h + bi) += dcb
+      bi += 1
+    }
+    // encoder backward
+    t = l - 1
+    while (t >= 0) {
+      lstmBackStep(p, grad, oEnc, encGate, f, h, x, t * f, ws.hs, ws.cs, t,
+        ws.ig, ws.fg, ws.og, ws.gg, ws.dh, ws.dc, ws.dhP, ws.dcP, null, 0)
+      val th = ws.dh; ws.dh = ws.dhP; ws.dhP = th
+      val tc = ws.dc; ws.dc = ws.dcP; ws.dcP = tc
+      t -= 1
+    }
+    loss
+  }
+
+  /** Mean squared reconstruction error of one window (forward only). */
+  def reconError(p: Array[Double], x: Array[Double], d: LstmDims): Double =
+    forwardLoss(p, x, d, new Ws(d))
+
+  /** Train on the `seqCol` windows (array<double>, length d.l * d.f) via
+    * the shared SGD + parameter-averaging harness. Inputs are expected
+    * unit-scale (see the standardize note on [[detect]]). `clipNorm`
+    * rescales each window's gradient to at most that global L2 norm —
+    * the standard BPTT exploding-gradient guard, and deterministic (a
+    * pure sequential function of the gradient).
+    */
+  def fit(seqs: DataFrame, seqCol: String, d: LstmDims,
+          epochs: Int, lr: Double, seed: Long,
+          clipNorm: Double = 5.0): Array[Double] =
+    DistributedSgd.fit(seqs, seqCol, epochs, init(d, seed), (p, windows) => {
+      val ws = new Ws(d)
+      val grad = new Array[Double](d.total)
+      windows.foreach { x =>
+        java.util.Arrays.fill(grad, 0.0)
+        lossAndGrad(p, x, d, grad, ws)
+        var nrm = 0.0
+        var k = 0
+        while (k < grad.length) { nrm += grad(k) * grad(k); k += 1 }
+        nrm = math.sqrt(nrm)
+        val scale = if (nrm > clipNorm) lr * clipNorm / nrm else lr
+        k = 0
+        while (k < p.length) { p(k) -= scale * grad(k); k += 1 }
+      }
+      p
+    })
+
+  /** Univariate detector — same surface and flagging contract as
+    * [[MlpAutoencoder.detect]]; see [[MlpAutoencoder.detect]] for the
+    * trainPartitions determinism<->parallelism trade, which applies here
+    * unchanged.
+    *
+    * Defaults (epochs=8, lr=0.1) were swept on the seeded-spike synthetic:
+    * recurrent batch-1 SGD needs more passes than the MLP (3 epochs leaves
+    * normal-window error too high for the 4x-mean flag), and lr >= 0.15
+    * oscillates where 0.1 converges monotonically at 6/8/10 epochs.
+    */
+  def detect(df: DataFrame, keys: Seq[String], order: Seq[String], target: String,
+             seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
+             bottleneck: Int = 4, epochs: Int = 8, lr: Double = 0.1,
+             seed: Long = 42L, flagFactor: Double = 4.0,
+             trainPartitions: Int = 8): DataFrame = {
+    // Null targets dropped BEFORE windowing (collect_list silently skips
+    // nulls, which would misalign windows); fill first to impute instead.
+    val seqs = TimeSeriesOps.sequences(
+        df.filter(col(target).isNotNull)
+          .withColumn("__t", col(target).cast(DoubleType)),
+        keys, order, "__t", seqLen, "seq")
+      .drop("__t")
+    runDetect(seqs, LstmDims(1, seqLen, hidden, bottleneck),
+      keys, order, epochs, lr, seed, flagFactor, trainPartitions)
+  }
+
+  /** Multivariate detector over the reference's literal (L, F) input
+    * (main.py:183-195: LSTM input_dim = F): each step consumes that row's
+    * F-vector; windows are flattened time-major so step t reads
+    * x[t*F..(t+1)*F).
+    */
+  def detectMulti(df: DataFrame, keys: Seq[String], order: Seq[String],
+                  featureCols: Seq[String],
+                  seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
+                  bottleneck: Int = 4, epochs: Int = 8, lr: Double = 0.1,
+                  seed: Long = 42L, flagFactor: Double = 4.0,
+                  trainPartitions: Int = 8): DataFrame = {
+    require(featureCols.nonEmpty, "detectMulti needs at least one feature column")
+    // Rows with any null feature dropped before windowing (a null element
+    // would unbox to a silent 0.0); callers wanting imputation fill first.
+    val vec = array(featureCols.map(c => col(c).cast(DoubleType)): _*)
+    val seqs = TimeSeriesOps.sequences(
+        df.na.drop(featureCols).withColumn("__fv", vec),
+        keys, order, "__fv", seqLen, "seqv")
+      .drop("__fv")
+      .withColumn("seq", flatten(col("seqv")))
+      .drop("seqv")
+    runDetect(seqs, LstmDims(featureCols.length, seqLen, hidden, bottleneck),
+      keys, order, epochs, lr, seed, flagFactor, trainPartitions)
+  }
+
+  private def runDetect(seqs: DataFrame, d: LstmDims,
+                        keys: Seq[String], order: Seq[String],
+                        epochs: Int, lr: Double, seed: Long,
+                        flagFactor: Double, trainPartitions: Int): DataFrame =
+    DistributedSgd.detectOnSequences(seqs, "seq", keys, order, d.l * d.f,
+      flagFactor, trainPartitions,
+      fitOnCentered = train => fit(train, "xc", d, epochs, lr, seed),
+      scorer = p => {
+        val ws = new Ws(d)
+        xc => forwardLoss(p, xc, d, ws)
+      },
+      // Gated cells need unit-scale inputs: Xavier init assumes it, and
+      // raw-magnitude data (e.g. +-5 sinusoids) saturates every sigmoid
+      // at step one. Errors are in standardized units; flagging is
+      // relative, so detection semantics are unchanged.
+      standardize = true)
+}

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.DoubleType
 
 import graft.GraftConfig
 
@@ -117,48 +117,33 @@ object MlpAutoencoder {
     s / seqLen
   }
 
-  /** Train on the `seqCol` windows of `df` (array<double>, length seqLen).
-    * One epoch = one mapPartitions pass + one weighted parameter average.
+  /** Pack/unpack for the flat-vector [[DistributedSgd]] harness (layout:
+    * w ++ b1 ++ b2 — element order preserved, so averaging arithmetic is
+    * bit-identical to averaging the fields separately).
+    */
+  private def toFlat(p: Params): Array[Double] = p.w ++ p.b1 ++ p.b2
+  private def fromFlat(a: Array[Double], seqLen: Int, hidden: Int): Params = {
+    val nw = hidden * seqLen
+    Params(java.util.Arrays.copyOfRange(a, 0, nw),
+      java.util.Arrays.copyOfRange(a, nw, nw + hidden),
+      java.util.Arrays.copyOfRange(a, nw + hidden, nw + hidden + seqLen))
+  }
+
+  /** Train on the `seqCol` windows of `df` (array<double>, length seqLen)
+    * via the shared SGD + parameter-averaging harness (see
+    * [[DistributedSgd.fit]] for the communication scheme and determinism
+    * contract).
     */
   def fit(seqs: DataFrame, seqCol: String, seqLen: Int, hidden: Int,
-          epochs: Int, lr: Double, seed: Long): Params = {
-    val spark = seqs.sparkSession
-    val idx = seqs.schema.fieldIndex(seqCol)
-    // Materialize the training RDD ONCE: each epoch re-reads it, and
-    // without the cache every epoch would replay the upstream
-    // repartition+sort shuffle (the dominant cost at scale).
-    val trainRdd = seqs.rdd.cache()
-    var params = init(seqLen, hidden, seed)
-    for (_ <- 1 to epochs) {
-      val bc = spark.sparkContext.broadcast(params)
-      val partResults = trainRdd.mapPartitionsWithIndex { (pid, rows) =>
-        val p = bc.value.copyOf()
-        var n = 0L
-        rows.foreach { r =>
-          val xc = r.getSeq[Double](idx).toArray
-          sgdStep(p, xc, lr, seqLen, hidden)
-          n += 1
-        }
-        if (n == 0) Iterator.empty else Iterator.single((pid, p, n))
-      }.collect().sortBy(_._1) // fixed accumulation order => deterministic
-      bc.destroy() // params rebroadcast next epoch; don't accumulate blocks
-      val total = partResults.map(_._3).sum.toDouble
-      val acc = Params(new Array[Double](hidden * seqLen),
-        new Array[Double](hidden), new Array[Double](seqLen))
-      partResults.foreach { case (_, p, n) =>
-        val wgt = n / total
-        var k = 0
-        while (k < acc.w.length) { acc.w(k) += wgt * p.w(k); k += 1 }
-        k = 0
-        while (k < hidden) { acc.b1(k) += wgt * p.b1(k); k += 1 }
-        k = 0
-        while (k < seqLen) { acc.b2(k) += wgt * p.b2(k); k += 1 }
-      }
-      params = acc
-    }
-    trainRdd.unpersist(blocking = false)
-    params
-  }
+          epochs: Int, lr: Double, seed: Long): Params =
+    fromFlat(
+      DistributedSgd.fit(seqs, seqCol, epochs, toFlat(init(seqLen, hidden, seed)),
+        (flat, windows) => {
+          val p = fromFlat(flat, seqLen, hidden)
+          windows.foreach(xc => sgdStep(p, xc, lr, seqLen, hidden))
+          toFlat(p)
+        }),
+      seqLen, hidden)
 
   /** Univariate detector: sequence the target, center, train, score every
     * window, flag scores above `flagFactor` x the per-series mean error.
@@ -166,6 +151,15 @@ object MlpAutoencoder {
     * Partitioning contract: training data is repartitioned by the series
     * key and sorted within partitions by (key, order) so per-partition SGD
     * order — and therefore the model — is deterministic.
+    *
+    * `trainPartitions` is a determinism<->parallelism trade, NOT a tuning
+    * afterthought: the averaged model depends on how rows split across
+    * partitions, so the SAME value on the same data gives a bit-identical
+    * model while a DIFFERENT value gives a different-but-equally-good one
+    * (the recall bar is asserted at P=4 and P=16 in MlpAutoencoderSpec).
+    * The default 8 favors reproducibility; on a large cluster raise it to
+    * ~2x the executor cores available for the fit — training parallelism
+    * is capped by it.
     */
   def detect(df: DataFrame, keys: Seq[String], order: Seq[String], target: String,
              seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
@@ -210,58 +204,19 @@ object MlpAutoencoder {
       hidden, epochs, lr, seed, flagFactor, trainPartitions)
   }
 
-  /** Shared center + train + score + flag over a D-dimensional window
-    * column. Only the D-element mean vector and the model parameters ever
+  /** Center + train + score + flag via the shared [[DistributedSgd]]
+    * shell; only the D-element mean vector and the model parameters ever
     * touch the driver.
     */
   private def detectOnSequences(seqs: DataFrame, seqCol: String,
                                 keys: Seq[String], order: Seq[String], dim: Int,
                                 hidden: Int, epochs: Int, lr: Double, seed: Long,
-                                flagFactor: Double, trainPartitions: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.CleanFunctions
-    val spark = seqs.sparkSession
-    // Full windows only — a partial window (possible if upstream data
-    // slipped nulls past the pre-filters) would misalign every dimension
-    // past the gap and score plausibly instead of failing.
-    val full = seqs.filter(size(col(seqCol)) === dim)
-    // Mean-center per dimension. DECIMAL-exact means: a plain double avg
-    // merges partial states in shuffle-fetch order, which would break the
-    // documented bit-for-bit determinism on a real cluster.
-    val meanRow = full.select(
-      (0 until dim).map(i =>
-        CleanFunctions.exactMean(element_at(col(seqCol), i + 1)).as(s"m$i")): _*).head()
-    require(!meanRow.anyNull,
-      "MlpAutoencoder: no complete windows to train on (all inputs null or shorter than seqLen)")
-    val meanArr = Array.tabulate(dim)(meanRow.getDouble)
-    val centered = full
-      .withColumn("xc", zip_with(col(seqCol), lit(meanArr), (x, m) => x - m))
-      .cache()
-
-    val ordCols = (keys ++ order).map(col)
-    val train = centered
-      .repartition(trainPartitions, keys.map(col): _*)
-      .sortWithinPartitions(ordCols: _*)
-      .select(col("xc"))
-    val params = fit(train, "xc", dim, hidden, epochs, lr, seed)
-
-    val bc = spark.sparkContext.broadcast(params)
-    val schema = StructType(centered.schema.fields :+ StructField("recon_err", DoubleType))
-    val xcIdx = centered.schema.fieldIndex("xc")
-    val scored = spark.createDataFrame(
-      centered.rdd.mapPartitions { rows =>
-        val p = bc.value
-        rows.map { r =>
-          val err = meanError(p, r.getSeq[Double](xcIdx).toArray, dim, hidden)
-          Row.fromSeq(r.toSeq :+ err)
-        }
-      }, schema)
-    val keyW = if (keys.isEmpty) Window.partitionBy()
-               else Window.partitionBy(keys.map(col): _*)
-    scored
-      .withColumn("is_anomaly",
-        (col("recon_err") > lit(flagFactor) *
-          CleanFunctions.exactMeanOver(col("recon_err"), keyW)).cast(LongType))
-      .drop(seqCol, "xc")
-  }
+                                flagFactor: Double, trainPartitions: Int): DataFrame =
+    DistributedSgd.detectOnSequences(seqs, seqCol, keys, order, dim,
+      flagFactor, trainPartitions,
+      fitOnCentered = train => toFlat(fit(train, "xc", dim, hidden, epochs, lr, seed)),
+      scorer = flat => {
+        val p = fromFlat(flat, dim, hidden)
+        xc => meanError(p, xc, dim, hidden)
+      })
 }

@@ -66,6 +66,22 @@ object PipelineQueries {
         .select(col("event_id"), graft.functions.CleanFunctions.round4(col("recon_err")).as("recon_err"),
           col("is_anomaly"))
         .orderBy("event_id")
+    },
+
+    // Recurrent (LSTM) autoencoder detector — the literal counterpart of
+    // the reference's architecture (deep_learning_models.py:1-93: LSTM
+    // encoder -> FC bottleneck -> LSTM decoder -> FC), trained with the
+    // same mapPartitions SGD + parameter-averaging harness. No SQL oracle
+    // (BPTT isn't expressible); rows-only check, gradient correctness
+    // (finite differences), determinism, order sensitivity and
+    // recall-vs-MLP asserted in LstmAutoencoderSpec.
+    "ts_lstm_recon" -> { (s, d) =>
+      graft.operators.LstmAutoencoder
+        .detect(Tables.events(s, d), K, Ord, "value", seqLen = 24, hidden = 8,
+          bottleneck = 4)
+        .select(col("event_id"), graft.functions.CleanFunctions.round4(col("recon_err")).as("recon_err"),
+          col("is_anomaly"))
+        .orderBy("event_id")
     }
   )
 

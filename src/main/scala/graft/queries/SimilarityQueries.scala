@@ -15,7 +15,7 @@ import graft.sources.Tables
   *   a BroadcastNestedLoopJoin, which is exactly the right plan when one
   *   side fits in memory; the corpus side streams, nothing shuffles.
   * - LSH: deterministic +-1 hyperplanes, plane count derived from corpus
-  *   size (expected occupancy ~64/bucket at any scale) with hamming-1
+  *   size (expected occupancy ~64/bucket at any scale) with hamming<=2
   *   multi-probe for recall; candidates are a bucket equi-join (shuffle on
   *   bucket id), exact cosine re-rank within bucket. The 100 TB path:
   *   buckets partition the corpus, each executor re-ranks only its bucket
@@ -133,7 +133,12 @@ object SimilarityQueries {
         .filter(col("crk") <= IvfProbes)
         .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"))
 
-      val scored = cells.join(broadcast(probe),
+      // No broadcast hint: the probe side is corpus-proportional (2% of
+      // the corpus x IvfProbes cells) — a forced broadcast would OOM at
+      // 100x scale. The cell equi-join shuffles on `cell`; AQE promotes
+      // it to a broadcast at runtime only when the measured probe side
+      // is genuinely small.
+      val scored = cells.join(probe,
           cells("cell") === probe("cell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           graft.functions.CleanFunctions.round4(TextFunctions.cosineFromNorms(

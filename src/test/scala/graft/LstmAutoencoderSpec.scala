@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LstmAutoencoder, MlpAutoencoder}
+import graft.operators.LstmAutoencoder.LstmDims
+
+class LstmAutoencoderSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Same seeded daily-cycle + injected-spike synthetic as
+  // MlpAutoencoderSpec — the reference's domain shape.
+  private val SpikeAt = Set(200L, 300L, 520L)
+  private lazy val synthetic = {
+    val rng = new scala.util.Random(7)
+    val rows = for {
+      u <- Seq("a", "b")
+      t <- 1L to 600L
+    } yield {
+      val base = 5.0 * math.sin(2 * math.Pi * t / 24.0) + 0.3 * rng.nextGaussian()
+      val v = if (SpikeAt(t)) base + 25.0 else base
+      (t, u, v)
+    }
+    rows.toDF("event_id", "user_id", "value")
+      .withColumn("ts", timestamp_micros(col("event_id") * 3600L * 1000000L))
+  }
+
+  private def recall(flagged: Set[Long]): Double =
+    SpikeAt.count(flagged.contains).toDouble / SpikeAt.size
+
+  test("BPTT gradient matches central finite differences on every parameter") {
+    val d = LstmDims(f = 2, l = 5, h = 4, b = 3)
+    val rng = new scala.util.Random(11)
+    // Perturb the structured init (zero/one biases) so no parameter sits
+    // at a symmetric point where a sign error could hide.
+    val p = LstmAutoencoder.init(d, 3L).map(_ + (rng.nextDouble() - 0.5) * 0.2)
+    val x = Array.fill(d.l * d.f)((rng.nextDouble() - 0.5) * 2.0)
+    val grad = new Array[Double](d.total)
+    LstmAutoencoder.lossAndGrad(p, x, d, grad)
+    val eps = 1e-5
+    val scratch = new Array[Double](d.total)
+    var worst = 0.0
+    (0 until d.total).foreach { k =>
+      val pk = p(k)
+      p(k) = pk + eps
+      val up = LstmAutoencoder.lossAndGrad(p, x, d, scratch)
+      p(k) = pk - eps
+      val dn = LstmAutoencoder.lossAndGrad(p, x, d, scratch)
+      p(k) = pk
+      val fd = (up - dn) / (2 * eps)
+      val err = math.abs(grad(k) - fd) / (1e-6 + math.max(math.abs(grad(k)), math.abs(fd)))
+      worst = math.max(worst, err)
+      assert(math.abs(grad(k) - fd) <= 1e-6 + 1e-4 * math.abs(fd),
+        s"param $k: analytic ${grad(k)} vs finite-diff $fd")
+    }
+    assert(worst < 1e-3, s"worst relative gradient error $worst")
+  }
+
+  test("reconstruction depends on temporal order (the recurrence the MLP lacks)") {
+    val d = LstmDims(f = 1, l = 8, h = 4, b = 2)
+    val rng = new scala.util.Random(5)
+    val p = LstmAutoencoder.init(d, 3L).map(_ + (rng.nextDouble() - 0.5) * 0.2)
+    val x = Array.tabulate(8)(t => math.sin(t / 2.0))
+    val xRev = x.reverse
+    val a = LstmAutoencoder.reconError(p, x, d)
+    val b = LstmAutoencoder.reconError(p, xRev, d)
+    assert(math.abs(a - b) > 1e-9,
+      "a sequence and its reversal must not score identically through recurrent state")
+  }
+
+  test("deterministic: same input twice gives identical parameters") {
+    val d = LstmDims(f = 1, l = 24, h = 8, b = 4)
+    val seqs = graft.operators.TimeSeriesOps.sequences(
+      synthetic, Seq("user_id"), Seq("ts", "event_id"), "value", 24, "xc")
+      .select(transform(col("xc"), _.cast("double")).as("xc"))
+    val p1 = LstmAutoencoder.fit(seqs, "xc", d, epochs = 2, lr = 0.05, seed = 42L)
+    val p2 = LstmAutoencoder.fit(seqs, "xc", d, epochs = 2, lr = 0.05, seed = 42L)
+    assert(p1.sameElements(p2))
+  }
+
+  test("training reduces reconstruction error (the model actually learns)") {
+    val d = LstmDims(f = 1, l = 24, h = 8, b = 4)
+    // Unit-scale inputs (the fit contract): amplitude-5 sines divided by 5.
+    val seqs = graft.operators.TimeSeriesOps.sequences(
+      synthetic.filter(!col("event_id").isin(SpikeAt.toSeq: _*)),
+      Seq("user_id"), Seq("ts", "event_id"), "value", 24, "xc")
+      .select(transform(col("xc"), _.cast("double") / 5.0).as("xc")).cache()
+    val windows = seqs.collect().map(_.getSeq[Double](0).toArray)
+    def meanErr(p: Array[Double]): Double =
+      windows.map(LstmAutoencoder.reconError(p, _, d)).sum / windows.length
+    val p0 = LstmAutoencoder.init(d, 42L)
+    val p3 = LstmAutoencoder.fit(seqs, "xc", d, epochs = 3, lr = 0.05, seed = 42L)
+    assert(meanErr(p3) < meanErr(p0) * 0.8,
+      "3 epochs of BPTT SGD should cut reconstruction error by >20% vs the random init")
+    seqs.unpersist()
+  }
+
+  test("LSTM detector catches injected spikes with recall >= the MLP detector") {
+    val lstm = LstmAutoencoder.detect(synthetic, Seq("user_id"), Seq("ts", "event_id"),
+      "value", seqLen = 24, hidden = 8, bottleneck = 4)
+    val mlp = MlpAutoencoder.detect(synthetic, Seq("user_id"), Seq("ts", "event_id"),
+      "value", seqLen = 24, hidden = 8)
+    def flaggedAt(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("is_anomaly") === 1L).select("event_id").as[Long].collect().toSet
+    val lstmRecall = recall(flaggedAt(lstm))
+    val mlpRecall  = recall(flaggedAt(mlp))
+    assert(lstmRecall >= mlpRecall, s"LSTM recall $lstmRecall < MLP recall $mlpRecall")
+    assert(lstmRecall >= 0.9, s"LSTM recall $lstmRecall should catch nearly all spikes")
+    val total = lstm.count()
+    val nFlag = lstm.filter(col("is_anomaly") === 1L).count()
+    assert(nFlag.toDouble / total < 0.15, s"$nFlag/$total flagged — detector fires too broadly")
+  }
+}

@@ -55,6 +55,20 @@ class MlpAutoencoderSpec extends AnyFunSuite {
     assert(nFlag.toDouble / total < 0.15, s"$nFlag/$total flagged — detector fires too broadly")
   }
 
+  test("trainPartitions trades determinism for parallelism, never quality") {
+    // The documented contract on detect(): a different partition count
+    // yields a DIFFERENT model bitwise (averaging order changes) but an
+    // equally good detector (the recall bar must hold at any P).
+    def run(p: Int) = MlpAutoencoder.detect(synthetic, Seq("user_id"),
+      Seq("ts", "event_id"), "value", seqLen = 24, hidden = 8, trainPartitions = p)
+    def flaggedAt(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("is_anomaly") === 1L).select("event_id").as[Long].collect().toSet
+    val r4  = recall(flaggedAt(run(4)))
+    val r16 = recall(flaggedAt(run(16)))
+    assert(r4 >= 0.9, s"recall $r4 at trainPartitions=4 below the quality bar")
+    assert(r16 >= 0.9, s"recall $r16 at trainPartitions=16 below the quality bar")
+  }
+
   test("reconstruction improves over training (the model actually learns)") {
     val seqs = graft.operators.TimeSeriesOps.sequences(
       synthetic.filter(!col("event_id").isin(SpikeAt.toSeq: _*)),
