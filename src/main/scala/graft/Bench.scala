@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Median-of-N per query: single-run times vary +-20% locally (GC,
+    // page cache), which nearly masked real round-2 wins. Odd N => true
+    // median element.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Optional query-name args restrict the run (fast iteration on one op).
+    val only = args.toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,24 +26,31 @@ object Bench {
     } catch { case _: Throwable => () }
     // Sorted name order: Map iteration order shifts whenever entries are
     // added, which would reshuffle warm-up/pressure effects between
-    // rounds and make per-query comparisons apples-to-oranges.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop per-query caches so one query's cached sets don't squat on
-      // executor memory for the rest of the run; the GC nudge lets the
-      // ContextCleaner reclaim broadcast + localCheckpoint blocks, which
-      // clearCache does not cover (measured: a later agg-only query ran
-      // 4x slower under the leftover block pressure).
-      spark.catalog.clearCache()
-      System.gc()
-      name -> dt
+    // rounds and make per-query comparisons apples-to-oranges. All reps
+    // of a query run back to back so each rep sees the same cache state.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Drop per-query caches so one query's cached sets don't squat on
+        // executor memory for the rest of the run; the GC nudge lets the
+        // ContextCleaner reclaim broadcast + localCheckpoint blocks, which
+        // clearCache does not cover (measured: a later agg-only query ran
+        // 4x slower under the leftover block pressure).
+        spark.catalog.clearCache()
+        System.gc()
+        dt
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

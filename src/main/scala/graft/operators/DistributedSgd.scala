@@ -37,10 +37,11 @@ private[operators] object DistributedSgd {
       : Array[Double] = {
     val spark = seqs.sparkSession
     val idx = seqs.schema.fieldIndex(seqCol)
-    // Materialize the training RDD ONCE: each epoch re-reads it, and
-    // without the cache every epoch would replay the upstream
-    // repartition+sort shuffle (the dominant cost at scale).
-    val trainRdd = seqs.rdd.cache()
+    // Materialize the training RDD ONCE, already unboxed: each epoch
+    // re-reads it, and without the cache every epoch would replay the
+    // upstream repartition+sort shuffle AND the Row -> Array[Double]
+    // decode (measured as real per-epoch CPU at 8 epochs).
+    val trainRdd = seqs.rdd.map(_.getSeq[Double](idx).toArray).cache()
     var params = init
     for (_ <- 1 to epochs) {
       val bc = spark.sparkContext.broadcast(params)
@@ -48,12 +49,17 @@ private[operators] object DistributedSgd {
         if (rows.isEmpty) Iterator.empty
         else {
           var n = 0L
-          val windows = rows.map { r => n += 1; r.getSeq[Double](idx).toArray }
+          val windows = rows.map { x => n += 1; x }
           val p = partitionFit(bc.value.clone(), windows)
           Iterator.single((pid, p, n))
         }
       }.collect().sortBy(_._1) // fixed accumulation order => deterministic
       bc.destroy() // params rebroadcast next epoch; don't accumulate blocks
+      // An empty training set would otherwise average to an all-zero
+      // parameter vector — a degenerate model with no signal that scores
+      // everything identically. Fail loudly instead.
+      require(partResults.nonEmpty,
+        "DistributedSgd.fit: training set is empty (no rows reached any partition)")
       val total = partResults.map(_._3).sum.toDouble
       val acc = new Array[Double](params.length)
       partResults.foreach { case (_, p, n) =>
@@ -94,48 +100,87 @@ private[operators] object DistributedSgd {
     // Full windows only — a partial window (possible if upstream data
     // slipped nulls past the pre-filters) would misalign every dimension
     // past the gap and score plausibly instead of failing.
-    val full = seqs.filter(size(col(seqCol)) === dim)
-    // Mean-center per dimension. DECIMAL-exact means: a plain double avg
-    // merges partial states in shuffle-fetch order, which would break the
-    // documented bit-for-bit determinism on a real cluster.
-    val momentCols =
-      (0 until dim).map(i =>
-        CleanFunctions.exactMean(element_at(col(seqCol), i + 1)).as(s"m$i")) ++
-      (if (standardize)
-        (0 until dim).map { i =>
-          val x = element_at(col(seqCol), i + 1)
-          CleanFunctions.exactMean(x * x).as(s"s$i")
+    //
+    // localCheckpoint, NOT cache(): the moment passes, the training pass and
+    // the caller's eventual scoring materialization all read this frame, but
+    // a CacheManager entry pinned inside the API would leak executor memory
+    // the caller has no handle to release. localCheckpoint materializes once
+    // (eagerly) and its blocks are released by the ContextCleaner as soon as
+    // the returned plan is garbage-collected. The trade: lineage is
+    // truncated, so losing an executor AFTER materialization fails the job
+    // instead of recomputing the lost blocks (cache() would recover).
+    // Acceptable for fits that run minutes; for multi-hour 100 TB runs,
+    // callers should checkpoint the windowed input to reliable storage
+    // first and pass that in.
+    val full = seqs.filter(size(col(seqCol)) === dim).localCheckpoint()
+    // Per-dimension mean (and, for standardize, population variance) in ONE
+    // pass of EXACT BigDecimal arithmetic. Every double is exactly
+    // representable as a BigDecimal, and exact sums/products are
+    // commutative-associative with no rounding, so the result is
+    // independent of partition count and merge order — the bit-for-bit
+    // determinism contract holds on any cluster. Unlimited precision also
+    // means no overflow at large |x| and no quantization at small |x|
+    // (a fixed DECIMAL(p,s) cast has both failure modes: x^2 >= 1e12
+    // overflows DECIMAL(18,6) to null and silently drops rows, while
+    // x^2 < 1e-6 rounds to 0 and disables the standardization it feeds).
+    // Variance uses (n*Sxx - Sx^2) / n^2 on the EXACT moments — safe here,
+    // unlike in floating point, because nothing cancels: the numerator is
+    // an exact integer-like quantity, >= 0 by Cauchy-Schwarz. The single
+    // DECIMAL128 rounding happens once, at the final division.
+    import java.math.{BigDecimal => JBD, MathContext}
+    val doStd = standardize
+    val dimN = dim
+    val moments = full.select(col(seqCol)).rdd.mapPartitions { rows =>
+      val sx = Array.fill(dimN)(JBD.ZERO)
+      val sxx = Array.fill(dimN)(JBD.ZERO)
+      var n = 0L
+      rows.foreach { r =>
+        val a = r.getSeq[Double](0)
+        var i = 0
+        while (i < dimN) {
+          val bd = new JBD(a(i))
+          sx(i) = sx(i).add(bd)
+          if (doStd) sxx(i) = sxx(i).add(bd.multiply(bd))
+          i += 1
         }
-      else Seq.empty)
-    val meanRow = full.select(momentCols: _*).head()
-    require(!meanRow.anyNull,
+        n += 1
+      }
+      if (n == 0) Iterator.empty else Iterator.single((n, sx, sxx))
+    }.collect()
+    require(moments.nonEmpty,
       "autoencoder detect: no complete windows to train on (all inputs null or shorter than seqLen)")
-    val meanArr = Array.tabulate(dim)(meanRow.getDouble)
-    // Population std from the exact moments; near-constant dims scale by 1
-    // instead of exploding.
-    val invSdArr = Array.tabulate(dim) { i =>
-      if (!standardize) 1.0
-      else {
-        val v = meanRow.getDouble(dim + i) - meanArr(i) * meanArr(i)
+    val nWin = moments.map(_._1).sum
+    val sxTot = Array.tabulate(dim)(i =>
+      moments.map(_._2(i)).reduce(_.add(_)))
+    val nBD = JBD.valueOf(nWin)
+    val meanArr = Array.tabulate(dim)(i =>
+      sxTot(i).divide(nBD, MathContext.DECIMAL128).doubleValue)
+    val invSdArr =
+      if (!standardize) Array.fill(dim)(1.0)
+      else Array.tabulate(dim) { i =>
+        val sxxTot = moments.map(_._3(i)).reduce(_.add(_))
+        val num = nBD.multiply(sxxTot).subtract(sxTot(i).multiply(sxTot(i)))
+        val v = num.divide(nBD.multiply(nBD), MathContext.DECIMAL128).doubleValue
+        // Near-constant dims scale by 1 instead of exploding.
         if (v > 1e-12) 1.0 / math.sqrt(v) else 1.0
       }
-    }
-    // localCheckpoint, NOT cache(): both the training pass and the caller's
-    // eventual scoring materialization read this frame, but a CacheManager
-    // entry pinned inside the API would leak executor memory the caller has
-    // no handle to release. localCheckpoint materializes once (eagerly,
-    // which fit() does anyway) and its blocks are released by the
-    // ContextCleaner as soon as the returned plan is garbage-collected.
+    // Cheap projection over the checkpointed blocks — recomputed per read,
+    // but that's array arithmetic, not the upstream windowing shuffle.
     val centered = full
       .withColumn("xc",
         zip_with(
           zip_with(col(seqCol), lit(meanArr), (x, m) => x - m),
           lit(invSdArr), (xm, is) => xm * is))
-      .localCheckpoint()
 
+    // Scatter by the full (keys, order) tuple, not keys alone: every window
+    // is an independent SGD sample, so per-ROW hashing balances partitions
+    // (hashing ~100s of series keys into 32+ partitions skews 2-3x, and
+    // training wall-time is the largest partition). Still deterministic:
+    // partition assignment is a pure hash of row content, and the
+    // sortWithinPartitions fixes the visit order inside each partition.
     val ordCols = (keys ++ order).map(col)
     val train = centered
-      .repartition(trainPartitions, keys.map(col): _*)
+      .repartition(trainPartitions, ordCols: _*)
       .sortWithinPartitions(ordCols: _*)
       .select(col("xc"))
     val params = fitOnCentered(train)

@@ -6,8 +6,8 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.GraftConfig
 
-/** LSTM autoencoder anomaly detector — the literal recurrent counterpart of
-  * the reference architecture (reference: src/models/deep_learning_models.py
+/** LSTM autoencoder anomaly detector — the recurrent counterpart of the
+  * reference architecture (reference: src/models/deep_learning_models.py
   * :1-93: LSTM encoder -> FC bottleneck -> FC -> LSTM decoder -> FC output;
   * main.py:183-233 sequence -> score). Where [[MlpAutoencoder]] reads the
   * whole (L,F) window as one flat vector, this model consumes it STEP BY
@@ -16,10 +16,18 @@ import graft.GraftConfig
   *
   * Architecture (hidden size H, bottleneck B, per-step input dim F):
   *   encoder LSTM over x_1..x_L -> h_L
-  *   bottleneck c = tanh(Wb h_L + bb)           (the reference's FC latent)
+  *   bottleneck c = tanh(Wb h_L + bb)
   *   decoder LSTM fed c at every step (RepeatVector shape) -> d_1..d_L
   *   output xhat_t = Wo d_t + bo
   * Loss = mean squared reconstruction error over all L*F elements.
+  *
+  * Two deliberate deltas vs the reference's exact layer stack: (1) the
+  * bottleneck applies tanh where the reference's encoder_fc is linear — a
+  * bounded latent keeps batch-1 SGD stable without the framework's Adam;
+  * (2) the B-dim code feeds the decoder LSTM directly (input size B)
+  * instead of being inflated back to H by a decoder_fc first — one fewer
+  * matrix with the same information flow. Capacity shape (recurrent
+  * encode -> low-dim code -> recurrent decode) is preserved.
   *
   * Training and scoring reuse the [[DistributedSgd]] harness — the same
   * mapPartitions SGD + weighted parameter averaging and the same
@@ -65,6 +73,10 @@ object LstmAutoencoder {
     var dc  = new Array[Double](d.h)
     var dhP = new Array[Double](d.h)
     var dcP = new Array[Double](d.h)
+    val dia = new Array[Double](d.h)              // per-gate pre-activation
+    val dfa = new Array[Double](d.h)              // grads, reused every
+    val doa = new Array[Double](d.h)              // back-step (allocating
+    val dga = new Array[Double](d.h)              // here, not per step)
   }
 
   private def sigmoid(a: Double): Double = 1.0 / (1.0 + math.exp(-a))
@@ -151,14 +163,15 @@ object LstmAutoencoder {
                            og: Array[Double], gg: Array[Double],
                            dh: Array[Double], dc: Array[Double],
                            dhPrev: Array[Double], dcPrev: Array[Double],
-                           dx: Array[Double], dxOff: Int): Unit = {
+                           dx: Array[Double], dxOff: Int,
+                           ws: Ws): Unit = {
     val pOff = t * h
     val nOff = (t + 1) * h
     val gOff = t * h
-    val dia = new Array[Double](h)
-    val dfa = new Array[Double](h)
-    val doa = new Array[Double](h)
-    val dga = new Array[Double](h)
+    val dia = ws.dia
+    val dfa = ws.dfa
+    val doa = ws.doa
+    val dga = ws.dga
     var i = 0
     while (i < h) {
       val o = og(gOff + i); val icur = ig(gOff + i)
@@ -276,7 +289,7 @@ object LstmAutoencoder {
         fi += 1
       }
       lstmBackStep(p, grad, oDec, decGate, b, h, ws.cvec, 0, ws.hs2, ws.cs2, t,
-        ws.ig2, ws.fg2, ws.og2, ws.gg2, ws.dh, ws.dc, ws.dhP, ws.dcP, ws.dcvec, 0)
+        ws.ig2, ws.fg2, ws.og2, ws.gg2, ws.dh, ws.dc, ws.dhP, ws.dcP, ws.dcvec, 0, ws)
       val th = ws.dh; ws.dh = ws.dhP; ws.dhP = th
       val tc = ws.dc; ws.dc = ws.dcP; ws.dcP = tc
       t -= 1
@@ -300,7 +313,7 @@ object LstmAutoencoder {
     t = l - 1
     while (t >= 0) {
       lstmBackStep(p, grad, oEnc, encGate, f, h, x, t * f, ws.hs, ws.cs, t,
-        ws.ig, ws.fg, ws.og, ws.gg, ws.dh, ws.dc, ws.dhP, ws.dcP, null, 0)
+        ws.ig, ws.fg, ws.og, ws.gg, ws.dh, ws.dc, ws.dhP, ws.dcP, null, 0, ws)
       val th = ws.dh; ws.dh = ws.dhP; ws.dhP = th
       val tc = ws.dc; ws.dc = ws.dcP; ws.dcP = tc
       t -= 1

@@ -60,9 +60,15 @@ object PipelineQueries {
     // (deep_learning_models.py), trained via mapPartitions SGD + parameter
     // averaging. No SQL oracle (SGD isn't expressible); rows-only check,
     // recall-vs-PCA asserted in MlpAutoencoderSpec.
+    // trainPartitions follows the session's parallelism: training wall-time
+    // scales down with cores/executors, and the determinism contract still
+    // holds per deployment (same data + same partitioning => same model).
+    // Pass a fixed value instead when bit-reproducibility across different
+    // cluster sizes matters more than fit speed.
     "ts_ae_recon" -> { (s, d) =>
       graft.operators.MlpAutoencoder
-        .detect(Tables.events(s, d), K, Ord, "value", seqLen = 24, hidden = 8)
+        .detect(Tables.events(s, d), K, Ord, "value", seqLen = 24, hidden = 8,
+          trainPartitions = s.sparkContext.defaultParallelism)
         .select(col("event_id"), graft.functions.CleanFunctions.round4(col("recon_err")).as("recon_err"),
           col("is_anomaly"))
         .orderBy("event_id")
@@ -78,7 +84,7 @@ object PipelineQueries {
     "ts_lstm_recon" -> { (s, d) =>
       graft.operators.LstmAutoencoder
         .detect(Tables.events(s, d), K, Ord, "value", seqLen = 24, hidden = 8,
-          bottleneck = 4)
+          bottleneck = 4, trainPartitions = s.sparkContext.defaultParallelism)
         .select(col("event_id"), graft.functions.CleanFunctions.round4(col("recon_err")).as("recon_err"),
           col("is_anomaly"))
         .orderBy("event_id")
