@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -14,8 +13,11 @@ import graft.functions.TextFunctions
   * RNG stream, which no SQL oracle can reproduce).
   *
   * Determinism contract (shared with the SQL twin in SimilarityQueries):
-  * - init: rank vectors by id; center c = embedding at rank c*stride+1,
-  *   stride = max(n/k, 1) (integer division).
+  * - init: the k ids smallest by (md5(CAST(id AS STRING)), id); center c
+  *   = embedding of the c-th pick in that order. Hash order is a
+  *   deterministic pseudo-random draw that both engines reproduce
+  *   bit-identically, and top-k-by-hash is a per-partition
+  *   TakeOrderedAndProject — no global sort, no rank window, scale-free.
   * - assignment: cell = argmin over centers of (-2*dot(x,c) + dot(c,c)),
   *   ties to the smallest cell id; dot is the sequential left-fold
   *   (FloatVectorDot == DuckDB list_sum order).
@@ -65,20 +67,22 @@ object IvfIndex {
     */
   def fit(e: DataFrame, idCol: String, embCol: String,
           k: Int, dim: Int, iters: Int): Seq[(Int, Array[Float])] = {
-    val n = e.count()
-    val stride = math.max(n / k, 1L)
-    // Strided init picks rank over the 8-byte id column ONLY (embeddings
-    // join back via a broadcast of the k picked ids) — the global sort
-    // moves ids, not vectors. Init-time-only; at extreme scale swap in a
-    // deterministic id-quantile pick.
-    val picks = e.select(col(idCol))
-      .withColumn("__rn", row_number().over(Window.orderBy(col(idCol))))
-      .filter(expr(s"(__rn - 1) % $stride = 0 AND (__rn - 1) div $stride < $k"))
-      .select(expr(s"CAST((__rn - 1) div $stride AS INT)").as("cell"), col(idCol))
-    val init = e.join(broadcast(picks), idCol)
-      .select(col("cell"), col(embCol))
+    // Init: the k ids smallest by (md5(id-as-string), id) — a
+    // deterministic pseudo-random draw. orderBy+limit(k) plans as
+    // TakeOrderedAndProject (per-partition top-k, driver merges
+    // k * numPartitions candidate rows), so unlike a rank window there is
+    // no global sort and no single-partition exchange at any scale; the
+    // embeddings come back via an isin-pushdown scan of just the k ids.
+    import org.apache.spark.sql.types.StringType
+    val pickIds = e.select(col(idCol))
+      .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
+      .limit(k)
+      .collect().map(_.getLong(0))
+    val cellOf = pickIds.zipWithIndex.toMap
+    val init = e.filter(col(idCol).isin(pickIds: _*))
+      .select(col(idCol), col(embCol))
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .map(r => cellOf(r.getLong(0)) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1).toSeq
 
     (1 to iters).foldLeft(init) { (centers, _) =>

@@ -97,7 +97,7 @@ object SimilarityQueries {
 
     // IVF (inverted-file) ANN — the other standard scale path: a
     // deterministic Lloyd's k-means coarse quantizer (graft.operators
-    // .IvfIndex — strided-id init, DECIMAL-exact center updates), corpus
+    // .IvfIndex — hash-order top-k init, DECIMAL-exact center updates), corpus
     // partitioned by nearest-centroid cell, queries probe their nprobe
     // nearest cells and re-rank exactly inside them. At 100 TB the cell
     // id is the partition key: each executor re-ranks only its cells.
@@ -207,7 +207,7 @@ object SimilarityQueries {
     },
 
     // Exact twin of the deterministic IVF build (see IvfIndex's
-    // determinism contract): same strided init, same -2*dot+cc argmin
+    // determinism contract): same hash-order top-k init, same -2*dot+cc argmin
     // (sequential double fold = list_sum order), same DECIMAL(28,6)
     // center means cast to FLOAT, same probe and re-rank.
     "ann_ivf_topk" -> {
@@ -230,12 +230,11 @@ object SimilarityQueries {
         assign(s"a${t - 1}", s"c${t - 1}") + ",\n" + update(s"cd$t", s"c$t", s"a${t - 1}")
       }.mkString(",\n")
       s"""WITH dims AS (SELECT unnest(generate_series(1, $EmbDim)) AS i),
-         |pk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings),
-         |st AS (SELECT greatest(count(*) // $IvfCentroids, 1) AS stride FROM embeddings),
-         |c0 AS (SELECT CAST((pk.rn - 1) // st.stride AS INT) AS cell, e.embedding AS center
-         |  FROM pk, st, embeddings e
-         |  WHERE pk.vec_id = e.vec_id AND (pk.rn - 1) % st.stride = 0
-         |    AND (pk.rn - 1) // st.stride < $IvfCentroids),
+         |pk AS (SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
+         |  FROM embeddings QUALIFY cell < $IvfCentroids),
+         |c0 AS (SELECT pk.cell, e.embedding AS center
+         |  FROM pk, embeddings e WHERE pk.vec_id = e.vec_id),
          |$iterSql,
          |${assign("af", s"c$IvfIters")},
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
