@@ -168,34 +168,17 @@ object TextQueries {
         .orderBy("doc_id", "rk")
     },
 
-    // Benchmark decontamination — the training-data hygiene op: flag
-    // training docs sharing any k-gram with the held-out benchmark set
-    // (k=4 here so the synthetic corpus's near-dup structure shows up;
-    // web-scale pipelines run the same plan with k=8..13)
-    // (stand-in: doc_id % 97 == 0). Candidates come from an equi-join on
-    // the 60-bit shingle hash (never doc x doc); output is one row per
-    // contaminated training doc with the match evidence.
+    // Benchmark decontamination — delegates to the user-facing
+    // graft.operators.Decontaminate API (k and case/punct normalization
+    // are parameters there; k=4 here so the synthetic corpus's near-dup
+    // structure shows up, web-scale pipelines run the same plan with
+    // k=8..13 — DecontaminateSpec exercises k=8). Bench-set stand-in:
+    // doc_id % 97 == 0. The oracle twin replicates the normalize +
+    // shingle-hash prefilter + string confirm exactly.
     "text_decontaminate" -> { (s, d) =>
-      val k = 4
-      val toks = TextFunctions.tokens(col("text"))
-      // The JOIN KEY is the 60-bit shingle hash (cheap shuffle compares);
-      // the shingle STRING rides along and is re-checked after the join,
-      // so a birthday collision in the hash space can never fabricate
-      // contamination evidence (same prefilter-then-confirm shape as
-      // bloom_prefilter_join). Distinct-shingle counting uses the string.
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) >= k)
-        .select(col("doc_id"),
-          explode(TextFunctions.shingles(col("t"), k)).as("s"))
-        .select(col("doc_id"), col("s"), CleanFunctions.md5Hash64(col("s")).as("h"))
-      val bench = sh.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("bench_id"), col("s").as("bs"), col("h"))
-      val train = sh.filter(col("doc_id") % 97 =!= 0)
-      train.join(bench, train("h") === bench("h") && train("s") === bench("bs"))
-        .groupBy(train("doc_id"))
-        .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
-          countDistinct(train("s")).as("n_shared_shingles"))
+      graft.operators.Decontaminate
+        .flag(Tables.documents(s, d), col("doc_id") % 97 === 0,
+          "doc_id", "text", k = 4, normalizeText = true)
         .orderBy("doc_id")
     },
 
@@ -296,8 +279,9 @@ object TextQueries {
            |SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 3
            |ORDER BY doc_id, rk""".stripMargin,
 
-      "text_decontaminate" ->
-        s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents WHERE len($t) >= 4),
+      "text_decontaminate" -> {
+        val tn = s"regexp_split_to_array(trim(${graft.operators.Decontaminate.normalizeSql("text")}), '\\s+')"
+        s"""WITH tok AS (SELECT doc_id, $tn AS t FROM documents WHERE len($tn) >= 4),
            |sh0 AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("t", 4)}) AS s FROM tok),
            |sh AS (SELECT doc_id, s, ${CleanFunctions.md5Hash64Sql("s")} AS h FROM sh0),
            |bench AS (SELECT doc_id AS bench_id, s AS bs, h FROM sh WHERE doc_id % 97 = 0),
@@ -305,7 +289,8 @@ object TextQueries {
            |SELECT train.doc_id, count(DISTINCT bench.bench_id) AS n_bench_docs,
            |  count(DISTINCT train.s) AS n_shared_shingles
            |FROM train JOIN bench ON train.h = bench.h AND train.s = bench.bs
-           |GROUP BY train.doc_id ORDER BY train.doc_id""".stripMargin,
+           |GROUP BY train.doc_id ORDER BY train.doc_id""".stripMargin
+      },
 
       "dedup_exact" ->
         """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

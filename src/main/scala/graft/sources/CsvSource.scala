@@ -13,6 +13,13 @@ import graft.functions.CleanFunctions
   * Distributed: Spark's CSV source splits files across executors; schema
   * is read once. Date parsing happens as a codegen'd expression, not a
   * per-row driver loop.
+  *
+  * Locale contract: month/AM-PM names in `dateFmt` ("MMM", "a") parse
+  * under Spark's catalyst formatter, which pins Locale.US internally
+  * (DateFormatter.defaultLocale) — NOT the JVM default locale. So
+  * English month names parse identically on a de-DE or fr-FR cluster;
+  * non-English source data needs pre-normalization, not a locale flag.
+  * Enforced by CleanFunctionsSpec's non-English-default-locale test.
   */
 object CsvSource {
 

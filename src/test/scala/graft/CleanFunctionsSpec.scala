@@ -37,6 +37,25 @@ class CleanFunctionsSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(0))
   }
 
+  test("month-name parsing survives a non-English JVM default locale") {
+    // The CsvSource locale contract: catalyst's datetime formatter pins
+    // Locale.US, so "Jan"/"PM" parse on a de-DE/fr-FR cluster exactly as
+    // on en-US. Locale.setDefault is JVM-global, which in local mode
+    // covers the executor threads evaluating the expression — if Spark
+    // ever read the default locale, "Jan" would fail under FRANCE and
+    // this test would catch the regression.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE)
+      val rows = Seq("Jan 5, 2024 3:30 PM", "Aug 31, 2023 11:59 PM")
+        .toDF("s")
+        .select(CleanFunctions.toTsFmt(col("s"), "MMM d, yyyy h:mm a").as("t"))
+        .collect()
+      assert(rows(0).getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-05 15:30:00"))
+      assert(rows(1).getTimestamp(0) == java.sql.Timestamp.valueOf("2023-08-31 23:59:00"))
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("md5Hash64 is stable and 60-bit") {
     val vals = Seq("a", "b", "hello world").toDF("s")
       .select(CleanFunctions.md5Hash64(col("s")).as("h")).collect().map(_.getLong(0))
