@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.GraftConfig
 
@@ -157,6 +157,39 @@ object StreamingAnomaly {
           out.iterator
       }
   }
+
+  /** Idempotent micro-batch write — the unit the exactly-once sink replays
+    * safely: rows land under `batch_id=N` via DYNAMIC partition overwrite,
+    * so re-running a batch (restart between sink write and checkpoint
+    * commit — the window where Structured Streaming's at-least-once
+    * foreachBatch delivers a batch twice) rewrites ONLY its own partition
+    * with the same rows. Other partitions are untouched; the table never
+    * holds duplicates. This is the standard batch-id-keyed upsert that
+    * turns foreachBatch's at-least-once into end-to-end exactly-once for
+    * any sink with atomic partition replace.
+    */
+  def writeBatchIdempotent(batch: Dataset[Row], outPath: String, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+
+  /** Exactly-once parquet sink for any append-mode streaming frame:
+    * checkpointed offsets + [[writeBatchIdempotent]] per micro-batch.
+    * Kill/restart from the same checkpoint resumes at the committed
+    * offset and any replayed batch overwrites itself — StreamingSpec
+    * restarts a query mid-stream and asserts zero duplicate rows.
+    */
+  def exactlyOnceParquetSink(df: DataFrame, outPath: String,
+                             checkpointPath: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        writeBatchIdempotent(batch, outPath, batchId)
+      }
+      .start()
 
   /** Stateful trailing-window z-score per series key: each event is scored
     * against the mean/sample-stddev of the previous `win` values of its

@@ -140,6 +140,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("exactly-once sink: a replayed micro-batch and a restart add no duplicates") {
+    val ms = MemoryStream[Event](spark)
+    val ck = ckpt()
+    val out = java.nio.file.Files.createTempDirectory("graft-xonce").toString + "/t"
+    def start() = StreamingAnomaly.exactlyOnceParquetSink(ms.toDF(), out, ck)
+    val q1 = start()
+    val b1 = Seq(
+      Event(1, ts("2026-01-01 00:00:00"), 1, "m", 1.0),
+      Event(2, ts("2026-01-01 00:10:00"), 1, "m", 2.0),
+      Event(3, ts("2026-01-01 00:20:00"), 2, "m", 3.0))
+    ms.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(out).count() == 3)
+    // foreachBatch delivery is at-least-once: a crash between the sink
+    // write and the offset commit re-runs the batch on restart. Simulate
+    // that replay by re-writing batch 0 by hand — the dynamic partition
+    // overwrite must rewrite batch_id=0 in place, not append to it.
+    StreamingAnomaly.writeBatchIdempotent(b1.toDF(), out, 0L)
+    assert(spark.read.parquet(out).count() == 3, "replayed batch duplicated rows")
+    // Restart from the checkpoint: resumes at the committed offset (no
+    // reprocessing of batch 0) and lands new data in a new partition.
+    val q2 = start()
+    try {
+      ms.addData(Event(4, ts("2026-01-01 00:30:00"), 2, "m", 4.0))
+      q2.processAllAvailable()
+      val fin = spark.read.parquet(out)
+      assert(fin.count() == 4)
+      assert(fin.select("event_id").distinct().count() == 4, "duplicate event after restart")
+      assert(fin.select("batch_id").distinct().count() == 2)
+    } finally q2.stop()
+  }
+
   // ---- Streaming <-> batch equivalence on real driver-generated data ----
   // The same events parquet, replayed through MemoryStream, must produce
   // the batch operators' answers once the watermark closes all windows.
