@@ -84,8 +84,9 @@ private[operators] object DistributedSgd {
     *
     * `standardize=true` also divides each dimension by its (exact,
     * population) standard deviation — required by models with saturating
-    * gates (the LSTM), whose Xavier init assumes unit-scale inputs;
-    * the MLP path keeps center-only for bit-compatibility.
+    * gates (the LSTM), whose Xavier init assumes unit-scale inputs; the
+    * MLP path keeps center-only (scale already cancels through its linear
+    * first layer, and skipping the variance keeps the moment pass lighter).
     */
   def detectOnSequences(seqs: DataFrame, seqCol: String,
                         keys: Seq[String], order: Seq[String], dim: Int,
