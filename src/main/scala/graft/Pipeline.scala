@@ -20,11 +20,15 @@ case class PipelineConfig(
     seqLen: Int = GraftConfig.SequenceLength,             // config.py:27
     pcaComponents: Int = 4,                               // bottleneck dim stand-in
     flagFactor: Double = 4.0,
-    // "pca" = linear AE on the scaled target (deterministic closed form);
-    // "mlp" = nonlinear tied-weight AE on the FULL scaled feature matrix,
-    // the reference's literal (L, F) training input (main.py:183-195).
+    // "pca"  = linear AE on the scaled target (deterministic closed form);
+    // "mlp"  = nonlinear tied-weight AE on the FULL scaled feature matrix,
+    //          the reference's literal (L, F) training input (main.py:183-195);
+    // "lstm" = recurrent AE on the same (L, F) input, the reference's
+    //          architecture shape (deep_learning_models.py:1-93) — scores
+    //          depend on temporal order, unlike pca/mlp.
     model: String = "pca",
-    mlpHidden: Int = 8)
+    mlpHidden: Int = 8,
+    lstmBottleneck: Int = 4)
 
 /** The reference's `run_pipeline` (main.py:58-233) as one composable
   * call: index -> clean -> features -> dropna -> scale -> sequence ->
@@ -69,6 +73,10 @@ object Pipeline {
       case "mlp" =>
         operators.MlpAutoencoder.detectMulti(scaled, cfg.seriesKeys, cfg.order,
           scaledCols, cfg.seqLen, cfg.mlpHidden, flagFactor = cfg.flagFactor)
+      case "lstm" =>
+        operators.LstmAutoencoder.detectMulti(scaled, cfg.seriesKeys, cfg.order,
+          scaledCols, cfg.seqLen, cfg.mlpHidden, cfg.lstmBottleneck,
+          flagFactor = cfg.flagFactor)
       case other => throw new IllegalArgumentException(s"unknown model: $other")
     }
   }

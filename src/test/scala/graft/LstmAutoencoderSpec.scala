@@ -112,4 +112,18 @@ class LstmAutoencoderSpec extends AnyFunSuite {
     val nFlag = lstm.filter(col("is_anomaly") === 1L).count()
     assert(nFlag.toDouble / total < 0.15, s"$nFlag/$total flagged — detector fires too broadly")
   }
+
+  test("trainPartitions trades determinism for parallelism, never quality") {
+    // The driver entries train at the session's parallelism, so the
+    // recall bar must hold away from the P=8 default too (mirrors the
+    // MLP spec; the model differs bitwise per P, the quality must not).
+    def flaggedAt(p: Int): Set[Long] =
+      LstmAutoencoder.detect(synthetic, Seq("user_id"), Seq("ts", "event_id"),
+        "value", seqLen = 24, hidden = 8, bottleneck = 4, trainPartitions = p)
+        .filter(col("is_anomaly") === 1L).select("event_id").as[Long].collect().toSet
+    val r4 = recall(flaggedAt(4))
+    val r16 = recall(flaggedAt(16))
+    assert(r4 >= 0.9, s"recall $r4 at trainPartitions=4 below the quality bar")
+    assert(r16 >= 0.9, s"recall $r16 at trainPartitions=16 below the quality bar")
+  }
 }

@@ -32,4 +32,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.select("event_id", "recon_err")
       .exceptAll(out2.select("event_id", "recon_err")).count() == 0)
   }
+
+  test("lstm model runs the recurrent AE end to end on the (L, F) feature matrix") {
+    val cfg = PipelineConfig(lags = Seq(1, 2, 3, 24), rollingWindows = Seq(3, 24),
+      model = "lstm", seqLen = 12)
+    val out = Pipeline.run(graft.sources.Tables.events(spark, sfDir), cfg).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("recon_err").isNull || col("recon_err") < 0).count() == 0)
+    assert(out.filter(!col("is_anomaly").isin(0L, 1L)).count() == 0)
+  }
 }
