@@ -34,6 +34,17 @@ object PlanAudit {
     */
   val BroadcastContract: Set[String] = Set("ann_topk_cosine", "bloom_prefilter_join")
 
+  /** Queries whose SortMergeJoin-without-any-broadcast plan is the
+    * CORRECT scale shape, not a missed broadcast:
+    *  - text_split_nodup: joins all docs against the label-propagation
+    *    fixpoint output — a corpus-proportional side (cluster membership
+    *    grows with the corpus) behind a localCheckpoint whose stats are
+    *    unknown. Forcing a broadcast would be the exact 100x-scale OOM
+    *    the corpus-broadcast rule exists to prevent; AQE still promotes
+    *    at runtime when the measured side is genuinely small.
+    */
+  val SmjContract: Set[String] = Set("text_split_nodup")
+
   /** True if the subtree reduces cardinality structurally before the
     * exchange: any aggregate or limit bounds what gets broadcast. A bare
     * Filter does NOT count — a predicate like `id % 50 = 0` is still
@@ -80,7 +91,8 @@ object PlanAudit {
     val planStr = plan.toString()
     val base = Seq(
       "SortMergeJoin where BroadcastHashJoin likely fits" ->
-        (planStr.contains("SortMergeJoin") && !planStr.contains("BroadcastHashJoin")),
+        (!SmjContract.contains(name) &&
+          planStr.contains("SortMergeJoin") && !planStr.contains("BroadcastHashJoin")),
       "single-partition Exchange (global window without keys?)" ->
         planStr.contains("SinglePartition"),
       "CartesianProduct (unbounded pair blow-up)" ->

@@ -74,4 +74,54 @@ object CorpusDedup {
     val kept = exactSurvivors(docs, idCol, textCol)
     kept.join(nearDupDropped(kept, idCol, textCol, maxHamming), Seq(idCol), "left_anti")
   }
+
+  /** Undirected near-dup candidate edges (x < y) within `maxHamming` —
+    * the single home of the pair-building join shared by the cluster
+    * queries and [[clusterLabels]].
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    require(maxHamming <= SimhashMaxHamming,
+      s"maxHamming=$maxHamming exceeds the $SimhashChunks-chunk banding's guaranteed recall bound $SimhashMaxHamming")
+    val chunks = simhashChunks(docs, idCol, textCol)
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("x"), col(s"b.$idCol").as("y"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHamming)
+      .select("x", "y")
+  }
+
+  /** Near-dup cluster label for EVERY doc: the minimum reachable id of
+    * its simhash connected component (fixpoint label propagation), its
+    * own id when it has no near-dup. One row per input doc.
+    */
+  def clusterLabels(docs: DataFrame, idCol: String, textCol: String,
+                    maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val labels = GraphOps.minLabelPropagate(nearDupPairs(docs, idCol, textCol, maxHamming))
+      .withColumnRenamed("id", idCol).withColumnRenamed("lbl", "__lbl")
+    docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__lbl"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Leakage-safe train/val split: the hash bucket is keyed on the
+    * near-dup CLUSTER id, not the doc id, so near-duplicates always land
+    * on the same side — a plain per-doc split leaks eval content into
+    * training whenever a near-copy of a val doc exists in train (the
+    * reason production pipelines dedup BEFORE splitting). Deterministic
+    * across runs/engines/partitionings like `text_split`.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", trainPct: Int = 90,
+                       maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct=$trainPct out of [0,100]")
+    clusterLabels(docs, idCol, textCol, maxHamming)
+      .withColumn("split",
+        when(graft.functions.CleanFunctions
+          .md5Hash64(concat(lit("split:"), col("cluster_id"))) % 100 < trainPct,
+          "train").otherwise("val"))
+  }
 }

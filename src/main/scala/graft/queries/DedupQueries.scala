@@ -165,16 +165,8 @@ object DedupQueries {
     // the unique min-reachable-id labeling, which the oracle replicates
     // with a recursive transitive-closure CTE.
     "dedup_clusters" -> { (s, d) =>
-      val chunks = graft.operators.CorpusDedup
-        .simhashChunks(Tables.documents(s, d), "doc_id", "text")
-      val pairs = chunks.as("a").join(chunks.as("b"),
-          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hd"))
-        .distinct()
-        .filter(col("hd") <= SimhashMaxHamming)
-        .select("x", "y")
+      val pairs = graft.operators.CorpusDedup
+        .nearDupPairs(Tables.documents(s, d), "doc_id", "text")
       graft.operators.GraphOps.minLabelPropagate(pairs)
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")

@@ -120,6 +120,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Leakage-safe train/val split — the hash bucket is keyed on the
+    // near-dup CLUSTER id (simhash connected component), so a val doc's
+    // near-copy can never land in train. Delegates to the user-facing
+    // CorpusDedup.leakageSafeSplit; oracle = the dedup_clusters recursive
+    // CTE left-joined onto all docs + the text_split bucket rule on the
+    // coalesced label.
+    "text_split_nodup" -> { (s, d) =>
+      graft.operators.CorpusDedup
+        .leakageSafeSplit(Tables.documents(s, d))
+        .orderBy("doc_id")
+    },
+
+    // Within-doc repetition score — the n-gram repetition quality signal
+    // (high repeated-3gram ratio = boilerplate/spam/generated text):
+    // 1 - distinct/total 3-grams per doc. Pure per-row array expressions,
+    // no shuffle; docs shorter than 3 tokens are excluded (no 3-grams).
+    "text_repetition" -> { (s, d) =>
+      val k = 3
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= k)
+        .select(col("doc_id"),
+          (size(col("t")) - (k - 1)).cast(LongType).as("n_grams"),
+          size(TextFunctions.shingles(col("t"), k)).cast(LongType).as("n_distinct"))
+        .withColumn("rep_ratio", CleanFunctions.round4(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams")))
+        .orderBy("doc_id")
+    },
+
     // Context chunking: split each document into fixed-size token chunks
     // with overlap (size 50, stride 40) — the training-prep op that turns
     // documents into model-context windows. Pure per-row explode + slice
@@ -255,6 +284,41 @@ object TextQueries {
            |CASE WHEN ${CleanFunctions.md5Hash64Sql("'split:' || doc_id")} % 100 < 90
            |     THEN 'train' ELSE 'val' END AS split
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Same recursive transitive-closure CTE as the dedup_clusters
+      // oracle (min reachable id == the label-propagation fixpoint),
+      // left-joined onto all docs, then the text_split bucket rule keyed
+      // on the coalesced cluster label.
+      "text_split_nodup" -> {
+        val lbl = "coalesce(l.cluster_id, d.doc_id)"
+        s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest($t) AS tk FROM documents),
+           |h AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("tk")} AS h FROM tok),
+           |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
+           |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
+           |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+           |  FROM v GROUP BY doc_id),
+           |p AS (SELECT a.doc_id AS x, b.doc_id AS y FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.sig, b.sig)) <= ${graft.operators.CorpusDedup.SimhashMaxHamming}),
+           |e AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p),
+           |reach(doc_id, lbl) AS (
+           |  SELECT DISTINCT x AS doc_id, x AS lbl FROM e
+           |  UNION
+           |  SELECT e.y AS doc_id, r.lbl FROM reach r JOIN e ON e.x = r.doc_id),
+           |lab AS (SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id)
+           |SELECT d.doc_id, $lbl AS cluster_id,
+           |CASE WHEN ${CleanFunctions.md5Hash64Sql(s"'split:' || $lbl")} % 100 < 90
+           |     THEN 'train' ELSE 'val' END AS split
+           |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
+
+      "text_repetition" ->
+        s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents WHERE len($t) >= 3),
+           |g AS (SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_grams,
+           |  CAST(len(${TextFunctions.shinglesSql("t", 3)}) AS BIGINT) AS n_distinct FROM tok)
+           |SELECT doc_id, n_grams, n_distinct,
+           |${CleanFunctions.round4Sql("1.0 - CAST(n_distinct AS DOUBLE) / n_grams")} AS rep_ratio
+           |FROM g ORDER BY doc_id""".stripMargin,
 
       "text_chunk" ->
         s"""WITH tok AS (SELECT doc_id, $t AS t FROM documents),

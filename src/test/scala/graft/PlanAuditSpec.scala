@@ -47,4 +47,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"allowlisted queries no longer broadcast a corpus scan: " +
         (PlanAudit.BroadcastContract -- stillBroadcasting).mkString(", "))
   }
+
+  test("the SMJ-by-design allowlist is exact (no stale entries)") {
+    val stillSmjOnly = PlanAudit.SmjContract.filter { name =>
+      spark.catalog.clearCache() // see above
+      val df = SparkEntry.queries(name)(spark, SparkTestSession.sfDir)
+      val p = df.queryExecution.executedPlan.toString()
+      p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+    }
+    assert(stillSmjOnly == PlanAudit.SmjContract,
+      s"allowlisted queries no longer plan SMJ-only: " +
+        (PlanAudit.SmjContract -- stillSmjOnly).mkString(", "))
+  }
 }
