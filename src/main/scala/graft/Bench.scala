@@ -8,8 +8,13 @@ object Bench {
     // page cache), which nearly masked real round-2 wins. Odd N => true
     // median element.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS=$reps must be >= 1")
     // Optional query-name args restrict the run (fast iteration on one op).
+    // Validated up front: a typo'd name silently benching nothing would
+    // print total=0.0, which downstream parsing reads as a huge speedup.
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,7 +50,13 @@ object Bench {
         System.gc()
         dt
       }.sorted
-      name -> times(times.length / 2)
+      // True median: middle element for odd N, mean of the two middle
+      // elements for even N (times(n/2) alone would be the UPPER middle,
+      // biasing every reported time high).
+      val median =
+        if (times.length % 2 == 1) times(times.length / 2)
+        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

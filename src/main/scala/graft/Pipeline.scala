@@ -28,6 +28,7 @@ case class PipelineConfig(
     //          depend on temporal order, unlike pca/mlp.
     model: String = "pca",
     mlpHidden: Int = 8,
+    lstmHidden: Int = 8,
     lstmBottleneck: Int = 4)
 
 /** The reference's `run_pipeline` (main.py:58-233) as one composable
@@ -75,7 +76,7 @@ object Pipeline {
           scaledCols, cfg.seqLen, cfg.mlpHidden, flagFactor = cfg.flagFactor)
       case "lstm" =>
         operators.LstmAutoencoder.detectMulti(scaled, cfg.seriesKeys, cfg.order,
-          scaledCols, cfg.seqLen, cfg.mlpHidden, cfg.lstmBottleneck,
+          scaledCols, cfg.seqLen, cfg.lstmHidden, cfg.lstmBottleneck,
           flagFactor = cfg.flagFactor)
       case other => throw new IllegalArgumentException(s"unknown model: $other")
     }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, GlobalLimit, Join, LocalLimit, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, GlobalLimit, Join, LogicalPlan}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -22,17 +22,21 @@ object PlanAudit {
   val CorpusTables: Set[String] =
     Set("lineitem", "orders", "events", "documents", "embeddings")
 
-  /** Queries whose corpus-side broadcast is a DOCUMENTED small-side
-    * contract, not an accident:
-    *  - ann_topk_cosine: AnnSearch.bruteForceTopK broadcasts the query
-    *    batch; the API contract says the batch must be driver-small.
-    *  - bloom_prefilter_join: the build side is orders above a fixed
-    *    high price fence — the operator's stated premise is a selective
-    *    dim side (it also feeds the bloom filter, which is size-capped).
-    * Anything NOT in this set that broadcasts an unreduced corpus scan
+  /** (query -> corpus tables) whose broadcast is a DOCUMENTED small-side
+    * contract, not an accident — scoped per TABLE so a second, genuinely
+    * wrong broadcast inside an allowlisted query still fails the audit:
+    *  - ann_topk_cosine / embeddings: AnnSearch.bruteForceTopK broadcasts
+    *    the query batch; the API contract says the batch must be
+    *    driver-small.
+    *  - bloom_prefilter_join / orders: the build side is orders above a
+    *    fixed high price fence — the operator's stated premise is a
+    *    selective dim side (it also feeds the size-capped bloom filter).
+    * Any other (query, table) hint-forced unreduced corpus broadcast
     * fails PlanAuditSpec.
     */
-  val BroadcastContract: Set[String] = Set("ann_topk_cosine", "bloom_prefilter_join")
+  val BroadcastContract: Map[String, Set[String]] = Map(
+    "ann_topk_cosine" -> Set("embeddings"),
+    "bloom_prefilter_join" -> Set("orders"))
 
   /** Queries whose SortMergeJoin-without-any-broadcast plan is the
     * CORRECT scale shape, not a missed broadcast:
@@ -54,7 +58,10 @@ object PlanAudit {
     p.exists {
       case _: Aggregate    => true
       case _: GlobalLimit  => true
-      case _: LocalLimit   => true
+      // A bare LocalLimit does NOT bound the build side: it caps rows per
+      // PARTITION, so the total still grows with the partition count
+      // (LimitPushDown can place one below a join side without the
+      // GlobalLimit). Only the global limit is a structural bound.
       case _               => false
     }
 
@@ -98,9 +105,10 @@ object PlanAudit {
       "CartesianProduct (unbounded pair blow-up)" ->
         planStr.contains("CartesianProduct")
     ).collect { case (msg, true) => msg }
-    val cb =
-      if (BroadcastContract.contains(name)) Nil
-      else corpusBroadcasts(qe.optimizedPlan).map(t =>
+    val allowed = BroadcastContract.getOrElse(name, Set.empty)
+    val cb = corpusBroadcasts(qe.optimizedPlan)
+      .filterNot(t => allowed.exists(t.contains))
+      .map(t =>
         s"hint-forced broadcast of unreduced corpus-proportional table '$t' (OOM at 100x scale)")
     base ++ cb
   }

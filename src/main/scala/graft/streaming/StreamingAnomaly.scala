@@ -168,12 +168,18 @@ object StreamingAnomaly {
     * turns foreachBatch's at-least-once into end-to-end exactly-once for
     * any sink with atomic partition replace.
     */
-  def writeBatchIdempotent(batch: Dataset[Row], outPath: String, batchId: Long): Unit =
+  def writeBatchIdempotent(batch: Dataset[Row], outPath: String, batchId: Long): Unit = {
+    // batch_id is the sink's reserved partition column; silently
+    // overwriting a caller's domain column of the same name would
+    // persist corrupted data with the original values unrecoverable.
+    require(!batch.columns.contains("batch_id"),
+      "exactly-once sink: input already has a batch_id column (reserved for the sink's partition key); rename it first")
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outPath)
+  }
 
   /** Exactly-once parquet sink for any append-mode streaming frame:
     * checkpointed offsets + [[writeBatchIdempotent]] per micro-batch.

@@ -36,16 +36,16 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("the broadcast-contract allowlist is exact (no stale entries)") {
-    // If a contracted query stops broadcasting a corpus scan, the
-    // allowlist entry is stale — shrink it so the guard stays tight.
-    val stillBroadcasting = PlanAudit.BroadcastContract.filter { name =>
+    // If a contracted query stops broadcasting a contracted table, that
+    // (query, table) entry is stale — shrink it so the guard stays tight.
+    val stale = PlanAudit.BroadcastContract.toSeq.flatMap { case (name, tables) =>
       spark.catalog.clearCache() // see above
       val df = SparkEntry.queries(name)(spark, SparkTestSession.sfDir)
-      PlanAudit.corpusBroadcasts(df.queryExecution.optimizedPlan).nonEmpty
+      val found = PlanAudit.corpusBroadcasts(df.queryExecution.optimizedPlan)
+      tables.filterNot(t => found.exists(_.contains(t))).map(t => s"$name -> $t")
     }
-    assert(stillBroadcasting == PlanAudit.BroadcastContract,
-      s"allowlisted queries no longer broadcast a corpus scan: " +
-        (PlanAudit.BroadcastContract -- stillBroadcasting).mkString(", "))
+    assert(stale.isEmpty,
+      s"allowlist entries no longer broadcast their corpus scan: ${stale.mkString(", ")}")
   }
 
   test("the SMJ-by-design allowlist is exact (no stale entries)") {
