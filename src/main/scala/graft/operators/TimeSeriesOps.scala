@@ -158,6 +158,37 @@ object TimeSeriesOps {
     )
   }
 
+  /** Time-WEIGHTED average resample for IRREGULAR series — the correct
+    * hourly downsample when samples are unevenly spaced ([[resample]]'s
+    * plain mean over-weights burst periods). Step-function semantics
+    * (last observation carried forward): each sample holds its value
+    * until the next sample of its series or the bucket end, whichever
+    * comes first; the bucket aggregate is sum(w*v)/sum(w) over those
+    * hold durations (seconds). A bucket whose samples all arrive at one
+    * instant has zero total weight -> null twa (safeDiv), never a
+    * divide blow-up. Null values are excluded before weighting so a
+    * missing metric doesn't hold through its gap.
+    *
+    * Scale shape: one keyed window (lead) + one grouped aggregate —
+    * identical to every other per-series operator here; weights are
+    * computed on exact microsecond longs so both engines agree bitwise.
+    */
+  def twaResample(df: DataFrame, keys: Seq[String], tsCol: String,
+                  order: Seq[String], valueCol: String): DataFrame = {
+    import graft.functions.CleanFunctions.{epochUs, exactSum, safeDiv}
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__bucket", date_trunc("hour", col(tsCol)))
+      .withColumn("__end_us", epochUs(col("__bucket") + expr("INTERVAL 1 HOUR")))
+      .withColumn("__nxt_us", lead(epochUs(col(tsCol)), 1).over(w))
+      .withColumn("__w",
+        (least(coalesce(col("__nxt_us"), col("__end_us")), col("__end_us")) -
+          epochUs(col(tsCol))) / lit(1e6))
+      .groupBy(keys.map(col) :+ col("__bucket").as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        safeDiv(exactSum(col("__w") * col(valueCol)), exactSum(col("__w"))).as("twa"))
+  }
+
   /** MinMax scaling per series (ref: preprocessing.py:264-294
     * scale_features). Fit = window min/max (or a grouped agg + broadcast
     * join at scale), transform = pure expression -> stays in codegen.

@@ -110,6 +110,16 @@ object TimeSeriesQueries {
         .orderBy("user_id", "bucket_us")
     },
 
+    // Time-WEIGHTED hourly resample (step-function hold durations) — the
+    // irregular-series downsample ts_resample_1h's plain mean gets wrong
+    // when samples arrive unevenly. See TimeSeriesOps.twaResample.
+    "ts_twa_resample" -> { (s, d) =>
+      TS.twaResample(Tables.events(s, d), K, "ts", Ord, "value")
+        .select(col("user_id"), epochUs(col("bucket")).as("bucket_us"), col("n"),
+          CleanFunctions.round4(col("twa")).as("twa"))
+        .orderBy("user_id", "bucket_us")
+    },
+
     "ts_scale_minmax" -> { (s, d) =>
       TS.minMaxScale(Tables.events(s, d), K, "value", "scaled")
         .select(col("event_id"), graft.functions.CleanFunctions.round4(col("scaled")).as("scaled"))
@@ -544,6 +554,19 @@ object TimeSeriesQueries {
          |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_value, min(value) AS min_value,
          |max(value) AS max_value, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY user_id, bucket_us""".stripMargin,
+
+    "ts_twa_resample" ->
+      s"""WITH b AS (SELECT user_id, value, epoch_us(ts) AS ts_us,
+         |  CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+         |  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS end_us,
+         |  lead(epoch_us(ts)) OVER ($W) AS nxt_us
+         |  FROM events WHERE value IS NOT NULL),
+         |w AS (SELECT user_id, bucket_us, value,
+         |  (least(coalesce(nxt_us, end_us), end_us) - ts_us) / 1000000.0 AS w FROM b)
+         |SELECT user_id, bucket_us, count(*) AS n,
+         |${CleanFunctions.round4Sql(
+             CleanFunctions.exactSumSql("w * value") + " / nullif(" + CleanFunctions.exactSumSql("w") + ", 0.0)")} AS twa
+         |FROM w GROUP BY 1, 2 ORDER BY user_id, bucket_us""".stripMargin,
 
     "ts_scale_minmax" ->
       s"""SELECT event_id, round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 AS scaled

@@ -176,4 +176,25 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       date_trunc("hour", col("ts")).as("b"))
     assert(got.join(grouped, Seq("user_id", "b")).filter(col("got") =!= col("want")).count() == 0)
   }
+
+  test("twaResample weights by hold duration, not sample count") {
+    import spark.implicits._
+    // One hour, two samples: v=0 held for 54 min, v=10 held for the last
+    // 6 min. Plain mean says 5; the time-weighted answer is
+    // (0*54 + 10*6)/60 = 1. A cross-hour sample checks the bucket-end cap,
+    // and the single trailing sample holds to ITS bucket end.
+    val df = Seq(
+      (1L, "u", "2026-01-01 10:00:00", 0.0),
+      (2L, "u", "2026-01-01 10:54:00", 10.0),
+      (3L, "u", "2026-01-01 11:12:00", 7.0)
+    ).toDF("event_id", "user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val out = TS.twaResample(df, Seq("user_id"), "ts", Seq("ts", "event_id"), "value")
+      .orderBy("bucket").collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getAs[Double]("twa") - 1.0) < 1e-12,
+      s"hour-10 twa ${out(0)}") // NOT the plain mean 5.0
+    assert(math.abs(out(1).getAs[Double]("twa") - 7.0) < 1e-12,
+      s"hour-11 twa ${out(1)}") // lone sample holds to bucket end
+  }
 }
