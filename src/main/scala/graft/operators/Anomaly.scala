@@ -61,6 +61,25 @@ object Anomaly {
       .withColumn("is_anomaly", (col(target) < col("lo") || col(target) > col("hi")).cast("long"))
   }
 
+  /** Winsorization: clamp the target into its per-series [qLo, qHi]
+    * percentile band — the robust-preprocessing sibling of [[iqr]]
+    * (clamp instead of flag), standard before scaling so one spike
+    * can't stretch a min-max range or inflate a z denominator. Same
+    * scale shape as [[iqr]]: the quantile side is |keys| rows,
+    * always broadcastable; exact interpolated percentile here, swap
+    * `approx_percentile` at extreme cardinality (same plan shape).
+    */
+  def winsorize(df: DataFrame, keys: Seq[String], target: String,
+                qLo: Double = 0.05, qHi: Double = 0.95): DataFrame = {
+    require(qLo >= 0 && qHi <= 1 && qLo < qHi, s"bad band [$qLo, $qHi]")
+    val stats = df.groupBy(keys.map(col): _*).agg(
+      expr(s"percentile($target, $qLo)").as("lo"),
+      expr(s"percentile($target, $qHi)").as("hi"))
+    df.join(broadcast(stats), keys)
+      .withColumn(s"${target}_wins", least(greatest(col(target), col("lo")), col("hi")))
+      .withColumn("is_clamped", (col(target) < col("lo") || col(target) > col("hi")).cast("long"))
+  }
+
   /** Median-absolute-deviation robust z: 0.6745*(x-med)/mad, |rz|>3.5.
     * Two grouped-aggregate passes (median, then MAD) — both tiny,
     * broadcast back.

@@ -151,6 +151,16 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Winsorize: clamp value into its per-series [p05, p95] band — the
+    // robust-preprocessing step before scaling (clamp, where IQR flags).
+    "ts_winsorize" -> { (s, d) =>
+      Anomaly.winsorize(Tables.events(s, d), K, "value")
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("value_wins")).as("value_wins"),
+          col("is_clamped"))
+        .orderBy("event_id")
+    },
+
     "ts_mad_anomaly" -> { (s, d) =>
       Anomaly.mad(Tables.events(s, d), K, "value")
         .select(col("event_id"),
@@ -594,6 +604,14 @@ object TimeSeriesQueries {
          |FROM events GROUP BY user_id)
          |SELECT e.event_id, round((s.q1 - 1.5*(s.q3 - s.q1)) * 1000000.0) / 1000000.0 AS lo, round((s.q3 + 1.5*(s.q3 - s.q1)) * 1000000.0) / 1000000.0 AS hi,
          |CAST(CASE WHEN e.value < s.q1 - 1.5*(s.q3 - s.q1) OR e.value > s.q3 + 1.5*(s.q3 - s.q1) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM events e JOIN s USING (user_id) ORDER BY e.event_id""".stripMargin,
+
+    "ts_winsorize" ->
+      s"""WITH s AS (SELECT user_id, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+         |FROM events GROUP BY user_id)
+         |SELECT e.event_id,
+         |round((least(greatest(e.value, s.lo), s.hi)) * 10000.0) / 10000.0 AS value_wins,
+         |CAST(CASE WHEN e.value < s.lo OR e.value > s.hi THEN 1 ELSE 0 END AS BIGINT) AS is_clamped
          |FROM events e JOIN s USING (user_id) ORDER BY e.event_id""".stripMargin,
 
     "ts_mad_anomaly" ->

@@ -34,6 +34,17 @@ class AnomalySpec extends AnyFunSuite {
     assert(r.filter(col("lo") >= col("hi")).count() == 0)
   }
 
+  test("winsorize clamps into the band and flags exactly the out-of-band rows") {
+    val r = Anomaly.winsorize(ev, Seq("user_id"), "value").cache()
+    // Output never escapes the per-series band, in-band values untouched.
+    assert(r.filter(col("value_wins") < col("lo") || col("value_wins") > col("hi")).count() == 0)
+    assert(r.filter(col("is_clamped") === 0L && col("value_wins") =!= col("value")).count() == 0)
+    // ~10% sits outside a [p05, p95] band by construction (ties aside).
+    val frac = r.filter(col("is_clamped") === 1L).count().toDouble / r.count()
+    assert(frac > 0.05 && frac < 0.15, s"clamped fraction $frac")
+    r.unpersist()
+  }
+
   test("mad robust z flags extremes only") {
     val r = Anomaly.mad(ev, Seq("user_id"), "value")
     val frac = r.filter(col("is_anomaly") === 1L).count().toDouble / r.count()
