@@ -91,6 +91,21 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    // Set operators through Catalyst: INTERSECT plans as a left-semi
+    // aggregate join, EXCEPT as left-anti — both distinct-semantics,
+    // both shuffle on the full row (here one column). The two slices
+    // (high-value events vs click events) overlap partially so every
+    // branch is non-trivially exercised.
+    "events_set_ops" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val highVal = ev.filter(col("value") > 150.0).select(col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click").select(col("event_id"))
+      highVal.intersect(clicks).withColumn("op", lit("intersect"))
+        .union(highVal.except(clicks).withColumn("op", lit("except")))
+        .select(col("op"), col("event_id"))
+        .orderBy("op", "event_id")
+    },
+
     // Quantile bucketing: decile of value within event type (ntile over a
     // tie-broken sort) — the binning primitive behind quantile features.
     "events_ntile" -> { (s, d) =>
@@ -404,6 +419,14 @@ object RelationalQueries {
         |CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "events_set_ops" ->
+      """WITH hv AS (SELECT event_id FROM events WHERE value > 150.0),
+        |ck AS (SELECT event_id FROM events WHERE event_type = 'click')
+        |SELECT 'intersect' AS op, event_id FROM (SELECT event_id FROM hv INTERSECT SELECT event_id FROM ck)
+        |UNION ALL
+        |SELECT 'except' AS op, event_id FROM (SELECT event_id FROM hv EXCEPT SELECT event_id FROM ck)
+        |ORDER BY op, event_id""".stripMargin,
 
     "events_ntile" ->
       """SELECT event_id, event_type,
