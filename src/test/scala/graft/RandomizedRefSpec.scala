@@ -93,6 +93,80 @@ class RandomizedRefSpec extends AnyFunSuite {
     }
   }
 
+  test("twaResample matches a driver-side step-function reference on irregular data") {
+    val rng = new scala.util.Random(31)
+    val HourUs = 3600L * 1000000L
+    // 4 series, irregular microsecond timestamps over ~6 hours, ~8% nulls,
+    // occasional exact-duplicate timestamps (zero-weight samples).
+    val rows = (1 to 400).map { i =>
+      val ts = (rng.nextLong() % (6 * HourUs)).abs / 1000L * 1000L // ms-aligned
+      val v = if (rng.nextDouble() < 0.08) None else Some((rng.nextDouble() - 0.5) * 200)
+      (i.toLong, rng.nextInt(4).toLong, ts, v)
+    }
+    val df = rows.toDF("event_id", "user_id", "tsu", "value")
+      .withColumn("ts", timestamp_micros(col("tsu"))).drop("tsu")
+    val got = TS.twaResample(df, Seq("user_id"), "ts", Seq("ts", "event_id"), "value")
+      .select(col("user_id"), unix_micros(col("bucket")).as("b"), col("twa"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    // Reference: per series, sorted by (ts, event_id); each non-null sample
+    // holds until the next sample or its bucket end.
+    // .toSeq before flatMap: flatMapping a Map with pair-valued output
+    // builds another Map and silently dedups by (user, bucket) key.
+    val ref = rows.filter(_._4.isDefined).groupBy(_._2).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._1))
+      val withNext = sorted.zipAll(sorted.drop(1).map(e => Some(e._3)), null, None)
+      withNext.map { case ((_, _, ts, Some(v)), next) =>
+        val bucket = ts / HourUs * HourUs
+        val end = bucket + HourUs
+        val w = (math.min(next.getOrElse(end), end) - ts) / 1e6
+        ((u, bucket), (w, v))
+      }
+    }.groupBy(_._1).map { case (k, ws) =>
+      val sw = ws.map(_._2._1).sum
+      k -> (if (sw == 0.0) None else Some(ws.map { case (_, (w, v)) => w * v }.sum / sw))
+    }
+    assert(got.keySet == ref.keySet, "bucket sets differ")
+    ref.foreach { case (k, want) =>
+      (got(k), want) match {
+        case (Some(g), Some(r)) =>
+          // The operator sums through DECIMAL(18,6) (1e-6 quantization per
+          // term); the reference uses plain doubles — compare to 1e-4.
+          assert(math.abs(g - r) < 1e-4, s"$k: got $g want $r")
+        case (g, r) => assert(g == r, s"$k: got $g want $r")
+      }
+    }
+  }
+
+  test("winsorize matches a driver-side interpolated-percentile reference") {
+    val rng = new scala.util.Random(37)
+    val rows = (1 to 600).map(i =>
+      (i.toLong, rng.nextInt(5).toLong, (rng.nextGaussian() * 50) + rng.nextInt(3) * 100))
+    val got = graft.operators.Anomaly
+      .winsorize(rows.toDF("event_id", "k", "v"), Seq("k"), "v", qLo = 0.1, qHi = 0.9)
+      .select(col("event_id"), col("v_wins"), col("is_clamped"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // Reference: Spark's exact `percentile` is linear interpolation at
+    // rank q*(n-1) over the sorted values.
+    def pct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val rank = q * (s.length - 1)
+      val lo = s(rank.toInt)
+      val hi = s(math.min(rank.toInt + 1, s.length - 1))
+      lo + (rank - rank.toInt) * (hi - lo)
+    }
+    rows.groupBy(_._2).foreach { case (_, evs) =>
+      val vs = evs.map(_._3)
+      val (lo, hi) = (pct(vs, 0.1), pct(vs, 0.9))
+      evs.foreach { case (id, _, v) =>
+        val want = math.min(math.max(v, lo), hi)
+        val (gw, gc) = got(id)
+        assert(math.abs(gw - want) < 1e-9, s"event $id: got $gw want $want")
+        assert(gc == (if (v < lo || v > hi) 1L else 0L), s"event $id clamp flag")
+      }
+    }
+  }
+
   test("saltedJoin equals the plain join on random skewed data") {
     val rng = new scala.util.Random(41)
     // 80% of large-side rows share one hot key — the salted join's reason to exist.
