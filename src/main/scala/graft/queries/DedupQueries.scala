@@ -30,7 +30,6 @@ object DedupQueries {
   private val MinhashVerifyThreshold = 0.7
   // Shared with the CorpusDedup API so the oracle SQL can never drift
   // from what the delegating queries compute.
-  private val SimhashChunks = graft.operators.CorpusDedup.SimhashChunks
   private val SimhashMaxHamming = graft.operators.CorpusDedup.SimhashMaxHamming
   private val CosineThreshold = 0.4 // max pairwise cosine in testdata ~0.51
   private val EmbBands = 4
