@@ -120,6 +120,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Stratified deterministic sampling — the data-MIXING primitive:
+    // down/up-weight strata (language here) by per-stratum keep rates
+    // when composing a training corpus. Same md5-bucket determinism as
+    // text_split (stable across runs/engines/partitionings — a rand()
+    // sample re-deals every retry, breaking exactly-once semantics of a
+    // pipeline re-run); unknown strata keep the default rate. Pure
+    // filter, no shuffle.
+    "text_sample_stratified" -> { (s, d) =>
+      val rates = Map("en" -> 50, "de" -> 80) // keep-% per stratum
+      val defaultRate = 100
+      val bucket = CleanFunctions.md5Hash64(concat(lit("sample:"), col("doc_id"))) % 100
+      val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+        when(col("lang") === lang, lit(r)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .filter(bucket < rate)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // Leakage-safe train/val split — the hash bucket is keyed on the
     // near-dup CLUSTER id (simhash connected component), so a val doc's
     // near-copy can never land in train. Delegates to the user-facing
@@ -284,6 +304,12 @@ object TextQueries {
            |CASE WHEN ${CleanFunctions.md5Hash64Sql("'split:' || doc_id")} % 100 < 90
            |     THEN 'train' ELSE 'val' END AS split
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_sample_stratified" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${CleanFunctions.md5Hash64Sql("'sample:' || doc_id")} % 100 <
+           |  CASE WHEN lang = 'de' THEN 80 WHEN lang = 'en' THEN 50 ELSE 100 END
+           |ORDER BY doc_id""".stripMargin,
 
       // Same recursive transitive-closure CTE as the dedup_clusters
       // oracle (min reachable id == the label-propagation fixpoint),
