@@ -37,9 +37,13 @@ object Bench {
       .filter(n => only.isEmpty || only.contains(n))
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // A throwing query must NOT record its fail-fast elapsed time: with
+        // median-of-N that parses downstream as a huge speedup (the r5
+        // ADVICE silent-zero hazard). Track success per rep instead.
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // Drop per-query caches so one query's cached sets don't squat on
         // executor memory for the rest of the run; the GC nudge lets the
@@ -48,20 +52,26 @@ object Bench {
         // 4x slower under the leftover block pressure).
         spark.catalog.clearCache()
         System.gc()
-        dt
-      }.sorted
+        (dt, ok)
+      }
+      val times = runs.map(_._1).sorted
       // True median: middle element for odd N, mean of the two middle
       // elements for even N (times(n/2) alone would be the UPPER middle,
       // biasing every reported time high).
       val median =
         if (times.length % 2 == 1) times(times.length / 2)
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-      name -> median
+      val failed = runs.exists(!_._2)
+      (name, if (failed) -1.0 else median, failed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Failed queries report -1 (never parseable as a fast time) and are
+    // listed in "failed"; the total sums only successful medians.
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    val failedNames = results.collect { case (k, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, false) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedNames,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

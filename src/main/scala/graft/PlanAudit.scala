@@ -49,32 +49,31 @@ object PlanAudit {
     */
   val SmjContract: Set[String] = Set("text_split_nodup")
 
-  /** True if the subtree reduces cardinality structurally before the
-    * exchange: any aggregate or limit bounds what gets broadcast. A bare
-    * Filter does NOT count — a predicate like `id % 50 = 0` is still
-    * corpus-proportional.
+  /** Corpus tables scanned with NO Aggregate/GlobalLimit on the path from
+    * the scan up to this subtree's root. The walk stops at any node that
+    * structurally bounds cardinality — everything below it is reduced
+    * before the exchange, so its scans don't count. This is a PATH check,
+    * not an exists() over the whole side: a build side shaped
+    * Join(Aggregate(dim), corpus_scan) still flags the corpus scan,
+    * because the aggregate is on a sibling branch, not on the scan's path
+    * to the broadcast root (the r5 ADVICE false-negative). A bare Filter
+    * does NOT bound — a predicate like `id % 50 = 0` is still
+    * corpus-proportional. A bare LocalLimit does NOT bound either: it
+    * caps rows per PARTITION, so the total still grows with the
+    * partition count (LimitPushDown can place one below a join side
+    * without the GlobalLimit).
     */
-  private def bounded(p: LogicalPlan): Boolean =
-    p.exists {
-      case _: Aggregate    => true
-      case _: GlobalLimit  => true
-      // A bare LocalLimit does NOT bound the build side: it caps rows per
-      // PARTITION, so the total still grows with the partition count
-      // (LimitPushDown can place one below a join side without the
-      // GlobalLimit). Only the global limit is a structural bound.
-      case _               => false
-    }
-
-  private def corpusScans(p: LogicalPlan): Seq[String] =
-    p.collect {
-      case lr: LogicalRelation =>
-        lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.map(_.getName.toLowerCase)
-              .filter(n => CorpusTables.exists(n.contains)).toSeq
-          case _ => Nil
-        }
-    }.flatten
+  private def unboundedCorpusScans(p: LogicalPlan): Seq[String] = p match {
+    case _: Aggregate | _: GlobalLimit => Nil
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.getName.toLowerCase)
+            .filter(n => CorpusTables.exists(n.contains)).toSeq
+        case _ => Nil
+      }
+    case other => other.children.flatMap(unboundedCorpusScans)
+  }
 
   /** Corpus tables scanned unreduced under a HINT-FORCED broadcast side.
     * Only hints count: a stats-chosen broadcast of a table that happens
@@ -85,8 +84,8 @@ object PlanAudit {
     plan.collect {
       case j: Join =>
         Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
-          case (Some(h), side) if h.strategy.contains(BROADCAST) && !bounded(side) =>
-            corpusScans(side)
+          case (Some(h), side) if h.strategy.contains(BROADCAST) =>
+            unboundedCorpusScans(side)
         }.flatten
     }.flatten.distinct
 

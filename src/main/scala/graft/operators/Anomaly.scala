@@ -76,8 +76,16 @@ object Anomaly {
       expr(s"percentile($target, $qLo)").as("lo"),
       expr(s"percentile($target, $qHi)").as("hi"))
     df.join(broadcast(stats), keys)
-      .withColumn(s"${target}_wins", least(greatest(col(target), col("lo")), col("hi")))
-      .withColumn("is_clamped", (col(target) < col("lo") || col(target) > col("hi")).cast("long"))
+      // Pin the null semantic (pandas clip: NaN in -> NaN out): Spark's
+      // least/greatest SKIP nulls, which would silently winsorize a
+      // missing value to `lo` — guard explicitly so NULL stays NULL, and
+      // a NULL target is NOT clamped (0), same contract as mad's
+      // is_anomaly (both halves of the r5 ADVICE divergence).
+      .withColumn(s"${target}_wins",
+        when(col(target).isNull, lit(null))
+          .otherwise(least(greatest(col(target), col("lo")), col("hi"))))
+      .withColumn("is_clamped",
+        coalesce((col(target) < col("lo") || col(target) > col("hi")).cast("long"), lit(0L)))
   }
 
   /** Median-absolute-deviation robust z: 0.6745*(x-med)/mad, |rz|>3.5.

@@ -74,15 +74,18 @@ object IvfIndex {
     // no global sort and no single-partition exchange at any scale; the
     // embeddings come back via an isin-pushdown scan of just the k ids.
     import org.apache.spark.sql.types.StringType
-    val pickIds = e.select(col(idCol))
+    // Ids are read generically (r.get) and keyed on Any so a string/int
+    // idCol works the same as the long ids in testdata — the r5 ADVICE
+    // flagged the previous getLong as a latent ClassCastException.
+    val pickIds: Array[Any] = e.select(col(idCol))
       .orderBy(md5(col(idCol).cast(StringType)), col(idCol))
       .limit(k)
-      .collect().map(_.getLong(0))
-    val cellOf = pickIds.zipWithIndex.toMap
+      .collect().map(_.get(0))
+    val cellOf: Map[Any, Int] = pickIds.zipWithIndex.toMap
     val init = e.filter(col(idCol).isin(pickIds: _*))
       .select(col(idCol), col(embCol))
       .collect()
-      .map(r => cellOf(r.getLong(0)) -> r.getSeq[Float](1).toArray)
+      .map(r => cellOf(r.get(0)) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1).toSeq
 
     (1 to iters).foldLeft(init) { (centers, _) =>

@@ -172,6 +172,13 @@ object TimeSeriesOps {
     * Scale shape: one keyed window (lead) + one grouped aggregate —
     * identical to every other per-series operator here; weights are
     * computed on exact microsecond longs so both engines agree bitwise.
+    *
+    * LIMITATION (by design, r5 ADVICE): each hold is truncated at its own
+    * bucket's end and is NOT carried into the next bucket — a bucket whose
+    * first sample arrives late ignores the value held through its opening
+    * span, and buckets with no samples emit no row. This is bucket-local
+    * TWA, not full step-function (LOCF) coverage; for the latter, build a
+    * spine with [[timeSpine]] + forward fill first, then aggregate.
     */
   def twaResample(df: DataFrame, keys: Seq[String], tsCol: String,
                   order: Seq[String], valueCol: String): DataFrame = {

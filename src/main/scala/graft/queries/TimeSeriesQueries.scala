@@ -610,7 +610,7 @@ object TimeSeriesQueries {
       s"""WITH s AS (SELECT user_id, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
          |FROM events GROUP BY user_id)
          |SELECT e.event_id,
-         |round((least(greatest(e.value, s.lo), s.hi)) * 10000.0) / 10000.0 AS value_wins,
+         |round((CASE WHEN e.value IS NULL THEN NULL ELSE least(greatest(e.value, s.lo), s.hi) END) * 10000.0) / 10000.0 AS value_wins,
          |CAST(CASE WHEN e.value < s.lo OR e.value > s.hi THEN 1 ELSE 0 END AS BIGINT) AS is_clamped
          |FROM events e JOIN s USING (user_id) ORDER BY e.event_id""".stripMargin,
 

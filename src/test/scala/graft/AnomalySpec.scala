@@ -45,6 +45,19 @@ class AnomalySpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("winsorize pins NULL targets to is_clamped=0 (oracle CASE WHEN semantic)") {
+    // r5 ADVICE: a NULL target used to leak NULL from the band comparison
+    // while the DuckDB oracle's CASE WHEN yields 0 — pin the 0 semantic.
+    import spark.implicits._
+    val rows = (1 to 20).map(i => (i.toLong, "k", Some(i.toDouble))) :+
+      (21L, "k", None: Option[Double])
+    val r = Anomaly.winsorize(rows.toDF("event_id", "k", "v"), Seq("k"), "v").cache()
+    assert(r.filter(col("is_clamped").isNull).count() == 0)
+    assert(r.filter(col("v").isNull).select("is_clamped").as[Long].head() == 0L)
+    assert(r.filter(col("v").isNull).select("v_wins").head().isNullAt(0))
+    r.unpersist()
+  }
+
   test("mad robust z flags extremes only") {
     val r = Anomaly.mad(ev, Seq("user_id"), "value")
     val frac = r.filter(col("is_anomaly") === 1L).count().toDouble / r.count()

@@ -48,6 +48,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"allowlist entries no longer broadcast their corpus scan: ${stale.mkString(", ")}")
   }
 
+  test("corpus-broadcast detection is a path check, not subtree exists()") {
+    // r5 ADVICE false negative: a hint-forced build side shaped
+    // Join(Aggregate(dim), corpus_scan) has an Aggregate SOMEWHERE in the
+    // subtree, but not on the corpus scan's path to the broadcast root —
+    // the corpus side still reaches the exchange unreduced and must flag.
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet")
+    val nation = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+    val probe = spark.range(10).toDF("user_id")
+
+    val aggOnly = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val aggSideJoin = nation.groupBy("n_regionkey").agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("n_regionkey", "rk")
+      .crossJoin(events.select("user_id", "value"))
+    def flagged(build: org.apache.spark.sql.DataFrame): Seq[String] =
+      PlanAudit.corpusBroadcasts(
+        probe.join(broadcast(build), Seq("user_id")).queryExecution.optimizedPlan)
+
+    // Aggregate ON the corpus scan's path -> bounded, no flag.
+    assert(flagged(aggOnly).isEmpty)
+    // Aggregate on a SIBLING branch only -> corpus scan unreduced -> flag.
+    assert(flagged(aggSideJoin).exists(_.contains("events")))
+  }
+
   test("the SMJ-by-design allowlist is exact (no stale entries)") {
     val stillSmjOnly = PlanAudit.SmjContract.filter { name =>
       spark.catalog.clearCache() // see above
