@@ -89,6 +89,37 @@ object PlanAudit {
         }.flatten
     }.flatten.distinct
 
+  /** Single-partition shuffle whose consumer is NOT an aggregate final
+    * stage. A global scalar aggregate legitimately funnels through one
+    * reducer — map-side partials shrink the input to one row per
+    * partition first, so it is O(#partitions) at any scale. A
+    * single-partition exchange feeding a Sort/Window is the real smell:
+    * it moves the whole DATASET through one task. Wrapper nodes
+    * (WholeStageCodegen/InputAdapter) are transparent when resolving
+    * the consumer.
+    */
+  private def badSinglePartition(plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    var bad = false
+    def walk(p: SparkPlan, ancestors: List[SparkPlan]): Unit = {
+      p match {
+        case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition =>
+          val consumer = ancestors.find {
+            case _: InputAdapter | _: WholeStageCodegenExec => false
+            case _ => true
+          }
+          if (!consumer.exists(_.isInstanceOf[BaseAggregateExec])) bad = true
+        case _ => ()
+      }
+      p.children.foreach(walk(_, p :: ancestors))
+    }
+    walk(plan, Nil)
+    bad
+  }
+
   /** All smells for one query's physical plan. `name` selects the
     * broadcast-contract allowlist entry.
     */
@@ -99,8 +130,8 @@ object PlanAudit {
       "SortMergeJoin where BroadcastHashJoin likely fits" ->
         (!SmjContract.contains(name) &&
           planStr.contains("SortMergeJoin") && !planStr.contains("BroadcastHashJoin")),
-      "single-partition Exchange (global window without keys?)" ->
-        planStr.contains("SinglePartition"),
+      "single-partition Exchange feeding a non-aggregate (global sort/window?)" ->
+        badSinglePartition(plan),
       "CartesianProduct (unbounded pair blow-up)" ->
         planStr.contains("CartesianProduct")
     ).collect { case (msg, true) => msg }

@@ -40,6 +40,37 @@ object TextFunctions {
     s"list_distinct([$parts for i in generate_series(1, len($t) - ${k - 1})])"
   }
 
+  /** PII scrubbing patterns (training-data redaction): kept to RE2-safe
+    * syntax (character classes + bounded quantifiers, no lookaround) so
+    * the Java-regex Spark side and the RE2 DuckDB oracle match the same
+    * spans. Extend per deployment (SSNs, IBANs, ...) — each pattern is a
+    * (regex, replacement-tag) pair applied in order.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]+" -> "<NUM>")
+
+  /** Redact every PII pattern from a text column (emails before bare
+    * number runs, so an address's digits don't pre-empt the email tag).
+    * Pure regexp_replace chain: codegen'd, embarrassingly parallel.
+    */
+  def scrubPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  /** Count of matches for one PII pattern (on the ORIGINAL text). */
+  def piiCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern)).cast(LongType)
+
+  /** DuckDB twins ('g' = replace all, like Spark's regexp_replace). */
+  def scrubPiiSql(s: String): String =
+    PiiPatterns.foldLeft(s) { case (acc, (pat, tag)) =>
+      s"regexp_replace($acc, '$pat', '$tag', 'g')"
+    }
+  def piiCountSql(s: String, pattern: String): String =
+    s"CAST(len(regexp_extract_all($s, '$pattern')) AS BIGINT)"
+
   /** MinHash value for permutation i over a base-hash column:
     * h_i(x) = (a_i * (x mod p) + b_i) mod p  — x reduced mod p first so
     * a*x stays within Int64 (x is 60-bit, a is 31-bit).

@@ -104,6 +104,33 @@ object Anomaly {
       .withColumn("is_anomaly", coalesce((abs(col("rz")) > threshold).cast("long"), lit(0L)))
   }
 
+  /** Ensemble detector: majority vote of the three global per-series
+    * detectors ([[zscore]] |z|>3, [[iqr]] fences, [[mad]] robust z) —
+    * the standard way to trade any single detector's failure mode
+    * (z-score's masking by the outlier itself, IQR's collapse on
+    * low-variance series, MAD's zero-mad degeneracy) for agreement.
+    * `minVotes` of the 3 flags => is_anomaly.
+    *
+    * Scale shape: composes the three operators on one DataFrame — the
+    * window pass and the broadcast-joined grouped aggregates chain
+    * without ever joining two corpus-sized sides on row id.
+    */
+  def ensemble(df: DataFrame, keys: Seq[String], target: String,
+               minVotes: Int = 2): DataFrame = {
+    require(minVotes >= 1 && minVotes <= 3, s"minVotes=$minVotes out of [1,3]")
+    val z = zscore(df, keys, target)
+      .withColumnRenamed("is_anomaly", "vote_z").drop("z")
+    val i = iqr(z, keys, target)
+      .withColumnRenamed("is_anomaly", "vote_iqr").drop("q1", "q3", "lo", "hi")
+    val m = mad(i, keys, target)
+      .withColumnRenamed("is_anomaly", "vote_mad").drop("med", "mad", "rz")
+    // zscore's flag can be NULL on a constant series (null sd) — a null
+    // vote is a 0 vote, not a poisoned sum.
+    m.withColumn("votes", coalesce(col("vote_z"), lit(0L)) +
+        coalesce(col("vote_iqr"), lit(0L)) + coalesce(col("vote_mad"), lit(0L)))
+      .withColumn("is_anomaly", (col("votes") >= minVotes).cast("long"))
+  }
+
   /** Change-point score: sliding two-sample mean shift — |mean of the
     * next `win` rows - mean of the past `win` rows| / series stddev,
     * full windows only. The window-expressible stand-in for recursive CUSUM:

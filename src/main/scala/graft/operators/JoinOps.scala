@@ -28,4 +28,25 @@ object JoinOps {
     val r = small.withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** Range (interval) join: each fact row joins the interval rows whose
+    * [loCol, hiCol) half-open band contains its `valueCol` — the
+    * IP-geolocation / price-band / calendar-window lookup shape that a
+    * plain equi-join can't express.
+    *
+    * Scale posture: interval tables in practice are BOUNDED (bands,
+    * calendars, maintenance windows — tens to thousands of rows) while
+    * the fact side is the corpus, so the right plan is a broadcast
+    * nested-loop with the range predicate evaluated stream-side: zero
+    * shuffle of the fact table at any scale. The `broadcast` hint here is
+    * therefore a small-side CONTRACT (like AnnSearch.bruteForceTopK), not
+    * an optimizer override of a corpus side — callers with a genuinely
+    * huge interval set should instead quantize both sides to a common
+    * bucket grid and equi-join on bucket (the as-of-join pattern in
+    * TimeSeriesOps.asofJoin).
+    */
+  def rangeJoin(facts: DataFrame, intervals: DataFrame, valueCol: String,
+                loCol: String, hiCol: String): DataFrame =
+    facts.join(broadcast(intervals),
+      col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
 }

@@ -115,6 +115,87 @@ object TimeSeriesOps {
   def dropNulls(df: DataFrame, cols: Seq[String]): DataFrame =
     df.na.drop(cols)
 
+  /** Linear TIME-weighted interpolation of null gaps (pandas
+    * `interpolate(method="time")`; the reference's missing-value menu in
+    * preprocessing.py:125-173 stops at ffill/bfill/stats — this is the
+    * interpolating sibling). Each null row takes
+    * v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev) from
+    * the nearest non-null observations before/after it in its series;
+    * LEADING and TRAILING nulls stay null (compose with [[fill]] for the
+    * residue). Duplicate timestamps around a gap degenerate to the
+    * midpoint of the two neighbors rather than divide-by-zero.
+    *
+    * Scale shape: the (ts, value) pair of the nearest observation in each
+    * direction rides ONE keyed window sort as a struct carried by
+    * last/first(ignoreNulls) — two frames over the same sort, no join, no
+    * state beyond the frames; time deltas on exact microsecond longs.
+    */
+  def interpolateTime(df: DataFrame, keys: Seq[String], tsCol: String,
+                      order: Seq[String], target: String,
+                      outCol: String): DataFrame = {
+    import graft.functions.CleanFunctions.epochUs
+    val base = seriesWindow(keys, order)
+    val past = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fut  = base.rowsBetween(0, Window.unboundedFollowing)
+    val obs = when(col(target).isNotNull,
+      struct(epochUs(col(tsCol)).as("t"), col(target).as("v")))
+    val p = last(obs, ignoreNulls = true).over(past)
+    val n = first(obs, ignoreNulls = true).over(fut)
+    // Non-null rows: p == n == self -> interp == value exactly.
+    val t = epochUs(col(tsCol))
+    val interp =
+      when(col(target).isNotNull, col(target))
+        .when(p.isNull || n.isNull, lit(null))
+        .when(n.getField("t") === p.getField("t"),
+          (p.getField("v") + n.getField("v")) / lit(2.0))
+        .otherwise(p.getField("v") +
+          (n.getField("v") - p.getField("v")) *
+            ((t - p.getField("t")).cast("double") /
+              (n.getField("t") - p.getField("t")).cast("double")))
+    df.withColumn(outCol, interp)
+  }
+
+  /** Classical additive seasonal decomposition (statsmodels
+    * `seasonal_decompose(model="additive")`, the notebook-EDA step the
+    * reference's docs describe): value = trend + seasonal + resid with
+    *   trend    = centered moving average over `trendWin` rows (full
+    *              windows only — edges get null, like statsmodels),
+    *   seasonal = per-(key, cycle-position) mean of the detrended value,
+    *              centered so seasonal components sum to ~0,
+    *   resid    = value - trend - seasonal.
+    * `cyclePos` maps a row to its seasonal position (e.g. hour(ts) for a
+    * daily cycle on hourly-ish data).
+    *
+    * Scale shape: one keyed window sort for the centered MA, then two
+    * grouped means ((key, pos) and (key)) broadcast-joined back — the
+    * aggregate sides are |keys|*cycle and |keys| rows, always tiny.
+    */
+  def decompose(df: DataFrame, keys: Seq[String], order: Seq[String],
+                target: String, cyclePos: Column, trendWin: Int): DataFrame = {
+    require(trendWin > 1, s"trendWin=$trendWin must be > 1")
+    import graft.functions.CleanFunctions.exactMean
+    val half = trendWin / 2
+    val w = seriesWindow(keys, order).rowsBetween(-half, trendWin - 1 - half)
+    val withTrend = df
+      .withColumn("__pos", cyclePos)
+      .withColumn("trend",
+        when(count(col(target)).over(w) === trendWin,
+          graft.functions.CleanFunctions.exactMeanOver(col(target), w)))
+      .withColumn("__detr", col(target) - col("trend"))
+    val posMean = withTrend.filter(col("__detr").isNotNull)
+      .groupBy((keys.map(col) :+ col("__pos")): _*)
+      .agg(exactMean(col("__detr")).as("__pos_mean"))
+    val keyMean = posMean
+      .groupBy(keys.map(col): _*)
+      .agg(exactMean(col("__pos_mean")).as("__key_mean"))
+    withTrend
+      .join(broadcast(posMean), keys :+ "__pos", "left")
+      .join(broadcast(keyMean), keys, "left")
+      .withColumn("seasonal", col("__pos_mean") - col("__key_mean"))
+      .withColumn("resid", col(target) - col("trend") - col("seasonal"))
+      .drop("__pos", "__detr", "__pos_mean", "__key_mean")
+  }
+
   /** Duplicate-timestamp resolution keep=first/keep=last (ref:
     * preprocessing.py:76-81). `tie` breaks ordering among duplicates so the
     * result is deterministic under any partitioning.

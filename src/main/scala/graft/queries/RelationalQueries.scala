@@ -180,6 +180,27 @@ object RelationalQueries {
         .orderBy("okey")
     },
 
+    // Range (interval) join: orders land in variable-width price bands
+    // cut at the exact order-price quartiles — the band/calendar/IP-range
+    // lookup shape a plain equi-join can't express. The interval side is
+    // an aggregate-derived 4-row table: broadcast nested-loop with the
+    // range predicate stream-side, zero shuffle of the fact table.
+    "orders_price_band" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val cuts = o.agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("c"))
+      val bands = cuts.select(posexplode(array(
+        struct(lit(Double.NegativeInfinity).as("lo"), col("c")(0).as("hi")),
+        struct(col("c")(0).as("lo"), col("c")(1).as("hi")),
+        struct(col("c")(1).as("lo"), col("c")(2).as("hi")),
+        struct(col("c")(2).as("lo"), lit(Double.PositiveInfinity).as("hi")))))
+        .select(col("pos").cast(LongType).as("band"), col("col.lo").as("lo"), col("col.hi").as("hi"))
+      graft.operators.JoinOps.rangeJoin(o, bands, "o_totalprice", "lo", "hi")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"),
+          CleanFunctions.round4(exactSum(col("o_totalprice"))).as("sum_price"))
+        .orderBy("band")
+    },
+
     // Partitioned parquet sink end-to-end: write events partitioned by
     // event type, read back with a partition filter (directory pruning —
     // zero I/O for other types), recover the original rows. Oracle = the
@@ -466,6 +487,19 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
         |GROUP BY 1 ORDER BY okey""".stripMargin,
+
+    "orders_price_band" ->
+      """WITH c AS (SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+        |  quantile_cont(o_totalprice, 0.5) AS c2, quantile_cont(o_totalprice, 0.75) AS c3 FROM orders),
+        |bands AS (
+        |  SELECT CAST(0 AS BIGINT) AS band, CAST('-infinity' AS DOUBLE) AS lo, c1 AS hi FROM c
+        |  UNION ALL SELECT 1, c1, c2 FROM c
+        |  UNION ALL SELECT 2, c2, c3 FROM c
+        |  UNION ALL SELECT 3, c3, CAST('infinity' AS DOUBLE) FROM c)
+        |SELECT band, count(*) AS n_orders,
+        |round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)) * 10000.0) / 10000.0 AS sum_price
+        |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
 
     "partitioned_write" ->
       """SELECT event_id, value FROM events WHERE event_type = 'purchase'

@@ -73,6 +73,17 @@ object SimilarityQueries {
         FROM graft_emb ORDER BY vec_id""")
     },
 
+    // Symmetric int8 quantization of every embedding (AnnSearch
+    // .quantizeInt8): the 4x storage shrink before sharding an ANN
+    // index. Codes joined to one string so the oracle compares scalars.
+    "emb_quantize" -> { (s, d) =>
+      graft.operators.AnnSearch.quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"),
+          graft.functions.CleanFunctions.round4(col("q_scale")).as("q_scale"),
+          array_join(col("q_codes"), ",").as("q_codes"))
+        .orderBy("vec_id")
+    },
+
     // Delegates to the user-facing AnnSearch API (oracle-verified there).
     "ann_topk_cosine" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -162,6 +173,18 @@ object SimilarityQueries {
          |round((CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(embedding[i])) * 1000000.0) / 1000000.0 AS centroid
          |FROM embeddings, (SELECT unnest(generate_series(1, $EmbDim)) AS i) dims
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // floor(x*scale + 0.5) on doubles is bitwise-identical across engines
+    // (unlike round()'s half-away vs half-even); float->double casts are
+    // exact, so codes hash-match.
+    "emb_quantize" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m FROM embeddings)
+         |SELECT vec_id,
+         |round((CASE WHEN m > 0.0 THEN 127.0 / m END) * 10000.0) / 10000.0 AS q_scale,
+         |CASE WHEN m > 0.0 THEN array_to_string(list_transform(embedding,
+         |  x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INT)), ',') END AS q_codes
+         |FROM b ORDER BY vec_id""".stripMargin,
 
     "ann_topk_cosine" ->
       s"""SELECT q_id, n_id, score, rk FROM (

@@ -31,6 +31,20 @@ object TextQueries {
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrubbing (training-data redaction): emails then number runs,
+    // per-pattern match counts on the original text. Runs over the
+    // events.props JSON strings — the synthetic documents contain no
+    // digits, props yields real redactions on every row; the synthetic-
+    // PII spec (TextAnalysisSpec) exercises the email path.
+    "text_pii_scrub" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          TextFunctions.scrubPii(col("props")).as("scrubbed"),
+          TextFunctions.piiCount(col("props"), TextFunctions.PiiPatterns(0)._1).as("n_emails"),
+          TextFunctions.piiCount(col("props"), TextFunctions.PiiPatterns(1)._1).as("n_nums"))
+        .orderBy("event_id")
+    },
+
     // Token counting: whitespace tokens + BPE-ish regex tokens + chars.
     "text_tokens" -> { (s, d) =>
       val toks = TextFunctions.tokens(col("text"))
@@ -255,6 +269,12 @@ object TextQueries {
            |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk FROM g)
            |SELECT lang, token, cnt, rk FROM r WHERE rk <= 5
            |ORDER BY lang, rk""".stripMargin,
+
+      "text_pii_scrub" ->
+        s"""SELECT event_id, ${TextFunctions.scrubPiiSql("props")} AS scrubbed,
+           |${TextFunctions.piiCountSql("props", TextFunctions.PiiPatterns(0)._1)} AS n_emails,
+           |${TextFunctions.piiCountSql("props", TextFunctions.PiiPatterns(1)._1)} AS n_nums
+           |FROM events ORDER BY event_id""".stripMargin,
 
       "text_tokens" ->
         s"""SELECT doc_id, len($t) AS ws_tokens,

@@ -168,6 +168,41 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Majority vote of the three global detectors (z / IQR / MAD) —
+    // 2-of-3 agreement trades any single detector's failure mode for
+    // consensus. Votes surfaced for auditability.
+    "ts_anomaly_ensemble" -> { (s, d) =>
+      Anomaly.ensemble(Tables.events(s, d), K, "value")
+        .select(col("event_id"),
+          coalesce(col("vote_z"), lit(0L)).as("vote_z"),
+          coalesce(col("vote_iqr"), lit(0L)).as("vote_iqr"),
+          coalesce(col("vote_mad"), lit(0L)).as("vote_mad"),
+          col("votes"), col("is_anomaly"))
+        .orderBy("event_id")
+    },
+
+    // Linear TIME-weighted interpolation of the nulled gaps (pandas
+    // interpolate(method='time')): interior nulls get the time-weighted
+    // line between nearest observations; leading/trailing stay null.
+    "ts_interpolate" -> { (s, d) =>
+      TS.interpolateTime(withNulled(Tables.events(s, d)), K, "ts", Ord, "value_n", "interp")
+        .select(col("event_id"), CleanFunctions.round4(col("interp")).as("interp"))
+        .orderBy("event_id")
+    },
+
+    // Classical additive decomposition (statsmodels seasonal_decompose):
+    // centered 25-row MA trend, per-(series, hour-of-day) seasonal
+    // component centered to ~0, residual. The EDA primitive behind the
+    // reference's seasonality notebooks.
+    "ts_decompose" -> { (s, d) =>
+      TS.decompose(Tables.events(s, d), K, Ord, "value", hour(col("ts")), trendWin = 25)
+        .select(col("event_id"),
+          CleanFunctions.round4(col("trend")).as("trend"),
+          CleanFunctions.round4(col("seasonal")).as("seasonal"),
+          CleanFunctions.round4(col("resid")).as("resid"))
+        .orderBy("event_id")
+    },
+
     "ts_sequences" -> { (s, d) =>
       val ev = Tables.events(s, d).withColumn("vstr", format_string("%.2f", col("value")))
       TS.sequences(ev, K, Ord, "vstr", GraftConfig.SequenceLength)
@@ -613,6 +648,55 @@ object TimeSeriesQueries {
          |round((CASE WHEN e.value IS NULL THEN NULL ELSE least(greatest(e.value, s.lo), s.hi) END) * 10000.0) / 10000.0 AS value_wins,
          |CAST(CASE WHEN e.value < s.lo OR e.value > s.hi THEN 1 ELSE 0 END AS BIGINT) AS is_clamped
          |FROM events e JOIN s USING (user_id) ORDER BY e.event_id""".stripMargin,
+
+    "ts_anomaly_ensemble" ->
+      s"""WITH z AS (SELECT event_id, user_id, value,
+         |  CAST(CASE WHEN abs((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0)) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END AS BIGINT) AS vote_z
+         |  FROM events WINDOW u AS (PARTITION BY user_id)),
+         |q AS (SELECT user_id, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events GROUP BY user_id),
+         |m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+         |md AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad FROM events e JOIN m USING (user_id) GROUP BY e.user_id)
+         |SELECT z.event_id, z.vote_z,
+         |CAST(CASE WHEN z.value < q.q1 - 1.5*(q.q3 - q.q1) OR z.value > q.q3 + 1.5*(q.q3 - q.q1) THEN 1 ELSE 0 END AS BIGINT) AS vote_iqr,
+         |CAST(coalesce(CASE WHEN abs(${GraftConfig.MadScale} * (z.value - m.med) / nullif(md.mad, 0)) > ${GraftConfig.MadThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS vote_mad,
+         |z.vote_z
+         | + CAST(CASE WHEN z.value < q.q1 - 1.5*(q.q3 - q.q1) OR z.value > q.q3 + 1.5*(q.q3 - q.q1) THEN 1 ELSE 0 END AS BIGINT)
+         | + CAST(coalesce(CASE WHEN abs(${GraftConfig.MadScale} * (z.value - m.med) / nullif(md.mad, 0)) > ${GraftConfig.MadThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS votes,
+         |CAST(CASE WHEN z.vote_z
+         | + CAST(CASE WHEN z.value < q.q1 - 1.5*(q.q3 - q.q1) OR z.value > q.q3 + 1.5*(q.q3 - q.q1) THEN 1 ELSE 0 END AS BIGINT)
+         | + CAST(coalesce(CASE WHEN abs(${GraftConfig.MadScale} * (z.value - m.med) / nullif(md.mad, 0)) > ${GraftConfig.MadThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM z JOIN q USING (user_id) JOIN m USING (user_id) JOIN md USING (user_id)
+         |ORDER BY z.event_id""".stripMargin,
+
+    "ts_interpolate" ->
+      s"""WITH b AS (SELECT event_id, user_id, ts, epoch_us(ts) AS t, $nulledSql AS v FROM events),
+         |w AS (SELECT event_id, t, v,
+         |  last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wp AS pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+         |  first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS) OVER wf AS nv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt
+         |  FROM b WINDOW wp AS ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wf AS ($W ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_id, ${CleanFunctions.round4Sql(
+             """CASE WHEN v IS NOT NULL THEN v
+               | WHEN pv IS NULL OR nv IS NULL THEN NULL
+               | WHEN nt = pt THEN (pv + nv) / 2.0
+               | ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END""".stripMargin)} AS interp
+         |FROM w ORDER BY event_id""".stripMargin,
+
+    "ts_decompose" ->
+      s"""WITH t AS (SELECT event_id, user_id, value, hour(ts) AS pos,
+         |  CASE WHEN count(value) OVER w = 25 THEN ${CleanFunctions.exactMeanSql("value", "OVER w")} END AS trend
+         |  FROM events WINDOW w AS ($W ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |d AS (SELECT *, value - trend AS detr FROM t),
+         |pm AS (SELECT user_id, pos, ${CleanFunctions.exactMeanSql("detr")} AS pos_mean
+         |  FROM d WHERE detr IS NOT NULL GROUP BY user_id, pos),
+         |km AS (SELECT user_id, ${CleanFunctions.exactMeanSql("pos_mean")} AS key_mean FROM pm GROUP BY user_id)
+         |SELECT d.event_id, ${CleanFunctions.round4Sql("d.trend")} AS trend,
+         |${CleanFunctions.round4Sql("pm.pos_mean - km.key_mean")} AS seasonal,
+         |${CleanFunctions.round4Sql("d.value - d.trend - (pm.pos_mean - km.key_mean)")} AS resid
+         |FROM d LEFT JOIN pm USING (user_id, pos) LEFT JOIN km USING (user_id)
+         |ORDER BY d.event_id""".stripMargin,
 
     "ts_mad_anomaly" ->
       s"""WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),

@@ -64,6 +64,20 @@ class AnomalySpec extends AnyFunSuite {
     assert(frac < 0.10)
   }
 
+  test("ensemble is the majority vote of its three detectors") {
+    val r = Anomaly.ensemble(ev, Seq("user_id"), "value").cache()
+    // votes is exactly the (null-safe) sum of the three flags, and the
+    // final flag is votes >= 2 — no other signal sneaks in.
+    val sum = coalesce(col("vote_z"), lit(0L)) + coalesce(col("vote_iqr"), lit(0L)) +
+      coalesce(col("vote_mad"), lit(0L))
+    assert(r.filter(col("votes") =!= sum).count() == 0)
+    assert(r.filter(col("is_anomaly") =!= (col("votes") >= 2).cast("long")).count() == 0)
+    // Consensus flags no more than the sum of its parts and stays rare.
+    val frac = r.filter(col("is_anomaly") === 1L).count().toDouble / r.count()
+    assert(frac < 0.05, s"ensemble flagged fraction $frac")
+    r.unpersist()
+  }
+
   test("reconstruction error drops warm-up and scores all remaining rows") {
     val r = Anomaly.reconstructionError(ev, Seq("user_id"), Seq("ts", "event_id"), "value")
     assert(r.count() > 0)

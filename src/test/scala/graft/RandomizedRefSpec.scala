@@ -180,4 +180,49 @@ class RandomizedRefSpec extends AnyFunSuite {
     val plain = large.join(small, "k").select("id", "k", "name")
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
+
+  test("rangeJoin equals the filter-based reference on random intervals") {
+    val rng = new scala.util.Random(43)
+    val facts = (1 to 1000).map(i => (i.toLong, rng.nextDouble() * 100)).toDF("id", "v")
+    // Overlapping AND gapped intervals: rows may match several bands or none.
+    val ivals = (1 to 20).map { b =>
+      val lo = rng.nextDouble() * 90
+      (b.toLong, lo, lo + rng.nextDouble() * 15)
+    }.toDF("band", "lo", "hi")
+    val got = graft.operators.JoinOps.rangeJoin(facts, ivals, "v", "lo", "hi")
+      .select("id", "band")
+    val want = facts.crossJoin(ivals)
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "band")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("interpolateTime matches a driver-side reference on random gappy series") {
+    val rng = new scala.util.Random(47)
+    val rows = (1 to 600).map { i =>
+      val v = if (rng.nextDouble() < 0.4) None else Some(rng.nextDouble() * 50)
+      (i.toLong, rng.nextInt(4).toLong, rng.nextInt(100000).toLong, v)
+    }.groupBy(r => (r._2, r._3)).map(_._2.head).toSeq // unique (key, t)
+    val df = rows.toDF("id", "k", "tsec", "v")
+      .withColumn("ts", timestamp_seconds(col("tsec")))
+    val got = TS.interpolateTime(df, Seq("k"), "ts", Seq("ts", "id"), "v", "interp")
+      .select("id", "interp").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    rows.groupBy(_._2).foreach { case (_, series) =>
+      val s = series.sortBy(_._3)
+      s.zipWithIndex.foreach { case ((id, _, t, v), i) =>
+        val want: Option[Double] = v.orElse {
+          val prev = s.take(i).reverse.find(_._4.isDefined)
+          val next = s.drop(i + 1).find(_._4.isDefined)
+          for (p <- prev; n <- next) yield
+            p._4.get + (n._4.get - p._4.get) *
+              ((t - p._3).toDouble / (n._3 - p._3).toDouble)
+        }
+        (got(id), want) match {
+          case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-9, s"row $id: $g != $w")
+          case (g, w) => assert(g.isDefined == w.isDefined, s"row $id null mismatch: $g vs $w")
+        }
+      }
+    }
+  }
 }

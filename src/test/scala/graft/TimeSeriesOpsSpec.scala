@@ -197,4 +197,46 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(out(1).getAs[Double]("twa") - 7.0) < 1e-12,
       s"hour-11 twa ${out(1)}") // lone sample holds to bucket end
   }
+
+  test("interpolateTime draws the time-weighted line, edges stay null") {
+    import spark.implicits._
+    // Gap of two nulls between (t=0, v=10) and (t=30min, v=40): the
+    // 10-minute point sits 1/3 along -> 20, the 20-minute point 2/3 -> 30.
+    // Leading and trailing nulls have no bracketing pair -> stay null.
+    val rows = Seq(
+      (0L, None: Option[Double]), // leading null
+      (600L, Some(10.0)),
+      (1200L, None: Option[Double]),  // 1/3 of [600, 2400]
+      (1800L, None: Option[Double]),  // 2/3
+      (2400L, Some(40.0)),
+      (3000L, None: Option[Double])) // trailing null
+    val df = rows.map { case (sec, v) => (sec, "u", v) }
+      .toDF("sec", "user_id", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = TS.interpolateTime(df, Seq("user_id"), "ts", Seq("ts", "sec"), "value", "interp")
+      .orderBy("sec").select("interp").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(got(0).isEmpty && got(5).isEmpty, "edge nulls must survive")
+    assert(got(1).contains(10.0) && got(4).contains(40.0), "observed rows unchanged")
+    assert(math.abs(got(2).get - 20.0) < 1e-12 && math.abs(got(3).get - 30.0) < 1e-12,
+      s"time-weighted interior: ${got.toSeq}")
+  }
+
+  test("decompose reconstructs value and centers the seasonal component") {
+    val r = TS.decompose(ev, Seq("user_id"), Seq("ts", "event_id"), "value",
+      hour(col("ts")), trendWin = 25).cache()
+    // Additive identity wherever the trend window was full.
+    val broken = r.filter(col("trend").isNotNull &&
+      abs(col("trend") + col("seasonal") + col("resid") - col("value")) > 1e-9)
+    assert(broken.count() == 0)
+    // Edge rows (first/last 12 per series) have no centered window -> null.
+    assert(r.filter(col("trend").isNull).count() > 0)
+    // Seasonal components average to ~0 within each series (centered).
+    val off = r.filter(col("seasonal").isNotNull)
+      .select(col("user_id"), hour(col("ts")).as("pos"), col("seasonal")).distinct()
+      .groupBy("user_id").agg(avg("seasonal").as("m"))
+      .filter(abs(col("m")) > 1e-6)
+    assert(off.count() == 0)
+    r.unpersist()
+  }
 }
