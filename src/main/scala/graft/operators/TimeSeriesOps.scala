@@ -277,6 +277,32 @@ object TimeSeriesOps {
         safeDiv(exactSum(col("__w") * col(valueCol)), exactSum(col("__w"))).as("twa"))
   }
 
+  /** Seasonal-naive forecast backtest: predict x[t] = x[t-season] and
+    * report per-series error metrics (MAE, RMSE, MAPE) over the rows
+    * where the forecast exists. The baseline every forecasting model
+    * must beat; rows whose actual is 0 are excluded from MAPE (its
+    * standard undefined case) via null-safe division.
+    *
+    * Scale shape: one keyed window (lag) + one grouped aggregate with
+    * map-side partial moments — the same single-shuffle plan as every
+    * other per-series operator; exact DECIMAL error sums for oracle
+    * parity.
+    */
+  def backtestSeasonalNaive(df: DataFrame, keys: Seq[String], order: Seq[String],
+                            target: String, season: Int): DataFrame = {
+    require(season > 0, s"season=$season must be positive")
+    import graft.functions.CleanFunctions.exactMean
+    val w = seriesWindow(keys, order)
+    val err = col(target) - lag(col(target), season).over(w)
+    df.withColumn("__err", err)
+      .filter(col("__err").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        exactMean(abs(col("__err"))).as("mae"),
+        sqrt(exactMean(col("__err") * col("__err"))).as("rmse"),
+        exactMean(abs(safeDiv(col("__err"), col(target)))).as("mape"))
+  }
+
   /** MinMax scaling per series (ref: preprocessing.py:264-294
     * scale_features). Fit = window min/max (or a grouped agg + broadcast
     * join at scale), transform = pure expression -> stays in codegen.

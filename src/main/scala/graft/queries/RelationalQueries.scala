@@ -180,6 +180,25 @@ object RelationalQueries {
         .orderBy("okey")
     },
 
+    // TPC-H Q18 shape (large-volume customers): aggregate the FACT table,
+    // filter on the aggregate (having), join the survivors back to orders
+    // + customer, top-100. The canonical fact-derived-semijoin plan: the
+    // big-orders side is corpus-proportional, so its join with orders
+    // correctly shuffles (SMJ) at scale while the bounded customer dim
+    // broadcasts — both optimizer-chosen, no hints.
+    "q18_big_orders" -> { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(exactSum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
     // Range (interval) join: orders land in variable-width price bands
     // cut at the exact order-price quartiles — the band/calendar/IP-range
     // lookup shape a plain equi-join can't express. The interval side is
@@ -487,6 +506,16 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000.0
         |GROUP BY 1 ORDER BY okey""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 250.0)
+        |SELECT c_name, o_orderkey, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "orders_price_band" ->
       """WITH c AS (SELECT quantile_cont(o_totalprice, 0.25) AS c1,

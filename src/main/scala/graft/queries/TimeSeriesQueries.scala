@@ -235,6 +235,48 @@ object TimeSeriesQueries {
         .orderBy("bucket_us", "event_type")
     },
 
+    // Seasonal-naive forecast backtest: predict value[t] = value[t-24]
+    // (the daily-cycle baseline every forecasting eval starts from) and
+    // score per-series MAE / RMSE / MAPE — the model-eval loop the
+    // reference runs driver-side, as one window + one grouped aggregate.
+    "ts_backtest_naive" -> { (s, d) =>
+      TS.backtestSeasonalNaive(Tables.events(s, d), K, Ord, "value", season = 24)
+        .select(col("user_id"), col("n"),
+          CleanFunctions.round4(col("mae")).as("mae"),
+          CleanFunctions.round4(col("rmse")).as("rmse"),
+          CleanFunctions.round4(col("mape")).as("mape"))
+        .orderBy("user_id")
+    },
+
+    // Rank normalization: percent_rank + cume_dist of value within its
+    // series (the outlier-robust alternative to min-max scaling; ties
+    // broken by event_id so both engines rank identically).
+    "ts_percent_rank" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("value", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          CleanFunctions.round6(percent_rank().over(w)).as("pct_rank"),
+          CleanFunctions.round6(cume_dist().over(w)).as("cume"))
+        .orderBy("event_id")
+    },
+
+    // Deadband (report-by-exception) compression: keep a sample only when
+    // it moved >= eps from the PREVIOUS sample (or starts the series) —
+    // the standard IoT/historian ingest shrink. Consecutive-delta
+    // variant (vs last-kept, which is recursive): one lag per series.
+    "ts_delta_compress" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val delta = col("value") - lag(col("value"), 1).over(w)
+      Tables.events(s, d)
+        .withColumn("delta", delta)
+        .filter(col("delta").isNull || abs(col("delta")) >= 2.0)
+        .select(col("event_id"), col("value"),
+          CleanFunctions.round4(col("delta")).as("delta"))
+        .orderBy("event_id")
+    },
+
     "events_json_extract" -> { (s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -648,6 +690,28 @@ object TimeSeriesQueries {
          |round((CASE WHEN e.value IS NULL THEN NULL ELSE least(greatest(e.value, s.lo), s.hi) END) * 10000.0) / 10000.0 AS value_wins,
          |CAST(CASE WHEN e.value < s.lo OR e.value > s.hi THEN 1 ELSE 0 END AS BIGINT) AS is_clamped
          |FROM events e JOIN s USING (user_id) ORDER BY e.event_id""".stripMargin,
+
+    "ts_backtest_naive" ->
+      s"""WITH f AS (SELECT user_id, value, value - lag(value, 24) OVER ($W) AS err FROM events),
+         |e AS (SELECT user_id, value, err FROM f WHERE err IS NOT NULL)
+         |SELECT user_id, count(*) AS n,
+         |${CleanFunctions.round4Sql(CleanFunctions.exactMeanSql("abs(err)"))} AS mae,
+         |${CleanFunctions.round4Sql("sqrt(" + CleanFunctions.exactMeanSql("err * err") + ")")} AS rmse,
+         |${CleanFunctions.round4Sql(CleanFunctions.exactMeanSql("abs(err / nullif(value, 0.0))"))} AS mape
+         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_percent_rank" ->
+      s"""SELECT event_id,
+         |round((percent_rank() OVER v) * 1000000.0) / 1000000.0 AS pct_rank,
+         |round((cume_dist() OVER v) * 1000000.0) / 1000000.0 AS cume
+         |FROM events WINDOW v AS (PARTITION BY user_id ORDER BY value, event_id)
+         |ORDER BY event_id""".stripMargin,
+
+    "ts_delta_compress" ->
+      s"""SELECT event_id, value, ${CleanFunctions.round4Sql("delta")} AS delta
+         |FROM (SELECT event_id, value, value - lag(value, 1) OVER ($W) AS delta FROM events)
+         |WHERE delta IS NULL OR abs(delta) >= 2.0
+         |ORDER BY event_id""".stripMargin,
 
     "ts_anomaly_ensemble" ->
       s"""WITH z AS (SELECT event_id, user_id, value,

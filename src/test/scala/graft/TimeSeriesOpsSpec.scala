@@ -198,6 +198,21 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       s"hour-11 twa ${out(1)}") // lone sample holds to bucket end
   }
 
+  test("backtestSeasonalNaive scores lag-season errors, hand-checked") {
+    import spark.implicits._
+    // season=2 over 6 points: forecasts exist for rows 3..6 with errors
+    // (3-1, 4-2, 6-3, 8-4) = (2, 2, 3, 4).
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 6.0, 8.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "u", v) }.toDF("event_id", "user_id", "value")
+    val r = TS.backtestSeasonalNaive(df, Seq("user_id"), Seq("event_id"), "value", season = 2)
+      .collect().head
+    assert(r.getAs[Long]("n") == 4)
+    assert(math.abs(r.getAs[Double]("mae") - 2.75) < 1e-9)
+    assert(math.abs(r.getAs[Double]("rmse") - math.sqrt((4.0 + 4 + 9 + 16) / 4)) < 1e-9)
+    // MAPE: |2/3| + |2/4| + |3/6| + |4/8| averaged.
+    assert(math.abs(r.getAs[Double]("mape") - (2.0 / 3 + 0.5 + 0.5 + 0.5) / 4) < 1e-6)
+  }
+
   test("interpolateTime draws the time-weighted line, edges stay null") {
     import spark.implicits._
     // Gap of two nulls between (t=0, v=10) and (t=30min, v=40): the
