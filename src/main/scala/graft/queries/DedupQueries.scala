@@ -201,10 +201,45 @@ object DedupQueries {
         .filter(col("cos") >= CosineThreshold)
         .select(col("vec_id_a"), col("vec_id_b"), graft.functions.CleanFunctions.round4(col("cos")).as("cosine"))
         .orderBy("vec_id_a", "vec_id_b")
+    },
+
+    // Edit-distance near-dup pairs over short docs: block on
+    // (lang, 20-char length band) so the pair space stays near-linear in
+    // the corpus, then score candidates with codegen'd levenshtein.
+    // Same-band-only by design (docs straddling a band edge need an
+    // adjacent-band pass; at corpus scale the block key also grows a
+    // SimHash prefix to keep bands bounded). DuckDB's levenshtein is the
+    // same unit-cost DP and the corpus is ASCII, so distances match
+    // exactly.
+    "dedup_levenshtein" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(col("n_chars") < 300)
+        .select(col("doc_id"), col("lang"), col("text"),
+          floor(col("n_chars") / lit(20.0)).as("band"))
+      docs.as("a").join(docs.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          levenshtein(col("a.text"), col("b.text")).cast(LongType).as("dist"))
+        .filter(col("dist") <= MaxEditDistance)
+        .orderBy("a_id", "b_id")
     }
   )
 
+  private val MaxEditDistance = 60
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_levenshtein" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang, text, floor(n_chars / 20.0) AS band
+         |  FROM documents WHERE n_chars < 300)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         |FROM s a JOIN s b
+         |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.text, b.text) <= $MaxEditDistance
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleSetsSql,
          |ex0 AS (SELECT doc_id, len(sh) AS n, ${CleanFunctions.md5Hash64Sql("unnest(sh)")} AS s FROM sset),

@@ -159,10 +159,56 @@ object SimilarityQueries {
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
         .orderBy("q_id", "rk")
+    },
+
+    // One k-means assignment step (the inner loop of corpus clustering /
+    // IVF quantization): nearest of 16 fixed seed centroids (vec_id < 16)
+    // by squared L2 via the codegen'd float dot. ||v-c||^2 is expanded as
+    // (v.v - 2*v.c) + c.c in exactly that operation order so the oracle's
+    // list_sum twin is IEEE-identical; ranking is on the 4dp-rounded
+    // distance with centroid-id tiebreak. The centroid table broadcasts;
+    // the corpus side streams — nothing shuffles but the tiny dim.
+    "emb_kmeans_assign" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      // The per-id aggregate is a no-op on rows (vec_id is unique) but a
+      // structural bound for the plan audit: an Aggregate on the path
+      // caps the broadcast side at the distinct seed-id count at any
+      // corpus scale — and unlike limit(), it plans no single-partition
+      // exchange.
+      val cents = e.filter(col("vec_id") < 16)
+        .groupBy(col("vec_id").as("centroid_id"))
+        .agg(first(col("embedding")).as("c_emb"))
+      val dist2 = graft.functions.CleanFunctions.round4(
+        TextFunctions.dot(col("embedding"), col("embedding"))
+          - lit(2.0) * TextFunctions.dot(col("embedding"), col("c_emb"))
+          + TextFunctions.dot(col("c_emb"), col("c_emb")))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist2").asc, col("centroid_id").asc)
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"), dist2.as("dist2"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1).drop("rk")
+        .orderBy("vec_id")
     }
   )
 
+  /** DuckDB twin of the codegen'd sequential float dot (see cosineSql). */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
   val oracleSql: Map[String, String] = Map(
+    "emb_kmeans_assign" -> {
+      val d2 = s"round(((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.c_emb")} + ${dotSql("c.c_emb", "c.c_emb")})) * 10000.0) / 10000.0"
+      s"""WITH c AS (
+         |  SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 16)
+         |SELECT vec_id, centroid_id, dist2 FROM (
+         |  SELECT e.vec_id, c.centroid_id, $d2 AS dist2,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.centroid_id) AS rk
+         |  FROM embeddings e CROSS JOIN c)
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
+
     "sql_surface" ->
       s"""SELECT vec_id,
          |round((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 AS self_dot

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.functions.CleanFunctions
+import graft.functions.CleanFunctions.{exactSum, exactSumSql, round4, round4Sql}
+import graft.operators.StatsOps
+import graft.sources.Tables
+
+/** Order-statistics / segmentation queries built on [[StatsOps]] —
+  * exact percentiles, global ranks, cumulative share, CUSUM, entropy,
+  * mode, grouping sets — each with an IEEE-identical DuckDB twin.
+  *
+  * Scale notes: every window here is partitioned ([[StatsOps]] replaces
+  * the global-ORDER-BY shapes with banded two-level decompositions whose
+  * only single-partition stage is an O(bands) aggregate output); the
+  * grouped aggregates are map-side partial; the one cross join is a
+  * broadcast of a 2-row scalar aggregate.
+  */
+object StatsQueries {
+
+  private val Ps = Seq(0.25, 0.5, 0.9)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact PERCENTILE_CONT per series via rank interpolation — no
+    // per-group value buffering (Spark's percentile UDAF would hold every
+    // group value in memory; this is a sort window + bounded agg).
+    "events_percentiles" -> { (s, d) =>
+      StatsOps.rankPercentiles(Tables.events(s, d), Seq("user_id"), "value", Ps)
+        .orderBy("user_id", "p")
+    },
+
+    // Deterministic per-series mode of a categorical column: max count,
+    // ties to the lexicographically smallest value.
+    "events_mode_type" -> { (s, d) =>
+      val cnt = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id").orderBy(desc("cnt"), col("event_type"))
+      cnt.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("cnt"))
+        .orderBy("user_id")
+    },
+
+    // CUSUM change score per series: running deviation from the series
+    // mean (DECIMAL running sum, SURVEY §4).
+    "ts_cusum" -> { (s, d) =>
+      StatsOps.cusum(Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"), "value")
+        .select("event_id", "cusum").orderBy("event_id")
+    },
+
+    // Shannon entropy of each series' bucketed value distribution —
+    // low-entropy series are near-constant (prime drop candidates in a
+    // training-data quality pass).
+    "events_value_entropy" -> { (s, d) =>
+      StatsOps.bucketEntropy(Tables.events(s, d), Seq("user_id"), "value")
+        .orderBy("user_id")
+    },
+
+    // GROUPING SETS surface through spark.sql — mixed granularities in
+    // one pass (Spark expands to a single Expand + hash agg, no re-scan).
+    "events_grouping_sets" -> { (s, d) =>
+      Tables.events(s, d).createOrReplaceTempView("graft_events")
+      s.sql(s"""
+        |SELECT coalesce(event_type, 'ALL') AS etype,
+        |       coalesce(CAST(hr AS STRING), 'ALL') AS hour_label,
+        |       count(*) AS cnt,
+        |       ${exactSumSql("value")} AS sum_value
+        |FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value FROM graft_events)
+        |GROUP BY GROUPING SETS ((event_type), (event_type, hr), ())
+        |ORDER BY etype, hour_label""".stripMargin)
+    },
+
+    // Argmin-per-group join shape (TPC-H Q2's min-cost-supplier core):
+    // cheapest supplier per part by unit price, rank on the ROUNDED price
+    // so last-ulp division drift can't reorder, suppkey tiebreak.
+    "lineitem_cheapest_supplier" -> { (s, d) =>
+      val unit = round4(col("l_extendedprice") / col("l_quantity"))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy(col("unit_price").asc, col("l_suppkey").asc)
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), unit.as("unit_price"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1).drop("rk")
+        .orderBy("l_partkey")
+    },
+
+    // RFM segmentation: per-customer recency/frequency/monetary, each
+    // scored into exact global quartiles by rank — the ranks come from
+    // StatsOps.globalRank (banded, parallel), not a global ORDER BY.
+    "customer_rfm" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val maxd = o.agg(max(to_date(col("o_orderdate"))).as("_rfm_maxd"))
+      val n = o.select(col("o_custkey")).distinct().agg(count(lit(1)).as("_rfm_n"))
+      val base = o.groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("_rfm_lastd"),
+          count(lit(1)).as("frequency"),
+          round4(exactSum(col("o_totalprice"))).as("monetary"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("recency_days",
+          datediff(col("_rfm_maxd"), col("_rfm_lastd")).cast(LongType))
+        .drop("_rfm_maxd", "_rfm_lastd")
+        .crossJoin(broadcast(n))
+      val ranked = StatsOps.globalRank(
+        StatsOps.globalRank(
+          StatsOps.globalRank(base,
+            col("recency_days"), col("o_custkey"), asc = true, "_r_rank"),
+          col("frequency"), col("o_custkey"), asc = false, "_f_rank"),
+        col("monetary"), col("o_custkey"), asc = false, "_m_rank")
+      def score(rank: String) =
+        lit(1L) + floor(lit(4.0) * (col(rank) - 1L).cast(DoubleType) / col("_rfm_n"))
+      ranked.select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"), score("_r_rank").as("r_score"),
+          score("_f_rank").as("f_score"), score("_m_rank").as("m_score"))
+        .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy("o_custkey")
+    },
+
+    // Pareto / cumulative-revenue share: which customers cover the top
+    // 80% of revenue. Exact-DECIMAL banded prefix sum — the oracle's
+    // plain global window cumsum matches bit-for-bit because decimal
+    // addition is order-independent.
+    "orders_pareto" -> { (s, d) =>
+      val rev = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).as("rev"))
+      StatsOps.rankedCumShare(rev, col("o_custkey"), col("rev"))
+        .select(col("o_custkey"), col("rev").cast(DoubleType).as("revenue"),
+          col("cum_share"),
+          (col("cum_share") <= 0.8).cast(LongType).as("in_top80"))
+        .orderBy("o_custkey")
+    })
+
+  private val PsSqlList =
+    Ps.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "events_percentiles" ->
+      s"""WITH r AS (
+         |  SELECT user_id, value AS v,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY value) - 1 AS rn0,
+         |         count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events WHERE value IS NOT NULL),
+         |f AS (
+         |  SELECT user_id, p, v, rn0,
+         |         CAST(n - 1 AS DOUBLE) * p AS h,
+         |         floor(CAST(n - 1 AS DOUBLE) * p) AS lo,
+         |         ceil(CAST(n - 1 AS DOUBLE) * p) AS hi
+         |  FROM r, (SELECT unnest($PsSqlList) AS p) px
+         |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * p)
+         |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * p))
+         |SELECT user_id, p,
+         |  ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(h) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS pct
+         |FROM f GROUP BY user_id, p ORDER BY user_id, p""".stripMargin,
+
+    "events_mode_type" ->
+      """SELECT user_id, event_type AS mode_type, cnt FROM (
+        |  SELECT user_id, event_type, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rk
+        |  FROM events GROUP BY user_id, event_type)
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "ts_cusum" ->
+      s"""SELECT event_id,
+         |${round4Sql(s"${exactSumSql("value", "OVER wr")} - CAST(row_number() OVER w AS BIGINT) * ${CleanFunctions.exactMeanSql("value", "OVER u")}")} AS cusum
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         |  wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  u AS (PARTITION BY user_id)
+         |ORDER BY event_id""".stripMargin,
+
+    "events_value_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(floor(value) AS BIGINT) AS b, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(round(((cnt / (sum(cnt) OVER (PARTITION BY user_id))) * ln(cnt / (sum(cnt) OVER (PARTITION BY user_id)))) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+        |  FROM c)
+        |SELECT user_id, CAST(-sum(term) AS DOUBLE) AS entropy
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_grouping_sets" ->
+      s"""SELECT coalesce(event_type, 'ALL') AS etype,
+         |       coalesce(CAST(hr AS VARCHAR), 'ALL') AS hour_label,
+         |       count(*) AS cnt,
+         |       ${exactSumSql("value")} AS sum_value
+         |FROM (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, value FROM events)
+         |GROUP BY GROUPING SETS ((event_type), (event_type, hr), ())
+         |ORDER BY etype, hour_label""".stripMargin,
+
+    "lineitem_cheapest_supplier" ->
+      s"""SELECT l_partkey, l_suppkey, unit_price FROM (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${round4Sql("l_extendedprice / l_quantity")} AS unit_price,
+         |    row_number() OVER (PARTITION BY l_partkey
+         |      ORDER BY ${round4Sql("l_extendedprice / l_quantity")}, l_suppkey) AS rk
+         |  FROM lineitem)
+         |WHERE rk = 1 ORDER BY l_partkey""".stripMargin,
+
+    "customer_rfm" ->
+      s"""WITH base AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+         |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT) AS recency_days,
+         |    count(*) AS frequency,
+         |    ${round4Sql(exactSumSql("o_totalprice"))} AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY recency_days, o_custkey) AS r_rank,
+         |    row_number() OVER (ORDER BY frequency DESC, o_custkey) AS f_rank,
+         |    row_number() OVER (ORDER BY monetary DESC, o_custkey) AS m_rank,
+         |    count(*) OVER () AS n
+         |  FROM base)
+         |SELECT o_custkey, recency_days, frequency, monetary,
+         |  1 + CAST(floor(4.0 * (r_rank - 1) / n) AS BIGINT) AS r_score,
+         |  1 + CAST(floor(4.0 * (f_rank - 1) / n) AS BIGINT) AS f_score,
+         |  1 + CAST(floor(4.0 * (m_rank - 1) / n) AS BIGINT) AS m_score,
+         |  (1 + CAST(floor(4.0 * (r_rank - 1) / n) AS BIGINT)) * 100
+         |    + (1 + CAST(floor(4.0 * (f_rank - 1) / n) AS BIGINT)) * 10
+         |    + (1 + CAST(floor(4.0 * (m_rank - 1) / n) AS BIGINT)) AS rfm
+         |FROM r ORDER BY o_custkey""".stripMargin,
+
+    "orders_pareto" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+         |  FROM orders GROUP BY 1),
+         |c AS (
+         |  SELECT o_custkey, rev,
+         |    ${round4Sql("CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST((SELECT sum(rev) FROM rev) AS DOUBLE)")} AS cum_share
+         |  FROM rev)
+         |SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue, cum_share,
+         |  CAST(CASE WHEN cum_share <= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS in_top80
+         |FROM c ORDER BY o_custkey""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.StatsOps
+import graft.sources.Tables
+
+class StatsOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private lazy val ev = Tables.events(spark, sfDir).cache()
+
+  test("rankPercentiles matches Spark's exact percentile (PERCENTILE_CONT)") {
+    val ps = Seq(0.25, 0.5, 0.9)
+    val got = StatsOps.rankPercentiles(ev, Seq("user_id"), "value", ps)
+      .withColumnRenamed("pct", "got")
+    // Spark's percentile UDAF is an independent implementation of the
+    // same interpolation (it buffers groups in memory — fine in test).
+    val exact = ev.groupBy("user_id")
+      .agg(expr(s"percentile(value, array(${ps.mkString(",")}))").as("q"))
+      .select(col("user_id"), posexplode(col("q")).as(Seq("i", "want")))
+      .withColumn("p", element_at(array(ps.map(lit): _*), col("i") + 1))
+    val joined = got.join(exact, Seq("user_id", "p")).cache()
+    assert(joined.count() == got.count() && got.count() > 0)
+    val bad = joined.where(abs(col("got") - col("want")) > 1e-4).count()
+    assert(bad == 0, "rank-interpolated percentiles disagree with percentile()")
+  }
+
+  test("globalRank equals a global row_number in both directions") {
+    val base = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    def reference(asc: Boolean) = {
+      val o = if (asc) Seq(col("cnt").asc, col("user_id").asc)
+              else Seq(col("cnt").desc, col("user_id").asc)
+      base.withColumn("want", row_number().over(Window.orderBy(o: _*)))
+    }
+    for (asc <- Seq(true, false)) {
+      val got = StatsOps.globalRank(base, col("cnt"), col("user_id"), asc, "rk", bands = 8)
+      val bad = got.join(reference(asc), Seq("user_id"))
+        .where(col("rk") =!= col("want")).count()
+      assert(bad == 0, s"globalRank(asc=$asc) diverges from global row_number")
+    }
+  }
+
+  test("globalRank is partition-count invariant") {
+    val base = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val r1 = StatsOps.globalRank(base.coalesce(1), col("cnt"), col("user_id"), asc = true, "rk")
+      .select("user_id", "rk")
+    val r7 = StatsOps.globalRank(base.repartition(7), col("cnt"), col("user_id"), asc = true, "rk")
+      .select("user_id", "rk")
+    assert(r1.exceptAll(r7).count() == 0 && r7.exceptAll(r1).count() == 0)
+  }
+
+  test("rankedCumShare equals the sequential cumulative share and ends at 1") {
+    val rev = Tables.orders(spark, sfDir).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).as("rev"))
+    val got = StatsOps.rankedCumShare(rev, col("o_custkey"), col("rev"))
+    val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum("rev")).head.getDecimal(0)
+    val want = rev.withColumn("want",
+      graft.functions.CleanFunctions.round4(
+        sum("rev").over(w).cast("double") / lit(tot).cast("double")))
+    val bad = got.join(want.select("o_custkey", "want"), Seq("o_custkey"))
+      .where(col("cum_share") =!= col("want")).count()
+    assert(bad == 0, "banded prefix share diverges from sequential cumsum")
+    val last = got.agg(max("cum_share")).head.getDouble(0)
+    assert(last == 1.0, s"cumulative share must end at exactly 1.0, got $last")
+  }
+
+  test("cusum starts at first deviation and sums to ~zero at series end") {
+    val c = StatsOps.cusum(ev, Seq("user_id"), Seq("ts", "event_id"), "value")
+    // S_n = sum(x) - n*mean == 0 by construction (up to the 4dp rounding).
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val lastRows = c.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+    val offZero = lastRows.where(abs(col("cusum")) > 1e-3).count()
+    assert(offZero == 0, "per-series CUSUM must return to zero at the last sample")
+    assert(c.count() == ev.count())
+  }
+
+  test("bucketEntropy: constant series is 0, uniform over k buckets is ln k") {
+    import spark.implicits._
+    val df = (Seq.fill(40)("const" -> 5.2) ++
+      (0 until 40).map(i => "unif" -> (i % 4).toDouble))
+      .toDF("user_id", "value")
+    val got = StatsOps.bucketEntropy(df, Seq("user_id"), "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("const") == 0.0)
+    assert(math.abs(got("unif") - math.log(4.0)) < 1e-5)
+  }
+}
