@@ -216,12 +216,25 @@ object DedupQueries {
         .filter(col("n_chars") < 300)
         .select(col("doc_id"), col("lang"), col("text"),
           floor(col("n_chars") / lit(20.0)).as("band"))
-      docs.as("a").join(docs.as("b"),
+      // The distance filter gets pushed into the join, so the O(len^2)
+      // DP evaluates in the JOIN stage — whose parallelism is the
+      // streamed side's partitioning. A parquet scan of short docs is a
+      // handful of input splits (and the block key is language-skewed),
+      // which would serialize the scoring; repartitioning the streamed
+      // side by doc_id first spreads it evenly. The partition count is
+      // EXPLICIT (defaultParallelism): a bare repartition-by-column is
+      // AQE-coalescible, and 40 MB of pair rows coalesce to ONE task —
+      // AQE sizes by bytes and can't see the O(len^2) DP per row. The
+      // 3-arg levenshtein prunes each DP to the +-threshold diagonal —
+      // exact for every kept pair, -1 (filtered) beyond it.
+      // Measured at sf0.1 local[32]: 36.5 s -> 1.4 s.
+      docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")).as("a").join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          levenshtein(col("a.text"), col("b.text")).cast(LongType).as("dist"))
-        .filter(col("dist") <= MaxEditDistance)
+          levenshtein(col("a.text"), col("b.text"), MaxEditDistance)
+            .cast(LongType).as("dist"))
+        .filter(col("dist") >= 0 && col("dist") <= MaxEditDistance)
         .orderBy("a_id", "b_id")
     }
   )

@@ -95,6 +95,12 @@ object StatsQueries {
       val o = Tables.orders(s, d)
       val maxd = o.agg(max(to_date(col("o_orderdate"))).as("_rfm_maxd"))
       val n = o.select(col("o_custkey")).distinct().agg(count(lit(1)).as("_rfm_n"))
+      // Each globalRank references its input three times (range stats,
+      // band counts, rank join); CHAINING three would re-derive the
+      // orders aggregate ~27x through the nesting. Instead rank the
+      // cached one-row-per-customer base three times independently and
+      // join the (custkey, rank) outputs back — the plan stays flat and
+      // the cached side is already reduced, safe to pin at any scale.
       val base = o.groupBy("o_custkey")
         .agg(max(to_date(col("o_orderdate"))).as("_rfm_lastd"),
           count(lit(1)).as("frequency"),
@@ -104,12 +110,14 @@ object StatsQueries {
           datediff(col("_rfm_maxd"), col("_rfm_lastd")).cast(LongType))
         .drop("_rfm_maxd", "_rfm_lastd")
         .crossJoin(broadcast(n))
-      val ranked = StatsOps.globalRank(
-        StatsOps.globalRank(
-          StatsOps.globalRank(base,
-            col("recency_days"), col("o_custkey"), asc = true, "_r_rank"),
-          col("frequency"), col("o_custkey"), asc = false, "_f_rank"),
-        col("monetary"), col("o_custkey"), asc = false, "_m_rank")
+        .cache()
+      def rankOf(value: String, asc: Boolean, rankCol: String) =
+        StatsOps.globalRank(base, col(value), col("o_custkey"), asc, rankCol)
+          .select("o_custkey", rankCol)
+      val ranked = base
+        .join(rankOf("recency_days", asc = true, "_r_rank"), "o_custkey")
+        .join(rankOf("frequency", asc = false, "_f_rank"), "o_custkey")
+        .join(rankOf("monetary", asc = false, "_m_rank"), "o_custkey")
       def score(rank: String) =
         lit(1L) + floor(lit(4.0) * (col(rank) - 1L).cast(DoubleType) / col("_rfm_n"))
       ranked.select(col("o_custkey"), col("recency_days"), col("frequency"),
