@@ -46,8 +46,10 @@ object PlanAudit {
     *    unknown. Forcing a broadcast would be the exact 100x-scale OOM
     *    the corpus-broadcast rule exists to prevent; AQE still promotes
     *    at runtime when the measured side is genuinely small.
+    *  - dedup_canonical: same shape — docs left-join the label-propagation
+    *    fixpoint output (corpus-proportional, checkpointed, unknown stats).
     */
-  val SmjContract: Set[String] = Set("text_split_nodup")
+  val SmjContract: Set[String] = Set("text_split_nodup", "dedup_canonical")
 
   /** Corpus tables scanned with NO Aggregate/GlobalLimit on the path from
     * the scan up to this subtree's root. The walk stops at any node that

@@ -236,10 +236,53 @@ object DedupQueries {
             .cast(LongType).as("dist"))
         .filter(col("dist") >= 0 && col("dist") <= MaxEditDistance)
         .orderBy("a_id", "b_id")
+    },
+
+    // Canonical-document selection — the step after clustering in a real
+    // dedup pipeline: every doc maps to its cluster's keeper, chosen as
+    // the longest variant (ties: source name, then doc_id). Singletons
+    // (docs in no near-dup pair) are their own canonical via the left
+    // join + coalesce; the keeper is a first_value over the cluster
+    // partition, so no second join back to the cluster table.
+    "dedup_canonical" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val labels = graft.operators.GraphOps
+        .minLabelPropagate(graft.operators.CorpusDedup
+          .nearDupPairs(docs, "doc_id", "text"))
+        .select(col("id").as("doc_id"), col("lbl"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(desc("n_chars"), col("source"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      docs.join(labels, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("canonical_id", first(col("doc_id")).over(w))
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).cast(LongType).as("is_kept"))
+        .orderBy("doc_id")
     }
   )
 
   private val MaxEditDistance = 60
+
+  /** Shared oracle prefix: SimHash signatures -> near-dup edges ->
+    * transitive closure (`reach`), the DuckDB twin of
+    * CorpusDedup.nearDupPairs + GraphOps.minLabelPropagate.
+    */
+  private lazy val clusterReachCte: String =
+    s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
+       |h AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("t")} AS h FROM tok),
+       |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
+       |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
+       |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+       |  FROM v GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS x, b.doc_id AS y FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming),
+       |e AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p),
+       |reach(doc_id, lbl) AS (
+       |  SELECT DISTINCT x AS doc_id, x AS lbl FROM e
+       |  UNION
+       |  SELECT e.y AS doc_id, r.lbl FROM reach r JOIN e ON e.x = r.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_levenshtein" ->
@@ -303,20 +346,22 @@ object DedupQueries {
     // <= 5), then connected components as a recursive transitive-closure
     // CTE: min reachable id == the Spark side's label-propagation fixpoint.
     "dedup_clusters" ->
-      s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
-         |h AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("t")} AS h FROM tok),
-         |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
-         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
-         |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
-         |  FROM v GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS x, b.doc_id AS y FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming),
-         |e AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p),
-         |reach(doc_id, lbl) AS (
-         |  SELECT DISTINCT x AS doc_id, x AS lbl FROM e
-         |  UNION
-         |  SELECT e.y AS doc_id, r.lbl FROM reach r JOIN e ON e.x = r.doc_id)
+      s"""$clusterReachCte
          |SELECT doc_id, min(lbl) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_canonical" ->
+      s"""$clusterReachCte,
+         |lab AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id),
+         |cl AS (SELECT d.doc_id, d.n_chars, d.source, coalesce(l.lbl, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+         |r AS (SELECT doc_id, cluster_id,
+         |  first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, source, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS canonical_id
+         |  FROM cl)
+         |SELECT doc_id, cluster_id, canonical_id,
+         |  CAST(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // All-pairs oracle: banding with 6 chunks has guaranteed recall for
     // hamming <= 5, so the honest quadratic scan gives the same rows.

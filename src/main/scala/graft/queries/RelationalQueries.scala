@@ -421,10 +421,62 @@ object RelationalQueries {
           graft.functions.CleanFunctions.round4(percentile_approx(col("value"), lit(0.5), lit(10000))).as("approx_p50"),
           graft.functions.CleanFunctions.round4(percentile_approx(col("value"), lit(0.99), lit(10000))).as("approx_p99"))
         .orderBy("event_type")
+    },
+
+    // TPC-H Q4 shape: EXISTS against the fact table as a left-semi join
+    // on the join key plus a cross-table predicate — no fact-fact row
+    // blowup, one shuffle on orderkey. Counts orders per priority with at
+    // least one lineitem shipped more than 60 days after the order date.
+    "q4_late_orders" -> { (s, d) =>
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          o("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("late_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q19 shape: disjunctive brand/size/quantity predicates. The
+    // OR of per-branch conjunctions stays a single scan+join — the
+    // common superset predicates (brand IN, size/qty bounds) push to the
+    // parquet scans, the residual OR evaluates post-join, and the part
+    // side broadcasts (bounded dim).
+    "q19_discounted_revenue" -> { (s, d) =>
+      val p  = Tables.part(s, d)
+      val li = Tables.lineitem(s, d)
+      val branch1 = p("p_brand") === "Brand#12" && p("p_size") <= 5 &&
+        li("l_quantity").between(1, 11)
+      val branch2 = p("p_brand") === "Brand#23" && p("p_size") <= 10 &&
+        li("l_quantity").between(10, 20)
+      val branch3 = p("p_brand") === "Brand#34" && p("p_size") <= 15 &&
+        li("l_quantity").between(20, 30)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .where(branch1 || branch2 || branch3)
+        .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+          .cast("double").as("revenue"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q19_discounted_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size <= 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
