@@ -486,4 +486,92 @@ object TimeSeriesOps {
     df.withColumn(outCol,
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** Gap/outage report: adjacent-sample intervals longer than `minGap`
+    * (unit of the numeric `tsCol`, e.g. microseconds) — the monitoring
+    * dual of [[sessionize]]: instead of grouping the data we emit the
+    * HOLES, one row per (gap_start, gap_end, gap span). One keyed lag +
+    * a filter; no join against a spine, so the scan stays single-pass at
+    * any scale (the spine approach materializes every expected bucket).
+    */
+  def gapReport(df: DataFrame, keys: Seq[String], order: Seq[String],
+                tsCol: String, minGap: Long): DataFrame = {
+    val w = seriesWindow(keys, order)
+    df.withColumn("gap_start", lag(col(tsCol), 1).over(w))
+      .where(col("gap_start").isNotNull && col(tsCol) - col("gap_start") > minGap)
+      .withColumn("gap_end", col(tsCol))
+      .withColumn("gap_span", col(tsCol) - col("gap_start"))
+      .select((keys.map(col) ++ Seq(col("gap_start"), col("gap_end"), col("gap_span"))): _*)
+  }
+
+  /** Monotonic-counter rate (the Prometheus `rate()` ingest primitive):
+    * per-sample increase / elapsed seconds, where a DECREASE is read as a
+    * counter RESET (process restart) and the post-reset value counts as
+    * the whole increase. First sample per key and zero-elapsed duplicate
+    * timestamps yield null. One keyed lag window, pure expressions.
+    */
+  def counterRate(df: DataFrame, keys: Seq[String], order: Seq[String],
+                  tsUsCol: String, valueCol: String,
+                  outCol: String = "rate_per_s"): DataFrame = {
+    val w = seriesWindow(keys, order)
+    val delta = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val dtUs  = col(tsUsCol) - lag(col(tsUsCol), 1).over(w)
+    val increase = when(delta < 0, col(valueCol)).otherwise(delta)
+    df.withColumn(outCol,
+      graft.functions.CleanFunctions.round4(
+        safeDiv(increase, dtUs.cast("double") / lit(1e6))))
+  }
+
+  /** M4 downsampling (Jugel et al., VLDB 2014): per (key, time bucket)
+    * keep first/last/min/max of the value — the four samples that make a
+    * line-plot of the bucket pixel-exact. The standard way to feed a
+    * dashboard from a 100 TB series without shipping raw points: output
+    * is O(#buckets), error-free for rendering. One keyed window sort
+    * (row_number + unordered count share the partition) + one grouped
+    * agg; ties on equal timestamps broken by `order`'s tail for
+    * cross-engine determinism.
+    */
+  def m4Downsample(df: DataFrame, keys: Seq[String], order: Seq[String],
+                   tsCol: String, valueCol: String, bucketSpan: Long): DataFrame = {
+    val withBucket = df.withColumn("bucket", expr(s"$tsCol div $bucketSpan"))
+    val pKeys = (keys :+ "bucket").map(col)
+    val wOrd  = Window.partitionBy(pKeys: _*).orderBy(order.map(col): _*)
+    val wAll  = Window.partitionBy(pKeys: _*)
+    withBucket
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(pKeys: _*)
+      .agg(
+        min(when(col("rn") === 1, col(valueCol))).as("v_first"),
+        min(when(col("rn") === col("cnt"), col(valueCol))).as("v_last"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        count(col(valueCol)).as("n"))
+  }
+
+  /** SCD Type-2 dimension build from a change-event stream: collapse
+    * consecutive equal values of `attrCol` per key, then emit validity
+    * intervals [valid_from, valid_to) with `is_current` on the open one —
+    * the warehouse pattern for tracking attribute history. Two keyed
+    * windows (change detection, then lead over the change rows); the
+    * second window's input is already reduced to change points, so its
+    * sort is over a far smaller set. Null attrs are treated as a value
+    * (null-safe comparison), matching warehouse "unknown" semantics.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], order: Seq[String],
+           attrCol: String, tsCol: String): DataFrame = {
+    val w = seriesWindow(keys, order)
+    val prev = lag(col(attrCol), 1).over(w)
+    val changes = df
+      .withColumn("__prev", prev)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 || !(col(attrCol) <=> col("__prev")))
+    val w2 = seriesWindow(keys, order)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .select((keys.map(col) ++ Seq(col(attrCol), col("valid_from"),
+        col("valid_to"), col("is_current"))): _*)
+  }
 }

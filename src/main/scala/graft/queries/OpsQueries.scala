@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CleanFunctions.{epochUs, round4Sql}
+import graft.operators.{DataQuality, TimeSeriesOps => TS}
+import graft.sources.Tables
+
+/** Operational-analytics queries: monitoring (gap/outage report, counter
+  * rate, M4 plot downsampling), warehouse maintenance (SCD Type-2
+  * dimension build) and the pre-publish data-quality audit. Each has an
+  * IEEE-identical DuckDB oracle.
+  *
+  * Scale notes: every window is keyed by series; the DQ audit is a union
+  * of map-side single-row aggregates plus one optimizer-chosen anti
+  * join; M4 output is O(#buckets), the whole point of the operator.
+  */
+object OpsQueries {
+
+  private val K   = Seq("user_id")
+  private val Ord = Seq("tsu", "event_id")
+
+  /** 6 h in microseconds: outage threshold and M4 bucket span. */
+  private val SixHoursUs = 6L * 3600 * 1000000
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Monitoring holes: adjacent samples more than 6h apart, one row per
+    // outage with its span (microseconds).
+    "ts_gap_report" -> { (s, d) =>
+      TS.gapReport(ev(s, d), K, Ord, "tsu", SixHoursUs)
+        .orderBy("user_id", "gap_start")
+    },
+
+    // Counter-reset-aware rate (Prometheus rate() semantics) over the
+    // value column: increase handles resets, elapsed from event time.
+    "ts_counter_rate" -> { (s, d) =>
+      TS.counterRate(ev(s, d), K, Ord, "tsu", "value")
+        .select("event_id", "rate_per_s").orderBy("event_id")
+    },
+
+    // M4 downsample into 6h buckets: first/last/min/max per bucket —
+    // pixel-exact line plots from O(#buckets) rows.
+    "ts_m4_downsample" -> { (s, d) =>
+      TS.m4Downsample(ev(s, d), K, Ord, "tsu", "value", SixHoursUs)
+        .orderBy("user_id", "bucket")
+    },
+
+    // SCD Type-2 history of each user's event_type: validity intervals
+    // over change points, open interval flagged current.
+    "events_scd2" -> { (s, d) =>
+      TS.scd2(ev(s, d), K, Ord, "event_type", "tsu")
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+
+    // Pre-publish data-quality audit over the star schema: null keys,
+    // duplicate PKs, FK orphans, domain violations — one (check, failed)
+    // row each.
+    "dq_audit" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val e = ev(s, d)
+      DataQuality.audit(Seq(
+        DataQuality.nullCount(o, "orders_null_custkey", "o_custkey"),
+        DataQuality.dupKeys(o, "orders_dup_orderkey", Seq("o_orderkey")),
+        DataQuality.fkOrphans(l, o, "lineitem_orphan_orders", "l_orderkey", "o_orderkey"),
+        DataQuality.predicateViolations(l, "lineitem_nonpositive_qty", col("l_quantity") <= 0),
+        DataQuality.nullCount(e, "events_null_value", "value"),
+        DataQuality.dupKeys(e, "events_dup_user_ts", Seq("user_id", "tsu")),
+        DataQuality.predicateViolations(e, "events_value_out_of_range", abs(col("value")) > 1e6)))
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "ts_gap_report" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+         |g AS (SELECT user_id, lag(tsu) OVER w AS gap_start, tsu AS gap_end
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+         |SELECT user_id, gap_start, gap_end, gap_end - gap_start AS gap_span
+         |FROM g WHERE gap_start IS NOT NULL AND gap_end - gap_start > $SixHoursUs
+         |ORDER BY user_id, gap_start""".stripMargin,
+
+    "ts_counter_rate" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),
+         |d AS (SELECT event_id, value,
+         |        value - lag(value) OVER w AS delta,
+         |        tsu - lag(tsu) OVER w AS dtu
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+         |SELECT event_id,
+         |  ${round4Sql("(CASE WHEN delta < 0 THEN value ELSE delta END) / nullif(dtu / 1000000.0, 0.0)")} AS rate_per_s
+         |FROM d ORDER BY event_id""".stripMargin,
+
+    "ts_m4_downsample" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events),
+         |r AS (SELECT user_id, tsu // $SixHoursUs AS bucket, value,
+         |        row_number() OVER w AS rn,
+         |        count(*) OVER (PARTITION BY user_id, tsu // $SixHoursUs) AS cnt
+         |      FROM e WINDOW w AS (PARTITION BY user_id, tsu // $SixHoursUs ORDER BY tsu, event_id))
+         |SELECT user_id, bucket,
+         |  min(CASE WHEN rn = 1 THEN value END) AS v_first,
+         |  min(CASE WHEN rn = cnt THEN value END) AS v_last,
+         |  min(value) AS v_min, max(value) AS v_max,
+         |  count(value) AS n
+         |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
+
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+        |c AS (SELECT user_id, event_type, tsu, event_id,
+        |        lag(event_type) OVER w AS prev,
+        |        row_number() OVER w AS rn
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |v AS (SELECT user_id, event_type, tsu, event_id FROM c
+        |      WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        |SELECT user_id, event_type, tsu AS valid_from,
+        |  lead(tsu) OVER w2 AS valid_to,
+        |  CAST(CASE WHEN lead(tsu) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    "dq_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_null_custkey' AS "check",
+        |         count(CASE WHEN o_custkey IS NULL THEN 1 END) AS failed FROM orders
+        |  UNION ALL SELECT 'orders_dup_orderkey',
+        |         count(*) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'lineitem_orphan_orders', count(*) FROM lineitem l
+        |         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL SELECT 'lineitem_nonpositive_qty',
+        |         count(CASE WHEN l_quantity <= 0 THEN 1 END) FROM lineitem
+        |  UNION ALL SELECT 'events_null_value',
+        |         count(CASE WHEN value IS NULL THEN 1 END) FROM events
+        |  UNION ALL SELECT 'events_dup_user_ts',
+        |         count(*) - count(DISTINCT (user_id, epoch_us(ts))) FROM events
+        |  UNION ALL SELECT 'events_value_out_of_range',
+        |         count(CASE WHEN abs(value) > 1000000.0 THEN 1 END) FROM events
+        |) ORDER BY "check"""".stripMargin)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DataQuality, TimeSeriesOps}
+
+/** Hand-computed semantics tests for the operational-analytics operators
+  * (gap report, counter rate, M4 downsample, SCD2, DQ audit) on crafted
+  * sequences the synthetic corpus cannot guarantee to contain.
+  */
+class OpsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val K   = Seq("k")
+  private val Ord = Seq("tsu", "id")
+  private val H   = 3600L * 1000000 // one hour in micros
+
+  test("gapReport emits exactly the holes over the threshold, per key") {
+    // k=1: samples at 0h,1h,5h,6h -> one 4h gap. k=2: 0h,9h -> one 9h gap.
+    val df = Seq(
+      (1L, 0L * H, 1L), (2L, 1L * H, 1L), (3L, 5L * H, 1L), (4L, 6L * H, 1L),
+      (5L, 0L * H, 2L), (6L, 9L * H, 2L)
+    ).toDF("id", "tsu", "k")
+    val gaps = TimeSeriesOps.gapReport(df, K, Ord, "tsu", 3 * H)
+      .orderBy("k", "gap_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(gaps.toSeq === Seq((1L, 1 * H, 5 * H, 4 * H), (2L, 0L, 9 * H, 9 * H)))
+  }
+
+  test("counterRate divides increases by elapsed seconds and treats a drop as a reset") {
+    // 10 -> 70 over 1h (rate 60/3600), then RESET to 5 over 1h (rate 5/3600).
+    val df = Seq(
+      (1L, 0L * H, 1L, 10.0), (2L, 1L * H, 1L, 70.0), (3L, 2L * H, 1L, 5.0)
+    ).toDF("id", "tsu", "k", "v")
+    val rates = TimeSeriesOps.counterRate(df, K, Ord, "tsu", "v")
+      .orderBy("id").select("rate_per_s").as[Option[Double]].collect()
+    assert(rates(0).isEmpty) // first sample: no previous
+    assert(math.abs(rates(1).get - math.round(60.0 / 3600 * 1e4) / 1e4) < 1e-12)
+    assert(math.abs(rates(2).get - math.round(5.0 / 3600 * 1e4) / 1e4) < 1e-12)
+  }
+
+  test("counterRate yields null on zero elapsed (duplicate timestamps)") {
+    val df = Seq((1L, 0L, 1L, 1.0), (2L, 0L, 1L, 2.0)).toDF("id", "tsu", "k", "v")
+    val rates = TimeSeriesOps.counterRate(df, K, Ord, "tsu", "v")
+      .orderBy("id").select("rate_per_s").as[Option[Double]].collect()
+    assert(rates.toSeq === Seq(None, None))
+  }
+
+  test("m4Downsample keeps first/last by time order and global min/max per bucket") {
+    // One 6h bucket, shuffled insert order; first at t=0 is 5.0, last at
+    // t=5h is 1.0, min 1.0, max 9.0.
+    val df = Seq(
+      (3L, 2L * H, 1L, 9.0), (1L, 0L * H, 1L, 5.0),
+      (4L, 5L * H, 1L, 1.0), (2L, 1L * H, 1L, 7.0)
+    ).toDF("id", "tsu", "k", "v")
+    val m4 = TimeSeriesOps.m4Downsample(df, K, Ord, "tsu", "v", 6 * H)
+      .select("bucket", "v_first", "v_last", "v_min", "v_max", "n")
+      .as[(Long, Double, Double, Double, Double, Long)].collect()
+    assert(m4.toSeq === Seq((0L, 5.0, 1.0, 1.0, 9.0, 4L)))
+  }
+
+  test("m4Downsample breaks equal-timestamp ties by the order tail deterministically") {
+    val df = Seq((2L, 0L, 1L, 8.0), (1L, 0L, 1L, 3.0)).toDF("id", "tsu", "k", "v")
+    val m4 = TimeSeriesOps.m4Downsample(df, K, Ord, "tsu", "v", 6 * H)
+      .select("v_first", "v_last").as[(Double, Double)].collect()
+    assert(m4.toSeq === Seq((3.0, 8.0))) // id 1 first, id 2 last
+  }
+
+  test("scd2 collapses runs into intervals that tile the timeline") {
+    // A A B A -> [0,2h) A, [2h,3h) B, [3h,∞) A (current).
+    val df = Seq(
+      (1L, 0L * H, 1L, "A"), (2L, 1L * H, 1L, "A"),
+      (3L, 2L * H, 1L, "B"), (4L, 3L * H, 1L, "A")
+    ).toDF("id", "tsu", "k", "attr")
+    val hist = TimeSeriesOps.scd2(df, K, Ord, "attr", "tsu")
+      .orderBy("valid_from")
+      .select("attr", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, Option[Long], Long)].collect()
+    assert(hist.toSeq === Seq(
+      ("A", 0L, Some(2 * H), 0L),
+      ("B", 2 * H, Some(3 * H), 0L),
+      ("A", 3 * H, None, 1L)))
+  }
+
+  test("scd2 treats null attrs null-safely (no phantom change on null==null)") {
+    val df = Seq(
+      (1L, 0L * H, 1L, null.asInstanceOf[String]),
+      (2L, 1L * H, 1L, null.asInstanceOf[String]),
+      (3L, 2L * H, 1L, "X")
+    ).toDF("id", "tsu", "k", "attr")
+    val hist = TimeSeriesOps.scd2(df, K, Ord, "attr", "tsu")
+    assert(hist.count() === 2) // one null run + one X run
+  }
+
+  test("DataQuality checks count nulls, dup keys and FK orphans exactly") {
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
+    val child = Seq(
+      (10L, 1L), (11L, 1L), (12L, 2L), (13L, 99L), (14L, 98L)
+    ).toDF("ck", "fk")
+    val dupd = Seq((1L, Some(1.0)), (1L, None), (2L, Some(3.0))).toDF("k", "v")
+    val report = DataQuality.audit(Seq(
+      DataQuality.fkOrphans(child, parent, "orphans", "fk", "pk"),
+      DataQuality.nullCount(dupd, "null_v", "v"),
+      DataQuality.dupKeys(dupd, "dup_k", Seq("k")),
+      DataQuality.predicateViolations(dupd, "v_range", col("v") > 2.0)))
+      .as[(String, Long)].collect().toMap
+    assert(report === Map("orphans" -> 2L, "null_v" -> 1L, "dup_k" -> 1L, "v_range" -> 1L))
+  }
+}
