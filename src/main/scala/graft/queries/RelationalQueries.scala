@@ -199,6 +199,31 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // TPC-H Q7 shape (volume shipping): international revenue flows split
+    // by supplier-side nation, customer-side nation and order year. Two
+    // INDEPENDENT uses of the same dim (nation as supp_nation vs
+    // cust_nation) — the classic alias-join; both nation legs and
+    // supplier/customer broadcast (bounded dims), the lineitem-orders
+    // spine is the only shuffle. (All pairs, not TPC-H's fixed two: the
+    // sf0.001 table has suppliers in only 10 of 25 nations, and a pinned
+    // pair can be legitimately empty there.)
+    "q7_nation_volume" -> { (s, d) =>
+      val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(to_date(col("o_orderdate"))).cast(LongType).as("o_year"))
+        .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    },
+
     // Range (interval) join: orders land in variable-width price bands
     // cut at the exact order-price quartiles — the band/calendar/IP-range
     // lookup shape a plain equi-join can't express. The interval side is
@@ -568,6 +593,19 @@ object RelationalQueries {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, o_year""".stripMargin,
 
     "orders_price_band" ->
       """WITH c AS (SELECT quantile_cont(o_totalprice, 0.25) AS c1,

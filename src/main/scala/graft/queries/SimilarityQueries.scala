@@ -36,6 +36,7 @@ object SimilarityQueries {
   private val IvfProbes = 4
   private val IvfIters = 2
   private val EmbDim = 64
+  private val TruncDim = 16
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label embedding centroids (class prototypes): posexplode to
@@ -58,6 +59,60 @@ object SimilarityQueries {
           sum(col("v").cast(DoubleType).cast(dec)).cast(DoubleType) / count(col("v"))
         ).as("centroid"))
         .orderBy("label", "dim")
+    },
+
+    // Matryoshka-style truncation: keep the first TruncDim dims and L2
+    // re-normalize — the storage/latency trade for nested-representation
+    // embeddings (retrieval at low dim, re-rank at full dim). Per-row
+    // expressions only (slice + sequential-fold norm, same fold order as
+    // the oracle's list_sum), zero shuffle; zero vectors yield no rows.
+    "emb_truncate_renorm" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      Tables.embeddings(s, d)
+        .withColumn("norm2", expr(
+          s"aggregate(slice(embedding, 1, $TruncDim), CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        .where(col("norm2") > 0.0)
+        .select(col("vec_id"), col("norm2"),
+          posexplode(slice(col("embedding"), 1, TruncDim)).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("dim"),
+          graft.functions.CleanFunctions.round6(
+            col("x").cast("double") / sqrt(col("norm2"))).as("v"))
+        .orderBy("vec_id", "dim")
+    },
+
+    // Embedding outlier detection (training-data filtering): distance of
+    // each vector to its label centroid, z-scored per label — far-from-
+    // prototype samples are mislabeled/noise candidates. Centroids and
+    // distances from DECIMAL-exact order-independent sums; both engines
+    // difference against the ROUNDED centroid so the squared terms are
+    // bit-identical before the decimal re-sum.
+    "emb_outliers" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val dec = DecimalType(28, 10)
+      val r6 = graft.functions.CleanFunctions.round6 _
+      val r4 = graft.functions.CleanFunctions.round4 _
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("dim", (col("pos") + 1).cast(LongType))
+        .withColumn("x", col("x").cast(DoubleType))
+      val cent = e.groupBy("label", "dim")
+        .agg(r6(sum(col("x").cast(dec)).cast(DoubleType) / count(col("x"))).as("c"))
+      val dist = e.join(cent, Seq("label", "dim"))
+        .withColumn("sq", (col("x") - col("c")) * (col("x") - col("c")))
+        .groupBy("vec_id", "label")
+        .agg(r6(sqrt(sum(col("sq").cast(dec)).cast(DoubleType))).as("dist"))
+      val stats = dist.groupBy("label").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        graft.functions.CleanFunctions.exactSum(col("dist")).as("sx"),
+        graft.functions.CleanFunctions.exactSum(col("dist") * col("dist")).as("sxx"))
+      dist.join(broadcast(stats), "label")
+        .withColumn("z", r4(
+          (col("dist") - col("sx") / col("n")) /
+            nullif(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)), lit(0.0))))
+        .select(col("vec_id"), col("label"), col("dist"), col("z"),
+          when(col("z") > 2.0, 1L).otherwise(0L).as("is_outlier"))
+        .orderBy("vec_id")
     },
 
     // SQL surface: the custom codegen'd expressions reached through
@@ -219,6 +274,41 @@ object SimilarityQueries {
          |round((CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(embedding[i])) * 1000000.0) / 1000000.0 AS centroid
          |FROM embeddings, (SELECT unnest(generate_series(1, $EmbDim)) AS i) dims
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // Same sequential-fold parity as sql_surface: list_sum's left fold
+    // == Spark aggregate()'s, so norm2 is bit-identical.
+    "emb_truncate_renorm" ->
+      s"""WITH b AS (SELECT vec_id, list_slice(embedding, 1, $TruncDim) AS e,
+         |  CAST(list_sum(list_transform(list_slice(embedding, 1, $TruncDim),
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS norm2
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         |  round((CAST(e[i] AS DOUBLE) / sqrt(norm2)) * 1000000.0) / 1000000.0 AS v
+         |FROM b, (SELECT unnest(generate_series(1, $TruncDim)) AS i) dims
+         |WHERE norm2 > 0.0 ORDER BY vec_id, dim""".stripMargin,
+
+    "emb_outliers" ->
+      s"""WITH dims AS (SELECT unnest(generate_series(1, $EmbDim)) AS i),
+         |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+         |        CAST(embedding[i] AS DOUBLE) AS x
+         |      FROM embeddings, dims),
+         |cent AS (SELECT label, dim,
+         |        round((CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x)) * 1000000.0) / 1000000.0 AS c
+         |      FROM e GROUP BY label, dim),
+         |dist AS (SELECT vec_id, e.label,
+         |        round(sqrt(CAST(sum(CAST((x - c) * (x - c) AS DECIMAL(28,10))) AS DOUBLE)) * 1000000.0) / 1000000.0 AS dist
+         |      FROM e JOIN cent ON e.label = cent.label AND e.dim = cent.dim
+         |      GROUP BY vec_id, e.label),
+         |stats AS (SELECT label, CAST(count(*) AS DOUBLE) AS n,
+         |        CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |        CAST(sum(CAST(dist * dist AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+         |      FROM dist GROUP BY label)
+         |SELECT vec_id, label, dist, z,
+         |  CAST(CASE WHEN z > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+         |FROM (SELECT vec_id, dist.label AS label, dist,
+         |  round(((dist - sx / n) / nullif(sqrt((sxx - sx * sx / n) / (n - 1.0)), 0.0)) * 10000.0) / 10000.0 AS z
+         |  FROM dist JOIN stats ON dist.label = stats.label)
+         |ORDER BY vec_id""".stripMargin,
 
     // floor(x*scale + 0.5) on doubles is bitwise-identical across engines
     // (unlike round()'s half-away vs half-even); float->double casts are

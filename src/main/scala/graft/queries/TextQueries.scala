@@ -30,6 +30,12 @@ object TextQueries {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Sequence-packing parameters: token budget per training bin, and the
+    * number of independent pack shards (each shard = one keyed window).
+    */
+  private val PackBudget = 512L
+  private val PackShards = 8L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII scrubbing (training-data redaction): emails then number runs,
     // per-pattern match counts on the original text. Runs over the
@@ -131,6 +137,49 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           when(bucket < 90, "train").otherwise("val").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing (training-batch construction): stream documents
+    // into fixed token-budget bins, greedy-contiguous in a deterministic
+    // md5 order. Sharded so the cumulative sum is a KEYED window — each
+    // shard packs independently on its executor (the distributed shape;
+    // a single global pack order would be one sorted partition). Output:
+    // which bin each doc starts in and at what token offset.
+    "text_pack_sequences" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = CleanFunctions.md5Hash64(concat(lit("pack:"), col("doc_id")))
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"), (h % PackShards).as("shard"),
+          size(TextFunctions.tokens(col("text"))).cast(LongType).as("n_tokens"))
+        .withColumn("prev", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"),
+          expr(s"prev div $PackBudget").as("bin"),
+          (col("prev") % PackBudget).as("bin_offset"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus rarity / novelty score: mean IDF of a doc's DISTINCT tokens
+    // — high scorers are off-distribution (specialist or noise), low
+    // scorers boilerplate-like. Two grouped aggs + a token join (the
+    // tf-idf plan minus the per-doc window); IDF rounded to 1e-6 before
+    // the order-independent DECIMAL mean so both engines sum identical
+    // quantities.
+    "text_rarity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDf = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val toks = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .distinct()
+      val dfCounts = toks.groupBy("tok").agg(count(lit(1)).cast(DoubleType).as("df"))
+      toks.join(dfCounts, "tok").crossJoin(broadcast(nDf))
+        .withColumn("idf", CleanFunctions.round6(log(col("n_docs") / col("df"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          CleanFunctions.round4(
+            CleanFunctions.exactSum(col("idf")) / count(lit(1))).as("rarity"))
         .orderBy("doc_id")
     },
 
@@ -324,6 +373,30 @@ object TextQueries {
            |CASE WHEN ${CleanFunctions.md5Hash64Sql("'split:' || doc_id")} % 100 < 90
            |     THEN 'train' ELSE 'val' END AS split
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id,
+           |  ${CleanFunctions.md5Hash64Sql("'pack:' || doc_id")} AS h,
+           |  ${CleanFunctions.md5Hash64Sql("'pack:' || doc_id")} % $PackShards AS shard,
+           |  CAST(len(${TextFunctions.tokensSql("text")}) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |c AS (SELECT doc_id, shard, n_tokens,
+           |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+           |  FROM t)
+           |SELECT doc_id, shard, prev // $PackBudget AS bin, prev % $PackBudget AS bin_offset, n_tokens
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      "text_rarity" ->
+        s"""WITH tk AS (SELECT DISTINCT doc_id,
+           |    unnest(${TextFunctions.tokensSql("text")}) AS tok FROM documents),
+           |f AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tk GROUP BY tok),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+           |SELECT doc_id, count(*) AS n_terms,
+           |  ${CleanFunctions.round4Sql(
+                CleanFunctions.exactSumSql("round(ln(n_docs / df) * 1000000.0) / 1000000.0") + " / count(*)")} AS rarity
+           |FROM tk JOIN f USING (tok) CROSS JOIN n
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "text_sample_stratified" ->
         s"""SELECT doc_id, lang FROM documents

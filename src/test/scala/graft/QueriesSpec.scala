@@ -56,6 +56,53 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"adaptive multi-probe LSH recall@10 too low: $recall")
   }
 
+  test("sequence packing: offsets stay inside the budget, bins fill contiguously per shard") {
+    import org.apache.spark.sql.functions._
+    val packed = SparkEntry.queries("text_pack_sequences")(spark, sfDir).cache()
+    val budget = 512L
+    // Every start offset is a valid position inside a bin.
+    assert(packed.filter(col("bin_offset") < 0 || col("bin_offset") >= budget).count() === 0)
+    // Within a shard, cumulative token stream is consistent: the doc's
+    // global start position equals bin*budget + offset and is
+    // non-decreasing in (bin, offset) — i.e. bins are contiguous.
+    val bad = packed
+      .withColumn("start", col("bin") * budget + col("bin_offset"))
+      .groupBy("shard")
+      .agg((sum(col("n_tokens")) =!= max(col("start") + col("n_tokens"))).as("mismatch"))
+      .filter(col("mismatch")) // last doc's end == total tokens per shard
+    assert(bad.count() === 0)
+    packed.unpersist()
+    ()
+  }
+
+  test("truncated+renormalized embeddings have unit L2 norm") {
+    import org.apache.spark.sql.functions._
+    val offUnit = SparkEntry.queries("emb_truncate_renorm")(spark, sfDir)
+      .groupBy("vec_id").agg(sum(col("v") * col("v")).as("norm2"))
+      .filter(abs(col("norm2") - 1.0) > 1e-3)
+    assert(offUnit.count() === 0)
+  }
+
+  test("embedding outliers: z standardization is centered and flags are rare") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("emb_outliers")(spark, sfDir).cache()
+    val n = out.count()
+    val flagged = out.filter(col("is_outlier") === 1).count()
+    assert(flagged.toDouble / n < 0.1, s"too many outliers: $flagged/$n")
+    val meanZ = out.agg(avg(col("z"))).head().getDouble(0)
+    assert(math.abs(meanZ) < 0.05, s"per-label z not centered: $meanZ")
+    out.unpersist()
+    ()
+  }
+
+  test("rarity score is bounded by the corpus-size IDF ceiling") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir).count().toDouble
+    val outOfRange = SparkEntry.queries("text_rarity")(spark, sfDir)
+      .filter(col("rarity") < 0.0 || col("rarity") > math.log(docs) + 1e-9)
+    assert(outOfRange.count() === 0)
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
