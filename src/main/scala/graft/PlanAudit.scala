@@ -48,8 +48,14 @@ object PlanAudit {
     *    at runtime when the measured side is genuinely small.
     *  - dedup_canonical: same shape — docs left-join the label-propagation
     *    fixpoint output (corpus-proportional, checkpointed, unknown stats).
+    *  - events_attribution: FULL OUTER join of the first-touch and
+    *    last-touch per-channel aggregates. Spark's BroadcastHashJoin
+    *    cannot execute a full-outer join from either side, so SMJ is the
+    *    only physical choice; both inputs are already reduced to
+    *    O(#channels) rows, so the sort is trivial at any corpus scale.
     */
-  val SmjContract: Set[String] = Set("text_split_nodup", "dedup_canonical")
+  val SmjContract: Set[String] = Set("text_split_nodup", "dedup_canonical",
+    "events_attribution")
 
   /** Corpus tables scanned with NO Aggregate/GlobalLimit on the path from
     * the scan up to this subtree's root. The walk stops at any node that

@@ -471,6 +471,76 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** Holt's linear-trend (double exponential) smoothing, FINAL state per
+    * series: level/trend after folding the whole ordered series, plus the
+    * h-step-ahead forecast level + h*trend. The recurrence
+    * (l' = a*x + (1-a)(l+b); b' = g*(l'-l) + (1-g)*b, init l=x0, b=0)
+    * is stateful, so like [[ewmaRecursive]] it runs as a keyed
+    * repartition + in-partition sorted fold with O(1) state per series —
+    * no per-series buffering, streams at any series length. Unlike the
+    * EWMA (which emits every row) the output here is ONE row per series,
+    * which makes the fold expressible in DuckDB as a `list_reduce` in
+    * the same left-to-right IEEE order — an EXACT oracle for a recursive
+    * operator. Null targets are skipped on both engines.
+    */
+  def holtSmooth(df: DataFrame, keys: Seq[String], order: Seq[String],
+                 target: String, alpha: Double, gamma: Double,
+                 numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "holtSmooth needs series keys")
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    require(gamma > 0 && gamma < 1, s"gamma=$gamma must be in (0, 1)")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .where(col(target).isNotNull)
+      .select((keys.map(col) ++ order.map(col) :+ col(target).cast(DoubleType).as("__holt_in")): _*)
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val keyFields = keys.map(k => sorted.schema(k))
+    val schema = StructType(keyFields ++ Seq(
+      StructField("level", DoubleType), StructField("trend", DoubleType),
+      StructField("n", LongType)))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val tIdx = sorted.schema.fieldIndex("__holt_in")
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var level = 0.0; var trend = 0.0; var n = 0L
+        // Seq[Any] is load-bearing: Seq(level, trend, n) would unify to
+        // Seq[Double] and numerically WIDEN the Long count to a Double,
+        // which the LongType row encoder then rejects.
+        def emit(): Row = Row.fromSeq(curKey ++ Seq[Any](level, trend, n))
+        new Iterator[Row] {
+          private var pending: Row = null
+          private var done = false
+          private def advance(): Unit = {
+            while (pending == null && rows.hasNext) {
+              val r = rows.next()
+              val k = keyIdx.map(r.get)
+              if (k != curKey) {
+                if (curKey != null) pending = emit()
+                curKey = k; level = r.getDouble(tIdx); trend = 0.0; n = 1L
+              } else {
+                val x = r.getDouble(tIdx)
+                val nl = alpha * x + (1.0 - alpha) * (level + trend)
+                trend = gamma * (nl - level) + (1.0 - gamma) * trend
+                level = nl
+                n += 1L
+              }
+            }
+            if (pending == null && !done && !rows.hasNext && curKey != null) {
+              pending = emit(); done = true
+            }
+          }
+          def hasNext: Boolean = { advance(); pending != null }
+          def next(): Row = { advance(); val r = pending; pending = null; r }
+        }
+      }, schema)
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gap` (in the unit of the
     * numeric `tsCol`, e.g. microseconds). Session ids are 1-based and

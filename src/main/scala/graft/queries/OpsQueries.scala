@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.CleanFunctions.{epochUs, round4Sql}
+import graft.functions.CleanFunctions.{epochUs, exactSum, exactSumSql, round4, round4Sql}
 import graft.operators.{DataQuality, TimeSeriesOps => TS}
 import graft.sources.Tables
 
@@ -23,6 +23,15 @@ object OpsQueries {
 
   /** 6 h in microseconds: outage threshold and M4 bucket span. */
   private val SixHoursUs = 6L * 3600 * 1000000
+
+  /** Holt smoothing constants. The SQL twin interpolates the EXACT
+    * computed doubles (shortest-round-trip toString, string-cast to
+    * DOUBLE in DuckDB) — writing the literal `0.7` there would parse to
+    * a DIFFERENT double than Scala's `1.0 - 0.3`.
+    */
+  private val HoltAlpha = 0.5
+  private val HoltGamma = 0.3
+  private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
 
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
@@ -54,6 +63,47 @@ object OpsQueries {
     "events_scd2" -> { (s, d) =>
       TS.scd2(ev(s, d), K, Ord, "event_type", "tsu")
         .orderBy("user_id", "valid_from", "event_type")
+    },
+
+    // Holt linear-trend smoothing, final state + 24-step forecast per
+    // series. Recursive fold — mapPartitions O(1)-state on Spark, the
+    // SAME left-to-right IEEE fold as the oracle's list_reduce, so a
+    // recursive operator gets an EXACT hash oracle.
+    "ts_holt_forecast" -> { (s, d) =>
+      TS.holtSmooth(ev(s, d), K, Ord, "value", HoltAlpha, HoltGamma)
+        .select(col("user_id"), round4(col("level")).as("level"),
+          round4(col("trend")).as("trend"),
+          round4(col("level") + lit(24.0) * col("trend")).as("fc24"), col("n"))
+        .orderBy("user_id")
+    },
+
+    // Marketing attribution: each purchase credited to the user's FIRST
+    // and LAST preceding non-purchase touch (ignore-nulls window frames,
+    // no self-join), then per-channel revenue/conversions under both
+    // models, FULL-OUTER joined — a channel can be someone's first touch
+    // and nobody's last.
+    "events_attribution" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val purchases = ev(s, d)
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase" && col("last_touch").isNotNull)
+      val byFirst = purchases.groupBy(col("first_touch").as("channel"))
+        .agg(round4(exactSum(col("value"))).as("first_rev"),
+          count(lit(1)).as("first_convs"))
+      val byLast = purchases.groupBy(col("last_touch").as("channel"))
+        .agg(round4(exactSum(col("value"))).as("last_rev"),
+          count(lit(1)).as("last_convs"))
+      byFirst.join(byLast, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("first_rev"), lit(0.0)).as("first_rev"),
+          coalesce(col("first_convs"), lit(0L)).as("first_convs"),
+          coalesce(col("last_rev"), lit(0.0)).as("last_rev"),
+          coalesce(col("last_convs"), lit(0L)).as("last_convs"))
+        .orderBy("channel")
     },
 
     // Pre-publish data-quality audit over the star schema: null keys,
@@ -118,6 +168,53 @@ object OpsQueries {
         |  CAST(CASE WHEN lead(tsu) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)
         |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // Recursive CTE replays the identical left-to-right IEEE fold, one
+    // iteration per series position (working set = one row per series).
+    // NOT list_reduce: DuckDB 1.0 struct-lambdas mutate the accumulator
+    // field-by-field during struct construction (field 'l' is already
+    // overwritten when 'b' evaluates), silently changing the recurrence.
+    "ts_holt_forecast" -> {
+      val a = dlit(HoltAlpha); val ia = dlit(1.0 - HoltAlpha)
+      val g = dlit(HoltGamma); val ig = dlit(1.0 - HoltGamma)
+      val nl = s"$a * v.value + $ia * (h.l + h.b)"
+      s"""WITH RECURSIVE v AS (
+         |  SELECT user_id, CAST(value AS DOUBLE) AS value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events WHERE value IS NOT NULL),
+         |holt AS (
+         |  SELECT user_id, rn, n, value AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.user_id, v.rn, v.n,
+         |    $nl AS l,
+         |    $g * (($nl) - h.l) + $ig * h.b AS b
+         |  FROM holt h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
+         |SELECT user_id, ${round4Sql("l")} AS level, ${round4Sql("b")} AS trend,
+         |  ${round4Sql("l + 24.0 * b")} AS fc24, n
+         |FROM holt WHERE rn = n ORDER BY user_id""".stripMargin
+    },
+
+    "events_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS tsu, event_id FROM events),
+         |t AS (SELECT user_id, event_type, value,
+         |  first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+         |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+         |  FROM e),
+         |p AS (SELECT * FROM t WHERE event_type = 'purchase' AND last_touch IS NOT NULL),
+         |bf AS (SELECT first_touch AS channel, ${round4Sql(exactSumSql("value"))} AS first_rev,
+         |         count(*) AS first_convs FROM p GROUP BY 1),
+         |bl AS (SELECT last_touch AS channel, ${round4Sql(exactSumSql("value"))} AS last_rev,
+         |         count(*) AS last_convs FROM p GROUP BY 1)
+         |SELECT channel,
+         |  coalesce(first_rev, 0.0) AS first_rev, coalesce(first_convs, 0) AS first_convs,
+         |  coalesce(last_rev, 0.0) AS last_rev, coalesce(last_convs, 0) AS last_convs
+         |FROM bf FULL JOIN bl USING (channel) ORDER BY channel""".stripMargin,
 
     "dq_audit" ->
       """SELECT * FROM (

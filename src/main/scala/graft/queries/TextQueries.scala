@@ -36,6 +36,9 @@ object TextQueries {
   private val PackBudget = 512L
   private val PackShards = 8L
 
+  /** Weighted-sampling draw size (A-Res top-k). */
+  private val WeightedSampleK = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII scrubbing (training-data redaction): emails then number runs,
     // per-pattern match counts on the original text. Runs over the
@@ -201,6 +204,22 @@ object TextQueries {
         .filter(bucket < rate)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    },
+
+    // WEIGHTED deterministic sampling without replacement (Efraimidis-
+    // Spirakis A-Res): top-k docs by ln(u)/w where u is an md5-derived
+    // uniform and w the doc weight (chars here) — longer docs
+    // proportionally likelier, yet the draw replays identically across
+    // runs/engines/partitionings. Global top-k = per-partition top-k +
+    // k-row driver merge (TakeOrderedAndProject), never a global sort.
+    "text_sample_weighted" -> { (s, d) =>
+      val u = ((CleanFunctions.md5Hash64(concat(lit("wsample:"), col("doc_id"))) % 1000000L + 1L)
+        .cast(DoubleType)) / lit(1000001.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          CleanFunctions.round6(log(u) / col("n_chars").cast(DoubleType)).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(WeightedSampleK)
     },
 
     // Leakage-safe train/val split — the hash bucket is keyed on the
@@ -403,6 +422,12 @@ object TextQueries {
            |WHERE ${CleanFunctions.md5Hash64Sql("'sample:' || doc_id")} % 100 <
            |  CASE WHEN lang = 'de' THEN 80 WHEN lang = 'en' THEN 50 ELSE 100 END
            |ORDER BY doc_id""".stripMargin,
+
+      "text_sample_weighted" ->
+        s"""SELECT doc_id, lang,
+           |round((ln(CAST(${CleanFunctions.md5Hash64Sql("'wsample:' || doc_id")} % 1000000 + 1 AS DOUBLE) / 1000001.0)
+           |  / CAST(n_chars AS DOUBLE)) * 1000000.0) / 1000000.0 AS score
+           |FROM documents ORDER BY score DESC, doc_id LIMIT $WeightedSampleK""".stripMargin,
 
       // Same recursive transitive-closure CTE as the dedup_clusters
       // oracle (min reachable id == the label-propagation fixpoint),

@@ -50,6 +50,26 @@ class AnalyticsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(stages == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L), s"got $stages")
   }
 
+  test("attribution credits each purchase to the first and last preceding touch") {
+    val d = eventsDir(Seq(
+      // u1: view -> click -> purchase(10): first=view, last=click
+      (1L, 1 * H, 1L, "view", 1.0), (2L, 2 * H, 1L, "click", 1.0), (3L, 3 * H, 1L, "purchase", 10.0),
+      // u1 again: another purchase(5) later; click is still the last touch
+      (4L, 4 * H, 1L, "purchase", 5.0),
+      // u2: purchase with no preceding touch -> excluded
+      (5L, 1 * H, 2L, "purchase", 99.0),
+      // u3: click only then purchase(7): first=last=click
+      (6L, 1 * H, 3L, "click", 1.0), (7L, 2 * H, 3L, "purchase", 7.0)))
+    val rows = SparkEntry.queries("events_attribution")(spark, d)
+      .select("channel", "first_rev", "first_convs", "last_rev", "last_convs")
+      .as[(String, Double, Long, Double, Long)].collect().toSet
+    // first-touch: view gets u1's 15.0 (2 convs), click gets u3's 7.0.
+    // last-touch: click gets u1's 15.0 + u3's 7.0 (3 convs), view none.
+    assert(rows === Set(
+      ("view", 15.0, 2L, 0.0, 0L),
+      ("click", 7.0, 1L, 22.0, 3L)), s"got $rows")
+  }
+
   test("retention offsets are measured from each user's first-seen day") {
     val day = 24 * H
     val d = eventsDir(Seq(

@@ -94,6 +94,30 @@ class OpsSpec extends AnyFunSuite {
     assert(hist.count() === 2) // one null run + one X run
   }
 
+  test("holtSmooth matches the hand-computed level/trend recurrence") {
+    val df = Seq(
+      (1L, 0L * H, 1L, 10.0), (2L, 1L * H, 1L, 20.0), (3L, 2L * H, 1L, 30.0),
+      (4L, 0L * H, 2L, 5.0)
+    ).toDF("id", "tsu", "k", "v")
+    val out = TimeSeriesOps.holtSmooth(df, K, Ord, "v", 0.5, 0.3)
+      .orderBy("k").select("k", "level", "trend", "n")
+      .as[(Long, Double, Double, Long)].collect()
+    // k=1: l0=10,b0=0; x=20 -> l=15,b=1.5; x=30 -> l=23.25,b=3.525.
+    assert(out.toSeq === Seq((1L, 23.25, 3.525, 3L), (2L, 5.0, 0.0, 1L)))
+  }
+
+  test("holtSmooth is partition-invariant (same fold on any cluster layout)") {
+    val rows = (1L to 500L).flatMap { i =>
+      Seq((i, (i % 7) * H, i % 5, math.sin(i.toDouble) * 100.0))
+    }
+    val df = rows.toDF("id", "tsu", "k", "v")
+    val a = TimeSeriesOps.holtSmooth(df, K, Ord, "v", 0.5, 0.3, numPartitions = 2)
+      .orderBy("k").collect().toSeq
+    val b = TimeSeriesOps.holtSmooth(df, K, Ord, "v", 0.5, 0.3, numPartitions = 13)
+      .orderBy("k").collect().toSeq
+    assert(a === b)
+  }
+
   test("DataQuality checks count nulls, dup keys and FK orphans exactly") {
     val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
     val child = Seq(

@@ -103,6 +103,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(outOfRange.count() === 0)
   }
 
+  test("weighted sampling over-represents heavy documents") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val picked = SparkEntry.queries("text_sample_weighted")(spark, sfDir)
+      .join(docs, "doc_id")
+    val sampleMean = picked.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"A-Res draw not weight-biased: sample $sampleMean vs corpus $corpusMean")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
