@@ -541,6 +541,56 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** One-sided upper CUSUM with reset (the SPC control-chart statistic):
+    * s_t = max(0, s_{t-1} + (x_t - target_t - slack_t)), emitted PER ROW.
+    * The reset (max with 0) makes the recurrence non-window-expressible,
+    * so like [[ewmaRecursive]] it's a keyed repartition + sorted
+    * in-partition scan with O(1) state; target/slack ride along as row
+    * columns (typically per-series mean and a fraction of sigma, joined
+    * on beforehand). Null x, target or slack passes the previous state
+    * through unchanged and emits null. The DuckDB twin replays the fold
+    * with a recursive CTE — exact parity (see ts_holt_forecast).
+    */
+  def cusumReset(df: DataFrame, keys: Seq[String], order: Seq[String],
+                 target: String, targetMean: String, slack: String,
+                 outCol: String = "cusum_hi", numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "cusumReset needs series keys")
+    require(!df.columns.contains(outCol), s"cusumReset: column '$outCol' exists")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val shadows = Seq(target, targetMean, slack).map(c => col(c).cast(DoubleType))
+    val sorted = df
+      .withColumn("__cu_x", shadows(0)).withColumn("__cu_m", shadows(1))
+      .withColumn("__cu_k", shadows(2))
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, DoubleType))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val xI = sorted.schema.fieldIndex("__cu_x")
+    val mI = sorted.schema.fieldIndex("__cu_m")
+    val kI = sorted.schema.fieldIndex("__cu_k")
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var s = 0.0
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; s = 0.0 }
+          val out: Any =
+            if (r.isNullAt(xI) || r.isNullAt(mI) || r.isNullAt(kI)) null
+            else {
+              s = math.max(0.0, s + (r.getDouble(xI) - r.getDouble(mI) - r.getDouble(kI)))
+              s
+            }
+          // Drop the three shadow columns (last) and append the statistic.
+          Row.fromSeq(r.toSeq.dropRight(3) :+ out)
+        }
+      }, schema)
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gap` (in the unit of the
     * numeric `tsCol`, e.g. microseconds). Session ids are 1-based and

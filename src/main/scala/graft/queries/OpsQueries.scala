@@ -106,6 +106,64 @@ object OpsQueries {
         .orderBy("channel")
     },
 
+    // Drawdown from the running high — the capacity/SLA-headroom and
+    // finance primitive. ABSOLUTE drawdown (run_max - value): no division
+    // semantics on zero/negative series. One keyed running-max window.
+    "ts_drawdown" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, d)
+        .withColumn("run_max", max(col("value")).over(w))
+        .select(col("event_id"), col("run_max"),
+          round4(col("run_max") - col("value")).as("drawdown"),
+          (col("value") >= col("run_max")).cast("long").as("is_new_high"))
+        .orderBy("event_id")
+    },
+
+    // Exact rolling median over the trailing 5 samples — the robust
+    // smoother a spike cannot drag (unlike the rolling mean). Bounded
+    // ROWS frame keeps per-row state O(window); identical middle-element
+    // arithmetic on both engines (1-based element_at, (a+b)/2 for even).
+    "ts_rolling_median" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+      ev(s, d)
+        .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+        .withColumn("nn", size(col("arr")))
+        .select(col("event_id"),
+          round4(when(col("nn") % 2 === 1,
+            expr("element_at(arr, CAST((nn + 1) DIV 2 AS INT))"))
+            .otherwise((expr("element_at(arr, CAST(nn DIV 2 AS INT))")
+              + expr("element_at(arr, CAST(nn DIV 2 + 1 AS INT))")) / 2.0))
+            .as("roll_med"))
+        .orderBy("event_id")
+    },
+
+    // SPC control chart: one-sided upper CUSUM with reset, target = the
+    // per-series mean, slack = sigma/2, alarm at 4*slack. The reset
+    // recurrence folds in cusumReset (keyed O(1)-state scan); the oracle
+    // replays it with a recursive CTE — exact parity like
+    // ts_holt_forecast. Per-series stats come from one DECIMAL-exact
+    // moment pass, joined back optimizer-chosen (reduced aggregate side).
+    "ts_cusum_reset" -> { (s, d) =>
+      val e = ev(s, d).where(col("value").isNotNull)
+      val stats = e.groupBy("user_id").agg(
+        graft.functions.CleanFunctions.exactSum(col("value")).as("sx"),
+        graft.functions.CleanFunctions.exactSum(col("value") * col("value")).as("sxx"),
+        count(col("value")).cast("double").as("n"))
+      TS.cusumReset(
+        e.join(stats, "user_id")
+          .withColumn("m", col("sx") / col("n"))
+          .withColumn("k",
+            lit(0.5) * sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0))),
+        K, Ord, "value", "m", "k")
+        .select(col("event_id"), round4(col("cusum_hi")).as("cusum_hi"),
+          (col("cusum_hi") > lit(4.0) * col("k")).cast("long").as("alarm"))
+        .orderBy("event_id")
+    },
+
     // Pre-publish data-quality audit over the star schema: null keys,
     // duplicate PKs, FK orphans, domain violations — one (check, failed)
     // row each.
@@ -215,6 +273,51 @@ object OpsQueries {
          |  coalesce(first_rev, 0.0) AS first_rev, coalesce(first_convs, 0) AS first_convs,
          |  coalesce(last_rev, 0.0) AS last_rev, coalesce(last_convs, 0) AS last_convs
          |FROM bf FULL JOIN bl USING (channel) ORDER BY channel""".stripMargin,
+
+    "ts_drawdown" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),
+         |r AS (SELECT event_id, value,
+         |  max(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+         |  FROM e)
+         |SELECT event_id, run_max, ${round4Sql("run_max - value")} AS drawdown,
+         |  CAST(CASE WHEN value >= run_max THEN 1 ELSE 0 END AS BIGINT) AS is_new_high
+         |FROM r ORDER BY event_id""".stripMargin,
+
+    "ts_rolling_median" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),
+         |r AS (SELECT event_id,
+         |  list_sort(list(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+         |  FROM e),
+         |m AS (SELECT event_id, arr, len(arr) AS nn FROM r)
+         |SELECT event_id,
+         |  ${round4Sql("CASE WHEN nn % 2 = 1 THEN arr[(nn + 1) // 2] ELSE (arr[nn // 2] + arr[nn // 2 + 1]) / 2.0 END")} AS roll_med
+         |FROM m ORDER BY event_id""".stripMargin,
+
+    "ts_cusum_reset" ->
+      """WITH RECURSIVE stats AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(count(value) AS DOUBLE) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT v.user_id, v.event_id, v.x, v.rn, sx / n AS m,
+        |    0.5 * sqrt((sxx - sx * sx / n) / (n - 1.0)) AS k
+        |  FROM v JOIN stats USING (user_id)),
+        |c AS (
+        |  SELECT user_id, event_id, rn, m, k,
+        |    greatest(CAST(0.0 AS DOUBLE), x - m - k) AS s
+        |  FROM p WHERE rn = 1
+        |  UNION ALL
+        |  SELECT p.user_id, p.event_id, p.rn, p.m, p.k,
+        |    greatest(CAST(0.0 AS DOUBLE), c.s + (p.x - p.m - p.k))
+        |  FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn + 1)
+        |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
+        |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |FROM c ORDER BY event_id""".stripMargin,
 
     "dq_audit" ->
       """SELECT * FROM (

@@ -206,6 +206,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Inverted index build (the IR/search primitive): 3-gram shingle ->
+    // sorted posting list of containing docs + document frequency.
+    // Shingles, not unigrams: the synthetic corpus has a ~30-word
+    // vocabulary where every unigram hits ~80% of docs, while shingle
+    // terms are combinatorial — the realistic phrase-index shape. df
+    // capped at [2, 50]: singletons are dead index weight and a
+    // boilerplate phrase's postings at corpus scale are the corpus (real
+    // indexes tier those separately) — the cap IS the scale story.
+    // Postings emitted as a joined string so the oracle compares scalars.
+    "text_inverted_index" -> { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .filter(size(toks) >= graft.GraftConfig.ShingleSize)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(toks, graft.GraftConfig.ShingleSize)).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+        .filter(col("df").between(2, 50))
+        .orderBy("term")
+    },
+
     // WEIGHTED deterministic sampling without replacement (Efraimidis-
     // Spirakis A-Res): top-k docs by ln(u)/w where u is an md5-derived
     // uniform and w the doc weight (chars here) — longer docs
@@ -422,6 +444,17 @@ object TextQueries {
            |WHERE ${CleanFunctions.md5Hash64Sql("'sample:' || doc_id")} % 100 <
            |  CASE WHEN lang = 'de' THEN 80 WHEN lang = 'en' THEN 50 ELSE 100 END
            |ORDER BY doc_id""".stripMargin,
+
+      "text_inverted_index" -> {
+        val k = graft.GraftConfig.ShingleSize
+        s"""WITH tk AS (SELECT doc_id, ${TextFunctions.tokensSql("text")} AS t FROM documents),
+           |sh AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("t", k)}) AS term
+           |       FROM tk WHERE len(t) >= $k)
+           |SELECT term, count(*) AS df,
+           |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+           |FROM sh GROUP BY term HAVING count(*) BETWEEN 2 AND 50
+           |ORDER BY term""".stripMargin
+      },
 
       "text_sample_weighted" ->
         s"""SELECT doc_id, lang,

@@ -70,6 +70,16 @@ class AnalyticsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ("click", 7.0, 1L, 22.0, 3L)), s"got $rows")
   }
 
+  test("rolling median resists the spike the rolling mean would follow") {
+    val d = eventsDir(Seq(
+      (1L, 1 * H, 1L, "view", 1.0), (2L, 2 * H, 1L, "view", 100.0),
+      (3L, 3 * H, 1L, "view", 2.0), (4L, 4 * H, 1L, "view", 3.0)))
+    val med = SparkEntry.queries("ts_rolling_median")(spark, d)
+      .orderBy("event_id").select("roll_med").as[Double].collect()
+    // windows: [1], [1,100], [1,2,100], [1,2,3,100]
+    assert(med.toSeq === Seq(1.0, 50.5, 2.0, 2.5))
+  }
+
   test("retention offsets are measured from each user's first-seen day") {
     val day = 24 * H
     val d = eventsDir(Seq(

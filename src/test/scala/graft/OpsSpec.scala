@@ -118,6 +118,30 @@ class OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("cusumReset accumulates above target and resets at zero") {
+    // target m=10, slack k=1: x=12 -> s=1; x=9 -> max(0, 1-2)=0;
+    // x=15 -> 4; x=16 -> 9.
+    val df = Seq(
+      (1L, 0L * H, 1L, 12.0), (2L, 1L * H, 1L, 9.0),
+      (3L, 2L * H, 1L, 15.0), (4L, 3L * H, 1L, 16.0)
+    ).toDF("id", "tsu", "k", "v")
+      .withColumn("m", lit(10.0)).withColumn("slk", lit(1.0))
+    val out = TimeSeriesOps.cusumReset(df, K, Ord, "v", "m", "slk")
+      .orderBy("id").select("cusum_hi").as[Double].collect()
+    assert(out.toSeq === Seq(1.0, 0.0, 4.0, 9.0))
+  }
+
+  test("cusumReset passes nulls through without disturbing the running state") {
+    val df = Seq(
+      (1L, 0L * H, 1L, Some(12.0)), (2L, 1L * H, 1L, None),
+      (3L, 2L * H, 1L, Some(13.0))
+    ).toDF("id", "tsu", "k", "v")
+      .withColumn("m", lit(10.0)).withColumn("slk", lit(1.0))
+    val out = TimeSeriesOps.cusumReset(df, K, Ord, "v", "m", "slk")
+      .orderBy("id").select("cusum_hi").as[Option[Double]].collect()
+    assert(out.toSeq === Seq(Some(1.0), None, Some(3.0)))
+  }
+
   test("DataQuality checks count nulls, dup keys and FK orphans exactly") {
     val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
     val child = Seq(
