@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.CleanFunctions
 import graft.functions.CleanFunctions.{epochUs, exactSum, exactSumSql, round4, round4Sql}
 import graft.operators.{DataQuality, TimeSeriesOps => TS}
 import graft.sources.Tables
@@ -23,6 +24,7 @@ object OpsQueries {
 
   /** 6 h in microseconds: outage threshold and M4 bucket span. */
   private val SixHoursUs = 6L * 3600 * 1000000
+  private val OneHourUs  = 3600L * 1000000
 
   /** Holt smoothing constants. The SQL twin interpolates the EXACT
     * computed doubles (shortest-round-trip toString, string-cast to
@@ -162,6 +164,86 @@ object OpsQueries {
         .select(col("event_id"), round4(col("cusum_hi")).as("cusum_hi"),
           (col("cusum_hi") > lit(4.0) * col("k")).cast("long").as("alarm"))
         .orderBy("event_id")
+    },
+
+    // Local extrema: strict peaks/troughs vs both neighbors — the
+    // spike-shape primitive under alerting and peak-rate capacity
+    // planning. One keyed lag+lead window, pure filter.
+    "ts_peaks" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val prev = lag(col("value"), 1).over(w)
+      val next = lead(col("value"), 1).over(w)
+      ev(s, d)
+        .withColumn("kind",
+          when(col("value") > prev && col("value") > next, "peak")
+            .when(col("value") < prev && col("value") < next, "trough"))
+        .where(col("kind").isNotNull)
+        .select("event_id", "user_id", "value", "kind")
+        .orderBy("event_id")
+    },
+
+    // First-order Markov transition matrix of the event-type journey:
+    // P(next | current) per user-step pair — the user-flow / process-
+    // mining primitive. One keyed lead + a grouped count; the row-
+    // conditional probability is a partition-sum window over the tiny
+    // (from, to) matrix.
+    "events_markov" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val trans = ev(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      trans.withColumn("p", round4(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy("from_type")).cast("double")))
+        .orderBy("from_type", "to_type")
+    },
+
+    // Concurrency profile: how many sessions (and distinct users) are
+    // active in each hour — capacity planning over sessionized activity.
+    // Sessions from the gap sessionizer; each session explodes to the
+    // hours it covers (bounded by session length), then one grouped agg.
+    "events_session_concurrency" -> { (s, d) =>
+      val sess = graft.operators.TimeSeriesOps
+        .sessionize(ev(s, d), K, Ord, "tsu", 30L * 60 * 1000000)
+        .groupBy("user_id", "session_id")
+        .agg(expr(s"min(tsu) div $OneHourUs").as("h0"),
+          expr(s"max(tsu) div $OneHourUs").as("h1"))
+      sess.select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"))).as("hr"))
+        .groupBy("hr")
+        .agg(count(lit(1)).as("n_sessions"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("hr")
+    },
+
+    // Seasonal/trend strength (Hyndman's STL diagnostics): per series
+    // F = max(0, 1 - Var(resid)/Var(component + resid)) on the 4dp-
+    // rounded decomposition components, variances from DECIMAL-exact
+    // moments — which series are forecastable, which are noise.
+    "ts_seasonal_strength" -> { (s, d) =>
+      val dec = TS.decompose(ev(s, d), K, Ord, "value",
+          hour(col("ts")), trendWin = 25)
+        .where(col("resid").isNotNull)
+        .select(col("user_id"),
+          round4(col("resid")).as("r"),
+          round4(col("seasonal")).as("sv"),
+          round4(col("trend")).as("tv"))
+      def varOf(c: org.apache.spark.sql.Column, pre: String) = Seq(
+        exactSum(c).as(s"${pre}_sx"),
+        exactSum(c * c).as(s"${pre}_sxx"))
+      val ag = dec.groupBy("user_id").agg(
+        count(lit(1)).cast("double").as("n"),
+        (varOf(col("r"), "r") ++ varOf(col("sv") + col("r"), "sr") ++
+          varOf(col("tv") + col("r"), "tr")): _*)
+      def v(pre: String) =
+        (col(s"${pre}_sxx") - col(s"${pre}_sx") * col(s"${pre}_sx") / col("n")) / (col("n") - 1.0)
+      ag.select(col("user_id"), col("n").cast("long").as("n_rows"),
+          round4(greatest(lit(0.0), lit(1.0) - v("r") / nullif(v("sr"), lit(0.0)))).as("f_seasonal"),
+          round4(greatest(lit(0.0), lit(1.0) - v("r") / nullif(v("tr"), lit(0.0)))).as("f_trend"))
+        .orderBy("user_id")
     },
 
     // Pre-publish data-quality audit over the star schema: null keys,
@@ -318,6 +400,69 @@ object OpsQueries {
         |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
         |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
         |FROM c ORDER BY event_id""".stripMargin,
+
+    "ts_peaks" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),
+        |n AS (SELECT event_id, user_id, value,
+        |  lag(value) OVER w AS pv, lead(value) OVER w AS nv
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |SELECT event_id, user_id, value,
+        |  CASE WHEN value > pv AND value > nv THEN 'peak' ELSE 'trough' END AS kind
+        |FROM n
+        |WHERE (value > pv AND value > nv) OR (value < pv AND value < nv)
+        |ORDER BY event_id""".stripMargin,
+
+    "events_markov" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+         |t AS (SELECT event_type AS from_type,
+         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS to_type
+         |  FROM e),
+         |c AS (SELECT from_type, to_type, count(*) AS cnt FROM t
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, cnt,
+         |  ${round4Sql("CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
+         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "events_session_concurrency" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+         |f AS (SELECT user_id, tsu, event_id,
+         |  CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > ${30L * 60 * 1000000}
+         |       THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |g AS (SELECT user_id, tsu,
+         |  sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM f),
+         |s AS (SELECT user_id, session_id,
+         |  min(tsu) // $OneHourUs AS h0, max(tsu) // $OneHourUs AS h1
+         |  FROM g GROUP BY user_id, session_id),
+         |x AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM s)
+         |SELECT hr, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+         |FROM x GROUP BY hr ORDER BY hr""".stripMargin,
+
+    "ts_seasonal_strength" ->
+      s"""WITH t AS (SELECT event_id, user_id, value, hour(ts) AS pos,
+         |  CASE WHEN count(value) OVER w = 25 THEN ${CleanFunctions.exactMeanSql("value", "OVER w")} END AS trend
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |d AS (SELECT *, value - trend AS detr FROM t),
+         |pm AS (SELECT user_id, pos, ${CleanFunctions.exactMeanSql("detr")} AS pos_mean
+         |  FROM d WHERE detr IS NOT NULL GROUP BY user_id, pos),
+         |km AS (SELECT user_id, ${CleanFunctions.exactMeanSql("pos_mean")} AS key_mean FROM pm GROUP BY user_id),
+         |comp AS (SELECT d.user_id,
+         |  ${round4Sql("d.value - d.trend - (pm.pos_mean - km.key_mean)")} AS r,
+         |  ${round4Sql("pm.pos_mean - km.key_mean")} AS sv,
+         |  ${round4Sql("d.trend")} AS tv
+         |  FROM d LEFT JOIN pm USING (user_id, pos) LEFT JOIN km USING (user_id)
+         |  WHERE d.trend IS NOT NULL),
+         |ag AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |  ${exactSumSql("r")} AS r_sx, ${exactSumSql("r * r")} AS r_sxx,
+         |  ${exactSumSql("sv + r")} AS sr_sx, ${exactSumSql("(sv + r) * (sv + r)")} AS sr_sxx,
+         |  ${exactSumSql("tv + r")} AS tr_sx, ${exactSumSql("(tv + r) * (tv + r)")} AS tr_sxx
+         |  FROM comp GROUP BY user_id)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+         |  ${round4Sql("greatest(0.0, 1.0 - ((r_sxx - r_sx * r_sx / n) / (n - 1.0)) / nullif((sr_sxx - sr_sx * sr_sx / n) / (n - 1.0), 0.0))")} AS f_seasonal,
+         |  ${round4Sql("greatest(0.0, 1.0 - ((r_sxx - r_sx * r_sx / n) / (n - 1.0)) / nullif((tr_sxx - tr_sx * tr_sx / n) / (n - 1.0), 0.0))")} AS f_trend
+         |FROM ag ORDER BY user_id""".stripMargin,
 
     "dq_audit" ->
       """SELECT * FROM (

@@ -70,6 +70,33 @@ class AnalyticsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ("click", 7.0, 1L, 22.0, 3L)), s"got $rows")
   }
 
+  test("peaks are strict local extrema only (plateaus and edges excluded)") {
+    val d = eventsDir(Seq(
+      (1L, 1 * H, 1L, "view", 1.0), (2L, 2 * H, 1L, "view", 5.0),  // peak at 2
+      (3L, 3 * H, 1L, "view", 2.0), (4L, 4 * H, 1L, "view", 0.5),  // trough at 4
+      (5L, 5 * H, 1L, "view", 3.0), (6L, 6 * H, 1L, "view", 3.0),  // plateau: neither
+      (7L, 7 * H, 1L, "view", 9.0)))                               // edge: excluded
+    val got = SparkEntry.queries("ts_peaks")(spark, d)
+      .select("event_id", "kind").as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "peak"), (4L, "trough")), s"got $got")
+  }
+
+  test("session concurrency counts each covered hour once per session") {
+    val d = eventsDir(Seq(
+      // u1 chain: 1h00, 1h20 | 2h00, 2h30, 3h00 — the 40 min gap
+      // (1h20 -> 2h00) exceeds the 30 min threshold and SPLITS it into
+      // session A (hour 1) and session B (hours 2-3; 30 min gaps hold).
+      (1L, 1 * H, 1L, "view", 1.0), (2L, 1 * H + H / 3, 1L, "view", 1.0),
+      (3L, 3 * H, 1L, "view", 1.0),
+      (4L, 2 * H, 1L, "view", 1.0), (5L, 2 * H + H / 2, 1L, "view", 1.0),
+      // u2: short session inside hour 2
+      (6L, 2 * H + H / 4, 2L, "view", 1.0)))
+    val got = SparkEntry.queries("events_session_concurrency")(spark, d)
+      .select("hr", "n_sessions", "n_users").as[(Long, Long, Long)].collect()
+      .map { case (h, s, u) => h -> ((s, u)) }.toMap
+    assert(got === Map(1L -> ((1L, 1L)), 2L -> ((2L, 2L)), 3L -> ((1L, 1L))), s"got $got")
+  }
+
   test("rolling median resists the spike the rolling mean would follow") {
     val d = eventsDir(Seq(
       (1L, 1 * H, 1L, "view", 1.0), (2L, 2 * H, 1L, "view", 100.0),

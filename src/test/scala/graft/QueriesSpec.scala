@@ -114,6 +114,23 @@ class QueriesSpec extends AnyFunSuite {
       s"A-Res draw not weight-biased: sample $sampleMean vs corpus $corpusMean")
   }
 
+  test("markov transition probabilities sum to 1 per from-state") {
+    import org.apache.spark.sql.functions._
+    val bad = SparkEntry.queries("events_markov")(spark, sfDir)
+      .groupBy("from_type").agg(sum("p").as("total"))
+      .filter(abs(col("total") - 1.0) > 1e-3)
+    assert(bad.count() === 0)
+  }
+
+  test("seasonal/trend strength lands in [0, 1]") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ts_seasonal_strength")(spark, sfDir)
+    val bad = out.filter(
+      col("f_seasonal") < 0 || col("f_seasonal") > 1 ||
+        col("f_trend") < 0 || col("f_trend") > 1)
+    assert(bad.count() === 0)
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
