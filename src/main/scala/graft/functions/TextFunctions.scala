@@ -40,6 +40,81 @@ object TextFunctions {
     s"list_distinct([$parts for i in generate_series(1, len($t) - ${k - 1})])"
   }
 
+  /** Stopword list for [[qualityScore]] (also the text_quality entry's
+    * stopword-ratio component).
+    */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  /** Marker-token sets for [[predLang]] (n-gram-heuristic language ID). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Composite [0,1] document quality score (length / alpha / punctuation /
+    * stopword signals, 0.3+0.3+0.2+0.2 weights, rounded 4dp) — THE
+    * canonical formula; the text_quality entry and CorpusCuration both
+    * call this so the two can never drift.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars  = length(text).cast(DoubleType)
+    val toks    = tokens(text)
+    val nTokens = size(toks).cast(DoubleType)
+    val nStop   = size(filter(toks, t => t.isin(QualityStopwords: _*))).cast(DoubleType)
+    val nAlpha  = regexp_count(text, lit("[a-zA-Z]")).cast(DoubleType)
+    val nPunct  = regexp_count(text, lit("[.,!?;:]")).cast(DoubleType)
+    CleanFunctions.round4(
+      lit(0.3) * least(lit(1.0), nTokens / 100.0)
+        + lit(0.3) * CleanFunctions.safeDiv(nAlpha, nChars)
+        + lit(0.2) * (lit(1.0) - CleanFunctions.safeDiv(nPunct, nChars))
+        + lit(0.2) * CleanFunctions.safeDiv(nStop, nTokens))
+  }
+
+  /** DuckDB twin of [[qualityScore]]; `text` is the SQL column name. */
+  def qualityScoreSql(text: String): String = {
+    val t = tokensSql(text)
+    val nChars  = s"CAST(length($text) AS DOUBLE)"
+    val nTokens = s"CAST(len($t) AS DOUBLE)"
+    val nStop   = s"CAST(len(list_filter($t, x -> list_contains(${sqlList(QualityStopwords)}, x))) AS DOUBLE)"
+    val nAlpha  = s"CAST(len(regexp_extract_all($text, '[a-zA-Z]')) AS DOUBLE)"
+    val nPunct  = s"CAST(len(regexp_extract_all($text, '[.,!?;:]')) AS DOUBLE)"
+    s"round((0.3 * least(1.0, $nTokens / 100.0) + 0.3 * ($nAlpha / nullif($nChars, 0))" +
+      s" + 0.2 * (1.0 - $nPunct / nullif($nChars, 0)) + 0.2 * ($nStop / nullif($nTokens, 0))) * 10000.0) / 10000.0"
+  }
+
+  /** Marker-token language ID: deterministic argmax over [[LangMarkers]]
+    * counts ('und' when no marker hits) — the canonical formula shared by
+    * the text_langid entry and CorpusCuration.
+    */
+  def predLang(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = LangMarkers.map { case (l, ws) =>
+      l -> size(filter(toks, t => t.isin(ws: _*))).cast(LongType)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(best > 0 && s === best, l).otherwise(acc)
+    }
+  }
+
+  /** DuckDB twin of [[predLang]]. */
+  def predLangSql(text: String): String = {
+    val tl = tokensSql(s"lower($text)")
+    val scores = LangMarkers.map { case (l, ws) =>
+      l -> s"len(list_filter($tl, x -> list_contains(${sqlList(ws)}, x)))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scores.map { case (l, s) =>
+      s"WHEN $best > 0 AND $s = $best THEN '$l'"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 'und' END)"
+  }
+
   /** PII scrubbing patterns (training-data redaction): kept to RE2-safe
     * syntax (character classes + bounded quantifiers, no lookaround) so
     * the Java-regex Spark side and the RE2 DuckDB oracle match the same

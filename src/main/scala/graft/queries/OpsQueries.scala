@@ -246,6 +246,43 @@ object OpsQueries {
         .orderBy("user_id")
     },
 
+    // CDC / MERGE-apply (the lakehouse upsert primitive): a change
+    // stream of upserts+deletes keyed by entity collapses to final
+    // state — last writer wins by (ts, event_id), a terminal delete
+    // removes the row. Synthesized ops from events ('purchase' plays
+    // the delete op); one keyed rank window + filter, no join.
+    "events_cdc_apply" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(desc("tsu"), desc("event_id"))
+      ev(s, d)
+        .withColumn("op", when(col("event_type") === "purchase", "delete").otherwise("upsert"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("user_id")))
+        .where(col("rk") === 1 && col("op") === "upsert")
+        .select(col("user_id"), col("value").as("final_value"), col("n_changes"))
+        .orderBy("user_id")
+    },
+
+    // Period-over-period analytics: yearly revenue per return flag with
+    // YoY growth — the BI staple. One grouped agg + a lag window over
+    // the tiny (flag, year) grid.
+    "lineitem_yoy_growth" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      val yearly = li
+        .groupBy(col("l_returnflag"),
+          year(to_date(col("o_orderdate"))).cast("long").as("o_year"))
+        .agg(round4(exactSum(col("l_extendedprice"))).as("revenue"))
+      val w = Window.partitionBy("l_returnflag").orderBy("o_year")
+      yearly
+        .withColumn("prev_rev", lag(col("revenue"), 1).over(w))
+        .withColumn("yoy_pct",
+          round4(lit(100.0) * (col("revenue") - col("prev_rev")) /
+            nullif(col("prev_rev"), lit(0.0))))
+        .orderBy("l_returnflag", "o_year")
+    },
+
     // Pre-publish data-quality audit over the star schema: null keys,
     // duplicate PKs, FK orphans, domain violations — one (check, failed)
     // row each.
@@ -463,6 +500,29 @@ object OpsQueries {
          |  ${round4Sql("greatest(0.0, 1.0 - ((r_sxx - r_sx * r_sx / n) / (n - 1.0)) / nullif((sr_sxx - sr_sx * sr_sx / n) / (n - 1.0), 0.0))")} AS f_seasonal,
          |  ${round4Sql("greatest(0.0, 1.0 - ((r_sxx - r_sx * r_sx / n) / (n - 1.0)) / nullif((tr_sxx - tr_sx * tr_sx / n) / (n - 1.0), 0.0))")} AS f_trend
          |FROM ag ORDER BY user_id""".stripMargin,
+
+    "events_cdc_apply" ->
+      """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) AS tsu, event_id FROM events),
+        |r AS (SELECT user_id, value,
+        |  CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'upsert' END AS op,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY tsu DESC, event_id DESC) AS rk,
+        |  count(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM e)
+        |SELECT user_id, value AS final_value, n_changes
+        |FROM r WHERE rk = 1 AND op = 'upsert' ORDER BY user_id""".stripMargin,
+
+    "lineitem_yoy_growth" ->
+      s"""WITH y AS (
+         |  SELECT l_returnflag, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+         |    ${round4Sql(exactSumSql("l_extendedprice"))} AS revenue
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |g AS (SELECT l_returnflag, o_year, revenue,
+         |  lag(revenue) OVER (PARTITION BY l_returnflag ORDER BY o_year) AS prev_rev
+         |  FROM y)
+         |SELECT l_returnflag, o_year, revenue, prev_rev,
+         |  ${round4Sql("100.0 * (revenue - prev_rev) / nullif(prev_rev, 0.0)")} AS yoy_pct
+         |FROM g ORDER BY l_returnflag, o_year""".stripMargin,
 
     "dq_audit" ->
       """SELECT * FROM (

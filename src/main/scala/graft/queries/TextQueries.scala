@@ -20,13 +20,10 @@ object TextQueries {
     */
   private val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
-  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
-  private val MarkerSets: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist"),
-    "es" -> Seq("el", "la", "de", "y", "que"),
-    "fr" -> Seq("le", "la", "et", "les", "des"),
-    "zh" -> Seq("的", "是", "了", "在", "和"))
+  // Single source of truth lives in TextFunctions (shared with
+  // CorpusCuration); these aliases keep the entry/oracle code unchanged.
+  private val Stopwords  = TextFunctions.QualityStopwords
+  private val MarkerSets = TextFunctions.LangMarkers
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -80,11 +77,7 @@ object TextQueries {
           CleanFunctions.round4(CleanFunctions.safeDiv(col("n_stop"), col("n_tokens"))).as("stopword_ratio"),
           CleanFunctions.round4(CleanFunctions.safeDiv(col("n_alpha"), col("n_chars"))).as("alpha_ratio"),
           CleanFunctions.round4(CleanFunctions.safeDiv(col("n_punct"), col("n_chars"))).as("punct_ratio"),
-          CleanFunctions.round4(
-            lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
-              + lit(0.3) * CleanFunctions.safeDiv(col("n_alpha"), col("n_chars"))
-              + lit(0.2) * (lit(1.0) - CleanFunctions.safeDiv(col("n_punct"), col("n_chars")))
-              + lit(0.2) * CleanFunctions.safeDiv(col("n_stop"), col("n_tokens"))).as("quality_score"))
+          TextFunctions.qualityScore(col("text")).as("quality_score"))
         .orderBy("doc_id")
     },
 
@@ -92,14 +85,12 @@ object TextQueries {
     "text_langid" -> { (s, d) =>
       val toks = TextFunctions.tokens(lower(col("text")))
       val scored = Tables.documents(s, d).select(
-        col("doc_id") +: MarkerSets.map { case (lang, ws) =>
+        col("doc_id") +: col("text") +: MarkerSets.map { case (lang, ws) =>
           size(filter(toks, t => t.isin(ws: _*))).cast(LongType).as(s"s_$lang")
         }: _*)
-      val best = greatest(MarkerSets.map { case (l, _) => col(s"s_$l") }: _*)
-      val pred = MarkerSets.foldRight(lit("und")) { case ((l, _), acc) =>
-        when(best > 0 && col(s"s_$l") === best, l).otherwise(acc)
-      }
-      scored.withColumn("pred_lang", pred).orderBy("doc_id")
+      scored.withColumn("pred_lang", TextFunctions.predLang(col("text")))
+        .drop("text")
+        .orderBy("doc_id")
     },
 
     // Fingerprinting: md5-derived content hash of normalized text + the
@@ -203,6 +194,16 @@ object TextQueries {
       Tables.documents(s, d)
         .filter(bucket < rate)
         .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // End-to-end corpus curation as ONE user-facing call (quality gate ->
+    // language gate -> exact + simhash near-dup dedup -> deterministic
+    // split). Delegates to graft.operators.CorpusCuration.run, so the
+    // library's own composition — not a query re-implementation — is
+    // what the oracle hash-checks.
+    "text_curation" -> { (s, d) =>
+      graft.operators.CorpusCuration.run(Tables.documents(s, d))
         .orderBy("doc_id")
     },
 
@@ -462,6 +463,34 @@ object TextQueries {
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${CleanFunctions.md5Hash64Sql("'sample:' || doc_id")} % 100 <
            |  CASE WHEN lang = 'de' THEN 80 WHEN lang = 'en' THEN 50 ELSE 100 END
+           |ORDER BY doc_id""".stripMargin,
+
+      // The curation oracle replays the full composition: quality/lang
+      // gates (shared-formula SQL twins), exact dedup (min id per md5),
+      // simhash near-dup drop (all-pairs — recall-complete at hamming<=5,
+      // same rationale as the dedup_simhash oracle), md5-bucket split.
+      "text_curation" ->
+        s"""WITH m AS (SELECT doc_id, text,
+           |  ${TextFunctions.qualityScoreSql("text")} AS quality,
+           |  ${TextFunctions.predLangSql("text")} AS lang_pred
+           |  FROM documents),
+           |base AS (SELECT doc_id, text, quality, lang_pred FROM m
+           |  WHERE quality >= 0.4 AND lang_pred <> 'und'),
+           |kept AS (SELECT doc_id, text, quality, lang_pred FROM (
+           |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+           |  FROM base) WHERE doc_id = canonical),
+           |tok AS (SELECT doc_id, unnest(${TextFunctions.tokensSql("text")}) AS t FROM kept),
+           |h AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("t")} AS h FROM tok),
+           |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
+           |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
+           |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+           |  FROM v GROUP BY doc_id),
+           |dropped AS (SELECT DISTINCT b.doc_id FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.sig, b.sig)) <= ${graft.operators.CorpusDedup.SimhashMaxHamming})
+           |SELECT doc_id, lang_pred, quality,
+           |  CASE WHEN ${CleanFunctions.md5Hash64Sql("'split:' || doc_id")} % 100 < 90
+           |       THEN 'train' ELSE 'val' END AS split
+           |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
            |ORDER BY doc_id""".stripMargin,
 
       "text_inverted_index" -> {
