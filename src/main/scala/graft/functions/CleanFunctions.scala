@@ -71,6 +71,27 @@ object CleanFunctions {
                     sxy: String, sxx: String, syy: String): String =
     s"(($n * $sxy - $sx * $sy) / nullif(sqrt(greatest($n * $sxx - $sx * $sx, 0.0) * greatest($n * $syy - $sy * $sy, 0.0)), 0.0))"
 
+  /** Sample variance from DECIMAL-exact raw moments (n as double),
+    * clamped at 0 like [[momentCorr]] (near-constant groups cancel
+    * sxx - sx²/n to a tiny NEGATIVE double → Spark NaN, DuckDB Out of
+    * Range on a downstream sqrt) and null for n <= 1 (no (n-1) division).
+    */
+  def momentVar(n: Column, sx: Column, sxx: Column): Column =
+    when(n > 1.0,
+      greatest((sxx - sx * sx / n) / (n - lit(1.0)), lit(0.0)))
+
+  /** DuckDB twin of [[momentVar]]. */
+  def momentVarSql(n: String, sx: String, sxx: String): String =
+    s"(CASE WHEN $n > 1.0 THEN greatest(($sxx - $sx * $sx / $n) / ($n - 1.0), 0.0) END)"
+
+  /** Sample standard deviation from raw moments — sqrt of [[momentVar]]. */
+  def momentStd(n: Column, sx: Column, sxx: Column): Column =
+    sqrt(momentVar(n, sx, sxx))
+
+  /** DuckDB twin of [[momentStd]]. */
+  def momentStdSql(n: String, sx: String, sxx: String): String =
+    s"sqrt(${momentVarSql(n, sx, sxx)})"
+
   // ---- Cross-engine exact aggregation (SURVEY.md §4) ---------------------
   // Double sums accumulate in engine-specific order, so Spark and DuckDB
   // can disagree in the last ulp — fatal when the true value sits exactly

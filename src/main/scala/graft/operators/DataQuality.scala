@@ -17,8 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
-  private def one(name: String, failed: Column): (String, Column) = (name, failed)
-
   /** Rows where `c` is null. */
   def nullCount(df: DataFrame, name: String, c: String): DataFrame =
     df.agg(count(when(col(c).isNull, 1)).as("failed"))
@@ -31,10 +29,18 @@ object DataQuality {
     df.agg(count(when(bad, 1)).as("failed"))
       .select(lit(name).as("check"), col("failed"))
 
-  /** Excess rows beyond one per key (0 = the key is unique). */
-  def dupKeys(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
-    df.agg((count(lit(1)) - count_distinct(struct(keys.map(col): _*))).as("failed"))
+  /** Excess rows beyond one per key among rows whose key parts are all
+    * non-null (0 = the key is unique). Null-keyed rows are EXCLUDED from
+    * both sides of the subtraction — they are [[nullCount]]'s finding,
+    * and counting them here would also diverge from SQL `COUNT(DISTINCT
+    * col)` (which skips nulls) in single-column form.
+    */
+  def dupKeys(df: DataFrame, name: String, keys: Seq[String]): DataFrame = {
+    val keyed = keys.map(col(_).isNotNull).reduce(_ && _)
+    df.agg((count(when(keyed, 1)) -
+        count_distinct(when(keyed, struct(keys.map(col): _*)))).as("failed"))
       .select(lit(name).as("check"), col("failed"))
+  }
 
   /** Child rows whose key has no parent row (FK orphans): left-anti join
     * child→parent on the key, then count.

@@ -119,7 +119,9 @@ object OpsQueries {
         .withColumn("run_max", max(col("value")).over(w))
         .select(col("event_id"), col("run_max"),
           round4(col("run_max") - col("value")).as("drawdown"),
-          (col("value") >= col("run_max")).cast("long").as("is_new_high"))
+          // when/otherwise, not a bare boolean cast: a null value must
+          // yield 0 on both engines (the oracle's CASE does).
+          when(col("value") >= col("run_max"), 1L).otherwise(0L).as("is_new_high"))
         .orderBy("event_id")
     },
 
@@ -131,7 +133,11 @@ object OpsQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
         .rowsBetween(-4, Window.currentRow)
+      // Null values dropped up front: Spark's collect_list skips nulls
+      // while DuckDB's list() keeps them (parity), and an all-null frame
+      // would leave nn=0 -> element_at(arr, 0) error.
       ev(s, d)
+        .where(col("value").isNotNull)
         .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
         .withColumn("nn", size(col("arr")))
         .select(col("event_id"),
@@ -158,11 +164,15 @@ object OpsQueries {
       TS.cusumReset(
         e.join(stats, "user_id")
           .withColumn("m", col("sx") / col("n"))
+          // momentStd: variance clamped at 0 (constant series would
+          // cancel to a tiny negative -> Spark NaN, DuckDB Out of Range)
+          // and null for n=1; a null slack flows through cusumReset as a
+          // null statistic for that series.
           .withColumn("k",
-            lit(0.5) * sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0))),
+            lit(0.5) * CleanFunctions.momentStd(col("n"), col("sx"), col("sxx"))),
         K, Ord, "value", "m", "k")
         .select(col("event_id"), round4(col("cusum_hi")).as("cusum_hi"),
-          (col("cusum_hi") > lit(4.0) * col("k")).cast("long").as("alarm"))
+          when(col("cusum_hi") > lit(4.0) * col("k"), 1L).otherwise(0L).as("alarm"))
         .orderBy("event_id")
     },
 
@@ -238,11 +248,18 @@ object OpsQueries {
         count(lit(1)).cast("double").as("n"),
         (varOf(col("r"), "r") ++ varOf(col("sv") + col("r"), "sr") ++
           varOf(col("tv") + col("r"), "tr")): _*)
+      // momentVar: clamped at 0 (a near-constant component cancels to a
+      // tiny negative -> f > 1 through the division) and null for n=1;
+      // the comp>0 gate makes zero/degenerate component variance an
+      // explicit null strength on BOTH engines (no greatest-vs-null
+      // semantics in play).
       def v(pre: String) =
-        (col(s"${pre}_sxx") - col(s"${pre}_sx") * col(s"${pre}_sx") / col("n")) / (col("n") - 1.0)
+        CleanFunctions.momentVar(col("n"), col(s"${pre}_sx"), col(s"${pre}_sxx"))
+      def f(pre: String) =
+        when(v(pre) > 0.0,
+          round4(greatest(lit(0.0), lit(1.0) - v("r") / v(pre))))
       ag.select(col("user_id"), col("n").cast("long").as("n_rows"),
-          round4(greatest(lit(0.0), lit(1.0) - v("r") / nullif(v("sr"), lit(0.0)))).as("f_seasonal"),
-          round4(greatest(lit(0.0), lit(1.0) - v("r") / nullif(v("tr"), lit(0.0)))).as("f_trend"))
+          f("sr").as("f_seasonal"), f("tr").as("f_trend"))
         .orderBy("user_id")
     },
 
@@ -404,7 +421,8 @@ object OpsQueries {
          |FROM r ORDER BY event_id""".stripMargin,
 
     "ts_rolling_median" ->
-      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
          |r AS (SELECT event_id,
          |  list_sort(list(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
          |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
@@ -415,28 +433,28 @@ object OpsQueries {
          |FROM m ORDER BY event_id""".stripMargin,
 
     "ts_cusum_reset" ->
-      """WITH RECURSIVE stats AS (
-        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-        |    CAST(count(value) AS DOUBLE) AS n
-        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
-        |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-        |  FROM events WHERE value IS NOT NULL),
-        |p AS (SELECT v.user_id, v.event_id, v.x, v.rn, sx / n AS m,
-        |    0.5 * sqrt((sxx - sx * sx / n) / (n - 1.0)) AS k
-        |  FROM v JOIN stats USING (user_id)),
-        |c AS (
-        |  SELECT user_id, event_id, rn, m, k,
-        |    greatest(CAST(0.0 AS DOUBLE), x - m - k) AS s
-        |  FROM p WHERE rn = 1
-        |  UNION ALL
-        |  SELECT p.user_id, p.event_id, p.rn, p.m, p.k,
-        |    greatest(CAST(0.0 AS DOUBLE), c.s + (p.x - p.m - p.k))
-        |  FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn + 1)
-        |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
-        |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
-        |FROM c ORDER BY event_id""".stripMargin,
+      s"""WITH RECURSIVE stats AS (
+         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |p AS (SELECT v.user_id, v.event_id, v.x, v.rn, sx / n AS m,
+         |    0.5 * ${CleanFunctions.momentStdSql("n", "sx", "sxx")} AS k
+         |  FROM v JOIN stats USING (user_id)),
+         |c AS (
+         |  SELECT user_id, event_id, rn, m, k,
+         |    greatest(CAST(0.0 AS DOUBLE), x - m - k) AS s
+         |  FROM p WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.user_id, p.event_id, p.rn, p.m, p.k,
+         |    greatest(CAST(0.0 AS DOUBLE), c.s + (p.x - p.m - p.k))
+         |  FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn + 1)
+         |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
+         |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
+         |FROM c ORDER BY event_id""".stripMargin,
 
     "ts_peaks" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),
@@ -497,8 +515,10 @@ object OpsQueries {
          |  ${exactSumSql("tv + r")} AS tr_sx, ${exactSumSql("(tv + r) * (tv + r)")} AS tr_sxx
          |  FROM comp GROUP BY user_id)
          |SELECT user_id, CAST(n AS BIGINT) AS n_rows,
-         |  ${round4Sql("greatest(0.0, 1.0 - ((r_sxx - r_sx * r_sx / n) / (n - 1.0)) / nullif((sr_sxx - sr_sx * sr_sx / n) / (n - 1.0), 0.0))")} AS f_seasonal,
-         |  ${round4Sql("greatest(0.0, 1.0 - ((r_sxx - r_sx * r_sx / n) / (n - 1.0)) / nullif((tr_sxx - tr_sx * tr_sx / n) / (n - 1.0), 0.0))")} AS f_trend
+         |  CASE WHEN ${CleanFunctions.momentVarSql("n", "sr_sx", "sr_sxx")} > 0.0
+         |       THEN ${round4Sql(s"greatest(0.0, 1.0 - ${CleanFunctions.momentVarSql("n", "r_sx", "r_sxx")} / ${CleanFunctions.momentVarSql("n", "sr_sx", "sr_sxx")})")} END AS f_seasonal,
+         |  CASE WHEN ${CleanFunctions.momentVarSql("n", "tr_sx", "tr_sxx")} > 0.0
+         |       THEN ${round4Sql(s"greatest(0.0, 1.0 - ${CleanFunctions.momentVarSql("n", "r_sx", "r_sxx")} / ${CleanFunctions.momentVarSql("n", "tr_sx", "tr_sxx")})")} END AS f_trend
          |FROM ag ORDER BY user_id""".stripMargin,
 
     "events_cdc_apply" ->
@@ -529,7 +549,8 @@ object OpsQueries {
         |  SELECT 'orders_null_custkey' AS "check",
         |         count(CASE WHEN o_custkey IS NULL THEN 1 END) AS failed FROM orders
         |  UNION ALL SELECT 'orders_dup_orderkey',
-        |         count(*) - count(DISTINCT o_orderkey) FROM orders
+        |         count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+        |           - count(DISTINCT o_orderkey) FROM orders
         |  UNION ALL SELECT 'lineitem_orphan_orders', count(*) FROM lineitem l
         |         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         |  UNION ALL SELECT 'lineitem_nonpositive_qty',
@@ -537,7 +558,9 @@ object OpsQueries {
         |  UNION ALL SELECT 'events_null_value',
         |         count(CASE WHEN value IS NULL THEN 1 END) FROM events
         |  UNION ALL SELECT 'events_dup_user_ts',
-        |         count(*) - count(DISTINCT (user_id, epoch_us(ts))) FROM events
+        |         count(CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL THEN 1 END)
+        |           - count(DISTINCT CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
+        |                                 THEN (user_id, epoch_us(ts)) END) FROM events
         |  UNION ALL SELECT 'events_value_out_of_range',
         |         count(CASE WHEN abs(value) > 1000000.0 THEN 1 END) FROM events
         |) ORDER BY "check"""".stripMargin)

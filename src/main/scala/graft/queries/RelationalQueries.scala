@@ -210,10 +210,13 @@ object RelationalQueries {
     "q7_nation_volume" -> { (s, d) =>
       val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      // supplier/customer scale WITH SF (10k/150k x SF rows in real
+      // TPC-H): stats-chosen broadcast like q18, never hint-forced. Only
+      // the two 25-row nation legs carry hints.
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter(col("supp_nation") =!= col("cust_nation"))

@@ -106,10 +106,13 @@ object SimilarityQueries {
         count(lit(1)).cast(DoubleType).as("n"),
         graft.functions.CleanFunctions.exactSum(col("dist")).as("sx"),
         graft.functions.CleanFunctions.exactSum(col("dist") * col("dist")).as("sxx"))
+      // momentStd: clamped variance (constant distances would cancel to
+      // a tiny negative -> Spark NaN / DuckDB Out of Range) and null for
+      // a single-vector label; null std -> null z -> is_outlier 0.
+      val std = graft.functions.CleanFunctions.momentStd(col("n"), col("sx"), col("sxx"))
       dist.join(broadcast(stats), "label")
         .withColumn("z", r4(
-          (col("dist") - col("sx") / col("n")) /
-            nullif(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1.0)), lit(0.0))))
+          (col("dist") - col("sx") / col("n")) / nullif(std, lit(0.0))))
         .select(col("vec_id"), col("label"), col("dist"), col("z"),
           when(col("z") > 2.0, 1L).otherwise(0L).as("is_outlier"))
         .orderBy("vec_id")
@@ -306,7 +309,7 @@ object SimilarityQueries {
          |SELECT vec_id, label, dist, z,
          |  CAST(CASE WHEN z > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
          |FROM (SELECT vec_id, dist.label AS label, dist,
-         |  round(((dist - sx / n) / nullif(sqrt((sxx - sx * sx / n) / (n - 1.0)), 0.0)) * 10000.0) / 10000.0 AS z
+         |  round(((dist - sx / n) / nullif(${graft.functions.CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 10000.0) / 10000.0 AS z
          |  FROM dist JOIN stats ON dist.label = stats.label)
          |ORDER BY vec_id""".stripMargin,
 

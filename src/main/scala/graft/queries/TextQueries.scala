@@ -259,7 +259,8 @@ object TextQueries {
         .cast(DoubleType)) / lit(1000001.0)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          CleanFunctions.round6(log(u) / col("n_chars").cast(DoubleType)).as("score"))
+          CleanFunctions.round6(
+            CleanFunctions.safeDiv(log(u), col("n_chars").cast(DoubleType))).as("score"))
         .orderBy(desc("score"), col("doc_id"))
         .limit(WeightedSampleK)
     },
@@ -507,7 +508,7 @@ object TextQueries {
       "text_sample_weighted" ->
         s"""SELECT doc_id, lang,
            |round((ln(CAST(${CleanFunctions.md5Hash64Sql("'wsample:' || doc_id")} % 1000000 + 1 AS DOUBLE) / 1000001.0)
-           |  / CAST(n_chars AS DOUBLE)) * 1000000.0) / 1000000.0 AS score
+           |  / nullif(CAST(n_chars AS DOUBLE), 0.0)) * 1000000.0) / 1000000.0 AS score
            |FROM documents ORDER BY score DESC, doc_id LIMIT $WeightedSampleK""".stripMargin,
 
       // Same recursive transitive-closure CTE as the dedup_clusters

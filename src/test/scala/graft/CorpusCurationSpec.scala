@@ -40,8 +40,11 @@ class CorpusCurationSpec extends AnyFunSuite {
     val total = byopt.values.sum.toDouble
     assert(byopt.getOrElse("train", 0L) / total > 0.75,
       s"train share off: $byopt")
-    // Deterministic: a second run yields the identical assignment.
+    // Deterministic: a second run yields the identical assignment —
+    // symmetric check (one-directional except would pass on a superset).
     val again = CorpusCuration.run(docs)
     assert(out.select("doc_id", "split").except(again.select("doc_id", "split")).count() === 0)
+    assert(again.select("doc_id", "split").except(out.select("doc_id", "split")).count() === 0)
+    assert(again.count() === out.count())
   }
 }

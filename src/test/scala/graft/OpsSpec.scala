@@ -142,6 +142,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(Some(1.0), None, Some(3.0)))
   }
 
+  test("momentStd clamps a cancelled-negative variance to 0 and nulls n<=1") {
+    import graft.functions.CleanFunctions
+    // A constant column whose DECIMAL-rounded squares cancel sxx - sx²/n
+    // to a tiny negative — the sqrt(<0) hazard momentCorr documents.
+    val const = Seq.fill(1000)(0.1235).toDF("v")
+      .agg(CleanFunctions.exactSum(col("v")).as("sx"),
+        CleanFunctions.exactSum(col("v") * col("v")).as("sxx"),
+        count(lit(1)).cast("double").as("n"))
+      .select(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")).as("std"))
+      .as[Option[Double]].head()
+    assert(const.contains(0.0), s"constant-series std should clamp to 0, got $const")
+    val single = Seq(42.0).toDF("v")
+      .agg(CleanFunctions.exactSum(col("v")).as("sx"),
+        CleanFunctions.exactSum(col("v") * col("v")).as("sxx"),
+        count(lit(1)).cast("double").as("n"))
+      .select(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")).as("std"))
+      .as[Option[Double]].head()
+    assert(single.isEmpty, s"n=1 std should be null, got $single")
+  }
+
+  test("dupKeys excludes null-keyed rows from the duplicate count") {
+    val df = Seq(Some(1L), Some(1L), Some(2L), None, None, None)
+      .toDF("k")
+    val failed = DataQuality.dupKeys(df, "dups", Seq("k"))
+      .select("failed").as[Long].head()
+    // 3 non-null rows over 2 distinct keys = 1 duplicate; the three
+    // null rows are nullCount's finding, not duplicates of each other.
+    assert(failed === 1L)
+  }
+
   test("DataQuality checks count nulls, dup keys and FK orphans exactly") {
     val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
     val child = Seq(
