@@ -65,6 +65,29 @@ object StreamingAnomaly {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming M4 downsampling: per (key, tumbling window) keep
+    * first/last/min/max of the value — the live-dashboard twin of the
+    * batch `TimeSeriesOps.m4Downsample`. first/last come from
+    * min_by/max_by on the (ts, event_id) struct, which is deterministic
+    * under any arrival order (the batch twin's window-sort tiebreak,
+    * expressed as an aggregate so streaming state stays O(1) per open
+    * window). Append mode: a bucket emits once, when the watermark
+    * passes its end.
+    */
+  def m4Windows(events: DataFrame, watermarkDelay: String = "1 hour",
+                windowLen: String = "6 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("v_first"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("v_last"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        count(col("value")).as("n"))
+      .select(col("w.start").as("bucket_start"), col("user_id"),
+        col("v_first"), col("v_last"), col("v_min"), col("v_max"), col("n"))
+
   /** Streaming sessionization with Spark's native session_window: a
     * session extends while events keep arriving within `gap`; the window
     * closes (and emits, in append mode) once the watermark passes

@@ -217,6 +217,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming M4 equals batch m4Downsample on real data, under REVERSED arrival") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.m4Windows(ms.toDF(), "1 hour", "6 hours")
+      .writeStream.format("memory").queryName("m4_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // Reverse arrival order: first/last must come out by EVENT time
+      // (min_by/max_by on the (ts, event_id) struct), not arrival.
+      ms.addData(realEvents.reverse.toSeq); q.processAllAvailable()
+      val maxTs = realEvents.map(_.ts.getTime).max
+      ms.addData(Event(-1L, new Timestamp(maxTs + 24 * 3600 * 1000L), -999L, "sentinel", 0.0))
+      q.processAllAvailable()
+      val sixH = 6L * 3600 * 1000000
+      val got = spark.table("m4_eq").filter(col("user_id") =!= -999L)
+        .select(expr(s"unix_micros(bucket_start) div $sixH").as("bucket"), col("user_id"),
+          col("v_first"), col("v_last"), col("v_min"), col("v_max"), col("n"))
+        .as[(Long, Long, Double, Double, Double, Double, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+      val want = graft.operators.TimeSeriesOps.m4Downsample(
+          Tables.events(spark, SparkTestSession.sfDir)
+            .withColumn("tsu", epochUs(col("ts"))),
+          Seq("user_id"), Seq("tsu", "event_id"), "tsu", "value", sixH)
+        .select(col("bucket"), col("user_id"),
+          col("v_first"), col("v_last"), col("v_min"), col("v_max"), col("n"))
+        .as[(Long, Long, Double, Double, Double, Double, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+      assert(got.keySet == want.keySet, "bucket key sets differ")
+      want.foreach { case (k, w) =>
+        assert(got(k) == w, s"M4 mismatch at $k: ${got(k)} != $w")
+      }
+    } finally q.stop()
+  }
+
   test("streaming rolling zscore equals batch Anomaly.rollingZscore on real data") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 24, threshold = 3.0)
