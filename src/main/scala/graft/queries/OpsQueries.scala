@@ -300,6 +300,54 @@ object OpsQueries {
         .orderBy("l_returnflag", "o_year")
     },
 
+    // SAX symbolization (Lin et al.): z-normalize per series (exact
+    // moments, clamped std), PAA-average into 6h frames, quantize into a
+    // 4-letter alphabet at the gaussian breakpoints — the time-series
+    // indexing/motif primitive that turns 100 TB of floats into
+    // searchable words. Output is O(#frames).
+    "ts_sax" -> { (s, d) =>
+      val e = ev(s, d).where(col("value").isNotNull)
+      val stats = e.groupBy("user_id").agg(
+        exactSum(col("value")).as("sx"),
+        exactSum(col("value") * col("value")).as("sxx"),
+        count(col("value")).cast("double").as("n"))
+      val z = e.join(stats, "user_id")
+        .withColumn("z", (col("value") - col("sx") / col("n")) /
+          nullif(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")), lit(0.0)))
+        .withColumn("zr", CleanFunctions.round6(col("z")))
+      val paa = z.groupBy(col("user_id"), expr(s"tsu div $SixHoursUs").as("frame"))
+        .agg(CleanFunctions.safeDiv(exactSum(col("zr")),
+            count(col("zr")).cast("double")).as("paa_raw"),
+          count(col("zr")).as("n_samples"))
+      paa.select(col("user_id"), col("frame"),
+          round4(col("paa_raw")).as("paa"),
+          // Null PAA (constant series: clamped std 0 -> null z) stays
+          // null, not the 'd' an otherwise-only CASE would emit.
+          when(col("paa_raw").isNull, lit(null).cast("string"))
+            .when(col("paa_raw") < -0.6745, "a")
+            .when(col("paa_raw") < 0.0, "b")
+            .when(col("paa_raw") < 0.6745, "c")
+            .otherwise("d").as("sym"),
+          col("n_samples"))
+        .orderBy("user_id", "frame")
+    },
+
+    // Time-to-convert: each user's first view -> first purchase AFTER it,
+    // latency in seconds — the time-to-event analysis under activation /
+    // SLA funnels. Two grouped aggs over conditional mins, one join.
+    "events_time_to_convert" -> { (s, d) =>
+      val e = ev(s, d)
+      val firstView = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tsu")).as("first_view_us"))
+      val conv = e.join(firstView, "user_id")
+        .where(col("event_type") === "purchase" && col("tsu") > col("first_view_us"))
+        .groupBy("user_id", "first_view_us")
+        .agg(min(col("tsu")).as("first_purchase_us"))
+      conv.select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+          expr("(first_purchase_us - first_view_us) div 1000000").as("latency_s"))
+        .orderBy("user_id")
+    },
+
     // Pre-publish data-quality audit over the star schema: null keys,
     // duplicate PKs, FK orphans, domain violations — one (check, failed)
     // row each.
@@ -455,6 +503,40 @@ object OpsQueries {
          |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
          |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
          |FROM c ORDER BY event_id""".stripMargin,
+
+    "ts_sax" ->
+      s"""WITH stats AS (
+         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |z AS (SELECT e.user_id, epoch_us(e.ts) // $SixHoursUs AS frame,
+         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 AS zr
+         |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
+         |paa AS (SELECT user_id, frame,
+         |    CAST(sum(CAST(zr AS DECIMAL(18,6))) AS DOUBLE) / nullif(CAST(count(zr) AS DOUBLE), 0.0) AS paa_raw,
+         |    count(zr) AS n_samples
+         |  FROM z GROUP BY user_id, frame)
+         |SELECT user_id, frame, ${round4Sql("paa_raw")} AS paa,
+         |  CASE WHEN paa_raw IS NULL THEN NULL
+         |       WHEN paa_raw < -0.6745 THEN 'a'
+         |       WHEN paa_raw < 0.0 THEN 'b'
+         |       WHEN paa_raw < 0.6745 THEN 'c'
+         |       ELSE 'd' END AS sym,
+         |  n_samples
+         |FROM paa ORDER BY user_id, frame""".stripMargin,
+
+    "events_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |fv AS (SELECT user_id, min(tsu) AS first_view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |cv AS (SELECT e.user_id, fv.first_view_us, min(e.tsu) AS first_purchase_us
+        |  FROM e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tsu > fv.first_view_us
+        |  GROUP BY e.user_id, fv.first_view_us)
+        |SELECT user_id, first_view_us, first_purchase_us,
+        |  (first_purchase_us - first_view_us) // 1000000 AS latency_s
+        |FROM cv ORDER BY user_id""".stripMargin,
 
     "ts_peaks" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),

@@ -197,6 +197,20 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Language-ID confusion matrix: predicted vs labeled language with
+    // per-truth-row share — the eval loop for the langid heuristic (and
+    // the template for any classifier-vs-label audit). One grouped count
+    // + a partition-sum window over the tiny lang x lang grid.
+    "text_langid_confusion" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cm = Tables.documents(s, d)
+        .select(col("lang"), TextFunctions.predLang(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("cnt"))
+      cm.withColumn("share", CleanFunctions.round4(col("cnt").cast(DoubleType) /
+          sum(col("cnt")).over(Window.partitionBy("lang")).cast(DoubleType)))
+        .orderBy("lang", "pred_lang")
+    },
+
     // End-to-end corpus curation as ONE user-facing call (quality gate ->
     // language gate -> exact + simhash near-dup dedup -> deterministic
     // split). Delegates to graft.operators.CorpusCuration.run, so the
@@ -465,6 +479,14 @@ object TextQueries {
            |WHERE ${CleanFunctions.md5Hash64Sql("'sample:' || doc_id")} % 100 <
            |  CASE WHEN lang = 'de' THEN 80 WHEN lang = 'en' THEN 50 ELSE 100 END
            |ORDER BY doc_id""".stripMargin,
+
+      "text_langid_confusion" ->
+        s"""WITH cm AS (SELECT lang, ${TextFunctions.predLangSql("text")} AS pred_lang,
+           |    count(*) AS cnt
+           |  FROM documents GROUP BY 1, 2)
+           |SELECT lang, pred_lang, cnt,
+           |  ${CleanFunctions.round4Sql("CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY lang) AS DOUBLE)")} AS share
+           |FROM cm ORDER BY lang, pred_lang""".stripMargin,
 
       // The curation oracle replays the full composition: quality/lang
       // gates (shared-formula SQL twins), exact dedup (min id per md5),

@@ -131,6 +131,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("SAX symbols agree with the PAA breakpoints") {
+    import org.apache.spark.sql.functions._
+    val sax = SparkEntry.queries("ts_sax")(spark, sfDir).cache()
+    val bad = sax.filter(
+      (col("sym") === "a" && col("paa") >= -0.6745) ||
+        (col("sym") === "b" && (col("paa") < -0.6745 || col("paa") >= 0.0)) ||
+        (col("sym") === "c" && (col("paa") < 0.0 || col("paa") >= 0.6745)) ||
+        (col("sym") === "d" && col("paa") < 0.6745))
+    assert(bad.count() === 0)
+    // A z-normalized series exercises the whole alphabet.
+    assert(sax.select("sym").distinct().count() >= 3)
+    sax.unpersist()
+    ()
+  }
+
+  test("time-to-convert latencies are strictly positive") {
+    import org.apache.spark.sql.functions._
+    val bad = SparkEntry.queries("events_time_to_convert")(spark, sfDir)
+      .filter(col("latency_s") < 0 ||
+        col("first_purchase_us") <= col("first_view_us"))
+    assert(bad.count() === 0)
+  }
+
+  test("langid confusion shares sum to 1 per labeled language") {
+    import org.apache.spark.sql.functions._
+    val bad = SparkEntry.queries("text_langid_confusion")(spark, sfDir)
+      .groupBy("lang").agg(sum("share").as("total"))
+      .filter(abs(col("total") - 1.0) > 1e-3)
+    assert(bad.count() === 0)
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
