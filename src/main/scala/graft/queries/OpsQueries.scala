@@ -35,6 +35,22 @@ object OpsQueries {
   private val HoltGamma = 0.3
   private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
 
+  /** Candidate periods (hours) for spectral seasonality detection. */
+  private val SpectralPeriods = Seq(24, 12, 8, 6)
+
+  /** Discrete Fourier coefficient tables: cos/sin of the p phases of one
+    * cycle, computed ONCE in Scala and baked as literals into BOTH the
+    * Spark plan and the DuckDB SQL. Trig never runs inside either engine
+    * — libm argument-reduction differences (the last-ulp hazard for
+    * cos(huge epoch)) cannot exist when the coefficients are literals.
+    */
+  private def fourierTable(p: Int): (Seq[Double], Seq[Double]) =
+    ((0 until p).map(i => math.cos(2.0 * math.Pi * i / p)),
+      (0 until p).map(i => math.sin(2.0 * math.Pi * i / p)))
+
+  private def sqlDList(xs: Seq[Double]): String =
+    xs.map(x => s"CAST('${x.toString}' AS DOUBLE)").mkString("[", ", ", "]")
+
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
 
@@ -378,6 +394,75 @@ object OpsQueries {
         .orderBy("word")
     },
 
+    // Dominant-period detection: project each demeaned series onto
+    // cos/sin at the candidate periods (DFT bins) and report per-period
+    // spectral power + the argmax — which cycle drives this series. The
+    // hour-of-cycle phase is DISCRETE, so the trig lives in literal
+    // tables (see fourierTable); sums are DECIMAL-exact on 6dp-rounded
+    // terms. One grouped agg, map-side partial, output O(#series).
+    "ts_dominant_period" -> { (s, d) =>
+      val e = ev(s, d).where(col("value").isNotNull)
+        .withColumn("th", expr("tsu div 3600000000"))
+      val stats = e.groupBy("user_id").agg(
+        exactSum(col("value")).as("sx"),
+        count(col("value")).cast("double").as("n"))
+      val vc = e.join(stats, "user_id")
+        .withColumn("vc", CleanFunctions.round6(col("value") - col("sx") / col("n")))
+      val aggs = SpectralPeriods.flatMap { p =>
+        val (cs, sn) = fourierTable(p)
+        val idx = (col("th") % p).cast("int") + 1
+        val cosCoef = element_at(array(cs.map(lit): _*), idx)
+        val sinCoef = element_at(array(sn.map(lit): _*), idx)
+        Seq(
+          exactSum(CleanFunctions.round6(col("vc") * cosCoef)).as(s"c$p"),
+          exactSum(CleanFunctions.round6(col("vc") * sinCoef)).as(s"s$p"))
+      }
+      val ag = vc.groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+      def power(p: Int) =
+        round4((col(s"c$p") * col(s"c$p") + col(s"s$p") * col(s"s$p")) /
+          (col("n") * col("n")))
+      val withPowers = SpectralPeriods.foldLeft(ag) { (df, p) =>
+        df.withColumn(s"p$p", power(p))
+      }
+      val best = SpectralPeriods.map(p => col(s"p$p"))
+        .reduce((a, b) => greatest(a, b))
+      val bestPeriod = SpectralPeriods.foldRight(lit(0)) { (p, acc) =>
+        when(col(s"p$p") === best, p).otherwise(acc)
+      }
+      withPowers.select(
+          col("user_id") +: col("n").cast("long").as("n_rows") +:
+            bestPeriod.cast("long").as("best_period_h") +:
+            SpectralPeriods.map(p => col(s"p$p")): _*)
+        .orderBy("user_id")
+    },
+
+    // Welch two-sample z statistic between the value distributions of
+    // two event types — the A/B-comparison primitive; means/variances
+    // from one DECIMAL-exact moment pass per group, clamped momentVar.
+    "events_two_sample_z" -> { (s, d) =>
+      val e = ev(s, d).where(col("value").isNotNull &&
+        col("event_type").isin("view", "click"))
+      val g = e.groupBy("event_type").agg(
+        exactSum(col("value")).as("sx"),
+        exactSum(col("value") * col("value")).as("sxx"),
+        count(col("value")).cast("double").as("n"))
+      val a = g.where(col("event_type") === "view")
+        .select(col("sx").as("sx1"), col("sxx").as("sxx1"), col("n").as("n1"))
+      val b = g.where(col("event_type") === "click")
+        .select(col("sx").as("sx2"), col("sxx").as("sxx2"), col("n").as("n2"))
+      a.crossJoin(broadcast(b))
+        .select(
+          col("n1").cast("long").as("n_view"),
+          col("n2").cast("long").as("n_click"),
+          round4(col("sx1") / col("n1") - col("sx2") / col("n2")).as("mean_diff"),
+          round4((col("sx1") / col("n1") - col("sx2") / col("n2")) /
+            nullif(sqrt(
+              CleanFunctions.momentVar(col("n1"), col("sx1"), col("sxx1")) / col("n1") +
+                CleanFunctions.momentVar(col("n2"), col("sx2"), col("sxx2")) / col("n2")),
+              lit(0.0))).as("z"))
+    },
+
     // Time-to-convert: each user's first view -> first purchase AFTER it,
     // latency in seconds — the time-to-event analysis under activation /
     // SLA funnels. Two grouped aggs over conditional mins, one join.
@@ -601,6 +686,51 @@ object OpsQueries {
          |SELECT word, count(*) AS n_windows, count(DISTINCT user_id) AS n_series
          |FROM words GROUP BY word HAVING count(*) BETWEEN 2 AND 200
          |ORDER BY word""".stripMargin,
+
+    "ts_dominant_period" -> {
+      val sums = SpectralPeriods.flatMap { p =>
+        val (cs, sn) = fourierTable(p)
+        Seq(
+          s"${exactSumSql(s"round((vc * (${sqlDList(cs)}[(th % $p) + 1])) * 1000000.0) / 1000000.0")} AS c$p",
+          s"${exactSumSql(s"round((vc * (${sqlDList(sn)}[(th % $p) + 1])) * 1000000.0) / 1000000.0")} AS s$p")
+      }.mkString(",\n  ")
+      val powers = SpectralPeriods
+        .map(p => s"${round4Sql(s"(c$p * c$p + s$p * s$p) / (n * n)")} AS p$p")
+        .mkString(",\n  ")
+      val best = SpectralPeriods.map(p => s"p$p").mkString("greatest(", ", ", ")")
+      val cases = SpectralPeriods.map(p => s"WHEN p$p = $best THEN $p").mkString(" ")
+      s"""WITH stats AS (
+         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |vc AS (SELECT e.user_id, epoch_us(e.ts) // 3600000000 AS th,
+         |    round((value - sx / n) * 1000000.0) / 1000000.0 AS vc
+         |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
+         |ag AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |  $sums
+         |  FROM vc GROUP BY user_id),
+         |pw AS (SELECT user_id, n,
+         |  $powers
+         |  FROM ag)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+         |  CAST(CASE $cases ELSE 0 END AS BIGINT) AS best_period_h,
+         |  ${SpectralPeriods.map(p => s"p$p").mkString(", ")}
+         |FROM pw ORDER BY user_id""".stripMargin
+    },
+
+    "events_two_sample_z" ->
+      s"""WITH g AS (
+         |  SELECT event_type, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL AND event_type IN ('view', 'click')
+         |  GROUP BY event_type),
+         |a AS (SELECT sx AS sx1, sxx AS sxx1, n AS n1 FROM g WHERE event_type = 'view'),
+         |b AS (SELECT sx AS sx2, sxx AS sxx2, n AS n2 FROM g WHERE event_type = 'click')
+         |SELECT CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_click,
+         |  ${round4Sql("sx1 / n1 - sx2 / n2")} AS mean_diff,
+         |  ${round4Sql(s"(sx1 / n1 - sx2 / n2) / nullif(sqrt(${CleanFunctions.momentVarSql("n1", "sx1", "sxx1")} / n1 + ${CleanFunctions.momentVarSql("n2", "sx2", "sxx2")} / n2), 0.0)")} AS z
+         |FROM a, b""".stripMargin,
 
     "events_time_to_convert" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),

@@ -97,6 +97,17 @@ class AnalyticsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(got === Map(1L -> ((1L, 1L)), 2L -> ((2L, 2L)), 3L -> ((1L, 1L))), s"got $got")
   }
 
+  test("dominant-period detection locks onto a pure 24h sine") {
+    val rows = (0 until 240).map { h => // 10 days, hourly samples
+      (h.toLong + 1, h * H, 1L, "view",
+        100.0 + 50.0 * math.sin(2 * math.Pi * h / 24.0))
+    }
+    val d = eventsDir(rows)
+    val got = SparkEntry.queries("ts_dominant_period")(spark, d)
+      .select("best_period_h").as[Long].collect()
+    assert(got.toSeq === Seq(24L), s"got $got")
+  }
+
   test("rolling median resists the spike the rolling mean would follow") {
     val d = eventsDir(Seq(
       (1L, 1 * H, 1L, "view", 1.0), (2L, 2 * H, 1L, "view", 100.0),
