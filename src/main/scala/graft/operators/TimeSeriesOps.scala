@@ -541,6 +541,56 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** Per-row Holt path: the same level/trend recurrence as [[holtSmooth]]
+    * but emitting the smoothed state at EVERY row — what a dashboard
+    * actually plots. Same keyed O(1)-state sorted scan; null targets
+    * emit null state and leave the fold untouched.
+    */
+  def holtPath(df: DataFrame, keys: Seq[String], order: Seq[String],
+               target: String, alpha: Double, gamma: Double,
+               numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "holtPath needs series keys")
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    require(gamma > 0 && gamma < 1, s"gamma=$gamma must be in (0, 1)")
+    require(!df.columns.contains("level") && !df.columns.contains("trend"),
+      "holtPath: input already has a level/trend column")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn("__holt_in", col(target).cast(DoubleType))
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields ++
+      Seq(StructField("level", DoubleType), StructField("trend", DoubleType)))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val tIdx = sorted.schema.fieldIndex("__holt_in")
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var level = 0.0; var trend = 0.0; var seen = false
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; seen = false }
+          val state: Seq[Any] =
+            if (r.isNullAt(tIdx)) Seq(null, null)
+            else {
+              val x = r.getDouble(tIdx)
+              if (!seen) { level = x; trend = 0.0; seen = true }
+              else {
+                val nl = alpha * x + (1.0 - alpha) * (level + trend)
+                trend = gamma * (nl - level) + (1.0 - gamma) * trend
+                level = nl
+              }
+              Seq(level, trend)
+            }
+          // Drop the shadow column (last) and append the state pair.
+          Row.fromSeq(r.toSeq.init ++ state)
+        }
+      }, schema)
+  }
+
   /** One-sided upper CUSUM with reset (the SPC control-chart statistic):
     * s_t = max(0, s_{t-1} + (x_t - target_t - slack_t)), emitted PER ROW.
     * The reset (max with 0) makes the recurrence non-window-expressible,

@@ -95,6 +95,17 @@ object OpsQueries {
         .orderBy("user_id")
     },
 
+    // Per-row Holt smoothed path (what a dashboard plots) — same exact
+    // recursive-CTE oracle trick as ts_holt_forecast, emitting every
+    // intermediate state instead of only the final one.
+    "ts_holt_path" -> { (s, d) =>
+      TS.holtPath(ev(s, d).where(col("value").isNotNull),
+          K, Ord, "value", HoltAlpha, HoltGamma)
+        .select(col("event_id"), round4(col("level")).as("level"),
+          round4(col("trend")).as("trend"))
+        .orderBy("event_id")
+    },
+
     // Marketing attribution: each purchase credited to the user's FIRST
     // and LAST preceding non-purchase touch (ignore-nulls window frames,
     // no self-join), then per-channel revenue/conversions under both
@@ -567,6 +578,26 @@ object OpsQueries {
          |SELECT user_id, ${round4Sql("l")} AS level, ${round4Sql("b")} AS trend,
          |  ${round4Sql("l + 24.0 * b")} AS fc24, n
          |FROM holt WHERE rn = n ORDER BY user_id""".stripMargin
+    },
+
+    "ts_holt_path" -> {
+      val a = dlit(HoltAlpha); val ia = dlit(1.0 - HoltAlpha)
+      val g = dlit(HoltGamma); val ig = dlit(1.0 - HoltGamma)
+      val nl = s"$a * v.value + $ia * (h.l + h.b)"
+      s"""WITH RECURSIVE v AS (
+         |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |holt AS (
+         |  SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.user_id, v.event_id, v.rn,
+         |    $nl AS l,
+         |    $g * (($nl) - h.l) + $ig * h.b AS b
+         |  FROM holt h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
+         |SELECT event_id, ${round4Sql("l")} AS level, ${round4Sql("b")} AS trend
+         |FROM holt ORDER BY event_id""".stripMargin
     },
 
     "events_attribution" ->

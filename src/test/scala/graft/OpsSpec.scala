@@ -118,6 +118,34 @@ class OpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("holtPath's last row equals holtSmooth's final state per series") {
+    val rows = (1L to 300L).map(i => (i, (i % 11) * H, i % 4, math.cos(i.toDouble) * 50.0))
+    val df = rows.toDF("id", "tsu", "k", "v")
+    val lastOfPath = TimeSeriesOps.holtPath(df, K, Ord, "v", 0.5, 0.3)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k")
+          .orderBy(org.apache.spark.sql.functions.desc("tsu"),
+            org.apache.spark.sql.functions.desc("id"))))
+      .where(col("rk") === 1)
+      .select("k", "level", "trend").as[(Long, Double, Double)].collect()
+      .map { case (k, l, t) => k -> ((l, t)) }.toMap
+    val finals = TimeSeriesOps.holtSmooth(df, K, Ord, "v", 0.5, 0.3)
+      .select("k", "level", "trend").as[(Long, Double, Double)].collect()
+      .map { case (k, l, t) => k -> ((l, t)) }.toMap
+    assert(lastOfPath === finals)
+  }
+
+  test("holtPath passes null targets through without disturbing the fold") {
+    val df = Seq(
+      (1L, 0L * H, 1L, Some(10.0)), (2L, 1L * H, 1L, None), (3L, 2L * H, 1L, Some(20.0))
+    ).toDF("id", "tsu", "k", "v")
+    val out = TimeSeriesOps.holtPath(df, K, Ord, "v", 0.5, 0.3)
+      .orderBy("id").select("level").as[Option[Double]].collect()
+    // Null row emits null; the 20.0 folds against the 10.0 init as if
+    // the null row were absent: l = 0.5*20 + 0.5*10 = 15.
+    assert(out.toSeq === Seq(Some(10.0), None, Some(15.0)))
+  }
+
   test("cusumReset accumulates above target and resets at zero") {
     // target m=10, slack k=1: x=12 -> s=1; x=9 -> max(0, 1-2)=0;
     // x=15 -> 4; x=16 -> 9.
