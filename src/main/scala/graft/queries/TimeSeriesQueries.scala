@@ -472,6 +472,51 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Fast/slow EWMA crossover — the trend-shift signal (trading's
+    // moving-average cross, ops' sustained-drift detector): sign of
+    // (fast - slow) plus a flag on the rows where the sign flips. Two
+    // lag-kernel EWMAs over ONE shared window spec + one lag.
+    "ts_ewma_crossover" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fast = TS.ewma(Tables.events(s, d), K, Ord, "value",
+        alpha = 0.3, span = 12, outCol = "fast")
+      val both = TS.ewma(fast, K, Ord, "value",
+        alpha = 0.1, span = 24, outCol = "slow")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sig = when(col("fast").isNull || col("slow").isNull, lit(null).cast("long"))
+        .when(col("fast") > col("slow"), 1L)
+        .when(col("fast") < col("slow"), -1L)
+        .otherwise(0L)
+      both.withColumn("signal", sig)
+        .withColumn("prev_sig", lag(col("signal"), 1).over(w))
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("fast")).as("fast"),
+          graft.functions.CleanFunctions.round4(col("slow")).as("slow"),
+          col("signal"),
+          when(col("signal").isNotNull && col("prev_sig").isNotNull &&
+            col("signal") =!= col("prev_sig"), 1L).otherwise(0L).as("is_cross"))
+        .orderBy("event_id")
+    },
+
+    // Detector-agreement matrix: pairwise overlap (Jaccard) of the
+    // z / IQR / MAD anomaly flags — which detectors are redundant and
+    // which disagree (the eval loop for the ensemble's vote weights).
+    // Three single-row conditional aggregates over one ensemble pass.
+    "ts_detector_agreement" -> { (s, d) =>
+      val votes = Anomaly.ensemble(Tables.events(s, d), K, "value").cache()
+      val pairs = Seq(("iqr", "vote_iqr", "mad", "vote_mad"),
+        ("z", "vote_z", "iqr", "vote_iqr"), ("z", "vote_z", "mad", "vote_mad"))
+      pairs.map { case (an, ac, bn, bc) =>
+        votes.agg(
+          count(when(col(ac) === 1 && col(bc) === 1, 1)).as("n_both"),
+          count(when(col(ac) === 1 || col(bc) === 1, 1)).as("n_either"))
+          .select(lit(an).as("det_a"), lit(bn).as("det_b"),
+            col("n_both"), col("n_either"),
+            graft.functions.CleanFunctions.round4(CleanFunctions.safeDiv(
+              col("n_both").cast("double"), col("n_either").cast("double"))).as("jaccard"))
+      }.reduce(_ unionByName _).orderBy("det_a", "det_b")
+    },
+
     // Multivariate MinMax (ref main.py:168-181 scales every feature
     // column): value + its lag-1 scaled in one window pass per key.
     "ts_scale_multi" -> { (s, d) =>
@@ -926,6 +971,61 @@ object TimeSeriesQueries {
          |round(((${terms.map(_._1).mkString(" + ")}) /
          |      nullif(${terms.map(_._2).mkString(" + ")}, 0.0)) * 10000.0) / 10000.0 AS ewma
          |FROM events ORDER BY event_id""".stripMargin
+    },
+
+    "ts_ewma_crossover" -> {
+      def kernel(decay: Double, span: Int): String = {
+        val terms = (0 until span).map { j =>
+          val wt = math.pow(decay, j)
+          val v = if (j == 0) "value" else s"lag(value, $j) OVER ($W)"
+          (s"coalesce(CASE WHEN $v IS NOT NULL THEN $wt * $v END, 0.0)",
+            s"coalesce(CASE WHEN $v IS NOT NULL THEN $wt END, 0.0)")
+        }
+        s"((${terms.map(_._1).mkString(" + ")}) / nullif(${terms.map(_._2).mkString(" + ")}, 0.0))"
+      }
+      s"""WITH k AS (SELECT event_id, user_id, ts,
+         |  ${kernel(0.7, 12)} AS fast,
+         |  ${kernel(0.9, 24)} AS slow
+         |  FROM events),
+         |sg AS (SELECT event_id, user_id, ts, fast, slow,
+         |  CASE WHEN fast IS NULL OR slow IS NULL THEN NULL
+         |       WHEN fast > slow THEN 1 WHEN fast < slow THEN -1 ELSE 0 END AS signal
+         |  FROM k),
+         |c AS (SELECT event_id, fast, slow, signal,
+         |  lag(signal) OVER ($W) AS prev FROM sg)
+         |SELECT event_id,
+         |  round(fast * 10000.0) / 10000.0 AS fast,
+         |  round(slow * 10000.0) / 10000.0 AS slow,
+         |  CAST(signal AS BIGINT) AS signal,
+         |  CAST(CASE WHEN signal IS NOT NULL AND prev IS NOT NULL AND signal <> prev
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_cross
+         |FROM c ORDER BY event_id""".stripMargin
+    },
+
+    "ts_detector_agreement" -> {
+      val iqrFlag = "CAST(CASE WHEN v.value < q.q1 - 1.5*(q.q3 - q.q1) OR v.value > q.q3 + 1.5*(q.q3 - q.q1) THEN 1 ELSE 0 END AS BIGINT)"
+      val madFlag = s"CAST(coalesce(CASE WHEN abs(${GraftConfig.MadScale} * (v.value - m.med) / nullif(md.mad, 0)) > ${GraftConfig.MadThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT)"
+      def pair(a: String, ac: String, b: String, bc: String) =
+        s"""SELECT '$a' AS det_a, '$b' AS det_b,
+           |  count(CASE WHEN $ac = 1 AND $bc = 1 THEN 1 END) AS n_both,
+           |  count(CASE WHEN $ac = 1 OR $bc = 1 THEN 1 END) AS n_either,
+           |  round((CAST(count(CASE WHEN $ac = 1 AND $bc = 1 THEN 1 END) AS DOUBLE)
+           |    / nullif(CAST(count(CASE WHEN $ac = 1 OR $bc = 1 THEN 1 END) AS DOUBLE), 0.0)) * 10000.0) / 10000.0 AS jaccard
+           |FROM votes""".stripMargin
+      s"""WITH v AS (SELECT event_id, user_id, value,
+         |  CAST(CASE WHEN abs((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0)) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END AS BIGINT) AS vote_z
+         |  FROM events WINDOW u AS (PARTITION BY user_id)),
+         |q AS (SELECT user_id, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events GROUP BY user_id),
+         |m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+         |md AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad FROM events e JOIN m USING (user_id) GROUP BY e.user_id),
+         |votes AS (SELECT v.event_id, v.vote_z,
+         |  $iqrFlag AS vote_iqr, $madFlag AS vote_mad
+         |  FROM v JOIN q USING (user_id) JOIN m USING (user_id) JOIN md USING (user_id))
+         |SELECT * FROM (
+         |  ${pair("iqr", "vote_iqr", "mad", "vote_mad")}
+         |  UNION ALL ${pair("z", "vote_z", "iqr", "vote_iqr")}
+         |  UNION ALL ${pair("z", "vote_z", "mad", "vote_mad")}
+         |) ORDER BY det_a, det_b""".stripMargin
     },
 
     "ts_scale_multi" ->
