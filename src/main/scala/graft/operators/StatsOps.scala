@@ -145,6 +145,113 @@ object StatsOps {
       .drop("_cu_run", "_cu_rn", "_cu_tot", "_cu_n")
   }
 
+  /** Per-key ordinary-least-squares fit of `y` on `x`: slope, intercept
+    * and R² from one pass of DECIMAL-exact raw moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²). The closed form keeps every double op in the same order
+    * as the SQL twin, so results are bit-identical; a zero x-variance
+    * group (single distinct x) yields null slope/intercept/r2 via the
+    * nullif-guarded denominator. Inputs are expected few-decimal (the
+    * DECIMAL(18,6) exact-sum contract, SURVEY §4).
+    *
+    * Reference semantics: the linear-trend probe of the EDA notebooks
+    * (trend line over the load series); at engine level this is the
+    * grouped-regression primitive (one map-side-partial aggregate, no
+    * window, no data movement beyond the group shuffle).
+    */
+  def olsTrend(df: DataFrame, keys: Seq[String], x: Column, y: Column): DataFrame = {
+    val kcols = keys.map(col)
+    val d = df
+      .select(kcols :+ x.cast(DoubleType).as("_ot_x") :+ y.cast(DoubleType).as("_ot_y"): _*)
+      .where(col("_ot_x").isNotNull && col("_ot_y").isNotNull)
+    val agg = d.groupBy(kcols: _*).agg(
+      count(lit(1)).cast(DoubleType).as("_ot_n"),
+      CleanFunctions.exactSum(col("_ot_x")).as("_ot_sx"),
+      CleanFunctions.exactSum(col("_ot_y")).as("_ot_sy"),
+      CleanFunctions.exactSum(col("_ot_x") * col("_ot_y")).as("_ot_sxy"),
+      CleanFunctions.exactSum(col("_ot_x") * col("_ot_x")).as("_ot_sxx"),
+      CleanFunctions.exactSum(col("_ot_y") * col("_ot_y")).as("_ot_syy"))
+    val n  = col("_ot_n"); val sx = col("_ot_sx"); val sy = col("_ot_sy")
+    val slope = CleanFunctions.safeDiv(
+      n * col("_ot_sxy") - sx * sy, n * col("_ot_sxx") - sx * sx)
+    val r = CleanFunctions.momentCorr(n, sx, sy,
+      col("_ot_sxy"), col("_ot_sxx"), col("_ot_syy"))
+    agg
+      .withColumn("_ot_slope", slope)
+      .select(kcols ++ Seq(
+        n.cast(LongType).as("n_obs"),
+        CleanFunctions.round4(col("_ot_slope")).as("slope"),
+        CleanFunctions.round4((sy - col("_ot_slope") * sx) / n).as("intercept"),
+        CleanFunctions.round4(r * r).as("r2")): _*)
+  }
+
+  /** Trailing-`frameRows` rolling skewness and excess kurtosis per key —
+    * the distribution-shape monitor (a regime change shows up in shape
+    * before it moves the mean). One bounded ROWS window carrying four
+    * DECIMAL power sums (each vᵖ term rounded to 4dp first so both
+    * engines cast the identical 4dp double into DECIMAL); population
+    * moments m₂..m₄ then skew = m₃/m₂^1.5, kurt = m₄/m₂² − 3 in
+    * IEEE-identical op order. Constant frames (m₂ = 0, incl. n = 1)
+    * yield nulls on both engines via the nullif guard; the ^1.5 goes
+    * through sqrt(m₂³) — never libm pow, which is not correctly rounded
+    * and may differ across engines.
+    */
+  def rollingSkewKurt(df: DataFrame, keys: Seq[String], ord: Seq[String],
+                      valueCol: String, frameRows: Int): DataFrame = {
+    require(frameRows >= 2, s"frameRows must be >= 2: $frameRows")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(col): _*)
+      .rowsBetween(-(frameRows - 1), Window.currentRow)
+    val dec = DecimalType(28, 6)
+    val v = col(valueCol)
+    def powSum(p: Column): Column =
+      sum(CleanFunctions.round4(p).cast(dec)).over(w).cast(DoubleType)
+    val mean = col("_rs_s1") / col("_rs_n")
+    val m2   = col("_rs_s2") / col("_rs_n") - mean * mean
+    val m3   = col("_rs_s3") / col("_rs_n") - lit(3.0) * mean * (col("_rs_s2") / col("_rs_n")) +
+      lit(2.0) * mean * mean * mean
+    val m4   = col("_rs_s4") / col("_rs_n") - lit(4.0) * mean * (col("_rs_s3") / col("_rs_n")) +
+      lit(6.0) * (mean * mean) * (col("_rs_s2") / col("_rs_n")) -
+      lit(3.0) * (mean * mean) * (mean * mean)
+    df.where(v.isNotNull)
+      .withColumn("_rs_n", count(lit(1)).over(w).cast(DoubleType))
+      .withColumn("_rs_s1", sum(v.cast(DecimalType(18, 6))).over(w).cast(DoubleType))
+      .withColumn("_rs_s2", powSum(v * v))
+      .withColumn("_rs_s3", powSum(v * v * v))
+      .withColumn("_rs_s4", powSum(v * v * v * v))
+      .withColumn("_rs_m2", greatest(m2, lit(0.0)))
+      .withColumn("roll_skew", CleanFunctions.round4(
+        m3 / nullif(sqrt(col("_rs_m2") * col("_rs_m2") * col("_rs_m2")), lit(0.0))))
+      .withColumn("roll_kurt", CleanFunctions.round4(
+        m4 / nullif(col("_rs_m2") * col("_rs_m2"), lit(0.0)) - lit(3.0)))
+      .withColumn("n_frame", col("_rs_n").cast(LongType))
+      .drop("_rs_n", "_rs_s1", "_rs_s2", "_rs_s3", "_rs_s4", "_rs_m2")
+  }
+
+  /** Theil-Sen robust trend: per-key MEDIAN of all pairwise slopes
+    * (vⱼ−vᵢ)/(tⱼ−tᵢ) over pre-bucketed observations — one outlier bucket
+    * shifts OLS arbitrarily but moves the pairwise-slope median by one
+    * rank. `bucketCol` must be an integral time index (e.g. day number)
+    * with one `valueCol` observation per (key, bucket) — callers
+    * aggregate first, which is also the scale contract: the pair join is
+    * O(buckets²) per key, so the bucket granularity (daily here, weekly
+    * at longer horizons) bounds it to O(10³)/key independent of raw row
+    * count. The median reuses [[rankPercentiles]] (interpolated,
+    * engine-exact).
+    */
+  def theilSen(df: DataFrame, keys: Seq[String], bucketCol: String,
+               valueCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val a = df.select(kcols :+ col(bucketCol).cast(LongType).as("_th_b1") :+
+      col(valueCol).cast(DoubleType).as("_th_m1"): _*)
+    val b = df.select(kcols :+ col(bucketCol).cast(LongType).as("_th_b2") :+
+      col(valueCol).cast(DoubleType).as("_th_m2"): _*)
+    val pairs = a.join(b, keys)
+      .where(col("_th_b1") < col("_th_b2"))
+      .select(kcols :+ ((col("_th_m2") - col("_th_m1")) /
+        (col("_th_b2") - col("_th_b1")).cast(DoubleType)).as("_th_slope"): _*)
+    rankPercentiles(pairs, keys, "_th_slope", Seq(0.5))
+      .select(kcols :+ col("pct").as("theil_slope"): _*)
+  }
+
   /** Shannon entropy (nats) of the integer-bucketed value distribution
     * per key group: H = -sum_b p_b ln p_b over buckets b = floor(value).
     * Each p*ln(p) term is rounded to 6dp and summed as DECIMAL, making

@@ -139,6 +139,45 @@ object StatsQueries {
           col("cum_share"),
           (col("cum_share") <= 0.8).cast(LongType).as("in_top80"))
         .orderBy("o_custkey")
+    },
+
+    // Per-series OLS trend of value on the hour index since series start
+    // — slope/intercept/R² from one exact-moment grouped pass
+    // (StatsOps.olsTrend): the linear-trend probe of the reference's EDA
+    // notebooks, as a map-side-partial aggregate.
+    "ts_ols_trend" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("mn", min(col("tsu")).over(Window.partitionBy("user_id")))
+        .withColumn("x", expr("(tsu - mn) DIV 3600000000").cast(DoubleType))
+      StatsOps.olsTrend(e, Seq("user_id"), col("x"), col("value"))
+        .orderBy("user_id")
+    },
+
+    // Trailing-24 rolling skewness + excess kurtosis per series — the
+    // shape-change monitor (StatsOps.rollingSkewKurt): four DECIMAL
+    // power sums on one bounded ROWS window.
+    "ts_rolling_skew" -> { (s, d) =>
+      StatsOps.rollingSkewKurt(
+        Tables.events(s, d).withColumn("tsu", CleanFunctions.epochUs(col("ts"))),
+        Seq("user_id"), Seq("tsu", "event_id"), "value", 24)
+        .select("event_id", "n_frame", "roll_skew", "roll_kurt")
+        .orderBy("event_id")
+    },
+
+    // Theil-Sen robust trend per series over daily-mean buckets: median
+    // pairwise slope (StatsOps.theilSen) — one outlier day cannot drag
+    // it the way it drags ts_ols_trend. Bucketing first is the scale
+    // contract (pairs are O(days²)/series, not O(rows²)).
+    "ts_theilsen" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("day", expr("tsu DIV 86400000000"))
+      val daily = e.groupBy("user_id", "day")
+        .agg(CleanFunctions.exactMean(col("value")).as("m"))
+      StatsOps.theilSen(daily, Seq("user_id"), "day", "m")
+        .orderBy("user_id")
     })
 
   private val PsSqlList =
@@ -242,5 +281,77 @@ object StatsQueries {
          |  FROM rev)
          |SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue, cum_share,
          |  CAST(CASE WHEN cum_share <= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS in_top80
-         |FROM c ORDER BY o_custkey""".stripMargin)
+         |FROM c ORDER BY o_custkey""".stripMargin,
+
+    "ts_ols_trend" -> {
+      val slope = "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)"
+      val corr  = CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |x AS (
+         |  SELECT user_id,
+         |    CAST((tsu - min(tsu) OVER (PARTITION BY user_id)) // 3600000000 AS DOUBLE) AS x,
+         |    value AS y
+         |  FROM e),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("x")} AS sx, ${exactSumSql("y")} AS sy,
+         |    ${exactSumSql("x * y")} AS sxy, ${exactSumSql("x * x")} AS sxx,
+         |    ${exactSumSql("y * y")} AS syy
+         |  FROM x GROUP BY user_id)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+         |  ${round4Sql(slope)} AS slope,
+         |  ${round4Sql(s"(sy - ($slope) * sx) / n")} AS intercept,
+         |  ${round4Sql(s"($corr) * ($corr)")} AS r2
+         |FROM m ORDER BY user_id""".stripMargin
+    },
+
+    "ts_rolling_skew" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |s AS (
+         |  SELECT event_id,
+         |    CAST(count(*) OVER w AS DOUBLE) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(${round4Sql("value * value")} AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s2,
+         |    CAST(sum(CAST(${round4Sql("value * value * value")} AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s3,
+         |    CAST(sum(CAST(${round4Sql("value * value * value * value")} AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s4
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+         |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |m AS (SELECT event_id, n, s1 / n AS mean, s2, s3, s4 FROM s),
+         |g AS (SELECT *, greatest(s2 / n - mean * mean, 0.0) AS m2 FROM m)
+         |SELECT event_id, CAST(n AS BIGINT) AS n_frame,
+         |  ${round4Sql("(s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean) / nullif(sqrt(m2 * m2 * m2), 0.0)")} AS roll_skew,
+         |  ${round4Sql("(s4 / n - 4.0 * mean * (s3 / n) + 6.0 * (mean * mean) * (s2 / n) - 3.0 * (mean * mean) * (mean * mean)) / nullif(m2 * m2, 0.0) - 3.0")} AS roll_kurt
+         |FROM g ORDER BY event_id""".stripMargin,
+
+    "ts_theilsen" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events
+         |  WHERE value IS NOT NULL),
+         |d AS (
+         |  SELECT user_id, day, ${CleanFunctions.exactMeanSql("value")} AS m
+         |  FROM e GROUP BY user_id, day),
+         |p AS (
+         |  SELECT a.user_id AS user_id, (b.m - a.m) / CAST(b.day - a.day AS DOUBLE) AS v
+         |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.day < b.day),
+         |r AS (
+         |  SELECT user_id, v,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY v) - 1 AS rn0,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM p),
+         |f AS (
+         |  SELECT user_id, v, rn0,
+         |    CAST(n - 1 AS DOUBLE) * 0.5 AS h,
+         |    floor(CAST(n - 1 AS DOUBLE) * 0.5) AS lo,
+         |    ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS hi
+         |  FROM r
+         |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * 0.5)
+         |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * 0.5))
+         |SELECT user_id,
+         |  ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(h) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS theil_slope
+         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

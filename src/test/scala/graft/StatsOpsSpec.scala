@@ -80,6 +80,47 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(c.count() == ev.count())
   }
 
+  test("olsTrend recovers an exact line and nulls out zero x-variance") {
+    import spark.implicits._
+    val line  = (0 until 20).map(i => ("line", i.toDouble, 2.0 * i + 3.0))
+    val const = (0 until 5).map(_ => ("constx", 7.0, 1.0))
+    val got = StatsOps.olsTrend((line ++ const).toDF("k", "x", "y"),
+        Seq("k"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("line").getLong(1) == 20)
+    assert(got("line").getDouble(2) == 2.0 && got("line").getDouble(3) == 3.0)
+    assert(got("line").getDouble(4) == 1.0)
+    assert(got("constx").isNullAt(2) && got("constx").isNullAt(3))
+  }
+
+  test("rollingSkewKurt: symmetric frame skew 0, known kurtosis, constant nulls") {
+    import spark.implicits._
+    // One key whose 4th frame is exactly [1,2,3,4] (symmetric), one
+    // constant key (m2 = 0 -> nulls on every row).
+    val df = Seq(("s", 1L, 1.0), ("s", 2L, 2.0), ("s", 3L, 3.0), ("s", 4L, 4.0),
+      ("c", 1L, 5.0), ("c", 2L, 5.0), ("c", 3L, 5.0))
+      .toDF("k", "i", "v")
+    val got = StatsOps.rollingSkewKurt(df, Seq("k"), Seq("i"), "v", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val s4 = got(("s", 4L))
+    assert(s4.getAs[Long]("n_frame") == 4)
+    assert(s4.getAs[Double]("roll_skew") == 0.0)
+    // frame [1,2,3,4]: m2 = 1.25, m4 = 2.5625 -> excess kurt = -1.36
+    assert(math.abs(s4.getAs[Double]("roll_kurt") - (-1.36)) < 1e-9)
+    assert(got(("c", 3L)).isNullAt(got(("c", 3L)).fieldIndex("roll_skew")))
+  }
+
+  test("theilSen ignores the outlier day that drags OLS") {
+    import spark.implicits._
+    val days = (0L until 10L).map(d => ("u", d, if (d == 9) 100.0 else d.toDouble))
+    val df = days.toDF("k", "day", "m")
+    val ts = StatsOps.theilSen(df, Seq("k"), "day", "m").head.getDouble(1)
+    assert(ts == 1.0, s"median pairwise slope should be the clean 1.0, got $ts")
+    val ols = StatsOps.olsTrend(df, Seq("k"), col("day").cast("double"), col("m"))
+      .head.getAs[Double]("slope")
+    assert(ols > 3.0, s"OLS should be dragged by the outlier, got $ols")
+  }
+
   test("bucketEntropy: constant series is 0, uniform over k buckets is ln k") {
     import spark.implicits._
     val df = (Seq.fill(40)("const" -> 5.2) ++
