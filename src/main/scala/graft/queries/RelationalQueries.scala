@@ -486,6 +486,51 @@ object RelationalQueries {
         .where(branch1 || branch2 || branch3)
         .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
           .cast("double").as("revenue"))
+    },
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier →
+    // global max → join-back, keeping ALL tied suppliers. The tie compare
+    // runs on the EXACT DECIMAL revenue (a double compare could split a
+    // tie differently per engine). Scale: the revenue view is
+    // O(#suppliers) after its map-side-partial agg, the max is a 1-row
+    // broadcast, the supplier join-back is stats-chosen.
+    "q15_top_supplier" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          to_date(col("l_shipdate")) < lit(java.sql.Date.valueOf("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      Tables.supplier(s, d)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("total_rev") === col("max_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          CleanFunctions.round4(col("total_rev").cast("double")).as("total_rev"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q22 shape (global-threshold anti join): positive-balance
+    // customers above the GLOBAL average balance with no order since
+    // 2000 (churned high-value accounts), counted per nation. The
+    // average is an exact-mean 1-row broadcast (identical filter
+    // decision on both engines), the churn test is a left-anti join on
+    // the date-filtered orders side (pushdown-pruned before the join),
+    // nation a bounded-dim broadcast.
+    "q22_idle_customers" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val recent = Tables.orders(s, d)
+        .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("2000-01-01")))
+      val avgBal = c.where(col("c_acctbal") > 0.0)
+        .agg((exactSum(col("c_acctbal")) / count(col("c_acctbal"))).as("avg_bal"))
+      c.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          CleanFunctions.round4(exactSum(col("c_acctbal"))).as("totacctbal"))
+        .orderBy("n_name")
     }
   )
 
@@ -700,6 +745,31 @@ object RelationalQueries {
         |CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY CUBE (et, h))
         |SELECT coalesce(et, '(all)') AS event_type, coalesce(h, -1) AS hour, n, sum_value
-        |FROM r ORDER BY event_type, hour""".stripMargin
+        |FROM r ORDER BY event_type, hour""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+         |  FROM lineitem
+         |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+         |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, ${CleanFunctions.round4Sql("CAST(total_rev AS DOUBLE)")} AS total_rev
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q22_idle_customers" ->
+      s"""WITH a AS (
+         |  SELECT ${CleanFunctions.exactSumSql("c_acctbal")} / count(c_acctbal) AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0.0)
+         |SELECT n_name, count(*) AS numcust,
+         |  ${CleanFunctions.round4Sql(CleanFunctions.exactSumSql("c_acctbal"))} AS totacctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey, a
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }
