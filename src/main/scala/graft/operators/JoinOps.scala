@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join strategies for skew, in preference order:
@@ -49,4 +49,37 @@ object JoinOps {
                 loCol: String, hiCol: String): DataFrame =
     facts.join(broadcast(intervals),
       col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+
+  /** Interval-interval OVERLAP join on a shared bucket grid — the
+    * large×large interval shape where [[rangeJoin]]'s broadcast contract
+    * breaks (BOTH sides corpus-proportional: sessions × sessions,
+    * sessions × outages). Each side explodes its CLOSED [lo, hi]
+    * interval (integral units, e.g. epoch micros) into the `span`-sized
+    * grid buckets it covers, turning the overlap match into a bucket
+    * equi-join — ONE shuffle on bucket — with the exact predicate
+    * `lLo <= rHi && rLo <= lHi` re-checked on the joined rows. A pair
+    * sharing several buckets would duplicate; the canonical-bucket guard
+    * (joined bucket == the overlap's own start bucket,
+    * greatest(lLo,rLo) DIV span) keeps exactly one copy with NO distinct
+    * shuffle. Size `span` near the typical interval length: too small
+    * explodes fan-out, too large piles pairs into few buckets (the same
+    * trade as LSH band width). Column names must differ across sides.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  lLo: String, lHi: String, rLo: String, rHi: String,
+                  span: Long, extra: Column = lit(true)): DataFrame = {
+    require(span > 0, s"span=$span must be positive")
+    require(Seq(lLo, lHi, rLo, rHi).distinct.size == 4,
+      s"interval column names must be distinct across sides: $lLo/$lHi vs $rLo/$rHi")
+    val lb = left.withColumn("_ov_bl",
+      explode(sequence(expr(s"$lLo DIV ${span}L"), expr(s"$lHi DIV ${span}L"))))
+    val rb = right.withColumn("_ov_br",
+      explode(sequence(expr(s"$rLo DIV ${span}L"), expr(s"$rHi DIV ${span}L"))))
+    lb.join(rb,
+        lb("_ov_bl") === rb("_ov_br") &&
+          col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+          lb("_ov_bl") === expr(s"greatest($lLo, $rLo) DIV ${span}L") &&
+          extra)
+      .drop("_ov_bl", "_ov_br")
+  }
 }

@@ -505,6 +505,29 @@ object OpsQueries {
         DataQuality.nullCount(e, "events_null_value", "value"),
         DataQuality.dupKeys(e, "events_dup_user_ts", Seq("user_id", "tsu")),
         DataQuality.predicateViolations(e, "events_value_out_of_range", abs(col("value")) > 1e6)))
+    },
+
+    // Concurrent-session pairs across users on one day: who was co-online
+    // with whom, for how long. Interval×interval overlap via the
+    // bucket-grid JoinOps.overlapJoin — BOTH sides scale with the corpus
+    // (sessions), so rangeJoin's broadcast-small-side contract does not
+    // apply; the grid turns it into one bucket equi-join shuffle with the
+    // canonical-bucket dedup guard. Overlap durations are exact integer
+    // microseconds — no float rounding anywhere.
+    "events_session_overlap" -> { (s, d) =>
+      val jan15 = java.time.LocalDate.of(2024, 1, 15).toEpochDay
+      val sess = TS.sessionize(ev(s, d), K, Ord, "tsu", 30L * 60 * 1000000)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("tsu")).as("lo"), max(col("tsu")).as("hi"))
+        .where(expr(s"lo DIV 86400000000 = $jan15"))
+      val a = sess.select(col("user_id").as("u1"), col("lo").as("lo1"), col("hi").as("hi1"))
+      val b = sess.select(col("user_id").as("u2"), col("lo").as("lo2"), col("hi").as("hi2"))
+      graft.operators.JoinOps.overlapJoin(a, b, "lo1", "hi1", "lo2", "hi2",
+          OneHourUs, col("u1") < col("u2"))
+        .groupBy("u1", "u2")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("hi1"), col("hi2")) - greatest(col("lo1"), col("lo2"))).as("overlap_us"))
+        .orderBy("u1", "u2")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -882,5 +905,25 @@ object OpsQueries {
         |                                 THEN (user_id, epoch_us(ts)) END) FROM events
         |  UNION ALL SELECT 'events_value_out_of_range',
         |         count(CASE WHEN abs(value) > 1000000.0 THEN 1 END) FROM events
-        |) ORDER BY "check"""".stripMargin)
+        |) ORDER BY "check"""".stripMargin,
+
+    "events_session_overlap" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+         |f AS (SELECT user_id, event_id, tsu,
+         |  CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > ${30L * 60 * 1000000}
+         |       THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |s AS (SELECT user_id, tsu,
+         |  sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM f),
+         |i AS (SELECT user_id, session_id, min(tsu) AS lo, max(tsu) AS hi
+         |      FROM s GROUP BY 1, 2),
+         |d AS (SELECT * FROM i
+         |      WHERE lo // 86400000000 = ${java.time.LocalDate.of(2024, 1, 15).toEpochDay})
+         |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps,
+         |  sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS overlap_us
+         |FROM d a JOIN d b
+         |  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

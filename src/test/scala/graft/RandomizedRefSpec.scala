@@ -197,6 +197,28 @@ class RandomizedRefSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("overlapJoin equals the predicate cross join on random intervals, any span") {
+    val rng = new scala.util.Random(53)
+    def ivals(n: Int, id: String, lo: String, hi: String) =
+      (1 to n).map { i =>
+        val l = rng.nextInt(10000).toLong
+        (i.toLong, l, l + rng.nextInt(300).toLong) // incl. zero-length points
+      }.toDF(id, lo, hi)
+    val a = ivals(300, "ida", "lo1", "hi1")
+    val b = ivals(300, "idb", "lo2", "hi2")
+    val want = a.crossJoin(b)
+      .filter(col("lo1") <= col("hi2") && col("lo2") <= col("hi1"))
+      .select("ida", "idb")
+    for (span <- Seq(7L, 100L, 5000L)) { // smaller / near / larger than intervals
+      val got = graft.operators.JoinOps.overlapJoin(a, b, "lo1", "hi1", "lo2", "hi2", span)
+        .select("ida", "idb")
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"overlapJoin(span=$span) diverges from the predicate join")
+      assert(got.count() == got.distinct().count(),
+        s"overlapJoin(span=$span) emitted duplicate pairs — canonical-bucket guard broken")
+    }
+  }
+
   test("interpolateTime matches a driver-side reference on random gappy series") {
     val rng = new scala.util.Random(47)
     val rows = (1 to 600).map { i =>
