@@ -27,6 +27,7 @@ object DedupQueries {
   private val K = GraftConfig.ShingleSize // 3-token shingles
   private val MaxShingleDf = 100 // df-pruning bound for the shingle self-join
   private val JaccardThreshold = 0.8
+  private val ContainmentThreshold = 0.9
   private val MinhashVerifyThreshold = 0.7
   // Shared with the CorpusDedup API so the oracle SQL can never drift
   // from what the delegating queries compute.
@@ -91,6 +92,35 @@ object DedupQueries {
         .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_id_a"), col("doc_id_b"), graft.functions.CleanFunctions.round4(col("jaccard")).as("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // Asymmetric CONTAINMENT near-dup (Broder): |A∩B|/|A| — the
+    // doc-inside-doc case Jaccard structurally misses (a short doc fully
+    // quoted in a long one has low Jaccard but containment ≈ 1). Same
+    // df-pruned shingle-hash equi-join as dedup_ngram_jaccard; each
+    // unordered pair carries BOTH directions, kept when either clears
+    // the threshold.
+    "dedup_containment" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sets = shingleSets(s, d).cache()
+      val ex = sets
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("sh_s"))
+        .select(col("doc_id"), col("n"), CleanFunctions.md5Hash64(col("sh_s")).as("s"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("df") <= MaxShingleDf)
+        .drop("df")
+      val pairs = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).cast(DoubleType).as("common"))
+      pairs
+        .filter(col("common") / col("na") >= ContainmentThreshold ||
+          col("common") / col("nb") >= ContainmentThreshold)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          CleanFunctions.round4(col("common") / col("na")).as("cont_a_in_b"),
+          CleanFunctions.round4(col("common") / col("nb")).as("cont_b_in_a"))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
@@ -305,6 +335,20 @@ object DedupQueries {
          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
          |SELECT doc_id_a, doc_id_b, round((common / (na + nb - common)) * 10000.0) / 10000.0 AS jaccard
          |FROM p WHERE common / (na + nb - common) >= $JaccardThreshold
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $shingleSetsSql,
+         |ex0 AS (SELECT doc_id, len(sh) AS n, ${CleanFunctions.md5Hash64Sql("unnest(sh)")} AS s FROM sset),
+         |ex AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY s) <= $MaxShingleDf),
+         |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb,
+         |  CAST(count(*) AS DOUBLE) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
+         |SELECT doc_id_a, doc_id_b,
+         |  ${CleanFunctions.round4Sql("common / na")} AS cont_a_in_b,
+         |  ${CleanFunctions.round4Sql("common / nb")} AS cont_b_in_a
+         |FROM p
+         |WHERE common / na >= $ContainmentThreshold OR common / nb >= $ContainmentThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "dedup_minhash_lsh" -> {

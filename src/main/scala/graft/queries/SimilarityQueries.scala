@@ -247,6 +247,41 @@ object SimilarityQueries {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1).drop("rk")
         .orderBy("vec_id")
+    },
+
+    // Simplified (centroid-based) silhouette of the k-means assignment:
+    // a = dist to own centroid, b = dist to nearest OTHER centroid,
+    // s = (b−a)/max(a,b) ∈ [−1,1] — the cluster-quality gate before
+    // trusting assignments downstream (s ≈ 0 rows sit on a boundary).
+    // Same 16-seed centroids and rounded-dist2 ranking as
+    // emb_kmeans_assign; the per-vector window spans only the k centroid
+    // rows, so state is O(k) at any corpus scale.
+    "emb_silhouette" -> { (s, d) =>
+      import graft.functions.CleanFunctions
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .groupBy(col("vec_id").as("centroid_id"))
+        .agg(first(col("embedding")).as("c_emb"))
+      val dist2 = CleanFunctions.round4(
+        TextFunctions.dot(col("embedding"), col("embedding"))
+          - lit(2.0) * TextFunctions.dot(col("embedding"), col("c_emb"))
+          + TextFunctions.dot(col("c_emb"), col("c_emb")))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist2").asc, col("centroid_id").asc)
+      val a = sqrt(greatest(col("d1"), lit(0.0)))
+      val b = sqrt(greatest(col("d2"), lit(0.0)))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"), dist2.as("dist2"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(min(when(col("rk") === 1, col("centroid_id"))).as("cluster"),
+          min(when(col("rk") === 1, col("dist2"))).as("d1"),
+          min(when(col("rk") === 2, col("dist2"))).as("d2"))
+        .select(col("vec_id"), col("cluster"),
+          CleanFunctions.round4((b - a) / nullif(greatest(a, b), lit(0.0)))
+            .as("silhouette"))
+        .orderBy("vec_id")
     }
   )
 
@@ -265,6 +300,26 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.centroid_id) AS rk
          |  FROM embeddings e CROSS JOIN c)
          |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    "emb_silhouette" -> {
+      val d2 = s"round(((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.c_emb")} + ${dotSql("c.c_emb", "c.c_emb")})) * 10000.0) / 10000.0"
+      s"""WITH c AS (
+         |  SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 16),
+         |r AS (
+         |  SELECT e.vec_id, c.centroid_id, $d2 AS dist2,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.centroid_id) AS rk
+         |  FROM embeddings e CROSS JOIN c),
+         |g AS (
+         |  SELECT vec_id,
+         |    min(CASE WHEN rk = 1 THEN centroid_id END) AS cluster,
+         |    sqrt(greatest(min(CASE WHEN rk = 1 THEN dist2 END), 0.0)) AS a,
+         |    sqrt(greatest(min(CASE WHEN rk = 2 THEN dist2 END), 0.0)) AS b
+         |  FROM r WHERE rk <= 2 GROUP BY vec_id)
+         |SELECT vec_id, cluster,
+         |  ${graft.functions.CleanFunctions.round4Sql("(b - a) / nullif(greatest(a, b), 0.0)")} AS silhouette
+         |FROM g ORDER BY vec_id""".stripMargin
     },
 
     "sql_surface" ->

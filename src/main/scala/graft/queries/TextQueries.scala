@@ -177,6 +177,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet-style LM cross-entropy scoring (Wenzek et al.): a unigram LM
+    // with Laplace smoothing is fit on the ENGLISH slice and scores
+    // EVERY doc — off-domain/off-language docs surface as high
+    // cross-entropy, the classic LM-perplexity filter of LLM data
+    // pipelines. The LM is O(vocab) after one grouped agg (optimizer
+    // decides the token join); N/V are a 1-row broadcast; per-token
+    // -ln p terms are 6dp-rounded DECIMAL sums (engine-exact, the
+    // text_rarity pattern).
+    "text_crossentropy" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val docToks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val lm = docs.where(col("lang") === "en")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+      val scal = lm.agg(sum(col("tf")).as("nn"), count(lit(1)).as("vv"))
+      docToks.join(lm, Seq("tok"), "left")
+        .crossJoin(broadcast(scal))
+        .withColumn("lp", CleanFunctions.round6(
+          -log((coalesce(col("tf"), lit(0L)) + lit(1L)).cast(DoubleType) /
+            (col("nn") + col("vv")).cast(DoubleType))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          CleanFunctions.round4(
+            CleanFunctions.exactSum(col("lp")) / count(lit(1))).as("cross_entropy"))
+        .orderBy("doc_id")
+    },
+
     // Stratified deterministic sampling — the data-MIXING primitive:
     // down/up-weight strata (language here) by per-stratum keep rates
     // when composing a training corpus. Same md5-bucket determinism as
@@ -472,6 +500,21 @@ object TextQueries {
            |  ${CleanFunctions.round4Sql(
                 CleanFunctions.exactSumSql("round(ln(n_docs / df) * 1000000.0) / 1000000.0") + " / count(*)")} AS rarity
            |FROM tk JOIN f USING (tok) CROSS JOIN n
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "text_crossentropy" ->
+        s"""WITH dt AS (SELECT doc_id, unnest(${TextFunctions.tokensSql("text")}) AS tok
+           |  FROM documents),
+           |lm AS (SELECT tok, count(*) AS tf FROM (
+           |    SELECT unnest(${TextFunctions.tokensSql("text")}) AS tok
+           |    FROM documents WHERE lang = 'en') GROUP BY tok),
+           |sc AS (SELECT sum(tf) AS nn, count(*) AS vv FROM lm)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  ${CleanFunctions.round4Sql(
+              CleanFunctions.exactSumSql(
+                "round((-ln(CAST(coalesce(tf, 0) + 1 AS DOUBLE) / CAST(nn + vv AS DOUBLE))) * 1000000.0) / 1000000.0") +
+              " / count(*)")} AS cross_entropy
+           |FROM dt LEFT JOIN lm USING (tok) CROSS JOIN sc
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "text_sample_stratified" ->

@@ -162,6 +162,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("containment catches a doc-in-doc pair that Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    val cont = SparkEntry.queries("dedup_containment")(spark, sfDir).cache()
+    assert(cont.count() > 0, "no containment pairs in testdata")
+    val bounds = cont.filter(col("cont_a_in_b") > 1.0001 || col("cont_b_in_a") > 1.0001 ||
+      (col("cont_a_in_b") < 0.9 && col("cont_b_in_a") < 0.9)).count()
+    assert(bounds == 0, "containment outside [threshold, 1]")
+    // Invariant vs Jaccard on shared pairs: J = |∩|/|∪| <= |∩|/max(|A|,|B|)
+    // <= max-direction containment (this testdata's near-dups are full
+    // near-copies, so the doc-in-doc asymmetric case itself doesn't
+    // occur here — that semantics is pinned by the exact DuckDB oracle).
+    val jac = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+    val violated = cont.join(jac, Seq("doc_id_a", "doc_id_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) < col("jaccard") - 1e-4)
+      .count()
+    assert(violated == 0, "max containment must dominate Jaccard on shared pairs")
+  }
+
+  test("cross-entropy separates in-domain (en) from off-domain docs") {
+    import org.apache.spark.sql.functions._
+    val ce = SparkEntry.queries("text_crossentropy")(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val m = ce.join(docs, "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("cross_entropy").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) < m(false),
+      s"en docs should score lower CE under the en LM: ${m(true)} vs ${m(false)}")
+  }
+
+  test("silhouette lies in [-1,1] and is 1 for the seed centroids themselves") {
+    import org.apache.spark.sql.functions._
+    val sil = SparkEntry.queries("emb_silhouette")(spark, sfDir).cache()
+    assert(sil.filter(col("silhouette") < -1.0001 || col("silhouette") > 1.0001).count() == 0)
+    val seeds = sil.filter(col("vec_id") < 16)
+    assert(seeds.filter(col("silhouette") =!= 1.0).count() == 0,
+      "a seed vector's own-centroid distance is 0, so its silhouette must be 1")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
