@@ -591,6 +591,63 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** 1-D Kalman filter (local-level / random-walk-plus-noise model),
+    * emitted PER ROW: the streaming state estimator behind sensor
+    * denoising and online level tracking. Recurrence per observation z:
+    * predict p' = p + q; gain k = p'/(p' + r); update est += k(z − est);
+    * p = (1 − k)p'. Init: est = z₀, p = r, gain 1. Like [[holtPath]]
+    * this is a keyed repartition + sorted in-partition scan with O(1)
+    * state per series (the recurrence is not window-expressible), and
+    * the DuckDB twin replays the identical IEEE fold with a recursive
+    * CTE — exact parity. Null targets emit null and leave the fold
+    * untouched. Note p and k depend only on (q, r, step index), never on
+    * the data — the gain path is deterministic, which the spec exploits.
+    */
+  def kalmanPath(df: DataFrame, keys: Seq[String], order: Seq[String],
+                 target: String, q: Double, r: Double,
+                 numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "kalmanPath needs series keys")
+    require(q > 0 && r > 0, s"variances must be positive: q=$q r=$r")
+    require(!df.columns.contains("estimate") && !df.columns.contains("gain"),
+      "kalmanPath: input already has an estimate/gain column")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn("__kal_in", col(target).cast(DoubleType))
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields ++
+      Seq(StructField("estimate", DoubleType), StructField("gain", DoubleType)))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val tIdx = sorted.schema.fieldIndex("__kal_in")
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var est = 0.0; var p = 0.0; var seen = false
+        rows.map { row =>
+          val k = keyIdx.map(row.get)
+          if (k != curKey) { curKey = k; seen = false }
+          val state: Seq[Any] =
+            if (row.isNullAt(tIdx)) Seq(null, null)
+            else {
+              val z = row.getDouble(tIdx)
+              if (!seen) { est = z; p = r; seen = true; Seq(est, 1.0) }
+              else {
+                val pp = p + q
+                val kk = pp / (pp + r)
+                est = est + kk * (z - est)
+                p = (1.0 - kk) * pp
+                Seq(est, kk)
+              }
+            }
+          // Drop the shadow column (last) and append (estimate, gain).
+          Row.fromSeq(row.toSeq.init ++ state)
+        }
+      }, schema)
+  }
+
   /** One-sided upper CUSUM with reset (the SPC control-chart statistic):
     * s_t = max(0, s_{t-1} + (x_t - target_t - slack_t)), emitted PER ROW.
     * The reset (max with 0) makes the recurrence non-window-expressible,

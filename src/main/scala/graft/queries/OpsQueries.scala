@@ -35,6 +35,12 @@ object OpsQueries {
   private val HoltGamma = 0.3
   private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
 
+  /** Kalman local-level variances (process / measurement), sized to the
+    * events value scale (sigma ~5 measurement noise, modest drift).
+    */
+  private val KalmanQ = 4.0
+  private val KalmanR = 25.0
+
   /** Candidate periods (hours) for spectral seasonality detection. */
   private val SpectralPeriods = Seq(24, 12, 8, 6)
 
@@ -103,6 +109,19 @@ object OpsQueries {
           K, Ord, "value", HoltAlpha, HoltGamma)
         .select(col("event_id"), round4(col("level")).as("level"),
           round4(col("trend")).as("trend"))
+        .orderBy("event_id")
+    },
+
+    // 1-D Kalman filter path (local-level model): per-row denoised level
+    // estimate + gain — the third recursive operator with an EXACT
+    // recursive-CTE oracle (after Holt and CUSUM-reset). q/r picked for
+    // the events value scale; the gain path converges in a few steps
+    // regardless.
+    "ts_kalman" -> { (s, d) =>
+      TS.kalmanPath(ev(s, d).where(col("value").isNotNull),
+          K, Ord, "value", KalmanQ, KalmanR)
+        .select(col("event_id"), round4(col("estimate")).as("estimate"),
+          round4(col("gain")).as("gain"))
         .orderBy("event_id")
     },
 
@@ -621,6 +640,28 @@ object OpsQueries {
          |  FROM holt h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
          |SELECT event_id, ${round4Sql("l")} AS level, ${round4Sql("b")} AS trend
          |FROM holt ORDER BY event_id""".stripMargin
+    },
+
+    "ts_kalman" -> {
+      val q = dlit(KalmanQ); val r = dlit(KalmanR)
+      val pp = s"(h.p + $q)"
+      val kk = s"(($pp) / (($pp) + $r))"
+      s"""WITH RECURSIVE v AS (
+         |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |kal AS (
+         |  SELECT user_id, event_id, rn, value AS est, $r AS p,
+         |    CAST(1.0 AS DOUBLE) AS gain
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.user_id, v.event_id, v.rn,
+         |    h.est + ($kk) * (v.value - h.est) AS est,
+         |    (1.0 - ($kk)) * ($pp) AS p,
+         |    $kk AS gain
+         |  FROM kal h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
+         |SELECT event_id, ${round4Sql("est")} AS estimate, ${round4Sql("gain")} AS gain
+         |FROM kal ORDER BY event_id""".stripMargin
     },
 
     "events_attribution" ->

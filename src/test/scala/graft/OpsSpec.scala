@@ -200,6 +200,55 @@ class OpsSpec extends AnyFunSuite {
     assert(failed === 1L)
   }
 
+  test("kalmanPath matches the hand-computed local-level recurrence") {
+    val df = Seq(
+      (1L, 0L * H, 1L, 10.0), (2L, 1L * H, 1L, 12.0), (3L, 2L * H, 1L, 11.0)
+    ).toDF("id", "tsu", "k", "v")
+    val out = TimeSeriesOps.kalmanPath(df, K, Ord, "v", q = 4.0, r = 25.0)
+      .orderBy("id").select("estimate", "gain")
+      .as[(Double, Double)].collect().toSeq
+    // Row 1: est=10, p=25, gain=1. Row 2: pp=29, k=29/54,
+    // est=10+k*2, p=(1-k)*29. Row 3: pp=p+4, k3=pp/(pp+25),
+    // est3 = est2 + k3*(11-est2).
+    val k2 = 29.0 / 54.0
+    val e2 = 10.0 + k2 * (12.0 - 10.0)
+    val p2 = (1.0 - k2) * 29.0
+    val pp3 = p2 + 4.0
+    val k3 = pp3 / (pp3 + 25.0)
+    val e3 = e2 + k3 * (11.0 - e2)
+    assert(out === Seq((10.0, 1.0), (e2, k2), (e3, k3)))
+  }
+
+  test("kalmanPath is partition-invariant and passes nulls through") {
+    val rows = (1L to 400L).map { i =>
+      val v = if (i % 9 == 0) None else Some(math.sin(i.toDouble) * 40.0)
+      (i, (i % 13) * H, i % 5, v)
+    }
+    val df = rows.toDF("id", "tsu", "k", "v")
+    val a = TimeSeriesOps.kalmanPath(df, K, Ord, "v", 4.0, 25.0, numPartitions = 2)
+      .orderBy("id").select("id", "estimate", "gain").collect().toSeq
+    val b = TimeSeriesOps.kalmanPath(df, K, Ord, "v", 4.0, 25.0, numPartitions = 11)
+      .orderBy("id").select("id", "estimate", "gain").collect().toSeq
+    assert(a === b)
+    val nullRows = TimeSeriesOps.kalmanPath(df, K, Ord, "v", 4.0, 25.0)
+      .where(col("v").isNull)
+    assert(nullRows.where(col("estimate").isNotNull || col("gain").isNotNull).count() == 0)
+  }
+
+  test("kalmanPath denoises: estimate tracks a constant level better than raw") {
+    val rng = new scala.util.Random(61)
+    val truth = 50.0
+    val df = (1L to 500L).map(i => (i, i * H, 1L, truth + rng.nextGaussian() * 5.0))
+      .toDF("id", "tsu", "k", "v")
+    val scored = TimeSeriesOps.kalmanPath(df, K, Ord, "v", q = 0.01, r = 25.0)
+      .where(col("id") > 20) // past gain warm-up
+      .agg(avg(abs(col("estimate") - truth)).as("est_err"),
+        avg(abs(col("v") - truth)).as("raw_err"))
+      .as[(Double, Double)].head()
+    assert(scored._1 < scored._2 / 2.0,
+      s"Kalman estimate should at least halve the raw noise: $scored")
+  }
+
   test("DataQuality checks count nulls, dup keys and FK orphans exactly") {
     val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
     val child = Seq(
