@@ -166,6 +166,58 @@ object StatsQueries {
         .orderBy("event_id")
     },
 
+    // Rolling lag-1 autocorrelation over the trailing 24 samples — the
+    // local-persistence / regime indicator (white noise ~0, trending ~1,
+    // mean-reverting < 0). Six DECIMAL window sums on one bounded ROWS
+    // frame + the shared momentCorr closed form; constant frames null
+    // out via the clamped variance.
+    "ts_rolling_corr" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w0 = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val wf = w0.rowsBetween(-23, Window.currentRow)
+      def decSum(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(18, 6))).over(wf).cast(DoubleType)
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("y", lag(col("value"), 1).over(w0))
+        .where(col("y").isNotNull)
+      e.withColumn("n", count(lit(1)).over(wf).cast(DoubleType))
+        .withColumn("sx", decSum(col("value")))
+        .withColumn("sy", decSum(col("y")))
+        .withColumn("sxy", decSum(round4(col("value") * col("y"))))
+        .withColumn("sxx", decSum(round4(col("value") * col("value"))))
+        .withColumn("syy", decSum(round4(col("y") * col("y"))))
+        .select(col("event_id"),
+          // n=1 frames are 0/0 on independently-rounded moments (junk
+          // like sqrt(2)); near-constant frames can breach |1| by a
+          // rounding hair. Null the former, clamp the latter — the
+          // moments are engine-identical, so both decisions agree.
+          round4(when(col("n") > 1.0,
+            least(greatest(CleanFunctions.momentCorr(col("n"), col("sx"), col("sy"),
+              col("sxy"), col("sxx"), col("syy")), lit(-1.0)), lit(1.0))))
+            .as("roll_corr"))
+        .orderBy("event_id")
+    },
+
+    // 10%-trimmed mean per series — the robust location estimate (drop
+    // the k = floor(n/10) smallest and largest samples by rank, average
+    // the rest). Rank/keep decisions are pure INTEGER arithmetic so both
+    // engines trim the identical multiset; the mean is DECIMAL-exact.
+    "ts_trimmed_mean" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wSort = Window.partitionBy("user_id").orderBy("value", "event_id")
+      val wAll  = Window.partitionBy("user_id")
+      Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("rn", row_number().over(wSort).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("k", expr("n DIV 10"))
+        .where(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_used"),
+          round4(CleanFunctions.exactMean(col("value"))).as("trimmed_mean"))
+        .orderBy("user_id")
+    },
+
     // Theil-Sen robust trend per series over daily-mean buckets: median
     // pairwise slope (StatsOps.theilSen) — one outlier day cannot drag
     // it the way it drags ts_ols_trend. Bucketing first is the scale
@@ -327,6 +379,43 @@ object StatsQueries {
          |  ${round4Sql("(s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean) / nullif(sqrt(m2 * m2 * m2), 0.0)")} AS roll_skew,
          |  ${round4Sql("(s4 / n - 4.0 * mean * (s3 / n) + 6.0 * (mean * mean) * (s2 / n) - 3.0 * (mean * mean) * (mean * mean)) / nullif(m2 * m2, 0.0) - 3.0")} AS roll_kurt
          |FROM g ORDER BY event_id""".stripMargin,
+
+    "ts_rolling_corr" -> {
+      val corr = CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT event_id, user_id, tsu, value,
+         |    lag(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS y
+         |  FROM e),
+         |f AS (SELECT * FROM l WHERE y IS NOT NULL),
+         |s AS (
+         |  SELECT event_id,
+         |    CAST(count(*) OVER w AS DOUBLE) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(${round4Sql("value * y")} AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(${round4Sql("value * value")} AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(${round4Sql("y * y")} AS DECIMAL(18,6))) OVER w AS DOUBLE) AS syy
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+         |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         |SELECT event_id,
+         |  ${round4Sql(s"CASE WHEN n > 1.0 THEN least(greatest($corr, -1.0), 1.0) END")} AS roll_corr
+         |FROM s ORDER BY event_id""".stripMargin
+    },
+
+    "ts_trimmed_mean" ->
+      s"""WITH r AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT user_id, count(*) AS n_used,
+         |  ${round4Sql(CleanFunctions.exactMeanSql("value"))} AS trimmed_mean
+         |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts_theilsen" ->
       s"""WITH e AS (

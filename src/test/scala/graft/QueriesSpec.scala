@@ -200,6 +200,24 @@ class QueriesSpec extends AnyFunSuite {
       "a seed vector's own-centroid distance is 0, so its silhouette must be 1")
   }
 
+  test("rolling lag-1 correlation stays in [-1,1]") {
+    import org.apache.spark.sql.functions._
+    val rc = SparkEntry.queries("ts_rolling_corr")(spark, sfDir)
+    assert(rc.filter(col("roll_corr") < -1.0001 || col("roll_corr") > 1.0001).count() == 0)
+  }
+
+  test("trimmed mean drops exactly 2*floor(n/10) samples per series") {
+    import org.apache.spark.sql.functions._
+    val tm = SparkEntry.queries("ts_trimmed_mean")(spark, sfDir)
+    val n = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val bad = tm.join(n, "user_id")
+      .filter(col("n_used") =!= col("n") - lit(2) * (col("n") / 10).cast("long"))
+      .count()
+    assert(bad == 0, "trim count drifted from n - 2*floor(n/10)")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
