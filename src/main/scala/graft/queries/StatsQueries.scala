@@ -24,6 +24,16 @@ object StatsQueries {
 
   private val Ps = Seq(0.25, 0.5, 0.9)
 
+  /** Exact-double literal shared with the SQL twin (a decimal literal in
+    * SQL could parse to a different double than Scala computed).
+    */
+  private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+
+  /** Benford expected first-digit shares log10(1 + 1/d), d = 1..9 —
+    * computed ONCE here and baked as literals into both engines.
+    */
+  private val BenfordExp: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact PERCENTILE_CONT per series via rank interpolation — no
     // per-group value buffering (Spark's percentile UDAF would hold every
@@ -139,6 +149,69 @@ object StatsQueries {
           col("cum_share"),
           (col("cum_share") <= 0.8).cast(LongType).as("in_top80"))
         .orderBy("o_custkey")
+    },
+
+    // Benford first-significant-digit chi-square per event_type — the
+    // fraud/data-fabrication screen in the DQ toolbox. The digit comes
+    // from INTEGER cents (round(value*100) → BIGINT → first char), never
+    // log10 of the value, so digit boundaries can't flip in the last
+    // ulp; expected shares are literal doubles baked into both engines;
+    // zero-observation digits enter the statistic via a digit spine.
+    "events_benford" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value") > 0.0)
+        .withColumn("digit",
+          substring(round(col("value") * 100.0).cast(LongType).cast("string"), 1, 1)
+            .cast(LongType))
+      val obs = e.groupBy("event_type", "digit").agg(count(lit(1)).as("obs"))
+      val tot = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val spine = tot.select(col("event_type"), col("n"),
+        explode(array((1 to 9).map(i => lit(i.toLong)): _*)).as("digit"))
+      val exp9 = element_at(array(BenfordExp.map(lit): _*), col("digit").cast("int"))
+      val term = {
+        val o = coalesce(col("obs"), lit(0L)).cast(DoubleType)
+        val ne = col("n").cast(DoubleType) * col("e")
+        CleanFunctions.round6((o - ne) * (o - ne) / ne)
+      }
+      spine.join(obs, Seq("event_type", "digit"), "left")
+        .withColumn("e", exp9)
+        .withColumn("term", term.cast(DecimalType(18, 6)))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"),
+          round4(sum(col("term")).cast(DoubleType)).as("chi2"))
+        .orderBy("event_type")
+    },
+
+    // Mann-Whitney U / rank-sum test between click and view value
+    // distributions — the nonparametric A/B sibling of
+    // events_two_sample_z (no normality assumption). Global ranks come
+    // from StatsOps.globalRank (banded two-level decomposition — no
+    // single-partition window at any scale); tie handling is the
+    // standard average-rank + tie-corrected variance, all decisions
+    // INTEGER-derived so both engines agree exactly.
+    "events_mannwhitney" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .where(col("value").isNotNull && col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("event_type"), col("value"))
+      val ranked = StatsOps.globalRank(e, col("value"), col("event_id"),
+        asc = true, "rk")
+      val ties = ranked.groupBy("value").agg(
+        ((min(col("rk")) + max(col("rk"))).cast(DoubleType) / 2.0).as("ar"),
+        count(lit(1)).as("t"))
+      val tsum = ties.agg(
+        sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      val agg = ranked.join(ties.select("value", "ar"), "value")
+        .agg(count(when(col("event_type") === "click", 1)).cast(DoubleType).as("n1"),
+          count(when(col("event_type") === "view", 1)).cast(DoubleType).as("n2"),
+          CleanFunctions.exactSum(when(col("event_type") === "click", col("ar"))).as("r1"))
+        .crossJoin(broadcast(tsum))
+      val n  = agg("n1") + agg("n2")
+      val u1 = col("r1") - col("n1") * (col("n1") + 1.0) / 2.0
+      val mu = col("n1") * col("n2") / 2.0
+      val sig2 = (col("n1") * col("n2") / 12.0) *
+        ((n + 1.0) - col("tsum").cast(DoubleType) / (n * (n - 1.0)))
+      agg.select(col("n1").cast(LongType).as("n1"), col("n2").cast(LongType).as("n2"),
+        round4(u1).as("u1"),
+        round4((u1 - mu) / sqrt(sig2)).as("z"))
     },
 
     // Per-series OLS trend of value on the hour index since series start
@@ -334,6 +407,55 @@ object StatsQueries {
          |SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue, cum_share,
          |  CAST(CASE WHEN cum_share <= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS in_top80
          |FROM c ORDER BY o_custkey""".stripMargin,
+
+    "events_benford" -> {
+      val el = BenfordExp.map(dlit).mkString("[", ", ", "]")
+      def ed = s"($el)[CAST(digit AS INT)]"
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CAST(substring(CAST(CAST(round(value * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM events WHERE value > 0.0),
+         |obs AS (SELECT event_type, digit, count(*) AS obs FROM e GROUP BY 1, 2),
+         |tot AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+         |spine AS (SELECT event_type, n, unnest(generate_series(1, 9)) AS digit FROM tot),
+         |j AS (SELECT s.event_type, s.n, s.digit, coalesce(o.obs, 0) AS obs
+         |      FROM spine s LEFT JOIN obs o
+         |        ON s.event_type = o.event_type AND s.digit = o.digit),
+         |t AS (SELECT event_type, n,
+         |  CAST(round(((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * $ed) * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * $ed) / (CAST(n AS DOUBLE) * $ed)) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |  FROM j)
+         |SELECT event_type, max(n) AS n,
+         |  ${round4Sql("CAST(sum(term) AS DOUBLE)")} AS chi2
+         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+
+    "events_mannwhitney" -> {
+      val n  = "(n1 + n2)"
+      val u1 = "(r1 - n1 * (n1 + 1.0) / 2.0)"
+      val mu = "(n1 * n2 / 2.0)"
+      val sig2 = s"((n1 * n2 / 12.0) * (($n + 1.0) - CAST(tsum AS DOUBLE) / ($n * ($n - 1.0))))"
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, value FROM events
+         |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+         |r AS (
+         |  SELECT event_id, event_type, value,
+         |    row_number() OVER (ORDER BY value, event_id) AS rk
+         |  FROM e),
+         |tg AS (
+         |  SELECT value, CAST(min(rk) + max(rk) AS DOUBLE) / 2.0 AS ar, count(*) AS t
+         |  FROM r GROUP BY value),
+         |ts AS (SELECT sum(t * t * t - t) AS tsum FROM tg),
+         |a AS (
+         |  SELECT
+         |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE) AS n1,
+         |    CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS n2,
+         |    ${exactSumSql("CASE WHEN event_type = 'click' THEN ar END")} AS r1
+         |  FROM r JOIN (SELECT value, ar FROM tg) USING (value))
+         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+         |  ${round4Sql(u1)} AS u1,
+         |  ${round4Sql(s"($u1 - $mu) / sqrt($sig2)")} AS z
+         |FROM a, ts""".stripMargin
+    },
 
     "ts_ols_trend" -> {
       val slope = "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)"

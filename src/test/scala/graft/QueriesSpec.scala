@@ -218,6 +218,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0, "trim count drifted from n - 2*floor(n/10)")
   }
 
+  test("Benford chi2 is non-negative; Mann-Whitney U lies in [0, n1*n2]") {
+    import org.apache.spark.sql.functions._
+    val bf = SparkEntry.queries("events_benford")(spark, sfDir)
+    assert(bf.filter(col("chi2") < 0.0).count() == 0 && bf.count() > 0)
+    val mw = SparkEntry.queries("events_mannwhitney")(spark, sfDir).head
+    val (n1, n2, u1) = (mw.getLong(0), mw.getLong(1), mw.getDouble(2))
+    assert(u1 >= 0.0 && u1 <= n1.toDouble * n2,
+      s"U=$u1 outside [0, ${n1.toDouble * n2}]")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
