@@ -28,6 +28,12 @@ case class SeriesState(recent: Seq[Double])
 /** A detector-flagged event entering episode grouping. */
 case class FlaggedEvent(event_id: Long, ts: Timestamp, user_id: Long, flag: Long)
 
+/** Per-row Kalman output (streaming twin of TimeSeriesOps.kalmanPath). */
+case class KalmanEvent(event_id: Long, user_id: Long, estimate: Double, gain: Double)
+
+/** Kalman posterior state: level estimate + error variance — O(1)/key. */
+case class KalmanState(est: Double, p: Double)
+
 /** One closed alert episode (run of consecutive flagged events). */
 case class Episode(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
 
@@ -229,6 +235,39 @@ object StreamingAnomaly {
     * streaming relaxation — exact event-time order would need
     * watermark-buffered state).
     */
+  /** Streaming 1-D Kalman filter (local-level model) — the streaming twin
+    * of `TimeSeriesOps.kalmanPath`, carrying TWO doubles of state per key
+    * (the whole point of Kalman over windowed smoothers: O(1) state, no
+    * buffer). Identical IEEE recurrence and (event-time, event_id)
+    * in-batch ordering, so a single-batch replay equals the batch fold
+    * bit-for-bit; late data across batches folds in arrival order (same
+    * documented relaxation as [[rollingZscore]]).
+    */
+  def kalman(events: Dataset[Event], q: Double, r: Double): Dataset[KalmanEvent] = {
+    import events.sparkSession.implicits._
+    require(q > 0 && r > 0, s"variances must be positive: q=$q r=$r")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[KalmanState]) =>
+          var st = state.getOption.orNull
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            if (st == null) {
+              st = KalmanState(e.value, r)
+              KalmanEvent(e.event_id, e.user_id, e.value, 1.0)
+            } else {
+              val pp = st.p + q
+              val kk = pp / (pp + r)
+              val est = st.est + kk * (e.value - st.est)
+              st = KalmanState(est, (1.0 - kk) * pp)
+              KalmanEvent(e.event_id, e.user_id, est, kk)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   def rollingZscore(events: Dataset[Event],
                     win: Int = GraftConfig.SequenceLength,
                     threshold: Double = GraftConfig.AnomalyThreshold): Dataset[ScoredEvent] = {

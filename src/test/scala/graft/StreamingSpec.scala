@@ -279,6 +279,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Kalman equals batch kalmanPath on real data, bit-for-bit") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.kalman(ms.toDS(), q = 4.0, r = 25.0)
+      .writeStream.format("memory").queryName("kal_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // One batch: identical fold order -> exact double equality, no eps.
+      ms.addData(realEvents.toSeq); q.processAllAvailable()
+      val got = spark.table("kal_eq")
+        .select(col("event_id"), col("estimate"), col("gain"))
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = graft.operators.TimeSeriesOps.kalmanPath(
+          Tables.events(spark, SparkTestSession.sfDir)
+            .withColumn("tsu", epochUs(col("ts"))),
+          Seq("user_id"), Seq("tsu", "event_id"), "value", q = 4.0, r = 25.0)
+        .select(col("event_id"), col("estimate"), col("gain"))
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"Kalman state mismatch at event $id: ${got(id)} != $w")
+      }
+    } finally q.stop()
+  }
+
   test("streaming session aggregates equal batch sessionize on real data") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.sessionAggregates(ms.toDF(), "30 minutes", "1 hour")
