@@ -526,6 +526,40 @@ object OpsQueries {
         DataQuality.predicateViolations(e, "events_value_out_of_range", abs(col("value")) > 1e6)))
     },
 
+    // Incremental aggregate maintenance (the IVM / lambda-architecture
+    // primitive): two independent half-month PARTIAL aggregates merged by
+    // algebraic composition — counts add, DECIMAL sums add (exact, so
+    // the merge equals the one-shot aggregate bit-for-bit; a double sum
+    // would NOT re-associate), min/max via the null-safe coalesce trick.
+    // The oracle is the one-shot full aggregate: the equality IS the
+    // re-aggregation correctness check. At 100 TB this is how you keep
+    // daily rollups without rescanning history.
+    "events_incremental_agg" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val jan15 = java.time.LocalDate.of(2024, 1, 15).toEpochDay
+      val e = ev(s, d).withColumn("day", expr("tsu DIV 86400000000"))
+      def part(cond: org.apache.spark.sql.Column) =
+        e.where(cond).groupBy("event_type").agg(
+          count(col("value")).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6))).as("sm"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val a = part(col("day") <= jan15)
+      val b = part(col("day") > jan15)
+        .select(col("event_type"), col("cnt").as("cnt2"), col("sm").as("sm2"),
+          col("mn").as("mn2"), col("mx").as("mx2"))
+      a.join(b, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("cnt2"), lit(0L))).as("n"),
+          round4((coalesce(col("sm"), lit(0).cast(DecimalType(18, 6))) +
+            coalesce(col("sm2"), lit(0).cast(DecimalType(18, 6))))
+            .cast(DoubleType)).as("sum_value"),
+          least(coalesce(col("mn"), col("mn2")), coalesce(col("mn2"), col("mn")))
+            .as("min_value"),
+          greatest(coalesce(col("mx"), col("mx2")), coalesce(col("mx2"), col("mx")))
+            .as("max_value"))
+        .orderBy("event_type")
+    },
+
     // Concurrent-session pairs across users on one day: who was co-online
     // with whom, for how long. Interval×interval overlap via the
     // bucket-grid JoinOps.overlapJoin — BOTH sides scale with the corpus
@@ -947,6 +981,13 @@ object OpsQueries {
         |  UNION ALL SELECT 'events_value_out_of_range',
         |         count(CASE WHEN abs(value) > 1000000.0 THEN 1 END) FROM events
         |) ORDER BY "check"""".stripMargin,
+
+    // The one-shot aggregate: merged partials must equal it exactly.
+    "events_incremental_agg" ->
+      s"""SELECT event_type, count(value) AS n,
+         |  ${round4Sql("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")} AS sum_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_session_overlap" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),

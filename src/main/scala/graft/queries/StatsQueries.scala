@@ -181,6 +181,34 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // Chi-square test of independence between event_type and time-of-day
+    // (four 6h dayparts) — "does behavior depend on daypart?". The
+    // contingency table is O(R×C) after one grouped count; expected
+    // counts rt*ct/n and every term derive from INTEGERS, so both
+    // engines compute identical doubles; missing cells enter via the
+    // (types × dayparts) spine cross join (both sides tiny aggregates).
+    "events_chi2_independence" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .withColumn("part", expr("CAST(hour(ts) AS BIGINT) DIV 6"))
+      val obs = e.groupBy("event_type", "part").agg(count(lit(1)).as("obs"))
+      val rt = e.groupBy("event_type").agg(count(lit(1)).as("rt"))
+      val ct = e.groupBy("part").agg(count(lit(1)).as("ct"))
+      val n = e.agg(count(lit(1)).as("n"))
+      val exp9 = col("rt").cast(DoubleType) * col("ct").cast(DoubleType) /
+        col("n").cast(DoubleType)
+      val o = coalesce(col("obs"), lit(0L)).cast(DoubleType)
+      rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+        .join(obs, Seq("event_type", "part"), "left")
+        .withColumn("e", exp9)
+        .withColumn("term",
+          CleanFunctions.round6((o - col("e")) * (o - col("e")) / col("e"))
+            .cast(DecimalType(18, 6)))
+        .agg(max(col("n")).as("n"),
+          ((countDistinct(col("event_type")) - 1) *
+            (countDistinct(col("part")) - 1)).as("dof"),
+          round4(sum(col("term")).cast(DoubleType)).as("chi2"))
+    },
+
     // Mann-Whitney U / rank-sum test between click and view value
     // distributions — the nonparametric A/B sibling of
     // events_two_sample_z (no normality assumption). Global ranks come
@@ -428,6 +456,28 @@ object StatsQueries {
          |  ${round4Sql("CAST(sum(term) AS DOUBLE)")} AS chi2
          |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    "events_chi2_independence" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(hour(ts) AS BIGINT) // 6 AS part FROM events),
+         |obs AS (SELECT event_type, part, count(*) AS obs FROM e GROUP BY 1, 2),
+         |rt AS (SELECT event_type, count(*) AS rt FROM e GROUP BY 1),
+         |ct AS (SELECT part, count(*) AS ct FROM e GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM e),
+         |j AS (
+         |  SELECT rt.event_type, ct.part, rt.rt, ct.ct, n.n,
+         |    coalesce(obs.obs, 0) AS obs,
+         |    CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+         |  FROM rt CROSS JOIN ct CROSS JOIN n
+         |  LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.part = ct.part),
+         |t AS (
+         |  SELECT n, event_type, part,
+         |    CAST(round(((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |  FROM j)
+         |SELECT max(n) AS n,
+         |  (count(DISTINCT event_type) - 1) * (count(DISTINCT part) - 1) AS dof,
+         |  ${round4Sql("CAST(sum(term) AS DOUBLE)")} AS chi2
+         |FROM t""".stripMargin,
 
     "events_mannwhitney" -> {
       val n  = "(n1 + n2)"
