@@ -526,6 +526,20 @@ object OpsQueries {
         DataQuality.predicateViolations(e, "events_value_out_of_range", abs(col("value")) > 1e6)))
     },
 
+    // Z-order (Morton) clustering key over (user, hour) — the lakehouse
+    // write-path primitive: sort-by-zkey co-locates rows close in BOTH
+    // dimensions, so file min/max stats prune 2-D predicates (see
+    // LayoutOpsSpec for the measured file-touch win). Pure integer bit
+    // expressions, zero shuffle, whole-stage codegen.
+    "events_zorder_key" -> { (s, d) =>
+      val e = ev(s, d)
+        .withColumn("ub", col("user_id") % 256L)
+        .withColumn("hb", expr("(tsu DIV 3600000000) % 256"))
+      e.select(col("event_id"),
+          graft.operators.LayoutOps.zorderKey(col("ub"), col("hb"), 8).as("zkey"))
+        .orderBy("event_id")
+    },
+
     // Incremental aggregate maintenance (the IVM / lambda-architecture
     // primitive): two independent half-month PARTIAL aggregates merged by
     // algebraic composition — counts add, DECIMAL sums add (exact, so
@@ -981,6 +995,14 @@ object OpsQueries {
         |  UNION ALL SELECT 'events_value_out_of_range',
         |         count(CASE WHEN abs(value) > 1000000.0 THEN 1 END) FROM events
         |) ORDER BY "check"""".stripMargin,
+
+    "events_zorder_key" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id % 256 AS ub,
+         |    (epoch_us(ts) // 3600000000) % 256 AS hb
+         |  FROM events)
+         |SELECT event_id, ${graft.operators.LayoutOps.zorderKeySql("ub", "hb", 8)} AS zkey
+         |FROM e ORDER BY event_id""".stripMargin,
 
     // The one-shot aggregate: merged partials must equal it exactly.
     "events_incremental_agg" ->
