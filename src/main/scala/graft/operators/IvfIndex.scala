@@ -35,9 +35,10 @@ object IvfIndex {
   private val SumDec = DecimalType(28, 6)
 
   /** Sequential self-dot in double — same fold order as FloatVectorDot
-    * and DuckDB list_sum, so center norms agree bitwise.
+    * and DuckDB list_sum, so center norms agree bitwise. Shared with
+    * [[ProductQuantizer]].
     */
-  private def selfDot(c: Array[Float]): Double = {
+  private[operators] def selfDot(c: Array[Float]): Double = {
     var acc = 0.0
     var i = 0
     while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }

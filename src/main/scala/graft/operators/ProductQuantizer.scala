@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Product quantization (Jégou et al., PAMI 2011): split each vector
+  * into `m` subspaces and learn an independent small codebook per
+  * subspace — the standard 100 TB vector-index compression (an m-byte
+  * code replaces a dim×4-byte float vector; asymmetric distances come
+  * from m table lookups).
+  *
+  * Built entirely on [[IvfIndex]]'s deterministic Lloyd recipe, run once
+  * per subspace over the SLICED corpus, so the whole fit inherits its
+  * engine-replicable contract (hash-order init — the same k picked ids
+  * for every subspace — DECIMAL-exact center means, argmin with
+  * smallest-code tiebreak). The DuckDB oracle recomputes identical
+  * codebooks, making the code assignment an exact-hash check.
+  *
+  * Scale: fit = m × (iters + 1) corpus scans of 1/m-width slices (same
+  * total bytes as one IVF fit); only the m × k × (dim/m) codebook floats
+  * reach the driver; encoding is a pure codegen argmin per subspace.
+  */
+object ProductQuantizer {
+
+  /** Fit `m` per-subspace codebooks of `k` centers each over `iters`
+    * Lloyd rounds. Returns codebooks indexed by subspace.
+    */
+  def fit(e: DataFrame, idCol: String, embCol: String,
+          dim: Int, m: Int, k: Int, iters: Int): Seq[Seq[(Int, Array[Float])]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      IvfIndex.fit(
+        e.select(col(idCol), slice(col(embCol), j * sub + 1, sub).as("__pq_sub")),
+        idCol, "__pq_sub", k, sub, iters)
+    }
+  }
+
+  /** (code, squared-error) expressions for subspace `j`: argmin code via
+    * the shared -2·x·c + c·c score with smallest-code tiebreak, and the
+    * subspace quantization error x·x + score clamped at 0 (exact-zero
+    * distances can cancel to a tiny negative in double).
+    */
+  def codeAndError(emb: Column, j: Int, sub: Int,
+                   centers: Seq[(Int, Array[Float])]): (Column, Column) = {
+    val sl = slice(emb, j * sub + 1, sub)
+    val scored = centers.map { case (cid, c) =>
+      struct((lit(-2.0) * TextFunctions.dot(sl, lit(c)) + lit(IvfIndex.selfDot(c)))
+        .as("score"), lit(cid).as("cell"))
+    }
+    val mn = array_min(array(scored: _*))
+    (mn.getField("cell"), greatest(TextFunctions.dot(sl, sl) + mn.getField("score"), lit(0.0)))
+  }
+}

@@ -37,6 +37,12 @@ object SimilarityQueries {
   private val IvfIters = 2
   private val EmbDim = 64
   private val TruncDim = 16
+  // Product quantization: 4 subspaces x 16 dims, 16 codes each, 1 Lloyd
+  // round — a 4-byte code per 256-byte vector (64x compression).
+  private val PqM = 4
+  private val PqSub = EmbDim / PqM
+  private val PqK = 16
+  private val PqIters = 1
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label embedding centroids (class prototypes): posexplode to
@@ -249,6 +255,28 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Product quantization codes (Jégou et al.): 4 independent
+    // 16-code codebooks over 16-dim slices — m-byte codes replacing
+    // 256-byte vectors, THE standard vector-index compression at 100 TB.
+    // Codebooks fit via the deterministic IvfIndex recipe per subspace
+    // (same hash-order picks, DECIMAL-exact means), so the DuckDB oracle
+    // recomputes them identically and the code assignment is exact-hash.
+    // recon_err is the summed per-subspace quantization error.
+    "emb_pq" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).cache()
+      val books = graft.operators.ProductQuantizer.fit(
+        e, "vec_id", "embedding", EmbDim, PqM, PqK, PqIters)
+      val parts = (0 until PqM).map(j =>
+        graft.operators.ProductQuantizer.codeAndError(
+          col("embedding"), j, PqSub, books(j)))
+      val err = graft.functions.CleanFunctions.round4(
+        parts.map(_._2).reduce(_ + _))
+      e.select(col("vec_id") +:
+          parts.zipWithIndex.map { case ((c, _), j) => c.as(s"c$j") } :+
+          err.as("recon_err"): _*)
+        .orderBy("vec_id")
+    },
+
     // Simplified (centroid-based) silhouette of the k-means assignment:
     // a = dist to own centroid, b = dist to nearest OTHER centroid,
     // s = (b−a)/max(a,b) ∈ [−1,1] — the cluster-quality gate before
@@ -300,6 +328,51 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.centroid_id) AS rk
          |  FROM embeddings e CROSS JOIN c)
          |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
+
+    // Recomputes the 4 per-subspace codebooks with the identical
+    // hash-order init + DECIMAL-exact Lloyd round, then assigns codes —
+    // the same contract as the ann_ivf_topk oracle, per subspace.
+    "emb_pq" -> {
+      def dot(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      def sq(a: String) =
+        s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+      val subs = (0 until PqM).map { j =>
+        val lo = j * PqSub + 1; val hi = j * PqSub + PqSub
+        s"""sub$j AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM embeddings),
+           |i$j AS (SELECT pk.cell, list_slice(e.embedding, $lo, $hi) AS center
+           |  FROM pk, embeddings e WHERE pk.vec_id = e.vec_id),
+           |a$j AS (SELECT vec_id, sv, cell FROM (
+           |  SELECT s.vec_id, s.sv, c.cell,
+           |    row_number() OVER (PARTITION BY s.vec_id
+           |      ORDER BY (-2.0 * ${dot("s.sv", "c.center")} + ${dot("c.center", "c.center")}), c.cell) AS r
+           |  FROM sub$j s, i$j c) WHERE r = 1),
+           |m$j AS (SELECT a.cell, d.i AS dim,
+           |  CAST(sum(CAST(CAST(a.sv[d.i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+           |  FROM a$j a, sdims d GROUP BY a.cell, d.i),
+           |k$j AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS center FROM m$j GROUP BY cell),
+           |f$j AS (SELECT vec_id, cell, score FROM (
+           |  SELECT s.vec_id, c.cell,
+           |    (-2.0 * ${dot("s.sv", "c.center")} + ${dot("c.center", "c.center")}) AS score,
+           |    row_number() OVER (PARTITION BY s.vec_id
+           |      ORDER BY (-2.0 * ${dot("s.sv", "c.center")} + ${dot("c.center", "c.center")}), c.cell) AS r
+           |  FROM sub$j s, k$j c) WHERE r = 1),
+           |e$j AS (SELECT f.vec_id, f.cell,
+           |  greatest(${sq("s.sv")} + f.score, 0.0) AS err
+           |  FROM f$j f JOIN sub$j s USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      val codeCols = (0 until PqM).map(j => s"e$j.cell AS c$j").mkString(", ")
+      val errSum = (0 until PqM).map(j => s"e$j.err").mkString(" + ")
+      val joins = (1 until PqM).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+      s"""WITH sdims AS (SELECT unnest(generate_series(1, $PqSub)) AS i),
+         |pk AS (SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
+         |  FROM embeddings QUALIFY cell < $PqK),
+         |$subs
+         |SELECT e0.vec_id, $codeCols,
+         |  ${graft.functions.CleanFunctions.round4Sql(errSum)} AS recon_err
+         |FROM e0 $joins ORDER BY e0.vec_id""".stripMargin
     },
 
     "emb_silhouette" -> {

@@ -228,6 +228,28 @@ class QueriesSpec extends AnyFunSuite {
       s"U=$u1 outside [0, ${n1.toDouble * n2}]")
   }
 
+  test("product quantization: codes in range, 4 subspaces beat plain VQ") {
+    import org.apache.spark.sql.functions._
+    val pq = SparkEntry.queries("emb_pq")(spark, sfDir).cache()
+    val codeCols = Seq("c0", "c1", "c2", "c3")
+    codeCols.foreach { c =>
+      assert(pq.filter(col(c) < 0 || col(c) >= 16).count() == 0, s"$c out of [0,16)")
+    }
+    // Same code budget concentrated in ONE codebook (m=1, k=16) cannot
+    // match m=4 independent codebooks (16^4 effective cells). On these
+    // near-random synthetic embeddings the margin is modest (~15% — no
+    // cluster structure to exploit), so the invariant is strict
+    // improvement, not a factor.
+    val e = graft.sources.Tables.embeddings(spark, sfDir).cache()
+    val vqBook = graft.operators.ProductQuantizer.fit(e, "vec_id", "embedding", 64, 1, 16, 1)
+    val (_, vqErr) = graft.operators.ProductQuantizer.codeAndError(
+      col("embedding"), 0, 64, vqBook.head)
+    val vqMean = e.agg(avg(vqErr)).head.getDouble(0)
+    val pqMean = pq.agg(avg(col("recon_err"))).head.getDouble(0)
+    assert(pqMean < vqMean,
+      s"PQ (m=4) must beat plain VQ at equal code budget: pq=$pqMean vq=$vqMean")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
