@@ -541,6 +541,77 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** Croston's method for INTERMITTENT demand (sparse series where most
+    * periods see nothing): two exponential smoothers advanced only at
+    * demand points — demand size z' = a·q + (1−a)z and inter-demand
+    * interval p' = a·i + (1−a)p, where i is the bucket gap to the
+    * previous demand; the flat forecast per period is z/p. Init: z = q₁,
+    * p = 1 (the first interval is unobservable — documented convention).
+    * Input rows are (keys, integral `bucketCol`, `qtyCol`) DEMAND points
+    * (zero periods are implicit — no spine materialization, the whole
+    * scale point). Output ONE row per key: n_demands, level, interval,
+    * forecast. Same keyed O(1)-state fold + recursive-CTE exact oracle
+    * contract as [[holtSmooth]].
+    */
+  def crostonSmooth(df: DataFrame, keys: Seq[String], bucketCol: String,
+                    qtyCol: String, alpha: Double,
+                    numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "crostonSmooth needs series keys")
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .where(col(qtyCol).isNotNull)
+      .select((keys.map(col) :+ col(bucketCol).cast(LongType).as("__cr_b")
+        :+ col(qtyCol).cast(DoubleType).as("__cr_q")): _*)
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys :+ "__cr_b").map(col): _*)
+    val keyFields = keys.map(k => sorted.schema(k))
+    val schema = StructType(keyFields ++ Seq(
+      StructField("n_demands", LongType), StructField("level", DoubleType),
+      StructField("interval", DoubleType), StructField("forecast", DoubleType)))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val bIdx = sorted.schema.fieldIndex("__cr_b")
+    val qIdx = sorted.schema.fieldIndex("__cr_q")
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var z = 0.0; var p = 0.0; var prevB = 0L; var n = 0L
+        def emit(): Row =
+          Row.fromSeq(curKey ++ Seq[Any](n, z, p, z / p))
+        new Iterator[Row] {
+          private var pending: Row = null
+          private var done = false
+          private def advance(): Unit = {
+            while (pending == null && rows.hasNext) {
+              val r = rows.next()
+              val k = keyIdx.map(r.get)
+              if (k != curKey) {
+                if (curKey != null) pending = emit()
+                curKey = k; z = r.getDouble(qIdx); p = 1.0
+                prevB = r.getLong(bIdx); n = 1L
+              } else {
+                val q = r.getDouble(qIdx)
+                val b = r.getLong(bIdx)
+                z = alpha * q + (1.0 - alpha) * z
+                p = alpha * (b - prevB).toDouble + (1.0 - alpha) * p
+                prevB = b
+                n += 1L
+              }
+            }
+            if (pending == null && !done && !rows.hasNext && curKey != null) {
+              pending = emit(); done = true
+            }
+          }
+          def hasNext: Boolean = { advance(); pending != null }
+          def next(): Row = { advance(); val r = pending; pending = null; r }
+        }
+      }, schema)
+  }
+
   /** Per-row Holt path: the same level/trend recurrence as [[holtSmooth]]
     * but emitting the smoothed state at EVERY row — what a dashboard
     * actually plots. Same keyed O(1)-state sorted scan; null targets

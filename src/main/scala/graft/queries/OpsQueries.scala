@@ -41,6 +41,27 @@ object OpsQueries {
   private val KalmanQ = 4.0
   private val KalmanR = 25.0
 
+  /** Croston smoothing constant (standard 0.1-0.3 band). */
+  private val CrostonAlpha = 0.3
+
+  /** Hourly purchase demand per user — the INTERMITTENT series feeding
+    * Croston / demand classification: most hours see no purchase, and
+    * only the demand points are materialized (no zero-spine — the scale
+    * contract of every intermittent-demand op here).
+    */
+  private def demand(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .withColumn("bucket", expr("tsu DIV 3600000000"))
+      .groupBy("user_id", "bucket")
+      .agg(exactSum(col("value")).as("q"))
+
+  private val demandSql: String =
+    s"""d AS (SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+       |  ${exactSumSql("value")} AS q
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** Candidate periods (hours) for spectral seasonality detection. */
   private val SpectralPeriods = Seq(24, 12, 8, 6)
 
@@ -123,6 +144,51 @@ object OpsQueries {
         .select(col("event_id"), round4(col("estimate")).as("estimate"),
           round4(col("gain")).as("gain"))
         .orderBy("event_id")
+    },
+
+    // Croston's method on hourly purchase demand — the intermittent-
+    // demand forecaster (plain EWMA systematically under-forecasts
+    // sparse series): demand-size and inter-demand-interval smoothers
+    // advanced only at demand points, flat forecast z/p per period.
+    // Fourth recursive operator with an exact recursive-CTE oracle.
+    "ts_croston" -> { (s, d) =>
+      TS.crostonSmooth(demand(s, d), K, "bucket", "q", CrostonAlpha)
+        .select(col("user_id"), col("n_demands"),
+          round4(col("level")).as("level"),
+          round4(col("interval")).as("demand_interval"),
+          round4(col("forecast")).as("forecast"))
+        .orderBy("user_id")
+    },
+
+    // Syntetos-Boylan demand classification (ADI x CV² quadrants:
+    // smooth / intermittent / erratic / lumpy) — the triage that decides
+    // WHICH forecaster each series gets (Croston for the intermittent
+    // quadrants). ADI telescopes to (last-first)/(n-1); CV² from exact
+    // moments; every class decision runs on engine-identical doubles.
+    "ts_demand_class" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val agg = demand(s, d).groupBy("user_id").agg(
+        count(lit(1)).as("nd"),
+        min(col("bucket")).as("b0"), max(col("bucket")).as("b1"),
+        exactSum(col("q")).as("sq"),
+        exactSum(round4(col("q") * col("q"))).as("sqq"))
+      val ndD = col("nd").cast(DoubleType)
+      val adiU = when(col("nd") > 1,
+        (col("b1") - col("b0")).cast(DoubleType) / (col("nd") - 1).cast(DoubleType))
+      val mean = col("sq") / ndD
+      val cv2U = CleanFunctions.safeDiv(
+        CleanFunctions.momentVar(ndD, col("sq"), col("sqq")), mean * mean)
+      agg
+        .withColumn("adi_u", adiU)
+        .withColumn("cv2_u", cv2U)
+        .select(col("user_id"), col("nd").as("n_demands"),
+          round4(col("adi_u")).as("adi"), round4(col("cv2_u")).as("cv2"),
+          when(col("nd") < 2, "insufficient")
+            .when(col("cv2_u") < 0.49 && col("adi_u") < 1.32, "smooth")
+            .when(col("cv2_u") < 0.49, "intermittent")
+            .when(col("adi_u") < 1.32, "erratic")
+            .otherwise("lumpy").as("demand_class"))
+        .orderBy("user_id")
     },
 
     // Marketing attribution: each purchase credited to the user's FIRST
@@ -710,6 +776,45 @@ object OpsQueries {
          |  FROM kal h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
          |SELECT event_id, ${round4Sql("est")} AS estimate, ${round4Sql("gain")} AS gain
          |FROM kal ORDER BY event_id""".stripMargin
+    },
+
+    "ts_croston" -> {
+      val a = dlit(CrostonAlpha); val ia = dlit(1.0 - CrostonAlpha)
+      s"""WITH RECURSIVE $demandSql,
+         |v AS (SELECT user_id, bucket, q,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM d),
+         |c AS (
+         |  SELECT user_id, rn, n, bucket, q AS z, CAST(1.0 AS DOUBLE) AS p
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.user_id, v.rn, v.n, v.bucket,
+         |    $a * v.q + $ia * c.z AS z,
+         |    $a * CAST(v.bucket - c.bucket AS DOUBLE) + $ia * c.p AS p
+         |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)
+         |SELECT user_id, rn AS n_demands, ${round4Sql("z")} AS level,
+         |  ${round4Sql("p")} AS demand_interval, ${round4Sql("z / p")} AS forecast
+         |FROM c WHERE rn = n ORDER BY user_id""".stripMargin
+    },
+
+    "ts_demand_class" -> {
+      val adiU = "(CASE WHEN nd > 1 THEN CAST(b1 - b0 AS DOUBLE) / CAST(nd - 1 AS DOUBLE) END)"
+      val mv   = CleanFunctions.momentVarSql("CAST(nd AS DOUBLE)", "sq", "sqq")
+      val cv2U = s"(($mv) / nullif((sq / CAST(nd AS DOUBLE)) * (sq / CAST(nd AS DOUBLE)), 0.0))"
+      s"""WITH $demandSql,
+         |a AS (SELECT user_id, count(*) AS nd, min(bucket) AS b0, max(bucket) AS b1,
+         |  ${exactSumSql("q")} AS sq, ${exactSumSql(round4Sql("q * q"))} AS sqq
+         |  FROM d GROUP BY user_id),
+         |u AS (SELECT user_id, nd, $adiU AS adi_u, $cv2U AS cv2_u FROM a)
+         |SELECT user_id, nd AS n_demands,
+         |  ${round4Sql("adi_u")} AS adi, ${round4Sql("cv2_u")} AS cv2,
+         |  CASE WHEN nd < 2 THEN 'insufficient'
+         |       WHEN cv2_u < 0.49 AND adi_u < 1.32 THEN 'smooth'
+         |       WHEN cv2_u < 0.49 THEN 'intermittent'
+         |       WHEN adi_u < 1.32 THEN 'erratic'
+         |       ELSE 'lumpy' END AS demand_class
+         |FROM u ORDER BY user_id""".stripMargin
     },
 
     "events_attribution" ->

@@ -200,6 +200,35 @@ class OpsSpec extends AnyFunSuite {
     assert(failed === 1L)
   }
 
+  test("crostonSmooth matches the hand-computed size/interval recurrence") {
+    val df = Seq((1L, 0L, 10.0), (2L, 3L, 20.0), (3L, 5L, 14.0),
+      (4L, 7L, 9.0)).map { case (id, b, q) => (id, b, 1L, q) }
+      .toDF("id", "bucket", "k", "q")
+    val out = TimeSeriesOps.crostonSmooth(df, K, "bucket", "q", 0.3)
+      .select("n_demands", "level", "interval", "forecast")
+      .as[(Long, Double, Double, Double)].head()
+    // z0=10,p0=1; (3,20): z=.3*20+.7*10, p=.3*3+.7*1; (5,14): i=2; (7,9): i=2.
+    var z = 10.0; var p = 1.0
+    for ((i, q) <- Seq((3L, 20.0), (2L, 14.0), (2L, 9.0))) {
+      z = 0.3 * q + (1.0 - 0.3) * z
+      p = 0.3 * i.toDouble + (1.0 - 0.3) * p
+    }
+    assert(out === ((4L, z, p, z / p)))
+  }
+
+  test("crostonSmooth is partition-invariant") {
+    val rng = new scala.util.Random(83)
+    val rows = (1L to 600L).map(i =>
+      (i, (i * 7 % 97) + (i % 3) * 100, i % 6, rng.nextInt(50) + 1.0))
+    val df = rows.toDF("id", "bucket", "k", "q")
+      .groupBy("k", "bucket").agg(sum("q").as("q")) // unique (k, bucket)
+    val a = TimeSeriesOps.crostonSmooth(df, K, "bucket", "q", 0.3, numPartitions = 2)
+      .orderBy("k").collect().toSeq
+    val b = TimeSeriesOps.crostonSmooth(df, K, "bucket", "q", 0.3, numPartitions = 13)
+      .orderBy("k").collect().toSeq
+    assert(a === b)
+  }
+
   test("kalmanPath matches the hand-computed local-level recurrence") {
     val df = Seq(
       (1L, 0L * H, 1L, 10.0), (2L, 1L * H, 1L, 12.0), (3L, 2L * H, 1L, 11.0)
