@@ -92,6 +92,30 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Training-shard manifest: pack media blobs into 64 KiB shard files,
+    // greedy-contiguous in deterministic md5 order, SHARDED into 4
+    // independent packing streams (each stream's cumulative sum is a
+    // KEYED window — the text_pack_sequences distributed shape, on bytes
+    // instead of tokens). Output: which shard file each blob lands in
+    // and at what byte offset — what a dataloader actually reads.
+    "mm_shard_manifest" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.LongType
+      val ShardBytes = 65536L
+      val Streams = 4L
+      val h = graft.functions.CleanFunctions.md5Hash64(concat(lit("shard:"), col("doc_id")))
+      val w = Window.partitionBy("stream").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"), (h % Streams).as("stream"),
+          length(col("text").cast("binary")).cast(LongType).as("n_bytes"))
+        .withColumn("prev", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+        .select(col("doc_id"), col("stream"),
+          expr(s"prev div $ShardBytes").as("shard_file"),
+          (col("prev") % ShardBytes).as("byte_offset"), col("n_bytes"))
+        .orderBy("doc_id")
+    },
+
     // Resize/thumbnail stub: deterministic byte-level downsample (first
     // 256 bytes) + recomputed dimensions. Swap the slice for a real
     // scaler; schema and per-row transform shape stay identical.
@@ -138,6 +162,20 @@ object MultimodalQueries {
          |  unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx FROM d)
          |SELECT doc_id, frame_idx, $energy AS energy
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    },
+
+    "mm_shard_manifest" -> {
+      val h = graft.functions.CleanFunctions.md5Hash64Sql("'shard:' || doc_id")
+      s"""WITH t AS (SELECT doc_id, $h AS h, $h % 4 AS stream,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |p AS (SELECT doc_id, stream, n_bytes,
+         |  coalesce(sum(n_bytes) OVER (PARTITION BY stream ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM t)
+         |SELECT doc_id, stream, prev // 65536 AS shard_file,
+         |  prev % 65536 AS byte_offset, n_bytes
+         |FROM p ORDER BY doc_id""".stripMargin
     },
 
     "mm_thumbnail" -> {

@@ -319,6 +319,51 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // Lo-MacKinlay variance-ratio test per series: VR(4) =
+    // Var(x_t − x_{t−4}) / (4·Var(x_t − x_{t−1})) — ≈1 random walk,
+    // <1 mean-reverting, >1 trending. Two lag diffs (exact 2dp), one
+    // grouped DECIMAL moment pass, clamped momentVar.
+    "ts_variance_ratio" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w0 = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("d1", col("value") - lag(col("value"), 1).over(w0))
+        .withColumn("dk", col("value") - lag(col("value"), 4).over(w0))
+      val agg = e.groupBy("user_id").agg(
+        count(col("d1")).cast(DoubleType).as("n1"),
+        exactSum(col("d1")).as("s1"),
+        exactSum(round4(col("d1") * col("d1"))).as("s11"),
+        count(col("dk")).cast(DoubleType).as("nk"),
+        exactSum(col("dk")).as("sk"),
+        exactSum(round4(col("dk") * col("dk"))).as("skk"))
+      agg.select(col("user_id"), col("nk").cast(LongType).as("n_diffs"),
+          round4(CleanFunctions.safeDiv(
+            CleanFunctions.momentVar(col("nk"), col("sk"), col("skk")),
+            lit(4.0) * CleanFunctions.momentVar(col("n1"), col("s1"), col("s11"))))
+            .as("vr"))
+        .orderBy("user_id")
+    },
+
+    // Gini coefficient of customer revenue concentration — the scalar
+    // summary of orders_pareto's curve: G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n
+    // on ascending-revenue ranks. Ranks from the banded globalRank (no
+    // single-partition window); Σ(rank·x) in exact DECIMAL.
+    "orders_gini" -> { (s, d) =>
+      val rev = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(12, 2))).as("rev"))
+      val ranked = StatsOps.globalRank(rev, col("rev"), col("o_custkey"),
+        asc = true, "rk")
+      val agg = ranked.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("rev")).as("tot"),
+        sum(col("rk") * col("rev")).as("rs"))
+      agg.select(col("n").cast(LongType).as("n_customers"),
+        round4((lit(2.0) * col("rs").cast(DoubleType)) /
+          (col("n") * col("tot").cast(DoubleType)) -
+          (col("n") + 1.0) / col("n")).as("gini"))
+    },
+
     // Theil-Sen robust trend per series over daily-mean buckets: median
     // pairwise slope (StatsOps.theilSen) — one outlier day cannot drag
     // it the way it drags ts_ols_trend. Bucketing first is the scale
@@ -588,6 +633,43 @@ object StatsQueries {
          |  ${round4Sql(CleanFunctions.exactMeanSql("value"))} AS trimmed_mean
          |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_variance_ratio" -> {
+      val mv1 = CleanFunctions.momentVarSql("n1", "s1", "s11")
+      val mvk = CleanFunctions.momentVarSql("nk", "sk", "skk")
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT user_id,
+         |    value - lag(value, 1) OVER w AS d1,
+         |    value - lag(value, 4) OVER w AS dk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |a AS (
+         |  SELECT user_id,
+         |    CAST(count(d1) AS DOUBLE) AS n1, ${exactSumSql("d1")} AS s1,
+         |    ${exactSumSql(round4Sql("d1 * d1"))} AS s11,
+         |    CAST(count(dk) AS DOUBLE) AS nk, ${exactSumSql("dk")} AS sk,
+         |    ${exactSumSql(round4Sql("dk * dk"))} AS skk
+         |  FROM l GROUP BY user_id)
+         |SELECT user_id, CAST(nk AS BIGINT) AS n_diffs,
+         |  ${round4Sql(s"($mvk) / nullif(4.0 * ($mv1), 0.0)")} AS vr
+         |FROM a ORDER BY user_id""".stripMargin
+    },
+
+    "orders_gini" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+         |  FROM orders GROUP BY 1),
+         |r AS (
+         |  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rk FROM rev),
+         |a AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(rev) AS tot,
+         |    sum(rk * rev) AS rs
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_customers,
+         |  ${round4Sql("(2.0 * CAST(rs AS DOUBLE)) / (n * CAST(tot AS DOUBLE)) - (n + 1.0) / n")} AS gini
+         |FROM a""".stripMargin,
 
     "ts_theilsen" ->
       s"""WITH e AS (

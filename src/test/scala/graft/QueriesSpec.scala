@@ -250,6 +250,16 @@ class QueriesSpec extends AnyFunSuite {
       s"PQ (m=4) must beat plain VQ at equal code budget: pq=$pqMean vq=$vqMean")
   }
 
+  test("shard manifest offsets stay in-shard; gini and VR are in range") {
+    import org.apache.spark.sql.functions._
+    val man = SparkEntry.queries("mm_shard_manifest")(spark, sfDir)
+    assert(man.filter(col("byte_offset") < 0 || col("byte_offset") >= 65536).count() == 0)
+    val gini = SparkEntry.queries("orders_gini")(spark, sfDir).head.getDouble(1)
+    assert(gini >= 0.0 && gini < 1.0, s"gini=$gini out of [0,1)")
+    val vr = SparkEntry.queries("ts_variance_ratio")(spark, sfDir)
+    assert(vr.filter(col("vr") <= 0.0).count() == 0, "variance ratio must be positive")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
