@@ -53,9 +53,12 @@ object PlanAudit {
     *    cannot execute a full-outer join from either side, so SMJ is the
     *    only physical choice; both inputs are already reduced to
     *    O(#channels) rows, so the sort is trivial at any corpus scale.
+    *  - events_incremental_agg: the same full-outer-of-two-aggregates
+    *    shape (half-month partials merged by event_type) — SMJ is the
+    *    only physical choice, both sides O(#event_types).
     */
   val SmjContract: Set[String] = Set("text_split_nodup", "dedup_canonical",
-    "events_attribution")
+    "events_attribution", "events_incremental_agg")
 
   /** Corpus tables scanned with NO Aggregate/GlobalLimit on the path from
     * the scan up to this subtree's root. The walk stops at any node that

@@ -261,6 +261,39 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // Hampel filter over the trailing 7 samples: x is an outlier when
+    // |x − med| > 3·1.4826·MAD of its window, and is REPLACED by the
+    // median — the standard robust despiking cleaner (a spike can't drag
+    // the median the way it drags a mean). Same bounded sorted-window
+    // machinery as ts_rolling_median, plus a per-row 7-element deviation
+    // sort; MAD = 0 windows flag any deviation (documented classic
+    // behavior). The 1.4826 consistency constant is a literal double
+    // identical in both engines.
+    "ts_hampel" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+      def mid(arr: String, nn: String) =
+        s"""CASE WHEN $nn % 2 = 1 THEN element_at($arr, CAST(($nn + 1) DIV 2 AS INT))
+           |ELSE (element_at($arr, CAST($nn DIV 2 AS INT))
+           |  + element_at($arr, CAST($nn DIV 2 + 1 AS INT))) / 2.0 END""".stripMargin
+      ev(s, d)
+        .where(col("value").isNotNull)
+        .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+        .withColumn("nn", size(col("arr")))
+        .withColumn("med", expr(mid("arr", "nn")))
+        .withColumn("devs", expr("array_sort(transform(arr, v -> abs(v - med)))"))
+        .withColumn("mad", expr(mid("devs", "nn")))
+        .withColumn("is_outlier",
+          (abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
+            .cast("long"))
+        .select(col("event_id"),
+          round4(when(col("is_outlier") === 1L, col("med")).otherwise(col("value")))
+            .as("cleaned"),
+          col("is_outlier"))
+        .orderBy("event_id")
+    },
+
     // SPC control chart: one-sided upper CUSUM with reset, target = the
     // per-series mean, slack = sigma/2, alarm at 4*slack. The reset
     // recurrence folds in cusumReset (keyed O(1)-state scan); the oracle
@@ -858,6 +891,26 @@ object OpsQueries {
          |SELECT event_id,
          |  ${round4Sql("CASE WHEN nn % 2 = 1 THEN arr[(nn + 1) // 2] ELSE (arr[nn // 2] + arr[nn // 2 + 1]) / 2.0 END")} AS roll_med
          |FROM m ORDER BY event_id""".stripMargin,
+
+    "ts_hampel" -> {
+      def mid(arr: String, nn: String) =
+        s"CASE WHEN $nn % 2 = 1 THEN $arr[($nn + 1) // 2] ELSE ($arr[$nn // 2] + $arr[$nn // 2 + 1]) / 2.0 END"
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |r AS (SELECT event_id, value,
+         |  list_sort(list(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+         |  FROM e),
+         |m AS (SELECT event_id, value, arr, len(arr) AS nn FROM r),
+         |m2 AS (SELECT event_id, value, nn, ${mid("arr", "nn")} AS med, arr FROM m),
+         |m3 AS (SELECT event_id, value, nn, med,
+         |  list_sort(list_transform(arr, v -> abs(v - med))) AS devs FROM m2),
+         |m4 AS (SELECT event_id, value, med, ${mid("devs", "nn")} AS mad FROM m3)
+         |SELECT event_id,
+         |  ${round4Sql("CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad THEN med ELSE value END")} AS cleaned,
+         |  CAST(abs(value - med) > 3.0 * 1.4826 * mad AS BIGINT) AS is_outlier
+         |FROM m4 ORDER BY event_id""".stripMargin
+    },
 
     "ts_cusum_reset" ->
       s"""WITH RECURSIVE stats AS (

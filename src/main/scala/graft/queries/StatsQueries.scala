@@ -319,6 +319,36 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // Bandt-Pompe permutation entropy over ordinal triples: the ranks of
+    // (x₋₂, x₋₁, x) encoded by three integer comparisons → entropy of
+    // the 6-pattern distribution, normalized by ln 6 into [0,1] — the
+    // series-complexity score (periodic ≈ 0, white noise ≈ 1) that is
+    // immune to monotone transforms of the values. Pattern codes are
+    // pure integer decisions; entropy terms 6dp-rounded DECIMAL sums
+    // (the bucketEntropy contract); ln 6 is one literal double.
+    "ts_perm_entropy" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w0 = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("a", lag(col("value"), 2).over(w0))
+        .withColumn("b", lag(col("value"), 1).over(w0))
+        .where(col("a").isNotNull && col("b").isNotNull)
+        .withColumn("code",
+          (col("a") < col("b")).cast(LongType) * 4 +
+            (col("b") < col("value")).cast(LongType) * 2 +
+            (col("a") < col("value")).cast(LongType))
+      val cnt = e.groupBy("user_id", "code").agg(count(lit(1)).as("cnt"))
+      val p = col("cnt") / sum(col("cnt")).over(Window.partitionBy("user_id"))
+      cnt
+        .withColumn("term", CleanFunctions.round6(p * log(p)).cast(DecimalType(18, 6)))
+        .groupBy("user_id")
+        .agg(sum(col("cnt")).as("n_triples"),
+          round4((-sum(col("term"))).cast(DoubleType) / lit(math.log(6.0)))
+            .as("perm_entropy"))
+        .orderBy("user_id")
+    },
+
     // Lo-MacKinlay variance-ratio test per series: VR(4) =
     // Var(x_t − x_{t−4}) / (4·Var(x_t − x_{t−1})) — ≈1 random walk,
     // <1 mean-reverting, >1 trending. Two lag diffs (exact 2dp), one
@@ -633,6 +663,28 @@ object StatsQueries {
          |  ${round4Sql(CleanFunctions.exactMeanSql("value"))} AS trimmed_mean
          |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_perm_entropy" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT user_id, value,
+         |    lag(value, 2) OVER w AS a, lag(value, 1) OVER w AS b
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |t AS (
+         |  SELECT user_id,
+         |    CAST(a < b AS BIGINT) * 4 + CAST(b < value AS BIGINT) * 2
+         |      + CAST(a < value AS BIGINT) AS code
+         |  FROM l WHERE a IS NOT NULL AND b IS NOT NULL),
+         |c AS (SELECT user_id, code, count(*) AS cnt FROM t GROUP BY 1, 2),
+         |g AS (
+         |  SELECT user_id, cnt,
+         |    CAST(round(((cnt / (sum(cnt) OVER (PARTITION BY user_id))) * ln(cnt / (sum(cnt) OVER (PARTITION BY user_id)))) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |  FROM c)
+         |SELECT user_id, sum(cnt) AS n_triples,
+         |  ${round4Sql(s"CAST(-sum(term) AS DOUBLE) / ${dlit(math.log(6.0))}")} AS perm_entropy
+         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "ts_variance_ratio" -> {
       val mv1 = CleanFunctions.momentVarSql("n1", "s1", "s11")

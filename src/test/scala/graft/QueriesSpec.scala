@@ -260,6 +260,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(vr.filter(col("vr") <= 0.0).count() == 0, "variance ratio must be positive")
   }
 
+  test("hampel passes inliers through; permutation entropy lies in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val h = SparkEntry.queries("ts_hampel")(spark, sfDir).cache()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), graft.functions.CleanFunctions.round4(col("value")).as("v4"))
+    val drifted = h.filter(col("is_outlier") === 0).join(ev, "event_id")
+      .filter(col("cleaned") =!= col("v4")).count()
+    assert(drifted == 0, "non-outlier rows must pass through unchanged")
+    val pe = SparkEntry.queries("ts_perm_entropy")(spark, sfDir)
+    assert(pe.filter(col("perm_entropy") < 0.0 || col("perm_entropy") > 1.0001).count() == 0)
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
