@@ -67,13 +67,20 @@ object IvfIndex {
     * pairs, original ids, ascending.
     */
   def fit(e: DataFrame, idCol: String, embCol: String,
-          k: Int, dim: Int, iters: Int): Seq[(Int, Array[Float])] = {
-    // Init: the k ids smallest by (md5(id-as-string), id) — a
-    // deterministic pseudo-random draw. orderBy+limit(k) plans as
-    // TakeOrderedAndProject (per-partition top-k, driver merges
-    // k * numPartitions candidate rows), so unlike a rank window there is
-    // no global sort and no single-partition exchange at any scale; the
-    // embeddings come back via an isin-pushdown scan of just the k ids.
+          k: Int, dim: Int, iters: Int): Seq[(Int, Array[Float])] =
+    iterate(e, embCol, initCenters(e, idCol, embCol, k), dim, iters)
+
+  /** Hash-order init: the k ids smallest by (md5(id-as-string), id) — a
+    * deterministic pseudo-random draw. orderBy+limit(k) plans as
+    * TakeOrderedAndProject (per-partition top-k, driver merges
+    * k * numPartitions candidate rows), so unlike a rank window there is
+    * no global sort and no single-partition exchange at any scale; the
+    * embeddings come back via an isin-pushdown scan of just the k ids.
+    * Split out so [[ProductQuantizer]] can run it ONCE and slice the
+    * picked vectors per subspace instead of re-scanning per subspace.
+    */
+  private[operators] def initCenters(e: DataFrame, idCol: String, embCol: String,
+                                     k: Int): Seq[(Int, Array[Float])] = {
     import org.apache.spark.sql.types.StringType
     // Ids are read generically (r.get) and keyed on Any so a string/int
     // idCol works the same as the long ids in testdata — the r5 ADVICE
@@ -83,12 +90,17 @@ object IvfIndex {
       .limit(k)
       .collect().map(_.get(0))
     val cellOf: Map[Any, Int] = pickIds.zipWithIndex.toMap
-    val init = e.filter(col(idCol).isin(pickIds: _*))
+    e.filter(col(idCol).isin(pickIds: _*))
       .select(col(idCol), col(embCol))
       .collect()
       .map(r => cellOf(r.get(0)) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1).toSeq
+  }
 
+  /** The Lloyd rounds, starting from explicit `init` centers. */
+  private[operators] def iterate(e: DataFrame, embCol: String,
+                                 init: Seq[(Int, Array[Float])],
+                                 dim: Int, iters: Int): Seq[(Int, Array[Float])] = {
     (1 to iters).foldLeft(init) { (centers, _) =>
       val assigned = e.withColumn("__cell", cellExpr(col(embCol), centers))
       val sums = (0 until dim).map(i =>

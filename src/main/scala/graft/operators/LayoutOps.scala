@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Write-path data-layout primitives.
@@ -39,5 +39,54 @@ object LayoutOps {
     (0 until bits).map { i =>
       s"(((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1}))"
     }.mkString("(", " + ", ")")
+  }
+
+  /** First-fit contiguous shard packing: blobs stream through fixed-
+    * `capacity` shard files in deterministic order; a blob that does not
+    * fit in the current shard's remaining space STARTS A NEW SHARD — no
+    * blob ever straddles a file boundary, which is the whole point of a
+    * byte-addressed (shard_file, byte_offset, n_bytes) read plan (a
+    * plain cumulative-sum layout splits blobs across files —
+    * code-review finding). An oversized blob (> capacity) in an empty
+    * shard occupies it alone, overflowing that one file (documented; the
+    * alternative is rejecting the blob).
+    *
+    * The skip-to-next-shard decision depends on every prior placement,
+    * so this is a keyed O(1)-state sorted fold (the cusumReset shape),
+    * NOT a window — and being all-integer it replays exactly in a
+    * recursive CTE. Appends `shard_file` and `byte_offset`.
+    */
+  def packFirstFit(df: DataFrame, keys: Seq[String], order: Seq[String],
+                   sizeCol: String, capacity: Long,
+                   numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "packFirstFit needs stream keys")
+    require(capacity > 0, s"capacity=$capacity must be positive")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn("__pf_n", col(sizeCol).cast(LongType))
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields ++
+      Seq(StructField("shard_file", LongType), StructField("byte_offset", LongType)))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val nIdx = sorted.schema.fieldIndex("__pf_n")
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var file = 0L; var free = 0L
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; file = 0L; free = 0L }
+          val n = r.getLong(nIdx)
+          if (free > 0L && free + n > capacity) { file += 1L; free = 0L }
+          val off = free
+          free += n
+          // Drop the shadow column (last) and append the placement.
+          Row.fromSeq(r.toSeq.init ++ Seq[Any](file, off))
+        }
+      }, schema)
   }
 }

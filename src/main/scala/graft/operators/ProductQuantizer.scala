@@ -31,10 +31,15 @@ object ProductQuantizer {
           dim: Int, m: Int, k: Int, iters: Int): Seq[Seq[(Int, Array[Float])]] = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
     val sub = dim / m
+    // One pick/collect pass on the FULL vectors; every subspace's init is
+    // a driver-side slice of the same picks (they share the pick ids by
+    // contract) — not m redundant top-k scans (code-review finding).
+    val fullInit = IvfIndex.initCenters(e, idCol, embCol, k)
     (0 until m).map { j =>
-      IvfIndex.fit(
-        e.select(col(idCol), slice(col(embCol), j * sub + 1, sub).as("__pq_sub")),
-        idCol, "__pq_sub", k, sub, iters)
+      val init = fullInit.map { case (cid, c) => cid -> c.slice(j * sub, j * sub + sub) }
+      IvfIndex.iterate(
+        e.select(slice(col(embCol), j * sub + 1, sub).as("__pq_sub")),
+        "__pq_sub", init, sub, iters)
     }
   }
 

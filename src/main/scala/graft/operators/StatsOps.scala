@@ -200,7 +200,10 @@ object StatsOps {
     require(frameRows >= 2, s"frameRows must be >= 2: $frameRows")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(col): _*)
       .rowsBetween(-(frameRows - 1), Window.currentRow)
-    val dec = DecimalType(28, 6)
+    // DECIMAL(38,6): v^4 at the DQ bound |v| <= 1e6 is 1e24 — a (28,6)
+    // cast (1e22 cap) would silently null on Spark and ERROR on DuckDB,
+    // an in-range engine divergence (code-review finding).
+    val dec = DecimalType(38, 6)
     val v = col(valueCol)
     def powSum(p: Column): Column =
       sum(CleanFunctions.round4(p).cast(dec)).over(w).cast(DoubleType)

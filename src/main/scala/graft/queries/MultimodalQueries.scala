@@ -92,27 +92,23 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
-    // Training-shard manifest: pack media blobs into 64 KiB shard files,
-    // greedy-contiguous in deterministic md5 order, SHARDED into 4
-    // independent packing streams (each stream's cumulative sum is a
-    // KEYED window — the text_pack_sequences distributed shape, on bytes
-    // instead of tokens). Output: which shard file each blob lands in
-    // and at what byte offset — what a dataloader actually reads.
+    // Training-shard manifest: FIRST-FIT pack media blobs into 64 KiB
+    // shard files, in deterministic md5 order across 4 independent
+    // packing streams — a blob that doesn't fit the current shard's
+    // remainder starts a new shard, so no blob ever straddles a file
+    // boundary and every (shard_file, byte_offset, n_bytes) triple is a
+    // valid single-file read. The skip decision is state, so this is a
+    // keyed LayoutOps.packFirstFit fold with a recursive-CTE exact
+    // oracle (fifth recursive operator).
     "mm_shard_manifest" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.LongType
-      val ShardBytes = 65536L
-      val Streams = 4L
       val h = graft.functions.CleanFunctions.md5Hash64(concat(lit("shard:"), col("doc_id")))
-      val w = Window.partitionBy("stream").orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), h.as("h"), (h % Streams).as("stream"),
+      val blobs = Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"), (h % 4L).as("stream"),
           length(col("text").cast("binary")).cast(LongType).as("n_bytes"))
-        .withColumn("prev", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
-        .select(col("doc_id"), col("stream"),
-          expr(s"prev div $ShardBytes").as("shard_file"),
-          (col("prev") % ShardBytes).as("byte_offset"), col("n_bytes"))
+      graft.operators.LayoutOps.packFirstFit(
+          blobs, Seq("stream"), Seq("h", "doc_id"), "n_bytes", 65536L)
+        .select("doc_id", "stream", "shard_file", "byte_offset", "n_bytes")
         .orderBy("doc_id")
     },
 
@@ -166,15 +162,29 @@ object MultimodalQueries {
 
     "mm_shard_manifest" -> {
       val h = graft.functions.CleanFunctions.md5Hash64Sql("'shard:' || doc_id")
-      s"""WITH t AS (SELECT doc_id, $h AS h, $h % 4 AS stream,
+      // Replays the first-fit fold exactly: carry (shard_file, free) per
+      // stream; roll to a new shard when the blob doesn't fit.
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $h AS h, $h % 4 AS stream,
          |  CAST(strlen(text) AS BIGINT) AS n_bytes
          |  FROM documents),
-         |p AS (SELECT doc_id, stream, n_bytes,
-         |  coalesce(sum(n_bytes) OVER (PARTITION BY stream ORDER BY h, doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
-         |  FROM t)
-         |SELECT doc_id, stream, prev // 65536 AS shard_file,
-         |  prev % 65536 AS byte_offset, n_bytes
+         |v AS (SELECT doc_id, stream, n_bytes,
+         |  row_number() OVER (PARTITION BY stream ORDER BY h, doc_id) AS rn
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, stream, n_bytes, rn,
+         |    CAST(0 AS BIGINT) AS shard_file, CAST(0 AS BIGINT) AS byte_offset,
+         |    n_bytes AS free
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.doc_id, v.stream, v.n_bytes, v.rn,
+         |    CASE WHEN p.free > 0 AND p.free + v.n_bytes > 65536
+         |         THEN p.shard_file + 1 ELSE p.shard_file END,
+         |    CASE WHEN p.free > 0 AND p.free + v.n_bytes > 65536
+         |         THEN 0 ELSE p.free END,
+         |    CASE WHEN p.free > 0 AND p.free + v.n_bytes > 65536
+         |         THEN v.n_bytes ELSE p.free + v.n_bytes END
+         |  FROM p JOIN v ON v.stream = p.stream AND v.rn = p.rn + 1)
+         |SELECT doc_id, stream, shard_file, byte_offset, n_bytes
          |FROM p ORDER BY doc_id""".stripMargin
     },
 

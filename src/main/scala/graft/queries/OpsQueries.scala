@@ -33,7 +33,7 @@ object OpsQueries {
     */
   private val HoltAlpha = 0.5
   private val HoltGamma = 0.3
-  private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+  private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
   /** Kalman local-level variances (process / measurement), sized to the
     * events value scale (sigma ~5 measurement noise, modest drift).

@@ -234,22 +234,10 @@ object SimilarityQueries {
     // the corpus side streams — nothing shuffles but the tiny dim.
     "emb_kmeans_assign" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
-      // The per-id aggregate is a no-op on rows (vec_id is unique) but a
-      // structural bound for the plan audit: an Aggregate on the path
-      // caps the broadcast side at the distinct seed-id count at any
-      // corpus scale — and unlike limit(), it plans no single-partition
-      // exchange.
-      val cents = e.filter(col("vec_id") < 16)
-        .groupBy(col("vec_id").as("centroid_id"))
-        .agg(first(col("embedding")).as("c_emb"))
-      val dist2 = graft.functions.CleanFunctions.round4(
-        TextFunctions.dot(col("embedding"), col("embedding"))
-          - lit(2.0) * TextFunctions.dot(col("embedding"), col("c_emb"))
-          + TextFunctions.dot(col("c_emb"), col("c_emb")))
       val w = Window.partitionBy("vec_id")
         .orderBy(col("dist2").asc, col("centroid_id").asc)
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("centroid_id"), dist2.as("dist2"))
+      e.crossJoin(broadcast(seedCentroids(e)))
+        .select(col("vec_id"), col("centroid_id"), seedDist2.as("dist2"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1).drop("rk")
         .orderBy("vec_id")
@@ -287,19 +275,12 @@ object SimilarityQueries {
     "emb_silhouette" -> { (s, d) =>
       import graft.functions.CleanFunctions
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 16)
-        .groupBy(col("vec_id").as("centroid_id"))
-        .agg(first(col("embedding")).as("c_emb"))
-      val dist2 = CleanFunctions.round4(
-        TextFunctions.dot(col("embedding"), col("embedding"))
-          - lit(2.0) * TextFunctions.dot(col("embedding"), col("c_emb"))
-          + TextFunctions.dot(col("c_emb"), col("c_emb")))
       val w = Window.partitionBy("vec_id")
         .orderBy(col("dist2").asc, col("centroid_id").asc)
       val a = sqrt(greatest(col("d1"), lit(0.0)))
       val b = sqrt(greatest(col("d2"), lit(0.0)))
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("centroid_id"), dist2.as("dist2"))
+      e.crossJoin(broadcast(seedCentroids(e)))
+        .select(col("vec_id"), col("centroid_id"), seedDist2.as("dist2"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 2)
         .groupBy("vec_id")
@@ -317,9 +298,34 @@ object SimilarityQueries {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
+  /** The 16 fixed seed centroids (vec_id < 16) behind a structural
+    * Aggregate (bounds the broadcast at any corpus scale without a
+    * single-partition exchange) — shared by emb_kmeans_assign and
+    * emb_silhouette so assignment and its quality gate can never use
+    * different centroids.
+    */
+  private def seedCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .groupBy(col("vec_id").as("centroid_id"))
+      .agg(first(col("embedding")).as("c_emb"))
+
+  /** 4dp-rounded squared L2 to a seed centroid in the pinned op order
+    * (v.v − 2·v.c) + c.c — the single source of the parity-critical
+    * distance arithmetic (Spark side).
+    */
+  private def seedDist2: org.apache.spark.sql.Column =
+    graft.functions.CleanFunctions.round4(
+      TextFunctions.dot(col("embedding"), col("embedding"))
+        - lit(2.0) * TextFunctions.dot(col("embedding"), col("c_emb"))
+        + TextFunctions.dot(col("c_emb"), col("c_emb")))
+
+  /** DuckDB twin of [[seedDist2]] over aliases e (corpus) and c (centroids). */
+  private val SeedD2Sql: String =
+    s"round(((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.c_emb")} + ${dotSql("c.c_emb", "c.c_emb")})) * 10000.0) / 10000.0"
+
   val oracleSql: Map[String, String] = Map(
     "emb_kmeans_assign" -> {
-      val d2 = s"round(((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.c_emb")} + ${dotSql("c.c_emb", "c.c_emb")})) * 10000.0) / 10000.0"
+      val d2 = SeedD2Sql
       s"""WITH c AS (
          |  SELECT vec_id AS centroid_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 16)
@@ -334,8 +340,7 @@ object SimilarityQueries {
     // hash-order init + DECIMAL-exact Lloyd round, then assigns codes —
     // the same contract as the ann_ivf_topk oracle, per subspace.
     "emb_pq" -> {
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      def dot(a: String, b: String) = dotSql(a, b)
       def sq(a: String) =
         s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
       val subs = (0 until PqM).map { j =>
@@ -376,7 +381,7 @@ object SimilarityQueries {
     },
 
     "emb_silhouette" -> {
-      val d2 = s"round(((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.c_emb")} + ${dotSql("c.c_emb", "c.c_emb")})) * 10000.0) / 10000.0"
+      val d2 = SeedD2Sql
       s"""WITH c AS (
          |  SELECT vec_id AS centroid_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 16),

@@ -24,10 +24,8 @@ object StatsQueries {
 
   private val Ps = Seq(0.25, 0.5, 0.9)
 
-  /** Exact-double literal shared with the SQL twin (a decimal literal in
-    * SQL could parse to a different double than Scala computed).
-    */
-  private def dlit(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+  /** Exact-double literal shared with the SQL twin. */
+  private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
   /** Benford expected first-digit shares log10(1 + 1/d), d = 1..9 —
     * computed ONCE here and baked as literals into both engines.
@@ -158,7 +156,11 @@ object StatsQueries {
     // ulp; expected shares are literal doubles baked into both engines;
     // zero-observation digits enter the statistic via a digit spine.
     "events_benford" -> { (s, d) =>
-      val e = Tables.events(s, d).where(col("value") > 0.0)
+      // cents >= 1, not value > 0: a sub-cent value rounds to 0 cents and
+      // has no first digit at 2dp resolution — it would otherwise count
+      // in n but in no spine cell, silently inflating chi2
+      // (code-review finding).
+      val e = Tables.events(s, d).where(round(col("value") * 100.0) >= 1.0)
         .withColumn("digit",
           substring(round(col("value") * 100.0).cast(LongType).cast("string"), 1, 1)
             .cast(LongType))
@@ -239,7 +241,10 @@ object StatsQueries {
         ((n + 1.0) - col("tsum").cast(DoubleType) / (n * (n - 1.0)))
       agg.select(col("n1").cast(LongType).as("n1"), col("n2").cast(LongType).as("n2"),
         round4(u1).as("u1"),
-        round4((u1 - mu) / sqrt(sig2)).as("z"))
+        // nullif guard: a fully-tied sample cancels sig2 to exactly 0 and
+        // an unguarded divide would emit NaN instead of the codebase's
+        // null convention (code-review finding).
+        round4(CleanFunctions.safeDiv(u1 - mu, sqrt(sig2))).as("z"))
     },
 
     // Per-series OLS trend of value on the hour index since series start
@@ -517,7 +522,7 @@ object StatsQueries {
       s"""WITH e AS (
          |  SELECT event_type,
          |    CAST(substring(CAST(CAST(round(value * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-         |  FROM events WHERE value > 0.0),
+         |  FROM events WHERE round(value * 100.0) >= 1.0),
          |obs AS (SELECT event_type, digit, count(*) AS obs FROM e GROUP BY 1, 2),
          |tot AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
          |spine AS (SELECT event_type, n, unnest(generate_series(1, 9)) AS digit FROM tot),
@@ -578,7 +583,7 @@ object StatsQueries {
          |  FROM r JOIN (SELECT value, ar FROM tg) USING (value))
          |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
          |  ${round4Sql(u1)} AS u1,
-         |  ${round4Sql(s"($u1 - $mu) / sqrt($sig2)")} AS z
+         |  ${round4Sql(s"($u1 - $mu) / nullif(sqrt($sig2), 0.0)")} AS z
          |FROM a, ts""".stripMargin
     },
 
@@ -614,9 +619,9 @@ object StatsQueries {
          |  SELECT event_id,
          |    CAST(count(*) OVER w AS DOUBLE) AS n,
          |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
-         |    CAST(sum(CAST(${round4Sql("value * value")} AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s2,
-         |    CAST(sum(CAST(${round4Sql("value * value * value")} AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s3,
-         |    CAST(sum(CAST(${round4Sql("value * value * value * value")} AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s4
+         |    CAST(sum(CAST(${round4Sql("value * value")} AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+         |    CAST(sum(CAST(${round4Sql("value * value * value")} AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s3,
+         |    CAST(sum(CAST(${round4Sql("value * value * value * value")} AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s4
          |  FROM e
          |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
          |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),

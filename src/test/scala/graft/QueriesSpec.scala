@@ -254,6 +254,9 @@ class QueriesSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val man = SparkEntry.queries("mm_shard_manifest")(spark, sfDir)
     assert(man.filter(col("byte_offset") < 0 || col("byte_offset") >= 65536).count() == 0)
+    // First-fit contract: no blob straddles a shard-file boundary.
+    assert(man.filter(col("byte_offset") + col("n_bytes") > 65536).count() == 0,
+      "a blob read would run past its shard file's end")
     val gini = SparkEntry.queries("orders_gini")(spark, sfDir).head.getDouble(1)
     assert(gini >= 0.0 && gini < 1.0, s"gini=$gini out of [0,1)")
     val vr = SparkEntry.queries("ts_variance_ratio")(spark, sfDir)
