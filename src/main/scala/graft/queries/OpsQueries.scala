@@ -146,6 +146,25 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // Dwell time per event-type transition: how long users sit between a
+    // from-event and the next event, per (from, to) pair — the duration
+    // companion of events_markov (which counts transitions, this times
+    // them). One keyed lead window + a grouped exact-integer-micros
+    // mean; seconds derived at output.
+    "events_dwell_time" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      ev(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .withColumn("dwell_us", lead(col("tsu"), 1).over(w) - col("tsu"))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"),
+          round4((sum(col("dwell_us")).cast("double") / count(lit(1))) / 1e6)
+            .as("mean_dwell_s"))
+        .orderBy("from_type", "to_type")
+    },
+
     // Croston's method on hourly purchase demand — the intermittent-
     // demand forecaster (plain EWMA systematically under-forecasts
     // sparse series): demand-size and inter-demand-interval smoothers
@@ -810,6 +829,17 @@ object OpsQueries {
          |SELECT event_id, ${round4Sql("est")} AS estimate, ${round4Sql("gain")} AS gain
          |FROM kal ORDER BY event_id""".stripMargin
     },
+
+    "events_dwell_time" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+         |l AS (SELECT event_type AS from_type,
+         |  lead(event_type) OVER w AS to_type,
+         |  lead(tsu) OVER w - tsu AS dwell_us
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+         |SELECT from_type, to_type, count(*) AS n,
+         |  ${round4Sql("(CAST(sum(dwell_us) AS DOUBLE) / count(*)) / 1000000.0")} AS mean_dwell_s
+         |FROM l WHERE to_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     "ts_croston" -> {
       val a = dlit(CrostonAlpha); val ia = dlit(1.0 - CrostonAlpha)

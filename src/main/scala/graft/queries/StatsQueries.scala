@@ -380,6 +380,33 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // WEIGHTED median unit price per return flag, weighted by quantity —
+    // the order statistic where each row counts `w` times (exact
+    // percentile machinery can't express it). Lower weighted median: the
+    // first value whose DECIMAL cumulative weight crosses half the total
+    // — the crossing test is 2·cumw >= total on EXACT decimals, so both
+    // engines pick the identical row; value pre-rounded (division noise
+    // would otherwise reorder ties).
+    "lineitem_weighted_median" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(18, 6)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round4(col("l_extendedprice") / col("l_quantity")).as("unit_price"),
+          col("l_quantity").cast(dec).as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val wCum = Window.partitionBy("l_returnflag")
+        .orderBy(col("unit_price"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("l_returnflag")
+      li.withColumn("cumw", sum(col("w")).over(wCum))
+        .withColumn("tot", sum(col("w")).over(wAll))
+        .where(col("cumw") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("unit_price")).as("weighted_median"))
+        .orderBy("l_returnflag")
+    },
+
     // Gini coefficient of customer revenue concentration — the scalar
     // summary of orders_pareto's curve: G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n
     // on ascending-revenue ranks. Ranks from the banded globalRank (no
@@ -713,6 +740,22 @@ object StatsQueries {
          |  ${round4Sql(s"($mvk) / nullif(4.0 * ($mv1), 0.0)")} AS vr
          |FROM a ORDER BY user_id""".stripMargin
     },
+
+    "lineitem_weighted_median" ->
+      s"""WITH li AS (
+         |  SELECT l_returnflag, ${round4Sql("l_extendedprice / l_quantity")} AS unit_price,
+         |    CAST(l_quantity AS DECIMAL(18,6)) AS w, l_orderkey, l_linenumber
+         |  FROM lineitem),
+         |c AS (
+         |  SELECT l_returnflag, unit_price,
+         |    sum(w) OVER (PARTITION BY l_returnflag
+         |      ORDER BY unit_price, l_orderkey, l_linenumber
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+         |  FROM li)
+         |SELECT l_returnflag, min(unit_price) AS weighted_median
+         |FROM c WHERE cumw * 2 >= tot
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "orders_gini" ->
       s"""WITH rev AS (

@@ -289,6 +289,40 @@ object TimeSeriesQueries {
     // Pearson over (x_t, x_{t-k}) pairs from exact DECIMAL moments in
     // ONE pass: lag columns ride the series sort, moments are
     // map-side-combinable conditional sums.
+    // Full autocorrelation function, lags 1..12, LONG format (one row per
+    // (series, lag)) — the correlogram a seasonality/AR-order analysis
+    // actually plots; same clamped exact-moment machinery as ts_acf, 72
+    // aggregate columns in ONE grouped pass, stacked to rows at the end.
+    "ts_acf_full" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dec = DecimalType(28, 6)
+      val lags = 1 to 12
+      def moments(k: Int): Seq[org.apache.spark.sql.Column] = {
+        val x = col("value"); val y = col(s"y$k"); val valid = y.isNotNull
+        Seq(count(when(valid, 1)).cast("double").as(s"n$k"),
+          sum(when(valid, x).cast(dec)).cast("double").as(s"sx$k"),
+          sum(when(valid, y).cast(dec)).cast("double").as(s"sy$k"),
+          sum(when(valid, x * y).cast(dec)).cast("double").as(s"sxy$k"),
+          sum(when(valid, x * x).cast(dec)).cast("double").as(s"sxx$k"),
+          sum(when(valid, y * y).cast(dec)).cast("double").as(s"syy$k"))
+      }
+      def corrOf(k: Int) = CleanFunctions.round4(CleanFunctions.momentCorr(
+        col(s"n$k"), col(s"sx$k"), col(s"sy$k"),
+        col(s"sxy$k"), col(s"sxx$k"), col(s"syy$k")))
+      val base = lags.foldLeft(Tables.events(s, d)) { (df, k) =>
+        df.withColumn(s"y$k", lag(col("value"), k).over(w))
+      }
+      val aggs = lags.flatMap(moments)
+      val stacked = "stack(12, " +
+        lags.map(k => s"CAST($k AS BIGINT), c$k").mkString(", ") + ") AS (lag_k, acf)"
+      base.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("user_id") +: lags.map(k => corrOf(k).as(s"c$k")): _*)
+        .select(col("user_id"), expr(stacked))
+        .orderBy("user_id", "lag_k")
+    },
+
     "ts_acf" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
@@ -855,6 +889,30 @@ object TimeSeriesQueries {
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
          |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_acf_full" -> {
+      val lags = 1 to 12
+      def m(k: Int) =
+        s"""  CAST(count(CASE WHEN y$k IS NOT NULL THEN 1 END) AS DOUBLE) AS n$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS sx$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k END AS DECIMAL(28,6))) AS DOUBLE) AS sy$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS sxy$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * value END AS DECIMAL(28,6))) AS DOUBLE) AS sxx$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS syy$k""".stripMargin
+      def corrOf(k: Int) =
+        s"round((${CleanFunctions.momentCorrSql(s"n$k", s"sx$k", s"sy$k", s"sxy$k", s"sxx$k", s"syy$k")}) * 10000.0) / 10000.0"
+      val lagCols = lags.map(k => s"lag(value, $k) OVER ($W) AS y$k").mkString(",\n  ")
+      val rows = lags.map(k =>
+        s"SELECT user_id, CAST($k AS BIGINT) AS lag_k, ${corrOf(k)} AS acf FROM m")
+        .mkString("\n  UNION ALL ")
+      s"""WITH l AS (SELECT user_id, value,
+         |  $lagCols FROM events),
+         |m AS (SELECT user_id,
+         |${lags.map(m).mkString(",\n")}
+         |  FROM l GROUP BY user_id)
+         |SELECT user_id, lag_k, acf FROM ($rows)
+         |ORDER BY user_id, lag_k""".stripMargin
+    },
 
     "ts_acf" -> {
       def m(k: Int) =
