@@ -146,6 +146,25 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // Daily new-vs-cumulative unique users (the growth curve): distinct
+    // counting made incremental by the FIRST-SEEN trick — each user
+    // counts on exactly one day, so the cumulative distinct is a plain
+    // running sum over the O(#days) day grid. The prefix runs as a
+    // broadcast self-join over that aggregate (no unpartitioned window);
+    // integer sums make join-order irrelevant, so the oracle's window
+    // cumsum matches exactly.
+    "events_user_growth" -> { (s, d) =>
+      val firstSeen = ev(s, d).groupBy("user_id")
+        .agg(min(expr("tsu DIV 3600000000")).as("hour"))
+      val perHour = firstSeen.groupBy("hour").agg(count(lit(1)).as("new_users"))
+      val b = perHour.select(col("hour").as("b_hour"), col("new_users").as("b_new"))
+      perHour.join(broadcast(b), col("b_hour") <= col("hour"))
+        .groupBy("hour", "new_users")
+        .agg(sum(col("b_new")).as("cum_users"))
+        .select(col("hour"), col("new_users"), col("cum_users"))
+        .orderBy("hour")
+    },
+
     // Dwell time per event-type transition: how long users sit between a
     // from-event and the next event, per (from, to) pair — the duration
     // companion of events_markov (which counts transitions, this times
@@ -829,6 +848,15 @@ object OpsQueries {
          |SELECT event_id, ${round4Sql("est")} AS estimate, ${round4Sql("gain")} AS gain
          |FROM kal ORDER BY event_id""".stripMargin
     },
+
+    "events_user_growth" ->
+      s"""WITH f AS (SELECT user_id, min(epoch_us(ts) // 3600000000) AS hour
+         |  FROM events GROUP BY 1),
+         |n AS (SELECT hour, count(*) AS new_users FROM f GROUP BY 1)
+         |SELECT hour, new_users,
+         |  sum(new_users) OVER (ORDER BY hour
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+         |FROM n ORDER BY hour""".stripMargin,
 
     "events_dwell_time" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),

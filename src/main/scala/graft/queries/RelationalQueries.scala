@@ -488,6 +488,29 @@ object RelationalQueries {
           .cast("double").as("revenue"))
     },
 
+    // TPC-H Q17 shape (correlated-aggregate decorrelation): revenue from
+    // lineitems under 20% of their part's average quantity, for one
+    // brand — the classic correlated subquery rewritten as a grouped
+    // aggregate + equi-join (what every optimizer decorrelates to; here
+    // it's declared directly). The per-part threshold side is an
+    // aggregate of the scanned lineitems (bounded O(#parts)); the brand
+    // filter pushes to the part scan and prunes both sides via the join.
+    "q17_small_quantity" -> { (s, d) =>
+      val parts = Tables.part(s, d)
+        .where(col("p_brand") === "Brand#9")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(((exactSum(col("l_quantity")) / count(col("l_quantity"))) * 0.2)
+          .as("qty_thr"))
+      li.join(thr, col("l_partkey") === col("t_partkey"))
+        .where(col("l_quantity") < col("qty_thr"))
+        .agg(CleanFunctions.round4(
+          sum(dPrice(col("l_extendedprice"))).cast("double") / 7.0)
+          .as("avg_yearly"))
+    },
+
     // TPC-H Q15 shape (top supplier): quarterly revenue per supplier →
     // global max → join-back, keeping ALL tied suppliers. The tie compare
     // runs on the EXACT DECIMAL revenue (a double compare could split a
@@ -746,6 +769,20 @@ object RelationalQueries {
         |FROM events GROUP BY CUBE (et, h))
         |SELECT coalesce(et, '(all)') AS event_type, coalesce(h, -1) AS hour, n, sum_value
         |FROM r ORDER BY event_type, hour""".stripMargin,
+
+    "q17_small_quantity" ->
+      s"""WITH li AS (
+         |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  WHERE p.p_brand = 'Brand#9'),
+         |thr AS (
+         |  SELECT l_partkey,
+         |    (${CleanFunctions.exactSumSql("l_quantity")} / count(l_quantity)) * 0.2 AS qty_thr
+         |  FROM li GROUP BY l_partkey)
+         |SELECT ${CleanFunctions.round4Sql(
+              "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0")} AS avg_yearly
+         |FROM li JOIN thr USING (l_partkey)
+         |WHERE l_quantity < qty_thr""".stripMargin,
 
     "q15_top_supplier" ->
       s"""WITH rev AS (

@@ -380,6 +380,28 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // Join-key skew profile: the distribution of per-key row counts
+    // (p50/p90/p99/max + the hottest key's share) — what you run BEFORE
+    // choosing between plain shuffle, AQE skew-join and saltedJoin.
+    // Order statistics via the banded globalRank; percentile targets are
+    // INTEGER ceiling ranks, so both engines pick identical rows.
+    "events_skew_profile" -> { (s, d) =>
+      val cnt = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = StatsOps.globalRank(cnt, col("cnt"), col("user_id"),
+        asc = true, "rk")
+      val nTot = cnt.agg(count(lit(1)).as("nk"), sum(col("cnt")).as("total"))
+      ranked.crossJoin(broadcast(nTot))
+        .agg(max(col("nk")).as("n_keys"),
+          max(col("total")).as("total_rows"),
+          max(col("cnt")).as("max_cnt"),
+          min(when(col("rk") === expr("(nk + 1) DIV 2"), col("cnt"))).as("p50_cnt"),
+          min(when(col("rk") === expr("(9 * nk + 9) DIV 10"), col("cnt"))).as("p90_cnt"),
+          min(when(col("rk") === expr("(99 * nk + 99) DIV 100"), col("cnt"))).as("p99_cnt"))
+        .withColumn("top_share",
+          round4(col("max_cnt").cast(DoubleType) / col("total_rows").cast(DoubleType)))
+    },
+
     // WEIGHTED median unit price per return flag, weighted by quantity —
     // the order statistic where each row counts `w` times (exact
     // percentile machinery can't express it). Lower weighted median: the
@@ -740,6 +762,17 @@ object StatsQueries {
          |  ${round4Sql(s"($mvk) / nullif(4.0 * ($mv1), 0.0)")} AS vr
          |FROM a ORDER BY user_id""".stripMargin
     },
+
+    "events_skew_profile" ->
+      s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk FROM c),
+         |t AS (SELECT count(*) AS nk, sum(cnt) AS total FROM c)
+         |SELECT max(nk) AS n_keys, max(total) AS total_rows, max(cnt) AS max_cnt,
+         |  min(CASE WHEN rk = (nk + 1) // 2 THEN cnt END) AS p50_cnt,
+         |  min(CASE WHEN rk = (9 * nk + 9) // 10 THEN cnt END) AS p90_cnt,
+         |  min(CASE WHEN rk = (99 * nk + 99) // 100 THEN cnt END) AS p99_cnt,
+         |  ${round4Sql("CAST(max(cnt) AS DOUBLE) / CAST(max(total) AS DOUBLE)")} AS top_share
+         |FROM r, t""".stripMargin,
 
     "lineitem_weighted_median" ->
       s"""WITH li AS (

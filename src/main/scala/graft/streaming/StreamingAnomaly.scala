@@ -34,6 +34,18 @@ case class KalmanEvent(event_id: Long, user_id: Long, estimate: Double, gain: Do
 /** Kalman posterior state: level estimate + error variance — O(1)/key. */
 case class KalmanState(est: Double, p: Double)
 
+/** A sample with its per-series control parameters (mean + slack),
+  * entering the streaming CUSUM chart.
+  */
+case class ControlSample(event_id: Long, ts: Timestamp, user_id: Long,
+                         value: Double, target_mean: Double, slack: Double)
+
+/** Per-row CUSUM output (streaming twin of TimeSeriesOps.cusumReset). */
+case class CusumEvent(event_id: Long, user_id: Long, cusum_hi: Double)
+
+/** One-sided upper CUSUM statistic — a single double of state per key. */
+case class CusumState(s: Double)
+
 /** One closed alert episode (run of consecutive flagged events). */
 case class Episode(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
 
@@ -264,6 +276,30 @@ object StreamingAnomaly {
             }
           }
           if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming SPC CUSUM with reset — the streaming twin of
+    * `TimeSeriesOps.cusumReset`: s' = max(0, s + (x − mean − slack)),
+    * ONE double of state per key. The per-series control parameters
+    * (mean, slack) ride on each sample — in production they come from a
+    * slowly-refreshed reference join upstream of this operator. Same
+    * in-batch (event-time, event_id) ordering contract as [[kalman]]:
+    * a single-batch replay equals the batch fold bit-for-bit.
+    */
+  def cusumReset(samples: Dataset[ControlSample]): Dataset[CusumEvent] = {
+    import samples.sparkSession.implicits._
+    samples
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[ControlSample], state: GroupState[CusumState]) =>
+          var s = state.getOption.map(_.s).getOrElse(0.0)
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            s = math.max(0.0, s + (e.value - e.target_mean - e.slack))
+            CusumEvent(e.event_id, e.user_id, s)
+          }
+          state.update(CusumState(s))
           out.iterator
       }
   }

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{Event, StreamingAnomaly}
+import graft.streaming.{ControlSample, Event, StreamingAnomaly}
 
 class StreamingSpec extends AnyFunSuite {
   private val spark = SparkTestSession.spark
@@ -301,6 +301,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.keySet == want.keySet)
       want.foreach { case (id, w) =>
         assert(got(id) == w, s"Kalman state mismatch at event $id: ${got(id)} != $w")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM equals batch cusumReset on real data, bit-for-bit") {
+    import graft.functions.CleanFunctions
+    // Per-series control parameters from one batch moment pass — the
+    // "slowly-refreshed reference" a production stream would join in.
+    val e = Tables.events(spark, SparkTestSession.sfDir)
+      .where(col("value").isNotNull)
+    val stats = e.groupBy("user_id").agg(
+      CleanFunctions.exactSum(col("value")).as("sx"),
+      CleanFunctions.exactSum(col("value") * col("value")).as("sxx"),
+      count(col("value")).cast("double").as("n"))
+    val withCtl = e.join(stats, "user_id")
+      .withColumn("target_mean", col("sx") / col("n"))
+      .withColumn("slack",
+        lit(0.5) * CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")))
+    val samples = withCtl
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("target_mean"), col("slack"))
+      .as[ControlSample].collect().sortBy(s => (s.ts.getTime, s.event_id))
+    val ms = MemoryStream[ControlSample](spark)
+    val q = StreamingAnomaly.cusumReset(ms.toDS())
+      .writeStream.format("memory").queryName("cu_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      ms.addData(samples.toSeq); q.processAllAvailable()
+      val got = spark.table("cu_eq")
+        .select(col("event_id"), col("cusum_hi"))
+        .as[(Long, Double)].collect().toMap
+      val want = graft.operators.TimeSeriesOps.cusumReset(
+          withCtl.withColumn("tsu", epochUs(col("ts"))),
+          Seq("user_id"), Seq("tsu", "event_id"), "value", "target_mean", "slack")
+        .select(col("event_id"), col("cusum_hi"))
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"CUSUM mismatch at event $id: ${got(id)} != $w")
       }
     } finally q.stop()
   }
