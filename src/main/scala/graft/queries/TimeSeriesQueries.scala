@@ -405,6 +405,46 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Generalized-ESD iterative anomaly extraction (the Rosner test /
+    // Twitter-AnomalyDetection core, 3 unrolled rounds): per round,
+    // recompute mean/std over the REMAINING seasonal residuals, flag the
+    // max-|z| point per series, remove it — iterative re-fitting is the
+    // whole point (a single z pass lets one huge outlier MASK the
+    // others by inflating std). Emits (series, round, event, z); the
+    // ESD critical-value cut is the caller's (we emit the statistic).
+    // Exact moments per round; ties broken on (round4 z, event_id).
+    "ts_esd_anomalies" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val seasW = Window.partitionBy(col("user_id"), hour(col("ts")))
+      val res0 = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("r", graft.functions.CleanFunctions.round4(
+          col("value") - graft.functions.CleanFunctions.exactMeanOver(col("value"), seasW)))
+        .select("event_id", "user_id", "r")
+      def esdRound(i: Int, prev: DataFrame): (DataFrame, DataFrame) = {
+        val m = prev.groupBy("user_id").agg(
+          count(col("r")).cast(DoubleType).as("n"),
+          CleanFunctions.exactSum(col("r")).as("sx"),
+          CleanFunctions.exactSum(
+            graft.functions.CleanFunctions.round4(col("r") * col("r"))).as("sxx"))
+        val ranked = prev.join(m, "user_id")
+          .withColumn("z", graft.functions.CleanFunctions.round4(
+            safeDiv(abs(col("r") - col("sx") / col("n")),
+              CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")))))
+          .where(col("z").isNotNull)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("user_id").orderBy(desc("z"), col("event_id"))))
+        (ranked.where(col("rk") === 1)
+           .select(col("user_id"), lit(i.toLong).as("esd_round"),
+             col("event_id"), col("z")),
+         ranked.where(col("rk") > 1).select("event_id", "user_id", "r"))
+      }
+      val (c1, s2) = esdRound(1, res0)
+      val (c2, s3) = esdRound(2, s2)
+      val (c3, _)  = esdRound(3, s3)
+      c1.union(c2).union(c3).orderBy("user_id", "esd_round")
+    },
+
     // Differencing + expanding aggregates: first difference (pandas
     // .diff, the detrending primitive), running total and running max
     // over the expanding window — one window sort serves all three.
@@ -956,6 +996,36 @@ object TimeSeriesQueries {
          |h AS (SELECT *, sum(chg) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g)
          |SELECT user_id, count(*) AS n_events, min(tsu) AS start_us, max(tsu) AS end_us
          |FROM h WHERE flag = 1 GROUP BY user_id, grp ORDER BY user_id, start_us""".stripMargin,
+
+    "ts_esd_anomalies" -> {
+      val std = CleanFunctions.momentStdSql("m.n", "m.sx", "m.sxx")
+      def roundCte(i: Int) =
+        s"""m$i AS (SELECT user_id, CAST(count(r) AS DOUBLE) AS n,
+           |  ${CleanFunctions.exactSumSql("r")} AS sx,
+           |  ${CleanFunctions.exactSumSql(CleanFunctions.round4Sql("r * r"))} AS sxx
+           |  FROM s$i GROUP BY user_id),
+           |k$i AS (SELECT s.event_id, s.user_id, s.r,
+           |  ${CleanFunctions.round4Sql(s"abs(s.r - m.sx / m.n) / nullif($std, 0.0)")} AS z
+           |  FROM s$i s JOIN m$i m USING (user_id)),
+           |rk$i AS (SELECT event_id, user_id, r, z,
+           |  row_number() OVER (PARTITION BY user_id ORDER BY z DESC, event_id) AS rk
+           |  FROM k$i WHERE z IS NOT NULL),
+           |c$i AS (SELECT user_id, CAST($i AS BIGINT) AS esd_round, event_id, z
+           |  FROM rk$i WHERE rk = 1),
+           |s${i + 1} AS (SELECT event_id, user_id, r FROM rk$i WHERE rk > 1)""".stripMargin
+      s"""WITH s1 AS (
+         |  SELECT event_id, user_id,
+         |    ${CleanFunctions.round4Sql(
+              s"value - ${CleanFunctions.exactMeanSql("value", "OVER ws")}")} AS r
+         |  FROM events WHERE value IS NOT NULL
+         |  WINDOW ws AS (PARTITION BY user_id, hour(ts))),
+         |${roundCte(1)},
+         |${roundCte(2)},
+         |${roundCte(3)}
+         |SELECT user_id, esd_round, event_id, z FROM (
+         |  SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+         |ORDER BY user_id, esd_round""".stripMargin
+    },
 
     "ts_seasonal_adjust" ->
       s"""WITH a AS (SELECT event_id, user_id, value,

@@ -275,6 +275,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(pe.filter(col("perm_entropy") < 0.0 || col("perm_entropy") > 1.0001).count() == 0)
   }
 
+  test("ESD rounds never re-flag an event and emit 3 per live series") {
+    import org.apache.spark.sql.functions._
+    val esd = SparkEntry.queries("ts_esd_anomalies")(spark, sfDir).cache()
+    val reflagged = esd.groupBy("user_id", "event_id")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    assert(reflagged == 0, "an event survived removal and was flagged twice")
+    val perSeries = esd.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .filter(col("c") =!= 3).count()
+    assert(perSeries == 0, "every non-constant series should yield exactly 3 rounds")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
