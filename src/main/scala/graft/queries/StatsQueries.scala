@@ -380,6 +380,26 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // Split-conformal prediction interval for the seasonal-naive
+    // forecaster: the p90 of |x_t − x_{t−24}| per series IS the
+    // distribution-free ±width that covers ~90% of future errors
+    // (calibration = the series' own history; interpolated quantile as
+    // the split-conformal approximation). Forecast uncertainty without
+    // any model assumption — one lag window + the rank-interpolation
+    // percentile.
+    "ts_conformal_width" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val resid = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("pred", lag(col("value"), 24).over(w))
+        .where(col("pred").isNotNull)
+        .withColumn("ar", abs(col("value") - col("pred")))
+      StatsOps.rankPercentiles(resid, Seq("user_id"), "ar", Seq(0.9))
+        .select(col("user_id"), col("pct").as("q90_width"))
+        .orderBy("user_id")
+    },
+
     // Join-key skew profile: the distribution of per-key row counts
     // (p50/p90/p99/max + the hottest key's share) — what you run BEFORE
     // choosing between plain shuffle, AQE skew-join and saltedJoin.
@@ -762,6 +782,31 @@ object StatsQueries {
          |  ${round4Sql(s"($mvk) / nullif(4.0 * ($mv1), 0.0)")} AS vr
          |FROM a ORDER BY user_id""".stripMargin
     },
+
+    "ts_conformal_width" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT user_id, abs(value - lag(value, 24)
+         |    OVER (PARTITION BY user_id ORDER BY tsu, event_id)) AS v
+         |  FROM e),
+         |r AS (
+         |  SELECT user_id, v,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY v) - 1 AS rn0,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM l WHERE v IS NOT NULL),
+         |f AS (
+         |  SELECT user_id, v, rn0,
+         |    CAST(n - 1 AS DOUBLE) * 0.9 AS h,
+         |    floor(CAST(n - 1 AS DOUBLE) * 0.9) AS lo,
+         |    ceil(CAST(n - 1 AS DOUBLE) * 0.9) AS hi
+         |  FROM r
+         |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * 0.9)
+         |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * 0.9))
+         |SELECT user_id,
+         |  ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(h) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS q90_width
+         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_skew_profile" ->
       s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

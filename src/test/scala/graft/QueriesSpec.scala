@@ -286,6 +286,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(perSeries == 0, "every non-constant series should yield exactly 3 rounds")
   }
 
+  test("conformal width actually covers ~90% of naive-forecast errors") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val resid = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .withColumn("pred", lag(col("value"), 24).over(w))
+      .filter(col("pred").isNotNull)
+      .withColumn("ar", abs(col("value") - col("pred")))
+    val width = SparkEntry.queries("ts_conformal_width")(spark, sfDir)
+    val cov = resid.join(width, "user_id")
+      .groupBy("user_id")
+      .agg((count(when(col("ar") <= col("q90_width"), 1)).cast("double") /
+        count(lit(1))).as("coverage"))
+    val under = cov.filter(col("coverage") < 0.85).count()
+    assert(under == 0, "a series' conformal width covers < 85% of its own errors")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
