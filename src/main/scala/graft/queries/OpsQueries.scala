@@ -146,6 +146,16 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // END-TO-END incident pipeline as ONE user-facing call
+    // (Monitoring.run): 2-of-3 ensemble vote -> run-length episode
+    // grouping — the composition itself is hash-checked, like
+    // text_curation / dedup_pipeline.
+    "ops_incidents" -> { (s, d) =>
+      graft.operators.Monitoring.run(ev(s, d), K, Ord, "tsu", "value")
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .orderBy("user_id", "start_us")
+    },
+
     // Daily new-vs-cumulative unique users (the growth curve): distinct
     // counting made incremental by the FIRST-SEEN trick — each user
     // counts on exactly one day, so the cumulative distinct is a plain
@@ -847,6 +857,30 @@ object OpsQueries {
          |  FROM kal h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
          |SELECT event_id, ${round4Sql("est")} AS estimate, ${round4Sql("gain")} AS gain
          |FROM kal ORDER BY event_id""".stripMargin
+    },
+
+    // Replays the ensemble vote (identical expressions to the
+    // ts_anomaly_ensemble oracle) then the run-length grouping
+    // (identical to ts_alert_episodes).
+    "ops_incidents" -> {
+      import graft.GraftConfig
+      val iqrFlag = "CAST(CASE WHEN z.value < q1 - 1.5*(q3 - q1) OR z.value > q3 + 1.5*(q3 - q1) THEN 1 ELSE 0 END AS BIGINT)"
+      val madFlag = s"CAST(coalesce(CASE WHEN abs(${GraftConfig.MadScale} * (z.value - med) / nullif(mad, 0)) > ${GraftConfig.MadThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT)"
+      s"""WITH z AS (SELECT event_id, user_id, value, epoch_us(ts) AS tsu,
+         |  CAST(CASE WHEN abs((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0)) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END AS BIGINT) AS vote_z
+         |  FROM events WINDOW u AS (PARTITION BY user_id)),
+         |q AS (SELECT user_id, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events GROUP BY user_id),
+         |m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+         |md AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad FROM events e JOIN m USING (user_id) GROUP BY e.user_id),
+         |fl AS (SELECT z.event_id, z.user_id, z.tsu,
+         |  CASE WHEN z.vote_z + $iqrFlag + $madFlag >= 2 THEN 1 ELSE 0 END AS flag
+         |  FROM z JOIN q USING (user_id) JOIN m USING (user_id) JOIN md USING (user_id)),
+         |g AS (SELECT *, CASE WHEN lag(flag) OVER w IS NULL OR flag <> lag(flag) OVER w THEN 1 ELSE 0 END AS chg
+         |  FROM fl WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |h AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g)
+         |SELECT user_id, count(*) AS n_events, min(tsu) AS start_us, max(tsu) AS end_us
+         |FROM h WHERE flag = 1 GROUP BY user_id, grp ORDER BY user_id, start_us""".stripMargin
     },
 
     "events_user_growth" ->

@@ -468,6 +468,41 @@ object StatsQueries {
           (col("n") + 1.0) / col("n")).as("gini"))
     },
 
+    // Durbin-Watson statistic on the OLS-trend residuals: DW =
+    // Σ(e_t − e_{t−1})² / Σe_t² ∈ [0,4] — ≈2 means the trend fit left
+    // white noise, ≪2 means serially-correlated residuals (the fit
+    // missed structure, e.g. seasonality). The model-diagnostics
+    // companion of ts_ols_trend: same exact moments, residuals rounded
+    // 4dp before the DECIMAL sums.
+    "ts_durbin_watson" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e0 = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("mn", min(col("tsu")).over(Window.partitionBy("user_id")))
+        .withColumn("x", expr("(tsu - mn) DIV 3600000000").cast(DoubleType))
+      val m = e0.groupBy("user_id").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        exactSum(col("x")).as("sx"), exactSum(col("value")).as("sy"),
+        exactSum(col("x") * col("value")).as("sxy"),
+        exactSum(col("x") * col("x")).as("sxx"))
+      val slope = CleanFunctions.safeDiv(
+        col("n") * col("sxy") - col("sx") * col("sy"),
+        col("n") * col("sxx") - col("sx") * col("sx"))
+      val joined = e0.join(m, "user_id")
+        .withColumn("slope", slope)
+        .withColumn("b", (col("sy") - col("slope") * col("sx")) / col("n"))
+        .withColumn("res",
+          round4(col("value") - (col("b") + col("slope") * col("x"))))
+        .withColumn("dd", col("res") - lag(col("res"), 1).over(wOrd))
+      joined.groupBy("user_id").agg(
+          count(col("res")).as("n_obs"),
+          round4(CleanFunctions.safeDiv(
+            exactSum(round4(col("dd") * col("dd"))),
+            exactSum(round4(col("res") * col("res"))))).as("dw"))
+        .orderBy("user_id")
+    },
+
     // Theil-Sen robust trend per series over daily-mean buckets: median
     // pairwise slope (StatsOps.theilSen) — one outlier day cannot drag
     // it the way it drags ts_ols_trend. Bucketing first is the scale
@@ -848,6 +883,33 @@ object StatsQueries {
          |SELECT CAST(n AS BIGINT) AS n_customers,
          |  ${round4Sql("(2.0 * CAST(rs AS DOUBLE)) / (n * CAST(tot AS DOUBLE)) - (n + 1.0) / n")} AS gini
          |FROM a""".stripMargin,
+
+    "ts_durbin_watson" -> {
+      val slope = "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)"
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |x AS (
+         |  SELECT user_id, event_id, tsu, value,
+         |    CAST((tsu - min(tsu) OVER (PARTITION BY user_id)) // 3600000000 AS DOUBLE) AS x
+         |  FROM e),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("x")} AS sx, ${exactSumSql("value")} AS sy,
+         |    ${exactSumSql("x * value")} AS sxy, ${exactSumSql("x * x")} AS sxx
+         |  FROM x GROUP BY user_id),
+         |j AS (
+         |  SELECT x.user_id, x.event_id, x.tsu,
+         |    ${round4Sql(s"x.value - (((sy - ($slope) * sx) / n) + ($slope) * x.x)")} AS res
+         |  FROM x JOIN m USING (user_id)),
+         |dd AS (
+         |  SELECT user_id, res,
+         |    res - lag(res) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS d
+         |  FROM j)
+         |SELECT user_id, count(res) AS n_obs,
+         |  ${round4Sql(s"${exactSumSql(round4Sql("d * d"))} / nullif(${exactSumSql(round4Sql("res * res"))}, 0.0)")} AS dw
+         |FROM dd GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
 
     "ts_theilsen" ->
       s"""WITH e AS (

@@ -659,6 +659,33 @@ object TimeSeriesQueries {
         .orderBy("user_id")
     },
 
+    // WINDOWED funnel: the events_funnel stages under real conversion
+    // deadlines — first click within 6h of the first view, first
+    // purchase within 24h of that click. Deadlines change semantics, not
+    // shape: the same two conditional-min joins with an upper time bound
+    // (an unbounded funnel counts a purchase a week later as converted;
+    // attribution windows don't).
+    "events_funnel_windowed" -> { (s, d) =>
+      val SixH  = 6L * 3600 * 1000000
+      val DayUs = 24L * 3600 * 1000000
+      val ev = Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("tsu")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("tsu") > col("t_view") && col("tsu") <= col("t_view") + SixH)
+        .groupBy("user_id").agg(min(col("tsu")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("tsu") > col("t_click") && col("tsu") <= col("t_click") + DayUs)
+        .groupBy("user_id").agg(min(col("tsu")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1L) + col("t_click").isNotNull.cast("long")
+            + col("t_purchase").isNotNull.cast("long")).as("stage"))
+        .orderBy("user_id")
+    },
+
     // Cohort retention: users grouped by first-seen day, distinct-user
     // counts per (cohort, day offset) — the activity-decay matrix. One
     // grouped min (cohort per user) joined back on the key (optimizer
@@ -1198,6 +1225,20 @@ object TimeSeriesQueries {
          |  WHERE e.event_type = 'click' AND e.tsu > v.t_view GROUP BY 1),
          |p AS (SELECT e.user_id, min(e.tsu) AS t_purchase FROM e JOIN c USING (user_id)
          |  WHERE e.event_type = 'purchase' AND e.tsu > c.t_click GROUP BY 1)
+         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+         |  1 + CAST(c.t_click IS NOT NULL AS BIGINT) + CAST(p.t_purchase IS NOT NULL AS BIGINT) AS stage
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |ORDER BY user_id""".stripMargin,
+
+    "events_funnel_windowed" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |v AS (SELECT user_id, min(tsu) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.tsu) AS t_click FROM e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.tsu > v.t_view
+         |    AND e.tsu <= v.t_view + ${6L * 3600 * 1000000} GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.tsu) AS t_purchase FROM e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.tsu > c.t_click
+         |    AND e.tsu <= c.t_click + ${24L * 3600 * 1000000} GROUP BY 1)
          |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
          |  1 + CAST(c.t_click IS NOT NULL AS BIGINT) + CAST(p.t_purchase IS NOT NULL AS BIGINT) AS stage
          |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
