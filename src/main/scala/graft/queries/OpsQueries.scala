@@ -146,6 +146,38 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // Population Stability Index between the month's two halves, per
+    // event_type — THE drift gate of ML monitoring (rule of thumb:
+    // >0.25 = retrain). Fixed-width value buckets (integer boundaries —
+    // no quantile estimation to disagree on), Laplace-smoothed shares so
+    // a bucket empty in one period can't produce ln(0), 6dp-rounded
+    // DECIMAL term sums (the bucketEntropy contract).
+    "events_psi" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val jan15 = java.time.LocalDate.of(2024, 1, 15).toEpochDay
+      val e = ev(s, d).where(col("value").isNotNull)
+        .withColumn("period",
+          when(expr(s"tsu DIV 86400000000") <= jan15, "a").otherwise("b"))
+        .withColumn("bkt", expr("CAST(floor(value / 50.0) AS BIGINT)"))
+      val cnt = e.groupBy("event_type", "bkt").agg(
+        count(when(col("period") === "a", 1)).as("ca"),
+        count(when(col("period") === "b", 1)).as("cb"))
+      val tot = cnt.groupBy("event_type").agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("nbuckets"))
+      val pa = (col("ca") + 1L).cast(DoubleType) /
+        (col("na") + col("nbuckets")).cast(DoubleType)
+      val pb = (col("cb") + 1L).cast(DoubleType) /
+        (col("nb") + col("nbuckets")).cast(DoubleType)
+      cnt.join(tot, "event_type")
+        .withColumn("term",
+          CleanFunctions.round6((pa - pb) * log(pa / pb)).cast(DecimalType(18, 6)))
+        .groupBy("event_type")
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          round4(sum(col("term")).cast(DoubleType)).as("psi"))
+        .orderBy("event_type")
+    },
+
     // END-TO-END incident pipeline as ONE user-facing call
     // (Monitoring.run): 2-of-3 ensemble vote -> run-length episode
     // grouping — the composition itself is hash-checked, like
@@ -857,6 +889,32 @@ object OpsQueries {
          |  FROM kal h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
          |SELECT event_id, ${round4Sql("est")} AS estimate, ${round4Sql("gain")} AS gain
          |FROM kal ORDER BY event_id""".stripMargin
+    },
+
+    "events_psi" -> {
+      val pa = "(CAST(ca + 1 AS DOUBLE) / CAST(na + nbuckets AS DOUBLE))"
+      val pb = "(CAST(cb + 1 AS DOUBLE) / CAST(nb + nbuckets AS DOUBLE))"
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CASE WHEN epoch_us(ts) // 86400000000 <= ${java.time.LocalDate.of(2024, 1, 15).toEpochDay}
+         |         THEN 'a' ELSE 'b' END AS period,
+         |    CAST(floor(value / 50.0) AS BIGINT) AS bkt
+         |  FROM events WHERE value IS NOT NULL),
+         |c AS (
+         |  SELECT event_type, bkt,
+         |    count(CASE WHEN period = 'a' THEN 1 END) AS ca,
+         |    count(CASE WHEN period = 'b' THEN 1 END) AS cb
+         |  FROM e GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, sum(ca) AS na, sum(cb) AS nb, count(*) AS nbuckets
+         |  FROM c GROUP BY 1),
+         |j AS (
+         |  SELECT c.event_type, na, nb,
+         |    CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |  FROM c JOIN t USING (event_type))
+         |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+         |  ${round4Sql("CAST(sum(term) AS DOUBLE)")} AS psi
+         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
     },
 
     // Replays the ensemble vote (identical expressions to the
