@@ -43,6 +43,7 @@ object SimilarityQueries {
   private val PqSub = EmbDim / PqM
   private val PqK = 16
   private val PqIters = 1
+  private val PqDedupCosine = 0.4 // same band as dedup_embedding
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label embedding centroids (class prototypes): posexplode to
@@ -265,6 +266,40 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // PQ-prefix dedup candidates: vectors sharing the first TWO PQ codes
+    // (a 256-cell coarse bucket) are candidate near-dups, re-ranked by
+    // exact cosine — the IVF-ADC candidate-generation idea applied to
+    // dedup: the code tuple IS the LSH-style bucket key, so candidates
+    // come from an equi-join (never O(n²)) and exact scoring stays
+    // inside buckets. Same codebooks as emb_pq (shared fit + shared
+    // oracle CTEs — they cannot drift).
+    "dedup_pq" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          TextFunctions.vecNorm(col("embedding")).as("nrm"))
+        .cache()
+      val books = graft.operators.ProductQuantizer.fit(
+        e, "vec_id", "embedding", EmbDim, PqM, PqK, PqIters)
+      val coded = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        graft.operators.ProductQuantizer.codeAndError(
+          col("embedding"), 0, PqSub, books(0))._1.as("c0"),
+        graft.operators.ProductQuantizer.codeAndError(
+          col("embedding"), 1, PqSub, books(1))._1.as("c1"))
+      val a = coded.select(col("vec_id").as("vec_id_a"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"), col("c0"), col("c1"))
+      val b = coded.select(col("vec_id").as("vec_id_b"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"), col("c0"), col("c1"))
+      a.join(b, Seq("c0", "c1"))
+        .where(col("vec_id_a") < col("vec_id_b"))
+        .withColumn("cosine", graft.functions.CleanFunctions.round4(
+          TextFunctions.cosineFromNorms(
+            TextFunctions.dot(col("a_emb"), col("b_emb")),
+            col("a_nrm"), col("b_nrm"))))
+        .where(col("cosine") >= PqDedupCosine)
+        .select(col("vec_id_a"), col("vec_id_b"), col("cosine"))
+        .orderBy("vec_id_a", "vec_id_b")
+    },
+
     // Simplified (centroid-based) silhouette of the k-means assignment:
     // a = dist to own centroid, b = dist to nearest OTHER centroid,
     // s = (b−a)/max(a,b) ∈ [−1,1] — the cluster-quality gate before
@@ -323,6 +358,42 @@ object SimilarityQueries {
   private val SeedD2Sql: String =
     s"round(((${dotSql("e.embedding", "e.embedding")} - 2.0 * ${dotSql("e.embedding", "c.c_emb")} + ${dotSql("c.c_emb", "c.c_emb")})) * 10000.0) / 10000.0"
 
+  /** Leading CTEs shared by every PQ oracle: subspace dims + the
+    * hash-order pick ids (identical to IvfIndex.initCenters).
+    */
+  private val PqHeaderCtes: String =
+    s"""sdims AS (SELECT unnest(generate_series(1, $PqSub)) AS i),
+       |pk AS (SELECT vec_id,
+       |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
+       |  FROM embeddings QUALIFY cell < $PqK)""".stripMargin
+
+  /** One subspace's PQ fit + code assignment as CTEs sub$j..f$j —
+    * sliced init, one DECIMAL-exact Lloyd round, final argmin codes.
+    * Shared by the emb_pq and dedup_pq oracles so the codebooks can
+    * never drift between them.
+    */
+  private def pqSubspaceCtes(j: Int): String = {
+    val lo = j * PqSub + 1; val hi = j * PqSub + PqSub
+    s"""sub$j AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM embeddings),
+       |i$j AS (SELECT pk.cell, list_slice(e.embedding, $lo, $hi) AS center
+       |  FROM pk, embeddings e WHERE pk.vec_id = e.vec_id),
+       |a$j AS (SELECT vec_id, sv, cell FROM (
+       |  SELECT s.vec_id, s.sv, c.cell,
+       |    row_number() OVER (PARTITION BY s.vec_id
+       |      ORDER BY (-2.0 * ${dotSql("s.sv", "c.center")} + ${dotSql("c.center", "c.center")}), c.cell) AS r
+       |  FROM sub$j s, i$j c) WHERE r = 1),
+       |m$j AS (SELECT a.cell, d.i AS dim,
+       |  CAST(sum(CAST(CAST(a.sv[d.i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+       |  FROM a$j a, sdims d GROUP BY a.cell, d.i),
+       |k$j AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS center FROM m$j GROUP BY cell),
+       |f$j AS (SELECT vec_id, cell, score FROM (
+       |  SELECT s.vec_id, c.cell,
+       |    (-2.0 * ${dotSql("s.sv", "c.center")} + ${dotSql("c.center", "c.center")}) AS score,
+       |    row_number() OVER (PARTITION BY s.vec_id
+       |      ORDER BY (-2.0 * ${dotSql("s.sv", "c.center")} + ${dotSql("c.center", "c.center")}), c.cell) AS r
+       |  FROM sub$j s, k$j c) WHERE r = 1)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "emb_kmeans_assign" -> {
       val d2 = SeedD2Sql
@@ -340,29 +411,11 @@ object SimilarityQueries {
     // hash-order init + DECIMAL-exact Lloyd round, then assigns codes —
     // the same contract as the ann_ivf_topk oracle, per subspace.
     "emb_pq" -> {
-      def dot(a: String, b: String) = dotSql(a, b)
       def sq(a: String) =
         s"list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
       val subs = (0 until PqM).map { j =>
-        val lo = j * PqSub + 1; val hi = j * PqSub + PqSub
-        s"""sub$j AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM embeddings),
-           |i$j AS (SELECT pk.cell, list_slice(e.embedding, $lo, $hi) AS center
-           |  FROM pk, embeddings e WHERE pk.vec_id = e.vec_id),
-           |a$j AS (SELECT vec_id, sv, cell FROM (
-           |  SELECT s.vec_id, s.sv, c.cell,
-           |    row_number() OVER (PARTITION BY s.vec_id
-           |      ORDER BY (-2.0 * ${dot("s.sv", "c.center")} + ${dot("c.center", "c.center")}), c.cell) AS r
-           |  FROM sub$j s, i$j c) WHERE r = 1),
-           |m$j AS (SELECT a.cell, d.i AS dim,
-           |  CAST(sum(CAST(CAST(a.sv[d.i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
-           |  FROM a$j a, sdims d GROUP BY a.cell, d.i),
-           |k$j AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS center FROM m$j GROUP BY cell),
-           |f$j AS (SELECT vec_id, cell, score FROM (
-           |  SELECT s.vec_id, c.cell,
-           |    (-2.0 * ${dot("s.sv", "c.center")} + ${dot("c.center", "c.center")}) AS score,
-           |    row_number() OVER (PARTITION BY s.vec_id
-           |      ORDER BY (-2.0 * ${dot("s.sv", "c.center")} + ${dot("c.center", "c.center")}), c.cell) AS r
-           |  FROM sub$j s, k$j c) WHERE r = 1),
+        val lo = j * PqSub + 1
+        s"""${pqSubspaceCtes(j)},
            |e$j AS (SELECT f.vec_id, f.cell,
            |  greatest(${sq("s.sv")} + f.score, 0.0) AS err
            |  FROM f$j f JOIN sub$j s USING (vec_id))""".stripMargin
@@ -370,15 +423,30 @@ object SimilarityQueries {
       val codeCols = (0 until PqM).map(j => s"e$j.cell AS c$j").mkString(", ")
       val errSum = (0 until PqM).map(j => s"e$j.err").mkString(" + ")
       val joins = (1 until PqM).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
-      s"""WITH sdims AS (SELECT unnest(generate_series(1, $PqSub)) AS i),
-         |pk AS (SELECT vec_id,
-         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
-         |  FROM embeddings QUALIFY cell < $PqK),
+      s"""WITH $PqHeaderCtes,
          |$subs
          |SELECT e0.vec_id, $codeCols,
          |  ${graft.functions.CleanFunctions.round4Sql(errSum)} AS recon_err
          |FROM e0 $joins ORDER BY e0.vec_id""".stripMargin
     },
+
+    "dedup_pq" ->
+      s"""WITH $PqHeaderCtes,
+         |${pqSubspaceCtes(0)},
+         |${pqSubspaceCtes(1)},
+         |coded AS (
+         |  SELECT e.vec_id, e.embedding, f0.cell AS c0, f1.cell AS c1
+         |  FROM embeddings e
+         |  JOIN f0 ON f0.vec_id = e.vec_id
+         |  JOIN f1 ON f1.vec_id = e.vec_id),
+         |p AS (
+         |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |    round((${TextFunctions.cosineSql("a.embedding", "b.embedding")}) * 10000.0) / 10000.0 AS cosine
+         |  FROM coded a JOIN coded b
+         |    ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.vec_id < b.vec_id)
+         |SELECT vec_id_a, vec_id_b, cosine FROM p
+         |WHERE cosine >= $PqDedupCosine
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
 
     "emb_silhouette" -> {
       val d2 = SeedD2Sql
