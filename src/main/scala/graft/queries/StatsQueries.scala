@@ -515,6 +515,87 @@ object StatsQueries {
         .agg(CleanFunctions.exactMean(col("value")).as("m"))
       StatsOps.theilSen(daily, Seq("user_id"), "day", "m")
         .orderBy("user_id")
+    },
+
+    // Bollinger bands over the trailing 24 samples: mid = frame mean,
+    // bands = mid ± 2·population-σ, breach flag (+1 above / -1 below).
+    // Two DECIMAL power sums on one bounded ROWS window (SURVEY §4);
+    // band edges rounded BEFORE the breach comparison so both engines
+    // compare the identical doubles.
+    "ts_bollinger" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w0 = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val wf = w0.rowsBetween(-23, Window.currentRow)
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+      e.withColumn("n", count(lit(1)).over(wf).cast(DoubleType))
+        .withColumn("s1", sum(col("value").cast(DecimalType(18, 6))).over(wf).cast(DoubleType))
+        .withColumn("s2", sum(round4(col("value") * col("value")).cast(DecimalType(38, 6))).over(wf).cast(DoubleType))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("sd", sqrt(greatest(col("s2") / col("n") - col("mean") * col("mean"), lit(0.0))))
+        .withColumn("bb_upper", round4(col("mean") + lit(2.0) * col("sd")))
+        .withColumn("bb_lower", round4(col("mean") - lit(2.0) * col("sd")))
+        .select(col("event_id"), round4(col("mean")).as("bb_mid"),
+          col("bb_upper"), col("bb_lower"),
+          when(col("value") > col("bb_upper"), lit(1L))
+            .when(col("value") < col("bb_lower"), lit(-1L))
+            .otherwise(lit(0L)).as("breach"))
+        .orderBy("event_id")
+    },
+
+    // SMA-RSI over the trailing 14 deltas: gains/losses split from the
+    // lag-1 difference, RSI = 100·Σgain / (Σgain + Σloss) — the closed
+    // form of 100 - 100/(1+RS) for simple-average RS. Deltas rounded to
+    // 4dp before the DECIMAL frame sums; flat frames (both sums 0) null.
+    "ts_rsi" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w0 = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val wf = w0.rowsBetween(-13, Window.currentRow)
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("diff", col("value") - lag(col("value"), 1).over(w0))
+        .where(col("diff").isNotNull)
+        .withColumn("g", round4(greatest(col("diff"), lit(0.0))))
+        .withColumn("l", round4(greatest(-col("diff"), lit(0.0))))
+      e.withColumn("n_diff", count(lit(1)).over(wf))
+        .withColumn("sg", sum(col("g").cast(DecimalType(18, 6))).over(wf).cast(DoubleType))
+        .withColumn("sl", sum(col("l").cast(DecimalType(18, 6))).over(wf).cast(DoubleType))
+        .select(col("event_id"), col("n_diff"),
+          round4(lit(100.0) * col("sg") / nullif(col("sg") + col("sl"), lit(0.0))).as("rsi"))
+        .orderBy("event_id")
+    },
+
+    // Spearman rank correlation between each sample and its lag-1
+    // neighbour — the robust (rank-based) twin of ts_acf's lag-1
+    // Pearson. Tie-averaged fractional ranks kept INTEGER by doubling
+    // (2·minrank + ties - 1), so all five moments are exact BIGINT sums
+    // and the closed-form corr is IEEE-identical on both engines.
+    "ts_spearman" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w0 = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("y", lag(col("value"), 1).over(w0))
+        .where(col("y").isNotNull)
+      val ranked = e
+        .withColumn("fx", lit(2L) * rank().over(Window.partitionBy("user_id").orderBy("value")).cast(LongType)
+          + count(lit(1)).over(Window.partitionBy("user_id", "value")).cast(LongType) - lit(1L))
+        .withColumn("fy", lit(2L) * rank().over(Window.partitionBy("user_id").orderBy("y")).cast(LongType)
+          + count(lit(1)).over(Window.partitionBy("user_id", "y")).cast(LongType) - lit(1L))
+      ranked.groupBy("user_id").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("fx")).as("sx"), sum(col("fy")).as("sy"),
+          sum(col("fx") * col("fy")).as("sxy"),
+          sum(col("fx") * col("fx")).as("sxx"),
+          sum(col("fy") * col("fy")).as("syy"))
+        .select(col("user_id"), col("n_pairs"),
+          round4(when(col("n_pairs") > 1,
+            least(greatest(CleanFunctions.momentCorr(
+              col("n_pairs").cast(DoubleType), col("sx").cast(DoubleType),
+              col("sy").cast(DoubleType), col("sxy").cast(DoubleType),
+              col("sxx").cast(DoubleType), col("syy").cast(DoubleType)),
+              lit(-1.0)), lit(1.0)))).as("spearman_lag1"))
+        .orderBy("user_id")
     })
 
   private val PsSqlList =
@@ -936,5 +1017,85 @@ object StatsQueries {
          |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * 0.5))
          |SELECT user_id,
          |  ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(h) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS theil_slope
-         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin)
+         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_bollinger" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |s AS (
+         |  SELECT event_id, value,
+         |    CAST(count(*) OVER w AS DOUBLE) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(${round4Sql("value * value")} AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+         |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+         |m AS (
+         |  SELECT event_id, value, n, s1 / n AS mean,
+         |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd
+         |  FROM s),
+         |b AS (
+         |  SELECT event_id, value, ${round4Sql("mean")} AS bb_mid,
+         |    ${round4Sql("mean + 2.0 * sd")} AS bb_upper,
+         |    ${round4Sql("mean - 2.0 * sd")} AS bb_lower
+         |  FROM m)
+         |SELECT event_id, bb_mid, bb_upper, bb_lower,
+         |  CAST(CASE WHEN value > bb_upper THEN 1 WHEN value < bb_lower THEN -1
+         |       ELSE 0 END AS BIGINT) AS breach
+         |FROM b ORDER BY event_id""".stripMargin,
+
+    "ts_rsi" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT event_id, user_id, tsu, value,
+         |    value - lag(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS diff
+         |  FROM e),
+         |f AS (
+         |  SELECT event_id, user_id, tsu,
+         |    ${round4Sql("greatest(diff, 0.0)")} AS g,
+         |    ${round4Sql("greatest(-diff, 0.0)")} AS l
+         |  FROM l WHERE diff IS NOT NULL),
+         |s AS (
+         |  SELECT event_id,
+         |    count(*) OVER w AS n_diff,
+         |    CAST(sum(CAST(g AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sg,
+         |    CAST(sum(CAST(l AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sl
+         |  FROM f
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT event_id, n_diff,
+         |  ${round4Sql("100.0 * sg / nullif(sg + sl, 0.0)")} AS rsi
+         |FROM s ORDER BY event_id""".stripMargin,
+
+    "ts_spearman" -> {
+      val corr = CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT user_id, value,
+         |    lag(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS y
+         |  FROM e),
+         |f AS (SELECT user_id, value, y FROM l WHERE y IS NOT NULL),
+         |r AS (
+         |  SELECT user_id,
+         |    2 * rank() OVER (PARTITION BY user_id ORDER BY value)
+         |      + count(*) OVER (PARTITION BY user_id, value) - 1 AS fx,
+         |    2 * rank() OVER (PARTITION BY user_id ORDER BY y)
+         |      + count(*) OVER (PARTITION BY user_id, y) - 1 AS fy
+         |  FROM f),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(fx) AS DOUBLE) AS sx, CAST(sum(fy) AS DOUBLE) AS sy,
+         |    CAST(sum(fx * fy) AS DOUBLE) AS sxy,
+         |    CAST(sum(fx * fx) AS DOUBLE) AS sxx,
+         |    CAST(sum(fy * fy) AS DOUBLE) AS syy
+         |  FROM r GROUP BY user_id)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+         |  ${round4Sql(s"CASE WHEN n > 1.0 THEN least(greatest($corr, -1.0), 1.0) END")} AS spearman_lag1
+         |FROM m ORDER BY user_id""".stripMargin
+    })
 }
