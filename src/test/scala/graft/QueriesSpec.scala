@@ -304,6 +304,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(under == 0, "a series' conformal width covers < 85% of its own errors")
   }
 
+  test("bollinger bands bracket the mid; RSI in [0,100]; spearman in [-1,1]") {
+    import org.apache.spark.sql.functions._
+    val bb = SparkEntry.queries("ts_bollinger")(spark, sfDir).cache()
+    assert(bb.filter(col("bb_upper") < col("bb_mid") || col("bb_mid") < col("bb_lower")).count() == 0,
+      "band ordering upper >= mid >= lower violated")
+    assert(bb.filter(!col("breach").isin(-1L, 0L, 1L)).count() == 0)
+    val rsi = SparkEntry.queries("ts_rsi")(spark, sfDir)
+    assert(rsi.filter(col("rsi") < -0.0001 || col("rsi") > 100.0001).count() == 0)
+    val sp = SparkEntry.queries("ts_spearman")(spark, sfDir)
+    assert(sp.filter(col("spearman_lag1") < -1.0001 || col("spearman_lag1") > 1.0001).count() == 0)
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
