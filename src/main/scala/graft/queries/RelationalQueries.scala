@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.CleanFunctions
 import graft.sources.Tables
@@ -554,10 +554,129 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numcust"),
           CleanFunctions.round4(exactSum(col("c_acctbal"))).as("totacctbal"))
         .orderBy("n_name")
+    },
+
+    // Weighted PageRank (3 iterations, d=0.85) over the nation trade
+    // graph: edge cust-nation -> supp-nation weighted by lineitem
+    // count. The heavy stage is the edge aggregation (fact-fact joins
+    // reduced by map-side partial agg to <= N^2 rows); the iterations
+    // then run on the tiny aggregate. Each contribution r*p is rounded
+    // 4dp and summed in DECIMAL so per-node sums are order-independent,
+    // and the rank itself is re-rounded per iteration — every IEEE op
+    // engine-identical (SURVEY §4).
+    "nation_pagerank" -> { (s, d) =>
+      val edges = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+      val ew = edges.join(outw, "src")
+        .select(col("src"), col("dst"),
+          (col("w").cast(DoubleType) / col("wout").cast(DoubleType)).as("p"))
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      val nn = nodes.agg(count(lit(1)).cast(DoubleType).as("nd"))
+      var ranks = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), CleanFunctions.round4(lit(1.0) / col("nd")).as("r"))
+      for (_ <- 1 to 3) {
+        val sums = ew.join(ranks, ew("src") === ranks("node"))
+          .select(col("dst"), CleanFunctions.round4(col("r") * col("p")).as("c"))
+          .groupBy("dst").agg(exactSum(col("c")).as("m"))
+        ranks = nodes.join(sums, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("node"), CleanFunctions.round4(
+            lit(0.15) / col("nd") + lit(0.85) * coalesce(col("m"), lit(0.0))).as("r"))
+      }
+      ranks.join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("node").as("nationkey"), col("n_name"),
+          col("r").as("pagerank"))
+        .orderBy("nationkey")
+    },
+
+    // Market-basket pair mining on order baskets: support and lift for
+    // every part pair co-bought in >= 2 orders. The self-join shuffles
+    // once on the order key and explodes only O(k^2) per basket (k =
+    // lines/order, bounded), never O(n^2) globally; part counts join on
+    // the part key (shuffle, NOT forced broadcast — part counts are
+    // corpus-proportional at 100 TB). All ratios are single IEEE
+    // divisions of BIGINT-derived doubles.
+    "lineitem_basket_pairs" -> { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val b = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, "ok").where(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("pair_cnt"))
+        .where(col("pair_cnt") >= 2)
+      val cnt = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val no = items.agg(countDistinct(col("l_orderkey")).cast(DoubleType).as("nord"))
+      pairs
+        .join(cnt.select(col("l_partkey").as("pa"), col("cnt").as("cnt_a")), "pa")
+        .join(cnt.select(col("l_partkey").as("pb"), col("cnt").as("cnt_b")), "pb")
+        .crossJoin(broadcast(no))
+        .select(col("pa"), col("pb"), col("pair_cnt"), col("cnt_a"), col("cnt_b"),
+          CleanFunctions.round4(col("pair_cnt").cast(DoubleType) / col("nord")).as("support"),
+          CleanFunctions.round4(col("pair_cnt").cast(DoubleType) * col("nord") /
+            (col("cnt_a").cast(DoubleType) * col("cnt_b").cast(DoubleType))).as("lift"))
+        .orderBy("pa", "pb")
     }
   )
 
+  /** One PageRank iteration as a DuckDB CTE body: rank from `prev`,
+    * contributions rounded 4dp then DECIMAL-summed (exactly the Spark
+    * plan's op sequence).
+    */
+  private def prIterSql(prev: String): String =
+    s"""SELECT n.n_nationkey AS node,
+       |  ${CleanFunctions.round4Sql("0.15 / nn.nd + 0.85 * coalesce(m.m, 0.0)")} AS r
+       |FROM nation n CROSS JOIN nn
+       |LEFT JOIN (
+       |  SELECT ew.dst, ${CleanFunctions.exactSumSql(CleanFunctions.round4Sql("p.r * ew.p"))} AS m
+       |  FROM ew JOIN $prev p ON ew.src = p.node GROUP BY ew.dst) m
+       |ON n.n_nationkey = m.dst""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "nation_pagerank" ->
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+         |ew AS (
+         |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(ow.wout AS DOUBLE) AS p
+         |  FROM e JOIN ow ON e.src = ow.src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nation),
+         |r0 AS (SELECT n_nationkey AS node, ${CleanFunctions.round4Sql("1.0 / nd")} AS r
+         |       FROM nation CROSS JOIN nn),
+         |r1 AS (${prIterSql("r0")}),
+         |r2 AS (${prIterSql("r1")}),
+         |r3 AS (${prIterSql("r2")})
+         |SELECT r3.node AS nationkey, n.n_name, r3.r AS pagerank
+         |FROM r3 JOIN nation n ON r3.node = n.n_nationkey
+         |ORDER BY nationkey""".stripMargin,
+
+    "lineitem_basket_pairs" ->
+      s"""WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (SELECT a.pk AS pa, b.pk AS pb, count(*) AS pair_cnt
+         |      FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |c AS (SELECT pk, count(*) AS cnt FROM i GROUP BY 1),
+         |no AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS nord FROM i)
+         |SELECT pa, pb, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+         |  ${CleanFunctions.round4Sql("CAST(pair_cnt AS DOUBLE) / nord")} AS support,
+         |  ${CleanFunctions.round4Sql(
+              "CAST(pair_cnt AS DOUBLE) * nord / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))")} AS lift
+         |FROM p JOIN c ca ON p.pa = ca.pk JOIN c cb ON p.pb = cb.pk, no
+         |ORDER BY pa, pb""".stripMargin,
+
     "q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS late_orders
         |FROM orders o

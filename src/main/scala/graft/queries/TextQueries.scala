@@ -81,6 +81,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Flesch reading-ease readability: 206.835 - 1.015*(words/sentence)
+    // - 84.6*(syllables/word), syllables approximated as vowel-group
+    // count (the standard regex heuristic — identical pattern on both
+    // engines, so the approximation cancels in the parity check).
+    // Ratios are single IEEE divisions of BIGINT counts, rounded 4dp
+    // BEFORE the score so both engines combine identical doubles; the
+    // grade thresholds then compare the identical rounded score.
+    "text_readability" -> { (s, d) =>
+      val t = col("text")
+      val flesch = CleanFunctions.round4(
+        lit(206.835) - lit(1.015) * col("words_per_sentence")
+          - lit(84.6) * col("syllables_per_word"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(t)).cast(LongType).as("n_words"),
+          greatest(regexp_count(t, lit("[.!?]+")).cast(LongType), lit(1L)).as("n_sentences"),
+          regexp_count(lower(t), lit("[aeiouy]+")).cast(LongType).as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          CleanFunctions.round4(col("n_words").cast(DoubleType) /
+            col("n_sentences").cast(DoubleType)).as("words_per_sentence"),
+          CleanFunctions.round4(CleanFunctions.safeDiv(
+            col("n_syllables").cast(DoubleType), col("n_words").cast(DoubleType)))
+            .as("syllables_per_word"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          col("words_per_sentence"), col("syllables_per_word"),
+          flesch.as("flesch"),
+          when(flesch >= 60.0, lit("easy"))
+            .when(flesch >= 30.0, lit("medium"))
+            .otherwise(lit("hard")).as("grade"))
+        .orderBy("doc_id")
+    },
+
     // Language ID: marker-token counts per language, deterministic argmax.
     "text_langid" -> { (s, d) =>
       val toks = TextFunctions.tokens(lower(col("text")))
@@ -449,6 +481,26 @@ object TextQueries {
            |round((0.3 * least(1.0, n_tokens / 100.0) + 0.3 * (n_alpha / nullif(n_chars, 0))
            | + 0.2 * (1.0 - n_punct / nullif(n_chars, 0)) + 0.2 * (n_stop / nullif(n_tokens, 0))) * 10000.0) / 10000.0 AS quality_score
            |FROM m ORDER BY doc_id""".stripMargin,
+
+      "text_readability" ->
+        s"""WITH m AS (SELECT doc_id,
+           |  len($t) AS n_words,
+           |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+           |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+           |FROM documents),
+           |r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  ${CleanFunctions.round4Sql("CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)")} AS words_per_sentence,
+           |  ${CleanFunctions.round4Sql("CAST(n_syllables AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0)")} AS syllables_per_word
+           |FROM m),
+           |f AS (SELECT *,
+           |  ${CleanFunctions.round4Sql("206.835 - 1.015 * words_per_sentence - 84.6 * syllables_per_word")} AS flesch
+           |FROM r)
+           |SELECT doc_id, n_words, n_sentences, n_syllables,
+           |  words_per_sentence, syllables_per_word, flesch,
+           |  CASE WHEN flesch >= 60.0 THEN 'easy'
+           |       WHEN flesch >= 30.0 THEN 'medium'
+           |       ELSE 'hard' END AS grade
+           |FROM f ORDER BY doc_id""".stripMargin,
 
       "text_langid" -> {
         val scores = MarkerSets.map { case (l, ws) =>

@@ -316,6 +316,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(sp.filter(col("spearman_lag1") < -1.0001 || col("spearman_lag1") > 1.0001).count() == 0)
   }
 
+  test("pagerank mass ~1; basket lift positive; flesch grade consistent") {
+    import org.apache.spark.sql.functions._
+    val pr = SparkEntry.queries("nation_pagerank")(spark, sfDir).cache()
+    assert(pr.filter(col("pagerank") <= 0.0).count() == 0, "nonpositive rank")
+    // Mass is conserved up to rounding + dangling leakage: sum in (0.5, 1.01].
+    val mass = pr.agg(sum(col("pagerank"))).head.getDouble(0)
+    assert(mass > 0.5 && mass < 1.01, s"total rank mass $mass out of range")
+    val bp = SparkEntry.queries("lineitem_basket_pairs")(spark, sfDir).cache()
+    assert(bp.filter(col("lift") <= 0.0 || col("support") <= 0.0).count() == 0)
+    assert(bp.filter(col("pair_cnt") > col("cnt_a") || col("pair_cnt") > col("cnt_b")).count() == 0,
+      "a pair cannot co-occur more often than either part occurs")
+    val rd = SparkEntry.queries("text_readability")(spark, sfDir).cache()
+    assert(rd.filter(col("grade") === "easy" && col("flesch") < 60.0).count() == 0)
+    assert(rd.filter(col("n_syllables") > 0 && col("n_words") > 0).count() == rd.count(),
+      "every document should have at least one word and one vowel group")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
