@@ -624,6 +624,36 @@ object RelationalQueries {
           CleanFunctions.round4(col("pair_cnt").cast(DoubleType) * col("nord") /
             (col("cnt_a").cast(DoubleType) * col("cnt_b").cast(DoubleType))).as("lift"))
         .orderBy("pa", "pb")
+    },
+
+    // Herfindahl-Hirschman supplier-concentration index per nation (the
+    // antitrust / supply-risk concentration scalar): HHI = Σ share² over
+    // each nation's supplier revenue shares, plus the top supplier's
+    // share. Supplier revenue is one exact-DECIMAL grouped pass over
+    // lineitem; nation totals re-aggregate the O(#suppliers) result;
+    // shares are single IEEE divisions, share² rounded 6dp then
+    // DECIMAL-summed (order-independent, engine-identical).
+    "supplier_hhi" -> { (s, d) =>
+      val srev = Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+          .cast(DoubleType).as("rev"))
+      val sn = srev.join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      val tot = sn.groupBy("s_nationkey").agg(exactSum(col("rev")).as("tot"))
+      sn.join(broadcast(tot), "s_nationkey")
+        .withColumn("share", col("rev") / col("tot"))
+        .withColumn("term",
+          CleanFunctions.round6(col("share") * col("share")).cast(DecimalType(18, 6)))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          CleanFunctions.round4(max(col("share"))).as("top_share"),
+          CleanFunctions.round4(sum(col("term")).cast(DoubleType)).as("hhi"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_nationkey").as("nationkey"), col("n_name"),
+          col("n_suppliers"), col("top_share"), col("hhi"))
+        .orderBy("nationkey")
     }
   )
 
@@ -676,6 +706,25 @@ object RelationalQueries {
               "CAST(pair_cnt AS DOUBLE) * nord / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))")} AS lift
          |FROM p JOIN c ca ON p.pa = ca.pk JOIN c cb ON p.pb = cb.pk, no
          |ORDER BY pa, pb""".stripMargin,
+
+    "supplier_hhi" ->
+      s"""WITH sr AS (
+         |  SELECT l_suppkey,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev
+         |  FROM lineitem GROUP BY 1),
+         |sn AS (
+         |  SELECT s_nationkey AS nk, rev FROM sr JOIN supplier ON l_suppkey = s_suppkey),
+         |t AS (SELECT nk, ${CleanFunctions.exactSumSql("rev")} AS tot FROM sn GROUP BY 1),
+         |h AS (
+         |  SELECT sn.nk, rev / tot AS share,
+         |    CAST(round((rev / tot) * (rev / tot) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |  FROM sn JOIN t ON sn.nk = t.nk)
+         |SELECT h.nk AS nationkey, n_name, count(*) AS n_suppliers,
+         |  ${CleanFunctions.round4Sql("max(share)")} AS top_share,
+         |  ${CleanFunctions.round4Sql("CAST(sum(term) AS DOUBLE)")} AS hhi
+         |FROM h JOIN nation ON h.nk = n_nationkey
+         |GROUP BY h.nk, n_name
+         |ORDER BY nationkey""".stripMargin,
 
     "q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS late_orders

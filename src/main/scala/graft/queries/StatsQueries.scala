@@ -596,6 +596,77 @@ object StatsQueries {
               col("sxx").cast(DoubleType), col("syy").cast(DoubleType)),
               lit(-1.0)), lit(1.0)))).as("spearman_lag1"))
         .orderBy("user_id")
+    },
+
+    // Mann-Kendall trend test per series over daily-mean buckets — the
+    // nonparametric did-it-trend gate (Theil-Sen's significance twin):
+    // S = Σ_{i<j} sign(m_j − m_i), tie-corrected variance, continuity-
+    // corrected z. Daily bucketing first is the scale contract (pairs
+    // O(days²)/series, never O(rows²)); daily means are DECIMAL-exact so
+    // every sign comparison and tie group is engine-identical, S and the
+    // tie correction are pure BIGINTs, and the only float ops are one
+    // division and one sqrt.
+    "ts_mann_kendall" -> { (s, d) =>
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(CleanFunctions.exactMean(col("value")).as("m"))
+      val a = daily.select(col("user_id"), col("day").as("di"), col("m").as("mi"))
+      val b = daily.select(col("user_id"), col("day").as("dj"), col("m").as("mj"))
+      val sStat = a.join(b, "user_id").where(col("di") < col("dj"))
+        .select(col("user_id"),
+          when(col("mj") > col("mi"), lit(1L)).when(col("mj") < col("mi"), lit(-1L))
+            .otherwise(lit(0L)).as("sg"))
+        .groupBy("user_id").agg(sum(col("sg")).as("s_stat"))
+      val nD = daily.groupBy("user_id").agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy("user_id", "m").agg(count(lit(1)).as("t"))
+        .groupBy("user_id")
+        .agg(sum(col("t") * (col("t") - lit(1L)) * (lit(2L) * col("t") + lit(5L))).as("tcorr"))
+      sStat.join(nD, "user_id").join(ties, "user_id")
+        .withColumn("var_s",
+          (col("n_days") * (col("n_days") - lit(1L)) * (lit(2L) * col("n_days") + lit(5L))
+            - col("tcorr")).cast(DoubleType) / 18.0)
+        .select(col("user_id"), col("n_days"), col("s_stat"),
+          round4(col("var_s")).as("var_s"),
+          round4(when(col("s_stat") > 0L,
+              (col("s_stat") - lit(1L)).cast(DoubleType) / sqrt(col("var_s")))
+            .when(col("s_stat") < 0L,
+              (col("s_stat") + lit(1L)).cast(DoubleType) / sqrt(col("var_s")))
+            .otherwise(lit(0.0))).as("mk_z"))
+        .orderBy("user_id")
+    },
+
+    // CUPED variance reduction (Deng et al., WSDM 2013): each user's
+    // pre-period mean is the covariate, θ = cov(x,y)/var(x) from ONE
+    // exact-moment pass over the per-user aggregates, adjusted post
+    // metric y − θ(x − x̄) — THE modern A/B precision primitive. The
+    // heavy stages are two grouped means over events; θ is a 1-row
+    // broadcast; per-user means rounded 4dp before cross-moments so
+    // every downstream IEEE op is engine-identical.
+    "events_cuped" -> { (s, d) =>
+      val jan15 = java.time.LocalDate.of(2024, 1, 15).toEpochDay
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("pre", expr("tsu DIV 86400000000") <= lit(jan15))
+      val x = e.where(col("pre")).groupBy("user_id")
+        .agg(round4(CleanFunctions.exactMean(col("value"))).as("x_pre"))
+      val y = e.where(!col("pre")).groupBy("user_id")
+        .agg(round4(CleanFunctions.exactMean(col("value"))).as("y_post"))
+      val xy = x.join(y, "user_id")
+      val mom = xy.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        exactSum(col("x_pre")).as("sx"), exactSum(col("y_post")).as("sy"),
+        exactSum(round4(col("x_pre") * col("y_post"))).as("sxy"),
+        exactSum(round4(col("x_pre") * col("x_pre"))).as("sxx"))
+      xy.crossJoin(broadcast(mom))
+        .withColumn("theta", CleanFunctions.safeDiv(
+          col("n") * col("sxy") - col("sx") * col("sy"),
+          col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("user_id"), col("x_pre"), col("y_post"),
+          round4(col("y_post") - col("theta") * (col("x_pre") - col("sx") / col("n")))
+            .as("y_cuped"))
+        .orderBy("user_id")
     })
 
   private val PsSqlList =
@@ -1097,5 +1168,54 @@ object StatsQueries {
          |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
          |  ${round4Sql(s"CASE WHEN n > 1.0 THEN least(greatest($corr, -1.0), 1.0) END")} AS spearman_lag1
          |FROM m ORDER BY user_id""".stripMargin
-    })
+    },
+
+    "ts_mann_kendall" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    ${CleanFunctions.exactMeanSql("value")} AS m
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id, day),
+         |s AS (
+         |  SELECT a.user_id,
+         |    sum(CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1 ELSE 0 END) AS s_stat
+         |  FROM daily a JOIN daily b ON a.user_id = b.user_id AND a.day < b.day
+         |  GROUP BY a.user_id),
+         |nd AS (SELECT user_id, count(*) AS n_days FROM daily GROUP BY user_id),
+         |tg AS (SELECT user_id, m, count(*) AS t FROM daily GROUP BY user_id, m),
+         |tc AS (SELECT user_id, sum(t * (t - 1) * (2 * t + 5)) AS tcorr FROM tg GROUP BY user_id),
+         |v AS (
+         |  SELECT s.user_id, n_days, s_stat,
+         |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tcorr AS DOUBLE) / 18.0 AS var_s
+         |  FROM s JOIN nd ON s.user_id = nd.user_id JOIN tc ON s.user_id = tc.user_id)
+         |SELECT user_id, n_days, s_stat, ${round4Sql("var_s")} AS var_s,
+         |  ${round4Sql("""CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+         |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+         |       ELSE 0.0 END""")} AS mk_z
+         |FROM v ORDER BY user_id""".stripMargin,
+
+    "events_cuped" ->
+      s"""WITH e AS (
+         |  SELECT user_id, value,
+         |    epoch_us(ts) // 86400000000 <= ${java.time.LocalDate.of(2024, 1, 15).toEpochDay} AS pre
+         |  FROM events WHERE value IS NOT NULL),
+         |x AS (SELECT user_id, ${round4Sql(CleanFunctions.exactMeanSql("value"))} AS x_pre
+         |      FROM e WHERE pre GROUP BY user_id),
+         |y AS (SELECT user_id, ${round4Sql(CleanFunctions.exactMeanSql("value"))} AS y_post
+         |      FROM e WHERE NOT pre GROUP BY user_id),
+         |xy AS (SELECT x.user_id, x_pre, y_post FROM x JOIN y ON x.user_id = y.user_id),
+         |m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${CleanFunctions.exactSumSql("x_pre")} AS sx,
+         |    ${CleanFunctions.exactSumSql("y_post")} AS sy,
+         |    ${CleanFunctions.exactSumSql(round4Sql("x_pre * y_post"))} AS sxy,
+         |    ${CleanFunctions.exactSumSql(round4Sql("x_pre * x_pre"))} AS sxx
+         |  FROM xy),
+         |t AS (
+         |  SELECT xy.*, (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS theta,
+         |    sx / n AS mx
+         |  FROM xy, m)
+         |SELECT user_id, x_pre, y_post,
+         |  ${round4Sql("y_post - theta * (x_pre - mx)")} AS y_cuped
+         |FROM t ORDER BY user_id""".stripMargin
+    )
 }

@@ -333,6 +333,24 @@ class QueriesSpec extends AnyFunSuite {
       "every document should have at least one word and one vowel group")
   }
 
+  test("mann-kendall S bounded by pair count; HHI in (0,1]; CUPED shrinks variance") {
+    import org.apache.spark.sql.functions._
+    val mk = SparkEntry.queries("ts_mann_kendall")(spark, sfDir).cache()
+    val maxPairs = col("n_days") * (col("n_days") - 1) / 2
+    assert(mk.filter(abs(col("s_stat")) > maxPairs).count() == 0,
+      "|S| cannot exceed n_days*(n_days-1)/2")
+    assert(mk.filter(col("var_s") < 0.0).count() == 0)
+    val hhi = SparkEntry.queries("supplier_hhi")(spark, sfDir).cache()
+    assert(hhi.filter(col("hhi") <= 0.0 || col("hhi") > 1.0001).count() == 0)
+    assert(hhi.filter(col("top_share") * col("top_share") > col("hhi") + 1e-4).count() == 0,
+      "HHI must be at least the top supplier's squared share")
+    val cu = SparkEntry.queries("events_cuped")(spark, sfDir).cache()
+    val v = cu.agg(
+      variance(col("y_post")).as("vy"), variance(col("y_cuped")).as("vc")).head
+    assert(v.getDouble(1) <= v.getDouble(0) + 1e-9,
+      s"CUPED variance ${v.getDouble(1)} must not exceed raw ${v.getDouble(0)}")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
