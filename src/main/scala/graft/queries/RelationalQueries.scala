@@ -654,6 +654,60 @@ object RelationalQueries {
         .select(col("n_nationkey").as("nationkey"), col("n_name"),
           col("n_suppliers"), col("top_share"), col("hhi"))
         .orderBy("nationkey")
+    },
+
+    // TPC-H Q8 shape (market share): each supplier nation's share of a
+    // customer region's yearly trade volume. Fact joins shuffle on their
+    // keys; nation/region are broadcast dims; the share divides two
+    // exact-DECIMAL sums (cell and market total — the total a broadcast
+    // re-aggregate of the tiny cell grid), one IEEE division per row.
+    "q8_market_share" -> { (s, d) =>
+      val vol = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("r_name"), year(col("o_orderdate")).cast(LongType).as("yr"),
+          col("supp_nation"),
+          (dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount")))).as("vol"))
+      val cell = vol.groupBy("r_name", "yr", "supp_nation").agg(sum(col("vol")).as("v"))
+      val tot = cell.groupBy("r_name", "yr").agg(sum(col("v")).as("tot"))
+      cell.join(broadcast(tot), Seq("r_name", "yr"))
+        .select(col("r_name"), col("yr"), col("supp_nation"),
+          CleanFunctions.round4(col("v").cast(DoubleType)).as("volume"),
+          CleanFunctions.round4(col("v").cast(DoubleType) / col("tot").cast(DoubleType))
+            .as("mkt_share"))
+        .orderBy("r_name", "yr", "supp_nation")
+    },
+
+    // TPC-H Q10 shape (returned-item revenue): top 20 customers by
+    // revenue lost to returns. The global top-k is ORDER BY + LIMIT —
+    // Spark plans TakeOrderedAndProject (per-partition heaps + driver
+    // merge of 20), never a global sort; ties broken by customer key so
+    // the cut is deterministic on both engines.
+    "q10_returned_items" -> { (s, d) =>
+      Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+          .as("rev"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          CleanFunctions.round4(col("rev").cast(DoubleType)).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey")).limit(20)
     }
   )
 
@@ -725,6 +779,40 @@ object RelationalQueries {
          |FROM h JOIN nation ON h.nk = n_nationkey
          |GROUP BY h.nk, n_name
          |ORDER BY nationkey""".stripMargin,
+
+    "q8_market_share" ->
+      s"""WITH vol AS (
+         |  SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         |    sn.n_name AS supp_nation,
+         |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS v
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region ON cn.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey),
+         |cell AS (
+         |  SELECT r_name, yr, supp_nation, sum(v) AS v
+         |  FROM vol GROUP BY 1, 2, 3),
+         |t AS (SELECT r_name, yr, sum(v) AS tot FROM cell GROUP BY 1, 2)
+         |SELECT cell.r_name, cell.yr, supp_nation,
+         |  ${CleanFunctions.round4Sql("CAST(cell.v AS DOUBLE)")} AS volume,
+         |  ${CleanFunctions.round4Sql("CAST(cell.v AS DOUBLE) / CAST(tot AS DOUBLE)")} AS mkt_share
+         |FROM cell JOIN t ON cell.r_name = t.r_name AND cell.yr = t.yr
+         |ORDER BY cell.r_name, cell.yr, supp_nation""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${CleanFunctions.round4Sql(
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q4_late_orders" ->
       """SELECT o_orderpriority, count(*) AS late_orders

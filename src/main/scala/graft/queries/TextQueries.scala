@@ -113,6 +113,39 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Zipf-law fit per language: OLS slope of ln(freq) on ln(rank) over
+    // the token frequency table — a corpus-health diagnostic (natural
+    // text ≈ -1; generated/boilerplate text drifts). Rank is a window
+    // PARTITIONED by language (deterministic freq-then-token order);
+    // ln terms rounded 6dp then DECIMAL-summed (the psi pattern — libm
+    // log may differ in the last ulp across engines), slope computed
+    // once unrounded and reused for the intercept so both engines run
+    // the identical IEEE chain.
+    "text_zipf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy("lang").orderBy(desc("f"), col("tok"))
+      val terms = freq.withColumn("rk", row_number().over(w))
+        .withColumn("x", CleanFunctions.round6(log(col("rk").cast(DoubleType))))
+        .withColumn("y", CleanFunctions.round6(log(col("f").cast(DoubleType))))
+      val mom = terms.groupBy("lang").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        CleanFunctions.exactSum(col("x")).as("sx"),
+        CleanFunctions.exactSum(col("y")).as("sy"),
+        CleanFunctions.exactSum(CleanFunctions.round6(col("x") * col("y"))).as("sxy"),
+        CleanFunctions.exactSum(CleanFunctions.round6(col("x") * col("x"))).as("sxx"))
+      mom.withColumn("slope", CleanFunctions.safeDiv(
+          col("n") * col("sxy") - col("sx") * col("sy"),
+          col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("lang"), col("n").cast(LongType).as("n_types"),
+          CleanFunctions.round4(col("slope")).as("zipf_slope"),
+          CleanFunctions.round4((col("sy") - col("slope") * col("sx")) / col("n"))
+            .as("intercept"))
+        .orderBy("lang")
+    },
+
     // Language ID: marker-token counts per language, deterministic argmax.
     "text_langid" -> { (s, d) =>
       val toks = TextFunctions.tokens(lower(col("text")))
@@ -501,6 +534,31 @@ object TextQueries {
            |       WHEN flesch >= 30.0 THEN 'medium'
            |       ELSE 'hard' END AS grade
            |FROM f ORDER BY doc_id""".stripMargin,
+
+      "text_zipf" -> {
+        val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0)"
+        s"""WITH tok AS (
+           |  SELECT lang, unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok
+           |  FROM documents),
+           |f AS (SELECT lang, tok, count(*) AS f FROM tok GROUP BY 1, 2),
+           |r AS (SELECT lang, f,
+           |  row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS rk FROM f),
+           |t AS (SELECT lang,
+           |  ${round6("ln(CAST(rk AS DOUBLE))")} AS x,
+           |  ${round6("ln(CAST(f AS DOUBLE))")} AS y FROM r),
+           |m AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+           |  ${CleanFunctions.exactSumSql("x")} AS sx,
+           |  ${CleanFunctions.exactSumSql("y")} AS sy,
+           |  ${CleanFunctions.exactSumSql(round6("x * y"))} AS sxy,
+           |  ${CleanFunctions.exactSumSql(round6("x * x"))} AS sxx
+           |  FROM t GROUP BY lang),
+           |s AS (SELECT *,
+           |  (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope FROM m)
+           |SELECT lang, CAST(n AS BIGINT) AS n_types,
+           |  ${CleanFunctions.round4Sql("slope")} AS zipf_slope,
+           |  ${CleanFunctions.round4Sql("(sy - slope * sx) / n")} AS intercept
+           |FROM s ORDER BY lang""".stripMargin
+      },
 
       "text_langid" -> {
         val scores = MarkerSets.map { case (l, ws) =>

@@ -351,6 +351,20 @@ class QueriesSpec extends AnyFunSuite {
       s"CUPED variance ${v.getDouble(1)} must not exceed raw ${v.getDouble(0)}")
   }
 
+  test("market shares sum to ~1 per market; zipf slope negative for natural text") {
+    import org.apache.spark.sql.functions._
+    val ms = SparkEntry.queries("q8_market_share")(spark, sfDir).cache()
+    val bad = ms.groupBy("r_name", "yr").agg(sum(col("mkt_share")).as("tot"))
+      .filter(abs(col("tot") - 1.0) > 0.01).count()
+    assert(bad == 0, "shares within a (region, year) market must sum to ~1")
+    val r10 = SparkEntry.queries("q10_returned_items")(spark, sfDir).cache()
+    assert(r10.count() <= 20 && r10.filter(col("revenue") <= 0.0).count() == 0)
+    val z = SparkEntry.queries("text_zipf")(spark, sfDir).cache()
+    assert(z.filter(col("zipf_slope") >= 0.0).count() == 0,
+      "token frequency must decay with rank (negative Zipf slope)")
+    assert(z.filter(col("n_types") < 2).count() == 0)
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
