@@ -667,6 +667,91 @@ object StatsQueries {
           round4(col("y_post") - col("theta") * (col("x_pre") - col("sx") / col("n")))
             .as("y_cuped"))
         .orderBy("user_id")
+    },
+
+    // Lag-1 Granger-causality F test on the daily grid: does series x's
+    // previous day improve the AR(1) prediction of series y? Full model
+    // y_t ~ [1, y_{t-1}, x_{t-1}] solved in CLOSED FORM from centered
+    // moments (2x2 normal equations — no iterative fit), restricted
+    // model the plain AR(1); F = (RSS_r - RSS_f)(n-3)/RSS_f. The DAILY
+    // grid keeps consecutive-lag pairs dense on irregular series (hourly
+    // buckets are mostly holes) and the user sampling bounds pairs like
+    // ts_cross_corr; all 9 moments are
+    // DECIMAL-exact so the long IEEE chain is engine-identical; det/RSS
+    // degeneracies null out via nullif, tiny negative F clamps to 0.
+    "ts_granger" -> { (s, d) =>
+      val dec = DecimalType(28, 6)
+      val hourly = Tables.events(s, d).where(col("value").isNotNull)
+        .filter(col("user_id") % 10 === 0)
+        .groupBy(col("user_id"), CleanFunctions.epochUs(date_trunc("day", col("ts"))).as("b"))
+        .agg(CleanFunctions.exactMean(col("value")).as("v"))
+        .cache()
+      val hr = lit(86400000000L)
+      val rows = hourly.as("y")
+        .join(hourly.as("yl"),
+          col("yl.user_id") === col("y.user_id") && col("yl.b") === col("y.b") - hr)
+        .join(hourly.as("xl"),
+          col("xl.b") === col("y.b") - hr && col("xl.user_id") =!= col("y.user_id"))
+        .select(col("y.user_id").as("yu"), col("xl.user_id").as("xu"),
+          col("y.v").as("t"), col("yl.v").as("z1"), col("xl.v").as("z2"))
+      val mom = rows.groupBy("yu", "xu").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("z1").cast(dec)).cast(DoubleType).as("s1"),
+        sum(col("z2").cast(dec)).cast(DoubleType).as("s2"),
+        sum(col("t").cast(dec)).cast(DoubleType).as("st"),
+        sum((col("z1") * col("z1")).cast(dec)).cast(DoubleType).as("s11"),
+        sum((col("z2") * col("z2")).cast(dec)).cast(DoubleType).as("s22"),
+        sum((col("z1") * col("z2")).cast(dec)).cast(DoubleType).as("s12"),
+        sum((col("z1") * col("t")).cast(dec)).cast(DoubleType).as("s1t"),
+        sum((col("z2") * col("t")).cast(dec)).cast(DoubleType).as("s2t"),
+        sum((col("t") * col("t")).cast(dec)).cast(DoubleType).as("stt"))
+        .where(col("n") > 3.0)
+      mom
+        .withColumn("c11", col("s11") - col("s1") * col("s1") / col("n"))
+        .withColumn("c22", col("s22") - col("s2") * col("s2") / col("n"))
+        .withColumn("c12", col("s12") - col("s1") * col("s2") / col("n"))
+        .withColumn("c1t", col("s1t") - col("s1") * col("st") / col("n"))
+        .withColumn("c2t", col("s2t") - col("s2") * col("st") / col("n"))
+        .withColumn("ctt", col("stt") - col("st") * col("st") / col("n"))
+        .withColumn("det", col("c11") * col("c22") - col("c12") * col("c12"))
+        .withColumn("b1", (col("c1t") * col("c22") - col("c2t") * col("c12"))
+          / nullif(col("det"), lit(0.0)))
+        .withColumn("b2", (col("c2t") * col("c11") - col("c1t") * col("c12"))
+          / nullif(col("det"), lit(0.0)))
+        .withColumn("rssf", col("ctt") - col("b1") * col("c1t") - col("b2") * col("c2t"))
+        .withColumn("rssr", col("ctt") - col("c1t") * col("c1t") / nullif(col("c11"), lit(0.0)))
+        .select(col("yu"), col("xu"), col("n").cast(LongType).as("n_obs"),
+          round4(col("b2")).as("x_coef"),
+          round4(greatest((col("rssr") - col("rssf")) * (col("n") - lit(3.0))
+            / nullif(col("rssf"), lit(0.0)), lit(0.0))).as("granger_f"))
+        .orderBy("yu", "xu")
+    },
+
+    // Order inter-arrival regularity per customer: mean gap (days) and
+    // coefficient of variation over successive order dates — cv << 1 is
+    // a metronome buyer, cv >> 1 bursty. One keyed lag window; gaps
+    // rounded to 4dp days BEFORE the DECIMAL moment sums (raw
+    // microsecond squares would overflow DECIMAL(18,6)).
+    "orders_interarrival" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("tsu", "o_orderkey")
+      val gaps = Tables.orders(s, d)
+        .withColumn("tsu", CleanFunctions.epochUs(col("o_orderdate")))
+        .withColumn("gap",
+          round4((col("tsu") - lag(col("tsu"), 1).over(w)).cast(DoubleType)
+            / lit(86400000000.0)))
+        .where(col("gap").isNotNull)
+      gaps.groupBy("o_custkey").agg(
+          count(lit(1)).as("n_gaps"),
+          exactSum(col("gap")).as("sg"),
+          exactSum(round4(col("gap") * col("gap"))).as("sgg"))
+        .where(col("n_gaps") >= 2)
+        .withColumn("mean_gap", col("sg") / col("n_gaps").cast(DoubleType))
+        .select(col("o_custkey"), col("n_gaps"),
+          round4(col("mean_gap")).as("mean_gap_days"),
+          round4(CleanFunctions.safeDiv(
+            CleanFunctions.momentStd(col("n_gaps").cast(DoubleType), col("sg"), col("sgg")),
+            col("mean_gap"))).as("cv"))
+        .orderBy("o_custkey")
     })
 
   private val PsSqlList =
@@ -1216,6 +1301,66 @@ object StatsQueries {
          |  FROM xy, m)
          |SELECT user_id, x_pre, y_post,
          |  ${round4Sql("y_post - theta * (x_pre - mx)")} AS y_cuped
-         |FROM t ORDER BY user_id""".stripMargin
+         |FROM t ORDER BY user_id""".stripMargin,
+
+    "ts_granger" -> {
+      def dsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
+      s"""WITH h AS (
+         |  SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS b,
+         |    ${CleanFunctions.exactMeanSql("value")} AS v
+         |  FROM events WHERE value IS NOT NULL AND user_id % 10 = 0 GROUP BY 1, 2),
+         |r AS (
+         |  SELECT y.user_id AS yu, xl.user_id AS xu,
+         |    y.v AS t, yl.v AS z1, xl.v AS z2
+         |  FROM h y
+         |  JOIN h yl ON yl.user_id = y.user_id AND yl.b = y.b - 86400000000
+         |  JOIN h xl ON xl.b = y.b - 86400000000 AND xl.user_id <> y.user_id),
+         |m AS (
+         |  SELECT yu, xu, CAST(count(*) AS DOUBLE) AS n,
+         |    ${dsum("z1")} AS s1, ${dsum("z2")} AS s2, ${dsum("t")} AS st,
+         |    ${dsum("z1 * z1")} AS s11, ${dsum("z2 * z2")} AS s22,
+         |    ${dsum("z1 * z2")} AS s12, ${dsum("z1 * t")} AS s1t,
+         |    ${dsum("z2 * t")} AS s2t, ${dsum("t * t")} AS stt
+         |  FROM r GROUP BY 1, 2 HAVING CAST(count(*) AS DOUBLE) > 3.0),
+         |c AS (
+         |  SELECT yu, xu, n,
+         |    s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+         |    s12 - s1 * s2 / n AS c12, s1t - s1 * st / n AS c1t,
+         |    s2t - s2 * st / n AS c2t, stt - st * st / n AS ctt
+         |  FROM m),
+         |bb AS (
+         |  SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+         |b AS (
+         |  SELECT *,
+         |    (c1t * c22 - c2t * c12) / nullif(det, 0.0) AS b1,
+         |    (c2t * c11 - c1t * c12) / nullif(det, 0.0) AS b2
+         |  FROM bb),
+         |f AS (
+         |  SELECT *, ctt - b1 * c1t - b2 * c2t AS rssf,
+         |    ctt - c1t * c1t / nullif(c11, 0.0) AS rssr
+         |  FROM b)
+         |SELECT yu, xu, CAST(n AS BIGINT) AS n_obs,
+         |  ${round4Sql("b2")} AS x_coef,
+         |  ${round4Sql("greatest((rssr - rssf) * (n - 3.0) / nullif(rssf, 0.0), 0.0)")} AS granger_f
+         |FROM f ORDER BY yu, xu""".stripMargin
+    },
+
+    "orders_interarrival" ->
+      s"""WITH g AS (
+         |  SELECT o_custkey,
+         |    ${round4Sql(
+              """CAST(epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER (
+         |      PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey) AS DOUBLE)
+         |      / 86400000000.0""")} AS gap
+         |  FROM orders),
+         |m AS (
+         |  SELECT o_custkey, count(*) AS n_gaps,
+         |    ${exactSumSql("gap")} AS sg,
+         |    ${exactSumSql(round4Sql("gap * gap"))} AS sgg
+         |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+         |t AS (SELECT *, sg / CAST(n_gaps AS DOUBLE) AS mean_gap FROM m)
+         |SELECT o_custkey, n_gaps, ${round4Sql("mean_gap")} AS mean_gap_days,
+         |  ${round4Sql(s"${CleanFunctions.momentStdSql("CAST(n_gaps AS DOUBLE)", "sg", "sgg")} / nullif(mean_gap, 0.0)")} AS cv
+         |FROM t ORDER BY o_custkey""".stripMargin
     )
 }

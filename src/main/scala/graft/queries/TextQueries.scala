@@ -146,6 +146,20 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Feature-hashing vectorizer (the hashing trick): tokens hashed into
+    // 1024 buckets by the shared md5-derived 64-bit hash, per-doc bucket
+    // counts — the fixed-width bag-of-words featurizer that needs NO
+    // vocabulary pass (and therefore no vocabulary shuffle at 100 TB).
+    // Explode + two-level grouped count, map-side partial; hash
+    // non-negative by construction so plain % is engine-identical.
+    "text_hashing_trick" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .withColumn("bucket", CleanFunctions.md5Hash64(col("tok")) % 1024L)
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")
+    },
+
     // Language ID: marker-token counts per language, deterministic argmax.
     "text_langid" -> { (s, d) =>
       val toks = TextFunctions.tokens(lower(col("text")))
@@ -559,6 +573,14 @@ object TextQueries {
            |  ${CleanFunctions.round4Sql("(sy - slope * sx) / n")} AS intercept
            |FROM s ORDER BY lang""".stripMargin
       },
+
+      "text_hashing_trick" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok
+           |  FROM documents)
+           |SELECT doc_id, ${CleanFunctions.md5Hash64Sql("tok")} % 1024 AS bucket,
+           |  count(*) AS cnt
+           |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
       "text_langid" -> {
         val scores = MarkerSets.map { case (l, ws) =>

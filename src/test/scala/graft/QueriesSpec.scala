@@ -365,6 +365,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(z.filter(col("n_types") < 2).count() == 0)
   }
 
+  test("granger F nonnegative; interarrival cv positive; hashing buckets in range") {
+    import org.apache.spark.sql.functions._
+    val gr = SparkEntry.queries("ts_granger")(spark, sfDir).cache()
+    assert(gr.count() > 0 && gr.filter(col("granger_f") < 0.0).count() == 0)
+    val ia = SparkEntry.queries("orders_interarrival")(spark, sfDir).cache()
+    assert(ia.filter(col("mean_gap_days") <= 0.0 || col("cv") < 0.0).count() == 0)
+    val ht = SparkEntry.queries("text_hashing_trick")(spark, sfDir).cache()
+    assert(ht.filter(col("bucket") < 0 || col("bucket") >= 1024).count() == 0)
+    // Column-sum preservation: total hashed counts == total tokens.
+    val totHashed = ht.agg(sum(col("cnt"))).head.getLong(0)
+    val totToks = graft.sources.Tables.documents(spark, sfDir)
+      .select(size(graft.functions.TextFunctions.tokens(lower(col("text")))).as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(totHashed == totToks, s"hashed $totHashed != tokens $totToks")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
