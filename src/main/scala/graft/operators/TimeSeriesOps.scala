@@ -769,6 +769,58 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** Token-bucket rate-limit replay (the API-gateway admission audit):
+    * per key the bucket starts FULL; each event first refills
+    * tokens = min(capacity, tokens + refillPerSec * (Δt_us / 1e6)),
+    * then admits iff tokens >= 1 (consuming one). The clamped recurrence
+    * is non-window-expressible (same family as [[cusumReset]]), so it
+    * runs as a keyed repartition + sorted in-partition scan with O(1)
+    * state; the DuckDB twin replays the identical left-to-right IEEE
+    * fold via a recursive CTE — exact parity. `tsCol` must be a numeric
+    * microsecond column (e.g. epochUs of the event time).
+    */
+  def tokenBucket(df: DataFrame, keys: Seq[String], order: Seq[String],
+                  tsCol: String, capacity: Double, refillPerSec: Double,
+                  tokensCol: String = "tokens", admitCol: String = "admitted",
+                  numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "tokenBucket needs series keys")
+    require(capacity >= 1.0, "tokenBucket: capacity must admit at least one event")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .withColumn("__tb_ts", col(tsCol).cast(LongType))
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields :+
+      StructField(tokensCol, DoubleType) :+ StructField(admitCol, LongType))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val tsI = sorted.schema.fieldIndex("__tb_ts")
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var tokens = 0.0
+        var lastTs = 0L
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          val t = r.getLong(tsI)
+          if (k != curKey) { curKey = k; tokens = capacity }
+          else {
+            tokens = math.min(capacity,
+              tokens + refillPerSec * ((t - lastTs).toDouble / 1000000.0))
+          }
+          lastTs = t
+          val admitted = if (tokens >= 1.0) { tokens -= 1.0; 1L } else 0L
+          // Drop the shadow ts column (last) and append (tokens, admitted).
+          // Seq[Any]: Seq(Double, Long) would infer Seq[Double] and
+          // silently WIDEN the Long — the encoder then rejects it.
+          Row.fromSeq(r.toSeq.init ++ Seq[Any](tokens, admitted))
+        }
+      }, schema)
+  }
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event of the same key exceeds `gap` (in the unit of the
     * numeric `tsCol`, e.g. microseconds). Session ids are 1-based and

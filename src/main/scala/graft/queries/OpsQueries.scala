@@ -374,6 +374,19 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // Token-bucket rate-limit replay per user (capacity 3, refill 1
+    // token/hour): the API-gateway admission audit — which events WOULD
+    // have been throttled under this policy. The clamped refill/consume
+    // recurrence folds in TS.tokenBucket (keyed O(1)-state scan, the
+    // cusumReset family); the oracle replays the identical IEEE fold via
+    // a recursive CTE — FIFTH recursive operator with an exact oracle.
+    "events_rate_limit" -> { (s, d) =>
+      TS.tokenBucket(ev(s, d), K, Ord, "tsu",
+          capacity = 3.0, refillPerSec = 1.0 / 3600.0)
+        .select(col("event_id"), round4(col("tokens")).as("tokens"), col("admitted"))
+        .orderBy("event_id")
+    },
+
     // SPC control chart: one-sided upper CUSUM with reset, target = the
     // per-series mean, slack = sigma/2, alarm at 4*slack. The reset
     // recurrence folds in cusumReset (keyed O(1)-state scan); the oracle
@@ -1060,6 +1073,28 @@ object OpsQueries {
          |  ${round4Sql("CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad THEN med ELSE value END")} AS cleaned,
          |  CAST(abs(value - med) > 3.0 * 1.4826 * mad AS BIGINT) AS is_outlier
          |FROM m4 ORDER BY event_id""".stripMargin
+    },
+
+    "events_rate_limit" -> {
+      // The refilled-balance expression, repeated like the cusum oracle
+      // repeats its clamp — every IEEE op identical to tokenBucket's fold.
+      val bal = "least(3.0, c.tokens + (1.0 / 3600.0) * (CAST(v.dt AS DOUBLE) / 1000000.0))"
+      s"""WITH RECURSIVE v AS (
+         |  SELECT user_id, event_id,
+         |    row_number() OVER w AS rn,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |c AS (
+         |  SELECT user_id, event_id, rn,
+         |    CAST(3.0 - 1.0 AS DOUBLE) AS tokens, CAST(1 AS BIGINT) AS admitted
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.user_id, v.event_id, v.rn,
+         |    CASE WHEN $bal >= 1.0 THEN $bal - 1.0 ELSE $bal END,
+         |    CAST(CASE WHEN $bal >= 1.0 THEN 1 ELSE 0 END AS BIGINT)
+         |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)
+         |SELECT event_id, ${round4Sql("tokens")} AS tokens, admitted
+         |FROM c ORDER BY event_id""".stripMargin
     },
 
     "ts_cusum_reset" ->

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{DataQuality, TimeSeriesOps}
+import graft.sources.Tables
 
 /** Hand-computed semantics tests for the operational-analytics operators
   * (gap report, counter rate, M4 downsample, SCD2, DQ audit) on crafted
@@ -276,6 +277,37 @@ class OpsSpec extends AnyFunSuite {
       .as[(Double, Double)].head()
     assert(scored._1 < scored._2 / 2.0,
       s"Kalman estimate should at least halve the raw noise: $scored")
+  }
+
+  test("tokenBucket matches the hand-computed refill/consume recurrence") {
+    // capacity 2, refill 1 token/hour. k=1 events at 0h, 0.5h, 1h, 1.5h:
+    //  t=0h:   start full 2.0 -> admit, 1.0
+    //  t=0.5h: 1.0 + 0.5 = 1.5 -> admit, 0.5
+    //  t=1h:   0.5 + 0.5 = 1.0 -> admit, 0.0
+    //  t=1.5h: 0.0 + 0.5 = 0.5 -> DENIED, 0.5
+    val df = Seq(
+      (1L, 0L, 1L), (2L, H / 2, 1L), (3L, H, 1L), (4L, 3 * H / 2, 1L)
+    ).toDF("id", "tsu", "k")
+    val r = TimeSeriesOps.tokenBucket(df, K, Ord, "tsu",
+        capacity = 2.0, refillPerSec = 1.0 / 3600.0)
+      .orderBy("id").select("id", "tokens", "admitted")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(r === Seq((1L, 1.0, 1L), (2L, 0.5, 1L), (3L, 0.0, 1L), (4L, 0.5, 0L)))
+  }
+
+  test("tokenBucket is partition-invariant and refill caps at capacity") {
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+      .withColumn("tsu", graft.functions.CleanFunctions.epochUs(col("ts")))
+    def run(p: Int) = TimeSeriesOps.tokenBucket(
+        ev, Seq("user_id"), Seq("tsu", "event_id"), "tsu",
+        capacity = 3.0, refillPerSec = 1.0 / 3600.0, numPartitions = p)
+      .select(col("event_id"), col("tokens"), col("admitted"))
+      .as[(Long, Double, Long)].collect()
+      .map { case (i, t, a) => i -> (t, a) }.toMap
+    val a = run(2); val b = run(16)
+    assert(a == b, "tokenBucket result depends on partitioning")
+    assert(a.values.forall { case (t, _) => t >= 0.0 && t <= 3.0 },
+      "token balance escaped [0, capacity]")
   }
 
   test("DataQuality checks count nulls, dup keys and FK orphans exactly") {
