@@ -769,6 +769,75 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** Additive Holt-Winters (triple exponential) smoothing per key — the
+    * seasonal member of the smoothing family (SES = [[ewma]], double =
+    * [[holtSmooth]]): with m = `period` and idx = (observation# - 1) % m,
+    *   fitted = l + b + s[idx]            (one-step-ahead, null on row 1)
+    *   l' = α(x − s[idx]) + (1−α)(l + b)
+    *   b' = β(l' − l) + (1−β)b
+    *   s[idx]' = γ(x − l') + (1−γ)s[idx]
+    * initialized l = x₁, b = 0, s = 0⃗ (simple-init convention; the first
+    * m observations warm the seasonal vector). Non-window-expressible
+    * (vector state), so a keyed repartition + sorted scan with O(m)
+    * state; the DuckDB twin replays the fold in a recursive CTE carrying
+    * the seasonal LIST via index-aware list_transform — exact parity.
+    * 1−α etc. are COMPUTED (1.0 - alpha), never pre-folded literals: the
+    * IEEE result differs from the decimal literal in the last ulp, and
+    * the SQL twin writes the same subtraction. A null target emits null
+    * outputs and leaves state AND the observation counter unchanged.
+    */
+  def holtWinters(df: DataFrame, keys: Seq[String], order: Seq[String],
+                  target: String, period: Int,
+                  alpha: Double, beta: Double, gamma: Double,
+                  numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "holtWinters needs series keys")
+    require(period >= 2, s"seasonal period must be >= 2, got $period")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn("__hw_x", col(target).cast(DoubleType))
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("hw_fitted", DoubleType), StructField("hw_level", DoubleType),
+      StructField("hw_trend", DoubleType), StructField("hw_seasonal", DoubleType)))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val xI = sorted.schema.fieldIndex("__hw_x")
+    val (omA, omB, omG) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var l = 0.0; var b = 0.0; var cnt = 0L
+        var s: Array[Double] = null
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; cnt = 0L; s = Array.fill(period)(0.0) }
+          val out: Seq[Any] =
+            if (r.isNullAt(xI)) Seq(null, null, null, null)
+            else {
+              val x = r.getDouble(xI)
+              cnt += 1
+              val idx = ((cnt - 1) % period).toInt
+              if (cnt == 1L) {
+                l = x; b = 0.0
+                Seq[Any](null, l, b, s(idx))
+              } else {
+                val sI = s(idx)
+                val fitted = l + b + sI
+                val lNew = alpha * (x - sI) + omA * (l + b)
+                b = beta * (lNew - l) + omB * b
+                l = lNew
+                s(idx) = gamma * (x - l) + omG * sI
+                Seq[Any](fitted, l, b, s(idx))
+              }
+            }
+          Row.fromSeq(r.toSeq.init ++ out)
+        }
+      }, schema)
+  }
+
   /** Token-bucket rate-limit replay (the API-gateway admission audit):
     * per key the bucket starts FULL; each event first refills
     * tokens = min(capacity, tokens + refillPerSec * (Δt_us / 1e6)),

@@ -374,6 +374,28 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // Additive Holt-Winters (triple exponential) smoothing on daily
+    // means, weekly seasonality (period 7): level + trend + a 7-slot
+    // seasonal vector advanced per observation — the seasonal member of
+    // the smoothing family (SES/Holt/Croston/Kalman are already here).
+    // SIXTH recursive operator with an exact oracle: the recursive CTE
+    // carries the seasonal LIST and updates one slot per step via
+    // index-aware list_transform.
+    "ts_holt_winters" -> { (s, d) =>
+      val daily = ev(s, d).where(col("value").isNotNull)
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(CleanFunctions.exactMean(col("value")).as("m"))
+      TS.holtWinters(daily, K, Seq("day"), "m", period = 7,
+          alpha = 0.3, beta = 0.1, gamma = 0.2)
+        .select(col("user_id"), col("day"), round4(col("m")).as("day_mean"),
+          round4(col("hw_fitted")).as("hw_fitted"),
+          round4(col("hw_level")).as("hw_level"),
+          round4(col("hw_trend")).as("hw_trend"),
+          round4(col("hw_seasonal")).as("hw_seasonal"))
+        .orderBy("user_id", "day")
+    },
+
     // Token-bucket rate-limit replay per user (capacity 3, refill 1
     // token/hour): the API-gateway admission audit — which events WOULD
     // have been throttled under this policy. The clamped refill/consume
@@ -1073,6 +1095,39 @@ object OpsQueries {
          |  ${round4Sql("CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad THEN med ELSE value END")} AS cleaned,
          |  CAST(abs(value - med) > 3.0 * 1.4826 * mad AS BIGINT) AS is_outlier
          |FROM m4 ORDER BY event_id""".stripMargin
+    },
+
+    "ts_holt_winters" -> {
+      // One-based seasonal slot for the CURRENT recursion row.
+      val idx = "(v.rn - 1) % 7 + 1"
+      // The new level, repeated wherever the Scala fold uses lNew; the
+      // (1.0 - α) subtractions are spelled out — pre-folded 0.7 would
+      // differ from the computed double in the last ulp.
+      val lNew = s"(0.3 * (v.m - c.s[$idx]) + (1.0 - 0.3) * (c.l + c.b))"
+      val zeros = Seq.fill(7)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    ${CleanFunctions.exactMeanSql("value")} AS m
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |v AS (SELECT user_id, day, m,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM daily),
+         |c AS (
+         |  SELECT user_id, day, m, rn, CAST(NULL AS DOUBLE) AS fitted,
+         |    m AS l, CAST(0.0 AS DOUBLE) AS b, $zeros AS s
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.user_id, v.day, v.m, v.rn,
+         |    c.l + c.b + c.s[$idx],
+         |    $lNew,
+         |    0.1 * ($lNew - c.l) + (1.0 - 0.1) * c.b,
+         |    list_transform(c.s, (x, i) -> CASE WHEN i = $idx
+         |      THEN 0.2 * (v.m - $lNew) + (1.0 - 0.2) * c.s[$idx] ELSE x END)
+         |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)
+         |SELECT user_id, day, ${round4Sql("m")} AS day_mean,
+         |  ${round4Sql("fitted")} AS hw_fitted, ${round4Sql("l")} AS hw_level,
+         |  ${round4Sql("b")} AS hw_trend,
+         |  ${round4Sql("s[(rn - 1) % 7 + 1]")} AS hw_seasonal
+         |FROM c ORDER BY user_id, day""".stripMargin
     },
 
     "events_rate_limit" -> {

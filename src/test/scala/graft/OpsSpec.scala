@@ -310,6 +310,51 @@ class OpsSpec extends AnyFunSuite {
       "token balance escaped [0, capacity]")
   }
 
+  test("holtWinters matches the hand-computed triple-smoothing recurrence") {
+    // period 2, alpha=0.5, beta=0.5, gamma=0.5 on x = 10, 20, 12:
+    //  row1 (idx 0): l=10, b=0, s=[0,0], fitted null
+    //  row2 (idx 1): fitted = 10+0+0 = 10
+    //    l' = .5*(20-0)+.5*(10+0) = 15; b' = .5*(15-10)+.5*0 = 2.5
+    //    s[1] = .5*(20-15)+.5*0 = 2.5
+    //  row3 (idx 0): fitted = 15+2.5+0 = 17.5
+    //    l' = .5*(12-0)+.5*(15+2.5) = 14.75; b' = .5*(14.75-15)+.5*2.5 = 1.125
+    //    s[0] = .5*(12-14.75)+.5*0 = -1.375
+    val df = Seq((1L, 1L, 10.0), (2L, 2L, 20.0), (3L, 3L, 12.0))
+      .toDF("id", "tsu", "x").withColumn("k", lit(1L))
+    val r = TimeSeriesOps.holtWinters(df, K, Seq("tsu"), "x", period = 2,
+        alpha = 0.5, beta = 0.5, gamma = 0.5)
+      .orderBy("id")
+      .select("hw_fitted", "hw_level", "hw_trend", "hw_seasonal")
+      .as[(Option[Double], Double, Double, Double)].collect().toSeq
+    assert(r === Seq(
+      (None, 10.0, 0.0, 0.0),
+      (Some(10.0), 15.0, 2.5, 2.5),
+      (Some(17.5), 14.75, 1.125, -1.375)))
+  }
+
+  test("holtWinters is partition-invariant and fitted tracks a pure seasonal signal") {
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+      .where(col("value").isNotNull)
+      .withColumn("tsu", graft.functions.CleanFunctions.epochUs(col("ts")))
+      .withColumn("day", expr("tsu DIV 86400000000"))
+      .groupBy(col("user_id").as("k"), col("day"))
+      .agg(avg("value").as("x"))
+    def run(p: Int) = TimeSeriesOps.holtWinters(ev, K, Seq("day"), "x",
+        period = 7, alpha = 0.3, beta = 0.1, gamma = 0.2, numPartitions = p)
+      .select(col("k"), col("day"), col("hw_level"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(run(2) == run(16), "holtWinters depends on partitioning")
+    // A deterministic period-2 alternating signal: after warm-up the
+    // one-step forecast error must shrink vs the naive last-value error.
+    val sig = (1 to 40).map(i => (i.toLong, i.toLong, if (i % 2 == 0) 10.0 else 2.0))
+    val sd = sig.toDF("id", "tsu", "x").withColumn("k", lit(1L))
+    val hw = TimeSeriesOps.holtWinters(sd, K, Seq("tsu"), "x", period = 2,
+        alpha = 0.3, beta = 0.1, gamma = 0.5)
+      .where(col("id") > 20 && col("hw_fitted").isNotNull)
+      .select(avg(abs(col("hw_fitted") - col("x"))).as("hw_mae")).head.getDouble(0)
+    assert(hw < 4.0, s"seasonal fit MAE $hw should beat the naive 8.0 swing")
+  }
+
   test("DataQuality checks count nulls, dup keys and FK orphans exactly") {
     val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "x")
     val child = Seq(
