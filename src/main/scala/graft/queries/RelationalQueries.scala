@@ -690,6 +690,20 @@ object RelationalQueries {
         .orderBy("r_name", "yr", "supp_nation")
     },
 
+    // TPC-H Q16 shape (supplier catalog breadth): distinct suppliers per
+    // (brand, size) for mid-size parts — exact distinct-count after a
+    // fact-dim join; the distinct dedups map-side on the grouping+supp
+    // key before the final count shuffle.
+    "q16_part_supplier_counts" -> { (s, d) =>
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(Tables.part(s, d).where(col("p_size").between(10, 30))
+          .select("p_partkey", "p_brand", "p_size"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy("p_brand", "p_size")
+    },
+
     // TPC-H Q10 shape (returned-item revenue): top 20 customers by
     // revenue lost to returns. The global top-k is ORDER BY + LIMIT —
     // Spark plans TakeOrderedAndProject (per-partition heaps + driver
@@ -801,6 +815,12 @@ object RelationalQueries {
          |  ${CleanFunctions.round4Sql("CAST(cell.v AS DOUBLE) / CAST(tot AS DOUBLE)")} AS mkt_share
          |FROM cell JOIN t ON cell.r_name = t.r_name AND cell.yr = t.yr
          |ORDER BY cell.r_name, cell.yr, supp_nation""".stripMargin,
+
+    "q16_part_supplier_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size BETWEEN 10 AND 30
+        |GROUP BY p_brand, p_size ORDER BY p_brand, p_size""".stripMargin,
 
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, n_name,

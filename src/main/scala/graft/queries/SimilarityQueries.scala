@@ -326,6 +326,54 @@ object SimilarityQueries {
           CleanFunctions.round4((b - a) / nullif(greatest(a, b), lit(0.0)))
             .as("silhouette"))
         .orderBy("vec_id")
+    },
+
+    // Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    // 1998): greedy re-rank of the query's top-32 candidates, each step
+    // picking argmax 0.7·rel − 0.3·max-sim-to-selected — the diversity
+    // sampler for retrieval / training-data curation. Greedy selection
+    // is inherently sequential over a TINY set, so the driver
+    // coordinates the k=8 picks as literal isin filters (a growing
+    // self-referential plan would double per step — the label-prop OOM
+    // shape, SURVEY §5); candidate scoring against the corpus and the
+    // 32×32 pair sims stay distributed and cached. Every score is
+    // rounded 4dp before an argmax, so with the vec_id tie-break both
+    // engines pick identical ids at every step.
+    "emb_mmr_diversify" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.CleanFunctions.round4
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") === 0L).select(col("embedding").as("q_emb"))
+      val cand = e.where(col("vec_id") =!= 0L).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round4(TextFunctions.cosine(col("embedding"), col("q_emb"))).as("rel"),
+          col("embedding"))
+        .orderBy(desc("rel"), col("vec_id")).limit(32)
+        .cache()
+      val pa = cand.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      val pb = cand.select(col("vec_id").as("b"), col("embedding").as("eb"))
+      val pair = pa.join(pb, col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round4(TextFunctions.cosine(col("ea"), col("eb"))).as("sim"))
+        .cache()
+      val first = cand.orderBy(desc("rel"), col("vec_id"))
+        .select(col("vec_id"), col("rel")).limit(1).head
+      var sel = Vector((first.getLong(0), first.getDouble(1)))
+      for (_ <- 2 to 8) {
+        val ids = sel.map(_._1)
+        val pick = cand.where(!col("vec_id").isin(ids: _*))
+          .join(pair.where(col("b").isin(ids: _*))
+            .groupBy("a").agg(max(col("sim")).as("ms")),
+            col("vec_id") === col("a"))
+          .select(col("vec_id"),
+            round4(lit(0.7) * col("rel") - lit(0.3) * col("ms")).as("mmr"))
+          .orderBy(desc("mmr"), col("vec_id")).limit(1).head
+        sel = sel :+ ((pick.getLong(0), pick.getDouble(1)))
+      }
+      sel.zipWithIndex
+        .map { case ((id, sc), i) => (i + 1L, id, sc) }
+        .toDF("sel_rank", "vec_id", "mmr_score")
+        .orderBy("sel_rank")
     }
   )
 
@@ -613,6 +661,44 @@ object SimilarityQueries {
          |  SELECT q_id, n_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk FROM sc)
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+    },
+
+    "emb_mmr_diversify" -> {
+      def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0)"
+      // One greedy step: score the remaining candidates against the
+      // selected-so-far set, pick the 4dp-rounded argmax (vec_id ties).
+      def step(t: Int): String =
+        s"""r$t AS MATERIALIZED (
+           |  SELECT c.vec_id, ${r4("0.7 * c.rel - 0.3 * max(p.sim)")} AS mmr
+           |  FROM cand c
+           |  JOIN pair p ON p.a = c.vec_id AND p.b IN (SELECT vec_id FROM sel${t - 1})
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           |  GROUP BY c.vec_id, c.rel),
+           |s$t AS MATERIALIZED (SELECT vec_id, mmr AS score FROM r$t ORDER BY mmr DESC, vec_id LIMIT 1),
+           |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1}
+           |  UNION ALL SELECT vec_id, score, CAST($t AS BIGINT) AS rk FROM s$t)""".stripMargin
+      val steps = (2 to 8).map(step).mkString(",\n")
+      // MATERIALIZED everywhere: DuckDB 1.0 INLINES plain CTEs, so the
+      // self-referential greedy chain would re-evaluate cand/pair
+      // exponentially (~3^7 times) — materialization makes it linear.
+      s"""WITH cand AS MATERIALIZED (
+         |  SELECT e.vec_id,
+         |    ${r4(TextFunctions.cosineSql("e.embedding", "q.qe"))} AS rel
+         |  FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT 32),
+         |pair AS MATERIALIZED (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    ${r4(TextFunctions.cosineSql("ex.embedding", "ey.embedding"))} AS sim
+         |  FROM cand x JOIN embeddings ex ON x.vec_id = ex.vec_id
+         |  JOIN cand y ON x.vec_id <> y.vec_id
+         |  JOIN embeddings ey ON y.vec_id = ey.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT vec_id, rel AS score, CAST(1 AS BIGINT) AS rk
+         |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+         |$steps
+         |SELECT rk AS sel_rank, vec_id, score AS mmr_score
+         |FROM sel8 ORDER BY sel_rank""".stripMargin
     }
   )
 }

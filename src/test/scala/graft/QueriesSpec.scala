@@ -381,6 +381,36 @@ class QueriesSpec extends AnyFunSuite {
     assert(totHashed == totToks, s"hashed $totHashed != tokens $totToks")
   }
 
+  test("MMR picks are distinct, monotone in score, and diversify vs plain top-k") {
+    import org.apache.spark.sql.functions._
+    val mmr = SparkEntry.queries("emb_mmr_diversify")(spark, sfDir).cache()
+    assert(mmr.count() == 8 && mmr.select("vec_id").distinct().count() == 8)
+    val scores = mmr.orderBy("sel_rank").select("mmr_score")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(scores.head >= scores(1),
+      "rank-1 pick (pure relevance) must not score below rank 2")
+    // Diversity: the MMR set's mean pairwise cosine must not exceed the
+    // plain top-8-by-relevance set's (on identical candidates it is the
+    // objective being minimized away from).
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val sub = e.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("i"), col("embedding").as("ei"))
+      val sub2 = sub.select(col("i").as("j"), col("ei").as("ej"))
+      sub.join(sub2, col("i") < col("j"))
+        .agg(avg(graft.functions.TextFunctions.cosine(col("ei"), col("ej"))))
+        .head.getDouble(0)
+    }
+    val mmrIds = mmr.select("vec_id").collect().map(_.getLong(0)).toSeq
+    val topIds = SparkEntry.queries("ann_topk_cosine")(spark, sfDir)
+      .filter(col("q_id") === 0 && col("rk") <= 8)
+      .select("n_id").collect().map(_.getLong(0)).toSeq
+    assert(meanPairSim(mmrIds) <= meanPairSim(topIds) + 1e-9,
+      "MMR set should be no more self-similar than the plain top-k set")
+    val q16 = SparkEntry.queries("q16_part_supplier_counts")(spark, sfDir)
+    assert(q16.filter(col("supplier_cnt") <= 0).count() == 0 && q16.count() > 0)
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
