@@ -328,6 +328,31 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ANN quality harness as a first-class query: recall@10 of the
+    // adaptive LSH index against the brute-force ground truth, per
+    // query. Composes the two production operators (one cached corpus
+    // scan feeds both); the oracle composes the SAME two oracle bodies
+    // as materialized CTEs, so the harness can never drift from what it
+    // evaluates. The left join counts hits; recall = hits/10 is exact
+    // 1dp arithmetic.
+    "ann_recall_eval" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      import graft.functions.CleanFunctions.round4
+      val e = Tables.embeddings(s, d).cache()
+      val exact = graft.operators.AnnSearch.bruteForceTopK(
+        e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", TopK)
+      val lsh = graft.operators.AnnSearch.lshTopK(
+        e, col("vec_id") % 50 === 0, "vec_id", "embedding", TopK,
+        targetOccupancy = AnnTargetOccupancy)
+      exact.as("b").join(lsh.as("l"),
+          col("b.q_id") === col("l.q_id") && col("b.n_id") === col("l.n_id"), "left")
+        .groupBy(col("b.q_id").as("q_id"))
+        .agg(count(col("l.n_id")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round4(col("n_hits").cast(DoubleType) / lit(10.0)).as("recall_at_10"))
+        .orderBy("q_id")
+    },
+
     // Maximal-marginal-relevance diversification (Carbonell & Goldstein
     // 1998): greedy re-rank of the query's top-32 candidates, each step
     // picking argmax 0.7·rel − 0.3·max-sim-to-selected — the diversity
@@ -440,6 +465,54 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY s.vec_id
        |      ORDER BY (-2.0 * ${dotSql("s.sv", "c.center")} + ${dotSql("c.center", "c.center")}), c.cell) AS r
        |  FROM sub$j s, k$j c) WHERE r = 1)""".stripMargin
+  }
+
+  /** Brute-force top-k oracle body — shared by ann_topk_cosine and the
+    * recall harness so the ground truth can never drift between them.
+    */
+  private lazy val AnnTopkOracle: String =
+    s"""SELECT q_id, n_id, score, rk FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+       |    round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 DESC, e.vec_id) AS rk
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
+  /** Adaptive multi-probe LSH oracle body — shared by ann_lsh_topk and
+    * the recall harness: the same integer-threshold CASE derives np from
+    * count(*), all MaxAnnPlanes sign bits are computed once and the
+    * bucket sums only the first np of them.
+    */
+  private lazy val AnnLshOracle: String = {
+    val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
+      s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
+    val signCols = (0 until MaxAnnPlanes)
+      .map(p => s"${TextFunctions.lshSignSql("embedding", p)} AS g$p").mkString(",\n  ")
+    val bucket = (0 until MaxAnnPlanes)
+      .map(p => s"(CASE WHEN $p < np THEN (g$p << $p) ELSE 0 END)").mkString(" + ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+       |npt AS (SELECT ($npCase) AS np FROM nn),
+       |signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
+       |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM signs, npt),
+       |ps AS (SELECT unnest(generate_series(0, ${MaxAnnPlanes - 1})) AS p),
+       |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM sb WHERE vec_id % 50 = 0),
+       |qp AS (
+       |  SELECT q_id, q_emb, bucket AS pbucket FROM qs
+       |  UNION ALL
+       |  SELECT q_id, q_emb, xor(bucket, CAST(1 AS BIGINT) << p) AS pbucket
+       |    FROM qs, ps, npt WHERE p < np
+       |  UNION ALL
+       |  SELECT q_id, q_emb, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
+       |    FROM qs, ps a, ps b, npt WHERE a.p < b.p AND b.p < np)
+       |SELECT q_id, n_id, score, rk FROM (
+       |  SELECT q.q_id, b.vec_id AS n_id,
+       |    round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 AS score,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 DESC, b.vec_id) AS rk
+       |  FROM qp q JOIN sb b ON b.bucket = q.pbucket AND b.vec_id <> q.q_id)
+       |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -574,48 +647,9 @@ object SimilarityQueries {
          |  x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INT)), ',') END AS q_codes
          |FROM b ORDER BY vec_id""".stripMargin,
 
-    "ann_topk_cosine" ->
-      s"""SELECT q_id, n_id, score, rk FROM (
-         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-         |    round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 AS score,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 DESC, e.vec_id) AS rk
-         |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 50 = 0)
-         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin,
+    "ann_topk_cosine" -> AnnTopkOracle,
 
-    // Twin of the adaptive multi-probe LSH: the same integer-threshold
-    // CASE derives np from count(*), all MaxAnnPlanes sign bits are
-    // computed once and the bucket sums only the first np of them.
-    "ann_lsh_topk" -> {
-      val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
-        s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
-      val signCols = (0 until MaxAnnPlanes)
-        .map(p => s"${TextFunctions.lshSignSql("embedding", p)} AS g$p").mkString(",\n  ")
-      val bucket = (0 until MaxAnnPlanes)
-        .map(p => s"(CASE WHEN $p < np THEN (g$p << $p) ELSE 0 END)").mkString(" + ")
-      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
-         |npt AS (SELECT ($npCase) AS np FROM nn),
-         |signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
-         |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM signs, npt),
-         |ps AS (SELECT unnest(generate_series(0, ${MaxAnnPlanes - 1})) AS p),
-         |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM sb WHERE vec_id % 50 = 0),
-         |qp AS (
-         |  SELECT q_id, q_emb, bucket AS pbucket FROM qs
-         |  UNION ALL
-         |  SELECT q_id, q_emb, xor(bucket, CAST(1 AS BIGINT) << p) AS pbucket
-         |    FROM qs, ps, npt WHERE p < np
-         |  UNION ALL
-         |  SELECT q_id, q_emb, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
-         |    FROM qs, ps a, ps b, npt WHERE a.p < b.p AND b.p < np)
-         |SELECT q_id, n_id, score, rk FROM (
-         |  SELECT q.q_id, b.vec_id AS n_id,
-         |    round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 AS score,
-         |    row_number() OVER (PARTITION BY q.q_id
-         |      ORDER BY round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 DESC, b.vec_id) AS rk
-         |  FROM qp q JOIN sb b ON b.bucket = q.pbucket AND b.vec_id <> q.q_id)
-         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
-    },
+    "ann_lsh_topk" -> AnnLshOracle,
 
     // Exact twin of the deterministic IVF build (see IvfIndex's
     // determinism contract): same hash-order top-k init, same -2*dot+cc argmin
@@ -662,6 +696,14 @@ object SimilarityQueries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk FROM sc)
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
     },
+
+    "ann_recall_eval" ->
+      s"""WITH b AS MATERIALIZED ($AnnTopkOracle),
+         |l AS MATERIALIZED ($AnnLshOracle)
+         |SELECT b.q_id, count(l.n_id) AS n_hits,
+         |  (round((CAST(count(l.n_id) AS DOUBLE) / 10.0) * 10000.0) / 10000.0) AS recall_at_10
+         |FROM b LEFT JOIN l ON b.q_id = l.q_id AND b.n_id = l.n_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
 
     "emb_mmr_diversify" -> {
       def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0)"

@@ -411,6 +411,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(q16.filter(col("supplier_cnt") <= 0).count() == 0 && q16.count() > 0)
   }
 
+  test("ann recall harness: recall in [0,1], LSH recovers most true neighbors") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("ann_recall_eval")(spark, sfDir).cache()
+    assert(r.filter(col("recall_at_10") < 0.0 || col("recall_at_10") > 1.0).count() == 0)
+    assert(r.filter(col("n_hits") > 10).count() == 0)
+    val mean = r.agg(avg(col("recall_at_10"))).head.getDouble(0)
+    assert(mean >= 0.5, s"mean LSH recall@10 $mean collapsed below 0.5")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
