@@ -188,6 +188,29 @@ object OpsQueries {
         .orderBy("user_id", "start_us")
     },
 
+    // DAU / trailing-28d MAU stickiness per day (THE product engagement
+    // ratio): activity reduced to distinct (user, day) FIRST, then the
+    // tiny day grid broadcast against it with a 28-day band predicate —
+    // each user-day lands in <= 28 grid rows, so the windowed distinct
+    // is O(28·|user-days|) work with NO unpartitioned window; the day
+    // grid is bounded by the time range at any corpus scale.
+    "events_dau_mau" -> { (s, d) =>
+      val ud = ev(s, d)
+        .select(col("user_id"), expr("tsu DIV 86400000000").as("day"))
+        .distinct()
+      val grid = ud.select(col("day").as("g")).distinct()
+      val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      val mau = ud.join(broadcast(grid),
+          col("day").between(col("g") - 27L, col("g")))
+        .groupBy(col("g").as("day"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          round4(col("dau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    },
+
     // Daily new-vs-cumulative unique users (the growth curve): distinct
     // counting made incremental by the FIRST-SEEN trick — each user
     // counts on exactly one day, so the cumulative distinct is a plain
@@ -1096,6 +1119,19 @@ object OpsQueries {
          |  CAST(abs(value - med) > 3.0 * 1.4826 * mad AS BIGINT) AS is_outlier
          |FROM m4 ORDER BY event_id""".stripMargin
     },
+
+    "events_dau_mau" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+         |grid AS (SELECT DISTINCT day AS g FROM ud),
+         |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+         |mau AS (
+         |  SELECT g AS day, count(DISTINCT user_id) AS mau
+         |  FROM ud JOIN grid ON ud.day BETWEEN g - 27 AND g GROUP BY 1)
+         |SELECT dau.day, dau, mau,
+         |  ${round4Sql("CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)")} AS stickiness
+         |FROM dau JOIN mau ON dau.day = mau.day
+         |ORDER BY dau.day""".stripMargin,
 
     "ts_holt_winters" -> {
       // One-based seasonal slot for the CURRENT recursion row.

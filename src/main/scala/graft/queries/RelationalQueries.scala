@@ -690,6 +690,39 @@ object RelationalQueries {
         .orderBy("r_name", "yr", "supp_nation")
     },
 
+    // TPC-H Q6 shape (forecast revenue delta): one filter + one
+    // exact-DECIMAL product sum, the canonical scan-pushdown benchmark —
+    // every predicate reaches the parquet scan (plan-audited family).
+    "q6_revenue_delta" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          to_date(col("l_shipdate")) < lit(java.sql.Date.valueOf("1997-01-01")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+        .agg(CleanFunctions.round4(
+          sum(dPrice(col("l_extendedprice")) * dRate(col("l_discount")))
+            .cast(DoubleType)).as("revenue_delta"))
+    },
+
+    // TPC-H Q14 shape (promo revenue share) as a monthly series: share
+    // of each month's revenue from PROMO-type parts — two conditional
+    // DECIMAL sums in ONE grouped pass (no self-join), single IEEE
+    // division per month.
+    "q14_promo_share" -> { (s, d) =>
+      val rev = dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount")))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select("p_partkey", "p_type"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast(LongType).as("yr"),
+          month(col("l_shipdate")).cast(LongType).as("mo"))
+        .agg(sum(when(col("p_type") === "PROMO", rev)).as("promo_rev"),
+          sum(rev).as("total_rev"))
+        .select(col("yr"), col("mo"),
+          CleanFunctions.round4(lit(100.0) *
+            coalesce(col("promo_rev").cast(DoubleType), lit(0.0)) /
+            col("total_rev").cast(DoubleType)).as("promo_share"))
+        .orderBy("yr", "mo")
+    },
+
     // TPC-H Q16 shape (supplier catalog breadth): distinct suppliers per
     // (brand, size) for mid-size parts — exact distinct-count after a
     // fact-dim join; the distinct dedups map-side on the grouping+supp
@@ -815,6 +848,24 @@ object RelationalQueries {
          |  ${CleanFunctions.round4Sql("CAST(cell.v AS DOUBLE) / CAST(tot AS DOUBLE)")} AS mkt_share
          |FROM cell JOIN t ON cell.r_name = t.r_name AND cell.yr = t.yr
          |ORDER BY cell.r_name, cell.yr, supp_nation""".stripMargin,
+
+    "q6_revenue_delta" ->
+      s"""SELECT ${CleanFunctions.round4Sql(
+          "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)")} AS revenue_delta
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin,
+
+    "q14_promo_share" -> {
+      val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+      s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+         |  CAST(month(l_shipdate) AS BIGINT) AS mo,
+         |  ${CleanFunctions.round4Sql(
+            s"100.0 * coalesce(CAST(sum(CASE WHEN p_type = 'PROMO' THEN $rev END) AS DOUBLE), 0.0) / CAST(sum($rev) AS DOUBLE)")} AS promo_share
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+    },
 
     "q16_part_supplier_counts" ->
       """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt

@@ -420,6 +420,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean LSH recall@10 $mean collapsed below 0.5")
   }
 
+  test("q6 positive; promo share in [0,100]; DAU never exceeds MAU") {
+    import org.apache.spark.sql.functions._
+    val q6 = SparkEntry.queries("q6_revenue_delta")(spark, sfDir).head.getDouble(0)
+    assert(q6 > 0.0, s"q6 revenue delta $q6 should be positive on this data")
+    val q14 = SparkEntry.queries("q14_promo_share")(spark, sfDir)
+    assert(q14.filter(col("promo_share") < 0.0 || col("promo_share") > 100.0).count() == 0)
+    val dm = SparkEntry.queries("events_dau_mau")(spark, sfDir).cache()
+    assert(dm.filter(col("dau") > col("mau")).count() == 0,
+      "daily actives cannot exceed the trailing-28d actives")
+    assert(dm.filter(col("stickiness") <= 0.0 || col("stickiness") > 1.0).count() == 0)
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
