@@ -615,6 +615,53 @@ object OpsQueries {
         .orderBy("user_id", "frame")
     },
 
+    // SAX discord (Keogh's anomalous-subsequence dual of the motif): the
+    // RAREST 4-frame SAX word per series — the shape that recurs least
+    // is the prime anomaly candidate. Same word construction as
+    // ts_sax_motifs, then a per-series integer argmin (count asc, word,
+    // frame tie-breaks) — all decisions integer/string-ordered, no float
+    // comparisons at all past the shared symbolization.
+    "ts_discord" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, d).where(col("value").isNotNull)
+      val stats = e.groupBy("user_id").agg(
+        exactSum(col("value")).as("sx"),
+        exactSum(col("value") * col("value")).as("sxx"),
+        count(col("value")).cast("double").as("n"))
+      val z = e.join(stats, "user_id")
+        .withColumn("zr", CleanFunctions.round6(
+          (col("value") - col("sx") / col("n")) /
+            nullif(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")), lit(0.0))))
+      val paa = z.groupBy(col("user_id"), expr(s"tsu div $SixHoursUs").as("frame"))
+        .agg(CleanFunctions.safeDiv(exactSum(col("zr")),
+          count(col("zr")).cast("double")).as("paa_raw"))
+      val sym = paa.withColumn("sym",
+        when(col("paa_raw").isNull, lit(null).cast("string"))
+          .when(col("paa_raw") < -0.6745, "a")
+          .when(col("paa_raw") < 0.0, "b")
+          .when(col("paa_raw") < 0.6745, "c")
+          .otherwise("d"))
+      val w = Window.partitionBy("user_id").orderBy("frame")
+      val words = sym
+        .withColumn("s1", lead("sym", 1).over(w))
+        .withColumn("s2", lead("sym", 2).over(w))
+        .withColumn("s3", lead("sym", 3).over(w))
+        .withColumn("f3", lead("frame", 3).over(w))
+        .where(col("f3") === col("frame") + 3 &&
+          col("sym").isNotNull && col("s1").isNotNull &&
+          col("s2").isNotNull && col("s3").isNotNull)
+        .select(col("user_id"), col("frame"),
+          concat(col("sym"), col("s1"), col("s2"), col("s3")).as("word"))
+      val cnt = words.groupBy("user_id", "word")
+        .agg(count(lit(1)).as("n_occ"), min(col("frame")).as("first_frame"))
+      val w2 = Window.partitionBy("user_id")
+        .orderBy(col("n_occ").asc, col("word").asc)
+      cnt.withColumn("rk", row_number().over(w2)).where(col("rk") === 1)
+        .select(col("user_id"), col("word").as("discord_word"),
+          col("n_occ"), col("first_frame"))
+        .orderBy("user_id")
+    },
+
     // SAX motif discovery (the iSAX collision idea): slide a 4-frame
     // window over each series' SAX string; words recurring across
     // windows are candidate motifs — repeated temporal shapes found via
@@ -1233,6 +1280,39 @@ object OpsQueries {
          |       ELSE 'd' END AS sym,
          |  n_samples
          |FROM paa ORDER BY user_id, frame""".stripMargin,
+
+    "ts_discord" ->
+      s"""WITH stats AS (
+         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |z AS (SELECT e.user_id, epoch_us(e.ts) // $SixHoursUs AS frame,
+         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 AS zr
+         |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
+         |paa AS (SELECT user_id, frame,
+         |    CAST(sum(CAST(zr AS DECIMAL(18,6))) AS DOUBLE) / nullif(CAST(count(zr) AS DOUBLE), 0.0) AS paa_raw
+         |  FROM z GROUP BY user_id, frame),
+         |sym AS (SELECT user_id, frame,
+         |    CASE WHEN paa_raw IS NULL THEN NULL
+         |         WHEN paa_raw < -0.6745 THEN 'a'
+         |         WHEN paa_raw < 0.0 THEN 'b'
+         |         WHEN paa_raw < 0.6745 THEN 'c'
+         |         ELSE 'd' END AS sym
+         |  FROM paa),
+         |wd AS (SELECT user_id, sym,
+         |    lead(sym, 1) OVER w AS s1, lead(sym, 2) OVER w AS s2,
+         |    lead(sym, 3) OVER w AS s3, lead(frame, 3) OVER w AS f3, frame
+         |  FROM sym WINDOW w AS (PARTITION BY user_id ORDER BY frame)),
+         |words AS (SELECT user_id, frame, sym || s1 || s2 || s3 AS word FROM wd
+         |  WHERE f3 = frame + 3 AND sym IS NOT NULL AND s1 IS NOT NULL
+         |    AND s2 IS NOT NULL AND s3 IS NOT NULL),
+         |cnt AS (SELECT user_id, word, count(*) AS n_occ, min(frame) AS first_frame
+         |  FROM words GROUP BY user_id, word),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY n_occ ASC, word ASC) AS rk FROM cnt)
+         |SELECT user_id, word AS discord_word, n_occ, first_frame
+         |FROM rk WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "ts_sax_motifs" ->
       s"""WITH stats AS (

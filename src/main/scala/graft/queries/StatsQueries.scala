@@ -669,6 +669,30 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // Difference-in-differences estimate (the quasi-experimental causal
+    // primitive, CUPED's sibling): treated = even user ids (a
+    // deterministic synthetic assignment), periods split like events_psi;
+    // DiD = (T,post − T,pre) − (C,post − C,pre) over four exact group
+    // means rounded 4dp before the closed-form combination — one grouped
+    // pass + a 4-cell conditional pivot, no joins.
+    "events_did" -> { (s, d) =>
+      val jan15 = java.time.LocalDate.of(2024, 1, 15).toEpochDay
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("pre", expr("tsu DIV 86400000000") <= lit(jan15))
+        .withColumn("treated", col("user_id") % 2 === 0)
+      e.groupBy("treated", "pre")
+        .agg(round4(CleanFunctions.exactMean(col("value"))).as("m"))
+        .agg(
+          min(when(col("treated") && col("pre"), col("m"))).as("t_pre"),
+          min(when(col("treated") && !col("pre"), col("m"))).as("t_post"),
+          min(when(!col("treated") && col("pre"), col("m"))).as("c_pre"),
+          min(when(!col("treated") && !col("pre"), col("m"))).as("c_post"))
+        .select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+          round4((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+            .as("did"))
+    },
+
     // Lag-1 Granger-causality F test on the daily grid: does series x's
     // previous day improve the AR(1) prediction of series y? Full model
     // y_t ~ [1, y_{t-1}, x_{t-1}] solved in CLOSED FORM from centered
@@ -1302,6 +1326,26 @@ object StatsQueries {
          |SELECT user_id, x_pre, y_post,
          |  ${round4Sql("y_post - theta * (x_pre - mx)")} AS y_cuped
          |FROM t ORDER BY user_id""".stripMargin,
+
+    "events_did" ->
+      s"""WITH e AS (
+         |  SELECT value,
+         |    epoch_us(ts) // 86400000000 <= ${java.time.LocalDate.of(2024, 1, 15).toEpochDay} AS pre,
+         |    user_id % 2 = 0 AS treated
+         |  FROM events WHERE value IS NOT NULL),
+         |g AS (
+         |  SELECT treated, pre, ${round4Sql(CleanFunctions.exactMeanSql("value"))} AS m
+         |  FROM e GROUP BY 1, 2),
+         |p AS (
+         |  SELECT
+         |    min(CASE WHEN treated AND pre THEN m END) AS t_pre,
+         |    min(CASE WHEN treated AND NOT pre THEN m END) AS t_post,
+         |    min(CASE WHEN NOT treated AND pre THEN m END) AS c_pre,
+         |    min(CASE WHEN NOT treated AND NOT pre THEN m END) AS c_post
+         |  FROM g)
+         |SELECT t_pre, t_post, c_pre, c_post,
+         |  ${round4Sql("(t_post - t_pre) - (c_post - c_pre)")} AS did
+         |FROM p""".stripMargin,
 
     "ts_granger" -> {
       def dsum(x: String) = s"CAST(sum(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"

@@ -432,6 +432,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(dm.filter(col("stickiness") <= 0.0 || col("stickiness") > 1.0).count() == 0)
   }
 
+  test("discord word is each series' rarest; DiD equals its four-mean identity") {
+    import org.apache.spark.sql.functions._
+    val dc = SparkEntry.queries("ts_discord")(spark, sfDir).cache()
+    assert(dc.count() > 0 && dc.filter(col("n_occ") <= 0).count() == 0)
+    assert(dc.filter(length(col("discord_word")) =!= 4).count() == 0)
+    val did = SparkEntry.queries("events_did")(spark, sfDir).head
+    val (tp, tq, cp, cq, d) = (did.getDouble(0), did.getDouble(1),
+      did.getDouble(2), did.getDouble(3), did.getDouble(4))
+    assert(math.abs(((tq - tp) - (cq - cp)) - d) < 1e-3,
+      "did column must equal its own four-mean identity")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
