@@ -669,6 +669,51 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // Rescaled-range Hurst exponent per series (the long-memory /
+    // trend-persistence diagnostic: H≈0.5 random walk, >0.5 trending,
+    // <0.5 mean-reverting): R/S per full chunk at sizes 8/16/32 — R =
+    // range of the DECIMAL-cumulative deviation from the chunk mean, S =
+    // clamped chunk std — then H = (ln r̄s₃₂ − ln r̄s₈)/(2·ln 2), the
+    // exact OLS slope for log2-spaced sizes (middle point drops out).
+    // All windows chunk-partitioned; ln outputs rounded 6dp (psi
+    // pattern) and the 2·ln2 divisor baked as ONE exact-double literal
+    // on both engines — libm may differ in the last ulp.
+    "ts_hurst" -> { (s, d) =>
+      val wRn = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("rn", row_number().over(wRn))
+      def rsOf(sz: Int) = {
+        val chunks = e.withColumn("chunk", expr(s"(rn - 1) DIV $sz"))
+        val stats = chunks.groupBy("user_id", "chunk").agg(
+          count(lit(1)).as("cn"),
+          exactSum(col("value")).as("sx"),
+          exactSum(col("value") * col("value")).as("sxx"))
+          .where(col("cn") === sz)
+        val wc = Window.partitionBy("user_id", "chunk")
+          .orderBy("rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        chunks.join(stats, Seq("user_id", "chunk"))
+          .withColumn("dev", CleanFunctions.round6(
+            col("value") - col("sx") / col("cn").cast(DoubleType)))
+          .withColumn("cd", sum(col("dev").cast(DecimalType(18, 6))).over(wc)
+            .cast(DoubleType))
+          .groupBy("user_id", "chunk")
+          .agg((max(col("cd")) - min(col("cd"))).as("r"),
+            max(col("cn")).cast(DoubleType).as("n"),
+            max(col("sx")).as("csx"), max(col("sxx")).as("csxx"))
+          .withColumn("rsv", round4(CleanFunctions.safeDiv(col("r"),
+            nullif(CleanFunctions.momentStd(col("n"), col("csx"), col("csxx")), lit(0.0)))))
+          .groupBy("user_id")
+          .agg(round4(exactSum(col("rsv")) / count(col("rsv"))).as(s"rs_$sz"))
+      }
+      val twoLn2 = 2.0 * math.log(2.0)
+      rsOf(8).join(rsOf(16), "user_id").join(rsOf(32), "user_id")
+        .select(col("user_id"), col("rs_8"), col("rs_16"), col("rs_32"),
+          round4((CleanFunctions.round6(log(col("rs_32")))
+            - CleanFunctions.round6(log(col("rs_8")))) / lit(twoLn2)).as("hurst"))
+        .orderBy("user_id")
+    },
+
     // Difference-in-differences estimate (the quasi-experimental causal
     // primitive, CUPED's sibling): treated = even user ids (a
     // deterministic synthetic assignment), periods split like events_psi;
@@ -1326,6 +1371,43 @@ object StatsQueries {
          |SELECT user_id, x_pre, y_post,
          |  ${round4Sql("y_post - theta * (x_pre - mx)")} AS y_cuped
          |FROM t ORDER BY user_id""".stripMargin,
+
+    "ts_hurst" -> {
+      val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0)"
+      def rsCte(sz: Int) =
+        s"""ch$sz AS (SELECT user_id, rn, value, (rn - 1) // $sz AS chunk FROM base),
+           |st$sz AS (
+           |  SELECT user_id, chunk, count(*) AS cn,
+           |    ${exactSumSql("value")} AS sx,
+           |    ${exactSumSql("value * value")} AS sxx
+           |  FROM ch$sz GROUP BY 1, 2 HAVING count(*) = $sz),
+           |cd$sz AS (
+           |  SELECT c.user_id, c.chunk, s.cn, s.sx, s.sxx,
+           |    CAST(sum(CAST(${round6("c.value - s.sx / CAST(s.cn AS DOUBLE)")} AS DECIMAL(18,6)))
+           |      OVER (PARTITION BY c.user_id, c.chunk ORDER BY c.rn
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cd
+           |  FROM ch$sz c JOIN st$sz s ON c.user_id = s.user_id AND c.chunk = s.chunk),
+           |rs$sz AS (
+           |  SELECT user_id,
+           |    ${round4Sql(s"${exactSumSql("rsv")} / count(rsv)")} AS rs_$sz
+           |  FROM (
+           |    SELECT user_id, chunk,
+           |      ${round4Sql(s"(max(cd) - min(cd)) / nullif(${CleanFunctions.momentStdSql("CAST(max(cn) AS DOUBLE)", "max(sx)", "max(sxx)")}, 0.0)")} AS rsv
+           |    FROM cd$sz GROUP BY user_id, chunk)
+           |  GROUP BY user_id)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |${rsCte(8)},
+         |${rsCte(16)},
+         |${rsCte(32)}
+         |SELECT r8.user_id, rs_8, rs_16, rs_32,
+         |  ${round4Sql(s"(${round6("ln(rs_32)")} - ${round6("ln(rs_8)")}) / ${dlit(2.0 * math.log(2.0))}")} AS hurst
+         |FROM rs8 r8 JOIN rs16 ON r8.user_id = rs16.user_id
+         |JOIN rs32 ON r8.user_id = rs32.user_id
+         |ORDER BY r8.user_id""".stripMargin
+    },
 
     "events_did" ->
       s"""WITH e AS (

@@ -444,6 +444,20 @@ class QueriesSpec extends AnyFunSuite {
       "did column must equal its own four-mean identity")
   }
 
+  test("hurst exponent sane: R/S positive and H in a plausible band") {
+    import org.apache.spark.sql.functions._
+    val h = SparkEntry.queries("ts_hurst")(spark, sfDir).cache()
+    assert(h.count() > 0)
+    Seq("rs_8", "rs_16", "rs_32").foreach { c =>
+      assert(h.filter(col(c) <= 0.0).count() == 0, s"$c must be positive")
+    }
+    // R/S grows with chunk size for any non-degenerate series.
+    assert(h.filter(col("rs_32") <= col("rs_8")).count() == 0,
+      "rescaled range must grow with window size")
+    assert(h.filter(col("hurst") < -0.1 || col("hurst") > 1.1).count() == 0,
+      "H outside [0,1] (beyond rounding slack) indicates a broken estimate")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
