@@ -669,6 +669,54 @@ object StatsQueries {
         .orderBy("user_id")
     },
 
+    // Cohort LTV curve (revenue-weighted sibling of events_retention):
+    // average cumulative spend per customer by cohort month × age —
+    // cohort assignment is one grouped min, the cumulative runs over the
+    // O(#cohorts × #months) grid only (DECIMAL sums, order-independent
+    // so the window cumsum equals the oracle's bit-for-bit), never over
+    // raw orders.
+    "orders_cohort_ltv" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .withColumn("mo", (year(col("o_orderdate")) * 12
+          + month(col("o_orderdate")) - 1).cast(LongType))
+      val cohort = o.groupBy("o_custkey").agg(min(col("mo")).as("cohort_mo"))
+      val cells = o.join(cohort, "o_custkey")
+        .groupBy(col("cohort_mo"), (col("mo") - col("cohort_mo")).as("age"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val sizes = cohort.groupBy("cohort_mo")
+        .agg(count(lit(1)).as("cohort_users"))
+      val wc = Window.partitionBy("cohort_mo").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_rev", sum(col("rev")).over(wc))
+        .join(sizes, "cohort_mo")
+        .select(col("cohort_mo"), col("age"), col("cohort_users"),
+          round4(col("rev").cast(DoubleType)).as("rev"),
+          round4(col("cum_rev").cast(DoubleType)
+            / col("cohort_users").cast(DoubleType)).as("ltv_per_user"))
+        .orderBy("cohort_mo", "age")
+    },
+
+    // A/B sample-size calculator per segment (the planning half of the
+    // two_sample_z/CUPED family): n per variant = 16·σ²/δ² for 80% power
+    // at α=0.05 detecting a 5%-of-mean shift — one exact moment pass,
+    // closed form, ceil to integer on identical doubles.
+    "events_ab_power" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      e.groupBy("event_type").agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          exactSum(col("value")).as("sx"),
+          exactSum(round4(col("value") * col("value"))).as("sxx"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("var",
+          CleanFunctions.momentVar(col("n"), col("sx"), col("sxx")))
+        .withColumn("delta", lit(0.05) * col("mean"))
+        .select(col("event_type"), col("n").cast(LongType).as("n_obs"),
+          round4(col("mean")).as("mean"), round4(col("var")).as("variance"),
+          ceil(lit(16.0) * col("var") / (col("delta") * col("delta")))
+            .cast(LongType).as("n_required"))
+        .orderBy("event_type")
+    },
+
     // Rescaled-range Hurst exponent per series (the long-memory /
     // trend-persistence diagnostic: H≈0.5 random walk, >0.5 trending,
     // <0.5 mean-reverting): R/S per full chunk at sizes 8/16/32 — R =
@@ -1371,6 +1419,43 @@ object StatsQueries {
          |SELECT user_id, x_pre, y_post,
          |  ${round4Sql("y_post - theta * (x_pre - mx)")} AS y_cuped
          |FROM t ORDER BY user_id""".stripMargin,
+
+    "orders_cohort_ltv" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_totalprice,
+         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mo
+         |  FROM orders),
+         |coh AS (SELECT o_custkey, min(mo) AS cohort_mo FROM o GROUP BY 1),
+         |cells AS (
+         |  SELECT cohort_mo, mo - cohort_mo AS age,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         |  FROM o JOIN coh USING (o_custkey) GROUP BY 1, 2),
+         |sz AS (SELECT cohort_mo, count(*) AS cohort_users FROM coh GROUP BY 1),
+         |cum AS (
+         |  SELECT cohort_mo, age, rev,
+         |    sum(rev) OVER (PARTITION BY cohort_mo ORDER BY age
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+         |  FROM cells)
+         |SELECT cohort_mo, age, cohort_users,
+         |  ${round4Sql("CAST(rev AS DOUBLE)")} AS rev,
+         |  ${round4Sql("CAST(cum_rev AS DOUBLE) / CAST(cohort_users AS DOUBLE)")} AS ltv_per_user
+         |FROM cum JOIN sz USING (cohort_mo)
+         |ORDER BY cohort_mo, age""".stripMargin,
+
+    "events_ab_power" ->
+      s"""WITH m AS (
+         |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("value")} AS sx,
+         |    ${exactSumSql(round4Sql("value * value"))} AS sxx
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |v AS (
+         |  SELECT event_type, n, sx / n AS mean,
+         |    ${CleanFunctions.momentVarSql("n", "sx", "sxx")} AS var
+         |  FROM m)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+         |  ${round4Sql("mean")} AS mean, ${round4Sql("var")} AS variance,
+         |  CAST(ceil(16.0 * var / ((0.05 * mean) * (0.05 * mean))) AS BIGINT) AS n_required
+         |FROM v ORDER BY event_type""".stripMargin,
 
     "ts_hurst" -> {
       val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0)"

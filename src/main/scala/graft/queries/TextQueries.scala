@@ -160,6 +160,37 @@ object TextQueries {
         .orderBy("doc_id", "bucket")
     },
 
+    // Collocation mining via pointwise mutual information over adjacent
+    // bigrams: PMI = ln(p(xy)/(p(x)p(y))), df-capped at c_xy >= 3 — the
+    // phrase detector feeding tokenizer-vocab and stopword decisions.
+    // posexplode + per-doc lead window (the measured-fast shape from
+    // text_inverted_index — no interpreted array transform); counts all
+    // BIGINT, one ln on identical doubles rounded 6dp.
+    "text_pmi_bigrams" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = tok.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("tok").as("t1"), col("nxt").as("t2"))
+      val cxy = big.groupBy("t1", "t2").agg(count(lit(1)).as("c_xy"))
+        .where(col("c_xy") >= 3)
+      val cx = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+      val nTok = tok.agg(count(lit(1)).cast(DoubleType).as("n_tok"))
+      val nBig = big.agg(count(lit(1)).cast(DoubleType).as("n_big"))
+      cxy.join(cx.select(col("tok").as("t1"), col("c").as("c1")), "t1")
+        .join(cx.select(col("tok").as("t2"), col("c").as("c2")), "t2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+        .select(col("t1"), col("t2"), col("c_xy"), col("c1"), col("c2"),
+          CleanFunctions.round6(log(
+            (col("c_xy").cast(DoubleType) / col("n_big"))
+              / ((col("c1").cast(DoubleType) / col("n_tok"))
+                * (col("c2").cast(DoubleType) / col("n_tok"))))).as("pmi"))
+        .orderBy("t1", "t2")
+    },
+
     // Language ID: marker-token counts per language, deterministic argmax.
     "text_langid" -> { (s, d) =>
       val toks = TextFunctions.tokens(lower(col("text")))
@@ -581,6 +612,26 @@ object TextQueries {
            |SELECT doc_id, ${CleanFunctions.md5Hash64Sql("tok")} % 1024 AS bucket,
            |  count(*) AS cnt
            |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+      "text_pmi_bigrams" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok,
+           |    generate_subscripts(${TextFunctions.tokensSql("lower(text)")}, 1) AS pos
+           |  FROM documents),
+           |big AS (
+           |  SELECT tok AS t1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+           |  FROM tok),
+           |bf AS (SELECT t1, t2 FROM big WHERE t2 IS NOT NULL),
+           |cxy AS (SELECT t1, t2, count(*) AS c_xy FROM bf GROUP BY 1, 2
+           |        HAVING count(*) >= 3),
+           |cx AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+           |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM tok),
+           |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_big FROM bf)
+           |SELECT t1, t2, c_xy, a.c AS c1, b.c AS c2,
+           |  (round((ln((CAST(c_xy AS DOUBLE) / n_big)
+           |    / ((CAST(a.c AS DOUBLE) / n_tok) * (CAST(b.c AS DOUBLE) / n_tok)))) * 1000000.0) / 1000000.0) AS pmi
+           |FROM cxy JOIN cx a ON cxy.t1 = a.tok JOIN cx b ON cxy.t2 = b.tok, nt, nb
+           |ORDER BY t1, t2""".stripMargin,
 
       "text_langid" -> {
         val scores = MarkerSets.map { case (l, ws) =>

@@ -458,6 +458,23 @@ class QueriesSpec extends AnyFunSuite {
       "H outside [0,1] (beyond rounding slack) indicates a broken estimate")
   }
 
+  test("LTV curve monotone per cohort; power n positive; PMI counts consistent") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ltv = SparkEntry.queries("orders_cohort_ltv")(spark, sfDir).cache()
+    val w = Window.partitionBy("cohort_mo").orderBy("age")
+    val dips = ltv.withColumn("prev", lag(col("ltv_per_user"), 1).over(w))
+      .filter(col("prev").isNotNull && col("ltv_per_user") < col("prev") - 1e-9)
+      .count()
+    assert(dips == 0, "cumulative LTV per user cannot decrease with age")
+    val pw = SparkEntry.queries("events_ab_power")(spark, sfDir)
+    assert(pw.filter(col("n_required") <= 0).count() == 0 && pw.count() > 0)
+    val pmi = SparkEntry.queries("text_pmi_bigrams")(spark, sfDir).cache()
+    assert(pmi.count() > 0)
+    assert(pmi.filter(col("c_xy") > col("c1") || col("c_xy") > col("c2")).count() == 0,
+      "a bigram cannot outnumber either of its unigrams")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
