@@ -626,6 +626,76 @@ object RelationalQueries {
         .orderBy("pa", "pb")
     },
 
+    // Triangle count + clustering coefficient on the undirected nation
+    // trade graph — completes the graph family (PageRank, components,
+    // triangles): edges normalized to a<b, the triangle enumeration is
+    // the standard 3-way self-join with a<b<c (no double counting), all
+    // counts INTEGER, coefficient = 2T/deg(deg−1) a single division.
+    // Heavy stage is the same edge aggregation as nation_pagerank; the
+    // enumeration runs on the ≤N² aggregate.
+    "nation_triangles" -> { (s, d) =>
+      val raw = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
+        .where(col("x") =!= col("y"))
+      val und = raw.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")).distinct().cache()
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val e1 = und.select(col("a"), col("b"))
+      val e2 = und.select(col("a").as("b2"), col("b").as("c"))
+      val e3 = und.select(col("a").as("a3"), col("b").as("c3"))
+      val tris = e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      val perNode = tris.select(col("a").as("node"))
+        .union(tris.select(col("b").as("node")))
+        .union(tris.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      deg.join(perNode, Seq("node"), "left")
+        .select(col("node").as("nationkey"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          CleanFunctions.round4(
+            lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast(DoubleType)
+              / nullif((col("degree") * (col("degree") - lit(1L))).cast(DoubleType),
+                lit(0.0))).as("clustering"))
+        .orderBy("nationkey")
+    },
+
+    // Directed association rules from the basket pairs (support /
+    // confidence / lift): both orientations of each co-bought pair,
+    // conf(a→b) = pair/cnt_a — the actionable recommender form of
+    // lineitem_basket_pairs (same join shape and pruning).
+    "lineitem_basket_rules" -> { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+      val b = items.select(col("l_orderkey").as("ok"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, "ok").where(col("pa") =!= col("pb"))
+        .select(col("pa").as("ante"), col("pb").as("cons"))
+        .groupBy("ante", "cons").agg(count(lit(1)).as("pair_cnt"))
+        .where(col("pair_cnt") >= 2)
+      val cnt = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val no = items.agg(countDistinct(col("l_orderkey")).cast(DoubleType).as("nord"))
+      pairs
+        .join(cnt.select(col("l_partkey").as("ante"), col("cnt").as("cnt_a")), "ante")
+        .join(cnt.select(col("l_partkey").as("cons"), col("cnt").as("cnt_c")), "cons")
+        .crossJoin(broadcast(no))
+        .select(col("ante"), col("cons"), col("pair_cnt"),
+          CleanFunctions.round4(col("pair_cnt").cast(DoubleType) / col("nord")).as("support"),
+          CleanFunctions.round4(col("pair_cnt").cast(DoubleType)
+            / col("cnt_a").cast(DoubleType)).as("confidence"),
+          CleanFunctions.round4(col("pair_cnt").cast(DoubleType) * col("nord") /
+            (col("cnt_a").cast(DoubleType) * col("cnt_c").cast(DoubleType))).as("lift"))
+        .orderBy("ante", "cons")
+    },
+
     // Herfindahl-Hirschman supplier-concentration index per nation (the
     // antitrust / supply-risk concentration scalar): HHI = Σ share² over
     // each nation's supplier revenue shares, plus the top supplier's
@@ -807,6 +877,50 @@ object RelationalQueries {
               "CAST(pair_cnt AS DOUBLE) * nord / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))")} AS lift
          |FROM p JOIN c ca ON p.pa = ca.pk JOIN c cb ON p.pb = cb.pk, no
          |ORDER BY pa, pb""".stripMargin,
+
+    "nation_triangles" ->
+      s"""WITH raw AS (
+         |  SELECT c.c_nationkey AS x, s.s_nationkey AS y
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey),
+         |und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw),
+         |deg AS (
+         |  SELECT node, count(*) AS degree FROM (
+         |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+         |  GROUP BY 1),
+         |tris AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pn AS (
+         |  SELECT node, count(*) AS n_triangles FROM (
+         |    SELECT a AS node FROM tris UNION ALL SELECT b AS node FROM tris
+         |    UNION ALL SELECT c AS node FROM tris)
+         |  GROUP BY 1)
+         |SELECT deg.node AS nationkey, degree,
+         |  coalesce(n_triangles, 0) AS n_triangles,
+         |  ${CleanFunctions.round4Sql(
+            "2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE) / nullif(CAST(degree * (degree - 1) AS DOUBLE), 0.0)")} AS clustering
+         |FROM deg LEFT JOIN pn ON deg.node = pn.node
+         |ORDER BY nationkey""".stripMargin,
+
+    "lineitem_basket_rules" ->
+      s"""WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |p AS (SELECT a.pk AS ante, b.pk AS cons, count(*) AS pair_cnt
+         |      FROM i a JOIN i b ON a.ok = b.ok AND a.pk <> b.pk
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |c AS (SELECT pk, count(*) AS cnt FROM i GROUP BY 1),
+         |no AS (SELECT CAST(count(DISTINCT ok) AS DOUBLE) AS nord FROM i)
+         |SELECT ante, cons, pair_cnt,
+         |  ${CleanFunctions.round4Sql("CAST(pair_cnt AS DOUBLE) / nord")} AS support,
+         |  ${CleanFunctions.round4Sql("CAST(pair_cnt AS DOUBLE) / CAST(ca.cnt AS DOUBLE)")} AS confidence,
+         |  ${CleanFunctions.round4Sql(
+            "CAST(pair_cnt AS DOUBLE) * nord / (CAST(ca.cnt AS DOUBLE) * CAST(cc.cnt AS DOUBLE))")} AS lift
+         |FROM p JOIN c ca ON p.ante = ca.pk JOIN c cc ON p.cons = cc.pk, no
+         |ORDER BY ante, cons""".stripMargin,
 
     "supplier_hhi" ->
       s"""WITH sr AS (

@@ -475,6 +475,22 @@ class QueriesSpec extends AnyFunSuite {
       "a bigram cannot outnumber either of its unigrams")
   }
 
+  test("triangle clustering in [0,1]; rule confidence bounded by 1") {
+    import org.apache.spark.sql.functions._
+    val tr = SparkEntry.queries("nation_triangles")(spark, sfDir).cache()
+    assert(tr.filter(col("clustering") < 0.0 || col("clustering") > 1.0001).count() == 0)
+    assert(tr.filter(col("n_triangles") > 0 && col("degree") < 2).count() == 0,
+      "a node in a triangle needs degree >= 2")
+    val rules = SparkEntry.queries("lineitem_basket_rules")(spark, sfDir).cache()
+    assert(rules.filter(col("confidence") <= 0.0 || col("confidence") > 1.0001).count() == 0)
+    // Both orientations of every pair exist with equal support.
+    val asym = rules.select(col("ante").as("x"), col("cons").as("y"), col("support"))
+      .join(rules.select(col("cons").as("x"), col("ante").as("y"),
+        col("support").as("s2")), Seq("x", "y"), "left")
+      .filter(col("s2").isNull || col("support") =!= col("s2")).count()
+    assert(asym == 0, "pair support must be orientation-symmetric")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
