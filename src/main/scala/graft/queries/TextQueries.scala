@@ -160,6 +160,47 @@ object TextQueries {
         .orderBy("doc_id", "bucket")
     },
 
+    // BPE merge training (the tokenizer-learning primitive of every LLM
+    // data pipeline): 8 greedy merge rounds over the word-frequency
+    // table — each round counts freq-weighted adjacent symbol pairs and
+    // merges the argmax everywhere. The ONLY corpus-scale stage is the
+    // word-frequency aggregation; the merge loop runs on the O(vocab)
+    // type table with the pick collected per round (sequential-greedy,
+    // like emb_mmr_diversify — a self-referential plan would double per
+    // step). Merging is literal '·'-delimited string replace: greedy
+    // left-to-right non-overlapping, the reference BPE behavior, and
+    // both engines' replace() share that exact contract. All counts
+    // INTEGER; ties break on the pair strings.
+    "text_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wf = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .cache()
+      var vocab = wf.withColumn("sym",
+        concat(lit("·"), concat_ws("·",
+          expr("filter(split(w, ''), x -> x != '')")), lit("·")))
+      val wp = Window.partitionBy("w").orderBy("pos")
+      val merges = collection.mutable.Buffer[(Long, String, Long)]()
+      for (k <- 1 to 8) {
+        val best = vocab
+          .select(col("w"), col("freq"),
+            posexplode(expr("filter(split(sym, '·'), x -> x != '')"))
+              .as(Seq("pos", "t")))
+          .withColumn("nxt", lead(col("t"), 1).over(wp))
+          .where(col("nxt").isNotNull)
+          .groupBy("t", "nxt").agg(sum(col("freq")).as("total"))
+          .orderBy(desc("total"), col("t"), col("nxt")).limit(1).head
+        val (x, y, tot) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((k.toLong, x + " " + y, tot))
+        vocab = vocab.withColumn("sym",
+          expr(s"replace(sym, '·${x}·${y}·', '·${x}${y}·')"))
+      }
+      merges.toSeq.toDF("merge_rank", "pair", "weighted_count")
+        .orderBy("merge_rank")
+    },
+
     // Collocation mining via pointwise mutual information over adjacent
     // bigrams: PMI = ln(p(xy)/(p(x)p(y))), df-capped at c_xy >= 3 — the
     // phrase detector feeding tokenizer-vocab and stopword decisions.
@@ -612,6 +653,44 @@ object TextQueries {
            |SELECT doc_id, ${CleanFunctions.md5Hash64Sql("tok")} % 1024 AS bucket,
            |  count(*) AS cnt
            |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+      "text_bpe_train" -> {
+        val t = TextFunctions.tokensSql("lower(text)")
+        def syms(src: String) =
+          s"list_filter(string_split($src, '·'), x -> x <> '')"
+        def round(k: Int): String = {
+          val prev = s"v${k - 1}"
+          s"""p$k AS MATERIALIZED (
+             |  SELECT t, nxt, sum(freq) AS total FROM (
+             |    SELECT w, freq, tok AS t,
+             |      lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+             |    FROM (SELECT w, freq, unnest(${syms("sym")}) AS tok,
+             |            generate_subscripts(${syms("sym")}, 1) AS pos
+             |          FROM $prev))
+             |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |b$k AS MATERIALIZED (
+             |  SELECT t, nxt, total FROM p$k ORDER BY total DESC, t, nxt LIMIT 1),
+             |v$k AS MATERIALIZED (
+             |  SELECT w, freq,
+             |    replace(sym, '·' || b.t || '·' || b.nxt || '·',
+             |            '·' || b.t || b.nxt || '·') AS sym
+             |  FROM $prev, b$k b)""".stripMargin
+        }
+        val rounds = (1 to 8).map(round).mkString(",\n")
+        val out = (1 to 8).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS merge_rank, t || ' ' || nxt AS pair, CAST(total AS BIGINT) AS weighted_count FROM b$k")
+          .mkString("\nUNION ALL\n")
+        s"""WITH wf AS MATERIALIZED (
+           |  SELECT w, count(*) AS freq FROM (
+           |    SELECT unnest($t) AS w FROM documents) GROUP BY 1),
+           |v0 AS MATERIALIZED (
+           |  SELECT w, freq,
+           |    '·' || array_to_string(list_filter(string_split(w, ''), x -> x <> ''), '·') || '·' AS sym
+           |  FROM wf),
+           |$rounds
+           |$out
+           |ORDER BY merge_rank""".stripMargin
+      },
 
       "text_pmi_bigrams" ->
         s"""WITH tok AS (

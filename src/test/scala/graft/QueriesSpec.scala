@@ -491,6 +491,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(asym == 0, "pair support must be orientation-symmetric")
   }
 
+  test("BPE merges are 8 distinct pairs with non-increasing available mass") {
+    import org.apache.spark.sql.functions._
+    val m = SparkEntry.queries("text_bpe_train")(spark, sfDir).cache()
+    assert(m.count() == 8)
+    assert(m.select("pair").distinct().count() == 8, "a pair merged twice")
+    assert(m.filter(col("weighted_count") <= 0).count() == 0)
+    // Each merge's count is bounded by the total token mass.
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("w"))
+      .count()
+    assert(m.filter(col("weighted_count") > toks).count() == 0,
+      "a pair cannot outweigh the corpus token count")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
