@@ -46,6 +46,12 @@ case class CusumEvent(event_id: Long, user_id: Long, cusum_hi: Double)
 /** One-sided upper CUSUM statistic — a single double of state per key. */
 case class CusumState(s: Double)
 
+/** Per-row admission decision (streaming twin of TimeSeriesOps.tokenBucket). */
+case class RateLimitEvent(event_id: Long, user_id: Long, tokens: Double, admitted: Long)
+
+/** Token-bucket state: balance + last-arrival micros — O(1)/key. */
+case class BucketState(tokens: Double, lastUs: Long)
+
 /** One closed alert episode (run of consecutive flagged events). */
 case class Episode(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
 
@@ -300,6 +306,39 @@ object StreamingAnomaly {
             CusumEvent(e.event_id, e.user_id, s)
           }
           state.update(CusumState(s))
+          out.iterator
+      }
+  }
+
+  /** Streaming token-bucket rate limiter — the continuous face of
+    * `TimeSeriesOps.tokenBucket`: refill min(cap, tokens + rate·Δt),
+    * admit iff >= 1 (consuming one); the bucket starts FULL at a key's
+    * first-ever event. TWO scalars of state per key. The arithmetic is
+    * the IDENTICAL IEEE sequence to the batch fold, so a single-batch
+    * replay reproduces it with exact double equality (like kalman /
+    * cusumReset).
+    */
+  def tokenBucket(events: Dataset[Event], capacity: Double,
+                  refillPerSec: Double): Dataset[RateLimitEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[BucketState]) =>
+          var (tokens, lastUs, seen) = state.getOption
+            .map(s => (s.tokens, s.lastUs, true)).getOrElse((0.0, 0L, false))
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            val t = us(e.ts)
+            if (!seen) { tokens = capacity; seen = true }
+            else {
+              tokens = math.min(capacity,
+                tokens + refillPerSec * ((t - lastUs).toDouble / 1000000.0))
+            }
+            lastUs = t
+            val admitted = if (tokens >= 1.0) { tokens -= 1.0; 1L } else 0L
+            RateLimitEvent(e.event_id, e.user_id, tokens, admitted)
+          }
+          state.update(BucketState(tokens, lastUs))
           out.iterator
       }
   }

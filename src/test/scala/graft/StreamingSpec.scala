@@ -305,6 +305,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token bucket equals batch tokenBucket on real data, bit-for-bit") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.tokenBucket(ms.toDS(), capacity = 3.0,
+        refillPerSec = 1.0 / 3600.0)
+      .writeStream.format("memory").queryName("tb_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      ms.addData(realEvents.toSeq); q.processAllAvailable()
+      val got = spark.table("tb_eq")
+        .select(col("event_id"), col("tokens"), col("admitted"))
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = graft.operators.TimeSeriesOps.tokenBucket(
+          Tables.events(spark, SparkTestSession.sfDir)
+            .withColumn("tsu", epochUs(col("ts"))),
+          Seq("user_id"), Seq("tsu", "event_id"), "tsu",
+          capacity = 3.0, refillPerSec = 1.0 / 3600.0)
+        .select(col("event_id"), col("tokens"), col("admitted"))
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"bucket state mismatch at event $id: ${got(id)} != $w")
+      }
+    } finally q.stop()
+  }
+
   test("streaming CUSUM equals batch cusumReset on real data, bit-for-bit") {
     import graft.functions.CleanFunctions
     // Per-series control parameters from one batch moment pass — the
