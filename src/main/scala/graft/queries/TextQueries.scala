@@ -36,6 +36,42 @@ object TextQueries {
   /** Weighted-sampling draw size (A-Res top-k). */
   private val WeightedSampleK = 100
 
+  /** 8 greedy BPE merge rounds over the corpus word-frequency table.
+    * Returns (merge table rows, final vocab with '·'-delimited symbol
+    * strings). Shared by text_bpe_train and text_bpe_encode so the two
+    * entries can never disagree on the learned merges. The merge loop is
+    * driver-coordinated over the O(vocab) type table (the MMR shape);
+    * only the word-frequency aggregation touches the corpus.
+    */
+  private def bpeLearn(s: SparkSession, d: String)
+      : (Seq[(Long, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = Tables.documents(s, d)
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .cache()
+    var vocab = wf.withColumn("sym",
+      concat(lit("·"), concat_ws("·",
+        expr("filter(split(w, ''), x -> x != '')")), lit("·")))
+    val wp = Window.partitionBy("w").orderBy("pos")
+    val merges = collection.mutable.Buffer[(Long, String, Long)]()
+    for (k <- 1 to 8) {
+      val best = vocab
+        .select(col("w"), col("freq"),
+          posexplode(expr("filter(split(sym, '·'), x -> x != '')"))
+            .as(Seq("pos", "t")))
+        .withColumn("nxt", lead(col("t"), 1).over(wp))
+        .where(col("nxt").isNotNull)
+        .groupBy("t", "nxt").agg(sum(col("freq")).as("total"))
+        .orderBy(desc("total"), col("t"), col("nxt")).limit(1).head
+      val (x, y, tot) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((k.toLong, x + " " + y, tot))
+      vocab = vocab.withColumn("sym",
+        expr(s"replace(sym, '·${x}·${y}·', '·${x}${y}·')"))
+    }
+    (merges.toSeq, vocab)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII scrubbing (training-data redaction): emails then number runs,
     // per-pattern match counts on the original text. Runs over the
@@ -173,32 +209,31 @@ object TextQueries {
     // INTEGER; ties break on the pair strings.
     "text_bpe_train" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val wf = Tables.documents(s, d)
-        .select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .cache()
-      var vocab = wf.withColumn("sym",
-        concat(lit("·"), concat_ws("·",
-          expr("filter(split(w, ''), x -> x != '')")), lit("·")))
-      val wp = Window.partitionBy("w").orderBy("pos")
-      val merges = collection.mutable.Buffer[(Long, String, Long)]()
-      for (k <- 1 to 8) {
-        val best = vocab
-          .select(col("w"), col("freq"),
-            posexplode(expr("filter(split(sym, '·'), x -> x != '')"))
-              .as(Seq("pos", "t")))
-          .withColumn("nxt", lead(col("t"), 1).over(wp))
-          .where(col("nxt").isNotNull)
-          .groupBy("t", "nxt").agg(sum(col("freq")).as("total"))
-          .orderBy(desc("total"), col("t"), col("nxt")).limit(1).head
-        val (x, y, tot) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((k.toLong, x + " " + y, tot))
-        vocab = vocab.withColumn("sym",
-          expr(s"replace(sym, '·${x}·${y}·', '·${x}${y}·')"))
-      }
-      merges.toSeq.toDF("merge_rank", "pair", "weighted_count")
+      bpeLearn(s, d)._1.toDF("merge_rank", "pair", "weighted_count")
         .orderBy("merge_rank")
+    },
+
+    // BPE ENCODE: apply the learned merge table to every document and
+    // report its token count under the learned vocabulary — the second
+    // half of the tokenizer lifecycle (train above, apply here; both
+    // share bpeLearn so the merge table cannot drift). Per-doc counting
+    // is one corpus-scale join of words against the O(vocab) final
+    // symbol table (auto-broadcast), map-side partial sums.
+    "text_bpe_encode" -> { (s, d) =>
+      val vocab = bpeLearn(s, d)._2
+      val perWord = vocab.select(col("w"),
+        size(expr("filter(split(sym, '·'), x -> x != '')"))
+          .cast(org.apache.spark.sql.types.LongType).as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+        .join(perWord, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          CleanFunctions.round4(col("n_bpe_tokens").cast(org.apache.spark.sql.types.DoubleType)
+            / col("n_words").cast(org.apache.spark.sql.types.DoubleType)).as("bpe_per_word"))
+        .orderBy("doc_id")
     },
 
     // Collocation mining via pointwise mutual information over adjacent
@@ -562,6 +597,45 @@ object TextQueries {
     }
   )
 
+  /** The shared BPE oracle scaffolding: word frequencies, char-split v0,
+    * and the 8 materialized merge rounds (pK counts, bK argmax, vK
+    * rewrite) — used by BOTH the train and encode oracles so they replay
+    * the identical learned merges. MATERIALIZED throughout: DuckDB 1.0
+    * inlines plain CTEs and the chained rounds would re-evaluate
+    * exponentially.
+    */
+  private lazy val bpeSqlCtes: String = {
+    def syms(src: String) =
+      s"list_filter(string_split($src, '·'), x -> x <> '')"
+    def round(k: Int): String = {
+      val prev = s"v${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT t, nxt, sum(freq) AS total FROM (
+         |    SELECT w, freq, tok AS t,
+         |      lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |    FROM (SELECT w, freq, unnest(${syms("sym")}) AS tok,
+         |            generate_subscripts(${syms("sym")}, 1) AS pos
+         |          FROM $prev))
+         |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT t, nxt, total FROM p$k ORDER BY total DESC, t, nxt LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT w, freq,
+         |    replace(sym, '·' || b.t || '·' || b.nxt || '·',
+         |            '·' || b.t || b.nxt || '·') AS sym
+         |  FROM $prev, b$k b)""".stripMargin
+    }
+    val t = TextFunctions.tokensSql("lower(text)")
+    s"""wf AS MATERIALIZED (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest($t) AS w FROM documents) GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT w, freq,
+       |    '·' || array_to_string(list_filter(string_split(w, ''), x -> x <> ''), '·') || '·' AS sym
+       |  FROM wf),
+       |${(1 to 8).map(round).mkString(",\n")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = {
     val t = "regexp_split_to_array(trim(text), '\\s+')"
     val tl = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -655,42 +729,27 @@ object TextQueries {
            |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
       "text_bpe_train" -> {
-        val t = TextFunctions.tokensSql("lower(text)")
-        def syms(src: String) =
-          s"list_filter(string_split($src, '·'), x -> x <> '')"
-        def round(k: Int): String = {
-          val prev = s"v${k - 1}"
-          s"""p$k AS MATERIALIZED (
-             |  SELECT t, nxt, sum(freq) AS total FROM (
-             |    SELECT w, freq, tok AS t,
-             |      lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
-             |    FROM (SELECT w, freq, unnest(${syms("sym")}) AS tok,
-             |            generate_subscripts(${syms("sym")}, 1) AS pos
-             |          FROM $prev))
-             |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
-             |b$k AS MATERIALIZED (
-             |  SELECT t, nxt, total FROM p$k ORDER BY total DESC, t, nxt LIMIT 1),
-             |v$k AS MATERIALIZED (
-             |  SELECT w, freq,
-             |    replace(sym, '·' || b.t || '·' || b.nxt || '·',
-             |            '·' || b.t || b.nxt || '·') AS sym
-             |  FROM $prev, b$k b)""".stripMargin
-        }
-        val rounds = (1 to 8).map(round).mkString(",\n")
         val out = (1 to 8).map(k =>
           s"SELECT CAST($k AS BIGINT) AS merge_rank, t || ' ' || nxt AS pair, CAST(total AS BIGINT) AS weighted_count FROM b$k")
           .mkString("\nUNION ALL\n")
-        s"""WITH wf AS MATERIALIZED (
-           |  SELECT w, count(*) AS freq FROM (
-           |    SELECT unnest($t) AS w FROM documents) GROUP BY 1),
-           |v0 AS MATERIALIZED (
-           |  SELECT w, freq,
-           |    '·' || array_to_string(list_filter(string_split(w, ''), x -> x <> ''), '·') || '·' AS sym
-           |  FROM wf),
-           |$rounds
+        s"""WITH $bpeSqlCtes
            |$out
            |ORDER BY merge_rank""".stripMargin
       },
+
+      "text_bpe_encode" ->
+        s"""WITH $bpeSqlCtes,
+           |pw AS MATERIALIZED (
+           |  SELECT w, CAST(len(list_filter(string_split(sym, '·'), x -> x <> '')) AS BIGINT) AS n_sym
+           |  FROM v8),
+           |dw AS (
+           |  SELECT doc_id, unnest(${TextFunctions.tokensSql("lower(text)")}) AS w
+           |  FROM documents)
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+           |  (round((CAST(sum(n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS bpe_per_word
+           |FROM dw JOIN pw USING (w)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "text_pmi_bigrams" ->
         s"""WITH tok AS (

@@ -505,6 +505,20 @@ class QueriesSpec extends AnyFunSuite {
       "a pair cannot outweigh the corpus token count")
   }
 
+  test("BPE encode: merged tokens never exceed chars and shrink vs char count") {
+    import org.apache.spark.sql.functions._
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, sfDir).cache()
+    assert(enc.count() > 0)
+    assert(enc.filter(col("n_bpe_tokens") < col("n_words")).count() == 0,
+      "a word is at least one BPE token")
+    // Merges strictly compress: total BPE tokens < total characters in words.
+    val chars = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("w"))
+      .agg(sum(length(col("w")))).head.getLong(0)
+    val bpe = enc.agg(sum(col("n_bpe_tokens"))).head.getLong(0)
+    assert(bpe < chars, s"8 merges must compress below char count ($bpe vs $chars)")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
