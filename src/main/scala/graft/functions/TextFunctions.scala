@@ -202,19 +202,31 @@ object TextFunctions {
     * one codegen'd loop ([[dot]]) — identical arithmetic to the unrolled
     * SQL twin (+-1.0f widens to +-1.0 exactly).
     */
-  def lshSign(emb: Column, plane: Int): Column = {
+  /** Raw signed projection onto deterministic ±1 hyperplane `plane` —
+    * the shared primitive under [[lshSign]] (sign buckets) and the JL
+    * random projection (raw coordinates). Sequential fold order matches
+    * [[lshProjSql]]'s left-to-right term sum.
+    */
+  def lshProj(emb: Column, plane: Int): Column = {
     val w: Array[Float] = Array.tabulate(64) { i =>
       if (((plane * 8191L + i * 524287L) % 97) % 2 == 0) 1.0f else -1.0f
     }
-    when(dot(emb, lit(w)) >= 0, 1L).otherwise(0L)
+    dot(emb, lit(w))
   }
-  def lshSignSql(embSql: String, plane: Int): String = {
+
+  /** DuckDB twin of [[lshProj]]: the identical left-to-right term sum. */
+  def lshProjSql(embSql: String, plane: Int): String = {
     val terms = (0 until 64).map { i =>
       val w = if (((plane * 8191L + i * 524287L) % 97) % 2 == 0) "1.0" else "-1.0"
       s"CAST($embSql[${i + 1}] AS DOUBLE) * $w"
     }.mkString(" + ")
-    s"(CASE WHEN ($terms) >= 0 THEN 1 ELSE 0 END)"
+    s"($terms)"
   }
+
+  def lshSign(emb: Column, plane: Int): Column =
+    when(lshProj(emb, plane) >= 0, 1L).otherwise(0L)
+  def lshSignSql(embSql: String, plane: Int): String =
+    s"(CASE WHEN ${lshProjSql(embSql, plane)} >= 0 THEN 1 ELSE 0 END)"
 
   /** Pack `n` sign bits (columns of 0/1 long) into a bucket id. */
   def packBits(bits: Seq[Column]): Column =

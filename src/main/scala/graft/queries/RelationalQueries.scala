@@ -626,6 +626,30 @@ object RelationalQueries {
         .orderBy("pa", "pb")
     },
 
+    // Fuzzy duplicate-invoice detection (record linkage on RELATIONAL
+    // data — the structured sibling of the text dedup family): same
+    // customer, order totals within 2% (relative), dates within 14 days.
+    // Blocking on the customer key bounds the self-join at O(k²) per
+    // customer (k = orders/customer, bounded at any corpus scale); all
+    // match decisions are single IEEE comparisons on identical values.
+    "orders_fuzzy_dupes" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          CleanFunctions.epochUs(col("o_orderdate")).as("tsu"))
+      val a = o.select(col("o_custkey"), col("o_orderkey").as("ok1"),
+        col("o_totalprice").as("p1"), col("tsu").as("t1"))
+      val b = o.select(col("o_custkey"), col("o_orderkey").as("ok2"),
+        col("o_totalprice").as("p2"), col("tsu").as("t2"))
+      a.join(b, "o_custkey")
+        .where(col("ok1") < col("ok2") &&
+          abs(col("p1") - col("p2")) / greatest(col("p1"), col("p2")) <= 0.02 &&
+          abs(col("t1") - col("t2")) <= 14L * 86400000000L)
+        .select(col("o_custkey"), col("ok1"), col("ok2"),
+          CleanFunctions.round4(abs(col("p1") - col("p2"))).as("price_diff"),
+          expr("abs(t1 - t2) DIV 86400000000").as("day_gap"))
+        .orderBy("o_custkey", "ok1", "ok2")
+    },
+
     // Triangle count + clustering coefficient on the undirected nation
     // trade graph — completes the graph family (PageRank, components,
     // triangles): edges normalized to a<b, the triangle enumeration is
@@ -877,6 +901,20 @@ object RelationalQueries {
               "CAST(pair_cnt AS DOUBLE) * nord / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))")} AS lift
          |FROM p JOIN c ca ON p.pa = ca.pk JOIN c cb ON p.pb = cb.pk, no
          |ORDER BY pa, pb""".stripMargin,
+
+    "orders_fuzzy_dupes" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    CAST(epoch_us(o_orderdate) AS BIGINT) AS tsu
+         |  FROM orders)
+         |SELECT a.o_custkey, a.o_orderkey AS ok1, b.o_orderkey AS ok2,
+         |  ${CleanFunctions.round4Sql("abs(a.o_totalprice - b.o_totalprice)")} AS price_diff,
+         |  abs(a.tsu - b.tsu) // 86400000000 AS day_gap
+         |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+         |  AND a.o_orderkey < b.o_orderkey
+         |  AND abs(a.o_totalprice - b.o_totalprice) / greatest(a.o_totalprice, b.o_totalprice) <= 0.02
+         |  AND abs(a.tsu - b.tsu) <= ${14L * 86400000000L}
+         |ORDER BY a.o_custkey, ok1, ok2""".stripMargin,
 
     "nation_triangles" ->
       s"""WITH raw AS (

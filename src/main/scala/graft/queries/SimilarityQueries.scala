@@ -328,6 +328,26 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Johnson-Lindenstrauss random projection 64 → 16 dims: the
+    // distance-preserving down-projection (the cheap, data-independent
+    // alternative to PCA/PQ for shrinking an ANN index) using the SAME
+    // deterministic ±1 hyperplanes as the LSH index, scaled 1/√16 (an
+    // exact power of two — the division is lossless). Pure per-row
+    // expressions, zero shuffle; long format so the oracle compares
+    // scalars.
+    "emb_random_projection" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      import graft.functions.CleanFunctions.round6
+      val projs = (0 until TruncDim).map { p =>
+        round6(TextFunctions.lshProj(col("embedding"), p) / lit(4.0))
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(array(projs: _*)).as(Seq("pos", "v")))
+        .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("dim"), col("v"))
+        .orderBy("vec_id", "dim")
+    },
+
     // ANN quality harness as a first-class query: recall@10 of the
     // adaptive LSH index against the brute-force ground truth, per
     // query. Composes the two production operators (one cached corpus
@@ -695,6 +715,16 @@ object SimilarityQueries {
          |  SELECT q_id, n_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk FROM sc)
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+    },
+
+    "emb_random_projection" -> {
+      val selects = (0 until TruncDim).map { p =>
+        s"""SELECT vec_id, CAST(${p + 1} AS BIGINT) AS dim,
+           |  (round((${TextFunctions.lshProjSql("embedding", p)} / 4.0) * 1000000.0) / 1000000.0) AS v
+           |FROM embeddings""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT vec_id, dim, v FROM ($selects)
+         |ORDER BY vec_id, dim""".stripMargin
     },
 
     "ann_recall_eval" ->

@@ -519,6 +519,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(bpe < chars, s"8 merges must compress below char count ($bpe vs $chars)")
   }
 
+  test("JL projection roughly preserves pairwise distances; fuzzy dupes are tight") {
+    import org.apache.spark.sql.functions._
+    val proj = SparkEntry.queries("emb_random_projection")(spark, sfDir).cache()
+    assert(proj.select("dim").distinct().count() == 16)
+    // Distance preservation on a small sample: projected distance within
+    // a loose JL band (factor 3) of the original for most pairs.
+    val ids = Seq(0L, 50L, 100L, 150L, 200L)
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val pr = proj.filter(col("vec_id").isin(ids: _*)).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+      }
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      dOrig = math.sqrt(e(i).zip(e(j)).map { case (a, b) => (a - b).toDouble * (a - b) }.sum)
+      dProj = math.sqrt(pr(i).zip(pr(j)).map { case (a, b) => (a - b) * (a - b) }.sum)
+    } yield dProj / dOrig
+    assert(ratios.count(r => r > 0.33 && r < 3.0) >= ratios.size * 0.8,
+      s"JL distance ratios collapsed: ${ratios.mkString(",")}")
+    val fd = SparkEntry.queries("orders_fuzzy_dupes")(spark, sfDir)
+    assert(fd.filter(col("day_gap") > 14 || col("day_gap") < 0).count() == 0)
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
