@@ -419,6 +419,35 @@ object OpsQueries {
         .orderBy("user_id", "day")
     },
 
+    // Seasonal-aware anomaly detection from Holt-Winters residuals: days
+    // whose mean deviates >2σ from the one-step HW forecast — unlike the
+    // plain z-score detectors this does NOT flag ordinary seasonal swings
+    // (the forecast already absorbs level/trend/weekly shape). Composes
+    // the holtWinters fold (raw, unrounded outputs) with one residual
+    // moment pass; the oracle composes the SAME recursive scaffolding.
+    "ts_hw_anomaly" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val daily = ev(s, d).where(col("value").isNotNull)
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(CleanFunctions.exactMean(col("value")).as("m"))
+      val hw = TS.holtWinters(daily, K, Seq("day"), "m", period = 7,
+          alpha = 0.3, beta = 0.1, gamma = 0.2)
+        .where(col("hw_fitted").isNotNull)
+        .withColumn("resid", round4(col("m") - col("hw_fitted")))
+      val st = hw.groupBy("user_id").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        exactSum(col("resid")).as("sx"),
+        exactSum(round4(col("resid") * col("resid"))).as("sxx"))
+      val z = round4(col("resid") / nullif(
+        CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")), lit(0.0)))
+      hw.join(st, "user_id")
+        .select(col("user_id"), col("day"), round4(col("m")).as("day_mean"),
+          col("resid"), z.as("hw_z"),
+          when(abs(z) > 2.0, 1L).otherwise(0L).as("is_anomaly"))
+        .orderBy("user_id", "day")
+    },
+
     // Token-bucket rate-limit replay per user (capacity 3, refill 1
     // token/hour): the API-gateway admission audit — which events WOULD
     // have been throttled under this policy. The clamped refill/consume
@@ -881,6 +910,37 @@ object OpsQueries {
         .orderBy("u1", "u2")
     })
 
+  /** Shared Holt-Winters recursive-CTE scaffolding (daily means, rn, and
+    * the level/trend/seasonal-list recursion) — used by the smoother and
+    * the residual anomaly detector so the replayed fold cannot drift.
+    * The (1.0 - α) subtractions are spelled out: pre-folded 0.7 differs
+    * from the computed double in the last ulp.
+    */
+  private lazy val HwCtes: String = {
+    val idx = "(v.rn - 1) % 7 + 1"
+    val lNew = s"(0.3 * (v.m - c.s[$idx]) + (1.0 - 0.3) * (c.l + c.b))"
+    val zeros = Seq.fill(7)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
+    s"""daily AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    ${CleanFunctions.exactMeanSql("value")} AS m
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |v AS (SELECT user_id, day, m,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM daily),
+       |c AS (
+       |  SELECT user_id, day, m, rn, CAST(NULL AS DOUBLE) AS fitted,
+       |    m AS l, CAST(0.0 AS DOUBLE) AS b, $zeros AS s
+       |  FROM v WHERE rn = 1
+       |  UNION ALL
+       |  SELECT v.user_id, v.day, v.m, v.rn,
+       |    c.l + c.b + c.s[$idx],
+       |    $lNew,
+       |    0.1 * ($lNew - c.l) + (1.0 - 0.1) * c.b,
+       |    list_transform(c.s, (x, i) -> CASE WHEN i = $idx
+       |      THEN 0.2 * (v.m - $lNew) + (1.0 - 0.2) * c.s[$idx] ELSE x END)
+       |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)"""
+      .stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ts_gap_report" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
@@ -1180,38 +1240,29 @@ object OpsQueries {
          |FROM dau JOIN mau ON dau.day = mau.day
          |ORDER BY dau.day""".stripMargin,
 
-    "ts_holt_winters" -> {
-      // One-based seasonal slot for the CURRENT recursion row.
-      val idx = "(v.rn - 1) % 7 + 1"
-      // The new level, repeated wherever the Scala fold uses lNew; the
-      // (1.0 - α) subtractions are spelled out — pre-folded 0.7 would
-      // differ from the computed double in the last ulp.
-      val lNew = s"(0.3 * (v.m - c.s[$idx]) + (1.0 - 0.3) * (c.l + c.b))"
-      val zeros = Seq.fill(7)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
-      s"""WITH RECURSIVE daily AS (
-         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-         |    ${CleanFunctions.exactMeanSql("value")} AS m
-         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
-         |v AS (SELECT user_id, day, m,
-         |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM daily),
-         |c AS (
-         |  SELECT user_id, day, m, rn, CAST(NULL AS DOUBLE) AS fitted,
-         |    m AS l, CAST(0.0 AS DOUBLE) AS b, $zeros AS s
-         |  FROM v WHERE rn = 1
-         |  UNION ALL
-         |  SELECT v.user_id, v.day, v.m, v.rn,
-         |    c.l + c.b + c.s[$idx],
-         |    $lNew,
-         |    0.1 * ($lNew - c.l) + (1.0 - 0.1) * c.b,
-         |    list_transform(c.s, (x, i) -> CASE WHEN i = $idx
-         |      THEN 0.2 * (v.m - $lNew) + (1.0 - 0.2) * c.s[$idx] ELSE x END)
-         |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)
+    "ts_holt_winters" ->
+      s"""WITH RECURSIVE $HwCtes
          |SELECT user_id, day, ${round4Sql("m")} AS day_mean,
          |  ${round4Sql("fitted")} AS hw_fitted, ${round4Sql("l")} AS hw_level,
          |  ${round4Sql("b")} AS hw_trend,
          |  ${round4Sql("s[(rn - 1) % 7 + 1]")} AS hw_seasonal
-         |FROM c ORDER BY user_id, day""".stripMargin
-    },
+         |FROM c ORDER BY user_id, day""".stripMargin,
+
+    "ts_hw_anomaly" ->
+      s"""WITH RECURSIVE $HwCtes,
+         |r AS (SELECT user_id, day, m, ${round4Sql("m - fitted")} AS resid
+         |      FROM c WHERE fitted IS NOT NULL),
+         |st AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${CleanFunctions.exactSumSql("resid")} AS sx,
+         |    ${CleanFunctions.exactSumSql(round4Sql("resid * resid"))} AS sxx
+         |  FROM r GROUP BY 1)
+         |SELECT r.user_id, day, ${round4Sql("m")} AS day_mean, resid,
+         |  ${round4Sql(s"resid / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)")} AS hw_z,
+         |  CAST(CASE WHEN abs(${round4Sql(s"resid / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)")}) > 2.0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM r JOIN st ON r.user_id = st.user_id
+         |ORDER BY r.user_id, day""".stripMargin,
 
     "events_rate_limit" -> {
       // The refilled-balance expression, repeated like the cusum oracle

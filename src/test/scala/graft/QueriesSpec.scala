@@ -545,6 +545,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(fd.filter(col("day_gap") > 14 || col("day_gap") < 0).count() == 0)
   }
 
+  test("HW anomaly flags exactly the >2-sigma residual days, and few of them") {
+    import org.apache.spark.sql.functions._
+    val a = SparkEntry.queries("ts_hw_anomaly")(spark, sfDir).cache()
+    assert(a.count() > 0)
+    assert(a.filter(col("is_anomaly") === 1L && abs(col("hw_z")) <= 2.0).count() == 0)
+    assert(a.filter(col("is_anomaly") === 0L && abs(col("hw_z")) > 2.0).count() == 0)
+    val rate = a.filter(col("is_anomaly") === 1L).count().toDouble / a.count()
+    assert(rate < 0.2, s"anomaly rate $rate implausibly high for a 2-sigma gate")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
