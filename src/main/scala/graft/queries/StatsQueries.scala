@@ -717,6 +717,38 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // KPSS level-stationarity statistic per series (the stationarity
+    // gate before fitting AR-family models; > 0.463 rejects level-
+    // stationarity at 5%): η = Σ S_t² / (n²·σ̂²) over DECIMAL partial
+    // sums of the demeaned series — one moment pass + one keyed cumsum
+    // window; S_t² rounded 4dp into a WIDE DECIMAL(28,6) (S_t is
+    // O(n·σ), its square overflows the default 18,6 accumulator).
+    "ts_kpss" -> { (s, d) =>
+      val dec28 = DecimalType(28, 6)
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+      val st = e.groupBy("user_id").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        exactSum(col("value")).as("sx"),
+        exactSum(col("value") * col("value")).as("sxx"))
+      val wc = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = e.join(st, "user_id")
+        .withColumn("dev", CleanFunctions.round6(col("value") - col("sx") / col("n")))
+        .withColumn("cs", sum(col("dev").cast(DecimalType(18, 6))).over(wc).cast(DoubleType))
+      val agg = cum.groupBy("user_id").agg(
+          max(col("n")).as("nd"), max(col("sx")).as("msx"), max(col("sxx")).as("msxx"),
+          sum(round4(col("cs") * col("cs")).cast(dec28)).cast(DoubleType).as("ss2"))
+        .withColumn("varp", greatest(
+          (col("msxx") - col("msx") * col("msx") / col("nd")) / col("nd"), lit(0.0)))
+      val kp = round4(CleanFunctions.safeDiv(
+        col("ss2"), col("nd") * col("nd") * col("varp")))
+      agg.select(col("user_id"), col("nd").cast(LongType).as("n_obs"),
+          kp.as("kpss"),
+          when(kp > 0.463, lit(1L)).otherwise(lit(0L)).as("nonstationary"))
+        .orderBy("user_id")
+    },
+
     // Rescaled-range Hurst exponent per series (the long-memory /
     // trend-persistence diagnostic: H≈0.5 random walk, >0.5 trending,
     // <0.5 mean-reverting): R/S per full chunk at sizes 8/16/32 — R =
@@ -1456,6 +1488,33 @@ object StatsQueries {
          |  ${round4Sql("mean")} AS mean, ${round4Sql("var")} AS variance,
          |  CAST(ceil(16.0 * var / ((0.05 * mean) * (0.05 * mean))) AS BIGINT) AS n_required
          |FROM v ORDER BY event_type""".stripMargin,
+
+    "ts_kpss" -> {
+      val kp = round4Sql("ss2 / nullif(nd * nd * varp, 0.0)")
+      s"""WITH st AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("value")} AS sx,
+         |    ${exactSumSql("value * value")} AS sxx
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |cum AS (
+         |  SELECT e.user_id, st.n, st.sx, st.sxx,
+         |    CAST(sum(CAST((round((e.value - st.sx / st.n) * 1000000.0) / 1000000.0) AS DECIMAL(18,6)))
+         |      OVER (PARTITION BY e.user_id ORDER BY epoch_us(e.ts), e.event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cs
+         |  FROM events e JOIN st ON e.user_id = st.user_id
+         |  WHERE e.value IS NOT NULL),
+         |a AS (
+         |  SELECT user_id, max(n) AS nd, max(sx) AS msx, max(sxx) AS msxx,
+         |    CAST(sum(CAST(${round4Sql("cs * cs")} AS DECIMAL(28,6))) AS DOUBLE) AS ss2
+         |  FROM cum GROUP BY 1),
+         |v AS (
+         |  SELECT user_id, nd, ss2,
+         |    greatest((msxx - msx * msx / nd) / nd, 0.0) AS varp
+         |  FROM a)
+         |SELECT user_id, CAST(nd AS BIGINT) AS n_obs, $kp AS kpss,
+         |  CAST(CASE WHEN $kp > 0.463 THEN 1 ELSE 0 END AS BIGINT) AS nonstationary
+         |FROM v ORDER BY user_id""".stripMargin
+    },
 
     "ts_hurst" -> {
       val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0)"

@@ -365,6 +365,38 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Change-point SEGMENTATION — the decision step on top of
+    // ts_changepoint's per-row scores: per series pick the argmax-score
+    // event (4dp-rounded score, event-id tie-break → identical pick on
+    // both engines), then report the exact-DECIMAL means of the two
+    // segments it induces and the level shift. One rank window over the
+    // scored rows + one conditional-mean grouped pass.
+    "ts_changepoint_segment" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = Anomaly.changePointScore(Tables.events(s, d), K, Ord, "value", win = 24)
+        .withColumn("cps", CleanFunctions.round4(col("cp_score")))
+        .where(col("cps").isNotNull)
+        .withColumn("tsu", epochUs(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy(desc("cps"), col("event_id"))
+      val split = scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("event_id").as("split_event"),
+          col("tsu").as("split_tsu"), col("cps").as("cp_score"))
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", epochUs(col("ts")))
+      def condMean(c: org.apache.spark.sql.Column) =
+        CleanFunctions.exactSum(when(c, col("value"))) /
+          count(when(c, col("value"))).cast("double")
+      e.join(split, "user_id")
+        .groupBy("user_id")
+        .agg(max(col("split_event")).as("split_event"),
+          max(col("cp_score")).as("cp_score"),
+          CleanFunctions.round4(condMean(col("tsu") < col("split_tsu"))).as("pre_mean"),
+          CleanFunctions.round4(condMean(col("tsu") >= col("split_tsu"))).as("post_mean"))
+        .withColumn("shift", CleanFunctions.round4(col("post_mean") - col("pre_mean")))
+        .orderBy("user_id")
+    },
+
     // Alert episodes: consecutive anomalous rows collapse into one
     // episode per series (run-length encoding via the change-flag +
     // cumulative-sum trick — same one-sort shape as sessionize). Turns
@@ -1012,6 +1044,35 @@ object TimeSeriesQueries {
          |  u AS (PARTITION BY user_id))
          |SELECT event_id, round((abs(ma - mb) / nullif(sd, 0)) * 10000.0) / 10000.0 AS cp_score
          |FROM c WHERE nb = 24 AND na = 24 ORDER BY event_id""".stripMargin,
+
+    "ts_changepoint_segment" ->
+      s"""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value,
+         |  count(value) OVER wb AS nb, count(value) OVER wa AS na,
+         |  ${CleanFunctions.exactMeanSql("value", "OVER wa")} AS ma,
+         |  ${CleanFunctions.exactMeanSql("value", "OVER wb")} AS mb,
+         |  stddev_samp(value) OVER u AS sd
+         |  FROM events WINDOW wb AS ($W ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+         |  wa AS ($W ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING),
+         |  u AS (PARTITION BY user_id)),
+         |sc AS (SELECT event_id, user_id, tsu,
+         |  ${CleanFunctions.round4Sql("abs(ma - mb) / nullif(sd, 0)")} AS cps
+         |  FROM c WHERE nb = 24 AND na = 24
+         |    AND ${CleanFunctions.round4Sql("abs(ma - mb) / nullif(sd, 0)")} IS NOT NULL),
+         |sp AS (SELECT user_id, event_id AS split_event, tsu AS split_tsu, cps AS cp_score
+         |  FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY cps DESC, event_id) AS rk FROM sc)
+         |  WHERE rk = 1),
+         |e AS (SELECT user_id, epoch_us(ts) AS tsu, value
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT e.user_id, max(split_event) AS split_event, max(cp_score) AS cp_score,
+         |  ${CleanFunctions.round4Sql(
+            s"${CleanFunctions.exactSumSql("CASE WHEN e.tsu < split_tsu THEN e.value END")} / CAST(count(CASE WHEN e.tsu < split_tsu THEN e.value END) AS DOUBLE)")} AS pre_mean,
+         |  ${CleanFunctions.round4Sql(
+            s"${CleanFunctions.exactSumSql("CASE WHEN e.tsu >= split_tsu THEN e.value END")} / CAST(count(CASE WHEN e.tsu >= split_tsu THEN e.value END) AS DOUBLE)")} AS post_mean,
+         |  ${CleanFunctions.round4Sql(
+            s"(${CleanFunctions.round4Sql(s"${CleanFunctions.exactSumSql("CASE WHEN e.tsu >= split_tsu THEN e.value END")} / CAST(count(CASE WHEN e.tsu >= split_tsu THEN e.value END) AS DOUBLE)")}) - (${CleanFunctions.round4Sql(s"${CleanFunctions.exactSumSql("CASE WHEN e.tsu < split_tsu THEN e.value END")} / CAST(count(CASE WHEN e.tsu < split_tsu THEN e.value END) AS DOUBLE)")})")} AS shift
+         |FROM e JOIN sp ON e.user_id = sp.user_id
+         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
 
     "ts_alert_episodes" ->
       s"""WITH f AS (SELECT event_id, user_id, ts, epoch_us(ts) AS tsu,

@@ -555,6 +555,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(rate < 0.2, s"anomaly rate $rate implausibly high for a 2-sigma gate")
   }
 
+  test("KPSS nonnegative with consistent flag; changepoint shift equals means") {
+    import org.apache.spark.sql.functions._
+    val k = SparkEntry.queries("ts_kpss")(spark, sfDir).cache()
+    assert(k.count() > 0 && k.filter(col("kpss") < 0.0).count() == 0)
+    assert(k.filter(col("nonstationary") === 1L && col("kpss") <= 0.463).count() == 0)
+    assert(k.filter(col("nonstationary") === 0L && col("kpss") > 0.463).count() == 0)
+    val cs = SparkEntry.queries("ts_changepoint_segment")(spark, sfDir).cache()
+    assert(cs.count() > 0 && cs.filter(col("cp_score") < 0.0).count() == 0)
+    val bad = cs.filter(abs(col("shift") -
+      (col("post_mean") - col("pre_mean"))) > 1e-3).count()
+    assert(bad == 0, "shift must equal post_mean - pre_mean")
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
