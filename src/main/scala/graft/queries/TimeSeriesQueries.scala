@@ -365,6 +365,52 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Partial autocorrelations at lags 1-3 via the Durbin-Levinson
+    // closed form (AR model-order identification — pacf cuts off at the
+    // true order where acf only decays): φ₁₁=ρ₁, φ₂₂=(ρ₂−ρ₁²)/(1−ρ₁²),
+    // φ₃₃ from the level-2 coefficients. ρ's come from the ts_acf moment
+    // machinery (DECIMAL sums, clamped corr, rounded 4dp) so every
+    // downstream arithmetic step runs on identical doubles; degenerate
+    // denominators null out via nullif.
+    "ts_pacf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dec = DecimalType(28, 6)
+      def moments(k: Int): Seq[org.apache.spark.sql.Column] = {
+        val x = col("value"); val y = col(s"y$k"); val valid = y.isNotNull
+        Seq(
+          count(when(valid, 1)).cast("double").as(s"n$k"),
+          sum(when(valid, x).cast(dec)).cast("double").as(s"sx$k"),
+          sum(when(valid, y).cast(dec)).cast("double").as(s"sy$k"),
+          sum(when(valid, x * y).cast(dec)).cast("double").as(s"sxy$k"),
+          sum(when(valid, x * x).cast(dec)).cast("double").as(s"sxx$k"),
+          sum(when(valid, y * y).cast(dec)).cast("double").as(s"syy$k"))
+      }
+      def corrOf(k: Int) = CleanFunctions.round4(CleanFunctions.momentCorr(
+        col(s"n$k"), col(s"sx$k"), col(s"sy$k"),
+        col(s"sxy$k"), col(s"sxx$k"), col(s"syy$k")))
+      val aggs = moments(1) ++ moments(2) ++ moments(3)
+      Tables.events(s, d)
+        .withColumn("y1", lag(col("value"), 1).over(w))
+        .withColumn("y2", lag(col("value"), 2).over(w))
+        .withColumn("y3", lag(col("value"), 3).over(w))
+        .groupBy("user_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("r1", corrOf(1)).withColumn("r2", corrOf(2))
+        .withColumn("r3", corrOf(3))
+        .withColumn("p2", (col("r2") - col("r1") * col("r1")) /
+          nullif(lit(1.0) - col("r1") * col("r1"), lit(0.0)))
+        .withColumn("p21", col("r1") * (lit(1.0) - col("p2")))
+        .withColumn("p3",
+          (col("r3") - col("p21") * col("r2") - col("p2") * col("r1")) /
+            nullif(lit(1.0) - col("p21") * col("r1") - col("p2") * col("r2"), lit(0.0)))
+        .select(col("user_id"), col("r1").as("pacf_1"),
+          CleanFunctions.round4(col("p2")).as("pacf_2"),
+          CleanFunctions.round4(col("p3")).as("pacf_3"))
+        .orderBy("user_id")
+    },
+
     // Change-point SEGMENTATION — the decision step on top of
     // ts_changepoint's per-row scores: per series pick the argmax-score
     // event (4dp-rounded score, event-id tie-break → identical pick on
@@ -1044,6 +1090,37 @@ object TimeSeriesQueries {
          |  u AS (PARTITION BY user_id))
          |SELECT event_id, round((abs(ma - mb) / nullif(sd, 0)) * 10000.0) / 10000.0 AS cp_score
          |FROM c WHERE nb = 24 AND na = 24 ORDER BY event_id""".stripMargin,
+
+    "ts_pacf" -> {
+      def m(k: Int) =
+        s"""  CAST(count(CASE WHEN y$k IS NOT NULL THEN 1 END) AS DOUBLE) AS n$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value END AS DECIMAL(28,6))) AS DOUBLE) AS sx$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k END AS DECIMAL(28,6))) AS DOUBLE) AS sy$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS sxy$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * value END AS DECIMAL(28,6))) AS DOUBLE) AS sxx$k,
+           |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS syy$k""".stripMargin
+      def corrOf(k: Int) =
+        s"round((${CleanFunctions.momentCorrSql(s"n$k", s"sx$k", s"sy$k", s"sxy$k", s"sxx$k", s"syy$k")}) * 10000.0) / 10000.0"
+      s"""WITH l AS (SELECT user_id, value,
+         |  lag(value, 1) OVER ($W) AS y1, lag(value, 2) OVER ($W) AS y2,
+         |  lag(value, 3) OVER ($W) AS y3 FROM events),
+         |mm AS (SELECT user_id,
+         |${m(1)},
+         |${m(2)},
+         |${m(3)}
+         |  FROM l GROUP BY user_id),
+         |r AS (SELECT user_id, ${corrOf(1)} AS r1, ${corrOf(2)} AS r2,
+         |  ${corrOf(3)} AS r3 FROM mm),
+         |s2 AS (SELECT *, (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS p2 FROM r),
+         |s3 AS (SELECT *, r1 * (1.0 - p2) AS p21 FROM s2),
+         |s4 AS (SELECT *,
+         |  (r3 - p21 * r2 - p2 * r1) / nullif(1.0 - p21 * r1 - p2 * r2, 0.0) AS p3
+         |  FROM s3)
+         |SELECT user_id, r1 AS pacf_1,
+         |  ${CleanFunctions.round4Sql("p2")} AS pacf_2,
+         |  ${CleanFunctions.round4Sql("p3")} AS pacf_3
+         |FROM s4 ORDER BY user_id""".stripMargin
+    },
 
     "ts_changepoint_segment" ->
       s"""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value,

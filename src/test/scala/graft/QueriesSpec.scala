@@ -568,6 +568,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0, "shift must equal post_mean - pre_mean")
   }
 
+  test("pacf lag-1 equals acf lag-1 and all pacf values stay in [-1,1]") {
+    import org.apache.spark.sql.functions._
+    val p = SparkEntry.queries("ts_pacf")(spark, sfDir).cache()
+    val a = SparkEntry.queries("ts_acf")(spark, sfDir)
+      .select(col("user_id"), col("acf_1"))
+    // Durbin-Levinson level 1 IS the lag-1 autocorrelation.
+    assert(p.join(a, "user_id").filter(col("pacf_1") =!= col("acf_1")).count() == 0)
+    Seq("pacf_1", "pacf_2", "pacf_3").foreach { c =>
+      assert(p.filter(col(c) < -1.0001 || col(c) > 1.0001).count() == 0, s"$c out of range")
+    }
+  }
+
   test("query column names match oracle aliases (driver hashes by name)") {
     // Spot-check: no generated names like sum(x) leak into output schemas.
     SparkEntry.queries.foreach { case (name, fn) =>
