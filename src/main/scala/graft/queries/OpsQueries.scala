@@ -441,7 +441,9 @@ object OpsQueries {
         exactSum(round4(col("resid") * col("resid"))).as("sxx"))
       val z = round4(col("resid") / nullif(
         CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")), lit(0.0)))
-      hw.join(st, "user_id")
+      // st is a bounded per-series aggregate, but it hangs off the
+      // RDD-backed fold (no stats) so Catalyst would SMJ — broadcast it.
+      hw.join(broadcast(st), "user_id")
         .select(col("user_id"), col("day"), round4(col("m")).as("day_mean"),
           col("resid"), z.as("hw_z"),
           when(abs(z) > 2.0, 1L).otherwise(0L).as("is_anomaly"))
