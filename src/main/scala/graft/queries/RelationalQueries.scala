@@ -849,6 +849,148 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"), col("n_name"),
           CleanFunctions.round4(col("rev").cast(DoubleType)).as("revenue"))
         .orderBy(desc("revenue"), col("c_custkey")).limit(20)
+    },
+
+    // TPC-H Q9 shape (product-type profit by nation and year; no
+    // partsupp table in this schema, so profit = discounted revenue
+    // rather than revenue - supplycost*qty — the plan shape is the
+    // point): name-filtered part prunes the fact scan via a broadcast
+    // semijoin-able dim, supplier/nation are bounded broadcasts, the
+    // orders join (for the year) is the one fact-fact shuffle.
+    "q9_nation_profit" -> { (s, d) =>
+      val p = Tables.part(s, d).where(col("p_name").contains("bolt"))
+        .select("p_partkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+          .cast(DoubleType).as("profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    },
+
+    // TPC-H Q11 shape (value-share HAVING against a global scalar):
+    // parts whose shipped value exceeds 1.2x the average part's value
+    // (Q11's literal 0.0001/SF fraction is scale-dependent by design;
+    // value*n*5 > total*6 is the scale-free equivalent, with the 6/5
+    // ratio spelled in integers). Every compare stays in exact DECIMAL
+    // (intermediate re-cast to DECIMAL(28,4) mirrored in the oracle) so
+    // the keep/drop decision is bit-identical across engines — a double
+    // fraction could flip a borderline part. The total is a second
+    // map-side-partial agg of the same base, broadcast as one row; no
+    // window, no second scan of the fact.
+    "q11_part_value" -> { (s, d) =>
+      val value = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
+          .cast(DecimalType(28, 4)).as("value"))
+      val total = value.agg(sum(col("value")).cast(DecimalType(28, 4)).as("total"),
+        count(lit(1)).cast(DecimalType(10, 0)).as("n"))
+      value.crossJoin(broadcast(total))
+        .where((col("value") * col("n")).cast(DecimalType(28, 4)) * lit(5) >
+          col("total") * lit(6))
+        .select(col("l_partkey"),
+          CleanFunctions.round4(col("value").cast(DoubleType)).as("value"))
+        .orderBy(desc("value"), col("l_partkey"))
+    },
+
+    // TPC-H Q12 shape (two-class conditional counts per category):
+    // among lines shipped >30 days after order placement, count
+    // critical-priority (1-URGENT/2-HIGH) vs other orders per return
+    // flag. One fact-fact shuffle join, then a single grouped pass with
+    // two conditional integer sums (no second join, no pivot).
+    "q12_priority_lines" -> { (s, d) =>
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): left-outer
+    // customer->orders (keeping zero-order customers), count per
+    // customer, then the distribution of those counts. The second agg
+    // runs on the O(#customers) intermediate; excluding LOW-priority
+    // orders stands in for Q13's comment filter (the filter must sit
+    // INSIDE the outer join's right side, not after it — a post-join
+    // WHERE would silently turn it inner).
+    "q13_order_distribution" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .where(col("o_orderpriority") =!= "5-LOW")
+        .select("o_custkey", "o_orderkey")
+      val perCust = Tables.customer(s, d).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // TPC-H Q20 shape (excess-volume supplier semijoin chain): suppliers
+    // who shipped more than half their all-time volume of a name-filtered
+    // part family during 1997 alone (no partsupp: the availqty>half-
+    // shipped test becomes a 1997-vs-all-time volume test — same
+    // two-aggregate + HAVING + semijoin chain). Quantity sums compare in
+    // exact DECIMAL (qty97*2 > qtyAll); the supplier join-back is a
+    // bounded-dim broadcast semijoin.
+    "q20_excess_suppliers" -> { (s, d) =>
+      val p = Tables.part(s, d).where(col("p_name").contains("widget"))
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"),
+          year(col("l_shipdate")).as("yr"))
+      val vol = li.groupBy("l_suppkey", "l_partkey")
+        .agg(
+          sum(when(col("yr") === 1997, col("l_quantity").cast(DecimalType(18, 6)))
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("qty97"),
+          sum(col("l_quantity").cast(DecimalType(18, 6))).as("qty_all"))
+        .where(col("qty97") * lit(2) > col("qty_all"))
+      Tables.supplier(s, d)
+        .join(vol, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept waiting orders): a supplier's
+    // line is late if it shipped >90 days after order placement; the
+    // supplier qualifies on a multi-supplier order where it is the ONLY
+    // late one. The textbook EXISTS/NOT-EXISTS double correlation is
+    // decorrelated into ONE grouped pass per order (distinct suppliers,
+    // distinct late suppliers, my-late flag) — two fewer self-joins of
+    // the fact than the literal plan, and the per-order aggregate is
+    // what shuffles, not lineitem² pairs.
+    "q21_waiting_suppliers" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late"))
+      val perOrder = li.groupBy("l_orderkey").agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      li.where(col("late")).select("l_orderkey", "l_suppkey").distinct()
+        .join(perOrder.where(col("n_supps") > 1 && col("n_late") === 1),
+          "l_orderkey")
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_suppkey"))
     }
   )
 
@@ -1286,6 +1428,77 @@ object RelationalQueries {
          |WHERE c_acctbal > avg_bal
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |                  AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
-         |GROUP BY n_name ORDER BY n_name""".stripMargin
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q9_nation_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_part_value" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey,
+         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(28,4)) AS value
+         |  FROM lineitem GROUP BY l_partkey),
+         |t AS (SELECT CAST(sum(value) AS DECIMAL(28,4)) AS total,
+         |      CAST(count(*) AS DECIMAL(10,0)) AS n FROM v)
+         |SELECT l_partkey, ${CleanFunctions.round4Sql("CAST(value AS DOUBLE)")} AS value
+         |FROM v, t WHERE CAST(value * n AS DECIMAL(28,4)) * 5 > total * 6
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_partkey, l_quantity, year(l_shipdate) AS yr
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%widget%'),
+        |vol AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    sum(CASE WHEN yr = 1997 THEN CAST(l_quantity AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS qty97,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty_all
+        |  FROM li GROUP BY l_suppkey, l_partkey
+        |  HAVING qty97 * 2 > qty_all)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM vol WHERE vol.l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // EXISTS/NOT-EXISTS correlated form on purpose — independent of the
+    // Spark plan's decorrelated per-order-aggregate rewrite.
+    "q21_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM li l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM li l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin
   )
 }
