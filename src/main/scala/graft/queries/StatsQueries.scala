@@ -901,6 +901,73 @@ object StatsQueries {
             CleanFunctions.momentStd(col("n_gaps").cast(DoubleType), col("sg"), col("sgg")),
             col("mean_gap"))).as("cv"))
         .orderBy("o_custkey")
+    },
+
+    // Ljung-Box portmanteau test per series (the residual-whiteness gate
+    // after any fit — the hypothesis-test companion of ts_acf/ts_pacf):
+    // Q = n(n+2)·Σ_{k=1..5} ρ_k²/(n−k), ρ_k from the standard
+    // full-sample-variance ACF estimator; Q > 11.07 (χ²₅ at 5%) rejects
+    // whiteness. All five lags come off ONE keyed window pass (five lag()
+    // calls share the sort); deviations rounded 6dp and products 4dp
+    // before the DECIMAL sums; the five IEEE terms are summed in the
+    // spelled-out left-assoc order on both engines.
+    "ts_ljung_box" -> { (s, d) =>
+      val wOrd = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val lags = 1 to 5
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+      val st = e.groupBy("user_id").agg(
+        count(lit(1)).cast(DoubleType).as("n"), exactSum(col("value")).as("sx"))
+      var dev = e.join(st, "user_id")
+        .withColumn("dev", CleanFunctions.round6(col("value") - col("sx") / col("n")))
+      for (k <- lags)
+        dev = dev.withColumn(s"l$k", lag(col("dev"), k).over(wOrd))
+      val agg = dev.groupBy("user_id").agg(
+        max(col("n")).as("nd"),
+        exactSum(round4(col("dev") * col("dev"))).as("den")
+          +: lags.map(k => exactSum(round4(col("dev") * col(s"l$k"))).as(s"num$k")): _*)
+      val terms = lags.map { k =>
+        val rho = CleanFunctions.safeDiv(col(s"num$k"), col("den"))
+        CleanFunctions.round6(rho * rho / (col("nd") - lit(k.toDouble)))
+      }
+      val q = round4(col("nd") * (col("nd") + lit(2.0)) * terms.reduce(_ + _))
+      agg.select(col("user_id"), col("nd").cast(LongType).as("n_obs"),
+          q.as("lb_q"),
+          when(q > 11.07, lit(1L)).otherwise(lit(0L)).as("autocorrelated"))
+        .orderBy("user_id")
+    },
+
+    // Dickey-Fuller unit-root test per series (the reject-side
+    // stationarity gate pairing ts_kpss: DF rejects a unit root, KPSS
+    // rejects stationarity — agreement between the two is the textbook
+    // protocol): Δy_t = α + β·y_{t−1} solved in closed form from ONE
+    // pass of exact-DECIMAL pair moments (no iterative fit), t(β̂) vs
+    // the -2.86 DF critical value (5%, constant, no trend). Products
+    // rounded 4dp before the sums; RSS clamped at 0 so sqrt never NaNs.
+    "ts_adf" -> { (s, d) =>
+      val wOrd = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("xl", lag(col("value"), 1).over(wOrd))
+        .withColumn("dy", col("value") - col("xl"))
+        .where(col("xl").isNotNull)
+      val m = e.groupBy("user_id").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        exactSum(col("xl")).as("sx"), exactSum(col("dy")).as("sy"),
+        exactSum(round4(col("xl") * col("dy"))).as("sxy"),
+        exactSum(round4(col("xl") * col("xl"))).as("sxx"),
+        exactSum(round4(col("dy") * col("dy"))).as("syy"))
+      val sxxC = col("sxx") - col("sx") * col("sx") / col("n")
+      val sxyC = col("sxy") - col("sx") * col("sy") / col("n")
+      val syyC = col("syy") - col("sy") * col("sy") / col("n")
+      val beta = CleanFunctions.safeDiv(sxyC, sxxC)
+      val rss  = greatest(syyC - beta * sxyC, lit(0.0))
+      val t    = round4(CleanFunctions.safeDiv(beta,
+        nullif(sqrt(rss / ((col("n") - 2.0) * sxxC)), lit(0.0))))
+      m.select(col("user_id"), col("n").cast(LongType).as("n_pairs"),
+          round4(beta).as("beta"), t.as("adf_t"),
+          when(t > -2.86, lit(1L)).otherwise(lit(0L)).as("unit_root"))
+        .orderBy("user_id")
     })
 
   private val PsSqlList =
@@ -1631,6 +1698,61 @@ object StatsQueries {
          |t AS (SELECT *, sg / CAST(n_gaps AS DOUBLE) AS mean_gap FROM m)
          |SELECT o_custkey, n_gaps, ${round4Sql("mean_gap")} AS mean_gap_days,
          |  ${round4Sql(s"${CleanFunctions.momentStdSql("CAST(n_gaps AS DOUBLE)", "sg", "sgg")} / nullif(mean_gap, 0.0)")} AS cv
-         |FROM t ORDER BY o_custkey""".stripMargin
+         |FROM t ORDER BY o_custkey""".stripMargin,
+
+    "ts_ljung_box" -> {
+      val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0)"
+      val term = (k: Int) =>
+        round6(s"(num$k / nullif(den, 0.0)) * (num$k / nullif(den, 0.0)) / (nd - $k.0)")
+      val q = round4Sql(s"nd * (nd + 2.0) * (${(1 to 5).map(term).mkString(" + ")})")
+      s"""WITH st AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("value")} AS sx
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |dv AS (
+         |  SELECT e.user_id, st.n, epoch_us(e.ts) AS tsu, e.event_id,
+         |    ${round6("e.value - st.sx / st.n")} AS dev
+         |  FROM events e JOIN st USING (user_id) WHERE e.value IS NOT NULL),
+         |lg AS (
+         |  SELECT user_id, n, dev,
+         |    ${(1 to 5).map(k => s"lag(dev, $k) OVER w AS l$k").mkString(", ")}
+         |  FROM dv WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |a AS (
+         |  SELECT user_id, max(n) AS nd,
+         |    ${exactSumSql(round4Sql("dev * dev"))} AS den,
+         |    ${(1 to 5).map(k => s"${exactSumSql(round4Sql(s"dev * l$k"))} AS num$k").mkString(", ")}
+         |  FROM lg GROUP BY 1)
+         |SELECT user_id, CAST(nd AS BIGINT) AS n_obs, $q AS lb_q,
+         |  CAST(CASE WHEN $q > 11.07 THEN 1 ELSE 0 END AS BIGINT) AS autocorrelated
+         |FROM a ORDER BY user_id""".stripMargin
+    },
+
+    "ts_adf" -> {
+      val sxxC = "(sxx - sx * sx / n)"
+      val sxyC = "(sxy - sx * sy / n)"
+      val syyC = "(syy - sy * sy / n)"
+      val beta = s"($sxyC / nullif($sxxC, 0.0))"
+      val rss  = s"greatest($syyC - $beta * $sxyC, 0.0)"
+      val t    = round4Sql(s"$beta / nullif(sqrt($rss / ((n - 2.0) * $sxxC)), 0.0)")
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events
+         |  WHERE value IS NOT NULL),
+         |p AS (
+         |  SELECT user_id, value,
+         |    lag(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS xl
+         |  FROM e),
+         |pp AS (SELECT user_id, xl, value - xl AS dy FROM p WHERE xl IS NOT NULL),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("xl")} AS sx, ${exactSumSql("dy")} AS sy,
+         |    ${exactSumSql(round4Sql("xl * dy"))} AS sxy,
+         |    ${exactSumSql(round4Sql("xl * xl"))} AS sxx,
+         |    ${exactSumSql(round4Sql("dy * dy"))} AS syy
+         |  FROM pp GROUP BY 1)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+         |  ${round4Sql(beta)} AS beta, $t AS adf_t,
+         |  CAST(CASE WHEN $t > -2.86 THEN 1 ELSE 0 END AS BIGINT) AS unit_root
+         |FROM m ORDER BY user_id""".stripMargin
+    }
     )
 }
