@@ -968,6 +968,65 @@ object StatsQueries {
           round4(beta).as("beta"), t.as("adf_t"),
           when(t > -2.86, lit(1L)).otherwise(lit(0L)).as("unit_root"))
         .orderBy("user_id")
+    },
+
+    // Engle-Granger two-step cointegration test on series pairs over the
+    // daily grid (do two non-stationary series share a common stochastic
+    // trend? THE pairs-trading / long-run-equilibrium primitive; the
+    // bivariate capstone of the ts_adf/ts_kpss family): step 1 fits
+    // y~[1,x] in closed form from one exact-DECIMAL moment pass; step 2
+    // runs the NO-CONSTANT Dickey-Fuller regression on the 4dp-rounded
+    // residuals over CONSECUTIVE days only (a calendar gap contributes
+    // no Δe pair), t(γ̂) vs the −3.37 Engle-Granger 5% critical value
+    // (2 variables). Same user sampling as ts_granger bounds pairs; the
+    // residual pass joins the O(pairs) moment table back on the pair key
+    // (shuffle, NOT broadcast — pairs are corpus-proportional).
+    "ts_coint" -> { (s, d) =>
+      val dec = DecimalType(28, 6)
+      val day = lit(86400000000L)
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .filter(col("user_id") % 10 === 0)
+        .groupBy(col("user_id"), CleanFunctions.epochUs(date_trunc("day", col("ts"))).as("b"))
+        .agg(CleanFunctions.exactMean(col("value")).as("v"))
+        .cache()
+      val rows = daily.as("y")
+        .join(daily.as("x"),
+          col("x.b") === col("y.b") && col("x.user_id") =!= col("y.user_id"))
+        .select(col("y.user_id").as("yu"), col("x.user_id").as("xu"),
+          col("y.b").as("b"), col("y.v").as("yv"), col("x.v").as("xv"))
+      val m = rows.groupBy("yu", "xu").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("xv").cast(dec)).cast(DoubleType).as("sx"),
+        sum(col("yv").cast(dec)).cast(DoubleType).as("sy"),
+        sum((col("xv") * col("yv")).cast(dec)).cast(DoubleType).as("sxy"),
+        sum((col("xv") * col("xv")).cast(dec)).cast(DoubleType).as("sxx"))
+        .where(col("n") > 4.0)
+      val beta  = (col("sxy") - col("sx") * col("sy") / col("n")) /
+        nullif(col("sxx") - col("sx") * col("sx") / col("n"), lit(0.0))
+      val wOrd = Window.partitionBy("yu", "xu").orderBy("b")
+      val res = rows.join(m, Seq("yu", "xu"))
+        .withColumn("beta", beta)
+        .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / col("n"))
+        .withColumn("e", round4(col("yv") - (col("alpha") + col("beta") * col("xv"))))
+        .withColumn("el", lag(col("e"), 1).over(wOrd))
+        .withColumn("bl", lag(col("b"), 1).over(wOrd))
+        .where(col("bl") === col("b") - day)
+        .withColumn("de", col("e") - col("el"))
+      val df = res.groupBy("yu", "xu").agg(
+        max(col("beta")).as("mb"),
+        count(lit(1)).cast(DoubleType).as("np"),
+        exactSum(round4(col("el") * col("de"))).as("sg"),
+        exactSum(round4(col("el") * col("el"))).as("sll"),
+        exactSum(round4(col("de") * col("de"))).as("sdd"))
+        .where(col("np") > 3.0)
+      val gam = CleanFunctions.safeDiv(col("sg"), col("sll"))
+      val rss = greatest(col("sdd") - gam * col("sg"), lit(0.0))
+      val t   = round4(CleanFunctions.safeDiv(gam,
+        nullif(sqrt(rss / ((col("np") - 1.0) * col("sll"))), lit(0.0))))
+      df.select(col("yu"), col("xu"), col("np").cast(LongType).as("n_obs"),
+          round4(col("mb")).as("beta"), t.as("eg_t"),
+          when(t < -3.37, lit(1L)).otherwise(lit(0L)).as("cointegrated"))
+        .orderBy("yu", "xu")
     })
 
   private val PsSqlList =
@@ -1753,6 +1812,50 @@ object StatsQueries {
          |  ${round4Sql(beta)} AS beta, $t AS adf_t,
          |  CAST(CASE WHEN $t > -2.86 THEN 1 ELSE 0 END AS BIGINT) AS unit_root
          |FROM m ORDER BY user_id""".stripMargin
+    },
+
+    "ts_coint" -> {
+      val dsum = (x: String) => s"CAST(sum(CAST(($x) AS DECIMAL(28,6))) AS DOUBLE)"
+      val gam  = "(sg / nullif(sll, 0.0))"
+      val rss  = s"greatest(sdd - $gam * sg, 0.0)"
+      val t    = round4Sql(s"$gam / nullif(sqrt($rss / ((np - 1.0) * sll)), 0.0)")
+      s"""WITH h AS (
+         |  SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS b,
+         |    ${CleanFunctions.exactMeanSql("value")} AS v
+         |  FROM events WHERE value IS NOT NULL AND user_id % 10 = 0 GROUP BY 1, 2),
+         |r AS (
+         |  SELECT y.user_id AS yu, x.user_id AS xu, y.b AS b,
+         |    y.v AS yv, x.v AS xv
+         |  FROM h y JOIN h x ON x.b = y.b AND x.user_id <> y.user_id),
+         |m AS (
+         |  SELECT yu, xu, CAST(count(*) AS DOUBLE) AS n,
+         |    ${dsum("xv")} AS sx, ${dsum("yv")} AS sy,
+         |    ${dsum("xv * yv")} AS sxy, ${dsum("xv * xv")} AS sxx
+         |  FROM r GROUP BY 1, 2 HAVING CAST(count(*) AS DOUBLE) > 4.0),
+         |j AS (
+         |  SELECT r.yu, r.xu, r.b, r.yv, r.xv, n, sx, sy,
+         |    (sxy - sx * sy / n) / nullif(sxx - sx * sx / n, 0.0) AS beta
+         |  FROM r JOIN m USING (yu, xu)),
+         |e AS (
+         |  SELECT yu, xu, b, beta,
+         |    ${round4Sql("yv - (((sy - beta * sx) / n) + beta * xv)")} AS e
+         |  FROM j),
+         |l AS (
+         |  SELECT yu, xu, b, beta, e, lag(e) OVER w AS el, lag(b) OVER w AS bl
+         |  FROM e WINDOW w AS (PARTITION BY yu, xu ORDER BY b)),
+         |p AS (
+         |  SELECT yu, xu, beta, el, e - el AS de
+         |  FROM l WHERE bl = b - 86400000000),
+         |df AS (
+         |  SELECT yu, xu, max(beta) AS mb, CAST(count(*) AS DOUBLE) AS np,
+         |    ${exactSumSql(round4Sql("el * de"))} AS sg,
+         |    ${exactSumSql(round4Sql("el * el"))} AS sll,
+         |    ${exactSumSql(round4Sql("de * de"))} AS sdd
+         |  FROM p GROUP BY 1, 2 HAVING CAST(count(*) AS DOUBLE) > 3.0)
+         |SELECT yu, xu, CAST(np AS BIGINT) AS n_obs,
+         |  ${round4Sql("mb")} AS beta, $t AS eg_t,
+         |  CAST(CASE WHEN $t < -3.37 THEN 1 ELSE 0 END AS BIGINT) AS cointegrated
+         |FROM df ORDER BY yu, xu""".stripMargin
     }
     )
 }
