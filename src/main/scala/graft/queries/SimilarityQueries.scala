@@ -419,6 +419,45 @@ object SimilarityQueries {
         .map { case ((id, sc), i) => (i + 1L, id, sc) }
         .toDF("sel_rank", "vec_id", "mmr_score")
         .orderBy("sel_rank")
+    },
+
+    // Local Outlier Factor over embeddings (k=5, cosine distance) — the
+    // DENSITY-relative outlier detector next to the distance-to-centroid
+    // emb_outliers: a point in a sparse region among dense clusters
+    // scores high even when its absolute distances look normal.
+    // LOF(a) = mean_{b∈kNN(a)} lrd(b) / lrd(a), lrd = k / Σ reach,
+    // reach(a←b) = max(kdist(b), d(a,b)). The all-pairs stage is the
+    // brute-force baseline (the LSH/IVF bucketing above is the 100 TB
+    // blocking path); everything downstream joins on point ids and
+    // windows partition per point. Distances rounded 4dp with id
+    // tie-breaks so both engines pick identical neighbor sets.
+    "emb_lof" -> { (s, d) =>
+      import graft.functions.CleanFunctions.{exactSum, round4}
+      val K = 5
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding").cache()
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round4(lit(1.0) -
+            TextFunctions.cosine(col("a.embedding"), col("b.embedding"))).as("dist"))
+      val w = Window.partitionBy("a_id").orderBy(col("dist"), col("b_id"))
+      val ranked = pairs.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= K).cache()
+      val kdist = ranked.where(col("rk") === K)
+        .select(col("a_id").as("kd_id"), col("dist").as("kdist"))
+      val reach = ranked.join(kdist, col("b_id") === col("kd_id"))
+        .select(col("a_id"), col("b_id"),
+          greatest(col("kdist"), col("dist")).as("reach"))
+      val lrd = reach.groupBy("a_id").agg(
+        round4(lit(5.0) / nullif(exactSum(col("reach")), lit(0.0))).as("lrd"))
+      val lof = round4((col("slrd") / lit(5.0)) / nullif(col("lrd"), lit(0.0)))
+      ranked
+        .join(lrd.select(col("a_id").as("nb"), col("lrd").as("lrd_b")),
+          col("b_id") === col("nb"))
+        .groupBy("a_id").agg(exactSum(col("lrd_b")).as("slrd"))
+        .join(lrd, "a_id")
+        .select(col("a_id").as("vec_id"), lof.as("lof"),
+          when(lof > 1.5, 1L).otherwise(0L).as("is_outlier"))
+        .orderBy("vec_id")
     }
   )
 
@@ -771,6 +810,35 @@ object SimilarityQueries {
          |$steps
          |SELECT rk AS sel_rank, vec_id, score AS mmr_score
          |FROM sel8 ORDER BY sel_rank""".stripMargin
+    },
+
+    "emb_lof" -> {
+      def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0)"
+      val dsum = (x: String) => graft.functions.CleanFunctions.exactSumSql(x)
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${r4(s"1.0 - (${TextFunctions.cosineSql("a.embedding", "b.embedding")})")} AS dist
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |r AS MATERIALIZED (
+         |  SELECT a_id, b_id, dist,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rk
+         |  FROM p),
+         |knn AS (SELECT a_id, b_id, dist FROM r WHERE rk <= 5),
+         |kd AS (SELECT a_id AS kd_id, dist AS kdist FROM r WHERE rk = 5),
+         |rc AS (
+         |  SELECT knn.a_id, knn.b_id, greatest(kd.kdist, knn.dist) AS reach
+         |  FROM knn JOIN kd ON knn.b_id = kd.kd_id),
+         |lrd AS MATERIALIZED (
+         |  SELECT a_id, ${r4(s"5.0 / nullif(${dsum("reach")}, 0.0)")} AS lrd
+         |  FROM rc GROUP BY a_id),
+         |sl AS (
+         |  SELECT knn.a_id, ${dsum("lb.lrd")} AS slrd
+         |  FROM knn JOIN lrd lb ON knn.b_id = lb.a_id GROUP BY knn.a_id)
+         |SELECT sl.a_id AS vec_id,
+         |  ${r4("(slrd / 5.0) / nullif(l.lrd, 0.0)")} AS lof,
+         |  CAST(CASE WHEN ${r4("(slrd / 5.0) / nullif(l.lrd, 0.0)")} > 1.5
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+         |FROM sl JOIN lrd l ON sl.a_id = l.a_id ORDER BY vec_id""".stripMargin
     }
   )
 }
