@@ -910,6 +910,35 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_overlaps"),
           sum(least(col("hi1"), col("hi2")) - greatest(col("lo1"), col("lo2"))).as("overlap_us"))
         .orderBy("u1", "u2")
+    },
+
+    // Multi-window SLO burn-rate alerting (the SRE page rule: alert only
+    // when BOTH a fast and a slow window burn the error budget — fast
+    // catches the spike, slow filters the blip): error share over
+    // trailing 1h and 6h TIME-RANGE windows / the 0.2 error budget
+    // (SLO 80%); page when burn_1h > 1.5 AND burn_6h > 1.2. Counts are
+    // integer window sums (range frames handle timestamp ties identically
+    // on both engines — no tie-break needed), burns single IEEE
+    // divisions rounded 4dp BEFORE the page comparison. Keyed windows
+    // partition per series; nothing global.
+    "events_slo_burn" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val hourUs = 3600L * 1000000
+      val w1 = Window.partitionBy("user_id").orderBy("tsu")
+        .rangeBetween(-hourUs, 0)
+      val w6 = Window.partitionBy("user_id").orderBy("tsu")
+        .rangeBetween(-6 * hourUs, 0)
+      def burn(w: org.apache.spark.sql.expressions.WindowSpec) = round4(
+        (sum(col("err")).over(w).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType)) / lit(0.2))
+      val b1 = burn(w1); val b6 = burn(w6)
+      ev(s, d)
+        .withColumn("err", when(col("event_type") === "error", 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          b1.as("burn_1h"), b6.as("burn_6h"),
+          when(b1 > 1.5 && b6 > 1.2, 1L).otherwise(0L).as("page"))
+        .orderBy("event_id")
     })
 
   /** Shared Holt-Winters recursive-CTE scaffolding (daily means, rn, and
@@ -1596,5 +1625,25 @@ object OpsQueries {
          |  sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS overlap_us
          |FROM d a JOIN d b
          |  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_slo_burn" -> {
+      val hourUs = 3600L * 1000000
+      def burn(w: String) = round4Sql(
+        s"(CAST(sum(err) OVER $w AS DOUBLE) / CAST(count(*) OVER $w AS DOUBLE)) / 0.2")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsu,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+         |  FROM events)
+         |SELECT event_id, user_id,
+         |  ${burn("w1")} AS burn_1h, ${burn("w6")} AS burn_6h,
+         |  CAST(CASE WHEN ${burn("w1")} > 1.5 AND ${burn("w6")} > 1.2
+         |    THEN 1 ELSE 0 END AS BIGINT) AS page
+         |FROM e WINDOW
+         |  w1 AS (PARTITION BY user_id ORDER BY tsu
+         |    RANGE BETWEEN $hourUs PRECEDING AND CURRENT ROW),
+         |  w6 AS (PARTITION BY user_id ORDER BY tsu
+         |    RANGE BETWEEN ${6 * hourUs} PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin
+    })
 }
