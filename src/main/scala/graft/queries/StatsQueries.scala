@@ -1027,6 +1027,138 @@ object StatsQueries {
           round4(col("mb")).as("beta"), t.as("eg_t"),
           when(t < -3.37, lit(1L)).otherwise(lit(0L)).as("cointegrated"))
         .orderBy("yu", "xu")
+    },
+
+    // Wald-Wolfowitz runs test per series: are the above/below-median
+    // signs randomly ordered, or do they clump (trend / regime drift)
+    // or alternate (overdifferenced / oscillating)? The nonparametric
+    // randomness screen run BEFORE trusting any iid-threshold detector
+    // (ref pipeline thresholds assume exchangeable residuals,
+    // main.py:208-233). Median via the rank-interpolation percentile
+    // (no per-group value buffering), exact integer run/side counts on
+    // one keyed lag window, closed-form normal approximation. Values
+    // equal to the median are excluded (standard treatment), so every
+    // surviving sign is +/- and both engines count identical runs.
+    "ts_runs_test" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val med = StatsOps.rankPercentiles(e, Seq("user_id"), "value", Seq(0.5))
+        .select(col("user_id"), col("pct").as("med"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val signed = e.join(med, "user_id")
+        .where(col("value") =!= col("med"))
+        .withColumn("sgn", (col("value") > col("med")).cast(LongType))
+        .withColumn("prev", lag(col("sgn"), 1).over(w))
+      val g = signed.groupBy("user_id").agg(
+        count(when(col("sgn") === 1L, 1)).as("n_pos"),
+        count(when(col("sgn") === 0L, 1)).as("n_neg"),
+        (count(when(col("prev").isNotNull && col("prev") =!= col("sgn"), 1)) + 1L)
+          .as("n_runs"))
+      val n1 = col("n_pos").cast(DoubleType)
+      val n2 = col("n_neg").cast(DoubleType)
+      val mu = lit(2.0) * n1 * n2 / (n1 + n2) + lit(1.0)
+      val z4 = round4((col("n_runs").cast(DoubleType) - mu) /
+        nullif(sqrt((mu - 1.0) * (mu - 2.0) / (n1 + n2 - 1.0)), lit(0.0)))
+      g.select(col("user_id"), col("n_pos"), col("n_neg"), col("n_runs"),
+          z4.as("z"), (abs(z4) <= 1.96).cast(LongType).as("is_random"))
+        .orderBy("user_id")
+    },
+
+    // Yule-Walker AR(2) fit + one-step forecast per series: the
+    // closed-form autoregressive forecaster (phi1, phi2 from the lag-1/2
+    // autocorrelations — the same Durbin-Levinson level-2 coefficients
+    // ts_pacf exposes, here USED to forecast). Output also carries the
+    // innovation-variance fraction 1 - phi1*r1 - phi2*r2 (how much
+    // variance the AR structure explains). One keyed lag window +
+    // DECIMAL-exact moment pass + a tiny last-two-rows window; the
+    // downstream algebra runs on 4dp-rounded correlations so both
+    // engines compute on identical doubles.
+    "ts_ar2_forecast" -> { (s, d) =>
+      val dec = DecimalType(28, 6)
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      def moments(k: Int): Seq[org.apache.spark.sql.Column] = {
+        val x = col("value"); val y = col(s"y$k"); val valid = y.isNotNull
+        Seq(
+          count(when(valid, 1)).cast(DoubleType).as(s"n$k"),
+          sum(when(valid, x).cast(dec)).cast(DoubleType).as(s"sx$k"),
+          sum(when(valid, y).cast(dec)).cast(DoubleType).as(s"sy$k"),
+          sum(when(valid, x * y).cast(dec)).cast(DoubleType).as(s"sxy$k"),
+          sum(when(valid, x * x).cast(dec)).cast(DoubleType).as(s"sxx$k"),
+          sum(when(valid, y * y).cast(dec)).cast(DoubleType).as(s"syy$k"))
+      }
+      def corrOf(k: Int) = round4(CleanFunctions.momentCorr(
+        col(s"n$k"), col(s"sx$k"), col(s"sy$k"),
+        col(s"sxy$k"), col(s"sxx$k"), col(s"syy$k")))
+      val aggs = moments(1) ++ moments(2) ++ Seq(
+        CleanFunctions.exactSum(col("value")).as("sx0"),
+        count(lit(1)).cast(DoubleType).as("n0"))
+      val m = e
+        .withColumn("y1", lag(col("value"), 1).over(w))
+        .withColumn("y2", lag(col("value"), 2).over(w))
+        .groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+        .withColumn("r1", corrOf(1)).withColumn("r2", corrOf(2))
+        .withColumn("phi2", (col("r2") - col("r1") * col("r1")) /
+          nullif(lit(1.0) - col("r1") * col("r1"), lit(0.0)))
+        .withColumn("phi1", col("r1") * (lit(1.0) - col("phi2")))
+      val wDesc = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+      val lastv = e.withColumn("rk", row_number().over(wDesc)).where(col("rk") <= 2)
+        .groupBy("user_id").agg(
+          max(when(col("rk") === 1, col("value"))).as("x1"),
+          max(when(col("rk") === 2, col("value"))).as("x2"))
+      val mean = col("sx0") / col("n0")
+      m.join(lastv, "user_id")
+        .select(col("user_id"), col("n0").cast(LongType).as("n_rows"),
+          round4(col("phi1")).as("phi1"), round4(col("phi2")).as("phi2"),
+          round4(mean + col("phi1") * (col("x1") - mean) +
+            col("phi2") * (col("x2") - mean)).as("forecast_1"),
+          round4(lit(1.0) - col("phi1") * col("r1") - col("phi2") * col("r2"))
+            .as("innov_var_frac"))
+        .orderBy("user_id")
+    },
+
+    // Kaplan-Meier product-limit survival curve over per-user activity
+    // lifetimes (hours from first to last event), right-censored for
+    // users still active within 12 h of the corpus end — the
+    // time-to-churn estimator that a naive "mean lifetime of churned
+    // users" biases low. The at-risk counts and the cumulative
+    // log-survival both come from a TRIANGULAR SELF-JOIN of the
+    // O(#distinct-durations) aggregate with itself (the duration domain
+    // is bounded by the time span, NOT corpus-proportional, so the
+    // broadcast is legitimate and there is no single-partition global
+    // window); per-step ln factors are 6dp-rounded then DECIMAL-summed
+    // so the product is order-independent on both engines.
+    "events_survival_km" -> { (s, d) =>
+      val eu = CleanFunctions.epochUs(col("ts"))
+      val du = Tables.events(s, d).groupBy("user_id")
+        .agg(min(eu).as("first_us"), max(eu).as("last_us"))
+      val g = du.agg(max(col("last_us")).as("gmax"))
+      val d0 = du.crossJoin(broadcast(g))
+        .select(expr("(last_us - first_us) div 3600000000").as("dur_h"),
+          when(col("last_us") <= col("gmax") - lit(43200000000L), 1L)
+            .otherwise(0L).as("observed"))
+      val t = d0.groupBy("dur_h").agg(
+        count(when(col("observed") === 1L, 1)).as("d"),
+        count(lit(1)).as("m"))
+      val tb = t.select(col("dur_h").as("t2"), col("m").as("m2"))
+      val r = t.join(broadcast(tb), col("t2") >= col("dur_h"))
+        .groupBy("dur_h", "d", "m").agg(sum(col("m2")).as("n_risk"))
+      val f = r
+        .withColumn("lnf", when(col("d") < col("n_risk"),
+          CleanFunctions.round6(log(lit(1.0) -
+            col("d").cast(DoubleType) / col("n_risk").cast(DoubleType)))
+            .cast(DecimalType(18, 6))))
+        .withColumn("iszero", when(col("d") >= col("n_risk"), 1L).otherwise(0L))
+      val fb = f.select(col("dur_h").as("t2"), col("lnf").as("lnf2"),
+        col("iszero").as("iszero2"))
+      val sdf = f.join(broadcast(fb), col("t2") <= col("dur_h"))
+        .groupBy("dur_h", "d", "m", "n_risk")
+        .agg(sum(col("lnf2")).as("lnsum"), sum(col("iszero2")).as("zc"))
+      sdf.where(col("d") > 0)
+        .select(col("dur_h").as("t_hours"), col("n_risk").cast(LongType).as("n_risk"),
+          col("d").as("d_events"), (col("m") - col("d")).as("censored"),
+          when(col("zc") > 0, lit(0.0))
+            .otherwise(round4(exp(col("lnsum").cast(DoubleType)))).as("survival"))
+        .orderBy("t_hours")
     })
 
   private val PsSqlList =
@@ -1856,6 +1988,125 @@ object StatsQueries {
          |  ${round4Sql("mb")} AS beta, $t AS eg_t,
          |  CAST(CASE WHEN $t < -3.37 THEN 1 ELSE 0 END AS BIGINT) AS cointegrated
          |FROM df ORDER BY yu, xu""".stripMargin
-    }
+    },
+
+    "ts_runs_test" -> {
+      val z = "((CAST(n_runs AS DOUBLE) - mu) / nullif(sqrt((mu - 1.0) * (mu - 2.0) / (nn - 1.0)), 0.0))"
+      val z4 = round4Sql(z)
+      s"""WITH r AS (
+         |  SELECT user_id, value AS v,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY value) - 1 AS rn0,
+         |         count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM events WHERE value IS NOT NULL),
+         |f AS (
+         |  SELECT user_id, v, rn0,
+         |         CAST(n - 1 AS DOUBLE) * 0.5 AS h,
+         |         floor(CAST(n - 1 AS DOUBLE) * 0.5) AS lo,
+         |         ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS hi
+         |  FROM r
+         |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * 0.5)
+         |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * 0.5)),
+         |med AS (
+         |  SELECT user_id,
+         |    ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(h) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS med
+         |  FROM f GROUP BY user_id),
+         |sg AS (
+         |  SELECT e.user_id, CAST(e.value > m.med AS BIGINT) AS sgn,
+         |         lag(CAST(e.value > m.med AS BIGINT))
+         |           OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS prev
+         |  FROM events e JOIN med m USING (user_id)
+         |  WHERE e.value IS NOT NULL AND e.value <> m.med),
+         |g AS (
+         |  SELECT user_id,
+         |    count(CASE WHEN sgn = 1 THEN 1 END) AS n_pos,
+         |    count(CASE WHEN sgn = 0 THEN 1 END) AS n_neg,
+         |    count(CASE WHEN prev IS NOT NULL AND prev <> sgn THEN 1 END) + 1 AS n_runs
+         |  FROM sg GROUP BY user_id),
+         |zz AS (
+         |  SELECT user_id, n_pos, n_neg, n_runs,
+         |    2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) /
+         |      (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1.0 AS mu,
+         |    CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) AS nn
+         |  FROM g)
+         |SELECT user_id, n_pos, n_neg, n_runs, $z4 AS z,
+         |  CAST((abs($z4) <= 1.96) AS BIGINT) AS is_random
+         |FROM zz ORDER BY user_id""".stripMargin
+    },
+
+    "ts_ar2_forecast" -> {
+      def mom(k: Int) =
+        s"""CAST(count(CASE WHEN y$k IS NOT NULL THEN 1 END) AS DOUBLE) AS n$k,
+           |    CAST(sum(CASE WHEN y$k IS NOT NULL THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sx$k,
+           |    CAST(sum(CASE WHEN y$k IS NOT NULL THEN CAST(y$k AS DECIMAL(28,6)) END) AS DOUBLE) AS sy$k,
+           |    CAST(sum(CASE WHEN y$k IS NOT NULL THEN CAST(value * y$k AS DECIMAL(28,6)) END) AS DOUBLE) AS sxy$k,
+           |    CAST(sum(CASE WHEN y$k IS NOT NULL THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx$k,
+           |    CAST(sum(CASE WHEN y$k IS NOT NULL THEN CAST(y$k * y$k AS DECIMAL(28,6)) END) AS DOUBLE) AS syy$k""".stripMargin
+      def corrOf(k: Int) = round4Sql(CleanFunctions.momentCorrSql(
+        s"n$k", s"sx$k", s"sy$k", s"sxy$k", s"sxx$k", s"syy$k"))
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    lag(value) OVER w AS y1, lag(value, 2) OVER w AS y2
+         |  FROM events WHERE value IS NOT NULL
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |m AS (
+         |  SELECT user_id,
+         |    CAST(count(*) AS DOUBLE) AS n0,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx0,
+         |    ${mom(1)},
+         |    ${mom(2)}
+         |  FROM e GROUP BY user_id),
+         |rr AS (
+         |  SELECT user_id, n0, sx0, ${corrOf(1)} AS r1, ${corrOf(2)} AS r2
+         |  FROM m),
+         |ph AS (
+         |  SELECT user_id, n0, sx0, r1, r2,
+         |    (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS phi2
+         |  FROM rr),
+         |p2 AS (SELECT *, r1 * (1.0 - phi2) AS phi1 FROM ph),
+         |lv AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN rk = 1 THEN value END) AS x1,
+         |    max(CASE WHEN rk = 2 THEN value END) AS x2
+         |  FROM (SELECT user_id, value, row_number() OVER
+         |          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+         |        FROM events WHERE value IS NOT NULL)
+         |  WHERE rk <= 2 GROUP BY user_id)
+         |SELECT p.user_id, CAST(p.n0 AS BIGINT) AS n_rows,
+         |  ${round4Sql("p.phi1")} AS phi1, ${round4Sql("p.phi2")} AS phi2,
+         |  ${round4Sql("p.sx0 / p.n0 + p.phi1 * (l.x1 - p.sx0 / p.n0) + p.phi2 * (l.x2 - p.sx0 / p.n0)")} AS forecast_1,
+         |  ${round4Sql("1.0 - p.phi1 * p.r1 - p.phi2 * p.r2")} AS innov_var_frac
+         |FROM p2 p JOIN lv l USING (user_id) ORDER BY p.user_id""".stripMargin
+    },
+
+    "events_survival_km" ->
+      s"""WITH du AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY user_id),
+         |g AS (SELECT max(last_us) AS gmax FROM du),
+         |d0 AS (
+         |  SELECT (last_us - first_us) // 3600000000 AS dur_h,
+         |         CASE WHEN last_us <= gmax - 43200000000 THEN 1 ELSE 0 END AS observed
+         |  FROM du, g),
+         |t AS (
+         |  SELECT dur_h, count(CASE WHEN observed = 1 THEN 1 END) AS d, count(*) AS m
+         |  FROM d0 GROUP BY dur_h),
+         |r AS (
+         |  SELECT a.dur_h, a.d, a.m, CAST(sum(b.m) AS BIGINT) AS n_risk
+         |  FROM t a JOIN t b ON b.dur_h >= a.dur_h
+         |  GROUP BY a.dur_h, a.d, a.m),
+         |f AS (
+         |  SELECT dur_h, d, m, n_risk,
+         |    CASE WHEN d < n_risk THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) END AS lnf,
+         |    CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS iszero
+         |  FROM r),
+         |s AS (
+         |  SELECT a.dur_h, a.d, a.m, a.n_risk,
+         |    sum(b.lnf) AS lnsum, sum(b.iszero) AS zc
+         |  FROM f a JOIN f b ON b.dur_h <= a.dur_h
+         |  GROUP BY a.dur_h, a.d, a.m, a.n_risk)
+         |SELECT dur_h AS t_hours, n_risk, d AS d_events, m - d AS censored,
+         |  CASE WHEN zc > 0 THEN 0.0
+         |       ELSE ${round4Sql("exp(CAST(lnsum AS DOUBLE))")} END AS survival
+         |FROM s WHERE d > 0 ORDER BY t_hours""".stripMargin
     )
 }
