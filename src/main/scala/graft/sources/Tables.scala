@@ -17,11 +17,16 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * outright. Read nanos as long (session conf, so it works under any
-    * driver-created session) and floor-convert to microseconds — exactly
-    * what DuckDB's epoch_us does on its TIMESTAMP_NS read, keeping oracle
-    * parity. Integer `div`, not `/`: nanos exceed double's 53-bit mantissa.
+  /** `events.ts` has shipped as two physical parquet types across data
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    * `nanosAsLong=true`, surfacing as LongType) and plain `timestamp[us]`
+    * with isAdjustedToUTC=false (surfacing as TIMESTAMP_NTZ). Branch on
+    * the footer schema so both read to the same TIMESTAMP column:
+    *  - nanos-as-long → floor-convert to micros (integer `div`, not `/`:
+    *    nanos exceed double's 53-bit mantissa), matching DuckDB epoch_us.
+    *  - NTZ micros → cast to TIMESTAMP; sessions run with
+    *    spark.sql.session.timeZone=UTC so the cast is value-preserving
+    *    and hashes identically to DuckDB's naive TIMESTAMP read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // Prefer setting this at session build (Verify/Bench/GraftSession do);
@@ -30,8 +35,13 @@ object Tables {
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
