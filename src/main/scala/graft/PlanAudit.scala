@@ -56,14 +56,12 @@ object PlanAudit {
     *  - events_incremental_agg: the same full-outer-of-two-aggregates
     *    shape (half-month partials merged by event_type) — SMJ is the
     *    only physical choice, both sides O(#event_types).
-    *  - emb_lof: every LOF join (kNN rows x kdist, kNN x lrd, slrd x
-    *    lrd) keys on a vector id with BOTH sides O(#vectors) —
-    *    corpus-proportional per-point aggregates that would OOM a
-    *    forced broadcast at 100x scale; the id-keyed shuffle join IS
-    *    the scale plan.
+    * (emb_lof left this list when its candidate stage became the
+    * multi-probe LSH bucket equi-join: nothing is hint-forced, so the
+    * planner is free to pick BHJ for the small sides it measures.)
     */
   val SmjContract: Set[String] = Set("text_split_nodup", "dedup_canonical",
-    "events_attribution", "events_incremental_agg", "emb_lof")
+    "events_attribution", "events_incremental_agg")
 
   /** Corpus tables scanned with NO Aggregate/GlobalLimit on the path from
     * the scan up to this subtree's root. The walk stops at any node that

@@ -426,19 +426,34 @@ object SimilarityQueries {
     // emb_outliers: a point in a sparse region among dense clusters
     // scores high even when its absolute distances look normal.
     // LOF(a) = mean_{b∈kNN(a)} lrd(b) / lrd(a), lrd = k / Σ reach,
-    // reach(a←b) = max(kdist(b), d(a,b)). The all-pairs stage is the
-    // brute-force baseline (the LSH/IVF bucketing above is the 100 TB
-    // blocking path); everything downstream joins on point ids and
-    // windows partition per point. Distances rounded 4dp with id
-    // tie-breaks so both engines pick identical neighbor sets.
+    // reach(a←b) = max(kdist(b), d(a,b)). Candidate kNN pairs come from
+    // the SAME size-adaptive multi-probe LSH bucketing as ann_lsh_topk
+    // (every point is a query) — a bucket equi-join, never an all-pairs
+    // nested loop, so the candidate stage stays O(n·occupancy·probes)
+    // and partitions by bucket at 100 TB. Everything downstream joins on
+    // point ids and windows partition per point. The DuckDB oracle
+    // replicates the identical sizing + bucketing, and distances are
+    // rounded 4dp with id tie-breaks, so both engines pick identical
+    // neighbor sets.
     "emb_lof" -> { (s, d) =>
       import graft.functions.CleanFunctions.{exactSum, round4}
       val K = 5
       val e = Tables.embeddings(s, d).select("vec_id", "embedding").cache()
-      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+      val np = graft.operators.AnnSearch.annPlanes(e.count(), AnnTargetOccupancy)
+      val sb = e.select(col("vec_id"), col("embedding"),
+        TextFunctions.packBits((0 until np).map(p =>
+          TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
+      val flips: Seq[org.apache.spark.sql.Column] =
+        (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
+          (for { p <- 0 until np; q <- p + 1 until np }
+            yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))))
+      val probes = sb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        explode(array(col("bucket") +: flips: _*)).as("pbucket"))
+      val pairs = sb.join(probes,
+          sb("bucket") === probes("pbucket") && sb("vec_id") =!= probes("a_id"))
+        .select(col("a_id"), col("vec_id").as("b_id"),
           round4(lit(1.0) -
-            TextFunctions.cosine(col("a.embedding"), col("b.embedding"))).as("dist"))
+            TextFunctions.cosine(col("a_emb"), col("embedding"))).as("dist"))
       val w = Window.partitionBy("a_id").orderBy(col("dist"), col("b_id"))
       val ranked = pairs.withColumn("rk", row_number().over(w))
         .where(col("rk") <= K).cache()
@@ -815,10 +830,29 @@ object SimilarityQueries {
     "emb_lof" -> {
       def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0)"
       val dsum = (x: String) => graft.functions.CleanFunctions.exactSumSql(x)
-      s"""WITH p AS (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    ${r4(s"1.0 - (${TextFunctions.cosineSql("a.embedding", "b.embedding")})")} AS dist
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
+        s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
+      val signCols = (0 until MaxAnnPlanes)
+        .map(p => s"${TextFunctions.lshSignSql("embedding", p)} AS g$p").mkString(",\n  ")
+      val bucket = (0 until MaxAnnPlanes)
+        .map(p => s"(CASE WHEN $p < np THEN (g$p << $p) ELSE 0 END)").mkString(" + ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |npt AS (SELECT ($npCase) AS np FROM nn),
+         |signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
+         |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM signs, npt),
+         |ps AS (SELECT unnest(generate_series(0, ${MaxAnnPlanes - 1})) AS p),
+         |qp AS (
+         |  SELECT vec_id AS a_id, embedding AS a_emb, bucket AS pbucket FROM sb
+         |  UNION ALL
+         |  SELECT vec_id, embedding, xor(bucket, CAST(1 AS BIGINT) << p) AS pbucket
+         |    FROM sb, ps, npt WHERE p < np
+         |  UNION ALL
+         |  SELECT sb.vec_id, embedding, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
+         |    FROM sb, ps a, ps b, npt WHERE a.p < b.p AND b.p < np),
+         |p AS (
+         |  SELECT q.a_id, b.vec_id AS b_id,
+         |    ${r4(s"1.0 - (${TextFunctions.cosineSql("q.a_emb", "b.embedding")})")} AS dist
+         |  FROM qp q JOIN sb b ON b.bucket = q.pbucket AND b.vec_id <> q.a_id),
          |r AS MATERIALIZED (
          |  SELECT a_id, b_id, dist,
          |    row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rk
