@@ -90,6 +90,44 @@ object StatsOps {
       .drop("_gr_band", "_gr_off")
   }
 
+  /** [[globalRank]] with an independent rank per `grp` partition — lets
+    * one banded pass rank SEVERAL metrics at once (stack them long-form
+    * with the metric name as the group key, sign-flip any descending
+    * metric so every rank is ascending). Same two-level decomposition:
+    * per-(group, band) parallel windows + a broadcast of O(groups·bands)
+    * prefix offsets; nothing exchanges to a single partition.
+    */
+  def groupedGlobalRank(df: DataFrame, grp: Seq[String], value: Column,
+                        key: Column, rankCol: String,
+                        bands: Int = 256): DataFrame = {
+    val vd = value.cast(DoubleType)
+    val gcols = grp.map(col)
+    val stats = df.groupBy(gcols: _*)
+      .agg(min(vd).as("_gr_mn"), max(vd).cast(DoubleType).as("_gr_mx"))
+    val banded = df.join(broadcast(stats), grp)
+      .withColumn("_gr_band",
+        when(col("_gr_mx") === col("_gr_mn"), lit(0L))
+          .otherwise(least(lit(bands - 1L),
+            floor((vd - col("_gr_mn")) / ((col("_gr_mx") - col("_gr_mn")) / bands))))
+          .cast(LongType))
+      .drop("_gr_mn", "_gr_mx")
+    val counts = banded.groupBy(gcols :+ col("_gr_band"): _*)
+      .agg(count(lit(1)).as("_gr_cnt"))
+    val prior = counts.select(
+      gcols.zip(grp).map { case (c, n) => c.as(s"_gr_g_$n") } :+
+        col("_gr_band").as("_gr_b2") :+ col("_gr_cnt").as("_gr_c2"): _*)
+    val sameGrp = grp.map(n => col(s"_gr_g_$n") === col(n)).reduce(_ && _)
+    val offsets = counts.join(broadcast(prior),
+        sameGrp && col("_gr_b2") < col("_gr_band"), "left")
+      .groupBy(gcols :+ col("_gr_band"): _*)
+      .agg(coalesce(sum(col("_gr_c2")), lit(0L)).as("_gr_off"))
+    val wIn = Window.partitionBy(gcols :+ col("_gr_band"): _*)
+      .orderBy(vd.asc, key.asc)
+    banded.join(broadcast(offsets), grp :+ "_gr_band")
+      .withColumn(rankCol, col("_gr_off") + row_number().over(wIn))
+      .drop("_gr_band", "_gr_off")
+  }
+
   /** Descending cumulative share of an exact-DECIMAL `value` per `key`
     * row (Pareto / "top customers cover X% of revenue"). Same two-level
     * band trick as [[globalRank]], but accumulating DECIMAL sums instead

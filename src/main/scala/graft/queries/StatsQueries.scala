@@ -97,18 +97,16 @@ object StatsQueries {
     },
 
     // RFM segmentation: per-customer recency/frequency/monetary, each
-    // scored into exact global quartiles by rank — the ranks come from
-    // StatsOps.globalRank (banded, parallel), not a global ORDER BY.
+    // scored into exact global quartiles by rank. ONE banded rank pass
+    // for all three metrics (StatsOps.groupedGlobalRank over the
+    // long-form (metric, value) stack — descending metrics sign-flipped
+    // so every rank is ascending with the same custkey tiebreak), then a
+    // single conditional-agg pivot joins the ranks back: 1 rank + 1 join
+    // where the naive shape ranks the base three separate times.
     "customer_rfm" -> { (s, d) =>
       val o = Tables.orders(s, d)
       val maxd = o.agg(max(to_date(col("o_orderdate"))).as("_rfm_maxd"))
       val n = o.select(col("o_custkey")).distinct().agg(count(lit(1)).as("_rfm_n"))
-      // Each globalRank references its input three times (range stats,
-      // band counts, rank join); CHAINING three would re-derive the
-      // orders aggregate ~27x through the nesting. Instead rank the
-      // cached one-row-per-customer base three times independently and
-      // join the (custkey, rank) outputs back — the plan stays flat and
-      // the cached side is already reduced, safe to pin at any scale.
       val base = o.groupBy("o_custkey")
         .agg(max(to_date(col("o_orderdate"))).as("_rfm_lastd"),
           count(lit(1)).as("frequency"),
@@ -119,16 +117,24 @@ object StatsQueries {
         .drop("_rfm_maxd", "_rfm_lastd")
         .crossJoin(broadcast(n))
         .cache()
-      def rankOf(value: String, asc: Boolean, rankCol: String) =
-        StatsOps.globalRank(base, col(value), col("o_custkey"), asc, rankCol)
-          .select("o_custkey", rankCol)
-      val ranked = base
-        .join(rankOf("recency_days", asc = true, "_r_rank"), "o_custkey")
-        .join(rankOf("frequency", asc = false, "_f_rank"), "o_custkey")
-        .join(rankOf("monetary", asc = false, "_m_rank"), "o_custkey")
+      // Sign flip keeps ranks identical to ORDER BY v DESC, custkey ASC:
+      // the metric values are integers / 4dp decimals, so IEEE negation
+      // is exact and cannot reorder ties.
+      val long = base.select(col("o_custkey"),
+        explode(map(
+          lit("r"), col("recency_days").cast(DoubleType),
+          lit("f"), -col("frequency").cast(DoubleType),
+          lit("m"), -col("monetary").cast(DoubleType))).as(Seq("_metric", "_v")))
+      val ranks = StatsOps
+        .groupedGlobalRank(long, Seq("_metric"), col("_v"), col("o_custkey"), "_rank")
+        .groupBy("o_custkey")
+        .agg(max(when(col("_metric") === "r", col("_rank"))).as("_r_rank"),
+          max(when(col("_metric") === "f", col("_rank"))).as("_f_rank"),
+          max(when(col("_metric") === "m", col("_rank"))).as("_m_rank"))
       def score(rank: String) =
         lit(1L) + floor(lit(4.0) * (col(rank) - 1L).cast(DoubleType) / col("_rfm_n"))
-      ranked.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      base.join(ranks, "o_custkey")
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
           col("monetary"), score("_r_rank").as("r_score"),
           score("_f_rank").as("f_score"), score("_m_rank").as("m_score"))
         .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))

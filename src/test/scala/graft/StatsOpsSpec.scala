@@ -44,6 +44,17 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedGlobalRank equals a per-group row_number") {
+    val base = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    val got = StatsOps.groupedGlobalRank(
+      base, Seq("event_type"), col("cnt"), col("user_id"), "rk", bands = 8)
+    val want = base.withColumn("want", row_number().over(
+      Window.partitionBy("event_type").orderBy(col("cnt").asc, col("user_id").asc)))
+    val bad = got.join(want, Seq("user_id", "event_type"))
+      .where(col("rk") =!= col("want")).count()
+    assert(bad == 0, "groupedGlobalRank diverges from per-group row_number")
+  }
+
   test("globalRank is partition-count invariant") {
     val base = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
     val r1 = StatsOps.globalRank(base.coalesce(1), col("cnt"), col("user_id"), asc = true, "rk")
