@@ -235,6 +235,52 @@ object TimeSeriesQueries {
         .orderBy("bucket_us", "event_type")
     },
 
+    // STREAMING REPLAY as a driver-checkable entry: the events table is
+    // fed through a MemoryStream into the REAL Structured Streaming
+    // operator (StreamingAnomaly.windowedCounts — watermark + append-mode
+    // tumbling agg), a far-future punctuation event closes every real
+    // window, and the memory sink's emitted rows ARE the result the
+    // DuckDB oracle hash-checks against the batch aggregation. This
+    // proves end-to-end stream/batch equivalence (watermark semantics,
+    // append-mode emission, decimal state merge) under the driver's
+    // exact-hash gate, not just in specs. The MemoryStream feed is the
+    // replay harness, driver-collected BY DESIGN for determinism;
+    // production ingest is a file/Kafka readStream over the identical
+    // operator. Null-valued events are excluded so the case-class feed
+    // and the SQL twin agree row-for-row.
+    "streaming_replay" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+      val maxUs = ev.agg(max(epochUs(col("ts")))).head().getLong(0)
+      val rows = ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event].collect()
+      val ms = MemoryStream[Event](s)
+      val qname = "graft_streaming_replay"
+      s.catalog.dropTempView(qname)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ckpt").toString
+      val q = StreamingAnomaly.windowedCounts(ms.toDF())
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        ms.addData(rows.toSeq)
+        q.processAllAvailable()
+        // Punctuation 10 days past the last event: the watermark passes
+        // every real window's end, so all of them emit; the punctuation's
+        // own window stays open and is therefore never in the output.
+        ms.addData(Seq(Event(-1L,
+          new java.sql.Timestamp(maxUs / 1000L + 10L * 86400L * 1000L),
+          -1L, "__punctuation__", 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qname)
+        .select(epochUs(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          CleanFunctions.round4(col("sum_value")).as("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    },
+
     // Seasonal-naive forecast backtest: predict value[t] = value[t-24]
     // (the daily-cycle baseline every forecasting eval starts from) and
     // score per-series MAE / RMSE / MAPE — the model-eval loop the
@@ -1030,6 +1076,16 @@ object TimeSeriesQueries {
       s"""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us, event_type,
          |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    // The batch twin of the streamed windowed aggregation: if streaming
+    // watermark/append semantics are correct, the emitted windows equal
+    // this plain GROUP BY exactly.
+    "streaming_replay" ->
+      s"""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+         |event_type, count(*) AS n_events,
+         |${graft.functions.CleanFunctions.round4Sql(graft.functions.CleanFunctions.exactSumSql("value"))} AS sum_value
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
 
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k

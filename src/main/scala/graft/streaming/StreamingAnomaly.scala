@@ -85,7 +85,12 @@ object StreamingAnomaly {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // DECIMAL accumulation, double at output: the running sum is
+      // order-independent, so the emitted row is identical under any
+      // arrival/merge order — and hash-comparable to a batch oracle.
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
