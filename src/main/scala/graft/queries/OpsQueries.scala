@@ -81,6 +81,32 @@ object OpsQueries {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
 
+  /** Recursive-CTE Kalman recursion — shared by the batch `ts_kalman`
+    * and the streaming replay `streaming_kalman` oracles so the two
+    * checks can never drift apart.
+    */
+  private lazy val KalmanOracleSql: String = {
+    val q = dlit(KalmanQ); val r = dlit(KalmanR)
+    val pp = s"(h.p + $q)"
+    val kk = s"(($pp) / (($pp) + $r))"
+    s"""WITH RECURSIVE v AS (
+       |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events WHERE value IS NOT NULL),
+       |kal AS (
+       |  SELECT user_id, event_id, rn, value AS est, $r AS p,
+       |    CAST(1.0 AS DOUBLE) AS gain
+       |  FROM v WHERE rn = 1
+       |  UNION ALL
+       |  SELECT v.user_id, v.event_id, v.rn,
+       |    h.est + ($kk) * (v.value - h.est) AS est,
+       |    (1.0 - ($kk)) * ($pp) AS p,
+       |    $kk AS gain
+       |  FROM kal h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
+       |SELECT event_id, ${round4Sql("est")} AS estimate, ${round4Sql("gain")} AS gain
+       |FROM kal ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Monitoring holes: adjacent samples more than 6h apart, one row per
     // outage with its span (microseconds).
@@ -141,6 +167,26 @@ object OpsQueries {
     "ts_kalman" -> { (s, d) =>
       TS.kalmanPath(ev(s, d).where(col("value").isNotNull),
           K, Ord, "value", KalmanQ, KalmanR)
+        .select(col("event_id"), round4(col("estimate")).as("estimate"),
+          round4(col("gain")).as("gain"))
+        .orderBy("event_id")
+    },
+
+    // The STREAMING Kalman filter (flatMapGroupsWithState, two doubles of
+    // state per key) replayed over the events table in one batch and
+    // hash-checked against the SAME recursive-CTE oracle as the batch
+    // ts_kalman — the stateful-operator face of the streaming_replay
+    // family: proves the streaming fold's in-batch (ts, event_id)
+    // ordering and IEEE recurrence equal the batch path exactly. No
+    // punctuation: flatMapGroupsWithState emits in the processing batch.
+    "streaming_kalman" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_kalman", None)(
+          df => StreamingAnomaly.kalman(df.as[Event], KalmanQ, KalmanR).toDF())
         .select(col("event_id"), round4(col("estimate")).as("estimate"),
           round4(col("gain")).as("gain"))
         .orderBy("event_id")
@@ -1065,27 +1111,10 @@ object OpsQueries {
          |FROM holt ORDER BY event_id""".stripMargin
     },
 
-    "ts_kalman" -> {
-      val q = dlit(KalmanQ); val r = dlit(KalmanR)
-      val pp = s"(h.p + $q)"
-      val kk = s"(($pp) / (($pp) + $r))"
-      s"""WITH RECURSIVE v AS (
-         |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
-         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-         |  FROM events WHERE value IS NOT NULL),
-         |kal AS (
-         |  SELECT user_id, event_id, rn, value AS est, $r AS p,
-         |    CAST(1.0 AS DOUBLE) AS gain
-         |  FROM v WHERE rn = 1
-         |  UNION ALL
-         |  SELECT v.user_id, v.event_id, v.rn,
-         |    h.est + ($kk) * (v.value - h.est) AS est,
-         |    (1.0 - ($kk)) * ($pp) AS p,
-         |    $kk AS gain
-         |  FROM kal h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
-         |SELECT event_id, ${round4Sql("est")} AS estimate, ${round4Sql("gain")} AS gain
-         |FROM kal ORDER BY event_id""".stripMargin
-    },
+    "ts_kalman" -> KalmanOracleSql,
+
+    // The streaming fold replays to the identical recursion.
+    "streaming_kalman" -> KalmanOracleSql,
 
     "events_psi" -> {
       val pa = "(CAST(ca + 1 AS DOUBLE) / CAST(na + nbuckets AS DOUBLE))"

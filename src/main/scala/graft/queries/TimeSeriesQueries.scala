@@ -251,34 +251,42 @@ object TimeSeriesQueries {
     "streaming_replay" -> { (s, d) =>
       import s.implicits._
       import graft.streaming.{Event, StreamingAnomaly}
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val ev = Tables.events(s, d).where(col("value").isNotNull)
       val maxUs = ev.agg(max(epochUs(col("ts")))).head().getLong(0)
       val rows = ev.select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value")).as[Event].collect()
-      val ms = MemoryStream[Event](s)
-      val qname = "graft_streaming_replay"
-      s.catalog.dropTempView(qname)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ckpt").toString
-      val q = StreamingAnomaly.windowedCounts(ms.toDF())
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append").option("checkpointLocation", ckpt).start()
-      try {
-        ms.addData(rows.toSeq)
-        q.processAllAvailable()
-        // Punctuation 10 days past the last event: the watermark passes
-        // every real window's end, so all of them emit; the punctuation's
-        // own window stays open and is therefore never in the output.
-        ms.addData(Seq(Event(-1L,
-          new java.sql.Timestamp(maxUs / 1000L + 10L * 86400L * 1000L),
-          -1L, "__punctuation__", 0.0)))
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(qname)
+        col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_replay",
+          Some(maxUs + 10L * 86400L * 1000000L))(
+          StreamingAnomaly.windowedCounts(_))
         .select(epochUs(col("window_start")).as("window_start_us"),
           col("event_type"), col("n_events"),
           CleanFunctions.round4(col("sum_value")).as("sum_value"))
         .orderBy("window_start_us", "event_type")
+    },
+
+    // Streaming SESSIONIZATION, driver-verified the same way: the native
+    // session_window + watermark operator replayed over the events table,
+    // all real sessions closed by the punctuation, emitted rows
+    // hash-checked against a batch gap-islands reconstruction in the
+    // oracle (session end = last event + 30 min gap, session_window
+    // semantics). Exercises streaming state MERGE (sessions extend and
+    // coalesce as events arrive), which tumbling windows never do.
+    "streaming_sessionize" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+      val maxUs = ev.agg(max(epochUs(col("ts")))).head().getLong(0)
+      val rows = ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_sessionize",
+          Some(maxUs + 10L * 86400L * 1000000L))(
+          StreamingAnomaly.sessionAggregates(_))
+        .select(col("user_id"),
+          epochUs(col("session_start")).as("session_start_us"),
+          epochUs(col("session_end")).as("session_end_us"),
+          col("n_events"),
+          CleanFunctions.round4(col("sum_value")).as("sum_value"))
+        .orderBy("user_id", "session_start_us")
     },
 
     // Seasonal-naive forecast backtest: predict value[t] = value[t-24]
@@ -1086,6 +1094,25 @@ object TimeSeriesQueries {
          |${graft.functions.CleanFunctions.round4Sql(graft.functions.CleanFunctions.exactSumSql("value"))} AS sum_value
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    // Gap-islands reconstruction of session_window semantics: a session
+    // breaks after 30 min of silence; end = last event + gap.
+    "streaming_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |f AS (SELECT user_id, tsu, value,
+         |  CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > ${30L * 60 * 1000000}
+         |       THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+         |g AS (SELECT user_id, tsu, value,
+         |  sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |FROM f)
+         |SELECT user_id, min(tsu) AS session_start_us,
+         |  max(tsu) + ${30L * 60 * 1000000} AS session_end_us,
+         |  count(*) AS n_events,
+         |  ${graft.functions.CleanFunctions.round4Sql(graft.functions.CleanFunctions.exactSumSql("value"))} AS sum_value
+         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
 
     "events_json_extract" ->
       s"""SELECT event_id, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k

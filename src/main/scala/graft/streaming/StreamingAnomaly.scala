@@ -128,9 +128,46 @@ object StreamingAnomaly {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // DECIMAL accumulation for the same arrival-order-proof emission
+      // contract as [[windowedCounts]].
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Replay harness behind the `streaming_*` driver entries: feed `rows`
+    * through `xform` via a MemoryStream into a memory sink and return the
+    * emitted rows as a batch DataFrame. When `punctuationUs` is set, one
+    * far-future marker event (event_id −1, its own key) is appended after
+    * the data so the watermark passes every real window/session end and
+    * append mode emits them; the marker's own group stays open and never
+    * reaches the output. Driver-collected input BY DESIGN — this is the
+    * determinism harness for the oracle gate; production ingest is a
+    * file/Kafka readStream over the identical operators.
+    */
+  def replayToSink(spark: org.apache.spark.sql.SparkSession, rows: Seq[Event],
+                   queryName: String, punctuationUs: Option[Long])
+                  (xform: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[Event](spark)
+    spark.catalog.dropTempView(queryName)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ckpt").toString
+    val q = xform(ms.toDF())
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      ms.addData(rows)
+      q.processAllAvailable()
+      punctuationUs.foreach { us =>
+        ms.addData(Seq(Event(-1L, new Timestamp(us / 1000L), -1L, "__punctuation__", 0.0)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(queryName)
+  }
 
   /** Watermarked stream-stream INTERVAL join: each left event picks up
     * right-stream rows of the same key whose event time falls in
