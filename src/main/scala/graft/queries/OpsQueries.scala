@@ -172,6 +172,29 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // Streaming M4 downsampling, driver-verified: per (user, 6h tumbling
+    // window) first/last/min/max via min_by/max_by on the (ts, event_id)
+    // struct — O(1) state per open window, arrival-order-proof. Replayed
+    // over the events table with a punctuation close; the oracle is the
+    // null-filtered twin of the batch ts_m4_downsample SQL (the Event
+    // feed carries primitive doubles, so null-valued rows are excluded
+    // on both sides).
+    "streaming_m4" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val ev0 = ev(s, d).where(col("value").isNotNull)
+      val maxUs = ev0.agg(max(col("tsu"))).head().getLong(0)
+      val rows = ev0.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_m4",
+          Some(maxUs + 10L * 86400L * 1000000L))(
+          StreamingAnomaly.m4Windows(_))
+        .select(col("user_id"),
+          expr(s"unix_micros(bucket_start) div $SixHoursUs").as("bucket"),
+          col("v_first"), col("v_last"), col("v_min"), col("v_max"), col("n"))
+        .orderBy("user_id", "bucket")
+    },
+
     // The STREAMING Kalman filter (flatMapGroupsWithState, two doubles of
     // state per key) replayed over the events table in one batch and
     // hash-checked against the SAME recursive-CTE oracle as the batch
@@ -1115,6 +1138,21 @@ object OpsQueries {
 
     // The streaming fold replays to the identical recursion.
     "streaming_kalman" -> KalmanOracleSql,
+
+    // Null-filtered twin of ts_m4_downsample (see entry comment).
+    "streaming_m4" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+         |      FROM events WHERE value IS NOT NULL),
+         |r AS (SELECT user_id, tsu // $SixHoursUs AS bucket, value,
+         |        row_number() OVER w AS rn,
+         |        count(*) OVER (PARTITION BY user_id, tsu // $SixHoursUs) AS cnt
+         |      FROM e WINDOW w AS (PARTITION BY user_id, tsu // $SixHoursUs ORDER BY tsu, event_id))
+         |SELECT user_id, bucket,
+         |  min(CASE WHEN rn = 1 THEN value END) AS v_first,
+         |  min(CASE WHEN rn = cnt THEN value END) AS v_last,
+         |  min(value) AS v_min, max(value) AS v_max,
+         |  count(value) AS n
+         |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
 
     "events_psi" -> {
       val pa = "(CAST(ca + 1 AS DOUBLE) / CAST(na + nbuckets AS DOUBLE))"

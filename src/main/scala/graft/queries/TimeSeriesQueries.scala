@@ -264,6 +264,27 @@ object TimeSeriesQueries {
         .orderBy("window_start_us", "event_type")
     },
 
+    // Streaming EXACT DEDUP, driver-verified: the events table is fed
+    // TWICE in one micro-batch through dropDuplicatesWithinWatermark —
+    // the state store must swallow every second copy, so the emitted
+    // rows hash-match the plain table. One batch BY DESIGN: the
+    // operator's contract only catches duplicates arriving within the
+    // watermark delay, and a replayed second batch would advance the
+    // watermark past the older half of the month-long table (the spec
+    // covers the cross-batch case on a controlled sequence).
+    "streaming_dedup" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows ++ rows, "graft_streaming_dedup",
+          None)(StreamingAnomaly.dedupEvents(_))
+        .select(col("event_id"), epochUs(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
     // Streaming SESSIONIZATION, driver-verified the same way: the native
     // session_window + watermark operator replayed over the events table,
     // all real sessions closed by the punctuation, emitted rows
@@ -1094,6 +1115,12 @@ object TimeSeriesQueries {
          |${graft.functions.CleanFunctions.round4Sql(graft.functions.CleanFunctions.exactSumSql("value"))} AS sum_value
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    // The dedup replay must reproduce the table itself.
+    "streaming_dedup" ->
+      s"""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+         |event_type, value FROM events WHERE value IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
 
     // Gap-islands reconstruction of session_window semantics: a session
     // breaks after 30 min of silence; end = last event + gap.
