@@ -81,6 +81,32 @@ object OpsQueries {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
 
+  /** Recursive-CTE token-bucket fold — shared by the batch
+    * `events_rate_limit` and the streaming replay `streaming_rate_limit`
+    * oracles. The refilled-balance expression is repeated (like the cusum
+    * oracle repeats its clamp) — every IEEE op identical to tokenBucket's
+    * fold.
+    */
+  private lazy val RateLimitOracleSql: String = {
+    val bal = "least(3.0, c.tokens + (1.0 / 3600.0) * (CAST(v.dt AS DOUBLE) / 1000000.0))"
+    s"""WITH RECURSIVE v AS (
+       |  SELECT user_id, event_id,
+       |    row_number() OVER w AS rn,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+       |c AS (
+       |  SELECT user_id, event_id, rn,
+       |    CAST(3.0 - 1.0 AS DOUBLE) AS tokens, CAST(1 AS BIGINT) AS admitted
+       |  FROM v WHERE rn = 1
+       |  UNION ALL
+       |  SELECT v.user_id, v.event_id, v.rn,
+       |    CASE WHEN $bal >= 1.0 THEN $bal - 1.0 ELSE $bal END,
+       |    CAST(CASE WHEN $bal >= 1.0 THEN 1 ELSE 0 END AS BIGINT)
+       |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)
+       |SELECT event_id, ${round4Sql("tokens")} AS tokens, admitted
+       |FROM c ORDER BY event_id""".stripMargin
+  }
+
   /** Recursive-CTE Kalman recursion — shared by the batch `ts_kalman`
     * and the streaming replay `streaming_kalman` oracles so the two
     * checks can never drift apart.
@@ -187,12 +213,63 @@ object OpsQueries {
       val rows = ev0.select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[Event].collect().toSeq
       StreamingAnomaly.replayToSink(s, rows, "graft_streaming_m4",
-          Some(maxUs + 10L * 86400L * 1000000L))(
-          StreamingAnomaly.m4Windows(_))
+          Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
+          ds => StreamingAnomaly.m4Windows(ds.toDF()))
         .select(col("user_id"),
           expr(s"unix_micros(bucket_start) div $SixHoursUs").as("bucket"),
           col("v_first"), col("v_last"), col("v_min"), col("v_max"), col("n"))
         .orderBy("user_id", "bucket")
+    },
+
+    // Streaming SPC CUSUM-with-reset replay: per-series control
+    // parameters (mean, half-sigma slack) computed batch-side — the
+    // production shape, where a slowly-refreshed reference join delivers
+    // them — then the ONE-double-of-state streaming fold replays and the
+    // alarm joins back on the per-series threshold. Series with n=1
+    // (null slack) are excluded on BOTH sides: ControlSample carries a
+    // primitive slack, and the oracle filters n >= 2 identically.
+    "streaming_cusum" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{ControlSample, StreamingAnomaly}
+      val e = ev(s, d).where(col("value").isNotNull)
+      val stats = e.groupBy("user_id").agg(
+        graft.functions.CleanFunctions.exactSum(col("value")).as("sx"),
+        graft.functions.CleanFunctions.exactSum(col("value") * col("value")).as("sxx"),
+        count(col("value")).cast("double").as("n"))
+        .withColumn("m", col("sx") / col("n"))
+        .withColumn("k",
+          lit(0.5) * CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")))
+        .where(col("k").isNotNull)
+      val rows = e.join(stats, "user_id")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+          col("m").as("target_mean"), col("k").as("slack"))
+        .as[ControlSample].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_cusum", None)(
+          ds => StreamingAnomaly.cusumReset(ds).toDF())
+        .join(stats.select(col("user_id"), col("k")), "user_id")
+        .select(col("event_id"), round4(col("cusum_hi")).as("cusum_hi"),
+          when(col("cusum_hi") > lit(4.0) * col("k"), 1L).otherwise(0L).as("alarm"))
+        .orderBy("event_id")
+    },
+
+    // Streaming token-bucket rate limiter replay: the TWO-scalar
+    // admission fold over every event (value is irrelevant to admission,
+    // so null values ride as 0.0 to keep the primitive-encoder feed
+    // total), hash-checked against the identical recursive oracle as the
+    // batch events_rate_limit.
+    "streaming_rate_limit" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), coalesce(col("value"), lit(0.0)).as("value"))
+        .as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_rate_limit", None)(
+          ds => StreamingAnomaly.tokenBucket(ds,
+            capacity = 3.0, refillPerSec = 1.0 / 3600.0).toDF())
+        .select(col("event_id"), round4(col("tokens")).as("tokens"),
+          col("admitted"))
+        .orderBy("event_id")
     },
 
     // The STREAMING Kalman filter (flatMapGroupsWithState, two doubles of
@@ -209,7 +286,7 @@ object OpsQueries {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[Event].collect().toSeq
       StreamingAnomaly.replayToSink(s, rows, "graft_streaming_kalman", None)(
-          df => StreamingAnomaly.kalman(df.as[Event], KalmanQ, KalmanR).toDF())
+          ds => StreamingAnomaly.kalman(ds, KalmanQ, KalmanR).toDF())
         .select(col("event_id"), round4(col("estimate")).as("estimate"),
           round4(col("gain")).as("gain"))
         .orderBy("event_id")
@@ -1362,27 +1439,37 @@ object OpsQueries {
          |FROM r JOIN st ON r.user_id = st.user_id
          |ORDER BY r.user_id, day""".stripMargin,
 
-    "events_rate_limit" -> {
-      // The refilled-balance expression, repeated like the cusum oracle
-      // repeats its clamp — every IEEE op identical to tokenBucket's fold.
-      val bal = "least(3.0, c.tokens + (1.0 / 3600.0) * (CAST(v.dt AS DOUBLE) / 1000000.0))"
-      s"""WITH RECURSIVE v AS (
-         |  SELECT user_id, event_id,
-         |    row_number() OVER w AS rn,
-         |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
-         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    "events_rate_limit" -> RateLimitOracleSql,
+
+    // The streaming admission fold replays the identical recursion.
+    "streaming_rate_limit" -> RateLimitOracleSql,
+
+    // ts_cusum_reset's recursion restricted to series with n >= 2 — the
+    // streaming ControlSample feed carries a primitive (non-null) slack,
+    // so n=1 series (null sigma) are excluded on both sides.
+    "streaming_cusum" ->
+      s"""WITH RECURSIVE stats AS (
+         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |p AS (SELECT v.user_id, v.event_id, v.x, v.rn, sx / n AS m,
+         |    0.5 * ${CleanFunctions.momentStdSql("n", "sx", "sxx")} AS k
+         |  FROM v JOIN stats USING (user_id) WHERE n >= 2),
          |c AS (
-         |  SELECT user_id, event_id, rn,
-         |    CAST(3.0 - 1.0 AS DOUBLE) AS tokens, CAST(1 AS BIGINT) AS admitted
-         |  FROM v WHERE rn = 1
+         |  SELECT user_id, event_id, rn, m, k,
+         |    greatest(CAST(0.0 AS DOUBLE), x - m - k) AS s
+         |  FROM p WHERE rn = 1
          |  UNION ALL
-         |  SELECT v.user_id, v.event_id, v.rn,
-         |    CASE WHEN $bal >= 1.0 THEN $bal - 1.0 ELSE $bal END,
-         |    CAST(CASE WHEN $bal >= 1.0 THEN 1 ELSE 0 END AS BIGINT)
-         |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)
-         |SELECT event_id, ${round4Sql("tokens")} AS tokens, admitted
-         |FROM c ORDER BY event_id""".stripMargin
-    },
+         |  SELECT p.user_id, p.event_id, p.rn, p.m, p.k,
+         |    greatest(CAST(0.0 AS DOUBLE), c.s + (p.x - p.m - p.k))
+         |  FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn + 1)
+         |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
+         |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
+         |FROM c ORDER BY event_id""".stripMargin,
 
     "ts_cusum_reset" ->
       s"""WITH RECURSIVE stats AS (

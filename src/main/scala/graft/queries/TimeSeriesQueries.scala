@@ -256,8 +256,8 @@ object TimeSeriesQueries {
       val rows = ev.select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[Event].collect().toSeq
       StreamingAnomaly.replayToSink(s, rows, "graft_streaming_replay",
-          Some(maxUs + 10L * 86400L * 1000000L))(
-          StreamingAnomaly.windowedCounts(_))
+          Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
+          ds => StreamingAnomaly.windowedCounts(ds.toDF()))
         .select(epochUs(col("window_start")).as("window_start_us"),
           col("event_type"), col("n_events"),
           CleanFunctions.round4(col("sum_value")).as("sum_value"))
@@ -279,7 +279,7 @@ object TimeSeriesQueries {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[Event].collect().toSeq
       StreamingAnomaly.replayToSink(s, rows ++ rows, "graft_streaming_dedup",
-          None)(StreamingAnomaly.dedupEvents(_))
+          None)(ds => StreamingAnomaly.dedupEvents(ds.toDF()))
         .select(col("event_id"), epochUs(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
@@ -300,8 +300,8 @@ object TimeSeriesQueries {
       val rows = ev.select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value")).as[Event].collect().toSeq
       StreamingAnomaly.replayToSink(s, rows, "graft_streaming_sessionize",
-          Some(maxUs + 10L * 86400L * 1000000L))(
-          StreamingAnomaly.sessionAggregates(_))
+          Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
+          ds => StreamingAnomaly.sessionAggregates(ds.toDF()))
         .select(col("user_id"),
           epochUs(col("session_start")).as("session_start_us"),
           epochUs(col("session_end")).as("session_end_us"),

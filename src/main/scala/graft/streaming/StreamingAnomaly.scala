@@ -146,28 +146,34 @@ object StreamingAnomaly {
     * determinism harness for the oracle gate; production ingest is a
     * file/Kafka readStream over the identical operators.
     */
-  def replayToSink(spark: org.apache.spark.sql.SparkSession, rows: Seq[Event],
-                   queryName: String, punctuationUs: Option[Long])
-                  (xform: DataFrame => DataFrame): DataFrame = {
-    import spark.implicits._
+  def replayToSink[A: org.apache.spark.sql.Encoder](
+      spark: org.apache.spark.sql.SparkSession, rows: Seq[A],
+      queryName: String, punctuation: Option[A])
+      (xform: Dataset[A] => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val ms = MemoryStream[Event](spark)
+    val ms = MemoryStream[A](spark)
     spark.catalog.dropTempView(queryName)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ckpt").toString
-    val q = xform(ms.toDF())
+    val q = xform(ms.toDS())
       .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", ckpt).start()
     try {
       ms.addData(rows)
       q.processAllAvailable()
-      punctuationUs.foreach { us =>
-        ms.addData(Seq(Event(-1L, new Timestamp(us / 1000L), -1L, "__punctuation__", 0.0)))
+      punctuation.foreach { p =>
+        ms.addData(Seq(p))
         q.processAllAvailable()
       }
     } finally q.stop()
     spark.table(queryName)
   }
+
+  /** The far-future marker event used by watermark-bounded replays: its
+    * own id/key, so its open window/session never reaches the output.
+    */
+  def punctuationEvent(atUs: Long): Event =
+    Event(-1L, new Timestamp(atUs / 1000L), -1L, "__punctuation__", 0.0)
 
   /** Watermarked stream-stream INTERVAL join: each left event picks up
     * right-stream rows of the same key whose event time falls in
