@@ -106,6 +106,15 @@ object CleanFunctions {
   /** Exact grouped/global sum of a (few-decimal-places) double column. */
   def exactSum(c: Column): Column = sum(c.cast(SumDec)).cast(DoubleType)
 
+  /** JVM-side replica of the DECIMAL(18,6) quantization [[exactSum]]
+    * applies per value — for executor-side folds (streaming state) whose
+    * sums must hash-match SQL decimal sums. `valueOf` goes through the
+    * double's shortest decimal representation, exactly like Spark's
+    * `Decimal.set(double)`; HALF_UP matches the cast's rounding.
+    */
+  def dec6(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v).setScale(6, java.math.RoundingMode.HALF_UP)
+
   /** Exact grouped mean (ignores nulls like avg). */
   def exactMean(c: Column): Column = exactSum(c) / count(c)
 

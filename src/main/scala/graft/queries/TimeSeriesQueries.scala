@@ -264,6 +264,25 @@ object TimeSeriesQueries {
         .orderBy("window_start_us", "event_type")
     },
 
+    // Streaming stateful per-key rolling z-score, driver-verified: the
+    // flatMapGroupsWithState fold (trailing-24 buffer per key) replayed
+    // over the events table; its in-fold moments go through the same
+    // DECIMAL(18,6) quantization as the batch exactSum, so the emitted z
+    // hash-matches a momentStd window oracle exactly — warm-up (<2
+    // priors) and zero-variance frames null out identically.
+    "streaming_zscore" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_zscore", None)(
+          ds => StreamingAnomaly.rollingZscore(ds).toDF())
+        .select(col("event_id"), CleanFunctions.round4(col("z")).as("z"),
+          col("is_anomaly"))
+        .orderBy("event_id")
+    },
+
     // Streaming EXACT DEDUP, driver-verified: the events table is fed
     // TWICE in one micro-batch through dropDuplicatesWithinWatermark —
     // the state store must swallow every second copy, so the emitted
@@ -1115,6 +1134,25 @@ object TimeSeriesQueries {
          |${graft.functions.CleanFunctions.round4Sql(graft.functions.CleanFunctions.exactSumSql("value"))} AS sum_value
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    // Trailing-24-priors momentStd window — the SQL twin of the
+    // streaming fold's decimal buffer moments. The anomaly flag compares
+    // the UNROUNDED z like the fold does.
+    "streaming_zscore" -> {
+      val n = "CAST(n AS DOUBLE)"
+      val zRaw = s"((x - sx / $n) / nullif(${graft.functions.CleanFunctions.momentStdSql(n, "sx", "sxx")}, 0.0))"
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, CAST(value AS DOUBLE) AS x
+         |  FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT event_id, x,
+         |  count(x) OVER w AS n,
+         |  CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(x * x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, ${graft.functions.CleanFunctions.round4Sql(zRaw)} AS z,
+         |  CAST(CASE WHEN abs($zRaw) > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM m ORDER BY event_id""".stripMargin
+    },
 
     // The dedup replay must reproduce the table itself.
     "streaming_dedup" ->

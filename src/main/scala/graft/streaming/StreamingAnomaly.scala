@@ -405,11 +405,22 @@ object StreamingAnomaly {
           // tie-break, so a single-batch replay scores identically.
           val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
             val n = buf.length
+            // Raw moments through the same DECIMAL(18,6) quantization as
+            // the batch exactSum (CleanFunctions.dec6): the trailing-buffer
+            // sums are order-independent and bit-match a SQL decimal
+            // window sum, so a replay of this fold is exact-hash
+            // comparable to a momentStd oracle — same clamp, same nulls.
             val zOpt =
               if (n < 2) None
               else {
-                val mu = buf.sum / n
-                val sd = math.sqrt(buf.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+                import graft.functions.CleanFunctions.dec6
+                val sx = buf.foldLeft(java.math.BigDecimal.ZERO)(
+                  (a, v) => a.add(dec6(v))).doubleValue
+                val sxx = buf.foldLeft(java.math.BigDecimal.ZERO)(
+                  (a, v) => a.add(dec6(v * v))).doubleValue
+                val mu = sx / n
+                val sd = math.sqrt(
+                  math.max((sxx - sx * sx / n) / (n - 1.0), 0.0))
                 if (sd == 0.0) None else Some((e.value - mu) / sd)
               }
             buf += e.value
