@@ -22,6 +22,30 @@ object TimeSeriesQueries {
   /** SQL window body shared by most oracles. */
   private val W = "PARTITION BY user_id ORDER BY ts, event_id"
 
+  /** The non-null events table itself — the oracle for replays whose
+    * output contract is "reproduce the input exactly once"
+    * (streaming_dedup, streaming_sink).
+    */
+  private lazy val EventsReproductionOracleSql: String =
+    s"""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
+       |event_type, value FROM events WHERE value IS NOT NULL
+       |ORDER BY event_id""".stripMargin
+
+  /** Run-length episode islands over the |z|>2 flag — shared by the batch
+    * `ts_alert_episodes` and the streaming replay `streaming_episodes`
+    * oracles so the two checks can never drift apart.
+    */
+  private lazy val AlertEpisodesOracleSql: String =
+    s"""WITH f AS (SELECT event_id, user_id, ts, epoch_us(ts) AS tsu,
+       |  CASE WHEN abs((value - ${graft.functions.CleanFunctions.exactMeanSql("value", "OVER u")}) / nullif(stddev_samp(value) OVER u, 0)) > 2.0
+       |       THEN 1 ELSE 0 END AS flag
+       |  FROM events WINDOW u AS (PARTITION BY user_id)),
+       |g AS (SELECT *, CASE WHEN lag(flag) OVER w IS NULL OR flag <> lag(flag) OVER w THEN 1 ELSE 0 END AS chg
+       |  FROM f WINDOW w AS ($W)),
+       |h AS (SELECT *, sum(chg) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g)
+       |SELECT user_id, count(*) AS n_events, min(tsu) AS start_us, max(tsu) AS end_us
+       |FROM h WHERE flag = 1 GROUP BY user_id, grp ORDER BY user_id, start_us""".stripMargin
+
   /** Nulls for the fill operators: treat 'click' rows as missing. */
   private def withNulled(df: DataFrame): DataFrame =
     df.withColumn("value_n", when(col("event_type") === "click", lit(null)).otherwise(col("value")))
@@ -262,6 +286,95 @@ object TimeSeriesQueries {
           col("event_type"), col("n_events"),
           CleanFunctions.round4(col("sum_value")).as("sum_value"))
         .orderBy("window_start_us", "event_type")
+    },
+
+    // EXACTLY-ONCE PARQUET SINK, driver-verified: the events table fed
+    // through the foreachBatch + batch-id-keyed dynamic-partition-
+    // overwrite sink in TWO micro-batches (two batch_id partitions, the
+    // idempotent-write path), then read back — the files must reproduce
+    // the table exactly once. The kill/restart replay (the at-least-once
+    // → exactly-once half) is asserted by the checkpoint-restart spec.
+    "streaming_sink" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      val ms = MemoryStream[Event](s)
+      val out = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+      val q = StreamingAnomaly.exactlyOnceParquetSink(ms.toDF(), out, ckpt)
+      try {
+        ms.addData(h1); q.processAllAvailable()
+        ms.addData(h2); q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(out)
+        .select(col("event_id"), epochUs(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // Streaming ALERT EPISODES, driver-verified: flags computed batch
+    // side with the ts_alert_episodes rule (|z|>2 per series — integer
+    // decisions both engines agree on), then run-length-grouped by the
+    // ONE-open-episode-per-key flatMapGroupsWithState fold. A trailing
+    // flag=0 closer per user breaks every open run so all episodes emit;
+    // closers are flag=0, so they can never create an episode. The
+    // oracle is the SAME islands SQL as the batch entry — shared val.
+    "streaming_episodes" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{FlaggedEvent, StreamingAnomaly}
+      import org.apache.spark.sql.expressions.Window
+      val keyW = Window.partitionBy("user_id")
+      val z = safeDiv(col("value") - CleanFunctions.exactMeanOver(col("value"), keyW),
+        stddev_samp(col("value")).over(keyW))
+      val e = Tables.events(s, d)
+      val flagged = e
+        .withColumn("flag", coalesce((abs(z) > lit(2.0)).cast("long"), lit(0L)))
+        .select(col("event_id"), col("ts"), col("user_id"), col("flag"))
+        .as[FlaggedEvent].collect().toSeq
+      val maxUs = e.agg(max(epochUs(col("ts")))).head().getLong(0)
+      val closers = flagged.map(_.user_id).distinct.map(u =>
+        FlaggedEvent(-1L, new java.sql.Timestamp(maxUs / 1000L + 3600L * 1000L), u, 0L))
+      StreamingAnomaly.replayToSink(s, flagged ++ closers,
+          "graft_streaming_episodes", None)(
+          ds => StreamingAnomaly.alertEpisodes(ds).toDF())
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .orderBy("user_id", "start_us")
+    },
+
+    // Watermarked stream-stream INTERVAL JOIN, driver-verified: the
+    // events table replayed on BOTH sides (two independent MemoryStreams
+    // — the general two-source shape, no self-join special case), each
+    // left event enriched with same-key rows whose time falls in
+    // [ts − 1h, ts]. Inner join: every matched pair emits in the batch
+    // both sides arrive, so one replay batch emits the full pair set,
+    // hash-checked against the plain SQL interval join.
+    "streaming_interval_join" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      val msL = MemoryStream[Event](s)
+      val msR = MemoryStream[Event](s)
+      val qname = "graft_streaming_interval_join"
+      s.catalog.dropTempView(qname)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ckpt").toString
+      val q = StreamingAnomaly.intervalJoin(msL.toDF(), msR.toDF())
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        msL.addData(rows); msR.addData(rows)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qname)
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"),
+          col("matched_id"), epochUs(col("r_ts")).as("r_ts_us"), col("r_value"))
+        .orderBy("event_id", "matched_id")
     },
 
     // Streaming stateful per-key rolling z-score, driver-verified: the
@@ -1155,10 +1268,10 @@ object TimeSeriesQueries {
     },
 
     // The dedup replay must reproduce the table itself.
-    "streaming_dedup" ->
-      s"""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id,
-         |event_type, value FROM events WHERE value IS NOT NULL
-         |ORDER BY event_id""".stripMargin,
+    "streaming_dedup" -> EventsReproductionOracleSql,
+
+    // So must the exactly-once sink's files, read back.
+    "streaming_sink" -> EventsReproductionOracleSql,
 
     // Gap-islands reconstruction of session_window semantics: a session
     // breaks after 30 min of silence; end = last event + gap.
@@ -1299,16 +1412,21 @@ object TimeSeriesQueries {
          |FROM e JOIN sp ON e.user_id = sp.user_id
          |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
 
-    "ts_alert_episodes" ->
-      s"""WITH f AS (SELECT event_id, user_id, ts, epoch_us(ts) AS tsu,
-         |  CASE WHEN abs((value - ${CleanFunctions.exactMeanSql("value", "OVER u")}) / nullif(stddev_samp(value) OVER u, 0)) > 2.0
-         |       THEN 1 ELSE 0 END AS flag
-         |  FROM events WINDOW u AS (PARTITION BY user_id)),
-         |g AS (SELECT *, CASE WHEN lag(flag) OVER w IS NULL OR flag <> lag(flag) OVER w THEN 1 ELSE 0 END AS chg
-         |  FROM f WINDOW w AS ($W)),
-         |h AS (SELECT *, sum(chg) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM g)
-         |SELECT user_id, count(*) AS n_events, min(tsu) AS start_us, max(tsu) AS end_us
-         |FROM h WHERE flag = 1 GROUP BY user_id, grp ORDER BY user_id, start_us""".stripMargin,
+    "ts_alert_episodes" -> AlertEpisodesOracleSql,
+
+    // The streaming fold (with per-user flag=0 closers) must reproduce
+    // the batch islands exactly.
+    "streaming_episodes" -> AlertEpisodesOracleSql,
+
+    "streaming_interval_join" ->
+      s"""SELECT l.event_id, l.user_id, CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+         |  r.event_id AS matched_id, CAST(epoch_us(r.ts) AS BIGINT) AS r_ts_us,
+         |  r.value AS r_value
+         |FROM events l JOIN events r ON l.user_id = r.user_id
+         |  AND epoch_us(r.ts) >= epoch_us(l.ts) - ${3600L * 1000000}
+         |  AND epoch_us(r.ts) <= epoch_us(l.ts)
+         |WHERE l.value IS NOT NULL AND r.value IS NOT NULL
+         |ORDER BY l.event_id, matched_id""".stripMargin,
 
     "ts_esd_anomalies" -> {
       val std = CleanFunctions.momentStdSql("m.n", "m.sx", "m.sxx")
