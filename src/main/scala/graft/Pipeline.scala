@@ -47,7 +47,14 @@ object Pipeline {
       (for (w <- cfg.rollingWindows; a <- GraftConfig.RollingAggs)
         yield s"${cfg.target}_roll_${a}_${w}h")
 
-  def run(events: DataFrame, cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+  /** Stages 1–5 of [[run]]: index → clean → features → dropna → scale,
+    * WITHOUT the model step — the fully-relational (and therefore
+    * exact-oracle-checkable) front of the pipeline, exposed so callers
+    * can feed the prepared matrix to their own model and so the
+    * `run_pipeline` driver entry can hash-verify everything up to the
+    * SGD boundary.
+    */
+  def prepare(events: DataFrame, cfg: PipelineConfig = PipelineConfig()): DataFrame = {
     // 1. Time index: resolve duplicate timestamps per series.
     val indexed = TS.dedupIndex(events, cfg.seriesKeys, col(cfg.tsCol),
       cfg.order, cfg.duplicateHandling)
@@ -63,9 +70,13 @@ object Pipeline {
     // 4. Drop warm-up rows (any null feature), like main.py:151.
     val complete = TS.dropNulls(feats, featureColumns(cfg))
     // 5. Scale target + features per series (main.py:168-181 scales all).
-    val scaledCols = (cfg.target +: featureColumns(cfg)).map(_ + "_scaled")
-    val scaled = TS.minMaxScaleAll(complete, cfg.seriesKeys,
+    TS.minMaxScaleAll(complete, cfg.seriesKeys,
       cfg.target +: featureColumns(cfg))
+  }
+
+  def run(events: DataFrame, cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val scaledCols = (cfg.target +: featureColumns(cfg)).map(_ + "_scaled")
+    val scaled = prepare(events, cfg)
     // 6. Sequence + autoencoder reconstruction scoring + flags.
     cfg.model match {
       case "pca" =>

@@ -43,6 +43,25 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_feature_pipeline" -> (featurePipeline _),
 
+    // The user-facing run_pipeline API itself (graft.Pipeline.prepare —
+    // stages 1-5 of Pipeline.run: duplicate-timestamp dedup keep-first →
+    // ffill → calendar/lag/rolling features → dropna → per-series MinMax
+    // scale of target AND features) under the exact-hash gate. The model
+    // step (stage 6) is the SGD boundary — covered by ts_pca_recon /
+    // ts_ae_recon / ts_lstm_recon rows-only entries and their specs.
+    // Lags/windows trimmed to the sf-sized series (the 168h default lag
+    // would drop every sf0.01 row in warm-up).
+    "run_pipeline" -> { (s, d) =>
+      val cfg = graft.PipelineConfig(lags = Seq(1, 2, 3, 24), rollingWindows = Seq(3, 24))
+      graft.Pipeline.prepare(Tables.events(s, d), cfg)
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("value_scaled")).as("value_scaled"),
+          graft.functions.CleanFunctions.round4(col("value_lag_1_scaled")).as("lag1_scaled"),
+          graft.functions.CleanFunctions.round4(col("value_roll_mean_24h_scaled")).as("roll_mean_24h_scaled"),
+          col("hour"))
+        .orderBy("event_id")
+    },
+
     // Linear-AE (PCA) reconstruction-error detector — model-based scoring
     // end to end. No SQL oracle (eigendecomposition isn't expressible);
     // driver records the rows-only check, semantics covered by
@@ -92,6 +111,49 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The full prepare() chain: keep-first dedup on identical raw
+    // timestamps, forward-fill with residual zero, the same feature
+    // windows as ts_feature_pipeline (but over the FILLED value), dropna,
+    // then per-series MinMax over the post-dropna frame for target and
+    // the two reported features.
+    "run_pipeline" -> {
+      val w = "PARTITION BY user_id ORDER BY ts, event_id"
+      def mm(c: String) =
+        s"round(((($c) - min($c) OVER u) / nullif(max($c) OVER u - min($c) OVER u, 0)) * 10000.0) / 10000.0"
+      s"""WITH dd AS (
+         |SELECT * FROM (SELECT event_id, user_id, ts, value,
+         |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+         |  FROM events) WHERE rn = 1
+         |), fl AS (
+         |SELECT event_id, user_id, ts,
+         |  coalesce(last_value(value IGNORE NULLS)
+         |    OVER ($w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value
+         |FROM dd
+         |), f AS (
+         |SELECT event_id, user_id, value,
+         |CAST(hour(ts) AS BIGINT) AS hour,
+         |lag(value,1) OVER w AS l1, lag(value,2) OVER w AS l2,
+         |lag(value,3) OVER w AS l3, lag(value,24) OVER w AS l24,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) / count(value) OVER w3) AS m3, stddev_samp(value) OVER w3 AS s3,
+         |min(value) OVER w3 AS mn3, max(value) OVER w3 AS mx3,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w24 AS DOUBLE) / count(value) OVER w24) AS m24, stddev_samp(value) OVER w24 AS s24,
+         |min(value) OVER w24 AS mn24, max(value) OVER w24 AS mx24
+         |FROM fl WINDOW w AS ($w),
+         |w3 AS ($w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+         |w24 AS ($w ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+         |), g AS (
+         |SELECT * FROM f WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+         |AND l24 IS NOT NULL AND m3 IS NOT NULL AND s3 IS NOT NULL AND mn3 IS NOT NULL
+         |AND mx3 IS NOT NULL AND m24 IS NOT NULL AND s24 IS NOT NULL AND mn24 IS NOT NULL AND mx24 IS NOT NULL
+         |)
+         |SELECT event_id,
+         |${mm("value")} AS value_scaled,
+         |${mm("l1")} AS lag1_scaled,
+         |${mm("m24")} AS roll_mean_24h_scaled,
+         |hour
+         |FROM g WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin
+    },
+
     "ts_feature_pipeline" -> {
       val w = "PARTITION BY user_id ORDER BY ts, event_id"
       s"""WITH f AS (
