@@ -81,6 +81,56 @@ object OpsQueries {
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
 
+  /** One M4 oracle builder for the batch `ts_m4_downsample` (all rows)
+    * and the streaming replay `streaming_m4` (null-filtered, because the
+    * Event feed carries primitive doubles) — a single SQL body so the
+    * two checks cannot drift.
+    */
+  private def m4OracleSql(nullFiltered: Boolean): String = {
+    val filt = if (nullFiltered) " WHERE value IS NOT NULL" else ""
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events$filt),
+       |r AS (SELECT user_id, tsu // $SixHoursUs AS bucket, value,
+       |        row_number() OVER w AS rn,
+       |        count(*) OVER (PARTITION BY user_id, tsu // $SixHoursUs) AS cnt
+       |      FROM e WINDOW w AS (PARTITION BY user_id, tsu // $SixHoursUs ORDER BY tsu, event_id))
+       |SELECT user_id, bucket,
+       |  min(CASE WHEN rn = 1 THEN value END) AS v_first,
+       |  min(CASE WHEN rn = cnt THEN value END) AS v_last,
+       |  min(value) AS v_min, max(value) AS v_max,
+       |  count(value) AS n
+       |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin
+  }
+
+  /** One CUSUM-with-reset recursion for the batch `ts_cusum_reset`
+    * (minN = 1, i.e. every series) and the streaming replay
+    * `streaming_cusum` (minN = 2: the ControlSample feed carries a
+    * primitive slack, so null-sigma singleton series are excluded on
+    * both sides) — a single SQL body so the two checks cannot drift.
+    */
+  private def cusumResetOracleSql(minN: Int): String =
+    s"""WITH RECURSIVE stats AS (
+       |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+       |    CAST(count(value) AS DOUBLE) AS n
+       |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+       |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events WHERE value IS NOT NULL),
+       |p AS (SELECT v.user_id, v.event_id, v.x, v.rn, sx / n AS m,
+       |    0.5 * ${CleanFunctions.momentStdSql("n", "sx", "sxx")} AS k
+       |  FROM v JOIN stats USING (user_id) WHERE n >= $minN),
+       |c AS (
+       |  SELECT user_id, event_id, rn, m, k,
+       |    greatest(CAST(0.0 AS DOUBLE), x - m - k) AS s
+       |  FROM p WHERE rn = 1
+       |  UNION ALL
+       |  SELECT p.user_id, p.event_id, p.rn, p.m, p.k,
+       |    greatest(CAST(0.0 AS DOUBLE), c.s + (p.x - p.m - p.k))
+       |  FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn + 1)
+       |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
+       |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
+       |FROM c ORDER BY event_id""".stripMargin
+
   /** Recursive-CTE token-bucket fold — shared by the batch
     * `events_rate_limit` and the streaming replay `streaming_rate_limit`
     * oracles. The refilled-balance expression is repeated (like the cusum
@@ -208,10 +258,10 @@ object OpsQueries {
     "streaming_m4" -> { (s, d) =>
       import s.implicits._
       import graft.streaming.{Event, StreamingAnomaly}
-      val ev0 = ev(s, d).where(col("value").isNotNull)
-      val maxUs = ev0.agg(max(col("tsu"))).head().getLong(0)
-      val rows = ev0.select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value")).as[Event].collect().toSeq
+      val rows = ev(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
       StreamingAnomaly.replayToSink(s, rows, "graft_streaming_m4",
           Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
           ds => StreamingAnomaly.m4Windows(ds.toDF()))
@@ -240,6 +290,10 @@ object OpsQueries {
         .withColumn("k",
           lit(0.5) * CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")))
         .where(col("k").isNotNull)
+        // Referenced by both the feed join (collected below) and the
+        // post-replay alarm join — cache so the full-table aggregation
+        // runs once, not twice.
+        .cache()
       val rows = e.join(stats, "user_id")
         .select(col("event_id"), col("ts"), col("user_id"), col("value"),
           col("m").as("target_mean"), col("k").as("slack"))
@@ -1137,18 +1191,7 @@ object OpsQueries {
          |  ${round4Sql("(CASE WHEN delta < 0 THEN value ELSE delta END) / nullif(dtu / 1000000.0, 0.0)")} AS rate_per_s
          |FROM d ORDER BY event_id""".stripMargin,
 
-    "ts_m4_downsample" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events),
-         |r AS (SELECT user_id, tsu // $SixHoursUs AS bucket, value,
-         |        row_number() OVER w AS rn,
-         |        count(*) OVER (PARTITION BY user_id, tsu // $SixHoursUs) AS cnt
-         |      FROM e WINDOW w AS (PARTITION BY user_id, tsu // $SixHoursUs ORDER BY tsu, event_id))
-         |SELECT user_id, bucket,
-         |  min(CASE WHEN rn = 1 THEN value END) AS v_first,
-         |  min(CASE WHEN rn = cnt THEN value END) AS v_last,
-         |  min(value) AS v_min, max(value) AS v_max,
-         |  count(value) AS n
-         |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
+    "ts_m4_downsample" -> m4OracleSql(nullFiltered = false),
 
     "events_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
@@ -1217,19 +1260,7 @@ object OpsQueries {
     "streaming_kalman" -> KalmanOracleSql,
 
     // Null-filtered twin of ts_m4_downsample (see entry comment).
-    "streaming_m4" ->
-      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value
-         |      FROM events WHERE value IS NOT NULL),
-         |r AS (SELECT user_id, tsu // $SixHoursUs AS bucket, value,
-         |        row_number() OVER w AS rn,
-         |        count(*) OVER (PARTITION BY user_id, tsu // $SixHoursUs) AS cnt
-         |      FROM e WINDOW w AS (PARTITION BY user_id, tsu // $SixHoursUs ORDER BY tsu, event_id))
-         |SELECT user_id, bucket,
-         |  min(CASE WHEN rn = 1 THEN value END) AS v_first,
-         |  min(CASE WHEN rn = cnt THEN value END) AS v_last,
-         |  min(value) AS v_min, max(value) AS v_max,
-         |  count(value) AS n
-         |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
+    "streaming_m4" -> m4OracleSql(nullFiltered = true),
 
     "events_psi" -> {
       val pa = "(CAST(ca + 1 AS DOUBLE) / CAST(na + nbuckets AS DOUBLE))"
@@ -1447,53 +1478,9 @@ object OpsQueries {
     // ts_cusum_reset's recursion restricted to series with n >= 2 — the
     // streaming ControlSample feed carries a primitive (non-null) slack,
     // so n=1 series (null sigma) are excluded on both sides.
-    "streaming_cusum" ->
-      s"""WITH RECURSIVE stats AS (
-         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-         |    CAST(count(value) AS DOUBLE) AS n
-         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
-         |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
-         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-         |  FROM events WHERE value IS NOT NULL),
-         |p AS (SELECT v.user_id, v.event_id, v.x, v.rn, sx / n AS m,
-         |    0.5 * ${CleanFunctions.momentStdSql("n", "sx", "sxx")} AS k
-         |  FROM v JOIN stats USING (user_id) WHERE n >= 2),
-         |c AS (
-         |  SELECT user_id, event_id, rn, m, k,
-         |    greatest(CAST(0.0 AS DOUBLE), x - m - k) AS s
-         |  FROM p WHERE rn = 1
-         |  UNION ALL
-         |  SELECT p.user_id, p.event_id, p.rn, p.m, p.k,
-         |    greatest(CAST(0.0 AS DOUBLE), c.s + (p.x - p.m - p.k))
-         |  FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn + 1)
-         |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
-         |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
-         |FROM c ORDER BY event_id""".stripMargin,
+    "streaming_cusum" -> cusumResetOracleSql(minN = 2),
 
-    "ts_cusum_reset" ->
-      s"""WITH RECURSIVE stats AS (
-         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-         |    CAST(count(value) AS DOUBLE) AS n
-         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
-         |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
-         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-         |  FROM events WHERE value IS NOT NULL),
-         |p AS (SELECT v.user_id, v.event_id, v.x, v.rn, sx / n AS m,
-         |    0.5 * ${CleanFunctions.momentStdSql("n", "sx", "sxx")} AS k
-         |  FROM v JOIN stats USING (user_id)),
-         |c AS (
-         |  SELECT user_id, event_id, rn, m, k,
-         |    greatest(CAST(0.0 AS DOUBLE), x - m - k) AS s
-         |  FROM p WHERE rn = 1
-         |  UNION ALL
-         |  SELECT p.user_id, p.event_id, p.rn, p.m, p.k,
-         |    greatest(CAST(0.0 AS DOUBLE), c.s + (p.x - p.m - p.k))
-         |  FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn + 1)
-         |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
-         |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
-         |FROM c ORDER BY event_id""".stripMargin,
+    "ts_cusum_reset" -> cusumResetOracleSql(minN = 1),
 
     "ts_sax" ->
       s"""WITH stats AS (

@@ -117,15 +117,19 @@ object PipelineQueries {
     // then per-series MinMax over the post-dropna frame for target and
     // the two reported features.
     "run_pipeline" -> {
-      val w = "PARTITION BY user_id ORDER BY ts, event_id"
+      // All partitioning/ordering on epoch_us(ts), never raw ts: under
+      // the legacy INT64-nanos generation DuckDB's raw ts keeps ns
+      // precision while Spark ingests micros — grouping on raw ts would
+      // keep ns-distinct/us-equal duplicates Spark dedups away.
+      val w = "PARTITION BY user_id ORDER BY tsu, event_id"
       def mm(c: String) =
         s"round(((($c) - min($c) OVER u) / nullif(max($c) OVER u - min($c) OVER u, 0)) * 10000.0) / 10000.0"
       s"""WITH dd AS (
-         |SELECT * FROM (SELECT event_id, user_id, ts, value,
-         |  row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+         |SELECT * FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS tsu, value,
+         |  row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id) AS rn
          |  FROM events) WHERE rn = 1
          |), fl AS (
-         |SELECT event_id, user_id, ts,
+         |SELECT event_id, user_id, ts, tsu,
          |  coalesce(last_value(value IGNORE NULLS)
          |    OVER ($w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value
          |FROM dd

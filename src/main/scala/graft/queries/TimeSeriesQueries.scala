@@ -275,10 +275,10 @@ object TimeSeriesQueries {
     "streaming_replay" -> { (s, d) =>
       import s.implicits._
       import graft.streaming.{Event, StreamingAnomaly}
-      val ev = Tables.events(s, d).where(col("value").isNotNull)
-      val maxUs = ev.agg(max(epochUs(col("ts")))).head().getLong(0)
-      val rows = ev.select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value")).as[Event].collect().toSeq
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
       StreamingAnomaly.replayToSink(s, rows, "graft_streaming_replay",
           Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
           ds => StreamingAnomaly.windowedCounts(ds.toDF()))
@@ -303,8 +303,8 @@ object TimeSeriesQueries {
           col("event_type"), col("value")).as[Event].collect().toSeq
       val (h1, h2) = rows.splitAt(rows.length / 2)
       val ms = MemoryStream[Event](s)
-      val out = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+      val out = StreamingAnomaly.replayTempDir("graft-sink-out")
+      val ckpt = StreamingAnomaly.replayTempDir("graft-sink-ckpt")
       val q = StreamingAnomaly.exactlyOnceParquetSink(ms.toDF(), out, ckpt)
       try {
         ms.addData(h1); q.processAllAvailable()
@@ -335,7 +335,7 @@ object TimeSeriesQueries {
         .withColumn("flag", coalesce((abs(z) > lit(2.0)).cast("long"), lit(0L)))
         .select(col("event_id"), col("ts"), col("user_id"), col("flag"))
         .as[FlaggedEvent].collect().toSeq
-      val maxUs = e.agg(max(epochUs(col("ts")))).head().getLong(0)
+      val maxUs = flagged.iterator.map(f => StreamingAnomaly.tsUs(f.ts)).max
       val closers = flagged.map(_.user_id).distinct.map(u =>
         FlaggedEvent(-1L, new java.sql.Timestamp(maxUs / 1000L + 3600L * 1000L), u, 0L))
       StreamingAnomaly.replayToSink(s, flagged ++ closers,
@@ -361,17 +361,11 @@ object TimeSeriesQueries {
           col("event_type"), col("value")).as[Event].collect().toSeq
       val msL = MemoryStream[Event](s)
       val msR = MemoryStream[Event](s)
-      val qname = "graft_streaming_interval_join"
-      s.catalog.dropTempView(qname)
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ckpt").toString
-      val q = StreamingAnomaly.intervalJoin(msL.toDF(), msR.toDF())
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append").option("checkpointLocation", ckpt).start()
-      try {
+      StreamingAnomaly.sinkAndDrain(s, "graft_streaming_interval_join",
+          StreamingAnomaly.intervalJoin(msL.toDF(), msR.toDF())) { q =>
         msL.addData(rows); msR.addData(rows)
         q.processAllAvailable()
-      } finally q.stop()
-      s.table(qname)
+      }
         .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"),
           col("matched_id"), epochUs(col("r_ts")).as("r_ts_us"), col("r_value"))
         .orderBy("event_id", "matched_id")
@@ -427,10 +421,10 @@ object TimeSeriesQueries {
     "streaming_sessionize" -> { (s, d) =>
       import s.implicits._
       import graft.streaming.{Event, StreamingAnomaly}
-      val ev = Tables.events(s, d).where(col("value").isNotNull)
-      val maxUs = ev.agg(max(epochUs(col("ts")))).head().getLong(0)
-      val rows = ev.select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value")).as[Event].collect().toSeq
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
       StreamingAnomaly.replayToSink(s, rows, "graft_streaming_sessionize",
           Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
           ds => StreamingAnomaly.sessionAggregates(ds.toDF()))

@@ -29,18 +29,30 @@ object Tables {
     *    and hashes identically to DuckDB's naive TIMESTAMP read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Prefer setting this at session build (Verify/Bench/GraftSession do);
-    // the fallback here only fires for driver-owned sessions that did not,
-    // and is skipped once set to avoid mutating shared conf per plan build.
+    // Prefer setting these at session build (Verify/Bench/GraftSession
+    // do); the fallbacks here only fire for driver-owned sessions that
+    // did not, and are skipped once set to avoid mutating shared conf per
+    // plan build. The timezone matters for the NTZ branch below: the
+    // NTZ→TIMESTAMP cast interprets wall-clock time in the session zone,
+    // so a non-UTC session would shift every instant — oracle parity
+    // requires UTC everywhere, like the nanos path required nanosAsLong.
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      s.conf.set("spark.sql.session.timeZone", "UTC")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampType => raw
-      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // Fail fast on an unknown generation: a silent cast of e.g. INT32
+      // epoch-seconds or a string ts would produce plausible-looking but
+      // wrong instants in every downstream window/bucket.
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported physical type $other; " +
+          "known generations: INT64 nanos (as long), TIMESTAMP, TIMESTAMP_NTZ")
     }
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")

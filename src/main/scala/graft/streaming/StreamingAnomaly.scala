@@ -152,22 +152,53 @@ object StreamingAnomaly {
       (xform: Dataset[A] => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ms = MemoryStream[A](spark)
-    spark.catalog.dropTempView(queryName)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ckpt").toString
-    val q = xform(ms.toDS())
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", ckpt).start()
-    try {
+    sinkAndDrain(spark, queryName, xform(ms.toDS())) { q =>
       ms.addData(rows)
       q.processAllAvailable()
       punctuation.foreach { p =>
         ms.addData(Seq(p))
         q.processAllAvailable()
       }
-    } finally q.stop()
+    }
+  }
+
+  /** The shared memory-sink lifecycle under [[replayToSink]], exposed for
+    * replays that need a non-single-stream feed (the two-source interval
+    * join): drop any stale sink view, start `out` into a memory sink
+    * named `queryName` with a self-cleaning checkpoint, run `feed`, stop,
+    * return the sink table.
+    */
+  def sinkAndDrain(spark: org.apache.spark.sql.SparkSession, queryName: String,
+                   out: DataFrame)(feed: StreamingQuery => Unit): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val q = out.writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", replayTempDir("graft-replay-ckpt")).start()
+    try feed(q) finally q.stop()
     spark.table(queryName)
   }
+
+  /** Temp directory deleted recursively at JVM exit — replay checkpoint
+    * and sink-output dirs would otherwise accumulate in /tmp across
+    * bench repetitions and driver rounds.
+    */
+  def replayTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
+  /** Epoch micros of a timestamp — the fold ordering key, exposed so
+    * replay entries can derive their punctuation point from the already-
+    * collected feed instead of re-scanning the table for max(ts).
+    */
+  def tsUs(t: Timestamp): Long = us(t)
 
   /** The far-future marker event used by watermark-bounded replays: its
     * own id/key, so its open window/session never reaches the output.
