@@ -290,6 +290,65 @@ object DedupQueries {
         .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
           (col("doc_id") === col("canonical_id")).cast(LongType).as("is_kept"))
         .orderBy("doc_id")
+    },
+
+    // LSH QUALITY HARNESS as a first-class query (the dedup twin of
+    // ann_recall_eval): recall/precision of the MinHash band-bucket
+    // candidate generator against exact-Jaccard ground truth. Truth =
+    // every pair reachable through the df-pruned shingle inverted index
+    // whose FULL-set Jaccard clears the verify threshold (the same
+    // scorer the production path uses, so the metric isolates the
+    // banding loss, not scorer drift); candidates = the minhash band
+    // join's distinct pairs. Both sides are bucketed equi-joins —
+    // the harness itself stays 100 TB-shaped — and every count is an
+    // integer, so parity is exact.
+    "dedup_recall_eval" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sets = shingleSets(s, d).cache()
+      // Ground truth: df-pruned shingle equi-join for pair discovery,
+      // exact full-array Jaccard for scoring.
+      val ex = sets
+        .select(col("doc_id"), explode(col("sh")).as("sh_s"))
+        .select(col("doc_id"), CleanFunctions.md5Hash64(col("sh_s")).as("s"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+        .filter(col("df") <= MaxShingleDf)
+      val discovered = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+        .distinct()
+      val truth = discovered
+        .join(sets.as("sa"), col("doc_id_a") === col("sa.doc_id"))
+        .join(sets.as("sb"), col("doc_id_b") === col("sb.doc_id"))
+        .filter(jaccard(col("sa.sh"), col("sb.sh")) >= MinhashVerifyThreshold)
+        .select(col("doc_id_a"), col("doc_id_b"))
+      // Candidates: the production MinHash band join (same constants).
+      val hashed = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id"), CleanFunctions.md5Hash64(col("s")).as("x"))
+      val mhCols = (0 until GraftConfig.MinHashK).map(i =>
+        min(TextFunctions.minhashPerm(col("x"), i)).as(s"h$i"))
+      val mh = hashed.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val bands = mh.select(col("doc_id"), explode(array(
+        (0 until GraftConfig.MinHashK / GraftConfig.MinHashRowsPerBand).map { b =>
+          val ks = (0 until GraftConfig.MinHashRowsPerBand)
+            .map(r => col(s"h${b * GraftConfig.MinHashRowsPerBand + r}"))
+          struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+        .distinct()
+      val hit = cand.join(truth, Seq("doc_id_a", "doc_id_b"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nC = cand.agg(count(lit(1)).as("n_candidates"))
+      val nH = hit.agg(count(lit(1)).as("n_hits"))
+      nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nH))
+        .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+          CleanFunctions.round4(col("n_hits").cast(DoubleType) /
+            nullif(col("n_truth").cast(DoubleType), lit(0.0))).as("recall"),
+          CleanFunctions.round4(col("n_hits").cast(DoubleType) /
+            nullif(col("n_candidates").cast(DoubleType), lit(0.0))).as("precision"))
     }
   )
 
@@ -438,6 +497,37 @@ object DedupQueries {
          |SELECT vec_id_a, vec_id_b, round((cos) * 10000.0) / 10000.0 AS cosine
          |FROM cand WHERE cos >= $CosineThreshold
          |ORDER BY vec_id_a, vec_id_b""".stripMargin
+    },
+
+    "dedup_recall_eval" -> {
+      val mins = (0 until GraftConfig.MinHashK).map(i =>
+        s"min(${TextFunctions.minhashPermSql(CleanFunctions.md5Hash64Sql("s"), i)}) AS h$i").mkString(",\n  ")
+      val bandRows = (0 until GraftConfig.MinHashK / GraftConfig.MinHashRowsPerBand).map { b =>
+        val ks = (0 until GraftConfig.MinHashRowsPerBand)
+          .map(r => s"h${b * GraftConfig.MinHashRowsPerBand + r}").mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS band, md5($ks) AS key FROM mh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $shingleSetsSql,
+         |ex0 AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("unnest(sh)")} AS s FROM sset),
+         |exd AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY s) <= $MaxShingleDf),
+         |disc AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |truth AS (SELECT doc_id_a, doc_id_b FROM disc
+         |  JOIN sset sa ON doc_id_a = sa.doc_id JOIN sset sb ON doc_id_b = sb.doc_id
+         |  WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinhashVerifyThreshold),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sset),
+         |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth),
+         |nt AS (SELECT count(*) AS n_truth FROM truth),
+         |nc AS (SELECT count(*) AS n_candidates FROM cand),
+         |nh AS (SELECT count(*) AS n_hits FROM hit)
+         |SELECT n_truth, n_candidates, n_hits,
+         |  ${CleanFunctions.round4Sql("CAST(n_hits AS DOUBLE) / nullif(CAST(n_truth AS DOUBLE), 0.0)")} AS recall,
+         |  ${CleanFunctions.round4Sql("CAST(n_hits AS DOUBLE) / nullif(CAST(n_candidates AS DOUBLE), 0.0)")} AS precision
+         |FROM nt, nc, nh""".stripMargin
     }
   )
 }

@@ -65,6 +65,11 @@ object OpsQueries {
   /** Candidate periods (hours) for spectral seasonality detection. */
   private val SpectralPeriods = Seq(24, 12, 8, 6)
 
+  /** ln(#spectral bins) — the spectral-entropy normalizer, computed once
+    * in Scala and interpolated into both engines as the same double.
+    */
+  private val LnBins = math.log(SpectralPeriods.size.toDouble)
+
   /** Discrete Fourier coefficient tables: cos/sin of the p phases of one
     * cycle, computed ONCE in Scala and baked as literals into BOTH the
     * Spark plan and the DuckDB SQL. Trig never runs inside either engine
@@ -982,6 +987,58 @@ object OpsQueries {
         .orderBy("user_id")
     },
 
+    // Spectral entropy per series (the forecastability index: one
+    // dominant cycle -> 0, flat spectrum/white noise -> 1): Shannon
+    // entropy of the normalized DFT-power distribution over the same
+    // candidate-period bins as ts_dominant_period, divided by ln(#bins).
+    // Identical literal trig tables + DECIMAL-exact projections; power
+    // shares and q*ln(q) terms are 6dp-rounded so the libm ln sits
+    // between rounding fences on both engines. One grouped agg,
+    // map-side partial, output O(#series).
+    "ts_spectral_entropy" -> { (s, d) =>
+      val e = ev(s, d).where(col("value").isNotNull)
+        .withColumn("th", expr("tsu div 3600000000"))
+      val stats = e.groupBy("user_id").agg(
+        exactSum(col("value")).as("sx"),
+        count(col("value")).cast("double").as("n"))
+      val vc = e.join(stats, "user_id")
+        .withColumn("vc", CleanFunctions.round6(col("value") - col("sx") / col("n")))
+      val aggs = SpectralPeriods.flatMap { p =>
+        val (cs, sn) = fourierTable(p)
+        val idx = (col("th") % p).cast("int") + 1
+        val cosCoef = element_at(array(cs.map(lit): _*), idx)
+        val sinCoef = element_at(array(sn.map(lit): _*), idx)
+        Seq(
+          exactSum(CleanFunctions.round6(col("vc") * cosCoef)).as(s"c$p"),
+          exactSum(CleanFunctions.round6(col("vc") * sinCoef)).as(s"s$p"))
+      }
+      val ag = vc.groupBy("user_id")
+        .agg(count(lit(1)).cast("double").as("n"), aggs: _*)
+      def power(p: Int) =
+        round4((col(s"c$p") * col(s"c$p") + col(s"s$p") * col(s"s$p")) /
+          (col("n") * col("n")))
+      val withPowers = SpectralPeriods.foldLeft(ag) { (df, p) =>
+        df.withColumn(s"p$p", power(p))
+      }
+      val ptot = SpectralPeriods.map(p => col(s"p$p")).reduce(_ + _)
+      val withShares = SpectralPeriods.foldLeft(
+          withPowers.withColumn("ptot", ptot)) { (df, p) =>
+        df.withColumn(s"q$p",
+          when(col("ptot") > 0.0, CleanFunctions.round6(col(s"p$p") / col("ptot"))))
+      }
+      val termSum = SpectralPeriods.map { p =>
+        when(col(s"q$p") > 0.0,
+          CleanFunctions.round6(col(s"q$p") * log(col(s"q$p"))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      withShares.select(
+          col("user_id") +: col("n").cast("long").as("n_rows") +:
+            SpectralPeriods.map(p => col(s"q$p")) :+
+            when(col("ptot") > 0.0,
+              round4(-termSum / lit(LnBins))).as("spec_entropy"): _*)
+        .orderBy("user_id")
+    },
+
     // Welch two-sample z statistic between the value distributions of
     // two event types — the A/B-comparison primitive; means/variances
     // from one DECIMAL-exact moment pass per group, clamped momentVar.
@@ -1596,6 +1653,47 @@ object OpsQueries {
          |  CAST(CASE $cases ELSE 0 END AS BIGINT) AS best_period_h,
          |  ${SpectralPeriods.map(p => s"p$p").mkString(", ")}
          |FROM pw ORDER BY user_id""".stripMargin
+    },
+
+    "ts_spectral_entropy" -> {
+      val sums = SpectralPeriods.flatMap { p =>
+        val (cs, sn) = fourierTable(p)
+        Seq(
+          s"${exactSumSql(s"round((vc * (${sqlDList(cs)}[(th % $p) + 1])) * 1000000.0) / 1000000.0")} AS c$p",
+          s"${exactSumSql(s"round((vc * (${sqlDList(sn)}[(th % $p) + 1])) * 1000000.0) / 1000000.0")} AS s$p")
+      }.mkString(",\n  ")
+      val powers = SpectralPeriods
+        .map(p => s"${round4Sql(s"(c$p * c$p + s$p * s$p) / (n * n)")} AS p$p")
+        .mkString(",\n  ")
+      val ptot = SpectralPeriods.map(p => s"p$p").mkString(" + ")
+      val shares = SpectralPeriods
+        .map(p => s"CASE WHEN ptot > 0.0 THEN round((p$p / ptot) * 1000000.0) / 1000000.0 END AS q$p")
+        .mkString(",\n  ")
+      val terms = SpectralPeriods
+        .map(p => s"CASE WHEN q$p > 0.0 THEN round((q$p * ln(q$p)) * 1000000.0) / 1000000.0 ELSE 0.0 END")
+        .mkString(" + ")
+      s"""WITH stats AS (
+         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |vc AS (SELECT e.user_id, epoch_us(e.ts) // 3600000000 AS th,
+         |    round((value - sx / n) * 1000000.0) / 1000000.0 AS vc
+         |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
+         |ag AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |  $sums
+         |  FROM vc GROUP BY user_id),
+         |pw AS (SELECT user_id, n,
+         |  $powers
+         |  FROM ag),
+         |pt AS (SELECT *, $ptot AS ptot FROM pw),
+         |q AS (SELECT user_id, n, ptot,
+         |  $shares
+         |  FROM pt)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_rows,
+         |  ${SpectralPeriods.map(p => s"q$p").mkString(", ")},
+         |  CASE WHEN ptot > 0.0
+         |    THEN ${round4Sql(s"-($terms) / ${CleanFunctions.dlitSql(LnBins)}")} END AS spec_entropy
+         |FROM q ORDER BY user_id""".stripMargin
     },
 
     "events_two_sample_z" ->

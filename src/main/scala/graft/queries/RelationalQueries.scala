@@ -991,8 +991,55 @@ object RelationalQueries {
         .groupBy("s_suppkey", "s_name")
         .agg(count(lit(1)).as("numwait"))
         .orderBy(desc("numwait"), col("s_suppkey"))
+    },
+
+    // Multi-hop BFS over the undirected nation trade graph (the Pregel
+    // iterate pattern next to nation_pagerank's weighted walk): min hop
+    // count from the source nation to every reachable node, frontier-
+    // relaxed for BfsMaxHops rounds. Each round is one equi-join of the
+    // O(N^2)-bounded edge aggregate against the current distance table
+    // plus a min-agg — the distributed Bellman-Ford step; all hops are
+    // integers so parity with the recursive-CTE oracle is exact. The
+    // heavy stage is the same fact->edge aggregation as nation_pagerank;
+    // iteration state is O(#nodes).
+    "nation_bfs" -> { (s, d) =>
+      val raw = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
+        .where(col("x") =!= col("y"))
+      val und = raw.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")).distinct()
+      val edges = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+        .cache()
+      var dist = Tables.nation(s, d)
+        .where(col("n_nationkey") === BfsSource)
+        .select(col("n_nationkey").as("node"), lit(0L).as("hops"))
+      for (_ <- 1 to BfsMaxHops) {
+        val relaxed = edges.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+        dist = dist.union(relaxed)
+          .groupBy("node").agg(min(col("hops")).as("hops"))
+          .localCheckpoint()
+      }
+      dist.join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("node").as("nationkey"), col("n_name"), col("hops"))
+        .orderBy("nationkey")
     }
   )
+
+  /** BFS parameters: source nation and the hop cap shared by the Spark
+    * loop and the recursive-CTE oracle (the trade graph is dense, so the
+    * true diameter is far below the cap).
+    */
+  private val BfsSource  = 0
+  private val BfsMaxHops = 4
 
   /** One PageRank iteration as a DuckDB CTE body: rank from `prev`,
     * contributions rounded 4dp then DECIMAL-summed (exactly the Spark
@@ -1499,6 +1546,26 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM li l3
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
         |GROUP BY s_suppkey, s_name
-        |ORDER BY numwait DESC, s_suppkey""".stripMargin
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    "nation_bfs" ->
+      s"""WITH RECURSIVE und AS (
+         |  SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+         |    greatest(c.c_nationkey, s.s_nationkey) AS b
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey),
+         |e AS (SELECT a AS src, b AS dst FROM und
+         |      UNION ALL SELECT b AS src, a AS dst FROM und),
+         |r(node, hops) AS (
+         |  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = $BfsSource
+         |  UNION ALL
+         |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.node
+         |  WHERE r.hops < $BfsMaxHops)
+         |SELECT node AS nationkey, n_name, CAST(min(hops) AS BIGINT) AS hops
+         |FROM r JOIN nation ON node = n_nationkey
+         |GROUP BY 1, 2 ORDER BY nationkey""".stripMargin
   )
 }

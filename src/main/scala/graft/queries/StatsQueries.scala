@@ -32,6 +32,18 @@ object StatsQueries {
     */
   private val BenfordExp: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
 
+  /** Count-min sketch geometry + hash constants (events_cms_topk):
+    * d rows x w counters, h_i(x) = ((a_i*x + b_i) mod p) mod w with
+    * p = 2^31-1. a_i stays ~1e6 so a_i * (x mod p) < 2^52 — exact in
+    * BIGINT on both engines with headroom.
+    */
+  private val CmsD = 3
+  private val CmsW = 64L
+  private val CmsP = 2147483647L
+  private val CmsA = Seq(1103633L, 700001L, 900007L)
+  private val CmsB = Seq(12345L, 67891L, 33533L)
+  private val CmsTopN = 20
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact PERCENTILE_CONT per series via rank interpolation — no
     // per-group value buffering (Spark's percentile UDAF would hold every
@@ -1165,6 +1177,40 @@ object StatsQueries {
           when(col("zc") > 0, lit(0.0))
             .otherwise(round4(exp(col("lnsum").cast(DoubleType)))).as("survival"))
         .orderBy("t_hours")
+    },
+
+    // Count-min sketch heavy hitters (Cormode-Muthukrishnan): d=3
+    // pairwise-independent integer hash rows x w=64 counters over the
+    // event key stream, estimate = min over rows, reported for the top
+    // keys next to the true count and the sketch's overestimate. The
+    // hashes are fixed ((a*x + b) mod p mod w, p = 2^31-1) and every
+    // value is a BIGINT, so the sketch state is bit-identical on both
+    // engines — a sketch entry with an EXACT oracle, unlike the
+    // engine-internal HLL of events_approx_stats. Scale shape: the
+    // counter table is d*w rows no matter the input (that is the point
+    // of a sketch); it broadcast-joins back to the per-key table, and
+    // the top-k is a TakeOrdered, never a global sort.
+    "events_cms_topk" -> { (s, d) =>
+      val keys = Tables.events(s, d).select(col("user_id"))
+      def h(i: Int) =
+        ((lit(CmsA(i)) * pmod(col("user_id"), lit(CmsP)) + lit(CmsB(i))) % CmsP) % CmsW
+      val counters = keys
+        .select(explode(array((0 until CmsD).map(i =>
+          struct(lit(i).as("r"), h(i).as("b"))): _*)).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val truth = keys.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+      val withB = (0 until CmsD).foldLeft(truth) { (df, i) =>
+        df.withColumn(s"b$i", h(i))
+      }
+      val est = (0 until CmsD).foldLeft(withB) { (df, i) =>
+        df.join(broadcast(counters.where(col("r") === i)
+          .select(col("b").as(s"b$i"), col("cnt").as(s"c$i"))), Seq(s"b$i"))
+      }
+      est.select(col("user_id"), col("true_cnt"),
+          least((0 until CmsD).map(i => col(s"c$i")): _*).as("cms_est"))
+        .withColumn("overestimate", col("cms_est") - col("true_cnt"))
+        .orderBy(desc("cms_est"), col("user_id")).limit(CmsTopN)
     })
 
   private val PsSqlList =
@@ -2113,6 +2159,28 @@ object StatsQueries {
          |SELECT dur_h AS t_hours, n_risk, d AS d_events, m - d AS censored,
          |  CASE WHEN zc > 0 THEN 0.0
          |       ELSE ${round4Sql("exp(CAST(lnsum AS DOUBLE))")} END AS survival
-         |FROM s WHERE d > 0 ORDER BY t_hours""".stripMargin
+         |FROM s WHERE d > 0 ORDER BY t_hours""".stripMargin,
+
+    "events_cms_topk" -> {
+      def hSql(i: Int) =
+        s"(((${CmsA(i)} * (user_id % $CmsP) + ${CmsB(i)}) % $CmsP) % $CmsW)"
+      val exRows = (0 until CmsD)
+        .map(i => s"SELECT $i AS r, ${hSql(i)} AS b FROM events")
+        .mkString("\n  UNION ALL ")
+      val joins = (0 until CmsD)
+        .map(i => s"JOIN counters c$i ON c$i.r = $i AND c$i.b = t.b$i")
+        .mkString("\n  ")
+      s"""WITH ex AS ($exRows),
+         |counters AS (SELECT r, b, count(*) AS cnt FROM ex GROUP BY 1, 2),
+         |t AS (SELECT user_id, count(*) AS true_cnt,
+         |  ${(0 until CmsD).map(i => s"${hSql(i)} AS b$i").mkString(", ")}
+         |  FROM events GROUP BY user_id),
+         |e AS (SELECT t.user_id, t.true_cnt,
+         |  least(${(0 until CmsD).map(i => s"c$i.cnt").mkString(", ")}) AS cms_est
+         |  FROM t
+         |  $joins)
+         |SELECT user_id, true_cnt, cms_est, cms_est - true_cnt AS overestimate
+         |FROM e ORDER BY cms_est DESC, user_id LIMIT $CmsTopN""".stripMargin
+    }
     )
 }

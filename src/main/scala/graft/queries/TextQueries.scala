@@ -36,6 +36,18 @@ object TextQueries {
   /** Weighted-sampling draw size (A-Res top-k). */
   private val WeightedSampleK = 100
 
+  /** Gopher word-count band, sized so the synthetic corpus (20-80 word
+    * docs) actually splits on the rule (the published 50..100k band
+    * would pass every doc and test nothing).
+    */
+  private val GopherMinWords = 30L
+  private val GopherMaxWords = 5000L
+
+  /** Temperature exponent for source-mix sampling weights (mBERT's
+    * alpha=0.7). The SQL twin interpolates the exact double literal.
+    */
+  private val MixAlpha = 0.7
+
   /** 8 greedy BPE merge rounds over the corpus word-frequency table.
     * Returns (merge table rows, final vocab with '·'-delimited symbol
     * strings). Shared by text_bpe_train and text_bpe_encode so the two
@@ -594,6 +606,72 @@ object TextQueries {
         .select(col("doc_id"), min(col("doc_id")).over(w).as("canonical_id"))
         .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
         .orderBy("doc_id")
+    },
+
+    // Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1,
+    // adapted thresholds for the synthetic corpus): per-doc word count
+    // band, mean word length band, symbol-to-word ratio, alphabetic-word
+    // fraction, and distinct-stopword floor, composed into one boolean
+    // verdict. All counts are integers and every ratio is a single IEEE
+    // division rounded 4dp, so parity is exact; pure per-row map work —
+    // one WholeStageCodegen over the scan, embarrassingly parallel at
+    // any corpus size.
+    "text_gopher_rules" -> { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          size(toks).cast(LongType).as("n_words"),
+          expr("aggregate(transform(" +
+            "split(trim(text), '\\\\s+'), x -> length(x)), 0L, (a, x) -> a + x)")
+            .as("sum_word_len"),
+          size(array_distinct(filter(transform(toks, t => lower(t)),
+            t => t.isin(Stopwords: _*)))).cast(LongType).as("n_stop_distinct"),
+          size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast(LongType).as("n_alpha_words"),
+          regexp_count(col("text"), lit("#|\\.\\.\\.")).cast(LongType).as("n_symbols"))
+        .select(col("doc_id"), col("n_words"), col("n_stop_distinct"),
+          CleanFunctions.round4(col("sum_word_len").cast(DoubleType) /
+            nullif(col("n_words").cast(DoubleType), lit(0.0))).as("mean_word_len"),
+          CleanFunctions.round4(col("n_symbols").cast(DoubleType) /
+            nullif(col("n_words").cast(DoubleType), lit(0.0))).as("symbol_ratio"),
+          CleanFunctions.round4(col("n_alpha_words").cast(DoubleType) /
+            nullif(col("n_words").cast(DoubleType), lit(0.0))).as("alpha_word_frac"))
+        .withColumn("ok_words", col("n_words").between(GopherMinWords, GopherMaxWords))
+        .withColumn("ok_word_len", col("mean_word_len").between(3.0, 10.0))
+        .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
+        .withColumn("ok_alpha", col("alpha_word_frac") >= 0.8)
+        .withColumn("ok_stopwords", col("n_stop_distinct") >= 2)
+        .withColumn("pass", col("ok_words") && col("ok_word_len") &&
+          col("ok_symbols") && col("ok_alpha") && col("ok_stopwords"))
+        .orderBy("doc_id")
+    },
+
+    // Training-mix construction: temperature-scaled source sampling
+    // weights (the multilingual/multi-source standard, alpha=0.7 as in
+    // mBERT/XLM-R): share^alpha renormalized, effective epochs =
+    // weight/share — how much each source is over/under-sampled. The
+    // per-source table is O(#sources) after one map-side-combinable
+    // aggregation; pow runs on a 4dp-rounded share and its result is
+    // 6dp-rounded before the DECIMAL renormalization sum, so the libm
+    // call sits between two rounding fences on both engines.
+    "text_mix_weights" -> { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val src = Tables.documents(s, d)
+        .select(col("source"), size(toks).cast(LongType).as("tk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+      val tot = src.agg(sum(col("n_tokens")).as("total_tokens"))
+      val shared = src.crossJoin(broadcast(tot))
+        .withColumn("share", CleanFunctions.round4(
+          col("n_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType)))
+        .withColumn("w_raw", CleanFunctions.round6(pow(col("share"), lit(MixAlpha))))
+      val wsum = shared.agg(CleanFunctions.exactSum(col("w_raw")).as("w_sum"))
+      shared.crossJoin(broadcast(wsum))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+          CleanFunctions.round4(col("w_raw") / col("w_sum")).as("weight"),
+          CleanFunctions.round4(
+            CleanFunctions.round4(col("w_raw") / col("w_sum")) / col("share"))
+            .as("effective_epochs"))
+        .orderBy("source")
     }
   )
 
@@ -971,7 +1049,48 @@ object TextQueries {
       "dedup_exact" ->
         """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
           |doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_gopher_rules" ->
+        s"""WITH m AS (SELECT doc_id,
+           |  CAST(len($t) AS BIGINT) AS n_words,
+           |  CAST(list_sum(list_transform($t, x -> length(x))) AS BIGINT) AS sum_word_len,
+           |  CAST(len(list_distinct(list_filter(list_transform($t, x -> lower(x)),
+           |    x -> list_contains(${sqlList(Stopwords)}, x)))) AS BIGINT) AS n_stop_distinct,
+           |  CAST(len(list_filter($t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+           |  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols
+           |FROM documents),
+           |r AS (SELECT doc_id, n_words, n_stop_distinct,
+           |  ${CleanFunctions.round4Sql("CAST(sum_word_len AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0)")} AS mean_word_len,
+           |  ${CleanFunctions.round4Sql("CAST(n_symbols AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0)")} AS symbol_ratio,
+           |  ${CleanFunctions.round4Sql("CAST(n_alpha_words AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0)")} AS alpha_word_frac
+           |FROM m)
+           |SELECT doc_id, n_words, n_stop_distinct, mean_word_len, symbol_ratio,
+           |  alpha_word_frac,
+           |  n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS ok_words,
+           |  mean_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len,
+           |  symbol_ratio <= 0.1 AS ok_symbols,
+           |  alpha_word_frac >= 0.8 AS ok_alpha,
+           |  n_stop_distinct >= 2 AS ok_stopwords,
+           |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+           |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+           |    AND n_stop_distinct >= 2 AS pass
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+      "text_mix_weights" ->
+        s"""WITH src AS (SELECT source, count(*) AS n_docs,
+           |  CAST(sum(len($t)) AS BIGINT) AS n_tokens
+           |FROM documents GROUP BY source),
+           |sh AS (SELECT source, n_docs, n_tokens,
+           |  ${CleanFunctions.round4Sql("CAST(n_tokens AS DOUBLE) / CAST((SELECT sum(n_tokens) FROM src) AS DOUBLE)")} AS share
+           |FROM src),
+           |w AS (SELECT *, round(pow(share, ${CleanFunctions.dlitSql(MixAlpha)}) * 1000000.0) / 1000000.0 AS w_raw FROM sh),
+           |ws AS (SELECT ${CleanFunctions.exactSumSql("w_raw")} AS w_sum FROM w)
+           |SELECT source, n_docs, n_tokens, share,
+           |  ${CleanFunctions.round4Sql("w_raw / w_sum")} AS weight,
+           |  ${CleanFunctions.round4Sql(s"${CleanFunctions.round4Sql("w_raw / w_sum")} / share")} AS effective_epochs
+           |FROM w, ws ORDER BY source""".stripMargin
     )
   }
 }

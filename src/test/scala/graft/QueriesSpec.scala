@@ -589,4 +589,72 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CMS estimates never undercount (the one-sided sketch guarantee)") {
+    import org.apache.spark.sql.functions._
+    val cms = SparkEntry.queries("events_cms_topk")(spark, sfDir).cache()
+    assert(cms.count() > 0)
+    assert(cms.filter(col("cms_est") < col("true_cnt")).count() == 0,
+      "count-min must only overestimate")
+    assert(cms.filter(col("overestimate") =!=
+      col("cms_est") - col("true_cnt")).count() == 0)
+  }
+
+  test("LSH recall harness: metrics in [0,1], hits bounded by both sides") {
+    val r = SparkEntry.queries("dedup_recall_eval")(spark, sfDir).head()
+    val (nT, nC, nH) = (r.getAs[Long]("n_truth"),
+      r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"))
+    assert(nH <= nT && nH <= nC, s"hits $nH exceed truth $nT or candidates $nC")
+    val (rec, prec) = (r.getAs[Double]("recall"), r.getAs[Double]("precision"))
+    assert(rec >= 0.0 && rec <= 1.0 && prec >= 0.0 && prec <= 1.0)
+    // The banding constants are tuned for ~0.7 Jaccard; on the synthetic
+    // near-dup corpus the harness should report useful recall.
+    assert(rec >= 0.5, s"minhash-LSH recall collapsed: $rec")
+  }
+
+  test("gopher rules: pass is the conjunction of its flags") {
+    import org.apache.spark.sql.functions._
+    val g = SparkEntry.queries("text_gopher_rules")(spark, sfDir).cache()
+    assert(g.count() > 0)
+    val bad = g.filter(col("pass") =!= (col("ok_words") && col("ok_word_len") &&
+      col("ok_symbols") && col("ok_alpha") && col("ok_stopwords"))).count()
+    assert(bad == 0, "pass must equal the AND of the five rules")
+    // Both verdicts must occur on the synthetic corpus or the rule band
+    // tests nothing.
+    assert(g.filter(col("pass")).count() > 0 && g.filter(!col("pass")).count() > 0)
+  }
+
+  test("mix weights: normalized, and temperature compresses toward uniform") {
+    import org.apache.spark.sql.functions._
+    val m = SparkEntry.queries("text_mix_weights")(spark, sfDir).cache()
+    val wsum = m.agg(sum(col("weight"))).head().getDouble(0)
+    assert(math.abs(wsum - 1.0) < 0.01, s"weights must renormalize, got $wsum")
+    // alpha < 1 over-samples small sources relative to their share and
+    // under-samples large ones: epochs anti-correlate with share.
+    val rows = m.select(col("share"), col("effective_epochs"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val minShare = rows.minBy(_._1)
+    val maxShare = rows.maxBy(_._1)
+    assert(minShare._2 >= maxShare._2,
+      s"temperature must favor small sources: $minShare vs $maxShare")
+  }
+
+  test("BFS: source at hop 0, every hop within the cap and reachable-only") {
+    import org.apache.spark.sql.functions._
+    val b = SparkEntry.queries("nation_bfs")(spark, sfDir).cache()
+    assert(b.filter(col("nationkey") === 0).head().getAs[Long]("hops") == 0L)
+    assert(b.filter(col("hops") < 0 || col("hops") > 4).count() == 0)
+  }
+
+  test("spectral entropy is a normalized [0,1] index over the period bins") {
+    import org.apache.spark.sql.functions._
+    val e = SparkEntry.queries("ts_spectral_entropy")(spark, sfDir).cache()
+    assert(e.count() > 0)
+    assert(e.filter(col("spec_entropy") < -0.0001 ||
+      col("spec_entropy") > 1.0001).count() == 0)
+    // Shares form a distribution wherever defined.
+    val bad = e.filter(col("q24").isNotNull &&
+      abs(col("q24") + col("q12") + col("q8") + col("q6") - 1.0) > 0.01).count()
+    assert(bad == 0, "power shares must sum to 1")
+  }
 }
