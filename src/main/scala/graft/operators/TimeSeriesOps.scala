@@ -719,6 +719,56 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** Two-threshold hysteresis (Schmitt-trigger) alert state per key —
+    * the debounced alarm every monitoring stack runs instead of a single
+    * threshold (which chatters when the signal hovers at the line):
+    * enter the alert state when x > hi, leave it only when x < lo
+    * (lo <= x <= hi holds the current state). The state recurrence is
+    * non-window-expressible (same family as [[cusumReset]]), so a keyed
+    * repartition + sorted in-partition scan with one Boolean of state.
+    * Feed a PRE-ROUNDED x (e.g. a 4dp |z|): the state flips on float
+    * comparisons, and rounding fences on both engines make every
+    * comparison decision engine-identical. Null x emits null and leaves
+    * the state unchanged. The DuckDB twin replays the fold with a
+    * recursive CTE.
+    */
+  def hysteresis(df: DataFrame, keys: Seq[String], order: Seq[String],
+                 target: String, lo: Double, hi: Double,
+                 outCol: String = "in_alert", numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "hysteresis needs series keys")
+    require(lo <= hi, s"hysteresis needs lo <= hi, got $lo > $hi")
+    require(!df.columns.contains(outCol), s"hysteresis: column '$outCol' exists")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn("__hy_x", col(target).cast(DoubleType))
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val xI = sorted.schema.fieldIndex("__hy_x")
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var in = 0L
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; in = 0L }
+          val out: Any =
+            if (r.isNullAt(xI)) null
+            else {
+              val x = r.getDouble(xI)
+              in = if (in == 0L) { if (x > hi) 1L else 0L }
+                   else { if (x < lo) 0L else 1L }
+              in
+            }
+          Row.fromSeq(r.toSeq.init :+ out)
+        }
+      }, schema)
+  }
+
   /** One-sided upper CUSUM with reset (the SPC control-chart statistic):
     * s_t = max(0, s_{t-1} + (x_t - target_t - slack_t)), emitted PER ROW.
     * The reset (max with 0) makes the recurrence non-window-expressible,

@@ -124,6 +124,39 @@ object MultimodalQueries {
           least(length(col("payload")).cast("long"), lit(256L)).as("thumb_bytes"),
           (h % 192).as("thumb_w"), (h % 108).as("thumb_h"))
         .orderBy("doc_id")
+    },
+
+    // Perceptual-hash media dedup (the pHash/videohash pattern): a
+    // 60-bit content signature per media blob by majority-voting the
+    // frame-hash bits (SimHash over FRAMES instead of tokens — the
+    // single-pass codegen'd expression), then the same 6x10-bit banded
+    // equi-join as text simhash for candidates, exact hamming <= 5
+    // verify. Only "a frame is 32 bytes" is stubbed; signature,
+    // banding, and the no-O(n^2) candidate join are the production
+    // media-dedup shape. Oracle = all-pairs scan (banding is
+    // recall-complete by pigeonhole at this threshold).
+    "mm_phash_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      val F = 32
+      val frames = expr(
+        s"transform(sequence(0, length(text) div $F - 1), " +
+          s"i -> substring(text, cast(i * $F + 1 as int), $F))")
+      val sigs = Tables.documents(s, d)
+        .filter(length(col("text")) >= F)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.simhash60(frames).as("sig"))
+      val chunks = sigs.select(col("doc_id"), col("sig"), explode(array(
+          (0 until 6).map(c => struct(lit(c).as("c"),
+            shiftright(col("sig"), c * 10).bitwiseAND(lit(1023L)).as("v"))): _*)).as("ck"))
+        .select(col("doc_id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast(LongType).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 5)
+        .orderBy("doc_id_a", "doc_id_b")
     }
   )
 
@@ -194,6 +227,25 @@ object MultimodalQueries {
          |least(CAST(strlen(text) AS BIGINT), 256) AS thumb_bytes,
          |$h % 192 AS thumb_w, $h % 108 AS thumb_h
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "mm_phash_dedup" -> {
+      val h = graft.functions.CleanFunctions.md5Hash64Sql("t")
+      s"""WITH fr AS (SELECT doc_id,
+         |  list_transform(generate_series(0, strlen(text) // 32 - 1),
+         |    i -> substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frames
+         |  FROM documents WHERE strlen(text) >= 32),
+         |tok AS (SELECT doc_id, unnest(frames) AS t FROM fr),
+         |h AS (SELECT doc_id, $h AS h FROM tok),
+         |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
+         |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+         |  FROM v GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 5
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin
     }
   )
 }

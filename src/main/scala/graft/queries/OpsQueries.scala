@@ -44,6 +44,12 @@ object OpsQueries {
   /** Croston smoothing constant (standard 0.1-0.3 band). */
   private val CrostonAlpha = 0.3
 
+  /** Hysteresis alarm thresholds in |z| units: enter above HystHi,
+    * leave below HystLo (ts_hysteresis).
+    */
+  private val HystLo = 1.0
+  private val HystHi = 2.0
+
   /** Hourly purchase demand per user — the INTERMITTENT series feeding
     * Croston / demand classification: most hours see no purchase, and
     * only the demand points are materialized (no zero-spine — the scale
@@ -692,6 +698,31 @@ object OpsQueries {
         K, Ord, "value", "m", "k")
         .select(col("event_id"), round4(col("cusum_hi")).as("cusum_hi"),
           when(col("cusum_hi") > lit(4.0) * col("k"), 1L).otherwise(0L).as("alarm"))
+        .orderBy("event_id")
+    },
+
+    // Two-threshold hysteresis alarm (Schmitt trigger on |z|): enter the
+    // alert state above HystHi sigmas, leave only below HystLo — the
+    // debounced pager state that a single threshold (ts_alert_episodes'
+    // flag) chatters on when the signal hovers at the line. |z| is
+    // 4dp-pre-rounded from one DECIMAL-exact moment pass so every state
+    // flip compares identical doubles on both engines; the fold is the
+    // keyed O(1)-state scan (TimeSeriesOps.hysteresis), the oracle a
+    // recursive-CTE replay. Constant/singleton series (null sigma) drop
+    // on both sides.
+    "ts_hysteresis" -> { (s, d) =>
+      val e = ev(s, d).where(col("value").isNotNull)
+      val stats = e.groupBy("user_id").agg(
+        graft.functions.CleanFunctions.exactSum(col("value")).as("sx"),
+        graft.functions.CleanFunctions.exactSum(col("value") * col("value")).as("sxx"),
+        count(col("value")).cast("double").as("n"))
+      val withZ = e.join(stats, "user_id")
+        .withColumn("za", abs(round4(CleanFunctions.safeDiv(
+          col("value") - col("sx") / col("n"),
+          CleanFunctions.momentStd(col("n"), col("sx"), col("sxx"))))))
+        .where(col("za").isNotNull)
+      TS.hysteresis(withZ, K, Ord, "za", lo = HystLo, hi = HystHi)
+        .select(col("event_id"), col("za").as("z_abs"), col("in_alert"))
         .orderBy("event_id")
     },
 
@@ -1538,6 +1569,31 @@ object OpsQueries {
     "streaming_cusum" -> cusumResetOracleSql(minN = 2),
 
     "ts_cusum_reset" -> cusumResetOracleSql(minN = 1),
+
+    "ts_hysteresis" ->
+      s"""WITH RECURSIVE stats AS (
+         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+         |  FROM events WHERE value IS NOT NULL),
+         |p AS (SELECT v.user_id, v.event_id, v.rn,
+         |    abs(round(((v.x - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 10000.0) / 10000.0) AS za
+         |  FROM v JOIN stats USING (user_id)),
+         |f AS (SELECT * FROM p WHERE za IS NOT NULL),
+         |c AS (
+         |  SELECT user_id, event_id, rn, za,
+         |    CAST(CASE WHEN za > $HystHi THEN 1 ELSE 0 END AS BIGINT) AS st
+         |  FROM f WHERE rn = 1
+         |  UNION ALL
+         |  SELECT f.user_id, f.event_id, f.rn, f.za,
+         |    CAST(CASE WHEN c.st = 0 THEN (CASE WHEN f.za > $HystHi THEN 1 ELSE 0 END)
+         |              ELSE (CASE WHEN f.za < $HystLo THEN 0 ELSE 1 END) END AS BIGINT)
+         |  FROM c JOIN f ON f.user_id = c.user_id AND f.rn = c.rn + 1)
+         |SELECT event_id, za AS z_abs, st AS in_alert
+         |FROM c ORDER BY event_id""".stripMargin,
 
     "ts_sax" ->
       s"""WITH stats AS (

@@ -290,6 +290,27 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // XML sink/source roundtrip through Spark 4's NATIVE xml data source
+    // (one <event> record per row): longs and strings roundtrip exactly
+    // through the text encoding and doubles via shortest-round-trip
+    // printing, so the oracle never reads the temp XML — it asserts the
+    // roundtrip is LOSSLESS against the original events. Explicit casts
+    // pin the read-back schema (inference is engine detail, not
+    // contract); null values drop on both sides via the > filter.
+    "xml_roundtrip" -> { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").format("xml").option("rowTag", "event").save(tmp)
+      s.read.format("xml").option("rowTag", "event").load(tmp)
+        .filter(col("value") > 50.0)
+        .select(col("event_id").cast(LongType).as("event_id"),
+          col("user_id").cast(LongType).as("user_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("value").cast(DoubleType).as("value"))
+        .orderBy("event_id")
+    },
+
     // Shuffle-dedup at scale: exact distinct cardinality per group. The
     // partial-aggregate pass dedups map-side before the exchange.
     "events_distinct_users" -> { (s, d) =>
@@ -1369,6 +1390,10 @@ object RelationalQueries {
     "orc_roundtrip" ->
       """SELECT event_id, user_id, value FROM events WHERE value > 50.0
         |ORDER BY event_id""".stripMargin,
+
+    "xml_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE value > 50.0 ORDER BY event_id""".stripMargin,
 
     "events_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

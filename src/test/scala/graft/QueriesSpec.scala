@@ -646,6 +646,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(b.filter(col("hops") < 0 || col("hops") > 4).count() == 0)
   }
 
+  test("media phash: exact-duplicate payloads pair at hamming 0") {
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("mm_phash_dedup")(spark, sfDir).cache()
+    assert(pairs.filter(col("hamming") < 0 || col("hamming") > 5).count() == 0)
+    assert(pairs.filter(col("doc_id_a") >= col("doc_id_b")).count() == 0)
+    // Every pair of byte-identical payloads (>= one frame) must surface
+    // with an identical signature.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 32)
+    val dupes = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+    val missed = dupes.join(pairs.filter(col("hamming") === 0),
+      Seq("doc_id_a", "doc_id_b"), "left_anti").count()
+    assert(missed == 0, s"$missed exact-dup pairs missing from phash output")
+  }
+
   test("spectral entropy is a normalized [0,1] index over the period bins") {
     import org.apache.spark.sql.functions._
     val e = SparkEntry.queries("ts_spectral_entropy")(spark, sfDir).cache()

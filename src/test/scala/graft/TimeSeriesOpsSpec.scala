@@ -254,4 +254,36 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(off.count() == 0)
     r.unpersist()
   }
+
+  test("hysteresis: enters above hi, HOLDS between lo and hi, exits below lo") {
+    import spark.implicits._
+    val vals: Seq[Option[Double]] = Seq(
+      Some(0.5),  // below lo -> 0
+      Some(1.5),  // between, state 0 -> stays 0 (a single threshold at lo would fire)
+      Some(2.5),  // above hi -> 1
+      Some(1.5),  // between, state 1 -> HOLDS 1 (a single threshold at hi would drop)
+      None,       // null: emit null, state unchanged
+      Some(1.2),  // still holding
+      Some(0.9),  // below lo -> 0
+      Some(1.9))  // between, state 0 -> stays 0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "u", v) }
+      .toDF("event_id", "user_id", "x")
+    val got = TS.hysteresis(df, Seq("user_id"), Seq("event_id"), "x", lo = 1.0, hi = 2.0)
+      .orderBy("event_id").select("in_alert").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    val want = Seq(Some(0L), Some(0L), Some(1L), Some(1L), None,
+      Some(1L), Some(0L), Some(0L))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+
+  test("hysteresis is partition-count invariant") {
+    val base = ev.select(col("event_id"), col("user_id"), col("value"))
+    def run(p: Int) = TS.hysteresis(base, Seq("user_id"), Seq("event_id"), "value",
+        lo = 40.0, hi = 60.0, numPartitions = p)
+      .select("event_id", "in_alert")
+    val a = run(1).withColumnRenamed("in_alert", "a")
+    val b = run(7).withColumnRenamed("in_alert", "b")
+    assert(a.join(b, "event_id")
+      .filter(!(col("a") <=> col("b"))).count() == 0)
+  }
 }
