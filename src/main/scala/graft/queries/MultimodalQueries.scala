@@ -157,6 +157,38 @@ object MultimodalQueries {
         .distinct()
         .filter(col("hamming") <= 5)
         .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // Aspect-ratio bucketing for batch packing: multimodal training
+    // batches must group media of similar shape (resize-to-common-size
+    // wastes pixels across aspect ratios), so the pipeline buckets each
+    // decoded item by width/(height+1) and sizes per-bucket batch counts
+    // (batch=32). Decode is the shared md5 stub; the bucketing/packing
+    // arithmetic is the real operator. One shuffle on (media_type,
+    // bucket) with map-side partial aggregation; integer batch math
+    // ((n+31) div 32 — no float ceil) keeps parity exact.
+    "mm_aspect_buckets" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"),
+          col("text").cast("binary").as("payload"))
+        .as[MediaRow]
+      val stats = rows.mapPartitions(_.map(decodeStub)).toDF()
+      val r = col("width").cast(DoubleType) / (col("height").cast(DoubleType) + 1.0)
+      stats
+        .select(col("media_type"), col("n_bytes"),
+          when(r < 0.5, "tall").when(r < 0.9, "portrait")
+            .when(r < 1.2, "square").when(r < 2.0, "landscape")
+            .otherwise("wide").as("bucket"))
+        .groupBy("media_type", "bucket")
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+        .select(col("media_type"), col("bucket"), col("n"), col("total_bytes"),
+          expr("(n + 31) div 32").cast(LongType).as("n_batches"))
+        .orderBy("media_type", "bucket")
     }
   )
 
@@ -246,6 +278,25 @@ object MultimodalQueries {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 5
          |ORDER BY doc_id_a, doc_id_b""".stripMargin
+    },
+
+    "mm_aspect_buckets" -> {
+      val h = graft.functions.CleanFunctions.md5Hash64Sql("text")
+      s"""WITH st AS (SELECT doc_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  CAST($h % 1920 AS DOUBLE) / (CAST($h % 1080 AS DOUBLE) + 1.0) AS r
+         |  FROM documents),
+         |bk AS (SELECT media_type, n_bytes,
+         |  CASE WHEN r < 0.5 THEN 'tall' WHEN r < 0.9 THEN 'portrait'
+         |       WHEN r < 1.2 THEN 'square' WHEN r < 2.0 THEN 'landscape'
+         |       ELSE 'wide' END AS bucket
+         |  FROM st)
+         |SELECT media_type, bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         |  (count(*) + 31) // 32 AS n_batches
+         |FROM bk GROUP BY media_type, bucket
+         |ORDER BY media_type, bucket""".stripMargin
     }
   )
 }

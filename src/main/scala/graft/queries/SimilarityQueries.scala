@@ -44,6 +44,12 @@ object SimilarityQueries {
   private val PqK = 16
   private val PqIters = 1
   private val PqDedupCosine = 0.4 // same band as dedup_embedding
+  // Sign-bit signature width: 60 bits matches md5Hash64's convention and
+  // keeps every partial fold sum inside a BIGINT on both engines (DuckDB's
+  // list_sum promotes to HUGEINT; values stay < 2^60 so the final cast
+  // back to BIGINT is exact).
+  private val HamBits = 60
+  private val SemDedupTau = 0.4 // same near-dup band as dedup_embedding
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label embedding centroids (class prototypes): posexplode to
@@ -473,6 +479,66 @@ object SimilarityQueries {
         .select(col("a_id").as("vec_id"), lof.as("lof"),
           when(lof > 1.5, 1L).otherwise(0L).as("is_outlier"))
         .orderBy("vec_id")
+    },
+
+    // Binary (sign-bit) hamming ANN: each vector compresses to a 60-bit
+    // signature (bit i set iff component i > 0) — 8 bytes per 256-byte
+    // vector, so at 100 TB the whole index is ~3 TB and a scan ranks with
+    // one codegen'd xor+popcount per candidate instead of a 64-float dot.
+    // The signature build is a per-row fold (zero shuffle); the query
+    // batch broadcasts; distances are small integers so ranking is exact
+    // (no float rounding band needed), ties broken by n_id.
+    "ann_hamming_topk" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      val sig = expr(
+        s"aggregate(sequence(0, ${HamBits - 1}), 0L, (acc, i) -> " +
+          "acc + IF(element_at(embedding, i + 1) > CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L))")
+      val e = Tables.embeddings(s, d).select(col("vec_id"), sig.as("sig"))
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
+      val w = Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          bit_count(col("q_sig").bitwiseXOR(col("sig"))).cast(LongType).as("dist"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= TopK)
+        .orderBy("q_id", "rk")
+    },
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cluster
+    // first, then pairwise cosine ONLY within a cluster — the pairwise
+    // stage is O(Σ cluster²), never corpus², and each cluster's pairs
+    // co-locate on one executor after the equi-join on cluster id. Keeps
+    // the lowest vec_id of each near-dup group (every later member points
+    // at the earliest ≥τ neighbor). Same seed centroids + rounded-dist2
+    // ranking as emb_kmeans_assign, so the cluster geometry is shared
+    // (and the oracle CTE replays it exactly).
+    "dedup_semantic" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      import graft.functions.CleanFunctions.round4
+      val e = Tables.embeddings(s, d)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist2").asc, col("centroid_id").asc)
+      val assign = e.crossJoin(broadcast(seedCentroids(e)))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"), seedDist2.as("dist2"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("centroid_id").as("cluster"))
+        .cache()
+      val a = assign.select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      val b = assign.select(col("cluster"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"))
+      val dups = a.join(b, Seq("cluster"))
+        .where(col("a_id") < col("b_id") &&
+          round4(TextFunctions.cosine(col("a_emb"), col("b_emb"))) >= SemDedupTau)
+        .groupBy(col("b_id").as("vec_id")).agg(min(col("a_id")).as("keep_id"))
+      assign.select(col("vec_id"), col("cluster"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+          when(col("keep_id").isNotNull, 1L).otherwise(0L).as("is_dup"),
+          coalesce(col("keep_id"), col("vec_id")).cast(LongType).as("keep_id"))
+        .orderBy("vec_id")
     }
   )
 
@@ -873,6 +939,41 @@ object SimilarityQueries {
          |  CAST(CASE WHEN ${r4("(slrd / 5.0) / nullif(l.lrd, 0.0)")} > 1.5
          |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
          |FROM sl JOIN lrd l ON sl.a_id = l.a_id ORDER BY vec_id""".stripMargin
-    }
+    },
+
+    "ann_hamming_topk" -> {
+      // Same 60-bit sign fold as the Spark side: per-element shifted bit,
+      // summed (bits are disjoint so + == OR), HUGEINT sum cast back to
+      // BIGINT exactly. xor+bit_count distances are integers — exact.
+      val sig = s"CAST(list_sum(list_transform(range(0, $HamBits), i -> " +
+        "CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)"
+      s"""WITH sg AS (SELECT vec_id, $sig AS sig FROM embeddings)
+         |SELECT q_id, n_id, dist, rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |    CAST(bit_count(xor(q.sig, e.sig)) AS BIGINT) AS dist,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY bit_count(xor(q.sig, e.sig)), e.vec_id) AS rk
+         |  FROM sg q JOIN sg e ON e.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+    },
+
+    "dedup_semantic" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 16),
+         |asg AS MATERIALIZED (SELECT vec_id, embedding, centroid_id AS cluster FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY $SeedD2Sql ASC, c.centroid_id) AS r
+         |  FROM embeddings e, c) WHERE r = 1),
+         |dups AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS keep_id
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE round((${TextFunctions.cosineSql("a.embedding", "b.embedding")}) * 10000.0) / 10000.0 >= ${SemDedupTau.toString}
+         |  GROUP BY b.vec_id)
+         |SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+         |  CAST(CASE WHEN d.keep_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+         |  CAST(coalesce(d.keep_id, asg.vec_id) AS BIGINT) AS keep_id
+         |FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id
+         |ORDER BY asg.vec_id""".stripMargin
   )
 }

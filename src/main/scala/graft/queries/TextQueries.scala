@@ -672,6 +672,64 @@ object TextQueries {
             CleanFunctions.round4(col("w_raw") / col("w_sum")) / col("share"))
             .as("effective_epochs"))
         .orderBy("source")
+    },
+
+    // C4-style duplicate-segment removal stats (Raffel et al. 2020 do it
+    // per line; this corpus is single-line, so the unit is a fixed
+    // 10-token non-overlapping segment — the fixed-granularity cousin of
+    // exact-substring dedup, Lee et al. 2021). The FIRST instance of each
+    // distinct segment (min (doc_id, seg_idx)) survives; later instances
+    // are dups. First-instance election is a min(struct) AGGREGATE, not a
+    // corpus-wide window: partial map-side combine per segment key, no
+    // sort — the hot-segment skew a rank window would serialize stays one
+    // combinable min. Output is all-integer, so parity is exact.
+    "text_segment_dedup" -> { (s, d) =>
+      val SegLen = 10
+      val docs = Tables.documents(s, d).where(length(trim(col("text"))) > 0)
+      val segs = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(t) - 1) div $SegLen), " +
+            s"i -> concat_ws(' ', slice(t, i * $SegLen + 1, $SegLen)))"))
+          .as(Seq("seg_idx", "seg")))
+      val firsts = segs.groupBy("seg")
+        .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+      segs.join(firsts, Seq("seg"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_seg"),
+          sum(when(col("f.doc_id") =!= col("doc_id") ||
+            col("f.seg_idx") =!= col("seg_idx"), 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_seg"), col("n_dup"),
+          (col("n_seg") - col("n_dup")).as("n_kept"))
+        .orderBy("doc_id")
+    },
+
+    // Vocabulary-growth (Heaps-law) profile: cumulative token and
+    // distinct-type counts over the corpus in doc order, at 100-doc
+    // bucket granularity. New-type attribution is "first bucket a type
+    // appears in" — a min AGGREGATE per type (map-side combinable), so
+    // the only serial step is the prefix sum over BUCKETS (corpus/100
+    // rows — at 100 TB pick bucket = corpus/1e6 and the window stays
+    // tiny; the per-token work never sees a global window). All-integer
+    // output: exact parity, and the Heaps slope fit stays downstream
+    // where float libm differences can't break the gate.
+    "text_vocab_growth" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(expr("doc_id div 100").as("bucket"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+      val bt = toks.groupBy("bucket").agg(count(lit(1)).as("n_tok"))
+      val nt = toks.groupBy("token").agg(min(col("bucket")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bt.join(nt, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_tok"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .select(col("bucket"),
+          sum(col("n_tok")).over(w).as("cum_tokens"),
+          sum(col("new_types")).over(w).as("cum_types"))
+        .orderBy("bucket")
     }
   )
 
@@ -1090,7 +1148,36 @@ object TextQueries {
            |SELECT source, n_docs, n_tokens, share,
            |  ${CleanFunctions.round4Sql("w_raw / w_sum")} AS weight,
            |  ${CleanFunctions.round4Sql(s"${CleanFunctions.round4Sql("w_raw / w_sum")} / share")} AS effective_epochs
-           |FROM w, ws ORDER BY source""".stripMargin
+           |FROM w, ws ORDER BY source""".stripMargin,
+
+      "text_segment_dedup" ->
+        s"""WITH tk AS (SELECT doc_id, $t AS t FROM documents
+           |  WHERE length(trim(text)) > 0),
+           |ix AS (SELECT doc_id, t,
+           |  unnest(generate_series(0, (len(t) - 1) // 10)) AS seg_idx FROM tk),
+           |sg AS (SELECT doc_id, seg_idx,
+           |  array_to_string(list_slice(t, seg_idx * 10 + 1, seg_idx * 10 + 10), ' ') AS seg
+           |  FROM ix),
+           |rk AS (SELECT doc_id,
+           |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rk FROM sg)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+           |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           |  CAST(count(*) - sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "text_vocab_growth" ->
+        s"""WITH tok AS (SELECT doc_id // 100 AS bucket, unnest($tl) AS token
+           |  FROM documents),
+           |bt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY bucket),
+           |nt AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_types FROM
+           |  (SELECT token, min(bucket) AS fb FROM tok GROUP BY token) GROUP BY fb)
+           |SELECT bt.bucket,
+           |  CAST(sum(bt.n_tok) OVER (ORDER BY bt.bucket
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY bt.bucket
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+           |FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
+           |ORDER BY bt.bucket""".stripMargin
     )
   }
 }

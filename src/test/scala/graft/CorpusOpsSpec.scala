@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks for the corpus-curation additions: sign-bit hamming
+  * ANN, SemDeDup-style semantic dedup, segment-level exact dedup,
+  * vocabulary growth, and aspect-ratio batch bucketing.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("ann_hamming_topk: ranks are 1..10 per query, distances nondecreasing in rank") {
+    val rows = SparkEntry.queries("ann_hamming_topk")(spark, sfDir)
+      .select("q_id", "rk", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to 10L), s"query $q ranks broken")
+      val ordered = rs.sortBy(_._2).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+        s"query $q distances not monotone in rank")
+      assert(ordered.forall(d => d >= 0 && d <= 60), s"query $q distance out of [0,60]")
+    }
+  }
+
+  test("ann_hamming_topk: overlaps brute-force cosine top-10 (sign bits carry signal)") {
+    val bf = SparkEntry.queries("ann_topk_cosine")(spark, sfDir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hm = SparkEntry.queries("ann_hamming_topk")(spark, sfDir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & hm).size.toDouble / bf.size
+    assert(recall >= 0.2, s"hamming recall@10 vs cosine too low: $recall")
+  }
+
+  test("dedup_semantic: dup rows point at an earlier same-cluster neighbor above tau") {
+    val out = SparkEntry.queries("dedup_semantic")(spark, sfDir)
+    val dup = out.filter(col("is_dup") === 1)
+    assert(dup.filter(col("keep_id") >= col("vec_id")).count() == 0,
+      "a dup's keeper must have a smaller id")
+    assert(out.filter(col("is_dup") === 0 && col("keep_id") =!= col("vec_id")).count() == 0,
+      "non-dups keep themselves")
+    // keeper sits in the same cluster
+    val clusters = out.select(col("vec_id").as("k_id"), col("cluster").as("k_cluster"))
+    assert(dup.join(clusters, col("keep_id") === col("k_id"))
+      .filter(col("cluster") =!= col("k_cluster")).count() == 0,
+      "keeper must share the dup's cluster")
+  }
+
+  test("text_segment_dedup: kept + dup = total, and one instance per distinct segment survives") {
+    val out = SparkEntry.queries("text_segment_dedup")(spark, sfDir)
+    assert(out.filter(col("n_kept") + col("n_dup") =!= col("n_seg")).count() == 0)
+    val totals = out.agg(sum("n_seg").as("all"), sum("n_kept").as("kept")).head
+    // kept instances == number of distinct segments in the corpus
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .where(length(trim(col("text"))) > 0)
+    val distinctSegs = docs
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(explode(expr(
+        "transform(sequence(0, (size(t) - 1) div 10), " +
+          "i -> concat_ws(' ', slice(t, i * 10 + 1, 10)))")).as("seg"))
+      .distinct().count()
+    assert(totals.getLong(1) == distinctSegs,
+      s"kept=${totals.getLong(1)} != distinct segments=$distinctSegs")
+  }
+
+  test("text_vocab_growth: cumulative counts are nondecreasing and end at corpus totals") {
+    val rows = SparkEntry.queries("text_vocab_growth")(spark, sfDir)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    rows.sliding(2).foreach {
+      case Array((t1, y1), (t2, y2)) => assert(t1 <= t2 && y1 <= y2)
+      case _ =>
+    }
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("tk"))
+    assert(rows.last._1 == toks.count(), "final cum_tokens != corpus tokens")
+    assert(rows.last._2 == toks.distinct().count(), "final cum_types != corpus types")
+  }
+
+  test("mm_aspect_buckets: partitions the corpus and batch counts are ceil(n/32)") {
+    val out = SparkEntry.queries("mm_aspect_buckets")(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n")).sum == nDocs, "bucket sizes must sum to corpus")
+    out.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("n_batches") == (n + 31) / 32, "batch math")
+    }
+  }
+}
