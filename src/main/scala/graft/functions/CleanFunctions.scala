@@ -139,6 +139,7 @@ object CleanFunctions {
   def round4(c: Column): Column = round(c * lit(10000.0)) / 10000.0
   def round4Sql(x: String): String = s"(round(($x) * 10000.0) / 10000.0)"
   def round6(c: Column): Column = round(c * lit(1000000.0)) / 1000000.0
+  def round6Sql(x: String): String = s"(round(($x) * 1000000.0) / 1000000.0)"
 
   /** Exact-double SQL literal: the shortest-round-trip toString,
     * string-cast to DOUBLE in DuckDB — a plain decimal literal in the

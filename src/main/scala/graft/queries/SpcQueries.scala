@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.CleanFunctions
+import graft.functions.CleanFunctions.{exactSum, exactSumSql, momentStd, momentStdSql, momentVar, momentVarSql, round6, round6Sql}
+import graft.sources.Tables
+
+/** Statistical-process-control + extreme-value anomaly operators over
+  * `events` (reference: the >3σ anomaly rule, config.py ANOMALY_THRESHOLD
+  * = 3.0, generalized to the classical SPC/EVT detector family).
+  *
+  * Every detector keys by the series (`user_id`): the per-series moments
+  * are one map-side-combinable grouped aggregate (DECIMAL-exact, so both
+  * engines derive bit-identical mean/σ), and the per-row window frames
+  * are bounded (≤ 8 rows) — state stays O(1) per row at any scale. The
+  * only quadratic stage (sample entropy's template pairs) is per-series
+  * and series length is bounded upstream by resampling.
+  */
+object SpcQueries {
+
+  private val Ord = Seq("ts", "event_id")
+
+  /** Per-series DECIMAL-exact moments joined back onto the rows. */
+  private def withMoments(df: DataFrame): DataFrame = {
+    val m = df.groupBy("user_id").agg(
+      count(lit(1)).cast(LongType).as("n"),
+      exactSum(col("value")).as("sx"),
+      exactSum(col("value") * col("value")).as("sxx"))
+    df.join(m, Seq("user_id"))
+      .withColumn("mean", col("sx") / col("n").cast("double"))
+      .withColumn("sd", momentStd(col("n").cast("double"), col("sx"), col("sxx")))
+  }
+
+  private val MomentsCte =
+    s"""m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       |  ${exactSumSql("value")} AS sx, ${exactSumSql("value * value")} AS sxx
+       |  FROM events GROUP BY user_id)""".stripMargin
+  private val SdSql = momentStdSql("CAST(m.n AS DOUBLE)", "m.sx", "m.sxx")
+  private val MeanSql = "(m.sx / CAST(m.n AS DOUBLE))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Western Electric run rules (the 1956 control-chart classic): with
+    // per-series control limits mean ± kσ, flag
+    //   r1: one point beyond 3σ,
+    //   r2: ≥2 of the last 3 beyond 2σ on the SAME side (incl. current),
+    //   r3: ≥4 of the last 5 beyond 1σ on the same side,
+    //   r4: 8 consecutive points on one side of the mean.
+    // z is derived from DECIMAL-exact moments so both engines compare
+    // bit-identical doubles against the σ thresholds — no rounding band
+    // needed; the rule windows are ≤ 8 trailing rows (O(1) state).
+    "ts_we_rules" -> { (s, d) =>
+      val z = (col("value") - col("mean")) / col("sd")
+      val w3 = Window.partitionBy("user_id").orderBy(Ord.map(col): _*).rowsBetween(-2, 0)
+      val w5 = Window.partitionBy("user_id").orderBy(Ord.map(col): _*).rowsBetween(-4, 0)
+      val w8 = Window.partitionBy("user_id").orderBy(Ord.map(col): _*).rowsBetween(-7, 0)
+      val cnt = (c: org.apache.spark.sql.Column, w: org.apache.spark.sql.expressions.WindowSpec) =>
+        sum(when(c, 1L).otherwise(0L)).over(w)
+      withMoments(Tables.events(s, d))
+        .withColumn("z", z)
+        .withColumn("r1", (abs(col("z")) > 3.0).cast(LongType))
+        .withColumn("r2",
+          ((col("z") > 2.0 && cnt(col("z") > 2.0, w3) >= 2) ||
+           (col("z") < -2.0 && cnt(col("z") < -2.0, w3) >= 2)).cast(LongType))
+        .withColumn("r3",
+          ((col("z") > 1.0 && cnt(col("z") > 1.0, w5) >= 4) ||
+           (col("z") < -1.0 && cnt(col("z") < -1.0, w5) >= 4)).cast(LongType))
+        .withColumn("r4",
+          (cnt(col("z") > 0.0, w8) === 8 || cnt(col("z") < 0.0, w8) === 8).cast(LongType))
+        .where(col("r1") + col("r2") + col("r3") + col("r4") > 0)
+        .select(col("event_id"), col("user_id"), round6(col("z")).as("z"),
+          col("r1"), col("r2"), col("r3"), col("r4"))
+        .orderBy("event_id")
+    },
+
+    // Grubbs' outlier statistic per series: G = max |x−mean|/σ with the
+    // argmax point, flagged against the reference's fixed 3.0 threshold
+    // (config.py ANOMALY_THRESHOLD — the t-quantile critical value stays
+    // downstream). One grouped-moment pass + one per-series rank window.
+    "ts_grubbs" -> { (s, d) =>
+      val dev = abs(col("value") - col("mean"))
+      val g = dev / col("sd")
+      val w = Window.partitionBy("user_id").orderBy(col("g").desc, col("event_id"))
+      withMoments(Tables.events(s, d))
+        .withColumn("g", g)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("n"), round6(col("g")).as("g_stat"),
+          col("event_id").as("outlier_event_id"),
+          (round6(col("g")) > 3.0).cast(LongType).as("exceeds_3sigma"))
+        .orderBy("user_id")
+    },
+
+    // Peaks-over-threshold EVT (the SPOT detector family): per series,
+    // threshold u = the ceil(0.95·n)-th order statistic (integer rank
+    // math — (19n+19) div 20 — so both engines pick the identical row,
+    // no percentile-semantics drift), then a Generalized Pareto fit on
+    // the excesses by method of moments: ξ = ½(1 − m̄²/s²),
+    // σ = ½·m̄·(m̄²/s² + 1). Moments DECIMAL-exact; two shuffles total
+    // (rank window + excess aggregate).
+    "ts_evt_pot" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val wr = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      val wn = Window.partitionBy("user_id")
+      val ranked = e
+        .withColumn("r", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn).cast(LongType))
+        .withColumn("k", expr("(19 * n + 19) div 20"))
+      val thr = ranked.where(col("r") === col("k"))
+        .select(col("user_id"), col("n"), col("value").as("u"))
+      val exc = e.join(thr, Seq("user_id"))
+        .where(col("value") > col("u"))
+        .groupBy("user_id")
+        .agg(first(col("n")).as("n"), first(col("u")).as("u"),
+          count(lit(1)).cast(LongType).as("n_exc"),
+          exactSum(col("value") - col("u")).as("sy"),
+          exactSum((col("value") - col("u")) * (col("value") - col("u"))).as("syy"))
+      val m1 = col("sy") / col("n_exc").cast("double")
+      val s2 = momentVar(col("n_exc").cast("double"), col("sy"), col("syy"))
+      val ratio = m1 * m1 / s2
+      exc.select(col("user_id"), col("n"), col("u"), col("n_exc"),
+          round6(lit(0.5) * (lit(1.0) - ratio)).as("xi"),
+          round6(lit(0.5) * m1 * (ratio + lit(1.0))).as("sigma"))
+        .orderBy("user_id")
+    },
+
+    // Sample entropy (Richman & Moorman 2000; m=2, r=0.2σ): B = pairs of
+    // 2-point templates within Chebyshev distance r, A = same for
+    // 3-point; SampEn = −ln(A/B). Template coords come from two bounded
+    // leads; the pair stage is a per-series equi-join on user_id
+    // (quadratic IN THE SERIES only — series length is bounded upstream
+    // by resampling, and each series' pairs co-locate on one executor).
+    // r derives from the DECIMAL-exact σ, so the ≤ r comparisons are on
+    // bit-identical doubles; A and B are integers.
+    "ts_sampen" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(Ord.map(col): _*)
+      val t = withMoments(Tables.events(s, d))
+        .withColumn("idx", row_number().over(w))
+        .withColumn("x1", lead(col("value"), 1).over(w))
+        .withColumn("x2", lead(col("value"), 2).over(w))
+        .where(col("x2").isNotNull)
+        .select(col("user_id"), col("n"), col("idx"),
+          col("value").as("x0"), col("x1"), col("x2"),
+          (col("sd") * 0.2).as("r"))
+      val a = t.select(col("user_id"), col("n"), col("r"), col("idx").as("i"),
+        col("x0").as("a0"), col("x1").as("a1"), col("x2").as("a2"))
+      val b = t.select(col("user_id"), col("idx").as("j"),
+        col("x0").as("b0"), col("x1").as("b1"), col("x2").as("b2"))
+      val chebM = greatest(abs(col("a0") - col("b0")), abs(col("a1") - col("b1")))
+      val chebM1 = greatest(chebM, abs(col("a2") - col("b2")))
+      a.join(b, Seq("user_id"))
+        .where(col("i") < col("j"))
+        .groupBy("user_id")
+        .agg(first(col("n")).as("n"),
+          sum(when(chebM <= col("r"), 1L).otherwise(0L)).as("b_count"),
+          sum(when(chebM1 <= col("r"), 1L).otherwise(0L)).as("a_count"))
+        .select(col("user_id"), col("n"), col("b_count"), col("a_count"),
+          round6(-log(col("a_count").cast("double") /
+            when(col("b_count") > 0, col("b_count").cast("double"))))
+            .as("sampen"))
+        .orderBy("user_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ts_we_rules" -> {
+      def cnt(cond: String, pre: Int) =
+        s"sum(CASE WHEN $cond THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN $pre PRECEDING AND CURRENT ROW)"
+      s"""WITH $MomentsCte,
+         |z AS (SELECT e.event_id, e.user_id, e.ts,
+         |  (e.value - $MeanSql) / $SdSql AS z
+         |  FROM events e JOIN m ON e.user_id = m.user_id),
+         |r AS (SELECT event_id, user_id, z,
+         |  CAST(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS r1,
+         |  CAST(CASE WHEN (z > 2.0 AND ${cnt("z > 2.0", 2)} >= 2)
+         |         OR (z < -2.0 AND ${cnt("z < -2.0", 2)} >= 2)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS r2,
+         |  CAST(CASE WHEN (z > 1.0 AND ${cnt("z > 1.0", 4)} >= 4)
+         |         OR (z < -1.0 AND ${cnt("z < -1.0", 4)} >= 4)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS r3,
+         |  CAST(CASE WHEN ${cnt("z > 0.0", 7)} = 8
+         |         OR ${cnt("z < 0.0", 7)} = 8
+         |       THEN 1 ELSE 0 END AS BIGINT) AS r4
+         |  FROM z)
+         |SELECT event_id, user_id, ${round6Sql("z")} AS z, r1, r2, r3, r4
+         |FROM r WHERE r1 + r2 + r3 + r4 > 0 ORDER BY event_id""".stripMargin
+    },
+
+    "ts_grubbs" ->
+      s"""WITH $MomentsCte,
+         |g AS (SELECT e.user_id, m.n, e.event_id,
+         |  abs(e.value - $MeanSql) / $SdSql AS g,
+         |  row_number() OVER (PARTITION BY e.user_id
+         |    ORDER BY abs(e.value - $MeanSql) / $SdSql DESC, e.event_id) AS rk
+         |  FROM events e JOIN m ON e.user_id = m.user_id)
+         |SELECT user_id, n, ${round6Sql("g")} AS g_stat,
+         |  event_id AS outlier_event_id,
+         |  CAST(CASE WHEN ${round6Sql("g")} > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS exceeds_3sigma
+         |FROM g WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "ts_evt_pot" -> {
+      val m1 = "(x.sy / CAST(x.n_exc AS DOUBLE))"
+      val s2 = momentVarSql("CAST(x.n_exc AS DOUBLE)", "x.sy", "x.syy")
+      val ratio = s"($m1 * $m1 / $s2)"
+      s"""WITH rk AS (SELECT user_id, event_id, value,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS r,
+         |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+         |  FROM events),
+         |thr AS (SELECT user_id, n, value AS u FROM rk WHERE r = (19 * n + 19) // 20),
+         |x AS (SELECT e.user_id, any_value(t.n) AS n, any_value(t.u) AS u,
+         |  CAST(count(*) AS BIGINT) AS n_exc,
+         |  ${exactSumSql("e.value - t.u")} AS sy,
+         |  ${exactSumSql("(e.value - t.u) * (e.value - t.u)")} AS syy
+         |  FROM events e JOIN thr t ON e.user_id = t.user_id
+         |  WHERE e.value > t.u GROUP BY e.user_id)
+         |SELECT x.user_id, x.n, x.u, x.n_exc,
+         |  ${round6Sql(s"0.5 * (1.0 - $ratio)")} AS xi,
+         |  ${round6Sql(s"0.5 * $m1 * ($ratio + 1.0)")} AS sigma
+         |FROM x ORDER BY x.user_id""".stripMargin
+    },
+
+    "ts_sampen" -> {
+      val cm = "greatest(abs(a.x0 - b.x0), abs(a.x1 - b.x1))"
+      val cm1 = s"greatest($cm, abs(a.x2 - b.x2))"
+      s"""WITH $MomentsCte,
+         |t AS (SELECT e.user_id, m.n, $SdSql * 0.2 AS r,
+         |  row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS idx,
+         |  e.value AS x0,
+         |  lead(e.value, 1) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS x1,
+         |  lead(e.value, 2) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS x2
+         |  FROM events e JOIN m ON e.user_id = m.user_id
+         |  QUALIFY x2 IS NOT NULL),
+         |p AS (SELECT a.user_id, any_value(a.n) AS n,
+         |  CAST(sum(CASE WHEN $cm <= a.r THEN 1 ELSE 0 END) AS BIGINT) AS b_count,
+         |  CAST(sum(CASE WHEN $cm1 <= a.r THEN 1 ELSE 0 END) AS BIGINT) AS a_count
+         |  FROM t a JOIN t b ON a.user_id = b.user_id AND a.idx < b.idx
+         |  GROUP BY a.user_id)
+         |SELECT user_id, n, b_count, a_count,
+         |  CASE WHEN a_count > 0 AND b_count > 0 THEN
+         |    ${round6Sql("-ln(CAST(a_count AS DOUBLE) / CAST(b_count AS DOUBLE))")}
+         |  END AS sampen
+         |FROM p ORDER BY user_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks for the SPC / EVT detector family (SpcQueries). */
+class SpcOpsSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  test("ts_we_rules: every emitted row fires at least one rule, and r1 implies |z| > 3") {
+    val out = SparkEntry.queries("ts_we_rules")(spark, sfDir)
+    assert(out.filter(col("r1") + col("r2") + col("r3") + col("r4") === 0).count() == 0)
+    assert(out.filter(col("r1") === 1 && abs(col("z")) <= 3.0).count() == 0,
+      "r1 must mean beyond 3 sigma")
+    assert(out.filter(col("r2") === 1 && abs(col("z")) <= 2.0).count() == 0,
+      "r2 fires only when the current point itself is beyond 2 sigma")
+  }
+
+  test("ts_grubbs: G is the max per-series z-score and nonnegative") {
+    val g = SparkEntry.queries("ts_grubbs")(spark, sfDir)
+    assert(g.filter(col("g_stat") < 0).count() == 0)
+    // one row per series
+    val users = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(g.count() == users)
+    // the flagged event really is in the series
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id").as("outlier_event_id"), col("user_id").as("u2"))
+    assert(g.join(ev, "outlier_event_id")
+      .filter(col("user_id") =!= col("u2")).count() == 0)
+  }
+
+  test("ts_evt_pot: threshold is ~p95 (about 5% of the series exceeds it)") {
+    val out = SparkEntry.queries("ts_evt_pot")(spark, sfDir).collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n"); val exc = r.getAs[Long]("n_exc")
+      assert(exc >= 1 && exc <= math.max(2L, (n * 0.10).toLong + 1),
+        s"user ${r.get(0)}: $exc of $n exceed — not a tail")
+    }
+  }
+
+  test("ts_sampen: counts are consistent (A <= B) and sampen >= 0 when defined") {
+    val out = SparkEntry.queries("ts_sampen")(spark, sfDir)
+    assert(out.filter(col("a_count") > col("b_count")).count() == 0,
+      "a triple-match implies a pair-match")
+    assert(out.filter(col("sampen").isNotNull && col("sampen") < 0).count() == 0,
+      "-ln(A/B) with A<=B is nonnegative")
+  }
+}
