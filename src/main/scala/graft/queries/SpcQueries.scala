@@ -162,6 +162,85 @@ object SpcQueries {
             when(col("b_count") > 0, col("b_count").cast("double"))))
             .as("sampen"))
         .orderBy("user_id")
+    },
+
+    // Exact matrix profile (Yeh et al. 2016; window w=8, exclusion zone
+    // |i−j| ≥ w/2): mp[i] = min squared Euclidean distance from window i
+    // to every non-trivial window j — the discord (max mp) is the
+    // series' most anomalous shape, the motif (min mp) its most repeated
+    // one. Windows come from 7 bounded leads; the pair stage is the
+    // per-series equi-join (quadratic in the series ONLY, pairs
+    // co-located per series — the same contract as ts_sampen; STOMP's
+    // O(n²)→O(n² /w) trick is a single-node optimization that doesn't
+    // change the shuffle shape). The 8 squared terms sum left-to-right
+    // in both engines, so min/argmin pick identical windows.
+    "ts_matrix_profile" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(Ord.map(col): _*)
+      val base = Tables.events(s, d)
+        .withColumn("idx", row_number().over(w))
+        .withColumn("v0", col("value"))
+      val leads = (1 to 7).foldLeft(base) { case (df, i) =>
+        df.withColumn(s"v$i", lead(col("value"), i).over(w))
+      }.where(col("v7").isNotNull)
+      val a = leads.select(col("user_id") +: col("idx").as("i") +:
+        (0 to 7).map(i => col(s"v$i").as(s"a$i")): _*)
+      val b = leads.select(col("user_id") +: col("idx").as("j") +:
+        (0 to 7).map(i => col(s"v$i").as(s"b$i")): _*)
+      val dist = (0 to 7).map(i =>
+        (col(s"a$i") - col(s"b$i")) * (col(s"a$i") - col(s"b$i"))).reduce(_ + _)
+      val mp = a.join(b, Seq("user_id"))
+        .where(abs(col("i") - col("j")) >= 4)
+        .select(col("user_id"), col("i"), dist.as("dist"))
+        .groupBy("user_id", "i").agg(min(col("dist")).as("mp"))
+      val wd = Window.partitionBy("user_id").orderBy(col("mp").desc, col("i"))
+      val wm = Window.partitionBy("user_id").orderBy(col("mp").asc, col("i"))
+      mp.withColumn("rkd", row_number().over(wd))
+        .withColumn("rkm", row_number().over(wm))
+        .groupBy("user_id").agg(
+          count(lit(1)).cast(LongType).as("n_windows"),
+          min(when(col("rkd") === 1, col("i"))).cast(LongType).as("discord_idx"),
+          round6(min(when(col("rkd") === 1, col("mp")))).as("discord_dist"),
+          min(when(col("rkm") === 1, col("i"))).cast(LongType).as("motif_idx"),
+          round6(min(when(col("rkm") === 1, col("mp")))).as("motif_dist"))
+        .orderBy("user_id")
+    },
+
+    // LOESS smoothing (Cleveland 1979, local linear, row-space span ±5,
+    // tricube weights on |i−j|/6): each point's fit is a weighted OLS
+    // over its 11-row neighborhood. Neighborhoods come from a bounded
+    // band self-join per series (11 rows per anchor, co-located per
+    // series); each weighted term is 6dp-quantized then DECIMAL-summed
+    // (the psi pattern) so the normal-equation sums are order-proof and
+    // bit-identical across engines.
+    "ts_loess" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(Ord.map(col): _*)
+      val base = Tables.events(s, d).withColumn("idx", row_number().over(w))
+      val a = base.select(col("user_id"), col("event_id"),
+        col("idx").as("i"), col("value").as("y0"))
+      val b = base.select(col("user_id"), col("idx").as("j"), col("value").as("y"))
+      val u = abs(col("i") - col("j")).cast("double") / 6.0
+      val oneMinusU3 = lit(1.0) - (u * u) * u
+      val wgt = round6((oneMinusU3 * oneMinusU3) * oneMinusU3)
+      val x = col("j").cast("double")
+      val sums = a.join(b, Seq("user_id"))
+        .where(abs(col("i") - col("j")) <= 5)
+        .select(col("user_id"), col("event_id"), col("i"), col("y0"),
+          wgt.as("wt"), x.as("x"), col("y"))
+        .groupBy("user_id", "event_id", "i", "y0").agg(
+          exactSum(col("wt")).as("sw"),
+          exactSum(round6(col("wt") * col("x"))).as("swx"),
+          exactSum(round6(col("wt") * col("y"))).as("swy"),
+          exactSum(round6(col("wt") * col("x") * col("x"))).as("swxx"),
+          exactSum(round6(col("wt") * col("x") * col("y"))).as("swxy"))
+      val beta = CleanFunctions.safeDiv(
+        col("sw") * col("swxy") - col("swx") * col("swy"),
+        col("sw") * col("swxx") - col("swx") * col("swx"))
+      val alpha = (col("swy") - beta * col("swx")) / col("sw")
+      val fitted = alpha + beta * col("i").cast("double")
+      sums.select(col("event_id"),
+          CleanFunctions.round4(fitted).as("smooth"),
+          CleanFunctions.round4(col("y0") - fitted).as("resid"))
+        .orderBy("event_id")
     }
   )
 
@@ -243,6 +322,58 @@ object SpcQueries {
          |    ${round6Sql("-ln(CAST(a_count AS DOUBLE) / CAST(b_count AS DOUBLE))")}
          |  END AS sampen
          |FROM p ORDER BY user_id""".stripMargin
+    },
+
+    "ts_matrix_profile" -> {
+      val dist = (0 to 7).map(i =>
+        s"(a.v$i - b.v$i) * (a.v$i - b.v$i)").mkString(" + ")
+      val leads = (1 to 7).map(i =>
+        s"lead(value, $i) OVER win AS v$i").mkString(", ")
+      s"""WITH s AS (SELECT user_id, value AS v0, $leads,
+         |  row_number() OVER win AS idx
+         |  FROM events
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |t AS (SELECT * FROM s WHERE v7 IS NOT NULL),
+         |d AS (SELECT a.user_id, a.idx AS i, min($dist) AS mp
+         |  FROM t a JOIN t b ON a.user_id = b.user_id AND abs(a.idx - b.idx) >= 4
+         |  GROUP BY a.user_id, a.idx),
+         |r AS (SELECT user_id, i, mp,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY mp DESC, i) AS rkd,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY mp ASC, i) AS rkm
+         |  FROM d)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(min(CASE WHEN rkd = 1 THEN i END) AS BIGINT) AS discord_idx,
+         |  ${round6Sql("min(CASE WHEN rkd = 1 THEN mp END)")} AS discord_dist,
+         |  CAST(min(CASE WHEN rkm = 1 THEN i END) AS BIGINT) AS motif_idx,
+         |  ${round6Sql("min(CASE WHEN rkm = 1 THEN mp END)")} AS motif_dist
+         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+
+    "ts_loess" -> {
+      val u = "(CAST(abs(a.i - b.j) AS DOUBLE) / 6.0)"
+      val om = s"(1.0 - ($u * $u) * $u)"
+      val wgt = round6Sql(s"($om * $om) * $om")
+      val beta = "((sw * swxy - swx * swy) / nullif(sw * swxx - swx * swx, 0.0))"
+      val fitted = s"((swy - $beta * swx) / sw + $beta * CAST(i AS DOUBLE))"
+      s"""WITH s AS (SELECT user_id, event_id, value,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+         |  FROM events),
+         |a AS (SELECT user_id, event_id, idx AS i, value AS y0 FROM s),
+         |b AS (SELECT user_id, idx AS j, value AS y FROM s),
+         |p AS (SELECT a.user_id, a.event_id, a.i, a.y0,
+         |  $wgt AS wt, CAST(b.j AS DOUBLE) AS x, b.y AS y
+         |  FROM a JOIN b ON a.user_id = b.user_id AND abs(a.i - b.j) <= 5),
+         |g AS (SELECT user_id, event_id, i, y0,
+         |  ${exactSumSql("wt")} AS sw,
+         |  ${exactSumSql(round6Sql("wt * x"))} AS swx,
+         |  ${exactSumSql(round6Sql("wt * y"))} AS swy,
+         |  ${exactSumSql(round6Sql("wt * x * x"))} AS swxx,
+         |  ${exactSumSql(round6Sql("wt * x * y"))} AS swxy
+         |  FROM p GROUP BY user_id, event_id, i, y0)
+         |SELECT event_id,
+         |  ${CleanFunctions.round4Sql(fitted)} AS smooth,
+         |  ${CleanFunctions.round4Sql(s"y0 - $fitted")} AS resid
+         |FROM g ORDER BY event_id""".stripMargin
     }
   )
 }

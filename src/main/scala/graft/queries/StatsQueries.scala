@@ -1211,6 +1211,45 @@ object StatsQueries {
           least((0 until CmsD).map(i => col(s"c$i")): _*).as("cms_est"))
         .withColumn("overestimate", col("cms_est") - col("true_cnt"))
         .orderBy(desc("cms_est"), col("user_id")).limit(CmsTopN)
+    },
+
+    // Two-sample Kolmogorov–Smirnov test (click vs view, the
+    // distribution-shape companion to the rank-based Mann–Whitney):
+    // D = max |F̂1 − F̂2| over the pooled support. ECDF gaps come from
+    // cumulative per-DISTINCT-value counts — the prefix sum runs over
+    // the distinct-value table, not the events (at 100 TB that table is
+    // the banded two-level prefix-sum shape of StatsOps; the measure's
+    // support is bounded long before the event count is). Gaps are
+    // integer-ratio doubles (k/n) — bit-identical, so the max and the
+    // rejection flag agree exactly; the α=.05 critical constant 1.358
+    // is baked as the same literal in both engines.
+    "events_ks_test" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .where(col("value").isNotNull && col("event_type").isin("click", "view"))
+      val per = e.groupBy("value").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      val tot = e.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"))
+      val wv = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gaps = per
+        .select(col("value"),
+          sum(col("c1")).over(wv).as("k1"), sum(col("c2")).over(wv).as("k2"))
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          abs(col("k1").cast(DoubleType) / col("n1").cast(DoubleType) -
+            col("k2").cast(DoubleType) / col("n2").cast(DoubleType)).as("gap"))
+      val crit = lit(1.358) *
+        sqrt((col("n1") + col("n2")).cast(DoubleType) /
+          (col("n1") * col("n2")).cast(DoubleType))
+      gaps.groupBy("n1", "n2").agg(max(col("gap")).as("d"))
+        .select(col("n1"), col("n2"),
+          CleanFunctions.round6(col("d")).as("ks_d"),
+          CleanFunctions.round6(crit).as("crit"),
+          (CleanFunctions.round6(col("d")) > CleanFunctions.round6(crit))
+            .cast(LongType).as("reject"))
     })
 
   private val PsSqlList =
@@ -2181,6 +2220,32 @@ object StatsQueries {
          |  $joins)
          |SELECT user_id, true_cnt, cms_est, cms_est - true_cnt AS overestimate
          |FROM e ORDER BY cms_est DESC, user_id LIMIT $CmsTopN""".stripMargin
+    },
+
+    "events_ks_test" -> {
+      val r6 = CleanFunctions.round6Sql _
+      val crit = "CAST('1.358' AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))"
+      s"""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+         |per AS (SELECT value,
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM e GROUP BY value),
+         |tot AS (SELECT
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM e),
+         |cdf AS (SELECT
+         |  sum(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS k1,
+         |  sum(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS k2
+         |  FROM per),
+         |g AS (SELECT n1, n2,
+         |  max(abs(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+         |          CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS d
+         |  FROM cdf, tot GROUP BY n1, n2)
+         |SELECT n1, n2, ${r6("d")} AS ks_d, ${r6(crit)} AS crit,
+         |  CAST(CASE WHEN ${r6("d")} > ${r6(crit)} THEN 1 ELSE 0 END AS BIGINT) AS reject
+         |FROM g""".stripMargin
     }
     )
 }

@@ -39,6 +39,32 @@ class SpcOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_matrix_profile: discord >= motif, indices are valid windows") {
+    val out = SparkEntry.queries("ts_matrix_profile")(spark, sfDir)
+    assert(out.filter(col("discord_dist") < col("motif_dist")).count() == 0,
+      "discord is the max of the profile, motif the min")
+    assert(out.filter(col("discord_idx") < 1 || col("motif_idx") < 1 ||
+      col("discord_idx") > col("n_windows") || col("motif_idx") > col("n_windows"))
+      .count() == 0, "window indices inside [1, n_windows]")
+    assert(out.filter(col("motif_dist") < 0).count() == 0, "squared distances nonnegative")
+  }
+
+  test("ts_loess: smooths a seeded spike less than the raw value moves") {
+    // residuals should be centered: mean |resid| well below the series sd
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val sd = ev.agg(stddev(col("value"))).head.getDouble(0)
+    val meanAbsResid = SparkEntry.queries("ts_loess")(spark, sfDir)
+      .agg(avg(abs(col("resid")))).head.getDouble(0)
+    assert(meanAbsResid < sd, s"LOESS residual $meanAbsResid not below raw sd $sd")
+  }
+
+  test("events_ks_test: D in [0,1] and critical value positive") {
+    val r = SparkEntry.queries("events_ks_test")(spark, sfDir).head
+    val d = r.getAs[Double]("ks_d"); val c = r.getAs[Double]("crit")
+    assert(d >= 0.0 && d <= 1.0); assert(c > 0.0)
+    assert(r.getAs[Long]("reject") == (if (d > c) 1L else 0L))
+  }
+
   test("ts_sampen: counts are consistent (A <= B) and sampen >= 0 when defined") {
     val out = SparkEntry.queries("ts_sampen")(spark, sfDir)
     assert(out.filter(col("a_count") > col("b_count")).count() == 0,
