@@ -24,6 +24,16 @@ object SpcQueries {
 
   private val Ord = Seq("ts", "event_id")
 
+  /** Cumulative inverse-CDF thresholds of Poisson(1) for k = 0..3
+    * (replication count truncated at 4). Computed ONCE here with pinned
+    * left-to-right addition and baked as identical literals into both
+    * engines via dlitSql.
+    */
+  private val PoissonThresholds: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    Seq(1.0, 1.0, 0.5, 1.0 / 6.0).map(_ * e1).scanLeft(0.0)(_ + _).tail
+  }
+
   /** Per-series DECIMAL-exact moments joined back onto the rows. */
   private def withMoments(df: DataFrame): DataFrame = {
     val m = df.groupBy("user_id").agg(
@@ -241,6 +251,110 @@ object SpcQueries {
           CleanFunctions.round4(fitted).as("smooth"),
           CleanFunctions.round4(col("y0") - fitted).as("resid"))
         .orderBy("event_id")
+    },
+
+    // Poisson bootstrap CI for the per-type mean (the distributed
+    // bootstrap — Chamandy et al. 2012: each row draws an independent
+    // Poisson(1) replication count per replicate, so resampling is one
+    // stateless map over the data, never a gather). B=32 replicates,
+    // counts from the inverse Poisson CDF on an md5-derived uniform
+    // (thresholds baked as identical literals both engines, k truncated
+    // at 4); replicate means from 6dp-quantized DECIMAL sums; the CI is
+    // the [2nd, 31st] order statistic of the 32 means (≈90% band) — a
+    // 32-row window per group. One map-side-combined shuffle total.
+    "events_bootstrap_ci" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val u = (CleanFunctions.md5Hash64(
+        concat(lit("boot:"), col("event_id"), lit(":"), col("r"))) % 1000000L + 1L)
+        .cast("double") / lit(1000001.0)
+      val k = PoissonThresholds.zipWithIndex.foldRight(lit(4): org.apache.spark.sql.Column) {
+        case ((t, i), acc) => when(u < lit(t), i).otherwise(acc)
+      }
+      val reps = e.select(col("event_id"), col("event_type"), col("value"),
+          explode(sequence(lit(0), lit(31))).as("r"))
+        .select(col("event_type"), col("r"), col("value"), k.as("k"))
+        .groupBy("event_type", "r")
+        .agg(sum(col("k")).cast(LongType).as("nk"),
+          exactSum(col("k").cast("double") * col("value")).as("skv"))
+        .where(col("nk") > 0)
+        .withColumn("mean_r", col("skv") / col("nk").cast("double"))
+      val wr = Window.partitionBy("event_type").orderBy(col("mean_r"), col("r"))
+      val ci = reps.withColumn("rk", row_number().over(wr))
+        .groupBy("event_type").agg(
+          min(when(col("rk") === 2, col("mean_r"))).as("ci_lo"),
+          min(when(col("rk") === 31, col("mean_r"))).as("ci_hi"))
+      val base = e.groupBy("event_type").agg(
+        count(lit(1)).cast(LongType).as("n"),
+        (exactSum(col("value")) / count(lit(1))).as("mean"))
+      base.join(ci, Seq("event_type"))
+        .select(col("event_type"), col("n"), round6(col("mean")).as("mean"),
+          round6(col("ci_lo")).as("ci_lo"), round6(col("ci_hi")).as("ci_hi"))
+        .orderBy("event_type")
+    },
+
+    // Inter-event burstiness B = (σ−μ)/(σ+μ) over inter-arrival gaps
+    // (Goh & Barabási 2008; B→−1 periodic, 0 Poisson, →1 bursty) plus
+    // the Fano factor (var/mean of hourly counts — overdispersion).
+    // Gaps in HOURS rounded 4dp before the DECIMAL moment sums (keeps
+    // squares far inside DECIMAL(18,6) range for month-long series);
+    // hourly counts from one date_trunc aggregate (empty buckets carry
+    // no rows and are deliberately excluded — the Fano here conditions
+    // on activity; the gap-fill spine operator exists separately).
+    "ts_burstiness" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val gaps = Tables.events(s, d)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("gap", CleanFunctions.round4(
+          (col("tsu") - lag(col("tsu"), 1).over(w)).cast("double") / lit(3600000000.0)))
+        .where(col("gap").isNotNull)
+        .groupBy("user_id").agg(
+          count(lit(1)).cast(LongType).as("n_gaps"),
+          exactSum(col("gap")).as("sg"),
+          exactSum(CleanFunctions.round4(col("gap") * col("gap"))).as("sgg"))
+        .where(col("n_gaps") >= 2)
+      val gm = col("sg") / col("n_gaps").cast("double")
+      val gsd = momentStd(col("n_gaps").cast("double"), col("sg"), col("sgg"))
+      val b = CleanFunctions.safeDiv(gsd - gm, gsd + gm)
+      val fano = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id").agg(
+          count(lit(1)).cast(LongType).as("n_buckets"),
+          exactSum(col("c").cast("double")).as("sc"),
+          exactSum(col("c").cast("double") * col("c").cast("double")).as("scc"))
+        .withColumn("fano", CleanFunctions.safeDiv(
+          momentVar(col("n_buckets").cast("double"), col("sc"), col("scc")),
+          col("sc") / col("n_buckets").cast("double")))
+        .select(col("user_id"), col("n_buckets"), col("fano"))
+      gaps.join(fano, Seq("user_id"))
+        .select(col("user_id"), col("n_gaps"), col("n_buckets"),
+          round6(b).as("burstiness"), round6(col("fano")).as("fano"))
+        .orderBy("user_id")
+    },
+
+    // Hour-of-day seasonal z-score (the calendar-baseline detector ops
+    // teams run before any model): baseline mean/σ per (series, hour)
+    // from DECIMAL-exact moments, every event scored against ITS hour's
+    // baseline — a 3σ spike at 3am that would hide inside the all-day σ
+    // stands out. Baseline is one map-side agg (series×24 rows), scored
+    // by an equi-join on (user_id, hr); emits every row with the flag so
+    // downstream thresholds stay tunable.
+    "ts_seasonal_zscore" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("hr", hour(col("ts")).cast(LongType))
+      val base = e.groupBy("user_id", "hr").agg(
+        count(lit(1)).cast(LongType).as("bn"),
+        exactSum(col("value")).as("bsx"),
+        exactSum(col("value") * col("value")).as("bsxx"))
+      val mean = col("bsx") / col("bn").cast("double")
+      val sd = momentStd(col("bn").cast("double"), col("bsx"), col("bsxx"))
+      val z = CleanFunctions.safeDiv(col("value") - mean, sd)
+      e.join(base, Seq("user_id", "hr"))
+        .select(col("event_id"), col("hr"), round6(z).as("z"),
+          // when/otherwise, not a bool cast: a null z (single-obs hour
+          // baseline, sd undefined) must flag 0 like the oracle's CASE,
+          // not propagate null.
+          when(abs(z) > 3.0, 1L).otherwise(0L).as("is_anomaly"))
+        .orderBy("event_id")
     }
   )
 
@@ -374,6 +488,79 @@ object SpcQueries {
          |  ${CleanFunctions.round4Sql(fitted)} AS smooth,
          |  ${CleanFunctions.round4Sql(s"y0 - $fitted")} AS resid
          |FROM g ORDER BY event_id""".stripMargin
+    },
+
+    "events_bootstrap_ci" -> {
+      val Seq(t0, t1, t2, t3) = PoissonThresholds.map(CleanFunctions.dlitSql)
+      val u = s"(CAST(${CleanFunctions.md5Hash64Sql("'boot:' || event_id || ':' || r")} % 1000000 + 1 AS DOUBLE) / 1000001.0)"
+      s"""WITH e AS (SELECT event_id, event_type, value FROM events
+         |  WHERE value IS NOT NULL),
+         |x AS (SELECT event_id, event_type, value,
+         |  unnest(generate_series(0, 31)) AS r FROM e),
+         |kk AS (SELECT event_type, r, value,
+         |  CASE WHEN $u < $t0 THEN 0 WHEN $u < $t1 THEN 1
+         |       WHEN $u < $t2 THEN 2 WHEN $u < $t3 THEN 3 ELSE 4 END AS k
+         |  FROM x),
+         |rep AS (SELECT event_type, r, CAST(sum(k) AS BIGINT) AS nk,
+         |  ${exactSumSql("CAST(k AS DOUBLE) * value")} AS skv
+         |  FROM kk GROUP BY event_type, r HAVING sum(k) > 0),
+         |rm AS (SELECT event_type, r, skv / CAST(nk AS DOUBLE) AS mean_r,
+         |  row_number() OVER (PARTITION BY event_type
+         |    ORDER BY skv / CAST(nk AS DOUBLE), r) AS rk FROM rep),
+         |ci AS (SELECT event_type,
+         |  min(CASE WHEN rk = 2 THEN mean_r END) AS ci_lo,
+         |  min(CASE WHEN rk = 31 THEN mean_r END) AS ci_hi
+         |  FROM rm GROUP BY event_type),
+         |b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |  ${CleanFunctions.exactMeanSql("value")} AS mean
+         |  FROM e GROUP BY event_type)
+         |SELECT b.event_type, b.n, ${round6Sql("b.mean")} AS mean,
+         |  ${round6Sql("ci.ci_lo")} AS ci_lo, ${round6Sql("ci.ci_hi")} AS ci_hi
+         |FROM b JOIN ci ON b.event_type = ci.event_type
+         |ORDER BY b.event_type""".stripMargin
+    },
+
+    "ts_burstiness" -> {
+      val r4 = CleanFunctions.round4Sql _
+      val gm = "(sg / CAST(n_gaps AS DOUBLE))"
+      val gsd = momentStdSql("CAST(n_gaps AS DOUBLE)", "sg", "sgg")
+      val fano = s"(${momentVarSql("CAST(n_buckets AS DOUBLE)", "sc", "scc")} / nullif(sc / CAST(n_buckets AS DOUBLE), 0.0))"
+      s"""WITH g AS (SELECT user_id,
+         |  ${r4("""CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS DOUBLE)
+         |    / 3600000000.0""")} AS gap
+         |  FROM events),
+         |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         |  ${exactSumSql("gap")} AS sg,
+         |  ${exactSumSql(r4("gap * gap"))} AS sgg
+         |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+         |h AS (SELECT user_id, date_trunc('hour', ts) AS hb, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_buckets,
+         |  ${exactSumSql("CAST(c AS DOUBLE)")} AS sc,
+         |  ${exactSumSql("CAST(c AS DOUBLE) * CAST(c AS DOUBLE)")} AS scc
+         |  FROM h GROUP BY 1)
+         |SELECT m.user_id, m.n_gaps, f.n_buckets,
+         |  ${round6Sql(s"(($gsd) - $gm) / nullif(($gsd) + $gm, 0.0)")} AS burstiness,
+         |  ${round6Sql(fano)} AS fano
+         |FROM m JOIN f ON m.user_id = f.user_id
+         |ORDER BY m.user_id""".stripMargin
+    },
+
+    "ts_seasonal_zscore" -> {
+      val mean = "(b.bsx / CAST(b.bn AS DOUBLE))"
+      val sd = momentStdSql("CAST(b.bn AS DOUBLE)", "b.bsx", "b.bsxx")
+      val z = s"((e.value - $mean) / nullif($sd, 0.0))"
+      s"""WITH b AS (SELECT user_id, hour(ts) AS hr,
+         |  CAST(count(*) AS BIGINT) AS bn,
+         |  ${exactSumSql("value")} AS bsx,
+         |  ${exactSumSql("value * value")} AS bsxx
+         |  FROM events GROUP BY 1, 2)
+         |SELECT e.event_id, CAST(hour(e.ts) AS BIGINT) AS hr,
+         |  ${round6Sql(z)} AS z,
+         |  CAST(CASE WHEN abs($z) > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM events e JOIN b ON e.user_id = b.user_id AND hour(e.ts) = b.hr
+         |ORDER BY e.event_id""".stripMargin
     }
   )
 }

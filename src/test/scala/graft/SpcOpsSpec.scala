@@ -72,4 +72,27 @@ class SpcOpsSpec extends AnyFunSuite {
     assert(out.filter(col("sampen").isNotNull && col("sampen") < 0).count() == 0,
       "-ln(A/B) with A<=B is nonnegative")
   }
+
+  test("events_bootstrap_ci: point estimate sits inside the CI, lo <= hi") {
+    SparkEntry.queries("events_bootstrap_ci")(spark, sfDir).collect().foreach { r =>
+      val (m, lo, hi) = (r.getAs[Double]("mean"), r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi, s"ci_lo > ci_hi for ${r.get(0)}")
+      assert(m >= lo - 1e-9 && m <= hi + 1e-9,
+        s"mean $m outside bootstrap CI [$lo, $hi] for ${r.get(0)}")
+    }
+  }
+
+  test("ts_burstiness: B in [-1,1], Fano nonnegative") {
+    val out = SparkEntry.queries("ts_burstiness")(spark, sfDir)
+    assert(out.filter(col("burstiness") < -1.0 || col("burstiness") > 1.0).count() == 0)
+    assert(out.filter(col("fano") < 0.0).count() == 0)
+  }
+
+  test("ts_seasonal_zscore: anomalies are exactly the |z| > 3 rows") {
+    val out = SparkEntry.queries("ts_seasonal_zscore")(spark, sfDir)
+    assert(out.filter(col("is_anomaly") === 1 && abs(col("z")) <= 3.0).count() == 0)
+    assert(out.filter(col("is_anomaly") === 0 && abs(col("z")) > 3.001).count() == 0)
+    val n = graft.sources.Tables.events(spark, sfDir).count()
+    assert(out.count() == n, "one scored row per event")
+  }
 }
