@@ -36,6 +36,11 @@ object PlanAudit {
     */
   val BroadcastContract: Map[String, Set[String]] = Map(
     "ann_topk_cosine" -> Set("embeddings"),
+    // Same contract as ann_topk_cosine: the broadcast side is the QUERY
+    // BATCH (vec_id % 50 — a stand-in for a user-provided search batch,
+    // bounded by the caller at any corpus scale), reduced to an 8-byte
+    // signature per query before the exchange.
+    "ann_hamming_topk" -> Set("embeddings"),
     "bloom_prefilter_join" -> Set("orders"))
 
   /** Queries whose SortMergeJoin-without-any-broadcast plan is the
@@ -61,7 +66,14 @@ object PlanAudit {
     * planner is free to pick BHJ for the small sides it measures.)
     */
   val SmjContract: Set[String] = Set("text_split_nodup", "dedup_canonical",
-    "events_attribution", "events_incremental_agg")
+    "events_attribution", "events_incremental_agg",
+    // dedup_semantic: the SemDeDup pairwise stage equi-joins the corpus
+    // against ITSELF on cluster id — both sides corpus-proportional by
+    // definition, so SMJ/shuffled-hash on cluster is the scale shape;
+    // broadcasting either side would be the 100x OOM. (The bounded seed
+    // centroids DO broadcast, but through a nested-loop cross join, which
+    // the BHJ-presence heuristic doesn't count.)
+    "dedup_semantic")
 
   /** Corpus tables scanned with NO Aggregate/GlobalLimit on the path from
     * the scan up to this subtree's root. The walk stops at any node that

@@ -161,6 +161,41 @@ object StatsOps {
       .drop("_cs_band", "_cs_off", "_cs_cum", "_cs_mx", "_cs_tot")
   }
 
+  /** Banded prefix sums: adds `cum_<c>` = the running sum of each column
+    * in `sumCols` over ascending `ord` (which must be DISTINCT per row —
+    * callers feed per-distinct-key aggregates). Same two-level shape as
+    * [[globalRank]]: per-band windows + a broadcast non-equi self-join
+    * over O(bands) band totals — no single-partition exchange at any
+    * scale. Integer/DECIMAL columns only (order-independent addition, so
+    * the banded result equals a sequential scan exactly).
+    */
+  def bandedPrefixSums(df: DataFrame, ord: Column, sumCols: Seq[String],
+                       bands: Int = 256): DataFrame = {
+    val vd = ord.cast(DoubleType)
+    val stats = df.agg(min(vd).as("_ps_mn"), max(vd).cast(DoubleType).as("_ps_mx"))
+    val banded = df.crossJoin(broadcast(stats))
+      .withColumn("_ps_band",
+        when(col("_ps_mx") === col("_ps_mn"), lit(0L))
+          .otherwise(least(lit(bands - 1L),
+            floor((vd - col("_ps_mn")) / ((col("_ps_mx") - col("_ps_mn")) / bands))))
+          .cast(LongType))
+      .drop("_ps_mn", "_ps_mx")
+    val aggs = sumCols.map(c => sum(col(c)).as(s"_ps_t_$c"))
+    val totals = banded.groupBy("_ps_band").agg(aggs.head, aggs.tail: _*)
+    val prior = totals.select(col("_ps_band").as("_ps_b2") +:
+      sumCols.map(c => col(s"_ps_t_$c").as(s"_ps_p_$c")): _*)
+    val offAggs = sumCols.map(c =>
+      coalesce(sum(col(s"_ps_p_$c")), lit(0L)).as(s"_ps_o_$c"))
+    val offsets = totals.join(broadcast(prior), col("_ps_b2") < col("_ps_band"), "left")
+      .groupBy("_ps_band").agg(offAggs.head, offAggs.tail: _*)
+      .select(col("_ps_band") +: sumCols.map(c => col(s"_ps_o_$c")): _*)
+    val wIn = Window.partitionBy("_ps_band").orderBy(vd.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offsets), Seq("_ps_band"))
+      .select(df.columns.map(col) ++
+        sumCols.map(c => (col(s"_ps_o_$c") + sum(col(c)).over(wIn)).as(s"cum_$c")): _*)
+  }
+
   /** CUSUM change score: running sum of deviations from the per-series
     * mean, S_i = sum_{j<=i}(x_j) - i*mean. The running sum goes through
     * DECIMAL so partial order can't drift (SURVEY §4); mean and the

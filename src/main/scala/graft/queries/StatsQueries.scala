@@ -1232,11 +1232,8 @@ object StatsQueries {
       val tot = e.agg(
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"))
-      val wv = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gaps = per
-        .select(col("value"),
-          sum(col("c1")).over(wv).as("k1"), sum(col("c2")).over(wv).as("k2"))
+      val gaps = StatsOps.bandedPrefixSums(per, col("value"), Seq("c1", "c2"))
+        .select(col("value"), col("cum_c1").as("k1"), col("cum_c2").as("k2"))
         .crossJoin(broadcast(tot))
         .select(col("n1"), col("n2"),
           abs(col("k1").cast(DoubleType) / col("n1").cast(DoubleType) -

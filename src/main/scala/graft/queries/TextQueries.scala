@@ -714,21 +714,21 @@ object TextQueries {
     // output: exact parity, and the Heaps slope fit stays downstream
     // where float libm differences can't break the gate.
     "text_vocab_growth" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val toks = Tables.documents(s, d)
         .select(expr("doc_id div 100").as("bucket"),
           explode(TextFunctions.tokens(lower(col("text")))).as("token"))
       val bt = toks.groupBy("bucket").agg(count(lit(1)).as("n_tok"))
       val nt = toks.groupBy("token").agg(min(col("bucket")).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("new_types"))
-      val w = Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bt.join(nt, Seq("bucket"), "left")
+      val per = bt.join(nt, Seq("bucket"), "left")
         .select(col("bucket"), col("n_tok"),
           coalesce(col("new_types"), lit(0L)).as("new_types"))
-        .select(col("bucket"),
-          sum(col("n_tok")).over(w).as("cum_tokens"),
-          sum(col("new_types")).over(w).as("cum_types"))
+      // Prefix sums via the banded two-level decomposition — no global
+      // window even over the bucket table (integer sums, exact).
+      graft.operators.StatsOps
+        .bandedPrefixSums(per, col("bucket"), Seq("n_tok", "new_types"))
+        .select(col("bucket"), col("cum_n_tok").as("cum_tokens"),
+          col("cum_new_types").as("cum_types"))
         .orderBy("bucket")
     }
   )
