@@ -332,6 +332,88 @@ object SpcQueries {
         .orderBy("user_id")
     },
 
+    // Theta-method forecast (Assimakopoulos & Nikolopoulos 2000; via the
+    // Hyndman & Billah 2003 equivalence: SES level + h·(OLS slope)/2).
+    // Level = the production truncated-EWMA operator evaluated at the
+    // series' last row; drift = DECIMAL-exact OLS slope on the row index.
+    // Horizons 1..3 explode per series. One moment aggregate + one
+    // bounded lag-kernel window — no recursion needed at any scale.
+    "ts_theta_forecast" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(Ord.map(col): _*)
+      val withIdx = Tables.events(s, d).withColumn("idx", row_number().over(w))
+      val lev = graft.operators.TimeSeriesOps.ewma(
+        withIdx, Seq("user_id"), Ord, "value", alpha = 0.3, span = 12, outCol = "lev")
+      val wl = Window.partitionBy("user_id").orderBy(col("idx").desc)
+      val lastLev = lev.withColumn("rk", row_number().over(wl))
+        .where(col("rk") === 1).select(col("user_id"), col("lev"))
+      val mom = withIdx
+        .select(col("user_id"), col("idx").cast("double").as("x"), col("value").as("y"))
+        .groupBy("user_id").agg(
+          count(lit(1)).cast("double").as("cn"),
+          exactSum(col("x")).as("sx"), exactSum(col("y")).as("sy"),
+          exactSum(round6(col("x") * col("y"))).as("sxy"),
+          exactSum(col("x") * col("x")).as("sxx"))
+      val slope = CleanFunctions.safeDiv(
+        col("cn") * col("sxy") - col("sx") * col("sy"),
+        col("cn") * col("sxx") - col("sx") * col("sx"))
+      lastLev.join(mom, Seq("user_id"))
+        .withColumn("slope", slope)
+        .select(col("user_id"), col("lev"), col("slope"),
+          explode(sequence(lit(1L), lit(3L))).as("h"))
+        .select(col("user_id"), col("h"),
+          CleanFunctions.round4(
+            col("lev") + col("h").cast("double") * (col("slope") / 2.0))
+            .as("forecast"))
+        .orderBy("user_id", "h")
+    },
+
+    // Sequential probability ratio test (Wald 1945) per series — the
+    // always-monitoring A/B shape: each user's click stream is scored
+    // against H0 (the global view-baseline mean) vs H1 (a +5% lift),
+    // normal LLR increments 6dp-quantized then DECIMAL-cumsum'd (keyed
+    // window — order-proof), decision = first crossing of ln(19) /
+    // ln(1/19) (α=β=0.05). Baseline is one bounded scalar aggregate
+    // broadcast to the stream; everything else is per-series windows.
+    "events_sprt" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val ctrl = e.where(col("event_type") === "view").agg(
+        count(lit(1)).cast("double").as("cn"),
+        exactSum(col("value")).as("csx"),
+        exactSum(col("value") * col("value")).as("csxx"))
+      val upper = math.log(19.0)
+      val lower = math.log(1.0 / 19.0)
+      val wo = Window.partitionBy("user_id").orderBy(Ord.map(col): _*)
+      val cum = e.where(col("event_type") === "click")
+        .crossJoin(broadcast(ctrl))
+        .withColumn("mu0", col("csx") / col("cn"))
+        .withColumn("sig2", momentVar(col("cn"), col("csx"), col("csxx")))
+        .withColumn("mu1", col("mu0") * 1.05)
+        .withColumn("llr_term", round6(
+          ((col("mu1") - col("mu0")) * col("value") -
+            (col("mu1") * col("mu1") - col("mu0") * col("mu0")) / 2.0) / col("sig2")))
+        .withColumn("idx", row_number().over(wo).cast(LongType))
+        .withColumn("llr", CleanFunctions.exactSumOver(col("llr_term"),
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val dec = cum.groupBy("user_id").agg(
+        count(lit(1)).cast(LongType).as("n_obs"),
+        max(struct(col("idx").as("i"), col("llr").as("l"))).as("last"),
+        min(when(col("llr") > upper, col("idx"))).as("up_at"),
+        min(when(col("llr") < lower, col("idx"))).as("lo_at"))
+      val decisionAt =
+        when(col("up_at").isNotNull &&
+          (col("lo_at").isNull || col("up_at") <= col("lo_at")), col("up_at"))
+          .when(col("lo_at").isNotNull, col("lo_at"))
+      val decision =
+        when(col("up_at").isNotNull &&
+          (col("lo_at").isNull || col("up_at") <= col("lo_at")), "reject_h0")
+          .when(col("lo_at").isNotNull, "accept_h0")
+          .otherwise("continue")
+      dec.select(col("user_id"), col("n_obs"),
+          round6(col("last.l")).as("final_llr"),
+          decision.as("decision"), decisionAt.as("decision_at"))
+        .orderBy("user_id")
+    },
+
     // Hour-of-day seasonal z-score (the calendar-baseline detector ops
     // teams run before any model): baseline mean/σ per (series, hour)
     // from DECIMAL-exact moments, every event scored against ITS hour's
@@ -545,6 +627,74 @@ object SpcQueries {
          |  ${round6Sql(fano)} AS fano
          |FROM m JOIN f ON m.user_id = f.user_id
          |ORDER BY m.user_id""".stripMargin
+    },
+
+    "ts_theta_forecast" -> {
+      val kernel = {
+        val terms = (0 until 12).map { j =>
+          val wt = CleanFunctions.dlitSql(math.pow(0.7, j))
+          val v = if (j == 0) "value"
+                  else s"lag(value, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+          (s"coalesce(CASE WHEN $v IS NOT NULL THEN $wt * $v END, 0.0)",
+            s"coalesce(CASE WHEN $v IS NOT NULL THEN $wt END, 0.0)")
+        }
+        s"((${terms.map(_._1).mkString(" + ")}) / nullif(${terms.map(_._2).mkString(" + ")}, 0.0))"
+      }
+      val slope = "((cn * sxy - sx * sy) / nullif(cn * sxx - sx * sx, 0.0))"
+      s"""WITH lv AS (SELECT user_id, $kernel AS lev,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rk
+         |  FROM events),
+         |ll AS (SELECT user_id, lev FROM lv WHERE rk = 1),
+         |ix AS (SELECT user_id, value AS y,
+         |  CAST(row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS DOUBLE) AS x
+         |  FROM events),
+         |m AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS cn,
+         |  ${exactSumSql("x")} AS sx, ${exactSumSql("y")} AS sy,
+         |  ${exactSumSql(round6Sql("x * y"))} AS sxy,
+         |  ${exactSumSql("x * x")} AS sxx
+         |  FROM ix GROUP BY user_id)
+         |SELECT ll.user_id, h,
+         |  ${CleanFunctions.round4Sql(s"ll.lev + CAST(h AS DOUBLE) * ($slope / 2.0)")} AS forecast
+         |FROM ll JOIN m ON ll.user_id = m.user_id,
+         |  (SELECT unnest(generate_series(1, 3)) AS h)
+         |ORDER BY ll.user_id, h""".stripMargin
+    },
+
+    "events_sprt" -> {
+      val up = CleanFunctions.dlitSql(math.log(19.0))
+      val lo = CleanFunctions.dlitSql(math.log(1.0 / 19.0))
+      val sig2 = momentVarSql("cn", "csx", "csxx")
+      val pw = "PARTITION BY user_id ORDER BY ts, event_id"
+      s"""WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS cn,
+         |  ${exactSumSql("value")} AS csx,
+         |  ${exactSumSql("value * value")} AS csxx
+         |  FROM events WHERE value IS NOT NULL AND event_type = 'view'),
+         |t AS (SELECT user_id, ts, event_id, value,
+         |  (csx / cn) AS mu0, (csx / cn) * 1.05 AS mu1, $sig2 AS sig2
+         |  FROM events, c WHERE value IS NOT NULL AND event_type = 'click'),
+         |l AS (SELECT user_id, ts, event_id,
+         |  ${round6Sql("((mu1 - mu0) * value - (mu1 * mu1 - mu0 * mu0) / 2.0) / sig2")} AS llr_term
+         |  FROM t),
+         |cm AS (SELECT user_id,
+         |  CAST(row_number() OVER ($pw) AS BIGINT) AS idx,
+         |  ${exactSumSql("llr_term", s"OVER ($pw ROWS UNBOUNDED PRECEDING)")} AS llr
+         |  FROM l),
+         |d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+         |  arg_max(llr, idx) AS final_llr,
+         |  min(CASE WHEN llr > $up THEN idx END) AS up_at,
+         |  min(CASE WHEN llr < $lo THEN idx END) AS lo_at
+         |  FROM cm GROUP BY user_id)
+         |SELECT user_id, n_obs, ${round6Sql("final_llr")} AS final_llr,
+         |  CASE WHEN up_at IS NOT NULL AND (lo_at IS NULL OR up_at <= lo_at)
+         |         THEN 'reject_h0'
+         |       WHEN lo_at IS NOT NULL THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision,
+         |  CASE WHEN up_at IS NOT NULL AND (lo_at IS NULL OR up_at <= lo_at)
+         |         THEN up_at
+         |       WHEN lo_at IS NOT NULL THEN lo_at END AS decision_at
+         |FROM d ORDER BY user_id""".stripMargin
     },
 
     "ts_seasonal_zscore" -> {

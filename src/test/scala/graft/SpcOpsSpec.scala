@@ -95,4 +95,30 @@ class SpcOpsSpec extends AnyFunSuite {
     val n = graft.sources.Tables.events(spark, sfDir).count()
     assert(out.count() == n, "one scored row per event")
   }
+
+  test("ts_theta_forecast: three horizons per series, forecasts move linearly in h") {
+    val rows = SparkEntry.queries("ts_theta_forecast")(spark, sfDir)
+      .orderBy("user_id", "h").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    rows.foreach { case (u, rs) =>
+      assert(rs.map(_.getAs[Long]("h")).sorted.toSeq == Seq(1L, 2L, 3L), s"user $u horizons")
+      val f = rs.sortBy(_.getAs[Long]("h")).map(_.getAs[Double]("forecast"))
+      // equal spacing (within the 4dp rounding grain): f2-f1 == f3-f2
+      assert(math.abs((f(1) - f(0)) - (f(2) - f(1))) < 2e-4,
+        s"user $u: theta forecasts not linear in h: ${f.mkString(",")}")
+    }
+  }
+
+  test("events_sprt: decision consistent with the crossing index") {
+    SparkEntry.queries("events_sprt")(spark, sfDir).collect().foreach { r =>
+      val dec = r.getAs[String]("decision")
+      val at = Option(r.getAs[Any]("decision_at"))
+      if (dec == "continue") assert(at.isEmpty, "continue must have no crossing index")
+      else {
+        assert(at.nonEmpty, s"$dec needs a crossing index")
+        assert(at.get.asInstanceOf[Long] >= 1 &&
+          at.get.asInstanceOf[Long] <= r.getAs[Long]("n_obs"))
+      }
+    }
+  }
 }
