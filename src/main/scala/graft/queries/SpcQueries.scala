@@ -437,6 +437,38 @@ object SpcQueries {
           // not propagate null.
           when(abs(z) > 3.0, 1L).otherwise(0L).as("is_anomaly"))
         .orderBy("event_id")
+    },
+
+    // STREAM-STATIC join scoring — the model-serving streaming shape the
+    // other 11 streaming entries don't cover: a batch-computed feature
+    // table (the hour-of-day baseline) joined against a live stream each
+    // micro-batch (stateless, no watermark; the static side broadcasts).
+    // Replayed through the MemoryStream harness and driver-verified
+    // exact-hash against the same calendar-baseline SQL as
+    // ts_seasonal_zscore (value-null rows filtered on the scored side —
+    // the Event feed's contract — baseline unchanged).
+    "streaming_seasonal_score" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val all = Tables.events(s, d)
+      val base = all
+        .groupBy(col("user_id"), hour(col("ts")).cast(LongType).as("hr"))
+        .agg(count(lit(1)).cast(LongType).as("bn"),
+          exactSum(col("value")).as("bsx"),
+          exactSum(col("value") * col("value")).as("bsxx"))
+      val mean = col("bsx") / col("bn").cast("double")
+      val sd = momentStd(col("bn").cast("double"), col("bsx"), col("bsxx"))
+      val z = CleanFunctions.safeDiv(col("value") - mean, sd)
+      val rows = all.where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_seasonal", None)(
+        ds => ds.toDF()
+          .withColumn("hr", hour(col("ts")).cast(LongType))
+          .join(base, Seq("user_id", "hr"))
+          .select(col("event_id"), col("hr"), round6(z).as("z"),
+            when(abs(z) > 3.0, 1L).otherwise(0L).as("is_anomaly")))
+        .orderBy("event_id")
     }
   )
 
@@ -710,6 +742,23 @@ object SpcQueries {
          |  ${round6Sql(z)} AS z,
          |  CAST(CASE WHEN abs($z) > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM events e JOIN b ON e.user_id = b.user_id AND hour(e.ts) = b.hr
+         |ORDER BY e.event_id""".stripMargin
+    },
+
+    "streaming_seasonal_score" -> {
+      val mean = "(b.bsx / CAST(b.bn AS DOUBLE))"
+      val sd = momentStdSql("CAST(b.bn AS DOUBLE)", "b.bsx", "b.bsxx")
+      val z = s"((e.value - $mean) / nullif($sd, 0.0))"
+      s"""WITH b AS (SELECT user_id, hour(ts) AS hr,
+         |  CAST(count(*) AS BIGINT) AS bn,
+         |  ${exactSumSql("value")} AS bsx,
+         |  ${exactSumSql("value * value")} AS bsxx
+         |  FROM events GROUP BY 1, 2)
+         |SELECT e.event_id, CAST(hour(e.ts) AS BIGINT) AS hr,
+         |  ${round6Sql(z)} AS z,
+         |  CAST(CASE WHEN abs($z) > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM events e JOIN b ON e.user_id = b.user_id AND hour(e.ts) = b.hr
+         |WHERE e.value IS NOT NULL
          |ORDER BY e.event_id""".stripMargin
     }
   )

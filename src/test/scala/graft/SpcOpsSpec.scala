@@ -121,4 +121,15 @@ class SpcOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming_seasonal_score: stream-static scoring bit-equals the batch detector") {
+    import org.apache.spark.sql.functions._
+    val batch = SparkEntry.queries("ts_seasonal_zscore")(spark, sfDir)
+      .select("event_id", "z", "is_anomaly")
+    val stream = SparkEntry.queries("streaming_seasonal_score")(spark, sfDir)
+      .select("event_id", "z", "is_anomaly")
+    assert(stream.count() == batch.count())
+    assert(stream.exceptAll(batch).count() == 0 && batch.exceptAll(stream).count() == 0,
+      "stream-static scored rows must equal the batch twin exactly")
+  }
 }
