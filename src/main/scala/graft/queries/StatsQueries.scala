@@ -1247,6 +1247,42 @@ object StatsQueries {
           CleanFunctions.round6(crit).as("crit"),
           (CleanFunctions.round6(col("d")) > CleanFunctions.round6(crit))
             .cast(LongType).as("reject"))
+    },
+
+    // Markov entropy rate of the event-type process: H = −Σ π_i p_ij
+    // ln p_ij over per-series transition pairs pooled corpus-wide (with
+    // π p_ij = c_ij/N), next to the marginal entropy H0 = −Σ π_i ln π_i;
+    // info_gain = H0 − H is how much the previous state predicts the
+    // next (0 = memoryless stream). Transition counts are one lag window
+    // + one grouped agg (states × states rows); ln terms 6dp-quantized
+    // then DECIMAL-summed (the psi pattern), counts integer.
+    "events_entropy_rate" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy("prev", "event_type").agg(count(lit(1)).as("cij"))
+      val fromTot = pairs.groupBy("prev").agg(sum(col("cij")).as("ci"))
+      val tot = pairs.agg(sum(col("cij")).cast(LongType).as("n"))
+      val hTerm = CleanFunctions.round6(
+        (col("cij").cast(DoubleType) / col("n").cast(DoubleType)) *
+          log(col("cij").cast(DoubleType) / col("ci").cast(DoubleType)))
+      val h = pairs.join(fromTot, Seq("prev")).crossJoin(broadcast(tot))
+        .select(hTerm.as("t"), col("n"))
+        .groupBy("n").agg((-exactSum(col("t"))).as("entropy_rate"))
+      val h0Term = CleanFunctions.round6(
+        (col("ci").cast(DoubleType) / col("n").cast(DoubleType)) *
+          log(col("ci").cast(DoubleType) / col("n").cast(DoubleType)))
+      val h0 = fromTot.crossJoin(broadcast(tot))
+        .select(h0Term.as("t0"))
+        .agg((-exactSum(col("t0"))).as("marginal_entropy"))
+      h.crossJoin(broadcast(h0))
+        .select(col("n").as("n_transitions"),
+          CleanFunctions.round6(col("entropy_rate")).as("entropy_rate"),
+          CleanFunctions.round6(col("marginal_entropy")).as("marginal_entropy"),
+          CleanFunctions.round6(
+            CleanFunctions.round6(col("marginal_entropy")) -
+              CleanFunctions.round6(col("entropy_rate"))).as("info_gain"))
     })
 
   private val PsSqlList =
@@ -2243,6 +2279,25 @@ object StatsQueries {
          |SELECT n1, n2, ${r6("d")} AS ks_d, ${r6(crit)} AS crit,
          |  CAST(CASE WHEN ${r6("d")} > ${r6(crit)} THEN 1 ELSE 0 END AS BIGINT) AS reject
          |FROM g""".stripMargin
+    },
+
+    "events_entropy_rate" -> {
+      val r6 = CleanFunctions.round6Sql _
+      s"""WITH p AS (SELECT user_id,
+         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         |  event_type AS cur FROM events),
+         |c AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cij
+         |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |f AS (SELECT prev, CAST(sum(cij) AS BIGINT) AS ci FROM c GROUP BY 1),
+         |nn AS (SELECT CAST(sum(cij) AS BIGINT) AS n FROM c),
+         |ht AS (SELECT ${r6("(CAST(cij AS DOUBLE) / CAST(nn.n AS DOUBLE)) * ln(CAST(cij AS DOUBLE) / CAST(ci AS DOUBLE))")} AS t
+         |  FROM c JOIN f ON c.prev = f.prev, nn),
+         |h0t AS (SELECT ${r6("(CAST(ci AS DOUBLE) / CAST(nn.n AS DOUBLE)) * ln(CAST(ci AS DOUBLE) / CAST(nn.n AS DOUBLE))")} AS t0
+         |  FROM f, nn)
+         |SELECT (SELECT n FROM nn) AS n_transitions,
+         |  ${r6(s"-(SELECT ${CleanFunctions.exactSumSql("t")} FROM ht)")} AS entropy_rate,
+         |  ${r6(s"-(SELECT ${CleanFunctions.exactSumSql("t0")} FROM h0t)")} AS marginal_entropy,
+         |  ${r6(s"${r6(s"-(SELECT ${CleanFunctions.exactSumSql("t0")} FROM h0t)")} - ${r6(s"-(SELECT ${CleanFunctions.exactSumSql("t")} FROM ht)")}")} AS info_gain""".stripMargin
     }
     )
 }

@@ -730,6 +730,55 @@ object TextQueries {
         .select(col("bucket"), col("cum_n_tok").as("cum_tokens"),
           col("cum_new_types").as("cum_types"))
         .orderBy("bucket")
+    },
+
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases =
+    // stopword-delimited token runs (bounded ≤4 words), word score =
+    // degree/frequency within the DOC's phrases, phrase score = Σ word
+    // scores (4dp-quantized, DECIMAL-summed), top-3 phrases per doc.
+    // Every aggregate/window keys on doc_id — embarrassingly parallel;
+    // run segmentation is one per-doc prefix sum over token positions
+    // (bounded by doc length). Phrase assembly sorts (pos, tok) structs,
+    // never an unordered collect_list.
+    "text_rake" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val stop = TextFunctions.QualityStopwords
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = toks
+        .withColumn("is_stop", col("tok").isin(stop: _*))
+        .withColumn("run", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wd))
+        .where(!col("is_stop"))
+      val phrases = runs.groupBy("doc_id", "run")
+        .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("ps"))
+        .select(col("doc_id"), col("run"),
+          expr("transform(ps, x -> x.tok)").as("words"))
+        .where(size(col("words")) <= 4)
+        .withColumn("phrase", concat_ws(" ", col("words")))
+      val wordStats = phrases
+        .select(col("doc_id"), size(col("words")).cast(LongType).as("plen"),
+          explode(col("words")).as("wd"))
+        .groupBy("doc_id", "wd")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("wscore", CleanFunctions.round4(
+          col("deg").cast(DoubleType) / col("freq").cast(DoubleType)))
+      val runScores = phrases
+        .select(col("doc_id"), col("run"), col("phrase"), explode(col("words")).as("wd"))
+        .join(wordStats.select("doc_id", "wd", "wscore"), Seq("doc_id", "wd"))
+        .groupBy("doc_id", "run", "phrase")
+        .agg(CleanFunctions.exactSum(col("wscore")).as("rscore"))
+      // Identical phrase strings in different runs carry identical scores
+      // (same words, same per-doc stats) — min() just collapses them.
+      val phraseScores = runScores.groupBy("doc_id", "phrase")
+        .agg(min(col("rscore")).as("score"))
+      val wr = Window.partitionBy("doc_id").orderBy(desc("score"), col("phrase"))
+      phraseScores.withColumn("rk", row_number().over(wr).cast(LongType))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("phrase"), col("score"))
+        .orderBy("doc_id", "rk")
     }
   )
 
@@ -1177,7 +1226,41 @@ object TextQueries {
            |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY bt.bucket
            |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
            |FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
-           |ORDER BY bt.bucket""".stripMargin
+           |ORDER BY bt.bucket""".stripMargin,
+
+      "text_rake" -> {
+        val stopList = sqlList(TextFunctions.QualityStopwords)
+        s"""WITH tk AS (SELECT doc_id, unnest($tl) AS tok,
+           |  generate_subscripts($tl, 1) AS pos FROM documents),
+           |mk AS (SELECT doc_id, pos, tok,
+           |  list_contains($stopList, tok) AS is_stop,
+           |  sum(CASE WHEN list_contains($stopList, tok) THEN 1 ELSE 0 END)
+           |    OVER (PARTITION BY doc_id ORDER BY pos
+           |          ROWS UNBOUNDED PRECEDING) AS run
+           |  FROM tk),
+           |ph AS (SELECT doc_id, run, list(tok ORDER BY pos) AS words
+           |  FROM mk WHERE NOT is_stop GROUP BY doc_id, run
+           |  HAVING count(*) <= 4),
+           |ph2 AS (SELECT doc_id, run, words,
+           |  array_to_string(words, ' ') AS phrase FROM ph),
+           |ws AS (SELECT doc_id, wd,
+           |  ${CleanFunctions.round4Sql("CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS wscore
+           |  FROM (SELECT doc_id, CAST(len(words) AS BIGINT) AS plen,
+           |        unnest(words) AS wd FROM ph2)
+           |  GROUP BY doc_id, wd),
+           |rs AS (SELECT p.doc_id, p.run, p.phrase,
+           |  ${CleanFunctions.exactSumSql("w.wscore")} AS rscore
+           |  FROM (SELECT doc_id, run, phrase, unnest(words) AS wd FROM ph2) p
+           |  JOIN ws w ON p.doc_id = w.doc_id AND p.wd = w.wd
+           |  GROUP BY p.doc_id, p.run, p.phrase),
+           |pc AS (SELECT doc_id, phrase, min(rscore) AS score
+           |  FROM rs GROUP BY doc_id, phrase),
+           |rk AS (SELECT doc_id, phrase, score,
+           |  CAST(row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, phrase) AS BIGINT) AS rk FROM pc)
+           |SELECT doc_id, rk, phrase, score FROM rk WHERE rk <= 3
+           |ORDER BY doc_id, rk""".stripMargin
+      }
     )
   }
 }

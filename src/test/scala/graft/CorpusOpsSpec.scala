@@ -87,4 +87,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_batches") == (n + 31) / 32, "batch math")
     }
   }
+
+  test("text_rake: phrases contain no stopwords, ranks 1..3, scores descending") {
+    val stop = graft.functions.TextFunctions.QualityStopwords.toSet
+    val rows = SparkEntry.queries("text_rake")(spark, sfDir)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    rows.foreach { case (doc, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to byRank.length),
+        s"doc $doc ranks not contiguous")
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $doc scores not descending")
+      byRank.foreach { r =>
+        val words = r.getAs[String]("phrase").split(" ")
+        assert(words.length <= 4 && words.forall(w => !stop(w)),
+          s"doc $doc phrase '${r.getAs[String]("phrase")}' violates the run contract")
+      }
+    }
+  }
+
+  test("events_entropy_rate: 0 <= rate <= marginal <= ln(#states)") {
+    val r = SparkEntry.queries("events_entropy_rate")(spark, sfDir).head
+    val rate = r.getAs[Double]("entropy_rate")
+    val marg = r.getAs[Double]("marginal_entropy")
+    assert(rate >= 0 && marg >= 0)
+    assert(rate <= marg + 1e-9, "conditioning cannot increase entropy")
+    val states = graft.sources.Tables.events(spark, sfDir)
+      .select("event_type").distinct().count()
+    assert(marg <= math.log(states.toDouble) + 1e-9, "marginal bounded by ln k")
+    assert(math.abs(r.getAs[Double]("info_gain") - (marg - rate)) < 2e-6)
+  }
 }
