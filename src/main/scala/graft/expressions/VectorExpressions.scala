@@ -125,11 +125,62 @@ case class SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** 60-bit sign signature of a float-array column: bit i set iff element
+  * i > 0 (elements beyond 60 ignored) — the binarized-embedding index key
+  * behind hamming ANN. One fused codegen'd loop over the raw ArrayData;
+  * semantically identical to the `aggregate(sequence(0,59), ...)`
+  * higher-order fold (and to the DuckDB twin's list_sum of shifted bits),
+  * but without interpreting a lambda per element.
+  */
+case class SignBits60(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_bits60"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), 60)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && x.getFloat(i) > 0.0f) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), 60);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && $a.getFloat($i) > 0.0f) {
+         |    $acc |= (1L << $i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-level dot product of two ArrayType(FloatType) columns. */
   def floatDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level 60-bit sign signature of an ArrayType(FloatType) column. */
+  def signBits60(v: Column): Column =
+    ExpressionUtils.column(SignBits60(ExpressionUtils.expression(v)))
 
   /** Column-level 60-bit SimHash of an ArrayType(StringType) column. */
   def simhash60(toks: Column): Column =

@@ -490,9 +490,10 @@ object SimilarityQueries {
     // (no float rounding band needed), ties broken by n_id.
     "ann_hamming_topk" -> { (s, d) =>
       import org.apache.spark.sql.types.LongType
-      val sig = expr(
-        s"aggregate(sequence(0, ${HamBits - 1}), 0L, (acc, i) -> " +
-          "acc + IF(element_at(embedding, i + 1) > CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L))")
+      // Codegen'd fused loop (SignBits60) — bit-identical to the
+      // aggregate(sequence...) HOF fold and the oracle's list_sum of
+      // shifted bits, but no per-element lambda interpretation.
+      val sig = org.apache.spark.sql.graft.VectorExpressions.signBits60(col("embedding"))
       val e = Tables.embeddings(s, d).select(col("vec_id"), sig.as("sig"))
       val q = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))

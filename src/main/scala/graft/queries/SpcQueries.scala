@@ -439,6 +439,33 @@ object SpcQueries {
         .orderBy("event_id")
     },
 
+    // Out-of-order-arrival diagnostic (the watermark-sizing input every
+    // streaming deployment needs): Kendall-tau concordance between
+    // arrival order (event_id — the ingest sequence) and event-time
+    // order, per series. inversions = late-arriving pairs; tau near 1 =
+    // in-order feed, near 0 = shuffled. Pair stage is the per-series
+    // equi-join (quadratic in the SERIES, pairs co-located — the
+    // ts_sampen contract); counts integer, ratios exact.
+    "events_disorder" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val t = Tables.events(s, d)
+        .withColumn("arr", row_number().over(w))
+        .select(col("user_id"), col("arr"),
+          CleanFunctions.epochUs(col("ts")).as("tsu"))
+      val a = t.select(col("user_id"), col("arr").as("ai"), col("tsu").as("ti"))
+      val b = t.select(col("user_id"), col("arr").as("aj"), col("tsu").as("tj"))
+      a.join(b, Seq("user_id")).where(col("ai") < col("aj"))
+        .groupBy("user_id").agg(
+          count(lit(1)).cast(LongType).as("n_pairs"),
+          sum(when(col("ti") > col("tj"), 1L).otherwise(0L)).as("inversions"))
+        .select(col("user_id"), col("n_pairs"), col("inversions"),
+          round6(col("inversions").cast("double") / col("n_pairs").cast("double"))
+            .as("disorder_rate"),
+          round6(lit(1.0) - lit(2.0) * (col("inversions").cast("double") /
+            col("n_pairs").cast("double"))).as("kendall_tau"))
+        .orderBy("user_id")
+    },
+
     // STREAM-STATIC join scoring — the model-serving streaming shape the
     // other 11 streaming entries don't cover: a batch-computed feature
     // table (the hour-of-day baseline) joined against a live stream each
@@ -744,6 +771,20 @@ object SpcQueries {
          |FROM events e JOIN b ON e.user_id = b.user_id AND hour(e.ts) = b.hr
          |ORDER BY e.event_id""".stripMargin
     },
+
+    "events_disorder" ->
+      s"""WITH t AS (SELECT user_id,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS arr,
+         |  epoch_us(ts) AS tsu FROM events),
+         |p AS (SELECT a.user_id,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN a.tsu > b.tsu THEN 1 ELSE 0 END) AS BIGINT) AS inversions
+         |  FROM t a JOIN t b ON a.user_id = b.user_id AND a.arr < b.arr
+         |  GROUP BY a.user_id)
+         |SELECT user_id, n_pairs, inversions,
+         |  ${round6Sql("CAST(inversions AS DOUBLE) / CAST(n_pairs AS DOUBLE)")} AS disorder_rate,
+         |  ${round6Sql("1.0 - 2.0 * (CAST(inversions AS DOUBLE) / CAST(n_pairs AS DOUBLE))")} AS kendall_tau
+         |FROM p ORDER BY user_id""".stripMargin,
 
     "streaming_seasonal_score" -> {
       val mean = "(b.bsx / CAST(b.bn AS DOUBLE))"

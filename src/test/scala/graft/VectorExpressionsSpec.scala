@@ -119,4 +119,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
       assert(got == expected, s"plane $p")
     }
   }
+
+  test("SignBits60 equals the higher-order sign fold") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val hof = expr("aggregate(sequence(0, 59), 0L, (acc, i) -> " +
+      "acc + IF(element_at(embedding, i + 1) > CAST(0.0 AS FLOAT), shiftleft(1L, i), 0L))")
+    val both = e.select(
+      org.apache.spark.sql.graft.VectorExpressions.signBits60(col("embedding")).as("fast"),
+      hof.as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+  }
 }
