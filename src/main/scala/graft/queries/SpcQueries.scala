@@ -34,12 +34,12 @@ object SpcQueries {
     Seq(1.0, 1.0, 0.5, 1.0 / 6.0).map(_ * e1).scanLeft(0.0)(_ + _).tail
   }
 
-  /** Bootstrap uniform-mixing constants (the CMS hash family: one 60-bit
-    * md5 per row, then h·A + r·B mod p per replicate).
+  /** Bootstrap uniform-mixing constants: one 60-bit md5 per row, then
+    * u_r = h·(A + r·S) mod p per replicate (see events_bootstrap_ci).
     */
   private val BootP = 2147483647L
   private val BootA = 1103633L
-  private val BootB = 12345L
+  private val BootS = 65537L
 
   /** Per-series DECIMAL-exact moments joined back onto the rows. */
   private def withMoments(df: DataFrame): DataFrame = {
@@ -272,13 +272,16 @@ object SpcQueries {
     "events_bootstrap_ci" -> { (s, d) =>
       val e = Tables.events(s, d).where(col("value").isNotNull)
       // ONE md5 per row; the 32 per-replicate uniforms come from integer
-      // mixing (h·A + r·B mod p, p = 2³¹−1 — the CMS hash family), so the
-      // replicate explosion costs arithmetic, not 32 digest calls.
-      // (h%p)·A < 2^52·512 — still far inside BIGINT: exact integer
-      // arithmetic on both engines, no float in the hash path.
+      // mixing with a PER-REPLICATE MULTIPLIER — u_r = h·(A + r·S) mod p
+      // (p = 2³¹−1). The multiplier (not an additive offset) is
+      // load-bearing: an additive r-shift would move every row's uniform
+      // by the same constant, perfectly correlating the replicates and
+      // collapsing the CI; a row-dependent increment h·S decorrelates
+      // them. h·(A+31·S) < 7e15 — far inside BIGINT, exact on both
+      // engines, no float in the hash path.
       val h = pmod(CleanFunctions.md5Hash64(
         concat(lit("boot:"), col("event_id"))), lit(BootP))
-      val u = ((h * lit(BootA) + col("r").cast(LongType) * lit(BootB)) % lit(BootP) + 1L)
+      val u = ((h * (lit(BootA) + col("r").cast(LongType) * lit(BootS))) % lit(BootP) + 1L)
         .cast("double") / lit(2147483648.0)
       val k = PoissonThresholds.zipWithIndex.foldRight(lit(4): org.apache.spark.sql.Column) {
         case ((t, i), acc) => when(u < lit(t), i).otherwise(acc)
@@ -646,7 +649,7 @@ object SpcQueries {
 
     "events_bootstrap_ci" -> {
       val Seq(t0, t1, t2, t3) = PoissonThresholds.map(CleanFunctions.dlitSql)
-      val u = s"(CAST(((${CleanFunctions.md5Hash64Sql("'boot:' || event_id")} % $BootP) * $BootA + r * $BootB) % $BootP + 1 AS DOUBLE) / 2147483648.0)"
+      val u = s"(CAST(((${CleanFunctions.md5Hash64Sql("'boot:' || event_id")} % $BootP) * ($BootA + r * $BootS)) % $BootP + 1 AS DOUBLE) / 2147483648.0)"
       s"""WITH e AS (SELECT event_id, event_type, value FROM events
          |  WHERE value IS NOT NULL),
          |x AS (SELECT event_id, event_type, value,
