@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{FloatVectorDot, SimHash60}
+import org.apache.spark.sql.graft.{FloatVectorDot, SignBits60, SimHash60}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -31,6 +31,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60(tokens) takes 1 argument")
         SimHash60(args.head)
+      }),
+    (new FunctionIdentifier("sign_bits60"),
+      new ExpressionInfo(classOf[SignBits60].getName, "sign_bits60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "sign_bits60(vec) takes 1 argument")
+        SignBits60(args.head)
       }))
 
   /** Register the same functions into an ALREADY-RUNNING session (the

