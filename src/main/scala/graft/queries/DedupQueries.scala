@@ -349,6 +349,21 @@ object DedupQueries {
             nullif(col("n_truth").cast(DoubleType), lit(0.0))).as("recall"),
           CleanFunctions.round4(col("n_hits").cast(DoubleType) /
             nullif(col("n_candidates").cast(DoubleType), lit(0.0))).as("precision"))
+    },
+
+    // Cluster-size histogram — the dedup-rate report every curation run
+    // publishes (how much of the corpus is singleton vs duplicated, and
+    // how big the dup families get). Composes the production
+    // clusterLabels (all docs labeled, singletons self-labeled); two
+    // map-side-combined aggregates after it, output O(distinct sizes).
+    "dedup_cluster_sizes" -> { (s, d) =>
+      graft.operators.CorpusDedup
+        .clusterLabels(Tables.documents(s, d), "doc_id", "text")
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size")
     }
   )
 
@@ -528,6 +543,17 @@ object DedupQueries {
          |  ${CleanFunctions.round4Sql("CAST(n_hits AS DOUBLE) / nullif(CAST(n_truth AS DOUBLE), 0.0)")} AS recall,
          |  ${CleanFunctions.round4Sql("CAST(n_hits AS DOUBLE) / nullif(CAST(n_candidates AS DOUBLE), 0.0)")} AS precision
          |FROM nt, nc, nh""".stripMargin
-    }
+    },
+
+    "dedup_cluster_sizes" ->
+      s"""$clusterReachCte,
+         |lab AS (SELECT doc_id, min(lbl) AS lbl FROM reach GROUP BY doc_id),
+         |al AS (SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS lbl
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM al GROUP BY lbl)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
   )
 }

@@ -506,6 +506,41 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     },
 
+    // Embedding-distribution drift PSI — the ML-monitoring gate between
+    // an embedding model's reference population (even labels) and the
+    // current one (odd labels): project onto the shared deterministic
+    // hyperplane 0, 10 equal-width bins over the global projection range,
+    // Laplace-smoothed PSI (the events_psi convention — +1/bucket, terms
+    // 6dp-quantized + DECIMAL-summed). One scan + O(bins) state; the
+    // projection is the codegen'd dot, the range scalar broadcasts.
+    "emb_drift_psi" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      import graft.functions.CleanFunctions.{round4, round6}
+      val e = Tables.embeddings(s, d)
+        .select((col("label") % 2 === 0).as("is_ref"),
+          TextFunctions.lshProj(col("embedding"), 0).as("p"))
+      val stats = e.agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+      val binned = e.crossJoin(broadcast(stats))
+        .withColumn("bkt",
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(lit(9L), floor(
+              (col("p") - col("mn")) / ((col("mx") - col("mn")) / 10.0))))
+            .cast(LongType))
+      val cnt = binned.groupBy("bkt").agg(
+        count(when(col("is_ref"), 1)).as("ca"),
+        count(when(!col("is_ref"), 1)).as("cb"))
+      val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("nbuckets"))
+      val pa = (col("ca") + 1L).cast(DoubleType) /
+        (col("na") + col("nbuckets")).cast(DoubleType)
+      val pb = (col("cb") + 1L).cast(DoubleType) /
+        (col("nb") + col("nbuckets")).cast(DoubleType)
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("term", round6((pa - pb) * log(pa / pb)).cast(DecimalType(18, 6)))
+        .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
+          round4(sum(col("term")).cast(DoubleType)).as("psi"))
+    },
+
     // SemDeDup-style semantic dedup (Abbas et al. 2023): k-means cluster
     // first, then pairwise cosine ONLY within a cluster — the pairwise
     // stage is O(Σ cluster²), never corpus², and each cluster's pairs
@@ -957,6 +992,30 @@ object SimilarityQueries {
          |  FROM sg q JOIN sg e ON e.vec_id <> q.vec_id
          |  WHERE q.vec_id % 50 = 0)
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+    },
+
+    "emb_drift_psi" -> {
+      val proj = TextFunctions.lshProjSql("embedding", 0)
+      val pa = "(CAST(ca + 1 AS DOUBLE) / CAST(na + nbuckets AS DOUBLE))"
+      val pb = "(CAST(cb + 1 AS DOUBLE) / CAST(nb + nbuckets AS DOUBLE))"
+      s"""WITH e AS (SELECT (label % 2 = 0) AS is_ref, $proj AS p FROM embeddings),
+         |st AS (SELECT min(p) AS mn, max(p) AS mx FROM e),
+         |bn AS (SELECT is_ref,
+         |  CAST(CASE WHEN mx = mn THEN 0
+         |    ELSE least(9, floor((p - mn) / ((mx - mn) / 10.0))) END AS BIGINT) AS bkt
+         |  FROM e, st),
+         |cnt AS (SELECT bkt,
+         |  CAST(count(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS ca,
+         |  CAST(count(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS cb
+         |  FROM bn GROUP BY bkt),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         |  CAST(count(*) AS BIGINT) AS nbuckets FROM cnt),
+         |tm AS (SELECT na, nb,
+         |  CAST(${graft.functions.CleanFunctions.round6Sql(s"($pa - $pb) * ln($pa / $pb)")} AS DECIMAL(18,6)) AS term
+         |  FROM cnt, tot)
+         |SELECT max(na) AS n_ref, max(nb) AS n_cur,
+         |  ${graft.functions.CleanFunctions.round4Sql("CAST(sum(term) AS DOUBLE)")} AS psi
+         |FROM tm""".stripMargin
     },
 
     "dedup_semantic" ->

@@ -779,6 +779,23 @@ object TextQueries {
         .where(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("phrase"), col("score"))
         .orderBy("doc_id", "rk")
+    },
+
+    // Corpus-composition report: predicted language × declared source
+    // counts and within-source shares — the dashboard every multilingual
+    // curation run publishes (and the input to mix-weight decisions).
+    // Two map-side aggregates over the langid classifier; O(sources ×
+    // languages) output.
+    "text_lang_source_mix" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"), TextFunctions.predLang(col("text")).as("pred_lang"))
+      val counts = docs.groupBy("source", "pred_lang").agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("source").agg(sum(col("n")).as("src_n"))
+      counts.join(tot, Seq("source"))
+        .select(col("source"), col("pred_lang"), col("n"),
+          CleanFunctions.round4(
+            col("n").cast(DoubleType) / col("src_n").cast(DoubleType)).as("share"))
+        .orderBy("source", "pred_lang")
     }
   )
 
@@ -1260,7 +1277,18 @@ object TextQueries {
            |    ORDER BY score DESC, phrase) AS BIGINT) AS rk FROM pc)
            |SELECT doc_id, rk, phrase, score FROM rk WHERE rk <= 3
            |ORDER BY doc_id, rk""".stripMargin
-      }
+      },
+
+      "text_lang_source_mix" ->
+        s"""WITH p AS (SELECT source, ${TextFunctions.predLangSql("text")} AS pred_lang
+           |  FROM documents),
+           |c AS (SELECT source, pred_lang, CAST(count(*) AS BIGINT) AS n
+           |  FROM p GROUP BY 1, 2),
+           |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS src_n FROM c GROUP BY 1)
+           |SELECT c.source, c.pred_lang, c.n,
+           |  ${CleanFunctions.round4Sql("CAST(c.n AS DOUBLE) / CAST(t.src_n AS DOUBLE)")} AS share
+           |FROM c JOIN t ON c.source = t.source
+           |ORDER BY c.source, c.pred_lang""".stripMargin
     )
   }
 }

@@ -118,4 +118,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(marg <= math.log(states.toDouble) + 1e-9, "marginal bounded by ln k")
     assert(math.abs(r.getAs[Double]("info_gain") - (marg - rate)) < 2e-6)
   }
+
+  test("dedup_cluster_sizes: doc counts partition the corpus, sizes >= 1") {
+    val out = SparkEntry.queries("dedup_cluster_sizes")(spark, sfDir)
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(out.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    assert(out.filter(col("cluster_size") < 1).count() == 0)
+  }
+
+  test("text_lang_source_mix: shares sum to ~1 per source") {
+    SparkEntry.queries("text_lang_source_mix")(spark, sfDir)
+      .groupBy("source").agg(sum("share").as("s")).collect()
+      .foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 0.01,
+        s"source ${r.get(0)} shares sum to ${r.get(1)}"))
+  }
+
+  test("emb_drift_psi: nonnegative and populations cover the corpus") {
+    val r = SparkEntry.queries("emb_drift_psi")(spark, sfDir).head
+    assert(r.getAs[Double]("psi") >= 0.0)
+    val n = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") == n)
+  }
 }
