@@ -41,6 +41,9 @@ object PlanAudit {
     // bounded by the caller at any corpus scale), reduced to an 8-byte
     // signature per query before the exchange.
     "ann_hamming_topk" -> Set("embeddings"),
+    // Filtered search broadcasts the same bounded query batch (with its
+    // filter metadata) as ann_topk_cosine.
+    "ann_filtered_topk" -> Set("embeddings"),
     "bloom_prefilter_join" -> Set("orders"))
 
   /** Queries whose SortMergeJoin-without-any-broadcast plan is the
@@ -67,6 +70,10 @@ object PlanAudit {
     */
   val SmjContract: Set[String] = Set("text_split_nodup", "dedup_canonical",
     "events_attribution", "events_incremental_agg",
+    // dedup_cluster_sizes: composes clusterLabels — the same docs-vs-
+    // label-propagation-fixpoint left join as dedup_canonical above
+    // (corpus-proportional, checkpointed, unknown stats).
+    "dedup_cluster_sizes",
     // dedup_semantic: the SemDeDup pairwise stage equi-joins the corpus
     // against ITSELF on cluster id — both sides corpus-proportional by
     // definition, so SMJ/shuffled-hash on cluster is the scale shape;

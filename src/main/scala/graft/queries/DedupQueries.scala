@@ -364,24 +364,49 @@ object DedupQueries {
         .select(col("cluster_size"), col("n_clusters"),
           (col("cluster_size") * col("n_clusters")).as("n_docs"))
         .orderBy("cluster_size")
+    },
+
+    // Cross-source duplication matrix — contamination BETWEEN corpus
+    // sources (a web source near-duplicating a curated one changes its
+    // effective mix weight): near-dup pairs (the production edge
+    // definition) joined to each side's source, counted per unordered
+    // source pair. Two id-keyed equi-joins on the (sparse) pair table.
+    "dedup_cross_source" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = graft.operators.CorpusDedup.nearDupPairs(docs, "doc_id", "text")
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("x"), col("source").as("sx")), Seq("x"))
+        .join(src.select(col("doc_id").as("y"), col("source").as("sy")), Seq("y"))
+        .select(least(col("sx"), col("sy")).as("source_a"),
+          greatest(col("sx"), col("sy")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
     }
   )
 
   private val MaxEditDistance = 60
 
-  /** Shared oracle prefix: SimHash signatures -> near-dup edges ->
-    * transitive closure (`reach`), the DuckDB twin of
-    * CorpusDedup.nearDupPairs + GraphOps.minLabelPropagate.
+  /** SimHash signatures -> near-dup edge pairs `p` — the DuckDB twin of
+    * CorpusDedup.nearDupPairs, shared by the transitive-closure oracles
+    * AND the cross-source matrix so the edge definition cannot drift.
     */
-  private lazy val clusterReachCte: String =
-    s"""WITH RECURSIVE tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
+  private lazy val simPairsCte: String =
+    s"""tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents),
        |h AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("t")} AS h FROM tok),
        |v AS (SELECT doc_id, i, sum(((h >> i) & 1) * 2 - 1) AS vote
        |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i) GROUP BY doc_id, i),
        |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
        |  FROM v GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS x, b.doc_id AS y FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming),
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming)""".stripMargin
+
+  /** Shared oracle prefix: SimHash signatures -> near-dup edges ->
+    * transitive closure (`reach`), the DuckDB twin of
+    * CorpusDedup.nearDupPairs + GraphOps.minLabelPropagate.
+    */
+  private lazy val clusterReachCte: String =
+    s"""WITH RECURSIVE $simPairsCte,
        |e AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p),
        |reach(doc_id, lbl) AS (
        |  SELECT DISTINCT x AS doc_id, x AS lbl FROM e
@@ -554,6 +579,15 @@ object DedupQueries {
          |  FROM al GROUP BY lbl)
          |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
          |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs
-         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    "dedup_cross_source" ->
+      s"""WITH $simPairsCte,
+         |sp AS (SELECT least(dx.source, dy.source) AS source_a,
+         |  greatest(dx.source, dy.source) AS source_b
+         |  FROM p JOIN documents dx ON p.x = dx.doc_id
+         |         JOIN documents dy ON p.y = dy.doc_id)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -506,6 +506,37 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     },
 
+    // FILTERED vector search — the production case plain ANN indexes
+    // struggle with (Qdrant/Vespa's filtered-HNSW problem): top-k cosine
+    // restricted to a metadata predicate (same label as the query).
+    // Pre-filtering the corpus by the predicate BEFORE scoring (vs
+    // post-filtering a larger top-k, which loses recall when the filter
+    // is selective) is exact here because the scan is brute-force; the
+    // label equi-condition rides the broadcast join, so each corpus
+    // partition only scores queries whose label matches. k=5.
+    "ann_filtered_topk" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      import graft.functions.CleanFunctions.round4
+      val K = 5
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"),
+          TextFunctions.vecNorm(col("embedding")).as("q_nrm"))
+      val c = e.select(col("vec_id"), col("embedding"), col("label"),
+        TextFunctions.vecNorm(col("embedding")).as("nrm"))
+      val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
+      c.join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round4(TextFunctions.cosineFromNorms(
+            TextFunctions.dot(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm"))).as("score"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= K)
+        .orderBy("q_id", "rk")
+    },
+
     // Embedding-distribution drift PSI — the ML-monitoring gate between
     // an embedding model's reference population (even labels) and the
     // current one (odd labels): project onto the shared deterministic
@@ -993,6 +1024,17 @@ object SimilarityQueries {
          |  WHERE q.vec_id % 50 = 0)
          |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
     },
+
+    "ann_filtered_topk" ->
+      s"""SELECT q_id, n_id, score, rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+         |    round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 DESC, e.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings e
+         |    ON e.label = q.label AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "emb_drift_psi" -> {
       val proj = TextFunctions.lshProjSql("embedding", 0)
