@@ -279,14 +279,19 @@ object SpcQueries {
       // collapsing the CI; a row-dependent increment h·S decorrelates
       // them. h·(A+31·S) < 7e15 — far inside BIGINT, exact on both
       // engines, no float in the hash path.
-      val h = pmod(CleanFunctions.md5Hash64(
-        concat(lit("boot:"), col("event_id"))), lit(BootP))
-      val u = ((h * (lit(BootA) + col("r").cast(LongType) * lit(BootS))) % lit(BootP) + 1L)
+      val u = ((col("h") * (lit(BootA) + col("r").cast(LongType) * lit(BootS))) % lit(BootP) + 1L)
         .cast("double") / lit(2147483648.0)
       val k = PoissonThresholds.zipWithIndex.foldRight(lit(4): org.apache.spark.sql.Column) {
         case ((t, i), acc) => when(u < lit(t), i).otherwise(acc)
       }
-      val reps = e.select(col("event_id"), col("event_type"), col("value"),
+      val reps = e
+        // digest computed BELOW the explode — once per row, not 32x
+        // (Catalyst won't hoist it for us: the projection holding it
+        // would otherwise sit above the Generate).
+        .select(col("event_type"), col("value"),
+          pmod(CleanFunctions.md5Hash64(
+            concat(lit("boot:"), col("event_id"))), lit(BootP)).as("h"))
+        .select(col("event_type"), col("value"), col("h"),
           explode(sequence(lit(0), lit(31))).as("r"))
         .select(col("event_type"), col("r"), col("value"), k.as("k"))
         .groupBy("event_type", "r")
