@@ -305,27 +305,34 @@ object DedupQueries {
     "dedup_recall_eval" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val sets = shingleSets(s, d).cache()
-      // Ground truth: df-pruned shingle equi-join for pair discovery,
-      // exact full-array Jaccard for scoring.
-      val ex = sets
+      // One explode+md5 pass feeds BOTH the ground-truth index and the
+      // minhash signatures (the digest is the expensive part — computing
+      // it twice doubled the scan cost).
+      val hashed = sets
         .select(col("doc_id"), explode(col("sh")).as("sh_s"))
         .select(col("doc_id"), CleanFunctions.md5Hash64(col("sh_s")).as("s"))
+        .cache()
+      // Ground truth: df-pruned shingle equi-join for pair discovery,
+      // exact full-array Jaccard for scoring.
+      val ex = hashed
         .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
         .filter(col("df") <= MaxShingleDf)
       val discovered = ex.as("a").join(ex.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
         .distinct()
+      // truth and cand are each consumed TWICE (their count + the hit
+      // join) — cache the tiny pair sets so the expensive discovery
+      // lineage doesn't execute twice.
       val truth = discovered
         .join(sets.as("sa"), col("doc_id_a") === col("sa.doc_id"))
         .join(sets.as("sb"), col("doc_id_b") === col("sb.doc_id"))
         .filter(jaccard(col("sa.sh"), col("sb.sh")) >= MinhashVerifyThreshold)
         .select(col("doc_id_a"), col("doc_id_b"))
+        .cache()
       // Candidates: the production MinHash band join (same constants).
-      val hashed = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-        .select(col("doc_id"), CleanFunctions.md5Hash64(col("s")).as("x"))
       val mhCols = (0 until GraftConfig.MinHashK).map(i =>
-        min(TextFunctions.minhashPerm(col("x"), i)).as(s"h$i"))
+        min(TextFunctions.minhashPerm(col("s"), i)).as(s"h$i"))
       val mh = hashed.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       val bands = mh.select(col("doc_id"), explode(array(
         (0 until GraftConfig.MinHashK / GraftConfig.MinHashRowsPerBand).map { b =>
@@ -339,6 +346,7 @@ object DedupQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
         .distinct()
+        .cache()
       val hit = cand.join(truth, Seq("doc_id_a", "doc_id_b"))
       val nT = truth.agg(count(lit(1)).as("n_truth"))
       val nC = cand.agg(count(lit(1)).as("n_candidates"))
