@@ -195,6 +195,28 @@ object OpsQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Zonemap-effectiveness report (the data-layout feedback loop behind
+    // min/max data skipping): per day-partition min/max/count of value,
+    // plus whether the canonical hot-tail predicate (value > 0.9 * global
+    // max) could SKIP the partition entirely on footer stats alone. The
+    // fraction of skippable days is the number a layout job optimizes —
+    // near 0 means the sort/partition keys don't cluster the measure and
+    // a z-order/repartition pass pays for itself. One grouped agg + one
+    // bounded scalar broadcast.
+    "events_zonemap_report" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      val e = Tables.events(s, d)
+      val gm = e.agg(max(col("value")).as("gmax"))
+      e.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .crossJoin(broadcast(gm))
+        .select(col("day"), col("n"), col("min_v"), col("max_v"),
+          when(col("max_v") < col("gmax") * 0.9, 1L).otherwise(0L)
+            .as("skippable"))
+        .orderBy("day")
+    },
+
     // Monitoring holes: adjacent samples more than 6h apart, one row per
     // outage with its span (microseconds).
     "ts_gap_report" -> { (s, d) =>
@@ -1261,6 +1283,15 @@ object OpsQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "events_zonemap_report" ->
+      s"""WITH gm AS (SELECT max(value) AS gmax FROM events),
+         |g AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+         |  min(value) AS min_v, max(value) AS max_v
+         |  FROM events GROUP BY 1)
+         |SELECT day, n, min_v, max_v,
+         |  CAST(CASE WHEN max_v < gmax * 0.9 THEN 1 ELSE 0 END AS BIGINT) AS skippable
+         |FROM g, gm ORDER BY day""".stripMargin,
+
     "ts_gap_report" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
          |g AS (SELECT user_id, lag(tsu) OVER w AS gap_start, tsu AS gap_end

@@ -41,6 +41,9 @@ object SpcQueries {
   private val BootA = 1103633L
   private val BootS = 65537L
 
+  /** Euler–Mascheroni γ for the record-count expectation H_n ≈ ln n + γ. */
+  private val EulerGamma = 0.5772156649015329
+
   /** Per-series DECIMAL-exact moments joined back onto the rows. */
   private def withMoments(df: DataFrame): DataFrame = {
     val m = df.groupBy("user_id").agg(
@@ -460,6 +463,29 @@ object SpcQueries {
         .orderBy("event_id")
     },
 
+    // Record statistics (Glick 1978): count of running maxima per series
+    // vs the i.i.d. expectation H_n ≈ ln n + γ — materially MORE records
+    // than expected is a trend/level-shift signal with zero parameters
+    // (the nonparametric cousin of Mann-Kendall). One bounded-frame
+    // window + one grouped agg.
+    "ts_records" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(Ord.map(col): _*)
+      val prevMax = max(col("value"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val expected = log(col("n").cast("double")) + lit(EulerGamma)
+      Tables.events(s, d)
+        .withColumn("pm", prevMax)
+        .withColumn("is_rec",
+          when(col("pm").isNull || col("value") > col("pm"), 1L).otherwise(0L))
+        .groupBy("user_id").agg(
+          count(lit(1)).cast(LongType).as("n"),
+          sum(col("is_rec")).as("n_records"))
+        .select(col("user_id"), col("n"), col("n_records"),
+          round6(expected).as("expected_records"),
+          round6(col("n_records").cast("double") / expected).as("record_ratio"))
+        .orderBy("user_id")
+    },
+
     // Out-of-order-arrival diagnostic (the watermark-sizing input every
     // streaming deployment needs): Kendall-tau concordance between
     // arrival order (event_id — the ingest sequence) and event-time
@@ -791,6 +817,22 @@ object SpcQueries {
          |  CAST(CASE WHEN abs($z) > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM events e JOIN b ON e.user_id = b.user_id AND hour(e.ts) = b.hr
          |ORDER BY e.event_id""".stripMargin
+    },
+
+    "ts_records" -> {
+      val g = CleanFunctions.dlitSql(EulerGamma)
+      val expected = s"(ln(CAST(n AS DOUBLE)) + $g)"
+      s"""WITH r AS (SELECT user_id, value,
+         |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM events),
+         |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN pm IS NULL OR value > pm THEN 1 ELSE 0 END) AS BIGINT) AS n_records
+         |  FROM r GROUP BY 1)
+         |SELECT user_id, n, n_records,
+         |  ${round6Sql(expected)} AS expected_records,
+         |  ${round6Sql(s"CAST(n_records AS DOUBLE) / $expected")} AS record_ratio
+         |FROM g ORDER BY user_id""".stripMargin
     },
 
     "events_disorder" ->

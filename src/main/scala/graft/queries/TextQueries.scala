@@ -796,6 +796,30 @@ object TextQueries {
           CleanFunctions.round4(
             col("n").cast(DoubleType) / col("src_n").cast(DoubleType)).as("share"))
         .orderBy("source", "pred_lang")
+    },
+
+    // Out-of-vocabulary rate per language against the corpus top-1k
+    // vocabulary — the tokenizer-coverage diagnostic (high OOV = the
+    // vocab under-serves that language and fertility blows up). Top-k
+    // selection is orderBy+limit (TakeOrderedAndProject — no global
+    // window at any scale, count/token tiebreak), membership via a
+    // broadcast left join, integer ratios exact.
+    "text_oov_rate" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("tok")).limit(1000)
+        .select(col("tok"), lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("lang").agg(
+          count(lit(1)).cast(LongType).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          CleanFunctions.round6(
+            col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+            .as("oov_rate"))
+        .orderBy("lang")
     }
   )
 
@@ -1288,7 +1312,17 @@ object TextQueries {
            |SELECT c.source, c.pred_lang, c.n,
            |  ${CleanFunctions.round4Sql("CAST(c.n AS DOUBLE) / CAST(t.src_n AS DOUBLE)")} AS share
            |FROM c JOIN t ON c.source = t.source
-           |ORDER BY c.source, c.pred_lang""".stripMargin
+           |ORDER BY c.source, c.pred_lang""".stripMargin,
+
+      "text_oov_rate" ->
+        s"""WITH tk AS (SELECT lang, unnest($tl) AS tok FROM documents),
+           |vc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk GROUP BY 1)
+           |  ORDER BY c DESC, tok LIMIT 1000)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |  ${CleanFunctions.round6Sql("CAST(sum(CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS oov_rate
+           |FROM tk LEFT JOIN vc ON tk.tok = vc.tok
+           |GROUP BY lang ORDER BY lang""".stripMargin
     )
   }
 }

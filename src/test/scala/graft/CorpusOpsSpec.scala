@@ -139,4 +139,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     val n = graft.sources.Tables.embeddings(spark, sfDir).count()
     assert(r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") == n)
   }
+
+  test("text_oov_rate: rates in [0,1] and tokens partition by language") {
+    val out = SparkEntry.queries("text_oov_rate")(spark, sfDir)
+    assert(out.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+    val total = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("t"))
+      .count()
+    assert(out.agg(sum("n_tokens")).head.getLong(0) == total)
+  }
+
+  test("events_zonemap_report: day partitions cover all events, min <= max") {
+    val out = SparkEntry.queries("events_zonemap_report")(spark, sfDir)
+    val n = graft.sources.Tables.events(spark, sfDir).count()
+    assert(out.agg(sum("n")).head.getLong(0) == n)
+    assert(out.filter(col("min_v") > col("max_v")).count() == 0)
+  }
 }

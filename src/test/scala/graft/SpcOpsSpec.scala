@@ -132,4 +132,10 @@ class SpcOpsSpec extends AnyFunSuite {
     assert(stream.exceptAll(batch).count() == 0 && batch.exceptAll(stream).count() == 0,
       "stream-static scored rows must equal the batch twin exactly")
   }
+
+  test("ts_records: first point is always a record, counts bounded by n") {
+    val out = SparkEntry.queries("ts_records")(spark, sfDir)
+    assert(out.filter(col("n_records") < 1 || col("n_records") > col("n")).count() == 0)
+    assert(out.filter(col("expected_records") <= 0).count() == 0)
+  }
 }
