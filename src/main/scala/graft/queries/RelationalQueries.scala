@@ -1052,6 +1052,40 @@ object RelationalQueries {
           col("node") === col("n_nationkey"))
         .select(col("node").as("nationkey"), col("n_name"), col("hops"))
         .orderBy("nationkey")
+    },
+
+    // TPC-H Q2 shape (min-cost supplier, the last of the 22): for each
+    // STANDARD part, the EUROPE supplier offering the minimum unit cost.
+    // This schema has no partsupp table, so lineitem is the supply-offer
+    // fact: cost(part, supplier) = min extendedprice over their lines.
+    // The classic correlated "cost = (SELECT min ...)" subquery is
+    // declared decorrelated — per-pair offer agg (map-side partial over
+    // the fact), per-part min (bounded O(#parts)), equi-join back with
+    // an EXACT DECIMAL cost compare so ties keep every tied supplier on
+    // both engines. Dims (supplier+nation+region fence, part) broadcast;
+    // only the two fact-derived aggregates shuffle, both on l_partkey —
+    // the second join reuses the first aggregate's partitioning.
+    "q2_min_cost_supplier" -> { (s, d) =>
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val offers = Tables.lineitem(s, d)
+        .join(broadcast(sup.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(dPrice(col("l_extendedprice"))).as("cost"))
+      val minc = offers.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("cost")).as("min_cost"))
+      offers.join(minc, col("l_partkey") === col("m_partkey") &&
+          col("cost") === col("min_cost"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), col("cost").cast(DoubleType).as("cost"))
+        .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
     }
   )
 
@@ -1591,6 +1625,29 @@ object RelationalQueries {
          |  WHERE r.hops < $BfsMaxHops)
          |SELECT node AS nationkey, n_name, CAST(min(hops) AS BIGINT) AS hops
          |FROM r JOIN nation ON node = n_nationkey
-         |GROUP BY 1, 2 ORDER BY nationkey""".stripMargin
+         |GROUP BY 1, 2 ORDER BY nationkey""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        |  GROUP BY l_partkey, l_suppkey),
+        |minc AS (SELECT l_partkey AS m_partkey, min(cost) AS min_cost
+        |         FROM offers GROUP BY l_partkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  CAST(cost AS DOUBLE) AS cost
+        |FROM offers
+        |JOIN minc ON l_partkey = m_partkey AND cost = min_cost
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN sup ON l_suppkey = s_suppkey
+        |WHERE p_type = 'STANDARD'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin
   )
 }
