@@ -171,10 +171,24 @@ object StreamingAnomaly {
   def sinkAndDrain(spark: org.apache.spark.sql.SparkSession, queryName: String,
                    out: DataFrame)(feed: StreamingQuery => Unit): DataFrame = {
     spark.catalog.dropTempView(queryName)
-    val q = out.writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", replayTempDir("graft-replay-ckpt")).start()
-    try feed(q) finally q.stop()
+    // State partition count is a per-STREAM sizing decision, not the
+    // session's batch shuffle width: every stateful operator materializes
+    // one state-store instance per shuffle partition and commits a delta
+    // file for each per micro-batch, so a replay over a bounded feed at
+    // the session's 32 pays 32x state-commit IO for no parallelism gain
+    // (the stores are KB-sized). 8 keeps multi-core scan/sort parallelism
+    // while quartering the fixed state overhead; at production volume the
+    // same knob is sized UP to keys x state-bytes / executor-memory. The
+    // first micro-batch pins the width into the checkpoint, so restoring
+    // the session conf in `finally` cannot re-plan a running stream.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out.writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", replayTempDir("graft-replay-ckpt")).start()
+      try feed(q) finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 
