@@ -444,9 +444,15 @@ object SimilarityQueries {
     "emb_lof" -> { (s, d) =>
       import graft.functions.CleanFunctions.{exactSum, round4}
       val K = 5
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding").cache()
+      // Norms once per VECTOR, not per pair: the bucket join emits
+      // ~occupancy x probes candidates per vector, and cosine() would
+      // redo both self-dots for each — cosineFromNorms is the identical
+      // fold (norm = sqrt(dot(x,x)) either way) at a third of the flops
+      // in the widest stage.
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        TextFunctions.vecNorm(col("embedding")).as("nrm")).cache()
       val np = graft.operators.AnnSearch.annPlanes(e.count(), AnnTargetOccupancy)
-      val sb = e.select(col("vec_id"), col("embedding"),
+      val sb = e.select(col("vec_id"), col("embedding"), col("nrm"),
         TextFunctions.packBits((0 until np).map(p =>
           TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
       val flips: Seq[org.apache.spark.sql.Column] =
@@ -454,12 +460,14 @@ object SimilarityQueries {
           (for { p <- 0 until np; q <- p + 1 until np }
             yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))))
       val probes = sb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"),
         explode(array(col("bucket") +: flips: _*)).as("pbucket"))
       val pairs = sb.join(probes,
           sb("bucket") === probes("pbucket") && sb("vec_id") =!= probes("a_id"))
         .select(col("a_id"), col("vec_id").as("b_id"),
-          round4(lit(1.0) -
-            TextFunctions.cosine(col("a_emb"), col("embedding"))).as("dist"))
+          round4(lit(1.0) - TextFunctions.cosineFromNorms(
+            TextFunctions.dot(col("a_emb"), col("embedding")),
+            col("a_nrm"), col("nrm"))).as("dist"))
       val w = Window.partitionBy("a_id").orderBy(col("dist"), col("b_id"))
       val ranked = pairs.withColumn("rk", row_number().over(w))
         .where(col("rk") <= K).cache()
