@@ -44,6 +44,9 @@ object SimilarityQueries {
   private val PqK = 16
   private val PqIters = 1
   private val PqDedupCosine = 0.4 // same band as dedup_embedding
+  // IVF-PQ ADC shortlist: 3x the final k survives code-approximate
+  // ranking into the exact re-rank (the standard refine-factor shape).
+  private val AdcShortlist = 3 * TopK
   // Sign-bit signature width: 60 bits matches md5Hash64's convention and
   // keeps every partial fold sum inside a BIGINT on both engines (DuckDB's
   // list_sum promotes to HUGEINT; values stay < 2^60 so the final cast
@@ -304,6 +307,89 @@ object SimilarityQueries {
         .where(col("cosine") >= PqDedupCosine)
         .select(col("vec_id_a"), col("vec_id_b"), col("cosine"))
         .orderBy("vec_id_a", "vec_id_b")
+    },
+
+    // IVF-PQ with ADC re-rank (Jégou et al. PAMI 2011 §IV) — the
+    // composition billion-scale vector indexes actually run: the IVF
+    // coarse quantizer prunes the corpus to nprobe cells, candidate
+    // ranking inside the cells reads m-byte PQ CODES (m lookup-table
+    // adds per candidate — never the 256-byte vectors), and only the
+    // ADC shortlist pays an exact-cosine re-rank. At 100 TB the
+    // candidate stage's working set is the code table (~corpus/64
+    // bytes), cell-partitioned; the LUT is m x k rows PER QUERY and
+    // broadcasts. Shares IvfIndex.fit with ann_ivf_topk and
+    // ProductQuantizer.fit with emb_pq — same seeds, same oracle CTEs,
+    // so the three entries can never drift. ADC terms are 6dp-quantized
+    // and DECIMAL-summed (order-independent, engine-exact shortlist
+    // ranking); final scores 4dp + n_id ties as everywhere.
+    "ann_ivfpq_topk" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      import graft.functions.CleanFunctions.{round4, round6}
+      def cc(c: Array[Float]): Double =
+        c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          TextFunctions.vecNorm(col("embedding")).as("nrm"))
+        .cache()
+      val centers = graft.operators.IvfIndex.fit(
+        e, "vec_id", "embedding", IvfCentroids, EmbDim, IvfIters)
+      val books = graft.operators.ProductQuantizer.fit(
+        e, "vec_id", "embedding", EmbDim, PqM, PqK, PqIters)
+      val codeCols = (0 until PqM).map(j =>
+        graft.operators.ProductQuantizer.codeAndError(
+          col("embedding"), j, PqSub, books(j))._1.as(s"c$j"))
+      // The code table: (cell, m codes) per corpus vector — the only
+      // thing the candidate stage reads.
+      val coded = e
+        .withColumn("cell", graft.operators.IvfIndex.cellExpr(col("embedding"), centers))
+        .select(Seq(col("vec_id"), col("cell")) ++ codeCols: _*)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm")).cache()
+      val centersDf = centers.map { case (cid, c) => (cid, c, cc(c)) }
+        .toDF("cell", "center", "ccc")
+      val probe = q.crossJoin(broadcast(centersDf))
+        .withColumn("score_c",
+          lit(-2.0) * TextFunctions.dot(col("q_emb"), col("center")) + col("ccc"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score_c"), col("cell"))))
+        .filter(col("crk") <= IvfProbes)
+        .select(col("q_id"), col("cell"))
+      // Per-query ADC lookup table: ||q_j - codebook_j[k]||^2 minus the
+      // per-query constant |q_j|^2 (dropping it shifts every candidate
+      // of a query equally, so ranking is unchanged).
+      val bookDf = books.zipWithIndex.flatMap { case (book, j) =>
+        book.map { case (code, c) => (j, code, c, cc(c)) }
+      }.toDF("j", "code", "bcent", "bcc")
+      val lut = q.crossJoin(broadcast(bookDf))
+        .select(col("q_id"), col("j"), col("code"),
+          round6(lit(-2.0) * TextFunctions.dot(
+            slice(col("q_emb"), col("j") * lit(PqSub) + lit(1), lit(PqSub)),
+            col("bcent")) + col("bcc")).as("lutv"))
+      val cand = coded.join(probe, Seq("cell")).where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          explode(array((0 until PqM).map(j =>
+            struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"))
+        .select(col("q_id"), col("n_id"),
+          col("jc.j").as("j"), col("jc.code").as("code"))
+      val adc = cand.join(broadcast(lut), Seq("q_id", "j", "code"))
+        .groupBy("q_id", "n_id")
+        .agg(sum(col("lutv").cast(DecimalType(18, 6))).cast("double").as("adc"))
+      val short = adc.withColumn("ark", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
+        .filter(col("ark") <= AdcShortlist)
+        .select(col("q_id"), col("n_id"))
+      val sc = short
+        .join(e.select(col("vec_id").as("n_id"), col("embedding"), col("nrm")), Seq("n_id"))
+        .join(q, Seq("q_id"))
+        .select(col("q_id"), col("n_id"), round4(TextFunctions.cosineFromNorms(
+          TextFunctions.dot(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("nrm"))).as("score"))
+      sc.withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))).cast(LongType))
+        .filter(col("rk") <= TopK)
+        .orderBy("q_id", "rk")
     },
 
     // Simplified (centroid-based) silhouette of the k-means assignment:
@@ -764,6 +850,72 @@ object SimilarityQueries {
          |SELECT e0.vec_id, $codeCols,
          |  ${graft.functions.CleanFunctions.round4Sql(errSum)} AS recon_err
          |FROM e0 $joins ORDER BY e0.vec_id""".stripMargin
+    },
+
+    // IVF CTEs (v-prefixed; the ann_ivf_topk oracle's recipe verbatim)
+    // + the shared PQ codebook CTEs, then LUT-based ADC ranking and the
+    // exact re-rank — every arithmetic step the Spark plan takes.
+    "ann_ivfpq_topk" -> {
+      def assign(name: String, ct: String) =
+        s"""$name AS (SELECT vec_id, embedding, cell FROM (
+           |  SELECT e.vec_id, e.embedding, c.cell,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY (-2.0 * ${dotSql("e.embedding", "c.center")} + ${dotSql("c.center", "c.center")}), c.cell) AS r
+           |  FROM embeddings e, $ct c) WHERE r = 1)""".stripMargin
+      def update(cdName: String, cName: String, at: String) =
+        s"""$cdName AS (SELECT a.cell, d.i AS dim,
+           |  CAST(sum(CAST(CAST(a.embedding[d.i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+           |  FROM $at a, vdims d GROUP BY a.cell, d.i),
+           |$cName AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS center FROM $cdName GROUP BY cell)""".stripMargin
+      val ivfIterSql = (1 to IvfIters).map { t =>
+        assign(s"va${t - 1}", s"vc${t - 1}") + ",\n" + update(s"vcd$t", s"vc$t", s"va${t - 1}")
+      }.mkString(",\n")
+      val lutSelects = (0 until PqM).map { j =>
+        val lo = j * PqSub + 1; val hi = j * PqSub + PqSub
+        s"""SELECT q_id, $j AS j, k.cell AS code,
+           |  ${graft.functions.CleanFunctions.round6Sql(
+                s"-2.0 * ${dotSql(s"list_slice(q_emb, $lo, $hi)", "k.center")} + ${dotSql("k.center", "k.center")}")} AS lutv
+           |FROM vq, k$j k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val codeSelects = (0 until PqM).map(j =>
+        s"SELECT vec_id, $j AS j, cell AS code FROM f$j").mkString("\nUNION ALL\n")
+      s"""WITH $PqHeaderCtes,
+         |${(0 until PqM).map(pqSubspaceCtes).mkString(",\n")},
+         |vdims AS (SELECT unnest(generate_series(1, $EmbDim)) AS i),
+         |vpk AS (SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
+         |  FROM embeddings QUALIFY cell < $IvfCentroids),
+         |vc0 AS (SELECT vpk.cell, e.embedding AS center
+         |  FROM vpk, embeddings e WHERE vpk.vec_id = e.vec_id),
+         |$ivfIterSql,
+         |${assign("vaf", s"vc$IvfIters")},
+         |vq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+         |vpr AS (SELECT q_id, cell FROM (
+         |  SELECT q.q_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY (-2.0 * ${dotSql("q.q_emb", "c.center")} + ${dotSql("c.center", "c.center")}), c.cell) AS r
+         |  FROM vq q, vc$IvfIters c) WHERE r <= $IvfProbes),
+         |lut AS MATERIALIZED ($lutSelects),
+         |codesu AS MATERIALIZED ($codeSelects),
+         |cand AS (SELECT vpr.q_id, a.vec_id AS n_id
+         |  FROM vpr JOIN vaf a ON a.cell = vpr.cell AND a.vec_id <> vpr.q_id),
+         |adc AS (SELECT c.q_id, c.n_id,
+         |  CAST(sum(CAST(l.lutv AS DECIMAL(18,6))) AS DOUBLE) AS adc
+         |  FROM cand c
+         |  JOIN codesu u ON u.vec_id = c.n_id
+         |  JOIN lut l ON l.q_id = c.q_id AND l.j = u.j AND l.code = u.code
+         |  GROUP BY c.q_id, c.n_id),
+         |short AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS ark FROM adc)
+         |  WHERE ark <= $AdcShortlist),
+         |sc AS (SELECT s.q_id, s.n_id,
+         |  ${graft.functions.CleanFunctions.round4Sql(TextFunctions.cosineSql("q.q_emb", "e.embedding"))} AS score
+         |  FROM short s JOIN embeddings e ON e.vec_id = s.n_id JOIN vq q ON q.q_id = s.q_id)
+         |SELECT q_id, n_id, score, rk FROM (
+         |  SELECT q_id, n_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk FROM sc)
+         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
     },
 
     "dedup_pq" ->
