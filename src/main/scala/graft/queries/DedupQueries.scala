@@ -295,13 +295,16 @@ object DedupQueries {
     // LSH QUALITY HARNESS as a first-class query (the dedup twin of
     // ann_recall_eval): recall/precision of the MinHash band-bucket
     // candidate generator against exact-Jaccard ground truth. Truth =
-    // every pair reachable through the df-pruned shingle inverted index
-    // whose FULL-set Jaccard clears the verify threshold (the same
-    // scorer the production path uses, so the metric isolates the
-    // banding loss, not scorer drift); candidates = the minhash band
-    // join's distinct pairs. Both sides are bucketed equi-joins —
-    // the harness itself stays 100 TB-shaped — and every count is an
-    // integer, so parity is exact.
+    // every pair of the df-pruned shingle inverted index whose
+    // count-based Jaccard — pruned common count over unpruned set sizes,
+    // dedup_ngram_jaccard's production scorer (shingle arrays are
+    // array_distinct'ed, so the equi-join count IS |A∩B| over the
+    // pruned index; no join-back to the shingle arrays, no per-pair
+    // array intersection over the ~1M discovered pairs) — clears the
+    // verify threshold; candidates = the minhash band join's distinct
+    // pairs. Both sides are bucketed equi-joins — the harness itself
+    // stays 100 TB-shaped — and every count is an integer, so parity
+    // is exact.
     "dedup_recall_eval" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val sets = shingleSets(s, d).cache()
@@ -309,25 +312,23 @@ object DedupQueries {
       // minhash signatures (the digest is the expensive part — computing
       // it twice doubled the scan cost).
       val hashed = sets
-        .select(col("doc_id"), explode(col("sh")).as("sh_s"))
-        .select(col("doc_id"), CleanFunctions.md5Hash64(col("sh_s")).as("s"))
+        .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("sh_s"))
+        .select(col("doc_id"), col("n"), CleanFunctions.md5Hash64(col("sh_s")).as("s"))
         .cache()
-      // Ground truth: df-pruned shingle equi-join for pair discovery,
-      // exact full-array Jaccard for scoring.
+      // Ground truth: the df-pruned shingle equi-join discovers AND
+      // scores in one grouped pass (common = matched-hash count).
       val ex = hashed
         .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
         .filter(col("df") <= MaxShingleDf)
-      val discovered = ex.as("a").join(ex.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
-        .distinct()
       // truth and cand are each consumed TWICE (their count + the hit
       // join) — cache the tiny pair sets so the expensive discovery
       // lineage doesn't execute twice.
-      val truth = discovered
-        .join(sets.as("sa"), col("doc_id_a") === col("sa.doc_id"))
-        .join(sets.as("sb"), col("doc_id_b") === col("sb.doc_id"))
-        .filter(jaccard(col("sa.sh"), col("sb.sh")) >= MinhashVerifyThreshold)
+      val truth = ex.as("a").join(ex.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).cast(DoubleType).as("common"))
+        .filter(col("common") / (col("na") + col("nb") - col("common")) >= MinhashVerifyThreshold)
         .select(col("doc_id_a"), col("doc_id_b"))
         .cache()
       // Candidates: the production MinHash band join (same constants).
@@ -556,13 +557,13 @@ object DedupQueries {
         s"SELECT doc_id, $b AS band, md5($ks) AS key FROM mh"
       }.mkString("\n  UNION ALL ")
       s"""WITH $shingleSetsSql,
-         |ex0 AS (SELECT doc_id, ${CleanFunctions.md5Hash64Sql("unnest(sh)")} AS s FROM sset),
+         |ex0 AS (SELECT doc_id, len(sh) AS n, ${CleanFunctions.md5Hash64Sql("unnest(sh)")} AS s FROM sset),
          |exd AS (SELECT * FROM ex0 QUALIFY count(*) OVER (PARTITION BY s) <= $MaxShingleDf),
-         |disc AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-         |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id),
-         |truth AS (SELECT doc_id_a, doc_id_b FROM disc
-         |  JOIN sset sa ON doc_id_a = sa.doc_id JOIN sset sb ON doc_id_b = sb.doc_id
-         |  WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinhashVerifyThreshold),
+         |tp AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb,
+         |  CAST(count(*) AS DOUBLE) AS common
+         |  FROM exd a JOIN exd b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2,3,4),
+         |truth AS (SELECT doc_id_a, doc_id_b FROM tp
+         |  WHERE common / (na + nb - common) >= $MinhashVerifyThreshold),
          |ex AS (SELECT doc_id, unnest(sh) AS s FROM sset),
          |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
          |bands AS ($bandRows),
