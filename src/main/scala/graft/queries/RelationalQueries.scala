@@ -294,20 +294,24 @@ object RelationalQueries {
     // (one <event> record per row): longs and strings roundtrip exactly
     // through the text encoding and doubles via shortest-round-trip
     // printing, so the oracle never reads the temp XML — it asserts the
-    // roundtrip is LOSSLESS against the original events. Explicit casts
-    // pin the read-back schema (inference is engine detail, not
-    // contract); null values drop on both sides via the > filter.
+    // roundtrip is LOSSLESS against the original events. The read-back
+    // schema is DECLARED (an unschema'd XML read runs a full inference
+    // pass over every file before the real scan — measured as ~half the
+    // entry's cost; inference is engine detail, not contract); null
+    // values drop on both sides via the > filter.
     "xml_roundtrip" -> { (s, d) =>
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
       val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.mode("overwrite").format("xml").option("rowTag", "event").save(tmp)
-      s.read.format("xml").option("rowTag", "event").load(tmp)
+      s.read.format("xml").option("rowTag", "event")
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType), StructField("value", DoubleType))))
+        .load(tmp)
         .filter(col("value") > 50.0)
-        .select(col("event_id").cast(LongType).as("event_id"),
-          col("user_id").cast(LongType).as("user_id"),
-          col("event_type").cast("string").as("event_type"),
-          col("value").cast(DoubleType).as("value"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
     },
 
