@@ -44,6 +44,10 @@ object OpsQueries {
   /** Croston smoothing constant (standard 0.1-0.3 band). */
   private val CrostonAlpha = 0.3
 
+  /** Path analysis: per-user journey prefix length and reported top-k. */
+  private val PathLen  = 8
+  private val TopPaths = 20
+
   /** Hysteresis alarm thresholds in |z| units: enter above HystHi,
     * leave below HystLo (ts_hysteresis).
     */
@@ -781,6 +785,35 @@ object OpsQueries {
       trans.withColumn("p", round4(col("cnt").cast("double") /
           sum(col("cnt")).over(Window.partitionBy("from_type")).cast("double")))
         .orderBy("from_type", "to_type")
+    },
+
+    // Top-k user journey PATHS (the product-analytics "path analysis"
+    // view the transition matrix above can't give — full sequences, not
+    // first-order hops): each user's first PathLen events in time order
+    // join into one path string, identical paths aggregate, the k most
+    // common win. The per-user prefix cap bounds state at scale (an
+    // uncapped power user would build an unbounded string); the keyed
+    // row_number and grouped agg are both map-side-partial shapes, and
+    // the final top-k is a TakeOrdered (per-partition top-k + driver
+    // merge of k rows), NEVER a global sort. (count desc, path) is a
+    // total order on the grouped result, so the cutoff is deterministic
+    // on both engines.
+    "events_top_paths" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= PathLen)
+        .groupBy("user_id")
+        // array_sort on (rn, event_type) structs orders by rn (unique
+        // within user), so the joined string is arrival-ordered no matter
+        // how the partial aggregates merged.
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("path"))
+        .limit(TopPaths)
     },
 
     // Concurrency profile: how many sessions (and distinct users) are
@@ -1830,6 +1863,16 @@ object OpsQueries {
          |SELECT from_type, to_type, cnt,
          |  ${round4Sql("CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "events_top_paths" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+         |r AS (SELECT user_id, event_type,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS rn
+         |  FROM e),
+         |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM r WHERE rn <= $PathLen GROUP BY user_id)
+         |SELECT path, count(*) AS n_users FROM p GROUP BY path
+         |ORDER BY n_users DESC, path LIMIT $TopPaths""".stripMargin,
 
     "events_session_concurrency" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
