@@ -47,6 +47,10 @@ object SimilarityQueries {
   // IVF-PQ ADC shortlist: 3x the final k survives code-approximate
   // ranking into the exact re-rank (the standard refine-factor shape).
   private val AdcShortlist = 3 * TopK
+  // Power-iteration rounds for the dominant-direction fit; 3 suffices
+  // because the corpus's top eigengap is what the operator exists to
+  // exploit (a tiny gap means no dominant direction to remove).
+  private val PowerIters = 3
   // Sign-bit signature width: 60 bits matches md5Hash64's convention and
   // keeps every partial fold sum inside a BIGINT on both engines (DuckDB's
   // list_sum promotes to HUGEINT; values stay < 2^60 so the final cast
@@ -75,6 +79,63 @@ object SimilarityQueries {
           sum(col("v").cast(DoubleType).cast(dec)).cast(DoubleType) / count(col("v"))
         ).as("centroid"))
         .orderBy("label", "dim")
+    },
+
+    // "All-but-the-top" embedding postprocessing (Mu & Viswanath 2018):
+    // the corpus's dominant principal direction — which soaks up
+    // frequency/length artifacts and hurts retrieval — found by
+    // deterministic power iteration on the centered corpus, then each
+    // vector reports its projection coefficient and residual norm (the
+    // caller subtracts proj·v to deflate). Engine-parity recipe:
+    // per-dim means and per-dim matvec sums are 6dp-quantized +
+    // DECIMAL-summed (order-independent across any partitioning); the
+    // normalize step keeps FULL double precision on both engines —
+    // every input to it is already engine-identical and both fold the
+    // squared components in dim order, so sqrt/divide agree bitwise
+    // with no rounding needed. Driver collects are 64 doubles per
+    // iteration (the IvfIndex contract — model params, never data);
+    // the corpus sees PowerIters+2 scans, all map-side-partial shapes.
+    "emb_top_direction" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      import graft.functions.CleanFunctions.{round4, round6}
+      val dec = DecimalType(28, 10)
+      val e = Tables.embeddings(s, d).cache()
+      val mu = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(round6(sum(col("v").cast(DoubleType).cast(dec)).cast(DoubleType) /
+          count(col("v"))).as("m"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+      // Doubles cross the driver/plan boundary as CAST('<toString>' AS
+      // DOUBLE): shortest-round-trip print + correctly-rounded parse
+      // recovers the exact double in both engines, where a bare SQL
+      // literal would parse as DECIMAL with engine-specific scale.
+      def arr(v: Seq[Double]) =
+        v.map(x => s"CAST('$x' AS DOUBLE)").mkString("array(", ", ", ")")
+      val base = e.select(col("vec_id"), expr(
+        s"zip_with(embedding, ${arr(mu.toSeq)}, (x, m) -> " +
+          "round((CAST(x AS DOUBLE) - m) * 1000000.0) / 1000000.0)").as("xc"))
+        .cache()
+      def sCol(v: Seq[Double]) = expr(
+        s"aggregate(zip_with(xc, ${arr(v)}, (a, b) -> a * b), " +
+          "CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)")
+      var v: Seq[Double] = Seq.fill(EmbDim)(0.125)
+      for (_ <- 1 to PowerIters) {
+        val w = base.select(sCol(v).as("sc"), posexplode(col("xc")).as(Seq("pos", "x")))
+          .groupBy(col("pos"))
+          .agg(sum(round6(col("sc") * col("x")).cast(DecimalType(28, 6)))
+            .cast(DoubleType).as("w"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2).toSeq
+        val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
+        require(norm > 0.0, "emb_top_direction: degenerate corpus (zero matvec)")
+        v = w.map(_ / norm)
+      }
+      base.withColumn("sc", sCol(v))
+        .withColumn("proj", round4(col("sc")))
+        .withColumn("r2", expr(
+          s"aggregate(zip_with(xc, ${arr(v)}, (a, b) -> (a - proj * b) * (a - proj * b)), " +
+            "CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)"))
+        .select(col("vec_id"), col("proj"), round4(sqrt(col("r2"))).as("resid_norm"))
+        .orderBy("vec_id")
     },
 
     // Matryoshka-style truncation: keep the first TruncDim dims and L2
@@ -966,6 +1027,47 @@ object SimilarityQueries {
          |round((CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(embedding[i])) * 1000000.0) / 1000000.0 AS centroid
          |FROM embeddings, (SELECT unnest(generate_series(1, $EmbDim)) AS i) dims
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // Recomputes the power iteration end to end: 6dp-quantized centered
+    // corpus, per-dim DECIMAL matvec sums, full-precision normalize
+    // (list folds in dim order — the driver loop's exact sequence).
+    "emb_top_direction" -> {
+      def fold(a: String, b: String, f: String) =
+        s"CAST(list_sum(list_transform(list_zip($a, $b), p -> $f)) AS DOUBLE)"
+      val iters = (1 to PowerIters).map { t =>
+        s"""s$t AS (SELECT b.vec_id, b.xc,
+           |  ${fold("b.xc", s"(SELECT v FROM v${t - 1})", "p[1] * p[2]")} AS sc
+           |  FROM xb b),
+           |w$t AS (SELECT d.i AS dim,
+           |  CAST(sum(CAST(${graft.functions.CleanFunctions.round6Sql("s.sc * s.xc[d.i]")} AS DECIMAL(28,6))) AS DOUBLE) AS w
+           |  FROM s$t s, vdimsq d GROUP BY d.i),
+           |wl$t AS (SELECT list(w ORDER BY dim) AS wl FROM w$t),
+           |v$t AS (SELECT list_transform(wl,
+           |  x -> x / sqrt(CAST(list_sum(list_transform(wl, y -> y * y)) AS DOUBLE))) AS v
+           |  FROM wl$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH vdimsq AS (SELECT unnest(generate_series(1, $EmbDim)) AS i),
+         |mud AS (SELECT d.i AS dim,
+         |  ${graft.functions.CleanFunctions.round6Sql(
+              s"CAST(sum(CAST(CAST(embedding[d.i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(embedding[d.i])")} AS m
+         |  FROM embeddings, vdimsq d GROUP BY 1),
+         |mu1 AS (SELECT list(m ORDER BY dim) AS mu FROM mud),
+         |xb AS (SELECT vec_id, list_transform(list_zip(embedding, (SELECT mu FROM mu1)),
+         |  p -> ${graft.functions.CleanFunctions.round6Sql("CAST(p[1] AS DOUBLE) - p[2]")}) AS xc
+         |  FROM embeddings),
+         |v0 AS (SELECT list_transform(generate_series(1, $EmbDim),
+         |  i -> CAST(0.125 AS DOUBLE)) AS v),
+         |$iters,
+         |fin AS (SELECT b.vec_id, b.xc,
+         |  ${graft.functions.CleanFunctions.round4Sql(
+              fold("b.xc", s"(SELECT v FROM v$PowerIters)", "p[1] * p[2]"))} AS proj
+         |  FROM xb b)
+         |SELECT vec_id, proj,
+         |  ${graft.functions.CleanFunctions.round4Sql("sqrt(" +
+              fold("f.xc", s"(SELECT v FROM v$PowerIters)",
+                "(p[1] - f.proj * p[2]) * (p[1] - f.proj * p[2])") + ")")} AS resid_norm
+         |FROM fin f ORDER BY vec_id""".stripMargin
+    },
 
     // Same sequential-fold parity as sql_surface: list_sum's left fold
     // == Spark aggregate()'s, so norm2 is bit-identical.
