@@ -51,6 +51,14 @@ object SimilarityQueries {
   // because the corpus's top eigengap is what the operator exists to
   // exploit (a tiny gap means no dominant direction to remove).
   private val PowerIters = 3
+  // LSH-blocked DBSCAN: eps-neighborhood = banded-candidate pairs with
+  // cosine >= DbscanCosine (0.3 sits in the corpus's upper similarity
+  // tail — ~2% of pairs — so degree has real spread); a point is core
+  // at >= DbscanMinPts neighbors (self excluded, documented variant).
+  private val DbscanBands = 4
+  private val DbscanRowsPerBand = 4
+  private val DbscanCosine = 0.3
+  private val DbscanMinPts = 4
   // Sign-bit signature width: 60 bits matches md5Hash64's convention and
   // keeps every partial fold sum inside a BIGINT on both engines (DuckDB's
   // list_sum promotes to HUGEINT; values stay < 2^60 so the final cast
@@ -79,6 +87,71 @@ object SimilarityQueries {
           sum(col("v").cast(DoubleType).cast(dec)).cast(DoubleType) / count(col("v"))
         ).as("centroid"))
         .orderBy("label", "dim")
+    },
+
+    // LSH-blocked DBSCAN over embeddings (Ester et al. 1996, blocked):
+    // density clustering the k-means family can't do — arbitrary-shape
+    // clusters plus an explicit NOISE verdict per point. Eps-pairs come
+    // from the banded sign-LSH candidate join (never corpus²; the same
+    // blocking contract as dedup_embedding — the oracle replicates the
+    // banding, so "neighborhood" is DEFINED as the blocked one), cores
+    // are a degree filter, clusters are min-label propagation over
+    // core-core edges only (textbook density-reachability), borders
+    // take their MINIMUM core neighbor's cluster (the deterministic
+    // variant of DBSCAN's order-dependent border assignment), the rest
+    // is noise. Every stage is an equi-join or grouped count — the
+    // whole operator is O(pairs) + O(log diameter) label rounds.
+    "emb_dbscan" -> { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          TextFunctions.vecNorm(col("embedding")).as("nrm"))
+      val bands = e.select(col("vec_id"), explode(array(
+        (0 until DbscanBands).map { b =>
+          val key = TextFunctions.packBits((0 until DbscanRowsPerBand).map(r =>
+            TextFunctions.lshSign(col("embedding"), b * DbscanRowsPerBand + r)))
+          struct(lit(b).as("band"), key.as("key"))
+        }: _*)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("x"), col("b.vec_id").as("y")).distinct()
+        .join(e.select(col("vec_id").as("x"), col("embedding").as("xe"), col("nrm").as("xn")), Seq("x"))
+        .join(e.select(col("vec_id").as("y"), col("embedding").as("ye"), col("nrm").as("yn")), Seq("y"))
+        .where(TextFunctions.cosineFromNorms(
+          TextFunctions.dot(col("xe"), col("ye")), col("xn"), col("yn")) >= DbscanCosine)
+        .select(col("x"), col("y"))
+        .cache() // feeds degree, core-core edges AND border assignment
+      val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+      val nodes = e.select("vec_id")
+        .join(sym.groupBy(col("x").as("vec_id")).agg(count(lit(1)).as("degree")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+      val core = nodes.where(col("degree") >= DbscanMinPts).select("vec_id").cache()
+      val coreEdges = pairs
+        .join(core.select(col("vec_id").as("x")), Seq("x"))
+        .join(core.select(col("vec_id").as("y")), Seq("y"))
+        .select("x", "y")
+      val lbl = graft.operators.GraphOps.minLabelPropagate(coreEdges)
+        .select(col("id").as("vec_id"), col("lbl"))
+      // Singleton cores (no core-core edge) are their own cluster.
+      val coreLbl = core.join(lbl, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("c_cluster"))
+        .cache()
+      val borderLbl = sym
+        .join(coreLbl.select(col("vec_id").as("y"), col("c_cluster")), Seq("y"))
+        .groupBy(col("x").as("vec_id")).agg(min(col("c_cluster")).as("b_cluster"))
+      nodes
+        .join(coreLbl, Seq("vec_id"), "left")
+        .join(borderLbl, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("c_cluster").isNotNull, lit("core"))
+            .when(col("b_cluster").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("c_cluster"), col("b_cluster"), lit(-1L))
+            .cast(LongType).as("cluster_id"))
+        .orderBy("vec_id")
     },
 
     // "All-but-the-top" embedding postprocessing (Mu & Viswanath 2018):
@@ -1027,6 +1100,51 @@ object SimilarityQueries {
          |round((CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(embedding[i])) * 1000000.0) / 1000000.0 AS centroid
          |FROM embeddings, (SELECT unnest(generate_series(1, $EmbDim)) AS i) dims
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // Replays the blocked eps-graph (same sign-LSH bands), the degree
+    // filter, a recursive-CTE transitive closure over core-core edges
+    // (the minLabelPropagate twin), and the min-core-neighbor border
+    // rule.
+    "emb_dbscan" -> {
+      val signCols = (0 until DbscanBands * DbscanRowsPerBand).map(p =>
+        s"${TextFunctions.lshSignSql("embedding", p)} AS b$p").mkString(",\n  ")
+      val bandRows = (0 until DbscanBands).map { b =>
+        val key = (0 until DbscanRowsPerBand)
+          .map(r => s"(b${b * DbscanRowsPerBand + r} << $r)").mkString(" + ")
+        s"SELECT vec_id, embedding, $b AS band, $key AS key FROM signs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
+         |bands AS ($bandRows),
+         |p AS (SELECT vec_id_a AS x, vec_id_b AS y FROM (
+         |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         |    ${TextFunctions.cosineSql("a.embedding", "b.embedding")} AS cos
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+         |  WHERE cos >= $DbscanCosine),
+         |sym AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p),
+         |nodes AS (SELECT e.vec_id, coalesce(d.degree, 0) AS degree
+         |  FROM embeddings e LEFT JOIN
+         |    (SELECT x AS vec_id, count(*) AS degree FROM sym GROUP BY 1) d USING (vec_id)),
+         |core AS (SELECT vec_id FROM nodes WHERE degree >= $DbscanMinPts),
+         |ce AS (SELECT p.x, p.y FROM p
+         |  JOIN core cx ON p.x = cx.vec_id JOIN core cy ON p.y = cy.vec_id),
+         |e2 AS (SELECT x, y FROM ce UNION ALL SELECT y AS x, x AS y FROM ce),
+         |reach(vec_id, lbl) AS (
+         |  SELECT DISTINCT x AS vec_id, x AS lbl FROM e2
+         |  UNION
+         |  SELECT e2.y AS vec_id, r.lbl FROM reach r JOIN e2 ON e2.x = r.vec_id),
+         |clab AS (SELECT vec_id, min(lbl) AS lbl FROM reach GROUP BY 1),
+         |corelbl AS (SELECT c.vec_id, coalesce(l.lbl, c.vec_id) AS c_cluster
+         |  FROM core c LEFT JOIN clab l USING (vec_id)),
+         |blab AS (SELECT s.x AS vec_id, min(cl.c_cluster) AS b_cluster
+         |  FROM sym s JOIN corelbl cl ON s.y = cl.vec_id GROUP BY 1)
+         |SELECT n.vec_id,
+         |  CASE WHEN cl.c_cluster IS NOT NULL THEN 'core'
+         |       WHEN b.b_cluster IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CAST(coalesce(cl.c_cluster, b.b_cluster, -1) AS BIGINT) AS cluster_id
+         |FROM nodes n LEFT JOIN corelbl cl USING (vec_id) LEFT JOIN blab b USING (vec_id)
+         |ORDER BY n.vec_id""".stripMargin
+    },
 
     // Recomputes the power iteration end to end: 6dp-quantized centered
     // corpus, per-dim DECIMAL matvec sums, full-precision normalize
