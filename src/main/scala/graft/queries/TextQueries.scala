@@ -43,6 +43,14 @@ object TextQueries {
   private val GopherMinWords = 30L
   private val GopherMaxWords = 5000L
 
+  /** BM25 parameters (the standard k1/b), the static-pruning idf floor
+    * (drops only df~N stopwords), and the reported depth.
+    */
+  private val BmK1 = 1.2
+  private val BmB  = 0.75
+  private val BmIdfFloor = 0.05
+  private val BmTopK = 10
+
   /** Temperature exponent for source-mix sampling weights (mBERT's
     * alpha=0.7). The SQL twin interpolates the exact double literal.
     */
@@ -580,6 +588,54 @@ object TextQueries {
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rk"))
         .orderBy("doc_id", "rk")
+    },
+
+    // Okapi BM25 ranked retrieval (Robertson-Sparck Jones) — the sparse
+    // complement of the dense ANN family: query-by-document (bench set
+    // doc_id % 100 = 0) scored document-at-a-time through the posting
+    // join, THE lexical-retrieval shape at scale (cost = |queries| x
+    // sum of query-term dfs, never corpus x queries). Static index
+    // pruning drops terms below the idf floor — true stopwords whose
+    // df ~ N contribute ~0 score but dominate posting volume (the
+    // WAND-family optimization, applied as a hard fence both engines
+    // agree on). Per-(doc,term) weights are 6dp-quantized and the
+    // per-pair score is their DECIMAL sum (order-independent), ranked
+    // exactly with doc_id ties.
+    "text_bm25_topk" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val terms = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .cache()
+      val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val avgdl = dl.agg(CleanFunctions.round6(
+        sum(col("dl").cast(DecimalType(18, 0))).cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val idf = terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("idf", CleanFunctions.round6(log(lit(1.0) +
+          ((lit(n) - col("df")).cast(DoubleType) + lit(0.5)) /
+            (col("df").cast(DoubleType) + lit(0.5)))))
+        .where(col("idf") >= BmIdfFloor)
+      val weights = tf.join(idf, "term").join(dl, "doc_id").crossJoin(broadcast(avgdl))
+        .select(col("doc_id"), col("term"), CleanFunctions.round6(
+          col("idf") * (col("tf").cast(DoubleType) * lit(BmK1 + 1.0)) /
+            (col("tf").cast(DoubleType) + lit(BmK1) * (lit(1.0 - BmB) +
+              lit(BmB) * col("dl").cast(DoubleType) / col("avgdl")))).as("w"))
+      val qterms = terms.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("term")).distinct()
+      val scored = qterms.join(weights, "term")
+        .where(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(col("w").cast(DecimalType(18, 6))).as("sdec"))
+      val rkw = Window.partitionBy("q_id").orderBy(desc("sdec"), col("doc_id"))
+      scored.withColumn("rk", row_number().over(rkw).cast(LongType))
+        .where(col("rk") <= BmTopK)
+        .select(col("q_id"), col("doc_id"),
+          CleanFunctions.round4(col("sdec").cast(DoubleType)).as("score"), col("rk"))
+        .orderBy("q_id", "rk")
     },
 
     // Benchmark decontamination — delegates to the user-facing
@@ -1180,6 +1236,30 @@ object TextQueries {
            |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
            |SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 3
            |ORDER BY doc_id, rk""".stripMargin,
+
+      "text_bm25_topk" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($tl) AS term FROM documents),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+           |ad AS (SELECT ${CleanFunctions.round6Sql(
+                "CAST(sum(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*)")} AS avgdl FROM dl),
+           |nn AS (SELECT count(*) AS n FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |idf AS (SELECT term, idf FROM (
+           |  SELECT term, ${CleanFunctions.round6Sql(
+                "ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))")} AS idf
+           |  FROM (SELECT term, count(*) AS df
+           |        FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1), nn)
+           |  WHERE idf >= $BmIdfFloor),
+           |wts AS (SELECT tf.doc_id, tf.term, ${CleanFunctions.round6Sql(
+                s"idf * (CAST(tf AS DOUBLE) * ${BmK1 + 1.0}) / (CAST(tf AS DOUBLE) + $BmK1 * (${1.0 - BmB} + $BmB * CAST(dl AS DOUBLE) / avgdl))")} AS w
+           |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), ad),
+           |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id % 100 = 0),
+           |sc AS (SELECT q.q_id, w.doc_id, sum(CAST(w.w AS DECIMAL(18,6))) AS sdec
+           |  FROM qt q JOIN wts w USING (term) WHERE w.doc_id <> q.q_id GROUP BY 1, 2)
+           |SELECT q_id, doc_id, ${CleanFunctions.round4Sql("CAST(sdec AS DOUBLE)")} AS score, rk
+           |FROM (SELECT q_id, doc_id, sdec,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY sdec DESC, doc_id) AS rk FROM sc)
+           |WHERE rk <= $BmTopK ORDER BY q_id, rk""".stripMargin,
 
       "text_decontaminate" -> {
         val tn = s"regexp_split_to_array(trim(${graft.operators.Decontaminate.normalizeSql("text")}), '\\s+')"
