@@ -48,6 +48,10 @@ object OpsQueries {
   private val PathLen  = 8
   private val TopPaths = 20
 
+  /** Lateness histogram: 10-minute bands, top band open-ended. */
+  private val LatenessBandUs = 600L * 1000000
+  private val LatenessBands  = 7L
+
   /** Hysteresis alarm thresholds in |z| units: enter above HystHi,
     * leave below HystLo (ts_hysteresis).
     */
@@ -785,6 +789,32 @@ object OpsQueries {
       trans.withColumn("p", round4(col("cnt").cast("double") /
           sum(col("cnt")).over(Window.partitionBy("from_type")).cast("double")))
         .orderBy("from_type", "to_type")
+    },
+
+    // Out-of-orderness (lateness) profile — the diagnostic that SIZES a
+    // streaming watermark: for each event, how far its event time lags
+    // the stream's high-water mark at its arrival, histogrammed per
+    // event_type in 10-minute bands with the observed max. A watermark
+    // delay at band p99 bounds dropped rows to 1% — this report IS the
+    // tuning input for every withWatermark in §2.12. The synthetic
+    // schema has no ingestion column and event_id is time-ordered (the
+    // profile of that arrival order is all-zero), so arrival is stood in
+    // by the deterministic md5(event_id) permutation — a worst-case
+    // shuffle both engines order identically, exercising every band.
+    // Running max over a KEYED window (per event_type — the per-stream
+    // view; no single-partition global window), one grouped histogram.
+    "events_lateness_profile" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev(s, d)
+        .withColumn("late_us", max(col("tsu")).over(w) - col("tsu"))
+        .withColumn("band", least(lit(LatenessBands - 1L),
+          expr(s"late_us div $LatenessBandUs")))
+        .groupBy("event_type", "band")
+        .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+        .orderBy("event_type", "band")
     },
 
     // Top-k user journey PATHS (the product-analytics "path analysis"
@@ -1863,6 +1893,20 @@ object OpsQueries {
          |SELECT from_type, to_type, cnt,
          |  ${round4Sql("CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "events_lateness_profile" ->
+      s"""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |l AS (SELECT event_type,
+         |  max(tsu) OVER (PARTITION BY event_type
+         |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tsu AS late_us
+         |  FROM e),
+         |b AS (SELECT event_type,
+         |  least(${LatenessBands - 1L}, late_us // $LatenessBandUs) AS band, late_us
+         |  FROM l)
+         |SELECT event_type, CAST(band AS BIGINT) AS band, count(*) AS n,
+         |  CAST(max(late_us) AS BIGINT) AS max_late_us
+         |FROM b GROUP BY 1, 2 ORDER BY event_type, band""".stripMargin,
 
     "events_top_paths" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),

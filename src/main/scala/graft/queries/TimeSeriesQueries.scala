@@ -259,6 +259,23 @@ object TimeSeriesQueries {
         .orderBy("bucket_us", "event_type")
     },
 
+    // HOPPING (sliding) window aggregation — the smoothing variant
+    // tumbling buckets can't give (each event lands in len/slide
+    // overlapping windows; Spark's window() TVF expands them inline, so
+    // this is still ONE grouped agg with map-side partials, fanout
+    // bounded by the constant len/slide=2). The oracle enumerates the
+    // same epoch-aligned window starts arithmetically.
+    "ts_hopping_counts" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .select(epochUs(col("w.start")).as("window_start_us"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    },
+
     // STREAMING REPLAY as a driver-checkable entry: the events table is
     // fed through a MemoryStream into the REAL Structured Streaming
     // operator (StreamingAnomaly.windowedCounts — watermark + append-mode
@@ -1237,6 +1254,23 @@ object TimeSeriesQueries {
       s"""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us, event_type,
          |count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin,
+
+    // Epoch-aligned hop enumeration: an event at t belongs to the
+    // len/slide windows starting at slide*(t div slide) - k*slide for
+    // k in [0, len/slide) — integer µs arithmetic, no window TVF needed.
+    "ts_hopping_counts" -> {
+      val slideUs = 1800L * 1000000
+      val lenUs   = 3600L * 1000000
+      s"""WITH e AS (SELECT epoch_us(ts) AS tsu, event_type, value FROM events),
+         |x AS (SELECT ((tsu // $slideUs) - k.k) * $slideUs AS window_start_us,
+         |  event_type, value
+         |  FROM e, (SELECT unnest(generate_series(0, ${lenUs / slideUs - 1})) AS k) k
+         |  WHERE tsu - (((tsu // $slideUs) - k.k) * $slideUs) < $lenUs
+         |    AND tsu >= (((tsu // $slideUs) - k.k) * $slideUs))
+         |SELECT window_start_us, event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM x GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
+    },
 
     // The batch twin of the streamed windowed aggregation: if streaming
     // watermark/append semantics are correct, the emitted windows equal
