@@ -606,14 +606,27 @@ object TextQueries {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
       val docs = Tables.documents(s, d)
       val n = docs.count()
-      val terms = docs
+      // ONE aggregation of the exploded token stream; dl, df, avgdl and
+      // the query-term sets all derive from the (doc,term,tf) frame
+      // (sum(tf) per doc == token count; count per term == distinct-doc
+      // df; the frame is already distinct per (doc,term) so the bench
+      // query set needs no extra distinct). The exploded stream is never
+      // cached or re-scanned — it exists only inside this single
+      // partial-agg stage, which is the posture that matters when the
+      // token stream is 100x the corpus. The doc-id repartition spreads
+      // the tokenize+partial-agg across cores even when the corpus
+      // arrives as one small file (a multi-TB corpus splits at the scan;
+      // a local test file does not), and localCheckpoint pins the frame
+      // so its four consumers don't re-run the explode.
+      val tf = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
-        .cache()
-      val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val avgdl = dl.agg(CleanFunctions.round6(
         sum(col("dl").cast(DecimalType(18, 0))).cast(DoubleType) / count(lit(1))).as("avgdl"))
-      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val idf = terms.select("doc_id", "term").distinct()
+      val idf = tf
         .groupBy("term").agg(count(lit(1)).as("df"))
         .withColumn("idf", CleanFunctions.round6(log(lit(1.0) +
           ((lit(n) - col("df")).cast(DoubleType) + lit(0.5)) /
@@ -624,9 +637,15 @@ object TextQueries {
           col("idf") * (col("tf").cast(DoubleType) * lit(BmK1 + 1.0)) /
             (col("tf").cast(DoubleType) + lit(BmK1) * (lit(1.0 - BmB) +
               lit(BmB) * col("dl").cast(DoubleType) / col("avgdl")))).as("w"))
-      val qterms = terms.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"), col("term")).distinct()
-      val scored = qterms.join(weights, "term")
+      val qterms = tf.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"), col("term"))
+      // Broadcast the query-term side: scoring then runs map-side over
+      // the weights partitions with partial aggregation before the
+      // (q_id, doc_id) shuffle. The alternative — an equi-join shuffled
+      // on `term` — is a guaranteed skew trap: natural-language term
+      // frequencies are Zipfian, so the hot terms' postings pile into a
+      // handful of tasks (at this corpus's tiny vocab, ALL of them do).
+      val scored = broadcast(qterms).join(weights, "term")
         .where(col("doc_id") =!= col("q_id"))
         .groupBy("q_id", "doc_id")
         .agg(sum(col("w").cast(DecimalType(18, 6))).as("sdec"))
