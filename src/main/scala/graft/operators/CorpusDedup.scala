@@ -43,7 +43,9 @@ object CorpusDedup {
     * the dedup_simhash / dedup_clusters queries.
     */
   def simhashChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sim = docs.select(col(idCol),
+    // Per-doc simhash is the expensive map work of the whole family;
+    // spread guards the single-file case where the scan gives one task.
+    val sim = graft.sources.Tables.spread(docs, col(idCol)).select(col(idCol),
       TextFunctions.simhash60(TextFunctions.tokens(col(textCol))).as("sig"))
     sim.select(col(idCol), col("sig"), explode(array(
       (0 until SimhashChunks).map(c =>

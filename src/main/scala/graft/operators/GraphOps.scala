@@ -37,41 +37,58 @@ object GraphOps {
     *         with the min id reachable from it.
     */
   def minLabelPropagate(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col("x"), col("y"))
       .union(edges.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
-    // Seed with min(id, min neighbor) — the result of the first
-    // identity-label round, folded into one aggregate (every node appears
-    // as some y because edges are symmetrized), saving a full round.
-    var labels = sym.groupBy(col("y").as("id")).agg(min(col("x")).as("nbl"))
-      .select(col("id"), least(col("id"), col("nbl")).as("lbl"))
-      .localCheckpoint()
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      val nb = sym.join(labels, sym("x") === labels("id"))
-        .groupBy(sym("y").as("id")).agg(min(col("lbl")).as("nbl"))
-      val prop = labels.join(nb, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
-      // Pointer jumping: chase one level of indirection through the label
-      // table itself — turns O(diameter) convergence into O(log diameter).
-      val next = prop.as("n")
-        .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")).as("m"),
-          col("n.lbl") === col("jid"), "left")
-        .select(col("n.id").as("id"),
-          least(col("n.lbl"), coalesce(col("jlbl"), col("n.lbl"))).as("lbl"))
+    // Size the ROUND shuffles to the materialized edge volume, not the
+    // session's batch width: each round is 3 joins + an agg + a count,
+    // and every one of those shuffles schedules `shuffle.partitions`
+    // tasks per round regardless of data size — on a few-thousand-edge
+    // graph that is pure scheduling overhead x rounds. ~50k edges per
+    // partition keeps tasks meaningfully sized; a 100 TB corpus's edge
+    // set sizes this straight back up to the session width. The conf is
+    // restored in `finally`; every returned frame is localCheckpoint'ed
+    // inside the window, so callers never recompile under the wrong
+    // width.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      sym.count() / 50000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      // Seed with min(id, min neighbor) — the result of the first
+      // identity-label round, folded into one aggregate (every node appears
+      // as some y because edges are symmetrized), saving a full round.
+      var labels = sym.groupBy(col("y").as("id")).agg(min(col("x")).as("nbl"))
+        .select(col("id"), least(col("id"), col("nbl")).as("lbl"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("p"), "id")
-        .filter(col("n.lbl") =!= col("p.lbl")).count()
-      labels = next
-      converged = changed == 0
-      round += 1
-    }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"minLabelPropagate hit maxRounds=$maxRounds before the fixpoint: " +
-          "returned labels may split components (raise maxRounds; " +
-          "pointer jumping covers diameter ~2^rounds)")
-    labels
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val nb = sym.join(labels, sym("x") === labels("id"))
+          .groupBy(sym("y").as("id")).agg(min(col("lbl")).as("nbl"))
+        val prop = labels.join(nb, Seq("id"), "left")
+          .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        // Pointer jumping: chase one level of indirection through the label
+        // table itself — turns O(diameter) convergence into O(log diameter).
+        val next = prop.as("n")
+          .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")).as("m"),
+            col("n.lbl") === col("jid"), "left")
+          .select(col("n.id").as("id"),
+            least(col("n.lbl"), coalesce(col("jlbl"), col("n.lbl"))).as("lbl"))
+          .localCheckpoint()
+        val changed = next.as("n").join(labels.as("p"), "id")
+          .filter(col("n.lbl") =!= col("p.lbl")).count()
+        labels = next
+        converged = changed == 0
+        round += 1
+      }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"minLabelPropagate hit maxRounds=$maxRounds before the fixpoint: " +
+            "returned labels may split components (raise maxRounds; " +
+            "pointer jumping covers diameter ~2^rounds)")
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

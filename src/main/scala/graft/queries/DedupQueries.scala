@@ -41,7 +41,9 @@ object DedupQueries {
     */
   private def shingleSets(s: SparkSession, d: String): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    Tables.documents(s, d)
+    // Shingling is heavy per-row map work; spread it when the corpus
+    // arrives as one small file (no-op when the scan already splits).
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= K)
       .select(col("doc_id"), TextFunctions.shingles(col("t"), K).as("sh"))

@@ -57,4 +57,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+
+  /** Spread `df` across the session's cores when its scan yields fewer
+    * partitions than the default parallelism — the small-input guard for
+    * compute-heavy per-row stages (shingling, simhash, LSH signatures):
+    * a one-row-group local file otherwise pins the whole map stage to a
+    * single task. Costs one hash shuffle of the RAW rows, so it is a
+    * no-op by construction exactly when it would be expensive — a
+    * multi-TB table scans as thousands of splits and skips the branch.
+    * Hash-partitioned on `key` (never round-robin) so the placement is a
+    * pure function of row content, deterministic across runs.
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
+  }
 }
