@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.functions.CleanFunctions
+import graft.functions.CleanFunctions.{round4, round4Sql, round6, round6Sql}
+import graft.operators.StatsOps
+import graft.sources.Tables
+
+/** Model-evaluation and association diagnostics — the metrics layer a
+  * training-data pipeline runs over scored/labelled events: ROC AUC,
+  * probability calibration, mutual information, Cramér's V, weighted
+  * HITS, and declared-functional-dependency audits. The reference stops
+  * at detection (main.py:221-230 is a placeholder); evaluating a
+  * detector's scores against outcomes is the step a production pipeline
+  * adds next, so these are first-class engine operators here.
+  *
+  * Scale notes: every metric reduces to grouped integer counts plus a
+  * bounded ordered pass — the AUC rank prefix runs through
+  * [[StatsOps.bandedPrefixSums]] (two-level, no single-partition
+  * exchange), the association matrices are O(cells) aggregates, and the
+  * HITS iterations touch O(edges) per round with O(nodes) state.
+  * Parity: rank arithmetic stays in INTEGERS until one final division
+  * (2x-scaled average ranks are exact longs); chi-square / MI terms are
+  * 6dp-quantized before their DECIMAL sum, so partial order never
+  * drifts.
+  */
+object EvalQueries {
+
+  /** One-vs-rest positive/negative counts don't change with banding:
+    * banded prefix sums of integers equal the sequential scan exactly.
+    */
+  private val AucScoreCol = "value"
+
+  /** (pair name, column A expr, column B expr) for the association
+    * matrices — both engines derive the same integer categories.
+    */
+  private def assocPairs: Seq[(String, Column, Column)] = Seq(
+    ("type_x_dow", col("event_type"), weekday(col("ts")).cast(LongType).cast("string")),
+    ("type_x_hourband", col("event_type"), (hour(col("ts")).cast(LongType) / 6L).cast(LongType).cast("string")),
+    ("dow_x_hourband", weekday(col("ts")).cast(LongType).cast("string"),
+      (hour(col("ts")).cast(LongType) / 6L).cast(LongType).cast("string")))
+
+  private val assocPairsSql: Seq[(String, String, String)] = Seq(
+    ("type_x_dow", "event_type", "CAST(isodow(ts)-1 AS VARCHAR)"),
+    ("type_x_hourband", "event_type", "CAST(hour(ts)//6 AS VARCHAR)"),
+    ("dow_x_hourband", "CAST(isodow(ts)-1 AS VARCHAR)", "CAST(hour(ts)//6 AS VARCHAR)"))
+
+  /** Declared functional-dependency candidates audited by dq_fd_audit:
+    * (fd name, table, lhs column, rhs column). Declared-set audit (the
+    * production shape: schema contracts name the FDs to enforce), not
+    * open discovery — discovery is this same aggregate over the lattice.
+    */
+  private val FdCandidates: Seq[(String, String, String, String)] = Seq(
+    ("orderkey_determines_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("custkey_determines_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("partkey_determines_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("suppkey_determines_returnflag", "lineitem", "l_suppkey", "l_returnflag"))
+
+  private val HitsIters = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ROC AUC per event type, one-vs-rest, scored by `value` — the
+    // rank-statistic identity AUC = (R+ - nP(nP+1)/2)/(nP*nN) with
+    // midrank tie handling, which is how AUC is computed at scale (no
+    // threshold sweep, no per-point curve). The global rank prefix runs
+    // over DISTINCT score values (one grouped agg first), through the
+    // banded two-level prefix — never a single-partition window. ALL
+    // rank arithmetic is integer: rank2 = 2*midrank = 2*(cum-n)+(n+1)
+    // is a BIGINT, the per-type rank sum is a BIGINT, and AUC is ONE
+    // division of integers — bit-exact on any engine, any partitioning.
+    "events_roc_auc" -> { (s, d) =>
+      val ev = Tables.events(s, d).where(col(AucScoreCol).isNotNull)
+      val byVal = ev.groupBy(col(AucScoreCol).as("v")).agg(count(lit(1)).as("n"))
+      val pref = StatsOps.bandedPrefixSums(byVal, col("v"), Seq("n"))
+        .select(col("v"), (lit(2L) * (col("cum_n") - col("n")) + col("n") + 1L).as("rank2"))
+      val joint = ev.groupBy(col(AucScoreCol).as("v"), col("event_type"))
+        .agg(count(lit(1)).as("n_vt"))
+      val perType = joint.join(pref, "v")
+        .groupBy("event_type")
+        .agg(sum(col("n_vt") * col("rank2")).as("rs2"), sum(col("n_vt")).as("n_pos"))
+      val nn = ev.agg(count(lit(1)).as("n_tot"))
+      perType.crossJoin(broadcast(nn))
+        .select(col("event_type"), col("n_pos"), (col("n_tot") - col("n_pos")).as("n_neg"),
+          round6((col("rs2") - col("n_pos") * (col("n_pos") + 1L)).cast(DoubleType) /
+            (lit(2.0) * col("n_pos").cast(DoubleType) *
+              (col("n_tot") - col("n_pos")).cast(DoubleType))).as("auc"))
+        .orderBy("event_type")
+    },
+
+    // Cramér's V association matrix over declared categorical pairs —
+    // the "which columns move together" screen run before any feature
+    // is trusted. One grouped count per pair (map-side partial), cells
+    // joined to broadcast margins; chi-square terms 6dp-quantized then
+    // DECIMAL-summed so the cell order can't drift the statistic.
+    "events_cramers_v" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val perPair = assocPairs.map { case (nm, a, b) =>
+        val cells = ev.select(a.as("ca"), b.as("cb"))
+          .groupBy("ca", "cb").agg(count(lit(1)).as("o"))
+        val ra = cells.groupBy("ca").agg(sum(col("o")).as("na"))
+        val rb = cells.groupBy("cb").agg(sum(col("o")).as("nb"))
+        val tot = cells.agg(sum(col("o")).as("n"),
+          countDistinct(col("ca")).as("r"), countDistinct(col("cb")).as("c"))
+        val e = col("na").cast(DoubleType) * col("nb").cast(DoubleType) / col("n").cast(DoubleType)
+        cells.join(broadcast(ra), "ca").join(broadcast(rb), "cb")
+          .crossJoin(broadcast(tot))
+          .select(round6((col("o").cast(DoubleType) - e) * (col("o").cast(DoubleType) - e) / e)
+              .cast(DecimalType(18, 6)).as("term"),
+            col("n"), col("r"), col("c"))
+          .groupBy("n", "r", "c")
+          .agg(sum(col("term")).cast(DoubleType).as("chi2"))
+          .select(lit(nm).as("pair"), col("chi2"),
+            ((col("r") - 1L) * (col("c") - 1L)).as("dof"),
+            round4(sqrt(col("chi2") / (col("n").cast(DoubleType) *
+              least(col("r") - 1L, col("c") - 1L).cast(DoubleType)))).as("cramers_v"))
+      }
+      perPair.reduce(_ unionByName _).orderBy("pair")
+    },
+
+    // Mutual information between the bucketed value and the event type
+    // — the nonlinear dependence screen (feature selection at corpus
+    // scale runs exactly this: joint counts, margin counts, one log per
+    // CELL, never per row). Output is the PMI cell table plus the
+    // summed MI (same value on every row via broadcast, so the oracle
+    // checks both granularities in one frame). ln inputs are ratios of
+    // exact BIGINTs; each cell term is 6dp-quantized before the DECIMAL
+    // total.
+    "events_mutual_info" -> { (s, d) =>
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .select(floor(col("value")).cast(LongType).as("bin"), col("event_type"))
+      val joint = ev.groupBy("bin", "event_type").agg(count(lit(1)).as("n_xy"))
+      val mx = ev.groupBy("bin").agg(count(lit(1)).as("n_x"))
+      val my = ev.groupBy("event_type").agg(count(lit(1)).as("n_y"))
+      val nn = ev.agg(count(lit(1)).as("n_tot"))
+      val cells = joint.join(mx, "bin").join(broadcast(my), "event_type")
+        .crossJoin(broadcast(nn))
+        .withColumn("pmi", round6(log(col("n_xy").cast(DoubleType) * col("n_tot").cast(DoubleType) /
+          (col("n_x").cast(DoubleType) * col("n_y").cast(DoubleType)))))
+        .withColumn("term", round6(col("n_xy").cast(DoubleType) / col("n_tot").cast(DoubleType) * col("pmi"))
+          .cast(DecimalType(18, 6)))
+      val total = cells.agg(sum(col("term")).cast(DoubleType).as("mi_total"))
+      cells.crossJoin(broadcast(total))
+        .select(col("bin"), col("event_type"), col("n_xy"), col("n_x"), col("n_y"),
+          col("pmi"), col("mi_total"))
+        .orderBy("bin", "event_type")
+    },
+
+    // Weighted HITS hubs/authorities on the nation trade graph — the
+    // directed sibling of nation_pagerank (buyers that concentrate
+    // trade vs suppliers trade concentrates on). 3 unrolled iterations,
+    // L1 normalization each half-step (the L2 variant needs a sqrt per
+    // step; L1 keeps every normalizer an exact DECIMAL sum of
+    // 6dp-quantized scores — documented delta, fixpoint direction
+    // identical). O(edges) per half-step, O(nations) state.
+    "nation_hits" -> { (s, d) =>
+      val ew = tradeEdges(s, d)
+      val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
+      val nn = nodes.agg(count(lit(1)).cast(DoubleType).as("nd"))
+      var hub = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), round6(lit(1.0) / col("nd")).as("h"))
+      var auth = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), round6(lit(1.0) / col("nd")).as("a"))
+      for (_ <- 1 to HitsIters) {
+        val aRaw = ew.join(hub, ew("src") === hub("node"))
+          .select(col("dst"), round6(col("h") * col("w").cast(DoubleType)).cast(DecimalType(18, 6)).as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("m"))
+        val aTot = aRaw.agg(sum(col("m")).as("t"))
+        auth = nodes.join(aRaw, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(aTot))
+          .select(col("node"),
+            round6(coalesce(col("m"), lit(0)).cast(DoubleType) / col("t").cast(DoubleType)).as("a"))
+        val hRaw = ew.join(auth, ew("dst") === auth("node"))
+          .select(col("src"), round6(col("a") * col("w").cast(DoubleType)).cast(DecimalType(18, 6)).as("c"))
+          .groupBy("src").agg(sum(col("c")).as("m"))
+        val hTot = hRaw.agg(sum(col("m")).as("t"))
+        hub = nodes.join(hRaw, col("node") === col("src"), "left")
+          .crossJoin(broadcast(hTot))
+          .select(col("node"),
+            round6(coalesce(col("m"), lit(0)).cast(DoubleType) / col("t").cast(DoubleType)).as("h"))
+      }
+      hub.join(auth, "node")
+        .join(broadcast(Tables.nation(s, d)), col("node") === col("n_nationkey"))
+        .select(col("node").as("nationkey"), col("n_name"),
+          col("h").as("hub"), col("a").as("authority"))
+        .orderBy("nationkey")
+    },
+
+    // Declared functional-dependency audit — the schema-contract check
+    // a warehouse runs before trusting a key ("does l_partkey determine
+    // l_suppkey?"). Per FD: one grouped countDistinct on the LHS
+    // (map-side partial dedup), violation = any LHS group with >1 RHS
+    // value. Output one verdict row per declared FD.
+    "dq_fd_audit" -> { (s, d) =>
+      val verdicts = FdCandidates.map { case (nm, tbl, lhs, rhs) =>
+        Tables.table(s, d, tbl)
+          .groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("n_rhs"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n_rhs") > 1L, 1L).otherwise(0L)).as("n_violating"),
+            max(col("n_rhs")).as("max_rhs_per_lhs"))
+          .select(lit(nm).as("fd"), col("n_groups"), col("n_violating"),
+            col("max_rhs_per_lhs"),
+            (col("n_violating") === 0L).as("holds"),
+            round4(col("n_violating").cast(DoubleType) / col("n_groups").cast(DoubleType))
+              .as("violation_rate"))
+      }
+      verdicts.reduce(_ unionByName _).orderBy("fd")
+    }
+  )
+
+  /** Weighted trade edges (customer nation -> supplier nation) — the
+    * same graph nation_pagerank walks; kept separate so HITS and future
+    * graph ops share one definition.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  private val tradeEdgesSql: String =
+    """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2""".stripMargin
+
+  /** One HITS iteration as SQL: reads hub/auth state `st(node, h, a)`,
+    * emits the next state. Mirrors the Spark loop exactly.
+    */
+  private def hitsIterSql(st: String): String =
+    s"""SELECT n.n_nationkey AS node,
+       |  ${round6Sql("CAST(coalesce(hr.m, 0) AS DOUBLE) / CAST(ht.t AS DOUBLE)")} AS h,
+       |  ${round6Sql("CAST(coalesce(ar.m, 0) AS DOUBLE) / CAST(at2.t AS DOUBLE)")} AS a
+       |FROM nation n
+       |LEFT JOIN (SELECT e.dst, sum(CAST(${round6Sql("st.h * CAST(e.w AS DOUBLE)")} AS DECIMAL(18,6))) AS m
+       |           FROM e JOIN $st st ON e.src = st.node GROUP BY 1) ar ON n.n_nationkey = ar.dst
+       |CROSS JOIN (SELECT sum(m) AS t FROM (SELECT e.dst, sum(CAST(${round6Sql("st.h * CAST(e.w AS DOUBLE)")} AS DECIMAL(18,6))) AS m
+       |           FROM e JOIN $st st ON e.src = st.node GROUP BY 1)) at2
+       |LEFT JOIN (SELECT e.src, sum(CAST(${round6Sql(s"a2.a * CAST(e.w AS DOUBLE)")} AS DECIMAL(18,6))) AS m
+       |           FROM e JOIN (
+       |             SELECT n2.n_nationkey AS node, ${round6Sql("CAST(coalesce(ar2.m, 0) AS DOUBLE) / CAST(at3.t AS DOUBLE)")} AS a
+       |             FROM nation n2
+       |             LEFT JOIN (SELECT e.dst, sum(CAST(${round6Sql("st.h * CAST(e.w AS DOUBLE)")} AS DECIMAL(18,6))) AS m
+       |                        FROM e JOIN $st st ON e.src = st.node GROUP BY 1) ar2 ON n2.n_nationkey = ar2.dst
+       |             CROSS JOIN (SELECT sum(m) AS t FROM (SELECT e.dst, sum(CAST(${round6Sql("st.h * CAST(e.w AS DOUBLE)")} AS DECIMAL(18,6))) AS m
+       |                        FROM e JOIN $st st ON e.src = st.node GROUP BY 1)) at3
+       |           ) a2 ON e.dst = a2.node GROUP BY 1) hr ON n.n_nationkey = hr.src
+       |CROSS JOIN (SELECT sum(m) AS t FROM (SELECT e.src, sum(CAST(${round6Sql(s"a2.a * CAST(e.w AS DOUBLE)")} AS DECIMAL(18,6))) AS m
+       |           FROM e JOIN (
+       |             SELECT n2.n_nationkey AS node, ${round6Sql("CAST(coalesce(ar2.m, 0) AS DOUBLE) / CAST(at3.t AS DOUBLE)")} AS a
+       |             FROM nation n2
+       |             LEFT JOIN (SELECT e.dst, sum(CAST(${round6Sql("st.h * CAST(e.w AS DOUBLE)")} AS DECIMAL(18,6))) AS m
+       |                        FROM e JOIN $st st ON e.src = st.node GROUP BY 1) ar2 ON n2.n_nationkey = ar2.dst
+       |             CROSS JOIN (SELECT sum(m) AS t FROM (SELECT e.dst, sum(CAST(${round6Sql("st.h * CAST(e.w AS DOUBLE)")} AS DECIMAL(18,6))) AS m
+       |                        FROM e JOIN $st st ON e.src = st.node GROUP BY 1)) at3
+       |           ) a2 ON e.dst = a2.node GROUP BY 1)) ht""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "events_roc_auc" ->
+      s"""WITH ev AS (SELECT value AS v, event_type FROM events WHERE value IS NOT NULL),
+         |tot AS (SELECT v, count(*) AS n FROM ev GROUP BY 1),
+         |pr AS (SELECT v, n, sum(n) OVER (ORDER BY v) AS cum FROM tot),
+         |rk AS (SELECT v, 2*(cum - n) + n + 1 AS rank2 FROM pr),
+         |j AS (SELECT v, event_type, count(*) AS n_vt FROM ev GROUP BY 1, 2),
+         |s AS (SELECT event_type, sum(n_vt * rank2) AS rs2, sum(n_vt) AS n_pos
+         |      FROM j JOIN rk USING (v) GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_tot FROM ev)
+         |SELECT event_type, n_pos, n_tot - n_pos AS n_neg,
+         |  ${round6Sql("CAST(rs2 - n_pos*(n_pos+1) AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_tot - n_pos AS DOUBLE))")} AS auc
+         |FROM s, nn ORDER BY event_type""".stripMargin,
+
+    "events_cramers_v" -> {
+      val per = assocPairsSql.map { case (nm, a, b) =>
+        s"""SELECT '$nm' AS pair, chi2, (r-1)*(c-1) AS dof,
+           |  ${round4Sql("sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(r-1, c-1) AS DOUBLE)))")} AS cramers_v
+           |FROM (
+           |  SELECT CAST(sum(CAST(${round6Sql(
+                  "(CAST(o AS DOUBLE) - CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/CAST(n AS DOUBLE)) " +
+                  "* (CAST(o AS DOUBLE) - CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/CAST(n AS DOUBLE)) " +
+                  "/ (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/CAST(n AS DOUBLE))")} AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+           |    any_value(n) AS n, any_value(r) AS r, any_value(c) AS c
+           |  FROM (
+           |    SELECT o, na, nb, n, r, c FROM
+           |      (SELECT $a AS ca, $b AS cb, count(*) AS o FROM events GROUP BY 1, 2) cells
+           |      JOIN (SELECT $a AS ca, count(*) AS na FROM events GROUP BY 1) ra USING (ca)
+           |      JOIN (SELECT $b AS cb, count(*) AS nb FROM events GROUP BY 1) rb USING (cb)
+           |      CROSS JOIN (SELECT count(*) AS n, count(DISTINCT $a) AS r, count(DISTINCT $b) AS c FROM events) t
+           |  ))""".stripMargin
+      }
+      per.mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+    },
+
+    "events_mutual_info" ->
+      s"""WITH ev AS (SELECT CAST(floor(value) AS BIGINT) AS bin, event_type
+         |            FROM events WHERE value IS NOT NULL),
+         |j AS (SELECT bin, event_type, count(*) AS n_xy FROM ev GROUP BY 1, 2),
+         |mx AS (SELECT bin, count(*) AS n_x FROM ev GROUP BY 1),
+         |my AS (SELECT event_type, count(*) AS n_y FROM ev GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_tot FROM ev),
+         |cells AS (
+         |  SELECT bin, event_type, n_xy, n_x, n_y,
+         |    ${round6Sql("ln(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE) / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))")} AS pmi,
+         |    CAST(${round6Sql(
+              s"CAST(n_xy AS DOUBLE) / CAST(n_tot AS DOUBLE) * ${round6Sql("ln(CAST(n_xy AS DOUBLE) * CAST(n_tot AS DOUBLE) / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))")}")} AS DECIMAL(18,6)) AS term
+         |  FROM j JOIN mx USING (bin) JOIN my USING (event_type), nn),
+         |tt AS (SELECT CAST(sum(term) AS DOUBLE) AS mi_total FROM cells)
+         |SELECT bin, event_type, n_xy, n_x, n_y, pmi, mi_total
+         |FROM cells, tt ORDER BY bin, event_type""".stripMargin,
+
+    "nation_hits" -> {
+      s"""WITH e AS ($tradeEdgesSql),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nation),
+         |s0 AS (SELECT n_nationkey AS node, ${round6Sql("1.0 / nd")} AS h,
+         |       ${round6Sql("1.0 / nd")} AS a FROM nation CROSS JOIN nn),
+         |s1 AS (${hitsIterSql("s0")}),
+         |s2 AS (${hitsIterSql("s1")}),
+         |s3 AS (${hitsIterSql("s2")})
+         |SELECT s3.node AS nationkey, n.n_name, s3.h AS hub, s3.a AS authority
+         |FROM s3 JOIN nation n ON s3.node = n.n_nationkey
+         |ORDER BY nationkey""".stripMargin
+    },
+
+    "dq_fd_audit" -> {
+      val per = FdCandidates.map { case (nm, tbl, lhs, rhs) =>
+        s"""SELECT '$nm' AS fd, count(*) AS n_groups,
+           |  sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+           |  max(n_rhs) AS max_rhs_per_lhs,
+           |  sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+           |  ${round4Sql("CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS violation_rate
+           |FROM (SELECT $lhs, count(DISTINCT $rhs) AS n_rhs FROM $tbl GROUP BY 1)""".stripMargin
+      }
+      per.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    }
+  )
+}
