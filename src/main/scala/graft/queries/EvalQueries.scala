@@ -209,6 +209,137 @@ object EvalQueries {
               .as("violation_rate"))
       }
       verdicts.reduce(_ unionByName _).orderBy("fd")
+    },
+
+    // Probability-calibration report + Brier score — the companion to
+    // events_roc_auc (AUC ranks, calibration checks the probabilities
+    // themselves). The score→probability link is the RATIONAL sigmoid
+    // 0.5 + 0.5·z/(1+|z|) — one add/divide, no libm exp whose last-ulp
+    // behavior engines may disagree on — 4dp-quantized, so every
+    // downstream term starts engine-identical. Per decile bin: count,
+    // exact-DECIMAL mean prediction, outcome rate, gap; overall Brier
+    // broadcast onto each row. Pure grouped-aggregate shape.
+    "events_calibration" -> { (s, d) =>
+      val z = (col("value") - lit(50.0)) / lit(25.0)
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .select(round4(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))).as("pred"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .withColumn("bin", least(lit(9L), floor(col("pred") * 10.0).cast(LongType)))
+        .withColumn("sq", round6((col("pred") - col("y")) * (col("pred") - col("y")))
+          .cast(DecimalType(18, 6)))
+      val bins = ev.groupBy("bin").agg(count(lit(1)).as("n"),
+        sum(col("pred").cast(DecimalType(18, 6))).as("psum"),
+        sum(col("y")).as("npos"), sum(col("sq")).as("sqsum"))
+      val tot = bins.agg(sum(col("sqsum")).as("sqall"), sum(col("n")).as("nall"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("npos"),
+          round6(col("psum").cast(DoubleType) / col("n").cast(DoubleType)).as("mean_pred"),
+          round6(col("npos").cast(DoubleType) / col("n").cast(DoubleType)).as("frac_pos"),
+          round6(col("sqsum").cast(DoubleType) / col("n").cast(DoubleType)).as("brier_bin"),
+          round6(col("sqall").cast(DoubleType) / col("nall").cast(DoubleType)).as("brier_total"))
+        .orderBy("bin")
+    },
+
+    // Quantile normalization — cross-series distribution alignment (the
+    // batch-effect remover: every series' values are remapped onto the
+    // GLOBAL value distribution at the same within-series quantile).
+    // Within-series rank is a keyed window; the global order statistics
+    // come from the banded two-level global rank (no single-partition
+    // sort at any scale); each row then equi-joins its two bracketing
+    // order statistics on the INTEGER rank key. The interpolation
+    // position 1+p(N−1) is the same IEEE expression on both engines, so
+    // floor() can't straddle — and tied values make v[k] well-defined
+    // under any tie order.
+    "ts_quantile_norm" -> { (s, d) =>
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"))
+      val wq = Window.partitionBy("user_id").orderBy("value", "event_id")
+      val wa = Window.partitionBy("user_id")
+      val withP = ev
+        .withColumn("rn", row_number().over(wq).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wa))
+        .withColumn("p", when(col("n") === 1L, lit(0.5))
+          .otherwise((col("rn") - 1L).cast(DoubleType) / (col("n") - 1L).cast(DoubleType)))
+      val nn = ev.agg(count(lit(1)).as("n_tot"))
+      val pos = withP.crossJoin(broadcast(nn))
+        .withColumn("posn", lit(1.0) + col("p") * (col("n_tot") - 1L).cast(DoubleType))
+        .withColumn("k0", floor(col("posn")).cast(LongType))
+        .withColumn("k1", least(col("k0") + 1L, col("n_tot")))
+        .withColumn("frac", col("posn") - col("k0").cast(DoubleType))
+      val ranked = StatsOps.globalRank(ev.select(col("value").as("gv"), col("event_id").as("gid")),
+        col("gv"), col("gid"), asc = true, "grk")
+      val v0 = ranked.select(col("grk").as("k0"), col("gv").as("v0"))
+      val v1 = ranked.select(col("grk").as("k1"), col("gv").as("v1"))
+      pos.join(v0, "k0").join(v1, "k1")
+        .select(col("event_id"), col("value"),
+          round4(col("v0") + col("frac") * (col("v1") - col("v0"))).as("qnorm_value"))
+        .orderBy("event_id")
+    },
+
+    // EWMA volatility (RiskMetrics λ=0.94) + vol-standardized spike flag
+    // — the financial-monitoring anomaly shape (a fixed z-threshold on
+    // raw diffs misses regime changes; standardizing by the CURRENT
+    // volatility adapts). Truncated 20-term lag kernel over 6dp-squared
+    // returns (the ts_ewma contract: exact weights, null-aware
+    // renormalization), vol = √EWMA rounded BEFORE the z division so
+    // both engines divide identical inputs; z uses the PRIOR row's vol
+    // (no look-ahead).
+    "ts_ewma_vol" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val base = Tables.events(s, d)
+        .withColumn("ret", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("r2", round6(col("ret") * col("ret")))
+      val vol2 = graft.operators.TimeSeriesOps.ewma(
+        base, Seq("user_id"), Seq("ts", "event_id"), "r2",
+        alpha = 0.06, span = 20, outCol = "vol2")
+      vol2
+        .withColumn("vol", round4(sqrt(col("vol2"))))
+        .withColumn("vol_prev", lag(col("vol"), 1).over(w))
+        .select(col("event_id"), round4(col("ret")).as("ret"), col("vol"),
+          round4(col("ret") / nullif(col("vol_prev"), lit(0.0))).as("z"),
+          when(abs(col("ret") / nullif(col("vol_prev"), lit(0.0))) > 3.0, 1L)
+            .otherwise(0L).as("is_spike"))
+        .orderBy("event_id")
+    },
+
+    // Hierarchical forecast reconciliation (total → per-type) — the
+    // coherence step every hierarchical pipeline needs: independent
+    // child forecasts (seasonal-naive lag-7 on the complete day×type
+    // spine) don't sum to the parent forecast (trailing-7-day mean of
+    // the total), so children are scaled proportionally (top-down
+    // shares × parent). All forecasts derive from INTEGER daily counts;
+    // the two divisions are single IEEE ops rounded 4dp. The spine is a
+    // cross join of two TINY aggregates (days × types), never of facts.
+    "events_forecast_reconcile" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val days = daily.select("day").distinct()
+      val types = daily.select("event_type").distinct()
+      val spine = days.crossJoin(broadcast(types))
+      val full = spine.join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val wt = Window.partitionBy("event_type").orderBy("day")
+      val child = full.withColumn("child_fc", lag(col("cnt"), 7).over(wt))
+      val totals = full.groupBy("day").agg(sum(col("cnt")).as("tot"))
+      // Trailing-7-day parent mean via a broadcast non-equi self-join on
+      // the O(#days) aggregate — a global trailing window would funnel
+      // the grid through one partition; the join shape stays parallel
+      // however long the calendar gets.
+      val prior = totals.select(col("day").as("pday"), col("tot").as("ptot"))
+      val parent = totals.join(broadcast(prior),
+          col("pday") >= date_sub(col("day"), 7) && col("pday") < col("day"), "left")
+        .groupBy("day")
+        .agg(when(count(col("ptot")) === 7L,
+          round4(sum(col("ptot")).cast(DoubleType) / 7.0)).as("parent_fc"))
+      val bu = child.groupBy("day").agg(sum(col("child_fc")).as("bu_total"))
+      child.join(broadcast(parent), "day").join(broadcast(bu), "day")
+        .where(col("child_fc").isNotNull && col("parent_fc").isNotNull)
+        .select(col("day"), col("event_type"), col("cnt").as("actual"),
+          col("child_fc"), col("parent_fc"),
+          round4(col("child_fc").cast(DoubleType) * col("parent_fc") /
+            nullif(col("bu_total").cast(DoubleType), lit(0.0))).as("reconciled_fc"))
+        .orderBy("day", "event_type")
     }
   )
 
@@ -342,6 +473,98 @@ object EvalQueries {
            |FROM (SELECT $lhs, count(DISTINCT $rhs) AS n_rhs FROM $tbl GROUP BY 1)""".stripMargin
       }
       per.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
-    }
+    },
+
+    "events_calibration" -> {
+      val predSql = round4Sql(
+        "0.5 + 0.5 * ((value - 50.0) / 25.0) / (1.0 + abs((value - 50.0) / 25.0))")
+      s"""WITH ev AS (
+         |  SELECT $predSql AS pred,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (
+         |  SELECT CAST(least(9.0, floor(pred * 10.0)) AS BIGINT) AS bin, pred, y,
+         |    CAST(${round6Sql("(pred - y) * (pred - y)")} AS DECIMAL(18,6)) AS sq
+         |  FROM ev),
+         |bins AS (
+         |  SELECT bin, count(*) AS n, sum(CAST(pred AS DECIMAL(18,6))) AS psum,
+         |    sum(y) AS npos, sum(sq) AS sqsum
+         |  FROM b GROUP BY 1),
+         |tt AS (SELECT sum(sqsum) AS sqall, sum(n) AS nall FROM bins)
+         |SELECT bin, n, npos,
+         |  ${round6Sql("CAST(psum AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean_pred,
+         |  ${round6Sql("CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)")} AS frac_pos,
+         |  ${round6Sql("CAST(sqsum AS DOUBLE) / CAST(n AS DOUBLE)")} AS brier_bin,
+         |  ${round6Sql("CAST(sqall AS DOUBLE) / CAST(nall AS DOUBLE)")} AS brier_total
+         |FROM bins, tt ORDER BY bin""".stripMargin
+    },
+
+    "ts_quantile_norm" ->
+      s"""WITH ev AS (SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL),
+         |wp AS (SELECT user_id, event_id, value,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM ev),
+         |nn AS (SELECT count(*) AS n_tot FROM ev),
+         |q AS (SELECT event_id, value,
+         |  1.0 + (CASE WHEN n = 1 THEN 0.5
+         |         ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END)
+         |    * CAST(n_tot - 1 AS DOUBLE) AS posn
+         |  FROM wp, nn),
+         |k AS (SELECT event_id, value, CAST(floor(posn) AS BIGINT) AS k0,
+         |  least(CAST(floor(posn) AS BIGINT) + 1, (SELECT n_tot FROM nn)) AS k1,
+         |  posn - floor(posn) AS frac FROM q),
+         |g AS (SELECT value AS gv,
+         |  row_number() OVER (ORDER BY value, event_id) AS grk FROM ev)
+         |SELECT k.event_id, k.value,
+         |  ${round4Sql("v0.gv + frac * (v1.gv - v0.gv)")} AS qnorm_value
+         |FROM k JOIN g v0 ON k.k0 = v0.grk JOIN g v1 ON k.k1 = v1.grk
+         |ORDER BY event_id""".stripMargin,
+
+    "ts_ewma_vol" -> {
+      val W2 = "PARTITION BY user_id ORDER BY ts, event_id"
+      val terms = (0 until 20).map { j =>
+        val wt = CleanFunctions.dlitSql(math.pow(1 - 0.06, j))
+        val v = if (j == 0) "r2" else s"lag(r2, $j) OVER ($W2)"
+        (s"coalesce(CASE WHEN $v IS NOT NULL THEN $wt * $v END, 0.0)",
+          s"coalesce(CASE WHEN $v IS NOT NULL THEN $wt END, 0.0)")
+      }
+      s"""WITH b AS (SELECT user_id, ts, event_id,
+         |  value - lag(value, 1) OVER ($W2) AS ret FROM events),
+         |r AS (SELECT user_id, ts, event_id, ret,
+         |  ${round6Sql("ret * ret")} AS r2 FROM b),
+         |k AS (SELECT user_id, ts, event_id, ret,
+         |  (${terms.map(_._1).mkString(" + ")}) /
+         |    nullif(${terms.map(_._2).mkString(" + ")}, 0.0) AS vol2 FROM r),
+         |v AS (SELECT user_id, ts, event_id, ret,
+         |  ${round4Sql("sqrt(vol2)")} AS vol FROM k),
+         |z AS (SELECT event_id, ret, vol,
+         |  ret / nullif(lag(vol, 1) OVER ($W2), 0.0) AS zraw FROM v)
+         |SELECT event_id, ${round4Sql("ret")} AS ret, vol,
+         |  ${round4Sql("zraw")} AS z,
+         |  CASE WHEN abs(zraw) > 3.0 THEN 1 ELSE 0 END AS is_spike
+         |FROM z ORDER BY event_id""".stripMargin
+    },
+
+    "events_forecast_reconcile" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM daily),
+         |types AS (SELECT DISTINCT event_type FROM daily),
+         |f AS (SELECT d.day, t.event_type, coalesce(x.cnt, 0) AS cnt
+         |  FROM days d CROSS JOIN types t
+         |  LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type),
+         |child AS (SELECT day, event_type, cnt,
+         |  lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS child_fc FROM f),
+         |tot AS (SELECT day, sum(cnt) AS tot FROM f GROUP BY 1),
+         |parent AS (SELECT a.day,
+         |  CASE WHEN count(b.tot) = 7 THEN ${round4Sql("CAST(sum(b.tot) AS DOUBLE) / 7.0")} END AS parent_fc
+         |  FROM tot a LEFT JOIN tot b ON b.day >= a.day - 7 AND b.day < a.day
+         |  GROUP BY a.day),
+         |bu AS (SELECT day, sum(child_fc) AS bu_total FROM child GROUP BY 1)
+         |SELECT c.day, c.event_type, c.cnt AS actual, c.child_fc, p.parent_fc,
+         |  ${round4Sql("CAST(c.child_fc AS DOUBLE) * p.parent_fc / nullif(CAST(bu.bu_total AS DOUBLE), 0.0)")} AS reconciled_fc
+         |FROM child c JOIN parent p USING (day) JOIN bu USING (day)
+         |WHERE c.child_fc IS NOT NULL AND p.parent_fc IS NOT NULL
+         |ORDER BY day, event_type""".stripMargin
   )
 }
