@@ -340,6 +340,55 @@ object EvalQueries {
           round4(col("child_fc").cast(DoubleType) * col("parent_fc") /
             nullif(col("bu_total").cast(DoubleType), lit(0.0))).as("reconciled_fc"))
         .orderBy("day", "event_type")
+    },
+
+    // k-anonymity / l-diversity audit — the privacy gate next to PII
+    // scrubbing (text_pii_scrub removes direct identifiers; this
+    // measures RE-identification risk from quasi-identifiers): rows
+    // grouped by the declared QI tuple, k = class size, l = distinct
+    // sensitive values (user_id) in the class. One grouped aggregate +
+    // a broadcast risk summary (share of rows in classes below k=5) —
+    // map-side partial all the way.
+    "dq_k_anonymity" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), weekday(col("ts")).cast(LongType).as("dow"),
+          floor(col("value") / 50.0).cast(LongType).as("value_band"), col("user_id"))
+      val classes = ev.groupBy("event_type", "dow", "value_band")
+        .agg(count(lit(1)).as("k"), countDistinct(col("user_id")).as("l_distinct"))
+      val risk = classes.agg(
+        sum(when(col("k") < 5L, col("k")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("k")).as("rows_total"))
+      classes.crossJoin(broadcast(risk))
+        .select(col("event_type"), col("dow"), col("value_band"), col("k"),
+          col("l_distinct"), (col("k") < 5L).as("at_risk"),
+          round4(col("rows_at_risk").cast(DoubleType) / col("rows_total").cast(DoubleType))
+            .as("corpus_risk_share"))
+        .orderBy("event_type", "dow", "value_band")
+    },
+
+    // Weighted-set node similarity on the trade graph: Jaccard of each
+    // nation pair's trading-partner sets — the "find me a comparable
+    // node" primitive (completes the graph family: rank, components,
+    // triangles, BFS, hubs, similarity). Partner sets never materialize
+    // per pair: common counts come from the equi-join on the shared
+    // partner, sizes from one degree aggregate — O(Σ deg²) bounded by
+    // the ≤N² edge aggregate, all INTEGER counts, one division.
+    "nation_similarity" -> { (s, d) =>
+      val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      val und = e.select(col("src").as("a"), col("dst").as("b"))
+        .union(e.select(col("dst").as("a"), col("src").as("b"))).distinct()
+      val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      val common = und.as("x").join(und.as("y"),
+          col("x.b") === col("y.b") && col("x.a") < col("y.a"))
+        .groupBy(col("x.a").as("na"), col("y.a").as("nb"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(deg.select(col("a").as("na"), col("deg").as("da")), "na")
+        .join(deg.select(col("a").as("nb"), col("deg").as("db")), "nb")
+        .select(col("na"), col("nb"), col("common"), col("da"), col("db"),
+          round4(col("common").cast(DoubleType) /
+            (col("da") + col("db") - col("common")).cast(DoubleType)).as("jaccard"))
+        .orderBy("na", "nb")
     }
   )
 
@@ -565,6 +614,30 @@ object EvalQueries {
          |  ${round4Sql("CAST(c.child_fc AS DOUBLE) * p.parent_fc / nullif(CAST(bu.bu_total AS DOUBLE), 0.0)")} AS reconciled_fc
          |FROM child c JOIN parent p USING (day) JOIN bu USING (day)
          |WHERE c.child_fc IS NOT NULL AND p.parent_fc IS NOT NULL
-         |ORDER BY day, event_type""".stripMargin
+         |ORDER BY day, event_type""".stripMargin,
+
+    "dq_k_anonymity" ->
+      s"""WITH ev AS (SELECT event_type, CAST(isodow(ts)-1 AS BIGINT) AS dow,
+         |  CAST(floor(value / 50.0) AS BIGINT) AS value_band, user_id FROM events),
+         |cl AS (SELECT event_type, dow, value_band, count(*) AS k,
+         |  count(DISTINCT user_id) AS l_distinct FROM ev GROUP BY 1, 2, 3),
+         |risk AS (SELECT sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS rows_at_risk,
+         |  sum(k) AS rows_total FROM cl)
+         |SELECT event_type, dow, value_band, k, l_distinct, k < 5 AS at_risk,
+         |  ${round4Sql("CAST(rows_at_risk AS DOUBLE) / CAST(rows_total AS DOUBLE)")} AS corpus_risk_share
+         |FROM cl, risk ORDER BY event_type, dow, value_band""".stripMargin,
+
+    "nation_similarity" ->
+      s"""WITH e AS ($tradeEdgesSql),
+         |ed AS (SELECT src, dst FROM e WHERE src <> dst),
+         |und AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM ed UNION ALL SELECT dst AS a, src AS b FROM ed)),
+         |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+         |cm AS (SELECT x.a AS na, y.a AS nb, count(*) AS common
+         |  FROM und x JOIN und y ON x.b = y.b AND x.a < y.a GROUP BY 1, 2)
+         |SELECT na, nb, common, da.deg AS da, db.deg AS db,
+         |  ${round4Sql("CAST(common AS DOUBLE) / CAST(da.deg + db.deg - common AS DOUBLE)")} AS jaccard
+         |FROM cm JOIN deg da ON cm.na = da.a JOIN deg db ON cm.nb = db.a
+         |ORDER BY na, nb""".stripMargin
   )
 }

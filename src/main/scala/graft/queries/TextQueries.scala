@@ -720,6 +720,60 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Burrows' delta between corpus sources (stylometry — the
+    // authorship/provenance screen: two "different" sources with a tiny
+    // delta are probably the same crawler or the same generator, a
+    // duplication signal ORTHOGONAL to content dedup). Per doc:
+    // function-word relative frequencies (the QualityStopwords set) on
+    // the docs×words spine (zero counts COUNT — that's the fingerprint);
+    // per word: corpus mean/std from exact-DECIMAL moments of the
+    // 6dp-quantized frequencies; per source: mean frequency → z-score;
+    // delta(a,b) = mean |z_a − z_b| over words. Everything after the
+    // explode is O(docs×10) then O(sources×10); the pair join is over
+    // the tiny z table.
+    "text_style_delta" -> { (s, d) =>
+      val words = Stopwords
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokens(lower(col("text"))).as("t"))
+        .withColumn("dl", size(col("t")).cast(LongType))
+        .where(col("dl") > 0L)
+      val wordSpine = words.map(w => lit(w)).toArray
+      val spine = docs.select(col("doc_id"), col("source"), col("dl"),
+        explode(array(wordSpine: _*)).as("w"))
+      val cnt = docs
+        .select(col("doc_id"), explode(col("t")).as("term"))
+        .where(col("term").isin(words: _*))
+        .groupBy(col("doc_id"), col("term").as("w"))
+        .agg(count(lit(1)).as("c"))
+      val rf = spine.join(cnt, Seq("doc_id", "w"), "left")
+        .select(col("doc_id"), col("source"), col("w"),
+          CleanFunctions.round6(coalesce(col("c"), lit(0L)).cast(DoubleType) /
+            col("dl").cast(DoubleType)).as("rf"))
+      val corpus = rf.groupBy("w").agg(
+        CleanFunctions.round6(CleanFunctions.exactMean(col("rf"))).as("cm"),
+        CleanFunctions.round6(CleanFunctions.exactMean(
+          CleanFunctions.round6(col("rf") * col("rf")))).as("cm2"))
+        .select(col("w"), col("cm"),
+          sqrt(greatest(lit(0.0), CleanFunctions.round6(col("cm2") - col("cm") * col("cm")))).as("sd"))
+      val srcZ = rf.groupBy("source", "w")
+        .agg(CleanFunctions.round6(CleanFunctions.exactMean(col("rf"))).as("sm"))
+        .join(broadcast(corpus), "w")
+        .where(col("sd") > 0.0)
+        .select(col("source"), col("w"),
+          CleanFunctions.round6((col("sm") - col("cm")) / col("sd")).as("z"))
+      srcZ.as("a").join(srcZ.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(CleanFunctions.round6(abs(col("a.z") - col("b.z")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("dsum"))
+        .select(col("source_a"), col("source_b"), col("n_words"),
+          CleanFunctions.round4(col("dsum").cast(DoubleType) /
+            col("n_words").cast(DoubleType)).as("delta"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Training-mix construction: temperature-scaled source sampling
     // weights (the multilingual/multi-source standard, alpha=0.7 as in
     // mBERT/XLM-R): share^alpha renormalized, effective epochs =
@@ -1324,6 +1378,37 @@ object TextQueries {
            |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
            |    AND n_stop_distinct >= 2 AS pass
            |FROM r ORDER BY doc_id""".stripMargin,
+
+      "text_style_delta" -> {
+        val tlow = TextFunctions.tokensSql("lower(text)")
+        val r6 = CleanFunctions.round6Sql _
+        s"""WITH d AS (SELECT doc_id, source, $tlow AS t FROM documents
+           |  WHERE len($tlow) > 0),
+           |dl AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS dl FROM d),
+           |words AS (SELECT unnest(${sqlList(Stopwords)}) AS w),
+           |cnt AS (SELECT doc_id, term AS w, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(t) AS term FROM d)
+           |  WHERE term IN (SELECT w FROM words) GROUP BY 1, 2),
+           |rf AS (SELECT dl.doc_id, dl.source, words.w,
+           |  ${r6("CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(dl.dl AS DOUBLE)")} AS rf
+           |  FROM dl CROSS JOIN words
+           |  LEFT JOIN cnt ON cnt.doc_id = dl.doc_id AND cnt.w = words.w),
+           |corpus AS (SELECT w,
+           |  ${r6(CleanFunctions.exactMeanSql("rf"))} AS cm,
+           |  ${r6(CleanFunctions.exactMeanSql(r6("rf * rf")))} AS cm2
+           |  FROM rf GROUP BY 1),
+           |cs AS (SELECT w, cm, sqrt(greatest(0.0, ${r6("cm2 - cm * cm")})) AS sd FROM corpus),
+           |sz AS (SELECT source, rf.w,
+           |  ${r6(s"(${r6(CleanFunctions.exactMeanSql("rf"))} - any_value(cm)) / any_value(sd)")} AS z
+           |  FROM rf JOIN cs ON rf.w = cs.w
+           |  WHERE sd > 0.0 GROUP BY source, rf.w)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |  count(*) AS n_words,
+           |  ${CleanFunctions.round4Sql(
+              s"CAST(sum(CAST(${r6("abs(a.z - b.z)")} AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS delta
+           |FROM sz a JOIN sz b ON a.w = b.w AND a.source < b.source
+           |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+      },
 
       "text_mix_weights" ->
         s"""WITH src AS (SELECT source, count(*) AS n_docs,

@@ -874,6 +874,45 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Haar discrete-wavelet-transform energy profile per series — the
+    // multi-RESOLUTION spectral signature (which time scale carries the
+    // variance: level 1 = adjacent-sample noise, level 6 = the 32-64
+    // sample trend band) next to the single-scale ACF/period family.
+    // Each level is one keyed groupBy on (series, idx/2) computing the
+    // pairwise average (cascades down) and detail (energy); 6 levels
+    // over the first 64 samples of each qualifying series. Averages and
+    // details divide by 2 (EXACT in binary) and every add is the same
+    // two-operand IEEE op on both engines, so no rounding is needed
+    // BETWEEN levels; detail energies are 6dp-quantized + DECIMAL-summed
+    // per level.
+    "ts_haar_energy" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wa = Window.partitionBy("user_id")
+      var lvl = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("idx", row_number().over(wq).cast("long"))
+        .withColumn("n", count(lit(1)).over(wa))
+        .where(col("n") >= 64L && col("idx") <= 64L)
+        .select(col("user_id"), col("idx"), col("value").as("v"))
+      val energies = (1 to 6).map { l =>
+        val paired = lvl.groupBy(col("user_id"),
+            ((col("idx") + 1L) / lit(2L)).cast("long").as("idx"))
+          .agg(max(when(col("idx") % 2L === 1L, col("v"))).as("vo"),
+            max(when(col("idx") % 2L === 0L, col("v"))).as("ve"))
+          .select(col("user_id"), col("idx"),
+            ((col("vo") + col("ve")) / 2.0).as("v"),
+            ((col("vo") - col("ve")) / 2.0).as("dd"))
+        val e = paired.groupBy("user_id")
+          .agg(count(lit(1)).as("n_coeffs"),
+            CleanFunctions.round4(sum(CleanFunctions.round6(col("dd") * col("dd"))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")).as("energy"))
+          .select(col("user_id"), lit(l.toLong).as("level"), col("n_coeffs"), col("energy"))
+        lvl = paired.select(col("user_id"), col("idx"), col("v"))
+        e
+      }
+      energies.reduce((a, b) => a.unionByName(b)).orderBy("user_id", "level")
+    },
+
     // Detector-agreement matrix: pairwise overlap (Jaccard) of the
     // z / IQR / MAD anomaly flags — which detectors are redundant and
     // which disagree (the eval loop for the ensemble's vote weights).
@@ -1552,6 +1591,29 @@ object TimeSeriesQueries {
          |SELECT u1, u2,
          |round((${CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")}) * 10000.0) / 10000.0 AS corr
          |FROM m ORDER BY u1, u2""".stripMargin,
+
+    "ts_haar_energy" -> {
+      val levels = (1 to 6).map { l =>
+        s"""l$l AS (SELECT user_id, (idx + 1) // 2 AS idx,
+           |  (max(CASE WHEN idx % 2 = 1 THEN v END) + max(CASE WHEN idx % 2 = 0 THEN v END)) / 2.0 AS v,
+           |  (max(CASE WHEN idx % 2 = 1 THEN v END) - max(CASE WHEN idx % 2 = 0 THEN v END)) / 2.0 AS dd
+           |FROM l${l - 1} GROUP BY 1, 2)""".stripMargin
+      }
+      val es = (1 to 6).map { l =>
+        s"""SELECT user_id, CAST($l AS BIGINT) AS level, count(*) AS n_coeffs,
+           |  ${CleanFunctions.round4Sql(
+              s"CAST(sum(CAST(${CleanFunctions.round6Sql("dd * dd")} AS DECIMAL(18,6))) AS DOUBLE)")} AS energy
+           |FROM l$l GROUP BY 1""".stripMargin
+      }
+      s"""WITH b0 AS (SELECT user_id, value AS v,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx,
+         |  count(*) OVER (PARTITION BY user_id) AS n
+         |FROM events WHERE value IS NOT NULL),
+         |l0 AS (SELECT user_id, idx, v FROM b0 WHERE n >= 64 AND idx <= 64),
+         |${levels.mkString(",\n")}
+         |${es.mkString("\nUNION ALL\n")}
+         |ORDER BY user_id, level""".stripMargin
+    },
 
     "ts_ewma" -> {
       val terms = (0 until 12).map { j =>
