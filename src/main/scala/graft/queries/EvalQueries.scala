@@ -389,6 +389,99 @@ object EvalQueries {
           round4(col("common").cast(DoubleType) /
             (col("da") + col("db") - col("common")).cast(DoubleType)).as("jaccard"))
         .orderBy("na", "nb")
+    },
+
+    // Log-log price elasticity of demand per part brand — the pooled
+    // OLS slope of ln(quantity) on ln(unit price), the econ twin of
+    // ts_ols_trend's time regression. One broadcast dim join (part →
+    // brand), one grouped exact-moment pass (6dp-quantized logs and
+    // cross-products, DECIMAL sums), closed-form slope + R² from the
+    // five sums — no per-group value buffering at any scale.
+    "lineitem_price_elasticity" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .where(col("l_quantity") > 0.0 && col("l_extendedprice") > 0.0)
+        .join(broadcast(Tables.table(s, d, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round6(log(col("l_extendedprice") / col("l_quantity"))).as("x"),
+          round6(log(col("l_quantity"))).as("y"))
+        .withColumn("xy", round6(col("x") * col("y")))
+        .withColumn("xx", round6(col("x") * col("x")))
+        .withColumn("yy", round6(col("y") * col("y")))
+      def dsum(c: String) = sum(col(c).cast(DecimalType(18, 6))).cast(DoubleType)
+      li.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), dsum("x").as("sx"), dsum("y").as("sy"),
+          dsum("xy").as("sxy"), dsum("xx").as("sxx"), dsum("yy").as("syy"))
+        .select(col("p_brand"), col("n"),
+          round4((col("n") * col("sxy") - col("sx") * col("sy")) /
+            nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))).as("elasticity"),
+          round4(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            nullif((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")), lit(0.0))).as("r2"))
+        .orderBy("p_brand")
+    },
+
+    // Stationary distribution of the event-type Markov chain — the
+    // long-run answer events_markov's one-step matrix only implies:
+    // where does the journey SPEND its time. 4 unrolled power-iteration
+    // rounds on the O(types²) transition aggregate, each round a
+    // broadcast join + DECIMAL sum + renormalize (the pagerank/HITS
+    // discipline: 6dp-quantized contributions so per-state sums are
+    // order-independent).
+    "events_markov_stationary" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val p = trans.withColumn("p", round6(col("cnt").cast(DoubleType) /
+        sum(col("cnt")).over(Window.partitionBy("from_type")).cast(DoubleType)))
+      val states = trans.select(col("from_type").as("state")).distinct()
+      val ns = states.agg(count(lit(1)).cast(DoubleType).as("nd"))
+      var pi = states.crossJoin(broadcast(ns))
+        .select(col("state"), round6(lit(1.0) / col("nd")).as("pi"))
+      for (_ <- 1 to 4) {
+        val m = p.join(pi, col("from_type") === col("state"))
+          .select(col("to_type"), round6(col("pi") * col("p")).cast(DecimalType(18, 6)).as("c"))
+          .groupBy("to_type").agg(sum(col("c")).as("m"))
+        val tot = m.agg(sum(col("m")).as("t"))
+        pi = states.join(m, col("state") === col("to_type"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("state"),
+            round6(coalesce(col("m"), lit(0)).cast(DoubleType) / col("t").cast(DoubleType)).as("pi"))
+      }
+      pi.select(col("state").as("event_type"), col("pi").as("stationary_p"))
+        .orderBy("event_type")
+    },
+
+    // Uplift report (T-learner on bins): difference in outcome rate
+    // between treated (weekend) and control (weekday) per value band —
+    // the heterogeneous-treatment-effect readout next to events_cuped /
+    // events_did. Pure grouped integer counts; every rate is one IEEE
+    // division; overall ATE broadcast onto each band row.
+    "events_uplift" -> { (s, d) =>
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .select(floor(col("value") / 50.0).cast(LongType).as("band"),
+          (weekday(col("ts")) >= 5).cast(LongType).as("t"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val bands = ev.groupBy("band").agg(
+        sum(when(col("t") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t") === 1L, col("y")).otherwise(0L)).as("y_t"),
+        sum(when(col("t") === 0L, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("t") === 0L, col("y")).otherwise(0L)).as("y_c"))
+      val ate = bands.agg(
+        round6(sum(col("y_t")).cast(DoubleType) / sum(col("n_t")).cast(DoubleType) -
+          sum(col("y_c")).cast(DoubleType) / sum(col("n_c")).cast(DoubleType)).as("ate"))
+      bands.crossJoin(broadcast(ate))
+        .select(col("band"), col("n_t"), col("n_c"),
+          round6(col("y_t").cast(DoubleType) / nullif(col("n_t").cast(DoubleType), lit(0.0))).as("rate_t"),
+          round6(col("y_c").cast(DoubleType) / nullif(col("n_c").cast(DoubleType), lit(0.0))).as("rate_c"),
+          round6(col("y_t").cast(DoubleType) / nullif(col("n_t").cast(DoubleType), lit(0.0)) -
+            col("y_c").cast(DoubleType) / nullif(col("n_c").cast(DoubleType), lit(0.0))).as("uplift"),
+          col("ate"))
+        .orderBy("band")
     }
   )
 
@@ -638,6 +731,74 @@ object EvalQueries {
          |SELECT na, nb, common, da.deg AS da, db.deg AS db,
          |  ${round4Sql("CAST(common AS DOUBLE) / CAST(da.deg + db.deg - common AS DOUBLE)")} AS jaccard
          |FROM cm JOIN deg da ON cm.na = da.a JOIN deg db ON cm.nb = db.a
-         |ORDER BY na, nb""".stripMargin
+         |ORDER BY na, nb""".stripMargin,
+
+    "lineitem_price_elasticity" -> {
+      def ds(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
+      s"""WITH li AS (SELECT p.p_brand,
+         |  ${round6Sql("ln(l_extendedprice / l_quantity)")} AS x,
+         |  ${round6Sql("ln(l_quantity)")} AS y
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  WHERE l_quantity > 0 AND l_extendedprice > 0),
+         |m AS (SELECT p_brand, x, y, ${round6Sql("x * y")} AS xy,
+         |  ${round6Sql("x * x")} AS xx, ${round6Sql("y * y")} AS yy FROM li),
+         |a AS (SELECT p_brand, count(*) AS n, ${ds("x")} AS sx, ${ds("y")} AS sy,
+         |  ${ds("xy")} AS sxy, ${ds("xx")} AS sxx, ${ds("yy")} AS syy
+         |  FROM m GROUP BY 1)
+         |SELECT p_brand, n,
+         |  ${round4Sql("(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)")} AS elasticity,
+         |  ${round4Sql("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0)")} AS r2
+         |FROM a ORDER BY p_brand""".stripMargin
+    },
+
+    "events_markov_stationary" -> {
+      def iter(st: String): String = {
+        val m = s"""SELECT to_type, sum(CAST(${round6Sql("st.pi * pm.p")} AS DECIMAL(18,6))) AS m
+                   |    FROM pm JOIN $st st ON pm.from_type = st.state GROUP BY 1""".stripMargin
+        s"""SELECT s.state,
+           |  ${round6Sql("CAST(coalesce(m.m, 0) AS DOUBLE) / CAST(t.t AS DOUBLE)")} AS pi
+           |FROM states s
+           |LEFT JOIN ($m) m ON s.state = m.to_type
+           |CROSS JOIN (SELECT sum(m) AS t FROM ($m)) t""".stripMargin
+      }
+      s"""WITH tr AS (SELECT event_type AS from_type,
+         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |c AS (SELECT from_type, to_type, count(*) AS cnt FROM tr
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |pm AS (SELECT from_type, to_type,
+         |  ${round6Sql("CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
+         |  FROM c),
+         |states AS (SELECT DISTINCT from_type AS state FROM c),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM states),
+         |pi0 AS (SELECT state, ${round6Sql("1.0 / nd")} AS pi FROM states, ns),
+         |pi1 AS (${iter("pi0")}),
+         |pi2 AS (${iter("pi1")}),
+         |pi3 AS (${iter("pi2")}),
+         |pi4 AS (${iter("pi3")})
+         |SELECT state AS event_type, pi AS stationary_p FROM pi4
+         |ORDER BY event_type""".stripMargin
+    },
+
+    "events_uplift" ->
+      s"""WITH ev AS (SELECT CAST(floor(value / 50.0) AS BIGINT) AS band,
+         |  CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS t,
+         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT band,
+         |  sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n_t,
+         |  sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS y_t,
+         |  sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS n_c,
+         |  sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS y_c
+         |  FROM ev GROUP BY 1),
+         |ate AS (SELECT ${round6Sql(
+            "CAST(sum(y_t) AS DOUBLE) / CAST(sum(n_t) AS DOUBLE) - CAST(sum(y_c) AS DOUBLE) / CAST(sum(n_c) AS DOUBLE)")} AS ate FROM b)
+         |SELECT band, n_t, n_c,
+         |  ${round6Sql("CAST(y_t AS DOUBLE) / nullif(CAST(n_t AS DOUBLE), 0.0)")} AS rate_t,
+         |  ${round6Sql("CAST(y_c AS DOUBLE) / nullif(CAST(n_c AS DOUBLE), 0.0)")} AS rate_c,
+         |  ${round6Sql(
+            "CAST(y_t AS DOUBLE) / nullif(CAST(n_t AS DOUBLE), 0.0) - CAST(y_c AS DOUBLE) / nullif(CAST(n_c AS DOUBLE), 0.0)")} AS uplift,
+         |  ate
+         |FROM b, ate ORDER BY band""".stripMargin
   )
 }

@@ -28,6 +28,10 @@ import graft.sources.Tables
 object SimilarityQueries {
 
   private val TopK = 10
+  /** Neighbor count for the kNN-classification harness (odd: fewer
+    * exact vote ties; ties still resolve to the smallest label).
+    */
+  private val KnnK = 5
   // Adaptive LSH sizing constants come from the AnnSearch API so the SQL
   // twin's unrolled CASE can never drift from what lshTopK computes.
   private val AnnTargetOccupancy = graft.operators.AnnSearch.DefaultTargetOccupancy
@@ -312,6 +316,37 @@ object SimilarityQueries {
       graft.operators.AnnSearch.lshTopK(
         e, col("vec_id") % 50 === 0, "vec_id", "embedding", TopK,
         targetOccupancy = AnnTargetOccupancy)
+    },
+
+    // kNN label classification + accuracy — the EVAL harness that turns
+    // the ANN index into a classifier (leave-one-out over an eval batch:
+    // majority label of the 5 nearest neighbors from the SAME multi-probe
+    // LSH production path, vote ties to the smallest label). The oracle
+    // replicates banding, probing and scoring exactly via the shared CTE
+    // builder, so "neighbor" is defined identically on both engines.
+    // Accuracy is one broadcast aggregate over the eval batch.
+    "emb_knn_classify" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).cache()
+      val qPred = col("vec_id") % 20 === 0
+      val nbrs = graft.operators.AnnSearch.lshTopK(
+        e, qPred, "vec_id", "embedding", KnnK, targetOccupancy = AnnTargetOccupancy)
+      val lbl = e.select(col("vec_id").as("n_id"), col("label").cast("long").as("n_label"))
+      val votes = nbrs.join(lbl, "n_id")
+        .groupBy("q_id", "n_label").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("q_id").orderBy(desc("votes"), col("n_label"))
+      val pred = votes.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
+      val truth = e.where(qPred)
+        .select(col("vec_id").as("q_id"), col("label").cast("long").as("true_label"))
+      val joined = truth.join(pred, "q_id")
+        .withColumn("correct", (col("pred_label") === col("true_label")).cast("long"))
+      val acc = joined.agg(graft.functions.CleanFunctions.round4(
+        sum(col("correct")).cast("double") / count(lit(1)).cast("double")).as("accuracy"))
+      joined.crossJoin(broadcast(acc))
+        .select(col("q_id"), col("true_label"), col("pred_label"), col("votes"),
+          col("correct"), col("accuracy"))
+        .orderBy("q_id")
     },
 
     // IVF (inverted-file) ANN — the other standard scale path: a
@@ -920,19 +955,25 @@ object SimilarityQueries {
     * count(*), all MaxAnnPlanes sign bits are computed once and the
     * bucket sums only the first np of them.
     */
-  private lazy val AnnLshOracle: String = {
+  /** CTE chain for the multi-probe LSH top-k (shared by ann_lsh_topk and
+    * the kNN-classification harness): ends with a `knn(q_id, n_id,
+    * score, rk)` CTE holding each query's k nearest among its probe
+    * buckets. `qFilter` selects the query rows; parametrized so every
+    * consumer replicates the SAME banding/probing/scoring.
+    */
+  private def annLshCtes(qFilter: String, k: Int): String = {
     val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
       s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
     val signCols = (0 until MaxAnnPlanes)
       .map(p => s"${TextFunctions.lshSignSql("embedding", p)} AS g$p").mkString(",\n  ")
     val bucket = (0 until MaxAnnPlanes)
       .map(p => s"(CASE WHEN $p < np THEN (g$p << $p) ELSE 0 END)").mkString(" + ")
-    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
        |npt AS (SELECT ($npCase) AS np FROM nn),
        |signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
        |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM signs, npt),
        |ps AS (SELECT unnest(generate_series(0, ${MaxAnnPlanes - 1})) AS p),
-       |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM sb WHERE vec_id % 50 = 0),
+       |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM sb WHERE $qFilter),
        |qp AS (
        |  SELECT q_id, q_emb, bucket AS pbucket FROM qs
        |  UNION ALL
@@ -940,15 +981,19 @@ object SimilarityQueries {
        |    FROM qs, ps, npt WHERE p < np
        |  UNION ALL
        |  SELECT q_id, q_emb, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
-       |    FROM qs, ps a, ps b, npt WHERE a.p < b.p AND b.p < np)
-       |SELECT q_id, n_id, score, rk FROM (
+       |    FROM qs, ps a, ps b, npt WHERE a.p < b.p AND b.p < np),
+       |knn AS (SELECT q_id, n_id, score, rk FROM (
        |  SELECT q.q_id, b.vec_id AS n_id,
        |    round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 AS score,
        |    row_number() OVER (PARTITION BY q.q_id
        |      ORDER BY round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 DESC, b.vec_id) AS rk
        |  FROM qp q JOIN sb b ON b.bucket = q.pbucket AND b.vec_id <> q.q_id)
-       |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+       |WHERE rk <= $k)""".stripMargin
   }
+
+  private lazy val AnnLshOracle: String =
+    s"""WITH ${annLshCtes("vec_id % 50 = 0", TopK)}
+       |SELECT q_id, n_id, score, rk FROM knn ORDER BY q_id, rk""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "emb_kmeans_assign" -> {
@@ -1237,6 +1282,25 @@ object SimilarityQueries {
     "ann_topk_cosine" -> AnnTopkOracle,
 
     "ann_lsh_topk" -> AnnLshOracle,
+
+    "emb_knn_classify" ->
+      s"""WITH ${annLshCtes("vec_id % 20 = 0", KnnK)},
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS n_label FROM embeddings),
+         |v AS (SELECT q_id, n_label, count(*) AS votes
+         |  FROM knn JOIN lb ON knn.n_id = lb.vec_id GROUP BY 1, 2),
+         |pr AS (SELECT q_id, n_label AS pred_label, votes FROM (
+         |  SELECT q_id, n_label, votes,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rk
+         |  FROM v) WHERE rk = 1),
+         |t AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS true_label
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |j AS (SELECT t.q_id, true_label, pred_label, votes,
+         |  CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS correct
+         |  FROM t JOIN pr ON t.q_id = pr.q_id),
+         |acc AS (SELECT ${graft.functions.CleanFunctions.round4Sql(
+            "CAST(sum(correct) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS accuracy FROM j)
+         |SELECT q_id, true_label, pred_label, votes, correct, accuracy
+         |FROM j, acc ORDER BY q_id""".stripMargin,
 
     // Exact twin of the deterministic IVF build (see IvfIndex's
     // determinism contract): same hash-order top-k init, same -2*dot+cc argmin
