@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{FloatVectorDot, SignBits60, SimHash60}
+import org.apache.spark.sql.graft.{DtwDistance, FloatVectorDot, SignBits60, SimHash60}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -37,6 +37,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "sign_bits60(vec) takes 1 argument")
         SignBits60(args.head)
+      }),
+    (new FunctionIdentifier("dtw_distance"),
+      new ExpressionInfo(classOf[DtwDistance].getName, "dtw_distance"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dtw_distance(a, b) takes 2 arguments")
+        DtwDistance(args.head, args(1))
       }))
 
   /** Register the same functions into an ALREADY-RUNNING session (the

@@ -172,6 +172,101 @@ case class SignBits60(child: Expression)
     copy(child = newChild)
 }
 
+/** Dynamic-time-warping distance between two double-array columns —
+  * the elastic distance the pointwise family (cosine, euclidean) can't
+  * express: sequences that are similar but locally time-shifted align.
+  * Full O(m·n) DP with the textbook recurrence
+  *   dp(i,j) = |a_i − b_j| + min(dp(i−1,j), dp(i,j−1), dp(i−1,j−1))
+  * in one codegen'd loop with a two-row rolling buffer (no m×n
+  * materialization). Cross-engine parity: each cell is a pure function
+  * of its three predecessors — no reassociation anywhere — so ANY
+  * evaluation order (this row scan, the oracle's anti-diagonal CTE
+  * unroll) produces bit-identical doubles.
+  *
+  * Callers bound the array length (the query contract: small per-key
+  * PROFILES — e.g. 7-day shapes — never raw series); length > 64 is
+  * rejected as null so an unbounded array can't smuggle an O(n²) loop
+  * into a row expression. Empty inputs are null, not 0: a missing
+  * profile must surface.
+  */
+case class DtwDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dtw_distance"
+  override def nullable: Boolean = true
+
+  private val MaxLen = 64
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val m = x.numElements()
+    val n = y.numElements()
+    if (m == 0 || n == 0 || m > MaxLen || n > MaxLen) return null
+    val prev = new Array[Double](n)
+    val curr = new Array[Double](n)
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) {
+        val base = math.abs(x.getDouble(i) - y.getDouble(j))
+        val best =
+          if (i == 0 && j == 0) 0.0
+          else if (i == 0) curr(j - 1)
+          else if (j == 0) prev(j)
+          else math.min(prev(j), math.min(curr(j - 1), prev(j - 1)))
+        curr(j) = base + best
+        j += 1
+      }
+      System.arraycopy(curr, 0, prev, 0, n)
+      i += 1
+    }
+    prev(n - 1)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val prev = ctx.freshName("prev")
+      val curr = ctx.freshName("curr")
+      val base = ctx.freshName("base")
+      val best = ctx.freshName("best")
+      s"""
+         |int $m = $a.numElements();
+         |int $n = $b.numElements();
+         |if ($m == 0 || $n == 0 || $m > $MaxLen || $n > $MaxLen) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $prev = new double[$n];
+         |  double[] $curr = new double[$n];
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      double $base = Math.abs($a.getDouble($i) - $b.getDouble($j));
+         |      double $best;
+         |      if ($i == 0 && $j == 0) { $best = 0.0; }
+         |      else if ($i == 0) { $best = $curr[$j - 1]; }
+         |      else if ($j == 0) { $best = $prev[$j]; }
+         |      else { $best = Math.min($prev[$j], Math.min($curr[$j - 1], $prev[$j - 1])); }
+         |      $curr[$j] = $base + $best;
+         |    }
+         |    System.arraycopy($curr, 0, $prev, 0, $n);
+         |  }
+         |  ${ev.value} = $prev[$n - 1];
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-level dot product of two ArrayType(FloatType) columns. */
   def floatDot(a: Column, b: Column): Column =
@@ -181,6 +276,11 @@ object VectorExpressions {
   /** Column-level 60-bit sign signature of an ArrayType(FloatType) column. */
   def signBits60(v: Column): Column =
     ExpressionUtils.column(SignBits60(ExpressionUtils.expression(v)))
+
+  /** Column-level DTW distance of two ArrayType(DoubleType) columns. */
+  def dtwDistance(a: Column, b: Column): Column =
+    ExpressionUtils.column(DtwDistance(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column-level 60-bit SimHash of an ArrayType(StringType) column. */
   def simhash60(toks: Column): Column =

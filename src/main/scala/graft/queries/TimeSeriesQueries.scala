@@ -841,6 +841,33 @@ object TimeSeriesQueries {
         .orderBy("u1", "u2")
     },
 
+    // DTW (dynamic-time-warping) distance between series' weekly shape
+    // profiles — the ELASTIC similarity the pointwise family (cross-corr
+    // on the aligned grid) can't express: two series with the same shape
+    // shifted by a day still match. Same panel-selection contract as
+    // ts_cross_corr (pairs are k² in series count — the caller bounds
+    // k); the DP runs in the codegen'd DtwDistance expression over the
+    // 7-point dow profiles (bounded arrays by construction, O(49) per
+    // pair inside whole-stage codegen, no m×n materialization). Every
+    // DP cell is a pure function of its predecessors, so the oracle's
+    // anti-diagonal CTE unroll is bit-identical.
+    "ts_dtw_pairs" -> { (s, d) =>
+      import org.apache.spark.sql.graft.VectorExpressions
+      val prof = Tables.events(s, d)
+        .where(col("value").isNotNull && col("user_id") % 10 === 0)
+        .groupBy(col("user_id"), weekday(col("ts")).cast("long").as("dow"))
+        .agg(CleanFunctions.round4(CleanFunctions.exactMean(col("value"))).as("m"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("dow"), col("m")))).as("p"))
+        .where(size(col("p")) === 7)
+        .select(col("user_id"), expr("transform(p, x -> x.m)").as("a"))
+      prof.as("x").join(prof.as("y"), col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("ua"), col("y.user_id").as("ub"),
+          CleanFunctions.round4(
+            VectorExpressions.dtwDistance(col("x.a"), col("y.a"))).as("dtw"))
+        .orderBy("ua", "ub")
+    },
+
     // Truncated EWMA smoothing (span-12 lag kernel, adjust-normalized).
     "ts_ewma" -> { (s, d) =>
       TS.ewma(Tables.events(s, d), K, Ord, "value", alpha = 0.3, span = 12)
@@ -1591,6 +1618,34 @@ object TimeSeriesQueries {
          |SELECT u1, u2,
          |round((${CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")}) * 10000.0) / 10000.0 AS corr
          |FROM m ORDER BY u1, u2""".stripMargin,
+
+    "ts_dtw_pairs" -> {
+      def diag(k: Int) = math.max(0, k - 6) to math.min(6, k)
+      val ctes = (1 to 12).map { k =>
+        val vals = diag(k).map(i => s"($i, ${k - i})").mkString(", ")
+        val pm1 = s"d${k - 1}"
+        val pm2 = s"d${math.max(0, k - 2)}"
+        s"""d$k AS MATERIALIZED (SELECT p.ua, p.ub, g.i, g.j,
+           |  abs(p.a[g.i + 1] - p.b[g.j + 1]) + least(
+           |    coalesce(p1.c, 1e30), coalesce(p2.c, 1e30), coalesce(p3.c, 1e30)) AS c
+           |  FROM pairs p
+           |  CROSS JOIN (VALUES $vals) AS g(i, j)
+           |  LEFT JOIN $pm1 p1 ON p1.ua = p.ua AND p1.ub = p.ub AND p1.i = g.i - 1 AND p1.j = g.j
+           |  LEFT JOIN $pm1 p2 ON p2.ua = p.ua AND p2.ub = p.ub AND p2.i = g.i AND p2.j = g.j - 1
+           |  LEFT JOIN $pm2 p3 ON p3.ua = p.ua AND p3.ub = p.ub AND p3.i = g.i - 1 AND p3.j = g.j - 1)""".stripMargin
+      }
+      s"""WITH pr0 AS (SELECT user_id, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+         |  ${CleanFunctions.round4Sql(CleanFunctions.exactMeanSql("value"))} AS m
+         |  FROM events WHERE value IS NOT NULL AND user_id % 10 = 0 GROUP BY 1, 2),
+         |pr AS (SELECT user_id, list(m ORDER BY dow) AS a FROM pr0
+         |  GROUP BY 1 HAVING count(*) = 7),
+         |pairs AS MATERIALIZED (SELECT x.user_id AS ua, y.user_id AS ub, x.a AS a, y.a AS b
+         |  FROM pr x JOIN pr y ON x.user_id < y.user_id),
+         |d0 AS MATERIALIZED (SELECT ua, ub, 0 AS i, 0 AS j, abs(a[1] - b[1]) AS c FROM pairs),
+         |${ctes.mkString(",\n")}
+         |SELECT ua, ub, ${CleanFunctions.round4Sql("c")} AS dtw FROM d12
+         |ORDER BY ua, ub""".stripMargin
+    },
 
     "ts_haar_energy" -> {
       val levels = (1 to 6).map { l =>

@@ -130,4 +130,45 @@ class VectorExpressionsSpec extends AnyFunSuite {
       hof.as("slow"))
     assert(both.filter(col("fast") =!= col("slow")).count() == 0)
   }
+
+  test("DtwDistance matches a reference DP and honors its contracts") {
+    import spark.implicits._
+    // Reference DP (independent implementation: full matrix, not the
+    // expression's rolling buffer) — same recurrence, any order agrees.
+    def refDtw(a: Array[Double], b: Array[Double]): Double = {
+      val dp = Array.ofDim[Double](a.length, b.length)
+      for (i <- a.indices; j <- b.indices) {
+        val base = math.abs(a(i) - b(j))
+        dp(i)(j) = base + ((i, j) match {
+          case (0, 0) => 0.0
+          case (0, _) => dp(0)(j - 1)
+          case (_, 0) => dp(i - 1)(0)
+          case _      => math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+        })
+      }
+      dp(a.length - 1)(b.length - 1)
+    }
+    val cases = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),              // identical -> 0
+      (Array(1.0, 2.0, 3.0, 4.0), Array(2.0, 3.0, 4.0, 5.0)),    // shifted
+      (Array(0.0, 10.0, 0.0), Array(0.0, 0.0, 10.0, 0.0)),       // elastic match
+      (Array(5.0), Array(1.0, 2.0, 3.0)))                        // m != n
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.dtwDistance(col("a"), col("b")).as("d")).collect()
+    cases.zip(rows).foreach { case ((a, b), r) =>
+      assert(r.getDouble(0) == refDtw(a, b), s"${a.toSeq} vs ${b.toSeq}")
+    }
+    assert(rows.head.getDouble(0) == 0.0)
+    // Contracts: empty or oversized input -> null (never a fake 0).
+    val edge = Seq(
+      (Array.empty[Double], Array(1.0)),
+      (Array.fill(65)(1.0), Array(1.0))).toDF("a", "b")
+    assert(edge.select(VectorExpressions.dtwDistance(col("a"), col("b")))
+      .collect().forall(_.isNullAt(0)))
+    // SQL registration surface.
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT dtw_distance(array(1.0d, 2.0d), array(2.0d, 3.0d)) AS d")
+      .head().getDouble(0) == refDtw(Array(1.0, 2.0), Array(2.0, 3.0)))
+  }
 }
