@@ -218,6 +218,34 @@ object StatsOps {
       .drop("_cu_run", "_cu_rn", "_cu_tot", "_cu_n")
   }
 
+  /** Page–Hinkley sequential mean-shift score per key: PH_t =
+    * Σ_{i≤t}(x_i − x̄_i − δ) against the RUNNING mean x̄_i (so a slow
+    * upward drift keeps contributing — deviations from the FULL-series
+    * mean, [[cusum]], self-cancel around it), with the alarm raised when
+    * PH_t exceeds its running minimum by λ. Appends `ph` (4dp) and
+    * `is_drift` (0/1). Entirely window-expressible: exact DECIMAL
+    * running mean, 6dp-quantized increments, DECIMAL prefix sum,
+    * running min — keyed windows only, no global sort, no fold, and
+    * order-of-addition cannot drift cross-engine hashes. Null values
+    * are excluded upstream by the caller (a null x_i has no defined
+    * increment).
+    */
+  def pageHinkley(df: DataFrame, keys: Seq[String], ord: Seq[String],
+                  valueCol: String, delta: Double, lambda: Double): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(col): _*)
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("_ph_mean", CleanFunctions.exactMeanOver(col(valueCol), wr))
+      .withColumn("_ph_term",
+        CleanFunctions.round6(col(valueCol) - col("_ph_mean") - lit(delta)))
+      .withColumn("_ph_raw", CleanFunctions.exactSumOver(col("_ph_term"), wr))
+      .withColumn("_ph_min", min(col("_ph_raw")).over(wr))
+      .withColumn("ph", CleanFunctions.round4(col("_ph_raw")))
+      .withColumn("is_drift",
+        when(col("_ph_raw") - col("_ph_min") > lambda, 1L).otherwise(0L))
+      .drop("_ph_mean", "_ph_term", "_ph_raw", "_ph_min")
+  }
+
   /** Per-key ordinary-least-squares fit of `y` on `x`: slope, intercept
     * and R² from one pass of DECIMAL-exact raw moments (n, Σx, Σy, Σxy,
     * Σx², Σy²). The closed form keeps every double op in the same order

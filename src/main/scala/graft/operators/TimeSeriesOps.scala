@@ -719,6 +719,70 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** GARCH(1,1) conditional-variance path with FIXED parameters, emitted
+    * per row — the volatility-clustering model EWMA variance
+    * ([[ewma]]-on-squares, `ts_ewma_vol`) only approximates: EWMA is the
+    * degenerate ω=0, α+β=1 corner with no mean reversion, while GARCH's
+    * ω term pulls quiet stretches back to the unconditional variance
+    * ω/(1−α−β). Recurrence over the return series r_t (feed returns, not
+    * levels): σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1}, initialized at the
+    * unconditional variance σ²_1 = ω/(1−α−β). σ²_t depends only on
+    * PAST returns, so r_t/σ_t is a look-ahead-free standardized shock.
+    * Parameter FITTING (MLE) is out of scope by design — production
+    * monitoring refits offline and scores online with pinned params,
+    * which is exactly this operator.
+    *
+    * The recurrence is not window-expressible (state multiplies by β
+    * each step), so this is the documented keyed repartition + sorted
+    * in-partition O(1)-state scan — same contract as [[kalmanPath]],
+    * with the identical left-to-right IEEE fold replayed by the oracle's
+    * recursive CTE for exact parity (the update is written `ω + α·r² +
+    * β·σ²`, left-associated, on both engines). Null returns emit null
+    * and leave the state untouched.
+    */
+  def garchPath(df: DataFrame, keys: Seq[String], order: Seq[String],
+                target: String, omega: Double, alpha: Double, beta: Double,
+                numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "garchPath needs series keys")
+    require(omega > 0, s"omega=$omega must be positive")
+    require(alpha >= 0 && beta >= 0 && alpha + beta < 1,
+      s"need alpha,beta >= 0 and alpha+beta < 1 for stationarity: alpha=$alpha beta=$beta")
+    require(!df.columns.contains("sigma2"),
+      "garchPath: input already has a sigma2 column")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn("__garch_in", col(target).cast(DoubleType))
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields :+ StructField("sigma2", DoubleType))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val tIdx = sorted.schema.fieldIndex("__garch_in")
+    val uncond = omega / (1.0 - alpha - beta)
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var s2 = 0.0; var prevR = 0.0; var seen = false
+        rows.map { row =>
+          val k = keyIdx.map(row.get)
+          if (k != curKey) { curKey = k; seen = false }
+          val state: Any =
+            if (row.isNullAt(tIdx)) null
+            else {
+              val r = row.getDouble(tIdx)
+              if (!seen) { s2 = uncond; seen = true }
+              else s2 = omega + alpha * (prevR * prevR) + beta * s2
+              prevR = r
+              s2
+            }
+          // Drop the shadow column (last) and append sigma2.
+          Row.fromSeq(row.toSeq.init :+ state)
+        }
+      }, schema)
+  }
+
   /** Two-threshold hysteresis (Schmitt-trigger) alert state per key —
     * the debounced alarm every monitoring stack runs instead of a single
     * threshold (which chatters when the signal hovers at the line):

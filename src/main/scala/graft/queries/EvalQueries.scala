@@ -35,6 +35,15 @@ object EvalQueries {
     */
   private val AucScoreCol = "value"
 
+  /** GARCH(1,1) pinned parameters for ts_garch_vol: persistence
+    * α+β=0.95, unconditional variance ω/(1−α−β)=4000 ≈ the events
+    * return variance (value is ~exp(50), diffs have σ≈65).
+    */
+  private val GarchOmega = 200.0
+  private val GarchAlpha = 0.10
+  private val GarchBeta = 0.85
+  private val GarchUncond = GarchOmega / (1.0 - GarchAlpha - GarchBeta)
+
   /** (pair name, column A expr, column B expr) for the association
     * matrices — both engines derive the same integer categories.
     */
@@ -299,6 +308,29 @@ object EvalQueries {
           round4(col("ret") / nullif(col("vol_prev"), lit(0.0))).as("z"),
           when(abs(col("ret") / nullif(col("vol_prev"), lit(0.0))) > 3.0, 1L)
             .otherwise(0L).as("is_spike"))
+        .orderBy("event_id")
+    },
+
+    // GARCH(1,1) conditional volatility path + standardized shock — the
+    // mean-reverting big sibling of ts_ewma_vol (EWMA variance is the
+    // ω=0, α+β=1 corner; GARCH's ω pulls quiet stretches back toward the
+    // unconditional level ω/(1−α−β)=4000, sized to the events return
+    // variance). Fixed pinned params (production shape: offline MLE
+    // refit, online scoring), recursive keyed fold in TimeSeriesOps
+    // replayed exactly by the oracle's recursive CTE. σ²_t sees only
+    // PAST returns, so z=r/σ is look-ahead-free; σ² ≥ ω > 0 makes the
+    // division total.
+    "ts_garch_vol" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rets = Tables.events(s, d)
+        .withColumn("ret", col("value") - lag(col("value"), 1).over(w))
+        .where(col("ret").isNotNull)
+      graft.operators.TimeSeriesOps.garchPath(
+          rets, Seq("user_id"), Seq("ts", "event_id"), "ret",
+          omega = GarchOmega, alpha = GarchAlpha, beta = GarchBeta)
+        .select(col("event_id"), round4(col("ret")).as("ret"),
+          round4(sqrt(col("sigma2"))).as("vol"),
+          round4(col("ret") / sqrt(col("sigma2"))).as("z"))
         .orderBy("event_id")
     },
 
@@ -685,6 +717,35 @@ object EvalQueries {
          |  ${round4Sql("zraw")} AS z,
          |  CASE WHEN abs(zraw) > 3.0 THEN 1 ELSE 0 END AS is_spike
          |FROM z ORDER BY event_id""".stripMargin
+    },
+
+    // Recursive-CTE replay of the exact garchPath fold: same
+    // left-associated update ω + α·r² + β·σ², same unconditional-
+    // variance init, every constant dlit'd so both engines fold the
+    // same doubles.
+    "ts_garch_vol" -> {
+      val W2 = "PARTITION BY user_id ORDER BY ts, event_id"
+      val w0 = CleanFunctions.dlitSql(GarchOmega)
+      val a0 = CleanFunctions.dlitSql(GarchAlpha)
+      val b0 = CleanFunctions.dlitSql(GarchBeta)
+      val u0 = CleanFunctions.dlitSql(GarchUncond)
+      s"""WITH RECURSIVE v AS (
+         |  SELECT user_id, event_id, ret,
+         |    row_number() OVER ($W2) AS rn
+         |  FROM (SELECT user_id, ts, event_id,
+         |          value - lag(value, 1) OVER ($W2) AS ret FROM events)
+         |  WHERE ret IS NOT NULL),
+         |g AS (
+         |  SELECT user_id, event_id, rn, ret, $u0 AS s2
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.user_id, v.event_id, v.rn, v.ret,
+         |    $w0 + $a0 * (h.ret * h.ret) + $b0 * h.s2
+         |  FROM g h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
+         |SELECT event_id, ${round4Sql("ret")} AS ret,
+         |  ${round4Sql("sqrt(s2)")} AS vol,
+         |  ${round4Sql("ret / sqrt(s2)")} AS z
+         |FROM g ORDER BY event_id""".stripMargin
     },
 
     "events_forecast_reconcile" ->

@@ -27,6 +27,12 @@ object StatsQueries {
   /** Exact-double literal shared with the SQL twin. */
   private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
+  /** Page–Hinkley magnitude tolerance δ and alarm threshold λ, sized to
+    * the events value scale (mean ≈ 50, σ ≈ 49): δ ≈ σ/10, λ ≈ 4σ.
+    */
+  private val PhDelta = 5.0
+  private val PhLambda = 200.0
+
   /** Benford expected first-digit shares log10(1 + 1/d), d = 1..9 —
     * computed ONCE here and baked as literals into both engines.
     */
@@ -70,6 +76,21 @@ object StatsQueries {
     "ts_cusum" -> { (s, d) =>
       StatsOps.cusum(Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"), "value")
         .select("event_id", "cusum").orderBy("event_id")
+    },
+
+    // Page–Hinkley drift test per series — the sequential mean-shift
+    // detector ts_cusum's fixed-mean deviation isn't: PH accumulates
+    // (x_i − x̄_i − δ) against the RUNNING mean (so slow drifts don't
+    // self-cancel the way they do against the full-series mean) and
+    // alarms when PH falls λ above its running minimum. Entirely
+    // window-expressible: running exact mean (DECIMAL sum / count),
+    // 6dp-quantized terms, DECIMAL prefix sum, running min — no
+    // recursion, no fold, and order-of-addition can't drift the hash.
+    "ts_page_hinkley" -> { (s, d) =>
+      StatsOps.pageHinkley(Tables.events(s, d).where(col("value").isNotNull),
+          Seq("user_id"), Seq("ts", "event_id"), "value", PhDelta, PhLambda)
+        .select("event_id", "ph", "is_drift")
+        .orderBy("event_id")
     },
 
     // Shannon entropy of each series' bucketed value distribution —
@@ -1354,6 +1375,23 @@ object StatsQueries {
          |  wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          |  u AS (PARTITION BY user_id)
          |ORDER BY event_id""".stripMargin,
+
+    "ts_page_hinkley" -> {
+      val wrw = "WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+      s"""WITH e AS (SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT user_id, ts, event_id, value,
+         |  ${CleanFunctions.exactMeanSql("value", "OVER wr")} AS rmean
+         |  FROM e $wrw),
+         |t AS (SELECT user_id, ts, event_id,
+         |  ${CleanFunctions.round6Sql(s"value - rmean - ${dlit(PhDelta)}")} AS term FROM m),
+         |p AS (SELECT user_id, ts, event_id,
+         |  ${exactSumSql("term", "OVER wr")} AS ph
+         |  FROM t $wrw),
+         |q AS (SELECT event_id, ph, min(ph) OVER wr AS mn FROM p $wrw)
+         |SELECT event_id, ${round4Sql("ph")} AS ph,
+         |  CASE WHEN ph - mn > ${dlit(PhLambda)} THEN 1 ELSE 0 END AS is_drift
+         |FROM q ORDER BY event_id""".stripMargin
+    },
 
     "events_value_entropy" ->
       """WITH c AS (

@@ -279,6 +279,46 @@ class OpsSpec extends AnyFunSuite {
       s"Kalman estimate should at least halve the raw noise: $scored")
   }
 
+  test("garchPath matches the hand-computed GARCH(1,1) recurrence") {
+    // ω=2, α=0.2, β=0.7 → uncond = 2/0.1 = 20.
+    val df = Seq(
+      (1L, 0L * H, 1L, 3.0), (2L, 1L * H, 1L, -1.0), (3L, 2L * H, 1L, 2.0)
+    ).toDF("id", "tsu", "k", "r")
+    val out = TimeSeriesOps.garchPath(df, K, Ord, "r",
+        omega = 2.0, alpha = 0.2, beta = 0.7)
+      .orderBy("id").select("sigma2").as[Double].collect().toSeq
+    val s1 = 2.0 / (1.0 - 0.2 - 0.7)
+    val s2 = 2.0 + 0.2 * 9.0 + 0.7 * s1
+    val s3 = 2.0 + 0.2 * 1.0 + 0.7 * s2
+    assert(out === Seq(s1, s2, s3))
+  }
+
+  test("garchPath is partition-invariant, mean-reverting, and null-transparent") {
+    val rng = new scala.util.Random(17)
+    val rows = (1L to 600L).map { i =>
+      val v = if (i % 11 == 0) None else Some(rng.nextGaussian() * 3.0)
+      (i, (i % 17) * H, i % 4, v)
+    }
+    val df = rows.toDF("id", "tsu", "k", "r")
+    val a = TimeSeriesOps.garchPath(df, K, Ord, "r", 2.0, 0.2, 0.7, numPartitions = 3)
+      .orderBy("id").select("id", "sigma2").collect().toSeq
+    val b = TimeSeriesOps.garchPath(df, K, Ord, "r", 2.0, 0.2, 0.7, numPartitions = 13)
+      .orderBy("id").select("id", "sigma2").collect().toSeq
+    assert(a === b)
+    assert(TimeSeriesOps.garchPath(df, K, Ord, "r", 2.0, 0.2, 0.7)
+      .where(col("r").isNull && col("sigma2").isNotNull).count() == 0)
+    // Long run of zero returns decays σ² toward uncond·… no: toward
+    // ω/(1−β) = 2/0.3; after a 3σ shock the path must decrease back.
+    val calm = (1L to 60L).map(i => (i, i * H, 9L, if (i == 5) 30.0 else 0.0))
+      .toDF("id", "tsu", "k", "r")
+    val path = TimeSeriesOps.garchPath(calm, K, Ord, "r", 2.0, 0.2, 0.7)
+      .orderBy("id").select("sigma2").as[Double].collect()
+    assert(path(6) > path(4), "shock at t=5 must raise sigma2 at t=6")
+    assert(path(59) < path(6), "sigma2 must revert after the shock")
+    assert(math.abs(path(59) - 2.0 / 0.3) < 0.5,
+      s"zero-return fixpoint is omega/(1-beta): ${path(59)}")
+  }
+
   test("tokenBucket matches the hand-computed refill/consume recurrence") {
     // capacity 2, refill 1 token/hour. k=1 events at 0h, 0.5h, 1h, 1.5h:
     //  t=0h:   start full 2.0 -> admit, 1.0

@@ -13,6 +13,28 @@ class StatsOpsSpec extends AnyFunSuite {
 
   private lazy val ev = Tables.events(spark, sfDir).cache()
 
+  test("pageHinkley fires on a mean shift, not on a stationary stretch") {
+    import spark.implicits._
+    // 60 rows at level 10 (noise-free), then 60 at level 30: PH starts
+    // climbing once the running mean lags the shifted data. A second key
+    // stays flat and must never alarm (its terms are exactly -delta).
+    val rows = (1L to 120L).map { i =>
+      (i, i, "shift", if (i <= 60) 10.0 else 30.0)
+    } ++ (1L to 120L).map(i => (200 + i, i, "flat", 10.0))
+    val df = rows.toDF("id", "t", "k", "v")
+    val out = StatsOps.pageHinkley(df, Seq("k"), Seq("t"), "v",
+      delta = 1.0, lambda = 50.0).cache()
+    assert(out.where(col("k") === "flat" && col("is_drift") === 1).count() == 0)
+    val firstAlarm = out.where(col("k") === "shift" && col("is_drift") === 1)
+      .agg(min("t")).as[Long].head()
+    assert(firstAlarm > 60, s"alarm at t=$firstAlarm precedes the shift")
+    assert(firstAlarm < 80, s"alarm at t=$firstAlarm is too late for a 20-point shift")
+    // Once PH - min exceeds lambda under a sustained shift it stays up.
+    assert(out.where(col("k") === "shift" && col("t") >= firstAlarm &&
+      col("is_drift") === 0).count() == 0)
+    out.unpersist()
+  }
+
   test("rankPercentiles matches Spark's exact percentile (PERCENTILE_CONT)") {
     val ps = Seq(0.25, 0.5, 0.9)
     val got = StatsOps.rankPercentiles(ev, Seq("user_id"), "value", ps)
