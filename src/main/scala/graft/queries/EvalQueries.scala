@@ -101,6 +101,72 @@ object EvalQueries {
         .orderBy("event_type")
     },
 
+    // Average precision (area under the precision–recall curve) per
+    // event_type, one-vs-rest on the same score column as
+    // events_roc_auc — the metric that matters when positives are rare
+    // (ROC AUC saturates under class imbalance; AP weights every recall
+    // increment by the precision AT that threshold). Over distinct
+    // descending score thresholds t: AP = Σ (ΔTP/n_pos)·(TP/PP), which
+    // needs the overall cum-≥ count (banded prefix sums — no global
+    // window) and the per-type cum-≥ count (a window partitioned by
+    // type whose partitions are bounded by the 2dp SCORE DOMAIN, not
+    // the row count — the distinct-value table stays small at any
+    // scale). All-integer counts; one double product each side of the
+    // division, 6dp-quantized terms, DECIMAL sum.
+    "events_pr_auc" -> { (s, d) =>
+      val ev = Tables.events(s, d).where(col(AucScoreCol).isNotNull)
+      val byVal = ev.groupBy(col(AucScoreCol).as("v")).agg(count(lit(1)).as("n"))
+      val nn = ev.agg(count(lit(1)).as("n_tot"))
+      val geAll = StatsOps.bandedPrefixSums(byVal, col("v"), Seq("n"))
+        .crossJoin(broadcast(nn))
+        .select(col("v"), (col("n_tot") - col("cum_n") + col("n")).as("pp"))
+      val joint = ev.groupBy(col(AucScoreCol).as("v"), col("event_type"))
+        .agg(count(lit(1)).as("n_vt"))
+      val wt = Window.partitionBy("event_type").orderBy(col("v").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tp = joint.withColumn("tp", sum(col("n_vt")).over(wt))
+      val npos = joint.groupBy("event_type").agg(sum(col("n_vt")).as("n_pos"))
+      tp.join(geAll, "v").join(broadcast(npos), "event_type")
+        .select(col("event_type"), col("n_pos"),
+          round6((col("n_vt").cast(DoubleType) * col("tp").cast(DoubleType)) /
+            (col("n_pos").cast(DoubleType) * col("pp").cast(DoubleType)))
+            .cast(DecimalType(18, 6)).as("term"))
+        .groupBy("event_type", "n_pos")
+        .agg(sum(col("term")).cast(DoubleType).as("ap"))
+        .select(col("event_type"), col("n_pos"), round4(col("ap")).as("ap"))
+        .orderBy("event_type")
+    },
+
+    // Jensen–Shannon divergence of each user's event-type mix from the
+    // corpus-wide mix — the bounded, symmetric sibling of events_psi
+    // (PSI blows up on zero cells; JSD's mixture M=(P+Q)/2 is always
+    // positive wherever either side is). The user×type spine comes from
+    // a broadcast cross join against the TINY type table, so users with
+    // missing types contribute their q·ln(q/m) mass exactly. All
+    // probabilities are integer ratios; ln terms 6dp-quantized then
+    // DECIMAL-summed per user.
+    "events_js_divergence" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val ut = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val un = ut.groupBy("user_id").agg(sum(col("c")).as("un"))
+      val gt = ev.groupBy("event_type").agg(count(lit(1)).as("gc"))
+      val nn = ev.agg(count(lit(1)).as("n_tot"))
+      val spine = un.crossJoin(broadcast(gt.crossJoin(nn)))
+      val p = coalesce(col("c"), lit(0L)).cast(DoubleType) / col("un").cast(DoubleType)
+      val q = col("gc").cast(DoubleType) / col("n_tot").cast(DoubleType)
+      val m = (col("p") + col("q")) / lit(2.0)
+      spine.join(ut, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), p.as("p"), q.as("q"))
+        .select(col("user_id"),
+          round6(when(col("p") > 0.0, col("p") * log(col("p") / m)).otherwise(lit(0.0)) +
+            col("q") * log(col("q") / m))
+            .cast(DecimalType(18, 6)).as("term"))
+        .groupBy("user_id")
+        .agg(sum(col("term")).cast(DoubleType).as("jsum"))
+        .select(col("user_id"), round4(lit(0.5) * col("jsum")).as("jsd"))
+        .orderBy("user_id")
+    },
+
     // Cramér's V association matrix over declared categorical pairs —
     // the "which columns move together" screen run before any feature
     // is trusted. One grouped count per pair (map-side partial), cells
@@ -585,6 +651,43 @@ object EvalQueries {
          |SELECT event_type, n_pos, n_tot - n_pos AS n_neg,
          |  ${round6Sql("CAST(rs2 - n_pos*(n_pos+1) AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_tot - n_pos AS DOUBLE))")} AS auc
          |FROM s, nn ORDER BY event_type""".stripMargin,
+
+    "events_pr_auc" ->
+      s"""WITH ev AS (SELECT value AS v, event_type FROM events WHERE value IS NOT NULL),
+         |byv AS (SELECT v, count(*) AS n FROM ev GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_tot FROM ev),
+         |ge AS (SELECT v,
+         |  (SELECT n_tot FROM nn) - sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n AS pp
+         |  FROM byv),
+         |jt AS (SELECT v, event_type, count(*) AS n_vt FROM ev GROUP BY 1, 2),
+         |tp AS (SELECT v, event_type, n_vt,
+         |  sum(n_vt) OVER (PARTITION BY event_type ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+         |  FROM jt),
+         |np AS (SELECT event_type, sum(n_vt) AS n_pos FROM jt GROUP BY 1),
+         |terms AS (SELECT t.event_type, np.n_pos,
+         |  CAST(${round6Sql(
+              "(CAST(n_vt AS DOUBLE) * CAST(tp AS DOUBLE)) / (CAST(n_pos AS DOUBLE) * CAST(pp AS DOUBLE))")} AS DECIMAL(18,6)) AS term
+         |  FROM tp t JOIN ge USING (v) JOIN np ON np.event_type = t.event_type)
+         |SELECT event_type, n_pos, ${round4Sql("CAST(sum(term) AS DOUBLE)")} AS ap
+         |FROM terms GROUP BY event_type, n_pos ORDER BY event_type""".stripMargin,
+
+    "events_js_divergence" ->
+      s"""WITH ut AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+         |un AS (SELECT user_id, sum(c) AS un FROM ut GROUP BY 1),
+         |gt AS (SELECT event_type, count(*) AS gc FROM events GROUP BY 1),
+         |nn AS (SELECT count(*) AS n_tot FROM events),
+         |sp AS (SELECT un.user_id, un.un, gt.event_type, gt.gc, nn.n_tot
+         |  FROM un CROSS JOIN gt CROSS JOIN nn),
+         |pq AS (SELECT sp.user_id,
+         |  CAST(coalesce(ut.c, 0) AS DOUBLE) / CAST(sp.un AS DOUBLE) AS p,
+         |  CAST(sp.gc AS DOUBLE) / CAST(sp.n_tot AS DOUBLE) AS q
+         |  FROM sp LEFT JOIN ut ON ut.user_id = sp.user_id AND ut.event_type = sp.event_type),
+         |t AS (SELECT user_id,
+         |  CAST(${round6Sql(
+              "(CASE WHEN p > 0.0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END) + q * ln(q / ((p + q) / 2.0))")} AS DECIMAL(18,6)) AS term
+         |  FROM pq)
+         |SELECT user_id, ${round4Sql("0.5 * CAST(sum(term) AS DOUBLE)")} AS jsd
+         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_cramers_v" -> {
       val per = assocPairsSql.map { case (nm, a, b) =>

@@ -1200,6 +1200,50 @@ object StatsQueries {
         .orderBy("t_hours")
     },
 
+    // Nelson–Aalen cumulative hazard over the same duration/censoring
+    // framing as events_survival_km — the estimator survival analysis
+    // reaches for when the HAZARD (instantaneous churn intensity) is
+    // the decision quantity, not the survival curve: H(t) = Σ_{tᵢ≤t}
+    // dᵢ/nᵢ with Poisson variance Σ dᵢ/nᵢ². Same risk-set non-equi
+    // broadcast joins over the O(#distinct durations) aggregate (never
+    // over users); hazard increments 6dp-quantized then DECIMAL-summed
+    // so the cumulative is order-free.
+    "events_nelson_aalen" -> { (s, d) =>
+      val eu = CleanFunctions.epochUs(col("ts"))
+      val du = Tables.events(s, d).groupBy("user_id")
+        .agg(min(eu).as("first_us"), max(eu).as("last_us"))
+      val g = du.agg(max(col("last_us")).as("gmax"))
+      val d0 = du.crossJoin(broadcast(g))
+        .select(expr("(last_us - first_us) div 3600000000").as("dur_h"),
+          when(col("last_us") <= col("gmax") - lit(43200000000L), 1L)
+            .otherwise(0L).as("observed"))
+      val t = d0.groupBy("dur_h").agg(
+        count(when(col("observed") === 1L, 1)).as("d"),
+        count(lit(1)).as("m"))
+      val tb = t.select(col("dur_h").as("t2"), col("m").as("m2"))
+      val r = t.join(broadcast(tb), col("t2") >= col("dur_h"))
+        .groupBy("dur_h", "d", "m").agg(sum(col("m2")).as("n_risk"))
+      val f = r
+        .withColumn("hterm", CleanFunctions.round6(
+            col("d").cast(DoubleType) / col("n_risk").cast(DoubleType))
+          .cast(DecimalType(18, 6)))
+        .withColumn("vterm", CleanFunctions.round6(
+            col("d").cast(DoubleType) /
+              (col("n_risk").cast(DoubleType) * col("n_risk").cast(DoubleType)))
+          .cast(DecimalType(18, 6)))
+      val fb = f.select(col("dur_h").as("t2"),
+        col("hterm").as("h2"), col("vterm").as("v2"))
+      f.join(broadcast(fb), col("t2") <= col("dur_h"))
+        .groupBy("dur_h", "d", "m", "n_risk")
+        .agg(sum(col("h2")).as("hsum"), sum(col("v2")).as("vsum"))
+        .where(col("d") > 0)
+        .select(col("dur_h").as("t_hours"), col("n_risk").cast(LongType).as("n_risk"),
+          col("d").as("d_events"),
+          round4(col("hsum").cast(DoubleType)).as("cum_hazard"),
+          round4(col("vsum").cast(DoubleType)).as("hazard_var"))
+        .orderBy("t_hours")
+    },
+
     // Count-min sketch heavy hitters (Cormode-Muthukrishnan): d=3
     // pairwise-independent integer hash rows x w=64 counters over the
     // event key stream, estimate = min over rows, reported for the top
@@ -2301,6 +2345,37 @@ object StatsQueries {
          |SELECT dur_h AS t_hours, n_risk, d AS d_events, m - d AS censored,
          |  CASE WHEN zc > 0 THEN 0.0
          |       ELSE ${round4Sql("exp(CAST(lnsum AS DOUBLE))")} END AS survival
+         |FROM s WHERE d > 0 ORDER BY t_hours""".stripMargin,
+
+    "events_nelson_aalen" ->
+      s"""WITH du AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY user_id),
+         |g AS (SELECT max(last_us) AS gmax FROM du),
+         |d0 AS (
+         |  SELECT (last_us - first_us) // 3600000000 AS dur_h,
+         |         CASE WHEN last_us <= gmax - 43200000000 THEN 1 ELSE 0 END AS observed
+         |  FROM du, g),
+         |t AS (
+         |  SELECT dur_h, count(CASE WHEN observed = 1 THEN 1 END) AS d, count(*) AS m
+         |  FROM d0 GROUP BY dur_h),
+         |r AS (
+         |  SELECT a.dur_h, a.d, a.m, CAST(sum(b.m) AS BIGINT) AS n_risk
+         |  FROM t a JOIN t b ON b.dur_h >= a.dur_h
+         |  GROUP BY a.dur_h, a.d, a.m),
+         |f AS (
+         |  SELECT dur_h, d, m, n_risk,
+         |    CAST(${CleanFunctions.round6Sql("CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)")} AS DECIMAL(18,6)) AS hterm,
+         |    CAST(${CleanFunctions.round6Sql("CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))")} AS DECIMAL(18,6)) AS vterm
+         |  FROM r),
+         |s AS (
+         |  SELECT a.dur_h, a.d, a.m, a.n_risk,
+         |    sum(b.hterm) AS hsum, sum(b.vterm) AS vsum
+         |  FROM f a JOIN f b ON b.dur_h <= a.dur_h
+         |  GROUP BY a.dur_h, a.d, a.m, a.n_risk)
+         |SELECT dur_h AS t_hours, n_risk, d AS d_events,
+         |  ${round4Sql("CAST(hsum AS DOUBLE)")} AS cum_hazard,
+         |  ${round4Sql("CAST(vsum AS DOUBLE)")} AS hazard_var
          |FROM s WHERE d > 0 ORDER BY t_hours""".stripMargin,
 
     "events_cms_topk" -> {

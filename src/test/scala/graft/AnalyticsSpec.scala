@@ -50,6 +50,51 @@ class AnalyticsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(stages == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L), s"got $stages")
   }
 
+  test("average precision is 1.0 for a perfectly separating score, low for the inverse") {
+    // purchase owns the 10 highest scores -> every prefix of its ranking
+    // is pure -> AP = 1. view owns the 10 lowest -> its precision at
+    // each recall step is k/(10+k) -> AP ~ 0.33.
+    val d = eventsDir(
+      (1 to 10).map(i => (i.toLong, i * H, 1L, "purchase", 100.0 + i)) ++
+      (1 to 10).map(i => (10L + i, i * H, 2L, "view", 1.0 + i)))
+    val ap = SparkEntry.queries("events_pr_auc")(spark, d)
+      .select("event_type", "ap").as[(String, Double)].collect().toMap
+    assert(ap("purchase") === 1.0, s"got $ap")
+    val expectedView = (1 to 10).map(k => (k.toDouble / 10.0 - (k - 1) / 10.0) *
+      (k.toDouble / (10.0 + k))).sum
+    assert(math.abs(ap("view") - expectedView) < 1e-3, s"got $ap want ~$expectedView")
+  }
+
+  test("JS divergence is zero for a user matching the global mix, symmetric-positive for disjoint") {
+    // Two users with IDENTICAL mixes: global mix == each user's mix -> 0.
+    val same = eventsDir(Seq(
+      (1L, 1 * H, 1L, "view", 1.0), (2L, 2 * H, 1L, "click", 1.0),
+      (3L, 1 * H, 2L, "view", 1.0), (4L, 2 * H, 2L, "click", 1.0)))
+    val z = SparkEntry.queries("events_js_divergence")(spark, same)
+      .select("jsd").as[Double].collect().toSeq
+    assert(z === Seq(0.0, 0.0), s"got $z")
+    // Disjoint users: each P=(1,0) vs global Q=(.5,.5) -> JSD ~ 0.2158,
+    // identical for both by symmetry, and well under the ln 2 bound.
+    val disj = eventsDir(Seq(
+      (1L, 1 * H, 1L, "view", 1.0), (2L, 2 * H, 1L, "view", 1.0),
+      (3L, 1 * H, 2L, "click", 1.0), (4L, 2 * H, 2L, "click", 1.0)))
+    val j = SparkEntry.queries("events_js_divergence")(spark, disj)
+      .select("jsd").as[Double].collect().toSeq
+    assert(j.length == 2 && j.distinct.length == 1, s"got $j")
+    assert(math.abs(j.head - 0.2158) < 1e-3 && j.head < math.log(2.0), s"got $j")
+  }
+
+  test("Nelson-Aalen cumulative hazard is nondecreasing and bounds its variance") {
+    val rows = SparkEntry.queries("events_nelson_aalen")(spark, SparkTestSession.sfDir)
+      .orderBy("t_hours")
+      .select("cum_hazard", "hazard_var").as[(Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.sliding(2).forall { case Seq(a, b) => b._1 >= a._1; case _ => true },
+      "cumulative hazard must be nondecreasing")
+    assert(rows.forall { case (h, v) => v >= 0.0 && v <= h + 1e-9 },
+      "Poisson variance sums d/n^2 <= d/n = hazard")
+  }
+
   test("attribution credits each purchase to the first and last preceding touch") {
     val d = eventsDir(Seq(
       // u1: view -> click -> purchase(10): first=view, last=click
