@@ -148,4 +148,42 @@ object CleanFunctions {
     * Scala-computed constant.
     */
   def dlitSql(x: Double): String = s"CAST('${x.toString}' AS DOUBLE)"
+
+  // ---- Standard-normal CDF, engine-portable -------------------------------
+  // Neither Spark SQL nor DuckDB ships erf, so p-values use the
+  // Abramowitz & Stegun 7.1.26 polynomial (|error| < 1.5e-7 — invisible
+  // at the 4dp output quantization) evaluated as the SAME expression
+  // tree on both engines: every coefficient is one shared literal, the
+  // only transcendental is exp(), and the Horner order is fixed, so the
+  // doubles agree to the last ulp except where libm exp differs — which
+  // 4dp rounding absorbs. Callers MUST round4 the z input first so both
+  // engines start from the identical double.
+  private val ErfP  = 0.3275911
+  private val ErfA  = Seq(0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** P(Z <= z) for a round4-quantized z column. */
+  def normalCdf(z: Column): Column = {
+    val x  = abs(z) * lit(InvSqrt2)
+    val t  = lit(1.0) / (lit(1.0) + lit(ErfP) * x)
+    val poly = ((((lit(ErfA(4)) * t + lit(ErfA(3))) * t + lit(ErfA(2))) * t
+      + lit(ErfA(1))) * t + lit(ErfA(0))) * t
+    val erf = lit(1.0) - poly * exp(-x * x)
+    when(z >= 0, lit(0.5) * (lit(1.0) + erf))
+      .otherwise(lit(0.5) * (lit(1.0) - erf))
+  }
+
+  /** DuckDB twin of [[normalCdf]] applied to SQL fragment `z` (which must
+    * already be 4dp-quantized and free of side effects — it is spliced
+    * several times).
+    */
+  def normalCdfSql(z: String): String = {
+    def d(x: Double) = dlitSql(x)
+    val x = s"(abs($z) * ${d(InvSqrt2)})"
+    val t = s"(1.0 / (1.0 + ${d(ErfP)} * $x))"
+    val poly = s"(((((${d(ErfA(4))} * $t + ${d(ErfA(3))}) * $t + ${d(ErfA(2))}) * $t + ${d(ErfA(1))}) * $t + ${d(ErfA(0))}) * $t)"
+    val erf = s"(1.0 - $poly * exp(-($x) * ($x)))"
+    s"(CASE WHEN ($z) >= 0 THEN 0.5 * (1.0 + $erf) ELSE 0.5 * (1.0 - $erf) END)"
+  }
 }
