@@ -37,6 +37,16 @@ object InferenceQueries {
   /** BH significance level. */
   private val FdrQ = 0.05
 
+  /** Apdex satisfied threshold T (tolerating up to 4T), sized to the
+    * events value scale (mean ≈ 50).
+    */
+  private val ApdexT = 50.0
+
+  /** Capacity threshold for ts_capacity_eta (~mean + 2σ of the value
+    * scale — a minority of trending series cross it).
+    */
+  private val CapacityC = 150.0
+
   private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -264,6 +274,138 @@ object InferenceQueries {
           when(col("cooks_d") > lit(4.0) / n, lit(1L)).otherwise(lit(0L))
             .as("is_influential"))
         .orderBy("event_id")
+    },
+
+    // James–Stein / empirical-Bayes shrinkage of the per-series means
+    // toward the grand mean — the fleet-estimation primitive (a 100k-
+    // series dashboard should NOT trust 30-observation raw means; the
+    // JS estimator dominates them in total squared error). Equal-
+    // variance approximation: c = max(0, 1 − (k−3)·v̄ / Σ(m̄ⱼ−m̄)²) with
+    // v̄ the pooled within-series variance over the mean sample sizes.
+    // Three bounded passes: per-series moments, k-row totals
+    // (broadcast), per-series output — every cross-series sum is
+    // round4-quantized into the DECIMAL envelope so group order can't
+    // drift it.
+    "ts_james_stein" -> { (s, d) =>
+      val v = col("value")
+      val g = Tables.events(s, d).where(v.isNotNull)
+        .groupBy("user_id").agg(
+          count(lit(1)).cast(DoubleType).as("nj"),
+          exactSum(v).as("sz"),
+          exactSum(round4(v * v)).as("szz"))
+        .withColumn("mj", round4(col("sz") / col("nj")))
+      val tot = g.agg(
+        sum(col("nj")).as("nn"),
+        count(lit(1)).cast(DoubleType).as("k"),
+        exactSum(col("mj")).as("sm"),
+        exactSum(round4(col("szz") - col("sz") * col("sz") / col("nj"))).as("ssw"),
+        exactSum(round4(lit(1.0) / col("nj"))).as("sinv"))
+      val j = g.crossJoin(broadcast(tot))
+      val gm = col("sm") / col("k")
+      val ss = j.select(round4((col("mj") - gm) * (col("mj") - gm)).as("t"))
+        .agg(exactSum(col("t")).as("ss"))
+      val vbar = (col("ssw") / (col("nn") - col("k"))) * (col("sinv") / col("k"))
+      val c = when(col("ss") > 0.0,
+        greatest(lit(0.0), lit(1.0) - (col("k") - lit(3.0)) * vbar / col("ss")))
+        .otherwise(lit(0.0))
+      j.crossJoin(broadcast(ss))
+        .withColumn("shrink_c", round4(c))
+        .select(col("user_id"), col("nj").cast(LongType).as("n_obs"),
+          col("mj").as("raw_mean"),
+          round4(gm + col("shrink_c") * (col("mj") - gm)).as("shrunk_mean"),
+          col("shrink_c"))
+        .orderBy("user_id")
+    },
+
+    // Historical VaR(95) + expected shortfall per series on the step
+    // changes (first differences) — "how bad is a bad step, and how bad
+    // is the average of the bad steps": the tail-risk summary of each
+    // series' movement distribution. The quantile is the exact rank-
+    // interpolated PERCENTILE_CONT via StatsOps.rankPercentiles (no
+    // per-group buffering); ES is one conditional exact-mean over the
+    // diffs at or below the rounded VaR.
+    "ts_var_es" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val diffs = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("dv", round4(col("value") - lag(col("value"), 1).over(w)))
+        .where(col("dv").isNotNull)
+        .select(col("user_id"), col("event_id"), col("dv"))
+      val varq = StatsOps.rankPercentiles(diffs, Seq("user_id"), "dv", Seq(0.05))
+        .select(col("user_id"), col("pct").as("var95"))
+      diffs.join(varq, "user_id")
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_diffs"),
+          first(col("var95")).as("var95"),
+          round4(exactSum(when(col("dv") <= col("var95"), col("dv"))) /
+            count(when(col("dv") <= col("var95"), lit(1)))).as("es95"))
+        .orderBy("user_id")
+    },
+
+    // Good–Turing count-of-counts over the PER-DOCUMENT term
+    // frequencies: N_r = #(doc, term) pairs with tf = r, and the
+    // smoothed count r* = (r+1)·N_{r+1}/N_r — the Good–Turing
+    // adjusted-frequency table language-model smoothing reads its
+    // discounts from. Per-document tf (not corpus-level type counts)
+    // because the r-domain is then scale-invariant: doc length bounds
+    // r, so the r ≤ 10 head stays populated at any corpus size (the
+    // synthetic corpus has only 31 word types, every one frequent —
+    // corpus-level N_{r≤10} is empty at EVERY sf). One tokenize +
+    // two-level count aggregate; the ≤11-row table joins to itself
+    // broadcast. Rows whose r+1 count is absent yield null r*.
+    "text_good_turing" -> { (s, d) =>
+      val toks = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("r"))
+      val coc = tf.groupBy("r").agg(count(lit(1)).as("n_r")).where(col("r") <= 11L)
+      val nxt = coc.select((col("r") - 1L).as("r"), col("n_r").as("n_r1"))
+      coc.where(col("r") <= 10L).join(broadcast(nxt), Seq("r"), "left")
+        .select(col("r"), col("n_r"),
+          round4((col("r") + lit(1L)).cast(DoubleType) * col("n_r1").cast(DoubleType) /
+            col("n_r").cast(DoubleType)).as("r_star"))
+        .orderBy("r")
+    },
+
+    // Apdex score per event type: satisfied (value ≤ T) + half-credit
+    // tolerating (T < value ≤ 4T) over all samples — THE contractual
+    // SRE satisfaction metric, here with T sized to the value scale.
+    // One integer-exact grouped aggregate.
+    "events_apdex" -> { (s, d) =>
+      val v = col("value")
+      Tables.events(s, d).where(v.isNotNull)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_samples"),
+          count(when(v <= lit(ApdexT), 1)).as("satisfied"),
+          count(when(v > lit(ApdexT) && v <= lit(4.0 * ApdexT), 1)).as("tolerating"))
+        .withColumn("apdex", round4(
+          (col("satisfied").cast(DoubleType) + col("tolerating").cast(DoubleType) / 2.0) /
+            col("n_samples").cast(DoubleType)))
+        .orderBy("event_type")
+    },
+
+    // Capacity ETA per series: project the OLS hour-trend to the shared
+    // capacity threshold — "which series run out of headroom, and
+    // when" (the capacity-planning read of ts_ols_trend). Fitted level
+    // and slope come ROUNDED from StatsOps.olsTrend so the ETA
+    // arithmetic is engine-identical; flat/declining series yield null
+    // ETA, already-over-capacity series ETA 0.
+    "ts_capacity_eta" -> { (s, d) =>
+      val wp = Window.partitionBy("user_id")
+      val prep = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("mn", min(col("tsu")).over(wp))
+        .withColumn("x", expr("(tsu - mn) DIV 3600000000").cast(DoubleType))
+      val fit = StatsOps.olsTrend(prep, Seq("user_id"), col("x"), col("value"))
+      val xm = prep.groupBy("user_id").agg(max(col("x")).as("xmax"))
+      fit.join(xm, "user_id")
+        .withColumn("level", round4(col("intercept") + col("slope") * col("xmax")))
+        .withColumn("eta_hours", when(col("slope") > 0.0,
+          round4(greatest(lit(0.0), (lit(CapacityC) - col("level")) / col("slope")))))
+        .select(col("user_id"), col("slope"), col("level"), col("eta_hours"),
+          when(col("eta_hours").isNotNull && col("eta_hours") <= lit(720.0), lit(1L))
+            .otherwise(lit(0L)).as("breach_30d"))
+        .orderBy("user_id")
     }
   )
 
@@ -427,6 +569,117 @@ object InferenceQueries {
          |  CASE WHEN cooks_d > 4.0 / n THEN CAST(1 AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END AS is_influential
          |FROM o ORDER BY event_id""".stripMargin
+    },
+
+    "ts_james_stein" ->
+      s"""WITH g AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS nj,
+         |    ${exactSumSql("value")} AS sz,
+         |    ${exactSumSql(round4Sql("value * value"))} AS szz
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |g2 AS (SELECT *, ${round4Sql("sz / nj")} AS mj FROM g),
+         |tot AS (
+         |  SELECT sum(nj) AS nn, CAST(count(*) AS DOUBLE) AS k,
+         |    ${exactSumSql("mj")} AS sm,
+         |    ${exactSumSql(round4Sql("szz - sz * sz / nj"))} AS ssw,
+         |    ${exactSumSql(round4Sql("1.0 / nj"))} AS sinv
+         |  FROM g2),
+         |ssq AS (
+         |  SELECT ${exactSumSql(round4Sql("(mj - sm/k) * (mj - sm/k)"))} AS ss
+         |  FROM g2, tot),
+         |f AS (
+         |  SELECT g2.*, tot.*, ssq.ss,
+         |    ${round4Sql("CASE WHEN ss > 0.0 THEN greatest(0.0, 1.0 - (k - 3.0) * ((ssw / (nn - k)) * (sinv / k)) / ss) ELSE 0.0 END")} AS shrink_c
+         |  FROM g2, tot, ssq)
+         |SELECT user_id, CAST(nj AS BIGINT) AS n_obs, mj AS raw_mean,
+         |  ${round4Sql("sm/k + shrink_c * (mj - sm/k)")} AS shrunk_mean,
+         |  shrink_c
+         |FROM f ORDER BY user_id""".stripMargin,
+
+    "ts_var_es" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |dd AS (
+         |  SELECT user_id, event_id,
+         |    ${round4Sql("value - lag(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id)")} AS dv
+         |  FROM e),
+         |d AS (SELECT * FROM dd WHERE dv IS NOT NULL),
+         |r AS (
+         |  SELECT user_id, dv AS v,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY dv) - 1 AS rn0,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM d),
+         |f AS (
+         |  SELECT user_id, v, rn0,
+         |    CAST(n - 1 AS DOUBLE) * 0.05 AS h,
+         |    floor(CAST(n - 1 AS DOUBLE) * 0.05) AS lo,
+         |    ceil(CAST(n - 1 AS DOUBLE) * 0.05) AS hi
+         |  FROM r
+         |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * 0.05)
+         |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * 0.05)),
+         |q AS (
+         |  SELECT user_id,
+         |    ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(h) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS var95
+         |  FROM f GROUP BY user_id)
+         |SELECT d.user_id, count(*) AS n_diffs, any_value(q.var95) AS var95,
+         |  ${round4Sql(s"${exactSumSql("CASE WHEN d.dv <= q.var95 THEN d.dv END")} / count(CASE WHEN d.dv <= q.var95 THEN 1 END)")} AS es95
+         |FROM d JOIN q ON d.user_id = q.user_id
+         |GROUP BY d.user_id ORDER BY d.user_id""".stripMargin,
+
+    "text_good_turing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS r FROM t GROUP BY doc_id, tok),
+         |coc AS (SELECT r, count(*) AS n_r FROM tf GROUP BY r)
+         |SELECT c1.r, c1.n_r,
+         |  ${round4Sql("CAST(c1.r + 1 AS DOUBLE) * CAST(c2.n_r AS DOUBLE) / CAST(c1.n_r AS DOUBLE)")} AS r_star
+         |FROM coc c1 LEFT JOIN coc c2 ON c2.r = c1.r + 1
+         |WHERE c1.r <= 10 ORDER BY c1.r""".stripMargin,
+
+    "events_apdex" ->
+      s"""SELECT event_type, count(*) AS n_samples,
+         |  count(CASE WHEN value <= ${dlit(ApdexT)} THEN 1 END) AS satisfied,
+         |  count(CASE WHEN value > ${dlit(ApdexT)} AND value <= ${dlit(4.0 * 50.0)} THEN 1 END) AS tolerating,
+         |  ${round4Sql("(CAST(count(CASE WHEN value <= " + dlit(ApdexT) + " THEN 1 END) AS DOUBLE) + CAST(count(CASE WHEN value > " + dlit(ApdexT) + " AND value <= " + dlit(4.0 * 50.0) + " THEN 1 END) AS DOUBLE) / 2.0) / CAST(count(*) AS DOUBLE)")} AS apdex
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_capacity_eta" -> {
+      val slope = "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)"
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |x AS (
+         |  SELECT user_id,
+         |    CAST((tsu - min(tsu) OVER (PARTITION BY user_id)) // 3600000000 AS DOUBLE) AS x,
+         |    value AS y
+         |  FROM e),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n, max(x) AS xmax,
+         |    ${exactSumSql("x")} AS sx, ${exactSumSql("y")} AS sy,
+         |    ${exactSumSql("x * y")} AS sxy, ${exactSumSql("x * x")} AS sxx
+         |  FROM x GROUP BY user_id),
+         |f AS (
+         |  SELECT user_id, xmax,
+         |    ${round4Sql(slope)} AS slope,
+         |    ${round4Sql(s"(sy - ($slope) * sx) / n")} AS intercept
+         |  FROM m),
+         |g AS (
+         |  SELECT user_id, slope,
+         |    ${round4Sql("intercept + slope * xmax")} AS level
+         |  FROM f),
+         |h AS (
+         |  SELECT user_id, slope, level,
+         |    CASE WHEN slope > 0.0
+         |         THEN ${round4Sql(s"greatest(0.0, (${dlit(CapacityC)} - level) / slope)")}
+         |         END AS eta_hours
+         |  FROM g)
+         |SELECT user_id, slope, level, eta_hours,
+         |  CASE WHEN eta_hours IS NOT NULL AND eta_hours <= 720.0
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS breach_30d
+         |FROM h ORDER BY user_id""".stripMargin
     }
   )
 }

@@ -99,6 +99,70 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_james_stein: shrinkage pulls every mean toward the grand mean") {
+    val out = run("ts_james_stein").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("shrink_c") < 0.0 || col("shrink_c") > 1.0).count() == 0)
+    // |shrunk - gm| <= |raw - gm| for the common gm: recover gm as the
+    // fixed point — when c < 1, gm = (shrunk - c*raw)/(1-c) row-wise.
+    val r = out.where(col("shrink_c") < 1.0).limit(1).collect()
+    if (r.nonEmpty) {
+      val c = r.head.getAs[Double]("shrink_c")
+      val gm = (r.head.getAs[Double]("shrunk_mean") - c * r.head.getAs[Double]("raw_mean")) / (1 - c)
+      val viol = out.collect().count { row =>
+        math.abs(row.getAs[Double]("shrunk_mean") - gm) >
+          math.abs(row.getAs[Double]("raw_mean") - gm) + 1e-3
+      }
+      assert(viol == 0, s"$viol series moved AWAY from the grand mean $gm")
+    }
+    out.unpersist()
+  }
+
+  test("ts_var_es: expected shortfall is at or below the VaR threshold") {
+    val out = run("ts_var_es").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("es95") > col("var95") + 1e-9).count() == 0,
+      "mean of the tail cannot exceed the tail threshold")
+    out.unpersist()
+  }
+
+  test("text_good_turing: populated head, r* defined where N_{r+1} exists") {
+    val rows = run("text_good_turing").collect()
+    assert(rows.length >= 5, "the per-doc tf head must be populated")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_r") > 0)
+      if (!r.isNullAt(r.fieldIndex("r_star")))
+        assert(r.getAs[Double]("r_star") > 0.0)
+    }
+    // The canonical GT discount: r* < r + 1 wherever defined (N_{r+1} <= ... not
+    // guaranteed in general, but N monotone-decreasing holds on this corpus head).
+    val byR = rows.map(r => r.getAs[Long]("r") -> r.getAs[Long]("n_r")).toMap
+    assert(byR(1L) > byR(byR.keys.max), "N_1 should dominate the tail")
+  }
+
+  test("events_apdex: score bounded and consistent with its counts") {
+    val out = run("events_apdex").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_samples")
+      val sat = r.getAs[Long]("satisfied"); val tol = r.getAs[Long]("tolerating")
+      assert(sat + tol <= n)
+      val a = r.getAs[Double]("apdex")
+      assert(a >= 0.0 && a <= 1.0)
+      assert(math.abs(a - math.round((sat + tol / 2.0) / n * 10000.0) / 10000.0) < 1e-9)
+    }
+  }
+
+  test("ts_capacity_eta: flags and nulls follow the slope sign") {
+    val out = run("ts_capacity_eta").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("slope") <= 0.0 && col("eta_hours").isNotNull).count() == 0)
+    assert(out.where(col("slope") > 0.0 && col("eta_hours").isNull).count() == 0)
+    assert(out.where(col("breach_30d") === 1 &&
+      (col("eta_hours").isNull || col("eta_hours") > 720.0)).count() == 0)
+    out.unpersist()
+  }
+
   test("ts_influence: injected outlier dominates Cook's distance") {
     import spark.implicits._
     // Build a tiny two-series frame through the same entry shape by
