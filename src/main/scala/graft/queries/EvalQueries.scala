@@ -464,6 +464,59 @@ object EvalQueries {
         .orderBy("event_type", "dow", "value_band")
     },
 
+    // l-diversity audit — the sensitive-attribute companion of
+    // dq_k_anonymity (k alone is not enough: a 100-row equivalence
+    // class whose rows all belong to ONE user still re-identifies).
+    // Same quasi-identifier classes; per class the distinct-count l,
+    // the Shannon entropy of the sensitive-value (user) distribution
+    // (entropy l-diversity: ln l is the ceiling, a skewed class scores
+    // far below it), and the l >= 3 verdict. Two grouped aggregates,
+    // entropy terms 6dp-quantized into a DECIMAL sum.
+    "dq_l_diversity" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), weekday(col("ts")).cast(LongType).as("dow"),
+          floor(col("value") / 50.0).cast(LongType).as("value_band"), col("user_id"))
+      val cell = ev.groupBy("event_type", "dow", "value_band", "user_id")
+        .agg(count(lit(1)).as("c"))
+      val p = col("c").cast(DoubleType) /
+        sum(col("c")).over(Window.partitionBy("event_type", "dow", "value_band"))
+      cell.withColumn("term", round6(p * log(p)).cast(DecimalType(18, 6)))
+        .groupBy("event_type", "dow", "value_band")
+        .agg(sum(col("c")).as("k"), count(lit(1)).as("l_distinct"),
+          (-sum(col("term"))).cast(DoubleType).as("hh"))
+        .select(col("event_type"), col("dow"), col("value_band"), col("k"),
+          col("l_distinct"), round4(col("hh")).as("entropy_l"),
+          when(col("l_distinct") >= 3L, lit(1L)).otherwise(lit(0L)).as("is_diverse"))
+        .orderBy("event_type", "dow", "value_band")
+    },
+
+    // Degree assortativity of the trade graph: Pearson correlation of
+    // endpoint degrees over every directed edge instance of the
+    // undirected graph — "do well-connected nations trade with each
+    // other or with the periphery" (one scalar that distinguishes
+    // hub-and-spoke from core-core topologies). Degrees are INTEGER
+    // counts, so all six moments are exact longs; one final
+    // momentCorr division.
+    "nation_assortativity" -> { (s, d) =>
+      val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      val und = e.select(col("src").as("a"), col("dst").as("b"))
+        .union(e.select(col("dst").as("a"), col("src").as("b"))).distinct()
+      val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+      val da = deg.select(col("a"), col("deg").as("dega"))
+      val db = deg.select(col("a").as("b"), col("deg").as("degb"))
+      val pairs = und.join(broadcast(da), "a").join(broadcast(db), "b")
+      pairs.agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("dega")).cast(DoubleType).as("sx"),
+          sum(col("degb")).cast(DoubleType).as("sy"),
+          sum(col("dega") * col("degb")).cast(DoubleType).as("sxy"),
+          sum(col("dega") * col("dega")).cast(DoubleType).as("sxx"),
+          sum(col("degb") * col("degb")).cast(DoubleType).as("syy"))
+        .select(col("n").cast(LongType).as("n_endpoints"),
+          round4(CleanFunctions.momentCorr(col("n"), col("sx"), col("sy"),
+            col("sxy"), col("sxx"), col("syy"))).as("assortativity"))
+    },
+
     // Weighted-set node similarity on the trade graph: Jaccard of each
     // nation pair's trading-partner sets — the "find me a comparable
     // node" primitive (completes the graph family: rank, components,
@@ -883,6 +936,43 @@ object EvalQueries {
          |SELECT event_type, dow, value_band, k, l_distinct, k < 5 AS at_risk,
          |  ${round4Sql("CAST(rows_at_risk AS DOUBLE) / CAST(rows_total AS DOUBLE)")} AS corpus_risk_share
          |FROM cl, risk ORDER BY event_type, dow, value_band""".stripMargin,
+
+    "dq_l_diversity" ->
+      s"""WITH ev AS (SELECT event_type, CAST(isodow(ts)-1 AS BIGINT) AS dow,
+         |  CAST(floor(value / 50.0) AS BIGINT) AS value_band, user_id FROM events),
+         |cell AS (SELECT event_type, dow, value_band, user_id, count(*) AS c
+         |  FROM ev GROUP BY 1, 2, 3, 4),
+         |pt AS (SELECT event_type, dow, value_band, c,
+         |  CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY event_type, dow, value_band) AS p
+         |  FROM cell),
+         |cl AS (SELECT event_type, dow, value_band, sum(c) AS k, count(*) AS l_distinct,
+         |  CAST(-sum(CAST(${round6Sql("p * ln(p)")} AS DECIMAL(18,6))) AS DOUBLE) AS hh
+         |  FROM pt GROUP BY 1, 2, 3)
+         |SELECT event_type, dow, value_band, k, l_distinct,
+         |  ${round4Sql("hh")} AS entropy_l,
+         |  CASE WHEN l_distinct >= 3 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS is_diverse
+         |FROM cl ORDER BY event_type, dow, value_band""".stripMargin,
+
+    "nation_assortativity" -> {
+      val corr = CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")
+      s"""WITH e AS ($tradeEdgesSql),
+         |ed AS (SELECT src, dst FROM e WHERE src <> dst),
+         |und AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM ed UNION ALL SELECT dst AS a, src AS b FROM ed)),
+         |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+         |pr AS (SELECT da.deg AS dega, db.deg AS degb
+         |  FROM und JOIN deg da ON und.a = da.a JOIN deg db ON und.b = db.a),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(dega) AS DOUBLE) AS sx, CAST(sum(degb) AS DOUBLE) AS sy,
+         |  CAST(sum(dega * degb) AS DOUBLE) AS sxy,
+         |  CAST(sum(dega * dega) AS DOUBLE) AS sxx,
+         |  CAST(sum(degb * degb) AS DOUBLE) AS syy
+         |  FROM pr)
+         |SELECT CAST(n AS BIGINT) AS n_endpoints,
+         |  ${round4Sql(corr)} AS assortativity
+         |FROM m""".stripMargin
+    },
 
     "nation_similarity" ->
       s"""WITH e AS ($tradeEdgesSql),

@@ -406,6 +406,91 @@ object InferenceQueries {
           when(col("eta_hours").isNotNull && col("eta_hours") <= lit(720.0), lit(1L))
             .otherwise(lit(0L)).as("breach_30d"))
         .orderBy("user_id")
+    },
+
+    // HBOS — histogram-based outlier score (Goldstein & Dengel 2012):
+    // per-feature histogram densities multiplied (= log-densities
+    // summed, negated) over two independent features, the value's
+    // global 10-bin band and the hour-of-day. The fully-unsupervised
+    // detector that needs NO per-series state — score any row against
+    // the corpus in one pass: two tiny count aggregates broadcast back
+    // onto the scan, every bin decision from identical IEEE floor math.
+    "events_hbos" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), hour(col("ts")).cast(LongType).as("hb"),
+          col("value").as("v"))
+      val stats = e.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n"))
+      val binned = e.crossJoin(broadcast(stats))
+        .withColumn("vb", when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(9L),
+            floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / lit(10.0)))
+              .cast(LongType))))
+      val vc = binned.groupBy("vb").agg(count(lit(1)).as("vcnt"))
+      val hc = binned.groupBy("hb").agg(count(lit(1)).as("hcnt"))
+      binned.join(broadcast(vc), "vb").join(broadcast(hc), "hb")
+        .withColumn("hbos", round4(-(log(col("vcnt").cast(DoubleType) / col("n")) +
+          log(col("hcnt").cast(DoubleType) / col("n")))))
+        .select(col("event_id"), col("vb"), col("hb"), col("hbos"))
+        .orderBy("event_id")
+    },
+
+    // Forecast-accuracy scoreboard: naive / seasonal-naive / drift
+    // forecasters scored per series on a 7-day holdout with sMAPE and
+    // MASE (scaled by the train in-sample naive MAE — the
+    // scale-free "is this model better than persistence" number every
+    // forecasting bakeoff reports). Long output: one row per (series,
+    // model). All forecasts quantized 4dp before the error arithmetic;
+    // the only cross-row state is keyed windows + per-series train
+    // aggregates joined back on user_id.
+    "ts_forecast_accuracy" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .withColumn("hod", expr("(tsu DIV 3600000000) % 24"))
+      val split = e.agg((max(col("day")) - lit(6L)).as("splitday"))
+      val ds = e.crossJoin(broadcast(split))
+      val train = ds.where(col("day") < col("splitday"))
+      val test = ds.where(col("day") >= col("splitday"))
+      val wtr = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val trRanked = train
+        .withColumn("rn", row_number().over(wtr))
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy("user_id")))
+        .withColumn("dprev", abs(col("value") - lag(col("value"), 1).over(wtr)))
+      val trStats = trRanked.groupBy("user_id").agg(
+        min(when(col("rn") === 1L, col("value"))).as("firstv"),
+        min(when(col("rn") === col("nt"), col("value"))).as("lastv"),
+        max(col("nt")).as("nt"),
+        round4(CleanFunctions.exactMean(col("dprev"))).as("mae_naive_tr"))
+      val prof = train.groupBy("user_id", "hod")
+        .agg(round4(CleanFunctions.exactMean(col("value"))).as("fc_snaive"))
+      val wte = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val t2 = test
+        .withColumn("h", row_number().over(wte).cast(DoubleType))
+        .join(trStats, "user_id")
+        .join(prof, Seq("user_id", "hod"), "left")
+        .withColumn("slope", (col("lastv") - col("firstv")) /
+          nullif(col("nt").cast(DoubleType) - lit(1.0), lit(0.0)))
+        .withColumn("fc_naive", col("lastv"))
+        .withColumn("fc_drift", round4(col("lastv") + col("slope") * col("h")))
+      def metrics(fcCol: String, name: String): DataFrame =
+        t2.select(col("user_id"), col("value").as("y"), col(fcCol).as("f"),
+            col("mae_naive_tr"))
+          .where(col("f").isNotNull)
+          .withColumn("e", col("y") - col("f"))
+          .withColumn("sm", CleanFunctions.round6(lit(2.0) * abs(col("e")) /
+            nullif(abs(col("y")) + abs(col("f")), lit(0.0))))
+          .groupBy("user_id").agg(
+            count(lit(1)).as("n_test"),
+            round4(CleanFunctions.exactMean(col("sm"))).as("smape"),
+            round4(CleanFunctions.exactMean(abs(col("e"))) /
+              nullif(max(col("mae_naive_tr")), lit(0.0))).as("mase"))
+          .withColumn("model", lit(name))
+      metrics("fc_naive", "naive")
+        .unionByName(metrics("fc_snaive", "snaive"))
+        .unionByName(metrics("fc_drift", "drift"))
+        .select(col("user_id"), col("model"), col("n_test"), col("smape"), col("mase"))
+        .orderBy("user_id", "model")
     }
   )
 
@@ -680,6 +765,77 @@ object InferenceQueries {
          |  CASE WHEN eta_hours IS NOT NULL AND eta_hours <= 720.0
          |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS breach_30d
          |FROM h ORDER BY user_id""".stripMargin
+    },
+
+    "events_hbos" ->
+      s"""WITH e AS (
+         |  SELECT event_id, CAST(hour(ts) AS BIGINT) AS hb, value AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |st AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM e),
+         |b AS (
+         |  SELECT event_id, hb,
+         |    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+         |         ELSE least(CAST(9 AS BIGINT),
+         |                    CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS BIGINT)) END AS vb,
+         |    n
+         |  FROM e, st),
+         |vc AS (SELECT vb, count(*) AS vcnt FROM b GROUP BY vb),
+         |hc AS (SELECT hb, count(*) AS hcnt FROM b GROUP BY hb)
+         |SELECT b.event_id, b.vb, b.hb,
+         |  ${round4Sql("-(ln(CAST(vcnt AS DOUBLE) / n) + ln(CAST(hcnt AS DOUBLE) / n))")} AS hbos
+         |FROM b JOIN vc USING (vb) JOIN hc USING (hb)
+         |ORDER BY b.event_id""".stripMargin,
+
+    "ts_forecast_accuracy" -> {
+      def smOf(fc: String) = s"2.0 * abs(y - $fc) / nullif(abs(y) + abs($fc), 0.0)"
+      def metricsSql(fc: String, name: String) =
+        s"""SELECT user_id, '$name' AS model, count(*) AS n_test,
+           |  ${round4Sql(CleanFunctions.exactMeanSql(CleanFunctions.round6Sql(smOf(fc))))} AS smape,
+           |  ${round4Sql(s"${CleanFunctions.exactMeanSql(s"abs(y - $fc)")} / nullif(max(mae_naive_tr), 0.0)")} AS mase
+           |FROM t2 WHERE $fc IS NOT NULL GROUP BY user_id""".stripMargin
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    (epoch_us(ts) // 3600000000) % 24 AS hod
+         |  FROM events WHERE value IS NOT NULL),
+         |sp AS (SELECT max(day) - 6 AS splitday FROM e),
+         |tr AS (SELECT e.* FROM e, sp WHERE day < splitday),
+         |te AS (SELECT e.* FROM e, sp WHERE day >= splitday),
+         |trr AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS nt,
+         |    abs(value - lag(value) OVER w) AS dprev
+         |  FROM tr WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |trs AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN rn = 1 THEN value END) AS firstv,
+         |    min(CASE WHEN rn = nt THEN value END) AS lastv,
+         |    max(nt) AS nt,
+         |    ${round4Sql(CleanFunctions.exactMeanSql("dprev"))} AS mae_naive_tr
+         |  FROM trr GROUP BY user_id),
+         |prof AS (
+         |  SELECT user_id, hod,
+         |    ${round4Sql(CleanFunctions.exactMeanSql("value"))} AS fc_snaive
+         |  FROM tr GROUP BY user_id, hod),
+         |teh AS (
+         |  SELECT te.*,
+         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS DOUBLE) AS h
+         |  FROM te),
+         |t2 AS (
+         |  SELECT teh.user_id, teh.value AS y, teh.h, trs.mae_naive_tr,
+         |    trs.lastv AS fc_naive,
+         |    prof.fc_snaive,
+         |    ${round4Sql("trs.lastv + ((trs.lastv - trs.firstv) / nullif(CAST(trs.nt AS DOUBLE) - 1.0, 0.0)) * teh.h")} AS fc_drift
+         |  FROM teh
+         |  JOIN trs ON teh.user_id = trs.user_id
+         |  LEFT JOIN prof ON teh.user_id = prof.user_id AND teh.hod = prof.hod)
+         |${metricsSql("fc_naive", "naive")}
+         |UNION ALL
+         |${metricsSql("fc_snaive", "snaive")}
+         |UNION ALL
+         |${metricsSql("fc_drift", "drift")}
+         |ORDER BY user_id, model""".stripMargin
     }
   )
 }

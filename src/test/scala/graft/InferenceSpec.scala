@@ -163,6 +163,31 @@ class InferenceSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("events_hbos: rare bins score higher than dense bins") {
+    val out = run("events_hbos").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("hbos") < 0.0).count() == 0,
+      "p <= 1 per feature, so -sum(ln p) >= 0")
+    // Rows sharing both bins share the score; the most common (vb, hb)
+    // combination must not out-score the rarest one.
+    val byBin = out.groupBy("vb", "hb")
+      .agg(count(lit(1)).as("n"), first(col("hbos")).as("sc")).collect()
+    val dense = byBin.maxBy(_.getAs[Long]("n")).getAs[Double]("sc")
+    val sparse = byBin.minBy(_.getAs[Long]("n")).getAs[Double]("sc")
+    assert(sparse >= dense, s"rare-bin score $sparse < dense-bin score $dense")
+    out.unpersist()
+  }
+
+  test("ts_forecast_accuracy: three models per series, metrics bounded") {
+    val out = run("ts_forecast_accuracy").cache()
+    val models = out.select("model").distinct().collect().map(_.getString(0)).toSet
+    assert(models == Set("naive", "snaive", "drift"))
+    assert(out.where(col("smape") < 0.0 || col("smape") > 2.0 + 1e-9).count() == 0,
+      "sMAPE is bounded by 2")
+    assert(out.where(col("mase") < 0.0).count() == 0)
+    out.unpersist()
+  }
+
   test("ts_influence: injected outlier dominates Cook's distance") {
     import spark.implicits._
     // Build a tiny two-series frame through the same entry shape by
