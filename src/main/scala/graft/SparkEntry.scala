@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EvalQueries, InferenceQueries, MultimodalQueries, OpsQueries, PipelineQueries, RelationalQueries, SimilarityQueries, SpcQueries, StatsQueries, TextQueries, TimeSeriesQueries}
+import graft.queries.{DedupQueries, EvalQueries, InferenceQueries, MultimodalQueries, OpsQueries, PipelineQueries, RelationalQueries, SimilarityQueries, SpcQueries, StatsQueries, TextQueries, TimeSeriesQueries, TsFeatureQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -23,7 +23,7 @@ object SparkEntry {
     TimeSeriesQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ StatsQueries.queries ++ OpsQueries.queries ++ SpcQueries.queries ++
-      EvalQueries.queries ++ InferenceQueries.queries
+      EvalQueries.queries ++ InferenceQueries.queries ++ TsFeatureQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +32,5 @@ object SparkEntry {
     TimeSeriesQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ StatsQueries.oracleSql ++ OpsQueries.oracleSql ++ SpcQueries.oracleSql ++
-      EvalQueries.oracleSql ++ InferenceQueries.oracleSql
+      EvalQueries.oracleSql ++ InferenceQueries.oracleSql ++ TsFeatureQueries.oracleSql
 }

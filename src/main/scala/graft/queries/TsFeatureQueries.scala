@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import graft.functions.CleanFunctions
+import graft.functions.CleanFunctions.{exactSum, exactSumSql, round4, round4Sql, round6, round6Sql}
+import graft.operators.StatsOps
+import graft.sources.Tables
+
+/** Time-series FEATURE CATALOG (the Hyndman tsfeatures set): per-series
+  * scalar descriptors — tiled stability/lumpiness, flat spots, median
+  * crossing points, the ARCH effect statistic, and the Hill tail-index
+  * — the feature vector a 100k-series fleet is clustered / triaged /
+  * routed by (which detector family fits which series). Complements the
+  * per-observation detectors: these summarize a series into one row.
+  *
+  * Scale notes: every feature is keyed windows + grouped exact-DECIMAL
+  * moments over ONE user_id partitioning — no global sort, no
+  * cross-series stage at all. Wide power terms (4th-moment scale) go
+  * through DECIMAL(38,6) like the Jarque-Bera sums.
+  */
+object TsFeatureQueries {
+
+  private val Dec38 = DecimalType(38, 6)
+
+  /** Tile width (rows) for stability/lumpiness. */
+  private val TileW = 24
+
+  /** Hill estimator order-statistic count. */
+  private val HillK = 20
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).where(col("value").isNotNull)
+      .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Stability + lumpiness: variance of the 24-row tile MEANS and of
+    // the tile VARIANCES — "is this series' level steady, and is its
+    // volatility steady" (the two tsfeatures that route series between
+    // static-threshold and adaptive detectors). Ragged tail tiles are
+    // dropped (equal-width tiles, like the reference feature set); tile
+    // stats are 4dp-quantized before the cross-tile moments so the
+    // second-level variance is engine-exact.
+    "ts_stability_lumpiness" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val tiled = events(s, d)
+        .withColumn("tile", expr(s"(row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - 1) DIV $TileW"))
+      val t = tiled.groupBy("user_id", "tile").agg(
+          count(lit(1)).as("nt"),
+          exactSum(col("value")).as("s1"),
+          exactSum(round4(col("value") * col("value"))).as("s2"))
+        .where(col("nt") === lit(TileW.toLong))
+        .withColumn("tmean", round4(col("s1") / col("nt")))
+        .withColumn("tvar", round4(greatest(
+          col("s2") / col("nt") - (col("s1") / col("nt")) * (col("s1") / col("nt")),
+          lit(0.0))))
+      t.groupBy("user_id").agg(
+          count(lit(1)).as("n_tiles"),
+          exactSum(col("tmean")).as("sm"),
+          exactSum(round4(col("tmean") * col("tmean"))).as("smm"),
+          exactSum(col("tvar")).as("sv"),
+          exactSum(round4(col("tvar") * col("tvar"))).as("svv"))
+        .select(col("user_id"), col("n_tiles"),
+          round4(greatest(col("smm") / col("n_tiles") -
+            (col("sm") / col("n_tiles")) * (col("sm") / col("n_tiles")), lit(0.0)))
+            .as("stability"),
+          round4(greatest(col("svv") / col("n_tiles") -
+            (col("sv") / col("n_tiles")) * (col("sv") / col("n_tiles")), lit(0.0)))
+            .as("lumpiness"))
+        .orderBy("user_id")
+    },
+
+    // Flat spots: the longest run of consecutive observations inside
+    // one of ten equal-width per-series value bands — stuck sensors and
+    // saturated counters show up as a long flat run. Classic gaps-and-
+    // islands (rn − per-band rn is the island id), all inside one keyed
+    // ordering.
+    "ts_flat_spots" -> { (s, d) =>
+      val wp = Window.partitionBy("user_id")
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val banded = events(s, d)
+        .withColumn("mn", min(col("value")).over(wp))
+        .withColumn("mx", max(col("value")).over(wp))
+        .withColumn("band", when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(9L),
+            floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / lit(10.0)))
+              .cast(LongType))))
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("rnb", row_number().over(
+          Window.partitionBy("user_id", "band").orderBy("tsu", "event_id")))
+        .withColumn("island", col("rn") - col("rnb"))
+      banded.groupBy("user_id", "band", "island").agg(count(lit(1)).as("run"))
+        .groupBy("user_id").agg(max(col("run")).as("max_flat_run"))
+        .orderBy("user_id")
+    },
+
+    // Median crossing points: how often consecutive observations
+    // straddle the series median — white noise crosses ~n/2 times, a
+    // trending or strongly cyclic series far less. The median is the
+    // exact rank-interpolated PERCENTILE_CONT (StatsOps.rankPercentiles,
+    // 4dp) so the straddle comparisons are engine-identical.
+    "ts_crossing_points" -> { (s, d) =>
+      val e = events(s, d)
+      val med = StatsOps.rankPercentiles(e, Seq("user_id"), "value", Seq(0.5))
+        .select(col("user_id"), col("pct").as("med"))
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      e.join(med, "user_id")
+        .withColumn("above", col("value") > col("med"))
+        .withColumn("prev", lag(col("above"), 1).over(wo))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_obs"),
+          count(when(col("prev").isNotNull && col("above") =!= col("prev"), 1))
+            .as("crossings"))
+        .orderBy("user_id")
+    },
+
+    // ARCH effect statistic: R² of the lag-1 autoregression of squared
+    // mean-deviations — "does volatility cluster" (the Engle LM test
+    // core; high values route a series to the GARCH-style detectors).
+    // Squared terms are 4dp-quantized; their cross-products ride
+    // DECIMAL(38,6) sums (4th-moment scale).
+    "ts_arch_stat" -> { (s, d) =>
+      val wp = Window.partitionBy("user_id")
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val z = events(s, d)
+        .withColumn("mean", CleanFunctions.exactMeanOver(col("value"), wp))
+        .withColumn("zz", round4((col("value") - col("mean")) * (col("value") - col("mean"))))
+        .withColumn("zl", lag(col("zz"), 1).over(wo))
+        .where(col("zl").isNotNull)
+      val m = z.groupBy("user_id").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        exactSum(col("zz")).as("sx"),
+        exactSum(col("zl")).as("sy"),
+        sum(round4(col("zz") * col("zl")).cast(Dec38)).cast(DoubleType).as("sxy"),
+        sum(round4(col("zz") * col("zz")).cast(Dec38)).cast(DoubleType).as("sxx"),
+        sum(round4(col("zl") * col("zl")).cast(Dec38)).cast(DoubleType).as("syy"))
+      val r = CleanFunctions.momentCorr(col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"))
+      m.select(col("user_id"), col("n").cast(LongType).as("n_pairs"),
+          round4(r * r).as("arch_r2"))
+        .orderBy("user_id")
+    },
+
+    // Hill tail-index estimator over the top-20 order statistics of the
+    // positive values: mean log-ratio to the 21st largest, and its
+    // inverse α — "how heavy is this series' upper tail" (α ≤ 2 means
+    // infinite variance: route to quantile detectors, not z-scores).
+    // The EVT companion of ts_evt_pot: Hill reads the tail SHAPE where
+    // POT reads exceedance sizes. One keyed rank window + a windowed
+    // conditional max carries the threshold — no join. Series with
+    // fewer than 21 positive observations yield null (no tail to read).
+    "ts_hill_tail" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+      val wp = Window.partitionBy("user_id")
+      val ranked = events(s, d).where(col("value") > 0.0)
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("xk1", max(when(col("rn") === lit(HillK + 1L), col("value"))).over(wp))
+      ranked
+        .withColumn("term", when(col("rn") <= lit(HillK.toLong),
+          round6(log(col("value") / col("xk1")))))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_pos"),
+          round4(exactSum(col("term")) / lit(HillK.toDouble)).as("hill"))
+        .withColumn("alpha", round4(lit(1.0) / nullif(col("hill"), lit(0.0))))
+        .orderBy("user_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "ts_stability_lumpiness" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |td AS (
+         |  SELECT user_id, value,
+         |    (row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) - 1) // $TileW AS tile
+         |  FROM e),
+         |t AS (
+         |  SELECT user_id, tile, count(*) AS nt,
+         |    ${exactSumSql("value")} AS s1,
+         |    ${exactSumSql(round4Sql("value * value"))} AS s2
+         |  FROM td GROUP BY user_id, tile),
+         |tf AS (
+         |  SELECT user_id,
+         |    ${round4Sql("s1 / nt")} AS tmean,
+         |    ${round4Sql("greatest(s2 / nt - (s1 / nt) * (s1 / nt), 0.0)")} AS tvar
+         |  FROM t WHERE nt = $TileW),
+         |g AS (
+         |  SELECT user_id, count(*) AS n_tiles,
+         |    ${exactSumSql("tmean")} AS sm,
+         |    ${exactSumSql(round4Sql("tmean * tmean"))} AS smm,
+         |    ${exactSumSql("tvar")} AS sv,
+         |    ${exactSumSql(round4Sql("tvar * tvar"))} AS svv
+         |  FROM tf GROUP BY user_id)
+         |SELECT user_id, n_tiles,
+         |  ${round4Sql("greatest(smm / n_tiles - (sm / n_tiles) * (sm / n_tiles), 0.0)")} AS stability,
+         |  ${round4Sql("greatest(svv / n_tiles - (sv / n_tiles) * (sv / n_tiles), 0.0)")} AS lumpiness
+         |FROM g ORDER BY user_id""".stripMargin,
+
+    "ts_flat_spots" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |s AS (
+         |  SELECT user_id, event_id, tsu, value,
+         |    min(value) OVER (PARTITION BY user_id) AS mn,
+         |    max(value) OVER (PARTITION BY user_id) AS mx
+         |  FROM e),
+         |b AS (
+         |  SELECT user_id, event_id, tsu,
+         |    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+         |         ELSE least(CAST(9 AS BIGINT),
+         |                    CAST(floor((value - mn) / ((mx - mn) / 10.0)) AS BIGINT)) END AS band
+         |  FROM s),
+         |i AS (
+         |  SELECT user_id, band,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) -
+         |    row_number() OVER (PARTITION BY user_id, band ORDER BY tsu, event_id) AS island
+         |  FROM b),
+         |r AS (SELECT user_id, band, island, count(*) AS run
+         |      FROM i GROUP BY user_id, band, island)
+         |SELECT user_id, max(run) AS max_flat_run
+         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_crossing_points" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT user_id, value AS v,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY value) - 1 AS rn0,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM e),
+         |f AS (
+         |  SELECT user_id, v, rn0,
+         |    CAST(n - 1 AS DOUBLE) * 0.5 AS h,
+         |    floor(CAST(n - 1 AS DOUBLE) * 0.5) AS lo,
+         |    ceil(CAST(n - 1 AS DOUBLE) * 0.5) AS hi
+         |  FROM r
+         |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * 0.5)
+         |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * 0.5)),
+         |q AS (
+         |  SELECT user_id,
+         |    ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(h) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS med
+         |  FROM f GROUP BY user_id),
+         |a AS (
+         |  SELECT e.user_id, e.value > q.med AS above,
+         |    lag(e.value > q.med) OVER (PARTITION BY e.user_id ORDER BY e.tsu, e.event_id) AS prev
+         |  FROM e JOIN q ON e.user_id = q.user_id)
+         |SELECT user_id, count(*) AS n_obs,
+         |  count(CASE WHEN prev IS NOT NULL AND above <> prev THEN 1 END) AS crossings
+         |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_arch_stat" -> {
+      val corr = CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |z0 AS (
+         |  SELECT user_id, event_id, tsu,
+         |    ${round4Sql(s"(value - ${CleanFunctions.exactMeanSql("value", "OVER (PARTITION BY user_id)")}) * (value - ${CleanFunctions.exactMeanSql("value", "OVER (PARTITION BY user_id)")})")} AS zz
+         |  FROM e),
+         |z AS (
+         |  SELECT user_id, zz,
+         |    lag(zz) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS zl
+         |  FROM z0),
+         |zf AS (SELECT * FROM z WHERE zl IS NOT NULL),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("zz")} AS sx, ${exactSumSql("zl")} AS sy,
+         |    CAST(sum(CAST(${round4Sql("zz * zl")} AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(${round4Sql("zz * zz")} AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(${round4Sql("zl * zl")} AS DECIMAL(38,6))) AS DOUBLE) AS syy
+         |  FROM zf GROUP BY user_id)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+         |  ${round4Sql(s"($corr) * ($corr)")} AS arch_r2
+         |FROM m ORDER BY user_id""".stripMargin
+    },
+
+    "ts_hill_tail" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL AND value > 0.0),
+         |r AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+         |  FROM e),
+         |x AS (
+         |  SELECT user_id, value, rn,
+         |    max(CASE WHEN rn = ${HillK + 1} THEN value END)
+         |      OVER (PARTITION BY user_id) AS xk1
+         |  FROM r),
+         |t AS (
+         |  SELECT user_id, rn,
+         |    CASE WHEN rn <= $HillK THEN ${round6Sql("ln(value / xk1)")} END AS term
+         |  FROM x),
+         |g AS (
+         |  SELECT user_id, count(*) AS n_pos,
+         |    ${round4Sql(s"${exactSumSql("term")} / ${HillK.toDouble}")} AS hill
+         |  FROM t GROUP BY user_id)
+         |SELECT user_id, n_pos, hill,
+         |  ${round4Sql("1.0 / nullif(hill, 0.0)")} AS alpha
+         |FROM g ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TsFeatureQueries
+
+class TsFeatureSpec extends AnyFunSuite {
+  import SparkTestSession.{sfDir, spark}
+
+  private def run(name: String) =
+    TsFeatureQueries.queries(name)(spark, sfDir)
+
+  test("ts_stability_lumpiness: nonnegative, defined where tiles exist") {
+    val out = run("ts_stability_lumpiness").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("stability") < 0.0 || col("lumpiness") < 0.0).count() == 0)
+    assert(out.where(col("n_tiles") < 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("ts_flat_spots: runs bounded by series length, at least 1") {
+    val out = run("ts_flat_spots")
+    val lens = graft.sources.Tables.events(spark, sfDir)
+      .where(col("value").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val j = out.join(lens, "user_id")
+    assert(j.where(col("max_flat_run") < 1 || col("max_flat_run") > col("n")).count() == 0)
+  }
+
+  test("ts_crossing_points: white-noise-like series cross near n/2, never above n-1") {
+    val out = run("ts_crossing_points").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("crossings") >= col("n_obs")).count() == 0)
+    // Median split => each side holds ~half the points, so at least SOME
+    // crossings exist on every non-degenerate series of this synthetic data.
+    assert(out.where(col("crossings") === 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("ts_arch_stat: R-squared within [0, 1]") {
+    val out = run("ts_arch_stat")
+    assert(out.where(col("arch_r2") < 0.0 || col("arch_r2") > 1.0 + 1e-9).count() == 0)
+  }
+
+  test("ts_hill_tail: hill >= 0 (top-k over threshold), alpha consistent") {
+    val out = run("ts_hill_tail").cache()
+    assert(out.count() > 0)
+    // Every top-20 value is >= the 21st largest, so each log-ratio and
+    // the Hill mean are nonnegative.
+    assert(out.where(col("hill") < 0.0).count() == 0)
+    val r = out.where(col("hill").isNotNull && col("hill") > 0.0).collect()
+    r.foreach { row =>
+      val want = math.round(1.0 / row.getAs[Double]("hill") * 10000.0) / 10000.0
+      assert(math.abs(row.getAs[Double]("alpha") - want) < 1e-9)
+    }
+    out.unpersist()
+  }
+}
