@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.CleanFunctions
-import graft.functions.CleanFunctions.{exactSum, exactSumSql, round4, round4Sql}
+import graft.functions.CleanFunctions.{exactSum, exactSumSql, round4, round4Sql, round6Sql}
 import graft.operators.StatsOps
 import graft.sources.Tables
 
@@ -491,6 +491,114 @@ object InferenceQueries {
         .unionByName(metrics("fc_drift", "drift"))
         .select(col("user_id"), col("model"), col("n_test"), col("smape"), col("mase"))
         .orderBy("user_id", "model")
+    },
+
+    // Newey–West HAC slope inference per series: the OLS hour-trend
+    // slope with a heteroskedasticity-and-autocorrelation-consistent
+    // standard error (Bartlett kernel, L = 3 lags) and its t statistic
+    // — the honest "is this trend significant" answer for
+    // autocorrelated telemetry, where the plain OLS se (ts_durbin_watson
+    // shows why) is wildly overconfident. Same one-partitioning shape
+    // as ts_influence: per-series moment windows → per-row residual
+    // scores u = (x−x̄)e → three lagged cross-sums on DECIMAL(38,6).
+    "ts_newey_west" -> { (s, d) =>
+      val wp = Window.partitionBy("user_id")
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("mn", min(col("tsu")).over(wp))
+        .withColumn("x", expr("(tsu - mn) DIV 3600000000").cast(DoubleType))
+        .withColumn("y", col("value"))
+      val mom = e
+        .withColumn("n", count(lit(1)).over(wp).cast(DoubleType))
+        .withColumn("sx", CleanFunctions.exactSumOver(col("x"), wp))
+        .withColumn("sy", CleanFunctions.exactSumOver(col("y"), wp))
+        .withColumn("sxy", CleanFunctions.exactSumOver(col("x") * col("y"), wp))
+        .withColumn("sxx", CleanFunctions.exactSumOver(col("x") * col("x"), wp))
+      val n = col("n")
+      val b = (n * col("sxy") - col("sx") * col("sy")) /
+        nullif(n * col("sxx") - col("sx") * col("sx"), lit(0.0))
+      val a = (col("sy") - b * col("sx")) / n
+      val scored = mom
+        .withColumn("u", round4((col("x") - col("sx") / n) * (col("y") - a - b * col("x"))))
+        .withColumn("b4", round4(b))
+        .withColumn("sxxc", col("sxx") - col("sx") * col("sx") / n)
+        .withColumn("u1", lag(col("u"), 1).over(wo))
+        .withColumn("u2", lag(col("u"), 2).over(wo))
+        .withColumn("u3", lag(col("u"), 3).over(wo))
+      val g = scored.groupBy("user_id").agg(
+        count(lit(1)).as("n_obs"),
+        max(col("b4")).as("slope"),
+        max(col("sxxc")).as("sxxc"),
+        sum(round4(col("u") * col("u")).cast(Dec38)).cast(DoubleType).as("s0"),
+        sum(round4(col("u") * col("u1")).cast(Dec38)).cast(DoubleType).as("s1"),
+        sum(round4(col("u") * col("u2")).cast(Dec38)).cast(DoubleType).as("s2"),
+        sum(round4(col("u") * col("u3")).cast(Dec38)).cast(DoubleType).as("s3"))
+      val sHac = col("s0") + lit(2.0) *
+        (lit(0.75) * col("s1") + lit(0.5) * col("s2") + lit(0.25) * col("s3"))
+      g.withColumn("se_nw", round4(sqrt(greatest(sHac, lit(0.0))) /
+          nullif(col("sxxc"), lit(0.0))))
+        .select(col("user_id"), col("n_obs"), col("slope"), col("se_nw"),
+          round4(col("slope") / nullif(col("se_nw"), lit(0.0))).as("t_nw"))
+        .orderBy("user_id")
+    },
+
+    // Laspeyres / Paasche / Fisher price indices between the first and
+    // last shipping month: per-part unit values weighted by base /
+    // current quantities — the standard commerce price-level read over
+    // the fact table. Only parts trading in BOTH months enter (matched
+    // basket); all four weighted sums are round4-quantized DECIMAL
+    // sums, the index ratios one final division each.
+    "lineitem_price_index" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .withColumn("mth", expr("year(l_shipdate) * 12 + month(l_shipdate)"))
+      val mm = li.agg(min(col("mth")).as("m0"), max(col("mth")).as("m1"))
+      val pm = li.crossJoin(broadcast(mm))
+        .where(col("mth") === col("m0") || col("mth") === col("m1"))
+        .withColumn("is_base", col("mth") === col("m0"))
+        .groupBy("l_partkey", "is_base").agg(
+          exactSum(col("l_quantity")).as("q"),
+          exactSum(col("l_extendedprice")).as("v"))
+        .withColumn("p", round4(col("v") / col("q")))
+      val base = pm.where(col("is_base")).select(col("l_partkey"),
+        col("q").as("q0"), col("p").as("p0"))
+      val curr = pm.where(!col("is_base")).select(col("l_partkey"),
+        col("q").as("q1"), col("p").as("p1"))
+      val j = base.join(curr, "l_partkey")
+      val agg = j.agg(
+        count(lit(1)).as("n_parts"),
+        exactSum(round4(col("p1") * col("q0"))).as("p1q0"),
+        exactSum(round4(col("p0") * col("q0"))).as("p0q0"),
+        exactSum(round4(col("p1") * col("q1"))).as("p1q1"),
+        exactSum(round4(col("p0") * col("q1"))).as("p0q1"))
+      agg
+        .withColumn("laspeyres", round4(col("p1q0") / nullif(col("p0q0"), lit(0.0))))
+        .withColumn("paasche", round4(col("p1q1") / nullif(col("p0q1"), lit(0.0))))
+        .select(col("n_parts"), col("laspeyres"), col("paasche"),
+          round4(sqrt(col("laspeyres") * col("paasche"))).as("fisher"))
+    },
+
+    // Per-series categorical diversity: event-type richness, Simpson
+    // index 1 − Σp² (probability two draws differ), and Good's coverage
+    // 1 − N₁/N (how much of the type distribution the sample has seen —
+    // the unseen-mass companion of text_good_turing, on behavioral
+    // types). Two grouped integer aggregates; Σp² terms 6dp-quantized.
+    "events_diversity" -> { (s, d) =>
+      val tc = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val p = col("c").cast(DoubleType) /
+        sum(col("c")).over(Window.partitionBy("user_id")).cast(DoubleType)
+      tc.withColumn("p2", CleanFunctions.round6(p * p).cast(DecimalType(18, 6)))
+        .groupBy("user_id").agg(
+          sum(col("c")).as("n_events"),
+          count(lit(1)).as("richness"),
+          sum(col("p2")).cast(DoubleType).as("sp2"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("singletons"))
+        .select(col("user_id"), col("n_events"), col("richness"),
+          round4(lit(1.0) - col("sp2")).as("simpson"),
+          round4(lit(1.0) - col("singletons").cast(DoubleType) /
+            col("n_events").cast(DoubleType)).as("coverage"))
+        .orderBy("user_id")
     }
   )
 
@@ -836,6 +944,98 @@ object InferenceQueries {
          |UNION ALL
          |${metricsSql("fc_drift", "drift")}
          |ORDER BY user_id, model""".stripMargin
-    }
+    },
+
+    "ts_newey_west" -> {
+      val b = "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)"
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value AS y FROM events
+         |  WHERE value IS NOT NULL),
+         |x AS (
+         |  SELECT event_id, user_id, tsu, y,
+         |    CAST((tsu - min(tsu) OVER (PARTITION BY user_id)) // 3600000000 AS DOUBLE) AS x
+         |  FROM e),
+         |m AS (
+         |  SELECT event_id, user_id, tsu, x, y,
+         |    CAST(count(*) OVER w AS DOUBLE) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * y AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+         |  FROM x WINDOW w AS (PARTITION BY user_id)),
+         |f AS (
+         |  SELECT event_id, user_id, tsu,
+         |    ${round4Sql(s"(x - sx/n) * (y - ((sy - ($b) * sx) / n) - ($b) * x)")} AS u,
+         |    ${round4Sql(b)} AS b4,
+         |    sxx - sx * sx / n AS sxxc
+         |  FROM m),
+         |l AS (
+         |  SELECT user_id, u, b4, sxxc,
+         |    lag(u, 1) OVER w AS u1, lag(u, 2) OVER w AS u2, lag(u, 3) OVER w AS u3
+         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |g AS (
+         |  SELECT user_id, count(*) AS n_obs, max(b4) AS slope, max(sxxc) AS sxxc,
+         |    CAST(sum(CAST(${round4Sql("u * u")} AS DECIMAL(38,6))) AS DOUBLE) AS s0,
+         |    CAST(sum(CAST(${round4Sql("u * u1")} AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(${round4Sql("u * u2")} AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         |    CAST(sum(CAST(${round4Sql("u * u3")} AS DECIMAL(38,6))) AS DOUBLE) AS s3
+         |  FROM l GROUP BY user_id),
+         |h AS (
+         |  SELECT user_id, n_obs, slope,
+         |    ${round4Sql("sqrt(greatest(s0 + 2.0 * (0.75 * s1 + 0.5 * s2 + 0.25 * s3), 0.0)) / nullif(sxxc, 0.0)")} AS se_nw
+         |  FROM g)
+         |SELECT user_id, n_obs, slope, se_nw,
+         |  ${round4Sql("slope / nullif(se_nw, 0.0)")} AS t_nw
+         |FROM h ORDER BY user_id""".stripMargin
+    },
+
+    "lineitem_price_index" ->
+      s"""WITH li AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice,
+         |    year(l_shipdate) * 12 + month(l_shipdate) AS mth
+         |  FROM lineitem),
+         |mm AS (SELECT min(mth) AS m0, max(mth) AS m1 FROM li),
+         |pm AS (
+         |  SELECT l_partkey, (mth = m0) AS is_base,
+         |    ${exactSumSql("l_quantity")} AS q, ${exactSumSql("l_extendedprice")} AS v
+         |  FROM li, mm WHERE mth = m0 OR mth = m1
+         |  GROUP BY l_partkey, (mth = m0)),
+         |pp AS (SELECT l_partkey, is_base, q, ${round4Sql("v / q")} AS p FROM pm),
+         |b AS (SELECT l_partkey, q AS q0, p AS p0 FROM pp WHERE is_base),
+         |c AS (SELECT l_partkey, q AS q1, p AS p1 FROM pp WHERE NOT is_base),
+         |j AS (SELECT * FROM b JOIN c USING (l_partkey)),
+         |a AS (
+         |  SELECT count(*) AS n_parts,
+         |    ${exactSumSql(round4Sql("p1 * q0"))} AS p1q0,
+         |    ${exactSumSql(round4Sql("p0 * q0"))} AS p0q0,
+         |    ${exactSumSql(round4Sql("p1 * q1"))} AS p1q1,
+         |    ${exactSumSql(round4Sql("p0 * q1"))} AS p0q1
+         |  FROM j),
+         |ix AS (
+         |  SELECT n_parts,
+         |    ${round4Sql("p1q0 / nullif(p0q0, 0.0)")} AS laspeyres,
+         |    ${round4Sql("p1q1 / nullif(p0q1, 0.0)")} AS paasche
+         |  FROM a)
+         |SELECT n_parts, laspeyres, paasche,
+         |  ${round4Sql("sqrt(laspeyres * paasche)")} AS fisher
+         |FROM ix""".stripMargin,
+
+    "events_diversity" ->
+      s"""WITH tc AS (
+         |  SELECT user_id, event_type, count(*) AS c FROM events
+         |  GROUP BY user_id, event_type),
+         |pt AS (
+         |  SELECT user_id, c,
+         |    CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY user_id) AS DOUBLE) AS p
+         |  FROM tc),
+         |g AS (
+         |  SELECT user_id, sum(c) AS n_events, count(*) AS richness,
+         |    CAST(sum(CAST(${round6Sql("p * p")} AS DECIMAL(18,6))) AS DOUBLE) AS sp2,
+         |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singletons
+         |  FROM pt GROUP BY user_id)
+         |SELECT user_id, n_events, richness,
+         |  ${round4Sql("1.0 - sp2")} AS simpson,
+         |  ${round4Sql("1.0 - CAST(singletons AS DOUBLE) / CAST(n_events AS DOUBLE)")} AS coverage
+         |FROM g ORDER BY user_id""".stripMargin
   )
 }

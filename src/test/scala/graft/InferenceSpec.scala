@@ -188,6 +188,37 @@ class InferenceSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("ts_newey_west: HAC se positive, t consistent with slope/se") {
+    val out = run("ts_newey_west").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("se_nw") < 0.0).count() == 0)
+    val bad = out.where(col("se_nw") > 0.0 && col("t_nw").isNotNull).collect().count { r =>
+      val want = math.round(r.getAs[Double]("slope") / r.getAs[Double]("se_nw") * 10000.0) / 10000.0
+      math.abs(r.getAs[Double]("t_nw") - want) > 1e-9
+    }
+    assert(bad == 0)
+    out.unpersist()
+  }
+
+  test("lineitem_price_index: Fisher lies between Laspeyres and Paasche") {
+    val r = run("lineitem_price_index").collect().head
+    val l = r.getAs[Double]("laspeyres"); val p = r.getAs[Double]("paasche")
+    val f = r.getAs[Double]("fisher")
+    assert(r.getAs[Long]("n_parts") > 0)
+    assert(l > 0 && p > 0 && f > 0)
+    assert(f >= math.min(l, p) - 1e-4 && f <= math.max(l, p) + 1e-4,
+      s"fisher $f outside [$l, $p] envelope")
+  }
+
+  test("events_diversity: simpson and coverage bounded, richness consistent") {
+    val out = run("events_diversity").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("simpson") < 0.0 || col("simpson") > 1.0).count() == 0)
+    assert(out.where(col("coverage") < 0.0 || col("coverage") > 1.0).count() == 0)
+    assert(out.where(col("richness") > col("n_events")).count() == 0)
+    out.unpersist()
+  }
+
   test("ts_influence: injected outlier dominates Cook's distance") {
     import spark.implicits._
     // Build a tiny two-series frame through the same entry shape by
