@@ -1107,4 +1107,65 @@ object TimeSeriesOps {
       .select((keys.map(col) ++ Seq(col(attrCol), col("valid_from"),
         col("valid_to"), col("is_current"))): _*)
   }
+
+  /** Two-state burst-detection Viterbi forward pass (Kleinberg 2002,
+    * enumerating variant): per key, fold the per-bucket emission costs
+    * `e0Col` (base state) / `e1Col` (burst state) through
+    *   C0ₜ = min(C0ₜ₋₁, C1ₜ₋₁) + e0ₜ
+    *   C1ₜ = min(C0ₜ₋₁ + γ, C1ₜ₋₁) + e1ₜ
+    * (γ = the cost of ENTERING the burst state; leaving is free) and
+    * emit the running costs plus the forward-filtered state decision
+    * (c1 < c0). Init: C0 = e0, C1 = γ + e1. Emission costs are
+    * pre-quantized by the caller, so the fold is pure adds and exact
+    * mins — the recursive-CTE oracle replays the identical IEEE ops.
+    * Same scale shape as [[holtPath]]: keyed repartition + sorted
+    * in-partition scan, O(1) state per key. The full-Viterbi backtrack
+    * is deliberately NOT done — the forward-filtered decision is the
+    * streaming-capable variant (no unbounded path state), which is the
+    * posture that matters at fleet scale.
+    */
+  def burstPath(df: DataFrame, keys: Seq[String], order: Seq[String],
+                e0Col: String, e1Col: String, gamma: Double,
+                numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "burstPath needs series keys")
+    require(gamma >= 0, s"gamma=$gamma must be nonnegative")
+    require(!df.columns.contains("c0") && !df.columns.contains("c1"),
+      "burstPath: input already has a c0/c1 column")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields ++
+      Seq(StructField("c0", DoubleType), StructField("c1", DoubleType),
+        StructField("in_burst", LongType)))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val e0Idx = sorted.schema.fieldIndex(e0Col)
+    val e1Idx = sorted.schema.fieldIndex(e1Col)
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var c0 = 0.0; var c1 = 0.0; var seen = false
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; seen = false }
+          val state: Seq[Any] =
+            if (r.isNullAt(e0Idx) || r.isNullAt(e1Idx)) Seq(null, null, null)
+            else {
+              val e0 = r.getDouble(e0Idx); val e1 = r.getDouble(e1Idx)
+              if (!seen) { c0 = e0; c1 = gamma + e1; seen = true }
+              else {
+                val n0 = math.min(c0, c1) + e0
+                val n1 = math.min(c0 + gamma, c1) + e1
+                c0 = n0; c1 = n1
+              }
+              Seq(c0, c1, if (c1 < c0) 1L else 0L)
+            }
+          Row.fromSeq(r.toSeq ++ state)
+        }
+      }, schema)
+  }
 }

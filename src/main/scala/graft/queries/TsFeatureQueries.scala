@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.CleanFunctions
 import graft.functions.CleanFunctions.{exactSum, exactSumSql, round4, round4Sql, round6, round6Sql}
-import graft.operators.StatsOps
+import graft.operators.{StatsOps, TimeSeriesOps}
 import graft.sources.Tables
 
 /** Time-series FEATURE CATALOG (the Hyndman tsfeatures set): per-series
@@ -31,6 +31,14 @@ object TsFeatureQueries {
 
   /** Hill estimator order-statistic count. */
   private val HillK = 20
+
+  /** Kleinberg burst model: burst rate = BurstS x base rate; entering
+    * the burst state costs BurstGamma (leaving is free).
+    */
+  private val BurstS = 3.0
+  private val BurstGamma = 2.0
+
+  private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
   private def events(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).where(col("value").isNotNull)
@@ -167,6 +175,33 @@ object TsFeatureQueries {
           round4(exactSum(col("term")) / lit(HillK.toDouble)).as("hill"))
         .withColumn("alpha", round4(lit(1.0) / nullif(col("hill"), lit(0.0))))
         .orderBy("user_id")
+    },
+
+    // Kleinberg burst detection over the per-type daily event stream:
+    // a two-state (base rate r₀ / burst rate 3r₀) cost automaton with
+    // Poisson emission costs r − c·ln r, folded by the forward Viterbi
+    // pass ([[TimeSeriesOps.burstPath]]) — "WHEN was this event type
+    // bursting" with hysteresis the plain daily z-score lacks (the γ
+    // entry cost suppresses one-day blips). Emission costs are
+    // round6-quantized SQL expressions; the fold is pure adds + exact
+    // mins, replayed exactly by a recursive-CTE oracle like the
+    // Kalman / Holt-Winters twins.
+    "ts_bursts" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .withColumn("day", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).cast(DoubleType).as("c"))
+      val rates = daily.groupBy("event_type")
+        .agg(round4(CleanFunctions.exactMean(col("c"))).as("r0"))
+      val prep = daily.join(broadcast(rates), "event_type")
+        .withColumn("r1", round4(lit(BurstS) * col("r0")))
+        .withColumn("e0", round6(col("r0") - col("c") * log(col("r0"))))
+        .withColumn("e1", round6(col("r1") - col("c") * log(col("r1"))))
+      TimeSeriesOps.burstPath(prep, Seq("event_type"), Seq("day"),
+          "e0", "e1", BurstGamma)
+        .select(col("event_type"), col("day"),
+          round4(col("c0")).as("cost_base"),
+          round4(col("c1")).as("cost_burst"), col("in_burst"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -305,6 +340,40 @@ object TsFeatureQueries {
          |  FROM t GROUP BY user_id)
          |SELECT user_id, n_pos, hill,
          |  ${round4Sql("1.0 / nullif(hill, 0.0)")} AS alpha
-         |FROM g ORDER BY user_id""".stripMargin
+         |FROM g ORDER BY user_id""".stripMargin,
+
+    "ts_bursts" -> {
+      val g = dlit(BurstGamma)
+      s"""WITH RECURSIVE base AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(count(*) AS DOUBLE) AS c
+         |  FROM events GROUP BY 1, 2),
+         |rt AS (
+         |  SELECT event_type, ${round4Sql(CleanFunctions.exactMeanSql("c"))} AS r0
+         |  FROM base GROUP BY event_type),
+         |p0 AS (
+         |  SELECT b.event_type, b.day, b.c, rt.r0,
+         |    ${round4Sql(s"${dlit(BurstS)} * rt.r0")} AS r1
+         |  FROM base b JOIN rt USING (event_type)),
+         |prep AS (
+         |  SELECT event_type, day,
+         |    ${round6Sql("r0 - c * ln(r0)")} AS e0,
+         |    ${round6Sql("r1 - c * ln(r1)")} AS e1,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM p0),
+         |v AS (
+         |  SELECT event_type, day, rn, e0 AS c0, $g + e1 AS c1
+         |  FROM prep WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.event_type, p.day, p.rn,
+         |    least(v.c0, v.c1) + p.e0,
+         |    least(v.c0 + $g, v.c1) + p.e1
+         |  FROM v JOIN prep p ON p.event_type = v.event_type AND p.rn = v.rn + 1)
+         |SELECT event_type, day, ${round4Sql("c0")} AS cost_base,
+         |  ${round4Sql("c1")} AS cost_burst,
+         |  CASE WHEN c1 < c0 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS in_burst
+         |FROM v ORDER BY event_type, day""".stripMargin
+    }
   )
 }

@@ -43,6 +43,37 @@ class TsFeatureSpec extends AnyFunSuite {
     assert(out.where(col("arch_r2") < 0.0 || col("arch_r2") > 1.0 + 1e-9).count() == 0)
   }
 
+  test("burstPath flags a sustained count spike and not the quiet baseline") {
+    import spark.implicits._
+    import graft.functions.CleanFunctions.{round4, round6}
+    // 20 quiet days at rate ~10, 10 burst days at rate 40, 10 quiet again.
+    val counts = (1 to 20).map(d => (d, 10.0)) ++ (21 to 30).map(d => (d, 40.0)) ++
+      (31 to 40).map(d => (d, 10.0))
+    val df = counts.toDF("day", "c").withColumn("k", lit("t"))
+    val r0 = 17.5 // mean of the crafted counts
+    val r1 = 3.0 * r0
+    val prep = df
+      .withColumn("e0", round6(lit(r0) - col("c") * log(lit(r0))))
+      .withColumn("e1", round6(lit(r1) - col("c") * log(lit(r1))))
+    val out = graft.operators.TimeSeriesOps.burstPath(
+      prep, Seq("k"), Seq("day"), "e0", "e1", gamma = 2.0).cache()
+    val burstDays = out.where(col("in_burst") === 1).select("day")
+      .collect().map(_.getInt(0)).sorted
+    assert(burstDays.nonEmpty, "the 4x spike must trigger the burst state")
+    assert(burstDays.forall(d => d >= 21 && d <= 32),
+      s"burst flags outside the spike window (+ hysteresis tail): ${burstDays.mkString(",")}")
+    assert(burstDays.count(d => d >= 21 && d <= 30) >= 8,
+      "most spike days must be flagged")
+    out.unpersist()
+  }
+
+  test("ts_bursts entry emits both states and bounded flags") {
+    val out = run("ts_bursts").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("in_burst") =!= 0L && col("in_burst") =!= 1L).count() == 0)
+    out.unpersist()
+  }
+
   test("ts_hill_tail: hill >= 0 (top-k over threshold), alpha consistent") {
     val out = run("ts_hill_tail").cache()
     assert(out.count() > 0)
