@@ -1124,6 +1124,50 @@ object TimeSeriesOps {
     * streaming-capable variant (no unbounded path state), which is the
     * posture that matters at fleet scale.
     */
+  /** Exponential-decay event-count fold (the Hawkes-process excitation
+    * recursion): per key over ordered events, A₁ = 0 and
+    * Aₖ = dₖ·(Aₖ₋₁ + 1), where `decayCol` carries the pre-computed
+    * inter-event decay dₖ = e^(−β·Δtₖ). A is the exponentially-decayed
+    * count of prior events as seen at each arrival — the self-exciting
+    * intensity core λ = μ + α·A. The transcendental lives OUTSIDE the
+    * fold (a quantized column both engines compute identically); inside
+    * is one multiply-add per event, so the recursive-CTE oracle replays
+    * it exactly. Null decay (the series' first row has no Δt) resets
+    * nothing — A simply starts at 0 per key. Same scale shape as
+    * [[holtPath]]: keyed repartition, sorted in-partition scan, O(1)
+    * state.
+    */
+  def hawkesPath(df: DataFrame, keys: Seq[String], order: Seq[String],
+                 decayCol: String, numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "hawkesPath needs series keys")
+    require(!df.columns.contains("excitation"),
+      "hawkesPath: input already has an excitation column")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields :+
+      StructField("excitation", DoubleType))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val dIdx = sorted.schema.fieldIndex(decayCol)
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var a = 0.0; var seen = false
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; seen = false }
+          if (!seen) { a = 0.0; seen = true }
+          else if (!r.isNullAt(dIdx)) a = r.getDouble(dIdx) * (a + 1.0)
+          Row.fromSeq(r.toSeq :+ a)
+        }
+      }, schema)
+  }
+
   def burstPath(df: DataFrame, keys: Seq[String], order: Seq[String],
                 e0Col: String, e1Col: String, gamma: Double,
                 numPartitions: Int = 0): DataFrame = {

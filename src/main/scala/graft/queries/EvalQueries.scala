@@ -517,6 +517,67 @@ object EvalQueries {
             col("sxy"), col("sxx"), col("syy"))).as("assortativity"))
     },
 
+    // Modularity of the REGION partition on the trade graph: Q = Σ_c
+    // (e_cc/m − (a_c/2m)²) — does the geographic community structure
+    // explain who trades with whom, the quantitative answer to "are
+    // regions trade blocs". Communities come from the region dimension
+    // (no detection loop — this scores a GIVEN partition, the
+    // warehouse-common case); all counts integer-exact, per-community
+    // terms 6dp-quantized into the DECIMAL sum.
+    "nation_modularity" -> { (s, d) =>
+      val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      val und = e.select(col("src").as("a"), col("dst").as("b"))
+        .union(e.select(col("dst").as("a"), col("src").as("b"))).distinct()
+        .where(col("a") < col("b"))
+      val reg = Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk"), col("n_regionkey").as("rg"))
+      val withR = und
+        .join(broadcast(reg.select(col("nk").as("a"), col("rg").as("ra"))), "a")
+        .join(broadcast(reg.select(col("nk").as("b"), col("rg").as("rb"))), "b")
+      val mEdges = withR.agg(count(lit(1)).as("m"))
+      val ecc = withR.where(col("ra") === col("rb"))
+        .groupBy(col("ra").as("rg")).agg(count(lit(1)).as("ecc"))
+      val degs = withR.select(col("ra").as("rg"))
+        .union(withR.select(col("rb").as("rg")))
+        .groupBy("rg").agg(count(lit(1)).as("ac"))
+      val md = col("m").cast(DoubleType)
+      val frac = col("ac").cast(DoubleType) / (lit(2.0) * md)
+      val terms = degs.join(ecc, Seq("rg"), "left")
+        .withColumn("ecc", coalesce(col("ecc"), lit(0L)))
+        .crossJoin(broadcast(mEdges))
+        .withColumn("term", round6(col("ecc").cast(DoubleType) / md - frac * frac))
+      terms.agg(max(col("m")).as("m_edges"), count(lit(1)).as("n_communities"),
+          CleanFunctions.exactSum(col("term")).as("q"))
+        .select(col("m_edges"), col("n_communities"),
+          round4(col("q")).as("q_modularity"))
+    },
+
+    // Cross-source vocabulary overlap: pairwise Jaccard of the distinct
+    // word-type sets per document source — the corpus-mixing diagnostic
+    // (two sources sharing 95% of their vocabulary are near-redundant
+    // for training-mix purposes; one sharing 20% brings new coverage).
+    // Type sets never materialize per pair: common counts come from the
+    // tok equi-join, sizes from one distinct aggregate (the
+    // nation_similarity shape on text).
+    "text_source_overlap" -> { (s, d) =>
+      val toks = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("source"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("tok"))
+        .distinct()
+      val sizes = toks.groupBy("source").agg(count(lit(1)).as("sz"))
+      val common = toks.as("x").join(toks.as("y"),
+          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("size_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("size_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("common"), col("size_a"), col("size_b"),
+          round4(col("common").cast(DoubleType) /
+            (col("size_a") + col("size_b") - col("common")).cast(DoubleType)).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+
     // Weighted-set node similarity on the trade graph: Jaccard of each
     // nation pair's trading-partner sets — the "find me a comparable
     // node" primitive (completes the graph family: rank, components,
@@ -973,6 +1034,46 @@ object EvalQueries {
          |  ${round4Sql(corr)} AS assortativity
          |FROM m""".stripMargin
     },
+
+    "nation_modularity" ->
+      s"""WITH e AS ($tradeEdgesSql),
+         |ed AS (SELECT src, dst FROM e WHERE src <> dst),
+         |und AS (SELECT a, b FROM (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM ed UNION ALL SELECT dst AS a, src AS b FROM ed))
+         |  WHERE a < b),
+         |wr AS (
+         |  SELECT und.a, und.b, na.n_regionkey AS ra, nb.n_regionkey AS rb
+         |  FROM und JOIN nation na ON und.a = na.n_nationkey
+         |           JOIN nation nb ON und.b = nb.n_nationkey),
+         |mm AS (SELECT count(*) AS m FROM wr),
+         |ecc AS (SELECT ra AS rg, count(*) AS ecc FROM wr WHERE ra = rb GROUP BY ra),
+         |degs AS (SELECT rg, count(*) AS ac FROM (
+         |  SELECT ra AS rg FROM wr UNION ALL SELECT rb AS rg FROM wr) GROUP BY rg),
+         |t AS (
+         |  SELECT degs.rg, coalesce(ecc.ecc, 0) AS ecc, degs.ac, mm.m
+         |  FROM degs LEFT JOIN ecc ON degs.rg = ecc.rg, mm),
+         |tt AS (
+         |  SELECT m, ${round6Sql("CAST(ecc AS DOUBLE) / CAST(m AS DOUBLE) - (CAST(ac AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) * (CAST(ac AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))")} AS term
+         |  FROM t)
+         |SELECT max(m) AS m_edges, count(*) AS n_communities,
+         |  ${round4Sql(CleanFunctions.exactSumSql("term"))} AS q_modularity
+         |FROM tt""".stripMargin,
+
+    "text_source_overlap" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+         |    FROM documents)),
+         |sz AS (SELECT source, count(*) AS sz FROM t GROUP BY source),
+         |cm AS (
+         |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS common
+         |  FROM t x JOIN t y ON x.tok = y.tok AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, common, sa.sz AS size_a, sb.sz AS size_b,
+         |  ${round4Sql("CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)")} AS jaccard
+         |FROM cm JOIN sz sa ON cm.src_a = sa.source
+         |        JOIN sz sb ON cm.src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "nation_similarity" ->
       s"""WITH e AS ($tradeEdgesSql),

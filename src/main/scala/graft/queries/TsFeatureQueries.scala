@@ -38,6 +38,14 @@ object TsFeatureQueries {
   private val BurstS = 3.0
   private val BurstGamma = 2.0
 
+  /** Hawkes intensity parameters: baseline μ, jump α, decay β (1/hour). */
+  private val HawkesMu = 0.2
+  private val HawkesAlpha = 0.8
+  private val HawkesBeta = 0.1
+
+  /** Variogram row lags. */
+  private val VariogramLags = Seq(1, 2, 4, 8, 24)
+
   private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
   private def events(s: SparkSession, d: String): DataFrame =
@@ -202,6 +210,51 @@ object TsFeatureQueries {
           round4(col("c0")).as("cost_base"),
           round4(col("c1")).as("cost_burst"), col("in_burst"))
         .orderBy("event_type", "day")
+    },
+
+    // Hawkes self-excitation per user: the exponentially-decayed count
+    // of prior events at each arrival (decay β = 0.1/hour) and the
+    // conditional intensity λ = μ + α·A — "is this user's activity
+    // self-reinforcing right now" (retry storms, rage-clicks, cascade
+    // onsets all read as λ spikes that a plain rate window smears).
+    // The decay factor e^(−βΔt) is a round6-quantized column; the fold
+    // is one multiply-add per event (TimeSeriesOps.hawkesPath), its
+    // recursive-CTE twin exact.
+    "ts_hawkes_intensity" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val prep = Tables.events(s, d)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .select(col("event_id"), col("user_id"), col("tsu"))
+        .withColumn("dt", round6((col("tsu") - lag(col("tsu"), 1).over(wo))
+          .cast(DoubleType) / lit(3600000000.0)))
+        .withColumn("decay", round6(exp(lit(-HawkesBeta) * col("dt"))))
+      TimeSeriesOps.hawkesPath(prep, Seq("user_id"), Seq("tsu", "event_id"), "decay")
+        .select(col("event_id"), round4(col("excitation")).as("excitation"),
+          round4(lit(HawkesMu) + lit(HawkesAlpha) * col("excitation")).as("intensity"))
+        .orderBy("event_id")
+    },
+
+    // Variogram profile: γ(h) = E[(vₜ − vₜ₋ₕ)²]/2 at row lags 1, 2, 4,
+    // 8, 24 per series — the memory-structure fingerprint (white noise
+    // is flat, a random walk grows linearly, mean-reversion saturates).
+    // One window pass computes all five lags; squared differences are
+    // 4dp-quantized into DECIMAL sums.
+    "ts_variogram" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val base = events(s, d)
+      val lagged = VariogramLags.foldLeft(base) { (df, h) =>
+        df.withColumn(s"d$h", round4(
+          (col("value") - lag(col("value"), h).over(wo)) *
+          (col("value") - lag(col("value"), h).over(wo))))
+      }
+      val stacked = lagged.select(col("user_id"),
+        expr(s"stack(${VariogramLags.size}, " +
+          VariogramLags.map(h => s"${h}L, d$h").mkString(", ") + ") AS (h, dsq)"))
+        .where(col("dsq").isNotNull)
+      stacked.groupBy("user_id", "h").agg(
+          count(lit(1)).as("n_pairs"),
+          round4(CleanFunctions.exactMean(col("dsq")) / lit(2.0)).as("gamma_h"))
+        .orderBy("user_id", "h")
     }
   )
 
@@ -374,6 +427,46 @@ object TsFeatureQueries {
          |  CASE WHEN c1 < c0 THEN CAST(1 AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END AS in_burst
          |FROM v ORDER BY event_type, day""".stripMargin
+    },
+
+    "ts_hawkes_intensity" -> {
+      val dt = round6Sql("(tsu - lag(tsu) OVER w) / 3600000000.0")
+      s"""WITH RECURSIVE e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+         |p AS (
+         |  SELECT event_id, user_id, tsu,
+         |    ${round6Sql(s"exp(${dlit(-HawkesBeta)} * $dt)")} AS decay,
+         |    row_number() OVER w AS rn
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |v AS (
+         |  SELECT event_id, user_id, rn, CAST(0.0 AS DOUBLE) AS a
+         |  FROM p WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.event_id, p.user_id, p.rn, p.decay * (v.a + 1.0)
+         |  FROM v JOIN p ON p.user_id = v.user_id AND p.rn = v.rn + 1)
+         |SELECT event_id, ${round4Sql("a")} AS excitation,
+         |  ${round4Sql(s"${dlit(HawkesMu)} + ${dlit(HawkesAlpha)} * a")} AS intensity
+         |FROM v ORDER BY event_id""".stripMargin
+    },
+
+    "ts_variogram" -> {
+      val arms = VariogramLags.map { h =>
+        s"""SELECT user_id, CAST($h AS BIGINT) AS h,
+           |  ${round4Sql(s"(value - v$h) * (value - v$h)")} AS dsq FROM l""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val lags = VariogramLags.map(h => s"lag(value, $h) OVER w AS v$h").mkString(", ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT user_id, value, $lags
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |u AS (
+         |$arms),
+         |f AS (SELECT * FROM u WHERE dsq IS NOT NULL)
+         |SELECT user_id, h, count(*) AS n_pairs,
+         |  ${round4Sql(s"${CleanFunctions.exactMeanSql("dsq")} / 2.0")} AS gamma_h
+         |FROM f GROUP BY user_id, h ORDER BY user_id, h""".stripMargin
     }
   )
 }

@@ -74,6 +74,36 @@ class TsFeatureSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("hawkesPath: excitation decays between sparse events, grows in cascades") {
+    import spark.implicits._
+    // Events at t = 0, 1, 2, 3 (tight cascade), then one at t = 100
+    // (long gap): excitation must increase through the cascade and
+    // collapse to ~0 after the gap.
+    val beta = 0.5
+    val times = Seq(0.0, 1.0, 2.0, 3.0, 100.0)
+    val df = times.zipWithIndex.map { case (t, i) => (i.toLong, t, "k") }
+      .toDF("id", "t", "k")
+      .withColumn("decay", exp(lit(-beta) * (col("t") - lag(col("t"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("t")))))
+    val out = graft.operators.TimeSeriesOps
+      .hawkesPath(df, Seq("k"), Seq("t"), "decay")
+      .orderBy("id").select("excitation").collect().map(_.getDouble(0))
+    assert(out(0) == 0.0)
+    assert(out(1) > 0.0 && out(2) > out(1) && out(3) > out(2),
+      s"cascade must build excitation: ${out.mkString(",")}")
+    assert(out(4) < 1e-9, s"50 half-lives later the excitation must be ~0, got ${out(4)}")
+  }
+
+  test("ts_variogram: five lags per series, gamma nonnegative") {
+    val out = run("ts_variogram").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("gamma_h") < 0.0).count() == 0)
+    val perUser = out.groupBy("user_id").agg(countDistinct(col("h")).as("nh"))
+    assert(perUser.where(col("nh") =!= 5).count() == 0,
+      "every series long enough must report all five lags")
+    out.unpersist()
+  }
+
   test("ts_hill_tail: hill >= 0 (top-k over threshold), alpha consistent") {
     val out = run("ts_hill_tail").cache()
     assert(out.count() > 0)
