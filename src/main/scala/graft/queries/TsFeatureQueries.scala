@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -45,6 +45,12 @@ object TsFeatureQueries {
 
   /** Variogram row lags. */
   private val VariogramLags = Seq(1, 2, 4, 8, 24)
+
+  /** DFA box sizes (rows). Sized to the sf series lengths (49-86 rows
+    * at sf0.01): 16-row boxes still yield >=3 complete boxes per
+    * series, so the log-log fit always has 3 scale points.
+    */
+  private val DfaBoxes = Seq(4, 8, 16)
 
   private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
@@ -232,6 +238,185 @@ object TsFeatureQueries {
         .select(col("event_id"), round4(col("excitation")).as("excitation"),
           round4(lit(HawkesMu) + lit(HawkesAlpha) * col("excitation")).as("intensity"))
         .orderBy("event_id")
+    },
+
+    // Hjorth parameters per series: activity (signal variance),
+    // mobility (√(var(Δv)/var(v)) — the dominant-frequency proxy), and
+    // complexity (mobility of the differenced series over mobility of
+    // the signal — bandwidth / deviation-from-sine). The classic 3-value
+    // EEG fingerprint, useful fleet-wide as a cheap spectral triage that
+    // needs no FFT. Differences are 4dp-quantized; the three population
+    // variances ride one grouped pass of DECIMAL moment sums (null-
+    // skipping count/sum pick up the 1- and 2-row warmup automatically).
+    "ts_hjorth" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = events(s, d)
+        .withColumn("dx", round4(col("value") - lag(col("value"), 1).over(wo)))
+        .withColumn("ddx", round4(col("dx") - lag(col("dx"), 1).over(wo)))
+      def pvar(q: Column, s1: Column, n: Column): Column =
+        round4(greatest(q / n - (s1 / n) * (s1 / n), lit(0.0)))
+      e.groupBy("user_id").agg(
+          count(col("value")).as("n0"),
+          exactSum(col("value")).as("s0"),
+          exactSum(round4(col("value") * col("value"))).as("q0"),
+          count(col("dx")).as("n1"),
+          exactSum(col("dx")).as("s1"),
+          exactSum(round4(col("dx") * col("dx"))).as("q1"),
+          count(col("ddx")).as("n2"),
+          exactSum(col("ddx")).as("s2"),
+          exactSum(round4(col("ddx") * col("ddx"))).as("q2"))
+        .select(col("user_id"),
+          pvar(col("q0"), col("s0"), col("n0")).as("activity"),
+          pvar(col("q1"), col("s1"), col("n1")).as("v1"),
+          pvar(col("q2"), col("s2"), col("n2")).as("v2"))
+        .withColumn("mobility",
+          round4(sqrt(col("v1") / nullif(col("activity"), lit(0.0)))))
+        .withColumn("complexity",
+          round4(sqrt(col("v2") / nullif(col("v1"), lit(0.0))) /
+            nullif(col("mobility"), lit(0.0))))
+        .select("user_id", "activity", "mobility", "complexity")
+        .orderBy("user_id")
+    },
+
+    // Nonlinearity fingerprint per series (the two tsfresh stats linear
+    // Gaussian processes keep at zero): c3 = E[vₜ·vₜ₋₁·vₜ₋₂] (third-
+    // order autocovariance proxy) and trev = E[Δ³]/E[Δ²]^{3/2} (time-
+    // reversal asymmetry — linear processes are reversible, so trev≠0
+    // flags asymmetric dynamics like slow-rise/fast-crash). Triple
+    // products are written with one fixed association order on both
+    // engines and 4dp-quantized into DECIMAL sums; the denominator uses
+    // sqrt((m·m)·m), never pow(·,1.5).
+    "ts_nonlinearity" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = events(s, d)
+        .withColumn("l1", lag(col("value"), 1).over(wo))
+        .withColumn("l2", lag(col("value"), 2).over(wo))
+        .withColumn("p3", round4((col("value") * col("l1")) * col("l2")))
+        .withColumn("dd", round4(col("value") - col("l1")))
+        .withColumn("d2", round4(col("dd") * col("dd")))
+        .withColumn("d3", round4((col("dd") * col("dd")) * col("dd")))
+      e.groupBy("user_id").agg(
+          count(col("p3")).as("n_triples"),
+          round4(exactSum(col("p3")) / count(col("p3"))).as("c3"),
+          exactSum(col("d2")).as("m2s"),
+          exactSum(col("d3")).as("m3s"),
+          count(col("dd")).as("nd"))
+        .select(col("user_id"), col("n_triples"), col("c3"),
+          round4((col("m3s") / col("nd")) /
+            nullif(sqrt(((col("m2s") / col("nd")) * (col("m2s") / col("nd"))) *
+              (col("m2s") / col("nd"))), lit(0.0))).as("trev"))
+        .orderBy("user_id")
+    },
+
+    // Longest strike above / below the series mean: the two tsfresh
+    // run-length features (a long above-mean strike = sustained shift
+    // the z-score detectors should have caught; below = outage-like
+    // sag). Mean is the exact-DECIMAL per-series mean, so the side of
+    // every observation is engine-identical; runs are the standard
+    // rn − per-side-rn gaps-and-islands inside one keyed ordering.
+    "ts_longest_strike" -> { (s, d) =>
+      val wp = Window.partitionBy("user_id")
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = events(s, d)
+        .withColumn("mean", CleanFunctions.exactMeanOver(col("value"), wp))
+        .withColumn("above", col("value") > col("mean"))
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("rnf", row_number().over(
+          Window.partitionBy("user_id", "above").orderBy("tsu", "event_id")))
+        .withColumn("island", col("rn") - col("rnf"))
+      e.groupBy("user_id", "above", "island").agg(count(lit(1)).as("run"))
+        .groupBy("user_id").agg(
+          max(when(col("above"), col("run"))).as("longest_above"),
+          max(when(!col("above"), col("run"))).as("longest_below"))
+        .orderBy("user_id")
+    },
+
+    // Turning-point randomness test per series: count local extrema
+    // (vₜ₋₁ < vₜ > vₜ₊₁ or the mirror), compare against the i.i.d.
+    // expectation 2(n−2)/3 with variance (16n−29)/90 — too FEW turning
+    // points = trend/momentum, too MANY = negative autocorrelation
+    // (over-differencing, bouncing quantization). Counts are exact
+    // integers; only the final z (4dp) and its two-sided p through the
+    // shared portable normal CDF are floating.
+    "ts_turning_points" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = events(s, d)
+        .withColumn("prev", lag(col("value"), 1).over(wo))
+        .withColumn("nxt", lead(col("value"), 1).over(wo))
+        .withColumn("tp", col("prev").isNotNull && col("nxt").isNotNull &&
+          ((col("value") > col("prev") && col("value") > col("nxt")) ||
+           (col("value") < col("prev") && col("value") < col("nxt"))))
+      e.groupBy("user_id").agg(
+          count(lit(1)).as("n_obs"),
+          count(when(col("tp"), 1)).as("turning_points"))
+        .withColumn("expected", lit(2.0) * (col("n_obs") - lit(2L)) / lit(3.0))
+        .withColumn("z", round4((col("turning_points") - col("expected")) /
+          sqrt((lit(16.0) * col("n_obs") - lit(29.0)) / lit(90.0))))
+        .select(col("user_id"), col("n_obs"), col("turning_points"),
+          round4(col("expected")).as("expected"), col("z"),
+          round6(lit(2.0) * (lit(1.0) - CleanFunctions.normalCdf(abs(col("z")))))
+            .as("p_value"))
+        .orderBy("user_id")
+    },
+
+    // Detrended fluctuation analysis: integrate the mean-deviations into
+    // a profile, OLS-detrend it inside non-overlapping boxes of 4/8/16
+    // rows, and read the scaling exponent α off the log-log fit of the
+    // mean squared fluctuation — the nonstationarity-robust sibling of
+    // ts_hurst (R/S): α≈0.5 white noise, ≈1 pink / long memory, ≈1.5
+    // random walk. The profile is an exact-DECIMAL running sum (order-
+    // proof), box detrending is closed-form moment OLS on (t, y) sums,
+    // and only complete boxes count — all keyed windows + grouped aggs,
+    // no cross-series stage.
+    "ts_dfa" -> { (s, d) =>
+      val wp = Window.partitionBy("user_id")
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prof = events(s, d)
+        .withColumn("mean", CleanFunctions.exactMeanOver(col("value"), wp))
+        .withColumn("dev", round4(col("value") - col("mean")))
+        .withColumn("y", round4(CleanFunctions.exactSumOver(col("dev"), cum)))
+        .withColumn("rn", row_number().over(wo))
+      val stacked = prof.select(col("user_id"), col("y"),
+          expr(s"stack(${DfaBoxes.size}, " + DfaBoxes.map(b =>
+            s"${b}L, (rn - 1) DIV $b").mkString(", ") + ") AS (s, box)"),
+          col("rn"))
+        .withColumn("t", ((col("rn") - lit(1)) % col("s")) + lit(1L))
+      val boxes = stacked.groupBy("user_id", "s", "box").agg(
+          count(lit(1)).as("nb"),
+          sum(col("t")).cast(DoubleType).as("st"),
+          sum(col("t") * col("t")).cast(DoubleType).as("stt"),
+          exactSum(col("y")).as("sy"),
+          exactSum(round4(col("y") * col("y"))).as("syy"),
+          exactSum(round4(col("t") * col("y"))).as("sty"))
+        .where(col("nb") === col("s"))
+        .withColumn("rss", round6(greatest(
+          (col("syy") - col("sy") * col("sy") / col("nb")) -
+            (col("sty") - col("st") * col("sy") / col("nb")) *
+            (col("sty") - col("st") * col("sy") / col("nb")) /
+            (col("stt") - col("st") * col("st") / col("nb")), lit(0.0))))
+        .withColumn("rms2", round6(col("rss") / col("s")))
+      val fl = boxes.groupBy("user_id", "s").agg(
+          count(lit(1)).as("n_boxes"),
+          round4(CleanFunctions.exactMean(col("rms2"))).as("f2"))
+        .withColumn("lf", round6(log(nullif(col("f2"), lit(0.0)))))
+        .withColumn("ls", round6(log(col("s").cast(DoubleType))))
+      val alpha = fl.where(col("lf").isNotNull)
+        .groupBy("user_id").agg(
+          count(lit(1)).cast(DoubleType).as("k"),
+          exactSum(col("ls")).as("sls"),
+          exactSum(col("lf")).as("slf"),
+          exactSum(round6(col("ls") * col("ls"))).as("sll"),
+          exactSum(round6(col("ls") * col("lf"))).as("slfl"))
+        .select(col("user_id"), round4(lit(0.5) *
+          ((col("slfl") - col("sls") * col("slf") / col("k")) /
+            nullif(col("sll") - col("sls") * col("sls") / col("k"), lit(0.0))))
+          .as("alpha"))
+      val pivot = fl.groupBy("user_id").agg(
+        max(when(col("s") === 4L, col("f2"))).as("f2_s4"),
+        max(when(col("s") === 8L, col("f2"))).as("f2_s8"),
+        max(when(col("s") === 16L, col("f2"))).as("f2_s16"))
+      pivot.join(alpha, Seq("user_id"), "left").orderBy("user_id")
     },
 
     // Variogram profile: γ(h) = E[(vₜ − vₜ₋ₕ)²]/2 at row lags 1, 2, 4,
@@ -447,6 +632,177 @@ object TsFeatureQueries {
          |SELECT event_id, ${round4Sql("a")} AS excitation,
          |  ${round4Sql(s"${dlit(HawkesMu)} + ${dlit(HawkesAlpha)} * a")} AS intensity
          |FROM v ORDER BY event_id""".stripMargin
+    },
+
+    "ts_hjorth" -> {
+      def pvar(q: String, s1: String, n: String) =
+        round4Sql(s"greatest($q / $n - ($s1 / $n) * ($s1 / $n), 0.0)")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l1 AS (
+         |  SELECT user_id, event_id, tsu, value,
+         |    ${round4Sql("value - lag(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id)")} AS dx
+         |  FROM e),
+         |l2 AS (
+         |  SELECT user_id, value, dx,
+         |    ${round4Sql("dx - lag(dx) OVER (PARTITION BY user_id ORDER BY tsu, event_id)")} AS ddx
+         |  FROM l1),
+         |m AS (
+         |  SELECT user_id,
+         |    count(value) AS n0, ${exactSumSql("value")} AS s0,
+         |    ${exactSumSql(round4Sql("value * value"))} AS q0,
+         |    count(dx) AS n1, ${exactSumSql("dx")} AS s1,
+         |    ${exactSumSql(round4Sql("dx * dx"))} AS q1,
+         |    count(ddx) AS n2, ${exactSumSql("ddx")} AS s2,
+         |    ${exactSumSql(round4Sql("ddx * ddx"))} AS q2
+         |  FROM l2 GROUP BY user_id),
+         |v AS (
+         |  SELECT user_id,
+         |    ${pvar("q0", "s0", "n0")} AS activity,
+         |    ${pvar("q1", "s1", "n1")} AS v1,
+         |    ${pvar("q2", "s2", "n2")} AS v2
+         |  FROM m),
+         |h AS (
+         |  SELECT user_id, activity, v1, v2,
+         |    ${round4Sql("sqrt(v1 / nullif(activity, 0.0))")} AS mobility
+         |  FROM v)
+         |SELECT user_id, activity, mobility,
+         |  ${round4Sql("sqrt(v2 / nullif(v1, 0.0)) / nullif(mobility, 0.0)")} AS complexity
+         |FROM h ORDER BY user_id""".stripMargin
+    },
+
+    "ts_nonlinearity" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT user_id, value,
+         |    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |p AS (
+         |  SELECT user_id,
+         |    ${round4Sql("(value * l1) * l2")} AS p3,
+         |    ${round4Sql("value - l1")} AS dd
+         |  FROM l),
+         |p2 AS (
+         |  SELECT user_id, p3, dd,
+         |    ${round4Sql("dd * dd")} AS d2,
+         |    ${round4Sql("(dd * dd) * dd")} AS d3
+         |  FROM p),
+         |m AS (
+         |  SELECT user_id, count(p3) AS n_triples,
+         |    ${round4Sql(s"${exactSumSql("p3")} / count(p3)")} AS c3,
+         |    ${exactSumSql("d2")} AS m2s, ${exactSumSql("d3")} AS m3s,
+         |    count(dd) AS nd
+         |  FROM p2 GROUP BY user_id)
+         |SELECT user_id, n_triples, c3,
+         |  ${round4Sql("(m3s / nd) / nullif(sqrt(((m2s / nd) * (m2s / nd)) * (m2s / nd)), 0.0)")} AS trev
+         |FROM m ORDER BY user_id""".stripMargin,
+
+    "ts_longest_strike" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |a AS (
+         |  SELECT user_id, event_id, tsu,
+         |    value > ${CleanFunctions.exactMeanSql("value", "OVER (PARTITION BY user_id)")} AS above
+         |  FROM e),
+         |i AS (
+         |  SELECT user_id, above,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) -
+         |    row_number() OVER (PARTITION BY user_id, above ORDER BY tsu, event_id) AS island
+         |  FROM a),
+         |r AS (SELECT user_id, above, island, count(*) AS run
+         |      FROM i GROUP BY user_id, above, island)
+         |SELECT user_id,
+         |  max(CASE WHEN above THEN run END) AS longest_above,
+         |  max(CASE WHEN NOT above THEN run END) AS longest_below
+         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ts_turning_points" -> {
+      val z = "((turning_points - (2.0 * (n_obs - 2) / 3.0)) / sqrt((16.0 * n_obs - 29.0) / 90.0))"
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT user_id, value,
+         |    lag(value) OVER w AS prev, lead(value) OVER w AS nxt
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |g AS (
+         |  SELECT user_id, count(*) AS n_obs,
+         |    count(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL AND
+         |      ((value > prev AND value > nxt) OR (value < prev AND value < nxt))
+         |      THEN 1 END) AS turning_points
+         |  FROM l GROUP BY user_id),
+         |zz AS (
+         |  SELECT user_id, n_obs, turning_points,
+         |    ${round4Sql("2.0 * (n_obs - 2) / 3.0")} AS expected,
+         |    ${round4Sql(z)} AS z
+         |  FROM g)
+         |SELECT user_id, n_obs, turning_points, expected, z,
+         |  ${round6Sql(s"2.0 * (1.0 - ${CleanFunctions.normalCdfSql("abs(z)")})")} AS p_value
+         |FROM zz ORDER BY user_id""".stripMargin
+    },
+
+    "ts_dfa" -> {
+      val arms = DfaBoxes.map { b =>
+        s"""SELECT user_id, CAST($b AS BIGINT) AS s, (rn - 1) // $b AS box,
+           |  ((rn - 1) % $b) + 1 AS t, y FROM pr""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |dv AS (
+         |  SELECT user_id, event_id, tsu,
+         |    ${round4Sql(s"value - ${CleanFunctions.exactMeanSql("value", "OVER (PARTITION BY user_id)")}")} AS dev
+         |  FROM e),
+         |pr AS (
+         |  SELECT user_id,
+         |    ${round4Sql(exactSumSql("dev", "OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))} AS y,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS rn
+         |  FROM dv),
+         |u AS (
+         |$arms),
+         |b AS (
+         |  SELECT user_id, s, box, count(*) AS nb,
+         |    CAST(sum(t) AS DOUBLE) AS st, CAST(sum(t * t) AS DOUBLE) AS stt,
+         |    ${exactSumSql("y")} AS sy,
+         |    ${exactSumSql(round4Sql("y * y"))} AS syy,
+         |    ${exactSumSql(round4Sql("t * y"))} AS sty
+         |  FROM u GROUP BY user_id, s, box),
+         |r AS (
+         |  SELECT user_id, s,
+         |    ${round6Sql(round6Sql("greatest((syy - sy * sy / nb) - (sty - st * sy / nb) * (sty - st * sy / nb) / (stt - st * st / nb), 0.0)") + " / s")} AS rms2
+         |  FROM b WHERE nb = s),
+         |f AS (
+         |  SELECT user_id, s, count(*) AS n_boxes,
+         |    ${round4Sql(CleanFunctions.exactMeanSql("rms2"))} AS f2
+         |  FROM r GROUP BY user_id, s),
+         |g AS (
+         |  SELECT user_id, s, f2,
+         |    ${round6Sql("ln(nullif(f2, 0.0))")} AS lf,
+         |    ${round6Sql("ln(CAST(s AS DOUBLE))")} AS ls
+         |  FROM f),
+         |a AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS k,
+         |    ${exactSumSql("ls")} AS sls, ${exactSumSql("lf")} AS slf,
+         |    ${exactSumSql(round6Sql("ls * ls"))} AS sll,
+         |    ${exactSumSql(round6Sql("ls * lf"))} AS slfl
+         |  FROM g WHERE lf IS NOT NULL GROUP BY user_id),
+         |al AS (
+         |  SELECT user_id,
+         |    ${round4Sql("0.5 * ((slfl - sls * slf / k) / nullif(sll - sls * sls / k, 0.0))")} AS alpha
+         |  FROM a),
+         |pv AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN s = 4 THEN f2 END) AS f2_s4,
+         |    max(CASE WHEN s = 8 THEN f2 END) AS f2_s8,
+         |    max(CASE WHEN s = 16 THEN f2 END) AS f2_s16
+         |  FROM g GROUP BY user_id)
+         |SELECT pv.user_id, f2_s4, f2_s8, f2_s16, al.alpha
+         |FROM pv LEFT JOIN al ON pv.user_id = al.user_id
+         |ORDER BY pv.user_id""".stripMargin
     },
 
     "ts_variogram" -> {
