@@ -419,6 +419,117 @@ object TsFeatureQueries {
       pivot.join(alpha, Seq("user_id"), "left").orderBy("user_id")
     },
 
+    // Poincaré-plot descriptors per series (the HRV short/long-term
+    // variability pair): over successive pairs (vₜ₋₁, vₜ), SD1² =
+    // var(vₜ−vₜ₋₁)/2 is the width of the cloud across the identity line
+    // (beat-to-beat jitter) and SD2² = var(vₜ+vₜ₋₁)/2 its length along
+    // it (slow level drift); SD1/SD2 ≈ 1 is white noise, ≪1 a smooth
+    // trend. Both variances ride one grouped pass of DECIMAL moment
+    // sums over 4dp-quantized pair sums/diffs; the ratio is taken on
+    // the already-rounded SD1/SD2 so it is engine-exact.
+    "ts_poincare" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val e = events(s, d)
+        .withColumn("l1", lag(col("value"), 1).over(wo))
+        .withColumn("dd", round4(col("value") - col("l1")))
+        .withColumn("su", round4(col("value") + col("l1")))
+        .where(col("l1").isNotNull)
+      e.groupBy("user_id").agg(
+          count(lit(1)).as("n_pairs"),
+          exactSum(col("dd")).as("sd"),
+          exactSum(round4(col("dd") * col("dd"))).as("qd"),
+          exactSum(col("su")).as("ss"),
+          exactSum(round4(col("su") * col("su"))).as("qs"))
+        .withColumn("vard", greatest(col("qd") / col("n_pairs") -
+          (col("sd") / col("n_pairs")) * (col("sd") / col("n_pairs")), lit(0.0)))
+        .withColumn("vars", greatest(col("qs") / col("n_pairs") -
+          (col("ss") / col("n_pairs")) * (col("ss") / col("n_pairs")), lit(0.0)))
+        .select(col("user_id"), col("n_pairs"),
+          round4(sqrt(col("vard") / lit(2.0))).as("sd1"),
+          round4(sqrt(col("vars") / lit(2.0))).as("sd2"))
+        .withColumn("sd_ratio", round4(col("sd1") / nullif(col("sd2"), lit(0.0))))
+        .orderBy("user_id")
+    },
+
+    // Binary transfer entropy x→y between series pairs on the daily
+    // grid: states are above/below each series' own grid mean; TE =
+    // Σ p(yₜ,yₜ₋₁,xₜ₋₁)·ln[ p(yₜ|yₜ₋₁,xₜ₋₁) / p(yₜ|yₜ₋₁) ] — the
+    // DIRECTED information-flow companion of ts_granger (which only
+    // sees linear lag effects; TE catches any predictive coupling).
+    // All probabilities are ratios of exact integer counts (marginals
+    // are keyed window sums over the 8-cell count table), so the only
+    // floating step is one ln per cell, 6dp-quantized into the DECIMAL
+    // per-pair sum. Same user sampling as ts_granger bounds pairs; the
+    // triple join is the identical y/y-lag/x-lag day-grid shape.
+    "ts_transfer_entropy" -> { (s, d) =>
+      val day = lit(86400000000L)
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .filter(col("user_id") % 10 === 0)
+        .groupBy(col("user_id"), CleanFunctions.epochUs(date_trunc("day", col("ts"))).as("b"))
+        .agg(CleanFunctions.exactMean(col("value")).as("v"))
+      val st = daily
+        .withColumn("m", CleanFunctions.exactMeanOver(col("v"), Window.partitionBy("user_id")))
+        .select(col("user_id"), col("b"),
+          when(col("v") > col("m"), lit(1L)).otherwise(lit(0L)).as("s"))
+      val rows = st.as("y")
+        .join(st.as("yl"),
+          col("yl.user_id") === col("y.user_id") && col("yl.b") === col("y.b") - day)
+        .join(st.as("xl"),
+          col("xl.b") === col("y.b") - day && col("xl.user_id") =!= col("y.user_id"))
+        .select(col("y.user_id").as("yu"), col("xl.user_id").as("xu"),
+          col("y.s").as("yn"), col("yl.s").as("yp"), col("xl.s").as("xp"))
+      val cnt = rows.groupBy("yu", "xu", "yn", "yp", "xp").agg(count(lit(1)).as("c"))
+      val terms = cnt
+        .withColumn("n", sum(col("c")).over(Window.partitionBy("yu", "xu")))
+        .withColumn("cy", sum(col("c")).over(Window.partitionBy("yu", "xu", "yp")))
+        .withColumn("cyx", sum(col("c")).over(Window.partitionBy("yu", "xu", "yp", "xp")))
+        .withColumn("cny", sum(col("c")).over(Window.partitionBy("yu", "xu", "yn", "yp")))
+        .withColumn("term", round6((col("c").cast(DoubleType) / col("n")) *
+          log((col("c") * col("cy")).cast(DoubleType) /
+            (col("cyx") * col("cny")).cast(DoubleType))))
+      terms.groupBy("yu", "xu")
+        .agg(max(col("n")).as("n_obs"), round4(exactSum(col("term"))).as("te"))
+        .where(col("n_obs") > 3L)
+        .orderBy("yu", "xu")
+    },
+
+    // Complexity-invariant distance between series pairs on the daily
+    // grid (Batista et al.): CID = ED · max(CE_a,CE_b)/min(CE_a,CE_b)
+    // with CE = √Σ(Δv)² — the O(n) fleet-clustering distance that
+    // corrects plain Euclidean's bias toward calling every complex
+    // series "far" (the cheap sibling of ts_dtw_pairs). The pair stage
+    // is a day-bucket equi-join (never all-days × all-days); each CE
+    // is one keyed lag pass, joined back by series. Squared terms are
+    // 4dp-quantized into DECIMAL sums; the correction factor is
+    // √(maxCE²/minCE²) so no engine ever takes two roots.
+    "ts_cid_pairs" -> { (s, d) =>
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .filter(col("user_id") % 10 === 0)
+        .groupBy(col("user_id"), CleanFunctions.epochUs(date_trunc("day", col("ts"))).as("b"))
+        .agg(CleanFunctions.exactMean(col("value")).as("v"))
+      val wo = Window.partitionBy("user_id").orderBy("b")
+      val ce = daily
+        .withColumn("dd", round4(col("v") - lag(col("v"), 1).over(wo)))
+        .where(col("dd").isNotNull)
+        .groupBy("user_id").agg(exactSum(round4(col("dd") * col("dd"))).as("ce2"))
+      val ed = daily.as("a")
+        .join(daily.as("b2"),
+          col("a.b") === col("b2.b") && col("a.user_id") < col("b2.user_id"))
+        .select(col("a.user_id").as("ua"), col("b2.user_id").as("ub"),
+          round4(col("a.v") - col("b2.v")).as("dv"))
+        .groupBy("ua", "ub").agg(
+          count(lit(1)).as("n_common"),
+          exactSum(round4(col("dv") * col("dv"))).as("ed2"))
+        .where(col("n_common") > 3L)
+      ed.join(ce.as("ca"), col("ua") === col("ca.user_id"))
+        .join(ce.as("cb"), col("ub") === col("cb.user_id"))
+        .select(col("ua"), col("ub"), col("n_common"),
+          round4(sqrt(col("ed2"))).as("euclid"),
+          round4(sqrt(col("ed2")) * sqrt(greatest(col("ca.ce2"), col("cb.ce2")) /
+            nullif(least(col("ca.ce2"), col("cb.ce2")), lit(0.0)))).as("cid"))
+        .orderBy("ua", "ub")
+    },
+
     // Variogram profile: γ(h) = E[(vₜ − vₜ₋ₕ)²]/2 at row lags 1, 2, 4,
     // 8, 24 per series — the memory-structure fingerprint (white noise
     // is flat, a random walk grows linearly, mean-reversion saturates).
@@ -804,6 +915,91 @@ object TsFeatureQueries {
          |FROM pv LEFT JOIN al ON pv.user_id = al.user_id
          |ORDER BY pv.user_id""".stripMargin
     },
+
+    "ts_poincare" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |l AS (
+         |  SELECT user_id, value,
+         |    lag(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS l1
+         |  FROM e),
+         |p AS (
+         |  SELECT user_id, ${round4Sql("value - l1")} AS dd,
+         |    ${round4Sql("value + l1")} AS su
+         |  FROM l WHERE l1 IS NOT NULL),
+         |m AS (
+         |  SELECT user_id, count(*) AS n_pairs,
+         |    ${exactSumSql("dd")} AS sd, ${exactSumSql(round4Sql("dd * dd"))} AS qd,
+         |    ${exactSumSql("su")} AS ss, ${exactSumSql(round4Sql("su * su"))} AS qs
+         |  FROM p GROUP BY user_id),
+         |v AS (
+         |  SELECT user_id, n_pairs,
+         |    greatest(qd / n_pairs - (sd / n_pairs) * (sd / n_pairs), 0.0) AS vard,
+         |    greatest(qs / n_pairs - (ss / n_pairs) * (ss / n_pairs), 0.0) AS vars
+         |  FROM m),
+         |sdv AS (
+         |  SELECT user_id, n_pairs,
+         |    ${round4Sql("sqrt(vard / 2.0)")} AS sd1,
+         |    ${round4Sql("sqrt(vars / 2.0)")} AS sd2
+         |  FROM v)
+         |SELECT user_id, n_pairs, sd1, sd2,
+         |  ${round4Sql("sd1 / nullif(sd2, 0.0)")} AS sd_ratio
+         |FROM sdv ORDER BY user_id""".stripMargin,
+
+    "ts_transfer_entropy" ->
+      s"""WITH h AS (
+         |  SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS b,
+         |    ${CleanFunctions.exactMeanSql("value")} AS v
+         |  FROM events WHERE value IS NOT NULL AND user_id % 10 = 0 GROUP BY 1, 2),
+         |st AS (
+         |  SELECT user_id, b,
+         |    CASE WHEN v > ${CleanFunctions.exactMeanSql("v", "OVER (PARTITION BY user_id)")}
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS s
+         |  FROM h),
+         |r AS (
+         |  SELECT y.user_id AS yu, xl.user_id AS xu,
+         |    y.s AS yn, yl.s AS yp, xl.s AS xp
+         |  FROM st y
+         |  JOIN st yl ON yl.user_id = y.user_id AND yl.b = y.b - 86400000000
+         |  JOIN st xl ON xl.b = y.b - 86400000000 AND xl.user_id <> y.user_id),
+         |c AS (SELECT yu, xu, yn, yp, xp, count(*) AS c FROM r GROUP BY 1, 2, 3, 4, 5),
+         |m AS (
+         |  SELECT yu, xu, c,
+         |    sum(c) OVER (PARTITION BY yu, xu) AS n,
+         |    sum(c) OVER (PARTITION BY yu, xu, yp) AS cy,
+         |    sum(c) OVER (PARTITION BY yu, xu, yp, xp) AS cyx,
+         |    sum(c) OVER (PARTITION BY yu, xu, yn, yp) AS cny
+         |  FROM c),
+         |t AS (
+         |  SELECT yu, xu, n,
+         |    ${round6Sql("(CAST(c AS DOUBLE) / n) * ln(CAST(c * cy AS DOUBLE) / CAST(cyx * cny AS DOUBLE))")} AS term
+         |  FROM m)
+         |SELECT yu, xu, CAST(max(n) AS BIGINT) AS n_obs,
+         |  ${round4Sql(exactSumSql("term"))} AS te
+         |FROM t GROUP BY yu, xu HAVING max(n) > 3 ORDER BY yu, xu""".stripMargin,
+
+    "ts_cid_pairs" ->
+      s"""WITH h AS (
+         |  SELECT user_id, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS b,
+         |    ${CleanFunctions.exactMeanSql("value")} AS v
+         |  FROM events WHERE value IS NOT NULL AND user_id % 10 = 0 GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT user_id,
+         |    ${round4Sql("v - lag(v) OVER (PARTITION BY user_id ORDER BY b)")} AS dd
+         |  FROM h),
+         |ce AS (
+         |  SELECT user_id, ${exactSumSql(round4Sql("dd * dd"))} AS ce2
+         |  FROM dd WHERE dd IS NOT NULL GROUP BY user_id),
+         |ed AS (
+         |  SELECT a.user_id AS ua, b2.user_id AS ub, count(*) AS n_common,
+         |    ${exactSumSql(round4Sql(round4Sql("a.v - b2.v") + " * " + round4Sql("a.v - b2.v")))} AS ed2
+         |  FROM h a JOIN h b2 ON a.b = b2.b AND a.user_id < b2.user_id
+         |  GROUP BY 1, 2 HAVING count(*) > 3)
+         |SELECT ua, ub, n_common, ${round4Sql("sqrt(ed2)")} AS euclid,
+         |  ${round4Sql("sqrt(ed2) * sqrt(greatest(ca.ce2, cb.ce2) / nullif(least(ca.ce2, cb.ce2), 0.0))")} AS cid
+         |FROM ed JOIN ce ca ON ua = ca.user_id JOIN ce cb ON ub = cb.user_id
+         |ORDER BY ua, ub""".stripMargin,
 
     "ts_variogram" -> {
       val arms = VariogramLags.map { h =>
