@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.CleanFunctions
-import graft.functions.CleanFunctions.{round4, round4Sql, round6, round6Sql}
+import graft.functions.CleanFunctions.{exactSum, exactSumSql, round4, round4Sql, round6, round6Sql}
 import graft.operators.StatsOps
 import graft.sources.Tables
 
@@ -488,6 +488,72 @@ object EvalQueries {
           col("l_distinct"), round4(col("hh")).as("entropy_l"),
           when(col("l_distinct") >= 3L, lit(1L)).otherwise(lit(0L)).as("is_diverse"))
         .orderBy("event_type", "dow", "value_band")
+    },
+
+    // t-closeness audit — the distributional third of the privacy
+    // triad (dq_k_anonymity: class size; dq_l_diversity: distinct
+    // sensitive values; this: how far each class's sensitive-value
+    // DISTRIBUTION sits from the corpus-wide one, as total variation
+    // distance t = ½Σ|p_class − p_global|, absent values folded in via
+    // ½(1 − Σ_present q)). A class can pass k AND l yet leak through a
+    // skewed mix — t catches that. Global user shares are one grouped
+    // count joined in by user (shuffle equi-join, corpus-proportional);
+    // |p−q| terms are 6dp-quantized into per-class DECIMAL sums.
+    "dq_t_closeness" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), weekday(col("ts")).cast(LongType).as("dow"),
+          floor(col("value") / 50.0).cast(LongType).as("value_band"), col("user_id"))
+      val cell = ev.groupBy("event_type", "dow", "value_band", "user_id")
+        .agg(count(lit(1)).as("c"))
+      val total = ev.agg(count(lit(1)).as("nt"))
+      val glob = ev.groupBy("user_id").agg(count(lit(1)).as("g"))
+        .crossJoin(broadcast(total))
+      val wc = Window.partitionBy("event_type", "dow", "value_band")
+      val j = cell.join(glob, Seq("user_id"))
+        .withColumn("k", sum(col("c")).over(wc))
+        .withColumn("pdiff", round6(abs(col("c").cast(DoubleType) / col("k") -
+          col("g").cast(DoubleType) / col("nt"))))
+        .withColumn("q6", round6(col("g").cast(DoubleType) / col("nt")))
+      j.groupBy("event_type", "dow", "value_band")
+        .agg(max(col("k")).as("k"), count(lit(1)).as("l_distinct"),
+          exactSum(col("pdiff")).as("sad"), exactSum(col("q6")).as("sq"))
+        .select(col("event_type"), col("dow"), col("value_band"), col("k"),
+          col("l_distinct"),
+          round4(lit(0.5) * (col("sad") + lit(1.0) - col("sq"))).as("t_closeness"))
+        .withColumn("is_close",
+          when(col("t_closeness") <= 0.375, lit(1L)).otherwise(lit(0L)))
+        .orderBy("event_type", "dow", "value_band")
+    },
+
+    // Sequential pattern support (PrefixSpan-lite, length 2 with gaps):
+    // for each ordered event-type pair (A, B), the number of users with
+    // SOME A occurrence strictly before SOME B occurrence — existential
+    // precedence, which contiguous-path mining (events_top_paths) and
+    // the first-order Markov matrix both miss when noise events sit
+    // between A and B. Reduced exactly to per-(user, type) first/last
+    // timestamps (one grouped agg, corpus-proportional), so the pair
+    // stage joins O(users × |types|) rows, never raw events; the type
+    // domain is enumerable, so per-user pairs are bounded.
+    "events_seq_patterns" -> { (s, d) =>
+      val ut = Tables.events(s, d)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .groupBy("user_id", "event_type")
+        .agg(min(col("tsu")).as("first_ts"), max(col("tsu")).as("last_ts"))
+      val tcount = ut.groupBy("event_type").agg(count(lit(1)).as("users_with_a"))
+        .withColumnRenamed("event_type", "antecedent")
+      val pairs = ut.as("a")
+        .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("antecedent"),
+          col("b.event_type").as("consequent"))
+        .agg(count(when(col("a.first_ts") < col("b.last_ts"), 1)).as("support_users"),
+          count(lit(1)).as("users_with_both"))
+      pairs.join(broadcast(tcount), Seq("antecedent"))
+        .select(col("antecedent"), col("consequent"), col("support_users"),
+          col("users_with_both"), col("users_with_a"),
+          round4(col("support_users").cast(DoubleType) /
+            col("users_with_a").cast(DoubleType)).as("confidence"))
+        .orderBy("antecedent", "consequent")
     },
 
     // Degree assortativity of the trade graph: Pearson correlation of
@@ -1014,6 +1080,51 @@ object EvalQueries {
          |  CASE WHEN l_distinct >= 3 THEN CAST(1 AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END AS is_diverse
          |FROM cl ORDER BY event_type, dow, value_band""".stripMargin,
+
+    "dq_t_closeness" ->
+      s"""WITH ev AS (SELECT event_type, CAST(isodow(ts)-1 AS BIGINT) AS dow,
+         |  CAST(floor(value / 50.0) AS BIGINT) AS value_band, user_id FROM events),
+         |cell AS (SELECT event_type, dow, value_band, user_id, count(*) AS c
+         |  FROM ev GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT count(*) AS nt FROM ev),
+         |gl AS (SELECT user_id, count(*) AS g FROM ev GROUP BY 1),
+         |j AS (SELECT cell.event_type, cell.dow, cell.value_band, c, g, nt,
+         |  sum(c) OVER (PARTITION BY cell.event_type, cell.dow, cell.value_band) AS k
+         |  FROM cell JOIN gl USING (user_id), tot),
+         |t AS (SELECT event_type, dow, value_band, k,
+         |  ${round6Sql("abs(CAST(c AS DOUBLE) / k - CAST(g AS DOUBLE) / nt)")} AS pdiff,
+         |  ${round6Sql("CAST(g AS DOUBLE) / nt")} AS q6
+         |  FROM j),
+         |cl AS (SELECT event_type, dow, value_band,
+         |  CAST(max(k) AS BIGINT) AS k, count(*) AS l_distinct,
+         |  ${exactSumSql("pdiff")} AS sad, ${exactSumSql("q6")} AS sq
+         |  FROM t GROUP BY 1, 2, 3),
+         |f AS (SELECT event_type, dow, value_band, k, l_distinct,
+         |  ${round4Sql("0.5 * (sad + 1.0 - sq)")} AS t_closeness FROM cl)
+         |SELECT event_type, dow, value_band, k, l_distinct, t_closeness,
+         |  CASE WHEN t_closeness <= 0.375 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS is_close
+         |FROM f ORDER BY event_type, dow, value_band""".stripMargin,
+
+    "events_seq_patterns" ->
+      s"""WITH ut AS (
+         |  SELECT user_id, event_type, min(epoch_us(ts)) AS first_ts,
+         |    max(epoch_us(ts)) AS last_ts
+         |  FROM events GROUP BY 1, 2),
+         |tc AS (SELECT event_type AS antecedent, count(*) AS users_with_a
+         |  FROM ut GROUP BY 1),
+         |p AS (
+         |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         |    count(CASE WHEN a.first_ts < b.last_ts THEN 1 END) AS support_users,
+         |    count(*) AS users_with_both
+         |  FROM ut a JOIN ut b
+         |    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT antecedent, consequent, support_users, users_with_both,
+         |  users_with_a,
+         |  ${round4Sql("CAST(support_users AS DOUBLE) / CAST(users_with_a AS DOUBLE)")} AS confidence
+         |FROM p JOIN tc USING (antecedent)
+         |ORDER BY antecedent, consequent""".stripMargin,
 
     "nation_assortativity" -> {
       val corr = CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")
