@@ -734,6 +734,45 @@ object EvalQueries {
         .orderBy("event_type")
     },
 
+    // Expected steps to conversion (absorbing-chain hitting time) per
+    // starting event type: h(i) = 1 + Σⱼ p(i→j)·h(j) with 'purchase'
+    // absorbing at 0 — the journey-length answer events_markov's
+    // one-step matrix and events_markov_stationary's long-run mix both
+    // leave open ("how many clicks away is checkout from an error
+    // page"). Solved by 12 unrolled value-iteration rounds (a TRUNCATED
+    // hitting time: monotone from below, the defined quantity — exact
+    // on both engines) on the O(types²) transition aggregate; each
+    // round is one broadcast-scale join with 6dp-quantized DECIMAL
+    // contribution sums, the pagerank/stationary discipline.
+    "events_hitting_time" -> { (s, d) =>
+      val target = "purchase"
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = Tables.events(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val p = trans.withColumn("p", round6(col("cnt").cast(DoubleType) /
+          sum(col("cnt")).over(Window.partitionBy("from_type")).cast(DoubleType)))
+        .select("from_type", "to_type", "p")
+      val states = p.select(col("from_type").as("state")).distinct()
+      var h = states.select(col("state"), lit(0.0).as("h"))
+      for (_ <- 1 to 12) {
+        val m = p.where(col("to_type") =!= target)
+          .join(h, col("to_type") === col("state"))
+          .select(col("from_type"),
+            round6(col("p") * col("h")).cast(DecimalType(18, 6)).as("c"))
+          .groupBy("from_type").agg(sum(col("c")).as("m"))
+        h = states.join(m, col("state") === col("from_type"), "left")
+          .select(col("state"),
+            when(col("state") === target, lit(0.0))
+              .otherwise(round6(lit(1.0) + coalesce(col("m"), lit(0)).cast(DoubleType)))
+              .as("h"))
+      }
+      h.select(col("state").as("event_type"), col("h").as("expected_steps"))
+        .orderBy("event_type")
+    },
+
     // Uplift report (T-learner on bins): difference in outcome rate
     // between treated (weekend) and control (weekday) per value band —
     // the heterogeneous-treatment-effect readout next to events_cuped /
@@ -1243,6 +1282,32 @@ object EvalQueries {
          |pi3 AS (${iter("pi2")}),
          |pi4 AS (${iter("pi3")})
          |SELECT state AS event_type, pi AS stationary_p FROM pi4
+         |ORDER BY event_type""".stripMargin
+    },
+
+    "events_hitting_time" -> {
+      def iter(prev: String): String =
+        s"""SELECT s.state,
+           |  CASE WHEN s.state = 'purchase' THEN 0.0
+           |       ELSE ${round6Sql("1.0 + CAST(coalesce(m.m, 0) AS DOUBLE)")} END AS h
+           |FROM states s LEFT JOIN (
+           |  SELECT from_type, sum(CAST(${round6Sql("pm.p * pr.h")} AS DECIMAL(18,6))) AS m
+           |  FROM pm JOIN $prev pr
+           |    ON pm.to_type = pr.state AND pm.to_type <> 'purchase'
+           |  GROUP BY 1) m ON s.state = m.from_type""".stripMargin
+      val chain = (1 to 12).map(i => s"h$i AS (${iter(s"h${i - 1}")})").mkString(",\n")
+      s"""WITH tr AS (SELECT event_type AS from_type,
+         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |c AS (SELECT from_type, to_type, count(*) AS cnt FROM tr
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |pm AS (SELECT from_type, to_type,
+         |  ${round6Sql("CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
+         |  FROM c),
+         |states AS (SELECT DISTINCT from_type AS state FROM c),
+         |h0 AS (SELECT state, 0.0 AS h FROM states),
+         |$chain
+         |SELECT state AS event_type, h AS expected_steps FROM h12
          |ORDER BY event_type""".stripMargin
     },
 

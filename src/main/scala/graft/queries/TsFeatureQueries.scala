@@ -530,6 +530,35 @@ object TsFeatureQueries {
         .orderBy("ua", "ub")
     },
 
+    // Allan deviation per series at τ ∈ {1, 4, 24} hours: σ²(τ) =
+    // ½⟨(ȳ_{k+1} − ȳ_k)²⟩ over ADJACENT τ-bin means — the
+    // clock/sensor-stability profile (white noise falls as τ^{-1/2},
+    // flicker noise flattens, drift RISES), which plain variance can't
+    // separate. One stack explodes each observation onto its three bin
+    // grids so a SINGLE grouped aggregate bins all τ at once; adjacency
+    // is enforced by the lagged bucket id (a gap in the series
+    // contributes no pair, not a giant spurious one); bin means are
+    // exact-DECIMAL and diffs 4dp-quantized.
+    "ts_allan_var" -> { (s, d) =>
+      val taus = Seq(1L, 4L, 24L)
+      val stacked = events(s, d).select(col("user_id"), col("value"),
+        expr(s"stack(${taus.size}, " + taus.map(t =>
+          s"${t}L, tsu DIV ${t * 3600000000L}L").mkString(", ") +
+          ") AS (tau_h, bucket)"))
+      val binned = stacked.groupBy("user_id", "tau_h", "bucket")
+        .agg(CleanFunctions.exactMean(col("value")).as("yb"))
+      val wo = Window.partitionBy("user_id", "tau_h").orderBy("bucket")
+      val pairs = binned
+        .withColumn("dd", when(lag(col("bucket"), 1).over(wo) === col("bucket") - 1L,
+          round4(col("yb") - lag(col("yb"), 1).over(wo))))
+        .where(col("dd").isNotNull)
+      pairs.groupBy("user_id", "tau_h").agg(
+          count(lit(1)).as("n_pairs"),
+          round4(sqrt(CleanFunctions.exactMean(round4(col("dd") * col("dd"))) / lit(2.0)))
+            .as("allan_dev"))
+        .orderBy("user_id", "tau_h")
+    },
+
     // Variogram profile: γ(h) = E[(vₜ − vₜ₋ₕ)²]/2 at row lags 1, 2, 4,
     // 8, 24 per series — the memory-structure fingerprint (white noise
     // is flat, a random walk grows linearly, mean-reversion saturates).
@@ -1000,6 +1029,31 @@ object TsFeatureQueries {
          |  ${round4Sql("sqrt(ed2) * sqrt(greatest(ca.ce2, cb.ce2) / nullif(least(ca.ce2, cb.ce2), 0.0))")} AS cid
          |FROM ed JOIN ce ca ON ua = ca.user_id JOIN ce cb ON ub = cb.user_id
          |ORDER BY ua, ub""".stripMargin,
+
+    "ts_allan_var" -> {
+      val arms = Seq(1L, 4L, 24L).map { t =>
+        s"""SELECT user_id, CAST($t AS BIGINT) AS tau_h,
+           |  tsu // ${t * 3600000000L} AS bucket, value FROM e""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |u AS (
+         |$arms),
+         |b AS (
+         |  SELECT user_id, tau_h, bucket,
+         |    ${CleanFunctions.exactMeanSql("value")} AS yb
+         |  FROM u GROUP BY 1, 2, 3),
+         |l AS (
+         |  SELECT user_id, tau_h, bucket,
+         |    lag(bucket) OVER w AS prevb,
+         |    ${round4Sql("yb - lag(yb) OVER w")} AS dd
+         |  FROM b WINDOW w AS (PARTITION BY user_id, tau_h ORDER BY bucket))
+         |SELECT user_id, tau_h, count(*) AS n_pairs,
+         |  ${round4Sql(s"sqrt(${CleanFunctions.exactMeanSql(round4Sql("dd * dd"))} / 2.0)")} AS allan_dev
+         |FROM l WHERE prevb = bucket - 1
+         |GROUP BY user_id, tau_h ORDER BY user_id, tau_h""".stripMargin
+    },
 
     "ts_variogram" -> {
       val arms = VariogramLags.map { h =>
