@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.{CleanFunctions, TextFunctions}
 import graft.sources.Tables
@@ -910,6 +911,56 @@ object TextQueries {
         .orderBy("doc_id", "rk")
     },
 
+    // TextRank keywords over the corpus-wide word co-occurrence graph:
+    // content words (len ≥ 3, non-stopword) are nodes, adjacency within
+    // original-position distance ≤ 2 inside a document is an edge
+    // (symmetrized, corpus-count weighted), and 6 damped power-iteration
+    // rounds score global salience — the graph-centrality keyword
+    // extractor next to text_rake (per-doc degree/freq) and text_tfidf
+    // (corpus rarity): TextRank rewards words that BRIDGE contexts.
+    // The graph build is one keyed lag + grouped count (vocab-scale,
+    // shuffle equi-joins, never adjacency broadcast); each round is the
+    // nation_pagerank discipline — 6dp-quantized contributions into
+    // DECIMAL sums; the edge frame is localCheckpoint'ed so six rounds
+    // don't re-tokenize the corpus.
+    "text_textrank" -> { (s, d) =>
+      val stop = TextFunctions.QualityStopwords
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+        .where(length(col("tok")) >= 3 && !col("tok").isin(stop: _*))
+      val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+      val adj = toks
+        .withColumn("ppos", lag(col("pos"), 1).over(wdoc))
+        .withColumn("ptok", lag(col("tok"), 1).over(wdoc))
+        .where(col("ptok").isNotNull && col("pos") - col("ppos") <= lit(2) &&
+          col("ptok") =!= col("tok"))
+        .select(col("ptok").as("a"), col("tok").as("b"))
+      val und = adj.union(adj.select(col("b").as("a"), col("a").as("b")))
+      val edges = und.groupBy(col("a").as("src"), col("b").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+      val ew = edges.join(outw, "src")
+        .select(col("src"), col("dst"),
+          CleanFunctions.round6(col("w").cast(DoubleType) / col("wout").cast(DoubleType)).as("p"))
+        .localCheckpoint()
+      val nodes = ew.select(col("src").as("node")).distinct().localCheckpoint()
+      val nn = nodes.agg(count(lit(1)).cast(DoubleType).as("nd"))
+      var ranks = nodes.crossJoin(broadcast(nn))
+        .select(col("node"), CleanFunctions.round6(lit(1.0) / col("nd")).as("r"))
+      for (_ <- 1 to 6) {
+        val sums = ew.join(ranks, ew("src") === ranks("node"))
+          .select(col("dst"), CleanFunctions.round6(col("r") * col("p")).cast(DecimalType(18, 6)).as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("m"))
+        ranks = nodes.join(sums, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("node"), CleanFunctions.round6(lit(0.15) / col("nd") +
+            lit(0.85) * coalesce(col("m"), lit(0)).cast(DoubleType)).as("r"))
+      }
+      ranks.orderBy(desc("r"), col("node")).limit(50)
+        .select(col("node").as("token"), col("r").as("textrank"))
+    },
+
     // Corpus-composition report: predicted language × declared source
     // counts and within-source shares — the dashboard every multilingual
     // curation run publishes (and the input to mix-weight decisions).
@@ -1452,6 +1503,38 @@ object TextQueries {
            |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
            |FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
            |ORDER BY bt.bucket""".stripMargin,
+
+      "text_textrank" -> {
+        val stopList = sqlList(TextFunctions.QualityStopwords)
+        def iter(prev: String): String =
+          s"""SELECT n.node,
+             |  ${CleanFunctions.round6Sql("0.15 / ns.nd + 0.85 * CAST(coalesce(m.m, 0) AS DOUBLE)")} AS r
+             |FROM nodes n CROSS JOIN ns LEFT JOIN (
+             |  SELECT ew.dst,
+             |    sum(CAST(${CleanFunctions.round6Sql("pr.r * ew.p")} AS DECIMAL(18,6))) AS m
+             |  FROM ew JOIN $prev pr ON ew.src = pr.node GROUP BY 1) m
+             |  ON n.node = m.dst""".stripMargin
+        val chain = (1 to 6).map(i => s"r$i AS (${iter(s"r${i - 1}")})").mkString(",\n")
+        s"""WITH tk AS (SELECT doc_id, unnest($tl) AS tok,
+           |  generate_subscripts($tl, 1) AS pos FROM documents),
+           |ct AS (SELECT doc_id, pos, tok FROM tk
+           |  WHERE length(tok) >= 3 AND NOT list_contains($stopList, tok)),
+           |aj AS (SELECT lag(tok) OVER w AS a, tok AS b,
+           |  pos - lag(pos) OVER w AS gap
+           |  FROM ct WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+           |ad AS (SELECT a, b FROM aj WHERE a IS NOT NULL AND gap <= 2 AND a <> b),
+           |und AS (SELECT a, b FROM ad UNION ALL SELECT b AS a, a AS b FROM ad),
+           |edges AS (SELECT a AS src, b AS dst, count(*) AS w FROM und GROUP BY 1, 2),
+           |ew AS (SELECT src, dst,
+           |  ${CleanFunctions.round6Sql("CAST(w AS DOUBLE) / CAST(sum(w) OVER (PARTITION BY src) AS DOUBLE)")} AS p
+           |  FROM edges),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |ns AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+           |r0 AS (SELECT node, ${CleanFunctions.round6Sql("1.0 / nd")} AS r FROM nodes, ns),
+           |$chain
+           |SELECT node AS token, r AS textrank FROM r6
+           |ORDER BY r DESC, node LIMIT 50""".stripMargin
+      },
 
       "text_rake" -> {
         val stopList = sqlList(TextFunctions.QualityStopwords)
