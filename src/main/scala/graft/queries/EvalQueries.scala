@@ -773,6 +773,114 @@ object EvalQueries {
         .orderBy("event_type")
     },
 
+    // Sample-ratio-mismatch gate per segment: chi-square of the
+    // observed weekend/weekday row split against the DECLARED 2/7-5/7
+    // calendar expectation — the first thing a trustworthy
+    // experimentation stack checks before reading any metric (a
+    // mis-split assignment invalidates events_uplift/events_did/
+    // events_cuped downstream). Pure grouped integer counts; one
+    // χ²(1df) per segment, p = 2(1−Φ(√χ²)) through the shared portable
+    // normal CDF; the p<0.001 flag is computed on the already-rounded
+    // p so both engines agree at the boundary.
+    "events_srm_check" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), (weekday(col("ts")) >= 5).cast(LongType).as("t"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("n_t"))
+        .withColumn("n_c", col("n") - col("n_t"))
+        .withColumn("e_t", col("n").cast(DoubleType) * lit(2.0) / lit(7.0))
+        .withColumn("e_c", col("n").cast(DoubleType) * lit(5.0) / lit(7.0))
+        .withColumn("chi2", round4(
+          (col("n_t") - col("e_t")) * (col("n_t") - col("e_t")) / col("e_t") +
+          (col("n_c") - col("e_c")) * (col("n_c") - col("e_c")) / col("e_c")))
+        .withColumn("p_value",
+          round6(lit(2.0) * (lit(1.0) - CleanFunctions.normalCdf(sqrt(col("chi2"))))))
+        .withColumn("srm_flag", when(col("p_value") < 0.001, lit(1L)).otherwise(lit(0L)))
+        .select("event_type", "n", "n_t", "n_c", "chi2", "p_value", "srm_flag")
+        .orderBy("event_type")
+    },
+
+    // Delta-method ratio-metric comparison per value band: purchases
+    // per view is a RATIO of two per-user counts, so its variance needs
+    // the delta method Var(x̄/ȳ) ≈ (σx² − 2Rσxy + R²σy²)/(n·ȳ²) — the
+    // standard correction events_uplift's plain rate test can't supply
+    // (per-user correlation between numerator and denominator).
+    // Everything reduces to six exact integer moments per (band, arm);
+    // each arm's R and Var are 6dp-pinned, the z and p computed from
+    // the pinned values through the shared normal CDF.
+    "events_ratio_delta" -> { (s, d) =>
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .select(floor(col("value") / 50.0).cast(LongType).as("band"),
+          (weekday(col("ts")) >= 5).cast(LongType).as("t"), col("user_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("y"))
+      val peruser = ev.groupBy("band", "t", "user_id")
+        .agg(sum(col("x")).as("x"), sum(col("y")).as("y"))
+      val arm = peruser.groupBy("band", "t").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .where(col("sy") > 0L)
+        .withColumn("nd", col("n").cast(DoubleType))
+        .withColumn("r", col("sx").cast(DoubleType) / col("sy").cast(DoubleType))
+        .withColumn("my", col("sy").cast(DoubleType) / col("nd"))
+        .withColumn("vx", (col("sxx").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("nd")) / col("nd"))
+        .withColumn("vy", (col("syy").cast(DoubleType) -
+          col("sy").cast(DoubleType) * col("sy").cast(DoubleType) / col("nd")) / col("nd"))
+        .withColumn("vxy", (col("sxy").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / col("nd")) / col("nd"))
+        .withColumn("r6", round6(col("r")))
+        .withColumn("vr", round6(greatest(
+          (col("vx") - lit(2.0) * col("r") * col("vxy") +
+            col("r") * col("r") * col("vy")) / (col("nd") * col("my") * col("my")),
+          lit(0.0))))
+      val piv = arm.groupBy("band").agg(
+          max(when(col("t") === 1L, col("n"))).as("n_t"),
+          max(when(col("t") === 0L, col("n"))).as("n_c"),
+          max(when(col("t") === 1L, col("r6"))).as("ratio_t"),
+          max(when(col("t") === 0L, col("r6"))).as("ratio_c"),
+          max(when(col("t") === 1L, col("vr"))).as("v_t"),
+          max(when(col("t") === 0L, col("vr"))).as("v_c"))
+        .where(col("n_t").isNotNull && col("n_c").isNotNull)
+      piv.withColumn("z", round4((col("ratio_t") - col("ratio_c")) /
+          nullif(sqrt(col("v_t") + col("v_c")), lit(0.0))))
+        .withColumn("p_value",
+          round6(lit(2.0) * (lit(1.0) - CleanFunctions.normalCdf(abs(col("z"))))))
+        .select("band", "n_t", "n_c", "ratio_t", "ratio_c", "z", "p_value")
+        .orderBy("band")
+    },
+
+    // 3-core of the trade graph by iterative peeling: repeatedly drop
+    // nations with fewer than 3 distinct trade partners among the
+    // SURVIVORS (8 unrolled rounds — converged long before that on any
+    // graph whose degeneracy ordering shrinks geometrically; the
+    // truncation is the defined quantity) — the standard "dense
+    // backbone" extraction that pagerank/HITS scores imply but never
+    // materialize. Each round is one grouped degree count + two keyed
+    // semi-joins on the surviving-node set; the edge frame is
+    // localCheckpoint'ed per round so lineage stays O(1), the
+    // dedup_clusters fixpoint discipline.
+    "nation_kcore" -> { (s, d) =>
+      val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      var und = e.select(col("src").as("a"), col("dst").as("b"))
+        .union(e.select(col("dst").as("a"), col("src").as("b"))).distinct()
+        .localCheckpoint()
+      for (_ <- 1 to 8) {
+        val surv = und.groupBy("a").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= 3L).select(col("a").as("keep"))
+        und = und
+          .join(surv, col("a") === col("keep")).drop("keep")
+          .join(surv.withColumnRenamed("keep", "keepb"), col("b") === col("keepb"))
+          .drop("keepb")
+          .localCheckpoint()
+      }
+      und.groupBy("a").agg(count(lit(1)).as("core_degree"))
+        .join(broadcast(Tables.nation(s, d)), col("a") === col("n_nationkey"))
+        .select(col("a").as("nationkey"), col("n_name"), col("core_degree"))
+        .orderBy("nationkey")
+    },
+
     // Uplift report (T-learner on bins): difference in outcome rate
     // between treated (weekend) and control (weekday) per value band —
     // the heterogeneous-treatment-effect readout next to events_cuped /
@@ -1309,6 +1417,86 @@ object EvalQueries {
          |$chain
          |SELECT state AS event_type, h AS expected_steps FROM h12
          |ORDER BY event_type""".stripMargin
+    },
+
+    "events_srm_check" ->
+      s"""WITH ev AS (SELECT event_type,
+         |  CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS t FROM events),
+         |g AS (SELECT event_type, count(*) AS n,
+         |  CAST(sum(t) AS BIGINT) AS n_t FROM ev GROUP BY 1),
+         |x AS (SELECT event_type, n, n_t, n - n_t AS n_c,
+         |  CAST(n AS DOUBLE) * 2.0 / 7.0 AS e_t,
+         |  CAST(n AS DOUBLE) * 5.0 / 7.0 AS e_c FROM g),
+         |c AS (SELECT event_type, n, n_t, n_c,
+         |  ${round4Sql("(n_t - e_t) * (n_t - e_t) / e_t + (n_c - e_c) * (n_c - e_c) / e_c")} AS chi2
+         |  FROM x),
+         |p AS (SELECT event_type, n, n_t, n_c, chi2,
+         |  ${round6Sql(s"2.0 * (1.0 - ${CleanFunctions.normalCdfSql("sqrt(chi2)")})")} AS p_value
+         |  FROM c)
+         |SELECT event_type, n, n_t, n_c, chi2, p_value,
+         |  CASE WHEN p_value < 0.001 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS srm_flag
+         |FROM p ORDER BY event_type""".stripMargin,
+
+    "events_ratio_delta" ->
+      s"""WITH ev AS (SELECT CAST(floor(value / 50.0) AS BIGINT) AS band,
+         |  CASE WHEN isodow(ts)-1 >= 5 THEN 1 ELSE 0 END AS t, user_id,
+         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+         |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |pu AS (SELECT band, t, user_id, sum(x) AS x, sum(y) AS y
+         |  FROM ev GROUP BY 1, 2, 3),
+         |arm AS (SELECT band, t, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM pu GROUP BY 1, 2 HAVING sum(y) > 0),
+         |dv AS (SELECT band, t, n, CAST(n AS DOUBLE) AS nd,
+         |  CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+         |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vx,
+         |  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vy,
+         |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vxy
+         |  FROM arm),
+         |p2 AS (SELECT band, t, n, ${round6Sql("r")} AS r6,
+         |  ${round6Sql("greatest((vx - 2.0 * r * vxy + r * r * vy) / (nd * my * my), 0.0)")} AS vr
+         |  FROM dv),
+         |piv AS (SELECT band,
+         |  max(CASE WHEN t = 1 THEN n END) AS n_t,
+         |  max(CASE WHEN t = 0 THEN n END) AS n_c,
+         |  max(CASE WHEN t = 1 THEN r6 END) AS ratio_t,
+         |  max(CASE WHEN t = 0 THEN r6 END) AS ratio_c,
+         |  max(CASE WHEN t = 1 THEN vr END) AS v_t,
+         |  max(CASE WHEN t = 0 THEN vr END) AS v_c
+         |  FROM p2 GROUP BY band
+         |  HAVING max(CASE WHEN t = 1 THEN n END) IS NOT NULL
+         |     AND max(CASE WHEN t = 0 THEN n END) IS NOT NULL),
+         |z AS (SELECT band, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+         |  ratio_t, ratio_c,
+         |  ${round4Sql("(ratio_t - ratio_c) / nullif(sqrt(v_t + v_c), 0.0)")} AS z
+         |  FROM piv)
+         |SELECT band, n_t, n_c, ratio_t, ratio_c, z,
+         |  ${round6Sql(s"2.0 * (1.0 - ${CleanFunctions.normalCdfSql("abs(z)")})")} AS p_value
+         |FROM z ORDER BY band""".stripMargin,
+
+    "nation_kcore" -> {
+      // Each round's frame is MATERIALIZED: the survivor set is
+      // referenced twice and the prior frame three times, so inlined
+      // CTEs would expand to 3^rounds copies of the base scan.
+      val chain = (1 to 8).map { i =>
+        val p = s"u${i - 1}"
+        s"""s$i AS MATERIALIZED (
+           |  SELECT a AS keep FROM $p GROUP BY a HAVING count(*) >= 3),
+           |u$i AS MATERIALIZED (
+           |  SELECT u.a, u.b FROM $p u
+           |  JOIN s$i x ON u.a = x.keep JOIN s$i y ON u.b = y.keep)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS ($tradeEdgesSql),
+         |u0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst AS a, src AS b FROM e WHERE src <> dst)),
+         |$chain
+         |SELECT u.a AS nationkey, n.n_name, count(*) AS core_degree
+         |FROM u8 u JOIN nation n ON u.a = n.n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
 
     "events_uplift" ->
