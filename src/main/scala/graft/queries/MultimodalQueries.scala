@@ -92,6 +92,44 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Scene-cut detection over the sampled frame stream: a cut is a
+    // frame whose |energy − prev| exceeds 2× the video's own mean
+    // inter-frame delta — the adaptive-threshold shot-boundary
+    // heuristic every video-curation pipeline runs before clip
+    // extraction (a fixed threshold can't serve both static slides and
+    // action footage). Composes the mm_frame_energy stub decode; delta
+    // stream is one keyed lag window, the threshold one grouped
+    // exact-DECIMAL mean of INTEGER deltas joined back by doc —
+    // corpus-proportional, no cross-video stage.
+    "mm_scene_cuts" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DoubleType
+      val F = 32
+      val stride = 4
+      val energy = (1 to F).map(i =>
+        expr(s"ascii(substring(text, cast(frame_idx * $F + $i as int), 1))").cast("long"))
+        .reduce(_ + _)
+      val frames = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_frames", expr(s"length(text) div $F"))
+        .filter(col("n_frames") >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"), energy.as("energy"))
+      val wo = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val deltas = frames
+        .withColumn("delta", abs(col("energy") - lag(col("energy"), 1).over(wo)))
+        .where(col("delta").isNotNull)
+      val thresh = deltas.groupBy("doc_id")
+        .agg(graft.functions.CleanFunctions.exactMean(col("delta")).as("mean_delta"))
+      deltas.join(thresh, "doc_id")
+        .where(col("delta").cast(DoubleType) > lit(2.0) * col("mean_delta"))
+        .select(col("doc_id"), col("frame_idx"), col("delta"),
+          graft.functions.CleanFunctions.round4(col("delta").cast(DoubleType) /
+            nullif(col("mean_delta"), lit(0.0))).as("jump_ratio"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // Training-shard manifest: FIRST-FIT pack media blobs into 64 KiB
     // shard files, in deterministic md5 order across 4 independent
     // packing streams — a blob that doesn't fit the current shard's
@@ -223,6 +261,29 @@ object MultimodalQueries {
          |  unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx FROM d)
          |SELECT doc_id, frame_idx, $energy AS energy
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    },
+
+    "mm_scene_cuts" -> {
+      val energy = (1 to 32).map(i =>
+        s"CAST(ascii(substr(text, CAST(frame_idx * 32 + $i AS BIGINT), 1)) AS BIGINT)")
+        .mkString(" + ")
+      val r4 = graft.functions.CleanFunctions.round4Sql _
+      val em = graft.functions.CleanFunctions.exactMeanSql("delta")
+      s"""WITH d AS (SELECT doc_id, text, length(text) // 32 AS n_frames
+         |  FROM documents WHERE length(text) // 32 >= 1),
+         |f AS (SELECT doc_id, text,
+         |  unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 4)) AS frame_idx FROM d),
+         |e AS (SELECT doc_id, frame_idx, $energy AS energy FROM f),
+         |dl AS (SELECT doc_id, frame_idx,
+         |  abs(energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+         |  FROM e),
+         |dd AS (SELECT doc_id, frame_idx, delta FROM dl WHERE delta IS NOT NULL),
+         |th AS (SELECT doc_id, $em AS mean_delta FROM dd GROUP BY 1)
+         |SELECT dd.doc_id, frame_idx, delta,
+         |  ${r4("CAST(delta AS DOUBLE) / nullif(mean_delta, 0.0)")} AS jump_ratio
+         |FROM dd JOIN th ON dd.doc_id = th.doc_id
+         |WHERE CAST(delta AS DOUBLE) > 2.0 * mean_delta
+         |ORDER BY dd.doc_id, frame_idx""".stripMargin
     },
 
     "mm_shard_manifest" -> {
