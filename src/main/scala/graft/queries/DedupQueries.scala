@@ -173,6 +173,28 @@ object DedupQueries {
         .orderBy("doc_id_a", "doc_id_b")
     },
 
+    // Dedup-method agreement: Jaccard overlap between the PAIR SETS the
+    // MinHash-LSH and SimHash detectors discover — the dedup analogue
+    // of ts_detector_agreement (two methods agreeing on few pairs means
+    // the corpus has near-dups only one lens can see; a method choice
+    // should be made on this number, not on folklore). Reuses both
+    // production entries verbatim (so this measures exactly what ships)
+    // and joins the two O(pairs) outputs on the pair key — no new
+    // corpus-scale stage.
+    "dedup_method_agreement" -> { (s, d) =>
+      val ma = queries("dedup_minhash_lsh")(s, d).select("doc_id_a", "doc_id_b")
+      val sa = queries("dedup_simhash")(s, d).select("doc_id_a", "doc_id_b")
+      val both = ma.join(sa, Seq("doc_id_a", "doc_id_b"))
+        .agg(count(lit(1)).as("n_both"))
+      val nm = ma.agg(count(lit(1)).as("n_minhash"))
+      val ns = sa.agg(count(lit(1)).as("n_simhash"))
+      nm.crossJoin(ns).crossJoin(both)
+        .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+          CleanFunctions.round4(col("n_both").cast(DoubleType) /
+            nullif((col("n_minhash") + col("n_simhash") - col("n_both"))
+              .cast(DoubleType), lit(0.0))).as("pair_jaccard"))
+    },
+
     // Embedding near-dup: banded random-hyperplane LSH (4 bands x 4
     // deterministic +-1 planes) -> bucket equi-join -> exact cosine.
     // Probabilistic recall (~50% at cos=0.4); the oracle replicates the
@@ -424,7 +446,7 @@ object DedupQueries {
        |  UNION
        |  SELECT e.y AS doc_id, r.lbl FROM reach r JOIN e ON e.x = r.doc_id)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "dedup_levenshtein" ->
       s"""WITH s AS (
          |  SELECT doc_id, lang, text, floor(n_chars / 20.0) AS band
@@ -601,4 +623,22 @@ object DedupQueries {
          |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  /** The agreement oracle composes the two production pair oracles
+    * verbatim (MATERIALIZED: each pair set is referenced twice, and the
+    * underlying pipelines are multi-CTE scans DuckDB would otherwise
+    * inline per reference).
+    */
+  val oracleSql: Map[String, String] = baseOracleSql +
+    ("dedup_method_agreement" ->
+      s"""WITH ma AS MATERIALIZED (
+         |  SELECT doc_id_a, doc_id_b FROM (${baseOracleSql("dedup_minhash_lsh")}) qm),
+         |sa AS MATERIALIZED (
+         |  SELECT doc_id_a, doc_id_b FROM (${baseOracleSql("dedup_simhash")}) qs),
+         |b AS (SELECT count(*) AS n_both FROM ma JOIN sa USING (doc_id_a, doc_id_b)),
+         |nm AS (SELECT count(*) AS n_minhash FROM ma),
+         |ns AS (SELECT count(*) AS n_simhash FROM sa)
+         |SELECT n_minhash, n_simhash, n_both,
+         |  ${CleanFunctions.round4Sql("CAST(n_both AS DOUBLE) / nullif(CAST(n_minhash + n_simhash - n_both AS DOUBLE), 0.0)")} AS pair_jaccard
+         |FROM nm, ns, b""".stripMargin)
 }
