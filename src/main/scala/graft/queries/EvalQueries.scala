@@ -773,6 +773,42 @@ object EvalQueries {
         .orderBy("event_type")
     },
 
+    // Referential-integrity audit across the star schema: per declared
+    // FK relation the child row count, orphan count (child keys with no
+    // parent — one anti-join shuffled on the key, the 100 TB-safe
+    // shape), and orphan share. The first DQ gate a warehouse load
+    // runs; joins downstream silently DROP these rows, so the audit
+    // quantifies what every inner-join query is not seeing.
+    // events.user_id→customer is a declared CANDIDATE key (the audit's
+    // job is exactly to measure such claims).
+    "dq_referential_integrity" -> { (s, d) =>
+      def audit(rel: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String): DataFrame = {
+        val c = child.select(col(key).as("k")).where(col("k").isNotNull)
+        val tot = c.agg(count(lit(1)).as("n_child"))
+        val orph = c.join(parent.select(col(pkey).cast(LongType).as("k")).distinct(),
+            Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        tot.crossJoin(orph).select(lit(rel).as("relation"), col("n_child"),
+          col("n_orphans"),
+          round6(col("n_orphans").cast(DoubleType) / col("n_child").cast(DoubleType))
+            .as("orphan_share"))
+      }
+      val li = Tables.lineitem(s, d); val or = Tables.orders(s, d)
+      val cu = Tables.customer(s, d); val su = Tables.supplier(s, d)
+      val na = Tables.nation(s, d)
+      Seq(
+        audit("customer.c_nationkey->nation", cu.select(col("c_nationkey").cast(LongType).as("c_nationkey")), "c_nationkey", na, "n_nationkey"),
+        audit("events.user_id->customer", Tables.events(s, d), "user_id", cu, "c_custkey"),
+        audit("lineitem.l_orderkey->orders", li, "l_orderkey", or, "o_orderkey"),
+        audit("lineitem.l_partkey->part", li, "l_partkey", Tables.part(s, d), "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+        audit("nation.n_regionkey->region", na.select(col("n_regionkey").cast(LongType).as("n_regionkey")), "n_regionkey", Tables.region(s, d), "r_regionkey"),
+        audit("orders.o_custkey->customer", or, "o_custkey", cu, "c_custkey"),
+        audit("supplier.s_nationkey->nation", su.select(col("s_nationkey").cast(LongType).as("s_nationkey")), "s_nationkey", na, "n_nationkey")
+      ).reduce(_ union _).orderBy("relation")
+    },
+
     // Sample-ratio-mismatch gate per segment: chi-square of the
     // observed weekend/weekday row split against the DECLARED 2/7-5/7
     // calendar expectation — the first thing a trustworthy
@@ -1417,6 +1453,31 @@ object EvalQueries {
          |$chain
          |SELECT state AS event_type, h AS expected_steps FROM h12
          |ORDER BY event_type""".stripMargin
+    },
+
+    "dq_referential_integrity" -> {
+      def arm(rel: String, childTable: String, key: String,
+              parentTable: String, pkey: String): String =
+        s"""SELECT '$rel' AS relation,
+           |  (SELECT count(*) FROM $childTable WHERE $key IS NOT NULL) AS n_child,
+           |  (SELECT count(*) FROM $childTable c
+           |   WHERE c.$key IS NOT NULL AND NOT EXISTS
+           |     (SELECT 1 FROM $parentTable p WHERE CAST(p.$pkey AS BIGINT) = c.$key)) AS n_orphans""".stripMargin
+      val arms = Seq(
+        arm("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        arm("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        arm("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        arm("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        arm("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        arm("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        arm("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        arm("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+      ).mkString("\nUNION ALL\n")
+      s"""WITH a AS (
+         |$arms)
+         |SELECT relation, n_child, n_orphans,
+         |  ${round6Sql("CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)")} AS orphan_share
+         |FROM a ORDER BY relation""".stripMargin
     },
 
     "events_srm_check" ->

@@ -52,6 +52,10 @@ object TsFeatureQueries {
     */
   private val DfaBoxes = Seq(4, 8, 16)
 
+  /** SES candidate smoothing factors and truncated-kernel span. */
+  private val SesAlphas = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+  private val SesSpan = 20
+
   private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
   private def events(s: SparkSession, d: String): DataFrame =
@@ -559,6 +563,45 @@ object TsFeatureQueries {
         .orderBy("user_id", "tau_h")
     },
 
+    // SES hyperparameter selection per series: one-step-ahead simple
+    // exponential smoothing at α ∈ {0.1,0.3,0.5,0.7,0.9}, each scored
+    // by in-sample SSE, smallest-α tie-break — the model-selection step
+    // that turns the EWMA smoother into a FITTED forecaster (fleet
+    // routing: high best-α = level-shifting series, low = noisy-stable).
+    // The 20 lags are materialized ONCE per row; the five candidate
+    // predictions are five linear combinations of the same lag columns
+    // inside one window pass (never five passes), stacked long and
+    // argmin'd via a keyed rank window. Prediction uses PAST-only lags
+    // with present-weight normalization (partial warmup rows count);
+    // errors 4dp-quantized into DECIMAL sums.
+    "ts_ses_select" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val withLags = (1 to SesSpan).foldLeft(events(s, d))((df, j) =>
+        df.withColumn(s"l$j", lag(col("value"), j).over(wo)))
+      val errCols = SesAlphas.zipWithIndex.map { case (a, i) =>
+        val terms = (1 to SesSpan).map { j =>
+          val wt = lit(math.pow(1 - a, j - 1))
+          (when(col(s"l$j").isNotNull, wt * col(s"l$j")),
+           when(col(s"l$j").isNotNull, wt))
+        }
+        val num = terms.map(t => coalesce(t._1, lit(0.0))).reduce(_ + _)
+        val den = terms.map(t => coalesce(t._2, lit(0.0))).reduce(_ + _)
+        round4(col("value") - num / nullif(den, lit(0.0))).as(s"e$i")
+      }
+      val errs = withLags.select(col("user_id") +: errCols: _*)
+      val stacked = errs.select(col("user_id"),
+        expr(s"stack(${SesAlphas.size}, " + SesAlphas.zipWithIndex.map {
+          case (a, i) => s"${dlit(a)}, e$i" }.mkString(", ") + ") AS (alpha, err)"))
+        .where(col("err").isNotNull)
+      val sse = stacked.groupBy("user_id", "alpha").agg(
+        count(lit(1)).as("n_pred"),
+        round4(exactSum(round4(col("err") * col("err")))).as("sse"))
+      val wr = Window.partitionBy("user_id").orderBy("sse", "alpha")
+      sse.withColumn("rn", row_number().over(wr)).where(col("rn") === 1)
+        .select(col("user_id"), col("alpha").as("best_alpha"), col("n_pred"), col("sse"))
+        .orderBy("user_id")
+    },
+
     // Variogram profile: γ(h) = E[(vₜ − vₜ₋ₕ)²]/2 at row lags 1, 2, 4,
     // 8, 24 per series — the memory-structure fingerprint (white noise
     // is flat, a random walk grows linearly, mean-reversion saturates).
@@ -1053,6 +1096,48 @@ object TsFeatureQueries {
          |  ${round4Sql(s"sqrt(${CleanFunctions.exactMeanSql(round4Sql("dd * dd"))} / 2.0)")} AS allan_dev
          |FROM l WHERE prevb = bucket - 1
          |GROUP BY user_id, tau_h ORDER BY user_id, tau_h""".stripMargin
+    },
+
+    "ts_ses_select" -> {
+      val lagCols = (1 to SesSpan).map(j =>
+        s"lag(value, $j) OVER w AS l$j").mkString(",\n         |    ")
+      val errExprs = SesAlphas.zipWithIndex.map { case (a, i) =>
+        val num = (1 to SesSpan).map { j =>
+          val wt = dlit(math.pow(1 - a, j - 1))
+          s"CASE WHEN l$j IS NOT NULL THEN $wt * l$j ELSE 0.0 END"
+        }.mkString(" + ")
+        val den = (1 to SesSpan).map { j =>
+          val wt = dlit(math.pow(1 - a, j - 1))
+          s"CASE WHEN l$j IS NOT NULL THEN $wt ELSE 0.0 END"
+        }.mkString(" + ")
+        s"${round4Sql(s"value - ($num) / nullif($den, 0.0)")} AS e$i"
+      }.mkString(",\n         |  ")
+      val arms = SesAlphas.zipWithIndex.map { case (a, i) =>
+        s"SELECT user_id, ${dlit(a)} AS alpha, e$i AS err FROM er"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |lg AS (
+         |  SELECT user_id, value,
+         |    $lagCols
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |er AS (
+         |  SELECT user_id,
+         |  $errExprs
+         |  FROM lg),
+         |u AS (
+         |$arms),
+         |sse AS (
+         |  SELECT user_id, alpha, count(*) AS n_pred,
+         |    ${round4Sql(exactSumSql(round4Sql("err * err")))} AS sse
+         |  FROM u WHERE err IS NOT NULL GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT user_id, alpha, n_pred, sse,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY sse, alpha) AS rn
+         |  FROM sse)
+         |SELECT user_id, alpha AS best_alpha, n_pred, sse FROM rk
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin
     },
 
     "ts_variogram" -> {
