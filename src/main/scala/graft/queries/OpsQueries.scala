@@ -253,6 +253,33 @@ object OpsQueries {
         .orderBy("user_id", "valid_from", "event_type")
     },
 
+    // Point-in-time (AS OF) fact join against an SCD2 dimension — the
+    // composition events_scd2 exists FOR: each purchase is attributed
+    // to the value-band regime its user was in ONE HOUR BEFORE the
+    // purchase (valid_from ≤ t < valid_to, open current regime) — the
+    // lag-attribution question ("what state preceded conversion") that
+    // a same-row groupBy cannot answer. The canonical late-arriving-
+    // dimension warehouse pattern: one equi-join on the natural key
+    // with the validity-range residual predicate (per-key regime count
+    // is change-bounded, so the residual scan per fact row stays tiny
+    // at any corpus size); facts dated before the first regime surface
+    // as band −1 instead of silently dropping.
+    "events_scd2_pit" -> { (s, d) =>
+      val banded = ev(s, d).where(col("value").isNotNull)
+        .withColumn("band", floor(col("value") / 50.0).cast("long"))
+      val dim = TS.scd2(banded, K, Ord, "band", "tsu")
+      val facts = ev(s, d).where(col("event_type") === "purchase")
+        .select(col("user_id").as("fuid"),
+          (col("tsu") - lit(3600000000L)).as("ots"))
+      val j = facts.join(dim,
+        col("fuid") === dim("user_id") &&
+          col("ots") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ots") < col("valid_to")), "left")
+      j.groupBy(coalesce(col("band"), lit(-1L)).as("regime_band"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("regime_band")
+    },
+
     // Holt linear-trend smoothing, final state + 24-step forecast per
     // series. Recursive fold — mapPartitions O(1)-state on Spark, the
     // SAME left-to-right IEEE fold as the oracle's list_reduce, so a
@@ -1388,6 +1415,27 @@ object OpsQueries {
         |  CAST(CASE WHEN lead(tsu) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)
         |ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    "events_scd2_pit" ->
+      s"""WITH e AS (SELECT user_id,
+         |  CAST(floor(value / 50.0) AS BIGINT) AS band,
+         |  epoch_us(ts) AS tsu, event_id FROM events WHERE value IS NOT NULL),
+         |c AS (SELECT user_id, band, tsu, event_id,
+         |        lag(band) OVER w AS prev,
+         |        row_number() OVER w AS rn
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |v AS (SELECT user_id, band, tsu, event_id FROM c
+         |      WHERE rn = 1 OR band IS DISTINCT FROM prev),
+         |dim AS (SELECT user_id, band, tsu AS valid_from,
+         |  lead(tsu) OVER w2 AS valid_to
+         |  FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |f AS (SELECT user_id AS fuid, epoch_us(ts) - 3600000000 AS ots
+         |  FROM events WHERE event_type = 'purchase'),
+         |j AS (SELECT d.band FROM f LEFT JOIN dim d
+         |  ON f.fuid = d.user_id AND f.ots >= d.valid_from
+         |  AND (d.valid_to IS NULL OR f.ots < d.valid_to))
+         |SELECT coalesce(band, -1) AS regime_band, count(*) AS n_purchases
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Recursive CTE replays the identical left-to-right IEEE fold, one
     // iteration per series position (working set = one row per series).
