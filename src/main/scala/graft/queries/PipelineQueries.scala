@@ -43,6 +43,32 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_feature_pipeline" -> (featurePipeline _),
 
+    // Leakage-safe training-set assembly (the feature-store
+    // point-in-time contract): one labeled example per event whose
+    // features come STRICTLY from the trailing 24h window ending 1µs
+    // before the example's own timestamp — the row can never see
+    // itself or its future, so the label (is this event a purchase)
+    // is unleaked by construction. One time-range window per series
+    // key (single shuffle), exact-DECIMAL mean, keyed lag for the
+    // previous-type/gap features; at 100 TB this is the same
+    // shuffle-once-per-key-then-codegen shape as the feature pipeline.
+    "events_training_set" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 24L * 3600 * 1000000
+      val wr = Window.partitionBy("user_id").orderBy("tsu")
+        .rangeBetween(-dayUs, -1)
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      Tables.events(s, d)
+        .withColumn("tsu", graft.functions.CleanFunctions.epochUs(col("ts")))
+        .select(col("event_id"),
+          count(col("value")).over(wr).as("n_24h"),
+          graft.functions.CleanFunctions.exactMeanOver(col("value"), wr).as("mean_24h"),
+          coalesce(lag(col("event_type"), 1).over(wo), lit("none")).as("prev_type"),
+          (col("tsu") - lag(col("tsu"), 1).over(wo)).as("gap_us"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("label"))
+        .orderBy("event_id")
+    },
+
     // The user-facing run_pipeline API itself (graft.Pipeline.prepare —
     // stages 1-5 of Pipeline.run: duplicate-timestamp dedup keep-first →
     // ffill → calendar/lag/rolling features → dropna → per-series MinMax
@@ -111,6 +137,24 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_training_set" -> {
+      val dayUs = 24L * 3600 * 1000000
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |  epoch_us(ts) AS tsu, value FROM events)
+         |SELECT event_id,
+         |count(value) OVER wr AS n_24h,
+         |${graft.functions.CleanFunctions.exactMeanSql("value", "OVER wr")} AS mean_24h,
+         |coalesce(lag(event_type) OVER wo, 'none') AS prev_type,
+         |tsu - lag(tsu) OVER wo AS gap_us,
+         |CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+         |     ELSE CAST(0 AS BIGINT) END AS label
+         |FROM e WINDOW
+         |wr AS (PARTITION BY user_id ORDER BY tsu
+         |  RANGE BETWEEN $dayUs PRECEDING AND 1 PRECEDING),
+         |wo AS (PARTITION BY user_id ORDER BY tsu, event_id)
+         |ORDER BY event_id""".stripMargin
+    },
+
     // The full prepare() chain: keep-first dedup on identical raw
     // timestamps, forward-fill with residual zero, the same feature
     // windows as ts_feature_pipeline (but over the FILLED value), dropna,
