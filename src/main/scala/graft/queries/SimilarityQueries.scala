@@ -40,6 +40,11 @@ object SimilarityQueries {
   private val IvfProbes = 4
   private val IvfIters = 2
   private val EmbDim = 64
+
+  /** χ²(EmbDim) upper flag threshold for emb_mahalanobis:
+    * dim + 3·√(2·dim), the normal approximation's 3σ point.
+    */
+  private val MahalThr = EmbDim + 3.0 * math.sqrt(2.0 * EmbDim)
   private val TruncDim = 16
   // Product quantization: 4 subspaces x 16 dims, 16 codes each, 1 Lloyd
   // round — a 4-byte code per 256-byte vector (64x compression).
@@ -240,6 +245,43 @@ object SimilarityQueries {
     // distances from DECIMAL-exact order-independent sums; both engines
     // difference against the ROUNDED centroid so the squared terms are
     // bit-identical before the decimal re-sum.
+    // Diagonal-Mahalanobis OOD score per vector: squared distance to
+    // the OWN-label centroid with each dimension normalized by that
+    // label's per-dim variance — the covariance-aware sibling of
+    // emb_outliers (whose Euclidean z treats a tight and a diffuse
+    // dimension alike; a vector can sit near the centroid in raw
+    // distance yet be wildly off along a low-variance dim). md² ~
+    // χ²(dim) under the in-distribution hypothesis, so the flag
+    // threshold is the dim + 3√(2·dim) normal approximation. Two
+    // grouped passes over the exploded dims (per-label-dim moments,
+    // then the per-vector sum), shuffles keyed on (label, dim) /
+    // vec_id; variances floored at 1e-6 so constant dims can't blow
+    // up the quotient.
+    "emb_mahalanobis" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val dec = DecimalType(28, 10)
+      val r6 = graft.functions.CleanFunctions.round6 _
+      val r4 = graft.functions.CleanFunctions.round4 _
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("dim", (col("pos") + 1).cast(LongType))
+        .withColumn("x", col("x").cast(DoubleType))
+      val mean = sum(col("x").cast(dec)).cast(DoubleType) / count(col("x"))
+      val st = e.groupBy("label", "dim").agg(
+        r6(mean).as("c"),
+        r6(greatest(sum((col("x") * col("x")).cast(dec)).cast(DoubleType) /
+          count(col("x")) - mean * mean, lit(0.0))).as("v"))
+      e.join(st, Seq("label", "dim"))
+        .withColumn("t", (col("x") - col("c")) * (col("x") - col("c")) /
+          greatest(col("v"), lit(1.0e-6)))
+        .groupBy("vec_id", "label")
+        .agg(r4(sum(col("t").cast(dec)).cast(DoubleType)).as("md2"))
+        .select(col("vec_id"), col("label"), col("md2"),
+          (col("md2") > lit(MahalThr)).cast(LongType).as("is_ood"))
+        .orderBy("vec_id")
+    },
+
     "emb_outliers" -> { (s, d) =>
       import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
       val dec = DecimalType(28, 10)
@@ -1243,6 +1285,30 @@ object SimilarityQueries {
          |  round((CAST(e[i] AS DOUBLE) / sqrt(norm2)) * 1000000.0) / 1000000.0 AS v
          |FROM b, (SELECT unnest(generate_series(1, $TruncDim)) AS i) dims
          |WHERE norm2 > 0.0 ORDER BY vec_id, dim""".stripMargin,
+
+    "emb_mahalanobis" -> {
+      val thr = graft.functions.CleanFunctions.dlitSql(MahalThr)
+      val eps = graft.functions.CleanFunctions.dlitSql(1.0e-6)
+      s"""WITH dims AS (SELECT unnest(generate_series(1, $EmbDim)) AS i),
+         |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim,
+         |        CAST(embedding[i] AS DOUBLE) AS x
+         |      FROM embeddings, dims),
+         |st AS (SELECT label, dim,
+         |        round((CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x)) * 1000000.0) / 1000000.0 AS c,
+         |        round(greatest(
+         |          CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) / count(x)
+         |          - (CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x))
+         |            * (CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x)),
+         |          0.0) * 1000000.0) / 1000000.0 AS v
+         |      FROM e GROUP BY label, dim),
+         |md AS (SELECT vec_id, e.label,
+         |        round(CAST(sum(CAST((x - c) * (x - c) / greatest(v, $eps) AS DECIMAL(28,10))) AS DOUBLE) * 10000.0) / 10000.0 AS md2
+         |      FROM e JOIN st ON e.label = st.label AND e.dim = st.dim
+         |      GROUP BY vec_id, e.label)
+         |SELECT vec_id, label, md2,
+         |  CAST(CASE WHEN md2 > $thr THEN 1 ELSE 0 END AS BIGINT) AS is_ood
+         |FROM md ORDER BY vec_id""".stripMargin
+    },
 
     "emb_outliers" ->
       s"""WITH dims AS (SELECT unnest(generate_series(1, $EmbDim)) AS i),

@@ -63,6 +63,33 @@ object SpcQueries {
   private val MeanSql = "(m.sx / CAST(m.n AS DOUBLE))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // p-chart (attribute control chart): daily purchase SHARE against
+    // binomial limits p̄ ± 3√(p̄(1−p̄)/n) — the proportions chart that
+    // completes the SPC family (the x-charts here watch a measurement;
+    // conversion/defect RATES need variable-width limits because daily
+    // volume n changes). All counts integer-exact; p̄ is one broadcast
+    // scalar; out-of-bounds compares the ROUNDED p against the ROUNDED
+    // limits so both engines agree at the boundary.
+    "events_p_chart" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val daily = Tables.events(s, d)
+        .select(CleanFunctions.epochUs(date_trunc("day", col("ts"))).as("day"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("xx"))
+        .groupBy("day").agg(count(lit(1)).as("n"), sum(col("xx")).as("x"))
+      val cl = daily.agg((sum(col("x")).cast(DoubleType) /
+        sum(col("n")).cast(DoubleType)).as("pbar"))
+      daily.crossJoin(broadcast(cl))
+        .withColumn("p", round6(col("x").cast(DoubleType) / col("n").cast(DoubleType)))
+        .withColumn("sig", sqrt(col("pbar") * (lit(1.0) - col("pbar")) /
+          col("n").cast(DoubleType)))
+        .withColumn("ucl", round6(col("pbar") + lit(3.0) * col("sig")))
+        .withColumn("lcl", round6(greatest(col("pbar") - lit(3.0) * col("sig"), lit(0.0))))
+        .withColumn("oob", (col("p") > col("ucl") || col("p") < col("lcl")).cast(LongType))
+        .select(col("day"), col("n"), col("x"), col("p"),
+          round6(col("pbar")).as("pbar"), col("ucl"), col("lcl"), col("oob"))
+        .orderBy("day")
+    },
+
     // Western Electric run rules (the 1956 control-chart classic): with
     // per-series control limits mean ± kσ, flag
     //   r1: one point beyond 3σ,
@@ -547,6 +574,25 @@ object SpcQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_p_chart" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day,
+         |    count(*) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+         |  FROM events GROUP BY 1),
+         |cl AS (SELECT CAST(sum(x) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS pbar FROM daily),
+         |r AS (SELECT day, n, x, pbar,
+         |  ${round6Sql("CAST(x AS DOUBLE) / CAST(n AS DOUBLE)")} AS p,
+         |  sqrt(pbar * (1.0 - pbar) / CAST(n AS DOUBLE)) AS sig
+         |  FROM daily, cl),
+         |b AS (SELECT day, n, x, p, pbar,
+         |  ${round6Sql("pbar + 3.0 * sig")} AS ucl,
+         |  ${round6Sql("greatest(pbar - 3.0 * sig, 0.0)")} AS lcl
+         |  FROM r)
+         |SELECT day, n, x, p, ${round6Sql("pbar")} AS pbar, ucl, lcl,
+         |  CAST(CASE WHEN p > ucl OR p < lcl THEN 1 ELSE 0 END AS BIGINT) AS oob
+         |FROM b ORDER BY day""".stripMargin,
+
     "ts_we_rules" -> {
       def cnt(cond: String, pre: Int) =
         s"sum(CASE WHEN $cond THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN $pre PRECEDING AND CURRENT ROW)"
