@@ -836,6 +836,43 @@ object EvalQueries {
         .orderBy("event_type")
     },
 
+    // Empirical-Bayes Beta-Binomial shrinkage of per-user purchase
+    // rates: method-of-moments prior (α, β) from the corpus's own
+    // rate distribution, posterior mean (k+α)/(n+α+β) — the
+    // rate-metric sibling of ts_james_stein (a 3-event user's 33%
+    // "conversion rate" shrinks hard toward the prior; a 300-event
+    // user's barely moves; ranking users by posterior instead of raw
+    // rate is the difference between surfacing signal and surfacing
+    // small-n noise). One grouped integer pass per user, one 1-row
+    // broadcast prior, rates 6dp-pinned before the moment sums;
+    // concentration floored at 0.1 (coalesce-then-greatest on BOTH
+    // engines — their NULL semantics for greatest differ).
+    "events_eb_shrinkage" -> { (s, d) =>
+      val pu = Tables.events(s, d).groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("k"))
+        .withColumn("r", round6(col("k").cast(DoubleType) / col("n").cast(DoubleType)))
+      val pr = pu.agg(
+          count(lit(1)).cast(DoubleType).as("nu"),
+          exactSum(col("r")).as("sr"),
+          exactSum(round6(col("r") * col("r"))).as("srr"))
+        .select((col("sr") / col("nu")).as("m"),
+          greatest(col("srr") / col("nu") -
+            (col("sr") / col("nu")) * (col("sr") / col("nu")), lit(0.0)).as("v"))
+        .select(col("m"), greatest(coalesce(
+          col("m") * (lit(1.0) - col("m")) / nullif(col("v"), lit(0.0)) - lit(1.0),
+          lit(0.1)), lit(0.1)).as("conc"))
+        .select(round6(col("m") * col("conc")).as("alpha"),
+          round6((lit(1.0) - col("m")) * col("conc")).as("beta"))
+      pu.crossJoin(broadcast(pr))
+        .select(col("user_id"), col("n"), col("k"), col("r").as("raw_rate"),
+          round6((col("k").cast(DoubleType) + col("alpha")) /
+            (col("n").cast(DoubleType) + col("alpha") + col("beta"))).as("post_rate"),
+          round6(col("n").cast(DoubleType) /
+            (col("n").cast(DoubleType) + col("alpha") + col("beta"))).as("shrink_w"))
+        .orderBy("user_id")
+    },
+
     // Delta-method ratio-metric comparison per value band: purchases
     // per view is a RATIO of two per-user counts, so its variance needs
     // the delta method Var(x̄/ȳ) ≈ (σx² − 2Rσxy + R²σy²)/(n·ȳ²) — the
@@ -1498,6 +1535,36 @@ object EvalQueries {
          |  CASE WHEN p_value < 0.001 THEN CAST(1 AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END AS srm_flag
          |FROM p ORDER BY event_type""".stripMargin,
+
+    "events_eb_shrinkage" ->
+      s"""WITH pu AS (
+         |  SELECT user_id, count(*) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+         |  FROM events GROUP BY 1),
+         |pr0 AS (
+         |  SELECT user_id, n, k,
+         |    ${round6Sql("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)")} AS r
+         |  FROM pu),
+         |mo AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nu,
+         |    ${exactSumSql("r")} AS sr,
+         |    ${exactSumSql(round6Sql("r * r"))} AS srr
+         |  FROM pr0),
+         |mv AS (
+         |  SELECT sr / nu AS m,
+         |    greatest(srr / nu - (sr / nu) * (sr / nu), 0.0) AS v
+         |  FROM mo),
+         |cc AS (
+         |  SELECT m, greatest(coalesce(m * (1.0 - m) / nullif(v, 0.0) - 1.0, 0.1), 0.1) AS conc
+         |  FROM mv),
+         |ab AS (
+         |  SELECT ${round6Sql("m * conc")} AS alpha,
+         |    ${round6Sql("(1.0 - m) * conc")} AS beta
+         |  FROM cc)
+         |SELECT user_id, n, k, r AS raw_rate,
+         |  ${round6Sql("(CAST(k AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta)")} AS post_rate,
+         |  ${round6Sql("CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + alpha + beta)")} AS shrink_w
+         |FROM pr0, ab ORDER BY user_id""".stripMargin,
 
     "events_ratio_delta" ->
       s"""WITH ev AS (SELECT CAST(floor(value / 50.0) AS BIGINT) AS band,
