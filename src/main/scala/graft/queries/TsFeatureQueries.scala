@@ -56,6 +56,12 @@ object TsFeatureQueries {
   private val SesAlphas = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
   private val SesSpan = 20
 
+  /** Regime-switching Viterbi: state centers at the z-scored normal
+    * quartiles ∓RegimeQ; RegimeGamma is the switch cost.
+    */
+  private val RegimeQ = 0.6745
+  private val RegimeGamma = 2.0
+
   private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
   private def events(s: SparkSession, d: String): DataFrame =
@@ -220,6 +226,36 @@ object TsFeatureQueries {
           round4(col("c0")).as("cost_base"),
           round4(col("c1")).as("cost_burst"), col("in_burst"))
         .orderBy("event_type", "day")
+    },
+
+    // Two-state Gaussian regime-switching Viterbi per series: low/high
+    // LEVEL regimes at the z-scored normal quartiles ∓0.6745 with
+    // switch cost γ — the level-shift dual of ts_bursts (which watches
+    // COUNTS through Poisson costs; this watches the measurement, so a
+    // sustained load plateau segments into one high regime instead of
+    // a run of per-row z flags, and brief spikes don't flip state
+    // because the switch cost gates them). Reuses the SAME forward
+    // Viterbi fold (TimeSeriesOps.burstPath) with squared-error
+    // emissions: z from per-series DECIMAL-exact moments, emissions
+    // 6dp-quantized, recursive-CTE oracle replays the identical fold.
+    "ts_regime_switch" -> { (s, d) =>
+      val e = events(s, d)
+      val mom = e.groupBy("user_id").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        exactSum(col("value")).as("sx"),
+        exactSum(round4(col("value") * col("value"))).as("sxx"))
+      val sd = CleanFunctions.momentStd(col("n"), col("sx"), col("sxx"))
+      val prep = e.join(mom, "user_id")
+        .where(sd > 0.0)
+        .withColumn("z", (col("value") - col("sx") / col("n")) / sd)
+        .withColumn("e0", round6((col("z") + lit(RegimeQ)) * (col("z") + lit(RegimeQ)) / lit(2.0)))
+        .withColumn("e1", round6((col("z") - lit(RegimeQ)) * (col("z") - lit(RegimeQ)) / lit(2.0)))
+        .select("event_id", "user_id", "tsu", "e0", "e1")
+      TimeSeriesOps.burstPath(prep, Seq("user_id"), Seq("tsu", "event_id"),
+          "e0", "e1", RegimeGamma)
+        .select(col("event_id"), round4(col("c0")).as("cost_low"),
+          round4(col("c1")).as("cost_high"), col("in_burst").as("in_high"))
+        .orderBy("event_id")
     },
 
     // Hawkes self-excitation per user: the exponentially-decayed count
@@ -795,6 +831,43 @@ object TsFeatureQueries {
          |  CASE WHEN c1 < c0 THEN CAST(1 AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END AS in_burst
          |FROM v ORDER BY event_type, day""".stripMargin
+    },
+
+    "ts_regime_switch" -> {
+      val g = dlit(RegimeGamma)
+      val q = dlit(RegimeQ)
+      val sd = CleanFunctions.momentStdSql("m.n", "m.sx", "m.sxx")
+      s"""WITH RECURSIVE e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |m AS (
+         |  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("value")} AS sx,
+         |    ${exactSumSql(round4Sql("value * value"))} AS sxx
+         |  FROM e GROUP BY 1),
+         |p0 AS (
+         |  SELECT e.event_id, e.user_id, e.tsu,
+         |    (e.value - m.sx / m.n) / $sd AS z
+         |  FROM e JOIN m USING (user_id) WHERE $sd > 0.0),
+         |prep AS (
+         |  SELECT event_id, user_id, tsu,
+         |    ${round6Sql(s"(z + $q) * (z + $q) / 2.0")} AS e0,
+         |    ${round6Sql(s"(z - $q) * (z - $q) / 2.0")} AS e1,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS rn
+         |  FROM p0),
+         |v AS (
+         |  SELECT event_id, user_id, rn, e0 AS c0, $g + e1 AS c1
+         |  FROM prep WHERE rn = 1
+         |  UNION ALL
+         |  SELECT p.event_id, p.user_id, p.rn,
+         |    least(v.c0, v.c1) + p.e0,
+         |    least(v.c0 + $g, v.c1) + p.e1
+         |  FROM v JOIN prep p ON p.user_id = v.user_id AND p.rn = v.rn + 1)
+         |SELECT event_id, ${round4Sql("c0")} AS cost_low,
+         |  ${round4Sql("c1")} AS cost_high,
+         |  CASE WHEN c1 < c0 THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS in_high
+         |FROM v ORDER BY event_id""".stripMargin
     },
 
     "ts_hawkes_intensity" -> {
