@@ -230,4 +230,55 @@ class InferenceSpec extends AnyFunSuite {
     assert(out.where(col("cooks_d") < 0.0).count() == 0)
     out.unpersist()
   }
+
+  test("events_hitting_time: target absorbs at 0, every other state positive") {
+    val out = graft.queries.EvalQueries.queries("events_hitting_time")(spark, sfDir).cache()
+    assert(out.where(col("event_type") === "purchase")
+      .where(col("expected_steps") =!= 0.0).count() == 0)
+    assert(out.where(col("event_type") =!= "purchase")
+      .where(col("expected_steps") < 1.0).count() == 0)
+    out.unpersist()
+  }
+
+  test("nation_kcore: every surviving node keeps >= 3 partners in the core") {
+    val out = graft.queries.EvalQueries.queries("nation_kcore")(spark, sfDir)
+    assert(out.where(col("core_degree") < 3).count() == 0)
+  }
+
+  test("events_srm_check: chi2 nonnegative, p in [0, 1]") {
+    val out = graft.queries.EvalQueries.queries("events_srm_check")(spark, sfDir).cache()
+    assert(out.where(col("chi2") < 0.0).count() == 0)
+    assert(out.where(col("p_value") < 0.0 || col("p_value") > 1.0).count() == 0)
+    out.unpersist()
+  }
+
+  test("events_eb_shrinkage: posterior sits between the raw rate and the prior mean") {
+    val out = graft.queries.EvalQueries.queries("events_eb_shrinkage")(spark, sfDir).cache()
+    assert(out.where(col("shrink_w") <= 0.0 || col("shrink_w") >= 1.0).count() == 0)
+    // Posterior = w*raw + (1-w)*prior for SOME prior mean m shared by all
+    // rows: check the contraction property |post - raw| <= |m - raw| via
+    // the recovered m = (post - w*raw) / (1 - w), identical across rows.
+    val rows = out.collect()
+    val ms = rows.map { r =>
+      val w = r.getAs[Double]("shrink_w"); val raw = r.getAs[Double]("raw_rate")
+      val post = r.getAs[Double]("post_rate")
+      (post - w * raw) / (1.0 - w)
+    }
+    assert(ms.max - ms.min < 1e-2, s"implied prior mean must be shared: ${ms.min}..${ms.max}")
+    out.unpersist()
+  }
+
+  test("dq_referential_integrity: shares in [0,1] and TPC-H FK relations intact") {
+    val out = graft.queries.EvalQueries.queries("dq_referential_integrity")(spark, sfDir).cache()
+    assert(out.where(col("orphan_share") < 0.0 || col("orphan_share") > 1.0).count() == 0)
+    // The generator's own star schema must be internally consistent.
+    assert(out.where(col("relation") === "lineitem.l_orderkey->orders")
+      .where(col("n_orphans") =!= 0L).count() == 0)
+    out.unpersist()
+  }
+
+  test("dq_t_closeness: distance in [0, 1]") {
+    val out = graft.queries.EvalQueries.queries("dq_t_closeness")(spark, sfDir)
+    assert(out.where(col("t_closeness") < -1e-9 || col("t_closeness") > 1.0 + 1e-9).count() == 0)
+  }
 }

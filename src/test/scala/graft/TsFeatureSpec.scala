@@ -117,4 +117,73 @@ class TsFeatureSpec extends AnyFunSuite {
     }
     out.unpersist()
   }
+
+  test("ts_poincare: SD1/SD2 nonnegative, ratio consistent with rounded parts") {
+    val out = run("ts_poincare").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("sd1") < 0.0 || col("sd2") < 0.0).count() == 0)
+    val r = out.where(col("sd2") > 0.0).collect()
+    r.foreach { row =>
+      val want = math.round(row.getAs[Double]("sd1") / row.getAs[Double]("sd2") * 10000.0) / 10000.0
+      assert(math.abs(row.getAs[Double]("sd_ratio") - want) < 1e-9)
+    }
+    out.unpersist()
+  }
+
+  test("ts_transfer_entropy: nonnegative up to rounding, pair count symmetric") {
+    val out = run("ts_transfer_entropy").cache()
+    assert(out.count() > 0)
+    // TE is an information quantity: >= 0 exactly; each cell term was
+    // 6dp-rounded before the sum, so allow that quantization downward.
+    assert(out.where(col("te") < -1e-4).count() == 0)
+    // Directed pairs come from the same day-grid join both ways.
+    val ab = out.select(col("yu"), col("xu"))
+    val ba = out.select(col("xu").as("yu"), col("yu").as("xu"))
+    assert(ab.except(ba).count() == 0)
+    out.unpersist()
+  }
+
+  test("ts_allan_var: deviation nonnegative, at most three taus per series") {
+    val out = run("ts_allan_var").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("allan_dev") < 0.0).count() == 0)
+    val perUser = out.groupBy("user_id").agg(countDistinct(col("tau_h")).as("nt"))
+    assert(perUser.where(col("nt") > 3).count() == 0)
+    out.unpersist()
+  }
+
+  test("ts_ses_select: winner comes from the candidate grid with minimal SSE") {
+    val out = run("ts_ses_select").cache()
+    assert(out.count() > 0)
+    val grid = Set(0.1, 0.3, 0.5, 0.7, 0.9)
+    out.collect().foreach { row =>
+      assert(grid.contains(row.getAs[Double]("best_alpha")))
+      assert(row.getAs[Double]("sse") >= 0.0)
+    }
+    out.unpersist()
+  }
+
+  test("ts_regime_switch: a crafted level step flips the regime exactly once") {
+    import spark.implicits._
+    import graft.functions.CleanFunctions.round6
+    // 20 low rows then 20 high rows, z-emissions around the +-0.6745 centers.
+    val rows = (1 to 20).map(i => (i.toLong, -1.0)) ++ (21 to 40).map(i => (i.toLong, 1.0))
+    val df = rows.toDF("tsu", "z").withColumn("k", lit("s"))
+      .withColumn("e0", round6((col("z") + lit(0.6745)) * (col("z") + lit(0.6745)) / lit(2.0)))
+      .withColumn("e1", round6((col("z") - lit(0.6745)) * (col("z") - lit(0.6745)) / lit(2.0)))
+    val out = graft.operators.TimeSeriesOps.burstPath(
+      df, Seq("k"), Seq("tsu"), "e0", "e1", gamma = 2.0).cache()
+    val seq = out.orderBy("tsu").select("in_burst").collect().map(_.getLong(0)).toSeq
+    val flips = seq.zip(seq.tail).count { case (a, b) => a != b }
+    assert(flips == 1, s"expected exactly one regime flip, got $flips in $seq")
+    assert(seq.head == 0 && seq.last == 1)
+    out.unpersist()
+  }
+
+  test("ts_dfa: fluctuations nonnegative and alpha defined for full series") {
+    val out = run("ts_dfa").cache()
+    assert(out.count() > 0)
+    assert(out.where(col("f2_s4") < 0.0 || col("f2_s8") < 0.0 || col("f2_s16") < 0.0).count() == 0)
+    out.unpersist()
+  }
 }
