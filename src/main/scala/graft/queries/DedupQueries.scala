@@ -33,6 +33,11 @@ object DedupQueries {
   // from what the delegating queries compute.
   private val SimhashMaxHamming = graft.operators.CorpusDedup.SimhashMaxHamming
   private val CosineThreshold = 0.4 // max pairwise cosine in testdata ~0.51
+
+  /** Banding sweep configs for dedup_lsh_tuning; every pair multiplies
+    * to GraftConfig.MinHashK so all arms share one signature aggregate.
+    */
+  private val LshTuningConfigs = Seq((2, 8), (4, 4), (8, 2))
   private val EmbBands = 4
   private val EmbRowsPerBand = 4 // 16 planes = GraftConfig.LshPlanes
 
@@ -171,6 +176,47 @@ object DedupQueries {
         .distinct()
         .filter(col("hamming") <= SimhashMaxHamming)
         .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // LSH banding sweep over the SAME 16 MinHash permutations: candidate
+    // volume and verified precision at (2 bands × 8 rows), (4×4) and
+    // (8×2) — the measured tradeoff curve (more bands = higher recall =
+    // more candidates = lower precision) that picks a production
+    // banding from data instead of folklore. The signature aggregate is
+    // computed ONCE (localCheckpoint) and re-banded three ways — the
+    // expensive stage never repeats; each arm is the production
+    // band-bucket equi-join + exact Jaccard verify.
+    "dedup_lsh_tuning" -> { (s, d) =>
+      val sets = shingleSets(s, d).cache()
+      val hashed = sets.select(col("doc_id"), explode(col("sh")).as("sh_s"))
+        .select(col("doc_id"), CleanFunctions.md5Hash64(col("sh_s")).as("x"))
+      val mhCols = (0 until GraftConfig.MinHashK).map(i =>
+        min(TextFunctions.minhashPerm(col("x"), i)).as(s"h$i"))
+      val mh = hashed.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+        .localCheckpoint()
+      val arms = LshTuningConfigs.map { case (nb, rpb) =>
+        val bd = mh.select(col("doc_id"), explode(array((0 until nb).map { b =>
+          val ks = (0 until rpb).map(r => col(s"h${b * rpb + r}"))
+          struct(lit(b).as("band"), md5(concat_ws(",", ks: _*)).as("key"))
+        }: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        val cand = bd.as("a").join(bd.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+          .distinct()
+        cand
+          .join(sets.as("sa"), col("doc_id_a") === col("sa.doc_id"))
+          .join(sets.as("sb"), col("doc_id_b") === col("sb.doc_id"))
+          .withColumn("j", jaccard(col("sa.sh"), col("sb.sh")))
+          .agg(count(lit(1)).as("n_candidates"),
+            count(when(col("j") >= MinhashVerifyThreshold, 1)).as("n_verified"))
+          .select(lit(nb.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
+            col("n_candidates"), col("n_verified"),
+            CleanFunctions.round4(col("n_verified").cast(DoubleType) /
+              nullif(col("n_candidates").cast(DoubleType), lit(0.0))).as("precision"))
+      }
+      arms.reduce(_ union _).orderBy("bands")
     },
 
     // Dedup-method agreement: Jaccard overlap between the PAIR SETS the
@@ -482,6 +528,33 @@ object DedupQueries {
          |FROM p
          |WHERE common / na >= $ContainmentThreshold OR common / nb >= $ContainmentThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "dedup_lsh_tuning" -> {
+      val mins = (0 until GraftConfig.MinHashK).map(i =>
+        s"min(${TextFunctions.minhashPermSql(CleanFunctions.md5Hash64Sql("s"), i)}) AS h$i").mkString(",\n  ")
+      val armCtes = LshTuningConfigs.zipWithIndex.map { case ((nb, rpb), i) =>
+        val bandRows = (0 until nb).map { b =>
+          val ks = (0 until rpb).map(r => s"h${b * rpb + r}").mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, md5($ks) AS key FROM mh"
+        }.mkString("\n  UNION ALL ")
+        s"""bd$i AS ($bandRows),
+           |c$i AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+           |  FROM bd$i a JOIN bd$i b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           |s$i AS (SELECT CAST($nb AS BIGINT) AS bands, CAST($rpb AS BIGINT) AS rows_per_band,
+           |  count(*) AS n_candidates,
+           |  CAST(count(CASE WHEN ${jaccardSql("sa.sh", "sb.sh")} >= $MinhashVerifyThreshold THEN 1 END) AS BIGINT) AS n_verified
+           |  FROM c$i JOIN ss sa ON doc_id_a = sa.doc_id JOIN ss sb ON doc_id_b = sb.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val armUnion = LshTuningConfigs.indices.map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""WITH $shingleSetsSql,
+         |ss AS MATERIALIZED (SELECT * FROM sset),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM ss),
+         |mh AS MATERIALIZED (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+         |$armCtes
+         |SELECT bands, rows_per_band, n_candidates, n_verified,
+         |  ${CleanFunctions.round4Sql("CAST(n_verified AS DOUBLE) / nullif(CAST(n_candidates AS DOUBLE), 0.0)")} AS precision
+         |FROM ($armUnion) u ORDER BY bands""".stripMargin
+    },
 
     "dedup_minhash_lsh" -> {
       val mins = (0 until GraftConfig.MinHashK).map(i =>
