@@ -675,6 +675,35 @@ object EvalQueries {
     // brand), one grouped exact-moment pass (6dp-quantized logs and
     // cross-products, DECIMAL sums), closed-form slope + R² from the
     // five sums — no per-group value buffering at any scale.
+    // Classical seasonal index per brand (ratio-to-moving-average):
+    // monthly revenue ÷ the centered 12-month MA (complete windows
+    // only), averaged by calendar month — the retail/econ "December is
+    // 1.3× trend" deseasonalization table that ts_seasonal_adjust's
+    // per-series hour profile doesn't cover (calendar-month granularity
+    // over a multi-year span, per product line). One dim join + one
+    // monthly aggregate; the MA is a 12-row keyed window over the
+    // O(brands × months) AGGREGATE, never raw lineitems; revenue and
+    // ratios DECIMAL-quantized at each stage.
+    "lineitem_seasonality_index" -> { (s, d) =>
+      val monthly = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          CleanFunctions.epochUs(date_trunc("month", col("l_shipdate"))).as("m"),
+          month(col("l_shipdate")).cast(LongType).as("month_num"))
+        .agg(CleanFunctions.exactSum(col("l_extendedprice")).as("rev"))
+      val wm = Window.partitionBy("p_brand").orderBy("m").rowsBetween(-6, 5)
+      val ratio = monthly
+        .withColumn("nw", count(col("rev")).over(wm))
+        .withColumn("ma", CleanFunctions.exactMeanOver(col("rev"), wm))
+        .where(col("nw") === 12L)
+        .withColumn("ratio", round6(col("rev") / col("ma")))
+      ratio.groupBy("p_brand", "month_num")
+        .agg(count(lit(1)).as("n_obs"),
+          round4(CleanFunctions.exactMean(col("ratio"))).as("seasonal_index"))
+        .orderBy("p_brand", "month_num")
+    },
+
     "lineitem_price_elasticity" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
         .where(col("l_quantity") > 0.0 && col("l_extendedprice") > 0.0)
@@ -1418,6 +1447,27 @@ object EvalQueries {
          |  ${round4Sql("CAST(common AS DOUBLE) / CAST(da.deg + db.deg - common AS DOUBLE)")} AS jaccard
          |FROM cm JOIN deg da ON cm.na = da.a JOIN deg db ON cm.nb = db.a
          |ORDER BY na, nb""".stripMargin,
+
+    "lineitem_seasonality_index" ->
+      s"""WITH monthly AS (
+         |  SELECT p.p_brand,
+         |    CAST(epoch_us(date_trunc('month', l.l_shipdate)) AS BIGINT) AS m,
+         |    CAST(month(l.l_shipdate) AS BIGINT) AS month_num,
+         |    ${exactSumSql("l.l_extendedprice")} AS rev
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  GROUP BY 1, 2, 3),
+         |ma AS (
+         |  SELECT p_brand, m, month_num, rev,
+         |    count(rev) OVER w AS nw,
+         |    ${CleanFunctions.exactMeanSql("rev", "OVER w")} AS mav
+         |  FROM monthly WINDOW w AS (PARTITION BY p_brand ORDER BY m
+         |    ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)),
+         |r AS (
+         |  SELECT p_brand, month_num, ${round6Sql("rev / mav")} AS ratio
+         |  FROM ma WHERE nw = 12)
+         |SELECT p_brand, month_num, count(*) AS n_obs,
+         |  ${round4Sql(CleanFunctions.exactMeanSql("ratio"))} AS seasonal_index
+         |FROM r GROUP BY 1, 2 ORDER BY p_brand, month_num""".stripMargin,
 
     "lineitem_price_elasticity" -> {
       def ds(x: String) = s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
