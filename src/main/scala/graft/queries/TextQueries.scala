@@ -911,6 +911,31 @@ object TextQueries {
         .orderBy("doc_id", "rk")
     },
 
+    // Term burstiness (Church & Gale): observed document frequency vs
+    // the Poisson expectation N(1−e^(−tf/N)) for each of the top-50
+    // terms — a term whose occurrences CLUMP into few documents
+    // (df ≪ expected) is topical/bursty, one spread evenly is function-
+    // word-like; the dispersion signal tf-idf conflates with rarity.
+    // Two grouped integer aggregates (tf, df) + one broadcast corpus
+    // size; the only transcendental is one exp per term, rounded after.
+    "text_term_burstiness" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .where(length(col("term")) >= 3)
+      val stats = toks.groupBy("term").agg(
+        count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("nd"))
+      stats.crossJoin(broadcast(nd))
+        .withColumn("expected_df",
+          col("nd") * (lit(1.0) - exp(-col("tf").cast(DoubleType) / col("nd"))))
+        .select(col("term"), col("tf"), col("df"),
+          CleanFunctions.round4(col("tf").cast(DoubleType) / col("df").cast(DoubleType))
+            .as("occ_per_doc"),
+          CleanFunctions.round4(col("df").cast(DoubleType) / col("expected_df"))
+            .as("burst_ratio"))
+        .orderBy(desc("tf"), col("term")).limit(50)
+    },
+
     // TextRank keywords over the corpus-wide word co-occurrence graph:
     // content words (len ≥ 3, non-stopword) are nodes, adjacency within
     // original-position distance ≤ 2 inside a document is an edge
@@ -1503,6 +1528,20 @@ object TextQueries {
            |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
            |FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
            |ORDER BY bt.bucket""".stripMargin,
+
+      "text_term_burstiness" ->
+        s"""WITH tk AS (SELECT doc_id, unnest($tl) AS term FROM documents),
+           |ft AS (SELECT doc_id, term FROM tk WHERE length(term) >= 3),
+           |st AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+           |  FROM ft GROUP BY 1),
+           |nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+           |x AS (SELECT term, tf, df, nd,
+           |  nd * (1.0 - exp(-CAST(tf AS DOUBLE) / nd)) AS expected_df
+           |  FROM st, nd)
+           |SELECT term, tf, df,
+           |  ${CleanFunctions.round4Sql("CAST(tf AS DOUBLE) / CAST(df AS DOUBLE)")} AS occ_per_doc,
+           |  ${CleanFunctions.round4Sql("CAST(df AS DOUBLE) / expected_df")} AS burst_ratio
+           |FROM x ORDER BY tf DESC, term LIMIT 50""".stripMargin,
 
       "text_textrank" -> {
         val stopList = sqlList(TextFunctions.QualityStopwords)

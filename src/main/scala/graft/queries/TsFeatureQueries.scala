@@ -228,6 +228,50 @@ object TsFeatureQueries {
         .orderBy("event_type", "day")
     },
 
+    // Interrupted time-series (segmented regression) per series: OLS
+    // fit on each side of the span midpoint t0, reporting the level
+    // JUMP (intercepts at t0) and slope CHANGE — the single-series
+    // causal design (no control group, unlike events_did) every
+    // deploy/incident postmortem runs ("did the rollout shift the
+    // level or bend the trend"). t0 is the exact integer midpoint
+    // (min+max)//2 per series; x is 6dp-quantized days-from-t0; both
+    // side fits come from one grouped DECIMAL moment pass + a
+    // conditional pivot, slopes/intercepts 6dp-pinned before the
+    // deltas.
+    "ts_intervention" -> { (s, d) =>
+      val wp = Window.partitionBy("user_id")
+      val e = events(s, d)
+        .withColumn("t0", expr("(CAST(min(tsu) OVER (PARTITION BY user_id) AS BIGINT) + " +
+          "CAST(max(tsu) OVER (PARTITION BY user_id) AS BIGINT)) DIV 2"))
+        .withColumn("x", round6((col("tsu") - col("t0")).cast(DoubleType) / lit(86400000000.0)))
+        .withColumn("side", (col("tsu") >= col("t0")).cast(LongType))
+      val mom = e.groupBy("user_id", "side").agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          exactSum(col("x")).as("sx"),
+          exactSum(col("value")).as("sy"),
+          exactSum(round6(col("x") * col("x"))).as("sxx"),
+          exactSum(round6(col("x") * col("value"))).as("sxy"))
+        .where(col("n") > 2.0)
+        .withColumn("slope", round6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))))
+        .withColumn("icept", round6(col("sy") / col("n") - col("slope") * (col("sx") / col("n"))))
+      mom.groupBy("user_id").agg(
+          max(when(col("side") === 0L, col("n"))).as("n_pre"),
+          max(when(col("side") === 1L, col("n"))).as("n_post"),
+          max(when(col("side") === 0L, col("slope"))).as("slope_pre"),
+          max(when(col("side") === 1L, col("slope"))).as("slope_post"),
+          max(when(col("side") === 0L, col("icept"))).as("i_pre"),
+          max(when(col("side") === 1L, col("icept"))).as("i_post"))
+        .where(col("n_pre").isNotNull && col("n_post").isNotNull)
+        .select(col("user_id"),
+          col("n_pre").cast(LongType).as("n_pre"),
+          col("n_post").cast(LongType).as("n_post"),
+          col("slope_pre"), col("slope_post"),
+          round4(col("i_post") - col("i_pre")).as("level_jump"),
+          round4(col("slope_post") - col("slope_pre")).as("slope_change"))
+        .orderBy("user_id")
+    },
+
     // Two-state Gaussian regime-switching Viterbi per series: low/high
     // LEVEL regimes at the z-scored normal quartiles ∓0.6745 with
     // switch cost γ — the level-shift dual of ts_bursts (which watches
@@ -832,6 +876,54 @@ object TsFeatureQueries {
          |       ELSE CAST(0 AS BIGINT) END AS in_burst
          |FROM v ORDER BY event_type, day""".stripMargin
     },
+
+    "ts_intervention" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tsu, value FROM events
+         |  WHERE value IS NOT NULL),
+         |t0s AS (
+         |  SELECT user_id, event_id, tsu, value,
+         |    (min(tsu) OVER (PARTITION BY user_id) +
+         |     max(tsu) OVER (PARTITION BY user_id)) // 2 AS t0
+         |  FROM e),
+         |xs AS (
+         |  SELECT user_id,
+         |    ${round6Sql("CAST(tsu - t0 AS DOUBLE) / 86400000000.0")} AS x,
+         |    value,
+         |    CASE WHEN tsu >= t0 THEN CAST(1 AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS side
+         |  FROM t0s),
+         |m AS (
+         |  SELECT user_id, side, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("x")} AS sx, ${exactSumSql("value")} AS sy,
+         |    ${exactSumSql(round6Sql("x * x"))} AS sxx,
+         |    ${exactSumSql(round6Sql("x * value"))} AS sxy
+         |  FROM xs GROUP BY 1, 2 HAVING count(*) > 2),
+         |fit AS (
+         |  SELECT user_id, side, n,
+         |    ${round6Sql("(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)")} AS slope,
+         |    sx, sy
+         |  FROM m),
+         |fi AS (
+         |  SELECT user_id, side, n, slope,
+         |    ${round6Sql("sy / n - slope * (sx / n)")} AS icept
+         |  FROM fit),
+         |piv AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN side = 0 THEN n END) AS n_pre,
+         |    max(CASE WHEN side = 1 THEN n END) AS n_post,
+         |    max(CASE WHEN side = 0 THEN slope END) AS slope_pre,
+         |    max(CASE WHEN side = 1 THEN slope END) AS slope_post,
+         |    max(CASE WHEN side = 0 THEN icept END) AS i_pre,
+         |    max(CASE WHEN side = 1 THEN icept END) AS i_post
+         |  FROM fi GROUP BY user_id
+         |  HAVING max(CASE WHEN side = 0 THEN n END) IS NOT NULL
+         |     AND max(CASE WHEN side = 1 THEN n END) IS NOT NULL)
+         |SELECT user_id, CAST(n_pre AS BIGINT) AS n_pre,
+         |  CAST(n_post AS BIGINT) AS n_post, slope_pre, slope_post,
+         |  ${round4Sql("i_post - i_pre")} AS level_jump,
+         |  ${round4Sql("slope_post - slope_pre")} AS slope_change
+         |FROM piv ORDER BY user_id""".stripMargin,
 
     "ts_regime_switch" -> {
       val g = dlit(RegimeGamma)
