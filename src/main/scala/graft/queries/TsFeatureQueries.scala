@@ -228,6 +228,27 @@ object TsFeatureQueries {
         .orderBy("event_type", "day")
     },
 
+    // Effective sample size per series via the integrated
+    // autocorrelation time τ = 1 + 2Σ₁¹²ρ_k (truncated window
+    // estimator, floored at 1): ESS = n/τ — how many INDEPENDENT
+    // observations the series is worth, the number that deflates every
+    // naive standard error downstream (a mean over 4 000 hourly points
+    // with τ=20 has the precision of 200). Reuses the production
+    // ts_acf_full entry verbatim for the 12 correlations; one grouped
+    // DECIMAL sum on its O(series × 12) output.
+    "ts_ess" -> { (s, d) =>
+      val acf = TimeSeriesQueries.queries("ts_acf_full")(s, d)
+      val nn = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n_obs"))
+      val tau = acf.groupBy("user_id").agg(
+        count(lit(1)).as("n_lags"),
+        round4(lit(1.0) + lit(2.0) * exactSum(col("acf"))).as("tau_int"))
+      nn.join(tau, "user_id")
+        .select(col("user_id"), col("n_obs"), col("n_lags"), col("tau_int"),
+          round4(col("n_obs").cast(DoubleType) / greatest(col("tau_int"), lit(1.0)))
+            .as("ess"))
+        .orderBy("user_id")
+    },
+
     // Interrupted time-series (segmented regression) per series: OLS
     // fit on each side of the span midpoint t0, reporting the level
     // JUMP (intercepts at t0) and slope CHANGE — the single-series
@@ -875,6 +896,20 @@ object TsFeatureQueries {
          |  CASE WHEN c1 < c0 THEN CAST(1 AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END AS in_burst
          |FROM v ORDER BY event_type, day""".stripMargin
+    },
+
+    "ts_ess" -> {
+      val acfSql = TimeSeriesQueries.oracleSql("ts_acf_full")
+      s"""WITH acf AS MATERIALIZED (SELECT user_id, lag_k, acf FROM ($acfSql) q),
+         |nn AS (SELECT user_id, count(*) AS n_obs FROM events
+         |  WHERE value IS NOT NULL GROUP BY 1),
+         |tau AS (SELECT user_id, count(*) AS n_lags,
+         |  ${round4Sql(s"1.0 + 2.0 * ${exactSumSql("acf")}")} AS tau_int
+         |  FROM acf GROUP BY 1)
+         |SELECT nn.user_id, nn.n_obs, tau.n_lags, tau.tau_int,
+         |  ${round4Sql("CAST(n_obs AS DOUBLE) / greatest(tau_int, 1.0)")} AS ess
+         |FROM nn JOIN tau ON nn.user_id = tau.user_id
+         |ORDER BY nn.user_id""".stripMargin
     },
 
     "ts_intervention" ->
