@@ -188,6 +188,44 @@ object StatsQueries {
         .orderBy("o_custkey")
     },
 
+    // ABC × XYZ inventory classification matrix: parts banded by
+    // cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest — the Pareto
+    // axis) crossed with monthly-demand variability (CV < 0.5 = X
+    // steady, < 1.0 = Y, else Z erratic) — the planning matrix that
+    // decides which SKUs get safety stock vs make-to-order. Revenue
+    // ranks ride the banded rankedCumShare (no global sort); CV comes
+    // from one grouped DECIMAL moment pass over the O(parts × months)
+    // aggregate; the 3×3 cell rollup re-aggregates O(parts) rows.
+    "part_abc_xyz" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val rev = li.groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))).as("rev"))
+      val abc = StatsOps.rankedCumShare(rev, col("l_partkey"), col("rev"))
+        .withColumn("abc", when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      val monthly = li.groupBy(col("l_partkey"),
+          date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(exactSum(col("l_quantity")).as("q"))
+      val cv = monthly.groupBy("l_partkey").agg(
+          count(lit(1)).cast(DoubleType).as("nm"),
+          exactSum(round4(col("q"))).as("sq"),
+          exactSum(round4(col("q") * col("q"))).as("sqq"))
+        .withColumn("cv", round4(
+          CleanFunctions.momentStd(col("nm"), col("sq"), col("sqq")) /
+            nullif(col("sq") / col("nm"), lit(0.0))))
+        .withColumn("xyz", when(col("cv") < 0.5, "X")
+          .when(col("cv") < 1.0, "Y").otherwise("Z"))
+      val tot = rev.agg(sum(col("rev")).as("tot"))
+      abc.join(cv.select("l_partkey", "xyz"), "l_partkey")
+        .groupBy("abc", "xyz").agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).as("cell_rev"))
+        .crossJoin(broadcast(tot))
+        .select(col("abc"), col("xyz"), col("n_parts"),
+          CleanFunctions.round6(col("cell_rev").cast(DoubleType) /
+            col("tot").cast(DoubleType)).as("revenue_share"))
+        .orderBy("abc", "xyz")
+    },
+
     // Benford first-significant-digit chi-square per event_type — the
     // fraud/data-fabrication screen in the DQ toolbox. The digit comes
     // from INTEGER cents (round(value*100) → BIGINT → first char), never
@@ -1501,6 +1539,42 @@ object StatsQueries {
          |SELECT o_custkey, CAST(rev AS DOUBLE) AS revenue, cum_share,
          |  CAST(CASE WHEN cum_share <= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS in_top80
          |FROM c ORDER BY o_custkey""".stripMargin,
+
+    "part_abc_xyz" -> {
+      val sd = CleanFunctions.momentStdSql("nm", "sq", "sqq")
+      s"""WITH rev AS (
+         |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+         |  FROM lineitem GROUP BY 1),
+         |cs AS (
+         |  SELECT l_partkey, rev,
+         |    ${round4Sql("CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST((SELECT sum(rev) FROM rev) AS DOUBLE)")} AS cum_share
+         |  FROM rev),
+         |abc AS (
+         |  SELECT l_partkey, rev,
+         |    CASE WHEN cum_share <= 0.8 THEN 'A'
+         |         WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc
+         |  FROM cs),
+         |monthly AS (
+         |  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+         |    ${exactSumSql("l_quantity")} AS q
+         |  FROM lineitem GROUP BY 1, 2),
+         |mv AS (
+         |  SELECT l_partkey, CAST(count(*) AS DOUBLE) AS nm,
+         |    ${exactSumSql(round4Sql("q"))} AS sq,
+         |    ${exactSumSql(round4Sql("q * q"))} AS sqq
+         |  FROM monthly GROUP BY 1),
+         |xyz AS (
+         |  SELECT l_partkey,
+         |    CASE WHEN ${round4Sql(s"$sd / nullif(sq / nm, 0.0)")} < 0.5 THEN 'X'
+         |         WHEN ${round4Sql(s"$sd / nullif(sq / nm, 0.0)")} < 1.0 THEN 'Y'
+         |         ELSE 'Z' END AS xyz
+         |  FROM mv),
+         |tot AS (SELECT sum(rev) AS tot FROM rev)
+         |SELECT abc.abc, xyz.xyz, count(*) AS n_parts,
+         |  ${CleanFunctions.round6Sql("CAST(sum(abc.rev) AS DOUBLE) / CAST(max(tot.tot) AS DOUBLE)")} AS revenue_share
+         |FROM abc JOIN xyz ON abc.l_partkey = xyz.l_partkey, tot
+         |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
+    },
 
     "events_benford" -> {
       val el = BenfordExp.map(dlit).mkString("[", ", ", "]")
