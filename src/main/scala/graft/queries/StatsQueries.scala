@@ -24,6 +24,9 @@ object StatsQueries {
 
   private val Ps = Seq(0.25, 0.5, 0.9)
 
+  /** QTE percentile grid (adds the p75/p90 tail view). */
+  private val QtePs = Seq(0.25, 0.5, 0.75, 0.9)
+
   /** Exact-double literal shared with the SQL twin. */
   private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
@@ -57,6 +60,25 @@ object StatsQueries {
     "events_percentiles" -> { (s, d) =>
       StatsOps.rankPercentiles(Tables.events(s, d), Seq("user_id"), "value", Ps)
         .orderBy("user_id", "p")
+    },
+
+    // Quantile treatment effects: weekend-vs-weekday difference at the
+    // 25/50/75/90th percentiles of the value distribution — the
+    // DISTRIBUTIONAL readout mean-based tests (uplift, DiD, ratio
+    // delta) can't give (a treatment that fattens the upper tail while
+    // leaving the median alone shows qte≈0 at p50 and large at p90).
+    // Reuses the exact rank-interpolated percentile operator keyed by
+    // arm; the pivot+delta runs over O(|ps|) rows.
+    "events_qte" -> { (s, d) =>
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("arm", (weekday(col("ts")) >= 5).cast(LongType))
+      StatsOps.rankPercentiles(ev, Seq("arm"), "value", QtePs)
+        .groupBy("p").agg(
+          max(when(col("arm") === 1L, col("pct"))).as("q_weekend"),
+          max(when(col("arm") === 0L, col("pct"))).as("q_weekday"))
+        .select(col("p"), col("q_weekend"), col("q_weekday"),
+          round4(col("q_weekend") - col("q_weekday")).as("qte"))
+        .orderBy("p")
     },
 
     // Deterministic per-series mode of a categorical column: max count,
@@ -1423,7 +1445,38 @@ object StatsQueries {
   private val PsSqlList =
     Ps.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
 
+  private val QtePsSqlList =
+    QtePs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+
   val oracleSql: Map[String, String] = Map(
+    "events_qte" ->
+      s"""WITH e AS (
+         |  SELECT CASE WHEN isodow(ts)-1 >= 5 THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(0 AS BIGINT) END AS arm, value
+         |  FROM events WHERE value IS NOT NULL),
+         |r AS (
+         |  SELECT arm, value AS v,
+         |         row_number() OVER (PARTITION BY arm ORDER BY value) - 1 AS rn0,
+         |         count(*) OVER (PARTITION BY arm) AS n
+         |  FROM e),
+         |f AS (
+         |  SELECT arm, p, v, rn0,
+         |         CAST(n - 1 AS DOUBLE) * p AS h,
+         |         floor(CAST(n - 1 AS DOUBLE) * p) AS lo,
+         |         ceil(CAST(n - 1 AS DOUBLE) * p) AS hi
+         |  FROM r, (SELECT unnest($QtePsSqlList) AS p) px
+         |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * p)
+         |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * p)),
+         |g AS (
+         |  SELECT arm, p,
+         |    ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(h) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS pct
+         |  FROM f GROUP BY arm, p)
+         |SELECT p,
+         |  max(CASE WHEN arm = 1 THEN pct END) AS q_weekend,
+         |  max(CASE WHEN arm = 0 THEN pct END) AS q_weekday,
+         |  ${round4Sql("max(CASE WHEN arm = 1 THEN pct END) - max(CASE WHEN arm = 0 THEN pct END)")} AS qte
+         |FROM g GROUP BY p ORDER BY p""".stripMargin,
+
     "events_percentiles" ->
       s"""WITH r AS (
          |  SELECT user_id, value AS v,
