@@ -62,6 +62,44 @@ object StatsQueries {
         .orderBy("user_id", "p")
     },
 
+    // Lognormal fit + KS goodness-of-fit per order priority: MLE
+    // (μ, σ) of ln(total price) from one grouped DECIMAL moment pass,
+    // then the one-sample Kolmogorov-Smirnov distance between the
+    // empirical CDF and Φ((ln x − μ)/σ) — parametric distribution
+    // fitting with a verdict, the capacity-planning question ("are
+    // order sizes lognormal enough to extrapolate tail quantiles
+    // from?") that raw percentiles can't answer. ECDF ranks ride the
+    // banded groupedGlobalRank (no per-segment global sort); the CDF
+    // is the shared portable normal approximation, so D and the
+    // α=.05 rejection agree bit-for-bit.
+    "orders_lognormal_fit" -> { (s, d) =>
+      val base = Tables.orders(s, d).where(col("o_totalprice") > 0.0)
+        .select(col("o_orderpriority").as("seg"), col("o_orderkey"),
+          CleanFunctions.round6(log(col("o_totalprice"))).as("lx"))
+      val mom = base.groupBy("seg").agg(
+          count(lit(1)).as("n"),
+          exactSum(col("lx")).as("sx"),
+          exactSum(CleanFunctions.round6(col("lx") * col("lx"))).as("sxx"))
+        .withColumn("mu", CleanFunctions.round6(col("sx") / col("n")))
+        .withColumn("sigma", CleanFunctions.round6(CleanFunctions.momentStd(
+          col("n").cast(DoubleType), col("sx"), col("sxx"))))
+      val ranked = StatsOps.groupedGlobalRank(base, Seq("seg"), col("lx"),
+        col("o_orderkey"), "rn")
+      val gaps = ranked.join(mom.select("seg", "n", "mu", "sigma"), "seg")
+        .withColumn("cdf", CleanFunctions.normalCdf(
+          (col("lx") - col("mu")) / nullif(col("sigma"), lit(0.0))))
+        .withColumn("dplus", col("rn").cast(DoubleType) / col("n").cast(DoubleType) - col("cdf"))
+        .withColumn("dminus", col("cdf") - (col("rn") - 1L).cast(DoubleType) / col("n").cast(DoubleType))
+      gaps.groupBy("seg").agg(
+          max(col("n")).as("n"), max(col("mu")).as("mu"),
+          max(col("sigma")).as("sigma"),
+          round4(max(greatest(col("dplus"), col("dminus")))).as("ks_d"))
+        .withColumn("reject_95",
+          (col("ks_d") > lit(1.358) / sqrt(col("n").cast(DoubleType))).cast(LongType))
+        .select("seg", "n", "mu", "sigma", "ks_d", "reject_95")
+        .orderBy("seg")
+    },
+
     // Quantile treatment effects: weekend-vs-weekday difference at the
     // 25/50/75/90th percentiles of the value distribution — the
     // DISTRIBUTIONAL readout mean-based tests (uplift, DiD, ratio
@@ -1449,6 +1487,40 @@ object StatsQueries {
     QtePs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    "orders_lognormal_fit" -> {
+      val sd = CleanFunctions.momentStdSql("CAST(n AS DOUBLE)", "sx", "sxx")
+      val cdf = CleanFunctions.normalCdfSql("(lx - mu) / nullif(sigma, 0.0)")
+      s"""WITH base AS (
+         |  SELECT o_orderpriority AS seg, o_orderkey,
+         |    ${CleanFunctions.round6Sql("ln(o_totalprice)")} AS lx
+         |  FROM orders WHERE o_totalprice > 0.0),
+         |mom AS (
+         |  SELECT seg, count(*) AS n, ${exactSumSql("lx")} AS sx,
+         |    ${exactSumSql(CleanFunctions.round6Sql("lx * lx"))} AS sxx
+         |  FROM base GROUP BY 1),
+         |ms AS (
+         |  SELECT seg, n, ${CleanFunctions.round6Sql("sx / n")} AS mu,
+         |    ${CleanFunctions.round6Sql(sd)} AS sigma
+         |  FROM mom),
+         |r AS (
+         |  SELECT seg, lx,
+         |    row_number() OVER (PARTITION BY seg ORDER BY lx, o_orderkey) AS rn
+         |  FROM base),
+         |g AS (
+         |  SELECT r.seg, ms.n, ms.mu, ms.sigma,
+         |    CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) - $cdf AS dplus,
+         |    $cdf - CAST(rn - 1 AS DOUBLE) / CAST(n AS DOUBLE) AS dminus
+         |  FROM r JOIN ms ON r.seg = ms.seg),
+         |f AS (
+         |  SELECT seg, max(n) AS n, max(mu) AS mu, max(sigma) AS sigma,
+         |    ${round4Sql("max(greatest(dplus, dminus))")} AS ks_d
+         |  FROM g GROUP BY 1)
+         |SELECT seg, CAST(n AS BIGINT) AS n, mu, sigma, ks_d,
+         |  CAST(CASE WHEN ks_d > 1.358 / sqrt(CAST(n AS DOUBLE)) THEN 1
+         |       ELSE 0 END AS BIGINT) AS reject_95
+         |FROM f ORDER BY seg""".stripMargin
+    },
+
     "events_qte" ->
       s"""WITH e AS (
          |  SELECT CASE WHEN isodow(ts)-1 >= 5 THEN CAST(1 AS BIGINT)
