@@ -838,6 +838,50 @@ object EvalQueries {
       ).reduce(_ union _).orderBy("relation")
     },
 
+    // Deterministic HyperLogLog (p=8, md5-derived 60-bit hash) per
+    // event type, WITH its own accuracy audit against the exact
+    // distinct count — the mergeable-sketch primitive at 100 TB (a
+    // register table is 256 small ints per group, combinable across
+    // any partitioning: the map-side-partial shape countDistinct's
+    // exact dedup can't keep once groups × keys stop fitting).
+    // Everything is integer-exact until ONE division: ρ comes from a
+    // generated comparison chain (never float log2), register sums use
+    // 2^(53−r) INTEGER weights so Σ2^(−r) has no float-accumulation
+    // order, and the standard linear-counting small-range correction
+    // branches on the already-rounded estimate. The md5 hash makes the
+    // sketch fully reproducible — the DuckDB oracle rebuilds the SAME
+    // registers, so this "approximate" operator still hash-matches.
+    "events_hll_distinct" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          CleanFunctions.md5Hash64(concat(lit("hll:"), col("user_id"))).as("h"))
+        .withColumn("bucket", expr(s"h DIV $HllRestMod"))
+        .withColumn("rest", expr(s"h % $HllRestMod"))
+      val rho = (50 to 0 by -1).foldLeft(
+          when(col("rest") >= (1L << 51), 1L)) { (acc, k) =>
+          acc.when(col("rest") >= (1L << k), (52 - k).toLong)
+        }.otherwise(lit(53L))
+      val regs = e.withColumn("rho", rho)
+        .groupBy("event_type", "bucket").agg(max(col("rho")).as("r"))
+      val agg = regs.groupBy("event_type").agg(
+          count(lit(1)).as("present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("si"))
+        .withColumn("zeros", lit(HllM.toLong) - col("present"))
+        .withColumn("sumz", (col("si") + col("zeros") * lit(1L << 53)).cast(DoubleType))
+        .withColumn("e_raw", round4(lit(HllAlphaNum) / col("sumz")))
+        .withColumn("hll_est",
+          when(col("e_raw") <= lit(2.5 * HllM) && col("zeros") > 0L,
+            round4(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros"))))
+            .otherwise(col("e_raw")))
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      agg.join(exact, "event_type")
+        .select(col("event_type"), col("exact_distinct"), col("hll_est"),
+          round4((col("hll_est") - col("exact_distinct").cast(DoubleType)) /
+            col("exact_distinct").cast(DoubleType)).as("rel_err"))
+        .orderBy("event_type")
+    },
+
     // Sample-ratio-mismatch gate per segment: chi-square of the
     // observed weekend/weekday row split against the DECLARED 2/7-5/7
     // calendar expectation — the first thing a trustworthy
@@ -1026,6 +1070,15 @@ object EvalQueries {
         col("l_suppkey") === col("s_suppkey"))
       .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** HLL constants: p=8 → m=256 registers; hash = 60-bit md5 prefix,
+    * top 8 bits bucket, low 52 bits drive ρ ∈ [1, 53]. HllAlphaNum =
+    * α₂₅₆ · m² · 2⁵³ (the whole numerator as one pinned literal).
+    */
+  private val HllM = 256
+  private val HllRestMod = 4503599627370496L // 2^52
+  private val HllAlphaNum =
+    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
 
   private val tradeEdgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -1565,6 +1618,33 @@ object EvalQueries {
          |SELECT relation, n_child, n_orphans,
          |  ${round6Sql("CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)")} AS orphan_share
          |FROM a ORDER BY relation""".stripMargin
+    },
+
+    "events_hll_distinct" -> {
+      val rhoCase = "CASE " + (51 to 0 by -1).map(k =>
+        s"WHEN rest >= ${1L << k} THEN ${52 - k}").mkString(" ") + " ELSE 53 END"
+      val an = CleanFunctions.dlitSql(HllAlphaNum)
+      s"""WITH e AS (SELECT event_type,
+         |  ${CleanFunctions.md5Hash64Sql("'hll:' || user_id")} AS h FROM events),
+         |b AS (SELECT event_type, h // $HllRestMod AS bucket,
+         |  h % $HllRestMod AS rest FROM e),
+         |rh AS (SELECT event_type, bucket, $rhoCase AS rho FROM b),
+         |regs AS (SELECT event_type, bucket, max(rho) AS r FROM rh GROUP BY 1, 2),
+         |ag AS (SELECT event_type, count(*) AS present,
+         |  sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS si
+         |  FROM regs GROUP BY 1),
+         |z AS (SELECT event_type, $HllM - present AS zeros,
+         |  CAST(si + ($HllM - present) * ${1L << 53} AS DOUBLE) AS sumz FROM ag),
+         |er AS (SELECT event_type, zeros, ${round4Sql(s"$an / sumz")} AS e_raw FROM z),
+         |est AS (SELECT event_type,
+         |  CASE WHEN e_raw <= ${2.5 * HllM} AND zeros > 0
+         |       THEN ${round4Sql(s"$HllM.0 * ln($HllM.0 / zeros)")}
+         |       ELSE e_raw END AS hll_est FROM er),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+         |  FROM events GROUP BY 1)
+         |SELECT est.event_type, exact_distinct, hll_est,
+         |  ${round4Sql("(hll_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)")} AS rel_err
+         |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin
     },
 
     "events_srm_check" ->
