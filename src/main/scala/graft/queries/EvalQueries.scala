@@ -838,6 +838,49 @@ object EvalQueries {
       ).reduce(_ union _).orderBy("relation")
     },
 
+    // Deterministic Bloom-filter accuracy audit: insert the
+    // customers-with-orders key set into an m=4096-bit / k=3 filter
+    // (md5-derived positions — fully reproducible, so the DuckDB twin
+    // rebuilds the SAME bitset), probe EVERY customer, and report
+    // measured vs theoretical (1−e^(−kn/m))^k false-positive rate plus
+    // the false-NEGATIVE count, which a correct Bloom filter must pin
+    // at zero — the audit that sizes the m/k of bloom_prefilter_join
+    // instead of trusting the formula. Bitset = a distinct bit-position
+    // table (mergeable by union, the 100 TB shape); membership = one
+    // bit-key equi-join counting k hits.
+    "dq_bloom_fp_audit" -> { (s, d) =>
+      val members = Tables.orders(s, d)
+        .where(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("ck")).distinct()
+      def pos(i: Int, c: Column) =
+        CleanFunctions.md5Hash64(concat(lit(s"bf$i:"), c)) % BloomM
+      val bits = members.select(explode(array(
+        (0 until BloomK).map(i => pos(i, col("ck"))): _*)).as("bit")).distinct()
+      val nIns = members.agg(count(lit(1)).cast(DoubleType).as("n_inserted"))
+      val cands = Tables.customer(s, d).select(col("c_custkey").as("ck"))
+      val candPos = cands.select(col("ck"), explode(array(
+        (0 until BloomK).map(i => pos(i, col("ck"))): _*)).as("bit"))
+      val hits = candPos.join(bits, "bit").groupBy("ck").agg(count(lit(1)).as("nbits"))
+      val truth = cands
+        .join(members.withColumnRenamed("ck", "mk"), col("ck") === col("mk"), "left")
+        .join(hits, Seq("ck"), "left")
+        .select(col("ck"), col("mk").isNotNull.cast(LongType).as("is_member"),
+          (coalesce(col("nbits"), lit(0L)) === BloomK.toLong).cast(LongType).as("in_bloom"))
+      val t = lit(1.0) - exp(lit(-BloomK.toDouble) * col("n_inserted") / lit(BloomM.toDouble))
+      truth.agg(
+          count(lit(1)).as("n_tested"),
+          sum(col("is_member")).as("n_members"),
+          count(when(col("in_bloom") === 1L && col("is_member") === 0L, 1)).as("false_positives"),
+          count(when(col("in_bloom") === 0L && col("is_member") === 1L, 1)).as("false_negatives"))
+        .crossJoin(broadcast(nIns))
+        .select(col("n_tested"), col("n_members"), col("false_positives"),
+          col("false_negatives"),
+          round6(col("false_positives").cast(DoubleType) /
+            nullif((col("n_tested") - col("n_members")).cast(DoubleType), lit(0.0)))
+            .as("fp_rate"),
+          round6(t * t * t).as("theoretical_fp"))
+    },
+
     // Deterministic HyperLogLog (p=8, md5-derived 60-bit hash) per
     // event type, WITH its own accuracy audit against the exact
     // distinct count — the mergeable-sketch primitive at 100 TB (a
@@ -1079,6 +1122,10 @@ object EvalQueries {
   private val HllRestMod = 4503599627370496L // 2^52
   private val HllAlphaNum =
     0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+
+  /** Bloom audit geometry: m bits, k hash functions. */
+  private val BloomM = 4096L
+  private val BloomK = 3
 
   private val tradeEdgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -1618,6 +1665,40 @@ object EvalQueries {
          |SELECT relation, n_child, n_orphans,
          |  ${round6Sql("CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)")} AS orphan_share
          |FROM a ORDER BY relation""".stripMargin
+    },
+
+    "dq_bloom_fp_audit" -> {
+      def pos(i: Int, c: String) =
+        s"${CleanFunctions.md5Hash64Sql(s"'bf$i:' || $c")} % $BloomM"
+      val insArms = (0 until BloomK).map(i =>
+        s"SELECT ${pos(i, "ck")} AS bit FROM members").mkString(" UNION ALL ")
+      val candArms = (0 until BloomK).map(i =>
+        s"SELECT ck, ${pos(i, "ck")} AS bit FROM cands").mkString(" UNION ALL ")
+      s"""WITH members AS (SELECT DISTINCT o_custkey AS ck FROM orders
+         |  WHERE year(o_orderdate) = 1995),
+         |bits AS (SELECT DISTINCT bit FROM ($insArms) u),
+         |ni AS (SELECT CAST(count(*) AS DOUBLE) AS n_inserted FROM members),
+         |cands AS (SELECT c_custkey AS ck FROM customer),
+         |cp AS ($candArms),
+         |hits AS (SELECT cp.ck, count(*) AS nbits FROM cp JOIN bits USING (bit)
+         |  GROUP BY cp.ck),
+         |truth AS (SELECT c.ck,
+         |  CASE WHEN m.ck IS NOT NULL THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS is_member,
+         |  CASE WHEN coalesce(h.nbits, 0) = $BloomK THEN CAST(1 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS in_bloom
+         |  FROM cands c LEFT JOIN members m ON c.ck = m.ck
+         |  LEFT JOIN hits h ON c.ck = h.ck),
+         |ag AS (SELECT count(*) AS n_tested,
+         |  CAST(sum(is_member) AS BIGINT) AS n_members,
+         |  CAST(count(CASE WHEN in_bloom = 1 AND is_member = 0 THEN 1 END) AS BIGINT) AS false_positives,
+         |  CAST(count(CASE WHEN in_bloom = 0 AND is_member = 1 THEN 1 END) AS BIGINT) AS false_negatives
+         |  FROM truth),
+         |th AS (SELECT 1.0 - exp(-$BloomK.0 * n_inserted / $BloomM.0) AS t FROM ni)
+         |SELECT n_tested, n_members, false_positives, false_negatives,
+         |  ${round6Sql("CAST(false_positives AS DOUBLE) / nullif(CAST(n_tested - n_members AS DOUBLE), 0.0)")} AS fp_rate,
+         |  ${round6Sql("t * t * t")} AS theoretical_fp
+         |FROM ag, th""".stripMargin
     },
 
     "events_hll_distinct" -> {
