@@ -838,6 +838,54 @@ object EvalQueries {
       ).reduce(_ union _).orderBy("relation")
     },
 
+    // KMV (k-minimum-values / bottom-k) sketch Jaccard between event
+    // types' user sets, audited against the exact overlap: each type
+    // keeps its k=64 smallest md5 user-hashes; a PAIR's similarity is
+    // estimated from the k smallest of the union (share of union-sketch
+    // values present in both sides) — the bottom-k trick that estimates
+    // set RESEMBLANCE from mergeable constant-size state, completing
+    // the sketch family (HLL: cardinality; CMS: frequency; Bloom:
+    // membership; KMV: similarity). Deterministic hashing makes the
+    // sketch — and hence the "approximate" answer — exactly
+    // reproducible on both engines; sketch windows are keyed by the
+    // bounded type domain and the pair stage runs on O(types² · k)
+    // rows, never users².
+    "events_kmv_jaccard" -> { (s, d) =>
+      val uh = Tables.events(s, d).select(col("event_type"), col("user_id")).distinct()
+        .withColumn("h", CleanFunctions.md5Hash64(concat(lit("kmv:"), col("user_id"))))
+      val wk = Window.partitionBy("event_type").orderBy("h")
+      val sk = uh.withColumn("rn", row_number().over(wk)).where(col("rn") <= KmvK)
+        .select(col("event_type"), col("h"))
+      val types = sk.select(col("event_type").as("t")).distinct()
+      val tagA = sk.join(types.select(col("t").as("tb")), col("event_type") < col("tb"))
+        .select(col("event_type").as("ta"), col("tb"), col("h"), lit(1L).as("from_a"))
+      val tagB = sk.join(types.select(col("t").as("ta")), col("ta") < col("event_type"))
+        .select(col("ta"), col("event_type").as("tb"), col("h"), lit(0L).as("from_a"))
+      val ded = tagA.union(tagB).groupBy("ta", "tb", "h")
+        .agg(max(col("from_a")).as("in_a"), max(lit(1L) - col("from_a")).as("in_b"))
+      val wu = Window.partitionBy("ta", "tb").orderBy("h")
+      val est = ded.withColumn("rn", row_number().over(wu)).where(col("rn") <= KmvK)
+        .groupBy("ta", "tb").agg(
+          count(lit(1)).as("k_eff"),
+          count(when(col("in_a") === 1L && col("in_b") === 1L, 1)).as("n_both"))
+        .withColumn("kmv_jaccard",
+          round6(col("n_both").cast(DoubleType) / col("k_eff").cast(DoubleType)))
+      val cnt = uh.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val inter = uh.as("x").join(uh.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("ni"))
+      est.join(inter, Seq("ta", "tb"))
+        .join(cnt.select(col("event_type").as("ta"), col("nu").as("na")), "ta")
+        .join(cnt.select(col("event_type").as("tb"), col("nu").as("nb")), "tb")
+        .withColumn("exact_jaccard", round6(col("ni").cast(DoubleType) /
+          (col("na") + col("nb") - col("ni")).cast(DoubleType)))
+        .select(col("ta"), col("tb"), col("kmv_jaccard"), col("exact_jaccard"),
+          round4(abs(col("kmv_jaccard") - col("exact_jaccard"))).as("abs_err"))
+        .orderBy("ta", "tb")
+    },
+
     // Deterministic Bloom-filter accuracy audit: insert the
     // customers-with-orders key set into an m=4096-bit / k=3 filter
     // (md5-derived positions — fully reproducible, so the DuckDB twin
@@ -1126,6 +1174,9 @@ object EvalQueries {
   /** Bloom audit geometry: m bits, k hash functions. */
   private val BloomM = 4096L
   private val BloomK = 3
+
+  /** KMV sketch size (bottom-k hashes per set). */
+  private val KmvK = 64
 
   private val tradeEdgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -1666,6 +1717,53 @@ object EvalQueries {
          |  ${round6Sql("CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)")} AS orphan_share
          |FROM a ORDER BY relation""".stripMargin
     },
+
+    "events_kmv_jaccard" ->
+      s"""WITH uh AS (
+         |  SELECT DISTINCT event_type, user_id FROM events),
+         |uh2 AS (
+         |  SELECT event_type, ${CleanFunctions.md5Hash64Sql("'kmv:' || user_id")} AS h
+         |  FROM uh),
+         |sk AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |    FROM uh2) q WHERE rn <= $KmvK),
+         |ty AS (SELECT DISTINCT event_type AS t FROM sk),
+         |tagged AS (
+         |  SELECT s.event_type AS ta, y.t AS tb, s.h, CAST(1 AS BIGINT) AS from_a
+         |  FROM sk s JOIN ty y ON s.event_type < y.t
+         |  UNION ALL
+         |  SELECT y.t AS ta, s.event_type AS tb, s.h, CAST(0 AS BIGINT) AS from_a
+         |  FROM sk s JOIN ty y ON y.t < s.event_type),
+         |ded AS (
+         |  SELECT ta, tb, h, max(from_a) AS in_a, max(1 - from_a) AS in_b
+         |  FROM tagged GROUP BY 1, 2, 3),
+         |us AS (
+         |  SELECT ta, tb, in_a, in_b FROM (
+         |    SELECT ta, tb, in_a, in_b,
+         |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+         |    FROM ded) q WHERE rn <= $KmvK),
+         |est AS (
+         |  SELECT ta, tb, count(*) AS k_eff,
+         |    count(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 END) AS n_both
+         |  FROM us GROUP BY 1, 2),
+         |cnt AS (SELECT event_type, count(*) AS nu FROM uh GROUP BY 1),
+         |inter AS (
+         |  SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS ni
+         |  FROM uh x JOIN uh y
+         |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT e.ta, e.tb,
+         |    ${round6Sql("CAST(n_both AS DOUBLE) / CAST(k_eff AS DOUBLE)")} AS kmv_jaccard,
+         |    ${round6Sql("CAST(ni AS DOUBLE) / CAST(ca.nu + cb.nu - ni AS DOUBLE)")} AS exact_jaccard
+         |  FROM est e JOIN inter i ON e.ta = i.ta AND e.tb = i.tb
+         |  JOIN cnt ca ON e.ta = ca.event_type
+         |  JOIN cnt cb ON e.tb = cb.event_type)
+         |SELECT ta, tb, kmv_jaccard, exact_jaccard,
+         |  ${round4Sql("abs(kmv_jaccard - exact_jaccard)")} AS abs_err
+         |FROM j ORDER BY ta, tb""".stripMargin,
 
     "dq_bloom_fp_audit" -> {
       def pos(i: Int, c: String) =
