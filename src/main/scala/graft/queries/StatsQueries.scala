@@ -62,6 +62,57 @@ object StatsQueries {
         .orderBy("user_id", "p")
     },
 
+    // Stationarity battery per series: the ADF (H0: unit root) and
+    // KPSS (H0: stationary) verdicts CROSSED — the two tests have
+    // opposite nulls, so only the combination is decisive: both pass =
+    // stationary, both fail = difference it (unit root), ADF-pass +
+    // KPSS-fail = trend-stationary (detrend instead), ADF-fail +
+    // KPSS-pass = underpowered/inconclusive. Reuses both production
+    // entries verbatim; one O(series) join.
+    "ts_stationarity_battery" -> { (s, d) =>
+      val adf = queries("ts_adf")(s, d)
+        .select(col("user_id"), col("adf_t"), col("unit_root"))
+      val kpss = queries("ts_kpss")(s, d)
+        .select(col("user_id"), col("kpss"), col("nonstationary"))
+      adf.join(kpss, "user_id")
+        .withColumn("verdict",
+          when(col("unit_root") === 0L && col("nonstationary") === 0L, "stationary")
+            .when(col("unit_root") === 1L && col("nonstationary") === 1L, "unit_root")
+            .when(col("unit_root") === 0L && col("nonstationary") === 1L, "trend_stationary")
+            .otherwise("inconclusive"))
+        .orderBy("user_id")
+    },
+
+    // Partition-layout skew audit for the (day × type) write key: rows
+    // per would-be partition, max/mean skew factor, and the
+    // small-partition count — the report that decides whether a
+    // partitioned write needs key coarsening or salting BEFORE it
+    // produces a million tiny files (the #1 operational failure of
+    // partitioned data lakes). One grouped count + one 1-row broadcast;
+    // the audit itself never materializes the layout.
+    "events_partition_skew" -> { (s, d) =>
+      val parts = Tables.events(s, d).groupBy(
+          CleanFunctions.epochUs(date_trunc("day", col("ts"))).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+      val stats = parts.agg(
+          count(lit(1)).as("n_partitions"),
+          sum(col("n_rows")).as("total_rows"),
+          max(col("n_rows")).as("max_rows"))
+        .withColumn("mean_rows",
+          col("total_rows").cast(DoubleType) / col("n_partitions").cast(DoubleType))
+      parts.crossJoin(broadcast(stats))
+        .agg(
+          max(col("n_partitions")).as("n_partitions"),
+          max(col("total_rows")).as("total_rows"),
+          max(col("max_rows")).as("max_rows"),
+          round4(max(col("mean_rows"))).as("mean_rows"),
+          round4(max(col("max_rows")).cast(DoubleType) / max(col("mean_rows")))
+            .as("skew_factor"),
+          count(when(col("n_rows").cast(DoubleType) < lit(0.5) * col("mean_rows"), 1))
+            .as("n_small_parts"))
+    },
+
     // Lognormal fit + KS goodness-of-fit per order priority: MLE
     // (μ, σ) of ln(total price) from one grouped DECIMAL moment pass,
     // then the one-sample Kolmogorov-Smirnov distance between the
@@ -1486,7 +1537,25 @@ object StatsQueries {
   private val QtePsSqlList =
     QtePs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
+    "events_partition_skew" ->
+      s"""WITH parts AS (
+         |  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day,
+         |    event_type, count(*) AS n_rows
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT count(*) AS n_partitions, sum(n_rows) AS total_rows,
+         |    max(n_rows) AS max_rows,
+         |    CAST(sum(n_rows) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_rows
+         |  FROM parts)
+         |SELECT max(st.n_partitions) AS n_partitions,
+         |  CAST(max(st.total_rows) AS BIGINT) AS total_rows,
+         |  CAST(max(st.max_rows) AS BIGINT) AS max_rows,
+         |  ${round4Sql("max(st.mean_rows)")} AS mean_rows,
+         |  ${round4Sql("CAST(max(st.max_rows) AS DOUBLE) / max(st.mean_rows)")} AS skew_factor,
+         |  count(CASE WHEN CAST(parts.n_rows AS DOUBLE) < 0.5 * st.mean_rows THEN 1 END) AS n_small_parts
+         |FROM parts, st""".stripMargin,
+
     "orders_lognormal_fit" -> {
       val sd = CleanFunctions.momentStdSql("CAST(n AS DOUBLE)", "sx", "sxx")
       val cdf = CleanFunctions.normalCdfSql("(lx - mu) / nullif(sigma, 0.0)")
@@ -2667,4 +2736,21 @@ object StatsQueries {
          |FROM t""".stripMargin
     }
     )
+
+  /** The battery oracle composes the two production test oracles
+    * verbatim (each referenced once, so plain subqueries suffice).
+    */
+  val oracleSql: Map[String, String] = baseOracleSql +
+    ("ts_stationarity_battery" ->
+      s"""WITH adf AS (SELECT user_id, adf_t, unit_root
+         |  FROM (${baseOracleSql("ts_adf")}) qa),
+         |kp AS (SELECT user_id, kpss, nonstationary
+         |  FROM (${baseOracleSql("ts_kpss")}) qk)
+         |SELECT adf.user_id, adf_t, unit_root, kpss, nonstationary,
+         |  CASE WHEN unit_root = 0 AND nonstationary = 0 THEN 'stationary'
+         |       WHEN unit_root = 1 AND nonstationary = 1 THEN 'unit_root'
+         |       WHEN unit_root = 0 AND nonstationary = 1 THEN 'trend_stationary'
+         |       ELSE 'inconclusive' END AS verdict
+         |FROM adf JOIN kp ON adf.user_id = kp.user_id
+         |ORDER BY adf.user_id""".stripMargin)
 }
