@@ -1027,6 +1027,39 @@ object TimeSeriesQueries {
         .orderBy("user_id")
     },
 
+    // Funnel step conversions with Wilson 95% intervals: the funnel's
+    // per-step rates plus the score interval (correct coverage at
+    // small n and extreme p, where the naive ±z√(p(1−p)/n) Wald band
+    // collapses or escapes [0,1]) — what turns a funnel dashboard into
+    // a decision ("is click→purchase REALLY below 20% or is n too
+    // small to say"). Reuses the production funnel entry verbatim;
+    // the CI arithmetic runs on two aggregate rows with center/half
+    // 6dp-pinned before lo/hi so both engines agree exactly.
+    "events_funnel_ci" -> { (s, d) =>
+      val z = 1.96; val z2 = 3.8416
+      val cnt = queries("events_funnel")(s, d).agg(
+        count(lit(1)).as("n_view"),
+        count(when(col("stage") >= 2L, 1)).as("n_click"),
+        count(when(col("stage") >= 3L, 1)).as("n_purchase"))
+      val steps = cnt.select(expr(
+        "stack(2, 'click_to_purchase', n_purchase, n_click, " +
+          "'view_to_click', n_click, n_view) AS (step, x, n)"))
+        .where(col("n") > 0L)
+      val nd = col("n").cast("double")
+      val p = col("x").cast("double") / nd
+      val denom = lit(1.0) + lit(z2) / nd
+      val r6 = graft.functions.CleanFunctions.round6 _
+      steps
+        .withColumn("rate", r6(p))
+        .withColumn("center", r6((p + lit(z2) / (lit(2.0) * nd)) / denom))
+        .withColumn("half", r6(lit(z) * sqrt(p * (lit(1.0) - p) / nd +
+          lit(z2) / (lit(4.0) * nd * nd)) / denom))
+        .select(col("step"), col("x"), col("n"), col("rate"),
+          r6(col("center") - col("half")).as("ci_lo"),
+          r6(col("center") + col("half")).as("ci_hi"))
+        .orderBy("step")
+    },
+
     // WINDOWED funnel: the events_funnel stages under real conversion
     // deadlines — first click within 6h of the first view, first
     // purchase within 24h of that click. Deadlines change semantics, not
@@ -1092,7 +1125,7 @@ object TimeSeriesQueries {
     }
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "ts_time_features" ->
       s"""SELECT event_id, CAST(hour(ts) AS BIGINT) AS hour, CAST(isodow(ts)-1 AS BIGINT) AS dayofweek,
          |CAST(day(ts) AS BIGINT) AS dayofmonth, CAST(dayofyear(ts) AS BIGINT) AS dayofyear,
@@ -1824,4 +1857,36 @@ object TimeSeriesQueries {
          |  (max(tsu) - min(tsu)) // 1000000 AS duration_s
          |FROM g GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
   )
+
+  /** Wilson-interval funnel oracle composes the production funnel
+    * oracle verbatim (referenced once — plain subquery).
+    */
+  val oracleSql: Map[String, String] = baseOracleSql +
+    ("events_funnel_ci" -> {
+      val z = "1.96"; val z2 = "3.8416"
+      val r6 = graft.functions.CleanFunctions.round6Sql _
+      s"""WITH f AS (SELECT stage FROM (${baseOracleSql("events_funnel")}) qf),
+         |cnt AS (SELECT
+         |  CAST(count(*) AS BIGINT) AS n_view,
+         |  CAST(count(CASE WHEN stage >= 2 THEN 1 END) AS BIGINT) AS n_click,
+         |  CAST(count(CASE WHEN stage >= 3 THEN 1 END) AS BIGINT) AS n_purchase
+         |  FROM f),
+         |st AS (
+         |  SELECT 'click_to_purchase' AS step, n_purchase AS x, n_click AS n FROM cnt
+         |  UNION ALL
+         |  SELECT 'view_to_click' AS step, n_click AS x, n_view AS n FROM cnt),
+         |w AS (
+         |  SELECT step, x, n,
+         |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    1.0 + $z2 / CAST(n AS DOUBLE) AS denom
+         |  FROM st WHERE n > 0),
+         |ci AS (
+         |  SELECT step, x, n, ${r6("p")} AS rate,
+         |    ${r6(s"(p + $z2 / (2.0 * CAST(n AS DOUBLE))) / denom")} AS center,
+         |    ${r6(s"$z * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE) + $z2 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / denom")} AS half
+         |  FROM w)
+         |SELECT step, x, n, rate,
+         |  ${r6("center - half")} AS ci_lo, ${r6("center + half")} AS ci_hi
+         |FROM ci ORDER BY step""".stripMargin
+    })
 }
