@@ -1104,6 +1104,42 @@ object TimeSeriesQueries {
         .orderBy("cohort_us", "offset_days")
     },
 
+    // Retention half-life per cohort: log-linear OLS of ln(retained
+    // share) on offset days → decay rate λ, half-life ln2/λ — the one
+    // scalar that makes cohorts COMPARABLE (a retention matrix shows
+    // curves; growth accounting needs "this cohort loses half its
+    // users every N days"). Reuses the production retention entry
+    // verbatim; the fit is one grouped DECIMAL moment pass over the
+    // O(cohorts × offsets) aggregate, logs 6dp-pinned; cohorts whose
+    // fitted slope is nonnegative (flat/growing) report a null
+    // half-life rather than a fake negative one.
+    "events_retention_halflife" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val exactSum = CleanFunctions.exactSum _
+      val round6 = CleanFunctions.round6 _
+      val r = queries("events_retention")(s, d)
+      val base = r.where(col("offset_days") === 0L)
+        .select(col("cohort_us"), col("n_users").as("n0"))
+      val pts = r.join(base, "cohort_us")
+        .where(col("offset_days") >= 1L && col("n_users") > 0L)
+        .withColumn("x", col("offset_days").cast(DoubleType))
+        .withColumn("y", round6(log(col("n_users").cast(DoubleType) /
+          col("n0").cast(DoubleType))))
+      pts.groupBy("cohort_us").agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          exactSum(col("x")).as("sx"), exactSum(col("y")).as("sy"),
+          exactSum(round6(col("x") * col("x"))).as("sxx"),
+          exactSum(round6(col("x") * col("y"))).as("sxy"))
+        .where(col("n") > 2.0)
+        .withColumn("slope", round6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))))
+        .select(col("cohort_us"), col("n").cast(LongType).as("n_points"),
+          col("slope").as("decay_slope"),
+          CleanFunctions.round4(when(col("slope") < 0.0,
+            lit(-0.6931471805599453) / col("slope"))).as("half_life_days"))
+        .orderBy("cohort_us")
+    },
+
     // Gap-based sessionization: 30-minute inactivity cuts a session.
     "ts_sessionize" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -1861,7 +1897,35 @@ object TimeSeriesQueries {
   /** Wilson-interval funnel oracle composes the production funnel
     * oracle verbatim (referenced once — plain subquery).
     */
+  private val retentionHalflifeOracle: String = {
+    val r6 = graft.functions.CleanFunctions.round6Sql _
+    val r4 = graft.functions.CleanFunctions.round4Sql _
+    val es = (x: String) => graft.functions.CleanFunctions.exactSumSql(x)
+    val ln2 = graft.functions.CleanFunctions.dlitSql(-0.6931471805599453)
+    s"""WITH r AS (SELECT cohort_us, offset_days, n_users
+       |  FROM (${baseOracleSql("events_retention")}) qr),
+       |b AS (SELECT cohort_us, n_users AS n0 FROM r WHERE offset_days = 0),
+       |pts AS (
+       |  SELECT r.cohort_us, CAST(offset_days AS DOUBLE) AS x,
+       |    ${r6("ln(CAST(n_users AS DOUBLE) / CAST(n0 AS DOUBLE))")} AS y
+       |  FROM r JOIN b ON r.cohort_us = b.cohort_us
+       |  WHERE offset_days >= 1 AND n_users > 0),
+       |m AS (
+       |  SELECT cohort_us, CAST(count(*) AS DOUBLE) AS n,
+       |    ${es("x")} AS sx, ${es("y")} AS sy,
+       |    ${es(r6("x * x"))} AS sxx, ${es(r6("x * y"))} AS sxy
+       |  FROM pts GROUP BY 1 HAVING count(*) > 2),
+       |f AS (
+       |  SELECT cohort_us, CAST(n AS BIGINT) AS n_points,
+       |    ${r6("(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)")} AS decay_slope
+       |  FROM m)
+       |SELECT cohort_us, n_points, decay_slope,
+       |  ${r4(s"CASE WHEN decay_slope < 0.0 THEN $ln2 / decay_slope END")} AS half_life_days
+       |FROM f ORDER BY cohort_us""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = baseOracleSql +
+    ("events_retention_halflife" -> retentionHalflifeOracle) +
     ("events_funnel_ci" -> {
       val z = "1.96"; val z2 = "3.8416"
       val r6 = graft.functions.CleanFunctions.round6Sql _
