@@ -838,6 +838,67 @@ object EvalQueries {
       ).reduce(_ union _).orderBy("relation")
     },
 
+    // Missingness-mechanism audit: is the value column's null pattern
+    // random (MCAR) or systematic? Two independent signals: a χ²(23)
+    // test of the null RATE across hour-of-day against the uniform
+    // expectation (sensor-offline windows light this up), and the
+    // longest consecutive null RUN anywhere in the corpus (block
+    // outages that per-hour rates smear away). Determines whether
+    // ffill/interpolation is even admissible — interpolating a 9-hour
+    // outage fabricates data. Integer counts throughout; the flag
+    // compares the rounded χ² to the literal df=23 critical value
+    // (35.17) instead of a cross-engine p.
+    "ts_missingness_audit" -> { (s, d) =>
+      val e = Tables.events(s, d).withColumn("hr", hour(col("ts")).cast(LongType))
+      val byHr = e.groupBy("hr").agg(count(lit(1)).as("n"),
+        count(when(col("value").isNull, 1)).as("n_null"))
+      val tot = byHr.agg((sum(col("n_null")).cast(DoubleType) /
+        sum(col("n")).cast(DoubleType)).as("rate0"))
+      val chi = byHr.crossJoin(broadcast(tot))
+        .withColumn("expected", col("n").cast(DoubleType) * col("rate0"))
+        .withColumn("term", round6(
+          (col("n_null").cast(DoubleType) - col("expected")) *
+            (col("n_null").cast(DoubleType) - col("expected")) /
+            nullif(col("expected"), lit(0.0))))
+        .agg(sum(col("n")).as("n_total"), round6(max(col("rate0"))).as("null_rate"),
+          round4(coalesce(exactSum(col("term")), lit(0.0))).as("chi2"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wn = Window.partitionBy("user_id", "is_null").orderBy("ts", "event_id")
+      val runs = Tables.events(s, d)
+        .withColumn("is_null", col("value").isNull)
+        .withColumn("island",
+          row_number().over(w) - row_number().over(wn))
+        .where(col("is_null"))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("run"))
+        .agg(coalesce(max(col("run")), lit(0L)).as("longest_null_run"))
+      chi.crossJoin(broadcast(runs))
+        .select(col("n_total"), col("null_rate"), col("chi2"),
+          (col("chi2") > lit(35.17)).cast(LongType).as("systematic_flag"),
+          col("longest_null_run"))
+    },
+
+    // Order-total reconciliation: recompute every order's total from
+    // its lines as Σ price·(1−disc)·(1+tax) and compare to the stated
+    // o_totalprice — the financial-close audit (and the honest check
+    // of the generator's own invariants): reconciled share, orders
+    // with NO lines at all, and the mean/max relative error. One
+    // grouped DECIMAL recompute + one keyed left join; never trusts
+    // the header without the detail.
+    "dq_order_reconciliation" -> { (s, d) =>
+      val recomputed = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(exactSum(round4(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("recalc"))
+      Tables.orders(s, d)
+        .join(recomputed, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("relerr", round6(abs(coalesce(col("recalc"), lit(0.0)) -
+          col("o_totalprice")) / col("o_totalprice")))
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("recalc").isNull, 1)).as("n_no_lines"),
+          count(when(col("relerr") <= 0.0001, 1)).as("n_reconciled"),
+          round6(CleanFunctions.exactMean(col("relerr"))).as("mean_rel_err"),
+          round4(max(col("relerr"))).as("max_rel_err"))
+    },
+
     // KMV (k-minimum-values / bottom-k) sketch Jaccard between event
     // types' user sets, audited against the exact overlap: each type
     // keeps its k=64 smallest md5 user-hashes; a PAIR's similarity is
@@ -1717,6 +1778,46 @@ object EvalQueries {
          |  ${round6Sql("CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE)")} AS orphan_share
          |FROM a ORDER BY relation""".stripMargin
     },
+
+    "ts_missingness_audit" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id, value,
+         |  CAST(hour(ts) AS BIGINT) AS hr FROM events),
+         |byhr AS (SELECT hr, count(*) AS n,
+         |  count(CASE WHEN value IS NULL THEN 1 END) AS n_null
+         |  FROM e GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_null) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS rate0
+         |  FROM byhr),
+         |chi AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         |  ${round6Sql("max(rate0)")} AS null_rate,
+         |  ${round4Sql(s"coalesce(${exactSumSql(round6Sql(
+             "(CAST(n_null AS DOUBLE) - CAST(n AS DOUBLE) * rate0) * (CAST(n_null AS DOUBLE) - CAST(n AS DOUBLE) * rate0) / nullif(CAST(n AS DOUBLE) * rate0, 0.0)"))}, 0.0)")} AS chi2
+         |  FROM byhr, tot),
+         |r AS (SELECT user_id, value IS NULL AS isn,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) -
+         |  row_number() OVER (PARTITION BY user_id, (value IS NULL) ORDER BY ts, event_id) AS island
+         |  FROM events),
+         |rr AS (SELECT CAST(coalesce(max(run), 0) AS BIGINT) AS longest_null_run FROM
+         |  (SELECT user_id, island, count(*) AS run FROM r WHERE isn GROUP BY 1, 2) q)
+         |SELECT n_total, null_rate, chi2,
+         |  CAST(CASE WHEN chi2 > 35.17 THEN 1 ELSE 0 END AS BIGINT) AS systematic_flag,
+         |  longest_null_run
+         |FROM chi, rr""".stripMargin,
+
+    "dq_order_reconciliation" ->
+      s"""WITH rc AS (
+         |  SELECT l_orderkey,
+         |    ${exactSumSql(round4Sql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)"))} AS recalc
+         |  FROM lineitem GROUP BY 1),
+         |j AS (
+         |  SELECT o_totalprice, recalc,
+         |    ${round6Sql("abs(coalesce(recalc, 0.0) - o_totalprice) / o_totalprice")} AS relerr
+         |  FROM orders LEFT JOIN rc ON o_orderkey = l_orderkey)
+         |SELECT count(*) AS n_orders,
+         |  CAST(count(CASE WHEN recalc IS NULL THEN 1 END) AS BIGINT) AS n_no_lines,
+         |  CAST(count(CASE WHEN relerr <= 0.0001 THEN 1 END) AS BIGINT) AS n_reconciled,
+         |  ${round6Sql(CleanFunctions.exactMeanSql("relerr"))} AS mean_rel_err,
+         |  ${round4Sql("max(relerr)")} AS max_rel_err
+         |FROM j""".stripMargin,
 
     "events_kmv_jaccard" ->
       s"""WITH uh AS (
