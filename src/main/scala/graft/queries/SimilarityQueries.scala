@@ -738,6 +738,53 @@ object SimilarityQueries {
     // replicates the identical sizing + bucketing, and distances are
     // rounded 4dp with id tie-breaks, so both engines pick identical
     // neighbor sets.
+    // TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    // embedding manifold: d̂ = n/Σ ln(r₂/r₁) over each vector's two
+    // nearest neighbors — the number that says whether 64-dim vectors
+    // actually live on a 6-dim manifold (and hence how hard ANN/
+    // quantization can compress before recall collapses). Neighbors
+    // come from the SAME multi-probe LSH bucket join as emb_lof (no
+    // all-pairs stage; documented approximate-NN contract); duplicate
+    // vectors (r₁=0) and tied radii (μ=0, where the MLE is undefined)
+    // are excluded on both engines; ln ratios 6dp-quantized into one
+    // DECIMAL sum.
+    "emb_intrinsic_dim" -> { (s, d) =>
+      import graft.functions.CleanFunctions.{exactSum, round4, round6}
+      import org.apache.spark.sql.types.DoubleType
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        TextFunctions.vecNorm(col("embedding")).as("nrm")).cache()
+      val np = graft.operators.AnnSearch.annPlanes(e.count(), AnnTargetOccupancy)
+      val sb = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        TextFunctions.packBits((0 until np).map(p =>
+          TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
+      val flips: Seq[org.apache.spark.sql.Column] =
+        (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
+          (for { p <- 0 until np; q <- p + 1 until np }
+            yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))))
+      val probes = sb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"),
+        explode(array(col("bucket") +: flips: _*)).as("pbucket"))
+      val pairs = sb.join(probes,
+          sb("bucket") === probes("pbucket") && sb("vec_id") =!= probes("a_id"))
+        .select(col("a_id"), col("vec_id").as("b_id"),
+          round4(lit(1.0) - TextFunctions.cosineFromNorms(
+            TextFunctions.dot(col("a_emb"), col("embedding")),
+            col("a_nrm"), col("nrm"))).as("dist"))
+      val w = Window.partitionBy("a_id").orderBy(col("dist"), col("b_id"))
+      val piv = pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
+        .groupBy("a_id").agg(
+          max(when(col("rk") === 1, col("dist"))).as("r1"),
+          max(when(col("rk") === 2, col("dist"))).as("r2"))
+        .where(col("r1") > 0.0 && col("r2").isNotNull)
+        .withColumn("mu", round6(log(col("r2") / col("r1"))))
+        .where(col("mu") > 0.0)
+      piv.agg(count(lit(1)).as("n_used"),
+          round6(exactSum(col("mu"))).as("sum_mu"))
+        .select(col("n_used"), col("sum_mu"),
+          round4(col("n_used").cast(DoubleType) /
+            nullif(col("sum_mu"), lit(0.0))).as("intrinsic_dim"))
+    },
+
     "emb_lof" -> { (s, d) =>
       import graft.functions.CleanFunctions.{exactSum, round4}
       val K = 5
@@ -1468,6 +1515,52 @@ object SimilarityQueries {
          |$steps
          |SELECT rk AS sel_rank, vec_id, score AS mmr_score
          |FROM sel8 ORDER BY sel_rank""".stripMargin
+    },
+
+    "emb_intrinsic_dim" -> {
+      def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0)"
+      def r6(x: String) = s"(round(($x) * 1000000.0) / 1000000.0)"
+      val dsum = (x: String) => graft.functions.CleanFunctions.exactSumSql(x)
+      val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
+        s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
+      val signCols = (0 until MaxAnnPlanes)
+        .map(p => s"${TextFunctions.lshSignSql("embedding", p)} AS g$p").mkString(",\n  ")
+      val bucket = (0 until MaxAnnPlanes)
+        .map(p => s"(CASE WHEN $p < np THEN (g$p << $p) ELSE 0 END)").mkString(" + ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         |npt AS (SELECT ($npCase) AS np FROM nn),
+         |signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
+         |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM signs, npt),
+         |ps AS (SELECT unnest(generate_series(0, ${MaxAnnPlanes - 1})) AS p),
+         |qp AS (
+         |  SELECT vec_id AS a_id, embedding AS a_emb, bucket AS pbucket FROM sb
+         |  UNION ALL
+         |  SELECT vec_id, embedding, xor(bucket, CAST(1 AS BIGINT) << p) AS pbucket
+         |    FROM sb, ps, npt WHERE p < np
+         |  UNION ALL
+         |  SELECT sb.vec_id, embedding, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
+         |    FROM sb, ps a, ps b, npt WHERE a.p < b.p AND b.p < np),
+         |p AS (
+         |  SELECT q.a_id, b.vec_id AS b_id,
+         |    ${r4(s"1.0 - (${TextFunctions.cosineSql("q.a_emb", "b.embedding")})")} AS dist
+         |  FROM qp q JOIN sb b ON b.bucket = q.pbucket AND b.vec_id <> q.a_id),
+         |r AS MATERIALIZED (
+         |  SELECT a_id, b_id, dist,
+         |    row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rk
+         |  FROM p),
+         |piv AS (
+         |  SELECT a_id,
+         |    max(CASE WHEN rk = 1 THEN dist END) AS r1,
+         |    max(CASE WHEN rk = 2 THEN dist END) AS r2
+         |  FROM r WHERE rk <= 2 GROUP BY 1),
+         |mus AS (
+         |  SELECT ${r6("ln(r2 / r1)")} AS mu FROM piv
+         |  WHERE r1 > 0.0 AND r2 IS NOT NULL),
+         |f AS (SELECT mu FROM mus WHERE mu > 0.0),
+         |ag AS (SELECT count(*) AS n_used, ${r6(dsum("mu"))} AS sum_mu FROM f)
+         |SELECT n_used, sum_mu,
+         |  ${r4("CAST(n_used AS DOUBLE) / nullif(sum_mu, 0.0)")} AS intrinsic_dim
+         |FROM ag""".stripMargin
     },
 
     "emb_lof" -> {
