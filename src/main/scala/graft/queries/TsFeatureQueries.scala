@@ -228,6 +228,45 @@ object TsFeatureQueries {
         .orderBy("event_type", "day")
     },
 
+    // Regression discontinuity at the 5% discount cutoff: local linear
+    // fits of quantity on (discount − 0.05) within the ±0.03 bandwidth
+    // on each side, reporting the level JUMP at the cutoff — the
+    // threshold-assignment causal design that rounds out the family
+    // (events_did: control group; ts_intervention: time split; this:
+    // a running-variable cutoff, the shape of every "spend ≥ X gets
+    // free shipping" policy question). Same discipline as
+    // ts_intervention: one grouped DECIMAL moment pass per side,
+    // 6dp-pinned slopes/intercepts, jump from pinned values.
+    "lineitem_rdd_discount" -> { (s, d) =>
+      val cut = 0.05
+      val bw = 0.03
+      val base = Tables.lineitem(s, d)
+        .withColumn("x", round6(col("l_discount") - lit(cut)))
+        .where(abs(col("x")) <= lit(bw))
+        .withColumn("side", (col("x") >= 0.0).cast(LongType))
+        .select(col("side"), col("x"), col("l_quantity").as("y"))
+      val mom = base.groupBy("side").agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          exactSum(col("x")).as("sx"), exactSum(col("y")).as("sy"),
+          exactSum(round6(col("x") * col("x"))).as("sxx"),
+          exactSum(round6(col("x") * col("y"))).as("sxy"))
+        .where(col("n") > 2.0)
+        .withColumn("slope", round6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0))))
+        .withColumn("icept", round6(col("sy") / col("n") - col("slope") * (col("sx") / col("n"))))
+      mom.groupBy().agg(
+          max(when(col("side") === 0L, col("n"))).as("n_left"),
+          max(when(col("side") === 1L, col("n"))).as("n_right"),
+          max(when(col("side") === 0L, col("slope"))).as("slope_left"),
+          max(when(col("side") === 1L, col("slope"))).as("slope_right"),
+          max(when(col("side") === 0L, col("icept"))).as("i_left"),
+          max(when(col("side") === 1L, col("icept"))).as("i_right"))
+        .select(col("n_left").cast(LongType).as("n_left"),
+          col("n_right").cast(LongType).as("n_right"),
+          col("slope_left"), col("slope_right"),
+          round4(col("i_right") - col("i_left")).as("rdd_jump"))
+    },
+
     // Effective sample size per series via the integrated
     // autocorrelation time τ = 1 + 2Σ₁¹²ρ_k (truncated window
     // estimator, floored at 1): ESS = n/τ — how many INDEPENDENT
@@ -897,6 +936,34 @@ object TsFeatureQueries {
          |       ELSE CAST(0 AS BIGINT) END AS in_burst
          |FROM v ORDER BY event_type, day""".stripMargin
     },
+
+    "lineitem_rdd_discount" ->
+      s"""WITH base AS (
+         |  SELECT CASE WHEN ${round6Sql("l_discount - 0.05")} >= 0.0
+         |              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS side,
+         |    ${round6Sql("l_discount - 0.05")} AS x, l_quantity AS y
+         |  FROM lineitem WHERE abs(${round6Sql("l_discount - 0.05")}) <= 0.03),
+         |m AS (
+         |  SELECT side, CAST(count(*) AS DOUBLE) AS n,
+         |    ${exactSumSql("x")} AS sx, ${exactSumSql("y")} AS sy,
+         |    ${exactSumSql(round6Sql("x * x"))} AS sxx,
+         |    ${exactSumSql(round6Sql("x * y"))} AS sxy
+         |  FROM base GROUP BY 1 HAVING count(*) > 2),
+         |ft AS (
+         |  SELECT side, n,
+         |    ${round6Sql("(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)")} AS slope,
+         |    sx, sy
+         |  FROM m),
+         |fi AS (
+         |  SELECT side, n, slope,
+         |    ${round6Sql("sy / n - slope * (sx / n)")} AS icept
+         |  FROM ft)
+         |SELECT CAST(max(CASE WHEN side = 0 THEN n END) AS BIGINT) AS n_left,
+         |  CAST(max(CASE WHEN side = 1 THEN n END) AS BIGINT) AS n_right,
+         |  max(CASE WHEN side = 0 THEN slope END) AS slope_left,
+         |  max(CASE WHEN side = 1 THEN slope END) AS slope_right,
+         |  ${round4Sql("max(CASE WHEN side = 1 THEN icept END) - max(CASE WHEN side = 0 THEN icept END)")} AS rdd_jump
+         |FROM fi""".stripMargin,
 
     "ts_ess" -> {
       val acfSql = TimeSeriesQueries.oracleSql("ts_acf_full")
