@@ -294,6 +294,39 @@ object EvalQueries {
     // downstream term starts engine-identical. Per decile bin: count,
     // exact-DECIMAL mean prediction, outcome rate, gap; overall Brier
     // broadcast onto each row. Pure grouped-aggregate shape.
+    // Isotonic calibration (PAVA) over the reliability bins: the
+    // monotone fit ŷᵢ = max_{j≤i} min_{k≥i} avg(j..k) of observed
+    // outcome rate on predicted-probability bins — the standard
+    // post-hoc calibrator (Platt's parametric rival) whose minimax
+    // closed form turns the sequential pool-adjacent-violators loop
+    // into three joins over the O(bins) aggregate (10 bins → ≤ 550
+    // span rows; bin count is fixed, so this never scales with the
+    // corpus). Shares events_calibration's exact binning; span
+    // averages are integer-count ratios, 6dp-pinned before min/max.
+    "events_isotonic_calibration" -> { (s, d) =>
+      val z = (col("value") - lit(50.0)) / lit(25.0)
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .select(round4(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))).as("pred"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .withColumn("bin", least(lit(9L), floor(col("pred") * 10.0).cast(LongType)))
+      val bins = ev.groupBy("bin").agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      val jk = bins.select(col("bin").as("j"))
+        .join(bins.select(col("bin").as("k")), col("j") <= col("k"))
+      val spans = jk.join(bins, col("bin").between(col("j"), col("k")))
+        .groupBy("j", "k").agg(sum(col("n")).as("nn"), sum(col("npos")).as("pp"))
+        .withColumn("avgjk",
+          round6(col("pp").cast(DoubleType) / col("nn").cast(DoubleType)))
+      val fit = bins.select(col("bin").as("i"))
+        .join(spans, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("i", "j").agg(min(col("avgjk")).as("mn"))
+        .groupBy("i").agg(round6(max(col("mn"))).as("iso_fit"))
+      bins.join(fit, col("bin") === col("i"))
+        .select(col("bin"), col("n"),
+          round6(col("npos").cast(DoubleType) / col("n").cast(DoubleType)).as("frac_pos"),
+          col("iso_fit"))
+        .orderBy("bin")
+    },
+
     "events_calibration" -> { (s, d) =>
       val z = (col("value") - lit(50.0)) / lit(25.0)
       val ev = Tables.events(s, d).where(col("value").isNotNull)
@@ -1391,6 +1424,37 @@ object EvalQueries {
            |FROM (SELECT $lhs, count(DISTINCT $rhs) AS n_rhs FROM $tbl GROUP BY 1)""".stripMargin
       }
       per.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
+
+    "events_isotonic_calibration" -> {
+      val predSql = round4Sql(
+        "0.5 + 0.5 * ((value - 50.0) / 25.0) / (1.0 + abs((value - 50.0) / 25.0))")
+      s"""WITH ev AS (
+         |  SELECT $predSql AS pred,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |bins AS (
+         |  SELECT CAST(least(9.0, floor(pred * 10.0)) AS BIGINT) AS bin,
+         |    count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+         |  FROM ev GROUP BY 1),
+         |jk AS (SELECT a.bin AS j, b.bin AS k FROM bins a JOIN bins b
+         |  ON a.bin <= b.bin),
+         |spans AS (
+         |  SELECT jk.j, jk.k, sum(bins.n) AS nn, sum(bins.npos) AS pp
+         |  FROM jk JOIN bins ON bins.bin BETWEEN jk.j AND jk.k
+         |  GROUP BY 1, 2),
+         |sa AS (SELECT j, k,
+         |  ${round6Sql("CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)")} AS avgjk
+         |  FROM spans),
+         |mj AS (
+         |  SELECT i.bin AS i, sa.j, min(sa.avgjk) AS mn
+         |  FROM bins i JOIN sa ON sa.j <= i.bin AND sa.k >= i.bin
+         |  GROUP BY 1, 2),
+         |fit AS (SELECT i, ${round6Sql("max(mn)")} AS iso_fit FROM mj GROUP BY 1)
+         |SELECT bins.bin, bins.n,
+         |  ${round6Sql("CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)")} AS frac_pos,
+         |  iso_fit
+         |FROM bins JOIN fit ON bins.bin = fit.i ORDER BY bins.bin""".stripMargin
     },
 
     "events_calibration" -> {
