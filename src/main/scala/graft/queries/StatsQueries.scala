@@ -27,6 +27,9 @@ object StatsQueries {
   /** QTE percentile grid (adds the p75/p90 tail view). */
   private val QtePs = Seq(0.25, 0.5, 0.75, 0.9)
 
+  /** Compaction target-file capacity (rows). */
+  private val CompactCap = 20000L
+
   /** Exact-double literal shared with the SQL twin. */
   private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
@@ -81,6 +84,27 @@ object StatsQueries {
             .when(col("unit_root") === 0L && col("nonstationary") === 1L, "trend_stationary")
             .otherwise("inconclusive"))
         .orderBy("user_id")
+    },
+
+    // Compaction plan for the (day × type) layout: first-fit pack each
+    // type's daily partitions (in day order) into ~20k-row target
+    // files — the actionable half of events_partition_skew (the audit
+    // says "too many small files"; this emits WHICH partitions merge
+    // into WHICH file, with row offsets, so the rewrite job is pure
+    // execution). Reuses the LayoutOps.packFirstFit fold (O(1) state
+    // per stream, keyed repartition) with its recursive-CTE exact
+    // oracle; the plan runs over the O(days × types) aggregate, never
+    // raw events.
+    "events_compaction_plan" -> { (s, d) =>
+      val parts = Tables.events(s, d).groupBy(
+          CleanFunctions.epochUs(date_trunc("day", col("ts"))).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_rows"))
+      graft.operators.LayoutOps.packFirstFit(parts, Seq("event_type"), Seq("day"),
+          "n_rows", CompactCap)
+        .select(col("event_type"), col("day"), col("n_rows"),
+          col("shard_file").as("target_file"), col("byte_offset").as("row_offset"))
+        .orderBy("event_type", "day")
     },
 
     // Partition-layout skew audit for the (day × type) write key: rows
@@ -1538,6 +1562,31 @@ object StatsQueries {
     QtePs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
 
   private val baseOracleSql: Map[String, String] = Map(
+    "events_compaction_plan" ->
+      s"""WITH RECURSIVE parts AS (
+         |  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day,
+         |    event_type, count(*) AS n_rows
+         |  FROM events GROUP BY 1, 2),
+         |v AS (SELECT day, event_type, CAST(n_rows AS BIGINT) AS n_rows,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         |  FROM parts),
+         |p AS (
+         |  SELECT day, event_type, n_rows, rn,
+         |    CAST(0 AS BIGINT) AS target_file, CAST(0 AS BIGINT) AS row_offset,
+         |    n_rows AS free
+         |  FROM v WHERE rn = 1
+         |  UNION ALL
+         |  SELECT v.day, v.event_type, v.n_rows, v.rn,
+         |    CASE WHEN p.free > 0 AND p.free + v.n_rows > $CompactCap
+         |         THEN p.target_file + 1 ELSE p.target_file END,
+         |    CASE WHEN p.free > 0 AND p.free + v.n_rows > $CompactCap
+         |         THEN 0 ELSE p.free END,
+         |    CASE WHEN p.free > 0 AND p.free + v.n_rows > $CompactCap
+         |         THEN v.n_rows ELSE p.free + v.n_rows END
+         |  FROM p JOIN v ON v.event_type = p.event_type AND v.rn = p.rn + 1)
+         |SELECT event_type, day, n_rows, target_file, row_offset
+         |FROM p ORDER BY event_type, day""".stripMargin,
+
     "events_partition_skew" ->
       s"""WITH parts AS (
          |  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day,
