@@ -1182,6 +1182,34 @@ object EvalQueries {
         .orderBy("band")
     },
 
+    // Directed reciprocity of the trade graph: share of edges whose
+    // REVERSE edge exists, plus the Pearson correlation between w(i→j)
+    // and w(j→i) — distinguishes two-way trading partnerships from
+    // one-way supply flows, the directed question the undirected
+    // degree/assortativity metrics erase. One self-join of the O(N²)
+    // edge aggregate on the swapped key; weight moments are exact
+    // integer sums.
+    "nation_reciprocity" -> { (s, d) =>
+      val e = tradeEdges(s, d).where(col("src") =!= col("dst"))
+      val j = e.as("a").join(e.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"), "left")
+        .select(col("a.w").as("w"), coalesce(col("b.w"), lit(0L)).as("wr"))
+      j.agg(
+          count(lit(1)).as("n_edges"),
+          count(when(col("wr") > 0L, 1)).as("n_reciprocated"),
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("w")).cast(DoubleType).as("sx"),
+          sum(col("wr")).cast(DoubleType).as("sy"),
+          sum(col("w") * col("wr")).cast(DoubleType).as("sxy"),
+          sum(col("w") * col("w")).cast(DoubleType).as("sxx"),
+          sum(col("wr") * col("wr")).cast(DoubleType).as("syy"))
+        .select(col("n_edges"), col("n_reciprocated"),
+          round6(col("n_reciprocated").cast(DoubleType) /
+            col("n_edges").cast(DoubleType)).as("reciprocity"),
+          round4(CleanFunctions.momentCorr(col("n"), col("sx"), col("sy"),
+            col("sxy"), col("sxx"), col("syy"))).as("weight_symmetry"))
+    },
+
     // 3-core of the trade graph by iterative peeling: repeatedly drop
     // nations with fewer than 3 distinct trade partners among the
     // SURVIVORS (8 unrolled rounds — converged long before that on any
@@ -2078,6 +2106,28 @@ object EvalQueries {
          |SELECT band, n_t, n_c, ratio_t, ratio_c, z,
          |  ${round6Sql(s"2.0 * (1.0 - ${CleanFunctions.normalCdfSql("abs(z)")})")} AS p_value
          |FROM z ORDER BY band""".stripMargin,
+
+    "nation_reciprocity" -> {
+      val corr = CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")
+      s"""WITH e AS ($tradeEdgesSql),
+         |d AS (SELECT src, dst, w FROM e WHERE src <> dst),
+         |j AS (
+         |  SELECT a.w AS w, coalesce(b.w, 0) AS wr
+         |  FROM d a LEFT JOIN d b ON a.src = b.dst AND a.dst = b.src),
+         |m AS (
+         |  SELECT count(*) AS n_edges,
+         |    CAST(count(CASE WHEN wr > 0 THEN 1 END) AS BIGINT) AS n_reciprocated,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(w) AS DOUBLE) AS sx, CAST(sum(wr) AS DOUBLE) AS sy,
+         |    CAST(sum(w * wr) AS DOUBLE) AS sxy,
+         |    CAST(sum(w * w) AS DOUBLE) AS sxx,
+         |    CAST(sum(wr * wr) AS DOUBLE) AS syy
+         |  FROM j)
+         |SELECT n_edges, n_reciprocated,
+         |  ${round6Sql("CAST(n_reciprocated AS DOUBLE) / CAST(n_edges AS DOUBLE)")} AS reciprocity,
+         |  ${round4Sql(corr)} AS weight_symmetry
+         |FROM m""".stripMargin
+    },
 
     "nation_kcore" -> {
       // Each round's frame is MATERIALIZED: the survivor set is
