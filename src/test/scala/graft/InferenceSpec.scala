@@ -281,4 +281,57 @@ class InferenceSpec extends AnyFunSuite {
     val out = graft.queries.EvalQueries.queries("dq_t_closeness")(spark, sfDir)
     assert(out.where(col("t_closeness") < -1e-9 || col("t_closeness") > 1.0 + 1e-9).count() == 0)
   }
+
+  test("events_hll_distinct: estimate within the p=8 error envelope of exact") {
+    val out = graft.queries.EvalQueries.queries("events_hll_distinct")(spark, sfDir).cache()
+    // Standard error for m=256 registers is ~1.04/sqrt(256) = 6.5%; allow 4 sigma.
+    assert(out.where(abs(col("rel_err")) > 0.26).count() == 0)
+    out.unpersist()
+  }
+
+  test("dq_bloom_fp_audit: no false negatives ever; fp rate sane") {
+    val out = graft.queries.EvalQueries.queries("dq_bloom_fp_audit")(spark, sfDir).cache()
+    assert(out.where(col("false_negatives") =!= 0L).count() == 0)
+    assert(out.where(col("fp_rate") < 0.0 || col("fp_rate") > 1.0).count() == 0)
+    out.unpersist()
+  }
+
+  test("events_kmv_jaccard: estimates bounded in [0,1]; exact likewise") {
+    val out = graft.queries.EvalQueries.queries("events_kmv_jaccard")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.where(col("kmv_jaccard") < 0.0 || col("kmv_jaccard") > 1.0).count() == 0)
+    assert(out.where(col("exact_jaccard") < 0.0 || col("exact_jaccard") > 1.0).count() == 0)
+    out.unpersist()
+  }
+
+  test("events_isotonic_calibration: fit is monotone non-decreasing in bin") {
+    val out = graft.queries.EvalQueries.queries("events_isotonic_calibration")(spark, sfDir)
+    val fits = out.orderBy("bin").collect().map(_.getAs[Double]("iso_fit"))
+    fits.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-9, s"isotonic fit decreased: $a -> $b")
+      case _ => ()
+    }
+  }
+
+  test("events_compaction_plan: a file only exceeds capacity holding one oversized partition") {
+    val out = graft.queries.StatsQueries.queries("events_compaction_plan")(spark, sfDir).cache()
+    val byFile = out.groupBy("event_type", "target_file")
+      .agg(sum(col("n_rows")).as("tot"), count(col("n_rows")).as("np"))
+    assert(byFile.where(col("tot") > 20000L && !(col("np") === 1L)).count() == 0)
+    out.unpersist()
+  }
+
+  test("nation_reciprocity: share in [0,1], symmetry in [-1,1]") {
+    val out = graft.queries.EvalQueries.queries("nation_reciprocity")(spark, sfDir)
+    val r = out.collect()(0)
+    assert(r.getAs[Double]("reciprocity") >= 0.0 && r.getAs[Double]("reciprocity") <= 1.0)
+    val ws = r.getAs[Double]("weight_symmetry")
+    assert(ws >= -1.0 - 1e-9 && ws <= 1.0 + 1e-9)
+  }
+
+  test("lineitem_rdd_discount: both sides fitted with enough mass") {
+    val out = graft.queries.TsFeatureQueries.queries("lineitem_rdd_discount")(spark, sfDir)
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("n_left") > 2L && r.getAs[Long]("n_right") > 2L)
+  }
 }
