@@ -493,6 +493,75 @@ object InferenceQueries {
         .orderBy("user_id", "model")
     },
 
+    // Forecast combination (Bates & Granger 1969): inverse-sMAPE
+    // weighted blend of the naive/seasonal-naive/drift forecasters,
+    // weights fitted on the first 3 holdout days (validation) and
+    // scored on the last 4 — the "combinations beat components"
+    // classic, with the honest split so the weights never see the
+    // scoring window. Shares ts_forecast_accuracy's exact forecast
+    // derivations; weights and per-row blends 6dp/4dp-pinned; rows
+    // without a seasonal profile are dropped consistently for ALL
+    // models so every forecaster faces the same test set.
+    "ts_forecast_combo" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .withColumn("hod", expr("(tsu DIV 3600000000) % 24"))
+      val split = e.agg((max(col("day")) - lit(6L)).as("splitday"))
+      val ds = e.crossJoin(broadcast(split))
+      val train = ds.where(col("day") < col("splitday"))
+      val test = ds.where(col("day") >= col("splitday"))
+      val wtr = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val trRanked = train.withColumn("rn", row_number().over(wtr))
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy("user_id")))
+      val trStats = trRanked.groupBy("user_id").agg(
+        min(when(col("rn") === 1L, col("value"))).as("firstv"),
+        min(when(col("rn") === col("nt"), col("value"))).as("lastv"),
+        max(col("nt")).as("nt"))
+      val prof = train.groupBy("user_id", "hod")
+        .agg(round4(CleanFunctions.exactMean(col("value"))).as("fc_snaive"))
+      val t2 = test
+        .withColumn("h", row_number().over(wtr).cast(DoubleType))
+        .join(trStats, "user_id").join(prof, Seq("user_id", "hod"), "left")
+        .withColumn("fc_naive", col("lastv"))
+        .withColumn("fc_drift", round4(col("lastv") +
+          ((col("lastv") - col("firstv")) /
+            nullif(col("nt").cast(DoubleType) - lit(1.0), lit(0.0))) * col("h")))
+        .where(col("fc_snaive").isNotNull)
+        .select(col("user_id"), col("day"), col("splitday"), col("value").as("y"),
+          col("fc_naive"), col("fc_snaive"), col("fc_drift"))
+      def sm(fc: Column) = CleanFunctions.round6(lit(2.0) * abs(col("y") - fc) /
+        nullif(abs(col("y")) + abs(fc), lit(0.0)))
+      val vwin = t2.where(col("day") < col("splitday") + 3)
+        .groupBy("user_id").agg(
+          round4(CleanFunctions.exactMean(sm(col("fc_naive")))).as("sm_n"),
+          round4(CleanFunctions.exactMean(sm(col("fc_snaive")))).as("sm_s"),
+          round4(CleanFunctions.exactMean(sm(col("fc_drift")))).as("sm_d"))
+        .withColumn("wn", CleanFunctions.round6(lit(1.0) / (col("sm_n") + lit(0.01))))
+        .withColumn("ws", CleanFunctions.round6(lit(1.0) / (col("sm_s") + lit(0.01))))
+        .withColumn("wd", CleanFunctions.round6(lit(1.0) / (col("sm_d") + lit(0.01))))
+        .withColumn("wsum", col("wn") + col("ws") + col("wd"))
+      val hold = t2.where(col("day") >= col("splitday") + 3)
+        .join(vwin, "user_id")
+        .withColumn("fc_combo", round4((col("wn") * col("fc_naive") +
+          col("ws") * col("fc_snaive") + col("wd") * col("fc_drift")) / col("wsum")))
+      hold.groupBy("user_id").agg(
+          count(lit(1)).as("n_hold"),
+          round4(CleanFunctions.exactMean(sm(col("fc_combo")))).as("combo_smape"),
+          round4(CleanFunctions.exactMean(sm(col("fc_naive")))).as("h_n"),
+          round4(CleanFunctions.exactMean(sm(col("fc_snaive")))).as("h_s"),
+          round4(CleanFunctions.exactMean(sm(col("fc_drift")))).as("h_d"),
+          CleanFunctions.round6(max(col("wn")) / max(col("wsum"))).as("w_naive"),
+          CleanFunctions.round6(max(col("ws")) / max(col("wsum"))).as("w_snaive"),
+          CleanFunctions.round6(max(col("wd")) / max(col("wsum"))).as("w_drift"))
+        .withColumn("best_single", least(col("h_n"), col("h_s"), col("h_d")))
+        .withColumn("combo_wins",
+          (col("combo_smape") <= col("best_single")).cast(LongType))
+        .select(col("user_id"), col("n_hold"), col("w_naive"), col("w_snaive"),
+          col("w_drift"), col("combo_smape"), col("best_single"), col("combo_wins"))
+        .orderBy("user_id")
+    },
+
     // Newey–West HAC slope inference per series: the OLS hour-trend
     // slope with a heteroskedasticity-and-autocorrelation-consistent
     // standard error (Bartlett kernel, L = 3 lags) and its t statistic
@@ -944,6 +1013,81 @@ object InferenceQueries {
          |UNION ALL
          |${metricsSql("fc_drift", "drift")}
          |ORDER BY user_id, model""".stripMargin
+    },
+
+    "ts_forecast_combo" -> {
+      def smOf(fc: String) = CleanFunctions.round6Sql(
+        s"2.0 * abs(y - $fc) / nullif(abs(y) + abs($fc), 0.0)")
+      def meanSm(fc: String) = round4Sql(CleanFunctions.exactMeanSql(smOf(fc)))
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS tsu,
+         |    epoch_us(ts) // 86400000000 AS day,
+         |    (epoch_us(ts) // 3600000000) % 24 AS hod
+         |  FROM events WHERE value IS NOT NULL),
+         |sp AS (SELECT max(day) - 6 AS splitday FROM e),
+         |tr AS (SELECT e.* FROM e, sp WHERE day < splitday),
+         |te AS (SELECT e.* FROM e, sp WHERE day >= splitday),
+         |trr AS (
+         |  SELECT user_id, value,
+         |    row_number() OVER w AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS nt
+         |  FROM tr WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |trs AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN rn = 1 THEN value END) AS firstv,
+         |    min(CASE WHEN rn = nt THEN value END) AS lastv,
+         |    max(nt) AS nt
+         |  FROM trr GROUP BY user_id),
+         |prof AS (
+         |  SELECT user_id, hod,
+         |    ${round4Sql(CleanFunctions.exactMeanSql("value"))} AS fc_snaive
+         |  FROM tr GROUP BY user_id, hod),
+         |teh AS (
+         |  SELECT te.*,
+         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS DOUBLE) AS h
+         |  FROM te),
+         |t2 AS (
+         |  SELECT teh.user_id, teh.day, sp.splitday, teh.value AS y,
+         |    trs.lastv AS fc_naive, prof.fc_snaive,
+         |    ${round4Sql("trs.lastv + ((trs.lastv - trs.firstv) / nullif(CAST(trs.nt AS DOUBLE) - 1.0, 0.0)) * teh.h")} AS fc_drift
+         |  FROM teh
+         |  JOIN trs ON teh.user_id = trs.user_id
+         |  LEFT JOIN prof ON teh.user_id = prof.user_id AND teh.hod = prof.hod, sp
+         |  WHERE prof.fc_snaive IS NOT NULL),
+         |vw AS (
+         |  SELECT user_id,
+         |    ${meanSm("fc_naive")} AS sm_n,
+         |    ${meanSm("fc_snaive")} AS sm_s,
+         |    ${meanSm("fc_drift")} AS sm_d
+         |  FROM t2 WHERE day < splitday + 3 GROUP BY 1),
+         |w AS (
+         |  SELECT user_id,
+         |    ${CleanFunctions.round6Sql("1.0 / (sm_n + 0.01)")} AS wn,
+         |    ${CleanFunctions.round6Sql("1.0 / (sm_s + 0.01)")} AS ws,
+         |    ${CleanFunctions.round6Sql("1.0 / (sm_d + 0.01)")} AS wd
+         |  FROM vw),
+         |w2 AS (SELECT user_id, wn, ws, wd, wn + ws + wd AS wsum FROM w),
+         |hd AS (
+         |  SELECT t2.user_id, y, fc_naive, fc_snaive, fc_drift,
+         |    w2.wn, w2.ws, w2.wd, w2.wsum,
+         |    ${round4Sql("(wn * fc_naive + ws * fc_snaive + wd * fc_drift) / wsum")} AS fc_combo
+         |  FROM t2 JOIN w2 ON t2.user_id = w2.user_id
+         |  WHERE day >= splitday + 3),
+         |res AS (
+         |  SELECT user_id, count(*) AS n_hold,
+         |    ${meanSm("fc_combo")} AS combo_smape,
+         |    ${meanSm("fc_naive")} AS h_n,
+         |    ${meanSm("fc_snaive")} AS h_s,
+         |    ${meanSm("fc_drift")} AS h_d,
+         |    ${CleanFunctions.round6Sql("max(wn) / max(wsum)")} AS w_naive,
+         |    ${CleanFunctions.round6Sql("max(ws) / max(wsum)")} AS w_snaive,
+         |    ${CleanFunctions.round6Sql("max(wd) / max(wsum)")} AS w_drift
+         |  FROM hd GROUP BY 1)
+         |SELECT user_id, n_hold, w_naive, w_snaive, w_drift, combo_smape,
+         |  least(h_n, h_s, h_d) AS best_single,
+         |  CAST(CASE WHEN combo_smape <= least(h_n, h_s, h_d) THEN 1
+         |       ELSE 0 END AS BIGINT) AS combo_wins
+         |FROM res ORDER BY user_id""".stripMargin
     },
 
     "ts_newey_west" -> {
