@@ -228,6 +228,44 @@ object TsFeatureQueries {
         .orderBy("event_type", "day")
     },
 
+    // Isotonic (monotone non-decreasing) trend per series on the daily
+    // grid, via the same PAVA minimax closed form as the calibration
+    // fitter: fit_i = max_{j≤i} min_{k≥i} avg(day_j..day_k) — the
+    // shape-constrained trend that OLS can't give (a ramp with noise
+    // fits as a clean staircase; violations pool instead of wiggling).
+    // Day count is bounded by the time span, so the per-series span
+    // table is O(days²) per key — keyed joins only, no cross-series
+    // stage; span sums stay in DECIMAL until one rounded division.
+    "ts_pava_trend" -> { (s, d) =>
+      val dec = DecimalType(18, 6)
+      val wd = Window.partitionBy("user_id").orderBy("day")
+      val idx = events(s, d).withColumn("day", expr("tsu DIV 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(dec)).as("sv"))
+        .withColumn("i", row_number().over(wd))
+      val jk = idx.select(col("user_id"), col("i").as("j"))
+        .join(idx.select(col("user_id").as("u2"), col("i").as("k")),
+          col("user_id") === col("u2") && col("j") <= col("k"))
+        .drop("u2")
+      val spans = jk.join(
+          idx.select(col("user_id").as("u3"), col("i").as("m"), col("n"), col("sv")),
+          col("user_id") === col("u3") && col("m").between(col("j"), col("k")))
+        .groupBy("user_id", "j", "k")
+        .agg(sum(col("n")).as("nn"), sum(col("sv")).as("ssv"))
+        .withColumn("avgjk",
+          round6(col("ssv").cast(DoubleType) / col("nn").cast(DoubleType)))
+      val fit = idx.select(col("user_id").as("uf"), col("i"))
+        .join(spans, col("uf") === col("user_id") &&
+          col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("uf", "i", "j").agg(min(col("avgjk")).as("mn"))
+        .groupBy("uf", "i").agg(round6(max(col("mn"))).as("pava_fit"))
+      idx.join(fit, col("user_id") === col("uf") && idx("i") === fit("i"))
+        .select(col("user_id"), col("day"),
+          round6(col("sv").cast(DoubleType) / col("n").cast(DoubleType)).as("daily_mean"),
+          col("pava_fit"))
+        .orderBy("user_id", "day")
+    },
+
     // Regression discontinuity at the 5% discount cutoff: local linear
     // fits of quantity on (discount − 0.05) within the ±0.03 bandwidth
     // on each side, reporting the level JUMP at the cutoff — the
@@ -936,6 +974,39 @@ object TsFeatureQueries {
          |       ELSE CAST(0 AS BIGINT) END AS in_burst
          |FROM v ORDER BY event_type, day""".stripMargin
     },
+
+    "ts_pava_trend" ->
+      s"""WITH idx AS (
+         |  SELECT user_id, day, n, sv,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS i
+         |  FROM (
+         |    SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |      count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sv
+         |    FROM events WHERE value IS NOT NULL GROUP BY 1, 2) q),
+         |jk AS (
+         |  SELECT a.user_id, a.i AS j, b.i AS k
+         |  FROM idx a JOIN idx b ON a.user_id = b.user_id AND a.i <= b.i),
+         |spans AS (
+         |  SELECT jk.user_id, jk.j, jk.k,
+         |    sum(m.n) AS nn, sum(m.sv) AS ssv
+         |  FROM jk JOIN idx m
+         |    ON m.user_id = jk.user_id AND m.i BETWEEN jk.j AND jk.k
+         |  GROUP BY 1, 2, 3),
+         |sa AS (SELECT user_id, j, k,
+         |  ${round6Sql("CAST(ssv AS DOUBLE) / CAST(nn AS DOUBLE)")} AS avgjk
+         |  FROM spans),
+         |mj AS (
+         |  SELECT i.user_id, i.i, sa.j, min(sa.avgjk) AS mn
+         |  FROM idx i JOIN sa ON sa.user_id = i.user_id
+         |    AND sa.j <= i.i AND sa.k >= i.i
+         |  GROUP BY 1, 2, 3),
+         |fit AS (SELECT user_id, i, ${round6Sql("max(mn)")} AS pava_fit
+         |  FROM mj GROUP BY 1, 2)
+         |SELECT idx.user_id, idx.day,
+         |  ${round6Sql("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)")} AS daily_mean,
+         |  fit.pava_fit
+         |FROM idx JOIN fit ON idx.user_id = fit.user_id AND idx.i = fit.i
+         |ORDER BY idx.user_id, idx.day""".stripMargin,
 
     "lineitem_rdd_discount" ->
       s"""WITH base AS (
