@@ -80,7 +80,15 @@ object PlanAudit {
     // broadcasting either side would be the 100x OOM. (The bounded seed
     // centroids DO broadcast, but through a nested-loop cross join, which
     // the BHJ-presence heuristic doesn't count.)
-    "dedup_semantic")
+    "dedup_semantic",
+    // dedup_method_agreement: intersects the MinHash-LSH and SimHash
+    // pair SETS — both corpus-proportional (near-dup pairs grow with
+    // the corpus) and localCheckpoint'ed (the r9 multi-consumer
+    // recompute fix), so stats are unknown. The pair-key equi-join is
+    // the correct 100 TB shape; broadcasting either pair set would be
+    // the OOM this audit exists to prevent. AQE still promotes to BHJ
+    // at runtime when a measured side is genuinely small.
+    "dedup_method_agreement")
 
   /** Corpus tables scanned with NO Aggregate/GlobalLimit on the path from
     * the scan up to this subtree's root. The walk stops at any node that

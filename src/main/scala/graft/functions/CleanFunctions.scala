@@ -135,11 +135,18 @@ object CleanFunctions {
     * EXACT binary expansion (BigDecimal HALF_UP) while DuckDB rounds the
     * SCALED double. Scaling explicitly on both sides makes every IEEE op
     * identical, so the results match bit-for-bit whatever they are.
+    *
+    * The trailing `+ 0.0` normalizes IEEE signed zero: DuckDB's round
+    * preserves the sign (round(-0.4) = -0.0) while Spark's BigDecimal
+    * round yields +0.0. `-0.0 + 0.0 == +0.0` in IEEE-754, and `x + 0.0`
+    * is the identity for every other value (including NaN), so appending
+    * it on BOTH engines makes the bit patterns agree. Catalyst does not
+    * fold `x + 0.0` away for doubles (it would change -0.0 semantics).
     */
-  def round4(c: Column): Column = round(c * lit(10000.0)) / 10000.0
-  def round4Sql(x: String): String = s"(round(($x) * 10000.0) / 10000.0)"
-  def round6(c: Column): Column = round(c * lit(1000000.0)) / 1000000.0
-  def round6Sql(x: String): String = s"(round(($x) * 1000000.0) / 1000000.0)"
+  def round4(c: Column): Column = round(c * lit(10000.0)) / 10000.0 + lit(0.0)
+  def round4Sql(x: String): String = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"
+  def round6(c: Column): Column = round(c * lit(1000000.0)) / 1000000.0 + lit(0.0)
+  def round6Sql(x: String): String = s"(round(($x) * 1000000.0) / 1000000.0 + 0.0)"
 
   /** Exact-double SQL literal: the shortest-round-trip toString,
     * string-cast to DOUBLE in DuckDB — a plain decimal literal in the

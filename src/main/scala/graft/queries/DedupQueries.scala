@@ -228,8 +228,14 @@ object DedupQueries {
     // and joins the two O(pairs) outputs on the pair key — no new
     // corpus-scale stage.
     "dedup_method_agreement" -> { (s, d) =>
-      val ma = queries("dedup_minhash_lsh")(s, d).select("doc_id_a", "doc_id_b")
-      val sa = queries("dedup_simhash")(s, d).select("doc_id_a", "doc_id_b")
+      // Each pair set feeds two consumers (the intersection join AND its
+      // own count), so without a cut both corpus-scale pipelines would
+      // execute twice inside one action. localCheckpoint materializes
+      // the O(pairs) outputs once (SURVEY §5 multi-consumer rule).
+      val ma = queries("dedup_minhash_lsh")(s, d)
+        .select("doc_id_a", "doc_id_b").localCheckpoint()
+      val sa = queries("dedup_simhash")(s, d)
+        .select("doc_id_a", "doc_id_b").localCheckpoint()
       val both = ma.join(sa, Seq("doc_id_a", "doc_id_b"))
         .agg(count(lit(1)).as("n_both"))
       val nm = ma.agg(count(lit(1)).as("n_minhash"))
@@ -622,7 +628,7 @@ object DedupQueries {
          |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
          |  FROM v GROUP BY doc_id)
          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,

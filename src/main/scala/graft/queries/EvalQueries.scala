@@ -717,6 +717,13 @@ object EvalQueries {
     // monthly aggregate; the MA is a 12-row keyed window over the
     // O(brands × months) AGGREGATE, never raw lineitems; revenue and
     // ratios DECIMAL-quantized at each stage.
+    //
+    // Window semantics: the "centered 12-month MA" is rowsBetween(-6,5)
+    // over the brand's PRESENT month rows gated on nw==12 — i.e. 12
+    // observed months, not 12 consecutive CALENDAR months (a brand with
+    // a gap contributes a ratio whose MA spans >12 calendar months),
+    // and not the classic 2x12 half-weighted centered MA. Both engines
+    // compute the identical row-window quantity.
     "lineitem_seasonality_index" -> { (s, d) =>
       val monthly = Tables.lineitem(s, d)
         .join(Tables.part(s, d).select("p_partkey", "p_brand"),
@@ -921,9 +928,13 @@ object EvalQueries {
       val recomputed = Tables.lineitem(s, d).groupBy("l_orderkey")
         .agg(exactSum(round4(col("l_extendedprice") *
           (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("recalc"))
+      // relerr stays NULL for orders with no lines: "missing detail
+      // rows" is its own signal (n_no_lines), not a 100% "mismatch" —
+      // folding it in as relerr=1.0 would pin max_rel_err at 1.0
+      // whenever any order lacks lines and mask real error magnitudes.
       Tables.orders(s, d)
         .join(recomputed, col("o_orderkey") === col("l_orderkey"), "left")
-        .withColumn("relerr", round6(abs(coalesce(col("recalc"), lit(0.0)) -
+        .withColumn("relerr", round6(abs(col("recalc") -
           col("o_totalprice")) / col("o_totalprice")))
         .agg(count(lit(1)).as("n_orders"),
           count(when(col("recalc").isNull, 1)).as("n_no_lines"),
@@ -945,11 +956,16 @@ object EvalQueries {
     // bounded type domain and the pair stage runs on O(types² · k)
     // rows, never users².
     "events_kmv_jaccard" -> { (s, d) =>
+      // uh feeds the sketch, the per-type counts AND both sides of the
+      // exact-intersection self-join; sk feeds both tag arms + types.
+      // localCheckpoint each once so the distinct+hash pass doesn't
+      // replay per consumer (SURVEY §5 multi-consumer rule).
       val uh = Tables.events(s, d).select(col("event_type"), col("user_id")).distinct()
         .withColumn("h", CleanFunctions.md5Hash64(concat(lit("kmv:"), col("user_id"))))
+        .localCheckpoint()
       val wk = Window.partitionBy("event_type").orderBy("h")
       val sk = uh.withColumn("rn", row_number().over(wk)).where(col("rn") <= KmvK)
-        .select(col("event_type"), col("h"))
+        .select(col("event_type"), col("h")).localCheckpoint()
       val types = sk.select(col("event_type").as("t")).distinct()
       val tagA = sk.join(types.select(col("t").as("tb")), col("event_type") < col("tb"))
         .select(col("event_type").as("ta"), col("tb"), col("h"), lit(1L).as("from_a"))
@@ -970,7 +986,11 @@ object EvalQueries {
             col("x.event_type") < col("y.event_type"))
         .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
         .agg(count(lit(1)).as("ni"))
-      est.join(inter, Seq("ta", "tb"))
+      // LEFT join + ni→0: a type pair with ZERO exact overlap (where a
+      // sketch false-positive is exactly what this audit should surface)
+      // must appear with exact_jaccard = 0, not vanish from the report.
+      est.join(inter, Seq("ta", "tb"), "left")
+        .withColumn("ni", coalesce(col("ni"), lit(0L)))
         .join(cnt.select(col("event_type").as("ta"), col("nu").as("na")), "ta")
         .join(cnt.select(col("event_type").as("tb"), col("nu").as("nb")), "tb")
         .withColumn("exact_jaccard", round6(col("ni").cast(DoubleType) /
@@ -1350,7 +1370,8 @@ object EvalQueries {
          |s AS (SELECT event_type, sum(n_vt * rank2) AS rs2, sum(n_vt) AS n_pos
          |      FROM j JOIN rk USING (v) GROUP BY 1),
          |nn AS (SELECT count(*) AS n_tot FROM ev)
-         |SELECT event_type, n_pos, n_tot - n_pos AS n_neg,
+         |SELECT event_type, CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_tot - n_pos AS BIGINT) AS n_neg,
          |  ${round6Sql("CAST(rs2 - n_pos*(n_pos+1) AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_tot - n_pos AS DOUBLE))")} AS auc
          |FROM s, nn ORDER BY event_type""".stripMargin,
 
@@ -1370,7 +1391,8 @@ object EvalQueries {
          |  CAST(${round6Sql(
               "(CAST(n_vt AS DOUBLE) * CAST(tp AS DOUBLE)) / (CAST(n_pos AS DOUBLE) * CAST(pp AS DOUBLE))")} AS DECIMAL(18,6)) AS term
          |  FROM tp t JOIN ge USING (v) JOIN np ON np.event_type = t.event_type)
-         |SELECT event_type, n_pos, ${round4Sql("CAST(sum(term) AS DOUBLE)")} AS ap
+         |SELECT event_type, CAST(n_pos AS BIGINT) AS n_pos,
+         |  ${round4Sql("CAST(sum(term) AS DOUBLE)")} AS ap
          |FROM terms GROUP BY event_type, n_pos ORDER BY event_type""".stripMargin,
 
     "events_js_divergence" ->
@@ -1445,7 +1467,7 @@ object EvalQueries {
     "dq_fd_audit" -> {
       val per = FdCandidates.map { case (nm, tbl, lhs, rhs) =>
         s"""SELECT '$nm' AS fd, count(*) AS n_groups,
-           |  sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+           |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
            |  max(n_rhs) AS max_rhs_per_lhs,
            |  sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds,
            |  ${round4Sql("CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS violation_rate
@@ -1501,7 +1523,7 @@ object EvalQueries {
          |    sum(y) AS npos, sum(sq) AS sqsum
          |  FROM b GROUP BY 1),
          |tt AS (SELECT sum(sqsum) AS sqall, sum(n) AS nall FROM bins)
-         |SELECT bin, n, npos,
+         |SELECT bin, n, CAST(npos AS BIGINT) AS npos,
          |  ${round6Sql("CAST(psum AS DOUBLE) / CAST(n AS DOUBLE)")} AS mean_pred,
          |  ${round6Sql("CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)")} AS frac_pos,
          |  ${round6Sql("CAST(sqsum AS DOUBLE) / CAST(n AS DOUBLE)")} AS brier_bin,
@@ -1551,7 +1573,7 @@ object EvalQueries {
          |  ret / nullif(lag(vol, 1) OVER ($W2), 0.0) AS zraw FROM v)
          |SELECT event_id, ${round4Sql("ret")} AS ret, vol,
          |  ${round4Sql("zraw")} AS z,
-         |  CASE WHEN abs(zraw) > 3.0 THEN 1 ELSE 0 END AS is_spike
+         |  CAST(CASE WHEN abs(zraw) > 3.0 THEN 1 ELSE 0 END AS BIGINT) AS is_spike
          |FROM z ORDER BY event_id""".stripMargin
     },
 
@@ -1628,7 +1650,7 @@ object EvalQueries {
          |cl AS (SELECT event_type, dow, value_band, sum(c) AS k, count(*) AS l_distinct,
          |  CAST(-sum(CAST(${round6Sql("p * ln(p)")} AS DECIMAL(18,6))) AS DOUBLE) AS hh
          |  FROM pt GROUP BY 1, 2, 3)
-         |SELECT event_type, dow, value_band, k, l_distinct,
+         |SELECT event_type, dow, value_band, CAST(k AS BIGINT) AS k, l_distinct,
          |  ${round4Sql("hh")} AS entropy_l,
          |  CASE WHEN l_distinct >= 3 THEN CAST(1 AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END AS is_diverse
@@ -1902,7 +1924,7 @@ object EvalQueries {
          |  FROM lineitem GROUP BY 1),
          |j AS (
          |  SELECT o_totalprice, recalc,
-         |    ${round6Sql("abs(coalesce(recalc, 0.0) - o_totalprice) / o_totalprice")} AS relerr
+         |    ${round6Sql("abs(recalc - o_totalprice) / o_totalprice")} AS relerr
          |  FROM orders LEFT JOIN rc ON o_orderkey = l_orderkey)
          |SELECT count(*) AS n_orders,
          |  CAST(count(CASE WHEN recalc IS NULL THEN 1 END) AS BIGINT) AS n_no_lines,
@@ -1950,8 +1972,8 @@ object EvalQueries {
          |j AS (
          |  SELECT e.ta, e.tb,
          |    ${round6Sql("CAST(n_both AS DOUBLE) / CAST(k_eff AS DOUBLE)")} AS kmv_jaccard,
-         |    ${round6Sql("CAST(ni AS DOUBLE) / CAST(ca.nu + cb.nu - ni AS DOUBLE)")} AS exact_jaccard
-         |  FROM est e JOIN inter i ON e.ta = i.ta AND e.tb = i.tb
+         |    ${round6Sql("CAST(coalesce(ni, 0) AS DOUBLE) / CAST(ca.nu + cb.nu - coalesce(ni, 0) AS DOUBLE)")} AS exact_jaccard
+         |  FROM est e LEFT JOIN inter i ON e.ta = i.ta AND e.tb = i.tb
          |  JOIN cnt ca ON e.ta = ca.event_type
          |  JOIN cnt cb ON e.tb = cb.event_type)
          |SELECT ta, tb, kmv_jaccard, exact_jaccard,
@@ -2164,7 +2186,7 @@ object EvalQueries {
          |  FROM ev GROUP BY 1),
          |ate AS (SELECT ${round6Sql(
             "CAST(sum(y_t) AS DOUBLE) / CAST(sum(n_t) AS DOUBLE) - CAST(sum(y_c) AS DOUBLE) / CAST(sum(n_c) AS DOUBLE)")} AS ate FROM b)
-         |SELECT band, n_t, n_c,
+         |SELECT band, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
          |  ${round6Sql("CAST(y_t AS DOUBLE) / nullif(CAST(n_t AS DOUBLE), 0.0)")} AS rate_t,
          |  ${round6Sql("CAST(y_c AS DOUBLE) / nullif(CAST(n_c AS DOUBLE), 0.0)")} AS rate_c,
          |  ${round6Sql(

@@ -787,7 +787,7 @@ object InferenceQueries {
          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS qmin
          |  FROM q),
          |f AS (SELECT *, ${round4Sql("least(1.0, qmin)")} AS p_adj FROM sm)
-         |SELECT user_id, nd AS n_diffs, z, p, p_adj,
+         |SELECT user_id, CAST(nd AS BIGINT) AS n_diffs, z, p, p_adj,
          |  CASE WHEN p_adj <= ${dlit(FdrQ)} THEN CAST(1 AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END AS is_sig
          |FROM f ORDER BY user_id""".stripMargin
@@ -1177,7 +1177,7 @@ object InferenceQueries {
          |    CAST(sum(CAST(${round6Sql("p * p")} AS DECIMAL(18,6))) AS DOUBLE) AS sp2,
          |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singletons
          |  FROM pt GROUP BY user_id)
-         |SELECT user_id, n_events, richness,
+         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events, richness,
          |  ${round4Sql("1.0 - sp2")} AS simpson,
          |  ${round4Sql("1.0 - CAST(singletons AS DOUBLE) / CAST(n_events AS DOUBLE)")} AS coverage
          |FROM g ORDER BY user_id""".stripMargin

@@ -335,7 +335,7 @@ object MultimodalQueries {
          |sim AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
          |  FROM v GROUP BY doc_id)
          |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-         |  bit_count(xor(a.sig, b.sig)) AS hamming
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 5
          |ORDER BY doc_id_a, doc_id_b""".stripMargin

@@ -1513,7 +1513,8 @@ object OpsQueries {
          |  SELECT c.event_type, na, nb,
          |    CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
          |  FROM c JOIN t USING (event_type))
-         |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+         |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+         |  CAST(max(nb) AS BIGINT) AS n_b,
          |  ${round4Sql("CAST(sum(term) AS DOUBLE)")} AS psi
          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
     },
@@ -1547,8 +1548,8 @@ object OpsQueries {
          |  FROM events GROUP BY 1),
          |n AS (SELECT hour, count(*) AS new_users FROM f GROUP BY 1)
          |SELECT hour, new_users,
-         |  sum(new_users) OVER (ORDER BY hour
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+         |  CAST(sum(new_users) OVER (ORDER BY hour
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
          |FROM n ORDER BY hour""".stripMargin,
 
     "events_dwell_time" ->
@@ -2083,7 +2084,7 @@ object OpsQueries {
          |d AS (SELECT * FROM i
          |      WHERE lo // 86400000000 = ${java.time.LocalDate.of(2024, 1, 15).toEpochDay})
          |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps,
-         |  sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS overlap_us
+         |  CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT) AS overlap_us
          |FROM d a JOIN d b
          |  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

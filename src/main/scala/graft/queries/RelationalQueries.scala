@@ -708,7 +708,7 @@ object RelationalQueries {
         .union(tris.select(col("c").as("node")))
         .groupBy("node").agg(count(lit(1)).as("n_triangles"))
       deg.join(perNode, Seq("node"), "left")
-        .select(col("node").as("nationkey"), col("degree"),
+        .select(col("node").cast(LongType).as("nationkey"), col("degree"),
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
           CleanFunctions.round4(
             lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast(DoubleType)
@@ -1186,7 +1186,7 @@ object RelationalQueries {
          |    SELECT a AS node FROM tris UNION ALL SELECT b AS node FROM tris
          |    UNION ALL SELECT c AS node FROM tris)
          |  GROUP BY 1)
-         |SELECT deg.node AS nationkey, degree,
+         |SELECT CAST(deg.node AS BIGINT) AS nationkey, degree,
          |  coalesce(n_triangles, 0) AS n_triangles,
          |  ${CleanFunctions.round4Sql(
             "2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE) / nullif(CAST(degree * (degree - 1) AS DOUBLE), 0.0)")} AS clustering

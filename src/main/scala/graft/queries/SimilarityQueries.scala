@@ -1408,7 +1408,7 @@ object SimilarityQueries {
          |t AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS true_label
          |  FROM embeddings WHERE vec_id % 20 = 0),
          |j AS (SELECT t.q_id, true_label, pred_label, votes,
-         |  CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS correct
+         |  CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
          |  FROM t JOIN pr ON t.q_id = pr.q_id),
          |acc AS (SELECT ${graft.functions.CleanFunctions.round4Sql(
             "CAST(sum(correct) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS accuracy FROM j)

@@ -1714,7 +1714,7 @@ object StatsQueries {
          |  FROM t $wrw),
          |q AS (SELECT event_id, ph, min(ph) OVER wr AS mn FROM p $wrw)
          |SELECT event_id, ${round4Sql("ph")} AS ph,
-         |  CASE WHEN ph - mn > ${dlit(PhLambda)} THEN 1 ELSE 0 END AS is_drift
+         |  CAST(CASE WHEN ph - mn > ${dlit(PhLambda)} THEN 1 ELSE 0 END AS BIGINT) AS is_drift
          |FROM q ORDER BY event_id""".stripMargin
     },
 
@@ -1990,7 +1990,7 @@ object StatsQueries {
          |  SELECT user_id, cnt,
          |    CAST(round(((cnt / (sum(cnt) OVER (PARTITION BY user_id))) * ln(cnt / (sum(cnt) OVER (PARTITION BY user_id)))) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
          |  FROM c)
-         |SELECT user_id, sum(cnt) AS n_triples,
+         |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_triples,
          |  ${round4Sql(s"CAST(-sum(term) AS DOUBLE) / ${dlit(math.log(6.0))}")} AS perm_entropy
          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -2046,7 +2046,8 @@ object StatsQueries {
       s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
          |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk FROM c),
          |t AS (SELECT count(*) AS nk, sum(cnt) AS total FROM c)
-         |SELECT max(nk) AS n_keys, max(total) AS total_rows, max(cnt) AS max_cnt,
+         |SELECT max(nk) AS n_keys, CAST(max(total) AS BIGINT) AS total_rows,
+         |  max(cnt) AS max_cnt,
          |  min(CASE WHEN rk = (nk + 1) // 2 THEN cnt END) AS p50_cnt,
          |  min(CASE WHEN rk = (9 * nk + 9) // 10 THEN cnt END) AS p90_cnt,
          |  min(CASE WHEN rk = (99 * nk + 99) // 100 THEN cnt END) AS p99_cnt,
@@ -2234,7 +2235,8 @@ object StatsQueries {
          |  SELECT s.user_id, n_days, s_stat,
          |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tcorr AS DOUBLE) / 18.0 AS var_s
          |  FROM s JOIN nd ON s.user_id = nd.user_id JOIN tc ON s.user_id = tc.user_id)
-         |SELECT user_id, n_days, s_stat, ${round4Sql("var_s")} AS var_s,
+         |SELECT user_id, n_days, CAST(s_stat AS BIGINT) AS s_stat,
+         |  ${round4Sql("var_s")} AS var_s,
          |  ${round4Sql("""CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
          |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
          |       ELSE 0.0 END""")} AS mk_z

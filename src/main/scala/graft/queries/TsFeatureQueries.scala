@@ -380,6 +380,13 @@ object TsFeatureQueries {
     // Viterbi fold (TimeSeriesOps.burstPath) with squared-error
     // emissions: z from per-series DECIMAL-exact moments, emissions
     // 6dp-quantized, recursive-CTE oracle replays the identical fold.
+    //
+    // Cost asymmetry (inherited from burstPath's Kleinberg shape): γ is
+    // charged ONLY on the low→high transition; high→low is free. This
+    // is the burst-style one-sided switch penalty, not a symmetric
+    // two-state Viterbi — entries flip into the high regime reluctantly
+    // but drop out of it at the first cheaper step. Oracle replays the
+    // identical asymmetric fold, so the entry is exact cross-engine.
     "ts_regime_switch" -> { (s, d) =>
       val e = events(s, d)
       val mom = e.groupBy("user_id").agg(

@@ -1,10 +1,28 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate: compare Verify.scala's
-parquet dumps against DuckDB running oracle_sql.json on the same tables."""
+"""Local replica of the driver's correctness gate: compare Verify.scala's
+parquet dumps against DuckDB running oracle_sql.json on the same tables.
+
+Hardened (round 9) to the driver's typed-hash semantics after the round-8
+verdict proved the old pandas-only compare was blind to exactly the two
+divergence classes the driver catches:
+  1. TYPE equality at the arrow level — DuckDB types SUM(BIGINT) as
+     DECIMAL128(38,0) while Spark emits int64; the driver's typed value
+     hash fails there even when every value is numerically equal. The old
+     fetchdf() path coerced both to float64/int64 and passed.
+  2. Float columns compared BITWISE (uint64 views of the IEEE doubles) —
+     catches -0.0 vs +0.0, which `==` cannot see.
+Null count is compared per column, and null positions participate in the
+row-wise pandas check as before (NaN vs null stays distinct at the arrow
+layer via null-count equality plus bitwise value compare over non-nulls).
+
+Usage: parity.py SF_DIR OUT_DIR [name1,name2,...]
+"""
 import sys, json, glob, os
 import duckdb, pandas as pd, numpy as np
+import pyarrow as pa
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{sf_dir}/{t}.parquet"
@@ -13,39 +31,99 @@ for t in "region nation customer supplier part orders lineitem events documents 
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 names = sorted([os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p)])
+if only:
+    names = [n for n in names if n in only]
 fails = 0
+
+
+def bits_sorted(arr: pa.ChunkedArray, typ: pa.DataType) -> np.ndarray:
+    """Sorted multiset of the column's non-null values, floats as raw bits."""
+    a = arr.combine_chunks().drop_null()
+    if pa.types.is_floating(typ):
+        v = a.to_numpy(zero_copy_only=False)
+        u = v.view(np.uint64) if v.dtype == np.float64 else v.view(np.uint32)
+        return np.sort(u)
+    try:
+        v = a.to_numpy(zero_copy_only=False)
+        return np.sort(v)
+    except Exception:
+        # lists/structs: fall back to string form
+        return np.sort(np.array([str(x) for x in a.to_pylist()]))
+
+
 for name in names:
     try:
-        got = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        got_t = con.execute(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetch_arrow_table()
     except Exception as e:
         print(f"FAIL {name}: cannot read spark output: {e}"); fails += 1; continue
     if name not in oracle:
-        print(f"SKIP {name}: no oracle (rows={len(got)})"); continue
+        print(f"SKIP {name}: no oracle (rows={got_t.num_rows})"); continue
     try:
-        exp = con.execute(oracle[name]).fetchdf()
+        exp_t = con.execute(oracle[name]).fetch_arrow_table()
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0][:160]}"); fails += 1; continue
-    g = got.reindex(sorted(got.columns), axis=1)
-    e = exp.reindex(sorted(exp.columns), axis=1)
-    if list(g.columns) != list(e.columns):
-        print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}"); fails += 1; continue
-    g = g.sort_values(by=list(g.columns), na_position='first').reset_index(drop=True)
-    e = e.sort_values(by=list(e.columns), na_position='first').reset_index(drop=True)
-    if len(g) != len(e):
-        print(f"FAIL {name}: rows {len(g)} != {len(e)}"); fails += 1; continue
+
+    cols = sorted(got_t.column_names)
+    if cols != sorted(exp_t.column_names):
+        print(f"FAIL {name}: columns {cols} != {sorted(exp_t.column_names)}"); fails += 1; continue
+
+    # --- 1. typed schema compare (driver's hash is typed) ---
     bad = None
-    for c in g.columns:
+    for c in cols:
+        gt, et = got_t.schema.field(c).type, exp_t.schema.field(c).type
+        if str(gt) != str(et):
+            bad = f"col {c} TYPE spark={gt} oracle={et}"
+            break
+    if bad:
+        print(f"FAIL {name}: {bad}"); fails += 1; continue
+
+    if got_t.num_rows != exp_t.num_rows:
+        print(f"FAIL {name}: rows {got_t.num_rows} != {exp_t.num_rows}"); fails += 1; continue
+
+    # --- 2. per-column null-count + bitwise multiset compare ---
+    for c in cols:
+        ga, ea = got_t.column(c), exp_t.column(c)
+        if ga.null_count != ea.null_count:
+            bad = f"col {c} null-count spark={ga.null_count} oracle={ea.null_count}"
+            break
+        typ = got_t.schema.field(c).type
+        gb, eb = bits_sorted(ga, typ), bits_sorted(ea, typ)
+        if len(gb) != len(eb) or not np.array_equal(gb, eb):
+            i = int(np.nonzero(gb != eb)[0][0]) if len(gb) == len(eb) else -1
+            detail = f"first bit-diff at sorted idx {i}: {gb[i]!r} vs {eb[i]!r}" if i >= 0 else "length"
+            bad = f"col {c} BITWISE mismatch ({detail})"
+            break
+    if bad:
+        print(f"FAIL {name}: {bad}"); fails += 1; continue
+
+    # --- 3. legacy row-wise compare (cross-column row integrity) ---
+    got = got_t.to_pandas()
+    exp = exp_t.to_pandas()
+    g = got.reindex(cols, axis=1)
+    e = exp.reindex(cols, axis=1)
+    try:
+        g = g.sort_values(by=cols, na_position='first').reset_index(drop=True)
+        e = e.sort_values(by=cols, na_position='first').reset_index(drop=True)
+    except Exception:
+        g = g.astype(str).sort_values(by=cols).reset_index(drop=True)
+        e = e.astype(str).sort_values(by=cols).reset_index(drop=True)
+    for c in cols:
         gv, ev = g[c], e[c]
         if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
             ok = ((gv.isna() & ev.isna()) | (gv == ev)).all()
         else:
-            ok = (gv.astype(object).where(~gv.isna(), None) == ev.astype(object).where(~ev.isna(), None)).all()
+            try:
+                ok = (gv.astype(object).where(~gv.isna(), None) == ev.astype(object).where(~ev.isna(), None)).all()
+            except Exception:
+                ok = (gv.astype(str) == ev.astype(str)).all()
         if not ok:
             mism = (~((gv.isna() & ev.isna()) | (gv.astype(object) == ev.astype(object)))).to_numpy().nonzero()[0][:3]
-            bad = (c, [(int(i), gv.iloc[i], ev.iloc[i]) for i in mism]); break
+            bad = f"col {c} row-wise mismatches {[(int(i), gv.iloc[i], ev.iloc[i]) for i in mism]}"
+            break
     if bad:
-        print(f"FAIL {name}: col {bad[0]} mismatches {bad[1]}  dtypes g={g[bad[0]].dtype} e={e[bad[0]].dtype}"); fails += 1
+        print(f"FAIL {name}: {bad}"); fails += 1
     else:
-        print(f"OK   {name}: {len(g)} rows")
+        print(f"OK   {name}: {got_t.num_rows} rows")
 print(f"\n{len(names)-fails}/{len(names)} pass")
 sys.exit(1 if fails else 0)
