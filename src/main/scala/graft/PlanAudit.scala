@@ -88,7 +88,13 @@ object PlanAudit {
     // the correct 100 TB shape; broadcasting either pair set would be
     // the OOM this audit exists to prevent. AQE still promotes to BHJ
     // at runtime when a measured side is genuinely small.
-    "dedup_method_agreement")
+    "dedup_method_agreement",
+    // emb_dbscan_stability: joins the loose-level and tight-level
+    // cluster-label frames — both corpus-proportional label-propagation
+    // outputs behind localCheckpoints (unknown stats), the exact
+    // dedup_canonical shape. The vec_id equi-join is the scale shape;
+    // AQE promotes at runtime when a side is measured small.
+    "emb_dbscan_stability")
 
   /** Corpus tables scanned with NO Aggregate/GlobalLimit on the path from
     * the scan up to this subtree's root. The walk stops at any node that

@@ -1087,6 +1087,38 @@ object EvalQueries {
         .orderBy("event_type")
     },
 
+    // Bottom-k hash-sample QUANTILE sketch per event type, WITH its own
+    // accuracy audit against the exact interpolated percentile — the
+    // quantile member of the sketch family (HLL: cardinality, CMS:
+    // frequency, Bloom: membership, KMV: similarity; this: order
+    // statistics). The sample is the k rows with the SMALLEST md5 row
+    // hashes — a uniform sample that is (a) deterministic, so the
+    // DuckDB twin rebuilds the identical sample and the "approximate"
+    // answer hash-matches, and (b) MERGEABLE: bottom-k of a union is
+    // the bottom-k of the merged per-partition bottom-k's, the same
+    // constant-state combine contract as KMV — at 100 TB each
+    // partition keeps k rows and the combiner keeps k of the merged
+    // candidates, never a global sort of the data. Estimates and exact
+    // truths both come from the shared rank-interpolation percentile
+    // (no per-group value buffering).
+    "events_quantile_sketch" -> { (s, d) =>
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("event_id"),
+          CleanFunctions.md5Hash64(concat(lit("qsk:"), col("event_id"))).as("h"))
+      val wk = Window.partitionBy("event_type").orderBy("h", "event_id")
+      val sample = e.withColumn("rn", row_number().over(wk))
+        .where(col("rn") <= QskK).select("event_type", "value")
+      val est = StatsOps.rankPercentiles(sample, Seq("event_type"), "value", QskPs)
+        .withColumnRenamed("pct", "pct_est")
+      val exact = StatsOps.rankPercentiles(
+          e.select("event_type", "value"), Seq("event_type"), "value", QskPs)
+        .withColumnRenamed("pct", "pct_exact")
+      est.join(exact, Seq("event_type", "p"))
+        .select(col("event_type"), col("p"), col("pct_est"), col("pct_exact"),
+          round4(abs(col("pct_est") - col("pct_exact"))).as("abs_err"))
+        .orderBy("event_type", "p")
+    },
+
     // Sample-ratio-mismatch gate per segment: chi-square of the
     // observed weekend/weekday row split against the DECLARED 2/7-5/7
     // calendar expectation — the first thing a trustworthy
@@ -1319,6 +1351,12 @@ object EvalQueries {
 
   /** KMV sketch size (bottom-k hashes per set). */
   private val KmvK = 64
+
+  /** Quantile sketch: sample size per group + probed percentiles. */
+  private val QskK = 128
+  private val QskPs = Seq(0.5, 0.9)
+  private val QskPsSqlList =
+    QskPs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
 
   private val tradeEdgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -2039,6 +2077,43 @@ object EvalQueries {
          |SELECT est.event_type, exact_distinct, hll_est,
          |  ${round4Sql("(hll_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)")} AS rel_err
          |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin
+    },
+
+    "events_quantile_sketch" -> {
+      // Rank-interpolation percentile CTE block (the StatsOps
+      // .rankPercentiles replica), parameterized by source relation.
+      def pctBlock(src: String, pfx: String, outCol: String) =
+        s"""${pfx}r AS (
+           |  SELECT event_type, v,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rn0,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM $src),
+           |${pfx}f AS (
+           |  SELECT event_type, p, v, rn0,
+           |    CAST(n - 1 AS DOUBLE) * p AS hh,
+           |    floor(CAST(n - 1 AS DOUBLE) * p) AS lo,
+           |    ceil(CAST(n - 1 AS DOUBLE) * p) AS hi
+           |  FROM ${pfx}r, (SELECT unnest($QskPsSqlList) AS p) px
+           |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * p)
+           |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * p)),
+           |${pfx}o AS (
+           |  SELECT event_type, p,
+           |    ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(hh) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS $outCol
+           |  FROM ${pfx}f GROUP BY event_type, p)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT event_type, value AS v, event_id,
+         |    ${CleanFunctions.md5Hash64Sql("'qsk:' || event_id")} AS h
+         |  FROM events WHERE value IS NOT NULL),
+         |smp AS (SELECT event_type, v FROM (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+         |  FROM e) q WHERE rn <= $QskK),
+         |${pctBlock("smp", "s", "pct_est")},
+         |${pctBlock("e", "x", "pct_exact")}
+         |SELECT so.event_type, so.p, pct_est, pct_exact,
+         |  ${round4Sql("abs(pct_est - pct_exact)")} AS abs_err
+         |FROM so JOIN xo ON so.event_type = xo.event_type AND so.p = xo.p
+         |ORDER BY so.event_type, so.p""".stripMargin
     },
 
     "events_srm_check" ->

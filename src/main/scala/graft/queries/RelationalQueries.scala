@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.functions.CleanFunctions
+import graft.operators.StatsOps
 import graft.sources.Tables
 
 /** Relational / analytics queries over the star schema — the table-stakes
@@ -579,6 +580,65 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numcust"),
           CleanFunctions.round4(exactSum(col("c_acctbal"))).as("totacctbal"))
         .orderBy("n_name")
+    },
+
+    // TPC-DS Q44 shape (best/worst performers): per-part average net
+    // revenue, then the top-10 and bottom-10 by rank — the symmetric
+    // leaderboard that needs TWO global rankings of one aggregate.
+    // Scale: rank runs on the O(#parts) aggregate via the banded
+    // globalRank (parallel per-band windows + broadcast prefix
+    // offsets, never a single-partition ORDER BY); ties on the
+    // rounded average break deterministically by partkey on both
+    // engines. Per-row revenue 4dp-quantized then DECIMAL-summed.
+    "q44_best_worst" -> { (s, d) =>
+      val perPart = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(CleanFunctions.round4(
+          exactSum(CleanFunctions.round4(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))) /
+            count(lit(1))).as("avg_rev"))
+      def side(asc: Boolean, name: String) =
+        StatsOps.globalRank(perPart, col("avg_rev"), col("l_partkey"),
+            asc = asc, rankCol = "rnk")
+          .where(col("rnk") <= 10L).withColumn("side", lit(name))
+      side(asc = false, "best").union(side(asc = true, "worst"))
+        .select(col("side"), col("rnk"), col("l_partkey"), col("avg_rev"))
+        .orderBy("side", "rnk")
+    },
+
+    // TPC-DS Q67 shape (rollup + top-k per grouping level): revenue
+    // rolled up over (brand, ship-month) with the top-3 rows ranked
+    // WITHIN each grouping level — detail, per-brand subtotal, grand
+    // total in ONE grouping-sets pass. Level ids are built explicitly
+    // as grouping(brand)*2 + grouping(month) (bit order differs across
+    // engines' grouping_id), null group keys are coalesced to
+    // sentinels BEFORE ranking (Spark sorts NULLS FIRST asc, DuckDB
+    // NULLS LAST — coalescing removes the divergence), and the rank is
+    // the banded groupedGlobalRank per level (sign-flipped for
+    // descending), never a skewed per-level window sort. The rollup
+    // input aggregates map-side to O(brands × months) — both domains
+    // bounded (25 brands, calendar months), not corpus-proportional.
+    "q67_rollup_topk" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          (year(col("l_shipdate")).cast(LongType) * 100L +
+            month(col("l_shipdate")).cast(LongType)).as("ym"),
+          CleanFunctions.round4(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val rolled = li.rollup(col("p_brand"), col("ym"))
+        .agg(CleanFunctions.round4(exactSum(col("rev"))).as("rev_sum"),
+          (grouping(col("p_brand")).cast(LongType) * 2L +
+            grouping(col("ym")).cast(LongType)).as("lvl"))
+        .withColumn("brand", coalesce(col("p_brand"), lit("ALL")))
+        .withColumn("ym2", coalesce(col("ym"), lit(-1L)))
+      StatsOps.groupedGlobalRank(rolled, Seq("lvl"), -col("rev_sum"),
+          concat(col("brand"), lit("#"), col("ym2")), "rnk")
+        .where(col("rnk") <= 3L)
+        .select(col("lvl"), col("brand"), col("ym2").as("ym"),
+          col("rev_sum"), col("rnk"))
+        .orderBy("lvl", "rnk")
     },
 
     // Weighted PageRank (3 iterations, d=0.85) over the nation trade
@@ -1539,6 +1599,45 @@ object RelationalQueries {
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
          |                  AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q44_best_worst" ->
+      s"""WITH pp AS (
+         |  SELECT l_partkey,
+         |    ${CleanFunctions.round4Sql(
+              CleanFunctions.exactSumSql(
+                CleanFunctions.round4Sql("l_extendedprice * (1.0 - l_discount)"))
+                + " / count(*)")} AS avg_rev
+         |  FROM lineitem GROUP BY 1),
+         |b AS (SELECT 'best' AS side,
+         |  row_number() OVER (ORDER BY avg_rev DESC, l_partkey) AS rnk,
+         |  l_partkey, avg_rev FROM pp),
+         |w AS (SELECT 'worst' AS side,
+         |  row_number() OVER (ORDER BY avg_rev, l_partkey) AS rnk,
+         |  l_partkey, avg_rev FROM pp)
+         |SELECT * FROM (
+         |  SELECT * FROM b WHERE rnk <= 10
+         |  UNION ALL SELECT * FROM w WHERE rnk <= 10)
+         |ORDER BY side, rnk""".stripMargin,
+
+    "q67_rollup_topk" ->
+      s"""WITH li AS (
+         |  SELECT p_brand,
+         |    CAST(year(l_shipdate) AS BIGINT) * 100 + CAST(month(l_shipdate) AS BIGINT) AS ym,
+         |    ${CleanFunctions.round4Sql("l_extendedprice * (1.0 - l_discount)")} AS rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |r AS (
+         |  SELECT p_brand, ym,
+         |    ${CleanFunctions.round4Sql(CleanFunctions.exactSumSql("rev"))} AS rev_sum,
+         |    CAST(GROUPING(p_brand) AS BIGINT) * 2 + CAST(GROUPING(ym) AS BIGINT) AS lvl,
+         |    coalesce(p_brand, 'ALL') AS brand, coalesce(ym, -1) AS ym2
+         |  FROM li GROUP BY ROLLUP (p_brand, ym)),
+         |k AS (
+         |  SELECT lvl, brand, ym2 AS ym, rev_sum,
+         |    row_number() OVER (PARTITION BY lvl
+         |      ORDER BY rev_sum DESC, brand || '#' || CAST(ym2 AS VARCHAR)) AS rnk
+         |  FROM r)
+         |SELECT lvl, brand, ym, rev_sum, rnk FROM k
+         |WHERE rnk <= 3 ORDER BY lvl, rnk""".stripMargin,
 
     "q9_nation_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -74,6 +74,61 @@ object SimilarityQueries {
   // back to BIGINT is exact).
   private val HamBits = 60
   private val SemDedupTau = 0.4 // same near-dup band as dedup_embedding
+  // HDBSCAN-lite second density level: the tight-eps threshold whose
+  // clusters test each loose (DbscanCosine) cluster's persistence.
+  private val DbscanCosineTight = 0.6
+
+  /** Shared LSH-blocked candidate pairs WITH their cosine — the one
+    * corpus-scale stage of the DBSCAN family, factored so the two-level
+    * stability sweep pays for it once (threshold filters are free).
+    */
+  private def dbscanCandCos(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        TextFunctions.vecNorm(col("embedding")).as("nrm"))
+    val bands = e.select(col("vec_id"), explode(array(
+      (0 until DbscanBands).map { b =>
+        val key = TextFunctions.packBits((0 until DbscanRowsPerBand).map(r =>
+          TextFunctions.lshSign(col("embedding"), b * DbscanRowsPerBand + r)))
+        struct(lit(b).as("band"), key.as("key"))
+      }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y")).distinct()
+      .join(e.select(col("vec_id").as("x"), col("embedding").as("xe"), col("nrm").as("xn")), Seq("x"))
+      .join(e.select(col("vec_id").as("y"), col("embedding").as("ye"), col("nrm").as("yn")), Seq("y"))
+      .select(col("x"), col("y"),
+        TextFunctions.cosineFromNorms(
+          TextFunctions.dot(col("xe"), col("ye")), col("xn"), col("yn")).as("cos"))
+  }
+
+  /** Cluster labels (core ∪ border → min-core-id cluster) for one eps
+    * level, given its threshold-filtered pair set — the emb_dbscan
+    * recipe without the noise roles (stability only reads members).
+    */
+  private def dbscanLabels(pairs: DataFrame, minPts: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+    val core = sym.groupBy(col("x").as("vec_id")).agg(count(lit(1)).as("degree"))
+      .where(col("degree") >= minPts).select("vec_id")
+    val coreEdges = pairs
+      .join(core.select(col("vec_id").as("x")), Seq("x"))
+      .join(core.select(col("vec_id").as("y")), Seq("y"))
+      .select("x", "y")
+    val lbl = graft.operators.GraphOps.minLabelPropagate(coreEdges)
+      .select(col("id").as("vec_id"), col("lbl"))
+    val coreLbl = core.join(lbl, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+      .localCheckpoint() // feeds border assignment AND the member union
+    val borderLbl = sym
+      .join(coreLbl.select(col("vec_id").as("y"), col("cluster_id")), Seq("y"))
+      .groupBy(col("x").as("vec_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      .join(coreLbl.select("vec_id"), Seq("vec_id"), "left_anti")
+    coreLbl.union(borderLbl)
+      .select(col("vec_id"), col("cluster_id").cast(LongType).as("cluster_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-label embedding centroids (class prototypes): posexplode to
@@ -161,6 +216,43 @@ object SimilarityQueries {
           coalesce(col("c_cluster"), col("b_cluster"), lit(-1L))
             .cast(LongType).as("cluster_id"))
         .orderBy("vec_id")
+    },
+
+    // HDBSCAN-lite cluster-stability sweep (Campello et al.'s density
+    // hierarchy reduced to its decision core): re-cluster the SAME
+    // eps-graph at a tighter threshold and report, per loose
+    // (DbscanCosine) cluster, how its mass condenses — n_children
+    // tight subclusters, the largest child, and stability = largest
+    // child share. stability≈1 ⇒ the cluster PERSISTS as density
+    // tightens (a real mode); stability≈0 ⇒ it evaporates (a bridge
+    // artifact of the loose eps); many children ⇒ it SPLITS (the
+    // loose cluster is a merger HDBSCAN would cut). The corpus-scale
+    // candidate+cosine stage is computed ONCE (localCheckpoint) and
+    // both levels filter it — the tight level's pairs are a subset by
+    // construction; each level then runs the standard degree→core→
+    // label-propagation recipe (O(pairs) + O(log diameter) rounds).
+    "emb_dbscan_stability" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val pc = dbscanCandCos(s, d).where(col("cos") >= DbscanCosine)
+        .localCheckpoint() // feeds BOTH density levels
+      val loose = dbscanLabels(pc.select("x", "y"), DbscanMinPts)
+        .withColumnRenamed("cluster_id", "loose_id").localCheckpoint()
+      val tight = dbscanLabels(
+          pc.where(col("cos") >= DbscanCosineTight).select("x", "y"), DbscanMinPts)
+        .withColumnRenamed("cluster_id", "tight_id")
+      val ch = loose.join(tight, Seq("vec_id"))
+        .groupBy("loose_id", "tight_id").agg(count(lit(1)).as("csz"))
+        .groupBy("loose_id")
+        .agg(count(lit(1)).as("n_children"), max(col("csz")).as("max_child"))
+      loose.groupBy("loose_id").agg(count(lit(1)).as("n_points"))
+        .join(ch, Seq("loose_id"), "left")
+        .select(col("loose_id").as("cluster_id"), col("n_points"),
+          coalesce(col("n_children"), lit(0L)).as("n_children"),
+          coalesce(col("max_child"), lit(0L)).as("max_child"),
+          graft.functions.CleanFunctions.round4(
+            coalesce(col("max_child"), lit(0L)).cast(DoubleType) /
+              col("n_points").cast(DoubleType)).as("stability"))
+        .orderBy("cluster_id")
     },
 
     // "All-but-the-top" embedding postprocessing (Mu & Viswanath 2018):
@@ -1278,6 +1370,60 @@ object SimilarityQueries {
          |  CAST(coalesce(cl.c_cluster, b.b_cluster, -1) AS BIGINT) AS cluster_id
          |FROM nodes n LEFT JOIN corelbl cl USING (vec_id) LEFT JOIN blab b USING (vec_id)
          |ORDER BY n.vec_id""".stripMargin
+    },
+
+    "emb_dbscan_stability" -> {
+      val signCols = (0 until DbscanBands * DbscanRowsPerBand).map(p =>
+        s"${TextFunctions.lshSignSql("embedding", p)} AS b$p").mkString(",\n  ")
+      val bandRows = (0 until DbscanBands).map { b =>
+        val key = (0 until DbscanRowsPerBand)
+          .map(r => s"(b${b * DbscanRowsPerBand + r} << $r)").mkString(" + ")
+        s"SELECT vec_id, embedding, $b AS band, $key AS key FROM signs"
+      }.mkString("\n  UNION ALL ")
+      // One density level's cluster labels (the emb_dbscan recipe minus
+      // the noise roles), prefixed so two levels coexist in one WITH.
+      def level(pfx: String, thr: Double) =
+        s"""${pfx}p AS (SELECT x, y FROM pc WHERE cos >= $thr),
+           |${pfx}sym AS (SELECT x, y FROM ${pfx}p UNION ALL SELECT y AS x, x AS y FROM ${pfx}p),
+           |${pfx}core AS (SELECT x AS vec_id FROM ${pfx}sym GROUP BY 1
+           |  HAVING count(*) >= $DbscanMinPts),
+           |${pfx}ce AS (SELECT p.x, p.y FROM ${pfx}p p
+           |  JOIN ${pfx}core cx ON p.x = cx.vec_id
+           |  JOIN ${pfx}core cy ON p.y = cy.vec_id),
+           |${pfx}e2 AS (SELECT x, y FROM ${pfx}ce UNION ALL SELECT y AS x, x AS y FROM ${pfx}ce),
+           |${pfx}reach(vec_id, lbl) AS (
+           |  SELECT DISTINCT x AS vec_id, x AS lbl FROM ${pfx}e2
+           |  UNION
+           |  SELECT e2.y AS vec_id, r.lbl FROM ${pfx}reach r JOIN ${pfx}e2 e2 ON e2.x = r.vec_id),
+           |${pfx}clab AS (SELECT vec_id, min(lbl) AS lbl FROM ${pfx}reach GROUP BY 1),
+           |${pfx}corelbl AS (SELECT c.vec_id, coalesce(l.lbl, c.vec_id) AS cluster_id
+           |  FROM ${pfx}core c LEFT JOIN ${pfx}clab l USING (vec_id)),
+           |${pfx}blab AS (SELECT s.x AS vec_id, min(cl.cluster_id) AS cluster_id
+           |  FROM ${pfx}sym s JOIN ${pfx}corelbl cl ON s.y = cl.vec_id
+           |  WHERE s.x NOT IN (SELECT vec_id FROM ${pfx}core) GROUP BY 1),
+           |${pfx}lab AS (
+           |  SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM ${pfx}corelbl
+           |  UNION ALL
+           |  SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id FROM ${pfx}blab)""".stripMargin
+      s"""WITH RECURSIVE signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
+         |bands AS ($bandRows),
+         |pc AS (
+         |  SELECT DISTINCT a.vec_id AS x, b.vec_id AS y,
+         |    ${TextFunctions.cosineSql("a.embedding", "b.embedding")} AS cos
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |${level("L", DbscanCosine)},
+         |${level("T", DbscanCosineTight)},
+         |ch AS (SELECT l.cluster_id AS lc, t.cluster_id AS tc, count(*) AS csz
+         |  FROM Llab l JOIN Tlab t USING (vec_id) GROUP BY 1, 2),
+         |cha AS (SELECT lc, count(*) AS n_children, max(csz) AS max_child
+         |  FROM ch GROUP BY 1),
+         |np AS (SELECT cluster_id AS lc, count(*) AS n_points FROM Llab GROUP BY 1)
+         |SELECT np.lc AS cluster_id, n_points,
+         |  CAST(coalesce(n_children, 0) AS BIGINT) AS n_children,
+         |  CAST(coalesce(max_child, 0) AS BIGINT) AS max_child,
+         |  ${graft.functions.CleanFunctions.round4Sql(
+              "CAST(coalesce(max_child, 0) AS DOUBLE) / CAST(n_points AS DOUBLE)")} AS stability
+         |FROM np LEFT JOIN cha USING (lc) ORDER BY cluster_id""".stripMargin
     },
 
     // Recomputes the power iteration end to end: 6dp-quantized centered

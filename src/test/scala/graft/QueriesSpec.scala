@@ -674,4 +674,73 @@ class QueriesSpec extends AnyFunSuite {
       abs(col("q24") + col("q12") + col("q8") + col("q6") - 1.0) > 0.01).count()
     assert(bad == 0, "power shares must sum to 1")
   }
+
+  test("q44 best/worst: consecutive ranks, extremes match the global extremes") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q44_best_worst")(spark, sfDir).cache()
+    Seq("best", "worst").foreach { side =>
+      val rnks = r.filter(col("side") === side).select("rnk")
+        .collect().map(_.getLong(0)).sorted
+      assert(rnks.nonEmpty && rnks.head == 1L, s"$side must start at rank 1")
+      assert(rnks.zipWithIndex.forall { case (v, i) => v == i + 1 },
+        s"$side ranks must be consecutive: ${rnks.mkString(",")}")
+      assert(rnks.length <= 10)
+    }
+    val best1 = r.filter(col("side") === "best" && col("rnk") === 1L)
+      .select("avg_rev").head().getDouble(0)
+    val worst1 = r.filter(col("side") === "worst" && col("rnk") === 1L)
+      .select("avg_rev").head().getDouble(0)
+    assert(best1 >= worst1)
+    assert(r.agg(max(col("avg_rev"))).head().getDouble(0) == best1)
+    assert(r.agg(min(col("avg_rev"))).head().getDouble(0) == worst1)
+  }
+
+  test("q67 rollup top-k: levels {0,1,3}, ranks <= 3, grand total dominates") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q67_rollup_topk")(spark, sfDir).cache()
+    val lvls = r.select("lvl").distinct().collect().map(_.getLong(0)).toSet
+    assert(lvls.subsetOf(Set(0L, 1L, 3L)) && lvls.contains(3L), s"levels: $lvls")
+    assert(r.filter(col("rnk") < 1L || col("rnk") > 3L).count() == 0)
+    val grand = r.filter(col("lvl") === 3L).cache()
+    assert(grand.count() == 1)
+    val g = grand.head()
+    assert(g.getAs[String]("brand") == "ALL" && g.getAs[Long]("ym") == -1L)
+    val gRev = g.getAs[Double]("rev_sum")
+    assert(r.filter(col("rev_sum") > gRev + 1e-6).count() == 0,
+      "no subtotal may exceed the grand total")
+  }
+
+  test("quantile sketch: audit columns are consistent and p90 >= p50") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("events_quantile_sketch")(spark, sfDir).cache()
+    assert(r.count() > 0)
+    // abs_err IS |est - exact| (4dp): the audit can't drift from its inputs.
+    val drift = r.filter(
+      abs(col("abs_err") - abs(col("pct_est") - col("pct_exact"))) > 1e-4).count()
+    assert(drift == 0)
+    // Monotone in p on both the sample estimate and the exact truth.
+    val wide = r.groupBy("event_type").agg(
+      max(when(col("p") === 0.5, col("pct_exact"))).as("x50"),
+      max(when(col("p") === 0.9, col("pct_exact"))).as("x90"),
+      max(when(col("p") === 0.5, col("pct_est"))).as("e50"),
+      max(when(col("p") === 0.9, col("pct_est"))).as("e90"))
+    assert(wide.filter(col("x90") < col("x50") || col("e90") < col("e50")).count() == 0)
+  }
+
+  test("dbscan stability agrees with emb_dbscan's loose-level membership") {
+    import org.apache.spark.sql.functions._
+    val st = SparkEntry.queries("emb_dbscan_stability")(spark, sfDir).cache()
+    assert(st.count() > 0)
+    assert(st.filter(col("stability") < 0.0 || col("stability") > 1.0001).count() == 0)
+    assert(st.filter(col("max_child") > col("n_points")).count() == 0)
+    assert(st.filter((col("n_children") === 0L) =!= (col("max_child") === 0L)).count() == 0)
+    // The loose level IS emb_dbscan: per-cluster member counts must match.
+    val fromDbscan = SparkEntry.queries("emb_dbscan")(spark, sfDir)
+      .filter(col("cluster_id") >= 0L)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_expected"))
+    val mismatch = st.join(fromDbscan, Seq("cluster_id"), "full")
+      .filter(col("n_points").isNull || col("n_expected").isNull ||
+        col("n_points") =!= col("n_expected")).count()
+    assert(mismatch == 0, "stability loose clusters != emb_dbscan clusters")
+  }
 }
