@@ -1119,6 +1119,44 @@ object EvalQueries {
         .orderBy("event_type", "p")
     },
 
+    // DDSketch-style LOG-BUCKET quantile estimate per event type, WITH
+    // its accuracy audit — the deterministic-relative-error sibling of
+    // events_quantile_sketch (that one samples, so error shrinks with
+    // k but has no guarantee; this one buckets by γ=1.02 powers, so
+    // the estimate is within 2% of the truth BY CONSTRUCTION at any
+    // corpus size). State is a (bucket → count) table — O(log range)
+    // rows per group, mergeable by plain count addition, the shape a
+    // 100 TB percentile monitor actually keeps. The percentile is the
+    // smallest bucket whose cumulative count reaches ceil(p·n) — pure
+    // integer decisions off one bounded window — and the returned
+    // value is the bucket's geometric midpoint γ^(b+½), 4dp-rounded
+    // so libm exp can't diverge.
+    "events_ddsketch_quantile" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .where(col("value").isNotNull && col("value") > 0.0)
+        .select(col("event_type"), col("value").as("v"))
+      val b = e.withColumn("b",
+        floor(round6(log(col("v")) / lit(DdLnGamma))).cast(LongType))
+      val bc = b.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+      val wb = Window.partitionBy("event_type").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bc
+        .withColumn("cum", sum(col("cnt")).over(wb))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+      val est = cum.withColumn("p", explode(array(QskPs.map(lit): _*)))
+        .where(col("cum") >= ceil(col("p") * col("n").cast(DoubleType)))
+        .groupBy("event_type", "p").agg(min(col("b")).as("b"))
+        .withColumn("pct_est", round4(
+          exp((col("b").cast(DoubleType) + lit(0.5)) * lit(DdLnGamma))))
+        .select("event_type", "p", "pct_est")
+      val exact = StatsOps.rankPercentiles(e, Seq("event_type"), "v", QskPs)
+        .withColumnRenamed("pct", "pct_exact")
+      est.join(exact, Seq("event_type", "p"))
+        .select(col("event_type"), col("p"), col("pct_est"), col("pct_exact"),
+          round4((col("pct_est") - col("pct_exact")) / col("pct_exact")).as("rel_err"))
+        .orderBy("event_type", "p")
+    },
+
     // Sample-ratio-mismatch gate per segment: chi-square of the
     // observed weekend/weekday row split against the DECLARED 2/7-5/7
     // calendar expectation — the first thing a trustworthy
@@ -1357,6 +1395,38 @@ object EvalQueries {
   private val QskPs = Seq(0.5, 0.9)
   private val QskPsSqlList =
     QskPs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** DDSketch-style log-bucket base: gamma = 1.02 ⇒ ≤2% relative error
+    * by construction. ln(gamma) is baked as ONE exact-double literal on
+    * both engines (dlitSql), and the bucket quotient ln(v)/ln(γ) is
+    * 6dp-rounded BEFORE floor so a last-ulp libm difference at an exact
+    * bucket boundary (e.g. v = γ^k) cannot flip the bucket.
+    */
+  private val DdGamma = 1.02
+  private val DdLnGamma = math.log(DdGamma)
+
+  /** Rank-interpolation percentile CTE block (StatsOps.rankPercentiles
+    * replica) over a relation with (event_type, v) — shared by the
+    * sketch-audit oracles. Emits `{pfx}o(event_type, p, outCol)`.
+    */
+  private def rankPctBlockSql(src: String, pfx: String, outCol: String): String =
+    s"""${pfx}r AS (
+       |  SELECT event_type, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rn0,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM $src),
+       |${pfx}f AS (
+       |  SELECT event_type, p, v, rn0,
+       |    CAST(n - 1 AS DOUBLE) * p AS hh,
+       |    floor(CAST(n - 1 AS DOUBLE) * p) AS lo,
+       |    ceil(CAST(n - 1 AS DOUBLE) * p) AS hi
+       |  FROM ${pfx}r, (SELECT unnest($QskPsSqlList) AS p) px
+       |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * p)
+       |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * p)),
+       |${pfx}o AS (
+       |  SELECT event_type, p,
+       |    ${CleanFunctions.round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(hh) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS $outCol
+       |  FROM ${pfx}f GROUP BY event_type, p)""".stripMargin
 
   private val tradeEdgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -2080,26 +2150,8 @@ object EvalQueries {
     },
 
     "events_quantile_sketch" -> {
-      // Rank-interpolation percentile CTE block (the StatsOps
-      // .rankPercentiles replica), parameterized by source relation.
       def pctBlock(src: String, pfx: String, outCol: String) =
-        s"""${pfx}r AS (
-           |  SELECT event_type, v,
-           |    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rn0,
-           |    count(*) OVER (PARTITION BY event_type) AS n
-           |  FROM $src),
-           |${pfx}f AS (
-           |  SELECT event_type, p, v, rn0,
-           |    CAST(n - 1 AS DOUBLE) * p AS hh,
-           |    floor(CAST(n - 1 AS DOUBLE) * p) AS lo,
-           |    ceil(CAST(n - 1 AS DOUBLE) * p) AS hi
-           |  FROM ${pfx}r, (SELECT unnest($QskPsSqlList) AS p) px
-           |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * p)
-           |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * p)),
-           |${pfx}o AS (
-           |  SELECT event_type, p,
-           |    ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(hh) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS $outCol
-           |  FROM ${pfx}f GROUP BY event_type, p)""".stripMargin
+        rankPctBlockSql(src, pfx, outCol)
       s"""WITH e AS (
          |  SELECT event_type, value AS v, event_id,
          |    ${CleanFunctions.md5Hash64Sql("'qsk:' || event_id")} AS h
@@ -2114,6 +2166,33 @@ object EvalQueries {
          |  ${round4Sql("abs(pct_est - pct_exact)")} AS abs_err
          |FROM so JOIN xo ON so.event_type = xo.event_type AND so.p = xo.p
          |ORDER BY so.event_type, so.p""".stripMargin
+    },
+
+    "events_ddsketch_quantile" -> {
+      val lg = CleanFunctions.dlitSql(DdLnGamma)
+      s"""WITH e AS (
+         |  SELECT event_type, value AS v FROM events
+         |  WHERE value IS NOT NULL AND value > 0.0),
+         |bk AS (SELECT event_type,
+         |  CAST(floor(${round6Sql(s"ln(v) / $lg")}) AS BIGINT) AS b FROM e),
+         |bc AS (SELECT event_type, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+         |cum AS (SELECT event_type, b,
+         |  sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  sum(cnt) OVER (PARTITION BY event_type) AS n
+         |  FROM bc),
+         |pr AS (SELECT event_type, p, min(b) AS b
+         |  FROM cum, (SELECT unnest($QskPsSqlList) AS p) px
+         |  WHERE cum >= ceil(p * CAST(n AS DOUBLE))
+         |  GROUP BY 1, 2),
+         |est AS (SELECT event_type, p,
+         |  ${round4Sql(s"exp((CAST(b AS DOUBLE) + 0.5) * $lg)")} AS pct_est
+         |  FROM pr),
+         |${rankPctBlockSql("e", "x", "pct_exact")}
+         |SELECT est.event_type, est.p, pct_est, pct_exact,
+         |  ${round4Sql("(pct_est - pct_exact) / pct_exact")} AS rel_err
+         |FROM est JOIN xo ON est.event_type = xo.event_type AND est.p = xo.p
+         |ORDER BY est.event_type, est.p""".stripMargin
     },
 
     "events_srm_check" ->

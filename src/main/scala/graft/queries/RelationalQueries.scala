@@ -641,6 +641,33 @@ object RelationalQueries {
         .orderBy("lvl", "rnk")
     },
 
+    // TPC-DS Q51 shape (cumulative-channel crossover): daily view vs
+    // purchase counts, each channel's running cumulative, and the
+    // per-day verdict of which leads — the windowed-sales comparison
+    // that finds WHEN one channel's lifetime volume overtakes the
+    // other's. The cumulative runs over the O(#days) daily aggregate
+    // via the broadcast non-equi self-join (the events_user_growth
+    // recipe), never a single-partition global window over rows; the
+    // day domain is calendar-bounded, not corpus-proportional.
+    "q51_cumulative_crossover" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(CleanFunctions.epochUs(col("ts")).as("tsu"), col("event_type"))
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .groupBy("day")
+        .agg(count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+      val b = daily.select(col("day").as("b_day"),
+        col("n_view").as("bv"), col("n_purchase").as("bp"))
+      daily.join(broadcast(b), col("b_day") <= col("day"))
+        .groupBy("day")
+        .agg(sum(col("bv")).as("cum_view"), sum(col("bp")).as("cum_purchase"))
+        .withColumn("purchase_leads",
+          (col("cum_purchase") > col("cum_view")).cast(LongType))
+        .select("day", "cum_view", "cum_purchase", "purchase_leads")
+        .orderBy("day")
+    },
+
     // Weighted PageRank (3 iterations, d=0.85) over the nation trade
     // graph: edge cust-nation -> supp-nation weighted by lineitem
     // count. The heavy stage is the edge aggregation (fact-fact joins
@@ -1638,6 +1665,21 @@ object RelationalQueries {
          |  FROM r)
          |SELECT lvl, brand, ym, rev_sum, rnk FROM k
          |WHERE rnk <= 3 ORDER BY lvl, rnk""".stripMargin,
+
+    "q51_cumulative_crossover" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+        |c AS (SELECT day,
+        |  CAST(sum(n_view) OVER w AS BIGINT) AS cum_view,
+        |  CAST(sum(n_purchase) OVER w AS BIGINT) AS cum_purchase
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT day, cum_view, cum_purchase,
+        |  CAST(CASE WHEN cum_purchase > cum_view THEN 1 ELSE 0 END AS BIGINT) AS purchase_leads
+        |FROM c ORDER BY day""".stripMargin,
 
     "q9_nation_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -727,6 +727,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(wide.filter(col("x90") < col("x50") || col("e90") < col("e50")).count() == 0)
   }
 
+  test("ddsketch quantile: log-bucket estimate lands within the gamma guarantee") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("events_ddsketch_quantile")(spark, sfDir).cache()
+    assert(r.count() > 0)
+    // γ=1.02 bounds the bucket-midpoint error at ~1%; the exact truth can
+    // interpolate one bucket over, so 5% is the loose structural bound.
+    val bad = r.filter(abs(col("rel_err")) > 0.05).count()
+    assert(bad == 0, "log-bucket estimate outside the relative-error guarantee")
+    assert(r.filter(col("pct_est") <= 0.0).count() == 0)
+  }
+
+  test("q51 crossover: cumulatives are monotone and end at the totals") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q51_cumulative_crossover")(spark, sfDir).cache()
+    val rows = r.orderBy("day").collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("cum_view") >= a.getAs[Long]("cum_view"))
+        assert(b.getAs[Long]("cum_purchase") >= a.getAs[Long]("cum_purchase"))
+      case _ => ()
+    }
+    val tot = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(rows.last.getAs[Long]("cum_view") == tot.getOrElse("view", 0L))
+    assert(rows.last.getAs[Long]("cum_purchase") == tot.getOrElse("purchase", 0L))
+  }
+
   test("dbscan stability agrees with emb_dbscan's loose-level membership") {
     import org.apache.spark.sql.functions._
     val st = SparkEntry.queries("emb_dbscan_stability")(spark, sfDir).cache()
