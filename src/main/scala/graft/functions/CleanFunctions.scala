@@ -143,6 +143,17 @@ object CleanFunctions {
     * it on BOTH engines makes the bit patterns agree. Catalyst does not
     * fold `x + 0.0` away for doubles (it would change -0.0 semantics).
     */
+  /** JVM-side replica of [[round4]] for executor-side folds (streaming
+    * state) whose emissions must hash-match the SQL helper bit-for-bit:
+    * Spark's Round(double, 0) is BigDecimal.valueOf(x).setScale(0,
+    * HALF_UP).toDouble — valueOf goes through the double's shortest
+    * decimal form exactly like the Catalyst expression — and the final
+    * `+ 0.0` is the same signed-zero normalization.
+    */
+  def round4Jvm(v: Double): Double =
+    java.math.BigDecimal.valueOf(v * 10000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 10000.0 + 0.0
+
   def round4(c: Column): Column = round(c * lit(10000.0)) / 10000.0 + lit(0.0)
   def round4Sql(x: String): String = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"
   def round6(c: Column): Column = round(c * lit(1000000.0)) / 1000000.0 + lit(0.0)

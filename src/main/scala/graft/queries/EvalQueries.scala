@@ -1119,6 +1119,31 @@ object EvalQueries {
         .orderBy("event_type", "p")
     },
 
+    // Streaming bottom-k quantile sketch, DRIVER-VERIFIED: the
+    // events_quantile_sketch sample/estimate path replayed through a
+    // flatMapGroupsWithState fold whose final emission rides
+    // GroupStateTimeout.EventTimeTimeout — the 13th §2.12 row, and the
+    // first whose output is a TERMINAL STATE SUMMARY (one sketch per
+    // key, emitted when the watermark passes the key's timeout) rather
+    // than per-row or per-window rows. State is k (hash, id, value)
+    // triples per key — constant at any volume, mergeable under any
+    // arrival order — and the emitted estimates hash-match the batch
+    // sample-percentile oracle because the hash is the same Catalyst
+    // expression and the interpolation is round4Jvm (the bit-exact JVM
+    // replica of the SQL round4).
+    "streaming_quantile_sketch" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_qsk",
+          Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
+          ds => StreamingAnomaly.bottomKQuantiles(ds.toDF(), QskK, QskPs).toDF())
+        .orderBy("event_type", "p")
+    },
+
     // DDSketch-style LOG-BUCKET quantile estimate per event type, WITH
     // its accuracy audit — the deterministic-relative-error sibling of
     // events_quantile_sketch (that one samples, so error shrinks with
@@ -2167,6 +2192,21 @@ object EvalQueries {
          |FROM so JOIN xo ON so.event_type = xo.event_type AND so.p = xo.p
          |ORDER BY so.event_type, so.p""".stripMargin
     },
+
+    "streaming_quantile_sketch" ->
+      s"""WITH e AS (
+         |  SELECT event_type, value AS v, event_id,
+         |    ${CleanFunctions.md5Hash64Sql("'qsk:' || event_id")} AS h
+         |  FROM events WHERE value IS NOT NULL),
+         |smp AS (SELECT event_type, v FROM (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+         |  FROM e) q WHERE rn <= $QskK),
+         |${rankPctBlockSql("smp", "s", "pct_est")},
+         |kc AS (SELECT event_type, count(*) AS k_eff FROM smp GROUP BY 1)
+         |SELECT so.event_type, so.p, pct_est, k_eff
+         |FROM so JOIN kc USING (event_type)
+         |ORDER BY so.event_type, so.p""".stripMargin,
 
     "events_ddsketch_quantile" -> {
       val lg = CleanFunctions.dlitSql(DdLnGamma)

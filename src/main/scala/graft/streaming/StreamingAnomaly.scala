@@ -58,6 +58,16 @@ case class Episode(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
 /** Open-episode state: count + span of the current flagged run. */
 case class EpisodeState(n: Long, startUs: Long, endUs: Long)
 
+/** Bottom-k quantile-sketch state: the k smallest (hash, event_id, value)
+  * triples seen so far for one key — constant-size, mergeable (bottom-k
+  * of a union = bottom-k of merged bottom-k's).
+  */
+case class QskItems(items: Seq[(Long, Long, Double)])
+
+/** One emitted percentile estimate of the streaming quantile sketch. */
+case class QskEstimate(event_type: String, p: Double, pct_est: Double,
+                       k_eff: Long)
+
 /** Structured Streaming face of the anomaly pipeline (SURVEY.md §2.12).
   *
   * The reference scores a static frame in RAM (main.py:183-233); the
@@ -475,6 +485,69 @@ object StreamingAnomaly {
           }
           state.update(SeriesState(buf.toVector))
           out.iterator
+      }
+  }
+
+  /** Streaming mergeable bottom-k quantile sketch per event type with
+    * EVENT-TIME-TIMEOUT final emission — the streaming face of the batch
+    * `events_quantile_sketch`. Every arriving row offers its
+    * md5-derived sample hash; the state keeps only the k smallest
+    * (hash, event_id, value) triples (constant size per key at any
+    * volume, mergeable across arrival orders by construction), and the
+    * percentile estimates are emitted ONCE per key, when the watermark
+    * passes the key's timeout — the first §2.12 operator whose output is
+    * a terminal state summary rather than per-row/per-window rows, i.e.
+    * the GroupStateTimeout.EventTimeTimeout mechanism itself. The hash
+    * column is computed by the SAME Catalyst expression as the batch
+    * twin (no JVM md5 replica to drift), and the rank-interpolation +
+    * round4Jvm arithmetic bit-matches the rankPercentiles oracle.
+    */
+  def bottomKQuantiles(events: DataFrame, k: Int, ps: Seq[Double],
+                       watermarkDelay: String = "1 hour"): Dataset[QskEstimate] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val withH = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_type"), col("event_id"), col("value"), col("ts"),
+        graft.functions.CleanFunctions.md5Hash64(
+          concat(lit("qsk:"), col("event_id"))).as("h"))
+      .as[(String, Long, Double, Timestamp, Long)]
+    withH
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String,
+         it: Iterator[(String, Long, Double, Timestamp, Long)],
+         state: GroupState[QskItems]) =>
+          if (state.hasTimedOut) {
+            val vs = state.get.items.map(_._3).sorted.toIndexedSeq
+            state.remove()
+            val n = vs.length
+            ps.iterator.map { p =>
+              // The rankPercentiles interpolation verbatim: h=(n−1)p,
+              // linear between the lo/hi order statistics, 4dp-rounded.
+              val h = (n - 1).toDouble * p
+              val lo = math.floor(h)
+              val vlo = vs(lo.toInt)
+              val vhi = vs(math.ceil(h).toInt)
+              QskEstimate(key, p,
+                graft.functions.CleanFunctions.round4Jvm(
+                  vlo + (h - lo) * (vhi - vlo)), n.toLong)
+            }
+          } else {
+            var maxUs = Long.MinValue
+            val incoming = it.map { r =>
+              val u = us(r._4); if (u > maxUs) maxUs = u
+              (r._5, r._2, r._3)
+            }.toList
+            val merged = (state.getOption.map(_.items).getOrElse(Nil) ++ incoming)
+              .distinct.sortBy(t => (t._1, t._2)).take(k)
+            state.update(QskItems(merged))
+            // Any event-time point past the data but short of the replay
+            // punctuation: the sketch finalizes exactly once, when the
+            // feed declares time has moved on (production: a daily close).
+            state.setTimeoutTimestamp(maxUs / 1000L + 86400L * 1000L)
+            Iterator.empty
+          }
       }
   }
 }

@@ -487,6 +487,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bottom-k quantile sketch: arrival order never changes the emitted sketch") {
+    import org.apache.spark.sql.functions.col
+    def run(name: String, feed: Seq[Event]): List[(String, Double, Double, Long)] = {
+      val punct = StreamingAnomaly.punctuationEvent(
+        feed.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max + 30L * 86400L * 1000000L)
+      StreamingAnomaly.replayToSink(spark, feed, name, Some(punct))(ds =>
+          StreamingAnomaly.bottomKQuantiles(ds.toDF(), k = 4, ps = Seq(0.5)).toDF())
+        .where(col("event_type") =!= "__punctuation__")
+        .as[(String, Double, Double, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    }
+    val base = (1 to 9).map(i =>
+      Event(i.toLong, ts(f"2026-01-01 0$i:00:00"), 1L, "m", i.toDouble))
+    val fwd = run("qsk_fwd", base)
+    val rev = run("qsk_rev", base.reverse)
+    assert(fwd.nonEmpty && fwd == rev, s"fwd=$fwd rev=$rev")
+    // k bounds the sample: k_eff is min(n, k).
+    assert(fwd.forall(_._4 == 4L))
+    // Emission is terminal: exactly one row per (key, p).
+    assert(fwd.map(r => (r._1, r._2)).distinct.size == fwd.size)
+  }
+
   test("different series keys never share state") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)
