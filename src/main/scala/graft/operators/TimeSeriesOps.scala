@@ -952,6 +952,69 @@ object TimeSeriesOps {
       }, schema)
   }
 
+  /** MULTIPLICATIVE Holt-Winters (Winters 1960): the seasonal component
+    * SCALES the level instead of shifting it — the right model when the
+    * weekly swing grows with the level (traffic, revenue), where the
+    * additive fold under-corrects high seasons at high levels. Same
+    * keyed O(1)-state recursion contract as [[holtWinters]] (identical
+    * per-key IEEE op order, so a recursive-CTE oracle replays it
+    * exactly): fitted = (l+b)·s, l' = α·x/s + (1−α)(l+b),
+    * b' = β(l'−l) + (1−β)b, s' = γ·x/l' + (1−γ)s, seasonals start at 1.
+    * The target must be strictly positive (ratios); the caller's
+    * aggregation contract, as with the additive variant's daily means.
+    */
+  def holtWintersMult(df: DataFrame, keys: Seq[String], order: Seq[String],
+                      target: String, period: Int,
+                      alpha: Double, beta: Double, gamma: Double,
+                      numPartitions: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "holtWintersMult needs series keys")
+    require(period >= 2, s"seasonal period must be >= 2, got $period")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.withColumn("__hw_x", col(target).cast(DoubleType))
+      .repartition(parts, keys.map(col): _*)
+      .sortWithinPartitions((keys ++ order).map(col): _*)
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("hw_fitted", DoubleType), StructField("hw_level", DoubleType),
+      StructField("hw_trend", DoubleType), StructField("hw_seasonal", DoubleType)))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val xI = sorted.schema.fieldIndex("__hw_x")
+    val (omA, omB, omG) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    spark.createDataFrame(
+      sorted.rdd.mapPartitions { rows =>
+        var curKey: Seq[Any] = null
+        var l = 0.0; var b = 0.0; var cnt = 0L
+        var s: Array[Double] = null
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (k != curKey) { curKey = k; cnt = 0L; s = Array.fill(period)(1.0) }
+          val out: Seq[Any] =
+            if (r.isNullAt(xI)) Seq(null, null, null, null)
+            else {
+              val x = r.getDouble(xI)
+              cnt += 1
+              val idx = ((cnt - 1) % period).toInt
+              if (cnt == 1L) {
+                l = x; b = 0.0
+                Seq[Any](null, l, b, s(idx))
+              } else {
+                val sI = s(idx)
+                val fitted = (l + b) * sI
+                val lNew = alpha * (x / sI) + omA * (l + b)
+                b = beta * (lNew - l) + omB * b
+                l = lNew
+                s(idx) = gamma * (x / lNew) + omG * sI
+                Seq[Any](fitted, l, b, s(idx))
+              }
+            }
+          Row.fromSeq(r.toSeq.init ++ out)
+        }
+      }, schema)
+  }
+
   /** Token-bucket rate-limit replay (the API-gateway admission audit):
     * per key the bucket starts FULL; each event first refills
     * tokens = min(capacity, tokens + refillPerSec * (Δt_us / 1e6)),

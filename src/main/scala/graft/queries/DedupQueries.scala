@@ -517,7 +517,7 @@ object DedupQueries {
          |p AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.n AS na, b.n AS nb,
          |  CAST(count(*) AS DOUBLE) AS common
          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)
-         |SELECT doc_id_a, doc_id_b, round((common / (na + nb - common)) * 10000.0) / 10000.0 AS jaccard
+         |SELECT doc_id_a, doc_id_b, round((common / (na + nb - common)) * 10000.0) / 10000.0 + 0.0 AS jaccard
          |FROM p WHERE common / (na + nb - common) >= $JaccardThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
@@ -576,7 +576,7 @@ object DedupQueries {
          |bands AS ($bandRows),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-         |SELECT doc_id_a, doc_id_b, round((${jaccardSql("sa.sh", "sb.sh")}) * 10000.0) / 10000.0 AS jaccard
+         |SELECT doc_id_a, doc_id_b, round((${jaccardSql("sa.sh", "sb.sh")}) * 10000.0) / 10000.0 + 0.0 AS jaccard
          |FROM cand JOIN sset sa ON doc_id_a = sa.doc_id JOIN sset sb ON doc_id_b = sb.doc_id
          |WHERE ${jaccardSql("sa.sh", "sb.sh")} >= $MinhashVerifyThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin
@@ -646,7 +646,7 @@ object DedupQueries {
          |cand AS (SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
          |  ${TextFunctions.cosineSql("a.embedding", "b.embedding")} AS cos
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-         |SELECT vec_id_a, vec_id_b, round((cos) * 10000.0) / 10000.0 AS cosine
+         |SELECT vec_id_a, vec_id_b, round((cos) * 10000.0) / 10000.0 + 0.0 AS cosine
          |FROM cand WHERE cos >= $CosineThreshold
          |ORDER BY vec_id_a, vec_id_b""".stripMargin
     },

@@ -146,7 +146,7 @@ object OpsQueries {
        |  SELECT p.user_id, p.event_id, p.rn, p.m, p.k,
        |    greatest(CAST(0.0 AS DOUBLE), c.s + (p.x - p.m - p.k))
        |  FROM c JOIN p ON p.user_id = c.user_id AND p.rn = c.rn + 1)
-       |SELECT event_id, round((s) * 10000.0) / 10000.0 AS cusum_hi,
+       |SELECT event_id, round((s) * 10000.0) / 10000.0 + 0.0 AS cusum_hi,
        |  CAST(CASE WHEN s > 4.0 * k THEN 1 ELSE 0 END AS BIGINT) AS alarm
        |FROM c ORDER BY event_id""".stripMargin
 
@@ -678,6 +678,29 @@ object OpsQueries {
         .groupBy("user_id", "day")
         .agg(CleanFunctions.exactMean(col("value")).as("m"))
       TS.holtWinters(daily, K, Seq("day"), "m", period = 7,
+          alpha = 0.3, beta = 0.1, gamma = 0.2)
+        .select(col("user_id"), col("day"), round4(col("m")).as("day_mean"),
+          round4(col("hw_fitted")).as("hw_fitted"),
+          round4(col("hw_level")).as("hw_level"),
+          round4(col("hw_trend")).as("hw_trend"),
+          round4(col("hw_seasonal")).as("hw_seasonal"))
+        .orderBy("user_id", "day")
+    },
+
+    // MULTIPLICATIVE Holt-Winters over the same daily grid — the model
+    // for series whose weekly swing GROWS with the level (traffic,
+    // revenue): the seasonal factor scales the level instead of
+    // shifting it, so the additive fold's under-correction of high
+    // seasons at high levels disappears. Daily means are strictly
+    // positive (events values > 0), satisfying the ratio contract;
+    // identical recursion scaffolding, replayed exactly by a
+    // recursive-CTE oracle with seasonals initialized at 1.
+    "ts_holt_winters_mult" -> { (s, d) =>
+      val daily = ev(s, d).where(col("value").isNotNull)
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(CleanFunctions.exactMean(col("value")).as("m"))
+      TS.holtWintersMult(daily, K, Seq("day"), "m", period = 7,
           alpha = 0.3, beta = 0.1, gamma = 0.2)
         .select(col("user_id"), col("day"), round4(col("m")).as("day_mean"),
           round4(col("hw_fitted")).as("hw_fitted"),
@@ -1372,6 +1395,35 @@ object OpsQueries {
       .stripMargin
   }
 
+  /** Multiplicative twin of [[HwCtes]]: seasonals start at 1, level
+    * updates on x/s, seasonal on x/l' — the SAME IEEE op order as the
+    * holtWintersMult fold so the recursion replays bit-exactly.
+    */
+  private lazy val HwMultCtes: String = {
+    val idx = "(v.rn - 1) % 7 + 1"
+    val lNew = s"(0.3 * (v.m / c.s[$idx]) + (1.0 - 0.3) * (c.l + c.b))"
+    val ones = Seq.fill(7)("CAST(1.0 AS DOUBLE)").mkString("[", ", ", "]")
+    s"""daily AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+       |    ${CleanFunctions.exactMeanSql("value")} AS m
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |v AS (SELECT user_id, day, m,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM daily),
+       |c AS (
+       |  SELECT user_id, day, m, rn, CAST(NULL AS DOUBLE) AS fitted,
+       |    m AS l, CAST(0.0 AS DOUBLE) AS b, $ones AS s
+       |  FROM v WHERE rn = 1
+       |  UNION ALL
+       |  SELECT v.user_id, v.day, v.m, v.rn,
+       |    (c.l + c.b) * c.s[$idx],
+       |    $lNew,
+       |    0.1 * ($lNew - c.l) + (1.0 - 0.1) * c.b,
+       |    list_transform(c.s, (x, i) -> CASE WHEN i = $idx
+       |      THEN 0.2 * (v.m / $lNew) + (1.0 - 0.2) * c.s[$idx] ELSE x END)
+       |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)"""
+      .stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "events_zonemap_report" ->
       s"""WITH gm AS (SELECT max(value) AS gmax FROM events),
@@ -1511,7 +1563,7 @@ object OpsQueries {
          |  FROM c GROUP BY 1),
          |j AS (
          |  SELECT c.event_type, na, nb,
-         |    CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |    CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000.0) / 1000000.0 + 0.0 AS DECIMAL(18,6)) AS term
          |  FROM c JOIN t USING (event_type))
          |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
          |  CAST(max(nb) AS BIGINT) AS n_b,
@@ -1685,6 +1737,14 @@ object OpsQueries {
          |  ${round4Sql("s[(rn - 1) % 7 + 1]")} AS hw_seasonal
          |FROM c ORDER BY user_id, day""".stripMargin,
 
+    "ts_holt_winters_mult" ->
+      s"""WITH RECURSIVE $HwMultCtes
+         |SELECT user_id, day, ${round4Sql("m")} AS day_mean,
+         |  ${round4Sql("fitted")} AS hw_fitted, ${round4Sql("l")} AS hw_level,
+         |  ${round4Sql("b")} AS hw_trend,
+         |  ${round4Sql("s[(rn - 1) % 7 + 1]")} AS hw_seasonal
+         |FROM c ORDER BY user_id, day""".stripMargin,
+
     "ts_hw_anomaly" ->
       s"""WITH RECURSIVE $HwCtes,
          |r AS (SELECT user_id, day, m, ${round4Sql("m - fitted")} AS resid
@@ -1723,7 +1783,7 @@ object OpsQueries {
          |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
          |  FROM events WHERE value IS NOT NULL),
          |p AS (SELECT v.user_id, v.event_id, v.rn,
-         |    abs(round(((v.x - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 10000.0) / 10000.0) AS za
+         |    abs(round(((v.x - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 10000.0) / 10000.0 + 0.0) AS za
          |  FROM v JOIN stats USING (user_id)),
          |f AS (SELECT * FROM p WHERE za IS NOT NULL),
          |c AS (
@@ -1745,7 +1805,7 @@ object OpsQueries {
          |    CAST(count(value) AS DOUBLE) AS n
          |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
          |z AS (SELECT e.user_id, epoch_us(e.ts) // $SixHoursUs AS frame,
-         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 AS zr
+         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS zr
          |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
          |paa AS (SELECT user_id, frame,
          |    CAST(sum(CAST(zr AS DECIMAL(18,6))) AS DOUBLE) / nullif(CAST(count(zr) AS DOUBLE), 0.0) AS paa_raw,
@@ -1767,7 +1827,7 @@ object OpsQueries {
          |    CAST(count(value) AS DOUBLE) AS n
          |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
          |z AS (SELECT e.user_id, epoch_us(e.ts) // $SixHoursUs AS frame,
-         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 AS zr
+         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS zr
          |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
          |paa AS (SELECT user_id, frame,
          |    CAST(sum(CAST(zr AS DECIMAL(18,6))) AS DOUBLE) / nullif(CAST(count(zr) AS DOUBLE), 0.0) AS paa_raw
@@ -1800,7 +1860,7 @@ object OpsQueries {
          |    CAST(count(value) AS DOUBLE) AS n
          |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
          |z AS (SELECT e.user_id, epoch_us(e.ts) // $SixHoursUs AS frame,
-         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 AS zr
+         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS zr
          |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
          |paa AS (SELECT user_id, frame,
          |    CAST(sum(CAST(zr AS DECIMAL(18,6))) AS DOUBLE) / nullif(CAST(count(zr) AS DOUBLE), 0.0) AS paa_raw
@@ -1840,7 +1900,7 @@ object OpsQueries {
          |    CAST(count(value) AS DOUBLE) AS n
          |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
          |vc AS (SELECT e.user_id, epoch_us(e.ts) // 3600000000 AS th,
-         |    round((value - sx / n) * 1000000.0) / 1000000.0 AS vc
+         |    round((value - sx / n) * 1000000.0) / 1000000.0 + 0.0 AS vc
          |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
          |ag AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
          |  $sums
@@ -1876,7 +1936,7 @@ object OpsQueries {
          |    CAST(count(value) AS DOUBLE) AS n
          |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
          |vc AS (SELECT e.user_id, epoch_us(e.ts) // 3600000000 AS th,
-         |    round((value - sx / n) * 1000000.0) / 1000000.0 AS vc
+         |    round((value - sx / n) * 1000000.0) / 1000000.0 + 0.0 AS vc
          |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
          |ag AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
          |  $sums

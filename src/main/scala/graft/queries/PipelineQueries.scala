@@ -223,8 +223,8 @@ object PipelineQueries {
          |AND mx3 IS NOT NULL AND m24 IS NOT NULL AND s24 IS NOT NULL AND mn24 IS NOT NULL AND mx24 IS NOT NULL
          |)
          |SELECT event_id,
-         |round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 AS scaled,
-         |value_lag_1, value_lag_24, m24 AS roll_mean_24h, round((s24) * 10000.0) / 10000.0 AS roll_std_24h,
+         |round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 + 0.0 AS scaled,
+         |value_lag_1, value_lag_24, m24 AS roll_mean_24h, round((s24) * 10000.0) / 10000.0 + 0.0 AS roll_std_24h,
          |hour, dayofweek, is_weekend
          |FROM g WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin
     }

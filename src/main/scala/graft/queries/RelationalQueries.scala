@@ -762,6 +762,44 @@ object RelationalQueries {
         .orderBy("o_custkey", "ok1", "ok2")
     },
 
+    // Fellegi-Sunter probabilistic record linkage over customers (the
+    // 1969 m/u-weight model that production entity resolution still
+    // runs on): candidate pairs from an account-balance-band equi-join
+    // block, each compared field contributing ln(m/u) on agreement and
+    // ln((1−m)/(1−u)) on disagreement, match verdict at a fixed score
+    // threshold. m/u are pinned (production shape: EM-fitted offline,
+    // scored online). Every agreement decision is an equality or an
+    // IEEE compare of identical doubles, and the score is a fixed-order
+    // sum of three baked literals — engine-exact by construction.
+    // Scale: the pair stage is a bucketed equi-join, never corpus²;
+    // block keys must keep block sizes bounded at the target volume
+    // (here 100-unit balance bands; production adds more fields).
+    "customer_record_linkage" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal"), floor(col("c_acctbal") / 100.0).cast(LongType).as("band"))
+      val a = c.select(col("c_custkey").as("ck_a"), col("c_nationkey").as("na"),
+        col("c_mktsegment").as("sa"), col("c_acctbal").as("ba"), col("band"))
+      val b = c.select(col("c_custkey").as("ck_b"), col("c_nationkey").as("nb"),
+        col("c_mktsegment").as("sb"), col("c_acctbal").as("bb"), col("band"))
+      val sameNation  = col("na") === col("nb")
+      val sameSegment = col("sa") === col("sb")
+      val closeBal    = abs(col("ba") - col("bb")) <= 10.0
+      val score =
+        when(sameNation, lit(FsWnA)).otherwise(lit(FsWnD)) +
+          when(sameSegment, lit(FsWsA)).otherwise(lit(FsWsD)) +
+          when(closeBal, lit(FsWbA)).otherwise(lit(FsWbD))
+      a.join(b, "band").where(col("ck_a") < col("ck_b"))
+        .withColumn("fs_score", CleanFunctions.round4(score))
+        .where(col("fs_score") >= FsThr)
+        .select(col("ck_a"), col("ck_b"),
+          sameNation.cast(LongType).as("same_nation"),
+          sameSegment.cast(LongType).as("same_segment"),
+          closeBal.cast(LongType).as("close_balance"),
+          col("fs_score"))
+        .orderBy("ck_a", "ck_b")
+    },
+
     // Triangle count + clustering coefficient on the undirected nation
     // trade graph — completes the graph family (PageRank, components,
     // triangles): edges normalized to a<b, the triangle enumeration is
@@ -1187,6 +1225,17 @@ object RelationalQueries {
   private val BfsSource  = 0
   private val BfsMaxHops = 4
 
+  // Fellegi-Sunter pinned m/u probabilities per compared field and the
+  // derived agreement/disagreement log-weights (single source for both
+  // engines — the oracle bakes each weight via dlitSql).
+  private val FsWnA = math.log(0.9 / 0.04)  // nationkey agree
+  private val FsWnD = math.log(0.1 / 0.96)
+  private val FsWsA = math.log(0.9 / 0.2)   // mktsegment agree
+  private val FsWsD = math.log(0.1 / 0.8)
+  private val FsWbA = math.log(0.8 / 0.1)   // |acctbal delta| <= 10
+  private val FsWbD = math.log(0.2 / 0.9)
+  private val FsThr = 4.0
+
   /** One PageRank iteration as a DuckDB CTE body: rank from `prev`,
     * contributions rounded 4dp then DECIMAL-summed (exactly the Spark
     * plan's op sequence).
@@ -1251,6 +1300,32 @@ object RelationalQueries {
          |  AND abs(a.tsu - b.tsu) <= ${14L * 86400000000L}
          |ORDER BY a.o_custkey, ok1, ok2""".stripMargin,
 
+    "customer_record_linkage" -> {
+      val d = CleanFunctions.dlitSql _
+      s"""WITH c AS (
+         |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+         |    floor(c_acctbal / 100.0) AS band
+         |  FROM customer),
+         |p AS (
+         |  SELECT a.c_custkey AS ck_a, b.c_custkey AS ck_b,
+         |    a.c_nationkey = b.c_nationkey AS same_nation,
+         |    a.c_mktsegment = b.c_mktsegment AS same_segment,
+         |    abs(a.c_acctbal - b.c_acctbal) <= 10.0 AS close_balance
+         |  FROM c a JOIN c b ON a.band = b.band AND a.c_custkey < b.c_custkey),
+         |sc AS (
+         |  SELECT ck_a, ck_b,
+         |    CAST(same_nation AS BIGINT) AS same_nation,
+         |    CAST(same_segment AS BIGINT) AS same_segment,
+         |    CAST(close_balance AS BIGINT) AS close_balance,
+         |    ${CleanFunctions.round4Sql(
+              s"(CASE WHEN same_nation THEN ${d(FsWnA)} ELSE ${d(FsWnD)} END" +
+                s" + CASE WHEN same_segment THEN ${d(FsWsA)} ELSE ${d(FsWsD)} END" +
+                s" + CASE WHEN close_balance THEN ${d(FsWbA)} ELSE ${d(FsWbD)} END)")} AS fs_score
+         |  FROM p)
+         |SELECT * FROM sc WHERE fs_score >= $FsThr
+         |ORDER BY ck_a, ck_b""".stripMargin
+    },
+
     "nation_triangles" ->
       s"""WITH raw AS (
          |  SELECT c.c_nationkey AS x, s.s_nationkey AS y
@@ -1305,7 +1380,7 @@ object RelationalQueries {
          |t AS (SELECT nk, ${CleanFunctions.exactSumSql("rev")} AS tot FROM sn GROUP BY 1),
          |h AS (
          |  SELECT sn.nk, rev / tot AS share,
-         |    CAST(round((rev / tot) * (rev / tot) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |    CAST(round((rev / tot) * (rev / tot) * 1000000.0) / 1000000.0 + 0.0 AS DECIMAL(18,6)) AS term
          |  FROM sn JOIN t ON sn.nk = t.nk)
          |SELECT h.nk AS nationkey, n_name, count(*) AS n_suppliers,
          |  ${CleanFunctions.round4Sql("max(share)")} AS top_share,
@@ -1501,7 +1576,7 @@ object RelationalQueries {
         |  UNION ALL SELECT 2, c2, c3 FROM c
         |  UNION ALL SELECT 3, c3, CAST('infinity' AS DOUBLE) FROM c)
         |SELECT band, count(*) AS n_orders,
-        |round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)) * 10000.0) / 10000.0 AS sum_price
+        |round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)) * 10000.0) / 10000.0 + 0.0 AS sum_price
         |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
@@ -1562,7 +1637,7 @@ object RelationalQueries {
         |  CAST(sum(CAST(CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS syy
         |  FROM events GROUP BY event_type)
         |SELECT event_type,
-        |round((${CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")}) * 10000.0) / 10000.0 AS corr_value_hour
+        |round((${CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")}) * 10000.0) / 10000.0 + 0.0 AS corr_value_hour
         |FROM m ORDER BY event_type""".stripMargin,
 
     "events_unpivot" ->

@@ -415,7 +415,7 @@ object SimilarityQueries {
       Tables.embeddings(s, d).createOrReplaceTempView("graft_emb")
       s.sql(s"""
         SELECT vec_id,
-          round(float_vector_dot(embedding, embedding) * 10000.0) / 10000.0 AS self_dot
+          round(float_vector_dot(embedding, embedding) * 10000.0) / 10000.0 + 0.0 AS self_dot
         FROM graft_emb ORDER BY vec_id""")
     },
 
@@ -1124,7 +1124,7 @@ object SimilarityQueries {
   private lazy val AnnTopkOracle: String =
     s"""SELECT q_id, n_id, score, rk FROM (
        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-       |    round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 AS score,
+       |    round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 DESC, e.vec_id) AS rk
        |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
@@ -1165,7 +1165,7 @@ object SimilarityQueries {
        |    FROM qs, ps a, ps b, npt WHERE a.p < b.p AND b.p < np),
        |knn AS (SELECT q_id, n_id, score, rk FROM (
        |  SELECT q.q_id, b.vec_id AS n_id,
-       |    round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 AS score,
+       |    round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score,
        |    row_number() OVER (PARTITION BY q.q_id
        |      ORDER BY round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 DESC, b.vec_id) AS rk
        |  FROM qp q JOIN sb b ON b.bucket = q.pbucket AND b.vec_id <> q.q_id)
@@ -1289,7 +1289,7 @@ object SimilarityQueries {
          |  JOIN f1 ON f1.vec_id = e.vec_id),
          |p AS (
          |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-         |    round((${TextFunctions.cosineSql("a.embedding", "b.embedding")}) * 10000.0) / 10000.0 AS cosine
+         |    round((${TextFunctions.cosineSql("a.embedding", "b.embedding")}) * 10000.0) / 10000.0 + 0.0 AS cosine
          |  FROM coded a JOIN coded b
          |    ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.vec_id < b.vec_id)
          |SELECT vec_id_a, vec_id_b, cosine FROM p
@@ -1318,12 +1318,12 @@ object SimilarityQueries {
 
     "sql_surface" ->
       s"""SELECT vec_id,
-         |round((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 AS self_dot
+         |round((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 + 0.0 AS self_dot
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "emb_centroids" ->
       s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
-         |round((CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(embedding[i])) * 1000000.0) / 1000000.0 AS centroid
+         |round((CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / count(embedding[i])) * 1000000.0) / 1000000.0 + 0.0 AS centroid
          |FROM embeddings, (SELECT unnest(generate_series(1, $EmbDim)) AS i) dims
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
@@ -1475,7 +1475,7 @@ object SimilarityQueries {
          |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE) AS norm2
          |  FROM embeddings)
          |SELECT vec_id, CAST(i AS BIGINT) AS dim,
-         |  round((CAST(e[i] AS DOUBLE) / sqrt(norm2)) * 1000000.0) / 1000000.0 AS v
+         |  round((CAST(e[i] AS DOUBLE) / sqrt(norm2)) * 1000000.0) / 1000000.0 + 0.0 AS v
          |FROM b, (SELECT unnest(generate_series(1, $TruncDim)) AS i) dims
          |WHERE norm2 > 0.0 ORDER BY vec_id, dim""".stripMargin,
 
@@ -1487,15 +1487,15 @@ object SimilarityQueries {
          |        CAST(embedding[i] AS DOUBLE) AS x
          |      FROM embeddings, dims),
          |st AS (SELECT label, dim,
-         |        round((CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x)) * 1000000.0) / 1000000.0 AS c,
+         |        round((CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x)) * 1000000.0) / 1000000.0 + 0.0 AS c,
          |        round(greatest(
          |          CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) / count(x)
          |          - (CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x))
          |            * (CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x)),
-         |          0.0) * 1000000.0) / 1000000.0 AS v
+         |          0.0) * 1000000.0) / 1000000.0 + 0.0 AS v
          |      FROM e GROUP BY label, dim),
          |md AS (SELECT vec_id, e.label,
-         |        round(CAST(sum(CAST((x - c) * (x - c) / greatest(v, $eps) AS DECIMAL(28,10))) AS DOUBLE) * 10000.0) / 10000.0 AS md2
+         |        round(CAST(sum(CAST((x - c) * (x - c) / greatest(v, $eps) AS DECIMAL(28,10))) AS DOUBLE) * 10000.0) / 10000.0 + 0.0 AS md2
          |      FROM e JOIN st ON e.label = st.label AND e.dim = st.dim
          |      GROUP BY vec_id, e.label)
          |SELECT vec_id, label, md2,
@@ -1509,10 +1509,10 @@ object SimilarityQueries {
          |        CAST(embedding[i] AS DOUBLE) AS x
          |      FROM embeddings, dims),
          |cent AS (SELECT label, dim,
-         |        round((CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x)) * 1000000.0) / 1000000.0 AS c
+         |        round((CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x)) * 1000000.0) / 1000000.0 + 0.0 AS c
          |      FROM e GROUP BY label, dim),
          |dist AS (SELECT vec_id, e.label,
-         |        round(sqrt(CAST(sum(CAST((x - c) * (x - c) AS DECIMAL(28,10))) AS DOUBLE)) * 1000000.0) / 1000000.0 AS dist
+         |        round(sqrt(CAST(sum(CAST((x - c) * (x - c) AS DECIMAL(28,10))) AS DOUBLE)) * 1000000.0) / 1000000.0 + 0.0 AS dist
          |      FROM e JOIN cent ON e.label = cent.label AND e.dim = cent.dim
          |      GROUP BY vec_id, e.label),
          |stats AS (SELECT label, CAST(count(*) AS DOUBLE) AS n,
@@ -1522,7 +1522,7 @@ object SimilarityQueries {
          |SELECT vec_id, label, dist, z,
          |  CAST(CASE WHEN z > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
          |FROM (SELECT vec_id, dist.label AS label, dist,
-         |  round(((dist - sx / n) / nullif(${graft.functions.CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 10000.0) / 10000.0 AS z
+         |  round(((dist - sx / n) / nullif(${graft.functions.CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 10000.0) / 10000.0 + 0.0 AS z
          |  FROM dist JOIN stats ON dist.label = stats.label)
          |ORDER BY vec_id""".stripMargin,
 
@@ -1533,7 +1533,7 @@ object SimilarityQueries {
       s"""WITH b AS (SELECT vec_id, embedding,
          |  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m FROM embeddings)
          |SELECT vec_id,
-         |round((CASE WHEN m > 0.0 THEN 127.0 / m END) * 10000.0) / 10000.0 AS q_scale,
+         |round((CASE WHEN m > 0.0 THEN 127.0 / m END) * 10000.0) / 10000.0 + 0.0 AS q_scale,
          |CASE WHEN m > 0.0 THEN array_to_string(list_transform(embedding,
          |  x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INT)), ',') END AS q_codes
          |FROM b ORDER BY vec_id""".stripMargin,
@@ -1599,7 +1599,7 @@ object SimilarityQueries {
          |      ORDER BY (-2.0 * ${dot("q.q_emb", "c.center")} + ${dot("c.center", "c.center")}), c.cell) AS r
          |  FROM q, c$IvfIters c) WHERE r <= $IvfProbes),
          |sc AS (SELECT pr.q_id, a.vec_id AS n_id,
-         |  round((${TextFunctions.cosineSql("pr.q_emb", "a.embedding")}) * 10000.0) / 10000.0 AS score
+         |  round((${TextFunctions.cosineSql("pr.q_emb", "a.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score
          |  FROM pr JOIN af a ON a.cell = pr.cell AND a.vec_id <> pr.q_id)
          |SELECT q_id, n_id, score, rk FROM (
          |  SELECT q_id, n_id, score,
@@ -1777,7 +1777,7 @@ object SimilarityQueries {
     "ann_filtered_topk" ->
       s"""SELECT q_id, n_id, score, rk FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
-         |    round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 AS score,
+         |    round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY round((${TextFunctions.cosineSql("q.embedding", "e.embedding")}) * 10000.0) / 10000.0 DESC, e.vec_id) AS rk
          |  FROM embeddings q JOIN embeddings e

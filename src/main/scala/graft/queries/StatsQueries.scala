@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.functions.CleanFunctions
-import graft.functions.CleanFunctions.{exactSum, exactSumSql, round4, round4Sql}
+import graft.functions.CleanFunctions.{exactSum, exactSumSql, round4, round4Sql, round6, round6Sql}
 import graft.operators.StatsOps
 import graft.sources.Tables
 
@@ -678,6 +678,41 @@ object StatsQueries {
         round4((lit(2.0) * col("rs").cast(DoubleType)) /
           (col("n") * col("tot").cast(DoubleType)) -
           (col("n") + 1.0) / col("n")).as("gini"))
+    },
+
+    // Theil-T inequality index of order revenue, DECOMPOSED by nation —
+    // Gini's additive sibling: T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ)
+    // splits total concentration into WITHIN-nation and BETWEEN-nation
+    // parts, which Gini cannot do (the decomposition is why economists
+    // reach for Theil). One row per nation: order count, revenue share
+    // s_g = n_g·μ_g/(n·μ), within-group T_g, and the between-group
+    // term. Group/global means 6dp-rounded so every downstream ratio
+    // and ln is engine-identical; per-row entropy terms 6dp-quantized
+    // then DECIMAL-summed (ONE ln per row, codegen'd).
+    "orders_theil" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.table(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_totalprice").as("x"))
+      val glob = o.agg(count(lit(1)).cast(DoubleType).as("n"),
+        round6(CleanFunctions.exactMean(col("x"))).as("mu"))
+      val grp = o.groupBy("n_name").agg(
+        count(lit(1)).as("n_g"),
+        round6(CleanFunctions.exactMean(col("x"))).as("mu_g"))
+      val within = o.join(broadcast(grp), "n_name")
+        .withColumn("term", round6((col("x") / col("mu_g")) *
+          log(col("x") / col("mu_g"))))
+        .groupBy("n_name")
+        .agg(round4(exactSum(col("term")) / count(lit(1))).as("theil_within"))
+      grp.join(within, "n_name").crossJoin(broadcast(glob))
+        .withColumn("share",
+          round6(col("n_g").cast(DoubleType) * col("mu_g") / (col("n") * col("mu"))))
+        .select(col("n_name"), col("n_g").as("n_orders"),
+          round4(col("mu_g")).as("mean_price"), col("share"), col("theil_within"),
+          round4(col("share") * log(col("mu_g") / col("mu"))).as("between_term"))
+        .orderBy("n_name")
     },
 
     // Durbin-Watson statistic on the OLS-trend residuals: DW =
@@ -1724,7 +1759,7 @@ object StatsQueries {
         |  FROM events GROUP BY 1, 2),
         |t AS (
         |  SELECT user_id,
-        |    CAST(round(((cnt / (sum(cnt) OVER (PARTITION BY user_id))) * ln(cnt / (sum(cnt) OVER (PARTITION BY user_id)))) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+        |    CAST(round(((cnt / (sum(cnt) OVER (PARTITION BY user_id))) * ln(cnt / (sum(cnt) OVER (PARTITION BY user_id)))) * 1000000.0) / 1000000.0 + 0.0 AS DECIMAL(18,6)) AS term
         |  FROM c)
         |SELECT user_id, CAST(-sum(term) AS DOUBLE) AS entropy
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -1833,7 +1868,7 @@ object StatsQueries {
          |      FROM spine s LEFT JOIN obs o
          |        ON s.event_type = o.event_type AND s.digit = o.digit),
          |t AS (SELECT event_type, n,
-         |  CAST(round(((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * $ed) * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * $ed) / (CAST(n AS DOUBLE) * $ed)) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |  CAST(round(((CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * $ed) * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * $ed) / (CAST(n AS DOUBLE) * $ed)) * 1000000.0) / 1000000.0 + 0.0 AS DECIMAL(18,6)) AS term
          |  FROM j)
          |SELECT event_type, max(n) AS n,
          |  ${round4Sql("CAST(sum(term) AS DOUBLE)")} AS chi2
@@ -1855,7 +1890,7 @@ object StatsQueries {
          |  LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.part = ct.part),
          |t AS (
          |  SELECT n, event_type, part,
-         |    CAST(round(((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |    CAST(round(((CAST(obs AS DOUBLE) - e) * (CAST(obs AS DOUBLE) - e) / e) * 1000000.0) / 1000000.0 + 0.0 AS DECIMAL(18,6)) AS term
          |  FROM j)
          |SELECT max(n) AS n,
          |  (count(DISTINCT event_type) - 1) * (count(DISTINCT part) - 1) AS dof,
@@ -1988,7 +2023,7 @@ object StatsQueries {
          |c AS (SELECT user_id, code, count(*) AS cnt FROM t GROUP BY 1, 2),
          |g AS (
          |  SELECT user_id, cnt,
-         |    CAST(round(((cnt / (sum(cnt) OVER (PARTITION BY user_id))) * ln(cnt / (sum(cnt) OVER (PARTITION BY user_id)))) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) AS term
+         |    CAST(round(((cnt / (sum(cnt) OVER (PARTITION BY user_id))) * ln(cnt / (sum(cnt) OVER (PARTITION BY user_id)))) * 1000000.0) / 1000000.0 + 0.0 AS DECIMAL(18,6)) AS term
          |  FROM c)
          |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_triples,
          |  ${round4Sql(s"CAST(-sum(term) AS DOUBLE) / ${dlit(math.log(6.0))}")} AS perm_entropy
@@ -2083,6 +2118,34 @@ object StatsQueries {
          |SELECT CAST(n AS BIGINT) AS n_customers,
          |  ${round4Sql("(2.0 * CAST(rs AS DOUBLE)) / (n * CAST(tot AS DOUBLE)) - (n + 1.0) / n")} AS gini
          |FROM a""".stripMargin,
+
+    "orders_theil" ->
+      s"""WITH o AS (
+         |  SELECT n_name, o_totalprice AS x
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey),
+         |gtot AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    ${round6Sql(CleanFunctions.exactMeanSql("x"))} AS mu
+         |  FROM o),
+         |grp AS (
+         |  SELECT n_name, count(*) AS n_g,
+         |    ${round6Sql(CleanFunctions.exactMeanSql("x"))} AS mu_g
+         |  FROM o GROUP BY 1),
+         |w AS (
+         |  SELECT o.n_name,
+         |    ${round4Sql(s"${CleanFunctions.exactSumSql(
+            round6Sql("(x / mu_g) * ln(x / mu_g)"))} / count(*)")} AS theil_within
+         |  FROM o JOIN grp ON o.n_name = grp.n_name GROUP BY 1),
+         |j AS (
+         |  SELECT grp.n_name, n_g, mu_g, theil_within,
+         |    ${round6Sql("CAST(n_g AS DOUBLE) * mu_g / (n * mu)")} AS share, mu
+         |  FROM grp JOIN w ON grp.n_name = w.n_name CROSS JOIN gtot)
+         |SELECT n_name, n_g AS n_orders, ${round4Sql("mu_g")} AS mean_price,
+         |  share, theil_within,
+         |  ${round4Sql("share * ln(mu_g / mu)")} AS between_term
+         |FROM j ORDER BY n_name""".stripMargin,
 
     "ts_durbin_watson" -> {
       val slope = "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)"
@@ -2653,7 +2716,7 @@ object StatsQueries {
          |  GROUP BY a.dur_h, a.d, a.m),
          |f AS (
          |  SELECT dur_h, d, m, n_risk,
-         |    CASE WHEN d < n_risk THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000.0) / 1000000.0 AS DECIMAL(18,6)) END AS lnf,
+         |    CASE WHEN d < n_risk THEN CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000.0) / 1000000.0 + 0.0 AS DECIMAL(18,6)) END AS lnf,
          |    CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS iszero
          |  FROM r),
          |s AS (

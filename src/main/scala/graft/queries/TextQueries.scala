@@ -1099,11 +1099,11 @@ object TextQueries {
            |CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct
            |FROM documents)
            |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           |round(n_stop / nullif(n_tokens, 0) * 10000.0) / 10000.0 AS stopword_ratio,
-           |round(n_alpha / nullif(n_chars, 0) * 10000.0) / 10000.0 AS alpha_ratio,
-           |round(n_punct / nullif(n_chars, 0) * 10000.0) / 10000.0 AS punct_ratio,
+           |round(n_stop / nullif(n_tokens, 0) * 10000.0) / 10000.0 + 0.0 AS stopword_ratio,
+           |round(n_alpha / nullif(n_chars, 0) * 10000.0) / 10000.0 + 0.0 AS alpha_ratio,
+           |round(n_punct / nullif(n_chars, 0) * 10000.0) / 10000.0 + 0.0 AS punct_ratio,
            |round((0.3 * least(1.0, n_tokens / 100.0) + 0.3 * (n_alpha / nullif(n_chars, 0))
-           | + 0.2 * (1.0 - n_punct / nullif(n_chars, 0)) + 0.2 * (n_stop / nullif(n_tokens, 0))) * 10000.0) / 10000.0 AS quality_score
+           | + 0.2 * (1.0 - n_punct / nullif(n_chars, 0)) + 0.2 * (n_stop / nullif(n_tokens, 0))) * 10000.0) / 10000.0 + 0.0 AS quality_score
            |FROM m ORDER BY doc_id""".stripMargin,
 
       "text_readability" ->
@@ -1325,7 +1325,7 @@ object TextQueries {
       "text_sample_weighted" ->
         s"""SELECT doc_id, lang,
            |round((ln(CAST(${CleanFunctions.md5Hash64Sql("'wsample:' || doc_id")} % 1000000 + 1 AS DOUBLE) / 1000001.0)
-           |  / nullif(CAST(n_chars AS DOUBLE), 0.0)) * 1000000.0) / 1000000.0 AS score
+           |  / nullif(CAST(n_chars AS DOUBLE), 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS score
            |FROM documents ORDER BY score DESC, doc_id LIMIT $WeightedSampleK""".stripMargin,
 
       // Same recursive transitive-closure CTE as the dedup_clusters
@@ -1379,7 +1379,7 @@ object TextQueries {
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
            |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
            |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
-           |  round((tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df)) * 10000.0) / 10000.0 AS tfidf
+           |  round((tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df)) * 10000.0) / 10000.0 + 0.0 AS tfidf
            |  FROM tf JOIN df USING (term)),
            |r AS (SELECT doc_id, term, tf, df, tfidf,
            |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM sc)
@@ -1493,7 +1493,7 @@ object TextQueries {
            |sh AS (SELECT source, n_docs, n_tokens,
            |  ${CleanFunctions.round4Sql("CAST(n_tokens AS DOUBLE) / CAST((SELECT sum(n_tokens) FROM src) AS DOUBLE)")} AS share
            |FROM src),
-           |w AS (SELECT *, round(pow(share, ${CleanFunctions.dlitSql(MixAlpha)}) * 1000000.0) / 1000000.0 AS w_raw FROM sh),
+           |w AS (SELECT *, round(pow(share, ${CleanFunctions.dlitSql(MixAlpha)}) * 1000000.0) / 1000000.0 + 0.0 AS w_raw FROM sh),
            |ws AS (SELECT ${CleanFunctions.exactSumSql("w_raw")} AS w_sum FROM w)
            |SELECT source, n_docs, n_tokens, share,
            |  ${CleanFunctions.round4Sql("w_raw / w_sum")} AS weight,

@@ -1177,9 +1177,9 @@ object TimeSeriesQueries {
 
     "ts_rolling_features" ->
       s"""SELECT event_id,
-         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) / count(value) OVER w3) AS roll_mean_3h, round((stddev_samp(value) OVER w3) * 10000.0) / 10000.0 AS roll_std_3h,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) / count(value) OVER w3) AS roll_mean_3h, round((stddev_samp(value) OVER w3) * 10000.0) / 10000.0 + 0.0 AS roll_std_3h,
          |min(value) OVER w3 AS roll_min_3h, max(value) OVER w3 AS roll_max_3h,
-         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w24 AS DOUBLE) / count(value) OVER w24) AS roll_mean_24h, round((stddev_samp(value) OVER w24) * 10000.0) / 10000.0 AS roll_std_24h,
+         |(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w24 AS DOUBLE) / count(value) OVER w24) AS roll_mean_24h, round((stddev_samp(value) OVER w24) * 10000.0) / 10000.0 + 0.0 AS roll_std_24h,
          |min(value) OVER w24 AS roll_min_24h, max(value) OVER w24 AS roll_max_24h
          |FROM events
          |WINDOW w3 AS ($W ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
@@ -1239,21 +1239,21 @@ object TimeSeriesQueries {
          |FROM w GROUP BY 1, 2 ORDER BY user_id, bucket_us""".stripMargin,
 
     "ts_scale_minmax" ->
-      s"""SELECT event_id, round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 AS scaled
+      s"""SELECT event_id, round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 + 0.0 AS scaled
          |FROM events WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
     "ts_scale_standard" ->
-      s"""SELECT event_id, round(((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0)) * 10000.0) / 10000.0 AS scaled
+      s"""SELECT event_id, round(((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0)) * 10000.0) / 10000.0 + 0.0 AS scaled
          |FROM events WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
     "ts_zscore_anomaly" ->
-      s"""SELECT event_id, round((z) * 10000.0) / 10000.0 AS z,
+      s"""SELECT event_id, round((z) * 10000.0) / 10000.0 + 0.0 AS z,
          |CAST(CASE WHEN abs(z) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM (SELECT event_id, (value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0) AS z
          |FROM events WINDOW u AS (PARTITION BY user_id)) ORDER BY event_id""".stripMargin,
 
     "ts_rolling_zscore" ->
-      s"""SELECT event_id, round((z) * 10000.0) / 10000.0 AS z,
+      s"""SELECT event_id, round((z) * 10000.0) / 10000.0 + 0.0 AS z,
          |CAST(coalesce(CASE WHEN abs(z) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS is_anomaly
          |FROM (SELECT event_id, (value - avg(value) OVER w) / nullif(stddev_samp(value) OVER w, 0) AS z
          |FROM events WINDOW w AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength} PRECEDING AND 1 PRECEDING))
@@ -1262,7 +1262,7 @@ object TimeSeriesQueries {
     "ts_iqr_anomaly" ->
       s"""WITH s AS (SELECT user_id, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
          |FROM events GROUP BY user_id)
-         |SELECT e.event_id, round((s.q1 - 1.5*(s.q3 - s.q1)) * 1000000.0) / 1000000.0 AS lo, round((s.q3 + 1.5*(s.q3 - s.q1)) * 1000000.0) / 1000000.0 AS hi,
+         |SELECT e.event_id, round((s.q1 - 1.5*(s.q3 - s.q1)) * 1000000.0) / 1000000.0 + 0.0 AS lo, round((s.q3 + 1.5*(s.q3 - s.q1)) * 1000000.0) / 1000000.0 + 0.0 AS hi,
          |CAST(CASE WHEN e.value < s.q1 - 1.5*(s.q3 - s.q1) OR e.value > s.q3 + 1.5*(s.q3 - s.q1) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM events e JOIN s USING (user_id) ORDER BY e.event_id""".stripMargin,
 
@@ -1270,7 +1270,7 @@ object TimeSeriesQueries {
       s"""WITH s AS (SELECT user_id, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
          |FROM events GROUP BY user_id)
          |SELECT e.event_id,
-         |round((CASE WHEN e.value IS NULL THEN NULL ELSE least(greatest(e.value, s.lo), s.hi) END) * 10000.0) / 10000.0 AS value_wins,
+         |round((CASE WHEN e.value IS NULL THEN NULL ELSE least(greatest(e.value, s.lo), s.hi) END) * 10000.0) / 10000.0 + 0.0 AS value_wins,
          |CAST(CASE WHEN e.value < s.lo OR e.value > s.hi THEN 1 ELSE 0 END AS BIGINT) AS is_clamped
          |FROM events e JOIN s USING (user_id) ORDER BY e.event_id""".stripMargin,
 
@@ -1285,8 +1285,8 @@ object TimeSeriesQueries {
 
     "ts_percent_rank" ->
       s"""SELECT event_id,
-         |round((percent_rank() OVER v) * 1000000.0) / 1000000.0 AS pct_rank,
-         |round((cume_dist() OVER v) * 1000000.0) / 1000000.0 AS cume
+         |round((percent_rank() OVER v) * 1000000.0) / 1000000.0 + 0.0 AS pct_rank,
+         |round((cume_dist() OVER v) * 1000000.0) / 1000000.0 + 0.0 AS cume
          |FROM events WINDOW v AS (PARTITION BY user_id ORDER BY value, event_id)
          |ORDER BY event_id""".stripMargin,
 
@@ -1348,7 +1348,7 @@ object TimeSeriesQueries {
     "ts_mad_anomaly" ->
       s"""WITH m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
          |md AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad FROM events e JOIN m USING (user_id) GROUP BY e.user_id)
-         |SELECT e.event_id, round(${GraftConfig.MadScale} * (e.value - m.med) / nullif(md.mad, 0) * 10000.0) / 10000.0 AS rz,
+         |SELECT e.event_id, round(${GraftConfig.MadScale} * (e.value - m.med) / nullif(md.mad, 0) * 10000.0) / 10000.0 + 0.0 AS rz,
          |CAST(coalesce(CASE WHEN abs(${GraftConfig.MadScale} * (e.value - m.med) / nullif(md.mad, 0)) > ${GraftConfig.MadThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS is_anomaly
          |FROM events e JOIN m USING (user_id) JOIN md USING (user_id) ORDER BY e.event_id""".stripMargin,
 
@@ -1367,7 +1367,7 @@ object TimeSeriesQueries {
          |(CAST(sum(CAST(err AS DECIMAL(18,6))) OVER ws AS DOUBLE) / count(err) OVER ws) AS seq_err
          |FROM e1 WINDOW ws AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength - 1} PRECEDING AND CURRENT ROW)),
          |e3 AS (SELECT * FROM e2 WHERE rn >= ${2 * GraftConfig.SequenceLength})
-         |SELECT event_id, round(seq_err * 10000.0) / 10000.0 AS seq_err,
+         |SELECT event_id, round(seq_err * 10000.0) / 10000.0 + 0.0 AS seq_err,
          |CAST(CASE WHEN seq_err > 4.0 * (CAST(sum(CAST(seq_err AS DECIMAL(18,6))) OVER u AS DOUBLE) / count(seq_err) OVER u) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM e3 WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
@@ -1380,8 +1380,8 @@ object TimeSeriesQueries {
          |(CAST(sum(CAST(err AS DECIMAL(18,6))) OVER ws AS DOUBLE) / count(err) OVER ws) AS seq_err
          |FROM e1 WINDOW ws AS ($W ROWS BETWEEN ${GraftConfig.SequenceLength - 1} PRECEDING AND CURRENT ROW)),
          |e3 AS (SELECT * FROM e2 WHERE rn >= ${2 * GraftConfig.SequenceLength})
-         |SELECT event_id, round(seq_err * 10000.0) / 10000.0 AS seq_err,
-         |round((quantile_cont(seq_err, 0.95) OVER u) * 1000000.0) / 1000000.0 AS thr,
+         |SELECT event_id, round(seq_err * 10000.0) / 10000.0 + 0.0 AS seq_err,
+         |round((quantile_cont(seq_err, 0.95) OVER u) * 1000000.0) / 1000000.0 + 0.0 AS thr,
          |CAST(CASE WHEN seq_err > quantile_cont(seq_err, 0.95) OVER u THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
          |FROM e3 WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
@@ -1475,7 +1475,7 @@ object TimeSeriesQueries {
            |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * value END AS DECIMAL(28,6))) AS DOUBLE) AS sxx$k,
            |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS syy$k""".stripMargin
       def corrOf(k: Int) =
-        s"round((${CleanFunctions.momentCorrSql(s"n$k", s"sx$k", s"sy$k", s"sxy$k", s"sxx$k", s"syy$k")}) * 10000.0) / 10000.0"
+        s"(round((${CleanFunctions.momentCorrSql(s"n$k", s"sx$k", s"sy$k", s"sxy$k", s"sxx$k", s"syy$k")}) * 10000.0) / 10000.0 + 0.0)"
       val lagCols = lags.map(k => s"lag(value, $k) OVER ($W) AS y$k").mkString(",\n  ")
       val rows = lags.map(k =>
         s"SELECT user_id, CAST($k AS BIGINT) AS lag_k, ${corrOf(k)} AS acf FROM m")
@@ -1498,7 +1498,7 @@ object TimeSeriesQueries {
            |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * value END AS DECIMAL(28,6))) AS DOUBLE) AS sxx$k,
            |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS syy$k""".stripMargin
       def corrOf(k: Int) =
-        s"round((${CleanFunctions.momentCorrSql(s"n$k", s"sx$k", s"sy$k", s"sxy$k", s"sxx$k", s"syy$k")}) * 10000.0) / 10000.0"
+        s"(round((${CleanFunctions.momentCorrSql(s"n$k", s"sx$k", s"sy$k", s"sxy$k", s"sxx$k", s"syy$k")}) * 10000.0) / 10000.0 + 0.0)"
       s"""WITH l AS (SELECT user_id, value,
          |  lag(value, 1) OVER ($W) AS y1, lag(value, 24) OVER ($W) AS y24 FROM events),
          |m AS (SELECT user_id,
@@ -1518,7 +1518,7 @@ object TimeSeriesQueries {
          |  FROM events WINDOW wb AS ($W ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
          |  wa AS ($W ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING),
          |  u AS (PARTITION BY user_id))
-         |SELECT event_id, round((abs(ma - mb) / nullif(sd, 0)) * 10000.0) / 10000.0 AS cp_score
+         |SELECT event_id, round((abs(ma - mb) / nullif(sd, 0)) * 10000.0) / 10000.0 + 0.0 AS cp_score
          |FROM c WHERE nb = 24 AND na = 24 ORDER BY event_id""".stripMargin,
 
     "ts_pacf" -> {
@@ -1530,7 +1530,7 @@ object TimeSeriesQueries {
            |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN value * value END AS DECIMAL(28,6))) AS DOUBLE) AS sxx$k,
            |  CAST(sum(CAST(CASE WHEN y$k IS NOT NULL THEN y$k * y$k END AS DECIMAL(28,6))) AS DOUBLE) AS syy$k""".stripMargin
       def corrOf(k: Int) =
-        s"round((${CleanFunctions.momentCorrSql(s"n$k", s"sx$k", s"sy$k", s"sxy$k", s"sxx$k", s"syy$k")}) * 10000.0) / 10000.0"
+        s"(round((${CleanFunctions.momentCorrSql(s"n$k", s"sx$k", s"sy$k", s"sxy$k", s"sxx$k", s"syy$k")}) * 10000.0) / 10000.0 + 0.0)"
       s"""WITH l AS (SELECT user_id, value,
          |  lag(value, 1) OVER ($W) AS y1, lag(value, 2) OVER ($W) AS y2,
          |  lag(value, 3) OVER ($W) AS y3 FROM events),
@@ -1633,8 +1633,8 @@ object TimeSeriesQueries {
          |  FROM events WINDOW ws AS (PARTITION BY user_id, hour(ts))),
          |b AS (SELECT event_id, user_id, seasonal_mean, value - seasonal_mean AS resid FROM a)
          |SELECT event_id,
-         |round((seasonal_mean) * 10000.0) / 10000.0 AS seasonal_mean,
-         |round((resid) * 10000.0) / 10000.0 AS resid,
+         |round((seasonal_mean) * 10000.0) / 10000.0 + 0.0 AS seasonal_mean,
+         |round((resid) * 10000.0) / 10000.0 + 0.0 AS resid,
          |CAST(coalesce(CASE WHEN abs((resid - ${CleanFunctions.exactMeanSql("resid", "OVER u")}) / nullif(stddev_samp(resid) OVER u, 0)) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT) AS is_anomaly
          |FROM b WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
@@ -1656,7 +1656,7 @@ object TimeSeriesQueries {
          |  FROM sp LEFT JOIN h ON sp.user_id = h.user_id AND sp.bucket = h.bucket)
          |SELECT user_id, CAST(epoch_us(bucket) AS BIGINT) AS bucket_us, n,
          |round((last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0) / 10000.0 AS v_ffill
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0) / 10000.0 + 0.0 AS v_ffill
          |FROM j ORDER BY user_id, bucket_us""".stripMargin,
 
     "ts_rolling_time_range" -> {
@@ -1685,7 +1685,7 @@ object TimeSeriesQueries {
          |  CAST(sum(CAST(yv * yv AS DECIMAL(28,6))) AS DOUBLE) AS syy
          |  FROM j GROUP BY 1, 2)
          |SELECT u1, u2,
-         |round((${CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")}) * 10000.0) / 10000.0 AS corr
+         |round((${CleanFunctions.momentCorrSql("n", "sx", "sy", "sxy", "sxx", "syy")}) * 10000.0) / 10000.0 + 0.0 AS corr
          |FROM m ORDER BY u1, u2""".stripMargin,
 
     "ts_dtw_pairs" -> {
@@ -1748,7 +1748,7 @@ object TimeSeriesQueries {
       }
       s"""SELECT event_id,
          |round(((${terms.map(_._1).mkString(" + ")}) /
-         |      nullif(${terms.map(_._2).mkString(" + ")}, 0.0)) * 10000.0) / 10000.0 AS ewma
+         |      nullif(${terms.map(_._2).mkString(" + ")}, 0.0)) * 10000.0) / 10000.0 + 0.0 AS ewma
          |FROM events ORDER BY event_id""".stripMargin
     },
 
@@ -1773,8 +1773,8 @@ object TimeSeriesQueries {
          |c AS (SELECT event_id, fast, slow, signal,
          |  lag(signal) OVER ($W) AS prev FROM sg)
          |SELECT event_id,
-         |  round(fast * 10000.0) / 10000.0 AS fast,
-         |  round(slow * 10000.0) / 10000.0 AS slow,
+         |  round(fast * 10000.0) / 10000.0 + 0.0 AS fast,
+         |  round(slow * 10000.0) / 10000.0 + 0.0 AS slow,
          |  CAST(signal AS BIGINT) AS signal,
          |  CAST(CASE WHEN signal IS NOT NULL AND prev IS NOT NULL AND signal <> prev
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_cross
@@ -1789,7 +1789,7 @@ object TimeSeriesQueries {
            |  count(CASE WHEN $ac = 1 AND $bc = 1 THEN 1 END) AS n_both,
            |  count(CASE WHEN $ac = 1 OR $bc = 1 THEN 1 END) AS n_either,
            |  round((CAST(count(CASE WHEN $ac = 1 AND $bc = 1 THEN 1 END) AS DOUBLE)
-           |    / nullif(CAST(count(CASE WHEN $ac = 1 OR $bc = 1 THEN 1 END) AS DOUBLE), 0.0)) * 10000.0) / 10000.0 AS jaccard
+           |    / nullif(CAST(count(CASE WHEN $ac = 1 OR $bc = 1 THEN 1 END) AS DOUBLE), 0.0)) * 10000.0) / 10000.0 + 0.0 AS jaccard
            |FROM votes""".stripMargin
       s"""WITH v AS (SELECT event_id, user_id, value,
          |  CAST(CASE WHEN abs((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0)) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END AS BIGINT) AS vote_z
@@ -1811,8 +1811,8 @@ object TimeSeriesQueries {
       s"""WITH l AS (SELECT event_id, user_id, value,
          |  lag(value, 1) OVER ($W) AS value_lag_1 FROM events)
          |SELECT event_id,
-         |round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 AS value_scaled,
-         |round(((value_lag_1 - min(value_lag_1) OVER u) / nullif(max(value_lag_1) OVER u - min(value_lag_1) OVER u, 0)) * 10000.0) / 10000.0 AS lag1_scaled
+         |round(((value - min(value) OVER u) / nullif(max(value) OVER u - min(value) OVER u, 0)) * 10000.0) / 10000.0 + 0.0 AS value_scaled,
+         |round(((value_lag_1 - min(value_lag_1) OVER u) / nullif(max(value_lag_1) OVER u - min(value_lag_1) OVER u, 0)) * 10000.0) / 10000.0 + 0.0 AS lag1_scaled
          |FROM l WINDOW u AS (PARTITION BY user_id) ORDER BY event_id""".stripMargin,
 
     "ts_sequences_multi" ->

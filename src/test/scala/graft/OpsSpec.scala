@@ -372,6 +372,39 @@ class OpsSpec extends AnyFunSuite {
       (Some(17.5), 14.75, 1.125, -1.375)))
   }
 
+  test("holtWintersMult: hand-checked recurrence and exact scale-equivariance") {
+    // period 2, alpha=beta=gamma=0.5 on x = 10, 20, 12 (seasonals start 1):
+    //  row1 (idx 0): l=10, b=0, s=[1,1], fitted null
+    //  row2 (idx 1): fitted = (10+0)*1 = 10
+    //    l' = .5*(20/1)+.5*(10+0) = 15; b' = .5*(15-10)+.5*0 = 2.5
+    //    s[1] = .5*(20/15)+.5*1 = 7/6 + ... = 0.5*1.3333...+0.5
+    //  row3 (idx 0): fitted = (15+2.5)*1 = 17.5
+    val df = Seq((1L, 1L, 10.0), (2L, 2L, 20.0), (3L, 3L, 12.0))
+      .toDF("id", "tsu", "x").withColumn("k", lit(1L))
+    val r = TimeSeriesOps.holtWintersMult(df, K, Seq("tsu"), "x", period = 2,
+        alpha = 0.5, beta = 0.5, gamma = 0.5)
+      .orderBy("id")
+      .select("hw_fitted", "hw_level", "hw_trend", "hw_seasonal")
+      .as[(Option[Double], Double, Double, Double)].collect().toSeq
+    assert(r.head == ((None, 10.0, 0.0, 1.0)))
+    assert(r(1)._1.contains(10.0) && r(1)._2 == 15.0 && r(1)._3 == 2.5)
+    assert(math.abs(r(1)._4 - (0.5 * (20.0 / 15.0) + 0.5)) < 1e-12)
+    assert(r(2)._1.contains(17.5))
+    // Scale-equivariance — the property that separates multiplicative
+    // from additive: doubling the input doubles level/trend/fitted and
+    // leaves the seasonal factors BIT-IDENTICAL (×2 is exact in IEEE).
+    val d2 = df.withColumn("x", col("x") * 2.0)
+    val r2 = TimeSeriesOps.holtWintersMult(d2, K, Seq("tsu"), "x", period = 2,
+        alpha = 0.5, beta = 0.5, gamma = 0.5)
+      .orderBy("id")
+      .select("hw_fitted", "hw_level", "hw_trend", "hw_seasonal")
+      .as[(Option[Double], Double, Double, Double)].collect().toSeq
+    r.zip(r2).foreach { case (a, b) =>
+      assert(b._2 == 2.0 * a._2 && b._3 == 2.0 * a._3 && b._4 == a._4)
+      assert(a._1.map(_ * 2.0) == b._1)
+    }
+  }
+
   test("holtWinters is partition-invariant and fitted tracks a pure seasonal signal") {
     val ev = Tables.events(spark, SparkTestSession.sfDir)
       .where(col("value").isNotNull)

@@ -756,6 +756,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.last.getAs[Long]("cum_purchase") == tot.getOrElse("purchase", 0L))
   }
 
+  test("record linkage: the threshold admits only all-field agreements") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("customer_record_linkage")(spark, sfDir).cache()
+    // With the pinned m/u weights, no two-field agreement can reach the
+    // 4.0 threshold — every emitted pair must agree on all three fields
+    // and carry the single all-agree score.
+    assert(r.filter(col("same_nation") =!= 1L || col("same_segment") =!= 1L ||
+      col("close_balance") =!= 1L).count() == 0)
+    assert(r.select("fs_score").distinct().count() <= 1)
+    assert(r.filter(col("ck_a") >= col("ck_b")).count() == 0)
+  }
+
+  test("theil decomposition: nonnegative within terms, shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("orders_theil")(spark, sfDir).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("theil_within") < -1e-3).count() == 0,
+      "within-group Theil is nonnegative (Jensen)")
+    val shareSum = r.agg(sum(col("share"))).head().getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 0.01, s"revenue shares sum to $shareSum")
+    // Decomposed total is itself a valid Theil index: nonnegative.
+    val total = r.agg(sum(col("share") * col("theil_within") + col("between_term")))
+      .head().getDouble(0)
+    assert(total > -1e-3)
+  }
+
   test("dbscan stability agrees with emb_dbscan's loose-level membership") {
     import org.apache.spark.sql.functions._
     val st = SparkEntry.queries("emb_dbscan_stability")(spark, sfDir).cache()
