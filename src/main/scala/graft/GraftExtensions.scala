@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{DtwDistance, FloatVectorDot, SignBits60, SimHash60}
+import org.apache.spark.sql.graft.{BottomKQuantile, DtwDistance, FloatVectorDot, SignBits60, SimHash60}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -43,6 +43,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dtw_distance(a, b) takes 2 arguments")
         DtwDistance(args.head, args(1))
+      }),
+    (new FunctionIdentifier("approx_pct_det"),
+      new ExpressionInfo(classOf[BottomKQuantile].getName, "approx_pct_det"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "approx_pct_det(hash, id, value, p, k) takes 5 arguments")
+        BottomKQuantile(args(0), args(1), args(2), args(3), args(4))
       }))
 
   /** Register the same functions into an ALREADY-RUNNING session (the

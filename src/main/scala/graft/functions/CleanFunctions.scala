@@ -45,6 +45,31 @@ object CleanFunctions {
   def md5Hash64Sql(s: String): String =
     s"CAST(('0x' || substring(md5($s), 1, 15)) AS BIGINT)"
 
+  /** Spark-SQL string form of [[md5Hash64]] — for `spark.sql` surfaces
+    * that must build the same hash the Column API builds.
+    */
+  def md5Hash64Spark(s: String): String =
+    s"TRY_CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
+
+  /** (bucket, ρ) split of a 60-bit [[md5Hash64]] hash for the p=8
+    * HyperLogLog register build: top 8 bits → bucket ∈ [0, 256), low 52
+    * bits → ρ = position of the leading one from bit 51 downward
+    * (∈ [1, 52]; all-zero rest → 53). Shared by the batch
+    * `events_hll_distinct` entry and the streaming register fold so both
+    * build the SAME registers and the streaming emission hash-matches the
+    * batch/DuckDB oracle. `shiftright`/`pmod` equal the oracle's
+    * `h // 2^52` / `h % 2^52` because the hash is non-negative (< 2^60);
+    * ρ is a generated integer-comparison chain — never a float log2.
+    */
+  def hll60BucketRho(hash: Column): (Column, Column) = {
+    val rest = pmod(hash, lit(4503599627370496L)) // h % 2^52
+    val rho = (50 to 0 by -1).foldLeft(
+        when(rest >= (1L << 51), 1L)) { (acc, k) =>
+        acc.when(rest >= (1L << k), (52 - k).toLong)
+      }.otherwise(lit(53L))
+    (shiftright(hash, 52), rho)
+  }
+
   /** Epoch microseconds of a (possibly NTZ) timestamp column; session tz is
     * UTC so NTZ and LTZ agree. DuckDB side: epoch_us(ts).
     */
@@ -151,8 +176,16 @@ object CleanFunctions {
     * `+ 0.0` is the same signed-zero normalization.
     */
   def round4Jvm(v: Double): Double =
-    java.math.BigDecimal.valueOf(v * 10000.0)
-      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 10000.0 + 0.0
+    // Catalyst's Round returns non-finite inputs unchanged (BigDecimal
+    // .valueOf would throw NumberFormatException on NaN/±Inf); mirror
+    // that guard so a non-finite event value can't crash the fold.
+    if (v.isNaN || v.isInfinite) v
+    else {
+      val scaled = v * 10000.0 // can overflow to ±Inf for |v| ≳ 1.8e304
+      if (scaled.isInfinite) scaled / 10000.0 // = Round(±Inf) = ±Inf, as Catalyst
+      else java.math.BigDecimal.valueOf(scaled)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 10000.0 + 0.0
+    }
 
   def round4(c: Column): Column = round(c * lit(10000.0)) / 10000.0 + lit(0.0)
   def round4Sql(x: String): String = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"

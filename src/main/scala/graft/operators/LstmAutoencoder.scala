@@ -14,20 +14,26 @@ import graft.GraftConfig
   * STEP through gated recurrent state, so reconstruction depends on
   * temporal order — a sequence and its permutation score differently.
   *
-  * Architecture (hidden size H, bottleneck B, per-step input dim F):
-  *   encoder LSTM over x_1..x_L -> h_L
+  * Architecture (hidden size H, bottleneck B, per-step input dim F,
+  * NL stacked layers per side — reference config.py:29 LSTM_N_LAYERS=2):
+  *   encoder LSTM stack over x_1..x_L (layer j>0 consumes layer j−1's
+  *     hidden sequence) -> top layer's h_L
   *   bottleneck c = tanh(Wb h_L + bb)
-  *   decoder LSTM fed c at every step (RepeatVector shape) -> d_1..d_L
-  *   output xhat_t = Wo d_t + bo
+  *   decoder LSTM stack fed c at every step (RepeatVector shape) -> d_1..d_L
+  *   output xhat_t = Wo d_t^{top} + bo
   * Loss = mean squared reconstruction error over all L*F elements.
   *
-  * Two deliberate deltas vs the reference's exact layer stack: (1) the
+  * Three deliberate deltas vs the reference's exact layer stack: (1) the
   * bottleneck applies tanh where the reference's encoder_fc is linear — a
   * bounded latent keeps batch-1 SGD stable without the framework's Adam;
   * (2) the B-dim code feeds the decoder LSTM directly (input size B)
   * instead of being inflated back to H by a decoder_fc first — one fewer
-  * matrix with the same information flow. Capacity shape (recurrent
-  * encode -> low-dim code -> recurrent decode) is preserved.
+  * matrix with the same information flow; (3) NO inter-layer dropout
+  * (reference config.py:30 LSTM_DROPOUT_PROB=0.2): dropout is a
+  * train-time regularizer drawn from a framework RNG, which would break
+  * the same-data-same-model bit-determinism contract every detector here
+  * honors — the stacked capacity shape (recurrent encode -> low-dim code
+  * -> recurrent decode, NL deep) is preserved without it.
   *
   * Training and scoring reuse the [[DistributedSgd]] harness — the same
   * mapPartitions SGD + weighted parameter averaging and the same
@@ -40,35 +46,54 @@ import graft.GraftConfig
 object LstmAutoencoder {
 
   /** Parameter layout for the flat vector. Per gate: W (h x in) row-major,
-    * then U (h x h), then bias (h). Gate order i, f, o, g for both LSTMs.
+    * then U (h x h), then bias (h). Gate order i, f, o, g for both LSTM
+    * stacks; layers bottom-up within each stack (layer 0 reads the data /
+    * the code, upper layers read the hidden sequence below, input h).
+    * For nl = 1 the layout — and therefore the seeded init stream — is
+    * IDENTICAL to the historical single-layer model.
     */
-  final case class LstmDims(f: Int, l: Int, h: Int, b: Int) {
-    val encGate: Int = h * f + h * h + h
-    val decGate: Int = h * b + h * h + h
-    val oEnc: Int  = 0                    // 4 encoder gates
-    val oBott: Int = oEnc + 4 * encGate   // Wb (b x h) ++ bb (b)
-    val oDec: Int  = oBott + b * h + b    // 4 decoder gates
-    val oOut: Int  = oDec + 4 * decGate   // Wo (f x h) ++ bo (f)
-    val total: Int = oOut + f * h + f
+  final case class LstmDims(f: Int, l: Int, h: Int, b: Int, nl: Int = 1) {
+    require(nl >= 1, s"nl=$nl layers must be >= 1")
+    val encGate0: Int  = h * f + h * h + h // encoder layer 0 (input f)
+    val encGateUp: Int = h * h + h * h + h // encoder layers 1.. (input h)
+    val decGate0: Int  = h * b + h * h + h // decoder layer 0 (input b)
+    val decGateUp: Int = h * h + h * h + h // decoder layers 1.. (input h)
+    val oEnc: Int  = 0
+    val oBott: Int = oEnc + 4 * encGate0 + (nl - 1) * 4 * encGateUp
+    val oDec: Int  = oBott + b * h + b    // Wb (b x h) ++ bb (b)
+    val oOut: Int  = oDec + 4 * decGate0 + (nl - 1) * 4 * decGateUp
+    val total: Int = oOut + f * h + f     // Wo (f x h) ++ bo (f)
+    def encBase(layer: Int): Int =
+      if (layer == 0) oEnc else oEnc + 4 * encGate0 + (layer - 1) * 4 * encGateUp
+    def decBase(layer: Int): Int =
+      if (layer == 0) oDec else oDec + 4 * decGate0 + (layer - 1) * 4 * decGateUp
+    def encGate(layer: Int): Int = if (layer == 0) encGate0 else encGateUp
+    def decGate(layer: Int): Int = if (layer == 0) decGate0 else decGateUp
+    def encIn(layer: Int): Int = if (layer == 0) f else h
+    def decIn(layer: Int): Int = if (layer == 0) b else h
+  }
+
+  /** Per-layer forward activations kept for BPTT. */
+  private final class LayerWs(l: Int, h: Int) {
+    val hs = new Array[Double]((l + 1) * h) // hidden, row 0 = 0
+    val cs = new Array[Double]((l + 1) * h) // cell,   row 0 = 0
+    val ig = new Array[Double](l * h)
+    val fg = new Array[Double](l * h)
+    val og = new Array[Double](l * h)
+    val gg = new Array[Double](l * h)
   }
 
   /** Reusable per-partition scratch: forward activations kept for BPTT. */
   private final class Ws(d: LstmDims) {
-    val hs  = new Array[Double]((d.l + 1) * d.h)  // encoder hidden, row 0 = 0
-    val cs  = new Array[Double]((d.l + 1) * d.h)  // encoder cell,   row 0 = 0
-    val ig  = new Array[Double](d.l * d.h)
-    val fg  = new Array[Double](d.l * d.h)
-    val og  = new Array[Double](d.l * d.h)
-    val gg  = new Array[Double](d.l * d.h)
-    val hs2 = new Array[Double]((d.l + 1) * d.h)  // decoder hidden
-    val cs2 = new Array[Double]((d.l + 1) * d.h)
-    val ig2 = new Array[Double](d.l * d.h)
-    val fg2 = new Array[Double](d.l * d.h)
-    val og2 = new Array[Double](d.l * d.h)
-    val gg2 = new Array[Double](d.l * d.h)
+    val enc = Array.fill(d.nl)(new LayerWs(d.l, d.h))
+    val dec = Array.fill(d.nl)(new LayerWs(d.l, d.h))
     val cvec  = new Array[Double](d.b)
     val e     = new Array[Double](d.l * d.f)      // d(loss)/d(xhat)
     val dcvec = new Array[Double](d.b)
+    // Inter-layer gradient buffer: d(loss)/d(h_t of the layer below),
+    // one row per step — filled by the upper layer's back pass, consumed
+    // as the lower layer's per-step dh injection.
+    val dxBuf = new Array[Double](d.l * d.h)
     var dh  = new Array[Double](d.h)
     var dc  = new Array[Double](d.h)
     var dhP = new Array[Double](d.h)
@@ -106,9 +131,9 @@ object LstmAutoencoder {
         gi += 1
       }
     }
-    gates(d.oEnc, d.encGate, d.f)
+    for (j <- 0 until d.nl) gates(d.encBase(j), d.encGate(j), d.encIn(j))
     xavier(d.oBott, d.b, d.h)
-    gates(d.oDec, d.decGate, d.b)
+    for (j <- 0 until d.nl) gates(d.decBase(j), d.decGate(j), d.decIn(j))
     xavier(d.oOut, d.f, d.h)
     p
   }
@@ -214,6 +239,85 @@ object LstmAutoencoder {
     }
   }
 
+  /** Forward pass of one LSTM STACK (encoder or decoder side): layer 0
+    * reads `x0` (stride `in0` per step, offset fixed for the decoder's
+    * repeated code via `x0Stride` 0), upper layers read the hidden rows
+    * of the layer below.
+    */
+  private def stackForward(p: Array[Double], d: LstmDims, layers: Array[LayerWs],
+                           base: Int => Int, gate: Int => Int, in: Int => Int,
+                           x0: Array[Double], x0Stride: Int): Unit = {
+    var j = 0
+    while (j < d.nl) {
+      val lw = layers(j)
+      var t = 0
+      while (t < d.l) {
+        if (j == 0)
+          lstmStep(p, base(0), gate(0), in(0), d.h, x0, t * x0Stride,
+            lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg)
+        else
+          lstmStep(p, base(j), gate(j), in(j), d.h, layers(j - 1).hs, (t + 1) * d.h,
+            lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg)
+        t += 1
+      }
+      j += 1
+    }
+  }
+
+  /** Backward pass of one LSTM stack: `inject` supplies the external
+    * d(loss)/d(h_t) for the TOP layer at each step (output-layer or
+    * bottleneck gradients); lower layers receive the upper layer's input
+    * grads through ws.dxBuf. For layer 0, per-step input grads go to
+    * `dx0`/`dx0Stride` (null to skip — encoder data needs no grad).
+    */
+  private def stackBackward(p: Array[Double], grad: Array[Double], d: LstmDims,
+                            layers: Array[LayerWs],
+                            base: Int => Int, gate: Int => Int, in: Int => Int,
+                            x0: Array[Double], x0Stride: Int,
+                            inject: (Int, Array[Double]) => Unit,
+                            injectTopOnlyLast: Boolean,
+                            dx0: Array[Double], dx0Stride: Int, ws: Ws): Unit = {
+    var j = d.nl - 1
+    while (j >= 0) {
+      val lw = layers(j)
+      val top = j == d.nl - 1
+      // This layer's incoming per-step dh: the injection (top layer) or
+      // the upper layer's input grads (dxBuf, filled by the pass above).
+      // dxBuf is consumed per step BEFORE this layer refills it for the
+      // layer below, so one buffer serves the whole stack: at step t the
+      // lower-bound rows [0, t] still hold the upper layer's values while
+      // rows written by THIS layer are only read by the next (lower) pass.
+      java.util.Arrays.fill(ws.dh, 0.0)
+      java.util.Arrays.fill(ws.dc, 0.0)
+      var t = d.l - 1
+      while (t >= 0) {
+        if (top) {
+          if (!injectTopOnlyLast || t == d.l - 1) inject(t, ws.dh)
+        } else {
+          var i = 0
+          while (i < d.h) { ws.dh(i) += ws.dxBuf(t * d.h + i); i += 1 }
+        }
+        // Upper layers write their input grads into dxBuf row t (zeroed
+        // first — the row's previous value was already consumed above).
+        if (j > 0) java.util.Arrays.fill(ws.dxBuf, t * d.h, (t + 1) * d.h, 0.0)
+        if (j == 0)
+          lstmBackStep(p, grad, base(0), gate(0), in(0), d.h, x0, t * x0Stride,
+            lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg,
+            ws.dh, ws.dc, ws.dhP, ws.dcP, dx0,
+            if (dx0 == null) 0 else t * dx0Stride, ws)
+        else
+          lstmBackStep(p, grad, base(j), gate(j), in(j), d.h,
+            layers(j - 1).hs, (t + 1) * d.h,
+            lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg,
+            ws.dh, ws.dc, ws.dhP, ws.dcP, ws.dxBuf, t * d.h, ws)
+        val th = ws.dh; ws.dh = ws.dhP; ws.dhP = th
+        val tc = ws.dc; ws.dc = ws.dcP; ws.dcP = tc
+        t -= 1
+      }
+      j -= 1
+    }
+  }
+
   /** Forward pass over one flattened time-major window x (length l*f);
     * fills ws activations + ws.e and returns the mean squared
     * reconstruction error.
@@ -221,35 +325,27 @@ object LstmAutoencoder {
   private def forwardLoss(p: Array[Double], x: Array[Double], d: LstmDims,
                           ws: Ws): Double = {
     import d._
-    var t = 0
-    while (t < l) {
-      lstmStep(p, oEnc, encGate, f, h, x, t * f, ws.hs, ws.cs, t,
-        ws.ig, ws.fg, ws.og, ws.gg)
-      t += 1
-    }
+    stackForward(p, d, ws.enc, encBase, encGate, encIn, x, f)
+    val topEnc = ws.enc(nl - 1)
     var bi = 0
     while (bi < b) {
       var a = p(oBott + b * h + bi)
       var j = 0
-      while (j < h) { a += p(oBott + bi * h + j) * ws.hs(l * h + j); j += 1 }
+      while (j < h) { a += p(oBott + bi * h + j) * topEnc.hs(l * h + j); j += 1 }
       ws.cvec(bi) = math.tanh(a)
       bi += 1
     }
-    t = 0
-    while (t < l) {
-      lstmStep(p, oDec, decGate, b, h, ws.cvec, 0, ws.hs2, ws.cs2, t,
-        ws.ig2, ws.fg2, ws.og2, ws.gg2)
-      t += 1
-    }
+    stackForward(p, d, ws.dec, decBase, decGate, decIn, ws.cvec, 0)
+    val topDec = ws.dec(nl - 1)
     var loss = 0.0
     val n = l * f
-    t = 0
+    var t = 0
     while (t < l) {
       var fi = 0
       while (fi < f) {
         var a = p(oOut + f * h + fi)
         var i = 0
-        while (i < h) { a += p(oOut + fi * h + i) * ws.hs2((t + 1) * h + i); i += 1 }
+        while (i < h) { a += p(oOut + fi * h + i) * topDec.hs((t + 1) * h + i); i += 1 }
         val diff = a - x(t * f + fi)
         loss += diff * diff
         ws.e(t * f + fi) = 2.0 * diff / n
@@ -270,54 +366,49 @@ object LstmAutoencoder {
                           grad: Array[Double], ws: Ws): Double = {
     import d._
     val loss = forwardLoss(p, x, d, ws)
-    java.util.Arrays.fill(ws.dh, 0.0)
-    java.util.Arrays.fill(ws.dc, 0.0)
     java.util.Arrays.fill(ws.dcvec, 0.0)
-    // decoder + output backward
-    var t = l - 1
-    while (t >= 0) {
-      var fi = 0
-      while (fi < f) {
-        val ef = ws.e(t * f + fi)
-        var i = 0
-        while (i < h) {
-          grad(oOut + fi * h + i) += ef * ws.hs2((t + 1) * h + i)
-          ws.dh(i) += p(oOut + fi * h + i) * ef
-          i += 1
+    // Decoder stack backward; the output layer's gradient is injected
+    // into the top decoder layer at every step (and Wo/bo grads
+    // accumulate on the same visit).
+    val topDec = ws.dec(nl - 1)
+    stackBackward(p, grad, d, ws.dec, decBase, decGate, decIn, ws.cvec, 0,
+      inject = (t, dh) => {
+        var fi = 0
+        while (fi < f) {
+          val ef = ws.e(t * f + fi)
+          var i = 0
+          while (i < h) {
+            grad(oOut + fi * h + i) += ef * topDec.hs((t + 1) * h + i)
+            dh(i) += p(oOut + fi * h + i) * ef
+            i += 1
+          }
+          grad(oOut + f * h + fi) += ef
+          fi += 1
         }
-        grad(oOut + f * h + fi) += ef
-        fi += 1
-      }
-      lstmBackStep(p, grad, oDec, decGate, b, h, ws.cvec, 0, ws.hs2, ws.cs2, t,
-        ws.ig2, ws.fg2, ws.og2, ws.gg2, ws.dh, ws.dc, ws.dhP, ws.dcP, ws.dcvec, 0, ws)
-      val th = ws.dh; ws.dh = ws.dhP; ws.dhP = th
-      val tc = ws.dc; ws.dc = ws.dcP; ws.dcP = tc
-      t -= 1
-    }
-    // bottleneck backward -> d(loss)/d(h_L)
-    java.util.Arrays.fill(ws.dh, 0.0)
-    java.util.Arrays.fill(ws.dc, 0.0)
+      },
+      injectTopOnlyLast = false, dx0 = ws.dcvec, dx0Stride = 0, ws = ws)
+    // Bottleneck backward -> d(loss)/d(top-encoder h_L), injected into
+    // the top encoder layer at the LAST step only.
+    val topEnc = ws.enc(nl - 1)
+    val dhL = new Array[Double](h)
     var bi = 0
     while (bi < b) {
       val dcb = ws.dcvec(bi) * (1 - ws.cvec(bi) * ws.cvec(bi))
       var j = 0
       while (j < h) {
-        grad(oBott + bi * h + j) += dcb * ws.hs(l * h + j)
-        ws.dh(j) += p(oBott + bi * h + j) * dcb
+        grad(oBott + bi * h + j) += dcb * topEnc.hs(l * h + j)
+        dhL(j) += p(oBott + bi * h + j) * dcb
         j += 1
       }
       grad(oBott + b * h + bi) += dcb
       bi += 1
     }
-    // encoder backward
-    t = l - 1
-    while (t >= 0) {
-      lstmBackStep(p, grad, oEnc, encGate, f, h, x, t * f, ws.hs, ws.cs, t,
-        ws.ig, ws.fg, ws.og, ws.gg, ws.dh, ws.dc, ws.dhP, ws.dcP, null, 0, ws)
-      val th = ws.dh; ws.dh = ws.dhP; ws.dhP = th
-      val tc = ws.dc; ws.dc = ws.dcP; ws.dcP = tc
-      t -= 1
-    }
+    stackBackward(p, grad, d, ws.enc, encBase, encGate, encIn, x, f,
+      inject = (_, dh) => {
+        var i = 0
+        while (i < h) { dh(i) += dhL(i); i += 1 }
+      },
+      injectTopOnlyLast = true, dx0 = null, dx0Stride = 0, ws = ws)
     loss
   }
 
@@ -355,7 +446,10 @@ object LstmAutoencoder {
   /** Univariate detector — same surface and flagging contract as
     * [[MlpAutoencoder.detect]]; see [[MlpAutoencoder.detect]] for the
     * trainPartitions determinism<->parallelism trade, which applies here
-    * unchanged.
+    * unchanged. `nLayers` selects the stack depth (reference
+    * config.py:29 sets 2; the default here stays 1 — the single-layer
+    * model converges to the same flags on this workload at half the
+    * BPTT cost, and the stacked path is spec-covered).
     *
     * Defaults (epochs=8, lr=0.1) were swept on the seeded-spike synthetic:
     * recurrent batch-1 SGD needs more passes than the MLP (3 epochs leaves
@@ -366,7 +460,7 @@ object LstmAutoencoder {
              seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
              bottleneck: Int = 4, epochs: Int = 8, lr: Double = 0.1,
              seed: Long = 42L, flagFactor: Double = 4.0,
-             trainPartitions: Int = 8): DataFrame = {
+             trainPartitions: Int = 8, nLayers: Int = 1): DataFrame = {
     // Null targets dropped BEFORE windowing (collect_list silently skips
     // nulls, which would misalign windows); fill first to impute instead.
     val seqs = TimeSeriesOps.sequences(
@@ -374,7 +468,7 @@ object LstmAutoencoder {
           .withColumn("__t", col(target).cast(DoubleType)),
         keys, order, "__t", seqLen, "seq")
       .drop("__t")
-    runDetect(seqs, LstmDims(1, seqLen, hidden, bottleneck),
+    runDetect(seqs, LstmDims(1, seqLen, hidden, bottleneck, nLayers),
       keys, order, epochs, lr, seed, flagFactor, trainPartitions)
   }
 
@@ -388,7 +482,7 @@ object LstmAutoencoder {
                   seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
                   bottleneck: Int = 4, epochs: Int = 8, lr: Double = 0.1,
                   seed: Long = 42L, flagFactor: Double = 4.0,
-                  trainPartitions: Int = 8): DataFrame = {
+                  trainPartitions: Int = 8, nLayers: Int = 1): DataFrame = {
     require(featureCols.nonEmpty, "detectMulti needs at least one feature column")
     // Rows with any null feature dropped before windowing (a null element
     // would unbox to a silent 0.0); callers wanting imputation fill first.
@@ -399,7 +493,7 @@ object LstmAutoencoder {
       .drop("__fv")
       .withColumn("seq", flatten(col("seqv")))
       .drop("seqv")
-    runDetect(seqs, LstmDims(featureCols.length, seqLen, hidden, bottleneck),
+    runDetect(seqs, LstmDims(featureCols.length, seqLen, hidden, bottleneck, nLayers),
       keys, order, epochs, lr, seed, flagFactor, trainPartitions)
   }
 

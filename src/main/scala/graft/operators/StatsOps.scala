@@ -56,6 +56,42 @@ object StatsOps {
             min(when(col("rn0") === col("lo"), col("v"))))).as("pct"))
   }
 
+  /** [[rankPercentiles]] for COARSE group keys (a handful of groups over
+    * a corpus-scale input), where the plain version's per-group rank
+    * window would sort each group's entire slice of the corpus in ONE
+    * task. Same output bit-for-bit — the global v-at-rank per group is
+    * identical however ranks are computed, and the h/lo/hi interpolation
+    * is the same expression tree in the same order — but ranks come from
+    * [[groupedGlobalRank]]'s band decomposition: per-(group, band)
+    * parallel windows + a broadcast of O(groups·bands) prefix offsets,
+    * so parallelism is groups×bands instead of groups. Value ties break
+    * on the value itself (rank order among equal values is irrelevant to
+    * the interpolated percentile).
+    */
+  def rankPercentilesBanded(df: DataFrame, keys: Seq[String], valueCol: String,
+                            ps: Seq[Double], bands: Int = 256): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0), s"bad percentiles: $ps")
+    val kcols = keys.map(col)
+    val base = df
+      .select(kcols :+ col(valueCol).cast(DoubleType).as("v"): _*)
+      .where(col("v").isNotNull)
+    val ranked = groupedGlobalRank(base, keys, col("v"), col("v"), "_rp_rn", bands)
+      .withColumn("rn0", col("_rp_rn").cast(LongType) - 1L)
+    val counts = base.groupBy(kcols: _*).agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(counts), keys)
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("h", (col("n") - 1L).cast(DoubleType) * col("p"))
+      .withColumn("lo", floor(col("h")))
+      .withColumn("hi", ceil(col("h")))
+      .where(col("rn0") === col("lo") || col("rn0") === col("hi"))
+      .groupBy(kcols :+ col("p"): _*)
+      .agg(CleanFunctions.round4(
+        min(when(col("rn0") === col("lo"), col("v"))) +
+          (max(col("h")) - max(col("lo")).cast(DoubleType)) *
+          (min(when(col("rn0") === col("hi"), col("v"))) -
+            min(when(col("rn0") === col("lo"), col("v"))))).as("pct"))
+  }
+
   /** Exact global rank by (`value`, `key`) without a single-partition
     * window: band rows by value range (bands are value-contiguous, so
     * within-band rank + count of rows in preceding bands IS the global

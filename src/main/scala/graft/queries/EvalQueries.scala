@@ -9,6 +9,7 @@ import graft.functions.CleanFunctions
 import graft.functions.CleanFunctions.{exactSum, exactSumSql, round4, round4Sql, round6, round6Sql}
 import graft.operators.StatsOps
 import graft.sources.Tables
+import graft.streaming.StreamingAnomaly
 
 /** Model-evaluation and association diagnostics — the metrics layer a
   * training-data pipeline runs over scored/labelled events: ROC AUC,
@@ -1057,34 +1058,37 @@ object EvalQueries {
     // sketch fully reproducible — the DuckDB oracle rebuilds the SAME
     // registers, so this "approximate" operator still hash-matches.
     "events_hll_distinct" -> { (s, d) =>
-      val e = Tables.events(s, d)
-        .select(col("event_type"),
-          CleanFunctions.md5Hash64(concat(lit("hll:"), col("user_id"))).as("h"))
-        .withColumn("bucket", expr(s"h DIV $HllRestMod"))
-        .withColumn("rest", expr(s"h % $HllRestMod"))
-      val rho = (50 to 0 by -1).foldLeft(
-          when(col("rest") >= (1L << 51), 1L)) { (acc, k) =>
-          acc.when(col("rest") >= (1L << k), (52 - k).toLong)
-        }.otherwise(lit(53L))
-      val regs = e.withColumn("rho", rho)
+      val (bucket, rho) = CleanFunctions.hll60BucketRho(
+        CleanFunctions.md5Hash64(concat(lit("hll:"), col("user_id"))))
+      val regs = Tables.events(s, d)
+        .select(col("event_type"), bucket.as("bucket"), rho.as("rho"))
         .groupBy("event_type", "bucket").agg(max(col("rho")).as("r"))
-      val agg = regs.groupBy("event_type").agg(
-          count(lit(1)).as("present"),
-          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("si"))
-        .withColumn("zeros", lit(HllM.toLong) - col("present"))
-        .withColumn("sumz", (col("si") + col("zeros") * lit(1L << 53)).cast(DoubleType))
-        .withColumn("e_raw", round4(lit(HllAlphaNum) / col("sumz")))
-        .withColumn("hll_est",
-          when(col("e_raw") <= lit(2.5 * HllM) && col("zeros") > 0L,
-            round4(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros"))))
-            .otherwise(col("e_raw")))
-      val exact = Tables.events(s, d).groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("exact_distinct"))
-      agg.join(exact, "event_type")
-        .select(col("event_type"), col("exact_distinct"), col("hll_est"),
-          round4((col("hll_est") - col("exact_distinct").cast(DoubleType)) /
-            col("exact_distinct").cast(DoubleType)).as("rel_err"))
-        .orderBy("event_type")
+      hllAudit(s, d, regs)
+    },
+
+    // STREAMING twin of events_hll_distinct (SURVEY §2.12): the register
+    // build runs as the emit-once flatMapGroupsWithState fold keyed by
+    // (type, bucket) — one long of state per register, merged by max,
+    // finalized at event-time timeout (StreamingAnomaly.hllRegisters).
+    // The per-row (bucket, ρ) split is the SAME Catalyst expression tree
+    // as the batch scan, and the estimate/audit downstream of the
+    // registers is the shared hllAudit — so the streaming answer
+    // hash-matches the batch entry's DuckDB oracle verbatim.
+    "streaming_hll_distinct" -> { (s, d) =>
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[graft.streaming.KeyEvent].collect().toSeq
+      val regs =
+        if (rows.isEmpty) s.emptyDataset[graft.streaming.HllRegister].toDF()
+        else {
+          val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
+          StreamingAnomaly.replayToSink(s, rows, "graft_streaming_hll",
+            Some(StreamingAnomaly.punctuationKeyEvent(
+              maxUs + 10L * 86400L * 1000000L)))(
+            ds => StreamingAnomaly.hllRegisters(ds.toDF()).toDF())
+        }
+      hllAudit(s, d, regs)
     },
 
     // Bottom-k hash-sample QUANTILE sketch per event type, WITH its own
@@ -1105,12 +1109,27 @@ object EvalQueries {
       val e = Tables.events(s, d).where(col("value").isNotNull)
         .select(col("event_type"), col("value"), col("event_id"),
           CleanFunctions.md5Hash64(concat(lit("qsk:"), col("event_id"))).as("h"))
-      val wk = Window.partitionBy("event_type").orderBy("h", "event_id")
-      val sample = e.withColumn("rn", row_number().over(wk))
-        .where(col("rn") <= QskK).select("event_type", "value")
-      val est = StatsOps.rankPercentiles(sample, Seq("event_type"), "value", QskPs)
+      // TWO-STAGE mergeable bottom-k (the KMV combine contract the
+      // streaming twin honors), not a per-event_type rank window — that
+      // would sort each type's whole corpus slice in one task. Stage 1:
+      // bottom-k per (type, salt) in QskSalts parallel windows (each
+      // sorts 1/QskSalts of the slice). Stage 2: the combiner keeps the
+      // k smallest of the ≤ salts·k survivors per type via one bounded
+      // sorted-array agg (collect_list state ≤ salts·k structs — a
+      // constant at any corpus size). Bottom-k of a union = bottom-k of
+      // merged per-part bottom-k's, so the sample — and the oracle's
+      // plain global row_number reconstruction — is identical.
+      val w1 = Window.partitionBy("event_type", "salt").orderBy("h", "event_id")
+      val stage1 = e.withColumn("salt", pmod(col("event_id"), lit(QskSalts)))
+        .withColumn("rn1", row_number().over(w1)).where(col("rn1") <= QskK)
+      val sample = stage1.groupBy("event_type")
+        .agg(slice(array_sort(collect_list(struct(col("h"), col("event_id"),
+          col("value")))), 1, QskK).as("items"))
+        .select(col("event_type"), explode(col("items")).as("it"))
+        .select(col("event_type"), col("it.value").as("value"))
+      val est = StatsOps.rankPercentilesBanded(sample, Seq("event_type"), "value", QskPs)
         .withColumnRenamed("pct", "pct_est")
-      val exact = StatsOps.rankPercentiles(
+      val exact = StatsOps.rankPercentilesBanded(
           e.select("event_type", "value"), Seq("event_type"), "value", QskPs)
         .withColumnRenamed("pct", "pct_exact")
       est.join(exact, Seq("event_type", "p"))
@@ -1137,11 +1156,18 @@ object EvalQueries {
       val rows = Tables.events(s, d).where(col("value").isNotNull)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[Event].collect().toSeq
-      val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
-      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_qsk",
-          Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
-          ds => StreamingAnomaly.bottomKQuantiles(ds.toDF(), QskK, QskPs).toDF())
-        .orderBy("event_type", "p")
+      // Empty corpus: no punctuation point exists and the batch twin
+      // emits nothing — emit the same empty frame instead of letting
+      // .max throw on the driver.
+      if (rows.isEmpty)
+        s.emptyDataset[graft.streaming.QskEstimate].toDF()
+      else {
+        val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
+        StreamingAnomaly.replayToSink(s, rows, "graft_streaming_qsk",
+            Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
+            ds => StreamingAnomaly.bottomKQuantiles(ds.toDF(), QskK, QskPs).toDF())
+          .orderBy("event_type", "p")
+      }
     },
 
     // DDSketch-style LOG-BUCKET quantile estimate per event type, WITH
@@ -1174,12 +1200,34 @@ object EvalQueries {
         .withColumn("pct_est", round4(
           exp((col("b").cast(DoubleType) + lit(0.5)) * lit(DdLnGamma))))
         .select("event_type", "p", "pct_est")
-      val exact = StatsOps.rankPercentiles(e, Seq("event_type"), "v", QskPs)
+      val exact = StatsOps.rankPercentilesBanded(e, Seq("event_type"), "v", QskPs)
         .withColumnRenamed("pct", "pct_exact")
       est.join(exact, Seq("event_type", "p"))
         .select(col("event_type"), col("p"), col("pct_est"), col("pct_exact"),
           round4((col("pct_est") - col("pct_exact")) / col("pct_exact")).as("rel_err"))
         .orderBy("event_type", "p")
+    },
+
+    // The bottom-k quantile sketch as ONE SQL aggregate call:
+    // `approx_pct_det(hash, id, value, p, k)` is a custom Catalyst
+    // TypedImperativeAggregate (org.apache.spark.sql.graft
+    // .BottomKQuantile, registered via GraftExtensions) whose partial
+    // state is the k-entry bottom-k heap — map-side partials combine by
+    // heap merge, so the shuffle carries k triples per (group,
+    // partition) and nothing sorts the corpus. Same sample + same rank
+    // interpolation as events_quantile_sketch, so the DuckDB oracle
+    // reconstructs it exactly; a spec additionally asserts bit-parity
+    // against the DataFrame two-stage path.
+    "sql_quantile_agg" -> { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables.events(s, d).where(col("value").isNotNull)
+        .createOrReplaceTempView("graft_events_qagg")
+      val h = CleanFunctions.md5Hash64Spark("concat('qsk:', event_id)")
+      s.sql(s"""
+        SELECT event_type,
+          approx_pct_det($h, event_id, value, CAST(0.5 AS DOUBLE), $QskK) AS p50,
+          approx_pct_det($h, event_id, value, CAST(0.9 AS DOUBLE), $QskK) AS p90
+        FROM graft_events_qagg GROUP BY event_type ORDER BY event_type""")
     },
 
     // Sample-ratio-mismatch gate per segment: chi-square of the
@@ -1355,6 +1403,34 @@ object EvalQueries {
         .orderBy("nationkey")
     },
 
+    // CORPUS-SCALE connected components (the §2.7 graph machinery under
+    // a graph whose edge count scales with the data, unlike the 25-node
+    // nation graph): customers are linked when they bought the same part
+    // in the same calendar week. Edge generation is the dedup-style
+    // BLOCKED equi-join — block key (part, week), df fence (2 ≤ block
+    // size ≤ CoPurchaseMaxBlock distinct customers), so pairs per block
+    // are O(fence²) and block count scales with the corpus; nothing is
+    // corpus². Components from GraphOps.minLabelPropagate (min-label
+    // fixpoint + pointer jumping, O(log diameter) rounds, per-round
+    // localCheckpoint); component id = min customer key, so the oracle's
+    // recursive-CTE closure matches exactly.
+    "customer_components" -> { (s, d) =>
+      graft.operators.GraphOps.minLabelPropagate(coPurchaseEdges(s, d))
+        .select(col("id").as("c_custkey"), col("lbl").as("component_id"))
+        .orderBy("c_custkey")
+    },
+
+    // Component-SIZE histogram over the same graph — the curation
+    // readout (how big do co-purchase clusters get) and the convergence
+    // audit (a max-rounds split would surface as two half-size
+    // components here).
+    "customer_component_sizes" -> { (s, d) =>
+      graft.operators.GraphOps.minLabelPropagate(coPurchaseEdges(s, d))
+        .groupBy("lbl").agg(count(lit(1)).as("component_size"))
+        .groupBy("component_size").agg(count(lit(1)).as("n_components"))
+        .orderBy("component_size")
+    },
+
     // Uplift report (T-learner on bins): difference in outcome rate
     // between treated (weekend) and control (weekday) per value band —
     // the heterogeneous-treatment-effect readout next to events_cuped /
@@ -1408,6 +1484,65 @@ object EvalQueries {
   private val HllAlphaNum =
     0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
 
+  /** DuckDB replica of the full HLL build + [[hllAudit]] — one string,
+    * shared by the batch and streaming entries (same registers by
+    * construction, so the same oracle).
+    */
+  private lazy val HllOracleSql: String = {
+    val rhoCase = "CASE " + (51 to 0 by -1).map(k =>
+      s"WHEN rest >= ${1L << k} THEN ${52 - k}").mkString(" ") + " ELSE 53 END"
+    val an = CleanFunctions.dlitSql(HllAlphaNum)
+    s"""WITH e AS (SELECT event_type,
+       |  ${CleanFunctions.md5Hash64Sql("'hll:' || user_id")} AS h FROM events),
+       |b AS (SELECT event_type, h // $HllRestMod AS bucket,
+       |  h % $HllRestMod AS rest FROM e),
+       |rh AS (SELECT event_type, bucket, $rhoCase AS rho FROM b),
+       |regs AS (SELECT event_type, bucket, max(rho) AS r FROM rh GROUP BY 1, 2),
+       |ag AS (SELECT event_type, count(*) AS present,
+       |  sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS si
+       |  FROM regs GROUP BY 1),
+       |z AS (SELECT event_type, $HllM - present AS zeros,
+       |  CAST(si + ($HllM - present) * ${1L << 53} AS DOUBLE) AS sumz FROM ag),
+       |er AS (SELECT event_type, zeros, ${round4Sql(s"$an / sumz")} AS e_raw FROM z),
+       |est AS (SELECT event_type,
+       |  CASE WHEN e_raw <= ${2.5 * HllM} AND zeros > 0
+       |       THEN ${round4Sql(s"$HllM.0 * ln($HllM.0 / zeros)")}
+       |       ELSE e_raw END AS hll_est FROM er),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY 1)
+       |SELECT est.event_type, exact_distinct, hll_est,
+       |  ${round4Sql("(hll_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)")} AS rel_err
+       |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin
+  }
+
+  /** Estimate + accuracy audit downstream of an HLL register table
+    * (event_type, bucket, r) — shared by the batch scan build and the
+    * streaming fold emission so both produce the identical frame.
+    * Everything is integer-exact until ONE division: register sums use
+    * 2^(53−r) INTEGER weights so Σ2^(−r) has no float-accumulation
+    * order, and the standard linear-counting small-range correction
+    * branches on the already-rounded estimate.
+    */
+  private def hllAudit(s: SparkSession, d: String, regs: DataFrame): DataFrame = {
+    val agg = regs.groupBy("event_type").agg(
+        count(lit(1)).as("present"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("si"))
+      .withColumn("zeros", lit(HllM.toLong) - col("present"))
+      .withColumn("sumz", (col("si") + col("zeros") * lit(1L << 53)).cast(DoubleType))
+      .withColumn("e_raw", round4(lit(HllAlphaNum) / col("sumz")))
+      .withColumn("hll_est",
+        when(col("e_raw") <= lit(2.5 * HllM) && col("zeros") > 0L,
+          round4(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros"))))
+          .otherwise(col("e_raw")))
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    agg.join(exact, "event_type")
+      .select(col("event_type"), col("exact_distinct"), col("hll_est"),
+        round4((col("hll_est") - col("exact_distinct").cast(DoubleType)) /
+          col("exact_distinct").cast(DoubleType)).as("rel_err"))
+      .orderBy("event_type")
+  }
+
   /** Bloom audit geometry: m bits, k hash functions. */
   private val BloomM = 4096L
   private val BloomK = 3
@@ -1415,8 +1550,10 @@ object EvalQueries {
   /** KMV sketch size (bottom-k hashes per set). */
   private val KmvK = 64
 
-  /** Quantile sketch: sample size per group + probed percentiles. */
+  /** Quantile sketch: sample size per group + probed percentiles;
+    * QskSalts = stage-1 fan-out of the two-stage bottom-k sample. */
   private val QskK = 128
+  private val QskSalts = 32
   private val QskPs = Seq(0.5, 0.9)
   private val QskPsSqlList =
     QskPs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
@@ -1452,6 +1589,61 @@ object EvalQueries {
        |  SELECT event_type, p,
        |    ${CleanFunctions.round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(hh) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS $outCol
        |  FROM ${pfx}f GROUP BY event_type, p)""".stripMargin
+
+  /** Co-purchase block fence: max distinct customers per (part, week)
+    * block admitted to the pair join (observed block sizes at the
+    * current generator top out at ~4; the fence is the 100-TB guard
+    * against a hot part×week turning the blocked join quadratic).
+    */
+  private val CoPurchaseMaxBlock = 10
+
+  /** Undirected customer co-purchase edges (x, y), x < y: customers who
+    * bought the same part in the same Monday-start week, blocks df-fenced
+    * to ≤ [[CoPurchaseMaxBlock]]. Shared by the component entries.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val cp = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
+        date_trunc("week", col("o_orderdate")).as("w"))
+      .distinct()
+    val fence = cp.groupBy("p", "w").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2L && col("n") <= CoPurchaseMaxBlock.toLong)
+      .select("p", "w")
+    val blocked = cp.join(fence, Seq("p", "w"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.p") === col("b.p") && col("a.w") === col("b.w") &&
+          col("a.c") < col("b.c"))
+      .select(col("a.c").as("x"), col("b.c").as("y"))
+      .distinct()
+  }
+
+  /** DuckDB CTE block shared by the co-purchase component oracles:
+    * emits `lab(id, lbl)` — the min-reachable-id closure over the same
+    * fenced edge set.
+    */
+  private lazy val coPurchaseLabCte: String =
+    s"""WITH RECURSIVE cp AS (
+       |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p,
+       |    date_trunc('week', o.o_orderdate) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |ok AS (SELECT p, w FROM (
+       |  SELECT p, w, count(*) AS n FROM cp GROUP BY p, w)
+       |  WHERE n BETWEEN 2 AND $CoPurchaseMaxBlock),
+       |pairs AS (
+       |  SELECT DISTINCT a.c AS x, b.c AS y
+       |  FROM cp a
+       |  JOIN cp b ON a.p = b.p AND a.w = b.w AND a.c < b.c
+       |  JOIN ok ON a.p = ok.p AND a.w = ok.w),
+       |e AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT DISTINCT x AS id, x AS lbl FROM e
+       |  UNION
+       |  SELECT e.y AS id, r.lbl FROM reach r JOIN e ON e.x = r.id),
+       |lab AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)""".stripMargin
 
   private val tradeEdgesSql: String =
     """SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
@@ -2147,32 +2339,44 @@ object EvalQueries {
          |FROM ag, th""".stripMargin
     },
 
-    "events_hll_distinct" -> {
-      val rhoCase = "CASE " + (51 to 0 by -1).map(k =>
-        s"WHEN rest >= ${1L << k} THEN ${52 - k}").mkString(" ") + " ELSE 53 END"
-      val an = CleanFunctions.dlitSql(HllAlphaNum)
-      s"""WITH e AS (SELECT event_type,
-         |  ${CleanFunctions.md5Hash64Sql("'hll:' || user_id")} AS h FROM events),
-         |b AS (SELECT event_type, h // $HllRestMod AS bucket,
-         |  h % $HllRestMod AS rest FROM e),
-         |rh AS (SELECT event_type, bucket, $rhoCase AS rho FROM b),
-         |regs AS (SELECT event_type, bucket, max(rho) AS r FROM rh GROUP BY 1, 2),
-         |ag AS (SELECT event_type, count(*) AS present,
-         |  sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS si
-         |  FROM regs GROUP BY 1),
-         |z AS (SELECT event_type, $HllM - present AS zeros,
-         |  CAST(si + ($HllM - present) * ${1L << 53} AS DOUBLE) AS sumz FROM ag),
-         |er AS (SELECT event_type, zeros, ${round4Sql(s"$an / sumz")} AS e_raw FROM z),
-         |est AS (SELECT event_type,
-         |  CASE WHEN e_raw <= ${2.5 * HllM} AND zeros > 0
-         |       THEN ${round4Sql(s"$HllM.0 * ln($HllM.0 / zeros)")}
-         |       ELSE e_raw END AS hll_est FROM er),
-         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
-         |  FROM events GROUP BY 1)
-         |SELECT est.event_type, exact_distinct, hll_est,
-         |  ${round4Sql("(hll_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)")} AS rel_err
-         |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin
+    "events_hll_distinct" -> HllOracleSql,
+
+    // The SQL-surface aggregate keeps the SAME deterministic bottom-k
+    // hash sample as events_quantile_sketch; the oracle reconstructs it
+    // with a plain rank window (exactness at sf-oracle scale; the Spark
+    // side never sorts — that is the aggregate's point) and pivots the
+    // two probed percentiles wide.
+    "sql_quantile_agg" -> {
+      s"""WITH e AS (
+         |  SELECT event_type, value AS v, event_id,
+         |    ${CleanFunctions.md5Hash64Sql("'qsk:' || event_id")} AS h
+         |  FROM events WHERE value IS NOT NULL),
+         |smp AS (SELECT event_type, v FROM (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+         |  FROM e) WHERE rn <= $QskK),
+         |${rankPctBlockSql("smp", "q", "pct")}
+         |SELECT event_type,
+         |  max(CASE WHEN p = 0.5 THEN pct END) AS p50,
+         |  max(CASE WHEN p = 0.9 THEN pct END) AS p90
+         |FROM qo GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+
+    // The streaming register fold builds the SAME registers as the batch
+    // scan (shared Catalyst expressions + shared hllAudit downstream), so
+    // its oracle is the batch oracle verbatim.
+    "streaming_hll_distinct" -> HllOracleSql,
+
+    "customer_components" ->
+      s"""$coPurchaseLabCte
+         |SELECT id AS c_custkey, lbl AS component_id FROM lab
+         |ORDER BY c_custkey""".stripMargin,
+
+    "customer_component_sizes" ->
+      s"""$coPurchaseLabCte,
+         |sz AS (SELECT lbl, count(*) AS component_size FROM lab GROUP BY lbl)
+         |SELECT component_size, count(*) AS n_components
+         |FROM sz GROUP BY component_size ORDER BY component_size""".stripMargin,
 
     "events_quantile_sketch" -> {
       def pctBlock(src: String, pfx: String, outCol: String) =

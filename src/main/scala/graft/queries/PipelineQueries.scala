@@ -167,7 +167,7 @@ object PipelineQueries {
       // keep ns-distinct/us-equal duplicates Spark dedups away.
       val w = "PARTITION BY user_id ORDER BY tsu, event_id"
       def mm(c: String) =
-        s"round(((($c) - min($c) OVER u) / nullif(max($c) OVER u - min($c) OVER u, 0)) * 10000.0) / 10000.0"
+        s"(round(((($c) - min($c) OVER u) / nullif(max($c) OVER u - min($c) OVER u, 0)) * 10000.0) / 10000.0 + 0.0)"
       s"""WITH dd AS (
          |SELECT * FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS tsu, value,
          |  row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id) AS rn

@@ -764,39 +764,45 @@ object RelationalQueries {
 
     // Fellegi-Sunter probabilistic record linkage over customers (the
     // 1969 m/u-weight model that production entity resolution still
-    // runs on): candidate pairs from an account-balance-band equi-join
+    // runs on): candidate pairs from a two-grid balance-band equi-join
     // block, each compared field contributing ln(m/u) on agreement and
     // ln((1−m)/(1−u)) on disagreement, match verdict at a fixed score
     // threshold. m/u are pinned (production shape: EM-fitted offline,
     // scored online). Every agreement decision is an equality or an
     // IEEE compare of identical doubles, and the score is a fixed-order
     // sum of three baked literals — engine-exact by construction.
-    // Scale: the pair stage is a bucketed equi-join, never corpus²;
-    // block keys must keep block sizes bounded at the target volume
-    // (here 100-unit balance bands; production adds more fields).
+    // Blocking is LOSSLESS for the 50-unit match tolerance: each record
+    // emits two keys, floor(bal/100) and floor((bal+50)/100) (disjoint
+    // namespaces via 2k / 2k+1). An interval of length ≤ 50 straddles
+    // at most one multiple of 50, so at most one of the two staggered
+    // 100-unit grids can split a true pair — every |Δbal| ≤ 50 pair
+    // shares ≥ 1 key. Scale: the pair stage stays a bucketed equi-join
+    // (2 rows/record, blocks O(corpus / #bands)), never corpus².
     "customer_record_linkage" -> { (s, d) =>
       val c = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
-          col("c_acctbal"), floor(col("c_acctbal") / 100.0).cast(LongType).as("band"))
+          col("c_acctbal"))
+        .withColumn("band", explode(array(
+          floor(col("c_acctbal") / 100.0).cast(LongType) * 2L,
+          floor((col("c_acctbal") + 50.0) / 100.0).cast(LongType) * 2L + 1L)))
       val a = c.select(col("c_custkey").as("ck_a"), col("c_nationkey").as("na"),
         col("c_mktsegment").as("sa"), col("c_acctbal").as("ba"), col("band"))
       val b = c.select(col("c_custkey").as("ck_b"), col("c_nationkey").as("nb"),
         col("c_mktsegment").as("sb"), col("c_acctbal").as("bb"), col("band"))
       val sameNation  = col("na") === col("nb")
       val sameSegment = col("sa") === col("sb")
-      val closeBal    = abs(col("ba") - col("bb")) <= 10.0
-      val score =
-        when(sameNation, lit(FsWnA)).otherwise(lit(FsWnD)) +
-          when(sameSegment, lit(FsWsA)).otherwise(lit(FsWsD)) +
-          when(closeBal, lit(FsWbA)).otherwise(lit(FsWbD))
+      val closeBal    = abs(col("ba") - col("bb")) <= 50.0
       a.join(b, "band").where(col("ck_a") < col("ck_b"))
-        .withColumn("fs_score", CleanFunctions.round4(score))
-        .where(col("fs_score") >= FsThr)
         .select(col("ck_a"), col("ck_b"),
           sameNation.cast(LongType).as("same_nation"),
           sameSegment.cast(LongType).as("same_segment"),
-          closeBal.cast(LongType).as("close_balance"),
-          col("fs_score"))
+          closeBal.cast(LongType).as("close_balance"))
+        .distinct() // a pair found under both grid keys scores once
+        .withColumn("fs_score", CleanFunctions.round4(
+          when(col("same_nation") === 1L, lit(FsWnA)).otherwise(lit(FsWnD)) +
+            when(col("same_segment") === 1L, lit(FsWsA)).otherwise(lit(FsWsD)) +
+            when(col("close_balance") === 1L, lit(FsWbA)).otherwise(lit(FsWbD))))
+        .where(col("fs_score") >= FsThr)
         .orderBy("ck_a", "ck_b")
     },
 
@@ -1232,7 +1238,7 @@ object RelationalQueries {
   private val FsWnD = math.log(0.1 / 0.96)
   private val FsWsA = math.log(0.9 / 0.2)   // mktsegment agree
   private val FsWsD = math.log(0.1 / 0.8)
-  private val FsWbA = math.log(0.8 / 0.1)   // |acctbal delta| <= 10
+  private val FsWbA = math.log(0.8 / 0.1)   // |acctbal delta| <= 50
   private val FsWbD = math.log(0.2 / 0.9)
   private val FsThr = 4.0
 
@@ -1304,13 +1310,14 @@ object RelationalQueries {
       val d = CleanFunctions.dlitSql _
       s"""WITH c AS (
          |  SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
-         |    floor(c_acctbal / 100.0) AS band
+         |    unnest([CAST(floor(c_acctbal / 100.0) AS BIGINT) * 2,
+         |            CAST(floor((c_acctbal + 50.0) / 100.0) AS BIGINT) * 2 + 1]) AS band
          |  FROM customer),
          |p AS (
-         |  SELECT a.c_custkey AS ck_a, b.c_custkey AS ck_b,
+         |  SELECT DISTINCT a.c_custkey AS ck_a, b.c_custkey AS ck_b,
          |    a.c_nationkey = b.c_nationkey AS same_nation,
          |    a.c_mktsegment = b.c_mktsegment AS same_segment,
-         |    abs(a.c_acctbal - b.c_acctbal) <= 10.0 AS close_balance
+         |    abs(a.c_acctbal - b.c_acctbal) <= 50.0 AS close_balance
          |  FROM c a JOIN c b ON a.band = b.band AND a.c_custkey < b.c_custkey),
          |sc AS (
          |  SELECT ck_a, ck_b,

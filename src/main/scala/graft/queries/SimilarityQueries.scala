@@ -1610,7 +1610,7 @@ object SimilarityQueries {
     "emb_random_projection" -> {
       val selects = (0 until TruncDim).map { p =>
         s"""SELECT vec_id, CAST(${p + 1} AS BIGINT) AS dim,
-           |  (round((${TextFunctions.lshProjSql("embedding", p)} / 4.0) * 1000000.0) / 1000000.0) AS v
+           |  (round((${TextFunctions.lshProjSql("embedding", p)} / 4.0) * 1000000.0) / 1000000.0 + 0.0) AS v
            |FROM embeddings""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""SELECT vec_id, dim, v FROM ($selects)
@@ -1626,7 +1626,7 @@ object SimilarityQueries {
          |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
 
     "emb_mmr_diversify" -> {
-      def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0)"
+      def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"
       // One greedy step: score the remaining candidates against the
       // selected-so-far set, pick the 4dp-rounded argmax (vec_id ties).
       def step(t: Int): String =
@@ -1664,8 +1664,8 @@ object SimilarityQueries {
     },
 
     "emb_intrinsic_dim" -> {
-      def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0)"
-      def r6(x: String) = s"(round(($x) * 1000000.0) / 1000000.0)"
+      def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"
+      def r6(x: String) = s"(round(($x) * 1000000.0) / 1000000.0 + 0.0)"
       val dsum = (x: String) => graft.functions.CleanFunctions.exactSumSql(x)
       val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
         s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
@@ -1710,7 +1710,7 @@ object SimilarityQueries {
     },
 
     "emb_lof" -> {
-      def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0)"
+      def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"
       val dsum = (x: String) => graft.functions.CleanFunctions.exactSumSql(x)
       val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
         s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"

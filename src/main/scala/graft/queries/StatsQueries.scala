@@ -56,6 +56,61 @@ object StatsQueries {
   private val CmsB = Seq(12345L, 67891L, 33533L)
   private val CmsTopN = 20
 
+  /** DuckDB replica of the full CMS build + [[cmsAudit]] — one string,
+    * shared by the batch and streaming entries (same counters by
+    * construction, so the same oracle).
+    */
+  private lazy val CmsOracleSql: String = {
+    def hSql(i: Int) =
+      s"(((${CmsA(i)} * (user_id % $CmsP) + ${CmsB(i)}) % $CmsP) % $CmsW)"
+    val exRows = (0 until CmsD)
+      .map(i => s"SELECT $i AS r, ${hSql(i)} AS b FROM events")
+      .mkString("\n  UNION ALL ")
+    val joins = (0 until CmsD)
+      .map(i => s"JOIN counters c$i ON c$i.r = $i AND c$i.b = t.b$i")
+      .mkString("\n  ")
+    s"""WITH ex AS ($exRows),
+       |counters AS (SELECT r, b, count(*) AS cnt FROM ex GROUP BY 1, 2),
+       |t AS (SELECT user_id, count(*) AS true_cnt,
+       |  ${(0 until CmsD).map(i => s"${hSql(i)} AS b$i").mkString(", ")}
+       |  FROM events GROUP BY user_id),
+       |e AS (SELECT t.user_id, t.true_cnt,
+       |  least(${(0 until CmsD).map(i => s"c$i.cnt").mkString(", ")}) AS cms_est
+       |  FROM t
+       |  $joins)
+       |SELECT user_id, true_cnt, cms_est, cms_est - true_cnt AS overestimate
+       |FROM e ORDER BY cms_est DESC, user_id LIMIT $CmsTopN""".stripMargin
+  }
+
+  /** Row-i CMS hash of `user_id` — one Column expression, shared by the
+    * batch counter scan, the truth-side audit join, and the streaming
+    * cell explosion so all three land in the same buckets.
+    */
+  private def cmsHash(i: Int) =
+    ((lit(CmsA(i)) * pmod(col("user_id"), lit(CmsP)) + lit(CmsB(i))) % CmsP) % CmsW
+
+  /** Top-k audit downstream of a CMS counter table (r, b, cnt) — shared
+    * by the batch scan build and the streaming fold emission: per-key
+    * true counts, the d broadcast counter lookups, estimate = min over
+    * rows, TakeOrdered top-k (never a global sort).
+    */
+  private def cmsAudit(s: SparkSession, d: String,
+                       counters: DataFrame): DataFrame = {
+    val truth = Tables.events(s, d).select(col("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+    val withB = (0 until CmsD).foldLeft(truth) { (df, i) =>
+      df.withColumn(s"b$i", cmsHash(i))
+    }
+    val est = (0 until CmsD).foldLeft(withB) { (df, i) =>
+      df.join(broadcast(counters.where(col("r") === i)
+        .select(col("b").as(s"b$i"), col("cnt").as(s"c$i"))), Seq(s"b$i"))
+    }
+    est.select(col("user_id"), col("true_cnt"),
+        least((0 until CmsD).map(i => col(s"c$i")): _*).as("cms_est"))
+      .withColumn("overestimate", col("cms_est") - col("true_cnt"))
+      .orderBy(desc("cms_est"), col("user_id")).limit(CmsTopN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact PERCENTILE_CONT per series via rank interpolation — no
     // per-group value buffering (Spark's percentile UDAF would hold every
@@ -185,7 +240,7 @@ object StatsQueries {
     "events_qte" -> { (s, d) =>
       val ev = Tables.events(s, d).where(col("value").isNotNull)
         .withColumn("arm", (weekday(col("ts")) >= 5).cast(LongType))
-      StatsOps.rankPercentiles(ev, Seq("arm"), "value", QtePs)
+      StatsOps.rankPercentilesBanded(ev, Seq("arm"), "value", QtePs)
         .groupBy("p").agg(
           max(when(col("arm") === 1L, col("pct"))).as("q_weekend"),
           max(when(col("arm") === 0L, col("pct"))).as("q_weekday"))
@@ -1465,25 +1520,57 @@ object StatsQueries {
     // the top-k is a TakeOrdered, never a global sort.
     "events_cms_topk" -> { (s, d) =>
       val keys = Tables.events(s, d).select(col("user_id"))
-      def h(i: Int) =
-        ((lit(CmsA(i)) * pmod(col("user_id"), lit(CmsP)) + lit(CmsB(i))) % CmsP) % CmsW
       val counters = keys
         .select(explode(array((0 until CmsD).map(i =>
-          struct(lit(i).as("r"), h(i).as("b"))): _*)).as("rb"))
+          struct(lit(i).as("r"), cmsHash(i).as("b"))): _*)).as("rb"))
         .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
         .agg(count(lit(1)).as("cnt"))
-      val truth = keys.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
-      val withB = (0 until CmsD).foldLeft(truth) { (df, i) =>
-        df.withColumn(s"b$i", h(i))
-      }
-      val est = (0 until CmsD).foldLeft(withB) { (df, i) =>
-        df.join(broadcast(counters.where(col("r") === i)
-          .select(col("b").as(s"b$i"), col("cnt").as(s"c$i"))), Seq(s"b$i"))
-      }
-      est.select(col("user_id"), col("true_cnt"),
-          least((0 until CmsD).map(i => col(s"c$i")): _*).as("cms_est"))
-        .withColumn("overestimate", col("cms_est") - col("true_cnt"))
-        .orderBy(desc("cms_est"), col("user_id")).limit(CmsTopN)
+      cmsAudit(s, d, counters)
+    },
+
+    // STREAMING twin of events_cms_topk (SURVEY §2.12): the counter build
+    // runs as the emit-once flatMapGroupsWithState fold keyed by the
+    // (row, bucket) CELL — one long of state per counter, merged by sum,
+    // finalized at event-time timeout (StreamingAnomaly.cmsCounters).
+    // The per-row cell explosion uses the SAME Catalyst hash expressions
+    // as the batch scan, and the top-k audit downstream of the counters
+    // is the shared cmsAudit — so the streaming answer hash-matches the
+    // batch entry's DuckDB oracle verbatim.
+    "streaming_cms_topk" -> { (s, d) =>
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[graft.streaming.KeyEvent].collect().toSeq
+      val counters =
+        if (rows.isEmpty) s.emptyDataset[graft.streaming.CmsCounter].toDF()
+        else {
+          val maxUs = rows.iterator
+            .map(e => graft.streaming.StreamingAnomaly.tsUs(e.ts)).max
+          graft.streaming.StreamingAnomaly.replayToSink(
+            s, rows, "graft_streaming_cms",
+            Some(graft.streaming.StreamingAnomaly.punctuationKeyEvent(
+              maxUs + 10L * 86400L * 1000000L))) { ds =>
+            // The punctuation marker must advance the watermark (a
+            // pre-fold FILTER would be pushed below the watermark node
+            // and the final no-data batch would never fire) yet must not
+            // increment real counters — unlike the keyed sketches, CMS
+            // cells are shared across the whole stream. So the marker's
+            // rows are ROUTED to a dedicated sentinel cell (−1, −1)
+            // whose timeout lies beyond the replay's final watermark: it
+            // never reaches the output.
+            val realCells = array((0 until CmsD).map(i =>
+              struct(lit(i).as("r"), cmsHash(i).as("b"))): _*)
+            val punctCell = array(struct(lit(-1).as("r"), lit(-1L).as("b")))
+            val cells = ds.toDF()
+              .withWatermark("ts", "1 hour")
+              .select(explode(when(col("user_id") >= 0L, realCells)
+                .otherwise(punctCell)).as("rb"), col("ts"))
+              .select(col("rb.r").as("r"), col("rb.b").as("b"), col("ts"))
+              .as[(Int, Long, java.sql.Timestamp)]
+            graft.streaming.StreamingAnomaly.cmsCounters(cells).toDF()
+          }
+        }
+      cmsAudit(s, d, counters)
     },
 
     // Two-sample Kolmogorov–Smirnov test (click vs view, the
@@ -2395,7 +2482,7 @@ object StatsQueries {
     },
 
     "ts_hurst" -> {
-      val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0)"
+      val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0 + 0.0)"
       def rsCte(sz: Int) =
         s"""ch$sz AS (SELECT user_id, rn, value, (rn - 1) // $sz AS chunk FROM base),
            |st$sz AS (
@@ -2512,7 +2599,7 @@ object StatsQueries {
          |FROM t ORDER BY o_custkey""".stripMargin,
 
     "ts_ljung_box" -> {
-      val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0)"
+      val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0 + 0.0)"
       val term = (k: Int) =>
         round6(s"(num$k / nullif(den, 0.0)) * (num$k / nullif(den, 0.0)) / (nd - $k.0)")
       val q = round4Sql(s"nd * (nd + 2.0) * (${(1 to 5).map(term).mkString(" + ")})")
@@ -2760,27 +2847,12 @@ object StatsQueries {
          |  ${round4Sql("CAST(vsum AS DOUBLE)")} AS hazard_var
          |FROM s WHERE d > 0 ORDER BY t_hours""".stripMargin,
 
-    "events_cms_topk" -> {
-      def hSql(i: Int) =
-        s"(((${CmsA(i)} * (user_id % $CmsP) + ${CmsB(i)}) % $CmsP) % $CmsW)"
-      val exRows = (0 until CmsD)
-        .map(i => s"SELECT $i AS r, ${hSql(i)} AS b FROM events")
-        .mkString("\n  UNION ALL ")
-      val joins = (0 until CmsD)
-        .map(i => s"JOIN counters c$i ON c$i.r = $i AND c$i.b = t.b$i")
-        .mkString("\n  ")
-      s"""WITH ex AS ($exRows),
-         |counters AS (SELECT r, b, count(*) AS cnt FROM ex GROUP BY 1, 2),
-         |t AS (SELECT user_id, count(*) AS true_cnt,
-         |  ${(0 until CmsD).map(i => s"${hSql(i)} AS b$i").mkString(", ")}
-         |  FROM events GROUP BY user_id),
-         |e AS (SELECT t.user_id, t.true_cnt,
-         |  least(${(0 until CmsD).map(i => s"c$i.cnt").mkString(", ")}) AS cms_est
-         |  FROM t
-         |  $joins)
-         |SELECT user_id, true_cnt, cms_est, cms_est - true_cnt AS overestimate
-         |FROM e ORDER BY cms_est DESC, user_id LIMIT $CmsTopN""".stripMargin
-    },
+    "events_cms_topk" -> CmsOracleSql,
+
+    // The streaming cell fold builds the SAME counters as the batch scan
+    // (shared Catalyst hash expressions + shared cmsAudit downstream), so
+    // its oracle is the batch oracle verbatim.
+    "streaming_cms_topk" -> CmsOracleSql,
 
     "events_ks_test" -> {
       val r6 = CleanFunctions.round6Sql _

@@ -1127,7 +1127,7 @@ object TextQueries {
            |FROM f ORDER BY doc_id""".stripMargin,
 
       "text_zipf" -> {
-        val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0)"
+        val round6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0 + 0.0)"
         s"""WITH tok AS (
            |  SELECT lang, unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok
            |  FROM documents),
@@ -1198,7 +1198,7 @@ object TextQueries {
            |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_big FROM bf)
            |SELECT t1, t2, c_xy, a.c AS c1, b.c AS c2,
            |  (round((ln((CAST(c_xy AS DOUBLE) / n_big)
-           |    / ((CAST(a.c AS DOUBLE) / n_tok) * (CAST(b.c AS DOUBLE) / n_tok)))) * 1000000.0) / 1000000.0) AS pmi
+           |    / ((CAST(a.c AS DOUBLE) / n_tok) * (CAST(b.c AS DOUBLE) / n_tok)))) * 1000000.0) / 1000000.0 + 0.0) AS pmi
            |FROM cxy JOIN cx a ON cxy.t1 = a.tok JOIN cx b ON cxy.t2 = b.tok, nt, nb
            |ORDER BY t1, t2""".stripMargin,
 

@@ -58,15 +58,31 @@ case class Episode(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
 /** Open-episode state: count + span of the current flagged run. */
 case class EpisodeState(n: Long, startUs: Long, endUs: Long)
 
-/** Bottom-k quantile-sketch state: the k smallest (hash, event_id, value)
-  * triples seen so far for one key — constant-size, mergeable (bottom-k
-  * of a union = bottom-k of merged bottom-k's).
+/** State wrapper shared by the emit-once sketch folds
+  * ([[StreamingAnomaly.emitOnceFold]]): the mergeable sketch payload plus
+  * the cross-batch max event time (the timeout anchor) and the
+  * post-emission tombstone flag (payload None once emitted).
   */
-case class QskItems(items: Seq[(Long, Long, Double)])
+case class EmitOnceState[S](payload: Option[S], maxSeenUs: Long,
+                            emitted: Boolean = false)
 
 /** One emitted percentile estimate of the streaming quantile sketch. */
 case class QskEstimate(event_type: String, p: Double, pct_est: Double,
                        k_eff: Long)
+
+/** A keyed event WITHOUT the value column — the replay row for sketches
+  * over identity streams (HLL distinct, CMS frequency), where forcing the
+  * nullable `value` through a primitive Double would drop rows the batch
+  * twin counts.
+  */
+case class KeyEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String)
+
+/** One finalized HLL register (streaming emission; ≤ m per key). */
+case class HllRegister(event_type: String, bucket: Long, r: Long)
+
+/** One finalized count-min counter (streaming emission; ≤ w per row). */
+case class CmsCounter(r: Int, b: Long, cnt: Long)
 
 /** Structured Streaming face of the anomaly pipeline (SURVEY.md §2.12).
   *
@@ -229,6 +245,12 @@ object StreamingAnomaly {
     */
   def punctuationEvent(atUs: Long): Event =
     Event(-1L, new Timestamp(atUs / 1000L), -1L, "__punctuation__", 0.0)
+
+  /** [[punctuationEvent]] for [[KeyEvent]] replays (the value-less
+    * identity-stream sketches).
+    */
+  def punctuationKeyEvent(atUs: Long): KeyEvent =
+    KeyEvent(-1L, new Timestamp(atUs / 1000L), -1L, "__punctuation__")
 
   /** Watermarked stream-stream INTERVAL join: each left event picks up
     * right-stream rows of the same key whose event time falls in
@@ -512,42 +534,163 @@ object StreamingAnomaly {
         graft.functions.CleanFunctions.md5Hash64(
           concat(lit("qsk:"), col("event_id"))).as("h"))
       .as[(String, Long, Double, Timestamp, Long)]
-    withH
-      .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String,
-         it: Iterator[(String, Long, Double, Timestamp, Long)],
-         state: GroupState[QskItems]) =>
-          if (state.hasTimedOut) {
-            val vs = state.get.items.map(_._3).sorted.toIndexedSeq
-            state.remove()
-            val n = vs.length
-            ps.iterator.map { p =>
-              // The rankPercentiles interpolation verbatim: h=(n−1)p,
-              // linear between the lo/hi order statistics, 4dp-rounded.
-              val h = (n - 1).toDouble * p
-              val lo = math.floor(h)
-              val vlo = vs(lo.toInt)
-              val vhi = vs(math.ceil(h).toInt)
-              QskEstimate(key, p,
-                graft.functions.CleanFunctions.round4Jvm(
-                  vlo + (h - lo) * (vhi - vlo)), n.toLong)
-            }
-          } else {
-            var maxUs = Long.MinValue
-            val incoming = it.map { r =>
-              val u = us(r._4); if (u > maxUs) maxUs = u
-              (r._5, r._2, r._3)
-            }.toList
-            val merged = (state.getOption.map(_.items).getOrElse(Nil) ++ incoming)
-              .distinct.sortBy(t => (t._1, t._2)).take(k)
-            state.update(QskItems(merged))
-            // Any event-time point past the data but short of the replay
-            // punctuation: the sketch finalizes exactly once, when the
-            // feed declares time has moved on (production: a daily close).
-            state.setTimeoutTimestamp(maxUs / 1000L + 86400L * 1000L)
-            Iterator.empty
-          }
-      }
+    emitOnceFold[String, (String, Long, Double, Timestamp, Long),
+                 Seq[(Long, Long, Double)], QskEstimate](
+      withH.groupByKey(_._1), r => us(r._4))(
+      // NO dedup across state ++ incoming: delivery inside a
+      // checkpointed query is exactly-once per row, so repeats are
+      // GENUINE duplicate rows — the batch twin's row_number sample
+      // keeps them too, and a .distinct here would silently diverge
+      // from the oracle on duplicate-PK input.
+      (prev, incoming) =>
+        (prev.getOrElse(Nil) ++ incoming.map(r => (r._5, r._2, r._3)))
+          .sortBy(t => (t._1, t._2)).take(k))(
+      (key, items) => {
+        val vs = items.map(_._3).sorted.toIndexedSeq
+        val n = vs.length
+        ps.iterator.map { p =>
+          // The rankPercentiles interpolation verbatim: h=(n−1)p,
+          // linear between the lo/hi order statistics, 4dp-rounded.
+          val h = (n - 1).toDouble * p
+          val lo = math.floor(h)
+          val vlo = vs(lo.toInt)
+          val vhi = vs(math.ceil(h).toInt)
+          QskEstimate(key, p,
+            graft.functions.CleanFunctions.round4Jvm(
+              vlo + (h - lo) * (vhi - vlo)), n.toLong)
+        }
+      })
   }
+
+  /** Streaming HLL register build per event type — the streaming face of
+    * the batch `events_hll_distinct` sketch side. State is ONE register
+    * (the max ρ, a single long) per (type, bucket) key — ≤ m = 256 keys
+    * per type at ANY volume — merged by max: the textbook mergeable-
+    * sketch combine, identical whatever the arrival order. The per-row
+    * (bucket, ρ) split is computed by the SAME Catalyst expressions as
+    * the batch twin ([[graft.functions.CleanFunctions.hll60BucketRho]]),
+    * so the finalized registers — and any estimate derived from them
+    * downstream — hash-match the batch/oracle build. Emission is the
+    * terminal register table, once per key, when the watermark passes the
+    * key's event-time timeout ([[emitOnceFold]]).
+    */
+  def hllRegisters(events: DataFrame, watermarkDelay: String = "1 hour")
+      : Dataset[HllRegister] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val (bucket, rho) = graft.functions.CleanFunctions.hll60BucketRho(
+      graft.functions.CleanFunctions.md5Hash64(
+        concat(lit("hll:"), col("user_id"))))
+    // No pre-fold filter on the punctuation marker: a filter here gets
+    // pushed BELOW the EventTimeWatermark node by the optimizer, so the
+    // marker would never advance the watermark and the final-emission
+    // no-data batch would never fire (observed: emission stuck at the
+    // keys already idle > 1 day). The marker's own key
+    // (("__punctuation__", its bucket)) is isolated by event_type and
+    // its timeout lies beyond the replay's final watermark, so it never
+    // reaches the output — the same contract as the Event replays.
+    val prepped = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_type"), col("ts"), bucket.as("bucket"), rho.as("rho"))
+      .as[(String, Timestamp, Long, Long)]
+    // Keyed by (type, bucket) — ONE long of state per key (the register),
+    // merged by max: parallelism is types x m instead of types, and the
+    // state store never holds a whole register array in one entry.
+    emitOnceFold[(String, Long), (String, Timestamp, Long, Long), Long, HllRegister](
+      prepped.groupByKey(r => (r._1, r._3)), r => us(r._2))(
+      (prev, incoming) =>
+        incoming.foldLeft(prev.getOrElse(Long.MinValue))((m, r) => math.max(m, r._4)))(
+      (key, r) => Iterator.single(HllRegister(key._1, key._2, r)))
+  }
+
+  /** Streaming count-min counter build — the streaming face of the batch
+    * `events_cms_topk` sketch side. Each arriving key is pre-exploded
+    * into its d (row, bucket) cells by the SAME Catalyst hash expressions
+    * as the batch twin; the fold keys on the CELL and its state is that
+    * cell's count — one long, merged by sum (counts are associative —
+    * the canonical mergeable sketch; d x w cells total at ANY volume).
+    * Emission is the terminal counter table, once per cell, at
+    * event-time timeout.
+    *
+    * @param cells (r, b) cell per arriving key occurrence, already
+    *              watermarked on `ts` and cleared of replay punctuation.
+    */
+  def cmsCounters(cells: Dataset[(Int, Long, Timestamp)]): Dataset[CmsCounter] = {
+    import cells.sparkSession.implicits._
+    // Keyed by the CELL (r, b) — ONE long of state per key (the counter),
+    // merged by +count: parallelism is d x w cells instead of d rows.
+    // That d x w is a CONSTANT is the point of the sketch; at volume the
+    // per-cell adds are the only cross-partition traffic.
+    emitOnceFold[(Int, Long), (Int, Long, Timestamp), Long, CmsCounter](
+      cells.groupByKey(r => (r._1, r._2)), r => us(r._3))(
+      (prev, incoming) => prev.getOrElse(0L) + incoming.size)(
+      (key, cnt) => Iterator.single(CmsCounter(key._1, key._2, cnt)))
+  }
+
+  /** The emit-ONCE terminal-summary fold under the streaming sketch family
+    * (bottom-k quantiles, HLL registers, CMS counters): per key, `merge`
+    * folds each micro-batch into constant-size mergeable state; when the
+    * watermark passes the key's event-time timeout (max seen event time
+    * + 1 day — production: a daily close), `finish` emits the terminal
+    * summary exactly once.
+    *
+    * The contract's three hazards, handled centrally: (1) the timeout
+    * anchor is the max event time ACROSS batches, floored at
+    * watermark+1 — a late-but-valid batch whose local max lags the
+    * watermark must not `setTimeoutTimestamp` below it (throws); (2)
+    * after emission the key keeps a TOMBSTONE (payload None, emitted) so
+    * post-emission stragglers are swallowed instead of re-opening the key
+    * and emitting a second "terminal" summary; (3) the tombstone itself
+    * expires one watermark-day later (silent `state.remove()`), so state
+    * is bounded even under (2).
+    */
+  def emitOnceFold[K, I, S, O](
+      keyed: org.apache.spark.sql.KeyValueGroupedDataset[K, I],
+      eventUs: I => Long)(
+      merge: (Option[S], Seq[I]) => S)(
+      finish: (K, S) => Iterator[O])(
+      implicit se: org.apache.spark.sql.Encoder[EmitOnceState[S]],
+      oe: org.apache.spark.sql.Encoder[O]): Dataset[O] =
+    keyed.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: K, it: Iterator[I], state: GroupState[EmitOnceState[S]]) =>
+        if (state.hasTimedOut) {
+          val cur = state.get
+          cur.payload match {
+            case Some(payload) if !cur.emitted =>
+              state.update(EmitOnceState[S](None, cur.maxSeenUs, emitted = true))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 86400L * 1000L)
+              finish(key, payload)
+            case _ =>
+              // Tombstone TTL fired (or a pathological empty state):
+              // silent cleanup.
+              state.remove()
+              Iterator.empty
+          }
+        } else if (state.getOption.exists(_.emitted)) {
+          // Post-emission stragglers: swallow them (emit-once contract)
+          // and push the tombstone TTL out past the current watermark.
+          it.foreach(_ => ())
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 86400L * 1000L)
+          Iterator.empty
+        } else {
+          var maxUs = Long.MinValue
+          val incoming = it.map { r =>
+            val u = eventUs(r); if (u > maxUs) maxUs = u
+            r
+          }.toList
+          val merged = merge(state.getOption.flatMap(_.payload), incoming)
+          // Track the max event time ACROSS batches: a late-but-valid
+          // batch whose local max lags the watermark must not set a
+          // timeout below it (setTimeoutTimestamp throws there).
+          val maxSeen = math.max(
+            state.getOption.map(_.maxSeenUs).getOrElse(Long.MinValue), maxUs)
+          state.update(EmitOnceState[S](Some(merged), maxSeen))
+          // Any event-time point past the data but short of the replay
+          // punctuation: the sketch finalizes exactly once, when the
+          // feed declares time has moved on (production: a daily close).
+          state.setTimeoutTimestamp(math.max(
+            state.getCurrentWatermarkMs() + 1L, maxSeen / 1000L + 86400L * 1000L))
+          Iterator.empty
+        }
+    }
 }

@@ -58,6 +58,52 @@ class LstmAutoencoderSpec extends AnyFunSuite {
     assert(worst < 1e-3, s"worst relative gradient error $worst")
   }
 
+  test("STACKED (nl=2) BPTT gradient matches central finite differences on every parameter") {
+    // The reference's LSTM_N_LAYERS=2 stack (config.py:29): the
+    // inter-layer gradient routing (dxBuf) is exactly what the
+    // single-layer check cannot exercise.
+    val d = LstmDims(f = 2, l = 5, h = 4, b = 3, nl = 2)
+    val rng = new scala.util.Random(13)
+    val p = LstmAutoencoder.init(d, 3L).map(_ + (rng.nextDouble() - 0.5) * 0.2)
+    val x = Array.fill(d.l * d.f)((rng.nextDouble() - 0.5) * 2.0)
+    val grad = new Array[Double](d.total)
+    LstmAutoencoder.lossAndGrad(p, x, d, grad)
+    val eps = 1e-5
+    val scratch = new Array[Double](d.total)
+    (0 until d.total).foreach { k =>
+      val pk = p(k)
+      p(k) = pk + eps
+      val up = LstmAutoencoder.lossAndGrad(p, x, d, scratch)
+      p(k) = pk - eps
+      val dn = LstmAutoencoder.lossAndGrad(p, x, d, scratch)
+      p(k) = pk
+      val fd = (up - dn) / (2 * eps)
+      assert(math.abs(grad(k) - fd) <= 1e-6 + 1e-4 * math.abs(fd),
+        s"param $k: analytic ${grad(k)} vs finite-diff $fd")
+    }
+  }
+
+  test("nl=1 layout and init are unchanged by the stacked extension") {
+    // The historical single-layer model must stay bit-identical: same
+    // parameter count, same seeded init stream, same loss on a window.
+    val d = LstmDims(f = 2, l = 6, h = 4, b = 3)
+    assert(d.total == 4 * (4 * 2 + 16 + 4) + (3 * 4 + 3) + 4 * (4 * 3 + 16 + 4) + (2 * 4 + 2))
+    val p = LstmAutoencoder.init(d, 42L)
+    val p2 = LstmAutoencoder.init(d, 42L)
+    assert(p.sameElements(p2))
+    // nl=2 strictly extends the parameter vector with the upper layers.
+    val d2 = d.copy(nl = 2)
+    assert(d2.total == d.total + 2 * 4 * (4 * 4 + 16 + 4))
+  }
+
+  test("stacked detector keeps the recall bar (determinism + quality at nl=2)") {
+    val flagged = LstmAutoencoder.detect(synthetic, Seq("user_id"),
+        Seq("ts", "event_id"), "value", seqLen = 24, hidden = 8,
+        bottleneck = 4, nLayers = 2)
+      .filter(col("is_anomaly") === 1L).select("event_id").as[Long].collect().toSet
+    assert(recall(flagged) >= 0.9, s"stacked recall ${recall(flagged)} below the bar")
+  }
+
   test("reconstruction depends on temporal order (the recurrence the MLP lacks)") {
     val d = LstmDims(f = 1, l = 8, h = 4, b = 2)
     val rng = new scala.util.Random(5)

@@ -508,6 +508,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(fwd.map(r => (r._1, r._2)).distinct.size == fwd.size)
   }
 
+  test("streaming HLL registers equal the batch register build, arrival-order-proof") {
+    import org.apache.spark.sql.functions.{col, concat, lit, max}
+    val keyEvents = realEvents.map(e =>
+      graft.streaming.KeyEvent(e.event_id, e.ts, e.user_id, e.event_type))
+    def run(name: String, feed: Seq[graft.streaming.KeyEvent]) = {
+      val punct = StreamingAnomaly.punctuationKeyEvent(
+        feed.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max + 30L * 86400L * 1000000L)
+      StreamingAnomaly.replayToSink(spark, feed, name, Some(punct))(ds =>
+          StreamingAnomaly.hllRegisters(ds.toDF()).toDF())
+        .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    }
+    val fwd = run("hllr_fwd", keyEvents.toSeq)
+    val rev = run("hllr_rev", keyEvents.reverse.toSeq)
+    val (bucket, rho) = graft.functions.CleanFunctions.hll60BucketRho(
+      graft.functions.CleanFunctions.md5Hash64(concat(lit("hll:"), col("user_id"))))
+    val batch = Tables.events(spark, SparkTestSession.sfDir)
+      .select(col("event_type"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("event_type", "bucket").agg(max(col("rho")).as("r"))
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(fwd.nonEmpty && fwd == batch, "streaming registers != batch registers")
+    assert(rev == batch, "register emission depends on arrival order")
+  }
+
+  test("streaming CMS/HLL driver entries equal their batch twins row-for-row") {
+    for ((batchName, streamName) <- Seq(
+        "events_cms_topk" -> "streaming_cms_topk",
+        "events_hll_distinct" -> "streaming_hll_distinct")) {
+      val b = SparkEntry.queries(batchName)(spark, SparkTestSession.sfDir)
+        .collect().map(_.toString).sorted
+      val st = SparkEntry.queries(streamName)(spark, SparkTestSession.sfDir)
+        .collect().map(_.toString).sorted
+      assert(b.nonEmpty && b.sameElements(st),
+        s"$streamName diverges from $batchName")
+    }
+  }
+
   test("different series keys never share state") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)

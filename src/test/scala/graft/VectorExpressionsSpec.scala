@@ -171,4 +171,60 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT dtw_distance(array(1.0d, 2.0d), array(2.0d, 3.0d)) AS d")
       .head().getDouble(0) == refDtw(Array(1.0, 2.0), Array(2.0, 3.0)))
   }
+
+  test("approx_pct_det aggregate matches the DataFrame bottom-k path bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.CleanFunctions
+    import graft.sources.Tables
+    val k = 128
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("value"),
+        CleanFunctions.md5Hash64(concat(lit("qsk:"), col("event_id"))).as("h"))
+    // DataFrame reference: explicit bottom-k sample (test scale — a rank
+    // window is fine here) + the shared rank-interpolation percentile.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("h", "event_id")
+    val sample = ev.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("event_type", "value")
+    val want = graft.operators.StatsOps
+      .rankPercentiles(sample, Seq("event_type"), "value", Seq(0.5, 0.9))
+      .groupBy("event_type").agg(
+        max(when(col("p") === 0.5, col("pct"))).as("p50"),
+        max(when(col("p") === 0.9, col("pct"))).as("p90"))
+      .as[(String, Double, Double)].collect().sortBy(_._1).toList
+    // Aggregate under test, through BOTH surfaces: the Column wrapper and
+    // the registered SQL function. The multi-partition group-by exercises
+    // the partial-update + heap-merge path, not just a single buffer.
+    val viaCol = ev.repartition(7)
+      .groupBy("event_type").agg(
+        org.apache.spark.sql.graft.AggregateExpressions
+          .approxPctDet(col("h"), col("event_id"), col("value"), 0.5, k).as("p50"),
+        org.apache.spark.sql.graft.AggregateExpressions
+          .approxPctDet(col("h"), col("event_id"), col("value"), 0.9, k).as("p90"))
+      .as[(String, Double, Double)].collect().sortBy(_._1).toList
+    graft.GraftExtensions.register(spark)
+    ev.createOrReplaceTempView("qagg_spec_events")
+    val viaSql = spark.sql(s"""
+        SELECT event_type,
+          approx_pct_det(h, event_id, value, CAST(0.5 AS DOUBLE), $k) AS p50,
+          approx_pct_det(h, event_id, value, CAST(0.9 AS DOUBLE), $k) AS p90
+        FROM qagg_spec_events GROUP BY event_type""")
+      .as[(String, Double, Double)].collect().sortBy(_._1).toList
+    def bits(l: List[(String, Double, Double)]) = l.map(t => (t._1,
+      java.lang.Double.doubleToRawLongBits(t._2),
+      java.lang.Double.doubleToRawLongBits(t._3)))
+    assert(want.nonEmpty && bits(viaCol) == bits(want), s"col path: $viaCol vs $want")
+    assert(bits(viaSql) == bits(want), s"sql path: $viaSql vs $want")
+    // Contracts: an all-null group returns null; k bounds the sample.
+    val nulls = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "v")
+      .select(lit(0L).as("h"), col("id"), col("v"))
+    assert(nulls.agg(org.apache.spark.sql.graft.AggregateExpressions
+      .approxPctDet(col("h"), col("id"), col("v"), 0.5, 4)).head().isNullAt(0))
+    // k=1 keeps only the smallest (hash, id) row's value at every p.
+    val tiny = Seq((10L, 1L, 5.0), (1L, 2L, 9.0), (7L, 3L, 2.0)).toDF("h", "id", "v")
+    val one = tiny.agg(org.apache.spark.sql.graft.AggregateExpressions
+      .approxPctDet(col("h"), col("id"), col("v"), 0.9, 1)).head().getDouble(0)
+    assert(one == 9.0, s"k=1 must keep the min-hash row (got $one)")
+  }
 }
