@@ -1208,6 +1208,50 @@ object EvalQueries {
         .orderBy("event_type", "p")
     },
 
+    // Sliding-window distinct counts by MERGING daily HLL registers —
+    // the operational reason sketches exist at 100 TB: exact trailing-7d
+    // countDistinct must re-touch 7 days of raw rows per day, while the
+    // sketch side pre-aggregates each day to ≤ m registers ONCE and
+    // every window is a max-merge of 7 tiny register sets (register
+    // tables explode to their 7 covering windows — pure equi-groupBy,
+    // no range join, no re-scan). The exact side stays as the built-in
+    // accuracy audit (its day×7 row amplification is the audit's cost,
+    // not the operator's). Same integer register pipeline as
+    // events_hll_distinct, so the merged estimate hash-matches DuckDB.
+    "events_hll_sliding" -> { (s, d) =>
+      val (bucket, rho) = CleanFunctions.hll60BucketRho(
+        CleanFunctions.md5Hash64(concat(lit("hll:"), col("user_id"))))
+      val ev = Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"), col("user_id"), bucket.as("bucket"), rho.as("rho"))
+      val days = ev.select(col("day")).distinct()
+      val daily = ev.groupBy("event_type", "day", "bucket").agg(max(col("rho")).as("r"))
+      val win = daily
+        .withColumn("d0", explode(sequence(col("day"), date_add(col("day"), 6))))
+        .join(broadcast(days.withColumnRenamed("day", "d0")), Seq("d0"))
+        .groupBy("event_type", "d0", "bucket").agg(max(col("r")).as("r"))
+      val agg = win.groupBy("event_type", "d0").agg(
+          count(lit(1)).as("present"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("si"))
+        .withColumn("zeros", lit(HllM.toLong) - col("present"))
+        .withColumn("sumz", (col("si") + col("zeros") * lit(1L << 53)).cast(DoubleType))
+        .withColumn("e_raw", round4(lit(HllAlphaNum) / col("sumz")))
+        .withColumn("hll_est",
+          when(col("e_raw") <= lit(2.5 * HllM) && col("zeros") > 0L,
+            round4(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("zeros"))))
+            .otherwise(col("e_raw")))
+      val exact = ev.select(col("event_type"), col("day"), col("user_id")).distinct()
+        .withColumn("d0", explode(sequence(col("day"), date_add(col("day"), 6))))
+        .join(broadcast(days.withColumnRenamed("day", "d0")), Seq("d0"))
+        .groupBy("event_type", "d0")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      agg.join(exact, Seq("event_type", "d0"))
+        .select(col("event_type"), col("d0").as("window_end"),
+          col("exact_distinct"), col("hll_est"),
+          round4((col("hll_est") - col("exact_distinct").cast(DoubleType)) /
+            col("exact_distinct").cast(DoubleType)).as("rel_err"))
+        .orderBy("event_type", "window_end")
+    },
+
     // The bottom-k quantile sketch as ONE SQL aggregate call:
     // `approx_pct_det(hash, id, value, p, k)` is a custom Catalyst
     // TypedImperativeAggregate (org.apache.spark.sql.graft
@@ -2366,6 +2410,44 @@ object EvalQueries {
     // scan (shared Catalyst expressions + shared hllAudit downstream), so
     // its oracle is the batch oracle verbatim.
     "streaming_hll_distinct" -> HllOracleSql,
+
+    "events_hll_sliding" -> {
+      val rhoCase = "CASE " + (51 to 0 by -1).map(k =>
+        s"WHEN rest >= ${1L << k} THEN ${52 - k}").mkString(" ") + " ELSE 53 END"
+      val an = CleanFunctions.dlitSql(HllAlphaNum)
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+         |  ${CleanFunctions.md5Hash64Sql("'hll:' || user_id")} AS h FROM events),
+         |days AS (SELECT DISTINCT day FROM e),
+         |b AS (SELECT event_type, day, h // $HllRestMod AS bucket,
+         |  h % $HllRestMod AS rest FROM e),
+         |rh AS (SELECT event_type, day, bucket, $rhoCase AS rho FROM b),
+         |daily AS (SELECT event_type, day, bucket, max(rho) AS r
+         |  FROM rh GROUP BY 1, 2, 3),
+         |win AS (SELECT event_type, d0, bucket, max(r) AS r FROM (
+         |  SELECT event_type,
+         |    CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS d0,
+         |    bucket, r FROM daily) x
+         |  JOIN days ON x.d0 = days.day GROUP BY 1, 2, 3),
+         |ag AS (SELECT event_type, d0, count(*) AS present,
+         |  sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS si
+         |  FROM win GROUP BY 1, 2),
+         |z AS (SELECT event_type, d0, $HllM - present AS zeros,
+         |  CAST(si + ($HllM - present) * ${1L << 53} AS DOUBLE) AS sumz FROM ag),
+         |er AS (SELECT event_type, d0, zeros, ${round4Sql(s"$an / sumz")} AS e_raw FROM z),
+         |est AS (SELECT event_type, d0,
+         |  CASE WHEN e_raw <= ${2.5 * HllM} AND zeros > 0
+         |       THEN ${round4Sql(s"$HllM.0 * ln($HllM.0 / zeros)")}
+         |       ELSE e_raw END AS hll_est FROM er),
+         |ex AS (SELECT event_type, d0, count(DISTINCT user_id) AS exact_distinct FROM (
+         |  SELECT event_type,
+         |    CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS d0,
+         |    user_id FROM (SELECT DISTINCT event_type, day, user_id FROM e)) du
+         |  JOIN days ON du.d0 = days.day GROUP BY 1, 2)
+         |SELECT est.event_type, est.d0 AS window_end, exact_distinct, hll_est,
+         |  ${round4Sql("(hll_est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)")} AS rel_err
+         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.d0 = ex.d0
+         |ORDER BY est.event_type, window_end""".stripMargin
+    },
 
     "customer_components" ->
       s"""$coPurchaseLabCte

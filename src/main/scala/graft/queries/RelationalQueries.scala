@@ -249,6 +249,32 @@ object RelationalQueries {
         .orderBy("band")
     },
 
+    // SKYLINE / Pareto-front operator (maximize o_totalprice, minimize
+    // o_orderdate — "the biggest order seen so far as of each date"):
+    // the classic multi-criteria front the optimizer literature calls
+    // skyline, absent from SQL engines as a primitive. 2-D scale shape:
+    // the per-date max REDUCES the corpus to ≤ |date domain| rows
+    // (grouped agg with map-side partials — the only pass that touches
+    // corpus rows); the strictly-before prefix max then runs on that
+    // bounded table via a broadcast non-equi self-join (the globalRank
+    // trick — never a global sort/window). A row is on the front iff it
+    // attains its date's max AND beats every strictly-earlier date's max;
+    // ties on (date, price) are co-kept (neither dominates strictly).
+    // All compares on the exact DECIMAL price — engine-exact.
+    "orders_skyline" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      val dmax = o.groupBy("o_orderdate").agg(max(col("o_totalprice")).as("dmax"))
+      val prior = dmax.select(col("o_orderdate").as("pd"), col("dmax").as("pm"))
+      val before = dmax.join(broadcast(prior), col("pd") < col("o_orderdate"), "left")
+        .groupBy("o_orderdate", "dmax").agg(max(col("pm")).as("mbefore"))
+      o.join(broadcast(before), Seq("o_orderdate"))
+        .where(col("o_totalprice") === col("dmax") &&
+          (col("mbefore").isNull || col("o_totalprice") > col("mbefore")))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy("o_orderdate", "o_orderkey")
+    },
+
     // Partitioned parquet sink end-to-end: write events partitioned by
     // event type, read back with a partition filter (directory pruning —
     // zero I/O for other types), recover the original rows. Oracle = the
@@ -1189,6 +1215,52 @@ object RelationalQueries {
         .orderBy("nationkey")
     },
 
+    // WIDEST-PATH / max-bottleneck-capacity routing from one nation over
+    // the weighted trade graph (edge weight = line count between the two
+    // nations): the graph DP companion of nation_bfs where the relaxed
+    // quantity is max-min capacity instead of hop count — "what is the
+    // fattest trade route to each partner". Same Pregel iterate shape:
+    // the corpus collapses to the ≤ N² weighted edge aggregate once,
+    // then each of the 4 rounds is one equi-join + max-agg over O(N)
+    // rows with a localCheckpoint keeping the plan flat. cap_{r+1}(v) =
+    // max(cap_r(v), max_u min(cap_r(u), w(u,v))) — the min/max DP is
+    // monotone, so best-so-far relaxation is exact for paths ≤ r hops.
+    // All capacities are BIGINT counts — engine-exact; the oracle is the
+    // hop-capped recursive-CTE path enumeration.
+    "nation_widest_path" -> { (s, d) =>
+      val raw = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
+        .where(col("x") =!= col("y"))
+      val und = raw.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .cache()
+      var cap = Tables.nation(s, d)
+        .where(col("n_nationkey") === BfsSource)
+        .select(col("n_nationkey").as("node"), lit(Long.MaxValue).as("cap"))
+      for (_ <- 1 to BfsMaxHops) {
+        val relaxed = edges.join(cap, col("src") === col("node"))
+          .select(col("dst").as("node"), least(col("cap"), col("w")).as("cap"))
+        cap = cap.union(relaxed)
+          .groupBy("node").agg(max(col("cap")).as("cap"))
+          .localCheckpoint()
+      }
+      cap.where(col("node") =!= BfsSource)
+        .join(broadcast(Tables.nation(s, d)),
+          col("node") === col("n_nationkey"))
+        .select(col("node").as("nationkey"), col("n_name"),
+          col("cap").as("capacity"))
+        .orderBy("nationkey")
+    },
+
     // TPC-H Q2 shape (min-cost supplier, the last of the 22): for each
     // STANDARD part, the EUROPE supplier offering the minimum unit cost.
     // This schema has no partsupp table, so lineitem is the supply-offer
@@ -1587,6 +1659,18 @@ object RelationalQueries {
         |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
+    // The honest quadratic dominance scan — the skyline definition
+    // itself; the Spark side's reduce-then-prefix-max is provably the
+    // same set.
+    "orders_skyline" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders b
+        |  WHERE b.o_orderdate <= a.o_orderdate
+        |    AND b.o_totalprice >= a.o_totalprice
+        |    AND (b.o_orderdate < a.o_orderdate OR b.o_totalprice > a.o_totalprice))
+        |ORDER BY o_orderdate, o_orderkey""".stripMargin,
+
     "partitioned_write" ->
       """SELECT event_id, value FROM events WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
@@ -1852,6 +1936,33 @@ object RelationalQueries {
          |  WHERE r.hops < $BfsMaxHops)
          |SELECT node AS nationkey, n_name, CAST(min(hops) AS BIGINT) AS hops
          |FROM r JOIN nation ON node = n_nationkey
+         |GROUP BY 1, 2 ORDER BY nationkey""".stripMargin,
+
+    // Hop-capped walk enumeration: max over all ≤4-hop walks of the walk's
+    // min edge weight — the DP the Spark rounds compute, by definition.
+    "nation_widest_path" ->
+      s"""WITH RECURSIVE und AS (
+         |  SELECT least(c.c_nationkey, s.s_nationkey) AS a,
+         |    greatest(c.c_nationkey, s.s_nationkey) AS b,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT a AS src, b AS dst, w FROM und
+         |      UNION ALL SELECT b AS src, a AS dst, w FROM und),
+         |r(node, cap, hops) AS (
+         |  SELECT n_nationkey, CAST(${Long.MaxValue} AS BIGINT), 0
+         |  FROM nation WHERE n_nationkey = $BfsSource
+         |  UNION ALL
+         |  SELECT e.dst, least(r.cap, e.w), r.hops + 1
+         |  FROM r JOIN e ON e.src = r.node
+         |  WHERE r.hops < $BfsMaxHops)
+         |SELECT node AS nationkey, n_name, max(cap) AS capacity
+         |FROM r JOIN nation ON node = n_nationkey
+         |WHERE node <> $BfsSource
          |GROUP BY 1, 2 ORDER BY nationkey""".stripMargin,
 
     "q2_min_cost_supplier" ->

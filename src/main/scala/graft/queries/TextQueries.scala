@@ -288,6 +288,50 @@ object TextQueries {
         .orderBy("t1", "t2")
     },
 
+    // Interpolated Kneser-Ney BIGRAM LM scoring — the stronger-LM
+    // sibling of text_crossentropy's add-1 unigram (CCNet-style corpus
+    // quality ranking scores documents by LM perplexity; KN is the
+    // classic n-gram smoother those LMs used): P(w2|w1) =
+    // (max(c(w1,w2)−D, 0) + D·N1+(w1·)·(N1+(·w2)/T)) / c(w1·), D=0.75 —
+    // absolute discounting with CONTINUATION-count backoff (a word seen
+    // after many distinct contexts backs off high, a burst word low).
+    // Scale: the LM state is three vocab-bounded count tables (bigram,
+    // context, continuation) built by one grouped pass each; scoring is
+    // three equi-joins on token keys. Self-scored on its own corpus, so
+    // every probed bigram exists (no zero-prob branch); per-token -ln is
+    // 6dp-quantized before the DECIMAL sum, so the per-doc mean is
+    // engine-exact like every LM entry here.
+    "text_kn_bigram" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = tok.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("doc_id"), col("tok").as("t1"), col("nxt").as("t2"))
+      val cxy = big.groupBy("t1", "t2").agg(count(lit(1)).as("cxy"))
+      val ctx = cxy.groupBy("t1")
+        .agg(sum(col("cxy")).as("cx"), count(lit(1)).as("fanout"))
+      val cont = cxy.groupBy("t2").agg(count(lit(1)).as("cont"))
+      val types = cxy.agg(count(lit(1)).cast(DoubleType).as("tt"))
+      big
+        .join(cxy, Seq("t1", "t2"))
+        .join(ctx, Seq("t1"))
+        .join(cont, Seq("t2"))
+        .crossJoin(broadcast(types))
+        .withColumn("lp", CleanFunctions.round6(-log(
+          (greatest(col("cxy").cast(DoubleType) - lit(0.75), lit(0.0)) +
+            lit(0.75) * col("fanout").cast(DoubleType) *
+              (col("cont").cast(DoubleType) / col("tt"))) /
+            col("cx").cast(DoubleType))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          CleanFunctions.round4(
+            CleanFunctions.exactSum(col("lp")) / count(lit(1))).as("kn_cross_entropy"))
+        .orderBy("doc_id")
+    },
+
     // Language ID: marker-token counts per language, deterministic argmax.
     "text_langid" -> { (s, d) =>
       val toks = TextFunctions.tokens(lower(col("text")))
@@ -1181,6 +1225,35 @@ object TextQueries {
            |  (round((CAST(sum(n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS bpe_per_word
            |FROM dw JOIN pw USING (w)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "text_kn_bigram" -> {
+        val r6 = (x: String) => s"(round(($x) * 1000000.0) / 1000000.0 + 0.0)"
+        val p = "(greatest(CAST(cxy AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(fanout AS DOUBLE) * " +
+          "(CAST(cont AS DOUBLE) / tt)) / CAST(cx AS DOUBLE)"
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok,
+           |    generate_subscripts(${TextFunctions.tokensSql("lower(text)")}, 1) AS pos
+           |  FROM documents),
+           |big AS (
+           |  SELECT doc_id, tok AS t1,
+           |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+           |  FROM tok),
+           |bf AS (SELECT doc_id, t1, t2 FROM big WHERE t2 IS NOT NULL),
+           |cxyt AS (SELECT t1, t2, count(*) AS cxy FROM bf GROUP BY 1, 2),
+           |ctx AS (SELECT t1, CAST(sum(cxy) AS BIGINT) AS cx, count(*) AS fanout
+           |  FROM cxyt GROUP BY 1),
+           |cont AS (SELECT t2, count(*) AS cont FROM cxyt GROUP BY 1),
+           |tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM cxyt),
+           |lp AS (
+           |  SELECT bf.doc_id, ${r6(s"-ln($p)")} AS lp
+           |  FROM bf
+           |  JOIN cxyt USING (t1, t2)
+           |  JOIN ctx USING (t1)
+           |  JOIN cont USING (t2), tt)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |  ${CleanFunctions.round4Sql(CleanFunctions.exactSumSql("lp") + " / count(*)")} AS kn_cross_entropy
+           |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
 
       "text_pmi_bigrams" ->
         s"""WITH tok AS (

@@ -35,6 +35,39 @@ class PlanAuditSpec extends AnyFunSuite {
       failures.mkString("plan smells found:\n  ", "\n  ", ""))
   }
 
+  test("quantile family: no rank window over a bare coarse key (r9 verdict item)") {
+    // The two-stage bottom-k sample and the banded grouped percentiles
+    // exist precisely so no per-group rank window sorts a whole
+    // corpus-proportional slice in one task. Enforce the shape: in these
+    // entries' plans, every window computing a rank-family function must
+    // be partitioned by MORE than the coarse group key (salt / band
+    // fan-out column present). Non-rank windows (e.g. the DDSketch
+    // prefix-sum over the already-aggregated O(log range) bucket table)
+    // are legitimately coarse-keyed and exempt.
+    import org.apache.spark.sql.catalyst.expressions.{DenseRank, NTile, Rank, RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("events_quantile_sketch", "events_ddsketch_quantile",
+                     "events_qte", "sql_quantile_agg")) {
+      spark.catalog.clearCache()
+      val plan = SparkEntry.queries(name)(spark, SparkTestSession.sfDir)
+        .queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow =>
+          val hasRank = w.windowExpressions.exists(_.collectFirst {
+            case we: WindowExpression
+                if we.windowFunction.isInstanceOf[RowNumber] ||
+                   we.windowFunction.isInstanceOf[Rank] ||
+                   we.windowFunction.isInstanceOf[DenseRank] ||
+                   we.windowFunction.isInstanceOf[NTile] => we
+          }.isDefined)
+          assert(!hasRank || w.partitionSpec.size >= 2,
+            s"$name: rank window partitioned only by ${w.partitionSpec.mkString(", ")} " +
+              "— a bare coarse key sorts its whole corpus slice in one task")
+        case _ => ()
+      }
+    }
+  }
+
   test("the broadcast-contract allowlist is exact (no stale entries)") {
     // If a contracted query stops broadcasting a contracted table, that
     // (query, table) entry is stale — shrink it so the guard stays tight.
