@@ -961,44 +961,35 @@ object EvalQueries {
       // exact-intersection self-join; sk feeds both tag arms + types.
       // localCheckpoint each once so the distinct+hash pass doesn't
       // replay per consumer (SURVEY §5 multi-consumer rule).
-      val uh = Tables.events(s, d).select(col("event_type"), col("user_id")).distinct()
-        .withColumn("h", CleanFunctions.md5Hash64(concat(lit("kmv:"), col("user_id"))))
-        .localCheckpoint()
+      val uh = kmvUserHashes(s, d)
       val wk = Window.partitionBy("event_type").orderBy("h")
       val sk = uh.withColumn("rn", row_number().over(wk)).where(col("rn") <= KmvK)
         .select(col("event_type"), col("h")).localCheckpoint()
-      val types = sk.select(col("event_type").as("t")).distinct()
-      val tagA = sk.join(types.select(col("t").as("tb")), col("event_type") < col("tb"))
-        .select(col("event_type").as("ta"), col("tb"), col("h"), lit(1L).as("from_a"))
-      val tagB = sk.join(types.select(col("t").as("ta")), col("ta") < col("event_type"))
-        .select(col("ta"), col("event_type").as("tb"), col("h"), lit(0L).as("from_a"))
-      val ded = tagA.union(tagB).groupBy("ta", "tb", "h")
-        .agg(max(col("from_a")).as("in_a"), max(lit(1L) - col("from_a")).as("in_b"))
-      val wu = Window.partitionBy("ta", "tb").orderBy("h")
-      val est = ded.withColumn("rn", row_number().over(wu)).where(col("rn") <= KmvK)
-        .groupBy("ta", "tb").agg(
-          count(lit(1)).as("k_eff"),
-          count(when(col("in_a") === 1L && col("in_b") === 1L, 1)).as("n_both"))
-        .withColumn("kmv_jaccard",
-          round6(col("n_both").cast(DoubleType) / col("k_eff").cast(DoubleType)))
-      val cnt = uh.groupBy("event_type").agg(count(lit(1)).as("nu"))
-      val inter = uh.as("x").join(uh.as("y"),
-          col("x.user_id") === col("y.user_id") &&
-            col("x.event_type") < col("y.event_type"))
-        .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
-        .agg(count(lit(1)).as("ni"))
-      // LEFT join + ni→0: a type pair with ZERO exact overlap (where a
-      // sketch false-positive is exactly what this audit should surface)
-      // must appear with exact_jaccard = 0, not vanish from the report.
-      est.join(inter, Seq("ta", "tb"), "left")
-        .withColumn("ni", coalesce(col("ni"), lit(0L)))
-        .join(cnt.select(col("event_type").as("ta"), col("nu").as("na")), "ta")
-        .join(cnt.select(col("event_type").as("tb"), col("nu").as("nb")), "tb")
-        .withColumn("exact_jaccard", round6(col("ni").cast(DoubleType) /
-          (col("na") + col("nb") - col("ni")).cast(DoubleType)))
-        .select(col("ta"), col("tb"), col("kmv_jaccard"), col("exact_jaccard"),
-          round4(abs(col("kmv_jaccard") - col("exact_jaccard"))).as("abs_err"))
-        .orderBy("ta", "tb")
+      kmvAudit(uh, sk)
+    },
+
+    // STREAMING twin of events_kmv_jaccard (SURVEY §2.12): the per-type
+    // bottom-k distinct-hash sketch runs as the emit-once fold
+    // (StreamingAnomaly.kmvBottomK — ≤ k longs of state per key, merged
+    // by union-distinct-take-k), finalized at event-time timeout; the
+    // pairwise union-resample estimate AND the exact-Jaccard audit
+    // downstream are the shared kmvAudit, so the streaming answer
+    // hash-matches the batch entry's DuckDB oracle verbatim.
+    "streaming_kmv_jaccard" -> { (s, d) =>
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[graft.streaming.KeyEvent].collect().toSeq
+      val sk =
+        if (rows.isEmpty) s.emptyDataset[graft.streaming.KmvHash].toDF()
+        else {
+          val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
+          StreamingAnomaly.replayToSink(s, rows, "graft_streaming_kmv",
+            Some(StreamingAnomaly.punctuationKeyEvent(
+              maxUs + 10L * 86400L * 1000000L)))(
+            ds => StreamingAnomaly.kmvBottomK(ds.toDF(), KmvK).toDF())
+        }
+      kmvAudit(kmvUserHashes(s, d), sk)
     },
 
     // Deterministic Bloom-filter accuracy audit: insert the
@@ -1183,29 +1174,38 @@ object EvalQueries {
     // value is the bucket's geometric midpoint γ^(b+½), 4dp-rounded
     // so libm exp can't diverge.
     "events_ddsketch_quantile" -> { (s, d) =>
-      val e = Tables.events(s, d)
+      val e = ddPositiveValues(s, d)
+      val bc = e.withColumn("b",
+          floor(round6(log(col("v")) / lit(DdLnGamma))).cast(LongType))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+      ddAudit(s, d, bc)
+    },
+
+    // STREAMING twin of events_ddsketch_quantile (SURVEY §2.12): the
+    // log-bucket count build runs as the emit-once fold keyed by the
+    // (type, bucket) cell (StreamingAnomaly.ddSketchBuckets — one long
+    // of state per bucket, merged by sum, O(log range) cells per key),
+    // finalized at event-time timeout; the bucket expression is the SAME
+    // Catalyst tree as the batch scan and the quantile walk + exact
+    // audit downstream are the shared ddAudit, so the streaming answer
+    // hash-matches the batch entry's DuckDB oracle verbatim.
+    "streaming_ddsketch_quantile" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.Event
+      val rows = Tables.events(s, d)
         .where(col("value").isNotNull && col("value") > 0.0)
-        .select(col("event_type"), col("value").as("v"))
-      val b = e.withColumn("b",
-        floor(round6(log(col("v")) / lit(DdLnGamma))).cast(LongType))
-      val bc = b.groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
-      val wb = Window.partitionBy("event_type").orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = bc
-        .withColumn("cum", sum(col("cnt")).over(wb))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
-      val est = cum.withColumn("p", explode(array(QskPs.map(lit): _*)))
-        .where(col("cum") >= ceil(col("p") * col("n").cast(DoubleType)))
-        .groupBy("event_type", "p").agg(min(col("b")).as("b"))
-        .withColumn("pct_est", round4(
-          exp((col("b").cast(DoubleType) + lit(0.5)) * lit(DdLnGamma))))
-        .select("event_type", "p", "pct_est")
-      val exact = StatsOps.rankPercentilesBanded(e, Seq("event_type"), "v", QskPs)
-        .withColumnRenamed("pct", "pct_exact")
-      est.join(exact, Seq("event_type", "p"))
-        .select(col("event_type"), col("p"), col("pct_est"), col("pct_exact"),
-          round4((col("pct_est") - col("pct_exact")) / col("pct_exact")).as("rel_err"))
-        .orderBy("event_type", "p")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      val bc =
+        if (rows.isEmpty) s.emptyDataset[graft.streaming.DdBucket].toDF()
+        else {
+          val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
+          StreamingAnomaly.replayToSink(s, rows, "graft_streaming_dd",
+            Some(StreamingAnomaly.punctuationEvent(
+              maxUs + 10L * 86400L * 1000000L)))(
+            ds => StreamingAnomaly.ddSketchBuckets(ds.toDF(), DdLnGamma).toDF())
+        }
+      ddAudit(s, d, bc.select(col("event_type"), col("b"), col("cnt")))
     },
 
     // Sliding-window distinct counts by MERGING daily HLL registers —
@@ -1528,6 +1528,90 @@ object EvalQueries {
   private val HllAlphaNum =
     0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
 
+  /** Positive event values (event_type, v) — the DDSketch domain (a
+    * log-bucket sketch is defined on v > 0), shared by both entries'
+    * exact-audit sides and the batch bucket build.
+    */
+  private def ddPositiveValues(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("value").isNotNull && col("value") > 0.0)
+      .select(col("event_type"), col("value").as("v"))
+
+  /** Quantile walk + exact audit downstream of a DDSketch bucket-count
+    * table (event_type, b, cnt) — shared by the batch scan build and the
+    * streaming fold emission. The cumulative walk runs over the
+    * O(log range)-row bucket table (a coarse-key window over an
+    * already-aggregated bounded input, not the corpus).
+    */
+  private def ddAudit(s: SparkSession, d: String, bc: DataFrame): DataFrame = {
+    val wb = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bc
+      .withColumn("cum", sum(col("cnt")).over(wb))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
+    val est = cum.withColumn("p", explode(array(QskPs.map(lit): _*)))
+      .where(col("cum") >= ceil(col("p") * col("n").cast(DoubleType)))
+      .groupBy("event_type", "p").agg(min(col("b")).as("b"))
+      .withColumn("pct_est", round4(
+        exp((col("b").cast(DoubleType) + lit(0.5)) * lit(DdLnGamma))))
+      .select("event_type", "p", "pct_est")
+    val exact = StatsOps.rankPercentilesBanded(
+        ddPositiveValues(s, d), Seq("event_type"), "v", QskPs)
+      .withColumnRenamed("pct", "pct_exact")
+    est.join(exact, Seq("event_type", "p"))
+      .select(col("event_type"), col("p"), col("pct_est"), col("pct_exact"),
+        round4((col("pct_est") - col("pct_exact")) / col("pct_exact")).as("rel_err"))
+      .orderBy("event_type", "p")
+  }
+
+  /** Distinct (event_type, user_id) pairs with the KMV hash — the shared
+    * input of the batch sketch window, the streaming audit's exact side,
+    * and the per-type counts. localCheckpoint'ed: three consumers.
+    */
+  private def kmvUserHashes(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", CleanFunctions.md5Hash64(concat(lit("kmv:"), col("user_id"))))
+      .localCheckpoint()
+
+  /** Pairwise KMV union-resample Jaccard estimate + exact audit
+    * downstream of a per-type bottom-k hash table `sk` (event_type, h) —
+    * shared by the batch window build and the streaming fold emission.
+    */
+  private def kmvAudit(uh: DataFrame, sk: DataFrame): DataFrame = {
+    val types = sk.select(col("event_type").as("t")).distinct()
+    val tagA = sk.join(types.select(col("t").as("tb")), col("event_type") < col("tb"))
+      .select(col("event_type").as("ta"), col("tb"), col("h"), lit(1L).as("from_a"))
+    val tagB = sk.join(types.select(col("t").as("ta")), col("ta") < col("event_type"))
+      .select(col("ta"), col("event_type").as("tb"), col("h"), lit(0L).as("from_a"))
+    val ded = tagA.union(tagB).groupBy("ta", "tb", "h")
+      .agg(max(col("from_a")).as("in_a"), max(lit(1L) - col("from_a")).as("in_b"))
+    val wu = Window.partitionBy("ta", "tb").orderBy("h")
+    val est = ded.withColumn("rn", row_number().over(wu)).where(col("rn") <= KmvK)
+      .groupBy("ta", "tb").agg(
+        count(lit(1)).as("k_eff"),
+        count(when(col("in_a") === 1L && col("in_b") === 1L, 1)).as("n_both"))
+      .withColumn("kmv_jaccard",
+        round6(col("n_both").cast(DoubleType) / col("k_eff").cast(DoubleType)))
+    val cnt = uh.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    val inter = uh.as("x").join(uh.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("ni"))
+    // LEFT join + ni→0: a type pair with ZERO exact overlap (where a
+    // sketch false-positive is exactly what this audit should surface)
+    // must appear with exact_jaccard = 0, not vanish from the report.
+    est.join(inter, Seq("ta", "tb"), "left")
+      .withColumn("ni", coalesce(col("ni"), lit(0L)))
+      .join(cnt.select(col("event_type").as("ta"), col("nu").as("na")), "ta")
+      .join(cnt.select(col("event_type").as("tb"), col("nu").as("nb")), "tb")
+      .withColumn("exact_jaccard", round6(col("ni").cast(DoubleType) /
+        (col("na") + col("nb") - col("ni")).cast(DoubleType)))
+      .select(col("ta"), col("tb"), col("kmv_jaccard"), col("exact_jaccard"),
+        round4(abs(col("kmv_jaccard") - col("exact_jaccard"))).as("abs_err"))
+      .orderBy("ta", "tb")
+  }
+
   /** DuckDB replica of the full HLL build + [[hllAudit]] — one string,
     * shared by the batch and streaming entries (same registers by
     * construction, so the same oracle).
@@ -1728,7 +1812,7 @@ object EvalQueries {
        |                        FROM e JOIN $st st ON e.src = st.node GROUP BY 1)) at3
        |           ) a2 ON e.dst = a2.node GROUP BY 1)) ht""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
 
     "events_roc_auc" ->
       s"""WITH ev AS (SELECT value AS v, event_type FROM events WHERE value IS NOT NULL),
@@ -2674,4 +2758,11 @@ object EvalQueries {
          |  ate
          |FROM b, ate ORDER BY band""".stripMargin
   )
+
+  // The streaming sketch twins share their batch oracles verbatim: the
+  // folds build the SAME sketch state (shared Catalyst expressions) and
+  // the audits downstream are the shared helpers.
+  val oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "streaming_kmv_jaccard" -> baseOracleSql("events_kmv_jaccard"),
+    "streaming_ddsketch_quantile" -> baseOracleSql("events_ddsketch_quantile"))
 }

@@ -84,6 +84,12 @@ case class HllRegister(event_type: String, bucket: Long, r: Long)
 /** One finalized count-min counter (streaming emission; ≤ w per row). */
 case class CmsCounter(r: Int, b: Long, cnt: Long)
 
+/** One finalized KMV sketch hash (bottom-k distinct hashes per key). */
+case class KmvHash(event_type: String, h: Long)
+
+/** One finalized DDSketch log-bucket count per key. */
+case class DdBucket(event_type: String, b: Long, cnt: Long)
+
 /** Structured Streaming face of the anomaly pipeline (SURVEY.md §2.12).
   *
   * The reference scores a static frame in RAM (main.py:183-233); the
@@ -625,6 +631,61 @@ object StreamingAnomaly {
       cells.groupByKey(r => (r._1, r._2)), r => us(r._3))(
       (prev, incoming) => prev.getOrElse(0L) + incoming.size)(
       (key, cnt) => Iterator.single(CmsCounter(key._1, key._2, cnt)))
+  }
+
+  /** Streaming KMV sketch build per event type — the streaming face of
+    * the batch `events_kmv_jaccard` sketch side: the k smallest DISTINCT
+    * md5 user hashes per key (state ≤ k longs, merged by
+    * union-distinct-take-k — bottom-k of a distinct union = bottom-k of
+    * merged bottom-k's, the KMV combine). `.distinct` here is CORRECT
+    * where the quantile fold forbids it: KMV sketches the distinct USER
+    * SET by construction (the batch twin builds from a distinct
+    * (type, user) pass), so repeated arrivals of one user are one
+    * element. Hash from the same Catalyst expression as the batch scan.
+    */
+  def kmvBottomK(events: DataFrame, k: Int, watermarkDelay: String = "1 hour")
+      : Dataset[KmvHash] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val prepped = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_type"), col("ts"),
+        graft.functions.CleanFunctions.md5Hash64(
+          concat(lit("kmv:"), col("user_id"))).as("h"))
+      .as[(String, Timestamp, Long)]
+    emitOnceFold[String, (String, Timestamp, Long), Seq[Long], KmvHash](
+      prepped.groupByKey(_._1), r => us(r._2))(
+      (prev, incoming) =>
+        (prev.getOrElse(Nil) ++ incoming.map(_._3)).distinct.sorted.take(k))(
+      (key, hs) => hs.iterator.map(h => KmvHash(key, h)))
+  }
+
+  /** Streaming DDSketch log-bucket build per event type — the streaming
+    * face of the batch `events_ddsketch_quantile` sketch side. Keyed by
+    * the (type, bucket) CELL with one long of state (the count), merged
+    * by sum; the bucket index floor(round6(ln v / ln γ)) comes from the
+    * SAME Catalyst expressions as the batch scan (6dp-rounded before
+    * floor so libm boundary ulps can't flip a bucket). Callers feed only
+    * v > 0 rows; the replay punctuation (value 0, its own key) takes the
+    * guarded 0 bucket and never reaches the output.
+    */
+  def ddSketchBuckets(events: DataFrame, lnGamma: Double,
+                      watermarkDelay: String = "1 hour"): Dataset[DdBucket] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit, log, when}
+    import org.apache.spark.sql.types.LongType
+    val prepped = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("event_type"), col("ts"),
+        when(col("value") > 0.0,
+          floor(graft.functions.CleanFunctions.round6(
+            log(col("value")) / lit(lnGamma))).cast(LongType))
+          .otherwise(lit(0L)).as("b"))
+      .as[(String, Timestamp, Long)]
+    emitOnceFold[(String, Long), (String, Timestamp, Long), Long, DdBucket](
+      prepped.groupByKey(r => (r._1, r._3)), r => us(r._2))(
+      (prev, incoming) => prev.getOrElse(0L) + incoming.size)(
+      (key, cnt) => Iterator.single(DdBucket(key._1, key._2, cnt)))
   }
 
   /** The emit-ONCE terminal-summary fold under the streaming sketch family
