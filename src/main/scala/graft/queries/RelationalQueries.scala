@@ -249,6 +249,38 @@ object RelationalQueries {
         .orderBy("band")
     },
 
+    // TPC-DS Q88 shape: eight band-restricted counts of one fact table
+    // reported as one row. The literal benchmark text is 8 scalar
+    // subqueries cross-joined — 8 separate scans; the engine shape is
+    // ONE scan with 8 conditional aggregates (map-side partial, no
+    // shuffle beyond the single-row final) — the multi-aggregate scan
+    // fusion that matters when the fact table is 100 TB. The oracle
+    // keeps the literal 8-subquery form, proving the rewrite exact.
+    "q88_timeband_counts" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(hour(col("ts")).as("h"), col("value"))
+      def band(i: Int) =
+        sum(when(col("h") >= i * 3 && col("h") < (i + 1) * 3 &&
+          col("value").isNotNull && col("value") > 25.0, 1L).otherwise(0L))
+          .as(s"s${i + 1}")
+      ev.agg(band(0), band(1), band(2), band(3),
+        band(4), band(5), band(6), band(7))
+    },
+
+    // TPC-DS Q90 shape: ratio of activity between two day-part windows
+    // (am 6-8h vs pm 18-20h) — same single-scan conditional-aggregate
+    // fusion as Q88, plus the engine-exact ratio discipline (integer
+    // counts, ONE rounded division).
+    "q90_am_pm_ratio" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(hour(col("ts")).as("h"))
+      ev.agg(
+          sum(when(col("h") >= 6 && col("h") < 9, 1L).otherwise(0L)).as("am_count"),
+          sum(when(col("h") >= 18 && col("h") < 21, 1L).otherwise(0L)).as("pm_count"))
+        .withColumn("am_pm_ratio", CleanFunctions.round6(
+          col("am_count").cast(DoubleType) /
+            nullif(col("pm_count").cast(DoubleType), lit(0.0))))
+    },
+
     // SKYLINE / Pareto-front operator (maximize o_totalprice, minimize
     // o_orderdate — "the biggest order seen so far as of each date"):
     // the classic multi-criteria front the optimizer literature calls
@@ -1658,6 +1690,26 @@ object RelationalQueries {
         |round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)) * 10000.0) / 10000.0 + 0.0 AS sum_price
         |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    // The LITERAL Q88 text: 8 scalar subqueries cross-joined — proves
+    // the Spark side's single-scan conditional-aggregate fusion exact.
+    "q88_timeband_counts" -> {
+      val subs = (0 until 8).map { i =>
+        s"""(SELECT CAST(count(*) AS BIGINT) FROM events
+           | WHERE hour(ts) >= ${i * 3} AND hour(ts) < ${(i + 1) * 3}
+           |   AND value IS NOT NULL AND value > 25.0) AS s${i + 1}""".stripMargin
+      }.mkString(",\n")
+      s"SELECT\n$subs"
+    },
+
+    "q90_am_pm_ratio" ->
+      s"""WITH c AS (SELECT
+         |  CAST(count(CASE WHEN hour(ts) >= 6 AND hour(ts) < 9 THEN 1 END) AS BIGINT) AS am_count,
+         |  CAST(count(CASE WHEN hour(ts) >= 18 AND hour(ts) < 21 THEN 1 END) AS BIGINT) AS pm_count
+         |  FROM events)
+         |SELECT am_count, pm_count,
+         |  ${CleanFunctions.round6Sql("CAST(am_count AS DOUBLE) / nullif(CAST(pm_count AS DOUBLE), 0.0)")} AS am_pm_ratio
+         |FROM c""".stripMargin,
 
     // The honest quadratic dominance scan — the skyline definition
     // itself; the Spark side's reduce-then-prefix-max is provably the

@@ -24,6 +24,9 @@ object StatsQueries {
 
   private val Ps = Seq(0.25, 0.5, 0.9)
 
+  /** Lead-time SLA percentiles (lineitem_lead_time). */
+  private val LeadTimePs = Seq(0.5, 0.9, 0.99)
+
   /** QTE percentile grid (adds the p75/p90 tail view). */
   private val QtePs = Seq(0.25, 0.5, 0.75, 0.9)
 
@@ -118,6 +121,28 @@ object StatsQueries {
     "events_percentiles" -> { (s, d) =>
       StatsOps.rankPercentiles(Tables.events(s, d), Seq("user_id"), "value", Ps)
         .orderBy("user_id", "p")
+    },
+
+    // Fulfillment lead-time percentiles per return flag (p50/p90/p99 of
+    // ship − order days — the logistics SLA readout; do returned lines
+    // ship slower?): l_returnflag has 3 values over the whole corpus,
+    // the canonical COARSE-key percentile where a plain per-group rank
+    // window would sort a third of 100 TB in one task — routed through
+    // the banded two-level rank decomposition instead (per-(flag, band)
+    // parallel windows + broadcast prefix offsets). Integer day deltas,
+    // exact rank interpolation; the orders dim join shuffles on the
+    // fact's own key.
+    "lineitem_lead_time" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_returnflag"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_returnflag"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast(DoubleType)
+            .as("lead_days"))
+      StatsOps.rankPercentilesBanded(li, Seq("l_returnflag"), "lead_days",
+          LeadTimePs)
+        .orderBy("l_returnflag", "p")
     },
 
     // Stationarity battery per series: the ADF (H0: unit root) and
@@ -1788,6 +1813,30 @@ object StatsQueries {
          |  max(CASE WHEN arm = 0 THEN pct END) AS q_weekday,
          |  ${round4Sql("max(CASE WHEN arm = 1 THEN pct END) - max(CASE WHEN arm = 0 THEN pct END)")} AS qte
          |FROM g GROUP BY p ORDER BY p""".stripMargin,
+
+    "lineitem_lead_time" -> {
+      val ps = LeadTimePs.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH ld AS (
+         |  SELECT l_returnflag,
+         |    CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS v
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |r AS (
+         |  SELECT l_returnflag, v,
+         |         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) - 1 AS rn0,
+         |         count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM ld),
+         |f AS (
+         |  SELECT l_returnflag, p, v, rn0,
+         |         CAST(n - 1 AS DOUBLE) * p AS h,
+         |         floor(CAST(n - 1 AS DOUBLE) * p) AS lo,
+         |         ceil(CAST(n - 1 AS DOUBLE) * p) AS hi
+         |  FROM r, (SELECT unnest($ps) AS p) px
+         |  WHERE rn0 = floor(CAST(n - 1 AS DOUBLE) * p)
+         |     OR rn0 = ceil(CAST(n - 1 AS DOUBLE) * p))
+         |SELECT l_returnflag, p,
+         |  ${round4Sql("min(CASE WHEN rn0 = lo THEN v END) + (max(h) - max(lo)) * (min(CASE WHEN rn0 = hi THEN v END) - min(CASE WHEN rn0 = lo THEN v END))")} AS pct
+         |FROM f GROUP BY l_returnflag, p ORDER BY l_returnflag, p""".stripMargin
+    },
 
     "events_percentiles" ->
       s"""WITH r AS (
