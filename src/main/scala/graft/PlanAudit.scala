@@ -94,7 +94,14 @@ object PlanAudit {
     // outputs behind localCheckpoints (unknown stats), the exact
     // dedup_canonical shape. The vec_id equi-join is the scale shape;
     // AQE promotes at runtime when a side is measured small.
-    "emb_dbscan_stability")
+    "emb_dbscan_stability",
+    // ann_ivf_nprobe_sweep: the recall join intersects the IVF top-k
+    // (localCheckpoint'ed, unknown stats) with the brute-force top-k —
+    // both corpus-proportional (queries are a fixed FRACTION of the
+    // corpus), so the (q_id, n_id) equi-join is the scale shape;
+    // broadcasting either ranked set would be the 100x OOM. AQE still
+    // promotes at runtime when a measured side is genuinely small.
+    "ann_ivf_nprobe_sweep")
 
   /** Corpus tables scanned with NO Aggregate/GlobalLimit on the path from
     * the scan up to this subtree's root. The walk stops at any node that

@@ -250,14 +250,16 @@ object LstmAutoencoder {
     var j = 0
     while (j < d.nl) {
       val lw = layers(j)
+      // Per-layer constants hoisted out of the time loop (the layout
+      // accessors are function values — a per-step call would sit inside
+      // the BPTT hot path for nothing).
+      val bj = base(j); val gj = gate(j); val ij = in(j)
+      val xj = if (j == 0) x0 else layers(j - 1).hs
       var t = 0
       while (t < d.l) {
-        if (j == 0)
-          lstmStep(p, base(0), gate(0), in(0), d.h, x0, t * x0Stride,
-            lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg)
-        else
-          lstmStep(p, base(j), gate(j), in(j), d.h, layers(j - 1).hs, (t + 1) * d.h,
-            lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg)
+        val xOff = if (j == 0) t * x0Stride else (t + 1) * d.h
+        lstmStep(p, bj, gj, ij, d.h, xj, xOff,
+          lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg)
         t += 1
       }
       j += 1
@@ -289,6 +291,8 @@ object LstmAutoencoder {
       // rows written by THIS layer are only read by the next (lower) pass.
       java.util.Arrays.fill(ws.dh, 0.0)
       java.util.Arrays.fill(ws.dc, 0.0)
+      val bj = base(j); val gj = gate(j); val ij = in(j)
+      val xj = if (j == 0) x0 else layers(j - 1).hs
       var t = d.l - 1
       while (t >= 0) {
         if (top) {
@@ -301,13 +305,12 @@ object LstmAutoencoder {
         // first — the row's previous value was already consumed above).
         if (j > 0) java.util.Arrays.fill(ws.dxBuf, t * d.h, (t + 1) * d.h, 0.0)
         if (j == 0)
-          lstmBackStep(p, grad, base(0), gate(0), in(0), d.h, x0, t * x0Stride,
+          lstmBackStep(p, grad, bj, gj, ij, d.h, xj, t * x0Stride,
             lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg,
             ws.dh, ws.dc, ws.dhP, ws.dcP, dx0,
             if (dx0 == null) 0 else t * dx0Stride, ws)
         else
-          lstmBackStep(p, grad, base(j), gate(j), in(j), d.h,
-            layers(j - 1).hs, (t + 1) * d.h,
+          lstmBackStep(p, grad, bj, gj, ij, d.h, xj, (t + 1) * d.h,
             lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg,
             ws.dh, ws.dc, ws.dhP, ws.dcP, ws.dxBuf, t * d.h, ws)
         val th = ws.dh; ws.dh = ws.dhP; ws.dhP = th

@@ -41,6 +41,48 @@ object SimilarityQueries {
   private val IvfIters = 2
   private val EmbDim = 64
 
+  /** Probe depths of the IVF recall/cost sweep (ann_ivf_nprobe_sweep). */
+  private val SweepProbes = Seq(1, 2, 4)
+
+  /** DuckDB builders for the deterministic-IVF twin, shared by
+    * ann_ivf_topk and ann_ivf_nprobe_sweep (see IvfIndex's determinism
+    * contract): sequential-double-fold dot, -2*dot+cc argmin assignment,
+    * DECIMAL(28,6) center means cast to FLOAT.
+    */
+  private def ivfDotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def ivfAssignSql(name: String, ct: String) =
+    s"""$name AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY (-2.0 * ${ivfDotSql("e.embedding", "c.center")} + ${ivfDotSql("c.center", "c.center")}), c.cell) AS r
+       |  FROM embeddings e, $ct c) WHERE r = 1)""".stripMargin
+
+  private def ivfUpdateSql(cdName: String, cName: String, at: String) =
+    s"""$cdName AS (SELECT a.cell, d.i AS dim,
+       |  CAST(sum(CAST(CAST(a.embedding[d.i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+       |  FROM $at a, dims d GROUP BY a.cell, d.i),
+       |$cName AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS center FROM $cdName GROUP BY cell)""".stripMargin
+
+  /** The full IVF fit (hash-order top-k init + IvfIters Lloyd rounds) +
+    * final assignment `af` as one WITH-body prefix.
+    */
+  private lazy val ivfBuildCte: String = {
+    val iterSql = (1 to IvfIters).map { t =>
+      ivfAssignSql(s"a${t - 1}", s"c${t - 1}") + ",\n" +
+        ivfUpdateSql(s"cd$t", s"c$t", s"a${t - 1}")
+    }.mkString(",\n")
+    s"""dims AS (SELECT unnest(generate_series(1, $EmbDim)) AS i),
+       |pk AS (SELECT vec_id,
+       |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
+       |  FROM embeddings QUALIFY cell < $IvfCentroids),
+       |c0 AS (SELECT pk.cell, e.embedding AS center
+       |  FROM pk, embeddings e WHERE pk.vec_id = e.vec_id),
+       |$iterSql,
+       |${ivfAssignSql("af", s"c$IvfIters")}""".stripMargin
+  }
+
   /** χ²(EmbDim) upper flag threshold for emb_mahalanobis:
     * dim + 3·√(2·dim), the normal approximation's 3σ point.
     */
@@ -536,6 +578,68 @@ object SimilarityQueries {
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
         .orderBy("q_id", "rk")
+    },
+
+    // IVF recall/cost SWEEP: recall@10 vs brute-force truth at probe
+    // depths 1/2/4 — the tuning curve an ANN deployment reads before
+    // pinning nprobe (the IVF sibling of dedup_lsh_tuning's banding
+    // sweep). ONE candidate-scoring pass at the deepest probe carries a
+    // cell-rank column; each sweep point is a rank filter + top-k over
+    // the same scored set, so the sweep costs one IVF search, not three.
+    // The truth side is the bounded-query-batch brute force (broadcast
+    // contract shared with ann_topk_cosine).
+    "ann_ivf_nprobe_sweep" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          TextFunctions.vecNorm(col("embedding")).as("nrm"))
+        .cache()
+      val centers = graft.operators.IvfIndex.fit(
+        e, "vec_id", "embedding", IvfCentroids, EmbDim, IvfIters)
+      val cells = e.withColumn("cell",
+        graft.operators.IvfIndex.cellExpr(col("embedding"), centers)).cache()
+      import s.implicits._
+      val centersDf = centers.map { case (cid, c) =>
+        (cid, c, c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+      }.toDF("cell", "center", "cc")
+      val probe = cells.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"))
+        .crossJoin(broadcast(centersDf))
+        .withColumn("score_c",
+          lit(-2.0) * TextFunctions.dot(col("q_emb"), col("center")) + col("cc"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("score_c"), col("cell"))))
+        .filter(col("crk") <= SweepProbes.max)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cell"), col("crk"))
+      val scored = cells.join(probe,
+          cells("cell") === probe("cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("crk"), col("vec_id").as("n_id"),
+          graft.functions.CleanFunctions.round4(TextFunctions.cosineFromNorms(
+            TextFunctions.dot(col("q_emb"), col("embedding")),
+            col("q_nrm"), col("nrm"))).as("score"))
+        .localCheckpoint() // consumed once per sweep point
+      val ivk = SweepProbes.map { np =>
+        val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
+        scored.where(col("crk") <= np)
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+          .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_id"))
+      }.reduce(_ union _)
+      val truth = graft.operators.AnnSearch.bruteForceTopK(
+          e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", TopK)
+        .select(col("q_id"), col("n_id"))
+      val nq = e.filter(col("vec_id") % 50 === 0)
+        .agg(count(lit(1)).as("n_queries"))
+      import org.apache.spark.sql.types.DoubleType
+      val hits = ivk.join(truth, Seq("q_id", "n_id"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      val nps = SweepProbes.map(_.toLong).toDF("nprobe")
+      nps.join(hits, Seq("nprobe"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .crossJoin(broadcast(nq))
+        .select(col("nprobe"), col("n_queries"), col("n_hits"),
+          graft.functions.CleanFunctions.round6(col("n_hits").cast(DoubleType) /
+            (col("n_queries") * lit(TopK.toLong)).cast(DoubleType)).as("recall_at_10"))
+        .orderBy("nprobe")
     },
 
     // One k-means assignment step (the inner loop of corpus clustering /
@@ -1565,38 +1669,13 @@ object SimilarityQueries {
     // determinism contract): same hash-order top-k init, same -2*dot+cc argmin
     // (sequential double fold = list_sum order), same DECIMAL(28,6)
     // center means cast to FLOAT, same probe and re-rank.
-    "ann_ivf_topk" -> {
-      def dot(a: String, b: String) =
-        s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-      // argmin assignment of each corpus vector to a cell of centers `ct`
-      def assign(name: String, ct: String) =
-        s"""$name AS (SELECT vec_id, embedding, cell FROM (
-           |  SELECT e.vec_id, e.embedding, c.cell,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY (-2.0 * ${dot("e.embedding", "c.center")} + ${dot("c.center", "c.center")}), c.cell) AS r
-           |  FROM embeddings e, $ct c) WHERE r = 1)""".stripMargin
-      // per-dimension DECIMAL-exact mean of the vectors assigned in `at`
-      def update(cdName: String, cName: String, at: String) =
-        s"""$cdName AS (SELECT a.cell, d.i AS dim,
-           |  CAST(sum(CAST(CAST(a.embedding[d.i] AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
-           |  FROM $at a, dims d GROUP BY a.cell, d.i),
-           |$cName AS (SELECT cell, list(CAST(m AS FLOAT) ORDER BY dim) AS center FROM $cdName GROUP BY cell)""".stripMargin
-      val iterSql = (1 to IvfIters).map { t =>
-        assign(s"a${t - 1}", s"c${t - 1}") + ",\n" + update(s"cd$t", s"c$t", s"a${t - 1}")
-      }.mkString(",\n")
-      s"""WITH dims AS (SELECT unnest(generate_series(1, $EmbDim)) AS i),
-         |pk AS (SELECT vec_id,
-         |  CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell
-         |  FROM embeddings QUALIFY cell < $IvfCentroids),
-         |c0 AS (SELECT pk.cell, e.embedding AS center
-         |  FROM pk, embeddings e WHERE pk.vec_id = e.vec_id),
-         |$iterSql,
-         |${assign("af", s"c$IvfIters")},
+    "ann_ivf_topk" ->
+      s"""WITH $ivfBuildCte,
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
          |pr AS (SELECT q_id, q_emb, cell FROM (
          |  SELECT q.q_id, q.q_emb, c.cell,
          |    row_number() OVER (PARTITION BY q.q_id
-         |      ORDER BY (-2.0 * ${dot("q.q_emb", "c.center")} + ${dot("c.center", "c.center")}), c.cell) AS r
+         |      ORDER BY (-2.0 * ${ivfDotSql("q.q_emb", "c.center")} + ${ivfDotSql("c.center", "c.center")}), c.cell) AS r
          |  FROM q, c$IvfIters c) WHERE r <= $IvfProbes),
          |sc AS (SELECT pr.q_id, a.vec_id AS n_id,
          |  round((${TextFunctions.cosineSql("pr.q_emb", "a.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score
@@ -1604,7 +1683,43 @@ object SimilarityQueries {
          |SELECT q_id, n_id, score, rk FROM (
          |  SELECT q_id, n_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk FROM sc)
-         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin,
+
+    // Same deterministic IVF build; probe depth swept. The brute-force
+    // truth side mirrors the ann_topk_cosine twin.
+    "ann_ivf_nprobe_sweep" -> {
+      val nps = SweepProbes.map(p => s"CAST($p AS BIGINT)")
+        .mkString("[", ", ", "]")
+      s"""WITH $ivfBuildCte,
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+         |prall AS (SELECT q_id, q_emb, cell, r AS crk FROM (
+         |  SELECT q.q_id, q.q_emb, c.cell,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY (-2.0 * ${ivfDotSql("q.q_emb", "c.center")} + ${ivfDotSql("c.center", "c.center")}), c.cell) AS r
+         |  FROM q, c$IvfIters c) WHERE r <= ${SweepProbes.max}),
+         |sc AS (SELECT prall.q_id, prall.crk, a.vec_id AS n_id,
+         |  round((${TextFunctions.cosineSql("prall.q_emb", "a.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score
+         |  FROM prall JOIN af a ON a.cell = prall.cell AND a.vec_id <> prall.q_id),
+         |np AS (SELECT unnest($nps) AS nprobe),
+         |ivk AS (SELECT nprobe, q_id, n_id FROM (
+         |  SELECT np.nprobe, sc.q_id, sc.n_id,
+         |    row_number() OVER (PARTITION BY np.nprobe, sc.q_id
+         |      ORDER BY sc.score DESC, sc.n_id) AS rk
+         |  FROM np JOIN sc ON sc.crk <= np.nprobe) WHERE rk <= $TopK),
+         |bsc AS (SELECT q.q_id, e.vec_id AS n_id,
+         |  round((${TextFunctions.cosineSql("q.q_emb", "e.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score
+         |  FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+         |bf AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk
+         |  FROM bsc) WHERE rk <= $TopK),
+         |hits AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ivk JOIN bf USING (q_id, n_id) GROUP BY nprobe)
+         |SELECT np.nprobe, n_queries, coalesce(n_hits, 0) AS n_hits,
+         |  ${graft.functions.CleanFunctions.round6Sql(s"CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(n_queries * $TopK AS DOUBLE)")} AS recall_at_10
+         |FROM np LEFT JOIN hits ON np.nprobe = hits.nprobe, nq
+         |ORDER BY np.nprobe""".stripMargin
     },
 
     "emb_random_projection" -> {
