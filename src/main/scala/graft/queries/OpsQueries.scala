@@ -24,6 +24,9 @@ object OpsQueries {
 
   /** 6 h in microseconds: outage threshold and M4 bucket span. */
   private val SixHoursUs = 6L * 3600 * 1000000
+
+  /** LTTB target point budget per series (first + interior + last). */
+  private val LttbBuckets = 12
   private val OneHourUs  = 3600L * 1000000
 
   /** Holt smoothing constants. The SQL twin interpolates the EXACT
@@ -243,6 +246,76 @@ object OpsQueries {
     // pixel-exact line plots from O(#buckets) rows.
     "ts_m4_downsample" -> { (s, d) =>
       TS.m4Downsample(ev(s, d), K, Ord, "tsu", "value", SixHoursUs)
+        .orderBy("user_id", "bucket")
+    },
+
+    // LTTB downsampling (Largest-Triangle-Three-Buckets, Steinarsson
+    // 2013 — the perceptual line-chart downsampler next to M4's
+    // pixel-exact one): per series keep first + last + one point per
+    // interior bucket, each chosen to maximize the triangle area with
+    // the PREVIOUSLY SELECTED point and the NEXT bucket's centroid.
+    // The selection chain is a sequential DP over buckets, so the
+    // driver coordinates LttbBuckets-2 bounded rounds (each one
+    // equi-join of a bucket's candidates against the one-row-per-series
+    // previous pick + the centroid table, localCheckpoint'ed so plans
+    // stay flat) — rounds are a CONSTANT (the target point budget),
+    // never corpus-dependent. x = row index (the equal-spacing LTTB
+    // variant), centroids from exact-DECIMAL means, areas 6dp-rounded
+    // before the argmax with (tsu, event_id) tiebreak — both engines
+    // pick identical points; the oracle unrolls the same rounds as
+    // chained CTEs.
+    "ts_lttb_downsample" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val nb = LttbBuckets - 2
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val cw = Window.partitionBy("user_id")
+      val base = ev(s, d).where(col("value").isNotNull)
+        .select(col("user_id"), col("tsu"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .where(col("cnt") >= LttbBuckets.toLong)
+        .localCheckpoint() // feeds first/last/interior + every round
+      val first = base.where(col("rn") === 1L)
+      val last = base.where(col("rn") === col("cnt"))
+      val interior = base.where(col("rn") > 1L && col("rn") < col("cnt"))
+        .withColumn("bucket",
+          floor(((col("rn") - 2L) * nb).cast(DoubleType) /
+            (col("cnt") - 2L).cast(DoubleType)).cast(LongType) + 1L)
+      val cents = interior.groupBy("user_id", "bucket").agg(
+        CleanFunctions.exactMean(col("rn").cast(DoubleType)).as("cx"),
+        CleanFunctions.exactMean(col("value")).as("cy"))
+      var sel = first.select(col("user_id"),
+        col("rn").cast(DoubleType).as("px"), col("value").as("py"))
+      val picks = (1 to nb).map { i =>
+        val nxt =
+          if (i < nb) cents.where(col("bucket") === (i + 1).toLong)
+            .select(col("user_id"), col("cx"), col("cy"))
+          else last.select(col("user_id"),
+            col("rn").cast(DoubleType).as("cx"), col("value").as("cy"))
+        val scored = interior.where(col("bucket") === i.toLong)
+          .join(sel, "user_id").join(nxt, "user_id")
+          .withColumn("area", CleanFunctions.round6(abs(
+            (col("px") - col("cx")) * (col("value") - col("py")) -
+              (col("px") - col("rn").cast(DoubleType)) * (col("cy") - col("py"))
+          ) * lit(0.5)))
+        val pick = scored.withColumn("rk", row_number().over(
+            Window.partitionBy("user_id")
+              .orderBy(desc("area"), col("tsu"), col("event_id"))))
+          .where(col("rk") === 1)
+          .select(col("user_id"), col("tsu"), col("event_id"), col("value"),
+            col("rn"), lit(i.toLong).as("bucket"))
+          .localCheckpoint() // 3 consumers: output, next round's sel x2
+        sel = pick.select(col("user_id"),
+          col("rn").cast(DoubleType).as("px"), col("value").as("py"))
+        pick
+      }
+      val ends = first.select(col("user_id"), col("tsu"), col("event_id"),
+          col("value"), col("rn"), lit(0L).as("bucket"))
+        .union(last.select(col("user_id"), col("tsu"), col("event_id"),
+          col("value"), col("rn"), lit((nb + 1).toLong).as("bucket")))
+      picks.foldLeft(ends)(_ union _)
+        .select(col("user_id"), col("bucket"), col("event_id"), col("value"))
         .orderBy("user_id", "bucket")
     },
 
@@ -1453,6 +1526,55 @@ object OpsQueries {
          |FROM d ORDER BY event_id""".stripMargin,
 
     "ts_m4_downsample" -> m4OracleSql(nullFiltered = false),
+
+    // The LTTB DP unrolled: one chained CTE per interior bucket, each
+    // computing the identical 6dp-rounded triangle-area argmax.
+    "ts_lttb_downsample" -> {
+      val nb = LttbBuckets - 2
+      val r6 = CleanFunctions.round6Sql _
+      val mean = (x: String) => CleanFunctions.exactMeanSql(x)
+      def pick(i: Int, prevSel: String, nxt: String) =
+        s"""p$i AS (SELECT user_id, tsu, event_id, value, rn FROM (
+           |  SELECT c.user_id, c.tsu, c.event_id, c.value, c.rn,
+           |    row_number() OVER (PARTITION BY c.user_id ORDER BY
+           |      ${r6("abs((s.px - n.cx) * (c.value - s.py) - (s.px - CAST(c.rn AS DOUBLE)) * (n.cy - s.py)) * 0.5")} DESC,
+           |      c.tsu, c.event_id) AS rk
+           |  FROM itr c
+           |  JOIN $prevSel s USING (user_id)
+           |  JOIN $nxt n USING (user_id)
+           |  WHERE c.bucket = $i) WHERE rk = 1),
+           |s$i AS (SELECT user_id, CAST(rn AS DOUBLE) AS px, value AS py FROM p$i)""".stripMargin
+      val rounds = (1 to nb).map { i =>
+        val nxt = if (i < nb) s"(SELECT user_id, cx, cy FROM cen WHERE bucket = ${i + 1})"
+                  else "lan"
+        pick(i, s"s${i - 1}", nxt)
+      }.mkString(",\n")
+      val unionPicks = (1 to nb)
+        .map(i => s"SELECT user_id, CAST($i AS BIGINT) AS bucket, event_id, value FROM p$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH base AS (
+         |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS cnt
+         |  FROM events WHERE value IS NOT NULL
+         |  QUALIFY cnt >= $LttbBuckets),
+         |fi AS (SELECT * FROM base WHERE rn = 1),
+         |la AS (SELECT * FROM base WHERE rn = cnt),
+         |lan AS (SELECT user_id, CAST(rn AS DOUBLE) AS cx, value AS cy FROM la),
+         |itr AS (SELECT user_id, tsu, event_id, value, rn,
+         |  ((rn - 2) * $nb) // (cnt - 2) + 1 AS bucket
+         |  FROM base WHERE rn > 1 AND rn < cnt),
+         |cen AS (SELECT user_id, bucket,
+         |  ${mean("CAST(rn AS DOUBLE)")} AS cx, ${mean("value")} AS cy
+         |  FROM itr GROUP BY user_id, bucket),
+         |s0 AS (SELECT user_id, CAST(rn AS DOUBLE) AS px, value AS py FROM fi),
+         |$rounds
+         |SELECT user_id, bucket, event_id, value FROM (
+         |  SELECT user_id, CAST(0 AS BIGINT) AS bucket, event_id, value FROM fi
+         |  UNION ALL $unionPicks
+         |  UNION ALL SELECT user_id, CAST(${nb + 1} AS BIGINT) AS bucket, event_id, value FROM la)
+         |ORDER BY user_id, bucket""".stripMargin
+    },
 
     "events_scd2" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
