@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BottomKQuantile, DtwDistance, FloatVectorDot, SignBits60, SimHash60}
+import org.apache.spark.sql.graft.{BottomKQuantile, DtwDistance, FloatVectorDot, SignBits60, SimHash60, TopKIds}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get the
@@ -50,6 +50,12 @@ object GraftExtensions {
         require(args.length == 5,
           "approx_pct_det(hash, id, value, p, k) takes 5 arguments")
         BottomKQuantile(args(0), args(1), args(2), args(3), args(4))
+      }),
+    (new FunctionIdentifier("topk_det"),
+      new ExpressionInfo(classOf[TopKIds].getName, "topk_det"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_det(score, id, k) takes 3 arguments")
+        TopKIds(args(0), args(1), args(2))
       }))
 
   /** Register the same functions into an ALREADY-RUNNING session (the

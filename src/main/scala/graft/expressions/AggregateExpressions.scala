@@ -81,6 +81,134 @@ object AggregateExpressions {
       org.apache.spark.sql.catalyst.expressions.Literal(p),
       org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())
+
+  /** Column-level surface of [[TopKIds]], mirroring the SQL `topk_det`. */
+  def topkDet(score: org.apache.spark.sql.Column,
+              id: org.apache.spark.sql.Column,
+              k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(TopKIds(
+      org.apache.spark.sql.classic.ExpressionUtils.expression(score),
+      org.apache.spark.sql.classic.ExpressionUtils.expression(id),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+}
+
+/** `topk_det(score, id, k)` — deterministic top-k-per-group as ONE
+  * aggregate: the ids of the group's k largest (score, then smallest id
+  * on ties), in rank order, as an array. The engine-surface alternative
+  * to the rank-window idiom: a window sorts every group's full slice;
+  * this aggregate's partial state is a k-entry min-heap, map-side
+  * partials combine by heap merge, so the shuffle carries k (score, id)
+  * pairs per group per partition — the shape that survives a group
+  * whose slice is a terabyte. Deterministic by the id tiebreak; null
+  * scores/ids are skipped; an all-null group returns an empty array.
+  */
+case class TopKIds(
+    scoreExpr: Expression, idExpr: Expression, kExpr: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BottomKBuffer] with ImplicitCastInputTypes {
+
+  private lazy val k: Int = kExpr.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"topk_det: k must be a foldable int literal, got $other")
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!kExpr.foldable || kExpr.eval() == null)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "topk_det: k must be a non-null foldable literal")
+    else if (k < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_det: k must be >= 1, got $k")
+    else base
+  }
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, LongType, IntegerType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_det"
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr, kExpr)
+
+  // Reuses [[BottomKBuffer]]'s bottom-k-by-(key, id) heap: "top-k by
+  // (score DESC, id ASC)" IS "bottom-k by (key, id)" under an
+  // order-REVERSING double→long key. sortableBits is the classic
+  // monotone map of IEEE doubles onto signed longs (positive doubles'
+  // bits already ascend; negative doubles' bits descend, so flipping
+  // their 63 low bits re-ascends them); bitwise NOT then reverses it
+  // without overflow. -0.0 normalizes to +0.0 so the two zeros rank
+  // identically (ties fall to the id); NaN maps above +Inf, matching
+  // both engines' NaN-greatest sort order.
+  private def keyOf(score: Double): Long = {
+    val b = java.lang.Double.doubleToRawLongBits(
+      if (score == 0.0) 0.0 else score)
+    val asc = if (b < 0) b ^ 0x7fffffffffffffffL else b
+    ~asc
+  }
+
+  override def createAggregationBuffer(): BottomKBuffer = new BottomKBuffer(k)
+
+  override def update(buf: BottomKBuffer, input: InternalRow): BottomKBuffer = {
+    val sc = scoreExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (sc != null && id != null)
+      buf.insert(keyOf(sc.asInstanceOf[Double]), id.asInstanceOf[Long],
+        sc.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: BottomKBuffer, other: BottomKBuffer): BottomKBuffer = {
+    var i = 0
+    while (i < other.n) {
+      buf.insert(other.hs(i), other.ids(i), other.vs(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: BottomKBuffer): Any = {
+    val idx = Array.range(0, buf.n)
+    val sorted = idx.sortBy(i => (buf.hs(i), buf.ids(i)))
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      sorted.map(i => buf.ids(i)))
+  }
+
+  override def serialize(buf: BottomKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 24)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.putLong(buf.hs(i)); bb.putLong(buf.ids(i)); bb.putDouble(buf.vs(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BottomKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new BottomKBuffer(k)
+    var i = 0
+    while (i < n) {
+      buf.insert(bb.getLong(), bb.getLong(), bb.getDouble())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKIds =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKIds =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(scoreExpr = newChildren(0), idExpr = newChildren(1),
+      kExpr = newChildren(2))
 }
 
 /** `approx_pct_det(hash, id, value, p, k)` — DETERMINISTIC mergeable

@@ -1274,6 +1274,23 @@ object EvalQueries {
         FROM graft_events_qagg GROUP BY event_type ORDER BY event_type""")
     },
 
+    // Deterministic top-k-per-group as ONE SQL aggregate call:
+    // `topk_det(score, id, k)` (org.apache.spark.sql.graft.TopKIds) —
+    // the heap-aggregate alternative to the rank-window idiom. A window
+    // sorts every group's full slice; this aggregate's partial state is
+    // a k-entry heap and map-side partials merge by heap union, so the
+    // shuffle carries k pairs per (group, partition) — the shape that
+    // survives a group whose slice is a terabyte. Score ties fall to
+    // the smaller id on both engines.
+    "sql_topk_agg" -> { (s, d) =>
+      graft.GraftExtensions.register(s)
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders_topk")
+      s.sql(s"""
+        SELECT o_custkey,
+          topk_det(CAST(o_totalprice AS DOUBLE), o_orderkey, 3) AS top_orders
+        FROM graft_orders_topk GROUP BY o_custkey ORDER BY o_custkey""")
+    },
+
     // Sample-ratio-mismatch gate per segment: chi-square of the
     // observed weekend/weekday row split against the DECLARED 2/7-5/7
     // calendar expectation — the first thing a trustworthy
@@ -2532,6 +2549,13 @@ object EvalQueries {
          |FROM est JOIN ex ON est.event_type = ex.event_type AND est.d0 = ex.d0
          |ORDER BY est.event_type, window_end""".stripMargin
     },
+
+    // The window reconstruction of the heap aggregate's answer: list in
+    // (score DESC, id) order, sliced to k.
+    "sql_topk_agg" ->
+      """SELECT o_custkey,
+        |  (list(o_orderkey ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey))[1:3] AS top_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "customer_components" ->
       s"""$coPurchaseLabCte

@@ -227,4 +227,41 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .approxPctDet(col("h"), col("id"), col("v"), 0.9, 1)).head().getDouble(0)
     assert(one == 9.0, s"k=1 must keep the min-hash row (got $one)")
   }
+
+  test("topk_det aggregate matches the rank-window idiom exactly") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val agg = org.apache.spark.sql.graft.AggregateExpressions
+    val o = Tables.orders(spark, SparkTestSession.sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("score"))
+    // Window reference: ids in (score DESC, id) order, first 3.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(desc("score"), col("o_orderkey"))
+    val want = o.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.collect_list(
+        struct(col("rk"), col("o_orderkey"))).as("xs"))
+      .select(col("o_custkey"),
+        expr("transform(array_sort(xs), x -> x.o_orderkey)").as("ids"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toList
+    // Multi-partition group-by: exercises partial update + heap merge.
+    val got = o.repartition(7).groupBy("o_custkey")
+      .agg(agg.topkDet(col("score"), col("o_orderkey"), 3).as("ids"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toList
+    assert(want.nonEmpty && got == want)
+    // Order-reversing key contracts: negative scores, both zeros, and
+    // NaN-greatest all rank like a (score DESC, id ASC) sort.
+    val tricky = Seq(
+      (1L, -1.0), (2L, -2.0), (3L, 0.0), (4L, -0.0), (5L, Double.NaN),
+      (6L, Double.PositiveInfinity), (7L, Double.NegativeInfinity))
+      .toDF("id", "score")
+    val ids = tricky.agg(agg.topkDet(col("score"), col("id"), 7))
+      .head().getSeq[Long](0).toList
+    assert(ids == List(5L, 6L, 3L, 4L, 1L, 2L, 7L), s"got $ids")
+    // All-null group -> empty array, never null.
+    val nulls = Seq((1L, Option.empty[Double])).toDF("id", "score")
+    assert(nulls.agg(agg.topkDet(col("score"), col("id"), 3))
+      .head().getSeq[Long](0).isEmpty)
+  }
 }
