@@ -305,6 +305,28 @@ object TimeSeriesQueries {
         .orderBy("window_start_us", "event_type")
     },
 
+    // STREAMING HOPPING-window aggregation, driver-verified: the
+    // overlapping-window state shape tumbling windows never exercise
+    // (each event updates len/slide open windows; every window still
+    // emits exactly once at watermark close). Same replay harness and
+    // DECIMAL emission contract as streaming_replay; the oracle is the
+    // batch hopping reconstruction restricted to the non-null feed.
+    "streaming_hopping" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      val maxUs = rows.iterator.map(e => StreamingAnomaly.tsUs(e.ts)).max
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_hopping",
+          Some(StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)))(
+          ds => StreamingAnomaly.hoppingCounts(ds.toDF()))
+        .select(epochUs(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_events"),
+          CleanFunctions.round4(col("sum_value")).as("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    },
+
     // EXACTLY-ONCE PARQUET SINK, driver-verified: the events table fed
     // through the foreachBatch + batch-id-keyed dynamic-partition-
     // overwrite sink in TWO micro-batches (two batch_id partitions, the
@@ -1404,6 +1426,24 @@ object TimeSeriesQueries {
          |    AND tsu >= (((tsu // $slideUs) - k.k) * $slideUs))
          |SELECT window_start_us, event_type, count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM x GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
+    },
+
+    // The batch hopping reconstruction over the non-null feed (the
+    // streamed Event rows carry primitive doubles), sums 4dp-rounded
+    // like the entry's emission.
+    "streaming_hopping" -> {
+      val slideUs = 1800L * 1000000
+      val lenUs   = 3600L * 1000000
+      s"""WITH e AS (SELECT epoch_us(ts) AS tsu, event_type, value
+         |  FROM events WHERE value IS NOT NULL),
+         |x AS (SELECT ((tsu // $slideUs) - k.k) * $slideUs AS window_start_us,
+         |  event_type, value
+         |  FROM e, (SELECT unnest(generate_series(0, ${lenUs / slideUs - 1})) AS k) k
+         |  WHERE tsu - (((tsu // $slideUs) - k.k) * $slideUs) < $lenUs
+         |    AND tsu >= (((tsu // $slideUs) - k.k) * $slideUs))
+         |SELECT window_start_us, event_type, count(*) AS n_events,
+         |  ${graft.functions.CleanFunctions.round4Sql("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")} AS sum_value
          |FROM x GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin
     },
 

@@ -126,6 +126,23 @@ object StreamingAnomaly {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** HOPPING-window variant of [[windowedCounts]]: each event lands in
+    * len/slide overlapping windows (Spark's window TVF with a slide);
+    * state per open window is the same O(1) decimal partial, and a
+    * window still emits exactly once when the watermark passes its end.
+    */
+  def hoppingCounts(events: DataFrame, watermarkDelay: String = "1 hour",
+                    windowLen: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming M4 downsampling: per (key, tumbling window) keep
     * first/last/min/max of the value — the live-dashboard twin of the
     * batch `TimeSeriesOps.m4Downsample`. first/last come from
