@@ -27,6 +27,12 @@ object OpsQueries {
 
   /** LTTB target point budget per series (first + interior + last). */
   private val LttbBuckets = 12
+
+  /** Exponential-decay half-life constant: τ = 7 days in µs (the decayed
+    * engagement score's time scale), baked as the same double literal in
+    * both engines.
+    */
+  private val DecayTauUs = 604800000000.0
   private val OneHourUs  = 3600L * 1000000
 
   /** Holt smoothing constants. The SQL twin interpolates the EXACT
@@ -247,6 +253,27 @@ object OpsQueries {
     "ts_m4_downsample" -> { (s, d) =>
       TS.m4Downsample(ev(s, d), K, Ord, "tsu", "value", SixHoursUs)
         .orderBy("user_id", "bucket")
+    },
+
+    // Time-decayed engagement score per user: Σ e^((t_i − now)/τ) —
+    // the recency-weighted activity feature every ranking/churn system
+    // maintains (yesterday's event counts ~0.87, last week's ~0.37).
+    // ONE grouped pass over the corpus: the anchor `now` is a broadcast
+    // scalar, each event contributes one 6dp-quantized exp term into the
+    // DECIMAL sum (order-independent ⇒ arrival/partitioning-proof and
+    // engine-exact — the same contract as every decayed sum here).
+    "events_decay_score" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val e = ev(s, d)
+      val nowT = e.agg(max(col("tsu")).as("now_us"))
+      e.select(col("user_id"), col("tsu"))
+        .crossJoin(broadcast(nowT))
+        .withColumn("w", CleanFunctions.round6(
+          exp((col("tsu") - col("now_us")).cast(DoubleType) / lit(DecayTauUs))))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round4(exactSum(col("w"))).as("decay_score"))
+        .orderBy("user_id")
     },
 
     // LTTB downsampling (Largest-Triangle-Three-Buckets, Steinarsson
@@ -1526,6 +1553,15 @@ object OpsQueries {
          |FROM d ORDER BY event_id""".stripMargin,
 
     "ts_m4_downsample" -> m4OracleSql(nullFiltered = false),
+
+    "events_decay_score" ->
+      s"""WITH nowt AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
+         |w AS (SELECT user_id,
+         |  ${CleanFunctions.round6Sql(s"exp(CAST(epoch_us(ts) - now_us AS DOUBLE) / $DecayTauUs)")} AS w
+         |  FROM events, nowt)
+         |SELECT user_id, count(*) AS n_events,
+         |  ${round4Sql(exactSumSql("w"))} AS decay_score
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // The LTTB DP unrolled: one chained CTE per interior bucket, each
     // computing the identical 6dp-rounded triangle-area argmax.
