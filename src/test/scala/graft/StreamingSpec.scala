@@ -508,6 +508,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(fwd.map(r => (r._1, r._2)).distinct.size == fwd.size)
   }
 
+  test("emit-once sketch fold: post-emission stragglers never re-emit (tombstone)") {
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.bottomKQuantiles(ms.toDF(), k = 4, ps = Seq(0.5))
+      .toDF().writeStream.format("memory").queryName("eo_once")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      def emitted(): Long =
+        spark.table("eo_once").where(col("event_type") === "m").count()
+      ms.addData(Event(1, ts("2026-01-01 00:00:00"), 1, "m", 5.0))
+      q.processAllAvailable()
+      // Punctuation 10 days out: watermark passes m's timeout -> ONE
+      // terminal emission.
+      ms.addData(StreamingAnomaly.punctuationEvent(
+        StreamingAnomaly.tsUs(ts("2026-01-11 00:00:00"))))
+      q.processAllAvailable()
+      assert(emitted() == 1L, "terminal sketch must emit exactly once")
+      val firstVal = spark.table("eo_once").where(col("event_type") === "m")
+        .select("pct_est").head().getDouble(0)
+      assert(firstVal == 5.0)
+      // A FRESH (non-late) row for the emitted key: the tombstone must
+      // swallow it instead of re-opening the key...
+      ms.addData(Event(2, ts("2026-01-16 00:00:00"), 1, "m", 9.0))
+      q.processAllAvailable()
+      // ...even after the watermark later advances far enough that a
+      // re-opened key would have timed out (and the tombstone itself
+      // expires into a silent remove).
+      ms.addData(StreamingAnomaly.punctuationEvent(
+        StreamingAnomaly.tsUs(ts("2026-03-01 00:00:00"))))
+      q.processAllAvailable()
+      assert(emitted() == 1L,
+        "a straggler after the terminal emission re-emitted the key")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers equal the batch register build, arrival-order-proof") {
     import org.apache.spark.sql.functions.{col, concat, lit, max}
     val keyEvents = realEvents.map(e =>
