@@ -941,6 +941,39 @@ object OpsQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // SECOND-order Markov transitions P(next | prev2, prev1) with the
+    // lift over the first-order model — does knowing one more step of
+    // history change the prediction (lift far from 1 = the journey is
+    // NOT memoryless, sizing the state an intent model needs)? Same
+    // per-user lead windows (bounded groups); both conditionals are
+    // integer-count ratios; lift = ONE division of the two 4dp-rounded
+    // probabilities, 4dp-rounded — engine-exact throughout.
+    "events_markov2" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val seq3 = ev(s, d)
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .where(col("t2").isNotNull)
+        .select(col("event_type").as("prev2"), col("t1").as("prev1"),
+          col("t2").as("to_type"))
+      val p2 = seq3.groupBy("prev2", "prev1", "to_type")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p2", round4(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy("prev2", "prev1")).cast("double")))
+      // First-order conditional restricted to the SAME trigram support
+      // (pairs with a successor), so both models see identical mass.
+      val p1 = seq3.groupBy(col("prev1"), col("to_type"))
+        .agg(count(lit(1)).as("cnt1"))
+        .withColumn("p1", round4(col("cnt1").cast("double") /
+          sum(col("cnt1")).over(Window.partitionBy("prev1")).cast("double")))
+        .select(col("prev1"), col("to_type"), col("p1"))
+      p2.join(p1, Seq("prev1", "to_type"))
+        .select(col("prev2"), col("prev1"), col("to_type"), col("cnt"),
+          col("p2"), col("p1"), round4(col("p2") / col("p1")).as("lift"))
+        .orderBy("prev2", "prev1", "to_type")
+    },
+
     // Out-of-orderness (lateness) profile — the diagnostic that SIZES a
     // streaming watermark: for each event, how far its event time lags
     // the stream's high-water mark at its arrival, histogrammed per
@@ -2160,6 +2193,26 @@ object OpsQueries {
          |SELECT from_type, to_type, cnt,
          |  ${round4Sql("CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE)")} AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "events_markov2" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id FROM events),
+         |t AS (SELECT event_type AS prev2,
+         |  lead(event_type, 1) OVER w AS prev1,
+         |  lead(event_type, 2) OVER w AS to_type
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |s3 AS (SELECT prev2, prev1, to_type FROM t WHERE to_type IS NOT NULL),
+         |c2 AS (SELECT prev2, prev1, to_type, count(*) AS cnt FROM s3 GROUP BY 1, 2, 3),
+         |p2 AS (SELECT prev2, prev1, to_type, cnt,
+         |  ${round4Sql("CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY prev2, prev1) AS DOUBLE)")} AS p2
+         |  FROM c2),
+         |c1 AS (SELECT prev1, to_type, count(*) AS cnt1 FROM s3 GROUP BY 1, 2),
+         |p1 AS (SELECT prev1, to_type,
+         |  ${round4Sql("CAST(cnt1 AS DOUBLE) / CAST(sum(cnt1) OVER (PARTITION BY prev1) AS DOUBLE)")} AS p1
+         |  FROM c1)
+         |SELECT prev2, prev1, to_type, cnt, p2, p1,
+         |  ${round4Sql("p2 / p1")} AS lift
+         |FROM p2 JOIN p1 USING (prev1, to_type)
+         |ORDER BY prev2, prev1, to_type""".stripMargin,
 
     "events_lateness_profile" ->
       s"""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS tsu FROM events),
