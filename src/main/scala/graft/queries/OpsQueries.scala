@@ -255,6 +255,35 @@ object OpsQueries {
         .orderBy("user_id", "bucket")
     },
 
+    // Power-law (Pareto) exponent of each event type's user-activity
+    // distribution — the Clauset-Shalizi-Newman continuous MLE
+    // α̂ = 1 + n / Σ ln(cᵢ / (xmin − ½)) over per-user counts ≥ xmin,
+    // with the half-shift discreteness correction: the "is engagement
+    // heavy-tailed, and how heavy" readout (α near 2 = extreme
+    // concentration; > 3 = mild). One grouped count pass + one grouped
+    // log-sum: each ln term is 6dp-quantized into the DECIMAL sum and
+    // α̂/xmin-share are single rounded divisions — engine-exact.
+    "events_powerlaw_alpha" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val xmin = 2L
+      val counts = ev(s, d)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      val tail = counts.where(col("c") >= xmin)
+        .withColumn("lt", CleanFunctions.round6(
+          log(col("c").cast(DoubleType) / lit(xmin.toDouble - 0.5))))
+      tail.groupBy("event_type").agg(
+          count(lit(1)).as("n_tail"),
+          round4(lit(1.0) + count(lit(1)).cast(DoubleType) /
+            exactSum(col("lt"))).as("alpha"))
+        .join(counts.groupBy("event_type").agg(count(lit(1)).as("n_users")),
+          "event_type")
+        .select(col("event_type"), col("n_users"), col("n_tail"),
+          round4(col("n_tail").cast(DoubleType) /
+            col("n_users").cast(DoubleType)).as("tail_share"),
+          col("alpha"))
+        .orderBy("event_type")
+    },
+
     // Time-decayed engagement score per user: Σ e^((t_i − now)/τ) —
     // the recency-weighted activity feature every ranking/churn system
     // maintains (yesterday's event counts ~0.87, last week's ~0.37).
@@ -1586,6 +1615,21 @@ object OpsQueries {
          |FROM d ORDER BY event_id""".stripMargin,
 
     "ts_m4_downsample" -> m4OracleSql(nullFiltered = false),
+
+    "events_powerlaw_alpha" ->
+      s"""WITH c AS (SELECT event_type, user_id, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |tl AS (SELECT event_type,
+         |  ${CleanFunctions.round6Sql("ln(CAST(c AS DOUBLE) / 1.5)")} AS lt
+         |  FROM c WHERE c >= 2),
+         |a AS (SELECT event_type, count(*) AS n_tail,
+         |  ${round4Sql(s"1.0 + CAST(count(*) AS DOUBLE) / ${exactSumSql("lt")}")} AS alpha
+         |  FROM tl GROUP BY 1),
+         |u AS (SELECT event_type, count(*) AS n_users FROM c GROUP BY 1)
+         |SELECT a.event_type, n_users, n_tail,
+         |  ${round4Sql("CAST(n_tail AS DOUBLE) / CAST(n_users AS DOUBLE)")} AS tail_share,
+         |  alpha
+         |FROM a JOIN u USING (event_type) ORDER BY event_type""".stripMargin,
 
     "events_decay_score" ->
       s"""WITH nowt AS (SELECT max(epoch_us(ts)) AS now_us FROM events),
