@@ -1171,6 +1171,40 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // Event-type CO-OCCURRENCE within sessions — market-basket analysis
+    // where the basket is the SESSION (which behaviors happen in the
+    // same visit), with lift vs the independence baseline: the
+    // session-scoped sibling of lineitem_basket_pairs. Pair generation
+    // is bounded by construction (pairs of DISTINCT types per session —
+    // ≤ |type alphabet|² per session, never corpus²); supports and lift
+    // are integer-count ratios with single rounded divisions.
+    "events_session_type_pairs" -> { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("tsu", epochUs(col("ts")))
+      val st = TS.sessionize(ev, K, Ord, "tsu", 30L * 60 * 1000000)
+        .select(col("user_id"), col("session_id"), col("event_type"))
+        .distinct()
+        .localCheckpoint() // 3 consumers: both pair sides + type supports
+      val nSess = st.select("user_id", "session_id").distinct().count()
+      val sup = st.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = st.as("a").join(st.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_id") === col("b.session_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("n_both"))
+      import org.apache.spark.sql.types.DoubleType
+      pairs
+        .join(sup.select(col("event_type").as("t1"), col("n_t").as("n1")), "t1")
+        .join(sup.select(col("event_type").as("t2"), col("n_t").as("n2")), "t2")
+        .select(col("t1"), col("t2"), col("n_both"),
+          CleanFunctions.round6(col("n_both").cast(DoubleType) / lit(nSess.toDouble))
+            .as("support"),
+          CleanFunctions.round6(
+            (col("n_both").cast(DoubleType) * lit(nSess.toDouble)) /
+              (col("n1").cast(DoubleType) * col("n2").cast(DoubleType))).as("lift"))
+        .orderBy("t1", "t2")
+    },
+
     // Per-session aggregates on top of sessionization: length + duration.
     "ts_session_stats" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -1918,6 +1952,34 @@ object TimeSeriesQueries {
          |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |FROM f ORDER BY event_id""".stripMargin,
+
+    "events_session_type_pairs" -> {
+      val r6 = graft.functions.CleanFunctions.round6Sql _
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events),
+         |f AS (SELECT event_id, user_id, event_type, tsu,
+         |  CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > ${30L * 60 * 1000000}
+         |       THEN 1 ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |sid AS (SELECT event_type, user_id,
+         |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM f),
+         |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sid),
+         |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n_sess
+         |  FROM (SELECT DISTINCT user_id, session_id FROM st)),
+         |sup AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY 1),
+         |p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+         |  FROM st a JOIN st b
+         |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+         |   AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT t1, t2, n_both,
+         |  ${r6("CAST(n_both AS DOUBLE) / n_sess")} AS support,
+         |  ${r6("(CAST(n_both AS DOUBLE) * n_sess) / (CAST(s1.n_t AS DOUBLE) * CAST(s2.n_t AS DOUBLE))")} AS lift
+         |FROM p JOIN sup s1 ON p.t1 = s1.event_type
+         |JOIN sup s2 ON p.t2 = s2.event_type, ns
+         |ORDER BY t1, t2""".stripMargin
+    },
 
     "ts_session_stats" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
