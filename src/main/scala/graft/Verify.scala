@@ -19,11 +19,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dumped = 0
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
       // Per-query caches (dedup shingle/signature sets) would otherwise
       // accumulate for the whole multi-query session.
@@ -44,6 +49,22 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // LOUD completion record (r10 postmortem: the driver's
+    // CORRECTNESS_r10.json came back `{}` with no trace of why). The
+    // sentinel file + final stdout line make three failure modes
+    // distinguishable after the fact: (a) Verify never ran → no
+    // verify_status.json; (b) Verify ran but queries failed → "failed"
+    // is non-empty; (c) Verify fully green but the record is still
+    // empty → the fault is in the driver's own check step, not here.
+    val status = s"""{"dumped":$dumped,"oracles":${SparkEntry.oracleSql.size},""" +
+      s""""failed":${failed.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), status)
+    println(s"[verify] DONE: $dumped dumped, ${failed.size} failed, " +
+      s"${SparkEntry.oracleSql.size} oracles -> $outDir")
     spark.stop()
+    // A run that dumped NOTHING is a harness catastrophe (bad sfDir,
+    // broken session), never a per-query bug — fail the process loudly
+    // rather than letting an empty round pass as silence.
+    if (dumped == 0) sys.exit(2)
   }
 }
