@@ -71,9 +71,15 @@ object Bench {
         if (s.length % 2 == 1) s(s.length / 2)
         else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
       }
+      // SYMMETRIC trigger (r10 ADVICE): re-vote on rep SPREAD (max/min),
+      // not median-vs-min. The old one-sided rule could only pull medians
+      // down (re-voting exactly when the median sat high), a small
+      // optimistic bias; spread fires equally on an inflated median and
+      // on a fluke-fast min, and extra reps then move the median toward
+      // whichever level the majority of clean runs agree on.
       var extra = 0
       while (extra < 2 && runs.forall(_._2) && runs.map(_._1).min > 0.05 &&
-             med(runs.map(_._1)) > 1.5 * runs.map(_._1).min) {
+             runs.map(_._1).max > 1.5 * runs.map(_._1).min) {
         runs = runs :+ oneRep()
         extra += 1
       }

@@ -144,8 +144,11 @@ case class TopKIds(
   // without overflow. -0.0 normalizes to +0.0 so the two zeros rank
   // identically (ties fall to the id); NaN maps above +Inf, matching
   // both engines' NaN-greatest sort order.
+  // doubleToLongBits (not Raw) canonicalizes every NaN payload: a
+  // sign-bit NaN arriving from parquet would otherwise take raw bits
+  // BELOW -Inf and rank least instead of NaN-greatest.
   private def keyOf(score: Double): Long = {
-    val b = java.lang.Double.doubleToRawLongBits(
+    val b = java.lang.Double.doubleToLongBits(
       if (score == 0.0) 0.0 else score)
     val asc = if (b < 0) b ^ 0x7fffffffffffffffL else b
     ~asc
