@@ -29,6 +29,35 @@ object JoinOps {
     l.join(r, keys :+ "__salt").drop("__salt")
   }
 
+  /** Broadcast with a HARD row fence: counts the side (one cheap action —
+    * use only where the side is already reduced/checkpointed) and REFUSES
+    * to broadcast above `maxRows`, turning a documented small-side
+    * contract into an enforced one. This is the guard for broadcast sides
+    * whose lineage is invisible to the static plan audit (e.g. derived
+    * from a localCheckpoint, where the corpus scan is erased from the
+    * logical plan): a caller who feeds a corpus-proportional frame gets a
+    * loud AnalysisException-style failure at plan time, not an executor
+    * OOM at 100x scale. PlanAudit.CheckpointBroadcastContract lists
+    * exactly the queries that rely on this fence.
+    */
+  def boundedBroadcast(side: DataFrame, maxRows: Long, what: String): DataFrame = {
+    val n = side.count()
+    require(n <= maxRows,
+      s"boundedBroadcast($what): side has $n rows, above the $maxRows-row " +
+        "broadcast fence — repartition to an equi-join instead of broadcasting")
+    firedFences.put(what, (n, maxRows))
+    broadcast(side)
+  }
+
+  /** Fence tag -> (rows counted, fence) for every boundedBroadcast that
+    * fired in this JVM. Exists so PlanAuditSpec can assert the fence is
+    * actually ON the code path of each query listed in
+    * PlanAudit.CheckpointBroadcastContract — the static audit cannot see
+    * through the localCheckpoint, but a constructed query either fires
+    * its fence (registry hit) or someone removed it (CI failure).
+    */
+  val firedFences = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   /** Range (interval) join: each fact row joins the interval rows whose
     * [loCol, hiCol) half-open band contains its `valueCol` — the
     * IP-geolocation / price-band / calendar-window lookup shape that a

@@ -690,7 +690,16 @@ object TextQueries {
       // on `term` — is a guaranteed skew trap: natural-language term
       // frequencies are Zipfian, so the hot terms' postings pile into a
       // handful of tasks (at this corpus's tiny vocab, ALL of them do).
-      val scored = broadcast(qterms).join(weights, "term")
+      // boundedBroadcast (not bare broadcast): qterms descends from the
+      // localCheckpoint'ed tf frame, so the static corpus-broadcast audit
+      // cannot see its lineage (r10 verdict item 3) — the 1M-row fence
+      // turns the "caller provides a bounded query batch" contract into
+      // an enforced plan-time failure; the count is one cheap scan of the
+      // checkpoint. PlanAudit.CheckpointBroadcastContract +
+      // PlanAuditSpec assert the fence stays on this path.
+      val scored = graft.operators.JoinOps
+        .boundedBroadcast(qterms, 1000000L, "bm25-query-batch")
+        .join(weights, "term")
         .where(col("doc_id") =!= col("q_id"))
         .groupBy("q_id", "doc_id")
         .agg(sum(col("w").cast(DecimalType(18, 6))).as("sdec"))

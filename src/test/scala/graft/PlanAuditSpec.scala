@@ -81,6 +81,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"allowlist entries no longer broadcast their corpus scan: ${stale.mkString(", ")}")
   }
 
+  test("checkpoint-hidden broadcasts fire their runtime row fence") {
+    // The static audit can't see through a localCheckpoint (the corpus
+    // scan is erased from the logical plan), so these queries' small-side
+    // contracts are enforced at runtime by JoinOps.boundedBroadcast.
+    // Constructing the query must fire the fence: if someone reverts to a
+    // bare broadcast(), the registry entry is absent and this fails —
+    // the CI teeth the r10 verdict asked for (item 3).
+    import graft.operators.JoinOps
+    for ((name, tag) <- PlanAudit.CheckpointBroadcastContract) {
+      spark.catalog.clearCache()
+      JoinOps.firedFences.remove(tag)
+      SparkEntry.queries(name)(spark, SparkTestSession.sfDir).queryExecution.optimizedPlan
+      val fired = Option(JoinOps.firedFences.get(tag))
+      assert(fired.nonEmpty,
+        s"$name: constructing the query did not fire boundedBroadcast('$tag') " +
+          "— the checkpoint-hidden broadcast lost its row fence")
+      val (rows, cap) = fired.get
+      assert(rows <= cap, s"$name: fence '$tag' recorded $rows > cap $cap")
+    }
+  }
+
   test("corpus-broadcast detection is a path check, not subtree exists()") {
     // r5 ADVICE false negative: a hint-forced build side shaped
     // Join(Aggregate(dim), corpus_scan) has an Aggregate SOMEWHERE in the
