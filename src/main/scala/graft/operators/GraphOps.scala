@@ -91,4 +91,16 @@ object GraphOps {
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Component-size histogram DERIVED from an already-computed
+    * components frame (id, lbl): (component_size, n_components). The
+    * composed half of the components API — compute the fixpoint once
+    * with [[minLabelPropagate]], derive every readout from the returned
+    * frame. Two grouped counts over O(nodes) rows: the first keyed on
+    * lbl (component count per label), the second on the count itself —
+    * both shrink geometrically, nothing rescans edges.
+    */
+  def componentSizes(components: DataFrame): DataFrame = components
+    .groupBy("lbl").agg(count(lit(1)).as("component_size"))
+    .groupBy("component_size").agg(count(lit(1)).as("n_components"))
 }

@@ -1291,6 +1291,34 @@ object EvalQueries {
         FROM graft_orders_topk GROUP BY o_custkey ORDER BY o_custkey""")
     },
 
+    // STREAMING twin of the topk_det heap aggregate (SURVEY §2.12): the
+    // per-customer top-3 ranked order list built as an emit-once
+    // EventTimeTimeout fold whose state is the same ≤ k (price, id) heap
+    // the batch TypedImperativeAggregate carries as its partial —
+    // bounded per key at any volume, mergeable under any arrival order.
+    // Output is the exploded (custkey, rk, orderkey, price) ranking, so
+    // the DuckDB rank-window oracle reconstructs it exactly.
+    "streaming_topk" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{OrderRow, StreamingAnomaly}
+      val rows = Tables.orders(s, d)
+        .select(col("o_orderkey").cast(LongType).as("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("ts"),
+          col("o_custkey").cast(LongType).as("o_custkey"),
+          col("o_totalprice").cast(DoubleType).as("price"))
+        .as[OrderRow].collect().toSeq
+      if (rows.isEmpty) s.emptyDataset[graft.streaming.TopOrder].toDF()
+      else {
+        val maxUs = rows.iterator.map(r => StreamingAnomaly.tsUs(r.ts)).max
+        val punct = OrderRow(-1L,
+          new java.sql.Timestamp((maxUs + 10L * 86400L * 1000000L) / 1000L),
+          -1L, 0.0)
+        StreamingAnomaly.replayToSink(s, rows, "graft_streaming_topk",
+            Some(punct))(ds => StreamingAnomaly.topKPerKey(ds, 3).toDF())
+          .orderBy("o_custkey", "rk")
+      }
+    },
+
     // Sample-ratio-mismatch gate per segment: chi-square of the
     // observed weekend/weekday row split against the DECLARED 2/7-5/7
     // calendar expectation — the first thing a trustworthy
@@ -1476,7 +1504,7 @@ object EvalQueries {
     // localCheckpoint); component id = min customer key, so the oracle's
     // recursive-CTE closure matches exactly.
     "customer_components" -> { (s, d) =>
-      graft.operators.GraphOps.minLabelPropagate(coPurchaseEdges(s, d))
+      coPurchaseComponents(s, d)
         .select(col("id").as("c_custkey"), col("lbl").as("component_id"))
         .orderBy("c_custkey")
     },
@@ -1484,11 +1512,12 @@ object EvalQueries {
     // Component-SIZE histogram over the same graph — the curation
     // readout (how big do co-purchase clusters get) and the convergence
     // audit (a max-rounds split would surface as two half-size
-    // components here).
+    // components here). Derived from the SHARED components frame via
+    // GraphOps.componentSizes — the fixpoint runs once per (session,
+    // dir), not once per entry (r10 verdict item 4: the two slowest
+    // bench entries were the same fixpoint computed twice).
     "customer_component_sizes" -> { (s, d) =>
-      graft.operators.GraphOps.minLabelPropagate(coPurchaseEdges(s, d))
-        .groupBy("lbl").agg(count(lit(1)).as("component_size"))
-        .groupBy("component_size").agg(count(lit(1)).as("n_components"))
+      graft.operators.GraphOps.componentSizes(coPurchaseComponents(s, d))
         .orderBy("component_size")
     },
 
@@ -1765,6 +1794,24 @@ object EvalQueries {
       .select(col("a.c").as("x"), col("b.c").as("y"))
       .distinct()
   }
+
+  /** Co-purchase components, computed ONCE per (session, sf dir) and
+    * shared by `customer_components` / `customer_component_sizes` — the
+    * composed "components in, readouts derived" API shape the r10
+    * verdict asked for (its two slowest bench entries were the same
+    * fixpoint run twice). Safe to memoize: minLabelPropagate returns a
+    * localCheckpoint'ed frame (pinned RDD, immune to
+    * spark.catalog.clearCache() between Verify entries), the inputs are
+    * immutable parquet keyed by dir, and the cache holds one O(#customers)
+    * label frame per (session, dir) — model-state-sized, never corpus-
+    * sized. Entries stay standalone per the driver contract; the memo is
+    * a session-scoped performance detail, not a correctness dependency.
+    */
+  private val coPurchaseMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def coPurchaseComponents(s: SparkSession, d: String): DataFrame =
+    coPurchaseMemo.computeIfAbsent((s, d), _ =>
+      graft.operators.GraphOps.minLabelPropagate(coPurchaseEdges(s, d)))
 
   /** DuckDB CTE block shared by the co-purchase component oracles:
     * emits `lab(id, lbl)` — the min-reachable-id closure over the same
@@ -2556,6 +2603,18 @@ object EvalQueries {
       """SELECT o_custkey,
         |  (list(o_orderkey ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey))[1:3] AS top_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // The same window reconstruction, exploded to one row per rank —
+    // the streaming fold's terminal emission shape.
+    "streaming_topk" ->
+      """SELECT o_custkey, CAST(rk AS BIGINT) AS rk,
+        |  CAST(o_orderkey AS BIGINT) AS o_orderkey, price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS rk
+        |  FROM orders) q
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
 
     "customer_components" ->
       s"""$coPurchaseLabCte
