@@ -27,13 +27,30 @@ private[operators] object DistributedSgd {
 
   /** Run `epochs` rounds of partition-local SGD + weighted averaging.
     *
-    * `partitionFit(start, windows)` must return the partition's updated
-    * parameter vector after consuming ALL windows (the harness counts rows
-    * as the iterator drains, and the count weights the average). `start`
-    * is a private clone — implementations may mutate it in place.
+    * `partitionFit(epoch, start, windows)` must return the partition's
+    * updated parameter vector after consuming ALL windows (the harness
+    * counts rows as the iterator drains, and the count weights the
+    * average). `start` is a private clone — implementations may mutate it
+    * in place. `epoch` is 1-based — deterministic per-epoch state (Adam
+    * moments, dropout mask counters) keys off it.
+    *
+    * `epochScorer` (when given) enables BEST-EPOCH CHECKPOINTING — the
+    * reference's torch.save-on-best-loss loop (main.py:44-56): after each
+    * epoch's averaging, the mean training loss of the AVERAGED parameters
+    * is evaluated in one extra pass over the cached RDD, and the epoch
+    * with the lowest loss is what [[fit]] returns (strict `<`, so the
+    * EARLIEST best epoch wins ties, matching the reference's `<` compare).
+    * On a noisy loss curve the last epoch is routinely not the best one.
+    * Determinism: per-window losses are summed per partition as exact
+    * BigDecimals (every double is exactly representable; exact addition
+    * is order-blind), partials merged in partition order, one DECIMAL128
+    * rounding at the final divide — so the selected epoch is identical on
+    * any cluster. Cost: one forward-only pass per epoch over data already
+    * cached unboxed; no extra shuffles, no extra comm rounds.
     */
   def fit(seqs: DataFrame, seqCol: String, epochs: Int, init: Array[Double],
-          partitionFit: (Array[Double], Iterator[Array[Double]]) => Array[Double])
+          partitionFit: (Int, Array[Double], Iterator[Array[Double]]) => Array[Double],
+          epochScorer: Option[Array[Double] => (Array[Double] => Double)] = None)
       : Array[Double] = {
     val spark = seqs.sparkSession
     val idx = seqs.schema.fieldIndex(seqCol)
@@ -43,14 +60,16 @@ private[operators] object DistributedSgd {
     // decode (measured as real per-epoch CPU at 8 epochs).
     val trainRdd = seqs.rdd.map(_.getSeq[Double](idx).toArray).cache()
     var params = init
-    for (_ <- 1 to epochs) {
+    var best: Array[Double] = null
+    var bestLoss = Double.PositiveInfinity
+    for (epoch <- 1 to epochs) {
       val bc = spark.sparkContext.broadcast(params)
       val partResults = trainRdd.mapPartitionsWithIndex { (pid, rows) =>
         if (rows.isEmpty) Iterator.empty
         else {
           var n = 0L
           val windows = rows.map { x => n += 1; x }
-          val p = partitionFit(bc.value.clone(), windows)
+          val p = partitionFit(epoch, bc.value.clone(), windows)
           Iterator.single((pid, p, n))
         }
       }.collect().sortBy(_._1) // fixed accumulation order => deterministic
@@ -68,9 +87,69 @@ private[operators] object DistributedSgd {
         while (k < acc.length) { acc(k) += wgt * p(k); k += 1 }
       }
       params = acc
+      epochScorer.foreach { mk =>
+        val loss = meanLoss(trainRdd, spark, params, mk)
+        if (loss < bestLoss) { bestLoss = loss; best = params }
+      }
     }
     trainRdd.unpersist(blocking = false)
-    params
+    if (best != null) best else params
+  }
+
+  /** Deterministic mean training loss of `params`: exact BigDecimal
+    * per-partition sums, partition-ordered merge, one DECIMAL128 divide.
+    */
+  private def meanLoss(trainRdd: org.apache.spark.rdd.RDD[Array[Double]],
+                       spark: org.apache.spark.sql.SparkSession,
+                       params: Array[Double],
+                       mkErr: Array[Double] => (Array[Double] => Double)): Double = {
+    import java.math.{BigDecimal => JBD, MathContext}
+    val bc = spark.sparkContext.broadcast(params)
+    val parts = trainRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val err = mkErr(bc.value)
+      var s = JBD.ZERO
+      var n = 0L
+      rows.foreach { x => s = s.add(new JBD(err(x))); n += 1 }
+      if (n == 0) Iterator.empty else Iterator.single((pid, s, n))
+    }.collect().sortBy(_._1)
+    bc.destroy()
+    val total = parts.map(_._3).sum
+    val sum = parts.map(_._2).foldLeft(JBD.ZERO)(_.add(_))
+    sum.divide(JBD.valueOf(total), MathContext.DECIMAL128).doubleValue
+  }
+
+  /** Deterministic Adam (reference main.py:24 `optim.Adam`): the standard
+    * bias-corrected adaptive step, applied in a fixed sequential order so
+    * same data + same partitioning gives a bit-identical model. Moment
+    * state lives per (partition, epoch) — it starts at zero each epoch
+    * because the harness's synchronous averaging resets the model between
+    * epochs, so carrying stale moments across an average would adapt to a
+    * model that no longer exists. Within an epoch the per-parameter
+    * adaptive scaling does exactly what the reference relies on: badly
+    * scaled gradient dimensions get normalized step sizes instead of the
+    * one global lr.
+    */
+  final class Adam(n: Int, lr: Double,
+                   beta1: Double = 0.9, beta2: Double = 0.999,
+                   eps: Double = 1e-8) {
+    private val m = new Array[Double](n)
+    private val v = new Array[Double](n)
+    private var t = 0
+    /** One step: p -= lrHat * mHat / (sqrt(vHat) + eps), grad pre-scaled
+      * by `gscale` (the caller's clip factor; 1.0 when unused). */
+    def step(p: Array[Double], grad: Array[Double], gscale: Double = 1.0): Unit = {
+      t += 1
+      val bc1 = 1.0 - math.pow(beta1, t)
+      val bc2 = 1.0 - math.pow(beta2, t)
+      var k = 0
+      while (k < n) {
+        val g = grad(k) * gscale
+        m(k) = beta1 * m(k) + (1.0 - beta1) * g
+        v(k) = beta2 * v(k) + (1.0 - beta2) * g * g
+        p(k) -= lr * (m(k) / bc1) / (math.sqrt(v(k) / bc2) + eps)
+        k += 1
+      }
+    }
   }
 
   /** Shared center + train + score + flag over a D-dimensional window

@@ -23,17 +23,19 @@ import graft.GraftConfig
   *   output xhat_t = Wo d_t^{top} + bo
   * Loss = mean squared reconstruction error over all L*F elements.
   *
-  * Three deliberate deltas vs the reference's exact layer stack: (1) the
+  * Two deliberate deltas vs the reference's exact layer stack: (1) the
   * bottleneck applies tanh where the reference's encoder_fc is linear — a
   * bounded latent keeps batch-1 SGD stable without the framework's Adam;
   * (2) the B-dim code feeds the decoder LSTM directly (input size B)
   * instead of being inflated back to H by a decoder_fc first — one fewer
-  * matrix with the same information flow; (3) NO inter-layer dropout
-  * (reference config.py:30 LSTM_DROPOUT_PROB=0.2): dropout is a
-  * train-time regularizer drawn from a framework RNG, which would break
-  * the same-data-same-model bit-determinism contract every detector here
-  * honors — the stacked capacity shape (recurrent encode -> low-dim code
-  * -> recurrent decode, NL deep) is preserved without it.
+  * matrix with the same information flow. Inter-layer dropout (reference
+  * config.py:30 LSTM_DROPOUT_PROB=0.2) — previously a third delta — is
+  * now available deterministically: a COUNTER-BASED mask (SplitMix64 of
+  * (seed, epoch, window, stack, layer, step, unit), [[dropMaskBase]] /
+  * dropKeep) replaces the framework RNG stream, so the PyTorch
+  * all-but-top-layer inverted-dropout semantics hold WITHOUT breaking the
+  * same-data-same-model bit-determinism contract. Train-time only;
+  * scoring always runs the unmasked net.
   *
   * Training and scoring reuse the [[DistributedSgd]] harness — the same
   * mapPartitions SGD + weighted parameter averaging and the same
@@ -87,6 +89,14 @@ object LstmAutoencoder {
   private final class Ws(d: LstmDims) {
     val enc = Array.fill(d.nl)(new LayerWs(d.l, d.h))
     val dec = Array.fill(d.nl)(new LayerWs(d.l, d.h))
+    // Inter-layer dropout buffers, one per stack boundary (between layer
+    // b and b+1; empty for nl=1): scale(b)(t*h+i) is 0 or 1/q (inverted
+    // dropout), maskedH(b) row t+1 = hs row t+1 x that scale. Forward
+    // fills them per window; the same window's backward reads them.
+    val encDropH  = Array.fill(d.nl - 1)(new Array[Double]((d.l + 1) * d.h))
+    val decDropH  = Array.fill(d.nl - 1)(new Array[Double]((d.l + 1) * d.h))
+    val encScale  = Array.fill(d.nl - 1)(new Array[Double](d.l * d.h))
+    val decScale  = Array.fill(d.nl - 1)(new Array[Double](d.l * d.h))
     val cvec  = new Array[Double](d.b)
     val e     = new Array[Double](d.l * d.f)      // d(loss)/d(xhat)
     val dcvec = new Array[Double](d.b)
@@ -105,6 +115,33 @@ object LstmAutoencoder {
   }
 
   private def sigmoid(a: Double): Double = 1.0 / (1.0 + math.exp(-a))
+
+  /** SplitMix64 finalizer — the counter-based RNG under deterministic
+    * dropout: a pure mix of the key, no sequential stream, so the mask
+    * bit for (seed, epoch, window, stack, layer, step, unit) is the same
+    * on any executor in any order (the property a framework RNG lacks
+    * and the reason config.py:30's dropout was previously omitted).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Keep-decision for one dropout cell: uniform in [0,1) from the mixed
+    * key, kept when >= p. maskBase already encodes (seed, epoch, window).
+    */
+  private def dropKeep(maskBase: Long, stackId: Int, layer: Int,
+                       t: Int, i: Int, p: Double): Boolean = {
+    val k = mix64(maskBase ^ (stackId.toLong << 56) ^ (layer.toLong << 48) ^
+      (t.toLong << 24) ^ i.toLong)
+    ((k >>> 11).toDouble * (1.0 / (1L << 53))) >= p
+  }
+
+  /** The (seed, epoch, window-in-partition) component of the mask key. */
+  def dropMaskBase(seed: Long, epoch: Int, window: Long): Long =
+    mix64(mix64(seed ^ (epoch.toLong * 0x9e3779b97f4a7c15L)) ^ window)
 
   /** Seeded Xavier-uniform init in layout order (one RNG stream — same
     * params every run); biases 0 except forget gates at 1.0 (the standard
@@ -246,7 +283,11 @@ object LstmAutoencoder {
     */
   private def stackForward(p: Array[Double], d: LstmDims, layers: Array[LayerWs],
                            base: Int => Int, gate: Int => Int, in: Int => Int,
-                           x0: Array[Double], x0Stride: Int): Unit = {
+                           x0: Array[Double], x0Stride: Int,
+                           dropP: Double = 0.0, maskBase: Long = 0L,
+                           stackId: Int = 0,
+                           dropH: Array[Array[Double]] = null,
+                           dropScale: Array[Array[Double]] = null): Unit = {
     var j = 0
     while (j < d.nl) {
       val lw = layers(j)
@@ -254,13 +295,37 @@ object LstmAutoencoder {
       // accessors are function values — a per-step call would sit inside
       // the BPTT hot path for nothing).
       val bj = base(j); val gj = gate(j); val ij = in(j)
-      val xj = if (j == 0) x0 else layers(j - 1).hs
+      val xj =
+        if (j == 0) x0
+        else if (dropP > 0.0) dropH(j - 1)
+        else layers(j - 1).hs
       var t = 0
       while (t < d.l) {
         val xOff = if (j == 0) t * x0Stride else (t + 1) * d.h
         lstmStep(p, bj, gj, ij, d.h, xj, xOff,
           lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg)
         t += 1
+      }
+      // Inter-layer inverted dropout (reference config.py:30,
+      // LSTM_DROPOUT_PROB — PyTorch semantics: every layer's output
+      // except the top's, train-time only): the layer above consumes
+      // maskedH = h x (0 | 1/q), so E[maskedH] = h and inference runs
+      // unscaled with dropP = 0. Masks come from the counter-based
+      // [[dropKeep]], so the trajectory is bit-deterministic.
+      if (dropP > 0.0 && j < d.nl - 1) {
+        val q = 1.0 - dropP
+        val sc = dropScale(j); val mh = dropH(j)
+        var t2 = 0
+        while (t2 < d.l) {
+          var i = 0
+          while (i < d.h) {
+            val s = if (dropKeep(maskBase, stackId, j, t2, i, dropP)) 1.0 / q else 0.0
+            sc(t2 * d.h + i) = s
+            mh((t2 + 1) * d.h + i) = lw.hs((t2 + 1) * d.h + i) * s
+            i += 1
+          }
+          t2 += 1
+        }
       }
       j += 1
     }
@@ -278,7 +343,10 @@ object LstmAutoencoder {
                             x0: Array[Double], x0Stride: Int,
                             inject: (Int, Array[Double]) => Unit,
                             injectTopOnlyLast: Boolean,
-                            dx0: Array[Double], dx0Stride: Int, ws: Ws): Unit = {
+                            dx0: Array[Double], dx0Stride: Int, ws: Ws,
+                            dropP: Double = 0.0,
+                            dropH: Array[Array[Double]] = null,
+                            dropScale: Array[Array[Double]] = null): Unit = {
     var j = d.nl - 1
     while (j >= 0) {
       val lw = layers(j)
@@ -292,11 +360,25 @@ object LstmAutoencoder {
       java.util.Arrays.fill(ws.dh, 0.0)
       java.util.Arrays.fill(ws.dc, 0.0)
       val bj = base(j); val gj = gate(j); val ij = in(j)
-      val xj = if (j == 0) x0 else layers(j - 1).hs
+      // Under dropout, upper layers consumed the MASKED hidden rows in
+      // forward, so their weight/input grads differentiate against the
+      // same masked values (dropH filled by this window's forward).
+      val xj =
+        if (j == 0) x0
+        else if (dropP > 0.0) dropH(j - 1)
+        else layers(j - 1).hs
+      // The upper layer's dxBuf grads are d(loss)/d(maskedH); chain the
+      // mask: d(loss)/d(h) = scale x that (scale = 0 dropped, 1/q kept).
+      val scj = if (dropP > 0.0 && !top) dropScale(j) else null
       var t = d.l - 1
       while (t >= 0) {
         if (top) {
           if (!injectTopOnlyLast || t == d.l - 1) inject(t, ws.dh)
+        } else if (scj != null) {
+          var i = 0
+          while (i < d.h) {
+            ws.dh(i) += ws.dxBuf(t * d.h + i) * scj(t * d.h + i); i += 1
+          }
         } else {
           var i = 0
           while (i < d.h) { ws.dh(i) += ws.dxBuf(t * d.h + i); i += 1 }
@@ -326,9 +408,11 @@ object LstmAutoencoder {
     * reconstruction error.
     */
   private def forwardLoss(p: Array[Double], x: Array[Double], d: LstmDims,
-                          ws: Ws): Double = {
+                          ws: Ws, dropP: Double = 0.0,
+                          maskBase: Long = 0L): Double = {
     import d._
-    stackForward(p, d, ws.enc, encBase, encGate, encIn, x, f)
+    stackForward(p, d, ws.enc, encBase, encGate, encIn, x, f,
+      dropP, maskBase, 0, ws.encDropH, ws.encScale)
     val topEnc = ws.enc(nl - 1)
     var bi = 0
     while (bi < b) {
@@ -338,7 +422,8 @@ object LstmAutoencoder {
       ws.cvec(bi) = math.tanh(a)
       bi += 1
     }
-    stackForward(p, d, ws.dec, decBase, decGate, decIn, ws.cvec, 0)
+    stackForward(p, d, ws.dec, decBase, decGate, decIn, ws.cvec, 0,
+      dropP, maskBase, 1, ws.decDropH, ws.decScale)
     val topDec = ws.dec(nl - 1)
     var loss = 0.0
     val n = l * f
@@ -360,15 +445,27 @@ object LstmAutoencoder {
   }
 
   /** Loss + full gradient (accumulated into `grad`, caller zeroes) for one
-    * window — the unit the finite-difference spec checks.
+    * window — the unit the finite-difference spec checks. The dropout
+    * overloads fix the mask via `maskBase`, so the dropped loss is a
+    * deterministic differentiable function and the same FD check applies.
     */
   def lossAndGrad(p: Array[Double], x: Array[Double], d: LstmDims,
                   grad: Array[Double]): Double = lossAndGrad(p, x, d, grad, new Ws(d))
 
+  def lossAndGrad(p: Array[Double], x: Array[Double], d: LstmDims,
+                  grad: Array[Double], dropP: Double, maskBase: Long): Double =
+    lossAndGrad(p, x, d, grad, new Ws(d), dropP, maskBase)
+
+  /** Forward-only loss under a FIXED dropout mask — the FD check's f(p). */
+  def lossWithDropout(p: Array[Double], x: Array[Double], d: LstmDims,
+                      dropP: Double, maskBase: Long): Double =
+    forwardLoss(p, x, d, new Ws(d), dropP, maskBase)
+
   private def lossAndGrad(p: Array[Double], x: Array[Double], d: LstmDims,
-                          grad: Array[Double], ws: Ws): Double = {
+                          grad: Array[Double], ws: Ws, dropP: Double = 0.0,
+                          maskBase: Long = 0L): Double = {
     import d._
-    val loss = forwardLoss(p, x, d, ws)
+    val loss = forwardLoss(p, x, d, ws, dropP, maskBase)
     java.util.Arrays.fill(ws.dcvec, 0.0)
     // Decoder stack backward; the output layer's gradient is injected
     // into the top decoder layer at every step (and Wo/bo grads
@@ -389,7 +486,8 @@ object LstmAutoencoder {
           fi += 1
         }
       },
-      injectTopOnlyLast = false, dx0 = ws.dcvec, dx0Stride = 0, ws = ws)
+      injectTopOnlyLast = false, dx0 = ws.dcvec, dx0Stride = 0, ws = ws,
+      dropP = dropP, dropH = ws.decDropH, dropScale = ws.decScale)
     // Bottleneck backward -> d(loss)/d(top-encoder h_L), injected into
     // the top encoder layer at the LAST step only.
     val topEnc = ws.enc(nl - 1)
@@ -411,7 +509,8 @@ object LstmAutoencoder {
         var i = 0
         while (i < h) { dh(i) += dhL(i); i += 1 }
       },
-      injectTopOnlyLast = true, dx0 = null, dx0Stride = 0, ws = ws)
+      injectTopOnlyLast = true, dx0 = null, dx0Stride = 0, ws = ws,
+      dropP = dropP, dropH = ws.encDropH, dropScale = ws.encScale)
     loss
   }
 
@@ -425,26 +524,60 @@ object LstmAutoencoder {
     * rescales each window's gradient to at most that global L2 norm —
     * the standard BPTT exploding-gradient guard, and deterministic (a
     * pure sequential function of the gradient).
+    *
+    * `optimizer="adam"` swaps the clipped-SGD update for the reference's
+    * deterministic Adam (main.py:24; see [[DistributedSgd.Adam]] for the
+    * per-epoch moment-state contract) — the clip factor pre-scales the
+    * raw gradient exactly as the SGD path does. The returned parameters
+    * are the BEST-LOSS epoch's, not the last's (reference main.py:44-56;
+    * see the epochScorer note on [[DistributedSgd.fit]]).
     */
   def fit(seqs: DataFrame, seqCol: String, d: LstmDims,
           epochs: Int, lr: Double, seed: Long,
-          clipNorm: Double = 5.0): Array[Double] =
-    DistributedSgd.fit(seqs, seqCol, epochs, init(d, seed), (p, windows) => {
+          clipNorm: Double = 5.0, optimizer: String = "sgd",
+          dropout: Double = 0.0): Array[Double] = {
+    require(optimizer == "sgd" || optimizer == "adam",
+      s"optimizer must be 'sgd' or 'adam', got '$optimizer'")
+    require(dropout >= 0.0 && dropout < 1.0,
+      s"dropout=$dropout must be in [0, 1)")
+    require(dropout == 0.0 || d.nl > 1,
+      "inter-layer dropout needs nl >= 2 (PyTorch semantics: it applies " +
+        "between stacked layers; a single layer has no boundary to drop)")
+    DistributedSgd.fit(seqs, seqCol, epochs, init(d, seed), (ep, p, windows) => {
       val ws = new Ws(d)
       val grad = new Array[Double](d.total)
+      val adam = if (optimizer == "adam") new DistributedSgd.Adam(d.total, lr) else null
+      var wi = 0L
       windows.foreach { x =>
         java.util.Arrays.fill(grad, 0.0)
-        lossAndGrad(p, x, d, grad, ws)
+        // A fresh counter-based mask per (epoch, window) — the PyTorch
+        // per-sample redraw, keyed instead of streamed so it is
+        // deterministic under any executor scheduling.
+        val mb = if (dropout > 0.0) dropMaskBase(seed, ep, wi) else 0L
+        wi += 1
+        lossAndGrad(p, x, d, grad, ws, dropout, mb)
         var nrm = 0.0
         var k = 0
         while (k < grad.length) { nrm += grad(k) * grad(k); k += 1 }
         nrm = math.sqrt(nrm)
-        val scale = if (nrm > clipNorm) lr * clipNorm / nrm else lr
-        k = 0
-        while (k < p.length) { p(k) -= scale * grad(k); k += 1 }
+        if (adam != null)
+          adam.step(p, grad, if (nrm > clipNorm) clipNorm / nrm else 1.0)
+        else {
+          // Keep the historical expression tree exactly — (lr*clipNorm)/nrm,
+          // not lr*(clipNorm/nrm): a 1-ulp step difference compounds through
+          // the chaotic BPTT trajectory into a visibly different model.
+          val scale = if (nrm > clipNorm) lr * clipNorm / nrm else lr
+          k = 0
+          while (k < p.length) { p(k) -= scale * grad(k); k += 1 }
+        }
       }
       p
+    },
+    epochScorer = Some { p =>
+      val ws = new Ws(d)
+      x => forwardLoss(p, x, d, ws)
     })
+  }
 
   /** Univariate detector — same surface and flagging contract as
     * [[MlpAutoencoder.detect]]; see [[MlpAutoencoder.detect]] for the
@@ -463,7 +596,8 @@ object LstmAutoencoder {
              seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
              bottleneck: Int = 4, epochs: Int = 8, lr: Double = 0.1,
              seed: Long = 42L, flagFactor: Double = 4.0,
-             trainPartitions: Int = 8, nLayers: Int = 1): DataFrame = {
+             trainPartitions: Int = 8, nLayers: Int = 1,
+             optimizer: String = "sgd", dropout: Double = 0.0): DataFrame = {
     // Null targets dropped BEFORE windowing (collect_list silently skips
     // nulls, which would misalign windows); fill first to impute instead.
     val seqs = TimeSeriesOps.sequences(
@@ -472,7 +606,8 @@ object LstmAutoencoder {
         keys, order, "__t", seqLen, "seq")
       .drop("__t")
     runDetect(seqs, LstmDims(1, seqLen, hidden, bottleneck, nLayers),
-      keys, order, epochs, lr, seed, flagFactor, trainPartitions)
+      keys, order, epochs, lr, seed, flagFactor, trainPartitions, optimizer,
+      dropout)
   }
 
   /** Multivariate detector over the reference's literal (L, F) input
@@ -485,7 +620,8 @@ object LstmAutoencoder {
                   seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
                   bottleneck: Int = 4, epochs: Int = 8, lr: Double = 0.1,
                   seed: Long = 42L, flagFactor: Double = 4.0,
-                  trainPartitions: Int = 8, nLayers: Int = 1): DataFrame = {
+                  trainPartitions: Int = 8, nLayers: Int = 1,
+                  optimizer: String = "sgd", dropout: Double = 0.0): DataFrame = {
     require(featureCols.nonEmpty, "detectMulti needs at least one feature column")
     // Rows with any null feature dropped before windowing (a null element
     // would unbox to a silent 0.0); callers wanting imputation fill first.
@@ -497,16 +633,20 @@ object LstmAutoencoder {
       .withColumn("seq", flatten(col("seqv")))
       .drop("seqv")
     runDetect(seqs, LstmDims(featureCols.length, seqLen, hidden, bottleneck, nLayers),
-      keys, order, epochs, lr, seed, flagFactor, trainPartitions)
+      keys, order, epochs, lr, seed, flagFactor, trainPartitions, optimizer,
+      dropout)
   }
 
   private def runDetect(seqs: DataFrame, d: LstmDims,
                         keys: Seq[String], order: Seq[String],
                         epochs: Int, lr: Double, seed: Long,
-                        flagFactor: Double, trainPartitions: Int): DataFrame =
+                        flagFactor: Double, trainPartitions: Int,
+                        optimizer: String, dropout: Double): DataFrame =
     DistributedSgd.detectOnSequences(seqs, "seq", keys, order, d.l * d.f,
       flagFactor, trainPartitions,
-      fitOnCentered = train => fit(train, "xc", d, epochs, lr, seed),
+      fitOnCentered = train =>
+        fit(train, "xc", d, epochs, lr, seed, optimizer = optimizer,
+          dropout = dropout),
       scorer = p => {
         val ws = new Ws(d)
         xc => forwardLoss(p, xc, d, ws)

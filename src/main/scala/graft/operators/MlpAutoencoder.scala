@@ -76,22 +76,42 @@ object MlpAutoencoder {
     (h, xhat)
   }
 
-  /** One SGD step on a single window (batch size 1 keeps the math obvious;
-    * the JIT-fused loops are the hot path either way). Tied-weight grads:
+  /** Per-window gradient on the FLAT parameter layout (w ++ b1 ++ b2 —
+    * same packing as [[toFlat]]), written into the caller's preallocated
+    * `grad` (batch size 1 keeps the math obvious; the JIT-fused loops are
+    * the hot path either way). Tied-weight grads:
     * dW = da x' + h e'  with e = 2(xhat - x)/L, da = (1-h^2) * (W e).
+    * Collect-then-apply is bit-identical to the fused in-place SGD step it
+    * replaced: da/h/e were already fully computed before any update there,
+    * and `p -= lr*(da*x + h*e)` evaluates the same expression tree.
     */
-  private def sgdStep(p: Params, xc: Array[Double], lr: Double,
-                      seqLen: Int, hidden: Int): Unit = {
-    val (h, xhat) = forward(p, xc, seqLen, hidden)
+  private def gradFlat(p: Array[Double], xc: Array[Double],
+                       seqLen: Int, hidden: Int, grad: Array[Double]): Unit = {
+    val nw = hidden * seqLen
+    val h = new Array[Double](hidden)
+    var i = 0
+    while (i < hidden) {
+      var a = p(nw + i)
+      var j = 0
+      while (j < seqLen) { a += p(i * seqLen + j) * xc(j); j += 1 }
+      h(i) = math.tanh(a)
+      i += 1
+    }
     val e = new Array[Double](seqLen)
     var j = 0
-    while (j < seqLen) { e(j) = 2.0 * (xhat(j) - xc(j)) / seqLen; j += 1 }
+    while (j < seqLen) {
+      var a = p(nw + hidden + j)
+      var i2 = 0
+      while (i2 < hidden) { a += p(i2 * seqLen + j) * h(i2); i2 += 1 }
+      e(j) = 2.0 * (a - xc(j)) / seqLen
+      j += 1
+    }
     val da = new Array[Double](hidden)
-    var i = 0
+    i = 0
     while (i < hidden) {
       var s = 0.0
       var j2 = 0
-      while (j2 < seqLen) { s += p.w(i * seqLen + j2) * e(j2); j2 += 1 }
+      while (j2 < seqLen) { s += p(i * seqLen + j2) * e(j2); j2 += 1 }
       da(i) = (1.0 - h(i) * h(i)) * s
       i += 1
     }
@@ -99,14 +119,14 @@ object MlpAutoencoder {
     while (i < hidden) {
       var j3 = 0
       while (j3 < seqLen) {
-        p.w(i * seqLen + j3) -= lr * (da(i) * xc(j3) + h(i) * e(j3))
+        grad(i * seqLen + j3) = da(i) * xc(j3) + h(i) * e(j3)
         j3 += 1
       }
-      p.b1(i) -= lr * da(i)
+      grad(nw + i) = da(i)
       i += 1
     }
     j = 0
-    while (j < seqLen) { p.b2(j) -= lr * e(j); j += 1 }
+    while (j < seqLen) { grad(nw + hidden + j) = e(j); j += 1 }
   }
 
   private def meanError(p: Params, xc: Array[Double], seqLen: Int, hidden: Int): Double = {
@@ -132,18 +152,40 @@ object MlpAutoencoder {
   /** Train on the `seqCol` windows of `df` (array<double>, length seqLen)
     * via the shared SGD + parameter-averaging harness (see
     * [[DistributedSgd.fit]] for the communication scheme and determinism
-    * contract).
+    * contract). Returns the BEST-LOSS epoch's parameters, not the last's
+    * (reference main.py:44-56; the epochScorer note on
+    * [[DistributedSgd.fit]] covers cost and determinism).
+    * `optimizer="adam"` swaps plain SGD for the reference's deterministic
+    * Adam (main.py:24; per-epoch moment state — see
+    * [[DistributedSgd.Adam]]).
     */
   def fit(seqs: DataFrame, seqCol: String, seqLen: Int, hidden: Int,
-          epochs: Int, lr: Double, seed: Long): Params =
+          epochs: Int, lr: Double, seed: Long,
+          optimizer: String = "sgd"): Params = {
+    require(optimizer == "sgd" || optimizer == "adam",
+      s"optimizer must be 'sgd' or 'adam', got '$optimizer'")
+    val n = hidden * seqLen + hidden + seqLen
     fromFlat(
       DistributedSgd.fit(seqs, seqCol, epochs, toFlat(init(seqLen, hidden, seed)),
-        (flat, windows) => {
+        (_, flat, windows) => {
+          val grad = new Array[Double](n)
+          val adam = if (optimizer == "adam") new DistributedSgd.Adam(n, lr) else null
+          windows.foreach { xc =>
+            gradFlat(flat, xc, seqLen, hidden, grad)
+            if (adam != null) adam.step(flat, grad)
+            else {
+              var k = 0
+              while (k < n) { flat(k) -= lr * grad(k); k += 1 }
+            }
+          }
+          flat
+        },
+        epochScorer = Some { flat =>
           val p = fromFlat(flat, seqLen, hidden)
-          windows.foreach(xc => sgdStep(p, xc, lr, seqLen, hidden))
-          toFlat(p)
+          xc => meanError(p, xc, seqLen, hidden)
         }),
       seqLen, hidden)
+  }
 
   /** Univariate detector: sequence the target, center, train, score every
     * window, flag scores above `flagFactor` x the per-series mean error.
@@ -164,7 +206,8 @@ object MlpAutoencoder {
   def detect(df: DataFrame, keys: Seq[String], order: Seq[String], target: String,
              seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
              epochs: Int = 3, lr: Double = 0.05, seed: Long = 42L,
-             flagFactor: Double = 4.0, trainPartitions: Int = 8): DataFrame = {
+             flagFactor: Double = 4.0, trainPartitions: Int = 8,
+             optimizer: String = "sgd"): DataFrame = {
     // Null targets are dropped BEFORE windowing (collect_list silently
     // skips nulls, which would misalign windows); fill first if the
     // series needs imputation rather than omission.
@@ -174,7 +217,7 @@ object MlpAutoencoder {
         keys, order, "__t", seqLen, "seq")
       .drop("__t")
     detectOnSequences(seqs, "seq", keys, order, seqLen, hidden, epochs, lr,
-      seed, flagFactor, trainPartitions)
+      seed, flagFactor, trainPartitions, optimizer)
   }
 
   /** Multivariate detector — the reference's literal training input
@@ -187,7 +230,8 @@ object MlpAutoencoder {
                   featureCols: Seq[String],
                   seqLen: Int = GraftConfig.SequenceLength, hidden: Int = 8,
                   epochs: Int = 3, lr: Double = 0.05, seed: Long = 42L,
-                  flagFactor: Double = 4.0, trainPartitions: Int = 8): DataFrame = {
+                  flagFactor: Double = 4.0, trainPartitions: Int = 8,
+                  optimizer: String = "sgd"): DataFrame = {
     require(featureCols.nonEmpty, "detectMulti needs at least one feature column")
     // Rows with any null feature are dropped before windowing: a null
     // element would otherwise unbox to a silent 0.0 in training (the
@@ -201,7 +245,7 @@ object MlpAutoencoder {
       .withColumn("seq", flatten(col("seqv")))
       .drop("seqv")
     detectOnSequences(seqs, "seq", keys, order, seqLen * featureCols.length,
-      hidden, epochs, lr, seed, flagFactor, trainPartitions)
+      hidden, epochs, lr, seed, flagFactor, trainPartitions, optimizer)
   }
 
   /** Center + train + score + flag via the shared [[DistributedSgd]]
@@ -211,10 +255,12 @@ object MlpAutoencoder {
   private def detectOnSequences(seqs: DataFrame, seqCol: String,
                                 keys: Seq[String], order: Seq[String], dim: Int,
                                 hidden: Int, epochs: Int, lr: Double, seed: Long,
-                                flagFactor: Double, trainPartitions: Int): DataFrame =
+                                flagFactor: Double, trainPartitions: Int,
+                                optimizer: String): DataFrame =
     DistributedSgd.detectOnSequences(seqs, seqCol, keys, order, dim,
       flagFactor, trainPartitions,
-      fitOnCentered = train => toFlat(fit(train, "xc", dim, hidden, epochs, lr, seed)),
+      fitOnCentered = train =>
+        toFlat(fit(train, "xc", dim, hidden, epochs, lr, seed, optimizer)),
       scorer = flat => {
         val p = fromFlat(flat, dim, hidden)
         xc => meanError(p, xc, dim, hidden)

@@ -83,6 +83,62 @@ class LstmAutoencoderSpec extends AnyFunSuite {
     }
   }
 
+  test("nl=2 + DROPOUT gradient matches central finite differences (fixed mask)") {
+    // The reference's inter-layer dropout (config.py:30,
+    // LSTM_DROPOUT_PROB=0.2), made deterministic by the counter-based
+    // mask: with maskBase fixed, the dropped loss is an ordinary
+    // differentiable function, so the same FD check applies — it
+    // exercises the masked-input weight grads AND the dxBuf x scale
+    // chain that dropout adds to the backward pass.
+    val d = LstmDims(f = 2, l = 5, h = 4, b = 3, nl = 2)
+    val rng = new scala.util.Random(17)
+    val p = LstmAutoencoder.init(d, 3L).map(_ + (rng.nextDouble() - 0.5) * 0.2)
+    val x = Array.fill(d.l * d.f)((rng.nextDouble() - 0.5) * 2.0)
+    val mb = LstmAutoencoder.dropMaskBase(42L, epoch = 2, window = 7L)
+    val grad = new Array[Double](d.total)
+    LstmAutoencoder.lossAndGrad(p, x, d, grad, 0.2, mb)
+    val eps = 1e-5
+    (0 until d.total).foreach { k =>
+      val pk = p(k)
+      p(k) = pk + eps
+      val up = LstmAutoencoder.lossWithDropout(p, x, d, 0.2, mb)
+      p(k) = pk - eps
+      val dn = LstmAutoencoder.lossWithDropout(p, x, d, 0.2, mb)
+      p(k) = pk
+      val fd = (up - dn) / (2 * eps)
+      assert(math.abs(grad(k) - fd) <= 1e-6 + 1e-4 * math.abs(fd),
+        s"param $k: analytic ${grad(k)} vs finite-diff $fd")
+    }
+    // The mask actually drops something: dropped loss differs from clean.
+    val clean = LstmAutoencoder.lossAndGrad(p, x, d, new Array[Double](d.total))
+    val dropped = LstmAutoencoder.lossWithDropout(p, x, d, 0.2, mb)
+    assert(math.abs(clean - dropped) > 1e-12,
+      "dropout 0.2 on a 2-layer stack should change the training loss")
+  }
+
+  test("dropout training is bit-deterministic and keeps the stacked recall bar") {
+    val d = LstmDims(f = 1, l = 24, h = 8, b = 4, nl = 2)
+    val seqs = graft.operators.TimeSeriesOps.sequences(
+      synthetic, Seq("user_id"), Seq("ts", "event_id"), "value", 24, "xc")
+      .select(transform(col("xc"), _.cast("double") / 5.0).as("xc"))
+    val p1 = LstmAutoencoder.fit(seqs, "xc", d, epochs = 2, lr = 0.05, seed = 42L,
+      dropout = 0.2)
+    val p2 = LstmAutoencoder.fit(seqs, "xc", d, epochs = 2, lr = 0.05, seed = 42L,
+      dropout = 0.2)
+    assert(p1.sameElements(p2), "same data + same partitioning must be bit-identical")
+    val p0 = LstmAutoencoder.fit(seqs, "xc", d, epochs = 2, lr = 0.05, seed = 42L)
+    assert(!p1.sameElements(p0), "dropout must change the training trajectory")
+
+    // End-to-end: the stacked detector with the reference's dropout 0.2
+    // still clears the recall bar.
+    val flagged = LstmAutoencoder.detect(synthetic, Seq("user_id"),
+        Seq("ts", "event_id"), "value", seqLen = 24, hidden = 8,
+        bottleneck = 4, nLayers = 2, dropout = 0.2)
+      .filter(col("is_anomaly") === 1L).select("event_id").as[Long].collect().toSet
+    assert(recall(flagged) >= 0.9,
+      s"dropout-trained stacked recall ${recall(flagged)} below the bar")
+  }
+
   test("nl=1 layout and init are unchanged by the stacked extension") {
     // The historical single-layer model must stay bit-identical: same
     // parameter count, same seeded init stream, same loss on a window.
@@ -140,6 +196,22 @@ class LstmAutoencoderSpec extends AnyFunSuite {
     val p3 = LstmAutoencoder.fit(seqs, "xc", d, epochs = 3, lr = 0.05, seed = 42L)
     assert(meanErr(p3) < meanErr(p0) * 0.8,
       "3 epochs of BPTT SGD should cut reconstruction error by >20% vs the random init")
+
+    // Best-epoch checkpointing (main.py:44-56): best-of-K training loss is
+    // non-increasing in K (same prefix trajectory + one more candidate).
+    val l2 = meanErr(LstmAutoencoder.fit(seqs, "xc", d, epochs = 2, lr = 0.05, seed = 42L))
+    assert(meanErr(p3) <= l2 + 1e-9,
+      s"best-of-3 loss ${meanErr(p3)} must not exceed best-of-2 loss $l2")
+
+    // Deterministic Adam (main.py:24): bit-identical across runs and it
+    // learns through the gated BPTT path too.
+    val a1 = LstmAutoencoder.fit(seqs, "xc", d, epochs = 3, lr = 0.01, seed = 42L,
+      optimizer = "adam")
+    val a2 = LstmAutoencoder.fit(seqs, "xc", d, epochs = 3, lr = 0.01, seed = 42L,
+      optimizer = "adam")
+    assert(a1.sameElements(a2), "Adam fit must be bit-deterministic")
+    assert(meanErr(a1) < meanErr(p0) * 0.8,
+      "3 Adam epochs should cut reconstruction error by >20% vs the random init")
     seqs.unpersist()
   }
 
