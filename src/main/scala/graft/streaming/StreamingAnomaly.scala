@@ -90,6 +90,15 @@ case class KmvHash(event_type: String, h: Long)
 /** One finalized DDSketch log-bucket count per key. */
 case class DdBucket(event_type: String, b: Long, cnt: Long)
 
+/** An order arriving on the stream (replay row of the streaming top-k
+  * fold; `ts` = order date as event time).
+  */
+case class OrderRow(o_orderkey: Long, ts: Timestamp, o_custkey: Long,
+                    price: Double)
+
+/** One emitted top-k member: rank `rk` (1-based, score desc / id asc). */
+case class TopOrder(o_custkey: Long, rk: Long, o_orderkey: Long, price: Double)
+
 /** Structured Streaming face of the anomaly pipeline (SURVEY.md §2.12).
   *
   * The reference scores a static frame in RAM (main.py:183-233); the
@@ -703,6 +712,33 @@ object StreamingAnomaly {
       prepped.groupByKey(r => (r._1, r._3)), r => us(r._2))(
       (prev, incoming) => prev.getOrElse(0L) + incoming.size)(
       (key, cnt) => Iterator.single(DdBucket(key._1, key._2, cnt)))
+  }
+
+  /** Streaming deterministic top-k per key — the streaming twin of the
+    * batch `topk_det` heap aggregate (sql_topk_agg): per customer, keep
+    * the k orders with the highest price (ties to the smaller order id).
+    * State is ≤ k (price, id) pairs per key — the same bounded heap the
+    * batch TypedImperativeAggregate carries as its partial — merged by
+    * sort-and-take, which equals the heap union under any arrival order
+    * (top-k of a union = top-k of merged per-part top-k's). Emission is
+    * the terminal ranked list, exploded to one row per member, once per
+    * key at event-time timeout ([[emitOnceFold]]).
+    */
+  def topKPerKey(orders: Dataset[OrderRow], k: Int,
+                 watermarkDelay: String = "1 hour"): Dataset[TopOrder] = {
+    import orders.sparkSession.implicits._
+    val prepped = orders.withWatermark("ts", watermarkDelay).as[OrderRow]
+    emitOnceFold[Long, OrderRow, Seq[(Double, Long)], TopOrder](
+      prepped.groupByKey(_.o_custkey), r => us(r.ts))(
+      // (-price, id) ordering = score desc with id-asc ties, the batch
+      // aggregate's comparator (prices are positive decimals, so the
+      // negation's -0.0 corner never arises).
+      (prev, incoming) =>
+        (prev.getOrElse(Nil) ++ incoming.map(r => (r.price, r.o_orderkey)))
+          .sortBy(t => (-t._1, t._2)).take(k))(
+      (key, items) => items.iterator.zipWithIndex.map { case ((p, id), i) =>
+        TopOrder(key, i + 1L, id, p)
+      })
   }
 
   /** The emit-ONCE terminal-summary fold under the streaming sketch family
