@@ -84,6 +84,55 @@ object InferenceQueries {
         .orderBy("user_id")
     },
 
+    // Anderson–Darling normality test per series — the TAIL-WEIGHTED
+    // companion of ts_jarque_bera (JB reads two moments; A² integrates
+    // squared CDF error with 1/[F(1−F)] weight, so tail departures that
+    // leave skew/kurtosis near 0 still score) and of events_ks_test
+    // (KS's sup-norm is tail-blind for the same reason). Identity used:
+    // Σ(2i−1)[ln p_(i) + ln(1−p_(n+1−i))] = Σ_i [(2i−1)ln p_i +
+    // (2n+1−2i)ln(1−p_i)] after substituting j = n+1−i in the second
+    // term — so ONE pass per row, no reverse-rank self-join. z is
+    // 4dp-pinned before the shared portable normal CDF (its input
+    // contract), p clamped to [1e-15, 1−1e-15] with identical literals
+    // so ln never hits −∞, per-row terms 6dp-pinned into the exact
+    // DECIMAL sum. A*² = A²(1 + 0.75/n + 2.25/n²) vs the 0.752
+    // D'Agostino 5% critical value (mean+variance estimated). Rank
+    // windows are per-series (the standard partition), moments from one
+    // grouped exact pass.
+    "ts_anderson_darling" -> { (s, d) =>
+      val v = col("value")
+      val m = Tables.events(s, d).where(v.isNotNull)
+        .groupBy("user_id").agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          exactSum(v).as("sx"),
+          exactSum(v * v).as("sxx"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("sd", CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")))
+        .where(col("sd") > 0.0)
+      val w = Window.partitionBy("user_id").orderBy("value", "event_id")
+      val ranked = Tables.events(s, d).where(v.isNotNull)
+        .join(m.select("user_id", "n", "mean", "sd"), "user_id")
+        .withColumn("i", row_number().over(w).cast(DoubleType))
+        .withColumn("z", round4((v - col("mean")) / col("sd")))
+        .withColumn("phi", CleanFunctions.normalCdf(col("z")))
+        .withColumn("p", greatest(least(col("phi"), lit(0.999999999999999)),
+          lit(1.0e-15)))
+        .withColumn("term", CleanFunctions.round6(
+          (lit(2.0) * col("i") - lit(1.0)) * log(col("p")) +
+            (lit(2.0) * col("n") + lit(1.0) - lit(2.0) * col("i")) *
+              log(lit(1.0) - col("p"))))
+      val a2 = -col("n") - col("s") / col("n")
+      val a2adj = a2 * (lit(1.0) + lit(0.75) / col("n") +
+        lit(2.25) / (col("n") * col("n")))
+      ranked.groupBy("user_id")
+        .agg(max(col("n")).as("n"), exactSum(col("term")).as("s"))
+        .select(col("user_id"), col("n").cast(LongType).as("n_obs"),
+          round4(a2).as("a2"), round4(a2adj).as("a2_adj"),
+          when(round4(a2adj) > lit(0.752), lit(1L)).otherwise(lit(0L))
+            .as("is_nonnormal"))
+        .orderBy("user_id")
+    },
+
     // Kruskal–Wallis rank ANOVA across event types on value — the
     // k-group nonparametric sibling of events_mannwhitney. Global
     // average ranks come from the banded StatsOps.globalRank + tie
@@ -121,6 +170,41 @@ object InferenceQueries {
         col("k").cast(LongType).as("k_groups"),
         round4(h).as("h"),
         round4(h / nullif(dcorr, lit(0.0))).as("h_adj"))
+    },
+
+    // Friedman rank test — the BLOCKED companion of Kruskal–Wallis:
+    // each complete day is a block, event types are the treatments, and
+    // ranking WITHIN the day removes day-to-day level shifts that KW's
+    // global ranks would read as a group effect (weekend volume swamps
+    // any real between-type difference in an unblocked test). Blocks =
+    // days where every type appears; per-day midranks from the
+    // (min+max)/2 row-number trick on the 6dp-pinned daily means;
+    // χ²_F = 12/(bk(k+1))·ΣRj² − 3b(k+1), plus Kendall's W = χ²/(b(k−1))
+    // as the effect size. Rank windows are per-day (bounded k rows per
+    // partition at any scale); the cross-type fold is O(k).
+    "events_friedman" -> { (s, d) =>
+      val md = Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(CleanFunctions.round6(CleanFunctions.exactMean(col("value"))).as("m"))
+      val k = md.select("event_type").distinct().agg(count(lit(1)).as("k"))
+      val full = md
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy("day")))
+        .crossJoin(broadcast(k)).where(col("nt") === col("k"))
+      val rnW = Window.partitionBy("day").orderBy(col("m"), col("event_type"))
+      val withRn = full.withColumn("rn", row_number().over(rnW))
+      val mid = withRn.groupBy("day", "m").agg(
+        ((min(col("rn")) + max(col("rn"))).cast(DoubleType) / 2.0).as("ar"))
+      val rj = withRn.join(mid, Seq("day", "m"))
+        .groupBy("event_type").agg(count(lit(1)).as("b"), exactSum(col("ar")).as("rj"))
+      val agg = rj.agg(count(lit(1)).as("kk"), max(col("b")).as("b"),
+        exactSum(round4(col("rj") * col("rj"))).as("srj2"))
+      val bD = col("b").cast(DoubleType)
+      val kD = col("kk").cast(DoubleType)
+      val chi2 = lit(12.0) / (bD * kD * (kD + 1.0)) * col("srj2") -
+        lit(3.0) * bD * (kD + 1.0)
+      agg.select(col("b").as("n_blocks"), col("kk").as("k_groups"),
+        round4(chi2).as("chi2_f"),
+        round4(chi2 / (bD * (kD - 1.0))).as("kendall_w"))
     },
 
     // Brown–Forsythe (median-centered Levene) homogeneity-of-variance
@@ -695,6 +779,34 @@ object InferenceQueries {
          |FROM j ORDER BY user_id""".stripMargin
     },
 
+    "ts_anderson_darling" -> {
+      val a2 = "(-n - s / n)"
+      s"""WITH e AS (SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL),
+         |m AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         |  ${exactSumSql("value")} AS sx, ${exactSumSql("value * value")} AS sxx
+         |  FROM e GROUP BY user_id),
+         |m2 AS (SELECT user_id, n, sx / n AS mean,
+         |  ${CleanFunctions.momentStdSql("n", "sx", "sxx")} AS sd FROM m),
+         |r AS (SELECT e.user_id, m2.n,
+         |  CAST(row_number() OVER (PARTITION BY e.user_id ORDER BY value, event_id) AS DOUBLE) AS i,
+         |  ${round4Sql("(value - mean) / sd")} AS z
+         |  FROM e JOIN m2 USING (user_id) WHERE sd > 0),
+         |pp AS (SELECT user_id, n, i,
+         |  greatest(least(${CleanFunctions.normalCdfSql("z")}, 0.999999999999999), 1e-15) AS p
+         |  FROM r),
+         |t AS (SELECT user_id, n, ${round6Sql(
+            "(2.0 * i - 1.0) * ln(p) + (2.0 * n + 1.0 - 2.0 * i) * ln(1.0 - p)")} AS term
+         |  FROM pp),
+         |a AS (SELECT user_id, max(n) AS n, ${exactSumSql("term")} AS s
+         |  FROM t GROUP BY user_id)
+         |SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+         |  ${round4Sql(a2)} AS a2,
+         |  ${round4Sql(s"$a2 * (1.0 + 0.75 / n + 2.25 / (n * n))")} AS a2_adj,
+         |  CAST(CASE WHEN ${round4Sql(s"$a2 * (1.0 + 0.75 / n + 2.25 / (n * n))")} > 0.752
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_nonnormal
+         |FROM a ORDER BY user_id""".stripMargin
+    },
+
     "events_kruskal_wallis" ->
       s"""WITH e AS (
          |  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
@@ -719,6 +831,40 @@ object InferenceQueries {
          |  ${round4Sql("12.0 / (nn * (nn + 1.0)) * ssq")} AS h,
          |  ${round4Sql("(12.0 / (nn * (nn + 1.0)) * ssq) / nullif(1.0 - CAST(tsum AS DOUBLE) / (nn*nn*nn - nn), 0.0)")} AS h_adj
          |FROM a, ts""".stripMargin,
+
+    "events_friedman" -> {
+      val chi2 = "12.0 / (bd * kd * (kd + 1.0)) * srj2 - 3.0 * bd * (kd + 1.0)"
+      s"""WITH md AS (
+         |  SELECT CAST(ts AS DATE) AS day, event_type,
+         |    ${round6Sql(CleanFunctions.exactMeanSql("value"))} AS m
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |kk AS (SELECT count(DISTINCT event_type) AS k FROM md),
+         |fl AS (
+         |  SELECT md.day, md.event_type, md.m,
+         |    count(*) OVER (PARTITION BY md.day) AS nt, kk.k
+         |  FROM md, kk),
+         |full_b AS (SELECT day, event_type, m FROM fl WHERE nt = k),
+         |rn AS (
+         |  SELECT day, event_type, m,
+         |    row_number() OVER (PARTITION BY day ORDER BY m, event_type) AS rn
+         |  FROM full_b),
+         |mid AS (
+         |  SELECT day, m, CAST(min(rn) + max(rn) AS DOUBLE) / 2.0 AS ar
+         |  FROM rn GROUP BY day, m),
+         |rj AS (
+         |  SELECT rn.event_type, count(*) AS b, ${exactSumSql("mid.ar")} AS rj
+         |  FROM rn JOIN mid USING (day, m) GROUP BY rn.event_type),
+         |a AS (
+         |  SELECT count(*) AS kk, max(b) AS b,
+         |    ${exactSumSql(round4Sql("rj * rj"))} AS srj2
+         |  FROM rj),
+         |c AS (SELECT b, kk, srj2, CAST(b AS DOUBLE) AS bd,
+         |  CAST(kk AS DOUBLE) AS kd FROM a)
+         |SELECT b AS n_blocks, kk AS k_groups,
+         |  ${round4Sql(chi2)} AS chi2_f,
+         |  ${round4Sql(s"($chi2) / (bd * (kd - 1.0))")} AS kendall_w
+         |FROM c""".stripMargin
+    },
 
     "lineitem_levene" ->
       s"""WITH li AS (SELECT l_returnflag AS flag, l_quantity AS qty FROM lineitem),

@@ -981,6 +981,39 @@ object SimilarityQueries {
             nullif(col("sum_mu"), lit(0.0))).as("intrinsic_dim"))
     },
 
+    // ECOD outlier score per embedding (Li et al. 2022, deterministic
+    // two-sided variant): per dimension, the empirical tail probability
+    // of the point's coordinate — min(#{≤ v}, #{≥ v})/n — and the score
+    // is Σ_d −ln(p_d): points sitting in the tail of MANY marginals
+    // score high. The parameter-free sibling of emb_mahalanobis (no
+    // covariance model, no label) and emb_lof (no neighborhood graph):
+    // marginal ECDFs only, which is exactly why it scales — per-dim
+    // ranks come from the banded groupedGlobalRank (64 fixed groups, no
+    // single-task sort), tie counts from one (dim, v) group-by, and the
+    // per-point fold is a decimal sum of 6dp-pinned −ln terms (order-
+    // blind). Everything is counts + one log per (dim, point).
+    "emb_ecod" -> { (s, d) =>
+      import graft.functions.CleanFunctions.{round4, round6}
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val x = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("dim"),
+          col("v").cast(DoubleType).as("v"))
+      val n = Tables.embeddings(s, d).agg(count(lit(1)).as("nn"))
+      val ranked = graft.operators.StatsOps.groupedGlobalRank(
+        x, Seq("dim"), col("v"), col("vec_id"), "rk")
+      val tg = ranked.groupBy("dim", "v")
+        .agg(max(col("rk")).as("cle"), min(col("rk")).as("cmin"))
+      ranked.join(tg, Seq("dim", "v")).crossJoin(broadcast(n))
+        .withColumn("tailp",
+          least(col("cle"), col("nn") - col("cmin") + lit(1L)).cast(DoubleType) /
+            col("nn").cast(DoubleType))
+        .withColumn("term", round6(-log(col("tailp"))).cast(DecimalType(28, 6)))
+        .groupBy("vec_id")
+        .agg(round4(sum(col("term")).cast(DoubleType)).as("ecod_score"))
+        .orderBy("vec_id")
+    },
+
     "emb_lof" -> { (s, d) =>
       import graft.functions.CleanFunctions.{exactSum, round4}
       val K = 5
@@ -1424,6 +1457,26 @@ object SimilarityQueries {
       s"""SELECT vec_id,
          |round((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 + 0.0 AS self_dot
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "emb_ecod" -> {
+      import graft.functions.CleanFunctions.{round4Sql, round6Sql}
+      s"""WITH x AS (
+         |  SELECT vec_id, CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, (SELECT unnest(generate_series(1, $EmbDim)) AS i) dims),
+         |nn AS (SELECT count(*) AS nn FROM embeddings),
+         |r AS (SELECT vec_id, dim, v,
+         |  row_number() OVER (PARTITION BY dim ORDER BY v, vec_id) AS rk FROM x),
+         |tg AS (SELECT dim, v, max(rk) AS cle, min(rk) AS cmin
+         |  FROM r GROUP BY dim, v),
+         |t AS (
+         |  SELECT r.vec_id,
+         |    ${round6Sql(
+            "-ln(CAST(least(tg.cle, nn.nn - tg.cmin + 1) AS DOUBLE) / CAST(nn.nn AS DOUBLE))")} AS term
+         |  FROM r JOIN tg USING (dim, v), nn)
+         |SELECT vec_id,
+         |  ${round4Sql("CAST(sum(CAST(term AS DECIMAL(28,6))) AS DOUBLE)")} AS ecod_score
+         |FROM t GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "emb_centroids" ->
       s"""SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,

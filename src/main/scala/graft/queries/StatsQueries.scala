@@ -539,6 +539,74 @@ object StatsQueries {
         round4(CleanFunctions.safeDiv(u1 - mu, sqrt(sig2))).as("z"))
     },
 
+    // Wilcoxon SIGNED-RANK test — the PAIRED companion of the unpaired
+    // Mann-Whitney above: each user is their own control (weekend mean
+    // vs weekday mean of the same user), so between-user variance drops
+    // out of the comparison entirely. Differences are 6dp-pinned before
+    // the zero-exclusion and tie grouping (boundary-stable on both
+    // engines), |d| ranked via the banded globalRank (no single-task
+    // corpus sort), midranks from the (min+max)/2 tie trick, normal
+    // approximation with the exact tie-corrected variance. One grouped
+    // pass per user + one rank pass over O(#users) rows.
+    "events_wilcoxon" -> { (s, d) =>
+      val byUser = Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy("user_id").agg(
+          exactSum(when(weekday(col("ts")) < 5, col("value"))).as("sx"),
+          count(when(weekday(col("ts")) < 5, col("value"))).as("nx"),
+          exactSum(when(weekday(col("ts")) >= 5, col("value"))).as("sy"),
+          count(when(weekday(col("ts")) >= 5, col("value"))).as("ny"))
+        .where(col("nx") > 0 && col("ny") > 0)
+        .select(col("user_id"), round6(
+          col("sy") / col("ny").cast(DoubleType) -
+            col("sx") / col("nx").cast(DoubleType)).as("dd"))
+        .where(col("dd") =!= 0.0)
+        .withColumn("absd", abs(col("dd")))
+      val ranked = StatsOps.globalRank(byUser, col("absd"), col("user_id"),
+        asc = true, "rk")
+      val ties = ranked.groupBy("absd").agg(
+        ((min(col("rk")) + max(col("rk"))).cast(DoubleType) / 2.0).as("ar"),
+        count(lit(1)).as("t"))
+      val tsum = ties.agg(
+        sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      val agg = ranked.join(ties.select("absd", "ar"), "absd")
+        .agg(count(lit(1)).as("n"),
+          CleanFunctions.exactSum(when(col("dd") > 0.0, col("ar"))).as("wplus"))
+        .crossJoin(broadcast(tsum))
+      val nD = col("n").cast(DoubleType)
+      val mu = nD * (nD + 1.0) / lit(4.0)
+      val sig2 = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / lit(24.0) -
+        col("tsum").cast(DoubleType) / lit(48.0)
+      agg.select(col("n").as("n_pairs"),
+        round4(col("wplus")).as("w_plus"),
+        round4(CleanFunctions.safeDiv(col("wplus") - mu, sqrt(sig2))).as("z"))
+    },
+
+    // McNemar test — the paired BINARY companion (Wilcoxon pairs
+    // continuous outcomes; this pairs yes/no): did each user purchase
+    // on weekdays vs on weekends, with only the DISCORDANT users (b =
+    // weekday-only, c = weekend-only) carrying information. χ² =
+    // (b−c)²/(b+c), all exact integers until two IEEE ops; the
+    // concordant counts are reported because their size is the context
+    // for the test's power. One grouped boolean pass per user + one
+    // 4-cell fold.
+    "events_mcnemar" -> { (s, d) =>
+      val byUser = Tables.events(s, d)
+        .groupBy("user_id").agg(
+          max(when(col("event_type") === "purchase" &&
+            weekday(col("ts")) < 5, 1L).otherwise(0L)).as("wd"),
+          max(when(col("event_type") === "purchase" &&
+            weekday(col("ts")) >= 5, 1L).otherwise(0L)).as("we"))
+      byUser.agg(
+          count(lit(1)).as("n_users"),
+          count(when(col("wd") === 1L && col("we") === 1L, 1)).as("n_both"),
+          count(when(col("wd") === 1L && col("we") === 0L, 1)).as("b"),
+          count(when(col("wd") === 0L && col("we") === 1L, 1)).as("c"))
+        .select(col("n_users"), col("n_both"), col("b"), col("c"),
+          round4(CleanFunctions.safeDiv(
+            ((col("b") - col("c")) * (col("b") - col("c"))).cast(DoubleType),
+            (col("b") + col("c")).cast(DoubleType))).as("chi2"))
+    },
+
     // Per-series OLS trend of value on the hour index since series start
     // — slope/intercept/R² from one exact-moment grouped pass
     // (StatsOps.olsTrend): the linear-trend probe of the reference's EDA
@@ -2060,6 +2128,52 @@ object StatsQueries {
          |  ${round4Sql(s"($u1 - $mu) / nullif(sqrt($sig2), 0.0)")} AS z
          |FROM a, ts""".stripMargin
     },
+
+    "events_wilcoxon" -> {
+      val mu = "(nd * (nd + 1.0) / 4.0)"
+      val sig2 = "(nd * (nd + 1.0) * (2.0 * nd + 1.0) / 24.0 - CAST(tsum AS DOUBLE) / 48.0)"
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    ${exactSumSql("CASE WHEN isodow(ts)-1 < 5 THEN value END")} AS sx,
+         |    count(CASE WHEN isodow(ts)-1 < 5 THEN value END) AS nx,
+         |    ${exactSumSql("CASE WHEN isodow(ts)-1 >= 5 THEN value END")} AS sy,
+         |    count(CASE WHEN isodow(ts)-1 >= 5 THEN value END) AS ny
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |dd0 AS (
+         |  SELECT user_id,
+         |    ${CleanFunctions.round6Sql(
+              "sy / CAST(ny AS DOUBLE) - sx / CAST(nx AS DOUBLE)")} AS dd
+         |  FROM u WHERE nx > 0 AND ny > 0),
+         |dd1 AS (SELECT user_id, dd, abs(dd) AS absd FROM dd0 WHERE dd <> 0),
+         |r AS (SELECT user_id, dd, absd,
+         |  row_number() OVER (ORDER BY absd, user_id) AS rk FROM dd1),
+         |tg AS (SELECT absd, CAST(min(rk) + max(rk) AS DOUBLE) / 2.0 AS ar,
+         |  count(*) AS t FROM r GROUP BY absd),
+         |ts AS (SELECT sum(t * t * t - t) AS tsum FROM tg),
+         |a AS (SELECT count(*) AS n,
+         |  ${exactSumSql("CASE WHEN dd > 0 THEN ar END")} AS wplus
+         |  FROM r JOIN (SELECT absd, ar FROM tg) USING (absd)),
+         |b AS (SELECT n, wplus, CAST(n AS DOUBLE) AS nd FROM a)
+         |SELECT n AS n_pairs, ${round4Sql("wplus")} AS w_plus,
+         |  ${round4Sql(s"(wplus - $mu) / nullif(sqrt($sig2), 0.0)")} AS z
+         |FROM b, ts""".stripMargin
+    },
+
+    "events_mcnemar" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' AND isodow(ts)-1 < 5 THEN 1 ELSE 0 END) AS wd,
+         |    max(CASE WHEN event_type = 'purchase' AND isodow(ts)-1 >= 5 THEN 1 ELSE 0 END) AS we
+         |  FROM events GROUP BY user_id)
+         |SELECT count(*) AS n_users,
+         |  count(CASE WHEN wd = 1 AND we = 1 THEN 1 END) AS n_both,
+         |  count(CASE WHEN wd = 1 AND we = 0 THEN 1 END) AS b,
+         |  count(CASE WHEN wd = 0 AND we = 1 THEN 1 END) AS c,
+         |  ${round4Sql(
+            "CAST((count(CASE WHEN wd = 1 AND we = 0 THEN 1 END) - count(CASE WHEN wd = 0 AND we = 1 THEN 1 END)) * " +
+            "(count(CASE WHEN wd = 1 AND we = 0 THEN 1 END) - count(CASE WHEN wd = 0 AND we = 1 THEN 1 END)) AS DOUBLE) / " +
+            "nullif(CAST(count(CASE WHEN wd = 1 AND we = 0 THEN 1 END) + count(CASE WHEN wd = 0 AND we = 1 THEN 1 END) AS DOUBLE), 0.0)")} AS chi2
+         |FROM u""".stripMargin,
 
     "ts_ols_trend" -> {
       val slope = "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)"

@@ -51,6 +51,12 @@ object TimeSeriesQueries {
     df.withColumn("value_n", when(col("event_type") === "click", lit(null)).otherwise(col("value")))
   private val nulledSql = "CASE WHEN event_type = 'click' THEN NULL ELSE value END"
 
+  /** LB fence for ts_dtw_lbkeogh: pairs whose DTW lower bound exceeds
+    * this skip the exact DP (emit NULL dtw). Compared on the 4dp-rounded
+    * bound so both engines agree at the boundary.
+    */
+  private val DtwLbTheta = 45.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_time_features" -> { (s, d) =>
       TS.addTimeFeatures(Tables.events(s, d), "ts")
@@ -683,6 +689,45 @@ object TimeSeriesQueries {
         .orderBy("user_id")
     },
 
+    // VARIANCE changepoint per series (ICSS / CUSUM-of-squares): the
+    // mean-shift family (ts_changepoint, ts_cusum) is blind to a series
+    // whose LEVEL holds but whose volatility regime breaks — the
+    // centered-squares cumulative share D_k = C_k/C_T − k/T peaks where
+    // the variance splits, and sqrt(n/2)·max|D| is the ICSS statistic
+    // (1.358 asymptotic 5% critical value, the KS-family constant).
+    // Parity: squares are 6dp-quantized and cumulated in exact DECIMAL
+    // (order-blind, so the running sum needs no engine-matched fold),
+    // ONE decimal→double cast per term, D_k 4dp-rounded BEFORE the
+    // argmax so the peak choice is boundary-stable; sqrt is IEEE
+    // exact-rounded on both engines. One ordered window pass + one
+    // grouped argmax — the ts_changepoint plan shape at any scale.
+    "ts_variance_changepoint" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val dec = DecimalType(28, 6)
+      val keyW = Window.partitionBy("user_id")
+      val ordW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("diff", col("value") - CleanFunctions.exactMeanOver(col("value"), keyW))
+        .withColumn("a", CleanFunctions.round6(col("diff") * col("diff")).cast(dec))
+        .withColumn("ck", sum(col("a")).over(ordW))
+        .withColumn("ct", sum(col("a")).over(keyW))
+        .withColumn("k", row_number().over(ordW))
+        .withColumn("n", count(lit(1)).over(keyW))
+        .where(col("ct") > 0)
+        .withColumn("dk", CleanFunctions.round4(
+          col("ck").cast(DoubleType) / col("ct").cast(DoubleType) -
+            col("k").cast(DoubleType) / col("n").cast(DoubleType)))
+      val rkW = Window.partitionBy("user_id").orderBy(abs(col("dk")).desc, col("event_id"))
+      e.withColumn("rk", row_number().over(rkW)).where(col("rk") === 1)
+        .withColumn("icss_stat",
+          CleanFunctions.round4(sqrt(col("n").cast(DoubleType) / lit(2.0)) * abs(col("dk"))))
+        .select(col("user_id"), col("n"), col("event_id").as("split_event"),
+          abs(col("dk")).as("d_max"), col("icss_stat"),
+          (col("icss_stat") > lit(1.358)).cast("long").as("is_break"))
+        .orderBy("user_id")
+    },
+
     // Alert episodes: consecutive anomalous rows collapse into one
     // episode per series (run-length encoding via the change-flag +
     // cumulative-sum trick — same one-sort shape as sessionize). Turns
@@ -890,6 +935,51 @@ object TimeSeriesQueries {
         .orderBy("ua", "ub")
     },
 
+    // LOWER-BOUND-pruned DTW — the shape that makes elastic similarity
+    // search survive scale: a cheap O(n) lower bound (LB_Keogh family)
+    // fences the O(n²) DP so exact DTW runs only on pairs that could
+    // possibly be close. The bound here is valid for UNCONSTRAINED DTW:
+    // max of (a) the global-envelope bound per side — every x_i must
+    // align with SOME y_j, so its cost is at least its distance to
+    // [min(y), max(y)] (LB_Keogh with the full-width band, the r that is
+    // sound without a Sakoe-Chiba constraint) — and (b) the endpoint
+    // bound |x_1−y_1| + |x_n−y_n| (the warping path MUST contain both
+    // corner cells). Sums are 7 explicit left-associated adds so both
+    // engines build the identical float tree; pruned pairs emit a NULL
+    // dtw (the pruning is the observable, not a dropped row). The
+    // LB ≤ DTW property is spec-asserted on randomized inputs.
+    "ts_dtw_lbkeogh" -> { (s, d) =>
+      import org.apache.spark.sql.graft.VectorExpressions
+      val prof = Tables.events(s, d)
+        .where(col("value").isNotNull && col("user_id") % 10 === 0)
+        .groupBy(col("user_id"), weekday(col("ts")).cast("long").as("dow"))
+        .agg(CleanFunctions.round4(CleanFunctions.exactMean(col("value"))).as("m"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("dow"), col("m")))).as("p"))
+        .where(size(col("p")) === 7)
+        .select(col("user_id"), expr("transform(p, x -> x.m)").as("a"),
+          array_min(expr("transform(p, x -> x.m)")).as("mn"),
+          array_max(expr("transform(p, x -> x.m)")).as("mx"))
+      def lbEnv(xa: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+                mx: org.apache.spark.sql.Column) =
+        (1 to 7).map(i =>
+          greatest(lit(0.0), element_at(xa, i) - mx, mn - element_at(xa, i)))
+          .reduce(_ + _)
+      val paired = prof.as("x").join(prof.as("y"), col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("ua"), col("y.user_id").as("ub"),
+          col("x.a").as("a"), col("y.a").as("b"),
+          CleanFunctions.round4(greatest(
+            lbEnv(col("x.a"), col("y.mn"), col("y.mx")),
+            lbEnv(col("y.a"), col("x.mn"), col("x.mx")),
+            abs(element_at(col("x.a"), 1) - element_at(col("y.a"), 1)) +
+              abs(element_at(col("x.a"), 7) - element_at(col("y.a"), 7)))).as("lb"))
+      paired
+        .select(col("ua"), col("ub"), col("lb"),
+          when(col("lb") <= lit(DtwLbTheta), CleanFunctions.round4(
+            VectorExpressions.dtwDistance(col("a"), col("b")))).as("dtw"))
+        .orderBy("ua", "ub")
+    },
+
     // Truncated EWMA smoothing (span-12 lag kernel, adjust-normalized).
     "ts_ewma" -> { (s, d) =>
       TS.ewma(Tables.events(s, d), K, Ord, "value", alpha = 0.3, span = 12)
@@ -978,6 +1068,38 @@ object TimeSeriesQueries {
             col("n_both"), col("n_either"),
             graft.functions.CleanFunctions.round4(CleanFunctions.safeDiv(
               col("n_both").cast("double"), col("n_either").cast("double"))).as("jaccard"))
+      }.reduce(_ unionByName _).orderBy("det_a", "det_b")
+    },
+
+    // Cohen's kappa between detector pairs — the CHANCE-CORRECTED
+    // agreement next to ts_detector_agreement's raw Jaccard: two
+    // detectors that both flag 1% of rows agree 98% of the time by
+    // accident alone, so raw overlap overstates redundancy exactly
+    // where anomaly flags live (rare positives). kappa = (po − pe) /
+    // (1 − pe) from four integer counts per pair; all products stay in
+    // exact BIGINT (< 2^53) before ONE cast to double per term, so the
+    // IEEE trees match across engines.
+    "ts_detector_kappa" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val votes = Anomaly.ensemble(Tables.events(s, d), K, "value").cache()
+      val pairs = Seq(("iqr", "vote_iqr", "mad", "vote_mad"),
+        ("z", "vote_z", "iqr", "vote_iqr"), ("z", "vote_z", "mad", "vote_mad"))
+      pairs.map { case (an, ac, bn, bc) =>
+        val agg = votes.agg(
+          count(lit(1)).as("n"),
+          count(when(col(ac) === 1, 1)).as("a1"),
+          count(when(col(bc) === 1, 1)).as("b1"),
+          count(when(col(ac) === 1 && col(bc) === 1, 1)).as("n11"))
+        val po = (col("n11") + (col("n") - col("a1") - col("b1") + col("n11")))
+          .cast(DoubleType) / col("n").cast(DoubleType)
+        val pe = (col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1")))
+          .cast(DoubleType) / (col("n") * col("n")).cast(DoubleType)
+        agg.select(lit(an).as("det_a"), lit(bn).as("det_b"),
+          col("n"), col("n11").as("n_both"),
+          graft.functions.CleanFunctions.round4(po).as("po"),
+          graft.functions.CleanFunctions.round4(pe).as("pe"),
+          graft.functions.CleanFunctions.round4(
+            (po - pe) / (lit(1.0) - pe)).as("kappa"))
       }.reduce(_ unionByName _).orderBy("det_a", "det_b")
     },
 
@@ -1790,6 +1912,48 @@ object TimeSeriesQueries {
          |ORDER BY ua, ub""".stripMargin
     },
 
+    "ts_dtw_lbkeogh" -> {
+      def diag(k: Int) = math.max(0, k - 6) to math.min(6, k)
+      val ctes = (1 to 12).map { k =>
+        val vals = diag(k).map(i => s"($i, ${k - i})").mkString(", ")
+        val pm1 = s"d${k - 1}"
+        val pm2 = s"d${math.max(0, k - 2)}"
+        s"""d$k AS MATERIALIZED (SELECT p.ua, p.ub, g.i, g.j,
+           |  abs(p.a[g.i + 1] - p.b[g.j + 1]) + least(
+           |    coalesce(p1.c, 1e30), coalesce(p2.c, 1e30), coalesce(p3.c, 1e30)) AS c
+           |  FROM pairs p
+           |  CROSS JOIN (VALUES $vals) AS g(i, j)
+           |  LEFT JOIN $pm1 p1 ON p1.ua = p.ua AND p1.ub = p.ub AND p1.i = g.i - 1 AND p1.j = g.j
+           |  LEFT JOIN $pm1 p2 ON p2.ua = p.ua AND p2.ub = p.ub AND p2.i = g.i AND p2.j = g.j - 1
+           |  LEFT JOIN $pm2 p3 ON p3.ua = p.ua AND p3.ub = p.ub AND p3.i = g.i - 1 AND p3.j = g.j - 1)""".stripMargin
+      }
+      // The envelope sums mirror the Spark side exactly: 7 explicit
+      // terms, left-associated adds, on the same round4-pinned profile.
+      def lbEnv(xa: String, mn: String, mx: String) =
+        (1 to 7).map(i => s"greatest(0.0, $xa[$i] - $mx, $mn - $xa[$i])")
+          .mkString(" + ")
+      s"""WITH pr0 AS (SELECT user_id, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+         |  ${CleanFunctions.round4Sql(CleanFunctions.exactMeanSql("value"))} AS m
+         |  FROM events WHERE value IS NOT NULL AND user_id % 10 = 0 GROUP BY 1, 2),
+         |pr1 AS (SELECT user_id, list(m ORDER BY dow) AS a FROM pr0
+         |  GROUP BY 1 HAVING count(*) = 7),
+         |pe AS (SELECT user_id, a, list_aggregate(a, 'min') AS mn,
+         |  list_aggregate(a, 'max') AS mx FROM pr1),
+         |pairs AS MATERIALIZED (SELECT x.user_id AS ua, y.user_id AS ub,
+         |  x.a AS a, y.a AS b,
+         |  ${CleanFunctions.round4Sql(
+              s"greatest(${lbEnv("x.a", "y.mn", "y.mx")}, " +
+              s"${lbEnv("y.a", "x.mn", "x.mx")}, " +
+              "abs(x.a[1] - y.a[1]) + abs(x.a[7] - y.a[7]))")} AS lb
+         |  FROM pe x JOIN pe y ON x.user_id < y.user_id),
+         |d0 AS MATERIALIZED (SELECT ua, ub, 0 AS i, 0 AS j, abs(a[1] - b[1]) AS c FROM pairs),
+         |${ctes.mkString(",\n")}
+         |SELECT p.ua, p.ub, p.lb,
+         |  CASE WHEN p.lb <= $DtwLbTheta THEN ${CleanFunctions.round4Sql("d.c")} END AS dtw
+         |FROM pairs p JOIN d12 d ON p.ua = d.ua AND p.ub = d.ub
+         |ORDER BY p.ua, p.ub""".stripMargin
+    },
+
     "ts_haar_energy" -> {
       val levels = (1 to 6).map { l =>
         s"""l$l AS (SELECT user_id, (idx + 1) // 2 AS idx,
@@ -1865,6 +2029,61 @@ object TimeSeriesQueries {
            |  round((CAST(count(CASE WHEN $ac = 1 AND $bc = 1 THEN 1 END) AS DOUBLE)
            |    / nullif(CAST(count(CASE WHEN $ac = 1 OR $bc = 1 THEN 1 END) AS DOUBLE), 0.0)) * 10000.0) / 10000.0 + 0.0 AS jaccard
            |FROM votes""".stripMargin
+      s"""WITH v AS (SELECT event_id, user_id, value,
+         |  CAST(CASE WHEN abs((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0)) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END AS BIGINT) AS vote_z
+         |  FROM events WINDOW u AS (PARTITION BY user_id)),
+         |q AS (SELECT user_id, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3 FROM events GROUP BY user_id),
+         |m AS (SELECT user_id, median(value) AS med FROM events GROUP BY user_id),
+         |md AS (SELECT e.user_id, median(abs(e.value - m.med)) AS mad FROM events e JOIN m USING (user_id) GROUP BY e.user_id),
+         |votes AS (SELECT v.event_id, v.vote_z,
+         |  $iqrFlag AS vote_iqr, $madFlag AS vote_mad
+         |  FROM v JOIN q USING (user_id) JOIN m USING (user_id) JOIN md USING (user_id))
+         |SELECT * FROM (
+         |  ${pair("iqr", "vote_iqr", "mad", "vote_mad")}
+         |  UNION ALL ${pair("z", "vote_z", "iqr", "vote_iqr")}
+         |  UNION ALL ${pair("z", "vote_z", "mad", "vote_mad")}
+         |) ORDER BY det_a, det_b""".stripMargin
+    },
+
+    "ts_variance_changepoint" ->
+      s"""WITH b AS (SELECT user_id, event_id, ts, value,
+         |  value - ${CleanFunctions.exactMeanSql("value", "OVER (PARTITION BY user_id)")} AS diff
+         |  FROM events WHERE value IS NOT NULL),
+         |c AS (SELECT user_id, event_id,
+         |  sum(CAST(${CleanFunctions.round6Sql("diff * diff")} AS DECIMAL(28,6))) OVER ($W) AS ck,
+         |  sum(CAST(${CleanFunctions.round6Sql("diff * diff")} AS DECIMAL(28,6))) OVER (PARTITION BY user_id) AS ct,
+         |  row_number() OVER ($W) AS k,
+         |  count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM b),
+         |dk AS (SELECT user_id, event_id, k, n,
+         |  ${CleanFunctions.round4Sql(
+            "CAST(ck AS DOUBLE) / CAST(ct AS DOUBLE) - CAST(k AS DOUBLE) / CAST(n AS DOUBLE)")} AS dk
+         |  FROM c WHERE ct > 0),
+         |pk AS (SELECT user_id, event_id, n, dk,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY abs(dk) DESC, event_id) AS rk
+         |  FROM dk)
+         |SELECT user_id, n, event_id AS split_event, abs(dk) AS d_max,
+         |  ${CleanFunctions.round4Sql("sqrt(CAST(n AS DOUBLE) / 2.0) * abs(dk)")} AS icss_stat,
+         |  CAST(CASE WHEN ${CleanFunctions.round4Sql(
+            "sqrt(CAST(n AS DOUBLE) / 2.0) * abs(dk)")} > 1.358 THEN 1 ELSE 0 END AS BIGINT) AS is_break
+         |FROM pk WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
+    "ts_detector_kappa" -> {
+      val iqrFlag = "CAST(CASE WHEN v.value < q.q1 - 1.5*(q.q3 - q.q1) OR v.value > q.q3 + 1.5*(q.q3 - q.q1) THEN 1 ELSE 0 END AS BIGINT)"
+      val madFlag = s"CAST(coalesce(CASE WHEN abs(${GraftConfig.MadScale} * (v.value - m.med) / nullif(md.mad, 0)) > ${GraftConfig.MadThreshold} THEN 1 ELSE 0 END, 0) AS BIGINT)"
+      def pair(a: String, ac: String, b: String, bc: String) = {
+        val po = s"CAST(n11 + (n - a1 - b1 + n11) AS DOUBLE) / CAST(n AS DOUBLE)"
+        val pe = s"CAST(a1*b1 + (n - a1)*(n - b1) AS DOUBLE) / CAST(n*n AS DOUBLE)"
+        s"""SELECT det_a, det_b, n, n11 AS n_both,
+           |  ${CleanFunctions.round4Sql(po)} AS po,
+           |  ${CleanFunctions.round4Sql(pe)} AS pe,
+           |  ${CleanFunctions.round4Sql(s"(($po) - ($pe)) / (1.0 - ($pe))")} AS kappa
+           |FROM (SELECT '$a' AS det_a, '$b' AS det_b, count(*) AS n,
+           |  count(CASE WHEN $ac = 1 THEN 1 END) AS a1,
+           |  count(CASE WHEN $bc = 1 THEN 1 END) AS b1,
+           |  count(CASE WHEN $ac = 1 AND $bc = 1 THEN 1 END) AS n11
+           |  FROM votes)""".stripMargin
+      }
       s"""WITH v AS (SELECT event_id, user_id, value,
          |  CAST(CASE WHEN abs((value - avg(value) OVER u) / nullif(stddev_samp(value) OVER u, 0)) > ${GraftConfig.AnomalyThreshold} THEN 1 ELSE 0 END AS BIGINT) AS vote_z
          |  FROM events WINDOW u AS (PARTITION BY user_id)),

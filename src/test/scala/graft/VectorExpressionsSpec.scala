@@ -172,6 +172,35 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .head().getDouble(0) == refDtw(Array(1.0, 2.0), Array(2.0, 3.0)))
   }
 
+  test("the ts_dtw_lbkeogh lower bound never exceeds the exact DTW (randomized)") {
+    // The bound the pruned-DTW entry relies on: max of the full-width
+    // envelope bound per side and the endpoint bound. If this were ever
+    // ABOVE the true DTW, the fence would silently drop genuinely close
+    // pairs — exactly the plausible-but-wrong failure a randomized
+    // property check exists to catch.
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val pairs = Seq.fill(200)((
+      Array.fill(7)(rng.nextDouble() * 20 - 10),
+      Array.fill(7)(rng.nextDouble() * 20 - 10)))
+    val df = pairs.toDF("a", "b")
+    def lbEnv(xa: org.apache.spark.sql.Column, yb: org.apache.spark.sql.Column) =
+      (1 to 7).map(i => greatest(lit(0.0),
+        element_at(xa, i) - array_max(yb),
+        array_min(yb) - element_at(xa, i))).reduce(_ + _)
+    val rows = df.select(
+      greatest(lbEnv(col("a"), col("b")), lbEnv(col("b"), col("a")),
+        abs(element_at(col("a"), 1) - element_at(col("b"), 1)) +
+          abs(element_at(col("a"), 7) - element_at(col("b"), 7))).as("lb"),
+      VectorExpressions.dtwDistance(col("a"), col("b")).as("dtw")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) <= r.getDouble(1) + 1e-9,
+        s"lb ${r.getDouble(0)} > dtw ${r.getDouble(1)}")
+    }
+    // The bound has teeth: on random data it is positive for most pairs.
+    assert(rows.count(_.getDouble(0) > 0.0) > 150)
+  }
+
   test("approx_pct_det aggregate matches the DataFrame bottom-k path bit-for-bit") {
     import spark.implicits._
     import graft.functions.CleanFunctions
