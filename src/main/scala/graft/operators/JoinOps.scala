@@ -41,13 +41,25 @@ object JoinOps {
     * exactly the queries that rely on this fence.
     */
   def boundedBroadcast(side: DataFrame, maxRows: Long, what: String): DataFrame = {
-    val n = side.count()
+    // Memoize the fence count per physical frame (RDD id): the side is a
+    // localCheckpoint-derived frame, so its RDD identity pins exactly one
+    // materialized dataset — re-fencing the same frame (plan audit then
+    // execution, or a reused checkpoint) must not pay the count twice.
+    // A NEW checkpoint gets a new RDD id and re-counts, which is the
+    // correct staleness behavior for a guard. Bounded: Long values only,
+    // cleared past 4096 entries (an RDD id never recurs within a JVM).
+    val key = (System.identityHashCode(side.sparkSession), side.rdd.id)
+    if (countMemo.size > 4096) countMemo.clear()
+    val n = countMemo.computeIfAbsent(key, _ => side.count())
     require(n <= maxRows,
       s"boundedBroadcast($what): side has $n rows, above the $maxRows-row " +
         "broadcast fence — repartition to an equi-join instead of broadcasting")
     firedFences.put(what, (n, maxRows))
     broadcast(side)
   }
+
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Long]()
 
   /** Fence tag -> (rows counted, fence) for every boundedBroadcast that
     * fired in this JVM. Exists so PlanAuditSpec can assert the fence is

@@ -23,12 +23,18 @@ import graft.GraftConfig
   *   output xhat_t = Wo d_t^{top} + bo
   * Loss = mean squared reconstruction error over all L*F elements.
   *
-  * Two deliberate deltas vs the reference's exact layer stack: (1) the
-  * bottleneck applies tanh where the reference's encoder_fc is linear — a
-  * bounded latent keeps batch-1 SGD stable without the framework's Adam;
-  * (2) the B-dim code feeds the decoder LSTM directly (input size B)
-  * instead of being inflated back to H by a decoder_fc first — one fewer
-  * matrix with the same information flow. Inter-layer dropout (reference
+  * Default-mode deltas vs the reference's exact layer stack — both
+  * closed by the opt-in `referenceDecoder = true` ([[LstmDims.refDec]]):
+  * (1) the default bottleneck applies tanh where the reference's
+  * encoder_fc is linear (deep_learning_models.py:26,65) — a bounded
+  * latent keeps batch-1 SGD stable without the framework's Adam; under
+  * the flag the latent is linear, matching the reference. (2) by default
+  * the B-dim code feeds the decoder LSTM directly (input size B); under
+  * the flag a decoder_fc inflates it to H and THAT vector repeats as the
+  * decoder input sequence (deep_learning_models.py:30,72-74), the
+  * reference's literal wiring. With the flag on, the layer stack is the
+  * reference's exactly; default stays the historical (leaner) model and
+  * its byte-identical parameter stream. Inter-layer dropout (reference
   * config.py:30 LSTM_DROPOUT_PROB=0.2) — previously a third delta — is
   * now available deterministically: a COUNTER-BASED mask (SplitMix64 of
   * (seed, epoch, window, stack, layer, step, unit), [[dropMaskBase]] /
@@ -54,15 +60,27 @@ object LstmAutoencoder {
     * For nl = 1 the layout — and therefore the seeded init stream — is
     * IDENTICAL to the historical single-layer model.
     */
-  final case class LstmDims(f: Int, l: Int, h: Int, b: Int, nl: Int = 1) {
+  /** `refDec = true` selects the reference's EXACT decoder-side stack
+    * (deep_learning_models.py:26,30,64-74): a LINEAR encoder_fc latent
+    * (no tanh squash) and a decoder_fc inflating the B-dim code back to
+    * H, whose output — not the code — repeats as the decoder-LSTM input
+    * sequence (input size H). With the default `false` the layout (and
+    * therefore the seeded init stream and every historical model) is
+    * byte-identical to the pre-flag code.
+    */
+  final case class LstmDims(f: Int, l: Int, h: Int, b: Int, nl: Int = 1,
+                            refDec: Boolean = false) {
     require(nl >= 1, s"nl=$nl layers must be >= 1")
+    val decIn0: Int    = if (refDec) h else b // decoder layer-0 input dim
     val encGate0: Int  = h * f + h * h + h // encoder layer 0 (input f)
     val encGateUp: Int = h * h + h * h + h // encoder layers 1.. (input h)
-    val decGate0: Int  = h * b + h * h + h // decoder layer 0 (input b)
+    val decGate0: Int  = h * decIn0 + h * h + h // decoder layer 0
     val decGateUp: Int = h * h + h * h + h // decoder layers 1.. (input h)
     val oEnc: Int  = 0
     val oBott: Int = oEnc + 4 * encGate0 + (nl - 1) * 4 * encGateUp
-    val oDec: Int  = oBott + b * h + b    // Wb (b x h) ++ bb (b)
+    val oDecFc: Int = oBott + b * h + b   // Wb (b x h) ++ bb (b)
+    // decoder_fc Wd (h x b) ++ bd (h) — present only under refDec.
+    val oDec: Int  = if (refDec) oDecFc + h * b + h else oDecFc
     val oOut: Int  = oDec + 4 * decGate0 + (nl - 1) * 4 * decGateUp
     val total: Int = oOut + f * h + f     // Wo (f x h) ++ bo (f)
     def encBase(layer: Int): Int =
@@ -72,7 +90,7 @@ object LstmAutoencoder {
     def encGate(layer: Int): Int = if (layer == 0) encGate0 else encGateUp
     def decGate(layer: Int): Int = if (layer == 0) decGate0 else decGateUp
     def encIn(layer: Int): Int = if (layer == 0) f else h
-    def decIn(layer: Int): Int = if (layer == 0) b else h
+    def decIn(layer: Int): Int = if (layer == 0) decIn0 else h
   }
 
   /** Per-layer forward activations kept for BPTT. */
@@ -100,6 +118,9 @@ object LstmAutoencoder {
     val cvec  = new Array[Double](d.b)
     val e     = new Array[Double](d.l * d.f)      // d(loss)/d(xhat)
     val dcvec = new Array[Double](d.b)
+    // refDec only: the decoder_fc-inflated vector and its gradient.
+    val dvec  = new Array[Double](if (d.refDec) d.h else 0)
+    val ddvec = new Array[Double](if (d.refDec) d.h else 0)
     // Inter-layer gradient buffer: d(loss)/d(h_t of the layer below),
     // one row per step — filled by the upper layer's back pass, consumed
     // as the lower layer's per-step dh injection.
@@ -170,6 +191,7 @@ object LstmAutoencoder {
     }
     for (j <- 0 until d.nl) gates(d.encBase(j), d.encGate(j), d.encIn(j))
     xavier(d.oBott, d.b, d.h)
+    if (d.refDec) xavier(d.oDecFc, d.h, d.b) // decoder_fc Wd; bd stays 0
     for (j <- 0 until d.nl) gates(d.decBase(j), d.decGate(j), d.decIn(j))
     xavier(d.oOut, d.f, d.h)
     p
@@ -419,10 +441,25 @@ object LstmAutoencoder {
       var a = p(oBott + b * h + bi)
       var j = 0
       while (j < h) { a += p(oBott + bi * h + j) * topEnc.hs(l * h + j); j += 1 }
-      ws.cvec(bi) = math.tanh(a)
+      // refDec: the reference's encoder_fc is LINEAR
+      // (deep_learning_models.py:26,65); default keeps the bounded tanh.
+      ws.cvec(bi) = if (refDec) a else math.tanh(a)
       bi += 1
     }
-    stackForward(p, d, ws.dec, decBase, decGate, decIn, ws.cvec, 0,
+    // refDec: inflate the code through decoder_fc to H and repeat THAT
+    // as the decoder-LSTM input (deep_learning_models.py:30,72-74).
+    val decX0 = if (refDec) {
+      var i = 0
+      while (i < h) {
+        var a = p(oDecFc + h * b + i)
+        var j = 0
+        while (j < b) { a += p(oDecFc + i * b + j) * ws.cvec(j); j += 1 }
+        ws.dvec(i) = a
+        i += 1
+      }
+      ws.dvec
+    } else ws.cvec
+    stackForward(p, d, ws.dec, decBase, decGate, decIn, decX0, 0,
       dropP, maskBase, 1, ws.decDropH, ws.decScale)
     val topDec = ws.dec(nl - 1)
     var loss = 0.0
@@ -467,11 +504,13 @@ object LstmAutoencoder {
     import d._
     val loss = forwardLoss(p, x, d, ws, dropP, maskBase)
     java.util.Arrays.fill(ws.dcvec, 0.0)
+    if (refDec) java.util.Arrays.fill(ws.ddvec, 0.0)
     // Decoder stack backward; the output layer's gradient is injected
     // into the top decoder layer at every step (and Wo/bo grads
     // accumulate on the same visit).
     val topDec = ws.dec(nl - 1)
-    stackBackward(p, grad, d, ws.dec, decBase, decGate, decIn, ws.cvec, 0,
+    stackBackward(p, grad, d, ws.dec, decBase, decGate, decIn,
+      if (refDec) ws.dvec else ws.cvec, 0,
       inject = (t, dh) => {
         var fi = 0
         while (fi < f) {
@@ -486,15 +525,35 @@ object LstmAutoencoder {
           fi += 1
         }
       },
-      injectTopOnlyLast = false, dx0 = ws.dcvec, dx0Stride = 0, ws = ws,
+      injectTopOnlyLast = false,
+      dx0 = if (refDec) ws.ddvec else ws.dcvec, dx0Stride = 0, ws = ws,
       dropP = dropP, dropH = ws.decDropH, dropScale = ws.decScale)
+    // refDec: chain the decoder-input grads back through decoder_fc —
+    // dcvec = Wd^T ddvec, accumulating Wd/bd grads on the visit.
+    if (refDec) {
+      var i = 0
+      while (i < h) {
+        val dv = ws.ddvec(i)
+        var j = 0
+        while (j < b) {
+          grad(oDecFc + i * b + j) += dv * ws.cvec(j)
+          ws.dcvec(j) += p(oDecFc + i * b + j) * dv
+          j += 1
+        }
+        grad(oDecFc + h * b + i) += dv
+        i += 1
+      }
+    }
     // Bottleneck backward -> d(loss)/d(top-encoder h_L), injected into
-    // the top encoder layer at the LAST step only.
+    // the top encoder layer at the LAST step only. Under refDec the
+    // latent is linear, so the tanh' factor collapses to 1.
     val topEnc = ws.enc(nl - 1)
     val dhL = new Array[Double](h)
     var bi = 0
     while (bi < b) {
-      val dcb = ws.dcvec(bi) * (1 - ws.cvec(bi) * ws.cvec(bi))
+      val dcb =
+        if (refDec) ws.dcvec(bi)
+        else ws.dcvec(bi) * (1 - ws.cvec(bi) * ws.cvec(bi))
       var j = 0
       while (j < h) {
         grad(oBott + bi * h + j) += dcb * topEnc.hs(l * h + j)
@@ -597,7 +656,8 @@ object LstmAutoencoder {
              bottleneck: Int = 4, epochs: Int = 8, lr: Double = 0.1,
              seed: Long = 42L, flagFactor: Double = 4.0,
              trainPartitions: Int = 8, nLayers: Int = 1,
-             optimizer: String = "sgd", dropout: Double = 0.0): DataFrame = {
+             optimizer: String = "sgd", dropout: Double = 0.0,
+             referenceDecoder: Boolean = false): DataFrame = {
     // Null targets dropped BEFORE windowing (collect_list silently skips
     // nulls, which would misalign windows); fill first to impute instead.
     val seqs = TimeSeriesOps.sequences(
@@ -605,7 +665,8 @@ object LstmAutoencoder {
           .withColumn("__t", col(target).cast(DoubleType)),
         keys, order, "__t", seqLen, "seq")
       .drop("__t")
-    runDetect(seqs, LstmDims(1, seqLen, hidden, bottleneck, nLayers),
+    runDetect(seqs,
+      LstmDims(1, seqLen, hidden, bottleneck, nLayers, referenceDecoder),
       keys, order, epochs, lr, seed, flagFactor, trainPartitions, optimizer,
       dropout)
   }
@@ -621,7 +682,8 @@ object LstmAutoencoder {
                   bottleneck: Int = 4, epochs: Int = 8, lr: Double = 0.1,
                   seed: Long = 42L, flagFactor: Double = 4.0,
                   trainPartitions: Int = 8, nLayers: Int = 1,
-                  optimizer: String = "sgd", dropout: Double = 0.0): DataFrame = {
+                  optimizer: String = "sgd", dropout: Double = 0.0,
+                  referenceDecoder: Boolean = false): DataFrame = {
     require(featureCols.nonEmpty, "detectMulti needs at least one feature column")
     // Rows with any null feature dropped before windowing (a null element
     // would unbox to a silent 0.0); callers wanting imputation fill first.
@@ -632,7 +694,9 @@ object LstmAutoencoder {
       .drop("__fv")
       .withColumn("seq", flatten(col("seqv")))
       .drop("seqv")
-    runDetect(seqs, LstmDims(featureCols.length, seqLen, hidden, bottleneck, nLayers),
+    runDetect(seqs,
+      LstmDims(featureCols.length, seqLen, hidden, bottleneck, nLayers,
+        referenceDecoder),
       keys, order, epochs, lr, seed, flagFactor, trainPartitions, optimizer,
       dropout)
   }

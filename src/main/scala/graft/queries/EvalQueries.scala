@@ -1521,6 +1521,18 @@ object EvalQueries {
         .orderBy("component_size")
     },
 
+    // COLD twin of customer_components: evicts the session memo first so
+    // every run (every bench rep) pays the full fixpoint, making the
+    // one-time cost machine-readable in BENCH instead of prose in
+    // SCALING.md (r11 verdict item 5). Same output, same oracle; the two
+    // warm entries keep measuring the amortized readout path.
+    "customer_components_cold" -> { (s, d) =>
+      evictCoPurchaseMemo(s, d)
+      coPurchaseComponents(s, d)
+        .select(col("id").as("c_custkey"), col("lbl").as("component_id"))
+        .orderBy("c_custkey")
+    },
+
     // Uplift report (T-learner on bins): difference in outcome rate
     // between treated (weekend) and control (weekday) per value band —
     // the heterogeneous-treatment-effect readout next to events_cuped /
@@ -1809,9 +1821,25 @@ object EvalQueries {
     */
   private val coPurchaseMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def coPurchaseComponents(s: SparkSession, d: String): DataFrame =
+  private def coPurchaseComponents(s: SparkSession, d: String): DataFrame = {
+    // Purge entries owned by STOPPED sessions on every access (ADVICE
+    // r11): without this the map pins localCheckpoint'ed RDD blocks for
+    // the JVM lifetime after their session is gone. Live-session entries
+    // stay — that amortization is the point of the memo.
+    val it = coPurchaseMemo.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     coPurchaseMemo.computeIfAbsent((s, d), _ =>
       graft.operators.GraphOps.minLabelPropagate(coPurchaseEdges(s, d)))
+  }
+
+  /** Drop the memoized components fixpoint for (s, d) so the next
+    * [[coPurchaseComponents]] call pays the FULL cold cost. Exists for
+    * the `customer_components_cold` bench entry (r11 verdict item 5: the
+    * memo made the components pair's BENCH numbers readout-only, hiding
+    * the one-time fixpoint cost from the machine-readable artifact).
+    */
+  private[graft] def evictCoPurchaseMemo(s: SparkSession, d: String): Unit =
+    coPurchaseMemo.remove((s, d))
 
   /** DuckDB CTE block shared by the co-purchase component oracles:
     * emits `lab(id, lbl)` — the min-reachable-id closure over the same
@@ -2617,6 +2645,11 @@ object EvalQueries {
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
 
     "customer_components" ->
+      s"""$coPurchaseLabCte
+         |SELECT id AS c_custkey, lbl AS component_id FROM lab
+         |ORDER BY c_custkey""".stripMargin,
+
+    "customer_components_cold" ->
       s"""$coPurchaseLabCte
          |SELECT id AS c_custkey, lbl AS component_id FROM lab
          |ORDER BY c_custkey""".stripMargin,

@@ -204,7 +204,7 @@ object InferenceQueries {
         lit(3.0) * bD * (kD + 1.0)
       agg.select(col("b").as("n_blocks"), col("kk").as("k_groups"),
         round4(chi2).as("chi2_f"),
-        round4(chi2 / (bD * (kD - 1.0))).as("kendall_w"))
+        round4(CleanFunctions.safeDiv(chi2, bD * (kD - 1.0))).as("kendall_w"))
     },
 
     // Brown–Forsythe (median-centered Levene) homogeneity-of-variance
@@ -862,7 +862,7 @@ object InferenceQueries {
          |  CAST(kk AS DOUBLE) AS kd FROM a)
          |SELECT b AS n_blocks, kk AS k_groups,
          |  ${round4Sql(chi2)} AS chi2_f,
-         |  ${round4Sql(s"($chi2) / (bd * (kd - 1.0))")} AS kendall_w
+         |  ${round4Sql(s"($chi2) / nullif(bd * (kd - 1.0), 0.0)")} AS kendall_w
          |FROM c""".stripMargin
     },
 

@@ -57,6 +57,13 @@ object TimeSeriesQueries {
     */
   private val DtwLbTheta = 45.0
 
+  /** Block-size fence for ts_dtw_lbkeogh's SAX-word candidate blocks:
+    * a word shared by more than this many series is dropped whole (the
+    * dedup df-fence posture), bounding the pair stage at
+    * O(DtwMaxBlock × series), never corpus².
+    */
+  private val DtwMaxBlock = 64L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_time_features" -> { (s, d) =>
       TS.addTimeFeatures(Tables.events(s, d), "ts")
@@ -935,38 +942,63 @@ object TimeSeriesQueries {
         .orderBy("ua", "ub")
     },
 
-    // LOWER-BOUND-pruned DTW — the shape that makes elastic similarity
-    // search survive scale: a cheap O(n) lower bound (LB_Keogh family)
-    // fences the O(n²) DP so exact DTW runs only on pairs that could
-    // possibly be close. The bound here is valid for UNCONSTRAINED DTW:
-    // max of (a) the global-envelope bound per side — every x_i must
-    // align with SOME y_j, so its cost is at least its distance to
-    // [min(y), max(y)] (LB_Keogh with the full-width band, the r that is
-    // sound without a Sakoe-Chiba constraint) — and (b) the endpoint
-    // bound |x_1−y_1| + |x_n−y_n| (the warping path MUST contain both
-    // corner cells). Sums are 7 explicit left-associated adds so both
-    // engines build the identical float tree; pruned pairs emit a NULL
-    // dtw (the pruning is the observable, not a dropped row). The
-    // LB ≤ DTW property is spec-asserted on randomized inputs.
+    // LOWER-BOUND-pruned DTW with SAX-WORD-BLOCKED candidates — the
+    // full corpus-scale elastic-similarity shape: (1) candidate pairs
+    // come from a BUCKETED EQUI-JOIN (series sharing a 4-symbol SAX
+    // word over their min-max-normalized weekly profile — the same
+    // blocked posture as dedup_minhash_lsh; no panel sampling, no
+    // theta-join), with a block-size fence (≤ DtwMaxBlock series per
+    // word) so pairs are O(Σ block²), never corpus²; (2) a cheap O(n)
+    // lower bound (LB_Keogh family) fences the O(n²) DP so exact DTW
+    // runs only on pairs that could possibly be close. The bound is
+    // valid for UNCONSTRAINED DTW: max of (a) the global-envelope bound
+    // per side — every x_i must align with SOME y_j, so its cost is at
+    // least its distance to [min(y), max(y)] — and (b) the endpoint
+    // bound |x_1−y_1| + |x_n−y_n| (the path MUST contain both corner
+    // cells). The word uses min-max binning (not Gaussian breakpoints):
+    // the round4-pinned profile min/max make each symbol an identical
+    // IEEE comparison in both engines, with no z-score tree or std=0
+    // null path to drift. Envelope sums are 7 explicit left-associated
+    // adds; pruned pairs emit a NULL dtw (pruning is the observable,
+    // not a dropped row). LB ≤ DTW is spec-asserted on random inputs.
     "ts_dtw_lbkeogh" -> { (s, d) =>
       import org.apache.spark.sql.graft.VectorExpressions
       val prof = Tables.events(s, d)
-        .where(col("value").isNotNull && col("user_id") % 10 === 0)
+        .where(col("value").isNotNull)
         .groupBy(col("user_id"), weekday(col("ts")).cast("long").as("dow"))
         .agg(CleanFunctions.round4(CleanFunctions.exactMean(col("value"))).as("m"))
         .groupBy("user_id")
         .agg(sort_array(collect_list(struct(col("dow"), col("m")))).as("p"))
         .where(size(col("p")) === 7)
-        .select(col("user_id"), expr("transform(p, x -> x.m)").as("a"),
-          array_min(expr("transform(p, x -> x.m)")).as("mn"),
-          array_max(expr("transform(p, x -> x.m)")).as("mx"))
+        .select(col("user_id"), expr("transform(p, x -> x.m)").as("a"))
+        .withColumn("mn", array_min(col("a")))
+        .withColumn("mx", array_max(col("a")))
+        .withColumn("wd", col("mx") - col("mn"))
+      // 3-letter symbol per PAA segment: position within [mn, mx] thirds.
+      def sym(e: org.apache.spark.sql.Column) =
+        when(e - col("mn") < col("wd") / 3.0, "a")
+          .when(e - col("mn") < col("wd") * 2.0 / 3.0, "b")
+          .otherwise("c")
+      def a(i: Int) = element_at(col("a"), i)
+      val words = prof.withColumn("word", concat(
+        sym((a(1) + a(2)) * 0.5), sym((a(3) + a(4)) * 0.5),
+        sym((a(5) + a(6)) * 0.5), sym(a(7)))).drop("wd")
+      // Block fence: words shared by more than DtwMaxBlock series are
+      // dropped whole (the dedup df-fence contract) — a degenerate word
+      // cannot emit O(block²) pairs at any corpus size.
+      val fence = words.groupBy("word").agg(count(lit(1)).as("bn"))
+        .where(col("bn") >= 2L && col("bn") <= DtwMaxBlock)
+        .select("word")
+      val blocked = words.join(fence, "word")
       def lbEnv(xa: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
                 mx: org.apache.spark.sql.Column) =
         (1 to 7).map(i =>
           greatest(lit(0.0), element_at(xa, i) - mx, mn - element_at(xa, i)))
           .reduce(_ + _)
-      val paired = prof.as("x").join(prof.as("y"), col("x.user_id") < col("y.user_id"))
+      val paired = blocked.as("x").join(blocked.as("y"),
+          col("x.word") === col("y.word") && col("x.user_id") < col("y.user_id"))
         .select(col("x.user_id").as("ua"), col("y.user_id").as("ub"),
+          col("x.word").as("word"),
           col("x.a").as("a"), col("y.a").as("b"),
           CleanFunctions.round4(greatest(
             lbEnv(col("x.a"), col("y.mn"), col("y.mx")),
@@ -974,7 +1006,7 @@ object TimeSeriesQueries {
             abs(element_at(col("x.a"), 1) - element_at(col("y.a"), 1)) +
               abs(element_at(col("x.a"), 7) - element_at(col("y.a"), 7)))).as("lb"))
       paired
-        .select(col("ua"), col("ub"), col("lb"),
+        .select(col("ua"), col("ub"), col("word"), col("lb"),
           when(col("lb") <= lit(DtwLbTheta), CleanFunctions.round4(
             VectorExpressions.dtwDistance(col("a"), col("b")))).as("dtw"))
         .orderBy("ua", "ub")
@@ -1098,8 +1130,8 @@ object TimeSeriesQueries {
           col("n"), col("n11").as("n_both"),
           graft.functions.CleanFunctions.round4(po).as("po"),
           graft.functions.CleanFunctions.round4(pe).as("pe"),
-          graft.functions.CleanFunctions.round4(
-            (po - pe) / (lit(1.0) - pe)).as("kappa"))
+          graft.functions.CleanFunctions.round4(CleanFunctions.safeDiv(
+            po - pe, lit(1.0) - pe)).as("kappa"))
       }.reduce(_ unionByName _).orderBy("det_a", "det_b")
     },
 
@@ -1927,28 +1959,41 @@ object TimeSeriesQueries {
            |  LEFT JOIN $pm1 p2 ON p2.ua = p.ua AND p2.ub = p.ub AND p2.i = g.i AND p2.j = g.j - 1
            |  LEFT JOIN $pm2 p3 ON p3.ua = p.ua AND p3.ub = p.ub AND p3.i = g.i - 1 AND p3.j = g.j - 1)""".stripMargin
       }
-      // The envelope sums mirror the Spark side exactly: 7 explicit
-      // terms, left-associated adds, on the same round4-pinned profile.
+      // The envelope sums and the SAX word mirror the Spark side
+      // exactly: 7 explicit left-associated adds / per-segment CASE
+      // comparisons on the same round4-pinned profile.
       def lbEnv(xa: String, mn: String, mx: String) =
         (1 to 7).map(i => s"greatest(0.0, $xa[$i] - $mx, $mn - $xa[$i])")
           .mkString(" + ")
+      def symSql(e: String) =
+        s"CASE WHEN $e - mn < wd / 3.0 THEN 'a' " +
+          s"WHEN $e - mn < wd * 2.0 / 3.0 THEN 'b' ELSE 'c' END"
+      val wordSql = s"concat(${symSql("(a[1] + a[2]) * 0.5")}, " +
+        s"${symSql("(a[3] + a[4]) * 0.5")}, " +
+        s"${symSql("(a[5] + a[6]) * 0.5")}, ${symSql("a[7]")})"
       s"""WITH pr0 AS (SELECT user_id, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
          |  ${CleanFunctions.round4Sql(CleanFunctions.exactMeanSql("value"))} AS m
-         |  FROM events WHERE value IS NOT NULL AND user_id % 10 = 0 GROUP BY 1, 2),
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
          |pr1 AS (SELECT user_id, list(m ORDER BY dow) AS a FROM pr0
          |  GROUP BY 1 HAVING count(*) = 7),
-         |pe AS (SELECT user_id, a, list_aggregate(a, 'min') AS mn,
-         |  list_aggregate(a, 'max') AS mx FROM pr1),
+         |pe0 AS (SELECT user_id, a, list_aggregate(a, 'min') AS mn,
+         |  list_aggregate(a, 'max') AS mx,
+         |  list_aggregate(a, 'max') - list_aggregate(a, 'min') AS wd FROM pr1),
+         |pw AS (SELECT user_id, a, mn, mx, $wordSql AS word FROM pe0),
+         |fence AS (SELECT word FROM (
+         |  SELECT word, count(*) AS bn FROM pw GROUP BY word)
+         |  WHERE bn >= 2 AND bn <= $DtwMaxBlock),
+         |pe AS (SELECT pw.* FROM pw JOIN fence USING (word)),
          |pairs AS MATERIALIZED (SELECT x.user_id AS ua, y.user_id AS ub,
-         |  x.a AS a, y.a AS b,
+         |  x.word AS word, x.a AS a, y.a AS b,
          |  ${CleanFunctions.round4Sql(
               s"greatest(${lbEnv("x.a", "y.mn", "y.mx")}, " +
               s"${lbEnv("y.a", "x.mn", "x.mx")}, " +
               "abs(x.a[1] - y.a[1]) + abs(x.a[7] - y.a[7]))")} AS lb
-         |  FROM pe x JOIN pe y ON x.user_id < y.user_id),
+         |  FROM pe x JOIN pe y ON x.word = y.word AND x.user_id < y.user_id),
          |d0 AS MATERIALIZED (SELECT ua, ub, 0 AS i, 0 AS j, abs(a[1] - b[1]) AS c FROM pairs),
          |${ctes.mkString(",\n")}
-         |SELECT p.ua, p.ub, p.lb,
+         |SELECT p.ua, p.ub, p.word, p.lb,
          |  CASE WHEN p.lb <= $DtwLbTheta THEN ${CleanFunctions.round4Sql("d.c")} END AS dtw
          |FROM pairs p JOIN d12 d ON p.ua = d.ua AND p.ub = d.ub
          |ORDER BY p.ua, p.ub""".stripMargin
@@ -2077,7 +2122,7 @@ object TimeSeriesQueries {
         s"""SELECT det_a, det_b, n, n11 AS n_both,
            |  ${CleanFunctions.round4Sql(po)} AS po,
            |  ${CleanFunctions.round4Sql(pe)} AS pe,
-           |  ${CleanFunctions.round4Sql(s"(($po) - ($pe)) / (1.0 - ($pe))")} AS kappa
+           |  ${CleanFunctions.round4Sql(s"(($po) - ($pe)) / nullif(1.0 - ($pe), 0.0)")} AS kappa
            |FROM (SELECT '$a' AS det_a, '$b' AS det_b, count(*) AS n,
            |  count(CASE WHEN $ac = 1 THEN 1 END) AS a1,
            |  count(CASE WHEN $bc = 1 THEN 1 END) AS b1,

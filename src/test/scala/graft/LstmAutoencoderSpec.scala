@@ -58,6 +58,56 @@ class LstmAutoencoderSpec extends AnyFunSuite {
     assert(worst < 1e-3, s"worst relative gradient error $worst")
   }
 
+  test("referenceDecoder (linear latent + decoder_fc inflation) gradient matches finite differences") {
+    // The reference's EXACT decoder wiring (deep_learning_models.py:
+    // 26,30,64-74): linear encoder_fc latent, decoder_fc inflating the
+    // code to hidden_dim, the inflated vector repeated as decoder input.
+    // Stacked (nl=2) so the flag composes with inter-layer routing; the
+    // FD sweep covers the new Wd/bd block and the un-squashed bottleneck
+    // chain rule on every parameter.
+    val d = LstmDims(f = 2, l = 5, h = 4, b = 3, nl = 2, refDec = true)
+    assert(d.total > LstmDims(f = 2, l = 5, h = 4, b = 3, nl = 2).total,
+      "refDec must add the decoder_fc block to the layout")
+    val rng = new scala.util.Random(17)
+    val p = LstmAutoencoder.init(d, 3L).map(_ + (rng.nextDouble() - 0.5) * 0.2)
+    val x = Array.fill(d.l * d.f)((rng.nextDouble() - 0.5) * 2.0)
+    val grad = new Array[Double](d.total)
+    LstmAutoencoder.lossAndGrad(p, x, d, grad)
+    val eps = 1e-5
+    val scratch = new Array[Double](d.total)
+    (0 until d.total).foreach { k =>
+      val pk = p(k)
+      p(k) = pk + eps
+      val up = LstmAutoencoder.lossAndGrad(p, x, d, scratch)
+      p(k) = pk - eps
+      val dn = LstmAutoencoder.lossAndGrad(p, x, d, scratch)
+      p(k) = pk
+      val fd = (up - dn) / (2 * eps)
+      assert(math.abs(grad(k) - fd) <= 1e-6 + 1e-4 * math.abs(fd),
+        s"param $k: analytic ${grad(k)} vs finite-diff $fd")
+    }
+  }
+
+  test("referenceDecoder detector is deterministic and keeps the recall bar") {
+    def run() = LstmAutoencoder.detect(synthetic, Seq("user_id"),
+        Seq("ts", "event_id"), "value", seqLen = 24, hidden = 8,
+        bottleneck = 4, nLayers = 2, referenceDecoder = true)
+      .filter(col("is_anomaly") === 1L).select("event_id").as[Long].collect().toSet
+    val a = run()
+    assert(a == run(), "same data twice must flag identical windows")
+    assert(recall(a) >= 0.9,
+      s"reference-architecture recall ${recall(a)} below the bar")
+  }
+
+  test("default-mode layout and init are unchanged by the referenceDecoder extension") {
+    val base = LstmDims(f = 2, l = 5, h = 4, b = 3, nl = 2)
+    val p1 = LstmAutoencoder.init(base, 42L)
+    // The flagged layout differs; the DEFAULT stream must be untouched —
+    // same total, same bytes (historical models stay reproducible).
+    assert(base.oDec == base.oDecFc)
+    assert(java.util.Arrays.equals(p1, LstmAutoencoder.init(base, 42L)))
+  }
+
   test("STACKED (nl=2) BPTT gradient matches central finite differences on every parameter") {
     // The reference's LSTM_N_LAYERS=2 stack (config.py:29): the
     // inter-layer gradient routing (dxBuf) is exactly what the

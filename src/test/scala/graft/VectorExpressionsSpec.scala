@@ -288,6 +288,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val ids = tricky.agg(agg.topkDet(col("score"), col("id"), 7))
       .head().getSeq[Long](0).toList
     assert(ids == List(5L, 6L, 3L, 4L, 1L, 2L, 7L), s"got $ids")
+    // Regression pin for the NaN-canonicalization fix (r11, commit
+    // 12a1039): a SIGN-BIT NaN payload — the bit pattern parquet can
+    // deliver — has raw bits BELOW -Inf, so the pre-fix raw-bits key
+    // ranked it least instead of NaN-greatest. doubleToLongBits must
+    // canonicalize it to rank alongside canonical NaN (ties by id).
+    val signBitNaN = java.lang.Double.longBitsToDouble(0xFFF8000000000001L)
+    assert(signBitNaN.isNaN, "crafted bits must still be a NaN")
+    val payload = Seq(
+      (1L, signBitNaN), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+      (4L, Double.NegativeInfinity), (5L, -0.0), (6L, 0.0))
+      .toDF("id", "score")
+    val pids = payload.agg(agg.topkDet(col("score"), col("id"), 6))
+      .head().getSeq[Long](0).toList
+    assert(pids == List(1L, 2L, 3L, 5L, 6L, 4L), s"got $pids")
     // All-null group -> empty array, never null.
     val nulls = Seq((1L, Option.empty[Double])).toDF("id", "score")
     assert(nulls.agg(agg.topkDet(col("score"), col("id"), 3))

@@ -15,14 +15,32 @@ Null count is compared per column, and null positions participate in the
 row-wise pandas check as before (NaN vs null stays distinct at the arrow
 layer via null-count equality plus bitwise value compare over non-nulls).
 
-Usage: parity.py SF_DIR OUT_DIR [name1,name2,...]
+Usage: parity.py [--json OUT.json] SF_DIR OUT_DIR [name1,name2,...]
+
+--json OUT.json additionally writes a driver-format record
+  {name: {"rows_match": bool, "schema_match": bool, "hash_match": bool,
+          "err": str|None}}
+so the round's correctness record survives even when the driver's own
+CORRECTNESS_r{N}.json comes back empty (observed r10 and r11). Commit the
+output as CORRECTNESS_LOCAL_r{N}.json (VERDICT r11 "Next round" #1).
 """
 import sys, json, glob, os
 import duckdb, pandas as pd, numpy as np
 import pyarrow as pa
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+argv = sys.argv[1:]
+json_out = None
+if argv and argv[0] == "--json":
+    json_out = argv[1]
+    argv = argv[2:]
+sf_dir, out_dir = argv[0], argv[1]
+only = set(argv[2].split(",")) if len(argv) > 2 else None
+record = {}
+
+
+def rec(name, rows=False, schema=False, hsh=False, err=None):
+    record[name] = {"rows_match": rows, "schema_match": schema,
+                    "hash_match": hsh, "err": err}
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     p = f"{sf_dir}/{t}.parquet"
@@ -56,17 +74,22 @@ for name in names:
         got_t = con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetch_arrow_table()
     except Exception as e:
-        print(f"FAIL {name}: cannot read spark output: {e}"); fails += 1; continue
+        print(f"FAIL {name}: cannot read spark output: {e}"); fails += 1
+        rec(name, err=f"cannot read spark output: {e}"); continue
     if name not in oracle:
-        print(f"SKIP {name}: no oracle (rows={got_t.num_rows})"); continue
+        print(f"SKIP {name}: no oracle (rows={got_t.num_rows})")
+        rec(name, rows=got_t.num_rows > 0, err="SKIP: declared no-oracle (rows-only check)"); continue
     try:
         exp_t = con.execute(oracle[name]).fetch_arrow_table()
     except Exception as e:
-        print(f"FAIL {name}: oracle SQL error: {str(e).splitlines()[0][:160]}"); fails += 1; continue
+        msg = f"oracle SQL error: {str(e).splitlines()[0][:160]}"
+        print(f"FAIL {name}: {msg}"); fails += 1; rec(name, err=msg); continue
 
     cols = sorted(got_t.column_names)
     if cols != sorted(exp_t.column_names):
-        print(f"FAIL {name}: columns {cols} != {sorted(exp_t.column_names)}"); fails += 1; continue
+        print(f"FAIL {name}: columns {cols} != {sorted(exp_t.column_names)}"); fails += 1
+        rec(name, rows=got_t.num_rows == exp_t.num_rows,
+            err=f"columns {cols} != {sorted(exp_t.column_names)}"); continue
 
     # --- 1. typed schema compare (driver's hash is typed) ---
     bad = None
@@ -76,10 +99,12 @@ for name in names:
             bad = f"col {c} TYPE spark={gt} oracle={et}"
             break
     if bad:
-        print(f"FAIL {name}: {bad}"); fails += 1; continue
+        print(f"FAIL {name}: {bad}"); fails += 1
+        rec(name, rows=got_t.num_rows == exp_t.num_rows, err=bad); continue
 
     if got_t.num_rows != exp_t.num_rows:
-        print(f"FAIL {name}: rows {got_t.num_rows} != {exp_t.num_rows}"); fails += 1; continue
+        print(f"FAIL {name}: rows {got_t.num_rows} != {exp_t.num_rows}"); fails += 1
+        rec(name, schema=True, err=f"rows {got_t.num_rows} != {exp_t.num_rows}"); continue
 
     # --- 2. per-column null-count + bitwise multiset compare ---
     for c in cols:
@@ -95,7 +120,8 @@ for name in names:
             bad = f"col {c} BITWISE mismatch ({detail})"
             break
     if bad:
-        print(f"FAIL {name}: {bad}"); fails += 1; continue
+        print(f"FAIL {name}: {bad}"); fails += 1
+        rec(name, rows=True, schema=True, err=bad); continue
 
     # --- 3. legacy row-wise compare (cross-column row integrity) ---
     got = got_t.to_pandas()
@@ -123,7 +149,13 @@ for name in names:
             break
     if bad:
         print(f"FAIL {name}: {bad}"); fails += 1
+        rec(name, rows=True, schema=True, err=bad)
     else:
         print(f"OK   {name}: {got_t.num_rows} rows")
+        rec(name, rows=True, schema=True, hsh=True)
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out} ({len(record)} entries)")
 print(f"\n{len(names)-fails}/{len(names)} pass")
 sys.exit(1 if fails else 0)
