@@ -110,7 +110,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedNames,"queries":$full,"sf":"$sfDir"}"""
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Partial runs (name args given) must not clobber the committed
+    // full-suite artifact — they default to BENCH_PARTIAL.json instead.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (fullLine + "\n").getBytes("UTF-8"))

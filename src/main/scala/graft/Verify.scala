@@ -8,15 +8,22 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional query-name filter for debugging
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER lets the same dump run under local-cluster[...]
+    // (separate executor JVMs — exercises executor-side serialization and
+    // broadcast lifecycle that single-JVM local[n] cannot); pair it with
+    // SPARK_GRAFT_JARS pointing at the packaged repo jar so the executor
+    // processes can load the engine classes.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is INT64 TIMESTAMP(NANOS); set at session build rather
       // than as a side effect of Tables.events (see Tables.scala).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

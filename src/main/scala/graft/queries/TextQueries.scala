@@ -52,6 +52,19 @@ object TextQueries {
   private val BmIdfFloor = 0.05
   private val BmTopK = 10
 
+  /** BM25 query-batch cap: query docs are `doc_id % 100 == 0 AND doc_id
+    * < BmQueryCap` — the cap makes the batch a BOUNDED contract (≤50
+    * queries) instead of corpus-proportional. Without it the r12 decade
+    * study measured slope 1.77 at 10x sf0.1: with queries ∝ corpus the
+    * scoring join is queries×postings ≈ quadratic (amplified by this
+    * testdata's 31-word vocab — every posting list is corpus-length).
+    * Document-at-a-time scoring is linear in the corpus only when the
+    * query batch is fixed, which is also the real retrieval workload
+    * (queries don't grow because the corpus did). No-op at the committed
+    * sfs (max doc_id 4999 at sf0.1), so oracle hashes are unchanged.
+    */
+  private val BmQueryCap = 5000L
+
   /** Temperature exponent for source-mix sampling weights (mBERT's
     * alpha=0.7). The SQL twin interpolates the exact double literal.
     */
@@ -254,6 +267,78 @@ object TextQueries {
         .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
           CleanFunctions.round4(col("n_bpe_tokens").cast(org.apache.spark.sql.types.DoubleType)
             / col("n_words").cast(org.apache.spark.sql.types.DoubleType)).as("bpe_per_word"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer FERTILITY report per language — the tokenizer-eval
+    // readout next to text_bpe_encode (tokens/char and chars/token under
+    // the learned BPE vocabulary, per language): high fertility for a
+    // language means its text costs more tokens per character, the
+    // metric that drives vocab-size and mix decisions in LLM data
+    // pipelines. Char mass comes straight from the docs table (one tiny
+    // grouped agg); token mass reuses the SAME bpeLearn merge table as
+    // train/encode (no drift possible); the only corpus-scale stage is
+    // the token-vs-O(vocab)-symbol-table join, map-side partial sums.
+    "text_token_fertility" -> { (s, d) =>
+      val vocab = bpeLearn(s, d)._2
+      val perWord = vocab.select(col("w"),
+        size(expr("filter(split(sym, '·'), x -> x != '')"))
+          .cast(org.apache.spark.sql.types.LongType).as("n_sym"))
+      val docs = Tables.documents(s, d)
+      val chars = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val toks = docs
+        .select(col("lang"), explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+        .join(perWord, "w")
+        .groupBy("lang").agg(sum(col("n_sym")).as("n_bpe_tokens"))
+      chars.join(toks, "lang")
+        .select(col("lang"), col("n_docs"), col("n_bpe_tokens"), col("n_chars"),
+          CleanFunctions.round4(col("n_bpe_tokens").cast(DoubleType)
+            / col("n_chars").cast(DoubleType)).as("tokens_per_char"),
+          CleanFunctions.round4(col("n_chars").cast(DoubleType)
+            / col("n_bpe_tokens").cast(DoubleType)).as("chars_per_token"))
+        .orderBy("lang")
+    },
+
+    // DSIR-style importance weighting for domain-targeted data selection
+    // (Xie et al. 2023, "Data Selection for Language Models via
+    // Importance Resampling" — arXiv:2302.03169): fit a smoothed unigram
+    // LM on the TARGET domain (the src0 slice) and on the full corpus
+    // (background), score every doc by its mean per-token log importance
+    // ratio ln(p_tgt/p_bg). Positive weight = more target-like than the
+    // corpus at large; `selected = weight > 0` is a pure PER-DOC
+    // decision (no global sort / percentile state — the posture that
+    // survives 100 TB; callers wanting a quota instead compose with
+    // text_sample_weighted). Same LM-join shape as text_crossentropy:
+    // both LMs are O(vocab) grouped aggs, N/V a 1-row broadcast, the
+    // corpus-scale stage is one token-vs-vocab join with map-side
+    // partial sums. Add-1 smoothing over the BACKGROUND vocab on both
+    // sides so out-of-target words get a finite negative ratio; per-token
+    // ratios are 6dp-pinned before the exact DECIMAL doc sum.
+    "text_dsir_weights" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val docToks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      val bg = docToks.groupBy("tok").agg(count(lit(1)).as("cb"))
+      val tgt = docs.where(col("source") === "src0")
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("ct"))
+      val scal = bg.agg(sum(col("cb")).as("tb"), count(lit(1)).as("vv"))
+        .crossJoin(tgt.agg(sum(col("ct")).as("tt")))
+      val lm = bg.join(tgt, Seq("tok"), "left")
+      docToks.join(lm, "tok")
+        .crossJoin(broadcast(scal))
+        .withColumn("lr", CleanFunctions.round6(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1L)).cast(DoubleType)
+            / (col("tt") + col("vv")).cast(DoubleType))
+            / ((col("cb") + lit(1L)).cast(DoubleType)
+              / (col("tb") + col("vv")).cast(DoubleType)))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          CleanFunctions.round4(
+            CleanFunctions.exactSum(col("lr")) / count(lit(1))).as("dsir_w"))
+        .withColumn("selected",
+          (col("dsir_w") > lit(0.0)).cast(org.apache.spark.sql.types.LongType))
         .orderBy("doc_id")
     },
 
@@ -682,7 +767,7 @@ object TextQueries {
           col("idf") * (col("tf").cast(DoubleType) * lit(BmK1 + 1.0)) /
             (col("tf").cast(DoubleType) + lit(BmK1) * (lit(1.0 - BmB) +
               lit(BmB) * col("dl").cast(DoubleType) / col("avgdl")))).as("w"))
-      val qterms = tf.where(col("doc_id") % 100 === 0)
+      val qterms = tf.where(col("doc_id") % 100 === 0 && col("doc_id") < BmQueryCap)
         .select(col("doc_id").as("q_id"), col("term"))
       // Broadcast the query-term side: scoring then runs map-side over
       // the weights partitions with partial aggregation before the
@@ -1351,6 +1436,45 @@ object TextQueries {
            |FROM dt LEFT JOIN lm USING (tok) CROSS JOIN sc
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+      "text_token_fertility" ->
+        s"""WITH $bpeSqlCtes,
+           |pw AS MATERIALIZED (
+           |  SELECT w, CAST(len(list_filter(string_split(sym, '·'), x -> x <> '')) AS BIGINT) AS n_sym
+           |  FROM v8),
+           |dw AS (
+           |  SELECT lang, unnest(${TextFunctions.tokensSql("lower(text)")}) AS w
+           |  FROM documents),
+           |tk AS (SELECT lang, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+           |  FROM dw JOIN pw USING (w) GROUP BY lang),
+           |ch AS (SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY lang)
+           |SELECT lang, n_docs, n_bpe_tokens, n_chars,
+           |  ${CleanFunctions.round4Sql(
+              "CAST(n_bpe_tokens AS DOUBLE) / CAST(n_chars AS DOUBLE)")} AS tokens_per_char,
+           |  ${CleanFunctions.round4Sql(
+              "CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)")} AS chars_per_token
+           |FROM ch JOIN tk USING (lang) ORDER BY lang""".stripMargin,
+
+      "text_dsir_weights" ->
+        s"""WITH dt AS (SELECT doc_id, unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok
+           |  FROM documents),
+           |bg AS (SELECT tok, count(*) AS cb FROM dt GROUP BY tok),
+           |tg AS (SELECT tok, count(*) AS ct FROM (
+           |    SELECT unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok
+           |    FROM documents WHERE source = 'src0') GROUP BY tok),
+           |sc AS (SELECT b.tb, b.vv, t.tt FROM
+           |  (SELECT sum(cb) AS tb, count(*) AS vv FROM bg) b
+           |  CROSS JOIN (SELECT sum(ct) AS tt FROM tg) t),
+           |lm AS (SELECT bg.tok, bg.cb, tg.ct FROM bg LEFT JOIN tg USING (tok)),
+           |dl AS (SELECT doc_id,
+           |  round((ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE) / CAST(tt + vv AS DOUBLE)) / (CAST(cb + 1 AS DOUBLE) / CAST(tb + vv AS DOUBLE)))) * 1000000.0) / 1000000.0 AS lr
+           |  FROM dt JOIN lm USING (tok) CROSS JOIN sc),
+           |w AS (SELECT doc_id, count(*) AS n_tok,
+           |  ${CleanFunctions.round4Sql(CleanFunctions.exactSumSql("lr") + " / count(*)")} AS dsir_w
+           |  FROM dl GROUP BY doc_id)
+           |SELECT doc_id, n_tok, dsir_w, CAST(dsir_w > 0.0 AS BIGINT) AS selected
+           |FROM w ORDER BY doc_id""".stripMargin,
+
       "text_sample_stratified" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${CleanFunctions.md5Hash64Sql("'sample:' || doc_id")} % 100 <
@@ -1484,7 +1608,8 @@ object TextQueries {
            |wts AS (SELECT tf.doc_id, tf.term, ${CleanFunctions.round6Sql(
                 s"idf * (CAST(tf AS DOUBLE) * ${BmK1 + 1.0}) / (CAST(tf AS DOUBLE) + $BmK1 * (${1.0 - BmB} + $BmB * CAST(dl AS DOUBLE) / avgdl))")} AS w
            |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), ad),
-           |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id % 100 = 0),
+           |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM tok
+           |  WHERE doc_id % 100 = 0 AND doc_id < $BmQueryCap),
            |sc AS (SELECT q.q_id, w.doc_id, sum(CAST(w.w AS DECIMAL(18,6))) AS sdec
            |  FROM qt q JOIN wts w USING (term) WHERE w.doc_id <> q.q_id GROUP BY 1, 2)
            |SELECT q_id, doc_id, ${CleanFunctions.round4Sql("CAST(sdec AS DOUBLE)")} AS score, rk
