@@ -62,7 +62,11 @@ object PlanAudit {
     // makes "the caller provides a bounded query batch" a contract
     // instead of a comment — a corpus-proportional batch fails loudly at
     // plan time, not as an executor OOM at 100x.
-    "text_bm25_topk" -> "bm25-query-batch")
+    "text_bm25_topk" -> "bm25-query-batch",
+    // The RBO ranker-ablation eval shares the BM25 batch shape: the
+    // (q_id, term) query side descends from the same checkpointed tf
+    // frame and carries the same bounded-batch contract.
+    "text_rank_rbo" -> "rbo-query-batch")
 
   /** Queries whose SortMergeJoin-without-any-broadcast plan is the
     * CORRECT scale shape, not a missed broadcast:

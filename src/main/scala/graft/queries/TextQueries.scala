@@ -65,6 +65,16 @@ object TextQueries {
     */
   private val BmQueryCap = 5000L
 
+  /** RBO truncation depth and persistence, plus the per-depth weights
+    * (1−p)·p^(d−1)/d PRECOMPUTED as Scala doubles so the identical bit
+    * patterns are injected into both the Spark plan and the DuckDB
+    * oracle (runtime pow() would differ by libm ulps across engines).
+    */
+  private val RboK = 10
+  private val RboP = 0.9
+  private val RboWeights: Seq[(Int, Double)] =
+    (1 to RboK).map(d => (d, (1 - RboP) * math.pow(RboP, d - 1) / d))
+
   /** Temperature exponent for source-mix sampling weights (mBERT's
     * alpha=0.7). The SQL twin interpolates the exact double literal.
     */
@@ -340,6 +350,73 @@ object TextQueries {
         .withColumn("selected",
           (col("dsir_w") > lit(0.0)).cast(org.apache.spark.sql.types.LongType))
         .orderBy("doc_id")
+    },
+
+    // Rank-biased overlap (Webber et al. 2010, truncated at k=10, p=0.9)
+    // between two rankers over the SAME candidate pool — the
+    // ranker-ablation eval of retrieval pipelines (how much does adding
+    // idf weighting actually change what the user sees?). Ranker A
+    // scores a candidate by the idf mass of its shared query terms,
+    // ranker B by raw shared term frequency; RBO = (1−p)·Σ_d p^(d−1)
+    // X_d/d where X_d = |topA_1..d ∩ topB_1..d|. X_d is computed
+    // without any prefix materialization: an item in both top-10s
+    // enters the intersection at depth max(ra, rb), so X_d = #{items:
+    // max(ra,rb) ≤ d} — one join of the two rank frames + a 10-row
+    // depth spine. The depth weights are Scala-computed double literals
+    // injected VERBATIM into both engines (no runtime pow() — libm ulp
+    // drift would break bitwise parity). Query batch reuses the bounded
+    // BmQueryCap contract; scale shape = the BM25 document-at-a-time
+    // posting join, then per-query O(k²) arithmetic.
+    "text_rank_rbo" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tf = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .withColumn("idf", CleanFunctions.round6(log(lit(n.toDouble) / col("df"))))
+      val q = tf.where(col("doc_id") % 100 === 0 && col("doc_id") < BmQueryCap)
+        .select(col("doc_id").as("q_id"), col("term"))
+      val scored = graft.operators.JoinOps
+        .boundedBroadcast(q, 1000000L, "rbo-query-batch")
+        .join(tf.join(idf, "term"), "term")
+        .where(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(CleanFunctions.exactSum(col("idf")).as("sa"), sum(col("tf")).as("sb"))
+        .localCheckpoint()
+      val wa = Window.partitionBy("q_id").orderBy(desc("sa"), col("doc_id"))
+      val wb = Window.partitionBy("q_id").orderBy(desc("sb"), col("doc_id"))
+      val topA = scored.withColumn("ra", row_number().over(wa)).where(col("ra") <= RboK)
+        .select("q_id", "doc_id", "ra")
+      val topB = scored.withColumn("rb", row_number().over(wb)).where(col("rb") <= RboK)
+        .select("q_id", "doc_id", "rb")
+      // topB / rbo are bounded by construction (≤ batch × k rows — the
+      // batch is capped, so these are static small-side contracts like
+      // the interval tables in JoinOps.rangeJoin, not corpus hints).
+      val both = topA.join(broadcast(topB), Seq("q_id", "doc_id"))
+        .select(col("q_id"), greatest(col("ra"), col("rb")).as("mr"))
+      val terms = both
+        .select(col("q_id"), col("mr"), explode(sequence(lit(1), lit(RboK))).as("dd"))
+        .where(col("mr") <= col("dd"))
+        .groupBy("q_id", "dd").agg(count(lit(1)).as("xd"))
+      val wCase = RboWeights.tail.foldLeft(
+        when(col("dd") === 1, lit(RboWeights.head._2))) {
+        case (c, (dd, w)) => c.when(col("dd") === dd, lit(w))
+      }
+      val rbo = terms
+        .select(col("q_id"), col("dd"), col("xd"),
+          CleanFunctions.round6(wCase * col("xd").cast(DoubleType)).as("term"))
+        .groupBy("q_id")
+        .agg(max(when(col("dd") === RboK, col("xd"))).as("n_common"),
+          CleanFunctions.round4(CleanFunctions.exactSum(col("term"))).as("rbo"))
+      scored.select("q_id").distinct()
+        .join(broadcast(rbo), Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          coalesce(col("rbo"), lit(0.0)).as("rbo"))
+        .orderBy("q_id")
     },
 
     // Collocation mining via pointwise mutual information over adjacent
@@ -1616,6 +1693,41 @@ object TextQueries {
            |FROM (SELECT q_id, doc_id, sdec,
            |  row_number() OVER (PARTITION BY q_id ORDER BY sdec DESC, doc_id) AS rk FROM sc)
            |WHERE rk <= $BmTopK ORDER BY q_id, rk""".stripMargin,
+
+      "text_rank_rbo" -> {
+        val wCase = "CASE dd " + RboWeights.map { case (dd, w) =>
+          s"WHEN $dd THEN $w" }.mkString(" ") + " END"
+        s"""WITH tok AS (SELECT doc_id, unnest($tl) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |idf AS (SELECT term, ${CleanFunctions.round6Sql(
+              "ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / CAST(df AS DOUBLE))")} AS idf
+           |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)),
+           |qt AS (SELECT doc_id AS q_id, term FROM tf
+           |  WHERE doc_id % 100 = 0 AND doc_id < $BmQueryCap),
+           |sc AS (SELECT q.q_id, t.doc_id,
+           |  ${CleanFunctions.exactSumSql("i.idf")} AS sa, sum(t.tf) AS sb
+           |  FROM qt q JOIN tf t USING (term) JOIN idf i ON t.term = i.term
+           |  WHERE t.doc_id <> q.q_id GROUP BY 1, 2),
+           |ta AS (SELECT q_id, doc_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY sa DESC, doc_id) AS ra FROM sc),
+           |tb AS (SELECT q_id, doc_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY sb DESC, doc_id) AS rb FROM sc),
+           |bo AS (SELECT ta.q_id, greatest(ta.ra, tb.rb) AS mr
+           |  FROM ta JOIN tb ON ta.q_id = tb.q_id AND ta.doc_id = tb.doc_id
+           |  WHERE ta.ra <= $RboK AND tb.rb <= $RboK),
+           |xs AS (SELECT q_id, dd, count(*) AS xd
+           |  FROM bo CROSS JOIN (SELECT unnest(generate_series(1, $RboK)) AS dd)
+           |  WHERE mr <= dd GROUP BY 1, 2),
+           |rb AS (SELECT q_id,
+           |  max(CASE WHEN dd = $RboK THEN xd END) AS n_common,
+           |  ${CleanFunctions.round4Sql(CleanFunctions.exactSumSql(
+              CleanFunctions.round6Sql(s"($wCase) * CAST(xd AS DOUBLE)")))} AS rbo
+           |  FROM xs GROUP BY 1)
+           |SELECT b.q_id, CAST(coalesce(rb.n_common, 0) AS BIGINT) AS n_common,
+           |  coalesce(rb.rbo, 0.0) AS rbo
+           |FROM (SELECT DISTINCT q_id FROM sc) b LEFT JOIN rb USING (q_id)
+           |ORDER BY b.q_id""".stripMargin
+      },
 
       "text_decontaminate" -> {
         val tn = s"regexp_split_to_array(trim(${graft.operators.Decontaminate.normalizeSql("text")}), '\\s+')"
