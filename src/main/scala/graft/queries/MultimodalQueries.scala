@@ -227,10 +227,71 @@ object MultimodalQueries {
         .select(col("media_type"), col("bucket"), col("n"), col("total_bytes"),
           expr("(n + 31) div 32").cast(LongType).as("n_batches"))
         .orderBy("media_type", "bucket")
+    },
+
+    // CLIP-style contrastive-pair construction: each media row pairs its
+    // own caption (positive) with a DETERMINISTIC negative — the next
+    // doc's caption in seeded-hash order within the same (media_type,
+    // hash-bucket), wrapping at the bucket end. Hash-bucketing (not a
+    // bare media_type window) keeps every window partition bounded at
+    // corpus/(types × MmNegBuckets) rows — the r9 coarse-key-window rule;
+    // MmNegBuckets scales with the corpus in production. A singleton
+    // bucket degenerates to self-pairing, which is emitted FLAGGED (a
+    // dropped row would silently shrink the training set; the flag is
+    // the observable). Deterministic: same corpus → same pairs, the
+    // exactly-once property a rand() negative sampler cannot give.
+    "mm_contrastive_pairs" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"),
+          size(graft.functions.TextFunctions.tokens(lower(col("text"))))
+            .cast(LongType).as("n_tokens"),
+          graft.functions.CleanFunctions.md5Hash64(
+            concat(lit("neg:"), col("doc_id"))).as("h"))
+        .withColumn("bucket", pmod(col("h"), lit(MmNegBuckets)))
+      val w = Window.partitionBy("media_type", "bucket").orderBy("h", "doc_id")
+      val paired = docs
+        .withColumn("neg_doc_id",
+          coalesce(lead(col("doc_id"), 1).over(w), first(col("doc_id")).over(w)))
+        .withColumn("neg_n_tokens",
+          coalesce(lead(col("n_tokens"), 1).over(w), first(col("n_tokens")).over(w)))
+      paired.select(col("doc_id"), col("media_type"), col("bucket"),
+          col("n_tokens").as("pos_tokens"),
+          col("neg_doc_id"), col("neg_n_tokens"),
+          (col("neg_doc_id") === col("doc_id")).cast(LongType).as("degenerate"))
+        .orderBy("doc_id")
     }
   )
 
+  /** Negative-sampling hash buckets per media type — bounds each pairing
+    * window at corpus/(types × buckets) rows; production scales this
+    * with the corpus.
+    */
+  private val MmNegBuckets = 32L
+
   val oracleSql: Map[String, String] = Map(
+    "mm_contrastive_pairs" -> {
+      val h = graft.functions.CleanFunctions.md5Hash64Sql("'neg:' || doc_id")
+      val tl = graft.functions.TextFunctions.tokensSql("lower(text)")
+      s"""WITH dd AS (SELECT doc_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(len($tl) AS BIGINT) AS n_tokens, $h AS h
+         |  FROM documents),
+         |db AS (SELECT *, h % $MmNegBuckets AS bucket FROM dd),
+         |pw AS (SELECT doc_id, media_type, bucket, n_tokens,
+         |  coalesce(lead(doc_id, 1) OVER w, first_value(doc_id) OVER w) AS neg_doc_id,
+         |  coalesce(lead(n_tokens, 1) OVER w, first_value(n_tokens) OVER w) AS neg_n_tokens
+         |  FROM db WINDOW w AS (PARTITION BY media_type, bucket ORDER BY h, doc_id))
+         |SELECT doc_id, media_type, bucket, n_tokens AS pos_tokens,
+         |  neg_doc_id, neg_n_tokens,
+         |  CAST(neg_doc_id = doc_id AS BIGINT) AS degenerate
+         |FROM pw ORDER BY doc_id""".stripMargin
+    },
+
     "mm_binary_stats" -> {
       val h = graft.functions.CleanFunctions.md5Hash64Sql("text")
       s"""SELECT doc_id,

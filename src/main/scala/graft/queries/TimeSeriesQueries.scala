@@ -1019,6 +1019,64 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // RECURSIVE full-history EWMA (pandas ewm(adjust=True) with
+    // position-aged weights; nulls age the weights but contribute
+    // nothing) — previously spec-only, now exact-oracle (r12): the
+    // engine's O(1)-state mapPartitions pass vs a DuckDB recursive CTE
+    // stepping the IDENTICAL float recurrence (num·0.7 + x, den·0.7 + 1;
+    // 1.0 − 0.3 IS the double 0.7, and a·b commutes bitwise, so both
+    // engines walk the same IEEE trajectory row by row).
+    "ts_ewma_recursive" -> { (s, d) =>
+      TS.ewmaRecursive(Tables.events(s, d), K, Ord, "value", alpha = 0.3)
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("ewma")).as("ewma"))
+        .orderBy("event_id")
+    },
+
+    // Per-series ORDINAL INDEX under the engine's canonical (ts,
+    // event_id) total order — previously implicit (every per-series op
+    // sorts this way inside sequences/ewmaRecursive/windows), now an
+    // exact-oracle contract: if either engine's tie-break order drifts,
+    // this entry's hash breaks before any downstream op does.
+    "ts_series_index" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).cast(org.apache.spark.sql.types.LongType).as("seq_idx"))
+        .orderBy("event_id")
+    },
+
+    // Drop-null rows (ref main.py:150 dropna after warm-up) — previously
+    // implicit inside the feature pipeline, now exact-oracle: the
+    // surviving row set IS the contract (a filter that silently widened
+    // to other columns would change the hash).
+    "ts_drop_null" -> { (s, d) =>
+      TS.dropNulls(Tables.events(s, d), Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    },
+
+    // Engine-portable standard-normal CDF (the Abramowitz-Stegun 7.1.26
+    // erf used by every p-value entry) — previously spec-only, now
+    // exact-oracle on round4-quantized global z-scores: both engines
+    // build the identical Horner polynomial from identical double
+    // literals, so Φ(z) matches bitwise.
+    "ts_normal_cdf" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val stats = e.agg(count(col("value")).cast(DoubleType).as("n"),
+        CleanFunctions.exactSum(col("value")).as("sx"),
+        CleanFunctions.exactSum(col("value") * col("value")).as("sxx"))
+      e.crossJoin(broadcast(stats))
+        .select(col("event_id"), CleanFunctions.round4(
+          (col("value") - col("sx") / col("n")) /
+            CleanFunctions.momentStd(col("n"), col("sx"), col("sxx"))).as("z"))
+        .select(col("event_id"), col("z"),
+          CleanFunctions.round4(CleanFunctions.normalCdf(col("z"))).as("phi"))
+        .orderBy("event_id")
+    },
+
     // Fast/slow EWMA crossover — the trend-shift signal (trading's
     // moving-average cross, ops' sustained-drift detector): sign of
     // (fast - slow) plus a flag on the rows where the sign flips. Two
@@ -2033,6 +2091,58 @@ object TimeSeriesQueries {
          |round(((${terms.map(_._1).mkString(" + ")}) /
          |      nullif(${terms.map(_._2).mkString(" + ")}, 0.0)) * 10000.0) / 10000.0 + 0.0 AS ewma
          |FROM events ORDER BY event_id""".stripMargin
+    },
+
+    // Recursive CTE stepping the engine's exact (num·0.7 + x, den·0.7 + 1)
+    // recurrence per series; see the entry's IEEE-commutation note.
+    "ts_ewma_recursive" ->
+      s"""WITH RECURSIVE s AS (
+         |  SELECT event_id, user_id, value,
+         |    row_number() OVER ($W) AS idx
+         |  FROM events),
+         |r(user_id, idx, event_id, num, den) AS (
+         |  -- base-case CASTs pin num/den to DOUBLE: bare 0.0/1.0 literals
+         |  -- type as DECIMAL(2,1) in DuckDB, and the recursive CTE's
+         |  -- column types are FIXED by the base query — every later step
+         |  -- would round to one decimal place.
+         |  SELECT user_id, idx, event_id,
+         |    CAST(CASE WHEN value IS NULL THEN 0.0 ELSE value END AS DOUBLE),
+         |    CAST(CASE WHEN value IS NULL THEN 0.0 ELSE 1.0 END AS DOUBLE)
+         |  FROM s WHERE idx = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.idx, s.event_id,
+         |    CASE WHEN s.value IS NULL THEN 0.7 * r.num
+         |         ELSE 0.7 * r.num + s.value END,
+         |    CASE WHEN s.value IS NULL THEN 0.7 * r.den
+         |         ELSE 0.7 * r.den + 1.0 END
+         |  FROM r JOIN s ON s.user_id = r.user_id AND s.idx = r.idx + 1)
+         |SELECT event_id,
+         |  CASE WHEN den = 0.0 THEN NULL
+         |       ELSE ${CleanFunctions.round4Sql("num / den")} END AS ewma
+         |FROM r ORDER BY event_id""".stripMargin,
+
+    "ts_series_index" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(row_number() OVER ($W) AS BIGINT) AS seq_idx
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "ts_drop_null" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "ts_normal_cdf" -> {
+      val z = "z"
+      s"""WITH e AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+         |st AS (SELECT CAST(count(value) AS DOUBLE) AS n,
+         |  ${CleanFunctions.exactSumSql("value")} AS sx,
+         |  ${CleanFunctions.exactSumSql("value * value")} AS sxx FROM e),
+         |zs AS (SELECT event_id,
+         |  ${CleanFunctions.round4Sql(
+            s"(value - sx / n) / ${CleanFunctions.momentStdSql("n", "sx", "sxx")}")} AS z
+         |  FROM e, st)
+         |SELECT event_id, z,
+         |  ${CleanFunctions.round4Sql(CleanFunctions.normalCdfSql(z))} AS phi
+         |FROM zs ORDER BY event_id""".stripMargin
     },
 
     "ts_ewma_crossover" -> {
