@@ -543,6 +543,24 @@ object OpsQueries {
         .orderBy("event_id")
     },
 
+    // Streaming RECURSIVE EWMA via flatMapGroupsWithState — the
+    // streaming twin of ts_ewma_recursive over non-null samples (TWO
+    // doubles of state per key; see StreamingAnomaly.ewmaRecursive for
+    // the bit-for-bit in-batch ordering contract). DRIVER-VERIFIED: the
+    // oracle is the same recursive CTE as the batch twin's, on the
+    // null-filtered row set.
+    "streaming_ewma" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_ewma", None)(
+          ds => StreamingAnomaly.ewmaRecursive(ds, alpha = 0.3).toDF())
+        .select(col("event_id"), round4(col("ewma")).as("ewma"))
+        .orderBy("event_id")
+    },
+
     // Population Stability Index between the month's two halves, per
     // event_type — THE drift gate of ML monitoring (rule of thumb:
     // >0.25 = retrain). Fixed-width value buckets (integer boundaries —
@@ -1775,6 +1793,27 @@ object OpsQueries {
 
     // The streaming fold replays to the identical recursion.
     "streaming_kalman" -> KalmanOracleSql,
+
+    // Same recursive CTE as ts_ewma_recursive's oracle, on the
+    // null-filtered set (streams carry no null samples); base-case
+    // CASTs pin DOUBLE — recursive-CTE column types come from the base
+    // query and bare literals type DECIMAL(2,1).
+    "streaming_ewma" ->
+      s"""WITH RECURSIVE s AS (
+         |  SELECT event_id, user_id, value,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+         |  FROM events WHERE value IS NOT NULL),
+         |r(user_id, idx, event_id, num, den) AS (
+         |  SELECT user_id, idx, event_id,
+         |    CAST(value AS DOUBLE), CAST(1.0 AS DOUBLE)
+         |  FROM s WHERE idx = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.idx, s.event_id,
+         |    0.7 * r.num + s.value, 0.7 * r.den + 1.0
+         |  FROM r JOIN s ON s.user_id = r.user_id AND s.idx = r.idx + 1)
+         |SELECT event_id,
+         |  ${graft.functions.CleanFunctions.round4Sql("num / den")} AS ewma
+         |FROM r ORDER BY event_id""".stripMargin,
 
     // Null-filtered twin of ts_m4_downsample (see entry comment).
     "streaming_m4" -> m4OracleSql(nullFiltered = true),

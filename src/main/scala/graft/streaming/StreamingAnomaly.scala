@@ -34,6 +34,14 @@ case class KalmanEvent(event_id: Long, user_id: Long, estimate: Double, gain: Do
 /** Kalman posterior state: level estimate + error variance — O(1)/key. */
 case class KalmanState(est: Double, p: Double)
 
+/** Per-row recursive-EWMA output (streaming twin of
+  * TimeSeriesOps.ewmaRecursive).
+  */
+case class EwmaEvent(event_id: Long, user_id: Long, value: Double, ewma: Double)
+
+/** Recursive-EWMA numerator/denominator — TWO doubles of state per key. */
+case class EwmaState(num: Double, den: Double)
+
 /** A sample with its per-series control parameters (mean + slack),
   * entering the streaming CUSUM chart.
   */
@@ -439,6 +447,38 @@ object StreamingAnomaly {
             }
           }
           if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming RECURSIVE EWMA — the streaming twin of
+    * `TimeSeriesOps.ewmaRecursive` (pandas ewm(adjust=True), position-
+    * aged weights) over non-null samples: num' = num·(1−α) + x,
+    * den' = den·(1−α) + 1, ewma = num/den — TWO doubles of state per
+    * key, the canonical infinite-horizon smoother that a window
+    * expression cannot carry. Nulls never reach this operator
+    * (Event.value is primitive; the batch twin's null-aging branch
+    * lives upstream of any stream). Same in-batch (event-time,
+    * event_id) ordering contract as [[kalman]]: a single-batch replay
+    * equals the batch mapPartitions pass bit-for-bit — the identical
+    * (num·decay + x) float tree in the identical order.
+    */
+  def ewmaRecursive(events: Dataset[Event], alpha: Double): Dataset[EwmaEvent] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    val decay = 1.0 - alpha
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          var num = state.getOption.map(_.num).getOrElse(0.0)
+          var den = state.getOption.map(_.den).getOrElse(0.0)
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            num = num * decay + e.value
+            den = den * decay + 1.0
+            EwmaEvent(e.event_id, e.user_id, e.value, num / den)
+          }
+          state.update(EwmaState(num, den))
           out.iterator
       }
   }

@@ -305,6 +305,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming recursive EWMA equals batch ewmaRecursive on real data, bit-for-bit") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.ewmaRecursive(ms.toDS(), alpha = 0.3)
+      .writeStream.format("memory").queryName("ewma_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // One batch: identical fold order -> exact double equality, no eps.
+      ms.addData(realEvents.toSeq); q.processAllAvailable()
+      val got = spark.table("ewma_eq")
+        .select(col("event_id"), col("ewma"))
+        .as[(Long, Double)].collect().toMap
+      // Batch twin on the SAME null-filtered rows (streams carry no
+      // null samples, so the batch null-aging branch never fires).
+      val want = graft.operators.TimeSeriesOps.ewmaRecursive(
+          Tables.events(spark, SparkTestSession.sfDir)
+            .where(col("value").isNotNull),
+          Seq("user_id"), Seq("ts", "event_id"), "value", alpha = 0.3)
+        .select(col("event_id"), col("ewma"))
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"EWMA mismatch at event $id: ${got(id)} != $w")
+      }
+    } finally q.stop()
+  }
+
   test("streaming token bucket equals batch tokenBucket on real data, bit-for-bit") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.tokenBucket(ms.toDS(), capacity = 3.0,
