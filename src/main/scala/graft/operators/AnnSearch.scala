@@ -65,6 +65,36 @@ object AnnSearch {
   val DefaultTargetOccupancy = 64L
   val DefaultMaxPlanes = 16
 
+  /** Deterministic budget on distance-2 multi-probe flips. Uncapped, the
+    * probe fan is 1 + np + np(np-1)/2 and np grows with log(corpus), so
+    * the candidate stage is n*log^2(n) — measured at slope 1.81 on the
+    * emb_lof decade study. Capping the 2-bit flips to the first
+    * [[MaxTwoBitProbes]] pairs in lexicographic (p, q) order keeps the
+    * fan at 1 + np + min(16, np(np-1)/2) = O(log n) probes per vector —
+    * n*log(n) candidates total. At 100 TB (np≈16-20) that is 33-37
+    * probes/vector instead of 153-211. The pinned lex order makes the
+    * probed bucket set a deterministic function of (n, vector) alone, so
+    * the DuckDB oracle replicates it exactly via the lex-rank predicate
+    * [[twoBitFlipRankSql]]. Below the cap (np <= 6, i.e. corpora
+    * <= 4096 vectors at occupancy 64) the probe set is identical to the
+    * full hamming<=2 fan, so small-sf hashes are unchanged.
+    */
+  val MaxTwoBitProbes = 16
+
+  /** The capped 2-bit flip pairs, in the pinned lexicographic order the
+    * oracle's rank predicate replays.
+    */
+  def twoBitFlipPairs(np: Int): Seq[(Int, Int)] =
+    (for { p <- 0 until np; q <- p + 1 until np } yield (p, q))
+      .take(MaxTwoBitProbes)
+
+  /** DuckDB twin of [[twoBitFlipPairs]]'s cap, as a predicate over plane
+    * columns `a.p < b.p` with `np` in scope: lex-rank(a, b) =
+    * a*(2*np-a-1)/2 + (b-a-1) (always-even product, so `//` is exact).
+    */
+  val twoBitFlipRankSql: String =
+    s"((a.p * (2 * np - a.p - 1)) // 2 + (b.p - a.p - 1)) < $MaxTwoBitProbes"
+
   /** Plane count for a corpus of `n` vectors: smallest p with
     * n <= targetOccupancy * 2^p, capped. Integer thresholds so SQL twins
     * can replicate the derivation exactly.
@@ -90,8 +120,8 @@ object AnnSearch {
         TextFunctions.lshSign(col(embCol), p))).as("bucket"))
     val flips: Seq[Column] =
       (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
-        (for { p <- 0 until np; q <- p + 1 until np }
-          yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))))
+        twoBitFlipPairs(np).map { case (p, q) =>
+          col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))) }
     val probes = sb.filter(queryPred)
       .select(col(idCol).as("q_id"), col(embCol).as("q_emb"),
         col("nrm").as("q_nrm"),

@@ -434,6 +434,31 @@ object EvalQueries {
         .orderBy("event_id")
     },
 
+    // Streaming GARCH(1,1) via flatMapGroupsWithState — the streaming
+    // twin of ts_garch_vol over the same pre-differenced returns (TWO
+    // doubles of state per key; see StreamingAnomaly.garch for the
+    // bit-for-bit in-batch ordering contract; in production the
+    // differencing is its own one-value-of-state stage upstream).
+    // DRIVER-VERIFIED: oracle = the batch twin's recursive CTE, verbatim.
+    "streaming_garch" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.RetSample
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val rows = Tables.events(s, d)
+        .withColumn("ret", col("value") - lag(col("value"), 1).over(w))
+        .where(col("ret").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("ret").cast(DoubleType).as("ret"))
+        .as[RetSample].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_garch", None)(
+          ds => StreamingAnomaly.garch(ds,
+            GarchOmega, GarchAlpha, GarchBeta).toDF())
+        .select(col("event_id"), round4(col("ret")).as("ret"),
+          round4(sqrt(col("sigma2"))).as("vol"),
+          round4(col("ret") / sqrt(col("sigma2"))).as("z"))
+        .orderBy("event_id")
+    },
+
     // Hierarchical forecast reconciliation (total → per-type) — the
     // coherence step every hierarchical pipeline needs: independent
     // child forecasts (seasonal-naive lag-7 on the complete day×type
@@ -1904,6 +1929,38 @@ object EvalQueries {
        |                        FROM e JOIN $st st ON e.src = st.node GROUP BY 1)) at3
        |           ) a2 ON e.dst = a2.node GROUP BY 1)) ht""".stripMargin
 
+  /** Recursive-CTE replay of the exact garchPath fold — shared by the
+    * batch `ts_garch_vol` and the streaming replay `streaming_garch`
+    * oracles so the two checks can never drift apart: same
+    * left-associated update omega + alpha*r^2 + beta*sigma^2, same
+    * unconditional-variance init, every constant dlit'd so both engines
+    * fold the same doubles.
+    */
+  private lazy val GarchOracleSql: String = {
+    val W2 = "PARTITION BY user_id ORDER BY ts, event_id"
+    val w0 = CleanFunctions.dlitSql(GarchOmega)
+    val a0 = CleanFunctions.dlitSql(GarchAlpha)
+    val b0 = CleanFunctions.dlitSql(GarchBeta)
+    val u0 = CleanFunctions.dlitSql(GarchUncond)
+    s"""WITH RECURSIVE v AS (
+       |  SELECT user_id, event_id, ret,
+       |    row_number() OVER ($W2) AS rn
+       |  FROM (SELECT user_id, ts, event_id,
+       |          value - lag(value, 1) OVER ($W2) AS ret FROM events)
+       |  WHERE ret IS NOT NULL),
+       |g AS (
+       |  SELECT user_id, event_id, rn, ret, $u0 AS s2
+       |  FROM v WHERE rn = 1
+       |  UNION ALL
+       |  SELECT v.user_id, v.event_id, v.rn, v.ret,
+       |    $w0 + $a0 * (h.ret * h.ret) + $b0 * h.s2
+       |  FROM g h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
+       |SELECT event_id, ${round4Sql("ret")} AS ret,
+       |  ${round4Sql("sqrt(s2)")} AS vol,
+       |  ${round4Sql("ret / sqrt(s2)")} AS z
+       |FROM g ORDER BY event_id""".stripMargin
+  }
+
   private val baseOracleSql: Map[String, String] = Map(
 
     "events_roc_auc" ->
@@ -2126,30 +2183,10 @@ object EvalQueries {
     // left-associated update ω + α·r² + β·σ², same unconditional-
     // variance init, every constant dlit'd so both engines fold the
     // same doubles.
-    "ts_garch_vol" -> {
-      val W2 = "PARTITION BY user_id ORDER BY ts, event_id"
-      val w0 = CleanFunctions.dlitSql(GarchOmega)
-      val a0 = CleanFunctions.dlitSql(GarchAlpha)
-      val b0 = CleanFunctions.dlitSql(GarchBeta)
-      val u0 = CleanFunctions.dlitSql(GarchUncond)
-      s"""WITH RECURSIVE v AS (
-         |  SELECT user_id, event_id, ret,
-         |    row_number() OVER ($W2) AS rn
-         |  FROM (SELECT user_id, ts, event_id,
-         |          value - lag(value, 1) OVER ($W2) AS ret FROM events)
-         |  WHERE ret IS NOT NULL),
-         |g AS (
-         |  SELECT user_id, event_id, rn, ret, $u0 AS s2
-         |  FROM v WHERE rn = 1
-         |  UNION ALL
-         |  SELECT v.user_id, v.event_id, v.rn, v.ret,
-         |    $w0 + $a0 * (h.ret * h.ret) + $b0 * h.s2
-         |  FROM g h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
-         |SELECT event_id, ${round4Sql("ret")} AS ret,
-         |  ${round4Sql("sqrt(s2)")} AS vol,
-         |  ${round4Sql("ret / sqrt(s2)")} AS z
-         |FROM g ORDER BY event_id""".stripMargin
-    },
+    "ts_garch_vol" -> GarchOracleSql,
+
+    // The streaming fold replays to the identical recursion.
+    "streaming_garch" -> GarchOracleSql,
 
     "events_forecast_reconcile" ->
       s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt

@@ -211,6 +211,41 @@ object OpsQueries {
        |FROM kal ORDER BY event_id""".stripMargin
   }
 
+  /** Recursive-CTE Holt path — shared by the batch `ts_holt_path` and
+    * the streaming replay `streaming_holt` oracles so the two checks can
+    * never drift apart (the KalmanOracleSql rule).
+    */
+  private lazy val HoltPathOracleSql: String = {
+    val a = dlit(HoltAlpha); val ia = dlit(1.0 - HoltAlpha)
+    val g = dlit(HoltGamma); val ig = dlit(1.0 - HoltGamma)
+    val nl = s"$a * v.value + $ia * (h.l + h.b)"
+    s"""WITH RECURSIVE v AS (
+       |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events WHERE value IS NOT NULL),
+       |holt AS (
+       |  SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
+       |  FROM v WHERE rn = 1
+       |  UNION ALL
+       |  SELECT v.user_id, v.event_id, v.rn,
+       |    $nl AS l,
+       |    $g * (($nl) - h.l) + $ig * h.b AS b
+       |  FROM holt h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
+       |SELECT event_id, ${round4Sql("l")} AS level, ${round4Sql("b")} AS trend
+       |FROM holt ORDER BY event_id""".stripMargin
+  }
+
+  /** The shared ts_holt_winters / streaming_holt_winters oracle body
+    * (same never-drift rule).
+    */
+  private lazy val HwOracleSql: String =
+    s"""WITH RECURSIVE $HwCtes
+       |SELECT user_id, day, ${round4Sql("m")} AS day_mean,
+       |  ${round4Sql("fitted")} AS hw_fitted, ${round4Sql("l")} AS hw_level,
+       |  ${round4Sql("b")} AS hw_trend,
+       |  ${round4Sql("s[(rn - 1) % 7 + 1]")} AS hw_seasonal
+       |FROM c ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Zonemap-effectiveness report (the data-layout feedback loop behind
     // min/max data skipping): per day-partition min/max/count of value,
@@ -559,6 +594,50 @@ object OpsQueries {
           ds => StreamingAnomaly.ewmaRecursive(ds, alpha = 0.3).toDF())
         .select(col("event_id"), round4(col("ewma")).as("ewma"))
         .orderBy("event_id")
+    },
+
+    // Streaming Holt linear-trend smoothing via flatMapGroupsWithState —
+    // the streaming twin of ts_holt_path (TWO doubles of state per key;
+    // see StreamingAnomaly.holt for the bit-for-bit in-batch ordering
+    // contract). DRIVER-VERIFIED: the oracle is the batch twin's
+    // recursive CTE, verbatim.
+    "streaming_holt" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_holt", None)(
+          ds => StreamingAnomaly.holt(ds, HoltAlpha, HoltGamma).toDF())
+        .select(col("event_id"), round4(col("level")).as("level"),
+          round4(col("trend")).as("trend"))
+        .orderBy("event_id")
+    },
+
+    // Streaming additive Holt-Winters — the streaming twin of
+    // ts_holt_winters over the SAME daily-mean grid (in production the
+    // grid comes from an upstream windowed streaming aggregation; the
+    // replay computes it batch-side so the fold sees identical inputs).
+    // O(period) state per key; oracle = the batch twin's recursive CTE,
+    // verbatim.
+    "streaming_holt_winters" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{DaySample, StreamingAnomaly}
+      import org.apache.spark.sql.types.DoubleType
+      val rows = ev(s, d).where(col("value").isNotNull)
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(CleanFunctions.exactMean(col("value")).cast(DoubleType).as("m"))
+        .as[DaySample].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_hw", None)(
+          ds => StreamingAnomaly.holtWinters(ds, period = 7,
+            alpha = 0.3, beta = 0.1, gamma = 0.2).toDF())
+        .select(col("user_id"), col("day"), round4(col("m")).as("day_mean"),
+          round4(col("fitted")).as("hw_fitted"),
+          round4(col("level")).as("hw_level"),
+          round4(col("trend")).as("hw_trend"),
+          round4(col("seasonal")).as("hw_seasonal"))
+        .orderBy("user_id", "day")
     },
 
     // Population Stability Index between the month's two halves, per
@@ -1769,25 +1848,11 @@ object OpsQueries {
          |FROM holt WHERE rn = n ORDER BY user_id""".stripMargin
     },
 
-    "ts_holt_path" -> {
-      val a = dlit(HoltAlpha); val ia = dlit(1.0 - HoltAlpha)
-      val g = dlit(HoltGamma); val ig = dlit(1.0 - HoltGamma)
-      val nl = s"$a * v.value + $ia * (h.l + h.b)"
-      s"""WITH RECURSIVE v AS (
-         |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
-         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-         |  FROM events WHERE value IS NOT NULL),
-         |holt AS (
-         |  SELECT user_id, event_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b
-         |  FROM v WHERE rn = 1
-         |  UNION ALL
-         |  SELECT v.user_id, v.event_id, v.rn,
-         |    $nl AS l,
-         |    $g * (($nl) - h.l) + $ig * h.b AS b
-         |  FROM holt h JOIN v ON v.user_id = h.user_id AND v.rn = h.rn + 1)
-         |SELECT event_id, ${round4Sql("l")} AS level, ${round4Sql("b")} AS trend
-         |FROM holt ORDER BY event_id""".stripMargin
-    },
+    "ts_holt_path" -> HoltPathOracleSql,
+
+    // The streaming fold replays to the identical recursion (same
+    // shared-body rule as streaming_kalman).
+    "streaming_holt" -> HoltPathOracleSql,
 
     "ts_kalman" -> KalmanOracleSql,
 
@@ -2003,13 +2068,10 @@ object OpsQueries {
          |FROM dau JOIN mau ON dau.day = mau.day
          |ORDER BY dau.day""".stripMargin,
 
-    "ts_holt_winters" ->
-      s"""WITH RECURSIVE $HwCtes
-         |SELECT user_id, day, ${round4Sql("m")} AS day_mean,
-         |  ${round4Sql("fitted")} AS hw_fitted, ${round4Sql("l")} AS hw_level,
-         |  ${round4Sql("b")} AS hw_trend,
-         |  ${round4Sql("s[(rn - 1) % 7 + 1]")} AS hw_seasonal
-         |FROM c ORDER BY user_id, day""".stripMargin,
+    "ts_holt_winters" -> HwOracleSql,
+
+    // The streaming seasonal fold replays to the identical recursion.
+    "streaming_holt_winters" -> HwOracleSql,
 
     "ts_holt_winters_mult" ->
       s"""WITH RECURSIVE $HwMultCtes

@@ -480,12 +480,15 @@ object SimilarityQueries {
     },
 
     // LSH ANN with size-adaptive bucket count and hamming<=2 multi-probe:
-    // each query searches its own bucket plus every bucket one or two
-    // sign-flips away (1 + np + np(np-1)/2 probes — at np=9 that is 46 of
-    // 512 buckets, ~9% of the corpus), recovering neighbors a hyperplane
-    // split would lose. Probe buckets are distinct and each corpus vector
-    // lives in exactly one bucket, so candidate pairs are already unique —
-    // no distinct needed before scoring.
+    // each query searches its own bucket plus every bucket one sign-flip
+    // away, plus the first AnnSearch.MaxTwoBitProbes two-flip buckets in
+    // pinned lex order (1 + np + min(16, np(np-1)/2) probes — at np=9
+    // that is 26 of 512 buckets, ~5% of the corpus), recovering neighbors
+    // a hyperplane split would lose while keeping the probe fan O(log n)
+    // (uncapped it is O(log^2 n), measured superlinear on the decade
+    // study). Probe buckets are distinct and each corpus vector lives in
+    // exactly one bucket, so candidate pairs are already unique — no
+    // distinct needed before scoring.
     "ann_lsh_topk" -> { (s, d) =>
       // Cached BEFORE the API's sizing count: one corpus scan total.
       val e = Tables.embeddings(s, d).cache()
@@ -955,8 +958,8 @@ object SimilarityQueries {
           TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
       val flips: Seq[org.apache.spark.sql.Column] =
         (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
-          (for { p <- 0 until np; q <- p + 1 until np }
-            yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))))
+          graft.operators.AnnSearch.twoBitFlipPairs(np).map { case (p, q) =>
+            col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))) }
       val probes = sb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("nrm").as("a_nrm"),
         explode(array(col("bucket") +: flips: _*)).as("pbucket"))
@@ -1030,8 +1033,8 @@ object SimilarityQueries {
           TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
       val flips: Seq[org.apache.spark.sql.Column] =
         (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
-          (for { p <- 0 until np; q <- p + 1 until np }
-            yield col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))))
+          graft.operators.AnnSearch.twoBitFlipPairs(np).map { case (p, q) =>
+            col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))) }
       val probes = sb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("nrm").as("a_nrm"),
         explode(array(col("bucket") +: flips: _*)).as("pbucket"))
@@ -1299,7 +1302,8 @@ object SimilarityQueries {
        |    FROM qs, ps, npt WHERE p < np
        |  UNION ALL
        |  SELECT q_id, q_emb, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
-       |    FROM qs, ps a, ps b, npt WHERE a.p < b.p AND b.p < np),
+       |    FROM qs, ps a, ps b, npt WHERE a.p < b.p AND b.p < np
+       |      AND ${graft.operators.AnnSearch.twoBitFlipRankSql}),
        |knn AS (SELECT q_id, n_id, score, rk FROM (
        |  SELECT q.q_id, b.vec_id AS n_id,
        |    round((${TextFunctions.cosineSql("q.q_emb", "b.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score,
@@ -1853,7 +1857,8 @@ object SimilarityQueries {
          |    FROM sb, ps, npt WHERE p < np
          |  UNION ALL
          |  SELECT sb.vec_id, embedding, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
-         |    FROM sb, ps a, ps b, npt WHERE a.p < b.p AND b.p < np),
+         |    FROM sb, ps a, ps b, npt WHERE a.p < b.p AND b.p < np
+         |      AND ${graft.operators.AnnSearch.twoBitFlipRankSql}),
          |p AS (
          |  SELECT q.a_id, b.vec_id AS b_id,
          |    ${r4(s"1.0 - (${TextFunctions.cosineSql("q.a_emb", "b.embedding")})")} AS dist
@@ -1898,7 +1903,8 @@ object SimilarityQueries {
          |    FROM sb, ps, npt WHERE p < np
          |  UNION ALL
          |  SELECT sb.vec_id, embedding, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
-         |    FROM sb, ps a, ps b, npt WHERE a.p < b.p AND b.p < np),
+         |    FROM sb, ps a, ps b, npt WHERE a.p < b.p AND b.p < np
+         |      AND ${graft.operators.AnnSearch.twoBitFlipRankSql}),
          |p AS (
          |  SELECT q.a_id, b.vec_id AS b_id,
          |    ${r4(s"1.0 - (${TextFunctions.cosineSql("q.a_emb", "b.embedding")})")} AS dist

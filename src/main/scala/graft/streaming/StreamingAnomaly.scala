@@ -34,6 +34,45 @@ case class KalmanEvent(event_id: Long, user_id: Long, estimate: Double, gain: Do
 /** Kalman posterior state: level estimate + error variance — O(1)/key. */
 case class KalmanState(est: Double, p: Double)
 
+/** Per-row Holt output (streaming twin of TimeSeriesOps.holtPath). */
+case class HoltEvent(event_id: Long, user_id: Long, level: Double, trend: Double)
+
+/** Holt level + trend — TWO doubles of state per key. */
+case class HoltState(level: Double, trend: Double)
+
+/** A pre-differenced return sample (the GARCH observable). In production
+  * the differencing is its own tiny stateful stage (one previous value per
+  * key) or an upstream join; here it rides on the sample so the volatility
+  * fold below is exactly the batch garchPath recurrence.
+  */
+case class RetSample(event_id: Long, ts: Timestamp, user_id: Long, ret: Double)
+
+/** Per-row GARCH output: the conditional variance BEFORE rounding (the
+  * entry derives vol = sqrt(sigma2) and z = ret/vol, as the batch twin
+  * does).
+  */
+case class GarchEvent(event_id: Long, user_id: Long, ret: Double, sigma2: Double)
+
+/** GARCH(1,1) state: conditional variance + previous return. */
+case class GarchState(s2: Double, prevR: Double)
+
+/** One observation of a pre-bucketed seasonal series (the Holt-Winters
+  * input grain — e.g. a daily mean from an upstream windowed aggregation).
+  */
+case class DaySample(user_id: Long, day: Long, m: Double)
+
+/** Per-row Holt-Winters output (streaming twin of
+  * TimeSeriesOps.holtWinters): fitted is None on each series' first row,
+  * exactly like the batch fold.
+  */
+case class HwEvent(user_id: Long, day: Long, m: Double, fitted: Option[Double],
+                   level: Double, trend: Double, seasonal: Double)
+
+/** Holt-Winters state: level, trend, the m-slot seasonal vector, and the
+  * observation counter that indexes it — O(period) per key.
+  */
+case class HwState(level: Double, trend: Double, season: Seq[Double], cnt: Long)
+
 /** Per-row recursive-EWMA output (streaming twin of
   * TimeSeriesOps.ewmaRecursive).
   */
@@ -479,6 +518,116 @@ object StreamingAnomaly {
             EwmaEvent(e.event_id, e.user_id, e.value, num / den)
           }
           state.update(EwmaState(num, den))
+          out.iterator
+      }
+  }
+
+  /** Streaming Holt linear-trend smoothing — the streaming twin of
+    * `TimeSeriesOps.holtPath`, the forecasting fold a live monitoring
+    * deployment actually runs: TWO doubles of state per key (level +
+    * trend), per-row smoothed state out. Identical IEEE recurrence
+    * (nl = α·x + (1−α)(l+b); b' = γ(nl−l) + (1−γ)b — each 1−· computed,
+    * never a pre-folded literal) and the same (event-time, event_id)
+    * in-batch ordering contract as [[kalman]], so a single-batch replay
+    * equals the batch keyed fold bit-for-bit and shares its recursive-CTE
+    * oracle verbatim. Nulls never reach this operator (Event.value is
+    * primitive; the entry filters upstream, like [[ewmaRecursive]]).
+    */
+  def holt(events: Dataset[Event], alpha: Double, gamma: Double): Dataset[HoltEvent] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    require(gamma > 0 && gamma < 1, s"gamma=$gamma must be in (0, 1)")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[HoltState]) =>
+          var st = state.getOption.orNull
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            if (st == null) st = HoltState(e.value, 0.0)
+            else {
+              val nl = alpha * e.value + (1.0 - alpha) * (st.level + st.trend)
+              val nt = gamma * (nl - st.level) + (1.0 - gamma) * st.trend
+              st = HoltState(nl, nt)
+            }
+            HoltEvent(e.event_id, e.user_id, st.level, st.trend)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming GARCH(1,1) conditional variance — the streaming twin of
+    * `TimeSeriesOps.garchPath` over pre-differenced returns: σ²' = ω +
+    * α·r²_prev + β·σ², initialized at the unconditional level
+    * ω/(1−α−β). TWO doubles of state per key; identical IEEE op order
+    * (α·(r·r) with the explicit inner product, matching the batch fold
+    * and the oracle CTE) and the same in-batch (event-time, event_id)
+    * ordering contract as [[kalman]].
+    */
+  def garch(rets: Dataset[RetSample], omega: Double, alpha: Double,
+            beta: Double): Dataset[GarchEvent] = {
+    import rets.sparkSession.implicits._
+    require(omega > 0, s"omega=$omega must be positive")
+    require(alpha >= 0 && beta >= 0 && alpha + beta < 1,
+      s"need alpha,beta >= 0 and alpha+beta < 1: alpha=$alpha beta=$beta")
+    val uncond = omega / (1.0 - alpha - beta)
+    rets
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[RetSample], state: GroupState[GarchState]) =>
+          var st = state.getOption.orNull
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            st =
+              if (st == null) GarchState(uncond, e.ret)
+              else GarchState(
+                omega + alpha * (st.prevR * st.prevR) + beta * st.s2, e.ret)
+            GarchEvent(e.event_id, e.user_id, e.ret, st.s2)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming additive Holt-Winters — the streaming twin of
+    * `TimeSeriesOps.holtWinters` over a pre-bucketed seasonal grid
+    * (daily means from an upstream windowed aggregation): level + trend
+    * + an m-slot seasonal vector advanced one slot per observation,
+    * O(period) state per key. Identical recurrence, init (l = x₁, b = 0,
+    * s = 0⃗, fitted None on row 1), and slot indexing ((cnt−1) mod m) as
+    * the batch fold; in-batch ordering is by the bucket column (the
+    * series' event-time grain), so a single-batch replay equals the
+    * batch keyed fold bit-for-bit and shares its recursive-CTE oracle.
+    */
+  def holtWinters(days: Dataset[DaySample], period: Int, alpha: Double,
+                  beta: Double, gamma: Double): Dataset[HwEvent] = {
+    import days.sparkSession.implicits._
+    require(period >= 2, s"seasonal period must be >= 2, got $period")
+    val (omA, omB, omG) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    days
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[DaySample], state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(0.0, 0.0, Seq.fill(period)(0.0), 0L))
+          val season = st.season.toArray
+          var l = st.level; var b = st.trend; var cnt = st.cnt
+          val out = it.toIndexedSeq.sortBy(e => e.day).map { e =>
+            cnt += 1
+            val idx = ((cnt - 1) % period).toInt
+            if (cnt == 1L) {
+              l = e.m; b = 0.0
+              HwEvent(e.user_id, e.day, e.m, None, l, b, season(idx))
+            } else {
+              val sI = season(idx)
+              val fitted = l + b + sI
+              val lNew = alpha * (e.m - sI) + omA * (l + b)
+              b = beta * (lNew - l) + omB * b
+              l = lNew
+              season(idx) = gamma * (e.m - l) + omG * sI
+              HwEvent(e.user_id, e.day, e.m, Some(fitted), l, b, season(idx))
+            }
+          }
+          state.update(HwState(l, b, season.toSeq, cnt))
           out.iterator
       }
   }

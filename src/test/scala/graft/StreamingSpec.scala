@@ -331,6 +331,110 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Holt equals batch holtPath on real data, bit-for-bit, across a batch split") {
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.holt(ms.toDS(), alpha = 0.5, gamma = 0.3)
+      .writeStream.format("memory").queryName("holt_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // TWO batches split in event-time order: the level/trend state
+      // must carry across the micro-batch boundary for the fold to
+      // equal the batch pass exactly.
+      val clean = realEvents.toSeq
+      val (h1, h2) = clean.splitAt(clean.length / 2)
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      val got = spark.table("holt_eq")
+        .select(col("event_id"), col("level"), col("trend"))
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = graft.operators.TimeSeriesOps.holtPath(
+          Tables.events(spark, SparkTestSession.sfDir)
+            .where(col("value").isNotNull)
+            .withColumn("tsu", epochUs(col("ts"))),
+          Seq("user_id"), Seq("tsu", "event_id"), "value",
+          alpha = 0.5, gamma = 0.3)
+        .select(col("event_id"), col("level"), col("trend"))
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"Holt state mismatch at event $id: ${got(id)} != $w")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming GARCH equals batch garchPath on real returns, bit-for-bit") {
+    import graft.streaming.RetSample
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val rets = Tables.events(spark, SparkTestSession.sfDir)
+      .withColumn("ret", col("value") - lag(col("value"), 1).over(w))
+      .where(col("ret").isNotNull)
+    val feed = rets.select(col("event_id"), col("ts"), col("user_id"),
+        col("ret").cast("double").as("ret"))
+      .as[RetSample].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val ms = MemoryStream[RetSample](spark)
+    val q = StreamingAnomaly.garch(ms.toDS(), omega = 200.0, alpha = 0.10, beta = 0.85)
+      .writeStream.format("memory").queryName("garch_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      ms.addData(feed); q.processAllAvailable()
+      val got = spark.table("garch_eq")
+        .select(col("event_id"), col("sigma2"))
+        .as[(Long, Double)].collect().toMap
+      val want = graft.operators.TimeSeriesOps.garchPath(
+          rets, Seq("user_id"), Seq("ts", "event_id"), "ret",
+          omega = 200.0, alpha = 0.10, beta = 0.85)
+        .select(col("event_id"), col("sigma2"))
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      want.foreach { case (id, wv) =>
+        assert(got(id) == wv, s"GARCH sigma2 mismatch at event $id: ${got(id)} != $wv")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming Holt-Winters equals batch holtWinters on real data, bit-for-bit, across a batch split") {
+    import graft.streaming.DaySample
+    val daily = Tables.events(spark, SparkTestSession.sfDir)
+      .where(col("value").isNotNull)
+      .withColumn("day", expr("unix_micros(ts) DIV 86400000000"))
+      .groupBy("user_id", "day")
+      .agg(graft.functions.CleanFunctions.exactMean(col("value"))
+        .cast("double").as("m"))
+    val feed = daily.as[DaySample].collect().sortBy(e => (e.day, e.user_id)).toSeq
+    val ms = MemoryStream[DaySample](spark)
+    val q = StreamingAnomaly.holtWinters(ms.toDS(), period = 7,
+        alpha = 0.3, beta = 0.1, gamma = 0.2)
+      .writeStream.format("memory").queryName("hw_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // TWO batches split on the day grid: the SEASONAL VECTOR must
+      // survive the micro-batch boundary (the state the simpler
+      // smoothers don't carry).
+      val (h1, h2) = feed.splitAt(feed.length / 2)
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      val got = spark.table("hw_eq")
+        .select(col("user_id"), col("day"), col("fitted"), col("level"),
+          col("trend"), col("seasonal"))
+        .as[(Long, Long, Option[Double], Double, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+      val want = graft.operators.TimeSeriesOps.holtWinters(
+          daily, Seq("user_id"), Seq("day"), "m", period = 7,
+          alpha = 0.3, beta = 0.1, gamma = 0.2)
+        .select(col("user_id"), col("day"), col("hw_fitted"), col("hw_level"),
+          col("hw_trend"), col("hw_seasonal"))
+        .as[(Long, Long, Option[Double], Double, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      want.foreach { case (k, wv) =>
+        assert(got(k) == wv, s"HW state mismatch at $k: ${got(k)} != $wv")
+      }
+    } finally q.stop()
+  }
+
   test("streaming token bucket equals batch tokenBucket on real data, bit-for-bit") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.tokenBucket(ms.toDS(), capacity = 3.0,

@@ -53,10 +53,16 @@ pq.write_table(pa.concat_tables(parts), f"{out}/events.parquet")
 print(f"events: {ev.num_rows} -> {ev.num_rows * K}")
 
 # --- lineitem / orders: order-key offsets ---
+# ONE shared offset computed from orders (the FK parent): per-table maxima
+# would silently break l_orderkey -> o_orderkey referential integrity in
+# every copy if the max lineitem orderkey ever differed from the max order
+# key (e.g. a source with a childless top order).
+kmax = pq.read_table(f"{src}/orders.parquet",
+                     columns=["o_orderkey"]).column("o_orderkey").to_numpy().max() + 1
 for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
     tb = pq.read_table(f"{src}/{t}.parquet")
     kv = tb.column(key).to_numpy()
-    kmax = kv.max() + 1
+    assert kv.max() < kmax, f"{t}.{key} exceeds the orders key space"
     parts = []
     for c in range(K):
         parts.append(tb.set_column(tb.schema.get_field_index(key), key,
