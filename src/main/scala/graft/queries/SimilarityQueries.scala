@@ -146,6 +146,19 @@ object SimilarityQueries {
           TextFunctions.dot(col("xe"), col("ye")), col("xn"), col("yn")).as("cos"))
   }
 
+  // Calibration ladder for the data-derived eps (emb_dbscan_calibrated):
+  // fixed-eps DBSCAN densifies superlinearly as the corpus grows (the
+  // r12 decade measured 1.24-1.26 — 10x points in the same space means
+  // ~10x neighbors inside a FIXED eps), so production must pick eps from
+  // the measured density. The selection rule: the TIGHTEST ladder level
+  // whose blocked eps-graph still has mean degree >= DbscanTargetDegree
+  // (2x minPts — typical points stay core-eligible), falling back to the
+  // loosest level on sparse corpora. Both the ladder and the target are
+  // pinned literals replicated in the oracle, so the derived eps is a
+  // deterministic function of the data alone.
+  private val DbscanEpsLadder = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+  private val DbscanTargetDegree = 8.0
+
   /** Cluster labels (core ∪ border → min-core-id cluster) for one eps
     * level, given its threshold-filtered pair set — the emb_dbscan
     * recipe without the noise roles (stability only reads members).
@@ -170,6 +183,50 @@ object SimilarityQueries {
       .join(coreLbl.select("vec_id"), Seq("vec_id"), "left_anti")
     coreLbl.union(borderLbl)
       .select(col("vec_id"), col("cluster_id").cast(LongType).as("cluster_id"))
+  }
+
+  /** Spec access to the blocked candidate+cosine stage (QueriesSpec
+    * re-derives the calibration band from the same pair graph).
+    */
+  private[graft] def candCosForSpec(s: SparkSession, d: String): DataFrame =
+    dbscanCandCos(s, d)
+
+  /** Full emb_dbscan assignment (role + cluster per node) for one
+    * threshold-filtered pair set — factored so the calibrated entry runs
+    * the IDENTICAL recipe at its data-derived eps. `pairs` should be
+    * cached/checkpointed by the caller (it feeds degree, core-core edges
+    * AND border assignment).
+    */
+  private def dbscanRoles(emb: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+    val nodes = emb.select("vec_id")
+      .join(sym.groupBy(col("x").as("vec_id")).agg(count(lit(1)).as("degree")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("degree"), lit(0L)).as("degree"))
+    val core = nodes.where(col("degree") >= DbscanMinPts).select("vec_id").cache()
+    val coreEdges = pairs
+      .join(core.select(col("vec_id").as("x")), Seq("x"))
+      .join(core.select(col("vec_id").as("y")), Seq("y"))
+      .select("x", "y")
+    val lbl = graft.operators.GraphOps.minLabelPropagate(coreEdges)
+      .select(col("id").as("vec_id"), col("lbl"))
+    // Singleton cores (no core-core edge) are their own cluster.
+    val coreLbl = core.join(lbl, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("c_cluster"))
+      .cache()
+    val borderLbl = sym
+      .join(coreLbl.select(col("vec_id").as("y"), col("c_cluster")), Seq("y"))
+      .groupBy(col("x").as("vec_id")).agg(min(col("c_cluster")).as("b_cluster"))
+    nodes
+      .join(coreLbl, Seq("vec_id"), "left")
+      .join(borderLbl, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("c_cluster").isNotNull, lit("core"))
+          .when(col("b_cluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("c_cluster"), col("b_cluster"), lit(-1L))
+          .cast(LongType).as("cluster_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -208,55 +265,39 @@ object SimilarityQueries {
     // is noise. Every stage is an equi-join or grouped count — the
     // whole operator is O(pairs) + O(log diameter) label rounds.
     "emb_dbscan" -> { (s, d) =>
-      import org.apache.spark.sql.types.LongType
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          TextFunctions.vecNorm(col("embedding")).as("nrm"))
-      val bands = e.select(col("vec_id"), explode(array(
-        (0 until DbscanBands).map { b =>
-          val key = TextFunctions.packBits((0 until DbscanRowsPerBand).map(r =>
-            TextFunctions.lshSign(col("embedding"), b * DbscanRowsPerBand + r)))
-          struct(lit(b).as("band"), key.as("key"))
-        }: _*)).as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("x"), col("b.vec_id").as("y")).distinct()
-        .join(e.select(col("vec_id").as("x"), col("embedding").as("xe"), col("nrm").as("xn")), Seq("x"))
-        .join(e.select(col("vec_id").as("y"), col("embedding").as("ye"), col("nrm").as("yn")), Seq("y"))
-        .where(TextFunctions.cosineFromNorms(
-          TextFunctions.dot(col("xe"), col("ye")), col("xn"), col("yn")) >= DbscanCosine)
+      val pairs = dbscanCandCos(s, d)
+        .where(col("cos") >= DbscanCosine)
         .select(col("x"), col("y"))
         .cache() // feeds degree, core-core edges AND border assignment
-      val sym = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
-      val nodes = e.select("vec_id")
-        .join(sym.groupBy(col("x").as("vec_id")).agg(count(lit(1)).as("degree")),
-          Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("degree"), lit(0L)).as("degree"))
-      val core = nodes.where(col("degree") >= DbscanMinPts).select("vec_id").cache()
-      val coreEdges = pairs
-        .join(core.select(col("vec_id").as("x")), Seq("x"))
-        .join(core.select(col("vec_id").as("y")), Seq("y"))
-        .select("x", "y")
-      val lbl = graft.operators.GraphOps.minLabelPropagate(coreEdges)
-        .select(col("id").as("vec_id"), col("lbl"))
-      // Singleton cores (no core-core edge) are their own cluster.
-      val coreLbl = core.join(lbl, Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("c_cluster"))
-        .cache()
-      val borderLbl = sym
-        .join(coreLbl.select(col("vec_id").as("y"), col("c_cluster")), Seq("y"))
-        .groupBy(col("x").as("vec_id")).agg(min(col("c_cluster")).as("b_cluster"))
-      nodes
-        .join(coreLbl, Seq("vec_id"), "left")
-        .join(borderLbl, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          when(col("c_cluster").isNotNull, lit("core"))
-            .when(col("b_cluster").isNotNull, lit("border"))
-            .otherwise(lit("noise")).as("role"),
-          coalesce(col("c_cluster"), col("b_cluster"), lit(-1L))
-            .cast(LongType).as("cluster_id"))
+      dbscanRoles(Tables.embeddings(s, d), pairs).orderBy("vec_id")
+    },
+
+    // Calibrated DBSCAN — the entry that CONSUMES the density readout the
+    // stability sweep exists to provide: eps is DERIVED from the data (the
+    // tightest DbscanEpsLadder level whose blocked eps-graph keeps mean
+    // degree >= DbscanTargetDegree) instead of pinned, which is the
+    // production contract at 100 TB where a fixed eps densifies
+    // superlinearly with corpus growth (r12 decade study, slope 1.24-1.26).
+    // The corpus-scale candidate+cosine stage is computed ONCE
+    // (localCheckpoint); the ladder readout is one 7-column conditional
+    // aggregate over it (a single collected row — model-parameter-sized);
+    // the selected level then runs the standard emb_dbscan recipe. The
+    // oracle replays the identical ladder, selection arithmetic
+    // (2·edges >= target·n on the same doubles), and clustering, so the
+    // derived eps — emitted as a column — is itself hash-checked.
+    "emb_dbscan_calibrated" -> { (s, d) =>
+      val pc = dbscanCandCos(s, d).localCheckpoint() // feeds readout AND the selected level
+      val n = Tables.embeddings(s, d).count()
+      val readout = pc.select(DbscanEpsLadder.zipWithIndex.map { case (e, i) =>
+        coalesce(sum(when(col("cos") >= e, 1L).otherwise(0L)), lit(0L)).as(s"e$i")
+      }: _*).head()
+      val eps = DbscanEpsLadder.zipWithIndex
+        .filter { case (_, i) => 2.0 * readout.getLong(i) >= DbscanTargetDegree * n }
+        .map(_._1).reduceOption((a, b) => math.max(a, b))
+        .getOrElse(DbscanEpsLadder.min)
+      val pairs = pc.where(col("cos") >= eps).select(col("x"), col("y")).cache()
+      dbscanRoles(Tables.embeddings(s, d), pairs)
+        .withColumn("eps", lit(eps))
         .orderBy("vec_id")
     },
 
@@ -1529,6 +1570,63 @@ object SimilarityQueries {
          |       WHEN b.b_cluster IS NOT NULL THEN 'border'
          |       ELSE 'noise' END AS role,
          |  CAST(coalesce(cl.c_cluster, b.b_cluster, -1) AS BIGINT) AS cluster_id
+         |FROM nodes n LEFT JOIN corelbl cl USING (vec_id) LEFT JOIN blab b USING (vec_id)
+         |ORDER BY n.vec_id""".stripMargin
+    },
+
+    // Identical banding + clustering chain as emb_dbscan, with the eps
+    // literal replaced by the ladder-selection scalar: the readout is a
+    // per-level edge count over the SAME pc CTE, the selection replays
+    // 2*edges >= target*n on the same doubles, and the derived eps is
+    // emitted (and therefore hash-checked) alongside every assignment.
+    "emb_dbscan_calibrated" -> {
+      val signCols = (0 until DbscanBands * DbscanRowsPerBand).map(p =>
+        s"${TextFunctions.lshSignSql("embedding", p)} AS b$p").mkString(",\n  ")
+      val bandRows = (0 until DbscanBands).map { b =>
+        val key = (0 until DbscanRowsPerBand)
+          .map(r => s"(b${b * DbscanRowsPerBand + r} << $r)").mkString(" + ")
+        s"SELECT vec_id, embedding, $b AS band, $key AS key FROM signs"
+      }.mkString("\n  UNION ALL ")
+      val ladder = DbscanEpsLadder
+        .map(graft.functions.CleanFunctions.dlitSql).mkString("[", ", ", "]")
+      val target = graft.functions.CleanFunctions.dlitSql(DbscanTargetDegree)
+      s"""WITH RECURSIVE signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
+         |bands AS ($bandRows),
+         |pc AS MATERIALIZED (
+         |  SELECT DISTINCT a.vec_id AS x, b.vec_id AS y,
+         |    ${TextFunctions.cosineSql("a.embedding", "b.embedding")} AS cos
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |lv AS (SELECT unnest($ladder) AS eps),
+         |nn AS (SELECT count(*) AS n FROM embeddings),
+         |st AS (SELECT lv.eps, count(pc.x) AS edges
+         |  FROM lv LEFT JOIN pc ON pc.cos >= lv.eps GROUP BY lv.eps),
+         |sel AS (SELECT coalesce(
+         |    max(CASE WHEN 2.0 * edges >= $target * n THEN eps END),
+         |    (SELECT min(eps) FROM lv)) AS eps FROM st, nn),
+         |p AS (SELECT x, y FROM pc WHERE cos >= (SELECT eps FROM sel)),
+         |sym AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p),
+         |nodes AS (SELECT e.vec_id, coalesce(d.degree, 0) AS degree
+         |  FROM embeddings e LEFT JOIN
+         |    (SELECT x AS vec_id, count(*) AS degree FROM sym GROUP BY 1) d USING (vec_id)),
+         |core AS (SELECT vec_id FROM nodes WHERE degree >= $DbscanMinPts),
+         |ce AS (SELECT p.x, p.y FROM p
+         |  JOIN core cx ON p.x = cx.vec_id JOIN core cy ON p.y = cy.vec_id),
+         |e2 AS (SELECT x, y FROM ce UNION ALL SELECT y AS x, x AS y FROM ce),
+         |reach(vec_id, lbl) AS (
+         |  SELECT DISTINCT x AS vec_id, x AS lbl FROM e2
+         |  UNION
+         |  SELECT e2.y AS vec_id, r.lbl FROM reach r JOIN e2 ON e2.x = r.vec_id),
+         |clab AS (SELECT vec_id, min(lbl) AS lbl FROM reach GROUP BY 1),
+         |corelbl AS (SELECT c.vec_id, coalesce(l.lbl, c.vec_id) AS c_cluster
+         |  FROM core c LEFT JOIN clab l USING (vec_id)),
+         |blab AS (SELECT s.x AS vec_id, min(cl.c_cluster) AS b_cluster
+         |  FROM sym s JOIN corelbl cl ON s.y = cl.vec_id GROUP BY 1)
+         |SELECT n.vec_id,
+         |  CASE WHEN cl.c_cluster IS NOT NULL THEN 'core'
+         |       WHEN b.b_cluster IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CAST(coalesce(cl.c_cluster, b.b_cluster, -1) AS BIGINT) AS cluster_id,
+         |  (SELECT eps FROM sel) AS eps
          |FROM nodes n LEFT JOIN corelbl cl USING (vec_id) LEFT JOIN blab b USING (vec_id)
          |ORDER BY n.vec_id""".stripMargin
     },

@@ -798,4 +798,35 @@ class QueriesSpec extends AnyFunSuite {
         col("n_points") =!= col("n_expected")).count()
     assert(mismatch == 0, "stability loose clusters != emb_dbscan clusters")
   }
+
+  test("calibrated DBSCAN selects the tightest eps inside the degree band, across sfs") {
+    import org.apache.spark.sql.functions._
+    // The ladder/target pinned in SimilarityQueries; the selection
+    // contract re-derived here from the raw pair graph so the spec
+    // catches a drifted selection rule, not just a crashed one.
+    val ladder = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+    val target = 8.0
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.1")) {
+      val out = SparkEntry.queries("emb_dbscan_calibrated")(spark, dir).cache()
+      val eps = out.select("eps").head().getDouble(0)
+      assert(ladder.contains(eps), s"selected eps $eps not on the ladder ($dir)")
+      val n = out.count()
+      assert(n == graft.sources.Tables.embeddings(spark, dir).count())
+      // Recompute the per-level mean degree from the SAME blocked pair
+      // graph and check the selection: every level at or below eps
+      // satisfies the band, the next tighter one does not (or eps is the
+      // ladder max).
+      val pc = graft.queries.SimilarityQueries.candCosForSpec(spark, dir).cache()
+      def meanDeg(e: Double): Double =
+        2.0 * pc.filter(col("cos") >= e).count() / n.toDouble
+      assert(meanDeg(eps) >= target,
+        s"selected eps $eps has mean degree ${meanDeg(eps)} < $target ($dir)")
+      val tighter = ladder.filter(_ > eps)
+      tighter.headOption.foreach { nxt =>
+        assert(meanDeg(nxt) < target,
+          s"eps $nxt also satisfies the band but $eps was selected ($dir)")
+      }
+      out.unpersist(); pc.unpersist()
+    }
+  }
 }
