@@ -207,18 +207,22 @@ object TextFunctions {
     * random projection (raw coordinates). Sequential fold order matches
     * [[lshProjSql]]'s left-to-right term sum.
     */
+  /** The deterministic Rademacher hyperplane weight for (plane, dim) —
+    * the single source shared by [[lshProj]], [[lshProjSql]] and the
+    * centered-threshold fold in AnnSearch.
+    */
+  def lshWeight(plane: Int, i: Int): Double =
+    if (((plane * 8191L + i * 524287L) % 97) % 2 == 0) 1.0 else -1.0
+
   def lshProj(emb: Column, plane: Int): Column = {
-    val w: Array[Float] = Array.tabulate(64) { i =>
-      if (((plane * 8191L + i * 524287L) % 97) % 2 == 0) 1.0f else -1.0f
-    }
+    val w: Array[Float] = Array.tabulate(64)(i => lshWeight(plane, i).toFloat)
     dot(emb, lit(w))
   }
 
   /** DuckDB twin of [[lshProj]]: the identical left-to-right term sum. */
   def lshProjSql(embSql: String, plane: Int): String = {
     val terms = (0 until 64).map { i =>
-      val w = if (((plane * 8191L + i * 524287L) % 97) % 2 == 0) "1.0" else "-1.0"
-      s"CAST($embSql[${i + 1}] AS DOUBLE) * $w"
+      s"CAST($embSql[${i + 1}] AS DOUBLE) * ${lshWeight(plane, i)}"
     }.mkString(" + ")
     s"($terms)"
   }
@@ -227,6 +231,23 @@ object TextFunctions {
     when(lshProj(emb, plane) >= 0, 1L).otherwise(0L)
   def lshSignSql(embSql: String, plane: Int): String =
     s"(CASE WHEN ${lshProjSql(embSql, plane)} >= 0 THEN 1 ELSE 0 END)"
+
+  /** ANCHORED sign bit: the hyperplane passes through a data-derived
+    * anchor instead of the origin — compared as proj(x) >= threshold so
+    * both engines fold the identical terms. Used by the bucket-local
+    * second-level LSH split (AnnSearch.SplitOccupancy): a GLOBAL
+    * hyperplane never separates the members of a tight cluster (they
+    * share the sign on every global plane), but a plane anchored at the
+    * cluster's own 6dp-exact projection mean splits its mass ~evenly.
+    */
+  def lshSignAt(emb: Column, plane: Int, threshold: Column): Column =
+    when(lshProj(emb, plane) >= threshold, 1L).otherwise(0L)
+
+  /** DuckDB twin of [[lshSignAt]]: `thSql` must evaluate to the same
+    * double the Spark side joins in.
+    */
+  def lshSignAtSql(embSql: String, plane: Int, thSql: String): String =
+    s"(CASE WHEN ${lshProjSql(embSql, plane)} >= $thSql THEN 1 ELSE 0 END)"
 
   /** Pack `n` sign bits (columns of 0/1 long) into a bucket id. */
   def packBits(bits: Seq[Column]): Column =

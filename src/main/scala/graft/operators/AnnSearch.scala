@@ -95,6 +95,40 @@ object AnnSearch {
   val twoBitFlipRankSql: String =
     s"((a.p * (2 * np - a.p - 1)) // 2 + (b.p - a.p - 1)) < $MaxTwoBitProbes"
 
+  /** Occupancy above which a level-1 sign bucket gets a bucket-LOCAL
+    * second-level split (see [[subPlanes]]). 4x the target occupancy:
+    * the committed test sfs top out at 220, so their bucketing stays
+    * single-level (hashes unchanged); the split engages exactly where
+    * the measured superlinearity lives — tightly-clustered corpora whose
+    * per-cluster mass outgrows any GLOBAL hyperplane's ability to split
+    * it (every member shares the same sign on every global plane; only
+    * a plane anchored INSIDE the cluster separates members). Measured on
+    * the sf1eq decade: level-1-only candidates grow x28 for rows x10
+    * (slope 1.45 — Σocc² over cluster-sized buckets); with the local
+    * split they return to near-linear.
+    */
+  val SplitOccupancy = 256L
+
+  /** Cap on second-level planes: 8 more planes handle a further 256x of
+    * within-cluster growth past [[SplitOccupancy]]; production recurses
+    * the same refinement (a hash trie), one level per ~2 decades.
+    */
+  val MaxSubPlanes = 8
+
+  /** Level-2 plane count for a split bucket of occupancy m — the same
+    * integer-threshold sizing as [[annPlanes]], on plane indices
+    * [[DefaultMaxPlanes]]..+[[MaxSubPlanes]] so the two levels never
+    * share a hyperplane.
+    */
+  def subPlanes(m: Long): Int =
+    annPlanes(m, DefaultTargetOccupancy, MaxSubPlanes)
+
+  /** DuckDB twin of [[subPlanes]] as a CASE over an `occ` column. */
+  val subPlanesCaseSql: String =
+    "CASE " + (1 until MaxSubPlanes).map(q =>
+      s"WHEN occ <= ${DefaultTargetOccupancy << q} THEN $q ").mkString +
+      s"ELSE $MaxSubPlanes END"
+
   /** Plane count for a corpus of `n` vectors: smallest p with
     * n <= targetOccupancy * 2^p, capped. Integer thresholds so SQL twins
     * can replicate the derivation exactly.

@@ -47,8 +47,11 @@ object JoinOps {
     // execution, or a reused checkpoint) must not pay the count twice.
     // A NEW checkpoint gets a new RDD id and re-counts, which is the
     // correct staleness behavior for a guard. Bounded: Long values only,
-    // cleared past 4096 entries (an RDD id never recurs within a JVM).
-    val key = (System.identityHashCode(side.sparkSession), side.rdd.id)
+    // cleared past 4096 entries. Keyed by applicationId + RDD id: RDD
+    // ids RESTART at 0 with each new SparkContext (and identityHashCode
+    // of a GC'd session can recur), so a session-hash key could let a
+    // stale smaller count satisfy the fence across context restarts.
+    val key = (side.sparkSession.sparkContext.applicationId, side.rdd.id)
     if (countMemo.size > 4096) countMemo.clear()
     val n = countMemo.computeIfAbsent(key, _ => side.count())
     require(n <= maxRows,
@@ -59,7 +62,7 @@ object JoinOps {
   }
 
   private val countMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Long]()
 
   /** Fence tag -> (rows counted, fence) for every boundedBroadcast that
     * fired in this JVM. Exists so PlanAuditSpec can assert the fence is

@@ -191,6 +191,116 @@ object SimilarityQueries {
   private[graft] def candCosForSpec(s: SparkSession, d: String): DataFrame =
     dbscanCandCos(s, d)
 
+  /** Spec/diagnostic access to the shared two-level kNN candidate stage. */
+  private[graft] def knnCandidatePairsForSpec(s: SparkSession, d: String): DataFrame =
+    knnCandidatePairs(s, d)
+
+  /** Blocked all-points kNN candidate pairs (a_id, b_id, dist) — the
+    * shared stage under emb_lof and emb_intrinsic_dim.
+    *
+    * Level 1: size-adaptive global sign buckets with the capped <=2-flip
+    * multi-probe (AnnSearch.MaxTwoBitProbes). Level 2 — the skew fix the
+    * sf1eq decade forced: buckets whose occupancy exceeds
+    * AnnSearch.SplitOccupancy get a bucket-LOCAL split on
+    * AnnSearch.MaxSubPlanes fresh hyperplanes anchored at the bucket's
+    * own 6dp-exact per-plane projection means. A GLOBAL hyperplane never
+    * separates a tight cluster (every member shares its sign on every
+    * global plane — measured: candidates x28 for rows x10 on the
+    * clustered sf1eq corpus, Σocc² over cluster-sized buckets), but a
+    * plane through the cluster's own center splits its mass ~evenly, so
+    * effective occupancy returns to the sizing target and the candidate
+    * stage to ~linear. Probes into a split bucket compute the QUERY's
+    * subkey against that bucket's thresholds and probe it plus its
+    * 1-bit flips. Committed test sfs top out at occupancy 220 < 256, so
+    * their plans and hashes are bit-identical to the single-level path;
+    * the DuckDB oracle replicates the split (thresholds, sizing CASE,
+    * sub-probing) exactly.
+    *
+    * Scale shape: every stage is an equi-join or grouped aggregate;
+    * the threshold table is O(#split buckets) rows and broadcast; pairs
+    * are unique by construction (distinct L1 probe buckets; one
+    * (bucket, subkey) home per corpus vector; distinct sub-probes per
+    * probed bucket).
+    */
+  private def knnCandidatePairs(s: SparkSession, d: String): DataFrame =
+    knnCandidatePairsOf(Tables.embeddings(s, d))
+
+  private[graft] def knnCandidatePairsOf(emb: DataFrame): DataFrame = {
+    import graft.functions.CleanFunctions.{exactSum, round4, round6}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val A = graft.operators.AnnSearch
+    val e = emb.select(col("vec_id"), col("embedding"),
+      TextFunctions.vecNorm(col("embedding")).as("nrm")).cache()
+    val np = A.annPlanes(e.count(), AnnTargetOccupancy)
+    // Level-2 projections for every row (8 fused fold columns) — planes
+    // DefaultMaxPlanes.. so the two levels never share a hyperplane.
+    val pjCols = (0 until A.MaxSubPlanes).map(j =>
+      TextFunctions.lshProj(col("embedding"), A.DefaultMaxPlanes + j)
+        .cast(DoubleType).as(s"pj$j"))
+    val sb = e.select(Seq(col("vec_id"), col("embedding"), col("nrm"),
+      TextFunctions.packBits((0 until np).map(p =>
+        TextFunctions.lshSign(col("embedding"), p))).as("bucket")) ++ pjCols: _*)
+      .cache()
+    // Per-bucket occupancy + 6dp-exact projection means; split set only.
+    val thrAggs = (0 until A.MaxSubPlanes).map(j =>
+      round6(exactSum(col(s"pj$j")) / count(lit(1))).as(s"th$j"))
+    val np2Col = (1 until A.MaxSubPlanes).foldRight(lit(A.MaxSubPlanes)) {
+      (q, rest) => when(col("occ") <= (A.DefaultTargetOccupancy << q), q).otherwise(rest)
+    }
+    val bthr = sb.groupBy("bucket")
+      .agg(count(lit(1)).as("occ"), thrAggs: _*)
+      .where(col("occ") > A.SplitOccupancy)
+      .withColumn("np2", np2Col)
+      .cache() // O(#split buckets) rows — broadcast below
+    val subBits = (0 until A.MaxSubPlanes).map { j =>
+      when(lit(j) < col("np2"),
+        shiftleft(TextFunctions.lshSignAt(col("embedding"),
+          A.DefaultMaxPlanes + j, col(s"th$j")), j)).otherwise(lit(0L))
+    }.reduce(_ + _).cast(LongType)
+    val mem = sb.join(broadcast(bthr), Seq("bucket"), "left")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bucket"),
+        when(col("np2").isNotNull, subBits).as("subkey")) // null = unsplit home
+    // Level-1 probe set (own bucket + 1-flips + capped 2-flips).
+    val flips: Seq[org.apache.spark.sql.Column] =
+      (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
+        A.twoBitFlipPairs(np).map { case (p, q) =>
+          col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))) }
+    val probes = sb.select(Seq(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm")) ++
+      (0 until A.MaxSubPlanes).map(j => col(s"pj$j").as(s"qpj$j")) :+
+      explode(array(col("bucket") +: flips: _*)).as("pbucket"): _*)
+    val pbthr = bthr.withColumnRenamed("bucket", "pbucket")
+    // Probes into UNSPLIT buckets: plain bucket equi-join.
+    val candU = mem.where(col("subkey").isNull)
+      .join(probes.join(broadcast(pbthr.select("pbucket")), Seq("pbucket"), "left_anti"),
+        mem("bucket") === col("pbucket") && mem("vec_id") =!= col("a_id"))
+    // Probes into SPLIT buckets: the query's subkey AGAINST THAT BUCKET's
+    // thresholds, plus its 1-bit flips (j < np2).
+    val qsub = (0 until A.MaxSubPlanes).map { j =>
+      when(lit(j) < col("np2"),
+        shiftleft(when(col(s"qpj$j") >= col(s"th$j"), 1L).otherwise(0L), j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _).cast(LongType)
+    val probesS = probes.join(broadcast(pbthr), Seq("pbucket"))
+      .withColumn("qsub", qsub)
+      .select(col("a_id"), col("a_emb"), col("a_nrm"), col("pbucket"),
+        explode(array(col("qsub") +: (0 until A.MaxSubPlanes).map(j =>
+          when(lit(j) < col("np2"),
+            col("qsub").bitwiseXOR(lit(1L << j)))): _*)).as("psub"))
+      .where(col("psub").isNotNull)
+    val candS = mem.where(col("subkey").isNotNull)
+      .join(probesS, mem("bucket") === col("pbucket") &&
+        mem("subkey") === col("psub") && mem("vec_id") =!= col("a_id"))
+    candU.select(col("a_id"), col("vec_id").as("b_id"),
+        round4(lit(1.0) - TextFunctions.cosineFromNorms(
+          TextFunctions.dot(col("a_emb"), col("embedding")),
+          col("a_nrm"), col("nrm"))).as("dist"))
+      .union(candS.select(col("a_id"), col("vec_id").as("b_id"),
+        round4(lit(1.0) - TextFunctions.cosineFromNorms(
+          TextFunctions.dot(col("a_emb"), col("embedding")),
+          col("a_nrm"), col("nrm"))).as("dist")))
+  }
+
   /** Full emb_dbscan assignment (role + cluster per node) for one
     * threshold-filtered pair set — factored so the calibrated entry runs
     * the IDENTICAL recipe at its data-derived eps. `pairs` should be
@@ -970,14 +1080,15 @@ object SimilarityQueries {
     // scores high even when its absolute distances look normal.
     // LOF(a) = mean_{b∈kNN(a)} lrd(b) / lrd(a), lrd = k / Σ reach,
     // reach(a←b) = max(kdist(b), d(a,b)). Candidate kNN pairs come from
-    // the SAME size-adaptive multi-probe LSH bucketing as ann_lsh_topk
-    // (every point is a query) — a bucket equi-join, never an all-pairs
-    // nested loop, so the candidate stage stays O(n·occupancy·probes)
-    // and partitions by bucket at 100 TB. Everything downstream joins on
-    // point ids and windows partition per point. The DuckDB oracle
-    // replicates the identical sizing + bucketing, and distances are
-    // rounded 4dp with id tie-breaks, so both engines pick identical
-    // neighbor sets.
+    // the shared TWO-LEVEL blocked stage (knnCandidatePairs: adaptive
+    // sign buckets + capped multi-probe + the bucket-local skew split) —
+    // a bucket equi-join, never an all-pairs nested loop, so the
+    // candidate stage stays ~O(n·occupancy·log n) even on clustered
+    // corpora and partitions by bucket at 100 TB. Everything downstream
+    // joins on point ids and windows partition per point. The DuckDB
+    // oracle replicates the identical sizing + bucketing + split, and
+    // distances are rounded 4dp with id tie-breaks, so both engines pick
+    // identical neighbor sets.
     // TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
     // embedding manifold: d̂ = n/Σ ln(r₂/r₁) over each vector's two
     // nearest neighbors — the number that says whether 64-dim vectors
@@ -991,25 +1102,7 @@ object SimilarityQueries {
     "emb_intrinsic_dim" -> { (s, d) =>
       import graft.functions.CleanFunctions.{exactSum, round4, round6}
       import org.apache.spark.sql.types.DoubleType
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        TextFunctions.vecNorm(col("embedding")).as("nrm")).cache()
-      val np = graft.operators.AnnSearch.annPlanes(e.count(), AnnTargetOccupancy)
-      val sb = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        TextFunctions.packBits((0 until np).map(p =>
-          TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
-      val flips: Seq[org.apache.spark.sql.Column] =
-        (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
-          graft.operators.AnnSearch.twoBitFlipPairs(np).map { case (p, q) =>
-            col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))) }
-      val probes = sb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("nrm").as("a_nrm"),
-        explode(array(col("bucket") +: flips: _*)).as("pbucket"))
-      val pairs = sb.join(probes,
-          sb("bucket") === probes("pbucket") && sb("vec_id") =!= probes("a_id"))
-        .select(col("a_id"), col("vec_id").as("b_id"),
-          round4(lit(1.0) - TextFunctions.cosineFromNorms(
-            TextFunctions.dot(col("a_emb"), col("embedding")),
-            col("a_nrm"), col("nrm"))).as("dist"))
+      val pairs = knnCandidatePairs(s, d)
       val w = Window.partitionBy("a_id").orderBy(col("dist"), col("b_id"))
       val piv = pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= 2)
         .groupBy("a_id").agg(
@@ -1061,30 +1154,10 @@ object SimilarityQueries {
     "emb_lof" -> { (s, d) =>
       import graft.functions.CleanFunctions.{exactSum, round4}
       val K = 5
-      // Norms once per VECTOR, not per pair: the bucket join emits
-      // ~occupancy x probes candidates per vector, and cosine() would
-      // redo both self-dots for each — cosineFromNorms is the identical
-      // fold (norm = sqrt(dot(x,x)) either way) at a third of the flops
-      // in the widest stage.
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        TextFunctions.vecNorm(col("embedding")).as("nrm")).cache()
-      val np = graft.operators.AnnSearch.annPlanes(e.count(), AnnTargetOccupancy)
-      val sb = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        TextFunctions.packBits((0 until np).map(p =>
-          TextFunctions.lshSign(col("embedding"), p))).as("bucket"))
-      val flips: Seq[org.apache.spark.sql.Column] =
-        (0 until np).map(p => col("bucket").bitwiseXOR(lit(1L << p))) ++
-          graft.operators.AnnSearch.twoBitFlipPairs(np).map { case (p, q) =>
-            col("bucket").bitwiseXOR(lit((1L << p) | (1L << q))) }
-      val probes = sb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("nrm").as("a_nrm"),
-        explode(array(col("bucket") +: flips: _*)).as("pbucket"))
-      val pairs = sb.join(probes,
-          sb("bucket") === probes("pbucket") && sb("vec_id") =!= probes("a_id"))
-        .select(col("a_id"), col("vec_id").as("b_id"),
-          round4(lit(1.0) - TextFunctions.cosineFromNorms(
-            TextFunctions.dot(col("a_emb"), col("embedding")),
-            col("a_nrm"), col("nrm"))).as("dist"))
+      // Candidates from the shared two-level blocked stage; norms are
+      // computed once per VECTOR inside it (cosineFromNorms — a third of
+      // the flops of cosine() in the widest stage).
+      val pairs = knnCandidatePairs(s, d)
       val w = Window.partitionBy("a_id").orderBy(col("dist"), col("b_id"))
       val ranked = pairs.withColumn("rk", row_number().over(w))
         .where(col("rk") <= K).cache()
@@ -1357,6 +1430,84 @@ object SimilarityQueries {
   private lazy val AnnLshOracle: String =
     s"""WITH ${annLshCtes("vec_id % 50 = 0", TopK)}
        |SELECT q_id, n_id, score, rk FROM knn ORDER BY q_id, rk""".stripMargin
+
+  /** Shared CTE chain for the two-level blocked kNN oracle (emb_lof /
+    * emb_intrinsic_dim) — ends with a `p(a_id, b_id, dist)` CTE. Mirrors
+    * knnCandidatePairs exactly: level-1 adaptive sign buckets with the
+    * capped <=2-flip multi-probe; buckets over AnnSearch.SplitOccupancy
+    * split on AnnSearch.MaxSubPlanes bucket-local anchored planes
+    * (thresholds = 6dp-exact per-bucket projection means); probes into a
+    * split bucket compute the query's subkey against that bucket's
+    * thresholds and probe it plus its 1-bit flips.
+    */
+  private lazy val KnnPairsCtesSql: String = {
+    def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"
+    def r6(x: String) = s"(round(($x) * 1000000.0) / 1000000.0 + 0.0)"
+    val A = graft.operators.AnnSearch
+    val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
+      s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
+    val signCols = (0 until MaxAnnPlanes)
+      .map(p => s"${TextFunctions.lshSignSql("embedding", p)} AS g$p").mkString(",\n  ")
+    val pjCols = (0 until A.MaxSubPlanes)
+      .map(j => s"${TextFunctions.lshProjSql("embedding", MaxAnnPlanes + j)} AS pj$j")
+      .mkString(",\n  ")
+    val pjNames = (0 until A.MaxSubPlanes).map(j => s"pj$j").mkString(", ")
+    val qpjNames = (0 until A.MaxSubPlanes).map(j => s"pj$j AS qpj$j").mkString(", ")
+    val bucket = (0 until MaxAnnPlanes)
+      .map(p => s"(CASE WHEN $p < np THEN (g$p << $p) ELSE 0 END)").mkString(" + ")
+    val thCols = (0 until A.MaxSubPlanes)
+      .map(j => s"${r6(graft.functions.CleanFunctions.exactSumSql(s"pj$j") + " / count(*)")} AS th$j")
+      .mkString(",\n  ")
+    val thNames = (0 until A.MaxSubPlanes).map(j => s"th$j").mkString(", ")
+    val memBits = (0 until A.MaxSubPlanes)
+      .map(j => s"(CASE WHEN $j < spl.np2 THEN ((CASE WHEN sb.pj$j >= spl.th$j THEN 1 ELSE 0 END) << $j) ELSE 0 END)")
+      .mkString(" + ")
+    val qsubBits = (0 until A.MaxSubPlanes)
+      .map(j => s"(CASE WHEN $j < spl.np2 THEN ((CASE WHEN qp.qpj$j >= spl.th$j THEN 1 ELSE 0 END) << $j) ELSE 0 END)")
+      .mkString(" + ")
+    s"""nn AS (SELECT count(*) AS n FROM embeddings),
+       |npt AS (SELECT ($npCase) AS np FROM nn),
+       |signs AS (SELECT vec_id, embedding, $signCols,
+       |  $pjCols FROM embeddings),
+       |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket,
+       |  $pjNames FROM signs, npt),
+       |bs AS (SELECT bucket, count(*) AS occ,
+       |  $thCols FROM sb GROUP BY bucket),
+       |spl AS (SELECT bucket, occ, (${A.subPlanesCaseSql}) AS np2,
+       |  $thNames FROM bs WHERE occ > ${A.SplitOccupancy}),
+       |mem AS (SELECT sb.vec_id, sb.embedding, sb.bucket,
+       |  CASE WHEN spl.bucket IS NULL THEN NULL
+       |       ELSE CAST($memBits AS BIGINT) END AS subkey
+       |  FROM sb LEFT JOIN spl USING (bucket)),
+       |ps AS (SELECT unnest(generate_series(0, ${MaxAnnPlanes - 1})) AS p),
+       |qp AS (
+       |  SELECT vec_id AS a_id, embedding AS a_emb, $qpjNames, bucket AS pbucket FROM sb
+       |  UNION ALL
+       |  SELECT vec_id, embedding, $qpjNames, xor(bucket, CAST(1 AS BIGINT) << p) AS pbucket
+       |    FROM sb, ps, npt WHERE p < np
+       |  UNION ALL
+       |  SELECT sb.vec_id, embedding, $qpjNames, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
+       |    FROM sb, ps a, ps b, npt WHERE a.p < b.p AND b.p < np
+       |      AND ${A.twoBitFlipRankSql}),
+       |qps AS (SELECT qp.a_id, qp.a_emb, qp.pbucket, spl.np2,
+       |  CAST($qsubBits AS BIGINT) AS qsub
+       |  FROM qp JOIN spl ON spl.bucket = qp.pbucket),
+       |js AS (SELECT unnest(generate_series(-1, ${A.MaxSubPlanes - 1})) AS j),
+       |qpse AS (SELECT a_id, a_emb, pbucket,
+       |  CASE WHEN j = -1 THEN qsub ELSE xor(qsub, CAST(1 AS BIGINT) << j) END AS psub
+       |  FROM qps, js WHERE j = -1 OR j < np2),
+       |p AS (
+       |  SELECT q.a_id, b.vec_id AS b_id,
+       |    ${r4(s"1.0 - (${TextFunctions.cosineSql("q.a_emb", "b.embedding")})")} AS dist
+       |  FROM qp q JOIN mem b ON b.bucket = q.pbucket AND b.vec_id <> q.a_id
+       |    AND b.subkey IS NULL
+       |  WHERE q.pbucket NOT IN (SELECT bucket FROM spl)
+       |  UNION ALL
+       |  SELECT q.a_id, b.vec_id AS b_id,
+       |    ${r4(s"1.0 - (${TextFunctions.cosineSql("q.a_emb", "b.embedding")})")} AS dist
+       |  FROM qpse q JOIN mem b ON b.bucket = q.pbucket AND b.subkey = q.psub
+       |    AND b.vec_id <> q.a_id)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "emb_kmeans_assign" -> {
@@ -1937,30 +2088,7 @@ object SimilarityQueries {
       def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"
       def r6(x: String) = s"(round(($x) * 1000000.0) / 1000000.0 + 0.0)"
       val dsum = (x: String) => graft.functions.CleanFunctions.exactSumSql(x)
-      val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
-        s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
-      val signCols = (0 until MaxAnnPlanes)
-        .map(p => s"${TextFunctions.lshSignSql("embedding", p)} AS g$p").mkString(",\n  ")
-      val bucket = (0 until MaxAnnPlanes)
-        .map(p => s"(CASE WHEN $p < np THEN (g$p << $p) ELSE 0 END)").mkString(" + ")
-      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
-         |npt AS (SELECT ($npCase) AS np FROM nn),
-         |signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
-         |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM signs, npt),
-         |ps AS (SELECT unnest(generate_series(0, ${MaxAnnPlanes - 1})) AS p),
-         |qp AS (
-         |  SELECT vec_id AS a_id, embedding AS a_emb, bucket AS pbucket FROM sb
-         |  UNION ALL
-         |  SELECT vec_id, embedding, xor(bucket, CAST(1 AS BIGINT) << p) AS pbucket
-         |    FROM sb, ps, npt WHERE p < np
-         |  UNION ALL
-         |  SELECT sb.vec_id, embedding, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
-         |    FROM sb, ps a, ps b, npt WHERE a.p < b.p AND b.p < np
-         |      AND ${graft.operators.AnnSearch.twoBitFlipRankSql}),
-         |p AS (
-         |  SELECT q.a_id, b.vec_id AS b_id,
-         |    ${r4(s"1.0 - (${TextFunctions.cosineSql("q.a_emb", "b.embedding")})")} AS dist
-         |  FROM qp q JOIN sb b ON b.bucket = q.pbucket AND b.vec_id <> q.a_id),
+      s"""WITH $KnnPairsCtesSql,
          |r AS MATERIALIZED (
          |  SELECT a_id, b_id, dist,
          |    row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rk
@@ -1983,30 +2111,7 @@ object SimilarityQueries {
     "emb_lof" -> {
       def r4(x: String) = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"
       val dsum = (x: String) => graft.functions.CleanFunctions.exactSumSql(x)
-      val npCase = "CASE " + (1 until MaxAnnPlanes).map(p =>
-        s"WHEN n <= ${AnnTargetOccupancy << p} THEN $p ").mkString + s"ELSE $MaxAnnPlanes END"
-      val signCols = (0 until MaxAnnPlanes)
-        .map(p => s"${TextFunctions.lshSignSql("embedding", p)} AS g$p").mkString(",\n  ")
-      val bucket = (0 until MaxAnnPlanes)
-        .map(p => s"(CASE WHEN $p < np THEN (g$p << $p) ELSE 0 END)").mkString(" + ")
-      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
-         |npt AS (SELECT ($npCase) AS np FROM nn),
-         |signs AS (SELECT vec_id, embedding, $signCols FROM embeddings),
-         |sb AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket FROM signs, npt),
-         |ps AS (SELECT unnest(generate_series(0, ${MaxAnnPlanes - 1})) AS p),
-         |qp AS (
-         |  SELECT vec_id AS a_id, embedding AS a_emb, bucket AS pbucket FROM sb
-         |  UNION ALL
-         |  SELECT vec_id, embedding, xor(bucket, CAST(1 AS BIGINT) << p) AS pbucket
-         |    FROM sb, ps, npt WHERE p < np
-         |  UNION ALL
-         |  SELECT sb.vec_id, embedding, xor(bucket, (CAST(1 AS BIGINT) << a.p) + (CAST(1 AS BIGINT) << b.p)) AS pbucket
-         |    FROM sb, ps a, ps b, npt WHERE a.p < b.p AND b.p < np
-         |      AND ${graft.operators.AnnSearch.twoBitFlipRankSql}),
-         |p AS (
-         |  SELECT q.a_id, b.vec_id AS b_id,
-         |    ${r4(s"1.0 - (${TextFunctions.cosineSql("q.a_emb", "b.embedding")})")} AS dist
-         |  FROM qp q JOIN sb b ON b.bucket = q.pbucket AND b.vec_id <> q.a_id),
+      s"""WITH $KnnPairsCtesSql,
          |r AS MATERIALIZED (
          |  SELECT a_id, b_id, dist,
          |    row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rk

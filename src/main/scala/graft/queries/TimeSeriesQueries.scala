@@ -1069,9 +1069,13 @@ object TimeSeriesQueries {
         CleanFunctions.exactSum(col("value")).as("sx"),
         CleanFunctions.exactSum(col("value") * col("value")).as("sxx"))
       e.crossJoin(broadcast(stats))
+        // safeDiv: a degenerate all-constant value column zeroes the
+        // moment std — Spark's Divide yields NULL there but DuckDB's
+        // double division yields inf/NaN, so both sides nullif the
+        // denominator explicitly (the kendall_w/kappa rule).
         .select(col("event_id"), CleanFunctions.round4(
-          (col("value") - col("sx") / col("n")) /
-            CleanFunctions.momentStd(col("n"), col("sx"), col("sxx"))).as("z"))
+          CleanFunctions.safeDiv(col("value") - col("sx") / col("n"),
+            CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")))).as("z"))
         .select(col("event_id"), col("z"),
           CleanFunctions.round4(CleanFunctions.normalCdf(col("z"))).as("phi"))
         .orderBy("event_id")
@@ -2138,7 +2142,7 @@ object TimeSeriesQueries {
          |  ${CleanFunctions.exactSumSql("value * value")} AS sxx FROM e),
          |zs AS (SELECT event_id,
          |  ${CleanFunctions.round4Sql(
-            s"(value - sx / n) / ${CleanFunctions.momentStdSql("n", "sx", "sxx")}")} AS z
+            s"(value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)")} AS z
          |  FROM e, st)
          |SELECT event_id, z,
          |  ${CleanFunctions.round4Sql(CleanFunctions.normalCdfSql(z))} AS phi
