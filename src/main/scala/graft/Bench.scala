@@ -40,8 +40,24 @@ object Bench {
     // sub-second sf0.1 scale, noise at 100 TB). The phantom-regression
     // class the interleave targeted (r9: four queries "slowed" 1.5-3x
     // with zero code change) is handled by ADAPTIVE re-voting below.
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
+    // Cohort sharding (SPARK_GRAFT_BENCH_SHARD="i/N", 0-based): run the
+    // i-th of N contiguous ALPHABETICAL slices. Rationale (r12 verdict
+    // item 8): 450+ distinct plans in one JVM thrash the bounded codegen
+    // cache and every round produces a couple of sub-3 s phantom
+    // "regressions" that an isolated re-bench then has to adjudicate;
+    // fresh-JVM cohorts of ~57 plans keep each query's environment
+    // reproducible. tools/bench_sharded.sh runs the cohorts and merges
+    // their detail files into the BENCH_FULL.json shape.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_SHARD") match {
+      case Some(spec) =>
+        val Array(i, nS) = spec.split("/").map(_.toInt)
+        require(nS > 0 && i >= 0 && i < nS, s"bad shard spec $spec")
+        val per = (allNames.size + nS - 1) / nS
+        allNames.slice(i * per, (i + 1) * per)
+      case None => allNames
+    }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       def oneRep(): (Double, Boolean) = {
@@ -113,7 +129,11 @@ object Bench {
     // Partial runs (name args given) must not clobber the committed
     // full-suite artifact — they default to BENCH_PARTIAL.json instead.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json")
+      if (only.nonEmpty) "BENCH_PARTIAL.json"
+      else sys.env.get("SPARK_GRAFT_BENCH_SHARD") match {
+        case Some(spec) => s"BENCH_SHARD_${spec.replace('/', '_')}.json"
+        case None => "BENCH_FULL.json"
+      })
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (fullLine + "\n").getBytes("UTF-8"))
