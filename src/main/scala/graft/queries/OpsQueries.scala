@@ -246,6 +246,30 @@ object OpsQueries {
        |  ${round4Sql("s[(rn - 1) % 7 + 1]")} AS hw_seasonal
        |FROM c ORDER BY user_id, day""".stripMargin
 
+  /** Recursive-CTE Croston recursion — shared by the batch `ts_croston`
+    * and the streaming replay `streaming_croston` oracles (the
+    * KalmanOracleSql never-drift rule).
+    */
+  private lazy val CrostonOracleSql: String = {
+    val a = dlit(CrostonAlpha); val ia = dlit(1.0 - CrostonAlpha)
+    s"""WITH RECURSIVE $demandSql,
+       |v AS (SELECT user_id, bucket, q,
+       |  row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn,
+       |  count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM d),
+       |c AS (
+       |  SELECT user_id, rn, n, bucket, q AS z, CAST(1.0 AS DOUBLE) AS p
+       |  FROM v WHERE rn = 1
+       |  UNION ALL
+       |  SELECT v.user_id, v.rn, v.n, v.bucket,
+       |    $a * v.q + $ia * c.z AS z,
+       |    $a * CAST(v.bucket - c.bucket AS DOUBLE) + $ia * c.p AS p
+       |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)
+       |SELECT user_id, rn AS n_demands, ${round4Sql("z")} AS level,
+       |  ${round4Sql("p")} AS demand_interval, ${round4Sql("z / p")} AS forecast
+       |FROM c WHERE rn = n ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Zonemap-effectiveness report (the data-layout feedback loop behind
     // min/max data skipping): per day-partition min/max/count of value,
@@ -754,6 +778,33 @@ object OpsQueries {
           round4(col("level")).as("level"),
           round4(col("interval")).as("demand_interval"),
           round4(col("forecast")).as("forecast"))
+        .orderBy("user_id")
+    },
+
+    // Streaming Croston via the emit-once EventTimeTimeout fold — the
+    // terminal-summary member of the streaming forecasting twins (Holt/
+    // HW/GARCH emit per-row paths; Croston's contract is one summary per
+    // series at the demand-window close). O(1) state per key; oracle =
+    // the batch twin's recursive CTE, verbatim.
+    "streaming_croston" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{DemandSample, StreamingAnomaly}
+      import org.apache.spark.sql.types.DoubleType
+      val rows = demand(s, d)
+        .select(col("user_id"),
+          expr("timestamp_micros(bucket * 3600000000)").as("ts"),
+          col("bucket"), col("q").cast(DoubleType).as("q"))
+        .as[DemandSample].collect().toSeq
+      val maxUs = rows.iterator.map(r => StreamingAnomaly.tsUs(r.ts)).max
+      val punct = DemandSample(-1L,
+        new java.sql.Timestamp((maxUs + 10L * 86400L * 1000000L) / 1000L),
+        -1L, 0.0)
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_croston",
+          Some(punct))(ds => StreamingAnomaly.croston(ds, CrostonAlpha).toDF())
+        .select(col("user_id"), col("n_demands"),
+          round4(col("z")).as("level"),
+          round4(col("p")).as("demand_interval"),
+          round4(col("z") / col("p")).as("forecast"))
         .orderBy("user_id")
     },
 
@@ -1954,25 +2005,10 @@ object OpsQueries {
          |FROM l WHERE to_type IS NOT NULL
          |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
-    "ts_croston" -> {
-      val a = dlit(CrostonAlpha); val ia = dlit(1.0 - CrostonAlpha)
-      s"""WITH RECURSIVE $demandSql,
-         |v AS (SELECT user_id, bucket, q,
-         |  row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn,
-         |  count(*) OVER (PARTITION BY user_id) AS n
-         |  FROM d),
-         |c AS (
-         |  SELECT user_id, rn, n, bucket, q AS z, CAST(1.0 AS DOUBLE) AS p
-         |  FROM v WHERE rn = 1
-         |  UNION ALL
-         |  SELECT v.user_id, v.rn, v.n, v.bucket,
-         |    $a * v.q + $ia * c.z AS z,
-         |    $a * CAST(v.bucket - c.bucket AS DOUBLE) + $ia * c.p AS p
-         |  FROM c JOIN v ON v.user_id = c.user_id AND v.rn = c.rn + 1)
-         |SELECT user_id, rn AS n_demands, ${round4Sql("z")} AS level,
-         |  ${round4Sql("p")} AS demand_interval, ${round4Sql("z / p")} AS forecast
-         |FROM c WHERE rn = n ORDER BY user_id""".stripMargin
-    },
+    "ts_croston" -> CrostonOracleSql,
+
+    // The streaming emit-once fold replays to the identical recursion.
+    "streaming_croston" -> CrostonOracleSql,
 
     "ts_demand_class" -> {
       val adiU = "(CASE WHEN nd > 1 THEN CAST(b1 - b0 AS DOUBLE) / CAST(nd - 1 AS DOUBLE) END)"

@@ -73,6 +73,22 @@ case class HwEvent(user_id: Long, day: Long, m: Double, fitted: Option[Double],
   */
 case class HwState(level: Double, trend: Double, season: Seq[Double], cnt: Long)
 
+/** One bucketed intermittent-demand observation (the Croston input grain
+  * — hourly purchase demand from an upstream windowed aggregation). `ts`
+  * is the bucket start, the event-time anchor for the emit-once close.
+  */
+case class DemandSample(user_id: Long, ts: Timestamp, bucket: Long, q: Double)
+
+/** Croston fold state: demand-size and inter-demand-interval smoothers
+  * plus the last demand bucket and the demand count — O(1) per key.
+  */
+case class CrostonState(z: Double, p: Double, prevB: Long, n: Long)
+
+/** Terminal Croston summary per series (raw smoothers; the entry derives
+  * the rounded level/interval/forecast like the batch twin).
+  */
+case class CrostonOut(user_id: Long, n_demands: Long, z: Double, p: Double)
+
 /** Per-row recursive-EWMA output (streaming twin of
   * TimeSeriesOps.ewmaRecursive).
   */
@@ -928,6 +944,40 @@ object StreamingAnomaly {
       (key, items) => items.iterator.zipWithIndex.map { case ((p, id), i) =>
         TopOrder(key, i + 1L, id, p)
       })
+  }
+
+  /** Streaming Croston's method — the streaming twin of
+    * `TimeSeriesOps.crostonSmooth` over bucketed intermittent demand:
+    * z' = α·q + (1−α)z, p' = α·Δbucket + (1−α)p advanced only at demand
+    * points, terminal (level, interval, forecast) per series emitted
+    * once at the event-time close ([[emitOnceFold]] — Croston is a
+    * terminal-summary fold like the sketches, not a per-row path).
+    * State is O(1) per key. Unlike the mergeable sketch payloads this
+    * fold is ORDER-SENSITIVE: in-batch rows fold in bucket order, and
+    * cross-batch exactness holds when batches deliver in event-time
+    * order (the same documented relaxation as [[kalman]]/[[holt]];
+    * the replay harness and any watermarked production feed satisfy it).
+    */
+  def croston(demands: Dataset[DemandSample], alpha: Double,
+              watermarkDelay: String = "1 hour"): Dataset[CrostonOut] = {
+    import demands.sparkSession.implicits._
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    val prepped = demands.withWatermark("ts", watermarkDelay).as[DemandSample]
+    emitOnceFold[Long, DemandSample, CrostonState, CrostonOut](
+      prepped.groupByKey(_.user_id), r => us(r.ts))(
+      (prev, incoming) => {
+        var st = prev.orNull
+        incoming.sortBy(_.bucket).foreach { r =>
+          st =
+            if (st == null) CrostonState(r.q, 1.0, r.bucket, 1L)
+            else CrostonState(
+              alpha * r.q + (1.0 - alpha) * st.z,
+              alpha * (r.bucket - st.prevB).toDouble + (1.0 - alpha) * st.p,
+              r.bucket, st.n + 1L)
+        }
+        st
+      })(
+      (key, st) => Iterator.single(CrostonOut(key, st.n, st.z, st.p)))
   }
 
   /** The emit-ONCE terminal-summary fold under the streaming sketch family

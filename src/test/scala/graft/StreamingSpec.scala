@@ -435,6 +435,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Croston equals batch crostonSmooth on real demand, bit-for-bit") {
+    import graft.streaming.{CrostonOut, DemandSample}
+    val demand = Tables.events(spark, SparkTestSession.sfDir)
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .withColumn("bucket", expr("unix_micros(ts) DIV 3600000000"))
+      .groupBy("user_id", "bucket")
+      .agg(graft.functions.CleanFunctions.exactSum(col("value")).as("q"))
+    val feed = demand
+      .select(col("user_id"),
+        expr("timestamp_micros(bucket * 3600000000)").as("ts"),
+        col("bucket"), col("q").cast("double").as("q"))
+      .as[DemandSample].collect().sortBy(e => (e.bucket, e.user_id)).toSeq
+    val ms = MemoryStream[DemandSample](spark)
+    val q = StreamingAnomaly.croston(ms.toDS(), alpha = 0.3)
+      .writeStream.format("memory").queryName("croston_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // ONE replay batch + punctuation — the emit-once contract (the
+      // daily-close timeout is a FEATURE: a series idle >1 day closes
+      // with its summary-so-far, so a multi-batch month-long feed
+      // legitimately splits sparse series; bit-equality with the batch
+      // fold is the single-replay contract, same as the entry and the
+      // sketch twins).
+      ms.addData(feed); q.processAllAvailable()
+      val maxUs = feed.map(e => StreamingAnomaly.tsUs(e.ts)).max
+      ms.addData(Seq(DemandSample(-1L,
+        new Timestamp((maxUs + 10L * 86400L * 1000000L) / 1000L), -1L, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("croston_eq").as[CrostonOut].collect()
+        .map(r => r.user_id -> ((r.n_demands, r.z, r.p))).toMap
+      val want = graft.operators.TimeSeriesOps.crostonSmooth(
+          demand, Seq("user_id"), "bucket", "q", alpha = 0.3)
+        .select(col("user_id"), col("n_demands"), col("level"), col("interval"))
+        .as[(Long, Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"Croston state mismatch for series $id: ${got(id)} != $w")
+      }
+    } finally q.stop()
+  }
+
   test("streaming token bucket equals batch tokenBucket on real data, bit-for-bit") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.tokenBucket(ms.toDS(), capacity = 3.0,
