@@ -187,6 +187,19 @@ object CleanFunctions {
         .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 10000.0 + 0.0
     }
 
+  /** JVM-side replica of [[round6]] — same construction as [[round4Jvm]]
+    * at the 1e6 scale (the streaming Page-Hinkley / SPRT folds quantize
+    * their per-row terms exactly like the batch windows' round6).
+    */
+  def round6Jvm(v: Double): Double =
+    if (v.isNaN || v.isInfinite) v
+    else {
+      val scaled = v * 1000000.0
+      if (scaled.isInfinite) scaled / 1000000.0
+      else java.math.BigDecimal.valueOf(scaled)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / 1000000.0 + 0.0
+    }
+
   def round4(c: Column): Column = round(c * lit(10000.0)) / 10000.0 + lit(0.0)
   def round4Sql(x: String): String = s"(round(($x) * 10000.0) / 10000.0 + 0.0)"
   def round6(c: Column): Column = round(c * lit(1000000.0)) / 1000000.0 + lit(0.0)

@@ -67,6 +67,35 @@ object OpsQueries {
   private val HystLo = 1.0
   private val HystHi = 2.0
 
+  /** ts_hysteresis' oracle, shared VERBATIM with streaming_hysteresis
+    * (the streaming alarm fold replays to the identical recursion — the
+    * streaming_kalman shared-body rule).
+    */
+  private lazy val HysteresisOracleSql: String =
+    s"""WITH RECURSIVE stats AS (
+       |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+       |    CAST(count(value) AS DOUBLE) AS n
+       |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+       |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events WHERE value IS NOT NULL),
+       |p AS (SELECT v.user_id, v.event_id, v.rn,
+       |    abs(round(((v.x - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 10000.0) / 10000.0 + 0.0) AS za
+       |  FROM v JOIN stats USING (user_id)),
+       |f AS (SELECT * FROM p WHERE za IS NOT NULL),
+       |c AS (
+       |  SELECT user_id, event_id, rn, za,
+       |    CAST(CASE WHEN za > $HystHi THEN 1 ELSE 0 END AS BIGINT) AS st
+       |  FROM f WHERE rn = 1
+       |  UNION ALL
+       |  SELECT f.user_id, f.event_id, f.rn, f.za,
+       |    CAST(CASE WHEN c.st = 0 THEN (CASE WHEN f.za > $HystHi THEN 1 ELSE 0 END)
+       |              ELSE (CASE WHEN f.za < $HystLo THEN 0 ELSE 1 END) END AS BIGINT)
+       |  FROM c JOIN f ON f.user_id = c.user_id AND f.rn = c.rn + 1)
+       |SELECT event_id, za AS z_abs, st AS in_alert
+       |FROM c ORDER BY event_id""".stripMargin
+
   /** Hourly purchase demand per user — the INTERMITTENT series feeding
     * Croston / demand classification: most hours see no purchase, and
     * only the demand points are materialized (no zero-spine — the scale
@@ -1079,6 +1108,35 @@ object OpsQueries {
           CleanFunctions.momentStd(col("n"), col("sx"), col("sxx"))))))
         .where(col("za").isNotNull)
       TS.hysteresis(withZ, K, Ord, "za", lo = HystLo, hi = HystHi)
+        .select(col("event_id"), col("za").as("z_abs"), col("in_alert"))
+        .orderBy("event_id")
+    },
+
+    // Streaming hysteresis alarm — the stateful twin of ts_hysteresis
+    // (the chatter-proof pager alarm IS a live-monitoring op): one long
+    // of state per key inside a flatMapGroupsWithState fold. In
+    // production the |z| score comes from a stream-static join against
+    // the offline baseline (the streaming_seasonal_score pattern); the
+    // replay computes it batch-side with the IDENTICAL expressions so
+    // the fold sees the same 4dp inputs. DRIVER-VERIFIED: the oracle is
+    // the batch twin's recursive CTE, verbatim.
+    "streaming_hysteresis" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{StreamingAnomaly, ZaSample}
+      val e = ev(s, d).where(col("value").isNotNull)
+      val stats = e.groupBy("user_id").agg(
+        graft.functions.CleanFunctions.exactSum(col("value")).as("sx"),
+        graft.functions.CleanFunctions.exactSum(col("value") * col("value")).as("sxx"),
+        count(col("value")).cast("double").as("n"))
+      val rows = e.join(stats, "user_id")
+        .withColumn("za", abs(round4(CleanFunctions.safeDiv(
+          col("value") - col("sx") / col("n"),
+          CleanFunctions.momentStd(col("n"), col("sx"), col("sxx"))))))
+        .where(col("za").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"), col("za"))
+        .as[ZaSample].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_hyst", None)(
+          ds => StreamingAnomaly.hysteresis(ds, lo = HystLo, hi = HystHi).toDF())
         .select(col("event_id"), col("za").as("z_abs"), col("in_alert"))
         .orderBy("event_id")
     },
@@ -2145,30 +2203,11 @@ object OpsQueries {
 
     "ts_cusum_reset" -> cusumResetOracleSql(minN = 1),
 
-    "ts_hysteresis" ->
-      s"""WITH RECURSIVE stats AS (
-         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-         |    CAST(count(value) AS DOUBLE) AS n
-         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
-         |v AS (SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
-         |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
-         |  FROM events WHERE value IS NOT NULL),
-         |p AS (SELECT v.user_id, v.event_id, v.rn,
-         |    abs(round(((v.x - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 10000.0) / 10000.0 + 0.0) AS za
-         |  FROM v JOIN stats USING (user_id)),
-         |f AS (SELECT * FROM p WHERE za IS NOT NULL),
-         |c AS (
-         |  SELECT user_id, event_id, rn, za,
-         |    CAST(CASE WHEN za > $HystHi THEN 1 ELSE 0 END AS BIGINT) AS st
-         |  FROM f WHERE rn = 1
-         |  UNION ALL
-         |  SELECT f.user_id, f.event_id, f.rn, f.za,
-         |    CAST(CASE WHEN c.st = 0 THEN (CASE WHEN f.za > $HystHi THEN 1 ELSE 0 END)
-         |              ELSE (CASE WHEN f.za < $HystLo THEN 0 ELSE 1 END) END AS BIGINT)
-         |  FROM c JOIN f ON f.user_id = c.user_id AND f.rn = c.rn + 1)
-         |SELECT event_id, za AS z_abs, st AS in_alert
-         |FROM c ORDER BY event_id""".stripMargin,
+    "ts_hysteresis" -> HysteresisOracleSql,
+
+    // The streaming alarm fold replays to the identical recursion (same
+    // shared-body rule as streaming_kalman).
+    "streaming_hysteresis" -> HysteresisOracleSql,
 
     "ts_sax" ->
       s"""WITH stats AS (

@@ -44,6 +44,49 @@ object SpcQueries {
   /** Euler–Mascheroni γ for the record-count expectation H_n ≈ ln n + γ. */
   private val EulerGamma = 0.5772156649015329
 
+  /** Wald SPRT decision boundaries at α = β = 0.05: ln((1−β)/α), ln(β/(1−α)). */
+  private val SprtUpper = math.log(19.0)
+  private val SprtLower = math.log(1.0 / 19.0)
+
+  /** events_sprt's oracle, shared VERBATIM with streaming_sprt (the
+    * emit-once streaming fold replays to the identical DECIMAL cumsum +
+    * first-crossing decision — the streaming_kalman shared-body rule).
+    */
+  private lazy val SprtOracleSql: String = {
+    val up = CleanFunctions.dlitSql(SprtUpper)
+    val lo = CleanFunctions.dlitSql(SprtLower)
+    val sig2 = momentVarSql("cn", "csx", "csxx")
+    val pw = "PARTITION BY user_id ORDER BY ts, event_id"
+    s"""WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS cn,
+       |  ${exactSumSql("value")} AS csx,
+       |  ${exactSumSql("value * value")} AS csxx
+       |  FROM events WHERE value IS NOT NULL AND event_type = 'view'),
+       |t AS (SELECT user_id, ts, event_id, value,
+       |  (csx / cn) AS mu0, (csx / cn) * 1.05 AS mu1, $sig2 AS sig2
+       |  FROM events, c WHERE value IS NOT NULL AND event_type = 'click'),
+       |l AS (SELECT user_id, ts, event_id,
+       |  ${round6Sql("((mu1 - mu0) * value - (mu1 * mu1 - mu0 * mu0) / 2.0) / sig2")} AS llr_term
+       |  FROM t),
+       |cm AS (SELECT user_id,
+       |  CAST(row_number() OVER ($pw) AS BIGINT) AS idx,
+       |  ${exactSumSql("llr_term", s"OVER ($pw ROWS UNBOUNDED PRECEDING)")} AS llr
+       |  FROM l),
+       |d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+       |  arg_max(llr, idx) AS final_llr,
+       |  min(CASE WHEN llr > $up THEN idx END) AS up_at,
+       |  min(CASE WHEN llr < $lo THEN idx END) AS lo_at
+       |  FROM cm GROUP BY user_id)
+       |SELECT user_id, n_obs, ${round6Sql("final_llr")} AS final_llr,
+       |  CASE WHEN up_at IS NOT NULL AND (lo_at IS NULL OR up_at <= lo_at)
+       |         THEN 'reject_h0'
+       |       WHEN lo_at IS NOT NULL THEN 'accept_h0'
+       |       ELSE 'continue' END AS decision,
+       |  CASE WHEN up_at IS NOT NULL AND (lo_at IS NULL OR up_at <= lo_at)
+       |         THEN up_at
+       |       WHEN lo_at IS NOT NULL THEN lo_at END AS decision_at
+       |FROM d ORDER BY user_id""".stripMargin
+  }
+
   /** Per-series DECIMAL-exact moments joined back onto the rows. */
   private def withMoments(df: DataFrame): DataFrame = {
     val m = df.groupBy("user_id").agg(
@@ -431,8 +474,8 @@ object SpcQueries {
         count(lit(1)).cast("double").as("cn"),
         exactSum(col("value")).as("csx"),
         exactSum(col("value") * col("value")).as("csxx"))
-      val upper = math.log(19.0)
-      val lower = math.log(1.0 / 19.0)
+      val upper = SprtUpper
+      val lower = SprtLower
       val wo = Window.partitionBy("user_id").orderBy(Ord.map(col): _*)
       val cum = e.where(col("event_type") === "click")
         .crossJoin(broadcast(ctrl))
@@ -462,6 +505,44 @@ object SpcQueries {
       dec.select(col("user_id"), col("n_obs"),
           round6(col("last.l")).as("final_llr"),
           decision.as("decision"), decisionAt.as("decision_at"))
+        .orderBy("user_id")
+    },
+
+    // Streaming Wald SPRT — the stateful twin of events_sprt, and the
+    // test that IS sequential by construction (Wald designed it for
+    // observation-at-a-time decisions): per-key DECIMAL-exact LLR
+    // accumulation with first-crossing capture inside an emit-once
+    // EventTimeTimeout fold (a decision is a TERMINAL summary, the
+    // streaming_croston contract), O(1) state per key. μ₀/μ₁/σ² come
+    // from the offline control baseline (driver-computed doubles via
+    // the IDENTICAL column expressions as the batch twin, broadcast
+    // into the fold — the stream-static pattern). DRIVER-VERIFIED: the
+    // oracle is the batch twin's SQL, verbatim.
+    "streaming_sprt" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+      val base = e.where(col("event_type") === "view").agg(
+          count(lit(1)).cast("double").as("cn"),
+          exactSum(col("value")).as("csx"),
+          exactSum(col("value") * col("value")).as("csxx"))
+        .select((col("csx") / col("cn")).as("mu0"),
+          momentVar(col("cn"), col("csx"), col("csxx")).as("sig2"))
+        .head()
+      val mu0 = base.getDouble(0)
+      val sig2 = base.getDouble(1)
+      val mu1 = mu0 * 1.05
+      val rows = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      val maxUs = rows.iterator.map(r => StreamingAnomaly.tsUs(r.ts)).max
+      val punct = StreamingAnomaly.punctuationEvent(maxUs + 10L * 86400L * 1000000L)
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_sprt",
+          Some(punct))(ds => StreamingAnomaly.sprt(ds, mu0, mu1, sig2,
+            upper = SprtUpper, lower = SprtLower).toDF())
+        .select(col("user_id"), col("n_obs"),
+          round6(col("llr")).as("final_llr"),
+          col("decision"), col("decision_at"))
         .orderBy("user_id")
     },
 
@@ -814,40 +895,11 @@ object SpcQueries {
          |ORDER BY ll.user_id, h""".stripMargin
     },
 
-    "events_sprt" -> {
-      val up = CleanFunctions.dlitSql(math.log(19.0))
-      val lo = CleanFunctions.dlitSql(math.log(1.0 / 19.0))
-      val sig2 = momentVarSql("cn", "csx", "csxx")
-      val pw = "PARTITION BY user_id ORDER BY ts, event_id"
-      s"""WITH c AS (SELECT CAST(count(*) AS DOUBLE) AS cn,
-         |  ${exactSumSql("value")} AS csx,
-         |  ${exactSumSql("value * value")} AS csxx
-         |  FROM events WHERE value IS NOT NULL AND event_type = 'view'),
-         |t AS (SELECT user_id, ts, event_id, value,
-         |  (csx / cn) AS mu0, (csx / cn) * 1.05 AS mu1, $sig2 AS sig2
-         |  FROM events, c WHERE value IS NOT NULL AND event_type = 'click'),
-         |l AS (SELECT user_id, ts, event_id,
-         |  ${round6Sql("((mu1 - mu0) * value - (mu1 * mu1 - mu0 * mu0) / 2.0) / sig2")} AS llr_term
-         |  FROM t),
-         |cm AS (SELECT user_id,
-         |  CAST(row_number() OVER ($pw) AS BIGINT) AS idx,
-         |  ${exactSumSql("llr_term", s"OVER ($pw ROWS UNBOUNDED PRECEDING)")} AS llr
-         |  FROM l),
-         |d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
-         |  arg_max(llr, idx) AS final_llr,
-         |  min(CASE WHEN llr > $up THEN idx END) AS up_at,
-         |  min(CASE WHEN llr < $lo THEN idx END) AS lo_at
-         |  FROM cm GROUP BY user_id)
-         |SELECT user_id, n_obs, ${round6Sql("final_llr")} AS final_llr,
-         |  CASE WHEN up_at IS NOT NULL AND (lo_at IS NULL OR up_at <= lo_at)
-         |         THEN 'reject_h0'
-         |       WHEN lo_at IS NOT NULL THEN 'accept_h0'
-         |       ELSE 'continue' END AS decision,
-         |  CASE WHEN up_at IS NOT NULL AND (lo_at IS NULL OR up_at <= lo_at)
-         |         THEN up_at
-         |       WHEN lo_at IS NOT NULL THEN lo_at END AS decision_at
-         |FROM d ORDER BY user_id""".stripMargin
-    },
+    "events_sprt" -> SprtOracleSql,
+
+    // The emit-once streaming fold replays to the identical SQL (same
+    // shared-body rule as streaming_croston).
+    "streaming_sprt" -> SprtOracleSql,
 
     "ts_seasonal_zscore" -> {
       val mean = "(b.bsx / CAST(b.bn AS DOUBLE))"

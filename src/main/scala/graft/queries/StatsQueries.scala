@@ -42,6 +42,27 @@ object StatsQueries {
   private val PhDelta = 5.0
   private val PhLambda = 200.0
 
+  /** ts_page_hinkley's oracle, shared VERBATIM with streaming_page_hinkley
+    * (the streaming fold replays to the identical running-mean/DECIMAL-
+    * cumsum/running-min pipeline — the streaming_kalman shared-body rule).
+    */
+  private lazy val PageHinkleyOracleSql: String = {
+    val wrw = "WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""WITH e AS (SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),
+       |m AS (SELECT user_id, ts, event_id, value,
+       |  ${CleanFunctions.exactMeanSql("value", "OVER wr")} AS rmean
+       |  FROM e $wrw),
+       |t AS (SELECT user_id, ts, event_id,
+       |  ${CleanFunctions.round6Sql(s"value - rmean - ${dlit(PhDelta)}")} AS term FROM m),
+       |p AS (SELECT user_id, ts, event_id,
+       |  ${exactSumSql("term", "OVER wr")} AS ph
+       |  FROM t $wrw),
+       |q AS (SELECT event_id, ph, min(ph) OVER wr AS mn FROM p $wrw)
+       |SELECT event_id, ${round4Sql("ph")} AS ph,
+       |  CAST(CASE WHEN ph - mn > ${dlit(PhLambda)} THEN 1 ELSE 0 END AS BIGINT) AS is_drift
+       |FROM q ORDER BY event_id""".stripMargin
+  }
+
   /** Benford expected first-digit shares log10(1 + 1/d), d = 1..9 —
     * computed ONCE here and baked as literals into both engines.
     */
@@ -305,6 +326,24 @@ object StatsQueries {
       StatsOps.pageHinkley(Tables.events(s, d).where(col("value").isNotNull),
           Seq("user_id"), Seq("ts", "event_id"), "value", PhDelta, PhLambda)
         .select("event_id", "ph", "is_drift")
+        .orderBy("event_id")
+    },
+
+    // Streaming Page–Hinkley — the stateful twin of ts_page_hinkley (PH
+    // against the RUNNING mean is inherently sequential, the natural
+    // always-on drift monitor): DECIMAL-exact running sums + round6Jvm
+    // terms inside a flatMapGroupsWithState fold, O(1) state per key.
+    // DRIVER-VERIFIED: the oracle is the batch twin's window pipeline,
+    // verbatim.
+    "streaming_page_hinkley" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_ph", None)(
+          ds => StreamingAnomaly.pageHinkley(ds, PhDelta, PhLambda).toDF())
+        .select(col("event_id"), round4(col("ph")).as("ph"), col("is_drift"))
         .orderBy("event_id")
     },
 
@@ -1940,22 +1979,11 @@ object StatsQueries {
          |  u AS (PARTITION BY user_id)
          |ORDER BY event_id""".stripMargin,
 
-    "ts_page_hinkley" -> {
-      val wrw = "WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-      s"""WITH e AS (SELECT user_id, ts, event_id, value FROM events WHERE value IS NOT NULL),
-         |m AS (SELECT user_id, ts, event_id, value,
-         |  ${CleanFunctions.exactMeanSql("value", "OVER wr")} AS rmean
-         |  FROM e $wrw),
-         |t AS (SELECT user_id, ts, event_id,
-         |  ${CleanFunctions.round6Sql(s"value - rmean - ${dlit(PhDelta)}")} AS term FROM m),
-         |p AS (SELECT user_id, ts, event_id,
-         |  ${exactSumSql("term", "OVER wr")} AS ph
-         |  FROM t $wrw),
-         |q AS (SELECT event_id, ph, min(ph) OVER wr AS mn FROM p $wrw)
-         |SELECT event_id, ${round4Sql("ph")} AS ph,
-         |  CAST(CASE WHEN ph - mn > ${dlit(PhLambda)} THEN 1 ELSE 0 END AS BIGINT) AS is_drift
-         |FROM q ORDER BY event_id""".stripMargin
-    },
+    "ts_page_hinkley" -> PageHinkleyOracleSql,
+
+    // The streaming fold replays to the identical windows (same shared
+    // body rule as streaming_kalman).
+    "streaming_page_hinkley" -> PageHinkleyOracleSql,
 
     "events_value_entropy" ->
       """WITH c AS (

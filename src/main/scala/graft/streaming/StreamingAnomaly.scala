@@ -89,6 +89,45 @@ case class CrostonState(z: Double, p: Double, prevB: Long, n: Long)
   */
 case class CrostonOut(user_id: Long, n_demands: Long, z: Double, p: Double)
 
+/** Per-row Page-Hinkley output (streaming twin of StatsOps.pageHinkley):
+  * `ph` is the RAW double cast of the DECIMAL cumulative deviation sum
+  * (the entry rounds to 4dp like the batch twin); `is_drift` the
+  * λ-above-running-min alarm.
+  */
+case class PhEvent(event_id: Long, user_id: Long, ph: Double, is_drift: Long)
+
+/** Page-Hinkley state: observation count, the two DECIMAL(·,6) running
+  * sums (raw values and 6dp deviation terms) carried as plain-string
+  * BigDecimals — exact at any magnitude, stable through the state-store
+  * encoder round-trip — plus the running min of the double-cast PH path.
+  * O(1) per key (the strings grow with log10 of the sum, not with rows).
+  */
+case class PhState(n: Long, sum6: String, phSum6: String, phMin: Double)
+
+/** One pre-scored sample entering the streaming hysteresis alarm: `za`
+  * is the batch entry's 4dp |z| — in production scored by a stream-static
+  * join against the OFFLINE baseline (the streaming_seasonal_score
+  * pattern); the replay computes it batch-side so the fold sees
+  * identical inputs.
+  */
+case class ZaSample(event_id: Long, ts: Timestamp, user_id: Long, za: Double)
+
+/** Per-row hysteresis output (streaming twin of TimeSeriesOps.hysteresis). */
+case class HystEvent(event_id: Long, user_id: Long, za: Double, in_alert: Long)
+
+/** Hysteresis alarm state: ONE long per key (0 = clear, 1 = in alert). */
+case class HystState(in: Long)
+
+/** SPRT fold state: click count (= the batch idx), the DECIMAL(·,6)
+  * running LLR (plain-string BigDecimal, the PhState convention), and
+  * the first boundary-crossing indices — O(1) per key.
+  */
+case class SprtState(n: Long, llr6: String, upAt: Option[Long], loAt: Option[Long])
+
+/** Terminal SPRT summary per series (raw final LLR; the entry rounds). */
+case class SprtOut(user_id: Long, n_obs: Long, llr: Double,
+                   decision: String, decision_at: Option[Long])
+
 /** Per-row recursive-EWMA output (streaming twin of
   * TimeSeriesOps.ewmaRecursive).
   */
@@ -978,6 +1017,136 @@ object StreamingAnomaly {
         st
       })(
       (key, st) => Iterator.single(CrostonOut(key, st.n, st.z, st.p)))
+  }
+
+  /** Streaming Page–Hinkley drift test — the streaming twin of
+    * `StatsOps.pageHinkley`, the sequential mean-shift monitor a live
+    * deployment runs: PH accumulates round6(x − x̄ᵢ − δ) against the
+    * RUNNING mean and alarms when PH rises λ above its running minimum.
+    *
+    * Bit-exact replica of the batch windows: the running value sum and
+    * the PH term sum are DECIMAL-exact (per-value [[CleanFunctions.dec6]]
+    * quantization = the cast the batch `exactSumOver` applies; JVM
+    * BigDecimal addition is exact at ANY magnitude, a superset of the
+    * batch DECIMAL(28,6) range), the running mean is the DOUBLE cast of
+    * the sum divided by the count (same op order as `exactMeanOver`),
+    * and the per-row term goes through [[CleanFunctions.round6Jvm]].
+    * In-batch ordering is (event-time, event_id), the [[kalman]]/[[holt]]
+    * contract, so a single-batch replay equals the batch windows
+    * bit-for-bit and shares their oracle verbatim. Nulls never reach
+    * this operator (Event.value is primitive; the entry filters
+    * upstream, like [[ewmaRecursive]]).
+    */
+  def pageHinkley(events: Dataset[Event], delta: Double,
+                  lambda: Double): Dataset[PhEvent] = {
+    import events.sparkSession.implicits._
+    import graft.functions.CleanFunctions.{dec6, round6Jvm}
+    require(lambda > 0, s"lambda=$lambda must be positive")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[PhState]) =>
+          var st = state.getOption.orNull
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            val sum = (if (st == null) java.math.BigDecimal.ZERO
+                       else new java.math.BigDecimal(st.sum6)).add(dec6(e.value))
+            val n = (if (st == null) 0L else st.n) + 1L
+            // exactMeanOver: CAST(decimal sum AS DOUBLE) / count.
+            val rmean = sum.doubleValue() / n.toDouble
+            val term = round6Jvm(e.value - rmean - delta)
+            val phSum = (if (st == null) java.math.BigDecimal.ZERO
+                         else new java.math.BigDecimal(st.phSum6)).add(dec6(term))
+            val ph = phSum.doubleValue()
+            // min() over the UNBOUNDED..CURRENT frame includes this row.
+            val phMin = if (st == null) ph else math.min(st.phMin, ph)
+            st = PhState(n, sum.toPlainString, phSum.toPlainString, phMin)
+            PhEvent(e.event_id, e.user_id, ph,
+              if (ph - phMin > lambda) 1L else 0L)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming two-threshold hysteresis alarm — the streaming twin of
+    * `TimeSeriesOps.hysteresis` over pre-scored |z| samples: enter alert
+    * when za > hi, leave only when za < lo (the chatter-proof alarm
+    * every pager pipeline runs). ONE long of state per key; pure
+    * comparisons on already-quantized inputs, so the fold is trivially
+    * bit-exact against the batch pass. In-batch ordering is
+    * (event-time, event_id), the [[kalman]] contract; the baseline that
+    * produces za is a stream-static concern upstream (see [[ZaSample]]).
+    */
+  def hysteresis(samples: Dataset[ZaSample], lo: Double,
+                 hi: Double): Dataset[HystEvent] = {
+    import samples.sparkSession.implicits._
+    require(lo <= hi, s"hysteresis needs lo <= hi, got $lo > $hi")
+    samples
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[ZaSample], state: GroupState[HystState]) =>
+          var in = state.getOption.map(_.in).getOrElse(0L)
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            in = if (in == 0L) { if (e.za > hi) 1L else 0L }
+                 else { if (e.za < lo) 0L else 1L }
+            HystEvent(e.event_id, e.user_id, e.za, in)
+          }
+          state.update(HystState(in))
+          out.iterator
+      }
+  }
+
+  /** Streaming Wald SPRT — the streaming twin of the batch `events_sprt`
+    * entry, and the test that IS sequential by construction: per-key LLR
+    * increments round6(((μ₁−μ₀)x − (μ₁²−μ₀²)/2) / σ²) accumulate in a
+    * DECIMAL-exact running sum (the [[pageHinkley]] convention), the
+    * first crossings of ln(19)/ln(1/19) are recorded as they happen, and
+    * ONE terminal (n, final LLR, decision, decision_at) summary per key
+    * emits at the event-time close ([[emitOnceFold]] — a decision is a
+    * terminal summary, like Croston). μ₀/μ₁/σ² come from the OFFLINE
+    * control baseline (driver-computed doubles broadcast into the fold —
+    * the stream-static pattern). O(1) state per key; order-sensitive
+    * in-batch fold with the documented in-order relaxation.
+    */
+  def sprt(clicks: Dataset[Event], mu0: Double, mu1: Double, sig2: Double,
+           upper: Double, lower: Double,
+           watermarkDelay: String = "1 hour"): Dataset[SprtOut] = {
+    import clicks.sparkSession.implicits._
+    import graft.functions.CleanFunctions.{dec6, round6Jvm}
+    require(sig2 > 0, s"sig2=$sig2 must be positive")
+    require(lower < upper, s"need lower < upper, got $lower >= $upper")
+    val prepped = clicks.withWatermark("ts", watermarkDelay).as[Event]
+    emitOnceFold[Long, Event, SprtState, SprtOut](
+      prepped.groupByKey(_.user_id), r => us(r.ts))(
+      (prev, incoming) => {
+        var st = prev.getOrElse(SprtState(0L, "0", None, None))
+        incoming.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+          val term = round6Jvm(
+            ((mu1 - mu0) * e.value - (mu1 * mu1 - mu0 * mu0) / 2.0) / sig2)
+          val sum = new java.math.BigDecimal(st.llr6).add(dec6(term))
+          val llr = sum.doubleValue()
+          val n = st.n + 1L
+          st = SprtState(n, sum.toPlainString,
+            st.upAt.orElse(if (llr > upper) Some(n) else None),
+            st.loAt.orElse(if (llr < lower) Some(n) else None))
+        }
+        st
+      })(
+      (key, st) => {
+        // Same precedence as the batch decision CASE: an earlier (or
+        // simultaneous-index) upper crossing wins, else lower, else
+        // continue with no decision point.
+        val rejected = st.upAt.isDefined &&
+          (st.loAt.isEmpty || st.upAt.get <= st.loAt.get)
+        val decision = if (rejected) "reject_h0"
+                       else if (st.loAt.isDefined) "accept_h0"
+                       else "continue"
+        val at = if (rejected) st.upAt
+                 else if (st.loAt.isDefined) st.loAt
+                 else None
+        Iterator.single(SprtOut(key, st.n,
+          new java.math.BigDecimal(st.llr6).doubleValue(), decision, at))
+      })
   }
 
   /** The emit-ONCE terminal-summary fold under the streaming sketch family

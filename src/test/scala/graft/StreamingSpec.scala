@@ -751,6 +751,78 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming Page-Hinkley equals batch pageHinkley on real data, bit-for-bit, across a batch split") {
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.pageHinkley(ms.toDS(), delta = 5.0, lambda = 200.0)
+      .writeStream.format("memory").queryName("ph_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      // TWO batches split in event-time order: the plain-string DECIMAL
+      // sums must round-trip the state store exactly for the running
+      // mean/min to continue bit-for-bit.
+      val clean = realEvents.toSeq
+      val (h1, h2) = clean.splitAt(clean.length / 2)
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      val got = spark.table("ph_eq")
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("ph")).as("ph"),
+          col("is_drift"))
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = graft.operators.StatsOps.pageHinkley(
+          Tables.events(spark, SparkTestSession.sfDir)
+            .where(col("value").isNotNull),
+          Seq("user_id"), Seq("ts", "event_id"), "value", 5.0, 200.0)
+        .select(col("event_id"), col("ph"), col("is_drift"))
+        .as[(Long, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      want.foreach { case (id, w) =>
+        assert(got(id) == w, s"PH mismatch at event $id: ${got(id)} != $w")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming hysteresis alarm state survives the batch boundary") {
+    import graft.streaming.ZaSample
+    val ms = MemoryStream[ZaSample](spark)
+    val q = StreamingAnomaly.hysteresis(ms.toDS(), lo = 1.0, hi = 2.0)
+      .writeStream.format("memory").queryName("hyst_state")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      ms.addData(
+        ZaSample(1, ts("2026-01-01 00:00:00"), 7, 2.5),  // enter (> hi)
+        ZaSample(2, ts("2026-01-01 01:00:00"), 7, 1.5))  // stay (>= lo)
+      q.processAllAvailable()
+      // Batch 2: 1.2 stays IN ALERT only if the armed state survived —
+      // a reset fold would need > 2.0 to re-enter.
+      ms.addData(
+        ZaSample(3, ts("2026-01-01 02:00:00"), 7, 1.2),
+        ZaSample(4, ts("2026-01-01 03:00:00"), 7, 0.5),  // exit (< lo)
+        ZaSample(5, ts("2026-01-01 04:00:00"), 7, 1.5))  // stay out (<= hi)
+      q.processAllAvailable()
+      val rows = spark.table("hyst_state")
+        .as[(Long, Long, Double, Long)].collect().sortBy(_._1).map(_._4).toList
+      assert(rows == List(1L, 1L, 1L, 0L, 0L))
+    } finally q.stop()
+  }
+
+  test("streaming hysteresis / SPRT / Page-Hinkley entries equal their batch twins row-for-row") {
+    for ((batchName, streamName) <- Seq(
+        "ts_hysteresis" -> "streaming_hysteresis",
+        "events_sprt" -> "streaming_sprt",
+        "ts_page_hinkley" -> "streaming_page_hinkley")) {
+      val b = SparkEntry.queries(batchName)(spark, SparkTestSession.sfDir)
+        .collect().map(_.toString).sorted
+      val st = SparkEntry.queries(streamName)(spark, SparkTestSession.sfDir)
+        .collect().map(_.toString).sorted
+      assert(b.nonEmpty && b.sameElements(st),
+        s"$streamName diverges from $batchName")
+    }
+  }
+
   test("different series keys never share state") {
     val ms = MemoryStream[Event](spark)
     val q = StreamingAnomaly.rollingZscore(ms.toDS(), win = 4, threshold = 3.0)
