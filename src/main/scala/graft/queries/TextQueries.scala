@@ -37,6 +37,18 @@ object TextQueries {
   /** Weighted-sampling draw size (A-Res top-k). */
   private val WeightedSampleK = 100
 
+  /** Naive-Bayes classifier geometry: hashed-unigram feature buckets
+    * (small enough that add-one smoothing stays meaningful on the test
+    * corpus; production would use 2^18+) — shared literal in both
+    * engines.
+    */
+  private val NbBuckets = 256L
+
+  /** UniMax epoch cap C: no language may be sampled for more than C
+    * passes over its own tokens, however large the budget share.
+    */
+  private val UniMaxEpochs = 3L
+
   /** Gopher word-count band, sized so the synthetic corpus (20-80 word
     * docs) actually splits on the rule (the published 50..100k band
     * would pass every doc and test nothing).
@@ -350,6 +362,149 @@ object TextQueries {
         .withColumn("selected",
           (col("dsir_w") > lit(0.0)).cast(org.apache.spark.sql.types.LongType))
         .orderBy("doc_id")
+    },
+
+    // Hashed multinomial naive-Bayes SOURCE classifier with holdout
+    // confusion matrix — the fastText-style domain/quality classifier of
+    // LLM data pipelines (CCNet / GPT-3-era filtering scores documents
+    // with a linear model over hashed features; text_dsir_weights above
+    // is its two-class importance-weight sibling). Deterministic 80/20
+    // hash split; training = add-one-smoothed per-(source, bucket)
+    // token counts over NbBuckets hashed unigram buckets; scoring =
+    // per-doc DECIMAL-summed 6dp log-likelihood terms + log prior;
+    // prediction = rank-1 candidate (4dp score desc, source asc).
+    // Scale: the model is O(sources × NbBuckets) — broadcast both ways;
+    // scoring multiplies test doc-bucket rows by n_src (the
+    // events_roc_auc one-vs-rest shape); every corpus-scale stage is
+    // one grouped count. ln() is libm-identical cross-engine on this
+    // platform (the events_value_entropy / ts_records precedent), and
+    // every post-ln value is round6-quantized before entering a sum.
+    "text_nb_source" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("split",
+        when(CleanFunctions.md5Hash64(
+          concat(lit("nbsplit:"), col("doc_id"))) % 100 < 80, "train")
+          .otherwise("test"))
+      val toks = docs.select(col("doc_id"), col("source"), col("split"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .withColumn("b", CleanFunctions.md5Hash64(col("tok")) % NbBuckets)
+      val trainToks = toks.where(col("split") === "train")
+      val counts = trainToks.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+      val srcTok = trainToks.groupBy("source").agg(count(lit(1)).as("n_tok"))
+      val srcDoc = docs.where(col("split") === "train")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val total = docs.where(col("split") === "train").agg(count(lit(1)).as("d_tot"))
+      val dims = srcDoc.join(srcTok, "source").crossJoin(broadcast(total))
+        .withColumn("prior", CleanFunctions.round6(log(
+          col("n_docs").cast(DoubleType) / col("d_tot").cast(DoubleType))))
+        .withColumn("dflt", CleanFunctions.round6(log(
+          lit(1.0) / (col("n_tok") + lit(NbBuckets)).cast(DoubleType))))
+      val ll = counts.join(srcTok, "source")
+        .withColumn("llw", CleanFunctions.round6(log(
+          (col("cnt") + lit(1L)).cast(DoubleType)
+            / (col("n_tok") + lit(NbBuckets)).cast(DoubleType))))
+        .select(col("source").as("cand"), col("b"), col("llw"))
+      val testCnt = toks.where(col("split") === "test")
+        .groupBy(col("doc_id"), col("source").as("actual"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val scored = testCnt
+        .crossJoin(broadcast(dims.select(col("source").as("cand"),
+          col("prior"), col("dflt"))))
+        .join(broadcast(ll), Seq("cand", "b"), "left")
+        .withColumn("term", CleanFunctions.round6(
+          col("cnt").cast(DoubleType) * coalesce(col("llw"), col("dflt"))))
+        .groupBy("doc_id", "actual", "cand")
+        .agg(CleanFunctions.round4(
+          CleanFunctions.exactSum(col("term")) + max(col("prior"))).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .groupBy(col("actual"), col("cand"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .select(col("actual"), col("cand").as("predicted"), col("n_docs"))
+        .orderBy("actual", "predicted")
+    },
+
+    // UniMax per-language sampling budget (Chung et al. 2023 — the
+    // mT5/PaLM-era answer to temperature sampling): allocate a total
+    // token budget across languages so no language exceeds UniMaxEpochs
+    // passes over its data, waterfilling the remainder UNIFORMLY.
+    // Closed form instead of the paper's sequential loop: sort languages
+    // ascending by capacity cap = n_tokens·C; a language is
+    // budget-CONSTRAINED iff cap·(remaining langs incl. self) +
+    // preceding-capacity prefix ≤ B (once the equal share exceeds a
+    // cap, it exceeds every later one — the share is invariant across
+    // unconstrained steps), constrained languages take their full cap,
+    // and the rest split B − Σ(constrained caps) evenly. Corpus-scale
+    // work is ONE grouped token count; the waterfill runs on the
+    // O(languages) aggregate. Counts integer-exact; the equal share is
+    // the only double (round4 at output).
+    "text_unimax_budget" -> { (s, d) =>
+      val langTok = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+        .groupBy("lang").agg(count(lit(1)).as("n_tokens"))
+        .withColumn("cap", col("n_tokens") * lit(UniMaxEpochs))
+      // floor() explicitly: a bare double->long CAST truncates in Spark
+      // but ROUNDS in DuckDB, so an odd token total would put the two
+      // budgets one token apart.
+      val tot = langTok.agg(
+        floor(sum(col("n_tokens")) / lit(2L)).cast(LongType).as("budget"),
+        count(lit(1)).as("n_langs"))
+      val w = Window.orderBy(col("cap").asc, col("lang").asc)
+      val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = langTok.crossJoin(broadcast(tot))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("pfx", coalesce(sum(col("cap")).over(wp), lit(0L)))
+        .withColumn("constrained",
+          (col("cap") * (col("n_langs") - col("rn") + lit(1L)) + col("pfx")
+            <= col("budget")).cast(LongType))
+      val consumed = ranked.agg(
+        coalesce(sum(when(col("constrained") === 1L, col("cap"))), lit(0L)).as("c_cap"),
+        coalesce(sum(col("constrained")), lit(0L)).as("c_n"))
+      ranked.crossJoin(broadcast(consumed))
+        .withColumn("share",
+          (col("budget") - col("c_cap")).cast(DoubleType)
+            / (col("n_langs") - col("c_n")).cast(DoubleType))
+        .select(col("lang"), col("n_tokens"), col("cap"), col("constrained"),
+          CleanFunctions.round4(when(col("constrained") === 1L,
+            col("cap").cast(DoubleType)).otherwise(col("share"))).as("alloc_tokens"),
+          CleanFunctions.round4(
+            when(col("constrained") === 1L, col("cap").cast(DoubleType))
+              .otherwise(col("share")) / col("n_tokens").cast(DoubleType))
+            .as("epochs"))
+        .orderBy("lang")
+    },
+
+    // Rendezvous (highest-random-weight) shard assignment + the
+    // rebalancing-consistency report for growing the shard count 8 → 9 —
+    // the incremental-pipeline property a 100 TB corpus store actually
+    // needs: under HRW only docs whose NEW shard wins the weight argmax
+    // move (expected share 1/9), and every mover lands ON the new shard
+    // (mod-hash resharding would reshuffle ~8/9 of the corpus). Weight =
+    // md5 of (doc, shard); argmax by (weight desc, shard asc). One ×9
+    // candidate explode, two keyed rank windows, one grouped count —
+    // linear, no shuffle beyond the doc-keyed window.
+    "text_rendezvous_shards" -> { (s, d) =>
+      val cand = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("sh", explode(sequence(lit(0), lit(8))))
+        .withColumn("w", CleanFunctions.md5Hash64(
+          concat(lit("rdv:"), col("doc_id"), lit(":"), col("sh"))))
+      def pick(df: DataFrame, outCol: String) = {
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("w").desc, col("sh").asc)
+        df.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .select(col("doc_id"), col("sh").cast(LongType).as(outCol))
+      }
+      val old8 = pick(cand.where(col("sh") < 8), "shard_old")
+      val new9 = pick(cand, "shard_new")
+      old8.join(new9, "doc_id")
+        .groupBy("shard_old", "shard_new")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"))
+        .withColumn("moved",
+          (col("shard_old") =!= col("shard_new")).cast(LongType))
+        .select("shard_old", "shard_new", "n_docs", "moved")
+        .orderBy("shard_old", "shard_new")
     },
 
     // Rank-biased overlap (Webber et al. 2010, truncated at k=10, p=0.9)
@@ -1551,6 +1706,86 @@ object TextQueries {
            |  FROM dl GROUP BY doc_id)
            |SELECT doc_id, n_tok, dsir_w, CAST(dsir_w > 0.0 AS BIGINT) AS selected
            |FROM w ORDER BY doc_id""".stripMargin,
+
+      "text_rendezvous_shards" ->
+        s"""WITH cand AS (SELECT doc_id, sh,
+           |  ${CleanFunctions.md5Hash64Sql("'rdv:' || doc_id || ':' || sh")} AS w
+           |  FROM documents, (SELECT unnest(generate_series(0, 8)) AS sh)),
+           |o AS (SELECT doc_id, CAST(sh AS BIGINT) AS shard_old FROM (
+           |  SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY w DESC, sh ASC) AS rk FROM cand WHERE sh < 8)
+           |  WHERE rk = 1),
+           |n AS (SELECT doc_id, CAST(sh AS BIGINT) AS shard_new FROM (
+           |  SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY w DESC, sh ASC) AS rk FROM cand)
+           |  WHERE rk = 1)
+           |SELECT shard_old, shard_new, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(shard_old <> shard_new AS BIGINT) AS moved
+           |FROM o JOIN n USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY shard_old, shard_new""".stripMargin,
+
+      "text_nb_source" -> {
+        val nb = NbBuckets
+        s"""WITH docs AS (SELECT doc_id, source, text,
+           |  CASE WHEN ${CleanFunctions.md5Hash64Sql("'nbsplit:' || doc_id")} % 100 < 80
+           |       THEN 'train' ELSE 'test' END AS split
+           |  FROM documents),
+           |tok AS (SELECT doc_id, source, split,
+           |  ${CleanFunctions.md5Hash64Sql("tok")} % $nb AS b
+           |  FROM (SELECT doc_id, source, split,
+           |    unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok FROM docs)),
+           |cnts AS (SELECT source, b, count(*) AS cnt
+           |  FROM tok WHERE split = 'train' GROUP BY 1, 2),
+           |stok AS (SELECT source, count(*) AS n_tok
+           |  FROM tok WHERE split = 'train' GROUP BY 1),
+           |sdoc AS (SELECT source, count(*) AS n_docs
+           |  FROM docs WHERE split = 'train' GROUP BY 1),
+           |tot AS (SELECT count(*) AS d_tot FROM docs WHERE split = 'train'),
+           |dims AS (SELECT sdoc.source AS cand,
+           |  ${CleanFunctions.round6Sql("ln(CAST(n_docs AS DOUBLE) / CAST(d_tot AS DOUBLE))")} AS prior,
+           |  ${CleanFunctions.round6Sql(s"ln(CAST(1.0 AS DOUBLE) / CAST(n_tok + $nb AS DOUBLE))")} AS dflt
+           |  FROM sdoc JOIN stok USING (source), tot),
+           |ll AS (SELECT cnts.source AS cand, b,
+           |  ${CleanFunctions.round6Sql(s"ln(CAST(cnt + 1 AS DOUBLE) / CAST(n_tok + $nb AS DOUBLE))")} AS llw
+           |  FROM cnts JOIN stok USING (source)),
+           |tc AS (SELECT doc_id, source AS actual, b, count(*) AS cnt
+           |  FROM tok WHERE split = 'test' GROUP BY 1, 2, 3),
+           |tm AS (SELECT tc.doc_id, tc.actual, d.cand, d.prior,
+           |  ${CleanFunctions.round6Sql("CAST(tc.cnt AS DOUBLE) * coalesce(ll.llw, d.dflt)")} AS term
+           |  FROM tc CROSS JOIN dims d
+           |  LEFT JOIN ll ON ll.cand = d.cand AND ll.b = tc.b),
+           |sc AS (SELECT doc_id, actual, cand,
+           |  ${CleanFunctions.round4Sql(CleanFunctions.exactSumSql("term") + " + max(prior)")} AS score
+           |  FROM tm GROUP BY 1, 2, 3),
+           |pr AS (SELECT actual, cand AS predicted,
+           |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rk
+           |  FROM sc)
+           |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM pr WHERE rk = 1 GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin
+      },
+
+      "text_unimax_budget" -> {
+        val ord = "ORDER BY cap ASC, lang ASC"
+        s"""WITH lt AS (SELECT lang, count(*) AS n_tokens
+           |  FROM (SELECT lang, unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok
+           |        FROM documents) GROUP BY lang),
+           |c AS (SELECT lang, n_tokens, n_tokens * $UniMaxEpochs AS cap FROM lt),
+           |tot AS (SELECT CAST(floor(CAST(sum(n_tokens) AS DOUBLE) / CAST(2 AS DOUBLE)) AS BIGINT) AS budget,
+           |  count(*) AS n_langs FROM c),
+           |r AS (SELECT lang, n_tokens, cap, budget, n_langs,
+           |  CAST(row_number() OVER ($ord) AS BIGINT) AS rn,
+           |  coalesce(sum(cap) OVER ($ord
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+           |  FROM c, tot),
+           |k AS (SELECT *, CAST(CASE WHEN cap * (n_langs - rn + 1) + pfx <= budget
+           |  THEN 1 ELSE 0 END AS BIGINT) AS constrained FROM r),
+           |agg AS (SELECT coalesce(sum(CASE WHEN constrained = 1 THEN cap END), 0) AS c_cap,
+           |  coalesce(sum(constrained), 0) AS c_n FROM k)
+           |SELECT lang, n_tokens, cap, constrained,
+           |  ${CleanFunctions.round4Sql("CASE WHEN constrained = 1 THEN CAST(cap AS DOUBLE) ELSE CAST(budget - c_cap AS DOUBLE) / CAST(n_langs - c_n AS DOUBLE) END")} AS alloc_tokens,
+           |  ${CleanFunctions.round4Sql("(CASE WHEN constrained = 1 THEN CAST(cap AS DOUBLE) ELSE CAST(budget - c_cap AS DOUBLE) / CAST(n_langs - c_n AS DOUBLE) END) / CAST(n_tokens AS DOUBLE)")} AS epochs
+           |FROM k, agg ORDER BY lang""".stripMargin
+      },
 
       "text_sample_stratified" ->
         s"""SELECT doc_id, lang FROM documents

@@ -155,4 +155,64 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out.agg(sum("n")).head.getLong(0) == n)
     assert(out.filter(col("min_v") > col("max_v")).count() == 0)
   }
+
+  test("text_nb_source: confusion matrix partitions the test split, predictions from train sources") {
+    val out = SparkEntry.queries("text_nb_source")(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir).withColumn("split",
+      when(graft.functions.CleanFunctions.md5Hash64(
+        concat(lit("nbsplit:"), col("doc_id"))) % 100 < 80, "train")
+        .otherwise("test"))
+    val nTest = docs.filter(col("split") === "test").count()
+    assert(out.agg(sum("n_docs")).head.getLong(0) == nTest,
+      "every test doc gets exactly one prediction")
+    val trainSources = docs.filter(col("split") === "train")
+      .select("source").distinct().as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    val predicted = out.select("predicted").distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(predicted.subsetOf(trainSources),
+      "a prediction can only name a source seen in training")
+  }
+
+  test("text_rendezvous_shards: movers land only on the new shard, movement ~1/9") {
+    val out = SparkEntry.queries("text_rendezvous_shards")(spark, sfDir)
+    val total = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(out.agg(sum("n_docs")).head.getLong(0) == total)
+    // THE rendezvous property: growing 8 -> 9 shards only ever moves a
+    // doc onto the NEW shard — any (old != new, new != 8) row means the
+    // argmax is broken.
+    assert(out.filter(col("moved") === 1 && col("shard_new") =!= 8).count() == 0)
+    val movedN = out.filter(col("moved") === 1)
+      .agg(coalesce(sum("n_docs"), lit(0L))).head.getLong(0)
+    val share = movedN.toDouble / total.toDouble
+    assert(share > 0.0 && share < 0.35, s"moved share $share far from 1/9")
+  }
+
+  test("text_unimax_budget: caps honored, budget exhausted, waterfill share uniform") {
+    val out = SparkEntry.queries("text_unimax_budget")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val eps = 1e-6
+    // No language exceeds the epoch cap; constrained rows take exactly
+    // their capacity.
+    out.foreach { r =>
+      val cap = r.getAs[Long]("cap").toDouble
+      val alloc = r.getAs[Double]("alloc_tokens")
+      assert(r.getAs[Double]("epochs") <= 3.0 + eps)
+      assert(alloc <= cap + eps)
+      if (r.getAs[Long]("constrained") == 1L)
+        assert(math.abs(alloc - cap) < eps, s"constrained lang must take its cap: $r")
+    }
+    // Unconstrained languages all get the SAME share (uniform waterfill)...
+    val shares = out.filter(_.getAs[Long]("constrained") == 0L)
+      .map(_.getAs[Double]("alloc_tokens")).distinct
+    assert(shares.length <= 1, s"waterfill share must be uniform, got $shares")
+    // ...and the allocations exhaust the budget (sum n_tokens / 2,
+    // double-then-truncate like both engines).
+    val totalTok = out.map(_.getAs[Long]("n_tokens")).sum
+    val budget = (totalTok.toDouble / 2.0).toLong
+    val allocSum = out.map(_.getAs[Double]("alloc_tokens")).sum
+    if (shares.nonEmpty)
+      assert(math.abs(allocSum - budget.toDouble) < 1e-2,
+        s"alloc sum $allocSum != budget $budget")
+  }
 }
