@@ -67,6 +67,19 @@ object OpsQueries {
   private val HystLo = 1.0
   private val HystHi = 2.0
 
+  /** One drawdown oracle body for the batch ts_drawdown (all rows) and
+    * streaming_drawdown (null-filtered) — the M4 shared-builder rule.
+    */
+  private def drawdownOracleSql(filter: String): String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events$filter),
+       |r AS (SELECT event_id, value,
+       |  max(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+       |  FROM e)
+       |SELECT event_id, run_max, ${CleanFunctions.round4Sql("run_max - value")} AS drawdown,
+       |  CAST(CASE WHEN value >= run_max THEN 1 ELSE 0 END AS BIGINT) AS is_new_high
+       |FROM r ORDER BY event_id""".stripMargin
+
   /** ts_hysteresis' oracle, shared VERBATIM with streaming_hysteresis
     * (the streaming alarm fold replays to the identical recursion — the
     * streaming_kalman shared-body rule).
@@ -910,6 +923,24 @@ object OpsQueries {
           round4(col("run_max") - col("value")).as("drawdown"),
           // when/otherwise, not a bare boolean cast: a null value must
           // yield 0 on both engines (the oracle's CASE does).
+          when(col("value") >= col("run_max"), 1L).otherwise(0L).as("is_new_high"))
+        .orderBy("event_id")
+    },
+
+    // Streaming drawdown — the stateful twin of ts_drawdown (the live
+    // "how far below peak" capacity monitor): ONE double of state per
+    // key. DRIVER-VERIFIED: the oracle is the batch body on the
+    // null-filtered set.
+    "streaming_drawdown" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{Event, StreamingAnomaly}
+      val rows = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_dd", None)(
+          ds => StreamingAnomaly.drawdown(ds).toDF())
+        .select(col("event_id"), col("run_max"),
+          round4(col("run_max") - col("value")).as("drawdown"),
           when(col("value") >= col("run_max"), 1L).otherwise(0L).as("is_new_high"))
         .orderBy("event_id")
     },
@@ -2107,15 +2138,13 @@ object OpsQueries {
          |  coalesce(last_rev, 0.0) AS last_rev, coalesce(last_convs, 0) AS last_convs
          |FROM bf FULL JOIN bl USING (channel) ORDER BY channel""".stripMargin,
 
-    "ts_drawdown" ->
-      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events),
-         |r AS (SELECT event_id, value,
-         |  max(value) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
-         |  FROM e)
-         |SELECT event_id, run_max, ${round4Sql("run_max - value")} AS drawdown,
-         |  CAST(CASE WHEN value >= run_max THEN 1 ELSE 0 END AS BIGINT) AS is_new_high
-         |FROM r ORDER BY event_id""".stripMargin,
+    "ts_drawdown" -> drawdownOracleSql(""),
+
+    // Same body on the null-filtered set (the Event feed carries
+    // primitive doubles — the streaming_ewma filter rule); the non-null
+    // rows' running max is unchanged by dropping null rows, so the
+    // streaming output is exactly the batch output restricted to them.
+    "streaming_drawdown" -> drawdownOracleSql(" WHERE value IS NOT NULL"),
 
     "ts_rolling_median" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value FROM events

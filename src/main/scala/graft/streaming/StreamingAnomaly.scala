@@ -89,6 +89,15 @@ case class CrostonState(z: Double, p: Double, prevB: Long, n: Long)
   */
 case class CrostonOut(user_id: Long, n_demands: Long, z: Double, p: Double)
 
+/** Per-row drawdown output (streaming twin of the ts_drawdown window):
+  * the raw running high + the row's value; the entry derives the rounded
+  * drawdown and the new-high flag exactly like the batch twin.
+  */
+case class DdEvent(event_id: Long, user_id: Long, value: Double, run_max: Double)
+
+/** Drawdown state: ONE double per key (the running high). */
+case class DdState(runMax: Double)
+
 /** Per-row Page-Hinkley output (streaming twin of StatsOps.pageHinkley):
   * `ph` is the RAW double cast of the DECIMAL cumulative deviation sum
   * (the entry rounds to 4dp like the batch twin); `is_drift` the
@@ -1062,6 +1071,30 @@ object StreamingAnomaly {
             st = PhState(n, sum.toPlainString, phSum.toPlainString, phMin)
             PhEvent(e.event_id, e.user_id, ph,
               if (ph - phMin > lambda) 1L else 0L)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming drawdown from the running high — the streaming twin of
+    * the ts_drawdown window (the capacity/SLO "how far below peak are
+    * we" monitor): ONE double of state per key, run_max' = max(run_max,
+    * x) (math.max = the window Max ordering for the finite inputs this
+    * feed carries), trivially bit-exact. In-batch ordering is
+    * (event-time, event_id), the [[kalman]] contract.
+    */
+  def drawdown(events: Dataset[Event]): Dataset[DdEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[DdState]) =>
+          var st = state.getOption.orNull
+          val out = it.toIndexedSeq.sortBy(e => (us(e.ts), e.event_id)).map { e =>
+            st = if (st == null) DdState(e.value)
+                 else DdState(math.max(st.runMax, e.value))
+            DdEvent(e.event_id, e.user_id, e.value, st.runMax)
           }
           if (st != null) state.update(st)
           out.iterator

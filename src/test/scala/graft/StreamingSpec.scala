@@ -785,6 +785,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drawdown equals the batch running-max window, bit-for-bit, across a batch split") {
+    import org.apache.spark.sql.functions.{col, max}
+    import org.apache.spark.sql.expressions.Window
+    val ms = MemoryStream[Event](spark)
+    val q = StreamingAnomaly.drawdown(ms.toDS())
+      .writeStream.format("memory").queryName("dd_eq")
+      .outputMode("append").option("checkpointLocation", ckpt()).start()
+    try {
+      val clean = realEvents.toSeq
+      val (h1, h2) = clean.splitAt(clean.length / 2)
+      ms.addData(h1); q.processAllAvailable()
+      ms.addData(h2); q.processAllAvailable()
+      val got = spark.table("dd_eq")
+        .select(col("event_id"), col("run_max"))
+        .as[(Long, Double)].collect().toMap
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = Tables.events(spark, SparkTestSession.sfDir)
+        .where(col("value").isNotNull)
+        .select(col("event_id"), max(col("value")).over(w).as("run_max"))
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+      want.foreach { case (id, wv) =>
+        assert(got(id) == wv, s"drawdown run_max mismatch at event $id")
+      }
+    } finally q.stop()
+  }
+
   test("streaming hysteresis alarm state survives the batch boundary") {
     import graft.streaming.ZaSample
     val ms = MemoryStream[ZaSample](spark)
