@@ -451,11 +451,22 @@ object TextQueries {
       val tot = langTok.agg(
         floor(sum(col("n_tokens")) / lit(2L)).cast(LongType).as("budget"),
         count(lit(1)).as("n_langs"))
-      val w = Window.orderBy(col("cap").asc, col("lang").asc)
-      val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+      // Rank + capacity prefix via a broadcast theta SELF-JOIN on the
+      // O(languages) aggregate instead of a global window — a
+      // single-partition Exchange is a plan smell even over a tiny
+      // frame (PlanAudit), and langs² pairs stay trivial at any corpus
+      // size. (cap, lang) is unique per row, so strictly-before count
+      // + 1 = the (cap asc, lang asc) row_number exactly.
+      val before = langTok
+        .select(col("lang").as("b_lang"), col("cap").as("b_cap"))
       val ranked = langTok.crossJoin(broadcast(tot))
-        .withColumn("rn", row_number().over(w).cast(LongType))
-        .withColumn("pfx", coalesce(sum(col("cap")).over(wp), lit(0L)))
+        .join(broadcast(before),
+          col("b_cap") < col("cap") ||
+            (col("b_cap") === col("cap") && col("b_lang") < col("lang")),
+          "left")
+        .groupBy("lang", "n_tokens", "cap", "budget", "n_langs")
+        .agg((count(col("b_lang")) + lit(1L)).as("rn"),
+          coalesce(sum(col("b_cap")), lit(0L)).as("pfx"))
         .withColumn("constrained",
           (col("cap") * (col("n_langs") - col("rn") + lit(1L)) + col("pfx")
             <= col("budget")).cast(LongType))
@@ -1765,18 +1776,19 @@ object TextQueries {
       },
 
       "text_unimax_budget" -> {
-        val ord = "ORDER BY cap ASC, lang ASC"
         s"""WITH lt AS (SELECT lang, count(*) AS n_tokens
            |  FROM (SELECT lang, unnest(${TextFunctions.tokensSql("lower(text)")}) AS tok
            |        FROM documents) GROUP BY lang),
            |c AS (SELECT lang, n_tokens, n_tokens * $UniMaxEpochs AS cap FROM lt),
            |tot AS (SELECT CAST(floor(CAST(sum(n_tokens) AS DOUBLE) / CAST(2 AS DOUBLE)) AS BIGINT) AS budget,
            |  count(*) AS n_langs FROM c),
-           |r AS (SELECT lang, n_tokens, cap, budget, n_langs,
-           |  CAST(row_number() OVER ($ord) AS BIGINT) AS rn,
-           |  coalesce(sum(cap) OVER ($ord
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
-           |  FROM c, tot),
+           |r AS (SELECT c.lang, c.n_tokens, c.cap, budget, n_langs,
+           |  CAST(count(b.b_lang) + 1 AS BIGINT) AS rn,
+           |  coalesce(sum(b.b_cap), 0) AS pfx
+           |  FROM c CROSS JOIN tot
+           |  LEFT JOIN (SELECT lang AS b_lang, cap AS b_cap FROM c) b
+           |    ON b.b_cap < c.cap OR (b.b_cap = c.cap AND b.b_lang < c.lang)
+           |  GROUP BY 1, 2, 3, 4, 5),
            |k AS (SELECT *, CAST(CASE WHEN cap * (n_langs - rn + 1) + pfx <= budget
            |  THEN 1 ELSE 0 END AS BIGINT) AS constrained FROM r),
            |agg AS (SELECT coalesce(sum(CASE WHEN constrained = 1 THEN cap END), 0) AS c_cap,
