@@ -83,6 +83,26 @@ object SimilarityQueries {
        |${ivfAssignSql("af", s"c$IvfIters")}""".stripMargin
   }
 
+  /** ann_ivf_topk's oracle, shared VERBATIM with streaming_ann_topk (the
+    * stream-static search must reproduce the batch IVF search
+    * bit-for-bit — the streaming_kalman shared-body rule).
+    */
+  private lazy val IvfTopkOracleSql: String =
+    s"""WITH $ivfBuildCte,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+       |pr AS (SELECT q_id, q_emb, cell FROM (
+       |  SELECT q.q_id, q.q_emb, c.cell,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY (-2.0 * ${ivfDotSql("q.q_emb", "c.center")} + ${ivfDotSql("c.center", "c.center")}), c.cell) AS r
+       |  FROM q, c$IvfIters c) WHERE r <= $IvfProbes),
+       |sc AS (SELECT pr.q_id, a.vec_id AS n_id,
+       |  round((${TextFunctions.cosineSql("pr.q_emb", "a.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score
+       |  FROM pr JOIN af a ON a.cell = pr.cell AND a.vec_id <> pr.q_id)
+       |SELECT q_id, n_id, score, rk FROM (
+       |  SELECT q_id, n_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk FROM sc)
+       |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin
+
   /** χ²(EmbDim) upper flag threshold for emb_mahalanobis:
     * dim + 3·√(2·dim), the normal approximation's 3σ point.
     */
@@ -731,6 +751,77 @@ object SimilarityQueries {
       val w = Window.partitionBy("q_id").orderBy(desc("score"), col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= TopK)
+        .orderBy("q_id", "rk")
+    },
+
+    // STREAMING vector search against the static IVF index — the live
+    // retrieval deployment (queries arrive as a stream; the index is a
+    // broadcast-model table): the centroid ROUTER runs at ingest (the
+    // replay computes each query's IvfProbes cells driver-side with the
+    // exact batch fold — production holds the 16×64-float centroids in
+    // the router process), candidates come from a stream-static equi-
+    // join on `cell` against the same cached cell assignments the batch
+    // twin scans, scoring is the identical round4-cosine expression, and
+    // the per-query top-k folds in a bounded (score, id) heap emitted
+    // once at the query's event-time close. DRIVER-VERIFIED: the oracle
+    // is ann_ivf_topk's SQL, verbatim — the streaming path must
+    // reproduce the batch search bit-for-bit.
+    "streaming_ann_topk" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{AnnCand, AnnQuery, StreamingAnomaly}
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          TextFunctions.vecNorm(col("embedding")).as("nrm"))
+        .cache()
+      val centers = graft.operators.IvfIndex.fit(
+        e, "vec_id", "embedding", IvfCentroids, EmbDim, IvfIters)
+      val cells = e.withColumn("cell",
+        graft.operators.IvfIndex.cellExpr(col("embedding"), centers)).cache()
+      // Router replica: cc via the same foldLeft as the batch centersDf,
+      // dot via the same sequential double accumulation as FloatVectorDot,
+      // pick = ascending (-2·dot + cc, cell) — the batch probe window's
+      // exact ordering on the exact doubles.
+      val ccs = centers.map { case (cid, c) =>
+        (cid, c, c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+      }
+      def dotF(a: Seq[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < b.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .as[(Long, Seq[Float], Double)].collect()
+      val rows = queries.toSeq.flatMap { case (qid, emb, nrm) =>
+        ccs.map { case (cid, c, cdot) => (-2.0 * dotF(emb, c) + cdot, cid) }
+          .sortBy(identity).take(IvfProbes)
+          // +1 day base: a qid-0 query at literal epoch 0 sits exactly ON
+          // the initial watermark and its event can be treated as late;
+          // the anchor is harness time (one second per query id), so any
+          // strictly-positive base is equivalent.
+          .map { case (_, cid) =>
+            AnnQuery(qid, new java.sql.Timestamp((qid + 86400L) * 1000L),
+              emb, nrm, cid) }
+      }
+      val maxQid = queries.map(_._1).max
+      // Punctuation: cell −1 joins nothing but still advances the
+      // watermark past every query's close (watermark is tracked at the
+      // source node, before the join can drop the row).
+      val punct = AnnQuery(-1L,
+        new java.sql.Timestamp((maxQid + 11L * 86400L) * 1000L),
+        Seq.empty, 0.0, -1)
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_ann",
+          Some(punct)) { ds =>
+        val st = ds.withWatermark("ts", "1 hour").toDF()
+        val cand = st.join(cells,
+            st("cell") === cells("cell") && cells("vec_id") =!= st("q_id"))
+          .select(st("q_id"), st("ts"), cells("vec_id").as("n_id"),
+            graft.functions.CleanFunctions.round4(TextFunctions.cosineFromNorms(
+              TextFunctions.dot(st("emb"), cells("embedding")),
+              st("nrm"), cells("nrm"))).as("score"))
+        StreamingAnomaly.annTopK(cand.as[AnnCand], TopK).toDF()
+      }
+        .select(col("q_id"), col("n_id"), col("score"), col("rk"))
         .orderBy("q_id", "rk")
     },
 
@@ -1975,21 +2066,12 @@ object SimilarityQueries {
     // determinism contract): same hash-order top-k init, same -2*dot+cc argmin
     // (sequential double fold = list_sum order), same DECIMAL(28,6)
     // center means cast to FLOAT, same probe and re-rank.
-    "ann_ivf_topk" ->
-      s"""WITH $ivfBuildCte,
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
-         |pr AS (SELECT q_id, q_emb, cell FROM (
-         |  SELECT q.q_id, q.q_emb, c.cell,
-         |    row_number() OVER (PARTITION BY q.q_id
-         |      ORDER BY (-2.0 * ${ivfDotSql("q.q_emb", "c.center")} + ${ivfDotSql("c.center", "c.center")}), c.cell) AS r
-         |  FROM q, c$IvfIters c) WHERE r <= $IvfProbes),
-         |sc AS (SELECT pr.q_id, a.vec_id AS n_id,
-         |  round((${TextFunctions.cosineSql("pr.q_emb", "a.embedding")}) * 10000.0) / 10000.0 + 0.0 AS score
-         |  FROM pr JOIN af a ON a.cell = pr.cell AND a.vec_id <> pr.q_id)
-         |SELECT q_id, n_id, score, rk FROM (
-         |  SELECT q_id, n_id, score,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS rk FROM sc)
-         |WHERE rk <= $TopK ORDER BY q_id, rk""".stripMargin,
+    "ann_ivf_topk" -> IvfTopkOracleSql,
+
+    // The streaming search replays to the identical SQL (same shared-body
+    // rule as streaming_kalman): stream-static cell join + emit-once heap
+    // must reproduce the batch IVF search bit-for-bit.
+    "streaming_ann_topk" -> IvfTopkOracleSql,
 
     // Same deterministic IVF build; probe depth swept. The brute-force
     // truth side mirrors the ann_topk_cosine twin.

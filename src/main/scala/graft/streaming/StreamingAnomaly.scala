@@ -89,6 +89,20 @@ case class CrostonState(z: Double, p: Double, prevB: Long, n: Long)
   */
 case class CrostonOut(user_id: Long, n_demands: Long, z: Double, p: Double)
 
+/** One routed ANN query probe entering the streaming vector search: the
+  * query embedding + its L2 norm (computed once at ingest by the same
+  * codegen expression as the static index build) and ONE probe cell
+  * selected by the centroid router (the broadcast-model map a production
+  * query router runs; IvfProbes rows per query).
+  */
+case class AnnQuery(q_id: Long, ts: Timestamp, emb: Seq[Float], nrm: Double, cell: Int)
+
+/** One scored ANN candidate (post stream-static cell join). */
+case class AnnCand(q_id: Long, ts: Timestamp, n_id: Long, score: Double)
+
+/** One emitted ANN hit: rank within the query's terminal top-k. */
+case class AnnHit(q_id: Long, rk: Long, n_id: Long, score: Double)
+
 /** Per-row drawdown output (streaming twin of the ts_drawdown window):
   * the raw running high + the row's value; the entry derives the rounded
   * drawdown and the new-high flag exactly like the batch twin.
@@ -1127,6 +1141,33 @@ object StreamingAnomaly {
           state.update(HystState(in))
           out.iterator
       }
+  }
+
+  /** Streaming ANN top-k — the retrieval half of a live vector-search
+    * deployment: scored candidates (from an upstream stream-static cell
+    * equi-join against the STATIC IVF index) fold into a bounded
+    * (score, id) heap per query, emitted once as ranked hits at the
+    * query's event-time close ([[emitOnceFold]] — a search result is a
+    * terminal summary). State is ≤ k pairs per key under any arrival
+    * order (sort-and-take merge = heap union, the [[topKPerKey]]
+    * argument); comparator (−score, id) = score desc with id-asc ties,
+    * the batch rank's ordering (scores are round4-normalized upstream,
+    * so the −0.0 negation corner cannot arise). Expects the caller to
+    * have set the watermark on the query stream BEFORE the join (the
+    * entry does; re-marking after a stream-static join is legal but
+    * this keeps one watermark node).
+    */
+  def annTopK(cands: Dataset[AnnCand], k: Int): Dataset[AnnHit] = {
+    import cands.sparkSession.implicits._
+    require(k > 0, s"k=$k must be positive")
+    emitOnceFold[Long, AnnCand, Seq[(Double, Long)], AnnHit](
+      cands.groupByKey(_.q_id), r => us(r.ts))(
+      (prev, incoming) =>
+        (prev.getOrElse(Nil) ++ incoming.map(r => (r.score, r.n_id)))
+          .sortBy(t => (-t._1, t._2)).take(k))(
+      (key, items) => items.iterator.zipWithIndex.map { case ((sc, id), i) =>
+        AnnHit(key, i + 1L, id, sc)
+      })
   }
 
   /** Streaming Wald SPRT — the streaming twin of the batch `events_sprt`

@@ -837,11 +837,12 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming hysteresis / SPRT / Page-Hinkley entries equal their batch twins row-for-row") {
+  test("streaming hysteresis / SPRT / Page-Hinkley / ANN entries equal their batch twins row-for-row") {
     for ((batchName, streamName) <- Seq(
         "ts_hysteresis" -> "streaming_hysteresis",
         "events_sprt" -> "streaming_sprt",
-        "ts_page_hinkley" -> "streaming_page_hinkley")) {
+        "ts_page_hinkley" -> "streaming_page_hinkley",
+        "ann_ivf_topk" -> "streaming_ann_topk")) {
       val b = SparkEntry.queries(batchName)(spark, SparkTestSession.sfDir)
         .collect().map(_.toString).sorted
       val st = SparkEntry.queries(streamName)(spark, SparkTestSession.sfDir)
