@@ -821,6 +821,50 @@ object TimeSeriesQueries {
       c1.union(c2).union(c3).orderBy("user_id", "esd_round")
     },
 
+    // Seasonal-HYBRID ESD (Twitter's S-H-ESD, Hochenbaum et al. 2017) —
+    // ts_esd_anomalies' robust sibling and the variant production
+    // anomaly systems actually deploy: the seasonal component is the
+    // per-(series, hour-of-day) MEDIAN (a 3σ spike inflates a seasonal
+    // MEAN and masks itself; it cannot drag the median), and each ESD
+    // round's test statistic is |r − median(r)| / (1.4826·MAD(r))
+    // instead of the mean/σ z — so round 1's own outlier can't widen
+    // the denominator it is tested against. Same 3-round
+    // extract-and-retest scaffolding, same per-round cache rationale;
+    // medians are Spark's exact `median` aggregate, which DuckDB's
+    // median matches (the ts_mad_anomaly precedent). MAD = 0 series
+    // yield null z and drop from the round, the documented MAD
+    // degeneracy the ensemble entry trades away.
+    "ts_shesd_anomalies" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val seasW = Window.partitionBy(col("user_id"), hour(col("ts")))
+      val res0 = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("r", graft.functions.CleanFunctions.round4(
+          col("value") - median(col("value")).over(seasW)))
+        .select("event_id", "user_id", "r")
+      def shesdRound(i: Int, prev: DataFrame): (DataFrame, DataFrame) = {
+        val med = prev.groupBy("user_id").agg(median(col("r")).as("med"))
+        val withMed = prev.join(broadcast(med), "user_id")
+        val mad = withMed.groupBy("user_id")
+          .agg(median(abs(col("r") - col("med"))).as("mad"))
+        val ranked = withMed.join(broadcast(mad), "user_id")
+          .withColumn("z", graft.functions.CleanFunctions.round4(
+            safeDiv(abs(col("r") - col("med")),
+              lit(graft.GraftConfig.MadScale) * col("mad"))))
+          .where(col("z").isNotNull)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("user_id").orderBy(desc("z"), col("event_id"))))
+          .cache()
+        (ranked.where(col("rk") === 1)
+           .select(col("user_id"), lit(i.toLong).as("esd_round"),
+             col("event_id"), col("z")),
+         ranked.where(col("rk") > 1).select("event_id", "user_id", "r"))
+      }
+      val (c1, s2) = shesdRound(1, res0)
+      val (c2, s3) = shesdRound(2, s2)
+      val (c3, _)  = shesdRound(3, s3)
+      c1.union(c2).union(c3).orderBy("user_id", "esd_round")
+    },
+
     // Differencing + expanding aggregates: first difference (pandas
     // .diff, the detrending primitive), running total and running max
     // over the expanding window — one window sort serves all three.
@@ -1907,6 +1951,34 @@ object TimeSeriesQueries {
          |  SELECT event_id, user_id,
          |    ${CleanFunctions.round4Sql(
               s"value - ${CleanFunctions.exactMeanSql("value", "OVER ws")}")} AS r
+         |  FROM events WHERE value IS NOT NULL
+         |  WINDOW ws AS (PARTITION BY user_id, hour(ts))),
+         |${roundCte(1)},
+         |${roundCte(2)},
+         |${roundCte(3)}
+         |SELECT user_id, esd_round, event_id, z FROM (
+         |  SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3)
+         |ORDER BY user_id, esd_round""".stripMargin
+    },
+
+    "ts_shesd_anomalies" -> {
+      def roundCte(i: Int) =
+        s"""m$i AS (SELECT user_id, median(r) AS med FROM s$i GROUP BY user_id),
+           |d$i AS (SELECT s.user_id, median(abs(s.r - m.med)) AS mad
+           |  FROM s$i s JOIN m$i m USING (user_id) GROUP BY s.user_id),
+           |k$i AS (SELECT s.event_id, s.user_id, s.r,
+           |  ${CleanFunctions.round4Sql(
+              s"abs(s.r - m.med) / nullif(${graft.GraftConfig.MadScale} * d.mad, 0.0)")} AS z
+           |  FROM s$i s JOIN m$i m USING (user_id) JOIN d$i d USING (user_id)),
+           |rk$i AS (SELECT event_id, user_id, r, z,
+           |  row_number() OVER (PARTITION BY user_id ORDER BY z DESC, event_id) AS rk
+           |  FROM k$i WHERE z IS NOT NULL),
+           |c$i AS (SELECT user_id, CAST($i AS BIGINT) AS esd_round, event_id, z
+           |  FROM rk$i WHERE rk = 1),
+           |s${i + 1} AS (SELECT event_id, user_id, r FROM rk$i WHERE rk > 1)""".stripMargin
+      s"""WITH s1 AS (
+         |  SELECT event_id, user_id,
+         |    ${CleanFunctions.round4Sql("value - median(value) OVER ws")} AS r
          |  FROM events WHERE value IS NOT NULL
          |  WINDOW ws AS (PARTITION BY user_id, hour(ts))),
          |${roundCte(1)},

@@ -84,4 +84,16 @@ class AnomalySpec extends AnyFunSuite {
     assert(r.filter(col("seq_err").isNull).count() == 0)
     assert(r.filter(col("seq_err") < 0).count() == 0)
   }
+
+  test("S-H-ESD: one extraction per (series, round), rounds 1..3, no event extracted twice") {
+    val out = SparkEntry.queries("ts_shesd_anomalies")(
+      SparkTestSession.spark, SparkTestSession.sfDir)
+    assert(out.count() > 0)
+    assert(out.filter(col("esd_round") < 1 || col("esd_round") > 3).count() == 0)
+    assert(out.filter(col("z") < 0).count() == 0)
+    assert(out.groupBy("user_id", "esd_round").count()
+      .filter(col("count") > 1).count() == 0, "one extraction per round per series")
+    assert(out.groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0, "an event is extracted at most once")
+  }
 }
