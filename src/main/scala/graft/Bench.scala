@@ -1,9 +1,109 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fresh-JVM self-sharding (r13 verdict item 1): a full-suite run in
+    * ONE JVM thrashes Spark's bounded codegen-class cache across 460+
+    * distinct plans and every round produced sub-3 s phantom
+    * "regressions" with unchanged code (r10 measured the full
+    * interleave at 1.6x inflation; the r13 one-JVM artifact flagged
+    * four >2x upticks that the isolated protocol then cleared). The
+    * builder-side tools/bench_sharded.sh fixed this for the committed
+    * BENCH_FULL.json, but the DRIVER-visible artifact still came from
+    * one JVM — so the orchestrator now lives IN Bench: a bare
+    * `runMain graft.Bench` forks one fresh child JVM per alphabetical
+    * cohort (the child re-enters main with SPARK_GRAFT_BENCH_SHARD
+    * set, taking the classic in-process path), merges the shard detail
+    * files, writes BENCH_FULL.json, and prints the one compact line
+    * the harness captures. Child stdout goes to a log file so exactly
+    * one {"metric"} line reaches the capture window. Opt out with
+    * SPARK_GRAFT_BENCH_SELFSHARD=0 (and partial runs / explicit shard
+    * runs never self-shard).
+    */
+  private def selfShard(nShards: Int): Unit = {
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val cp = System.getProperty("java.class.path")
+    // The forked run JVM's own module/memory options (build.sbt's
+    // jdk17AddOpens + -Xmx) — children need the same ones to build a
+    // SparkSession outside spark-submit.
+    val jvmOpts = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val shardFiles = (0 until nShards).map { i =>
+      val out = java.nio.file.Files.createTempFile(s"bench_shard_${i}_", ".json")
+      val log = java.nio.file.Files.createTempFile(s"bench_shard_${i}_", ".log")
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmOpts.forEach(o => cmd.add(o))
+      cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_SHARD", s"$i/$nShards")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.redirectOutput(log.toFile)
+      pb.redirectErrorStream(true)
+      val rc = pb.start().waitFor()
+      require(rc == 0, s"bench shard $i/$nShards exited $rc (log: $log)")
+      out
+    }
+    // Merge (the tools/merge_bench.py shape): per-query medians union,
+    // total = sum of successful medians, failed = union. Our own detail
+    // format, so a targeted regex parse is exact.
+    val qRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+    val fRe = """"failed":\[([^\]]*)\]""".r
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    var reps = "3"; var sf = ""
+    shardFiles.foreach { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val qPart = txt.substring(txt.indexOf("\"queries\":{"))
+      qRe.findAllMatchIn(qPart).foreach { m =>
+        require(!merged.contains(m.group(1)),
+          s"duplicate entry across shards: ${m.group(1)}")
+        merged(m.group(1)) = m.group(2).toDouble
+      }
+      fRe.findFirstMatchIn(txt).foreach { m =>
+        m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).foreach(failed += _)
+      }
+      val rM = """"reps":(\d+)""".r.findFirstMatchIn(txt)
+      rM.foreach(m => reps = m.group(1))
+      val sM = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+      sM.foreach(m => sf = m.group(1))
+    }
+    val total = merged.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = merged.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sharded":$nShards,"failed":$failedJson,"queries":$full,"sf":"$sf"}"""
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val ok = merged.toSeq.filter(_._2 >= 0)
+    val top = ok.sortBy(-_._2).take(40)
+    val qs = top.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val othersSec = ok.sortBy(-_._2).drop(40).map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sharded":$nShards,"failed":$failedJson,"n_queries":${merged.size},"others_sec":${fmt(othersSec)},"detail":"$detailPath","queries":$qs,"sf":"$sf"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Full-suite bare runs self-shard across fresh JVMs (doc above);
+    // partial runs and shard workers take the classic in-process path.
+    if (args.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_SHARD").isEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SELFSHARD", "1") != "0") {
+      val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "8").toInt
+      require(n >= 1, s"SPARK_GRAFT_BENCH_SHARDS=$n must be >= 1")
+      try { selfShard(n); return }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] self-shard failed (${e.getMessage}); " +
+          "falling back to the one-JVM run")
+      }
+    }
     // Median-of-N per query: single-run times vary +-20% locally (GC,
     // page cache), which nearly masked real round-2 wins. Odd N => true
     // median element.

@@ -54,10 +54,14 @@ object Decontaminate {
         explode(TextFunctions.shingles(col("t"), k)).as("s"))
       .select(col(idCol), col("__bench"), col("s"),
         CleanFunctions.md5Hash64(col("s")).as("h"))
+    // `bh` alias: bench derives from the same plan as train, so an
+    // unaliased h === h would resolve to one attribute (Spark WARNs
+    // "trivially true equals predicate") and drop the hash key from
+    // the join, leaving only the string-shingle equality.
     val bench = sh.filter(col("__bench"))
-      .select(col(idCol).as("bench_id"), col("s").as("bs"), col("h"))
+      .select(col(idCol).as("bench_id"), col("s").as("bs"), col("h").as("bh"))
     val train = sh.filter(!col("__bench"))
-    train.join(bench, train("h") === bench("h") && train("s") === bench("bs"))
+    train.join(bench, train("h") === bench("bh") && train("s") === bench("bs"))
       .groupBy(train(idCol))
       .agg(countDistinct(col("bench_id")).as("n_bench_docs"),
         countDistinct(train("s")).as("n_shared_shingles"))

@@ -706,6 +706,32 @@ object OpsQueries {
         .orderBy("user_id", "day")
     },
 
+    // Streaming MULTIPLICATIVE Holt-Winters — completes the
+    // smoothing-family matrix (additive HW above already has a twin):
+    // the streaming twin of ts_holt_winters_mult over the same daily
+    // grid, seasonals starting at 1 and the level updating on ratios.
+    // O(period) state per key; oracle = the batch twin's recursive
+    // CTE, verbatim.
+    "streaming_holt_winters_mult" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{DaySample, StreamingAnomaly}
+      import org.apache.spark.sql.types.DoubleType
+      val rows = ev(s, d).where(col("value").isNotNull)
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(CleanFunctions.exactMean(col("value")).cast(DoubleType).as("m"))
+        .as[DaySample].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_hw_mult", None)(
+          ds => StreamingAnomaly.holtWintersMult(ds, period = 7,
+            alpha = 0.3, beta = 0.1, gamma = 0.2).toDF())
+        .select(col("user_id"), col("day"), round4(col("m")).as("day_mean"),
+          round4(col("fitted")).as("hw_fitted"),
+          round4(col("level")).as("hw_level"),
+          round4(col("trend")).as("hw_trend"),
+          round4(col("seasonal")).as("hw_seasonal"))
+        .orderBy("user_id", "day")
+    },
+
     // Population Stability Index between the month's two halves, per
     // event_type — THE drift gate of ML monitoring (rule of thumb:
     // >0.25 = retrain). Fixed-width value buckets (integer boundaries —
@@ -1823,6 +1849,17 @@ object OpsQueries {
       .stripMargin
   }
 
+  /** ts_holt_winters_mult's oracle, shared VERBATIM with
+    * streaming_holt_winters_mult (the streaming_kalman shared-body rule).
+    */
+  private lazy val HwMultOracleSql: String =
+    s"""WITH RECURSIVE $HwMultCtes
+       |SELECT user_id, day, ${round4Sql("m")} AS day_mean,
+       |  ${round4Sql("fitted")} AS hw_fitted, ${round4Sql("l")} AS hw_level,
+       |  ${round4Sql("b")} AS hw_trend,
+       |  ${round4Sql("s[(rn - 1) % 7 + 1]")} AS hw_seasonal
+       |FROM c ORDER BY user_id, day""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "events_zonemap_report" ->
       s"""WITH gm AS (SELECT max(value) AS gmax FROM events),
@@ -2196,13 +2233,10 @@ object OpsQueries {
     // The streaming seasonal fold replays to the identical recursion.
     "streaming_holt_winters" -> HwOracleSql,
 
-    "ts_holt_winters_mult" ->
-      s"""WITH RECURSIVE $HwMultCtes
-         |SELECT user_id, day, ${round4Sql("m")} AS day_mean,
-         |  ${round4Sql("fitted")} AS hw_fitted, ${round4Sql("l")} AS hw_level,
-         |  ${round4Sql("b")} AS hw_trend,
-         |  ${round4Sql("s[(rn - 1) % 7 + 1]")} AS hw_seasonal
-         |FROM c ORDER BY user_id, day""".stripMargin,
+    "ts_holt_winters_mult" -> HwMultOracleSql,
+
+    // The streaming multiplicative fold replays the identical recursion.
+    "streaming_holt_winters_mult" -> HwMultOracleSql,
 
     "ts_hw_anomaly" ->
       s"""WITH RECURSIVE $HwCtes,

@@ -38,6 +38,14 @@ object SimilarityQueries {
   private val MaxAnnPlanes = graft.operators.AnnSearch.DefaultMaxPlanes
   private val IvfCentroids = 16
   private val IvfProbes = 4
+
+  /** streaming_ann_topk's replay-harness fence: the driver-collected
+    * query batch is `vec_id % 50 == 0 AND vec_id < AnnStreamQueryIdCap`,
+    * bounding it at <= 2000 queries regardless of corpus size (the
+    * BmQueryCap precedent). No-op at every committed sf, so the oracle
+    * stays ann_ivf_topk's SQL verbatim.
+    */
+  private[graft] val AnnStreamQueryIdCap = 100000L
   private val IvfIters = 2
   private val EmbDim = 64
 
@@ -789,9 +797,23 @@ object SimilarityQueries {
         while (i < b.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
         acc
       }
-      val queries = e.filter(col("vec_id") % 50 === 0)
+      // BOUNDED query batch (the BmQueryCap precedent): the replayed
+      // batch is driver-collected, so an uncapped `vec_id % 50` feed is
+      // corpus-proportional — the exact shape of the r12 BM25 scale bug.
+      // The id cap bounds it at <= AnnStreamQueryIdCap/50 queries no
+      // matter the corpus size (a no-op at every committed sf — max
+      // vec_id is 1999 at sf0.1 — so the shared batch oracle's hashes
+      // are unchanged), and the require is the hard runtime fence.
+      // Sorted by qid: ascending event times can never be dropped as
+      // late by the 1-hour watermark however large the batch spans.
+      val queries = e.filter(
+          col("vec_id") % 50 === 0 && col("vec_id") < AnnStreamQueryIdCap)
         .select(col("vec_id"), col("embedding"), col("nrm"))
         .as[(Long, Seq[Float], Double)].collect()
+        .sortBy(_._1)
+      require(queries.length <= AnnStreamQueryIdCap / 50 + 1,
+        s"streaming_ann_topk: replay batch has ${queries.length} queries, " +
+          s"above the ${AnnStreamQueryIdCap / 50 + 1}-query harness fence")
       val rows = queries.toSeq.flatMap { case (qid, emb, nrm) =>
         ccs.map { case (cid, c, cdot) => (-2.0 * dotF(emb, c) + cdot, cid) }
           .sortBy(identity).take(IvfProbes)

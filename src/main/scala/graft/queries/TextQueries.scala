@@ -128,6 +128,64 @@ object TextQueries {
     (merges.toSeq, vocab)
   }
 
+  /** Hashed multinomial naive-Bayes SOURCE classifier with holdout
+    * confusion matrix (see the `text_nb_source` entry's doc for the
+    * full rationale). `buckets` is the hashed feature-space size — the
+    * constructor-level knob a production corpus sizes to 2^18+; the
+    * default stays the pinned test-sized [[NbBuckets]] so the driver
+    * entry and its DuckDB oracle share one literal. Model size is
+    * O(sources x buckets) either way (both model broadcasts are
+    * aggregates, never corpus rows), so the knob changes memory per
+    * executor, not the plan shape.
+    */
+  def nbSourceConfusion(s: SparkSession, d: String,
+                        buckets: Long = NbBuckets): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val docs = Tables.documents(s, d).withColumn("split",
+      when(CleanFunctions.md5Hash64(
+        concat(lit("nbsplit:"), col("doc_id"))) % 100 < 80, "train")
+        .otherwise("test"))
+    val toks = docs.select(col("doc_id"), col("source"), col("split"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .withColumn("b", CleanFunctions.md5Hash64(col("tok")) % buckets)
+    val trainToks = toks.where(col("split") === "train")
+    val counts = trainToks.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+    val srcTok = trainToks.groupBy("source").agg(count(lit(1)).as("n_tok"))
+    val srcDoc = docs.where(col("split") === "train")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val total = docs.where(col("split") === "train").agg(count(lit(1)).as("d_tot"))
+    val dims = srcDoc.join(srcTok, "source").crossJoin(broadcast(total))
+      .withColumn("prior", CleanFunctions.round6(log(
+        col("n_docs").cast(DoubleType) / col("d_tot").cast(DoubleType))))
+      .withColumn("dflt", CleanFunctions.round6(log(
+        lit(1.0) / (col("n_tok") + lit(buckets)).cast(DoubleType))))
+    val ll = counts.join(srcTok, "source")
+      .withColumn("llw", CleanFunctions.round6(log(
+        (col("cnt") + lit(1L)).cast(DoubleType)
+          / (col("n_tok") + lit(buckets)).cast(DoubleType))))
+      .select(col("source").as("cand"), col("b"), col("llw"))
+    val testCnt = toks.where(col("split") === "test")
+      .groupBy(col("doc_id"), col("source").as("actual"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = testCnt
+      .crossJoin(broadcast(dims.select(col("source").as("cand"),
+        col("prior"), col("dflt"))))
+      .join(broadcast(ll), Seq("cand", "b"), "left")
+      .withColumn("term", CleanFunctions.round6(
+        col("cnt").cast(DoubleType) * coalesce(col("llw"), col("dflt"))))
+      .groupBy("doc_id", "actual", "cand")
+      .agg(CleanFunctions.round4(
+        CleanFunctions.exactSum(col("term")) + max(col("prior"))).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .groupBy(col("actual"), col("cand"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"))
+      .select(col("actual"), col("cand").as("predicted"), col("n_docs"))
+      .orderBy("actual", "predicted")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII scrubbing (training-data redaction): emails then number runs,
     // per-pattern match counts on the original text. Runs over the
@@ -379,51 +437,7 @@ object TextQueries {
     // one grouped count. ln() is libm-identical cross-engine on this
     // platform (the events_value_entropy / ts_records precedent), and
     // every post-ln value is round6-quantized before entering a sum.
-    "text_nb_source" -> { (s, d) =>
-      val docs = Tables.documents(s, d).withColumn("split",
-        when(CleanFunctions.md5Hash64(
-          concat(lit("nbsplit:"), col("doc_id"))) % 100 < 80, "train")
-          .otherwise("test"))
-      val toks = docs.select(col("doc_id"), col("source"), col("split"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
-        .withColumn("b", CleanFunctions.md5Hash64(col("tok")) % NbBuckets)
-      val trainToks = toks.where(col("split") === "train")
-      val counts = trainToks.groupBy("source", "b").agg(count(lit(1)).as("cnt"))
-      val srcTok = trainToks.groupBy("source").agg(count(lit(1)).as("n_tok"))
-      val srcDoc = docs.where(col("split") === "train")
-        .groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val total = docs.where(col("split") === "train").agg(count(lit(1)).as("d_tot"))
-      val dims = srcDoc.join(srcTok, "source").crossJoin(broadcast(total))
-        .withColumn("prior", CleanFunctions.round6(log(
-          col("n_docs").cast(DoubleType) / col("d_tot").cast(DoubleType))))
-        .withColumn("dflt", CleanFunctions.round6(log(
-          lit(1.0) / (col("n_tok") + lit(NbBuckets)).cast(DoubleType))))
-      val ll = counts.join(srcTok, "source")
-        .withColumn("llw", CleanFunctions.round6(log(
-          (col("cnt") + lit(1L)).cast(DoubleType)
-            / (col("n_tok") + lit(NbBuckets)).cast(DoubleType))))
-        .select(col("source").as("cand"), col("b"), col("llw"))
-      val testCnt = toks.where(col("split") === "test")
-        .groupBy(col("doc_id"), col("source").as("actual"), col("b"))
-        .agg(count(lit(1)).as("cnt"))
-      val scored = testCnt
-        .crossJoin(broadcast(dims.select(col("source").as("cand"),
-          col("prior"), col("dflt"))))
-        .join(broadcast(ll), Seq("cand", "b"), "left")
-        .withColumn("term", CleanFunctions.round6(
-          col("cnt").cast(DoubleType) * coalesce(col("llw"), col("dflt"))))
-        .groupBy("doc_id", "actual", "cand")
-        .agg(CleanFunctions.round4(
-          CleanFunctions.exactSum(col("term")) + max(col("prior"))).as("score"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("cand").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .groupBy(col("actual"), col("cand"))
-        .agg(count(lit(1)).cast(LongType).as("n_docs"))
-        .select(col("actual"), col("cand").as("predicted"), col("n_docs"))
-        .orderBy("actual", "predicted")
-    },
+    "text_nb_source" -> { (s, d) => nbSourceConfusion(s, d) },
 
     // UniMax per-language sampling budget (Chung et al. 2023 — the
     // mT5/PaLM-era answer to temperature sampling): allocate a total

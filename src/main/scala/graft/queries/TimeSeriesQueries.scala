@@ -848,8 +848,8 @@ object TimeSeriesQueries {
           .agg(median(abs(col("r") - col("med"))).as("mad"))
         val ranked = withMed.join(broadcast(mad), "user_id")
           .withColumn("z", graft.functions.CleanFunctions.round4(
-            safeDiv(abs(col("r") - col("med")),
-              lit(graft.GraftConfig.MadScale) * col("mad"))))
+            safeDiv(lit(graft.GraftConfig.MadScale) * abs(col("r") - col("med")),
+              col("mad"))))
           .where(col("z").isNotNull)
           .withColumn("rk", row_number().over(
             Window.partitionBy("user_id").orderBy(desc("z"), col("event_id"))))
@@ -1968,7 +1968,7 @@ object TimeSeriesQueries {
            |  FROM s$i s JOIN m$i m USING (user_id) GROUP BY s.user_id),
            |k$i AS (SELECT s.event_id, s.user_id, s.r,
            |  ${CleanFunctions.round4Sql(
-              s"abs(s.r - m.med) / nullif(${graft.GraftConfig.MadScale} * d.mad, 0.0)")} AS z
+              s"${graft.GraftConfig.MadScale} * abs(s.r - m.med) / nullif(d.mad, 0.0)")} AS z
            |  FROM s$i s JOIN m$i m USING (user_id) JOIN d$i d USING (user_id)),
            |rk$i AS (SELECT event_id, user_id, r, z,
            |  row_number() OVER (PARTITION BY user_id ORDER BY z DESC, event_id) AS rk

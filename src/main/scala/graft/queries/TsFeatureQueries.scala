@@ -228,6 +228,36 @@ object TsFeatureQueries {
         .orderBy("event_type", "day")
     },
 
+    // Streaming Kleinberg burst detection — the streaming twin of
+    // ts_bursts over the SAME daily grid with the SAME pre-quantized
+    // emission costs (in production the grid + base rates come from an
+    // upstream windowed aggregation and a slowly-refreshed reference
+    // join; the replay computes them batch-side so the fold sees
+    // identical inputs — the streaming_holt_winters precedent). TWO
+    // doubles of state per key; oracle = the batch twin's recursive
+    // CTE, verbatim.
+    "streaming_bursts" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{BurstSample, StreamingAnomaly}
+      val daily = Tables.events(s, d)
+        .withColumn("day", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
+        .groupBy("event_type", "day").agg(count(lit(1)).cast(DoubleType).as("c"))
+      val rates = daily.groupBy("event_type")
+        .agg(round4(CleanFunctions.exactMean(col("c"))).as("r0"))
+      val rows = daily.join(broadcast(rates), "event_type")
+        .withColumn("r1", round4(lit(BurstS) * col("r0")))
+        .select(col("event_type"), col("day"),
+          round6(col("r0") - col("c") * log(col("r0"))).as("e0"),
+          round6(col("r1") - col("c") * log(col("r1"))).as("e1"))
+        .as[BurstSample].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_bursts", None)(
+          ds => StreamingAnomaly.burstViterbi(ds, BurstGamma).toDF())
+        .select(col("event_type"), col("day"),
+          round4(col("c0")).as("cost_base"),
+          round4(col("c1")).as("cost_burst"), col("in_burst"))
+        .orderBy("event_type", "day")
+    },
+
     // Isotonic (monotone non-decreasing) trend per series on the daily
     // grid, via the same PAVA minimax closed form as the calibration
     // fitter: fit_i = max_{j≤i} min_{k≥i} avg(day_j..day_k) — the
@@ -254,12 +284,15 @@ object TsFeatureQueries {
         .agg(sum(col("n")).as("nn"), sum(col("sv")).as("ssv"))
         .withColumn("avgjk",
           round6(col("ssv").cast(DoubleType) / col("nn").cast(DoubleType)))
-      val fit = idx.select(col("user_id").as("uf"), col("i"))
+      // `fi` alias: fit derives from idx, so an unaliased i === i in the
+      // final join resolves to one attribute (Spark WARNs "trivially
+      // true equals predicate"); the alias keeps the index a real key.
+      val fit = idx.select(col("user_id").as("uf"), col("i").as("fi"))
         .join(spans, col("uf") === col("user_id") &&
-          col("j") <= col("i") && col("k") >= col("i"))
-        .groupBy("uf", "i", "j").agg(min(col("avgjk")).as("mn"))
-        .groupBy("uf", "i").agg(round6(max(col("mn"))).as("pava_fit"))
-      idx.join(fit, col("user_id") === col("uf") && idx("i") === fit("i"))
+          col("j") <= col("fi") && col("k") >= col("fi"))
+        .groupBy("uf", "fi", "j").agg(min(col("avgjk")).as("mn"))
+        .groupBy("uf", "fi").agg(round6(max(col("mn"))).as("pava_fit"))
+      idx.join(fit, col("user_id") === col("uf") && idx("i") === fit("fi"))
         .select(col("user_id"), col("day"),
           round6(col("sv").cast(DoubleType) / col("n").cast(DoubleType)).as("daily_mean"),
           col("pava_fit"))
@@ -424,6 +457,32 @@ object TsFeatureQueries {
           .cast(DoubleType) / lit(3600000000.0)))
         .withColumn("decay", round6(exp(lit(-HawkesBeta) * col("dt"))))
       TimeSeriesOps.hawkesPath(prep, Seq("user_id"), Seq("tsu", "event_id"), "decay")
+        .select(col("event_id"), round4(col("excitation")).as("excitation"),
+          round4(lit(HawkesMu) + lit(HawkesAlpha) * col("excitation")).as("intensity"))
+        .orderBy("event_id")
+    },
+
+    // Streaming Hawkes excitation — the streaming twin of
+    // ts_hawkes_intensity: the round6-quantized decay factor rides on
+    // each replayed row (computed at ingest, so the transcendental
+    // stays outside the fold exactly as in the batch path), ONE double
+    // of state per key, λ derived from the emitted excitation by the
+    // same rounded expression. Oracle = the batch twin's recursive
+    // CTE, verbatim.
+    "streaming_hawkes" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.{HawkesSample, StreamingAnomaly}
+      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      val rows = Tables.events(s, d)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .select(col("event_id"), col("user_id"), col("tsu"))
+        .withColumn("dt", round6((col("tsu") - lag(col("tsu"), 1).over(wo))
+          .cast(DoubleType) / lit(3600000000.0)))
+        .withColumn("decay", round6(exp(lit(-HawkesBeta) * col("dt"))))
+        .select(col("event_id"), col("user_id"), col("tsu"), col("decay"))
+        .as[HawkesSample].collect().toSeq
+      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_hawkes", None)(
+          ds => StreamingAnomaly.hawkes(ds).toDF())
         .select(col("event_id"), round4(col("excitation")).as("excitation"),
           round4(lit(HawkesMu) + lit(HawkesAlpha) * col("excitation")).as("intensity"))
         .orderBy("event_id")
@@ -811,6 +870,66 @@ object TsFeatureQueries {
     }
   )
 
+  /** ts_bursts' oracle, shared VERBATIM with streaming_bursts (the
+    * streaming_kalman shared-body rule).
+    */
+  private lazy val BurstsOracleSql: String = {
+    val g = dlit(BurstGamma)
+    s"""WITH RECURSIVE base AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    CAST(count(*) AS DOUBLE) AS c
+       |  FROM events GROUP BY 1, 2),
+       |rt AS (
+       |  SELECT event_type, ${round4Sql(CleanFunctions.exactMeanSql("c"))} AS r0
+       |  FROM base GROUP BY event_type),
+       |p0 AS (
+       |  SELECT b.event_type, b.day, b.c, rt.r0,
+       |    ${round4Sql(s"${dlit(BurstS)} * rt.r0")} AS r1
+       |  FROM base b JOIN rt USING (event_type)),
+       |prep AS (
+       |  SELECT event_type, day,
+       |    ${round6Sql("r0 - c * ln(r0)")} AS e0,
+       |    ${round6Sql("r1 - c * ln(r1)")} AS e1,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM p0),
+       |v AS (
+       |  SELECT event_type, day, rn, e0 AS c0, $g + e1 AS c1
+       |  FROM prep WHERE rn = 1
+       |  UNION ALL
+       |  SELECT p.event_type, p.day, p.rn,
+       |    least(v.c0, v.c1) + p.e0,
+       |    least(v.c0 + $g, v.c1) + p.e1
+       |  FROM v JOIN prep p ON p.event_type = v.event_type AND p.rn = v.rn + 1)
+       |SELECT event_type, day, ${round4Sql("c0")} AS cost_base,
+       |  ${round4Sql("c1")} AS cost_burst,
+       |  CASE WHEN c1 < c0 THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS in_burst
+       |FROM v ORDER BY event_type, day""".stripMargin
+  }
+
+  /** ts_hawkes_intensity's oracle, shared VERBATIM with streaming_hawkes
+    * (the streaming_kalman shared-body rule).
+    */
+  private lazy val HawkesOracleSql: String = {
+    val dt = round6Sql("(tsu - lag(tsu) OVER w) / 3600000000.0")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+       |p AS (
+       |  SELECT event_id, user_id, tsu,
+       |    ${round6Sql(s"exp(${dlit(-HawkesBeta)} * $dt)")} AS decay,
+       |    row_number() OVER w AS rn
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+       |v AS (
+       |  SELECT event_id, user_id, rn, CAST(0.0 AS DOUBLE) AS a
+       |  FROM p WHERE rn = 1
+       |  UNION ALL
+       |  SELECT p.event_id, p.user_id, p.rn, p.decay * (v.a + 1.0)
+       |  FROM v JOIN p ON p.user_id = v.user_id AND p.rn = v.rn + 1)
+       |SELECT event_id, ${round4Sql("a")} AS excitation,
+       |  ${round4Sql(s"${dlit(HawkesMu)} + ${dlit(HawkesAlpha)} * a")} AS intensity
+       |FROM v ORDER BY event_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "ts_stability_lumpiness" ->
@@ -948,39 +1067,10 @@ object TsFeatureQueries {
          |  ${round4Sql("1.0 / nullif(hill, 0.0)")} AS alpha
          |FROM g ORDER BY user_id""".stripMargin,
 
-    "ts_bursts" -> {
-      val g = dlit(BurstGamma)
-      s"""WITH RECURSIVE base AS (
-         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-         |    CAST(count(*) AS DOUBLE) AS c
-         |  FROM events GROUP BY 1, 2),
-         |rt AS (
-         |  SELECT event_type, ${round4Sql(CleanFunctions.exactMeanSql("c"))} AS r0
-         |  FROM base GROUP BY event_type),
-         |p0 AS (
-         |  SELECT b.event_type, b.day, b.c, rt.r0,
-         |    ${round4Sql(s"${dlit(BurstS)} * rt.r0")} AS r1
-         |  FROM base b JOIN rt USING (event_type)),
-         |prep AS (
-         |  SELECT event_type, day,
-         |    ${round6Sql("r0 - c * ln(r0)")} AS e0,
-         |    ${round6Sql("r1 - c * ln(r1)")} AS e1,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
-         |  FROM p0),
-         |v AS (
-         |  SELECT event_type, day, rn, e0 AS c0, $g + e1 AS c1
-         |  FROM prep WHERE rn = 1
-         |  UNION ALL
-         |  SELECT p.event_type, p.day, p.rn,
-         |    least(v.c0, v.c1) + p.e0,
-         |    least(v.c0 + $g, v.c1) + p.e1
-         |  FROM v JOIN prep p ON p.event_type = v.event_type AND p.rn = v.rn + 1)
-         |SELECT event_type, day, ${round4Sql("c0")} AS cost_base,
-         |  ${round4Sql("c1")} AS cost_burst,
-         |  CASE WHEN c1 < c0 THEN CAST(1 AS BIGINT)
-         |       ELSE CAST(0 AS BIGINT) END AS in_burst
-         |FROM v ORDER BY event_type, day""".stripMargin
-    },
+    "ts_bursts" -> BurstsOracleSql,
+
+    // The streaming burst fold replays the identical recursion.
+    "streaming_bursts" -> BurstsOracleSql,
 
     "ts_pava_trend" ->
       s"""WITH idx AS (
@@ -1142,25 +1232,10 @@ object TsFeatureQueries {
          |FROM v ORDER BY event_id""".stripMargin
     },
 
-    "ts_hawkes_intensity" -> {
-      val dt = round6Sql("(tsu - lag(tsu) OVER w) / 3600000000.0")
-      s"""WITH RECURSIVE e AS (
-         |  SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
-         |p AS (
-         |  SELECT event_id, user_id, tsu,
-         |    ${round6Sql(s"exp(${dlit(-HawkesBeta)} * $dt)")} AS decay,
-         |    row_number() OVER w AS rn
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-         |v AS (
-         |  SELECT event_id, user_id, rn, CAST(0.0 AS DOUBLE) AS a
-         |  FROM p WHERE rn = 1
-         |  UNION ALL
-         |  SELECT p.event_id, p.user_id, p.rn, p.decay * (v.a + 1.0)
-         |  FROM v JOIN p ON p.user_id = v.user_id AND p.rn = v.rn + 1)
-         |SELECT event_id, ${round4Sql("a")} AS excitation,
-         |  ${round4Sql(s"${dlit(HawkesMu)} + ${dlit(HawkesAlpha)} * a")} AS intensity
-         |FROM v ORDER BY event_id""".stripMargin
-    },
+    "ts_hawkes_intensity" -> HawkesOracleSql,
+
+    // The streaming excitation fold replays the identical recursion.
+    "streaming_hawkes" -> HawkesOracleSql,
 
     "ts_hjorth" -> {
       def pvar(q: String, s1: String, n: String) =

@@ -89,6 +89,40 @@ case class CrostonState(z: Double, p: Double, prevB: Long, n: Long)
   */
 case class CrostonOut(user_id: Long, n_demands: Long, z: Double, p: Double)
 
+/** One daily-grid sample entering the streaming Kleinberg burst fold:
+  * the two pre-quantized Poisson emission costs (computed at ingest by
+  * the same round6 expressions as the batch prep — the streaming
+  * holt_winters daily-grid precedent). Options mirror the batch fold's
+  * null passthrough rows.
+  */
+case class BurstSample(event_type: String, day: Long,
+                       e0: Option[Double], e1: Option[Double])
+
+/** Per-row burst-automaton output: the two Viterbi path costs and the
+  * burst flag (c1 < c0), nulls passed through like the batch fold.
+  */
+case class BurstEvent(event_type: String, day: Long, c0: Option[Double],
+                      c1: Option[Double], in_burst: Option[Long])
+
+/** Burst fold state: the two path costs — TWO doubles per key. */
+case class BurstState(c0: Double, c1: Double)
+
+/** One event entering the streaming Hawkes excitation fold: the
+  * pre-quantized inter-event decay e^(−β·Δt) rides on the row (computed
+  * at ingest; None on a series' first arrival, where lag has no prior).
+  */
+case class HawkesSample(event_id: Long, user_id: Long, tsu: Long,
+                        decay: Option[Double])
+
+/** Per-row Hawkes output: the exponentially-decayed prior-event count
+  * as seen at this arrival (the entry derives λ = μ + α·A like the
+  * batch twin).
+  */
+case class HawkesEvent(event_id: Long, user_id: Long, excitation: Double)
+
+/** Hawkes fold state: ONE double per key (the decayed count). */
+case class HawkesState(a: Double)
+
 /** One routed ANN query probe entering the streaming vector search: the
   * query embedding + its L2 norm (computed once at ingest by the same
   * codegen expression as the static index build) and ONE probe cell
@@ -706,6 +740,113 @@ object StreamingAnomaly {
             }
           }
           state.update(HwState(l, b, season.toSeq, cnt))
+          out.iterator
+      }
+  }
+
+  /** Streaming MULTIPLICATIVE Holt-Winters — the streaming twin of
+    * `TimeSeriesOps.holtWintersMult` over the same pre-bucketed daily
+    * grid as [[holtWinters]]: seasonals start at 1, level updates on
+    * x/s, seasonal on x/l'. Identical recurrence, init and slot
+    * indexing as the batch fold (each 1−· computed, never pre-folded;
+    * `alpha * (x / s)` with the explicit inner quotient), so a
+    * single-batch replay equals the batch keyed fold bit-for-bit and
+    * shares its recursive-CTE oracle verbatim. O(period) state per key.
+    */
+  def holtWintersMult(days: Dataset[DaySample], period: Int, alpha: Double,
+                      beta: Double, gamma: Double): Dataset[HwEvent] = {
+    import days.sparkSession.implicits._
+    require(period >= 2, s"seasonal period must be >= 2, got $period")
+    val (omA, omB, omG) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    days
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[DaySample], state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(0.0, 0.0, Seq.fill(period)(1.0), 0L))
+          val season = st.season.toArray
+          var l = st.level; var b = st.trend; var cnt = st.cnt
+          val out = it.toIndexedSeq.sortBy(e => e.day).map { e =>
+            cnt += 1
+            val idx = ((cnt - 1) % period).toInt
+            if (cnt == 1L) {
+              l = e.m; b = 0.0
+              HwEvent(e.user_id, e.day, e.m, None, l, b, season(idx))
+            } else {
+              val sI = season(idx)
+              val fitted = (l + b) * sI
+              val lNew = alpha * (e.m / sI) + omA * (l + b)
+              b = beta * (lNew - l) + omB * b
+              l = lNew
+              season(idx) = gamma * (e.m / lNew) + omG * sI
+              HwEvent(e.user_id, e.day, e.m, Some(fitted), l, b, season(idx))
+            }
+          }
+          state.update(HwState(l, b, season.toSeq, cnt))
+          out.iterator
+      }
+  }
+
+  /** Streaming Kleinberg burst automaton — the streaming twin of
+    * `TimeSeriesOps.burstPath` over a pre-bucketed daily grid with the
+    * two Poisson emission costs computed at ingest (the [[holtWinters]]
+    * daily-grid precedent): c0' = min(c0, c1) + e0, c1' = min(c0 + γ,
+    * c1) + e1, burst iff c1 < c0. TWO doubles of state per key;
+    * identical IEEE op order and first-row init (c0 = e0, c1 = γ + e1)
+    * as the batch fold, null emissions passed through WITHOUT advancing
+    * state exactly like the batch scan — a single-batch replay equals
+    * it bit-for-bit and shares its recursive-CTE oracle verbatim.
+    */
+  def burstViterbi(samples: Dataset[BurstSample],
+                   gamma: Double): Dataset[BurstEvent] = {
+    import samples.sparkSession.implicits._
+    require(gamma >= 0, s"gamma=$gamma must be nonnegative")
+    samples
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[BurstSample], state: GroupState[BurstState]) =>
+          var st = state.getOption.orNull
+          val out = it.toIndexedSeq.sortBy(e => e.day).map { e =>
+            (e.e0, e.e1) match {
+              case (Some(e0), Some(e1)) =>
+                st =
+                  if (st == null) BurstState(e0, gamma + e1)
+                  else BurstState(
+                    math.min(st.c0, st.c1) + e0,
+                    math.min(st.c0 + gamma, st.c1) + e1)
+                BurstEvent(e.event_type, e.day, Some(st.c0), Some(st.c1),
+                  Some(if (st.c1 < st.c0) 1L else 0L))
+              case _ =>
+                BurstEvent(e.event_type, e.day, None, None, None)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming Hawkes excitation — the streaming twin of
+    * `TimeSeriesOps.hawkesPath`: A₁ = 0, Aₖ = dₖ·(Aₖ₋₁ + 1) with the
+    * pre-quantized decay dₖ riding on each row (the transcendental
+    * stays OUTSIDE the fold, as in the batch path). ONE double of
+    * state per key; a null decay advances nothing (the batch scan's
+    * first-row/no-Δt rule), in-batch ordering by (tsu, event_id) — a
+    * single-batch replay equals the batch fold bit-for-bit and shares
+    * its recursive-CTE oracle verbatim.
+    */
+  def hawkes(samples: Dataset[HawkesSample]): Dataset[HawkesEvent] = {
+    import samples.sparkSession.implicits._
+    samples
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[HawkesSample], state: GroupState[HawkesState]) =>
+          var st = state.getOption.orNull
+          val out = it.toIndexedSeq.sortBy(e => (e.tsu, e.event_id)).map { e =>
+            if (st == null) st = HawkesState(0.0)
+            else e.decay.foreach(d => st = HawkesState(d * (st.a + 1.0)))
+            HawkesEvent(e.event_id, e.user_id, st.a)
+          }
+          if (st != null) state.update(st)
           out.iterator
       }
   }

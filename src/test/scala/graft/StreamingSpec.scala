@@ -842,7 +842,10 @@ class StreamingSpec extends AnyFunSuite {
         "ts_hysteresis" -> "streaming_hysteresis",
         "events_sprt" -> "streaming_sprt",
         "ts_page_hinkley" -> "streaming_page_hinkley",
-        "ann_ivf_topk" -> "streaming_ann_topk")) {
+        "ann_ivf_topk" -> "streaming_ann_topk",
+        "ts_bursts" -> "streaming_bursts",
+        "ts_hawkes_intensity" -> "streaming_hawkes",
+        "ts_holt_winters_mult" -> "streaming_holt_winters_mult")) {
       val b = SparkEntry.queries(batchName)(spark, SparkTestSession.sfDir)
         .collect().map(_.toString).sorted
       val st = SparkEntry.queries(streamName)(spark, SparkTestSession.sfDir)
@@ -850,6 +853,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(b.nonEmpty && b.sameElements(st),
         s"$streamName diverges from $batchName")
     }
+  }
+
+  test("streaming_ann_topk replay batch is fenced: bounded by the id cap, no-op at test scale") {
+    import org.apache.spark.sql.functions.col
+    val cap = graft.queries.SimilarityQueries.AnnStreamQueryIdCap
+    // The fence admits at most cap/50 + 1 queries however large the
+    // corpus grows — the harness batch can never be corpus-proportional.
+    assert(cap / 50 + 1 <= 2001, s"fence admits ${cap / 50 + 1} queries")
+    val e = graft.sources.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val capped = q.filter(col("vec_id") < cap)
+    // No-op at committed sfs: the capped batch IS the oracle's batch,
+    // so the shared ann_ivf_topk oracle hashes are unchanged.
+    assert(capped.count() == q.count() && q.count() > 0)
   }
 
   test("different series keys never share state") {
