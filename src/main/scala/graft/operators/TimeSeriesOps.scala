@@ -1275,4 +1275,46 @@ object TimeSeriesOps {
         }
       }, schema)
   }
+
+  /** Banded DTW distance (Sakoe-Chiba band) between two 1-D series:
+    * D(i,j) = |a_i − b_j| + min(D(i−1,j), D(i,j−1), D(i−1,j−1)) over
+    * cells with |i − j| ≤ band, D(1,1) = |a₁ − b₁|. The DP accumulates
+    * plain IEEE adds and order-independent 3-way mins along anti-
+    * diagonals, so a recursive-CTE replay that schedules the same
+    * wavefront computes bit-identical doubles (the burstPath/holtPath
+    * exactness argument in 2-D). O(n·band) time, two O(min(n,m))
+    * diagonal rows of memory. Returns NaN when the (n,m) corner is
+    * band-unreachable — callers widen the band to ≥ |n − m|.
+    */
+  def dtwBanded(a: Array[Double], b: Array[Double], band: Int): Double = {
+    require(band >= 0, s"band=$band must be nonnegative")
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return Double.NaN
+    val inf = Double.PositiveInfinity
+    // prev = diag anti-k-1, cur = diag anti-k, indexed by i (1-based).
+    var prev = Array.fill(n + 2)(inf)
+    var cur = Array.fill(n + 2)(inf)
+    for (k <- 2 to n + m) {
+      val next = Array.fill(n + 2)(inf)
+      val iLo = math.max(1, k - m); val iHi = math.min(n, k - 1)
+      var i = iLo
+      while (i <= iHi) {
+        val j = k - i
+        if (math.abs(i - j) <= band) {
+          val c = math.abs(a(i - 1) - b(j - 1))
+          next(i) =
+            if (i == 1 && j == 1) c
+            else {
+              // cur holds diag k-1: (i-1, j) and (i, j-1); prev holds
+              // diag k-2: (i-1, j-1).
+              val p = math.min(math.min(cur(i - 1), cur(i)), prev(i - 1))
+              if (p == inf) inf else c + p
+            }
+        }
+        i += 1
+      }
+      prev = cur; cur = next
+    }
+    if (cur(n) == inf) Double.NaN else cur(n)
+  }
 }

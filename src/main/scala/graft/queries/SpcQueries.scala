@@ -24,6 +24,12 @@ object SpcQueries {
 
   private val Ord = Seq("ts", "event_id")
 
+  /** Sakoe-Chiba band half-width (days) for ts_dtw_profile — widened
+    * per user to |n − m| when a short series needs it (both engines
+    * apply the same rule, so the cell set is identical).
+    */
+  private val DtwBand = 7
+
   /** Cumulative inverse-CDF thresholds of Poisson(1) for k = 0..3
     * (replication count truncated at 4). Computed ONCE here with pinned
     * left-to-right addition and baked as identical literals into both
@@ -292,6 +298,52 @@ object SpcQueries {
           round6(min(when(col("rkd") === 1, col("mp")))).as("discord_dist"),
           min(when(col("rkm") === 1, col("i"))).cast(LongType).as("motif_idx"),
           round6(min(when(col("rkm") === 1, col("mp")))).as("motif_dist"))
+        .orderBy("user_id")
+    },
+
+    // Banded DTW divergence from the fleet reference (Sakoe-Chiba band,
+    // Berndt & Clifford 1994): each user's daily-mean series vs the
+    // GLOBAL daily-mean series under time warping — "whose weekly shape
+    // diverges most from the fleet even allowing a few days of phase
+    // shift", the alignment-tolerant sibling of the pointwise z/PSI
+    // drift detectors (a user running the fleet's exact shape 2 days
+    // late scores ~0 here and huge on any lockstep metric). Costs are
+    // |a_i − b_j| on round4 daily means; the DP is plain adds +
+    // order-independent 3-way mins, so the DuckDB twin replays the
+    // identical wavefront via an anti-diagonal recursive CTE (cell
+    // (i,j) materializes at iteration i+j with its three predecessors
+    // carried as the previous two diagonals) — exact parity. Band =
+    // max(7, |n−m|) so the corner is always reachable. Scale: daily
+    // series length is bounded by the time span (the ts_pava_trend
+    // contract), per-key DP is O(span·band), the global reference is
+    // an O(span) model-sized readout (the calibration-row rule), and
+    // the only shuffles are the two grouped means + one keyed group.
+    "ts_dtw_profile" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("day", expr("tsu DIV 86400000000"))
+      val daily = e.groupBy("user_id", "day")
+        .agg(CleanFunctions.round4(CleanFunctions.exactMean(col("value"))).as("m"))
+      val wu = Window.partitionBy("user_id").orderBy("day")
+      val a = daily.withColumn("i", row_number().over(wu))
+      val ref = e.groupBy("day")
+        .agg(CleanFunctions.round4(CleanFunctions.exactMean(col("value"))).as("w"))
+        .orderBy("day").collect().map(_.getDouble(1))
+      val bb = s.sparkContext.broadcast(ref)
+      a.select(col("user_id"), col("i"), col("m"))
+        .as[(Long, Int, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val av = it.toArray.sortBy(_._2).map(_._3)
+          val b = bb.value
+          val band = math.max(DtwBand, math.abs(av.length - b.length))
+          (uid, av.length.toLong,
+            graft.operators.TimeSeriesOps.dtwBanded(av, b, band))
+        }
+        .toDF("user_id", "n_days", "dtw_raw")
+        .select(col("user_id"), col("n_days"),
+          CleanFunctions.round4(col("dtw_raw")).as("dtw"))
         .orderBy("user_id")
     },
 
@@ -655,6 +707,53 @@ object SpcQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Anti-diagonal DTW wavefront: dp's working set is diag k (fresh=1)
+    // + diag k-1 (fresh=0, re-emitted once); a diag-(k+1) cell takes
+    // min over its (i−1,j)/(i,j−1) contributions from the fresh rows
+    // and (i−1,j−1) from the copies — single recursive reference, the
+    // same cells in the same order as TimeSeriesOps.dtwBanded.
+    "ts_dtw_profile" -> {
+      val mean4 = CleanFunctions.round4Sql(CleanFunctions.exactMeanSql("value"))
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value
+         |  FROM events WHERE value IS NOT NULL),
+         |ad AS (SELECT user_id, day, $mean4 AS m FROM e GROUP BY 1, 2),
+         |a AS (SELECT user_id, day, m,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS i FROM ad),
+         |bd AS (SELECT day, $mean4 AS w FROM e GROUP BY 1),
+         |b AS (SELECT day, w, row_number() OVER (ORDER BY day) AS j FROM bd),
+         |dims AS (SELECT user_id, max(i) AS n FROM a GROUP BY 1),
+         |mm AS (SELECT max(j) AS mj FROM b),
+         |bands AS (SELECT user_id,
+         |  greatest($DtwBand, abs(n - (SELECT mj FROM mm))) AS band FROM dims),
+         |cost AS (
+         |  SELECT a.user_id, a.i, b.j, abs(a.m - b.w) AS c
+         |  FROM a JOIN bands USING (user_id) JOIN b
+         |    ON abs(a.i - b.j) <= bands.band),
+         |dp AS (
+         |  SELECT user_id, i, j, c AS d, 1 AS fresh FROM cost
+         |  WHERE i = 1 AND j = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.i2, s.j2,
+         |    CASE WHEN s.typ = 'n' THEN cst.c + s.md ELSE s.md END AS d,
+         |    CASE WHEN s.typ = 'n' THEN 1 ELSE 0 END AS fresh
+         |  FROM (
+         |    SELECT w.user_id, w.i + o.di AS i2, w.j + o.dj AS j2, o.typ,
+         |      min(w.d) AS md
+         |    FROM dp w, (VALUES (1, 0, 'n', 1), (0, 1, 'n', 1),
+         |      (1, 1, 'n', 0), (0, 0, 'c', 1)) o(di, dj, typ, fr)
+         |    WHERE w.fresh = o.fr
+         |    GROUP BY 1, 2, 3, 4) s
+         |  LEFT JOIN cost cst
+         |    ON cst.user_id = s.user_id AND cst.i = s.i2 AND cst.j = s.j2
+         |  WHERE (s.typ = 'c') OR cst.c IS NOT NULL)
+         |SELECT d1.user_id, dims.n AS n_days,
+         |  ${CleanFunctions.round4Sql("d1.d")} AS dtw
+         |FROM dp d1 JOIN dims USING (user_id) CROSS JOIN mm
+         |WHERE d1.fresh = 1 AND d1.i = dims.n AND d1.j = mm.mj
+         |ORDER BY user_id""".stripMargin
+    },
+
     "events_p_chart" ->
       s"""WITH daily AS (
          |  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day,

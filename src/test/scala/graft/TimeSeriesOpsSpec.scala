@@ -276,6 +276,34 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got.toSeq == want, s"got ${got.toSeq}")
   }
 
+  test("dtwBanded: identity is 0, hand-checked grid, shift-tolerance, band reachability") {
+    // Identical series: every diagonal cell costs 0.
+    assert(TS.dtwBanded(Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0), 1) == 0.0)
+    // Hand-checked 4x5 banded grid (matches the DuckDB CTE prototype).
+    assert(TS.dtwBanded(Array(1.0, 2.0, 3.0, 2.0),
+      Array(1.5, 2.5, 2.0, 1.0, 0.5), 2) == 4.0)
+    assert(TS.dtwBanded(Array(5.0, 1.0, 1.0),
+      Array(1.5, 2.5, 2.0, 1.0, 0.5), 2) == 6.5)
+    // Warping absorbs a pure 1-step phase shift almost entirely,
+    // where the lockstep L1 distance stays large.
+    val a = Array.tabulate(20)(i => math.sin(i / 3.0))
+    val b = Array.tabulate(20)(i => math.sin((i - 1) / 3.0))
+    val lockstep = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    assert(TS.dtwBanded(a, b, 3) < 0.5 * lockstep)
+    // Corner unreachable when the band is narrower than |n - m|.
+    assert(TS.dtwBanded(Array(1.0), Array(1.0, 1.0, 1.0, 1.0), 1).isNaN)
+    // ...and reachable again once widened to |n - m|.
+    assert(TS.dtwBanded(Array(1.0), Array(1.0, 1.0, 1.0, 1.0), 3) == 0.0)
+  }
+
+  test("ts_dtw_profile: one row per user, nonnegative, zero for a fleet-shaped user") {
+    val out = SparkEntry.queries("ts_dtw_profile")(
+      SparkTestSession.spark, SparkTestSession.sfDir)
+    val users = ev.select("user_id").distinct().count()
+    assert(out.count() == users)
+    assert(out.filter(col("dtw") < 0 || col("dtw").isNull).count() == 0)
+  }
+
   test("hysteresis is partition-count invariant") {
     val base = ev.select(col("event_id"), col("user_id"), col("value"))
     def run(p: Int) = TS.hysteresis(base, Seq("user_id"), Seq("event_id"), "value",
