@@ -39,8 +39,9 @@ object TextQueries {
 
   /** Naive-Bayes classifier geometry: hashed-unigram feature buckets
     * (small enough that add-one smoothing stays meaningful on the test
-    * corpus; production would use 2^18+) — shared literal in both
-    * engines.
+    * corpus; production sizes [[nbSourceConfusion]]'s `buckets` knob to
+    * 2^18+) — this pinned default is the shared literal in both
+    * engines, so the driver entry and its oracle can never disagree.
     */
   private val NbBuckets = 256L
 
