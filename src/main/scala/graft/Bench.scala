@@ -20,6 +20,58 @@ object Bench {
     * SPARK_GRAFT_BENCH_SELFSHARD=0 (and partial runs / explicit shard
     * runs never self-shard).
     */
+  /** Parses the `"queries":{…}` object out of a single bench detail
+    * line. Anchored to the object's CLOSING brace (values are plain
+    * numbers, so the first '}' after the opener closes it) — the old
+    * scan-to-end-of-string parse was silently coupled to field order
+    * and would merge any future numeric field placed after "queries"
+    * as a phantom query entry (r14 ADVICE).
+    */
+  private[graft] def parseQueriesObject(txt: String): Seq[(String, Double)] = {
+    val anchor = "\"queries\":{"
+    val at = txt.indexOf(anchor)
+    require(at >= 0, "detail line has no \"queries\" object")
+    val start = at + anchor.length
+    val end = txt.indexOf('}', start)
+    require(end >= 0, "unterminated \"queries\" object")
+    val qRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+    qRe.findAllMatchIn(txt.substring(start, end))
+      .map(m => (m.group(1), m.group(2).toDouble)).toSeq
+  }
+
+  /** Runs `launch(i)` for shards 0 until n; a nonzero exit is retried
+    * ONCE in a fresh attempt (a shard JVM can die to a transient OOM /
+    * sandbox hiccup — one bad cohort must not discard seven good ones
+    * into the one-JVM fallback, the exact artifact class self-sharding
+    * retired). Returns the ids that needed a retry; throws only when a
+    * shard fails twice. Injectable for a no-JVM orchestrator test.
+    */
+  private[graft] def eachShardWithRetry(n: Int, launch: Int => Int): Seq[Int] = {
+    val retried = scala.collection.mutable.ArrayBuffer.empty[Int]
+    (0 until n).foreach { i =>
+      if (launch(i) != 0) {
+        retried += i
+        val rc2 = launch(i)
+        require(rc2 == 0, s"bench shard $i failed twice (rc=$rc2)")
+      }
+    }
+    retried.toSeq
+  }
+
+  /** Outlier re-vote selection (r14 verdict item 1): entries whose
+    * merged median is >2x their value in the PRIOR committed artifact
+    * (and above an absolute floor — a 0.1s->0.25s jiggle is not worth a
+    * JVM) get one extra fresh-JVM run, and the better median wins.
+    * Pure function so the policy is unit-testable.
+    */
+  private[graft] def revoteCandidates(merged: collection.Map[String, Double],
+                                      prior: collection.Map[String, Double],
+                                      cap: Int = 60): Seq[String] =
+    merged.toSeq
+      .filter { case (k, v) =>
+        v > 0.5 && prior.get(k).exists(p => p > 0 && v > 2.0 * p) }
+      .sortBy(-_._2).take(cap).map(_._1).sorted
+
   private def selfShard(nShards: Int): Unit = {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
@@ -29,64 +81,111 @@ object Bench {
     // SparkSession outside spark-submit.
     val jvmOpts = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments
-    val shardFiles = (0 until nShards).map { i =>
-      val out = java.nio.file.Files.createTempFile(s"bench_shard_${i}_", ".json")
-      val log = java.nio.file.Files.createTempFile(s"bench_shard_${i}_", ".log")
+    // Prior committed artifact, read BEFORE this run overwrites it —
+    // the re-vote baseline. Absent/unparseable => no re-vote this run.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(
+            sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", detailPath))), "UTF-8")
+        parseQueriesObject(txt).toMap
+      } catch { case _: Throwable => Map.empty }
+    val tmpFiles = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def runChild(env: Map[String, String], args: Seq[String],
+                 tag: String): (Int, java.nio.file.Path, java.nio.file.Path) = {
+      val out = java.nio.file.Files.createTempFile(s"bench_${tag}_", ".json")
+      val log = java.nio.file.Files.createTempFile(s"bench_${tag}_", ".log")
+      tmpFiles += out; tmpFiles += log
       val cmd = new java.util.ArrayList[String]()
       cmd.add(javaBin)
       jvmOpts.forEach(o => cmd.add(o))
       cmd.add("-cp"); cmd.add(cp); cmd.add("graft.Bench")
+      args.foreach(cmd.add)
       val pb = new ProcessBuilder(cmd)
-      pb.environment().put("SPARK_GRAFT_BENCH_SHARD", s"$i/$nShards")
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
       pb.redirectOutput(log.toFile)
       pb.redirectErrorStream(true)
-      val rc = pb.start().waitFor()
-      require(rc == 0, s"bench shard $i/$nShards exited $rc (log: $log)")
-      out
+      (pb.start().waitFor(), out, log)
     }
+    val shardOut = new Array[java.nio.file.Path](nShards)
+    val retried = eachShardWithRetry(nShards, { i =>
+      val (rc, out, log) = runChild(
+        Map("SPARK_GRAFT_BENCH_SHARD" -> s"$i/$nShards"), Nil, s"shard_$i")
+      if (rc == 0) shardOut(i) = out
+      else System.err.println(
+        s"[bench] shard $i/$nShards exited $rc (log: $log) — retrying once")
+      rc
+    })
     // Merge (the tools/merge_bench.py shape): per-query medians union,
-    // total = sum of successful medians, failed = union. Our own detail
-    // format, so a targeted regex parse is exact.
-    val qRe = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+    // total = sum of successful medians, failed = union.
     val fRe = """"failed":\[([^\]]*)\]""".r
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     var reps = "3"; var sf = ""
-    shardFiles.foreach { f =>
+    shardOut.foreach { f =>
       val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-      val qPart = txt.substring(txt.indexOf("\"queries\":{"))
-      qRe.findAllMatchIn(qPart).foreach { m =>
-        require(!merged.contains(m.group(1)),
-          s"duplicate entry across shards: ${m.group(1)}")
-        merged(m.group(1)) = m.group(2).toDouble
+      parseQueriesObject(txt).foreach { case (k, v) =>
+        require(!merged.contains(k), s"duplicate entry across shards: $k")
+        merged(k) = v
       }
       fRe.findFirstMatchIn(txt).foreach { m =>
         m.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).foreach(failed += _)
       }
-      val rM = """"reps":(\d+)""".r.findFirstMatchIn(txt)
-      rM.foreach(m => reps = m.group(1))
-      val sM = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
-      sM.foreach(m => sf = m.group(1))
+      """"reps":(\d+)""".r.findFirstMatchIn(txt).foreach(m => reps = m.group(1))
+      """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).foreach(m => sf = m.group(1))
+    }
+    // Outlier re-vote: per-entry sandbox noise survives sharding (r14's
+    // driver run printed 16 phantom >=2x upticks, all of which an
+    // isolated re-bench then cleared). Any entry >2x its prior-artifact
+    // value gets ONE extra fresh JVM (all flagged entries batched into
+    // a single partial run), and the better median is kept — a real
+    // regression stays slow in the clean JVM; noise vanishes.
+    val flagged = revoteCandidates(merged, prior)
+    val revoted = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (flagged.nonEmpty) {
+      System.err.println(s"[bench] re-voting ${flagged.size} >2x-vs-prior " +
+        s"entries in one fresh JVM: ${flagged.mkString(", ")}")
+      val (rc, out, log) = runChild(Map.empty, flagged, "revote")
+      if (rc == 0) {
+        val txt = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+        parseQueriesObject(txt).foreach { case (k, v) =>
+          if (v >= 0 && merged.get(k).exists(v < _)) {
+            merged(k) = v; revoted += k
+          }
+        }
+      } else System.err.println(
+        s"[bench] re-vote JVM exited $rc (log: $log); keeping merged medians")
     }
     val total = merged.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retriedJson = retried.mkString("[", ",", "]")
+    val revotedJson = revoted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = merged.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sharded":$nShards,"failed":$failedJson,"queries":$full,"sf":"$sf"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sharded":$nShards,"retried":$retriedJson,"revoted":$revotedJson,"failed":$failedJson,"queries":$full,"sf":"$sf"}"""
+    // Best-effort write: an unwritable artifact path must NOT bounce a
+    // completed sharded run into the one-JVM fallback — the stdout line
+    // below still carries the merged result either way.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (fullLine + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // Successful merge: drop the shard/revote temp files (they leak 16+
+    // per run otherwise — r14 ADVICE). Failures above threw before this
+    // point, leaving the logs in place for diagnosis.
+    tmpFiles.foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                          catch { case _: Throwable => () })
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val ok = merged.toSeq.filter(_._2 >= 0)
     val top = ok.sortBy(-_._2).take(40)
     val qs = top.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val othersSec = ok.sortBy(-_._2).drop(40).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sharded":$nShards,"failed":$failedJson,"n_queries":${merged.size},"others_sec":${fmt(othersSec)},"detail":"$detailPath","queries":$qs,"sf":"$sf"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sharded":$nShards,"retried":$retriedJson,"revoted":$revotedJson,"failed":$failedJson,"n_queries":${merged.size},"others_sec":${fmt(othersSec)},"detail":"$detailPath","queries":$qs,"sf":"$sf"}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,14 +193,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Full-suite bare runs self-shard across fresh JVMs (doc above);
     // partial runs and shard workers take the classic in-process path.
+    // Set when the self-shard orchestrator dies even after per-shard
+    // retries: the one-JVM fallback artifact is then explicitly marked
+    // "fallback":true so it can never masquerade as a sharded run
+    // (r14 ADVICE — the old fallback was distinguishable only by the
+    // ABSENT "sharded" key).
+    var fellBack = false
     if (args.isEmpty && sys.env.get("SPARK_GRAFT_BENCH_SHARD").isEmpty &&
         sys.env.getOrElse("SPARK_GRAFT_BENCH_SELFSHARD", "1") != "0") {
       val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARDS", "8").toInt
       require(n >= 1, s"SPARK_GRAFT_BENCH_SHARDS=$n must be >= 1")
       try { selfShard(n); return }
       catch { case e: Throwable =>
+        fellBack = true
         System.err.println(s"[bench] self-shard failed (${e.getMessage}); " +
-          "falling back to the one-JVM run")
+          "falling back to the one-JVM run (artifact marked fallback:true)")
       }
     }
     // Median-of-N per query: single-run times vary +-20% locally (GC,
@@ -224,8 +330,9 @@ object Bench {
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val full = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fbMark = if (fellBack) "\"fallback\":true," else ""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":$failedNames,"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,$fbMark"failed":$failedNames,"queries":$full,"sf":"$sfDir"}"""
     // Partial runs (name args given) must not clobber the committed
     // full-suite artifact — they default to BENCH_PARTIAL.json instead.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -243,7 +350,7 @@ object Bench {
     val qs = top.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val othersSec = ok.sortBy(-_._2).drop(40).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"failed":$failedNames,"n_queries":${results.size},"others_sec":${fmt(othersSec)},"detail":"$detailPath","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,$fbMark"failed":$failedNames,"n_queries":${results.size},"others_sec":${fmt(othersSec)},"detail":"$detailPath","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

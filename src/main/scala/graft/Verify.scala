@@ -27,11 +27,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var dumped = 0
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        // Row count from the WRITTEN parquet (footer metadata — no
+        // re-execution): the per-entry evidence for the second capture
+        // channel below.
+        rowCounts(name) = spark.read.parquet(s"$outDir/$name").count()
         dumped += 1
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -66,6 +71,18 @@ object Verify {
     val status = s"""{"dumped":$dumped,"oracles":${SparkEntry.oracleSql.size},""" +
       s""""failed":${failed.map(q).mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(s"$outDir/verify_status.json"), status)
+    // Second capture channel (r14 verdict item 5 — the driver's own
+    // correctness artifact has come back empty five rounds running even
+    // though this dump completes): the full per-entry row record goes to
+    // a file, and ONE compact machine-readable line goes to stdout (the
+    // Bench {"metric"} precedent; kept far under the ~2000-char capture
+    // window — a 471-entry map would truncate mid-JSON and parse as
+    // nothing).
+    val rowsJson = rowCounts.map { case (k, v) => s"${q(k)}:$v" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_rows.json"),
+      s"""{"correctness":{"dumped":$dumped,"failed":${failed.map(q).mkString("[", ",", "]")},"oracles":${SparkEntry.oracleSql.size},"rows":$rowsJson}}""")
+    println(s"""{"correctness":{"dumped":$dumped,"n_failed":${failed.size},"failed":${failed.map(q).mkString("[", ",", "]")},"oracles":${SparkEntry.oracleSql.size},"rows_total":${rowCounts.values.sum},"rows_detail":"$outDir/verify_rows.json"}}""")
     println(s"[verify] DONE: $dumped dumped, ${failed.size} failed, " +
       s"${SparkEntry.oracleSql.size} oracles -> $outDir")
     spark.stop()

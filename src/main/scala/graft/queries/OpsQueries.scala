@@ -34,8 +34,9 @@ object OpsQueries {
     * DECIMAL(18,6) term sums are exact and both engines share the same
     * literal via dlitSql.
     */
-  private val SaxCellSq1 = CleanFunctions.round6Jvm(0.6745 * 0.6745)
-  private val SaxCellSq2 = CleanFunctions.round6Jvm(1.349 * 1.349)
+  private val SaxBp = 0.6745
+  private val SaxCellSq1 = CleanFunctions.round6Jvm(SaxBp * SaxBp)
+  private val SaxCellSq2 = CleanFunctions.round6Jvm((2 * SaxBp) * (2 * SaxBp))
 
   /** Exponential-decay half-life constant: τ = 7 days in µs (the decayed
     * engagement score's time scale), baked as the same double literal in
@@ -319,6 +320,73 @@ object OpsQueries {
        |SELECT user_id, rn AS n_demands, ${round4Sql("z")} AS level,
        |  ${round4Sql("p")} AS demand_interval, ${round4Sql("z / p")} AS forecast
        |FROM c WHERE rn = n ORDER BY user_id""".stripMargin
+  }
+
+  /** SAX MINDIST divergence from the fleet reference (the
+    * `ts_sax_mindist` entry — full rationale on the entry's doc
+    * comment). `bp` is the symmetric breakpoint of the 4-letter
+    * alphabet (±bp and 0 cut the z-line into a/b/c/d; the N(0,1)
+    * equiprobable value is 0.6745) — the constructor-level knob a
+    * deployment retunes for a non-Gaussian fleet; the default stays
+    * the pinned [[SaxBp]] so the driver entry and its DuckDB oracle
+    * share one literal (the nbSourceConfusion precedent). The cell²
+    * table derives from bp ((β₂−β₁)² and (β₃−β₁)² = (2bp)²), so at the
+    * default it is byte-identical to the pinned [[SaxCellSq1]]/
+    * [[SaxCellSq2]] literals the oracle bakes in.
+    */
+  def saxMindist(s: SparkSession, d: String, bp: Double = SaxBp): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.DoubleType
+    require(bp > 0, s"bp=$bp must be positive")
+    val cell1 = CleanFunctions.round6Jvm(bp * bp)
+    val cell2 = CleanFunctions.round6Jvm((2 * bp) * (2 * bp))
+    def symOf(c: Column): Column =
+      when(c.isNull, lit(null).cast("string"))
+        .when(c < -bp, "a").when(c < 0.0, "b")
+        .when(c < bp, "c").otherwise("d")
+    def li(c: Column): Column =
+      when(c === "a", 1).when(c === "b", 2).when(c === "c", 3).otherwise(4)
+    val e = ev(s, d).where(col("value").isNotNull)
+    val stats = e.groupBy("user_id").agg(
+      exactSum(col("value")).as("sx"),
+      exactSum(col("value") * col("value")).as("sxx"),
+      count(col("value")).cast("double").as("n"))
+    val sym = e.join(stats, "user_id")
+      .withColumn("zr", CleanFunctions.round6(
+        (col("value") - col("sx") / col("n")) /
+          nullif(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")), lit(0.0))))
+      .groupBy(col("user_id"), expr(s"tsu div $SixHoursUs").as("frame"))
+      .agg(CleanFunctions.safeDiv(exactSum(col("zr")),
+        count(col("zr")).cast("double")).as("paa_raw"),
+        count(col("zr")).as("n_samples"))
+      .withColumn("sym", symOf(col("paa_raw")))
+    val gstats = e.agg(
+      exactSum(col("value")).as("gsx"),
+      exactSum(col("value") * col("value")).as("gsxx"),
+      count(col("value")).cast("double").as("gn"))
+    val gsym = e.crossJoin(broadcast(gstats))
+      .withColumn("gzr", CleanFunctions.round6(
+        (col("value") - col("gsx") / col("gn")) /
+          nullif(CleanFunctions.momentStd(col("gn"), col("gsx"), col("gsxx")), lit(0.0))))
+      .groupBy(expr(s"tsu div $SixHoursUs").as("frame"))
+      .agg(CleanFunctions.safeDiv(exactSum(col("gzr")),
+        count(col("gzr")).cast("double")).as("gpaa"))
+      .withColumn("gsym", symOf(col("gpaa")))
+      .select("frame", "gsym")
+    val gap = abs(li(col("sym")) - li(col("gsym")))
+    sym.join(broadcast(gsym), "frame")
+      .where(col("sym").isNotNull && col("gsym").isNotNull)
+      .withColumn("cellsq",
+        when(gap <= 1, lit(0.0)).when(gap === 2, lit(cell1))
+          .otherwise(lit(cell2)))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("n_samples")).as("n_obs"),
+        exactSum(col("cellsq")).as("cs"))
+      .select(col("user_id"), col("n_frames"), col("n_obs"),
+        round4(sqrt(col("n_obs").cast(DoubleType)
+          / col("n_frames").cast(DoubleType) * col("cs"))).as("mindist"))
+      .orderBy("user_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1464,57 +1532,7 @@ object OpsQueries {
     // has a null symbol (constant series) drop from both engines alike.
     // Scale: two grouped symbolization passes + one broadcast join on
     // the O(frames) reference — no new shuffle shape.
-    "ts_sax_mindist" -> { (s, d) =>
-      import org.apache.spark.sql.Column
-      import org.apache.spark.sql.types.DoubleType
-      def symOf(c: Column): Column =
-        when(c.isNull, lit(null).cast("string"))
-          .when(c < -0.6745, "a").when(c < 0.0, "b")
-          .when(c < 0.6745, "c").otherwise("d")
-      def li(c: Column): Column =
-        when(c === "a", 1).when(c === "b", 2).when(c === "c", 3).otherwise(4)
-      val e = ev(s, d).where(col("value").isNotNull)
-      val stats = e.groupBy("user_id").agg(
-        exactSum(col("value")).as("sx"),
-        exactSum(col("value") * col("value")).as("sxx"),
-        count(col("value")).cast("double").as("n"))
-      val sym = e.join(stats, "user_id")
-        .withColumn("zr", CleanFunctions.round6(
-          (col("value") - col("sx") / col("n")) /
-            nullif(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")), lit(0.0))))
-        .groupBy(col("user_id"), expr(s"tsu div $SixHoursUs").as("frame"))
-        .agg(CleanFunctions.safeDiv(exactSum(col("zr")),
-          count(col("zr")).cast("double")).as("paa_raw"),
-          count(col("zr")).as("n_samples"))
-        .withColumn("sym", symOf(col("paa_raw")))
-      val gstats = e.agg(
-        exactSum(col("value")).as("gsx"),
-        exactSum(col("value") * col("value")).as("gsxx"),
-        count(col("value")).cast("double").as("gn"))
-      val gsym = e.crossJoin(broadcast(gstats))
-        .withColumn("gzr", CleanFunctions.round6(
-          (col("value") - col("gsx") / col("gn")) /
-            nullif(CleanFunctions.momentStd(col("gn"), col("gsx"), col("gsxx")), lit(0.0))))
-        .groupBy(expr(s"tsu div $SixHoursUs").as("frame"))
-        .agg(CleanFunctions.safeDiv(exactSum(col("gzr")),
-          count(col("gzr")).cast("double")).as("gpaa"))
-        .withColumn("gsym", symOf(col("gpaa")))
-        .select("frame", "gsym")
-      val gap = abs(li(col("sym")) - li(col("gsym")))
-      sym.join(broadcast(gsym), "frame")
-        .where(col("sym").isNotNull && col("gsym").isNotNull)
-        .withColumn("cellsq",
-          when(gap <= 1, lit(0.0)).when(gap === 2, lit(SaxCellSq1))
-            .otherwise(lit(SaxCellSq2)))
-        .groupBy("user_id").agg(
-          count(lit(1)).as("n_frames"),
-          sum(col("n_samples")).as("n_obs"),
-          exactSum(col("cellsq")).as("cs"))
-        .select(col("user_id"), col("n_frames"), col("n_obs"),
-          round4(sqrt(col("n_obs").cast(DoubleType)
-            / col("n_frames").cast(DoubleType) * col("cs"))).as("mindist"))
-        .orderBy("user_id")
-    },
+    "ts_sax_mindist" -> { (s, d) => saxMindist(s, d) },
 
     // SAX discord (Keogh's anomalous-subsequence dual of the motif): the
     // RAREST 4-frame SAX word per series — the shape that recurs least

@@ -111,6 +111,46 @@ object SpcQueries {
   private val SdSql = momentStdSql("CAST(m.n AS DOUBLE)", "m.sx", "m.sxx")
   private val MeanSql = "(m.sx / CAST(m.n AS DOUBLE))"
 
+  /** Banded-DTW divergence from the fleet reference (the `ts_dtw_profile`
+    * entry — full rationale on the entry's doc comment). `band` is the
+    * Sakoe-Chiba half-width in days — the constructor-level knob a
+    * deployment sizes to its tolerable phase shift; the default stays
+    * the pinned [[DtwBand]] so the driver entry and its recursive-CTE
+    * DuckDB oracle share one literal (the nbSourceConfusion precedent).
+    * Per user the band is still widened to |n − m| so the DP corner is
+    * always reachable; the knob changes per-key DP work O(span·band),
+    * never the plan shape.
+    */
+  def dtwProfile(s: SparkSession, d: String, band: Int = DtwBand): DataFrame = {
+    require(band >= 1, s"band=$band must be >= 1")
+    import s.implicits._
+    val e = Tables.events(s, d).where(col("value").isNotNull)
+      .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+      .withColumn("day", expr("tsu DIV 86400000000"))
+    val daily = e.groupBy("user_id", "day")
+      .agg(CleanFunctions.round4(CleanFunctions.exactMean(col("value"))).as("m"))
+    val wu = Window.partitionBy("user_id").orderBy("day")
+    val a = daily.withColumn("i", row_number().over(wu))
+    val ref = e.groupBy("day")
+      .agg(CleanFunctions.round4(CleanFunctions.exactMean(col("value"))).as("w"))
+      .orderBy("day").collect().map(_.getDouble(1))
+    val bb = s.sparkContext.broadcast(ref)
+    a.select(col("user_id"), col("i"), col("m"))
+      .as[(Long, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val av = it.toArray.sortBy(_._2).map(_._3)
+        val b = bb.value
+        val w = math.max(band, math.abs(av.length - b.length))
+        (uid, av.length.toLong,
+          graft.operators.TimeSeriesOps.dtwBanded(av, b, w))
+      }
+      .toDF("user_id", "n_days", "dtw_raw")
+      .select(col("user_id"), col("n_days"),
+        CleanFunctions.round4(col("dtw_raw")).as("dtw"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // p-chart (attribute control chart): daily purchase SHARE against
     // binomial limits p̄ ± 3√(p̄(1−p̄)/n) — the proportions chart that
@@ -318,34 +358,7 @@ object SpcQueries {
     // contract), per-key DP is O(span·band), the global reference is
     // an O(span) model-sized readout (the calibration-row rule), and
     // the only shuffles are the two grouped means + one keyed group.
-    "ts_dtw_profile" -> { (s, d) =>
-      import s.implicits._
-      val e = Tables.events(s, d).where(col("value").isNotNull)
-        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
-        .withColumn("day", expr("tsu DIV 86400000000"))
-      val daily = e.groupBy("user_id", "day")
-        .agg(CleanFunctions.round4(CleanFunctions.exactMean(col("value"))).as("m"))
-      val wu = Window.partitionBy("user_id").orderBy("day")
-      val a = daily.withColumn("i", row_number().over(wu))
-      val ref = e.groupBy("day")
-        .agg(CleanFunctions.round4(CleanFunctions.exactMean(col("value"))).as("w"))
-        .orderBy("day").collect().map(_.getDouble(1))
-      val bb = s.sparkContext.broadcast(ref)
-      a.select(col("user_id"), col("i"), col("m"))
-        .as[(Long, Int, Double)]
-        .groupByKey(_._1)
-        .mapGroups { (uid, it) =>
-          val av = it.toArray.sortBy(_._2).map(_._3)
-          val b = bb.value
-          val band = math.max(DtwBand, math.abs(av.length - b.length))
-          (uid, av.length.toLong,
-            graft.operators.TimeSeriesOps.dtwBanded(av, b, band))
-        }
-        .toDF("user_id", "n_days", "dtw_raw")
-        .select(col("user_id"), col("n_days"),
-          CleanFunctions.round4(col("dtw_raw")).as("dtw"))
-        .orderBy("user_id")
-    },
+    "ts_dtw_profile" -> { (s, d) => dtwProfile(s, d) },
 
     // LOESS smoothing (Cleveland 1979, local linear, row-space span ±5,
     // tricube weights on |i−j|/6): each point's fit is a weighted OLS

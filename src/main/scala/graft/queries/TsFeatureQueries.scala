@@ -68,6 +68,65 @@ object TsFeatureQueries {
     Tables.events(s, d).where(col("value").isNotNull)
       .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
 
+  /** Shared daily grid + round6-quantized Poisson emission costs for
+    * the Kleinberg burst twins: e_k = r_k − c·ln r_k on the per-type
+    * daily counts, with the burst rate r₁ = burstS·r₀.
+    */
+  private def burstEmissions(s: SparkSession, d: String,
+                             burstS: Double): DataFrame = {
+    val daily = Tables.events(s, d)
+      .withColumn("day", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
+      .groupBy("event_type", "day").agg(count(lit(1)).cast(DoubleType).as("c"))
+    val rates = daily.groupBy("event_type")
+      .agg(round4(CleanFunctions.exactMean(col("c"))).as("r0"))
+    daily.join(broadcast(rates), "event_type")
+      .withColumn("r1", round4(lit(burstS) * col("r0")))
+      .withColumn("e0", round6(col("r0") - col("c") * log(col("r0"))))
+      .withColumn("e1", round6(col("r1") - col("c") * log(col("r1"))))
+  }
+
+  /** Kleinberg burst detection (the `ts_bursts` entry — rationale on
+    * the entry's doc comment). `burstS` (burst-rate multiple of the
+    * base rate) and `gamma` (burst-entry cost — higher = more
+    * hysteresis) are the constructor-level knobs a deployment tunes;
+    * the defaults stay the pinned [[BurstS]]/[[BurstGamma]] so the
+    * driver entry and its recursive-CTE DuckDB oracle share one pair
+    * of literals (the nbSourceConfusion precedent). The knobs change
+    * emission literals only — plan shape and state size are untouched.
+    */
+  def burstProfile(s: SparkSession, d: String, burstS: Double = BurstS,
+                   gamma: Double = BurstGamma): DataFrame = {
+    require(burstS > 1.0, s"burstS=$burstS must exceed 1 (burst > base rate)")
+    TimeSeriesOps.burstPath(burstEmissions(s, d, burstS),
+        Seq("event_type"), Seq("day"), "e0", "e1", gamma)
+      .select(col("event_type"), col("day"),
+        round4(col("c0")).as("cost_base"),
+        round4(col("c1")).as("cost_burst"), col("in_burst"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Streaming twin of [[burstProfile]] (the `streaming_bursts` entry)
+    * — same knobs, same pinned defaults, same emission grid; the fold
+    * is `StreamingAnomaly.burstViterbi` replayed over the bounded
+    * harness feed.
+    */
+  def burstProfileStreaming(s: SparkSession, d: String,
+                            burstS: Double = BurstS,
+                            gamma: Double = BurstGamma): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{BurstSample, StreamingAnomaly}
+    require(burstS > 1.0, s"burstS=$burstS must exceed 1 (burst > base rate)")
+    val rows = burstEmissions(s, d, burstS)
+      .select(col("event_type"), col("day"), col("e0"), col("e1"))
+      .as[BurstSample].collect().toSeq
+    StreamingAnomaly.replayToSink(s, rows, "graft_streaming_bursts", None)(
+        ds => StreamingAnomaly.burstViterbi(ds, gamma).toDF())
+      .select(col("event_type"), col("day"),
+        round4(col("c0")).as("cost_base"),
+        round4(col("c1")).as("cost_burst"), col("in_burst"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Stability + lumpiness: variance of the 24-row tile MEANS and of
@@ -210,23 +269,7 @@ object TsFeatureQueries {
     // round6-quantized SQL expressions; the fold is pure adds + exact
     // mins, replayed exactly by a recursive-CTE oracle like the
     // Kalman / Holt-Winters twins.
-    "ts_bursts" -> { (s, d) =>
-      val daily = Tables.events(s, d)
-        .withColumn("day", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
-        .groupBy("event_type", "day").agg(count(lit(1)).cast(DoubleType).as("c"))
-      val rates = daily.groupBy("event_type")
-        .agg(round4(CleanFunctions.exactMean(col("c"))).as("r0"))
-      val prep = daily.join(broadcast(rates), "event_type")
-        .withColumn("r1", round4(lit(BurstS) * col("r0")))
-        .withColumn("e0", round6(col("r0") - col("c") * log(col("r0"))))
-        .withColumn("e1", round6(col("r1") - col("c") * log(col("r1"))))
-      TimeSeriesOps.burstPath(prep, Seq("event_type"), Seq("day"),
-          "e0", "e1", BurstGamma)
-        .select(col("event_type"), col("day"),
-          round4(col("c0")).as("cost_base"),
-          round4(col("c1")).as("cost_burst"), col("in_burst"))
-        .orderBy("event_type", "day")
-    },
+    "ts_bursts" -> { (s, d) => burstProfile(s, d) },
 
     // Streaming Kleinberg burst detection — the streaming twin of
     // ts_bursts over the SAME daily grid with the SAME pre-quantized
@@ -236,27 +279,7 @@ object TsFeatureQueries {
     // identical inputs — the streaming_holt_winters precedent). TWO
     // doubles of state per key; oracle = the batch twin's recursive
     // CTE, verbatim.
-    "streaming_bursts" -> { (s, d) =>
-      import s.implicits._
-      import graft.streaming.{BurstSample, StreamingAnomaly}
-      val daily = Tables.events(s, d)
-        .withColumn("day", expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
-        .groupBy("event_type", "day").agg(count(lit(1)).cast(DoubleType).as("c"))
-      val rates = daily.groupBy("event_type")
-        .agg(round4(CleanFunctions.exactMean(col("c"))).as("r0"))
-      val rows = daily.join(broadcast(rates), "event_type")
-        .withColumn("r1", round4(lit(BurstS) * col("r0")))
-        .select(col("event_type"), col("day"),
-          round6(col("r0") - col("c") * log(col("r0"))).as("e0"),
-          round6(col("r1") - col("c") * log(col("r1"))).as("e1"))
-        .as[BurstSample].collect().toSeq
-      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_bursts", None)(
-          ds => StreamingAnomaly.burstViterbi(ds, BurstGamma).toDF())
-        .select(col("event_type"), col("day"),
-          round4(col("c0")).as("cost_base"),
-          round4(col("c1")).as("cost_burst"), col("in_burst"))
-        .orderBy("event_type", "day")
-    },
+    "streaming_bursts" -> { (s, d) => burstProfileStreaming(s, d) },
 
     // Isotonic (monotone non-decreasing) trend per series on the daily
     // grid, via the same PAVA minimax closed form as the calibration

@@ -269,6 +269,12 @@ case class TopOrder(o_custkey: Long, rk: Long, o_orderkey: Long, price: Double)
   */
 object StreamingAnomaly {
 
+  /** Hard bound on a [[replayToSink]] feed (rows). See the require in
+    * replayToSink for the contract; sized to clear every committed sf
+    * and the sf1eq scaling decade with an order of magnitude to spare.
+    */
+  val ReplayCap: Int = 2000000
+
   /** Epoch microseconds of a Timestamp — the batch operators' epochUs.
     * Sorting on this (NOT getTime, which truncates to milliseconds) keeps
     * sub-millisecond ties ordered exactly like the batch (ts, event_id)
@@ -368,6 +374,18 @@ object StreamingAnomaly {
       queryName: String, punctuation: Option[A])
       (xform: Dataset[A] => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Enforced harness contract (the streaming_ann_topk AnnStreamQueryIdCap
+    // precedent, generalized): every replay twin's driver-collected feed
+    // must stay bounded — above this a caller is replaying a
+    // corpus-proportional table through the driver, which is exactly the
+    // shape that breaks first at 100 TB. The cap clears every committed
+    // sf (sf0.1 events = 100k rows) AND the 10x sf1eq decade (~1M), so
+    // no committed hash moves; production ingest of unbounded volume is
+    // a file/Kafka readStream over the identical fold operators.
+    require(rows.length <= ReplayCap,
+      s"replayToSink feed has ${rows.length} rows > ReplayCap=$ReplayCap — " +
+        "replay twins are a bounded determinism harness; use readStream " +
+        "for corpus-scale ingest")
     val ms = MemoryStream[A](spark)
     sinkAndDrain(spark, queryName, xform(ms.toDS())) { q =>
       ms.addData(rows)

@@ -156,13 +156,60 @@ class QueriesSpec extends AnyFunSuite {
     val bad = out.filter(col("mindist") >
       sqrt(col("n_obs").cast("double") * lit(1.82)) + lit(1e-6))
     assert(bad.count() == 0)
-    // The lower-bound property's zero case: a user whose word equals
-    // the reference on every matched frame must score exactly 0 —
-    // verified structurally: mindist == 0 iff every cell gap <= 1, so
-    // at least assert 0 appears or all users genuinely diverge.
-    assert(out.filter(col("n_frames") <= 0).count() == 0)
+    // The zero case of the lower-bound property is pinned by the
+    // crafted-series spec below (real data can't guarantee a matched
+    // word exists at every sf).
     out.unpersist()
     ()
+  }
+
+  test("SAX MINDIST crafted series: matched and gap<=1 words score exactly 0; an all-gap-2 word hits the closed form") {
+    import spark.implicits._
+    import graft.functions.CleanFunctions
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-03-01 00:00:00")
+    def t(frame: Int) = new Timestamp(base.getTime + frame * 6L * 3600 * 1000)
+    def runOn(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-sax-crafted")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      SparkEntry.queries("ts_sax_mindist")(spark, dir.toString)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    }
+    // Case 1 — MATCHED WORDS: two identical 8-frame series (one event
+    // per frame, values hitting all four letters: z of {0,0,4,4,6,6,
+    // 10,10} = -1.39,-0.28,+0.28,+1.39 -> word "aabbccdd"). The global
+    // series is the same distribution duplicated, so its word equals
+    // each user's word frame-for-frame -> MINDIST exactly 0.0 (the
+    // documented zero case, previously untested — r14 verdict item 4).
+    val vA = Seq(0.0, 0.0, 4.0, 4.0, 6.0, 6.0, 10.0, 10.0)
+    val caseA = for (u <- 1L to 2L; f <- 0 until 8)
+      yield ((u - 1) * 8 + f + 1, t(f), u, "x", vA(f), "")
+    val outA = runOn(caseA)
+    assert(outA(1L) == ((8L, 8L, 0.0)) && outA(2L) == ((8L, 8L, 0.0)),
+      s"matched-word series must score exactly 0: $outA")
+    // Case 2 — GAP 1 and GAP 2: user 1 (9 events/frame, 6..6 then 4..4)
+    // self-normalizes to word "ddddaaaa" and DOMINATES the global frame
+    // averages, which land at ~+/-0.217 -> global word "ccccbbbb".
+    // User 2 (1 event/frame, 0..0 then 10..10) self-normalizes to
+    // "aaaadddd". So user 1 sits at gap 1 on every frame (adjacent
+    // letters cost 0 -> exactly 0.0, the lower-bound property), and
+    // user 2 at gap 2 on every frame -> mindist = round4(sqrt(n_obs/
+    // n_frames * 8*cell1sq)) with cell1sq = round6(0.6745^2).
+    val caseB =
+      (for (f <- 0 until 8; i <- 0 until 9) yield
+        ((f * 9 + i + 1).toLong, t(f), 1L, "x", if (f < 4) 6.0 else 4.0, "")) ++
+      (for (f <- 0 until 8) yield
+        ((100 + f).toLong, t(f), 2L, "x", if (f < 4) 0.0 else 10.0, ""))
+    val outB = runOn(caseB)
+    assert(outB(1L) == ((8L, 72L, 0.0)),
+      s"gap<=1 word must score exactly 0: ${outB(1L)}")
+    val cell1sq = CleanFunctions.round6Jvm(0.6745 * 0.6745)
+    val expect2 = CleanFunctions.round4Jvm(math.sqrt(8.0 / 8.0 * 8.0 * cell1sq))
+    assert(outB(2L) == ((8L, 8L, expect2)) && expect2 == 1.9078,
+      s"all-gap-2 word must hit the closed form $expect2: ${outB(2L)}")
   }
 
   test("time-to-convert latencies are strictly positive") {

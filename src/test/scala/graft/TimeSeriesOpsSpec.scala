@@ -299,7 +299,12 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
   test("ts_dtw_profile: one row per user, nonnegative, zero for a fleet-shaped user") {
     val out = SparkEntry.queries("ts_dtw_profile")(
       SparkTestSession.spark, SparkTestSession.sfDir)
-    val users = ev.select("user_id").distinct().count()
+    // Match the query's input contract: all-null-value users drop from
+    // the daily-mean grid, so they must drop from the expectation too
+    // (counting from unfiltered events would fail spuriously at any sf
+    // containing such a user — r14 ADVICE).
+    val users = ev.where(col("value").isNotNull)
+      .select("user_id").distinct().count()
     assert(out.count() == users)
     assert(out.filter(col("dtw") < 0 || col("dtw").isNull).count() == 0)
   }
