@@ -322,6 +322,90 @@ object OpsQueries {
        |FROM c WHERE rn = n ORDER BY user_id""".stripMargin
   }
 
+  /** Natural log of the SAX alphabet size — the LZ76 normalizer's
+    * shared literal (both engines bake the same double via dlitSql).
+    */
+  private val SaxLn4 = math.log(4.0)
+
+  /** LZ76 phrase count (Lempel & Ziv 1976, exhaustive-history parse) —
+    * the "how compressible is this series" primitive. Formulated as the
+    * shortest-unseen-prefix scan: at position q (0-based) the next
+    * phrase is the SHORTEST prefix of the remainder that does NOT occur
+    * in s[0, q+L−1) — occurrences may start anywhere before q and
+    * overlap into the phrase except its last char (the Kaspar-Schuster
+    * search window), and containment is downward-closed in L so "first
+    * not-contained" = "min not-contained"; the trailing phrase counts
+    * even when reproducible. The DuckDB oracle replays this EXACT
+    * formulation (min-L over a spine + strpos window check), so the
+    * count is integer-identical by construction.
+    */
+  private[graft] def lz76Phrases(word: String): Long = {
+    val n = word.length
+    var q = 0
+    var c = 0L
+    while (q < n) {
+      var L = 1
+      while (q + L <= n &&
+             word.substring(0, q + L - 1).contains(word.substring(q, q + L)))
+        L += 1
+      if (q + L > n) L = n - q // every prefix reproducible: trailing phrase
+      c += 1
+      q += L
+    }
+    c
+  }
+
+  /** LZ76 complexity of each user's SAX word (the `ts_lz_complexity`
+    * entry): symbolize exactly like ts_sax (6h-frame PAA over round6
+    * z-scores, 4-letter alphabet, null frames dropped), concatenate the
+    * per-user word in frame order, count LZ76 phrases, and normalize by
+    * the random-sequence rate c·ln(n)/(n·ln 4) — periodic/flat series
+    * score near 0, incompressible ones near 1. The randomness/
+    * compressibility sibling of ts_perm_entropy (ordinal patterns) and
+    * ts_sampen (template matches): LZ76 sees REPEATED VOCABULARY at any
+    * distance, which both of those are blind to. Scale: the word is
+    * O(frames) per user (bounded by the time span — the ts_pava_trend
+    * contract), the parse is a per-key mapGroups fold, and the only
+    * shuffles are the shared symbolization passes. ln(n) is round6-
+    * quantized on both engines (the Kleinberg emission-cost pattern);
+    * ln 4 is a baked shared literal.
+    */
+  def lzComplexity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val e = ev(s, d).where(col("value").isNotNull)
+    val stats = e.groupBy("user_id").agg(
+      exactSum(col("value")).as("sx"),
+      exactSum(col("value") * col("value")).as("sxx"),
+      count(col("value")).cast("double").as("n"))
+    val sym = e.join(stats, "user_id")
+      .withColumn("zr", CleanFunctions.round6(
+        (col("value") - col("sx") / col("n")) /
+          nullif(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")), lit(0.0))))
+      .groupBy(col("user_id"), expr(s"tsu div $SixHoursUs").as("frame"))
+      .agg(CleanFunctions.safeDiv(exactSum(col("zr")),
+        count(col("zr")).cast("double")).as("paa_raw"))
+      .withColumn("sym",
+        when(col("paa_raw").isNull, lit(null).cast("string"))
+          .when(col("paa_raw") < -SaxBp, "a").when(col("paa_raw") < 0.0, "b")
+          .when(col("paa_raw") < SaxBp, "c").otherwise("d"))
+      .where(col("sym").isNotNull)
+    sym.select(col("user_id"), col("frame"), col("sym"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val word = it.toArray.sortBy(_._2).map(_._3).mkString
+        (uid, word.length.toLong, lz76Phrases(word))
+      }
+      .toDF("user_id", "n_sym", "lz_c")
+      .select(col("user_id"), col("n_sym"), col("lz_c"),
+        CleanFunctions.round4(
+          (col("lz_c").cast(DoubleType)
+            * CleanFunctions.round6(log(col("n_sym").cast(DoubleType))))
+          / (col("n_sym").cast(DoubleType) * lit(SaxLn4))).as("lz_norm"))
+      .orderBy("user_id")
+  }
+
   /** SAX MINDIST divergence from the fleet reference (the
     * `ts_sax_mindist` entry — full rationale on the entry's doc
     * comment). `bp` is the symmetric breakpoint of the 4-letter
@@ -1534,6 +1618,9 @@ object OpsQueries {
     // the O(frames) reference — no new shuffle shape.
     "ts_sax_mindist" -> { (s, d) => saxMindist(s, d) },
 
+    // LZ76 compressibility of each user's SAX word — see [[lzComplexity]].
+    "ts_lz_complexity" -> { (s, d) => lzComplexity(s, d) },
+
     // SAX discord (Keogh's anomalous-subsequence dual of the motif): the
     // RAREST 4-frame SAX word per series — the shape that recurs least
     // is the prime anomaly candidate. Same word construction as
@@ -2436,6 +2523,52 @@ object OpsQueries {
          |SELECT user_id, n_frames, n_obs,
          |  ${round4Sql("sqrt(CAST(n_obs AS DOUBLE) / CAST(n_frames AS DOUBLE) * cs)")} AS mindist
          |FROM agg ORDER BY user_id""".stripMargin
+    },
+
+    // Replays lz76Phrases' EXACT shortest-unseen-prefix formulation:
+    // one recursive-CTE step per phrase, the min valid L from a spine
+    // scan with the strpos window check (window = chars 1..q+L−1, so
+    // earlier occurrences may overlap the phrase except its last char),
+    // COALESCE to the remainder when every prefix is reproducible.
+    "ts_lz_complexity" -> {
+      val symCase = (p: String) =>
+        s"""CASE WHEN $p IS NULL THEN NULL
+           |       WHEN $p < -0.6745 THEN 'a'
+           |       WHEN $p < 0.0 THEN 'b'
+           |       WHEN $p < 0.6745 THEN 'c'
+           |       ELSE 'd' END""".stripMargin
+      s"""WITH RECURSIVE stats AS (
+         |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(count(value) AS DOUBLE) AS n
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+         |z AS (SELECT e.user_id, epoch_us(e.ts) // $SixHoursUs AS frame,
+         |    round(((value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)) * 1000000.0) / 1000000.0 + 0.0 AS zr
+         |  FROM events e JOIN stats USING (user_id) WHERE value IS NOT NULL),
+         |paa AS (SELECT user_id, frame,
+         |    CAST(sum(CAST(zr AS DECIMAL(18,6))) AS DOUBLE) / nullif(CAST(count(zr) AS DOUBLE), 0.0) AS paa_raw
+         |  FROM z GROUP BY user_id, frame),
+         |sym AS (SELECT user_id, frame, ${symCase("paa_raw")} AS sym FROM paa),
+         |words AS (
+         |  SELECT user_id, string_agg(sym, '' ORDER BY frame) AS word
+         |  FROM sym WHERE sym IS NOT NULL GROUP BY user_id),
+         |spine AS (SELECT CAST(range AS BIGINT) AS l FROM range(1, 2001)),
+         |parse AS (
+         |  SELECT user_id, word, CAST(length(word) AS BIGINT) AS n,
+         |    CAST(0 AS BIGINT) AS q, CAST(0 AS BIGINT) AS c
+         |  FROM words
+         |  UNION ALL
+         |  SELECT user_id, word, n, q + l_min, c + 1 FROM (
+         |    SELECT p.user_id, p.word, p.n, p.q, p.c,
+         |      COALESCE((SELECT min(sp.l) FROM spine sp
+         |                WHERE sp.l <= p.n - p.q
+         |                  AND strpos(substr(p.word, 1, CAST(p.q + sp.l - 1 AS INTEGER)),
+         |                             substr(p.word, CAST(p.q + 1 AS INTEGER), CAST(sp.l AS INTEGER))) = 0),
+         |               p.n - p.q) AS l_min
+         |    FROM parse p WHERE p.q < p.n) t)
+         |SELECT user_id, n AS n_sym, c AS lz_c,
+         |  ${round4Sql(s"(CAST(c AS DOUBLE) * ${CleanFunctions.round6Sql("ln(CAST(n AS DOUBLE))")}) / (CAST(n AS DOUBLE) * ${dlit(SaxLn4)})")} AS lz_norm
+         |FROM parse WHERE q = n ORDER BY user_id""".stripMargin
     },
 
     "ts_discord" ->

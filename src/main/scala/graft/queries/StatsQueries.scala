@@ -36,6 +36,12 @@ object StatsQueries {
   /** Exact-double literal shared with the SQL twin. */
   private def dlit(x: Double): String = CleanFunctions.dlitSql(x)
 
+  /** Pettitt significance bound on the exponent: p ≈ 2e^(−q) < 0.05 ⟺
+    * q > ln(2/0.05) = ln 40 — baked as one shared literal so neither
+    * engine evaluates exp()/ln() in the significance decision.
+    */
+  private val PettittSigQ = math.log(40.0)
+
   /** Page–Hinkley magnitude tolerance δ and alarm threshold λ, sized to
     * the events value scale (mean ≈ 50, σ ≈ 49): δ ≈ σ/10, λ ≈ 4σ.
     */
@@ -1068,6 +1074,54 @@ object StatsQueries {
             .when(col("s_stat") < 0L,
               (col("s_stat") + lit(1L)).cast(DoubleType) / sqrt(col("var_s")))
             .otherwise(lit(0.0))).as("mk_z"))
+        .orderBy("user_id")
+    },
+
+    // Pettitt nonparametric changepoint test per series (Pettitt 1979)
+    // — the RANK-based member of the changepoint family: the mean-shift
+    // score / segmentation / ICSS entries are moment-based and one
+    // spike drags them arbitrarily, while Pettitt's U_k = Σ_{i≤k}
+    // Σ_{j>k} sign(m_i − m_j) moves exactly one unit per pair. Built on
+    // the Mann-Kendall pairs machinery (its single-changepoint
+    // LOCALIZER: MK answers "is there a monotone trend", Pettitt
+    // answers "WHERE does the level shift"): per-day V_t = Σ_{j≠t}
+    // sign(m_t − m_j) from the O(days²)-per-series equi-join (bounded
+    // by the time span, never O(rows²)), U_k as the integer cumulative
+    // sum of V in day order, K = max|U_k| over k = 1..T−1 with the
+    // earliest-day tie-break. Significance WITHOUT engine libm exp():
+    // p ≈ 2e^{−q}, q = 6K²/(T³+T²) — all integer-derived, ONE double
+    // division, compared against the baked ln(2/0.05) literal (q >
+    // ln(40) ⟺ p < 0.05), so no transcendental enters the hash.
+    "ts_pettitt" -> { (s, d) =>
+      val daily = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+        .withColumn("day", expr("tsu DIV 86400000000"))
+        .groupBy("user_id", "day")
+        .agg(CleanFunctions.exactMean(col("value")).as("m"))
+      val a = daily.select(col("user_id"), col("day").as("di"), col("m").as("mi"))
+      val b = daily.select(col("user_id"), col("day").as("dj"), col("m").as("mj"))
+      val v = a.join(b, "user_id").where(col("di") =!= col("dj"))
+        .select(col("user_id"), col("di"),
+          when(col("mi") > col("mj"), lit(1L)).when(col("mi") < col("mj"), lit(-1L))
+            .otherwise(lit(0L)).as("sg"))
+        .groupBy("user_id", "di").agg(sum(col("sg")).as("v_t"))
+      val wOrd = Window.partitionBy("user_id").orderBy("di")
+      val u = v
+        .withColumn("u_k", sum(col("v_t")).over(wOrd))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("t_days", count(lit(1)).over(Window.partitionBy("user_id")))
+        .where(col("rn") < col("t_days"))
+      val wPick = Window.partitionBy("user_id")
+        .orderBy(abs(col("u_k")).desc, col("di").asc)
+      u.withColumn("pk", row_number().over(wPick)).where(col("pk") === 1)
+        .withColumn("pettitt_q", round6(
+          (lit(6.0) * (abs(col("u_k")) * abs(col("u_k"))).cast(DoubleType)) /
+            (col("t_days") * col("t_days") * col("t_days")
+              + col("t_days") * col("t_days")).cast(DoubleType)))
+        .select(col("user_id"), col("t_days").as("n_days"),
+          abs(col("u_k")).as("k_stat"), col("di").as("cp_day"),
+          col("pettitt_q"),
+          (col("pettitt_q") > lit(PettittSigQ)).cast(LongType).as("significant"))
         .orderBy("user_id")
     },
 
@@ -2582,6 +2636,36 @@ object StatsQueries {
          |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
          |       ELSE 0.0 END""")} AS mk_z
          |FROM v ORDER BY user_id""".stripMargin,
+
+    "ts_pettitt" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         |    ${CleanFunctions.exactMeanSql("value")} AS m
+         |  FROM events WHERE value IS NOT NULL GROUP BY user_id, day),
+         |v AS (
+         |  SELECT a.user_id, a.day AS di,
+         |    sum(CASE WHEN a.m > b.m THEN 1 WHEN a.m < b.m THEN -1 ELSE 0 END) AS v_t
+         |  FROM daily a JOIN daily b ON a.user_id = b.user_id AND a.day <> b.day
+         |  GROUP BY a.user_id, a.day),
+         |u AS (
+         |  SELECT user_id, di,
+         |    sum(v_t) OVER (PARTITION BY user_id ORDER BY di) AS u_k,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY di) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS t_days
+         |  FROM v),
+         |p AS (
+         |  SELECT user_id, di, u_k, t_days,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY abs(u_k) DESC, di ASC) AS pk
+         |  FROM u WHERE rn < t_days),
+         |q AS (
+         |  SELECT user_id, t_days, u_k, di,
+         |    ${round6Sql("""(6.0 * CAST(abs(u_k) * abs(u_k) AS DOUBLE))
+         |      / CAST(t_days * t_days * t_days + t_days * t_days AS DOUBLE)""")} AS pettitt_q
+         |  FROM p WHERE pk = 1)
+         |SELECT user_id, t_days AS n_days, CAST(abs(u_k) AS BIGINT) AS k_stat,
+         |  di AS cp_day, pettitt_q,
+         |  CAST(pettitt_q > ${dlit(PettittSigQ)} AS BIGINT) AS significant
+         |FROM q ORDER BY user_id""".stripMargin,
 
     "events_cuped" ->
       s"""WITH e AS (

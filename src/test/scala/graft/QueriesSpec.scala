@@ -212,6 +212,76 @@ class QueriesSpec extends AnyFunSuite {
       s"all-gap-2 word must hit the closed form $expect2: ${outB(2L)}")
   }
 
+  test("Pettitt test: crafted level shift localizes the changepoint with the closed-form statistic; constant series score 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-03-01 00:00:00")
+    def t(day: Int) = new Timestamp(base.getTime + day * 24L * 3600 * 1000)
+    // User 1: 10 days at level 10, then 10 days at level 50 — every
+    // cross-boundary pair contributes one unit, so |U_k| peaks at the
+    // boundary k=10 with K = 10*10 = 100 and q = 6*100^2/(20^3+20^2)
+    // = 60000/8400 = 7.142857 -> significant (> ln 40 = 3.6889).
+    // User 2: constant -> all signs 0 -> K = 0, q = 0, not significant.
+    val rows =
+      (for (dy <- 0 until 20) yield
+        ((dy + 1).toLong, t(dy), 1L, "x", if (dy < 10) 10.0 else 50.0, "")) ++
+      (for (dy <- 0 until 20) yield
+        ((100 + dy).toLong, t(dy), 2L, "x", 7.0, ""))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pettitt")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ts_pettitt")(spark, dir.toString)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    val day9 = base.getTime / 86400000L + 9 // epoch-day of the last low day
+    val (n1, k1, cp1, q1, sig1) = out(1L)
+    assert(n1 == 20L && k1 == 100L && cp1 == day9 && sig1 == 1L,
+      s"shift user: ${out(1L)}")
+    assert(math.abs(q1 - 60000.0 / 8400.0) < 1e-6)
+    val (_, k2, _, q2, sig2) = out(2L)
+    assert(k2 == 0L && q2 == 0.0 && sig2 == 0L, s"constant user: ${out(2L)}")
+  }
+
+  test("ts_pettitt real-data invariants: K within the pairwise bound, q nonnegative") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ts_pettitt")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    // |U_k| = |sum over k(T-k) cross pairs| <= floor(T^2/4).
+    val bad = out.filter(col("k_stat") > (col("n_days") * col("n_days")) / 4 ||
+      col("pettitt_q") < 0 || col("pettitt_q").isNull)
+    assert(bad.count() == 0)
+    out.unpersist()
+    ()
+  }
+
+  test("LZ76 phrase count: hand-checked words and the periodic-vs-varied ordering") {
+    import graft.queries.OpsQueries.lz76Phrases
+    assert(lz76Phrases("") == 0L)
+    assert(lz76Phrases("a") == 1L)          // a
+    assert(lz76Phrases("aa") == 2L)         // a|a
+    assert(lz76Phrases("aaaa") == 2L)       // a|aaa
+    assert(lz76Phrases("abab") == 3L)       // a|b|ab
+    assert(lz76Phrases("abcd") == 4L)       // a|b|c|d
+    assert(lz76Phrases("abcabcabc") == 4L)  // a|b|c|abcabc
+    // A period-2 word compresses to O(1) phrases however long it grows.
+    assert(lz76Phrases("ad" * 64) == 3L)    // a|d|adad...ad
+    // Monotone sanity: a de Bruijn-ish varied word out-phrases it.
+    assert(lz76Phrases("abcdacbdabdcbacd") > lz76Phrases("ad" * 8))
+  }
+
+  test("ts_lz_complexity real-data invariants: 1 <= phrases <= word length, norm >= 0") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("ts_lz_complexity")(spark, sfDir).cache()
+    assert(out.count() > 0)
+    val bad = out.filter(col("lz_c") < 1 || col("lz_c") > col("n_sym") ||
+      col("lz_norm") < 0 || col("lz_norm").isNull)
+    assert(bad.count() == 0)
+    out.unpersist()
+    ()
+  }
+
   test("time-to-convert latencies are strictly positive") {
     import org.apache.spark.sql.functions._
     val bad = SparkEntry.queries("events_time_to_convert")(spark, sfDir)
