@@ -187,7 +187,51 @@ object TextQueries {
       .orderBy("actual", "predicted")
   }
 
+  /** Stratified-sample size per (lang, source) cell and the weighted
+    * sample's global K — pinned so both engines share the literals.
+    */
+  private val SampleK  = 3
+  private val SampleWK = 20L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic STRATIFIED inspection sample — the "give me K docs
+    // per (lang, source) cell" primitive every corpus audit starts
+    // with: rank = md5 of the doc id (reproducible across runs, cluster
+    // sizes and engines — no RNG state), one grouped window over the
+    // stratum key, output O(strata x K) however large the corpus grows.
+    // The 100 TB-safe way to eyeball the data.
+    "docs_sample_stratified" -> { (s, d) =>
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(CleanFunctions.md5Hash64(
+          concat(lit("sample:"), col("doc_id"))), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= SampleK)
+        .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+        .orderBy("lang", "source", "rk")
+    },
+
+    // Deterministic WEIGHTED sample (Efraimidis-Spirakis 2006 one-pass
+    // weighted reservoir — the length-proportional doc sampler a
+    // mixture builder uses): rank by key = u^(1/w) descending, which
+    // equals ranking by ln(u)/w (ln is monotone and 1/w > 0) — so the
+    // only transcendental is round6(ln u) on an EXACT shared rational
+    // u = (md5 mod 1e6 + 1)/1000001; weight = n_chars. Global top-K is
+    // Spark's TakeOrderedAndProject — a distributed heap reduction,
+    // never a single-partition sort.
+    "docs_weighted_sample" -> { (s, d) =>
+      Tables.documents(s, d).where(col("n_chars") > 0L)
+        .withColumn("u_num", CleanFunctions.md5Hash64(
+          concat(lit("wsample:"), col("doc_id"))) % lit(1000000L) + lit(1L))
+        .withColumn("es_key",
+          CleanFunctions.round6(log(col("u_num").cast(DoubleType) / lit(1000001.0)))
+            / col("n_chars").cast(DoubleType))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(SampleWK.toInt)
+        .select(col("doc_id"), col("n_chars"),
+          CleanFunctions.round6(col("es_key")).as("es_key"))
+    },
+
     // PII scrubbing (training-data redaction): emails then number runs,
     // per-pattern match counts on the original text. Runs over the
     // events.props JSON strings — the synthetic documents contain no
@@ -1467,6 +1511,23 @@ object TextQueries {
     val t = "regexp_split_to_array(trim(text), '\\s+')"
     val tl = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     Map(
+      "docs_sample_stratified" ->
+        s"""SELECT lang, source, rk, doc_id FROM (
+           |  SELECT lang, source, doc_id,
+           |    row_number() OVER (PARTITION BY lang, source
+           |      ORDER BY ${CleanFunctions.md5Hash64Sql("'sample:' || doc_id")}, doc_id) AS rk
+           |  FROM documents) t
+           |WHERE rk <= $SampleK ORDER BY lang, source, rk""".stripMargin,
+
+      "docs_weighted_sample" ->
+        s"""WITH k AS (
+           |  SELECT doc_id, n_chars,
+           |    ${CleanFunctions.round6Sql(
+                  s"ln(CAST(${CleanFunctions.md5Hash64Sql("'wsample:' || doc_id")} % 1000000 + 1 AS DOUBLE) / 1000001.0)")}
+           |      / CAST(n_chars AS DOUBLE) AS es_raw
+           |  FROM documents WHERE n_chars > 0)
+           |SELECT doc_id, n_chars, ${CleanFunctions.round6Sql("es_raw")} AS es_key
+           |FROM k ORDER BY es_raw DESC, doc_id LIMIT $SampleWK""".stripMargin,
       "text_top_terms" ->
         s"""WITH c AS (SELECT lang, unnest($tl) AS token FROM documents),
            |g AS (SELECT lang, token, count(*) AS cnt FROM c GROUP BY 1, 2),

@@ -282,6 +282,46 @@ class QueriesSpec extends AnyFunSuite {
     ()
   }
 
+  test("stratified sample: at most K per (lang, source) cell, reproducible, drawn from the corpus") {
+    import org.apache.spark.sql.functions._
+    val a = SparkEntry.queries("docs_sample_stratified")(spark, sfDir).collect()
+    val b = SparkEntry.queries("docs_sample_stratified")(spark, sfDir).collect()
+    assert(a.nonEmpty && a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
+      "hash-ranked sample must be run-reproducible")
+    val perCell = a.groupBy(r => (r.getString(0), r.getString(1))).values
+    assert(perCell.forall(_.length <= 3) &&
+      perCell.forall(c =>
+        c.map(_.getLong(2)).sorted.sameElements(1L to c.length.toLong)))
+    // Every sampled doc exists (ranks are over real rows, not synthesized).
+    val ids = a.map(_.getLong(3)).toSet
+    val real = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(real))
+  }
+
+  test("weighted sample: exactly K rows, ES keys descending, long docs overrepresented vs uniform") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("docs_weighted_sample")(spark, sfDir).collect()
+    assert(out.length == 20)
+    // ES keys are ln(u)/w with u in (0,1): strictly negative, and the
+    // emitted rows are the global top-K so every key must beat the
+    // corpus-wide K+1-th — checked via the reproducibility of a rerun.
+    val keys = out.map(_.getDouble(2))
+    assert(keys.forall(k => k < 0.0 && !k.isNaN))
+    val rerun = SparkEntry.queries("docs_weighted_sample")(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(rerun.sameElements(out.map(_.toString).sorted),
+      "hash-seeded weighted sample must be run-reproducible")
+    // Top-K by u^(1/w): the sampled docs' mean length must exceed the
+    // corpus mean (length-proportional inclusion) — deterministic here,
+    // not a statistical flake: fixed hash, fixed corpus.
+    val sampleMean = out.map(_.getLong(1)).sum.toDouble / out.length
+    val corpusMean = graft.sources.Tables.documents(spark, sfDir)
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+  }
+
   test("time-to-convert latencies are strictly positive") {
     import org.apache.spark.sql.functions._
     val bad = SparkEntry.queries("events_time_to_convert")(spark, sfDir)
