@@ -2,24 +2,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Fresh-JVM self-sharding (r13 verdict item 1): a full-suite run in
-    * ONE JVM thrashes Spark's bounded codegen-class cache across 460+
-    * distinct plans and every round produced sub-3 s phantom
-    * "regressions" with unchanged code (r10 measured the full
-    * interleave at 1.6x inflation; the r13 one-JVM artifact flagged
-    * four >2x upticks that the isolated protocol then cleared). The
-    * builder-side tools/bench_sharded.sh fixed this for the committed
-    * BENCH_FULL.json, but the DRIVER-visible artifact still came from
-    * one JVM — so the orchestrator now lives IN Bench: a bare
-    * `runMain graft.Bench` forks one fresh child JVM per alphabetical
-    * cohort (the child re-enters main with SPARK_GRAFT_BENCH_SHARD
-    * set, taking the classic in-process path), merges the shard detail
-    * files, writes BENCH_FULL.json, and prints the one compact line
-    * the harness captures. Child stdout goes to a log file so exactly
-    * one {"metric"} line reaches the capture window. Opt out with
-    * SPARK_GRAFT_BENCH_SELFSHARD=0 (and partial runs / explicit shard
-    * runs never self-shard).
-    */
   /** Parses the `"queries":{…}` object out of a single bench detail
     * line. Anchored to the object's CLOSING brace (values are plain
     * numbers, so the first '}' after the opener closes it) — the old
@@ -72,6 +54,24 @@ object Bench {
         v > 0.5 && prior.get(k).exists(p => p > 0 && v > 2.0 * p) }
       .sortBy(-_._2).take(cap).map(_._1).sorted
 
+  /** Fresh-JVM self-sharding (r13 verdict item 1): a full-suite run in
+    * ONE JVM thrashes Spark's bounded codegen-class cache across 460+
+    * distinct plans and every round produced sub-3 s phantom
+    * "regressions" with unchanged code (r10 measured the full
+    * interleave at 1.6x inflation; the r13 one-JVM artifact flagged
+    * four >2x upticks that the isolated protocol then cleared). The
+    * builder-side tools/bench_sharded.sh fixed this for the committed
+    * BENCH_FULL.json, but the DRIVER-visible artifact still came from
+    * one JVM — so the orchestrator now lives IN Bench: a bare
+    * `runMain graft.Bench` forks one fresh child JVM per alphabetical
+    * cohort (the child re-enters main with SPARK_GRAFT_BENCH_SHARD
+    * set, taking the classic in-process path), merges the shard detail
+    * files, writes BENCH_FULL.json, and prints the one compact line
+    * the harness captures. Child stdout goes to a log file so exactly
+    * one {"metric"} line reaches the capture window. Opt out with
+    * SPARK_GRAFT_BENCH_SELFSHARD=0 (and partial runs / explicit shard
+    * runs never self-shard).
+    */
   private def selfShard(nShards: Int): Unit = {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
@@ -143,6 +143,10 @@ object Bench {
     // value gets ONE extra fresh JVM (all flagged entries batched into
     // a single partial run), and the better median is kept — a real
     // regression stays slow in the clean JVM; noise vanishes.
+    // "revote_checked" records every flagged entry (adjudicated in the
+    // fresh JVM), "revoted" the subset whose fresh median won — a
+    // flagged entry present in checked but not revoted was re-measured
+    // and CONFIRMED at its merged value, not left unadjudicated.
     val flagged = revoteCandidates(merged, prior)
     val revoted = scala.collection.mutable.ArrayBuffer.empty[String]
     if (flagged.nonEmpty) {
@@ -163,9 +167,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retriedJson = retried.mkString("[", ",", "]")
     val revotedJson = revoted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val checkedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = merged.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sharded":$nShards,"retried":$retriedJson,"revoted":$revotedJson,"failed":$failedJson,"queries":$full,"sf":"$sf"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"sharded":$nShards,"retried":$retriedJson,"revote_checked":$checkedJson,"revoted":$revotedJson,"failed":$failedJson,"queries":$full,"sf":"$sf"}"""
     // Best-effort write: an unwritable artifact path must NOT bounce a
     // completed sharded run into the one-JVM fallback — the stdout line
     // below still carries the merged result either way.
@@ -185,7 +190,7 @@ object Bench {
     val qs = top.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val othersSec = ok.sortBy(-_._2).drop(40).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sharded":$nShards,"retried":$retriedJson,"revoted":$revotedJson,"failed":$failedJson,"n_queries":${merged.size},"others_sec":${fmt(othersSec)},"detail":"$detailPath","queries":$qs,"sf":"$sf"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"sharded":$nShards,"retried":$retriedJson,"revote_checked":$checkedJson,"revoted":$revotedJson,"failed":$failedJson,"n_queries":${merged.size},"others_sec":${fmt(othersSec)},"detail":"$detailPath","queries":$qs,"sf":"$sf"}""")
   }
 
   def main(args: Array[String]): Unit = {

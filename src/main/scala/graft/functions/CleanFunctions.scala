@@ -131,6 +131,25 @@ object CleanFunctions {
   /** Exact grouped/global sum of a (few-decimal-places) double column. */
   def exactSum(c: Column): Column = sum(c.cast(SumDec)).cast(DoubleType)
 
+  /** Corpus-proportional exact sum emitted as DECIMAL(38,6) — never
+    * cast to double. At ≥17 significant digits (a money sum over ~6M
+    * rows already gets there; any 100 TB sum is far past it) the
+    * decimal→double casts of the two engines can disagree by 1 ulp:
+    * Spark's BigDecimal.doubleValue is correctly rounded, DuckDB scales
+    * the int128 by a binary 1e-6 (two roundings). First observed on
+    * q1_agg.sum_charge at the sf1eq decade (…010.941593 vs …94159).
+    * DECIMAL(38,6) is exact and type-identical on both engines at any
+    * scale — use this for final output columns whose magnitude grows
+    * with the table; keep [[exactSum]] where the sum feeds further
+    * double arithmetic or is bounded per key.
+    */
+  def exactSumDec(c: Column): Column =
+    sum(c.cast(SumDec)).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+
+  /** DuckDB twin of [[exactSumDec]]. */
+  def exactSumDecSql(x: String): String =
+    s"CAST(sum(CAST(($x) AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+
   /** JVM-side replica of the DECIMAL(18,6) quantization [[exactSum]]
     * applies per value — for executor-side folds (streaming state) whose
     * sums must hash-match SQL decimal sums. `valueOf` goes through the
