@@ -160,8 +160,15 @@ object Bench {
             merged(k) = v; revoted += k
           }
         }
-      } else System.err.println(
-        s"[bench] re-vote JVM exited $rc (log: $log); keeping merged medians")
+      } else {
+        // Keep the failed re-vote's out/log OUT of the cleanup below so
+        // the log this message points at actually survives (r15 ADVICE:
+        // the shard-failure paths throw before cleanup, but this path
+        // continues to it).
+        tmpFiles -= out; tmpFiles -= log
+        System.err.println(
+          s"[bench] re-vote JVM exited $rc (log: $log); keeping merged medians")
+      }
     }
     val total = merged.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -180,8 +187,9 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // Successful merge: drop the shard/revote temp files (they leak 16+
-    // per run otherwise — r14 ADVICE). Failures above threw before this
-    // point, leaving the logs in place for diagnosis.
+    // per run otherwise — r14 ADVICE). Shard failures threw before this
+    // point, and a failed re-vote removed its own files from the list
+    // above — either way the diagnostic logs survive.
     tmpFiles.foreach(f => try java.nio.file.Files.deleteIfExists(f)
                           catch { case _: Throwable => () })
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"

@@ -138,17 +138,23 @@ object CleanFunctions {
     * Spark's BigDecimal.doubleValue is correctly rounded, DuckDB scales
     * the int128 by a binary 1e-6 (two roundings). First observed on
     * q1_agg.sum_charge at the sf1eq decade (…010.941593 vs …94159).
-    * DECIMAL(38,6) is exact and type-identical on both engines at any
-    * scale — use this for final output columns whose magnitude grows
-    * with the table; keep [[exactSum]] where the sum feeds further
-    * double arithmetic or is bounded per key.
+    * Use this for final output columns whose magnitude grows with the
+    * table; keep [[exactSum]] where the sum feeds further double
+    * arithmetic or is bounded per key. The input cast is DECIMAL(28,6)
+    * (quantization at 6 dp is identical to DECIMAL(18,6) for any
+    * |v| < 10^12 single value) so Spark's sum accumulates in
+    * DECIMAL(min(28+10,38),6) = DECIMAL(38,6) — full 38-digit headroom
+    * on both engines, exact up to group sums of 10^32 (an 18,6 input
+    * would cap Spark's accumulator at DECIMAL(28,6), overflowing to
+    * NULL at ~10^22 while DuckDB stayed exact — r15 ADVICE).
     */
   def exactSumDec(c: Column): Column =
-    sum(c.cast(SumDec)).cast(org.apache.spark.sql.types.DecimalType(38, 6))
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 6))
 
   /** DuckDB twin of [[exactSumDec]]. */
   def exactSumDecSql(x: String): String =
-    s"CAST(sum(CAST(($x) AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+    s"CAST(sum(CAST(($x) AS DECIMAL(28,6))) AS DECIMAL(38,6))"
 
   /** JVM-side replica of the DECIMAL(18,6) quantization [[exactSum]]
     * applies per value — for executor-side folds (streaming state) whose

@@ -2550,8 +2550,12 @@ object OpsQueries {
          |  FROM z GROUP BY user_id, frame),
          |sym AS (SELECT user_id, frame, ${symCase("paa_raw")} AS sym FROM paa),
          |words AS (
-         |  SELECT user_id, string_agg(sym, '' ORDER BY frame) AS word
-         |  FROM sym WHERE sym IS NOT NULL GROUP BY user_id),
+         |  SELECT user_id,
+         |    CASE WHEN length(w) > 2000
+         |         THEN error('lz76 oracle: SAX word exceeds the 2000-frame spine cap - raise the spine bound')
+         |         ELSE w END AS word
+         |  FROM (SELECT user_id, string_agg(sym, '' ORDER BY frame) AS w
+         |        FROM sym WHERE sym IS NOT NULL GROUP BY user_id)),
          |spine AS (SELECT CAST(range AS BIGINT) AS l FROM range(1, 2001)),
          |parse AS (
          |  SELECT user_id, word, CAST(length(word) AS BIGINT) AS n,

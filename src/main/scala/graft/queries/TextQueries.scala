@@ -193,6 +193,49 @@ object TextQueries {
   private val SampleK  = 3
   private val SampleWK = 20L
 
+  /** Deterministic stratified inspection sample (the
+    * `docs_sample_stratified` entry): K docs per (lang, source) cell,
+    * ranked by md5 of the doc id. `k` is the constructor-level knob a
+    * deployment tunes; the default stays the pinned [[SampleK]] so the
+    * driver entry and its oracle share one literal (the burstProfile
+    * precedent). Because the md5 rank is a fixed total order per
+    * stratum, a smaller k is always a PREFIX of a larger one — the
+    * property KnobSpec pins.
+    */
+  def stratifiedSample(s: SparkSession, d: String,
+                       k: Int = SampleK): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(CleanFunctions.md5Hash64(
+        concat(lit("sample:"), col("doc_id"))), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= k)
+      .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+      .orderBy("lang", "source", "rk")
+  }
+
+  /** Deterministic Efraimidis-Spirakis weighted sample (the
+    * `docs_weighted_sample` entry): global top-`k` by the ln(u)/w key
+    * via TakeOrderedAndProject. `k` defaults to the pinned
+    * [[SampleWK]]; a smaller k is a prefix of a larger one (fixed
+    * total order on (es_key desc, doc_id)).
+    */
+  def weightedSample(s: SparkSession, d: String,
+                     k: Int = SampleWK.toInt): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    Tables.documents(s, d).where(col("n_chars") > 0L)
+      .withColumn("u_num", CleanFunctions.md5Hash64(
+        concat(lit("wsample:"), col("doc_id"))) % lit(1000000L) + lit(1L))
+      .withColumn("es_key",
+        CleanFunctions.round6(log(col("u_num").cast(DoubleType) / lit(1000001.0)))
+          / col("n_chars").cast(DoubleType))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"),
+        CleanFunctions.round6(col("es_key")).as("es_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic STRATIFIED inspection sample — the "give me K docs
     // per (lang, source) cell" primitive every corpus audit starts
@@ -200,16 +243,7 @@ object TextQueries {
     // sizes and engines — no RNG state), one grouped window over the
     // stratum key, output O(strata x K) however large the corpus grows.
     // The 100 TB-safe way to eyeball the data.
-    "docs_sample_stratified" -> { (s, d) =>
-      val w = Window.partitionBy("lang", "source")
-        .orderBy(CleanFunctions.md5Hash64(
-          concat(lit("sample:"), col("doc_id"))), col("doc_id"))
-      Tables.documents(s, d)
-        .withColumn("rk", row_number().over(w).cast(LongType))
-        .where(col("rk") <= SampleK)
-        .select(col("lang"), col("source"), col("rk"), col("doc_id"))
-        .orderBy("lang", "source", "rk")
-    },
+    "docs_sample_stratified" -> { (s, d) => stratifiedSample(s, d) },
 
     // Deterministic WEIGHTED sample (Efraimidis-Spirakis 2006 one-pass
     // weighted reservoir — the length-proportional doc sampler a
@@ -219,18 +253,7 @@ object TextQueries {
     // u = (md5 mod 1e6 + 1)/1000001; weight = n_chars. Global top-K is
     // Spark's TakeOrderedAndProject — a distributed heap reduction,
     // never a single-partition sort.
-    "docs_weighted_sample" -> { (s, d) =>
-      Tables.documents(s, d).where(col("n_chars") > 0L)
-        .withColumn("u_num", CleanFunctions.md5Hash64(
-          concat(lit("wsample:"), col("doc_id"))) % lit(1000000L) + lit(1L))
-        .withColumn("es_key",
-          CleanFunctions.round6(log(col("u_num").cast(DoubleType) / lit(1000001.0)))
-            / col("n_chars").cast(DoubleType))
-        .orderBy(col("es_key").desc, col("doc_id"))
-        .limit(SampleWK.toInt)
-        .select(col("doc_id"), col("n_chars"),
-          CleanFunctions.round6(col("es_key")).as("es_key"))
-    },
+    "docs_weighted_sample" -> { (s, d) => weightedSample(s, d) },
 
     // PII scrubbing (training-data redaction): emails then number runs,
     // per-pattern match counts on the original text. Runs over the

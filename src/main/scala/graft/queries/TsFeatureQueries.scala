@@ -127,6 +127,57 @@ object TsFeatureQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Per-event round6-quantized Hawkes decay factors e^(−β·Δt) — the
+    * shared prep of [[hawkesProfile]] and [[hawkesProfileStreaming]].
+    * β is in 1/hour; the transcendental rides each row so the fold
+    * itself stays one exact multiply-add.
+    */
+  private def hawkesDecays(s: SparkSession, d: String,
+                           beta: Double): DataFrame = {
+    val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    Tables.events(s, d)
+      .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("tsu"))
+      .withColumn("dt", round6((col("tsu") - lag(col("tsu"), 1).over(wo))
+        .cast(DoubleType) / lit(3600000000.0)))
+      .withColumn("decay", round6(exp(lit(-beta) * col("dt"))))
+  }
+
+  /** Hawkes excitation + conditional intensity per event (the
+    * `ts_hawkes_intensity` entry). `beta` (decay rate, 1/hour) is the
+    * constructor-level knob a deployment tunes; the default stays the
+    * pinned [[HawkesBeta]] so the driver entry and its recursive-CTE
+    * DuckDB oracle share one literal (the burstProfile precedent). The
+    * knob changes the per-row decay column only — plan shape, state
+    * size and the one-multiply-add fold are untouched.
+    */
+  def hawkesProfile(s: SparkSession, d: String,
+                    beta: Double = HawkesBeta): DataFrame =
+    TimeSeriesOps.hawkesPath(hawkesDecays(s, d, beta),
+        Seq("user_id"), Seq("tsu", "event_id"), "decay")
+      .select(col("event_id"), round4(col("excitation")).as("excitation"),
+        round4(lit(HawkesMu) + lit(HawkesAlpha) * col("excitation")).as("intensity"))
+      .orderBy("event_id")
+
+  /** Streaming twin of [[hawkesProfile]] (the `streaming_hawkes`
+    * entry) — same knob, same pinned default, same per-row decay grid;
+    * the fold is `StreamingAnomaly.hawkes` replayed over the bounded
+    * harness feed.
+    */
+  def hawkesProfileStreaming(s: SparkSession, d: String,
+                             beta: Double = HawkesBeta): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{HawkesSample, StreamingAnomaly}
+    val rows = hawkesDecays(s, d, beta)
+      .select(col("event_id"), col("user_id"), col("tsu"), col("decay"))
+      .as[HawkesSample].collect().toSeq
+    StreamingAnomaly.replayToSink(s, rows, "graft_streaming_hawkes", None)(
+        ds => StreamingAnomaly.hawkes(ds).toDF())
+      .select(col("event_id"), round4(col("excitation")).as("excitation"),
+        round4(lit(HawkesMu) + lit(HawkesAlpha) * col("excitation")).as("intensity"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Stability + lumpiness: variance of the 24-row tile MEANS and of
@@ -471,19 +522,7 @@ object TsFeatureQueries {
     // The decay factor e^(−βΔt) is a round6-quantized column; the fold
     // is one multiply-add per event (TimeSeriesOps.hawkesPath), its
     // recursive-CTE twin exact.
-    "ts_hawkes_intensity" -> { (s, d) =>
-      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-      val prep = Tables.events(s, d)
-        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
-        .select(col("event_id"), col("user_id"), col("tsu"))
-        .withColumn("dt", round6((col("tsu") - lag(col("tsu"), 1).over(wo))
-          .cast(DoubleType) / lit(3600000000.0)))
-        .withColumn("decay", round6(exp(lit(-HawkesBeta) * col("dt"))))
-      TimeSeriesOps.hawkesPath(prep, Seq("user_id"), Seq("tsu", "event_id"), "decay")
-        .select(col("event_id"), round4(col("excitation")).as("excitation"),
-          round4(lit(HawkesMu) + lit(HawkesAlpha) * col("excitation")).as("intensity"))
-        .orderBy("event_id")
-    },
+    "ts_hawkes_intensity" -> { (s, d) => hawkesProfile(s, d) },
 
     // Streaming Hawkes excitation — the streaming twin of
     // ts_hawkes_intensity: the round6-quantized decay factor rides on
@@ -492,24 +531,7 @@ object TsFeatureQueries {
     // of state per key, λ derived from the emitted excitation by the
     // same rounded expression. Oracle = the batch twin's recursive
     // CTE, verbatim.
-    "streaming_hawkes" -> { (s, d) =>
-      import s.implicits._
-      import graft.streaming.{HawkesSample, StreamingAnomaly}
-      val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-      val rows = Tables.events(s, d)
-        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
-        .select(col("event_id"), col("user_id"), col("tsu"))
-        .withColumn("dt", round6((col("tsu") - lag(col("tsu"), 1).over(wo))
-          .cast(DoubleType) / lit(3600000000.0)))
-        .withColumn("decay", round6(exp(lit(-HawkesBeta) * col("dt"))))
-        .select(col("event_id"), col("user_id"), col("tsu"), col("decay"))
-        .as[HawkesSample].collect().toSeq
-      StreamingAnomaly.replayToSink(s, rows, "graft_streaming_hawkes", None)(
-          ds => StreamingAnomaly.hawkes(ds).toDF())
-        .select(col("event_id"), round4(col("excitation")).as("excitation"),
-          round4(lit(HawkesMu) + lit(HawkesAlpha) * col("excitation")).as("intensity"))
-        .orderBy("event_id")
-    },
+    "streaming_hawkes" -> { (s, d) => hawkesProfileStreaming(s, d) },
 
     // Hjorth parameters per series: activity (signal variance),
     // mobility (√(var(Δv)/var(v)) — the dominant-frequency proxy), and

@@ -34,6 +34,54 @@ class KnobSpec extends AnyFunSuite {
     assert(burstDays(0.0) >= deft, "free entry must not lose burst days")
   }
 
+  test("hawkesProfile beta knob: beta=0 degenerates to the prior-event count; a faster decay never raises excitation") {
+    def exc(b: Double) =
+      graft.queries.TsFeatureQueries.hawkesProfile(spark, sfDir, beta = b)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // beta=0: decay == 1 exactly, so A_i = A_{i-1} + 1 = #prior events
+    // for the user — the fold's closed form, independently recomputed
+    // here with a window rank.
+    val zero = exc(0.0)
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("tsu", graft.functions.CleanFunctions.epochUs(col("ts")))
+      .withColumn("nprior", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("tsu", "event_id")) - lit(1))
+      .select(col("event_id"), col("nprior"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toDouble).toMap
+    assert(zero.nonEmpty && zero.keySet == expected.keySet)
+    zero.foreach { case (e, a) =>
+      assert(a == expected(e), s"event $e: beta=0 excitation $a != prior count ${expected(e)}")
+    }
+    // Monotonicity: decay = round6(e^(-beta dt)) is nonincreasing in
+    // beta and the fold a = d(a+1) is monotone in both args, so a
+    // faster decay can never raise any event's excitation (round4 on
+    // the output is monotone too).
+    val deft = exc(0.1); val fast = exc(1.0)
+    deft.foreach { case (e, a) =>
+      assert(fast(e) <= a, s"event $e: beta=1 excitation ${fast(e)} > beta=0.1 $a")
+    }
+  }
+
+  test("stratifiedSample k knob: a smaller k is exactly the rk-prefix of a larger one") {
+    def rows(k: Int) =
+      graft.queries.TextQueries.stratifiedSample(spark, sfDir, k = k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val k1 = rows(1); val k3 = rows(3)
+    assert(k1.nonEmpty && k1 == k3.filter(_._3 == 1L),
+      "k=1 sample must equal the rk==1 slice of the k=3 sample")
+    assert(k3.size > k1.size)
+  }
+
+  test("weightedSample k knob: the top-5 is a subset of the top-20 under the fixed ES order") {
+    def ids(k: Int) =
+      graft.queries.TextQueries.weightedSample(spark, sfDir, k = k)
+        .collect().map(_.getLong(0)).toSet
+    val top5 = ids(5); val top20 = ids(20)
+    assert(top5.size == 5 && top20.size == 20)
+    assert(top5.subsetOf(top20))
+  }
+
   test("saxMindist breakpoint knob: a breakpoint beyond the data collapses the alphabet to {b,c} and every distance to 0") {
     val out = graft.queries.OpsQueries.saxMindist(spark, sfDir, bp = 1e9)
       .collect()
