@@ -60,6 +60,84 @@ object DedupQueries {
        |sset AS (SELECT doc_id, ${TextFunctions.shinglesSql("t", K)} AS sh FROM tok)""".stripMargin
   }
 
+  /** Substring-dedup window: the minimum duplicated run, in tokens.
+    * Pinned so the entry and its oracle share the literal.
+    */
+  private[graft] val SubstrK = 8
+
+  /** Substring-level exact dedup (the `dedup_substring` entry) — the
+    * Lee et al. 2022 "Deduplicating Training Data" modality the
+    * document/near-dup/semantic family doesn't cover: find every token
+    * span of length >= k that occurs at least twice ANYWHERE in the
+    * corpus (across docs or within one), reported per doc as merged
+    * removable blocks. Exact formulation via sorted k-gram runs: a
+    * position's k-gram occurring >= 2x globally IS a duplicated
+    * k-token substring, and any duplicated span of length >= k is
+    * exactly a run of such positions — so flag positions whose k-gram
+    * count >= 2, then merge the per-doc coverage intervals
+    * [pos, pos+k-1] (gaps-and-islands; adjacent blocks merge — one
+    * removable byte range).
+    *
+    * 100 TB posture: k-grams come from a per-doc lead chain (the
+    * text_inverted_index precedent — no interpreted array-transform
+    * explosion), shuffle once on the 8-byte k-gram hash for the global
+    * count, equi-join the duplicated hashes back (AQE handles the
+    * boilerplate-kgram skew), and every window partitions by doc —
+    * state bounded by doc length, never corpus size. No df cap here:
+    * unlike the near-dup candidate JOINS (O(df^2) pairs), the
+    * flag-join is linear in occurrences.
+    *
+    * `k` is the constructor-level knob (default pinned [[SubstrK]]);
+    * docs shorter than k tokens have no k-gram and are excluded on
+    * both engines.
+    */
+  def substringDedup(s: SparkSession, d: String,
+                     k: Int = SubstrK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k=$k must be >= 2 (a 1-gram run is word dedup)")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val leads = (1 until k).foldLeft(toks) { (df, j) =>
+      df.withColumn(s"t$j", lead("tok", j).over(w))
+    }
+    val grams = leads.where(col(s"t${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        CleanFunctions.md5Hash64(concat_ws(" ",
+          col("tok") +: (1 until k).map(j => col(s"t$j")): _*)).as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("gh")
+    val flagged = grams.join(dup, "gh").select("doc_id", "pos")
+    // Coverage-interval merge: intervals share length k and positions
+    // ascend, so blocks break exactly when pos - prev_pos > k (the new
+    // interval starts past the previous one's end + 1).
+    val isl = flagged
+      .withColumn("brk", when(col("pos") - lag("pos", 1).over(w) > k
+        || lag("pos", 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("blk", sum("brk").over(w))
+    val perDoc = isl.groupBy("doc_id", "blk")
+      .agg(min("pos").as("p0"), max("pos").as("p1"),
+        count(lit(1)).as("nf"))
+      .groupBy("doc_id")
+      .agg(sum("nf").cast(LongType).as("n_dup_kgrams"),
+        count(lit(1)).cast(LongType).as("n_dup_blocks"),
+        sum(col("p1") - col("p0") + k).cast(LongType).as("dup_tokens"),
+        max(col("p1") - col("p0") + k).cast(LongType).as("max_block_tokens"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= k)
+      .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"),
+        (size(col("t")) - (k - 1)).cast(LongType).as("n_kgrams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_kgrams"),
+        coalesce(col("n_dup_kgrams"), lit(0L)).as("n_dup_kgrams"),
+        coalesce(col("n_dup_blocks"), lit(0L)).as("n_dup_blocks"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_block_tokens"), lit(0L)).as("max_block_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Exact Jaccard for candidate pairs carrying both shingle arrays. */
   private def jaccard(a: Column, b: Column): Column = {
     val common = size(array_intersect(a, b)).cast(DoubleType)
@@ -101,6 +179,9 @@ object DedupQueries {
         .select(col("doc_id_a"), col("doc_id_b"), graft.functions.CleanFunctions.round4(col("jaccard")).as("jaccard"))
         .orderBy("doc_id_a", "doc_id_b")
     },
+
+    // Substring-level exact dedup — see [[substringDedup]].
+    "dedup_substring" -> { (s, d) => substringDedup(s, d) },
 
     // Asymmetric CONTAINMENT near-dup (Broder): |A∩B|/|A| — the
     // doc-inside-doc case Jaccard structurally misses (a short doc fully
@@ -520,6 +601,45 @@ object DedupQueries {
          |SELECT doc_id_a, doc_id_b, round((common / (na + nb - common)) * 10000.0) / 10000.0 + 0.0 AS jaccard
          |FROM p WHERE common / (na + nb - common) >= $JaccardThreshold
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    // Replays substringDedup's exact formulation: same k-gram hash
+    // (DuckDB list slice t[p : p+k-1] is 1-based end-INCLUSIVE = k
+    // tokens), same >=2 global count flag, same gaps-and-islands
+    // coverage merge with the identical `> k` break rule. Position
+    // bases differ (Spark posexplode 0-based, generate_series 1-based)
+    // but every output column is a count or an extent — base-invariant.
+    "dedup_substring" -> {
+      val k = SubstrK
+      s"""WITH tk AS (SELECT doc_id, ${TextFunctions.tokensSql("text")} AS t FROM documents),
+         |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(t) - ${k - 1} AS BIGINT) AS n_kgrams FROM tk WHERE len(t) >= $k),
+         |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${k - 1})) AS p
+         |  FROM tk WHERE len(t) >= $k),
+         |g AS (SELECT doc_id, p,
+         |  ${CleanFunctions.md5Hash64Sql(s"array_to_string(t[p : p + ${k - 1}], ' ')")} AS gh FROM pos),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |f AS (SELECT g.doc_id, g.p FROM g JOIN dup USING (gh)),
+         |isl AS (SELECT doc_id, p,
+         |  CASE WHEN lag(p) OVER w IS NULL OR p - lag(p) OVER w > $k THEN 1 ELSE 0 END AS brk
+         |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+         |blk AS (SELECT doc_id, p,
+         |  sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS blk FROM isl),
+         |blocks AS (SELECT doc_id, blk, min(p) AS p0, max(p) AS p1, count(*) AS nf
+         |  FROM blk GROUP BY doc_id, blk),
+         |perdoc AS (SELECT doc_id,
+         |  CAST(sum(nf) AS BIGINT) AS n_dup_kgrams,
+         |  CAST(count(*) AS BIGINT) AS n_dup_blocks,
+         |  CAST(sum(p1 - p0 + $k) AS BIGINT) AS dup_tokens,
+         |  CAST(max(p1 - p0 + $k) AS BIGINT) AS max_block_tokens
+         |  FROM blocks GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens, b.n_kgrams,
+         |  coalesce(n_dup_kgrams, 0) AS n_dup_kgrams,
+         |  coalesce(n_dup_blocks, 0) AS n_dup_blocks,
+         |  coalesce(dup_tokens, 0) AS dup_tokens,
+         |  coalesce(max_block_tokens, 0) AS max_block_tokens
+         |FROM base b LEFT JOIN perdoc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_containment" ->
       s"""WITH $shingleSetsSql,

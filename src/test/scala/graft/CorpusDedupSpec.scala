@@ -48,6 +48,41 @@ class CorpusDedupSpec extends AnyFunSuite {
     assert(lbl(4L) == 4L, "a singleton labels itself")
   }
 
+  test("substringDedup: exact dups fully covered, a shared 8-run flags exactly its extent, within-doc repeats make two blocks, clean docs zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sub_dedup").toString
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    // 8-token run a1..a8 embedded mid-doc between unique flanks.
+    val c = ((1 to 6).map(i => s"c$i") ++ (1 to 8).map(i => s"a$i") ++
+      (1 to 6).map(i => s"d$i")).mkString(" ")
+    // The same 8-run twice WITHIN one doc, 4 unique tokens apart:
+    // blocks at positions 0 and 12, gap 12 > k=8 -> two blocks.
+    val x = ((1 to 8).map(i => s"x$i") ++ (1 to 4).map(i => s"z$i") ++
+      (1 to 8).map(i => s"x$i")).mkString(" ")
+    val u = (1 to 20).map(i => s"u$i").mkString(" ")
+    Seq((1L, a), (2L, a), (3L, c), (4L, u), (5L, x))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // (n_tokens, n_kgrams, n_dup_kgrams, n_dup_blocks, dup_tokens, max_block_tokens)
+    def run(k: Int) = graft.queries.DedupQueries
+      .substringDedup(spark, dir, k = k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val out = run(8)
+    assert(out(1L) == ((20L, 13L, 13L, 1L, 20L, 20L)), s"exact dup: ${out(1L)}")
+    assert(out(2L) == out(1L), "both exact-dup twins report identically")
+    assert(out(3L) == ((20L, 13L, 1L, 1L, 8L, 8L)), s"shared run: ${out(3L)}")
+    assert(out(4L) == ((20L, 13L, 0L, 0L, 0L, 0L)), s"clean doc: ${out(4L)}")
+    assert(out(5L) == ((20L, 13L, 2L, 2L, 16L, 8L)), s"within-doc: ${out(5L)}")
+    // k knob: any duplicated k-span contains duplicated (k-1)-spans, so
+    // shrinking k can only grow the flagged-token coverage.
+    val k4 = run(4)
+    out.foreach { case (id, o) =>
+      assert(k4(id)._5 >= o._5, s"doc $id: k=4 coverage ${k4(id)._5} < k=8 ${o._5}")
+    }
+  }
+
   test("leakageSafeSplit: near-dups land on the same side at EVERY trainPct") {
     // The property a per-doc split violates: whatever the bucket
     // boundary, members of one near-dup cluster co-assign. Sweep the
