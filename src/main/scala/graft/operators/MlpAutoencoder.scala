@@ -52,8 +52,29 @@ object MlpAutoencoder {
       Array.fill(seqLen)(0.0))
   }
 
-  /** Forward pass: returns (h, xhat). W is row-major (hidden x seqLen). */
-  private def forward(p: Params, xc: Array[Double], seqLen: Int, hidden: Int)
+  /** Engine-portable round6-quantized tanh — the activation of the
+    * `ts_ae_forward` exact-oracle fence. DuckDB ships no tanh, so both
+    * engines evaluate (e^{2a}−1)/(e^{2a}+1) from libm exp and round6
+    * absorbs the last-ulp libm differences (the normalCdf precedent).
+    * |a| ≥ 9 short-circuits to ±1.0 — identical to the unguarded
+    * round6 value from |a| > 7.7 on, and it keeps exp finite for any
+    * pre-activation (raw exp overflows past a ≈ 354 → Inf/Inf = NaN).
+    */
+  def portableTanh(a: Double): Double =
+    if (a >= 9.0) 1.0
+    else if (a <= -9.0) -1.0
+    else {
+      val e2 = math.exp(2.0 * a)
+      graft.functions.CleanFunctions.round6Jvm((e2 - 1.0) / (e2 + 1.0))
+    }
+
+  /** Forward pass: returns (h, xhat). W is row-major (hidden x seqLen).
+    * `activation` defaults to the production tanh; the ts_ae_forward
+    * fence plugs [[portableTanh]] so the SAME loops run under the
+    * exact-hash oracle gate.
+    */
+  private def forward(p: Params, xc: Array[Double], seqLen: Int, hidden: Int,
+                      activation: Double => Double = math.tanh)
       : (Array[Double], Array[Double]) = {
     val h = new Array[Double](hidden)
     var i = 0
@@ -61,7 +82,7 @@ object MlpAutoencoder {
       var a = p.b1(i)
       var j = 0
       while (j < seqLen) { a += p.w(i * seqLen + j) * xc(j); j += 1 }
-      h(i) = math.tanh(a)
+      h(i) = activation(a)
       i += 1
     }
     val xhat = new Array[Double](seqLen)
@@ -129,12 +150,44 @@ object MlpAutoencoder {
     while (j < seqLen) { grad(nw + hidden + j) = e(j); j += 1 }
   }
 
-  private def meanError(p: Params, xc: Array[Double], seqLen: Int, hidden: Int): Double = {
-    val (_, xhat) = forward(p, xc, seqLen, hidden)
+  private def meanError(p: Params, xc: Array[Double], seqLen: Int, hidden: Int,
+                        activation: Double => Double = math.tanh): Double = {
+    val (_, xhat) = forward(p, xc, seqLen, hidden, activation)
     var s = 0.0
     var j = 0
     while (j < seqLen) { val d = xhat(j) - xc(j); s += d * d; j += 1 }
     s / seqLen
+  }
+
+  /** Forward-ONLY scoring with FIXED parameters — the inference path
+    * alone, no training. This is what the `ts_ae_forward` exact-oracle
+    * fence runs: with `p = init(...)` (0-epoch seeded weights) and
+    * `activation = portableTanh`, every double the production
+    * [[forward]]/[[meanError]] loops produce is replayed term-for-term
+    * by a DuckDB expression tree, so an indexing/transposition/fold
+    * defect in the hand-written loops fails the exact-hash gate — the
+    * unverified surface of the ts_ae_recon rows-only entry shrinks to
+    * the SGD step itself. Model params broadcast; one map pass, no
+    * shuffle.
+    */
+  def scoreWith(seqs: DataFrame, seqCol: String, p: Params,
+                seqLen: Int, hidden: Int,
+                activation: Double => Double = math.tanh): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(p.w.length == hidden * seqLen && p.b1.length == hidden &&
+      p.b2.length == seqLen, "scoreWith: params do not match (seqLen, hidden)")
+    val spark = seqs.sparkSession
+    val bc = spark.sparkContext.broadcast(p)
+    val idx = seqs.schema.fieldIndex(seqCol)
+    val schema = StructType(seqs.schema.fields :+
+      StructField("recon_err", DoubleType))
+    spark.createDataFrame(
+      seqs.rdd.map { r =>
+        val xc = r.getSeq[Double](idx).toArray
+        Row.fromSeq(r.toSeq :+
+          meanError(bc.value, xc, seqLen, hidden, activation))
+      }, schema)
   }
 
   /** Pack/unpack for the flat-vector [[DistributedSgd]] harness (layout:

@@ -21,6 +21,13 @@ object PipelineQueries {
   private val Lags = Seq(1, 2, 3, 24)
   private val Wins = Seq(3, 24)
 
+  /** ts_ae_forward fence model shape + seed — pinned so the entry and
+    * its generated oracle share ONE set of weight literals.
+    */
+  private val AeSeqLen = 24
+  private val AeHidden = 8
+  private val AeSeed   = 42L
+
   def featurePipeline(s: SparkSession, d: String): DataFrame = {
     val featureCols =
       Lags.map(l => s"value_lag_$l") ++
@@ -110,6 +117,41 @@ object PipelineQueries {
     // holds per deployment (same data + same partitioning => same model).
     // Pass a fixed value instead when bit-reproducibility across different
     // cluster sizes matters more than fit speed.
+    // Exact-oracle fence on the AUTOENCODER INFERENCE PATH (r15 verdict
+    // item 5): the production MlpAutoencoder forward/meanError loops run
+    // with 0-epoch seeded weights (init(24, 8, seed=42)) and the
+    // engine-portable round6 tanh over per-user round6 z-score windows;
+    // the oracle replays every multiply-add in the IDENTICAL fold order
+    // with the weights baked as shared dlit literals. A transposition,
+    // indexing or fold-order defect in the hand-written loops fails the
+    // exact-hash gate — the rows-only surface of ts_ae_recon shrinks to
+    // the SGD step itself.
+    "ts_ae_forward" -> { (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      import graft.functions.CleanFunctions
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+      val stats = e.groupBy("user_id").agg(
+        CleanFunctions.exactSum(col("value")).as("sx"),
+        CleanFunctions.exactSum(col("value") * col("value")).as("sxx"),
+        count(col("value")).cast(DoubleType).as("n"))
+      val z = e.join(stats, "user_id")
+        .withColumn("zr", CleanFunctions.round6(
+          (col("value") - col("sx") / col("n")) /
+            nullif(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")),
+              lit(0.0))))
+        .where(col("zr").isNotNull)
+        .select("user_id", "event_id", "tsu", "zr")
+      val seqs = TS.sequences(z, Seq("user_id"), Seq("tsu", "event_id"),
+        "zr", AeSeqLen, "seq")
+      graft.operators.MlpAutoencoder.scoreWith(seqs, "seq",
+          graft.operators.MlpAutoencoder.init(AeSeqLen, AeHidden, AeSeed),
+          AeSeqLen, AeHidden, graft.operators.MlpAutoencoder.portableTanh)
+        .select(col("event_id"),
+          CleanFunctions.round4(col("recon_err")).as("recon_err"))
+        .orderBy("event_id")
+    },
+
     "ts_ae_recon" -> { (s, d) =>
       graft.operators.MlpAutoencoder
         .detect(Tables.events(s, d), K, Ord, "value", seqLen = 24, hidden = 8,
@@ -137,6 +179,67 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Generated term-for-term replay of the JVM forward pass: the SAME
+    // Params object that scores on the Spark side is rendered here as
+    // dlit literals, every dot-product chain is parenthesized in the
+    // exact while-loop fold order (left-assoc add of w*x terms after
+    // the bias), the activation is the shared portableTanh rule
+    // (|a|>=9 saturation + round6 exp formula), and the error is the
+    // 0.0-seeded left fold of squared diffs over j ascending, / 24.
+    "ts_ae_forward" -> {
+      import graft.functions.CleanFunctions
+      val L = AeSeqLen; val H = AeHidden
+      val p = graft.operators.MlpAutoencoder.init(L, H, AeSeed)
+      def dl(x: Double) = CleanFunctions.dlitSql(x)
+      val winCols = (0 until L)
+        .map(j => s"lag(zr, ${L - 1 - j}) OVER w AS x$j").mkString(",\n  ")
+      val aCols = (0 until H).map { i =>
+        val chain = (0 until L).foldLeft(dl(p.b1(i)))((acc, j) =>
+          s"($acc + ${dl(p.w(i * L + j))} * x$j)")
+        s"$chain AS a$i"
+      }.mkString(",\n  ")
+      val hCols = (0 until H).map { i =>
+        "CASE WHEN a" + i + " >= 9.0 THEN 1.0 WHEN a" + i + " <= -9.0 THEN -1.0 ELSE " +
+          CleanFunctions.round6Sql(s"(exp(2.0 * a$i) - 1.0) / (exp(2.0 * a$i) + 1.0)") +
+          s" END AS h$i"
+      }.mkString(",\n  ")
+      val xhCols = (0 until L).map { j =>
+        val chain = (0 until H).foldLeft(dl(p.b2(j)))((acc, i) =>
+          s"($acc + ${dl(p.w(i * L + j))} * h$i)")
+        s"$chain AS xh$j"
+      }.mkString(",\n  ")
+      val errChain = (0 until L).foldLeft("0.0")((acc, j) =>
+        s"($acc + (xh$j - x$j) * (xh$j - x$j))")
+      val xPass = (0 until L).map(j => s"x$j").mkString(", ")
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+         |  FROM events WHERE value IS NOT NULL),
+         |st AS (SELECT user_id,
+         |  ${CleanFunctions.exactSumSql("value")} AS sx,
+         |  ${CleanFunctions.exactSumSql("value * value")} AS sxx,
+         |  CAST(count(value) AS DOUBLE) AS n
+         |  FROM e GROUP BY user_id),
+         |z AS (SELECT e.event_id, e.user_id, e.tsu,
+         |  ${CleanFunctions.round6Sql(s"(value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)")} AS zr
+         |  FROM e JOIN st USING (user_id)),
+         |zz AS (SELECT * FROM z WHERE zr IS NOT NULL),
+         |win AS (SELECT event_id,
+         |  $winCols,
+         |  row_number() OVER w AS rn
+         |  FROM zz WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |act AS (SELECT event_id, $xPass,
+         |  $aCols
+         |  FROM win WHERE rn >= $L),
+         |hid AS (SELECT event_id, $xPass,
+         |  $hCols
+         |  FROM act),
+         |dec AS (SELECT event_id, $xPass,
+         |  $xhCols
+         |  FROM hid)
+         |SELECT event_id,
+         |  ${CleanFunctions.round4Sql(s"($errChain) / $L.0")} AS recon_err
+         |FROM dec ORDER BY event_id""".stripMargin
+    },
+
     "events_training_set" -> {
       val dayUs = 24L * 3600 * 1000000
       s"""WITH e AS (SELECT event_id, user_id, event_type,

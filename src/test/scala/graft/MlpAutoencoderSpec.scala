@@ -29,6 +29,38 @@ class MlpAutoencoderSpec extends AnyFunSuite {
   private def recall(flagged: Set[Long]): Double =
     SpikeAt.count(flagged.contains).toDouble / SpikeAt.size
 
+  test("scoreWith: hand-indexed scalar math reproduces the loop forward bit-for-bit (2x1 model)") {
+    // Tiny model where every index is written out explicitly — a
+    // transposition or off-by-one in the forward loops cannot match.
+    val p = MlpAutoencoder.Params(
+      w = Array(0.5, -0.25), b1 = Array(0.1), b2 = Array(0.2, -0.1))
+    val out = MlpAutoencoder.scoreWith(
+        Seq((1L, Seq(1.0, 2.0))).toDF("id", "seq"), "seq", p,
+        seqLen = 2, hidden = 1, MlpAutoencoder.portableTanh)
+      .select("recon_err").as[Double].collect()
+    val h0 = MlpAutoencoder.portableTanh(0.1 + 0.5 * 1.0 + (-0.25) * 2.0)
+    val xh0 = 0.2 + 0.5 * h0
+    val xh1 = -0.1 + (-0.25) * h0
+    val expected =
+      (0.0 + (xh0 - 1.0) * (xh0 - 1.0) + (xh1 - 2.0) * (xh1 - 2.0)) / 2
+    assert(out.length == 1 && out(0) == expected,
+      s"got ${out.toSeq}, expected $expected")
+  }
+
+  test("portableTanh: saturation rule is continuous with the formula and odd-symmetric") {
+    assert(MlpAutoencoder.portableTanh(9.0) == 1.0)
+    assert(MlpAutoencoder.portableTanh(-9.0) == -1.0)
+    // Just inside the guard the round6 formula already sits at +-1, so
+    // the branch is value-invisible (it only exists to keep exp finite).
+    assert(MlpAutoencoder.portableTanh(8.9999) == 1.0)
+    assert(MlpAutoencoder.portableTanh(-8.9999) == -1.0)
+    assert(MlpAutoencoder.portableTanh(0.0) == 0.0)
+    assert(MlpAutoencoder.portableTanh(1000.0) == 1.0, "overflow region saturates, never NaN")
+    val t = MlpAutoencoder.portableTanh(0.3)
+    assert(t > 0 && t < 1 && MlpAutoencoder.portableTanh(-0.3) == -t)
+    assert(t == graft.functions.CleanFunctions.round6Jvm(t), "activation is round6-quantized")
+  }
+
   test("deterministic: same input twice gives identical parameters") {
     val seqs = graft.operators.TimeSeriesOps.sequences(
       synthetic, Seq("user_id"), Seq("ts", "event_id"), "value", 24, "xc")
