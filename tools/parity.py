@@ -30,12 +30,86 @@ import pyarrow as pa
 
 argv = sys.argv[1:]
 json_out = None
-if argv and argv[0] == "--json":
-    json_out = argv[1]
-    argv = argv[2:]
+itercc = False
+while argv and argv[0].startswith("--"):
+    if argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    elif argv[0] == "--itercc":
+        # r15 verdict item 3: the four doc-cluster oracles
+        # (dedup_clusters / dedup_canonical / dedup_cluster_sizes /
+        # text_split_nodup) carry a recursive transitive-closure CTE
+        # whose DuckDB plan exceeds the 40-minute single-query budget at
+        # the 10x decade. With this flag the reach CTE is evaluated as
+        # an ITERATIVE min-label-propagation loop with pointer jumping
+        # over temp tables (the same fixpoint: labels only decrease,
+        # stay ids of reachable nodes, and converge to the component
+        # min — identical to min(reachable id)); the surrounding oracle
+        # SQL runs verbatim against the materialized labels. Off by
+        # default so the small-SF gate keeps the one-statement oracle.
+        itercc = True
+        argv = argv[1:]
+    else:
+        raise SystemExit(f"unknown flag {argv[0]}")
 sf_dir, out_dir = argv[0], argv[1]
 only = set(argv[2].split(",")) if len(argv) > 2 else None
 record = {}
+
+REACH_MARKER = "reach(doc_id, lbl) AS ("
+
+
+def run_oracle(sql):
+    """Execute an oracle; under --itercc, recursive reach CTEs are
+    materialized iteratively first (see the flag comment above)."""
+    if not itercc or REACH_MARKER not in sql:
+        return con.execute(sql).fetch_arrow_table()
+    at = sql.index(REACH_MARKER)
+    # prefix = the WITH chain up to (not incl.) ",reach(...)": keeps the
+    # verbatim simhash/pair/edge CTEs incl. `e AS (...)`.
+    prefix = sql[:at].rstrip().rstrip(",")
+    # skip the balanced-paren reach body; suffix = what follows it
+    # (either ",lab AS (...)" + final select, or the final select).
+    i = at + len(REACH_MARKER)
+    depth = 1
+    while depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    suffix = sql[i:].lstrip().lstrip(",").lstrip()
+    body = prefix.replace("WITH RECURSIVE", "WITH", 1)
+    con.execute("DROP TABLE IF EXISTS graft_cc_e")
+    con.execute("DROP TABLE IF EXISTS graft_cc_lab")
+    con.execute(f"CREATE TEMP TABLE graft_cc_e AS {body} SELECT x, y FROM e")
+    con.execute("CREATE TEMP TABLE graft_cc_lab AS "
+                "SELECT DISTINCT x AS doc_id, x AS lbl FROM graft_cc_e")
+    rounds = 0
+    while True:
+        rounds += 1
+        con.execute("""CREATE TEMP TABLE graft_cc_lab2 AS
+            SELECT doc_id, min(lbl) AS lbl FROM (
+              SELECT doc_id, lbl FROM graft_cc_lab
+              UNION ALL
+              SELECT e.y AS doc_id, l.lbl
+              FROM graft_cc_e e JOIN graft_cc_lab l ON e.x = l.doc_id
+              UNION ALL
+              SELECT a.doc_id, b.lbl
+              FROM graft_cc_lab a JOIN graft_cc_lab b ON a.lbl = b.doc_id
+            ) GROUP BY doc_id""")
+        changed = con.execute(
+            "SELECT count(*) FROM graft_cc_lab2 n JOIN graft_cc_lab o "
+            "USING (doc_id) WHERE n.lbl != o.lbl").fetchone()[0]
+        con.execute("DROP TABLE graft_cc_lab")
+        con.execute("ALTER TABLE graft_cc_lab2 RENAME TO graft_cc_lab")
+        if changed == 0:
+            break
+        if rounds > 64:
+            raise RuntimeError("itercc failed to converge in 64 rounds")
+    rewritten = ("WITH reach AS (SELECT doc_id, lbl FROM graft_cc_lab)"
+                 + (",\n" if not suffix.upper().startswith("SELECT") else "\n")
+                 + suffix)
+    return con.execute(rewritten).fetch_arrow_table()
 
 
 def rec(name, rows=False, schema=False, hsh=False, err=None):
@@ -80,7 +154,7 @@ for name in names:
         print(f"SKIP {name}: no oracle (rows={got_t.num_rows})")
         rec(name, rows=got_t.num_rows > 0, err="SKIP: declared no-oracle (rows-only check)"); continue
     try:
-        exp_t = con.execute(oracle[name]).fetch_arrow_table()
+        exp_t = run_oracle(oracle[name])
     except Exception as e:
         msg = f"oracle SQL error: {str(e).splitlines()[0][:160]}"
         print(f"FAIL {name}: {msg}"); fails += 1; rec(name, err=msg); continue
