@@ -137,6 +137,19 @@ object LstmAutoencoder {
 
   private def sigmoid(a: Double): Double = 1.0 / (1.0 + math.exp(-a))
 
+  /** Engine-portable round6-quantized sigmoid — the gate activation of
+    * the `ts_lstm_forward` exact-oracle fence (the
+    * MlpAutoencoder.portableTanh convention: both engines evaluate
+    * 1/(1+e^{−a}) from libm exp, round6 absorbs last-ulp libm
+    * differences). |a| ≥ 16 saturates to {1, 0} — identical to the
+    * unguarded round6 value from |a| > 14.5 on, exp kept finite for any
+    * pre-activation.
+    */
+  def portableSigmoid(a: Double): Double =
+    if (a >= 16.0) 1.0
+    else if (a <= -16.0) 0.0
+    else graft.functions.CleanFunctions.round6Jvm(1.0 / (1.0 + math.exp(-a)))
+
   /** SplitMix64 finalizer — the counter-based RNG under deterministic
     * dropout: a pure mix of the key, no sequential stream, so the mask
     * bit for (seed, epoch, window, stack, layer, step, unit) is the same
@@ -204,7 +217,9 @@ object LstmAutoencoder {
                        x: Array[Double], xOff: Int,
                        hs: Array[Double], cs: Array[Double], t: Int,
                        ig: Array[Double], fg: Array[Double],
-                       og: Array[Double], gg: Array[Double]): Unit = {
+                       og: Array[Double], gg: Array[Double],
+                       tanhAct: Double => Double = math.tanh,
+                       sigAct: Double => Double = sigmoid): Unit = {
     val pOff = t * h
     val nOff = (t + 1) * h
     val gOff = t * h
@@ -221,7 +236,7 @@ object LstmAutoencoder {
         while (j < in) { a += p(base + i * in + j) * x(xOff + j); j += 1 }
         j = 0
         while (j < h) { a += p(uBase + i * h + j) * hs(pOff + j); j += 1 }
-        dst(gOff + i) = if (gi == 3) math.tanh(a) else sigmoid(a)
+        dst(gOff + i) = if (gi == 3) tanhAct(a) else sigAct(a)
         i += 1
       }
       gi += 1
@@ -230,7 +245,7 @@ object LstmAutoencoder {
     while (i < h) {
       val c = fg(gOff + i) * cs(pOff + i) + ig(gOff + i) * gg(gOff + i)
       cs(nOff + i) = c
-      hs(nOff + i) = og(gOff + i) * math.tanh(c)
+      hs(nOff + i) = og(gOff + i) * tanhAct(c)
       i += 1
     }
   }
@@ -309,7 +324,9 @@ object LstmAutoencoder {
                            dropP: Double = 0.0, maskBase: Long = 0L,
                            stackId: Int = 0,
                            dropH: Array[Array[Double]] = null,
-                           dropScale: Array[Array[Double]] = null): Unit = {
+                           dropScale: Array[Array[Double]] = null,
+                           tanhAct: Double => Double = math.tanh,
+                           sigAct: Double => Double = sigmoid): Unit = {
     var j = 0
     while (j < d.nl) {
       val lw = layers(j)
@@ -325,7 +342,7 @@ object LstmAutoencoder {
       while (t < d.l) {
         val xOff = if (j == 0) t * x0Stride else (t + 1) * d.h
         lstmStep(p, bj, gj, ij, d.h, xj, xOff,
-          lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg)
+          lw.hs, lw.cs, t, lw.ig, lw.fg, lw.og, lw.gg, tanhAct, sigAct)
         t += 1
       }
       // Inter-layer inverted dropout (reference config.py:30,
@@ -431,10 +448,12 @@ object LstmAutoencoder {
     */
   private def forwardLoss(p: Array[Double], x: Array[Double], d: LstmDims,
                           ws: Ws, dropP: Double = 0.0,
-                          maskBase: Long = 0L): Double = {
+                          maskBase: Long = 0L,
+                          tanhAct: Double => Double = math.tanh,
+                          sigAct: Double => Double = sigmoid): Double = {
     import d._
     stackForward(p, d, ws.enc, encBase, encGate, encIn, x, f,
-      dropP, maskBase, 0, ws.encDropH, ws.encScale)
+      dropP, maskBase, 0, ws.encDropH, ws.encScale, tanhAct, sigAct)
     val topEnc = ws.enc(nl - 1)
     var bi = 0
     while (bi < b) {
@@ -443,7 +462,7 @@ object LstmAutoencoder {
       while (j < h) { a += p(oBott + bi * h + j) * topEnc.hs(l * h + j); j += 1 }
       // refDec: the reference's encoder_fc is LINEAR
       // (deep_learning_models.py:26,65); default keeps the bounded tanh.
-      ws.cvec(bi) = if (refDec) a else math.tanh(a)
+      ws.cvec(bi) = if (refDec) a else tanhAct(a)
       bi += 1
     }
     // refDec: inflate the code through decoder_fc to H and repeat THAT
@@ -460,7 +479,7 @@ object LstmAutoencoder {
       ws.dvec
     } else ws.cvec
     stackForward(p, d, ws.dec, decBase, decGate, decIn, decX0, 0,
-      dropP, maskBase, 1, ws.decDropH, ws.decScale)
+      dropP, maskBase, 1, ws.decDropH, ws.decScale, tanhAct, sigAct)
     val topDec = ws.dec(nl - 1)
     var loss = 0.0
     val n = l * f
@@ -576,6 +595,46 @@ object LstmAutoencoder {
   /** Mean squared reconstruction error of one window (forward only). */
   def reconError(p: Array[Double], x: Array[Double], d: LstmDims): Double =
     forwardLoss(p, x, d, new Ws(d))
+
+  /** [[reconError]] with pluggable activations — the `ts_lstm_forward`
+    * fence runs the production forward loops under
+    * ([[graft.operators.MlpAutoencoder.portableTanh]],
+    * [[portableSigmoid]]) so the whole encoder→bottleneck→decoder→FC
+    * inference arithmetic replays term-for-term in a DuckDB oracle.
+    */
+  def reconErrorWith(p: Array[Double], x: Array[Double], d: LstmDims,
+                     tanhAct: Double => Double,
+                     sigAct: Double => Double): Double =
+    forwardLoss(p, x, d, new Ws(d), tanhAct = tanhAct, sigAct = sigAct)
+
+  /** Forward-ONLY scoring of windowed sequences with FIXED parameters
+    * (the MlpAutoencoder.scoreWith shape): model broadcast, one map
+    * pass, no shuffle beyond the caller's windowing. With
+    * `p = init(d, seed)` (0-epoch seeded weights) this is the
+    * exact-oracle fence of the recurrent inference path — the
+    * unverified surface of ts_lstm_recon shrinks to BPTT itself.
+    */
+  def scoreWith(seqs: DataFrame, seqCol: String, p: Array[Double],
+                d: LstmDims,
+                tanhAct: Double => Double = math.tanh,
+                sigAct: Double => Double = sigmoid): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    require(p.length == d.total,
+      s"scoreWith: ${p.length} params, layout needs ${d.total}")
+    val spark = seqs.sparkSession
+    val bc = spark.sparkContext.broadcast(p)
+    val idx = seqs.schema.fieldIndex(seqCol)
+    val schema = StructType(seqs.schema.fields :+
+      StructField("recon_err", DoubleType))
+    spark.createDataFrame(
+      seqs.rdd.map { r =>
+        val x = r.getSeq[Double](idx).toArray
+        require(x.length == d.l * d.f,
+          s"scoreWith: window of ${x.length} values, need ${d.l * d.f}")
+        Row.fromSeq(r.toSeq :+ reconErrorWith(bc.value, x, d, tanhAct, sigAct))
+      }, schema)
+  }
 
   /** Train on the `seqCol` windows (array<double>, length d.l * d.f) via
     * the shared SGD + parameter-averaging harness. Inputs are expected

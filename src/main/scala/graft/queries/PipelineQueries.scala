@@ -28,6 +28,56 @@ object PipelineQueries {
   private val AeHidden = 8
   private val AeSeed   = 42L
 
+  /** ts_lstm_forward fence dims + seed — small dims run the SAME
+    * dim-generic production loops; pinned for the shared literals.
+    */
+  private val LstmFenceDims =
+    graft.operators.LstmAutoencoder.LstmDims(f = 1, l = 6, h = 4, b = 2)
+  private val LstmFenceSeed = 42L
+
+  /** Shared prep of the two inference fences: per-user round6 z-score
+    * (the sax-entry formulation — exact-DECIMAL moments, momentStd,
+    * round6 quantization, so both engines window identical doubles)
+    * then `len`-length past-inclusive windows per user.
+    */
+  private def zScoreWindows(s: SparkSession, d: String,
+                            len: Int): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    import graft.functions.CleanFunctions
+    val e = Tables.events(s, d).where(col("value").isNotNull)
+      .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
+    val stats = e.groupBy("user_id").agg(
+      CleanFunctions.exactSum(col("value")).as("sx"),
+      CleanFunctions.exactSum(col("value") * col("value")).as("sxx"),
+      count(col("value")).cast(DoubleType).as("n"))
+    val z = e.join(stats, "user_id")
+      .withColumn("zr", CleanFunctions.round6(
+        (col("value") - col("sx") / col("n")) /
+          nullif(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")),
+            lit(0.0))))
+      .where(col("zr").isNotNull)
+      .select("user_id", "event_id", "tsu", "zr")
+    TS.sequences(z, Seq("user_id"), Seq("tsu", "event_id"), "zr", len, "seq")
+  }
+
+  /** The z CTE prefix both fence oracles share (the DuckDB twin of
+    * [[zScoreWindows]] up to the window step).
+    */
+  private def zCtePrefix: String = {
+    import graft.functions.CleanFunctions
+    s"""e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value
+       |  FROM events WHERE value IS NOT NULL),
+       |st AS (SELECT user_id,
+       |  ${CleanFunctions.exactSumSql("value")} AS sx,
+       |  ${CleanFunctions.exactSumSql("value * value")} AS sxx,
+       |  CAST(count(value) AS DOUBLE) AS n
+       |  FROM e GROUP BY user_id),
+       |z AS (SELECT e.event_id, e.user_id, e.tsu,
+       |  ${CleanFunctions.round6Sql(s"(value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)")} AS zr
+       |  FROM e JOIN st USING (user_id)),
+       |zz AS (SELECT * FROM z WHERE zr IS NOT NULL)""".stripMargin
+  }
+
   def featurePipeline(s: SparkSession, d: String): DataFrame = {
     val featureCols =
       Lags.map(l => s"value_lag_$l") ++
@@ -127,28 +177,31 @@ object PipelineQueries {
     // exact-hash gate — the rows-only surface of ts_ae_recon shrinks to
     // the SGD step itself.
     "ts_ae_forward" -> { (s, d) =>
-      import org.apache.spark.sql.types.DoubleType
-      import graft.functions.CleanFunctions
-      val e = Tables.events(s, d).where(col("value").isNotNull)
-        .withColumn("tsu", CleanFunctions.epochUs(col("ts")))
-      val stats = e.groupBy("user_id").agg(
-        CleanFunctions.exactSum(col("value")).as("sx"),
-        CleanFunctions.exactSum(col("value") * col("value")).as("sxx"),
-        count(col("value")).cast(DoubleType).as("n"))
-      val z = e.join(stats, "user_id")
-        .withColumn("zr", CleanFunctions.round6(
-          (col("value") - col("sx") / col("n")) /
-            nullif(CleanFunctions.momentStd(col("n"), col("sx"), col("sxx")),
-              lit(0.0))))
-        .where(col("zr").isNotNull)
-        .select("user_id", "event_id", "tsu", "zr")
-      val seqs = TS.sequences(z, Seq("user_id"), Seq("tsu", "event_id"),
-        "zr", AeSeqLen, "seq")
-      graft.operators.MlpAutoencoder.scoreWith(seqs, "seq",
+      graft.operators.MlpAutoencoder.scoreWith(
+          zScoreWindows(s, d, AeSeqLen), "seq",
           graft.operators.MlpAutoencoder.init(AeSeqLen, AeHidden, AeSeed),
           AeSeqLen, AeHidden, graft.operators.MlpAutoencoder.portableTanh)
         .select(col("event_id"),
-          CleanFunctions.round4(col("recon_err")).as("recon_err"))
+          graft.functions.CleanFunctions.round4(col("recon_err")).as("recon_err"))
+        .orderBy("event_id")
+    },
+
+    // Exact-oracle fence on the RECURRENT inference path — the LSTM
+    // twin of ts_ae_forward: the production LstmAutoencoder
+    // encoder→bottleneck→decoder→FC forward loops (lstmStep /
+    // stackForward / forwardLoss, dim-generic, here at f=1 l=6 h=4 b=2)
+    // run with 0-epoch seeded weights under the portable round6
+    // activations; the generated oracle replays every gate chain, cell
+    // update and output term in the identical fold order. The
+    // unverified surface of ts_lstm_recon shrinks to BPTT itself.
+    "ts_lstm_forward" -> { (s, d) =>
+      import graft.operators.{LstmAutoencoder, MlpAutoencoder}
+      LstmAutoencoder.scoreWith(
+          zScoreWindows(s, d, LstmFenceDims.l), "seq",
+          LstmAutoencoder.init(LstmFenceDims, LstmFenceSeed), LstmFenceDims,
+          MlpAutoencoder.portableTanh, LstmAutoencoder.portableSigmoid)
+        .select(col("event_id"),
+          graft.functions.CleanFunctions.round4(col("recon_err")).as("recon_err"))
         .orderBy("event_id")
     },
 
@@ -211,17 +264,7 @@ object PipelineQueries {
       val errChain = (0 until L).foldLeft("0.0")((acc, j) =>
         s"($acc + (xh$j - x$j) * (xh$j - x$j))")
       val xPass = (0 until L).map(j => s"x$j").mkString(", ")
-      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, value
-         |  FROM events WHERE value IS NOT NULL),
-         |st AS (SELECT user_id,
-         |  ${CleanFunctions.exactSumSql("value")} AS sx,
-         |  ${CleanFunctions.exactSumSql("value * value")} AS sxx,
-         |  CAST(count(value) AS DOUBLE) AS n
-         |  FROM e GROUP BY user_id),
-         |z AS (SELECT e.event_id, e.user_id, e.tsu,
-         |  ${CleanFunctions.round6Sql(s"(value - sx / n) / nullif(${CleanFunctions.momentStdSql("n", "sx", "sxx")}, 0.0)")} AS zr
-         |  FROM e JOIN st USING (user_id)),
-         |zz AS (SELECT * FROM z WHERE zr IS NOT NULL),
+      s"""WITH $zCtePrefix,
          |win AS (SELECT event_id,
          |  $winCols,
          |  row_number() OVER w AS rn
@@ -238,6 +281,117 @@ object PipelineQueries {
          |SELECT event_id,
          |  ${CleanFunctions.round4Sql(s"($errChain) / $L.0")} AS recon_err
          |FROM dec ORDER BY event_id""".stripMargin
+    },
+
+    // Generated term-for-term replay of the LSTM forward pass (the
+    // ts_ae_forward convention, recurrent): one CTE per pipeline stage —
+    // gate pre-activation chains (bias, then x terms, then h terms, in
+    // exact while-loop order), gate activations (portable round6
+    // sigmoid/tanh with the same saturation guards), cell update
+    // f*c + i*g, h = o*tanh(c), the tanh bottleneck, the code REPEATED
+    // as decoder input at every step (x0Stride=0), the output FC and
+    // the 0.0-seeded squared-diff fold over t, / (l*f).
+    "ts_lstm_forward" -> {
+      import graft.functions.CleanFunctions
+      val dm = LstmFenceDims
+      val p = graft.operators.LstmAutoencoder.init(dm, LstmFenceSeed)
+      val L = dm.l; val H = dm.h; val B = dm.b
+      def dl(x: Double) = CleanFunctions.dlitSql(x)
+      def sig(a: String) =
+        s"CASE WHEN $a >= 16.0 THEN 1.0 WHEN $a <= -16.0 THEN 0.0 ELSE " +
+          CleanFunctions.round6Sql(s"1.0 / (1.0 + exp(-($a)))") + " END"
+      def tnh(a: String) =
+        s"CASE WHEN $a >= 9.0 THEN 1.0 WHEN $a <= -9.0 THEN -1.0 ELSE " +
+          CleanFunctions.round6Sql(s"(exp(2.0 * ($a)) - 1.0) / (exp(2.0 * ($a)) + 1.0)") + " END"
+      // One stack's 4 CTEs for step t (JVM 0-based): gate pre-activation
+      // chains, activations, cell, hidden. `xTerm(j)` renders input
+      // element j at this step; pfx names the stack (e/d).
+      def stepCtes(pfx: String, t: Int, base0: Int, gateSize: Int, in: Int,
+                   xTerm: Int => String): Seq[String] = {
+        val gname = Seq("i", "f", "o", "g")
+        val aCols = (0 until 4).flatMap { gi =>
+          val base = base0 + gi * gateSize
+          val uBase = base + H * in
+          val bBase = uBase + H * H
+          (0 until H).map { i =>
+            val withX = (0 until in).foldLeft(dl(p(bBase + i)))((acc, j) =>
+              s"($acc + ${dl(p(base + i * in + j))} * ${xTerm(j)})")
+            val chain = (0 until H).foldLeft(withX)((acc, j) =>
+              s"($acc + ${dl(p(uBase + i * H + j))} * ${pfx}h${t}_$j)")
+            s"$chain AS ${pfx}a${t}_${gname(gi)}$i"
+          }
+        }.mkString(",\n  ")
+        val gCols = (0 until 4).flatMap { gi =>
+          (0 until H).map { i =>
+            val a = s"${pfx}a${t}_${gname(gi)}$i"
+            val act = if (gi == 3) tnh(a) else sig(a)
+            s"$act AS ${pfx}g${t}_${gname(gi)}$i"
+          }
+        }.mkString(",\n  ")
+        val cCols = (0 until H).map(i =>
+          s"(${pfx}g${t}_f$i * ${pfx}c${t}_$i + ${pfx}g${t}_i$i * ${pfx}g${t}_g$i) AS ${pfx}c${t + 1}_$i"
+        ).mkString(",\n  ")
+        val hCols = (0 until H).map(i =>
+          s"(${pfx}g${t}_o$i * ${tnh(s"${pfx}c${t + 1}_$i")}) AS ${pfx}h${t + 1}_$i"
+        ).mkString(",\n  ")
+        Seq(s"${pfx}sa$t AS (SELECT *,\n  $aCols\n  FROM ${if (t == 0) s"${pfx}s0" else s"${pfx}sh${t - 1}"})",
+          s"${pfx}sg$t AS (SELECT *,\n  $gCols\n  FROM ${pfx}sa$t)",
+          s"${pfx}sc$t AS (SELECT *,\n  $cCols\n  FROM ${pfx}sg$t)",
+          s"${pfx}sh$t AS (SELECT *,\n  $hCols\n  FROM ${pfx}sc$t)")
+      }
+      val winCols = (0 until L)
+        .map(j => s"lag(zr, ${L - 1 - j}) OVER w AS x$j").mkString(",\n  ")
+      val zeroState = (pfx: String) => (0 until H)
+        .map(i => s"CAST(0.0 AS DOUBLE) AS ${pfx}h0_$i, CAST(0.0 AS DOUBLE) AS ${pfx}c0_$i")
+        .mkString(",\n  ")
+      val encCtes = (0 until L).flatMap(t =>
+        stepCtes("e", t, dm.encBase(0), dm.encGate(0), dm.encIn(0),
+          j => { require(j == 0, "univariate fence"); s"x$t" }))
+      // Bottleneck: chain over the top encoder h at row L, then tanh.
+      val bottA = (0 until B).map { bi =>
+        val chain = (0 until H).foldLeft(dl(p(dm.oBott + B * H + bi)))((acc, j) =>
+          s"($acc + ${dl(p(dm.oBott + bi * H + j))} * eh${L}_$j)")
+        s"$chain AS ba$bi"
+      }.mkString(",\n  ")
+      val bottCv = (0 until B).map(bi => s"${tnh(s"ba$bi")} AS cv$bi")
+        .mkString(",\n  ")
+      val decCtes = (0 until L).flatMap(t =>
+        stepCtes("d", t, dm.decBase(0), dm.decGate(0), dm.decIn(0),
+          j => s"cv$j"))
+      // Output FC per step + the 0.0-seeded loss fold (f=1: one term
+      // per step, t ascending), / (l*f).
+      val outCols = (0 until L).map { t =>
+        val chain = (0 until H).foldLeft(dl(p(dm.oOut + dm.f * H + 0)))((acc, i) =>
+          s"($acc + ${dl(p(dm.oOut + 0 * H + i))} * dh${t + 1}_$i)")
+        s"$chain AS xh$t"
+      }.mkString(",\n  ")
+      val errChain = (0 until L).foldLeft("0.0")((acc, t) =>
+        s"($acc + (xh$t - x$t) * (xh$t - x$t))")
+      s"""WITH $zCtePrefix,
+         |win AS (SELECT event_id,
+         |  $winCols,
+         |  row_number() OVER w AS rn
+         |  FROM zz WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         |es0 AS (SELECT *,
+         |  ${zeroState("e")}
+         |  FROM win WHERE rn >= $L),
+         |${encCtes.mkString(",\n")},
+         |bt AS (SELECT *,
+         |  $bottA
+         |  FROM esh${L - 1}),
+         |cv AS (SELECT *,
+         |  $bottCv
+         |  FROM bt),
+         |ds0 AS (SELECT *,
+         |  ${zeroState("d")}
+         |  FROM cv),
+         |${decCtes.mkString(",\n")},
+         |outq AS (SELECT *,
+         |  $outCols
+         |  FROM dsh${L - 1})
+         |SELECT event_id,
+         |  ${CleanFunctions.round4Sql(s"($errChain) / ${L * dm.f}.0")} AS recon_err
+         |FROM outq ORDER BY event_id""".stripMargin
     },
 
     "events_training_set" -> {

@@ -30,6 +30,63 @@ class LstmAutoencoderSpec extends AnyFunSuite {
   private def recall(flagged: Set[Long]): Double =
     SpikeAt.count(flagged.contains).toDouble / SpikeAt.size
 
+  test("scoreWith: hand-indexed scalar math reproduces the forward loops bit-for-bit (l=2 h=1 b=1 model)") {
+    // Every parameter index written out explicitly against the layout
+    // doc — a transposition, gate-order or state-threading defect in
+    // lstmStep/stackForward/forwardLoss cannot match. Layout at
+    // f=1,l=2,h=1,b=1: enc gates 4x3 at 0..11 (per gate: W,U,b; forget
+    // bias p(5) init convention not used — params here are arbitrary),
+    // Wb=12 bb=13, dec gates 4x3 at 14..25, Wo=26 bo=27.
+    val d = LstmDims(f = 1, l = 2, h = 1, b = 1)
+    assert(d.total == 28)
+    val p = Array.tabulate(28)(i => 0.03 * (i % 7) - 0.09)
+    val tnh = MlpAutoencoder.portableTanh _
+    val sg = LstmAutoencoder.portableSigmoid _
+    val x = Seq(0.5, -0.3)
+    def cell(xv: Double, hP: Double, cP: Double): (Double, Double) = {
+      val ig = sg(p(2) + p(0) * xv + p(1) * hP)
+      val fg = sg(p(5) + p(3) * xv + p(4) * hP)
+      val og = sg(p(8) + p(6) * xv + p(7) * hP)
+      val gg = tnh(p(11) + p(9) * xv + p(10) * hP)
+      val c = fg * cP + ig * gg
+      (og * tnh(c), c)
+    }
+    val (eh1, ec1) = cell(x(0), 0.0, 0.0)
+    val (eh2, _) = cell(x(1), eh1, ec1)
+    val cv = tnh(p(13) + p(12) * eh2)
+    def dcell(hP: Double, cP: Double): (Double, Double) = {
+      val ig = sg(p(16) + p(14) * cv + p(15) * hP)
+      val fg = sg(p(19) + p(17) * cv + p(18) * hP)
+      val og = sg(p(22) + p(20) * cv + p(21) * hP)
+      val gg = tnh(p(25) + p(23) * cv + p(24) * hP)
+      val c = fg * cP + ig * gg
+      (og * tnh(c), c)
+    }
+    val (dh1, dc1) = dcell(0.0, 0.0)
+    val (dh2, _) = dcell(dh1, dc1)
+    val xh0 = p(27) + p(26) * dh1
+    val xh1 = p(27) + p(26) * dh2
+    val expected =
+      (0.0 + (xh0 - x(0)) * (xh0 - x(0)) + (xh1 - x(1)) * (xh1 - x(1))) / 2
+    val out = LstmAutoencoder.scoreWith(
+        Seq((1L, x)).toDF("id", "seq"), "seq", p, d, tnh, sg)
+      .select("recon_err").as[Double].collect()
+    assert(out.length == 1 && out(0) == expected,
+      s"got ${out.toSeq}, expected $expected")
+  }
+
+  test("portableSigmoid: saturation continuous with the round6 formula, monotone, complements at 0") {
+    assert(LstmAutoencoder.portableSigmoid(16.0) == 1.0)
+    assert(LstmAutoencoder.portableSigmoid(-16.0) == 0.0)
+    assert(LstmAutoencoder.portableSigmoid(15.9999) == 1.0)
+    assert(LstmAutoencoder.portableSigmoid(-15.9999) == 0.0)
+    assert(LstmAutoencoder.portableSigmoid(0.0) == 0.5)
+    assert(LstmAutoencoder.portableSigmoid(1000.0) == 1.0, "overflow region saturates, never NaN")
+    val s = LstmAutoencoder.portableSigmoid(0.7)
+    assert(s > 0.5 && s < 1.0)
+    assert(s == graft.functions.CleanFunctions.round6Jvm(s), "gate activation is round6-quantized")
+  }
+
   test("BPTT gradient matches central finite differences on every parameter") {
     val d = LstmDims(f = 2, l = 5, h = 4, b = 3)
     val rng = new scala.util.Random(11)
