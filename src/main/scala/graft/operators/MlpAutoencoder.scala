@@ -74,7 +74,7 @@ object MlpAutoencoder {
     * exact-hash oracle gate.
     */
   private def forward(p: Params, xc: Array[Double], seqLen: Int, hidden: Int,
-                      activation: Double => Double = math.tanh)
+                      activation: Double => Double = null)
       : (Array[Double], Array[Double]) = {
     val h = new Array[Double](hidden)
     var i = 0
@@ -82,7 +82,10 @@ object MlpAutoencoder {
       var a = p.b1(i)
       var j = 0
       while (j < seqLen) { a += p.w(i * seqLen + j) * xc(j); j += 1 }
-      h(i) = activation(a)
+      // null = the production math.tanh, kept as a static JIT-inlinable
+      // call (the LstmAutoencoder lstmStep lesson: an unconditional
+      // function value in the hot loop measurably slows scoring).
+      h(i) = if (activation eq null) math.tanh(a) else activation(a)
       i += 1
     }
     val xhat = new Array[Double](seqLen)
@@ -151,7 +154,7 @@ object MlpAutoencoder {
   }
 
   private def meanError(p: Params, xc: Array[Double], seqLen: Int, hidden: Int,
-                        activation: Double => Double = math.tanh): Double = {
+                        activation: Double => Double = null): Double = {
     val (_, xhat) = forward(p, xc, seqLen, hidden, activation)
     var s = 0.0
     var j = 0
@@ -172,7 +175,7 @@ object MlpAutoencoder {
     */
   def scoreWith(seqs: DataFrame, seqCol: String, p: Params,
                 seqLen: Int, hidden: Int,
-                activation: Double => Double = math.tanh): DataFrame = {
+                activation: Double => Double = null): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, StructType}
     require(p.w.length == hidden * seqLen && p.b1.length == hidden &&
