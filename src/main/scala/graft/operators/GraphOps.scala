@@ -38,13 +38,12 @@ object GraphOps {
     */
   def minLabelPropagate(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
     val spark = edges.sparkSession
-    val sym = edges.select(col("x"), col("y"))
+    val sym0 = edges.select(col("x"), col("y"))
       .union(edges.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint()
     // Size the ROUND shuffles to the materialized edge volume, not the
-    // session's batch width: each round is 3 joins + an agg + a count,
-    // and every one of those shuffles schedules `shuffle.partitions`
-    // tasks per round regardless of data size — on a few-thousand-edge
+    // session's batch width: each round schedules `shuffle.partitions`
+    // tasks per exchange regardless of data size — on a few-thousand-edge
     // graph that is pure scheduling overhead x rounds. ~50k edges per
     // partition keeps tasks meaningfully sized; a 100 TB corpus's edge
     // set sizes this straight back up to the session width. The conf is
@@ -53,13 +52,23 @@ object GraphOps {
     // width.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      sym.count() / 50000L + 1L))
+      sym0.count() / 50000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
+      // Pre-partition the symmetrized edges by x ONCE (r16 optimization,
+      // guide §2.4): localCheckpoint preserves the hash partitioning, so
+      // the seed aggregation (groupBy x) and every round's neighbor-min
+      // join (on x) reuse the layout — the EDGE table, the only
+      // corpus-proportional side of the loop, is never exchanged again.
+      // The old shape re-shuffled sym TWICE per round (the prop subtree
+      // was duplicated under the pointer-jump self-join).
+      val sym = sym0.repartition(parts.toInt, col("x")).localCheckpoint()
       // Seed with min(id, min neighbor) — the result of the first
-      // identity-label round, folded into one aggregate (every node appears
-      // as some y because edges are symmetrized), saving a full round.
-      var labels = sym.groupBy(col("y").as("id")).agg(min(col("x")).as("nbl"))
+      // identity-label round, folded into one aggregate. groupBy(x) over
+      // the symmetrized edges is the same relation as the old groupBy(y)
+      // (every (a,b) has its mirror (b,a)) and is exchange-free on the
+      // x-partitioned layout.
+      var labels: DataFrame = sym.groupBy(col("x").as("id")).agg(min(col("y")).as("nbl"))
         .select(col("id"), least(col("id"), col("nbl")).as("lbl"))
         .localCheckpoint()
       var round = 0
@@ -67,19 +76,27 @@ object GraphOps {
       while (!converged && round < maxRounds) {
         val nb = sym.join(labels, sym("x") === labels("id"))
           .groupBy(sym("y").as("id")).agg(min(col("lbl")).as("nbl"))
+        // Carry the PREVIOUS label through the round so convergence is a
+        // checkpoint-local filter+count instead of a per-round join of
+        // two label tables (one fewer shuffle per round), and checkpoint
+        // prop so the pointer-jump self-join below reads materialized
+        // blocks instead of duplicating the whole neighbor-min subtree
+        // into both join branches.
         val prop = labels.join(nb, Seq("id"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+          .select(col("id"), least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
+            col("lbl").as("prev"))
+          .localCheckpoint()
         // Pointer jumping: chase one level of indirection through the label
         // table itself — turns O(diameter) convergence into O(log diameter).
         val next = prop.as("n")
           .join(prop.select(col("id").as("jid"), col("lbl").as("jlbl")).as("m"),
             col("n.lbl") === col("jid"), "left")
           .select(col("n.id").as("id"),
-            least(col("n.lbl"), coalesce(col("jlbl"), col("n.lbl"))).as("lbl"))
+            least(col("n.lbl"), coalesce(col("jlbl"), col("n.lbl"))).as("lbl"),
+            col("n.prev").as("prev"))
           .localCheckpoint()
-        val changed = next.as("n").join(labels.as("p"), "id")
-          .filter(col("n.lbl") =!= col("p.lbl")).count()
-        labels = next
+        val changed = next.filter(col("lbl") =!= col("prev")).count()
+        labels = next.select(col("id"), col("lbl"))
         converged = changed == 0
         round += 1
       }

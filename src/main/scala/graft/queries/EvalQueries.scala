@@ -234,13 +234,24 @@ object EvalQueries {
     // 6dp-quantized scores — documented delta, fixpoint direction
     // identical). O(edges) per half-step, O(nations) state.
     "nation_hits" -> { (s, d) =>
-      val ew = tradeEdges(s, d)
+      // localCheckpoint the aggregated edge table (≤ |nations|² rows —
+      // bounded by the fixed nation dimension at any corpus scale): the
+      // iteration below references it 2×HitsIters times, and without
+      // lineage truncation the final plan re-scans the corpus-scale
+      // lineitem join chain once per reference (r16 optimization, guide
+      // §2.4/§3.3 — materialize the small intermediate, scan the corpus
+      // once).
+      val ew = tradeEdges(s, d).localCheckpoint()
       val nodes = Tables.nation(s, d).select(col("n_nationkey").as("node"))
       val nn = nodes.agg(count(lit(1)).cast(DoubleType).as("nd"))
       var hub = nodes.crossJoin(broadcast(nn))
         .select(col("node"), round6(lit(1.0) / col("nd")).as("h"))
       var auth = nodes.crossJoin(broadcast(nn))
         .select(col("node"), round6(lit(1.0) / col("nd")).as("a"))
+      // hub/auth deliberately NOT checkpointed per iteration (r16
+      // measurement note): the deep 3-iteration plan over the tiny
+      // checkpointed ew scans re-plans fast enough that adding 6 more
+      // materialization barriers measured SLOWER (3.53 s vs 3.16 s).
       for (_ <- 1 to HitsIters) {
         val aRaw = ew.join(hub, ew("src") === hub("node"))
           .select(col("dst"), round6(col("h") * col("w").cast(DoubleType)).cast(DecimalType(18, 6)).as("c"))
@@ -1502,7 +1513,15 @@ object EvalQueries {
       var und = e.select(col("src").as("a"), col("dst").as("b"))
         .union(e.select(col("dst").as("a"), col("src").as("b"))).distinct()
         .localCheckpoint()
-      for (_ <- 1 to 8) {
+      // Early exit when a round removes no edge (r16 optimization):
+      // peeling only ever deletes rows, so an unchanged count is the
+      // fixpoint and every remaining round is a no-op — same result as
+      // the full 8-round unroll (the defined quantity), typically in 2-3
+      // rounds. The count is a cheap scan of the just-checkpointed
+      // blocks.
+      var remaining = und.count()
+      var stable = false
+      for (_ <- 1 to 8 if !stable) {
         val surv = und.groupBy("a").agg(count(lit(1)).as("deg"))
           .where(col("deg") >= 3L).select(col("a").as("keep"))
         und = und
@@ -1510,6 +1529,9 @@ object EvalQueries {
           .join(surv.withColumnRenamed("keep", "keepb"), col("b") === col("keepb"))
           .drop("keepb")
           .localCheckpoint()
+        val n = und.count()
+        stable = n == remaining
+        remaining = n
       }
       und.groupBy("a").agg(count(lit(1)).as("core_degree"))
         .join(broadcast(Tables.nation(s, d)), col("a") === col("n_nationkey"))

@@ -752,6 +752,13 @@ object RelationalQueries {
         .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       val outw = edges.groupBy("src").agg(sum(col("w")).as("wout"))
+      // NOT localCheckpoint'ed (r16 optimization note): the 3 rank
+      // iterations re-reference this subtree, but AQE's exchange reuse
+      // already dedupes the corpus-scale join chain at run time — an
+      // eager checkpoint here MEASURED SLOWER (0.60 s → 1.03 s at sf0.1)
+      // because it adds a materialization barrier the reuse makes
+      // redundant. Contrast nation_hits, whose deeper two-chain plan
+      // defeated reuse and did win from the checkpoint.
       val ew = edges.join(outw, "src")
         .select(col("src"), col("dst"),
           (col("w").cast(DoubleType) / col("wout").cast(DoubleType)).as("p"))

@@ -388,12 +388,20 @@ object StreamingAnomaly {
         "for corpus-scale ingest")
     val ms = MemoryStream[A](spark)
     sinkAndDrain(spark, queryName, xform(ms.toDS())) { q =>
+      // Data and punctuation enqueued BEFORE one drain (r16 optimization):
+      // MemoryStream serves every pending block in a single micro-batch,
+      // so the replay runs 2 batches (data+marker, then the
+      // watermark-advance emission batch) instead of 4. Emitted rows are
+      // identical: all data rows already arrived in one batch before, the
+      // marker is its own key so no fold state changes, and the final
+      // watermark — which decides every append-mode emission and
+      // EventTimeTimeout — is the same max-event-time-minus-delay either
+      // way; processAllAvailable still drains the trailing emission batch
+      // (stateful operators request one more batch when the watermark
+      // advances).
       ms.addData(rows)
+      punctuation.foreach(p => ms.addData(Seq(p)))
       q.processAllAvailable()
-      punctuation.foreach { p =>
-        ms.addData(Seq(p))
-        q.processAllAvailable()
-      }
     }
   }
 
