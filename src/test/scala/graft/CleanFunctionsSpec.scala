@@ -74,4 +74,57 @@ class CleanFunctionsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("s") - r.getAs[Double]("p")) < 1e-9)
     }
   }
+
+  test("round4Jvm/round6Jvm fast path is bit-identical to the BigDecimal formulation") {
+    // r16 optimization fence: the Jvm replicas dropped the per-call
+    // BigDecimal (Double.toString parse + alloc) for pure double
+    // arithmetic. This property test pins the NEW implementation to the
+    // OLD one — the exact semantics Catalyst's Round(double) has — over
+    // seeded random magnitudes and every boundary class the equivalence
+    // argument leans on.
+    def ref(v: Double, scale: Double): Double =
+      if (v.isNaN || v.isInfinite) v
+      else {
+        val scaled = v * scale
+        if (scaled.isInfinite) scaled / scale
+        else java.math.BigDecimal.valueOf(scaled)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() / scale + 0.0
+      }
+    def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+    def check(v: Double): Unit = {
+      val r4n = CleanFunctions.round4Jvm(v); val r4o = ref(v, 10000.0)
+      val r6n = CleanFunctions.round6Jvm(v); val r6o = ref(v, 1000000.0)
+      assert(bits(r4n) == bits(r4o) || (r4n.isNaN && r4o.isNaN),
+        s"round4Jvm($v): new=$r4n old=$r4o")
+      assert(bits(r6n) == bits(r6o) || (r6n.isNaN && r6o.isNaN),
+        s"round6Jvm($v): new=$r6n old=$r6o")
+    }
+    // Boundary classes: exact half-integer ties at both scales (pos/neg),
+    // the inexact-subtraction trap x = -(0.5 - 2^-54) scaled back, signed
+    // zero, non-finite, overflow region, subnormals, 2^52/2^53 edges.
+    val pow54 = math.pow(2.0, -54)
+    val crafted = Seq(
+      0.0, -0.0, Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      1.8e304, -1.8e304, Double.MaxValue / 1e4, Double.MinPositiveValue,
+      -Double.MinPositiveValue, 4.9e-324, 1e-320,
+      (0.5 - pow54) / 1e4, -(0.5 - pow54) / 1e4,
+      (0.5 - pow54) / 1e6, -(0.5 - pow54) / 1e6,
+      (0.5 + math.pow(2.0, -53)) / 1e6, -(0.5 + math.pow(2.0, -53)) / 1e6,
+      math.pow(2.0, 52) / 1e6, (math.pow(2.0, 52) - 0.5) / 1e6,
+      math.pow(2.0, 53) / 1e6, -(math.pow(2.0, 52) - 0.5) / 1e6) ++
+      (-20 to 20).flatMap(n => Seq(
+        (n + 0.5) / 1e4, (n + 0.5) / 1e6,   // exact ties
+        (n + 0.49999999999) / 1e6, (n + 0.50000000001) / 1e6,
+        n / 1e4, n / 1e6,
+        math.nextUp((n + 0.5)) / 1e6, math.nextDown((n + 0.5)) / 1e6))
+    crafted.foreach(check)
+    val rnd = new scala.util.Random(42)
+    (1 to 200000).foreach { _ =>
+      val mag = math.pow(10.0, rnd.nextInt(25) - 12)
+      check((rnd.nextDouble() - 0.5) * mag)
+      // near-tie stress: random integer + noise around .5 at round6 scale
+      val n = rnd.nextInt(2000000) - 1000000
+      check((n + 0.5 + (rnd.nextDouble() - 0.5) * 1e-12) / 1e6)
+    }
+  }
 }
