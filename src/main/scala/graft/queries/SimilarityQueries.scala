@@ -495,11 +495,18 @@ object SimilarityQueries {
       import graft.functions.CleanFunctions.{round4, round6}
       val dec = DecimalType(28, 10)
       val e = Tables.embeddings(s, d).cache()
-      val mu = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("pos"))
-        .agg(round6(sum(col("v").cast(DoubleType).cast(dec)).cast(DoubleType) /
-          count(col("v"))).as("m"))
-        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+      // Per-dim means in ONE 64-column grouped-less aggregate (r16
+      // optimization, guide §2.3 — the old posexplode shuffled
+      // rows x dim exploded records per pass; a decimal sum per
+      // dimension is order-blind, so summing element_at columns
+      // map-side-partial produces the identical doubles with no explode
+      // and no exchange beyond the single-row gather).
+      val muRow = e.select((0 until EmbDim).flatMap(i => Seq(
+        sum(element_at(col("embedding"), i + 1).cast(DoubleType).cast(dec)).as(s"s$i"),
+        count(element_at(col("embedding"), i + 1)).as(s"c$i"))): _*).head()
+      val mu = (0 until EmbDim).map(i =>
+        graft.functions.CleanFunctions.round6Jvm(
+          muRow.getDecimal(2 * i).doubleValue() / muRow.getLong(2 * i + 1)))
       // Doubles cross the driver/plan boundary as CAST('<toString>' AS
       // DOUBLE): shortest-round-trip print + correctly-rounded parse
       // recovers the exact double in both engines, where a bare SQL
@@ -510,16 +517,24 @@ object SimilarityQueries {
         s"zip_with(embedding, ${arr(mu.toSeq)}, (x, m) -> " +
           "round((CAST(x AS DOUBLE) - m) * 1000000.0) / 1000000.0)").as("xc"))
         .cache()
-      def sCol(v: Seq[Double]) = expr(
-        s"aggregate(zip_with(xc, ${arr(v)}, (a, b) -> a * b), " +
-          "CAST(0.0 AS DOUBLE), (acc, y) -> acc + y)")
+      // The projection fold as a literal left-associated add chain —
+      // bit-identical to the old `aggregate(zip_with(...))` higher-order
+      // function (same IEEE order incl. the 0.0 seed) but whole-stage
+      // codegen'd instead of per-element lambda interpretation.
+      def sCol(v: Seq[Double]): org.apache.spark.sql.Column =
+        (lit(0.0) +: (0 until EmbDim).map(i =>
+          element_at(col("xc"), i + 1) * lit(v(i)))).reduceLeft(_ + _)
       var v: Seq[Double] = Seq.fill(EmbDim)(0.125)
       for (_ <- 1 to PowerIters) {
-        val w = base.select(sCol(v).as("sc"), posexplode(col("xc")).as(Seq("pos", "x")))
-          .groupBy(col("pos"))
-          .agg(sum(round6(col("sc") * col("x")).cast(DecimalType(28, 6)))
-            .cast(DoubleType).as("w"))
-          .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2).toSeq
+        // Matvec as 64 decimal-sum columns over one pass (same
+        // order-blind per-element round6(sc*x) terms the exploded
+        // formulation summed — identical doubles, no explode shuffle).
+        val wRow = base.withColumn("sc", sCol(v))
+          .select((0 until EmbDim).map(i =>
+            sum(round6(col("sc") * element_at(col("xc"), i + 1))
+              .cast(DecimalType(28, 6))).cast(DoubleType).as(s"w$i")): _*)
+          .head()
+        val w = (0 until EmbDim).map(i => wRow.getDouble(i)).toSeq
         val norm = math.sqrt(w.foldLeft(0.0)((acc, x) => acc + x * x))
         require(norm > 0.0, "emb_top_direction: degenerate corpus (zero matvec)")
         v = w.map(_ / norm)
