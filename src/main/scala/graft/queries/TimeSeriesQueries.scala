@@ -546,33 +546,45 @@ object TimeSeriesQueries {
     // (series, lag)) — the correlogram a seasonality/AR-order analysis
     // actually plots; same clamped exact-moment machinery as ts_acf, 72
     // aggregate columns in ONE grouped pass, stacked to rows at the end.
+    // r16 shape: the historical wide form (72 aggregate columns over 12
+    // lag columns + 12 momentCorr trees) fell out of whole-stage codegen
+    // (HashAggregate carried no codegen id) and its interpreted first
+    // evaluation paid ~20 s of JIT warm-up inside ts_ess; stacking the
+    // (x, y_k) pairs long FIRST leaves one 6-aggregate group-by and ONE
+    // momentCorr expression — codegen-friendly and 12x fewer expression
+    // trees. Group set and sums are unchanged: stack emits all 12 lag
+    // rows per input row (null y rows included, so short series still
+    // produce their null-acf rows), and each per-(user, lag) decimal sum
+    // adds exactly the terms the wide form's when(valid, ...) casts
+    // added — DECIMAL addition is exact and order-blind, so every corr
+    // double is bit-identical. Oracle SQL unchanged.
     "ts_acf_full" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val dec = DecimalType(28, 6)
       val lags = 1 to 12
-      def moments(k: Int): Seq[org.apache.spark.sql.Column] = {
-        val x = col("value"); val y = col(s"y$k"); val valid = y.isNotNull
-        Seq(count(when(valid, 1)).cast("double").as(s"n$k"),
-          sum(when(valid, x).cast(dec)).cast("double").as(s"sx$k"),
-          sum(when(valid, y).cast(dec)).cast("double").as(s"sy$k"),
-          sum(when(valid, x * y).cast(dec)).cast("double").as(s"sxy$k"),
-          sum(when(valid, x * x).cast(dec)).cast("double").as(s"sxx$k"),
-          sum(when(valid, y * y).cast(dec)).cast("double").as(s"syy$k"))
-      }
-      def corrOf(k: Int) = CleanFunctions.round4(CleanFunctions.momentCorr(
-        col(s"n$k"), col(s"sx$k"), col(s"sy$k"),
-        col(s"sxy$k"), col(s"sxx$k"), col(s"syy$k")))
-      val base = lags.foldLeft(Tables.events(s, d)) { (df, k) =>
+      // spreadKeyed: the 12-lag window + decimal sums are compute-dense
+      // per row, so byte-based AQE coalescing starves the stage (2 of 32
+      // cores at sf0.1, measured 3.06 s -> 1.43 s); see Tables.spreadKeyed.
+      val base = lags.foldLeft(Tables.spreadKeyed(Tables.events(s, d), col("user_id"))) { (df, k) =>
         df.withColumn(s"y$k", lag(col("value"), k).over(w))
       }
-      val aggs = lags.flatMap(moments)
-      val stacked = "stack(12, " +
-        lags.map(k => s"CAST($k AS BIGINT), c$k").mkString(", ") + ") AS (lag_k, acf)"
-      base.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
-        .select(col("user_id") +: lags.map(k => corrOf(k).as(s"c$k")): _*)
-        .select(col("user_id"), expr(stacked))
+      val long = base.select(col("user_id"), col("value").as("x"),
+        expr("stack(12, " +
+          lags.map(k => s"CAST($k AS BIGINT), y$k").mkString(", ") + ") AS (lag_k, y)"))
+      val valid = col("y").isNotNull
+      long.groupBy("user_id", "lag_k")
+        .agg(count(when(valid, 1)).cast("double").as("n"),
+          sum(when(valid, col("x")).cast(dec)).cast("double").as("sx"),
+          sum(when(valid, col("y")).cast(dec)).cast("double").as("sy"),
+          sum(when(valid, col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+          sum(when(valid, col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+          sum(when(valid, col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+        .select(col("user_id"), col("lag_k"),
+          CleanFunctions.round4(CleanFunctions.momentCorr(
+            col("n"), col("sx"), col("sy"),
+            col("sxy"), col("sxx"), col("syy"))).as("acf"))
         .orderBy("user_id", "lag_k")
     },
 
@@ -787,7 +799,12 @@ object TimeSeriesQueries {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DoubleType
       val seasW = Window.partitionBy(col("user_id"), hour(col("ts")))
-      val res0 = Tables.events(s, d).where(col("value").isNotNull)
+      // spreadKeyed on user_id alone: HashPartitioning(user_id) satisfies
+      // the (user_id, hour) clustering of seasW AND every per-user round
+      // aggregate/window below, so the whole round chain inherits full
+      // width from one exchange (see Tables.spreadKeyed).
+      val res0 = Tables.spreadKeyed(
+          Tables.events(s, d).where(col("value").isNotNull), col("user_id"))
         .withColumn("r", graft.functions.CleanFunctions.round4(
           col("value") - graft.functions.CleanFunctions.exactMeanOver(col("value"), seasW)))
         .select("event_id", "user_id", "r")
@@ -837,7 +854,9 @@ object TimeSeriesQueries {
     "ts_shesd_anomalies" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val seasW = Window.partitionBy(col("user_id"), hour(col("ts")))
-      val res0 = Tables.events(s, d).where(col("value").isNotNull)
+      // Same spreadKeyed rationale as ts_esd_anomalies above.
+      val res0 = Tables.spreadKeyed(
+          Tables.events(s, d).where(col("value").isNotNull), col("user_id"))
         .withColumn("r", graft.functions.CleanFunctions.round4(
           col("value") - median(col("value")).over(seasW)))
         .select("event_id", "user_id", "r")

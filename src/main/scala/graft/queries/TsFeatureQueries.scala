@@ -865,7 +865,11 @@ object TsFeatureQueries {
     // errors 4dp-quantized into DECIMAL sums.
     "ts_ses_select" -> { (s, d) =>
       val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-      val withLags = (1 to SesSpan).foldLeft(events(s, d))((df, j) =>
+      // spreadKeyed: 20 lag columns x 5 alpha scorings per row — the
+      // compute-dense-window shape AQE byte-coalescing starves (see
+      // Tables.spreadKeyed).
+      val withLags = (1 to SesSpan).foldLeft(
+        graft.sources.Tables.spreadKeyed(events(s, d), col("user_id")))((df, j) =>
         df.withColumn(s"l$j", lag(col("value"), j).over(wo)))
       val errCols = SesAlphas.zipWithIndex.map { case (a, i) =>
         val terms = (1 to SesSpan).map { j =>

@@ -72,4 +72,27 @@ object Tables {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p, key) else df
   }
+
+  /** Pin a compute-dense per-key stage to the session's configured
+    * shuffle width (r16 guide §2.2): a window/aggregate keyed on `keys`
+    * placed directly above this repartition reuses its exchange, but —
+    * unlike the exchange the window would insert itself — an explicit
+    * user repartition is NOT coalesced by AQE. AQE sizes post-shuffle
+    * partitions by shuffle BYTES (advisoryPartitionSizeInBytes /
+    * minPartitionSize floors), which under-provisions stages whose
+    * per-row cost is dominated by expression evaluation rather than I/O
+    * (measured: ts_acf_full's 12-lag window + 72 decimal sums coalesced
+    * to 2 of 32 cores at sf0.1 — 3.06 s vs 1.43 s pinned; outputs
+    * bit-identical since every downstream aggregate here is exact/
+    * order-blind by the SURVEY §4 contract). At production scale the
+    * shuffle exceeds width × advisory bytes and this is a no-op by
+    * construction — same hash partitioning, same width the plain
+    * exchange would choose; `spark.sql.shuffle.partitions` remains the
+    * one scale knob. Plan cost: zero extra exchanges (the keyed shuffle
+    * existed either way).
+    */
+  def spreadKeyed(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(p, keys: _*)
+  }
 }
