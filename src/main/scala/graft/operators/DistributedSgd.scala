@@ -192,7 +192,19 @@ private[operators] object DistributedSgd {
     // Acceptable for fits that run minutes; for multi-hour 100 TB runs,
     // callers should checkpoint the windowed input to reliable storage
     // first and pass that in.
-    val full = seqs.filter(size(col(seqCol)) === dim).localCheckpoint()
+    // Checkpoint at the session's shuffle width, keyed on row content
+    // (r16, see Tables.spreadKeyed): `full` feeds the moments pass, the
+    // centered projection AND the caller's scoring materialization — all
+    // pure per-row or exact order-blind work — but inherits the upstream
+    // windowing exchange's AQE byte-coalesced layout (2-4 of 32 cores at
+    // sf0.1). The repartition is deterministic (hash of (keys, order)),
+    // and no downstream result depends on partitioning: moments are exact
+    // BigDecimal sums, training re-repartitions by content below, scoring
+    // is per-row, flagging is a per-key window.
+    val spreadCols = (keys ++ order).map(col)
+    val full = seqs.filter(size(col(seqCol)) === dim)
+      .repartition(spark.sessionState.conf.numShufflePartitions, spreadCols: _*)
+      .localCheckpoint()
     // Per-dimension mean (and, for standardize, population variance) in ONE
     // pass of EXACT BigDecimal arithmetic. Every double is exactly
     // representable as a BigDecimal, and exact sums/products are

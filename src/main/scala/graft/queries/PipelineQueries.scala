@@ -57,7 +57,14 @@ object PipelineQueries {
             lit(0.0))))
       .where(col("zr").isNotNull)
       .select("user_id", "event_id", "tsu", "zr")
-    TS.sequences(z, Seq("user_id"), Seq("tsu", "event_id"), "zr", len, "seq")
+    // spreadKeyed (r16): both fence entries run a compute-dense per-row
+    // scoreWith map (the LSTM fence alone makes ~37M round6 calls)
+    // directly over this frame, which otherwise inherits the sequencing
+    // window's AQE byte-coalesced 2-4 partitions. Per-row map + final
+    // orderBy(event_id) => bit-identical output at any width.
+    Tables.spreadKeyed(
+      TS.sequences(z, Seq("user_id"), Seq("tsu", "event_id"), "zr", len, "seq"),
+      col("event_id"))
   }
 
   /** The z CTE prefix both fence oracles share (the DuckDB twin of
