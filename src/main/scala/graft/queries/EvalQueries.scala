@@ -1835,12 +1835,22 @@ object EvalQueries {
     * to ≤ [[CoPurchaseMaxBlock]]. Shared by the component entries.
     */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val cp = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      .join(Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
-        date_trunc("week", col("o_orderdate")).as("w"))
+    // One explicit (p, w) repartition feeds the WHOLE block pipeline
+    // (r16, guide §2.4): HashPartitioning(p, w) satisfies the (c, p, w)
+    // distinct (subset clustering), the fence group-by, the fence join
+    // and the blocked self-join, so all five previously separate
+    // exchanges collapse into this one; only the final pair distinct
+    // still shuffles (by (x, y) — unavoidable, it dedups across blocks).
+    // Same rows at every step — distinct/group-by results don't depend
+    // on which partition a key lands in.
+    val cp = Tables.spreadKeyed(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"),
+            date_trunc("week", col("o_orderdate")).as("w")),
+        col("p"), col("w"))
       .distinct()
     val fence = cp.groupBy("p", "w").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2L && col("n") <= CoPurchaseMaxBlock.toLong)
