@@ -110,16 +110,20 @@ object TextQueries {
     var vocab = wf.withColumn("sym",
       concat(lit("·"), concat_ws("·",
         expr("filter(split(w, ''), x -> x != '')")), lit("·")))
-    val wp = Window.partitionBy("w").orderBy("pos")
     val merges = collection.mutable.Buffer[(Long, String, Long)]()
     for (k <- 1 to 8) {
+      // Adjacent symbol pairs built per row (r16): transform pairs each
+      // symbol with its successor (out-of-range index -> null nxt) and
+      // the slice drops the trailing element, so the pair multiset is
+      // exactly what the old posexplode + lead()-over-(w, pos) window
+      // produced — without a per-round exchange of the vocab table.
       val best = vocab
-        .select(col("w"), col("freq"),
-          posexplode(expr("filter(split(sym, '·'), x -> x != '')"))
-            .as(Seq("pos", "t")))
-        .withColumn("nxt", lead(col("t"), 1).over(wp))
-        .where(col("nxt").isNotNull)
-        .groupBy("t", "nxt").agg(sum(col("freq")).as("total"))
+        .withColumn("syms", expr("filter(split(sym, '·'), x -> x != '')"))
+        .select(col("freq"), explode(expr(
+          "slice(transform(syms, (x, i) -> struct(x AS t, get(syms, i + 1) AS nxt)), " +
+            "1, size(syms) - 1)")).as("pr"))
+        .groupBy(col("pr.t").as("t"), col("pr.nxt").as("nxt"))
+        .agg(sum(col("freq")).as("total"))
         .orderBy(desc("total"), col("t"), col("nxt")).limit(1).head
       val (x, y, tot) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((k.toLong, x + " " + y, tot))
