@@ -132,7 +132,14 @@ object CleanFunctions {
   def exactSum(c: Column): Column = sum(c.cast(SumDec)).cast(DoubleType)
 
   /** Corpus-proportional exact sum emitted as DECIMAL(38,6) — never
-    * cast to double. At ≥17 significant digits (a money sum over ~6M
+    * cast to double. UNUSED since r17: the driver's own r16 correctness
+    * gate hash-rejected decimal-typed output columns (q1_agg /
+    * q5_region_revenue were its only two hash_match=false entries while
+    * every double-emitting entry passed, and the same queries were
+    * driver-hash-GREEN as doubles in rounds 1-9), so declared queries
+    * emit DOUBLE again and this helper is kept only as the documented
+    * alternative for engines whose comparators accept decimals.
+    * Original rationale: at ≥17 significant digits (a money sum over ~6M
     * rows already gets there; any 100 TB sum is far past it) the
     * decimal→double casts of the two engines can disagree by 1 ulp:
     * Spark's BigDecimal.doubleValue is correctly rounded, DuckDB scales

@@ -1321,9 +1321,16 @@ object EvalQueries {
     "sql_topk_agg" -> { (s, d) =>
       graft.GraftExtensions.register(s)
       Tables.orders(s, d).createOrReplaceTempView("graft_orders_topk")
+      // Emission: the id list is joined to one CSV string (the
+      // ts_sequences precedent) — the driver's comparator cannot hash
+      // array-typed cells (its r16 record errored on this entry with
+      // "unhashable type: numpy.ndarray"); the aggregate itself is
+      // unchanged.
       s.sql(s"""
         SELECT o_custkey,
-          topk_det(CAST(o_totalprice AS DOUBLE), o_orderkey, 3) AS top_orders
+          array_join(transform(
+            topk_det(CAST(o_totalprice AS DOUBLE), o_orderkey, 3),
+            x -> CAST(x AS STRING)), ',') AS top_orders
         FROM graft_orders_topk GROUP BY o_custkey ORDER BY o_custkey""")
     },
 
@@ -2698,7 +2705,9 @@ object EvalQueries {
     // (score DESC, id) order, sliced to k.
     "sql_topk_agg" ->
       """SELECT o_custkey,
-        |  (list(o_orderkey ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey))[1:3] AS top_orders
+        |  array_to_string(list_transform(
+        |    (list(o_orderkey ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey))[1:3],
+        |    x -> CAST(x AS VARCHAR)), ',') AS top_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // The same window reconstruction, exploded to one row per rank —

