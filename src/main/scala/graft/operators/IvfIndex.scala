@@ -79,8 +79,8 @@ object IvfIndex {
     * Split out so [[ProductQuantizer]] can run it ONCE and slice the
     * picked vectors per subspace instead of re-scanning per subspace.
     */
-  private[operators] def initCenters(e: DataFrame, idCol: String, embCol: String,
-                                     k: Int): Seq[(Int, Array[Float])] = {
+  private[graft] def initCenters(e: DataFrame, idCol: String, embCol: String,
+                                 k: Int): Seq[(Int, Array[Float])] = {
     import org.apache.spark.sql.types.StringType
     // Ids are read generically (r.get) and keyed on Any so a string/int
     // idCol works the same as the long ids in testdata — the r5 ADVICE
@@ -97,10 +97,16 @@ object IvfIndex {
       .sortBy(_._1).toSeq
   }
 
-  /** The Lloyd rounds, starting from explicit `init` centers. */
-  private[operators] def iterate(e: DataFrame, embCol: String,
-                                 init: Seq[(Int, Array[Float])],
-                                 dim: Int, iters: Int): Seq[(Int, Array[Float])] = {
+  /** The Lloyd rounds, starting from explicit `init` centers. Exposed
+    * (r17) so ann_ivfpq_topk can run [[initCenters]] ONCE and feed the
+    * same picks to this and to [[ProductQuantizer.fitFromInit]] — the
+    * IVF k and PQ k are both 16, so the two fits' init scans were
+    * byte-identical duplicate jobs (guide §1.2: don't compute things
+    * twice).
+    */
+  private[graft] def iterate(e: DataFrame, embCol: String,
+                             init: Seq[(Int, Array[Float])],
+                             dim: Int, iters: Int): Seq[(Int, Array[Float])] = {
     (1 to iters).foldLeft(init) { (centers, _) =>
       val assigned = e.withColumn("__cell", cellExpr(col(embCol), centers))
       val sums = (0 until dim).map(i =>

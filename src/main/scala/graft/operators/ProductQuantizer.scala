@@ -28,18 +28,60 @@ object ProductQuantizer {
     * Lloyd rounds. Returns codebooks indexed by subspace.
     */
   def fit(e: DataFrame, idCol: String, embCol: String,
-          dim: Int, m: Int, k: Int, iters: Int): Seq[Seq[(Int, Array[Float])]] = {
-    require(m >= 1 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
-    val sub = dim / m
+          dim: Int, m: Int, k: Int, iters: Int): Seq[Seq[(Int, Array[Float])]] =
     // One pick/collect pass on the FULL vectors; every subspace's init is
     // a driver-side slice of the same picks (they share the pick ids by
     // contract) — not m redundant top-k scans (code-review finding).
-    val fullInit = IvfIndex.initCenters(e, idCol, embCol, k)
-    (0 until m).map { j =>
-      val init = fullInit.map { case (cid, c) => cid -> c.slice(j * sub, j * sub + sub) }
-      IvfIndex.iterate(
-        e.select(slice(col(embCol), j * sub + 1, sub).as("__pq_sub")),
-        "__pq_sub", init, sub, iters)
+    fitFromInit(e, embCol, IvfIndex.initCenters(e, idCol, embCol, k),
+      dim, m, k, iters)
+
+  /** [[fit]] from precomputed hash-order picks (the full-width vectors of
+    * [[IvfIndex.initCenters]]) — lets ann_ivfpq_topk share ONE init scan
+    * with its IVF fit.
+    *
+    * All m subspaces advance through each Lloyd round in ONE job
+    * (r17, guide §2.4/§1.2): the old shape ran m separate
+    * assign+aggregate jobs per round over 1/m-width slices — same bytes,
+    * m× the job scheduling and m× the plan/codegen of the literal-center
+    * argmin. Here the row explodes into its m (subspace, cell, slice)
+    * assignments once and a single grouped aggregate computes every
+    * subspace's per-cell DECIMAL sums; decimal sums are exact and
+    * order-blind, so each center mean is bit-identical to the
+    * per-subspace formulation (PqFusedFitSpec pins this).
+    */
+  def fitFromInit(e: DataFrame, embCol: String,
+                  fullInit: Seq[(Int, Array[Float])],
+                  dim: Int, m: Int, k: Int,
+                  iters: Int): Seq[Seq[(Int, Array[Float])]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val sub = dim / m
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val SumDec = DecimalType(28, 6)
+    val init: Seq[Seq[(Int, Array[Float])]] = (0 until m).map { j =>
+      fullInit.map { case (cid, c) => cid -> c.slice(j * sub, j * sub + sub) }
+    }
+    (1 to iters).foldLeft(init) { (books, _) =>
+      val jAssign = (0 until m).map { j =>
+        val sl = slice(col(embCol), j * sub + 1, sub)
+        struct(IvfIndex.cellExpr(sl, books(j)).as("cell"), sl.as("v"))
+      }
+      val assigned = e
+        .select(posexplode(array(jAssign: _*)).as(Seq("j", "jc")))
+        .select(col("j"), col("jc.cell").as("cell"), col("jc.v").as("v"))
+      val sums = (0 until sub).map(i =>
+        sum(element_at(col("v"), i + 1).cast(DoubleType).cast(SumDec))
+          .cast(DoubleType).as(s"s$i"))
+      val rows = assigned.groupBy("j", "cell")
+        .agg(count(lit(1)).as("__cnt"), sums: _*)
+        .collect()
+      val byJ = rows.groupBy(_.getInt(0))
+      (0 until m).map { j =>
+        byJ.getOrElse(j, Array.empty).map { r =>
+          val cnt = r.getLong(2).toDouble
+          val center = Array.tabulate(sub)(i => (r.getDouble(3 + i) / cnt).toFloat)
+          r.getInt(1) -> center
+        }.sortBy(_._1).toSeq
+      }
     }
   }
 

@@ -1021,10 +1021,15 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding"),
           TextFunctions.vecNorm(col("embedding")).as("nrm"))
         .cache()
-      val centers = graft.operators.IvfIndex.fit(
-        e, "vec_id", "embedding", IvfCentroids, EmbDim, IvfIters)
-      val books = graft.operators.ProductQuantizer.fit(
-        e, "vec_id", "embedding", EmbDim, PqM, PqK, PqIters)
+      // IVF k == PQ k (both 16) and both fits seed from the identical
+      // hash-order picks, so ONE init scan feeds both (r17 — the two
+      // separate fit() calls ran byte-identical init jobs twice).
+      val sharedInit = graft.operators.IvfIndex.initCenters(
+        e, "vec_id", "embedding", IvfCentroids)
+      val centers = graft.operators.IvfIndex.iterate(
+        e, "embedding", sharedInit, EmbDim, IvfIters)
+      val books = graft.operators.ProductQuantizer.fitFromInit(
+        e, "embedding", sharedInit, EmbDim, PqM, PqK, PqIters)
       val codeCols = (0 until PqM).map(j =>
         graft.operators.ProductQuantizer.codeAndError(
           col("embedding"), j, PqSub, books(j))._1.as(s"c$j"))
@@ -1056,15 +1061,29 @@ object SimilarityQueries {
           round6(lit(-2.0) * TextFunctions.dot(
             slice(col("q_emb"), col("j") * lit(PqSub) + lit(1), lit(PqSub)),
             col("bcent")) + col("bcc")).as("lutv"))
+      // ADC without the explode (r17, guide §2.3/§2.4): the old shape
+      // exploded every candidate xPqM, shuffled the exploded rows into a
+      // grouped decimal sum, and paid a (q_id, j, code) equi-join. Now
+      // the per-query LUT rows fold into ONE (j*k + code) -> lutv map
+      // per q_id (same m x k rows — map_from_entries is key-addressed,
+      // so collect_list order is irrelevant), ONE broadcast join on q_id
+      // attaches it, and the ADC score is a per-row left-associated
+      // DECIMAL(18,6) add chain over the m map lookups: decimal adds
+      // are exact, so the chain equals the old grouped decimal sum
+      // bit-for-bit (cast to double only at the end; every (j, code)
+      // key exists in the map, so multiplicity is 1:1 as before). The
+      // candidate row never leaves its partition and nothing explodes.
+      val lutMap = lut.groupBy("q_id").agg(map_from_entries(collect_list(
+        struct((col("j") * lit(PqK) + col("code")).as("k"), col("lutv").as("v"))))
+        .as("lm"))
       val cand = coded.join(probe, Seq("cell")).where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          explode(array((0 until PqM).map(j =>
-            struct(lit(j).as("j"), col(s"c$j").as("code"))): _*)).as("jc"))
+        .select(Seq(col("q_id"), col("vec_id").as("n_id")) ++
+          (0 until PqM).map(j => col(s"c$j")): _*)
+      val adc = cand.join(broadcast(lutMap), Seq("q_id"))
         .select(col("q_id"), col("n_id"),
-          col("jc.j").as("j"), col("jc.code").as("code"))
-      val adc = cand.join(broadcast(lut), Seq("q_id", "j", "code"))
-        .groupBy("q_id", "n_id")
-        .agg(sum(col("lutv").cast(DecimalType(18, 6))).cast("double").as("adc"))
+          (0 until PqM).map(j =>
+              element_at(col("lm"), lit(j * PqK) + col(s"c$j")).cast(DecimalType(18, 6)))
+            .reduceLeft(_ + _).cast("double").as("adc"))
       val short = adc.withColumn("ark", row_number().over(
           Window.partitionBy("q_id").orderBy(col("adc"), col("n_id"))))
         .filter(col("ark") <= AdcShortlist)
