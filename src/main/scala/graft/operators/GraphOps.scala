@@ -54,6 +54,13 @@ object GraphOps {
     val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       sym0.count() / 50000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // MEASURED NEGATIVE (r17, kept so it isn't re-tried): disabling AQE
+    // inside the loop to collapse the ~6 stage-jobs per round into one
+    // job made dedup_canonical 4.9 s -> 7.3 s (7-rep medians) — AQE's
+    // per-exchange stage jobs are what RE-PLANS each round's label joins
+    // into runtime broadcasts; without it the rounds pay real exchanges.
+    // The scheduling overhead the extra jobs cost is smaller than the
+    // join re-planning they buy, even at 1 shuffle partition.
     try {
       // Pre-partition the symmetrized edges by x ONCE (r16 optimization,
       // guide §2.4): localCheckpoint preserves the hash partitioning, so

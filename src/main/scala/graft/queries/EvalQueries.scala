@@ -1850,6 +1850,11 @@ object EvalQueries {
     // still shuffles (by (x, y) — unavoidable, it dedups across blocks).
     // Same rows at every step — distinct/group-by results don't depend
     // on which partition a key lands in.
+    // localCheckpoint (r17): the self-join below references cp in BOTH
+    // branches, so without materialization the lineitem⋈orders + distinct
+    // subtree runs twice (profiled as two ~1.3 s duplicate jobs at sf0.1;
+    // two corpus scans at 100 TB). The checkpoint pins the (p, w) layout,
+    // so everything downstream still reuses the one exchange.
     val cp = Tables.spreadKeyed(
         Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
           .join(Tables.orders(s, d)
@@ -1859,6 +1864,7 @@ object EvalQueries {
             date_trunc("week", col("o_orderdate")).as("w")),
         col("p"), col("w"))
       .distinct()
+      .localCheckpoint()
     val fence = cp.groupBy("p", "w").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2L && col("n") <= CoPurchaseMaxBlock.toLong)
       .select("p", "w")
