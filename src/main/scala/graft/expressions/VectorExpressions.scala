@@ -70,6 +70,74 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of two double-array columns, accumulated strictly
+  * left-to-right from a 0.0 seed — bit-identical to the literal add
+  * chain `(0.0 + x(0)*v(0)) + x(1)*v(1) + …` and to a
+  * `functions.aggregate` left fold (and DuckDB list_sum order).
+  *
+  * Exists for emb_top_direction's power iteration (r17): the projection
+  * was a 64-term add chain over 64 SCALAR double literals, and scalar
+  * literals are inlined into the generated source, so every iteration's
+  * new vector forced a fresh Janino compilation of the whole stage
+  * (~0.5 s × iterations, measured). An ARRAY literal goes through the
+  * codegen `references` array instead — the generated source is
+  * byte-identical across iterations and the codegen cache hits.
+  * Null semantics match the chain: null array or any null element (or a
+  * length mismatch) yields null.
+  */
+case class DoubleVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "double_vector_dot"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 60-bit SimHash of a token array in one fused pass: per token, the
   * md5-derived 60-bit hash (first 15 hex chars — identical to
   * `CleanFunctions.md5Hash64` and the DuckDB oracle's
@@ -271,6 +339,11 @@ object VectorExpressions {
   /** Column-level dot product of two ArrayType(FloatType) columns. */
   def floatDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level dot product of two ArrayType(DoubleType) columns. */
+  def doubleDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DoubleVectorDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column-level 60-bit sign signature of an ArrayType(FloatType) column. */

@@ -517,13 +517,18 @@ object SimilarityQueries {
         s"zip_with(embedding, ${arr(mu.toSeq)}, (x, m) -> " +
           "round((CAST(x AS DOUBLE) - m) * 1000000.0) / 1000000.0)").as("xc"))
         .cache()
-      // The projection fold as a literal left-associated add chain —
-      // bit-identical to the old `aggregate(zip_with(...))` higher-order
-      // function (same IEEE order incl. the 0.0 seed) but whole-stage
-      // codegen'd instead of per-element lambda interpretation.
+      // The projection fold as a codegen'd sequential dot (r17):
+      // bit-identical to the r16 literal add chain AND the original
+      // `aggregate(zip_with(...))` fold (same IEEE order incl. the 0.0
+      // seed), but v rides in as ONE array literal. The r16 chain inlined
+      // 64 SCALAR literals into the generated source, so each power
+      // iteration's new v forced a full Janino recompile of the stage
+      // (~0.5 s x 3 iterations, profiled); an array literal is a codegen
+      // `references` entry — the source is identical across iterations
+      // and the codegen cache hits.
       def sCol(v: Seq[Double]): org.apache.spark.sql.Column =
-        (lit(0.0) +: (0 until EmbDim).map(i =>
-          element_at(col("xc"), i + 1) * lit(v(i)))).reduceLeft(_ + _)
+        org.apache.spark.sql.graft.VectorExpressions.doubleDot(
+          col("xc"), lit(v.toArray))
       var v: Seq[Double] = Seq.fill(EmbDim)(0.125)
       for (_ <- 1 to PowerIters) {
         // Matvec as 64 decimal-sum columns over one pass (same
