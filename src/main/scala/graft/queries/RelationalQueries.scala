@@ -696,12 +696,20 @@ object RelationalQueries {
             month(col("l_shipdate")).cast(LongType)).as("ym"),
           CleanFunctions.round4(
             col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      // localCheckpoint (r17): groupedGlobalRank references its input in
+      // three branches (per-group stats, band counts, final join) whose
+      // column pruning makes the exchanges canonically different, so
+      // exchange reuse cannot dedup them — the corpus-scale rollup ran
+      // twice (2 x ~2.6 s parallel jobs profiled at sf0.1). The rollup
+      // output is O(brands x months) — model-sized at any corpus scale —
+      // so materializing it once is free and the rollup runs once.
       val rolled = li.rollup(col("p_brand"), col("ym"))
         .agg(CleanFunctions.round4(exactSum(col("rev"))).as("rev_sum"),
           (grouping(col("p_brand")).cast(LongType) * 2L +
             grouping(col("ym")).cast(LongType)).as("lvl"))
         .withColumn("brand", coalesce(col("p_brand"), lit("ALL")))
         .withColumn("ym2", coalesce(col("ym"), lit(-1L)))
+        .localCheckpoint()
       StatsOps.groupedGlobalRank(rolled, Seq("lvl"), -col("rev_sum"),
           concat(col("brand"), lit("#"), col("ym2")), "rnk")
         .where(col("rnk") <= 3L)

@@ -160,6 +160,14 @@ object StatsQueries {
     // exact rank interpolation; the orders dim join shuffles on the
     // fact's own key.
     "lineitem_lead_time" -> { (s, d) =>
+      // localCheckpoint (r17): rankPercentilesBanded reads its input in
+      // four branches (group counts, band stats, band counts, final
+      // rank join) whose differing column pruning defeats exchange
+      // reuse — the lineitem⋈orders join ran 3-4x (three ~0.5-1 s
+      // parallel job pairs profiled at sf0.1). Materializing the
+      // post-join projection once replaces those repeat corpus joins
+      // with local reads of a 2-column (flag, lead_days) table — ~10
+      // bytes/row, far cheaper at any scale than re-running the join.
       val li = Tables.lineitem(s, d).select(col("l_orderkey"),
           col("l_returnflag"), col("l_shipdate"))
         .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
@@ -167,6 +175,7 @@ object StatsQueries {
         .select(col("l_returnflag"),
           datediff(col("l_shipdate"), col("o_orderdate")).cast(DoubleType)
             .as("lead_days"))
+        .localCheckpoint()
       StatsOps.rankPercentilesBanded(li, Seq("l_returnflag"), "lead_days",
           LeadTimePs)
         .orderBy("l_returnflag", "p")
