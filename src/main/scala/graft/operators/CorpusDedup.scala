@@ -51,6 +51,15 @@ object CorpusDedup {
       (0 until SimhashChunks).map(c =>
         struct(lit(c).as("c"), shiftright(col("sig"), c * 10).bitwiseAND(lit(1023L)).as("v"))): _*)).as("ck"))
       .select(col(idCol), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+      // localCheckpoint (r17): every consumer self-joins this table, and
+      // the per-doc tokenize+simhash sits ABOVE the spread exchange, so
+      // both join branches recomputed it (profiled as parallel ~0.9 s
+      // duplicate jobs under text_curation at sf0.1). The materialized
+      // chunk table is docs x SimhashChunks narrow rows — the signature
+      // index a production pipeline would persist anyway — and the text
+      // column is gone from it, so the checkpoint is far smaller than
+      // the corpus it replaces rescanning.
+      .localCheckpoint()
   }
 
   /** Ids dropped by near-dup stage: the larger id of every candidate pair
@@ -73,7 +82,12 @@ object CorpusDedup {
     */
   def run(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
           maxHamming: Int = SimhashMaxHamming): DataFrame = {
-    val kept = exactSurvivors(docs, idCol, textCol)
+    // localCheckpoint (r17): `kept` feeds the anti-join's left side AND
+    // the near-dup stage, so without materialization the upstream
+    // per-row scoring + the md5(text) exact-dedup window shuffle ran
+    // twice (once per branch). One materialization replaces the second
+    // full pass; same rows, values unchanged.
+    val kept = exactSurvivors(docs, idCol, textCol).localCheckpoint()
     kept.join(nearDupDropped(kept, idCol, textCol, maxHamming), Seq(idCol), "left_anti")
   }
 
