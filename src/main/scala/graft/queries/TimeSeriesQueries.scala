@@ -803,11 +803,16 @@ object TimeSeriesQueries {
       // the (user_id, hour) clustering of seasW AND every per-user round
       // aggregate/window below, so the whole round chain inherits full
       // width from one exchange (see Tables.spreadKeyed).
+      // localCheckpoint (r17): round 1 references res0 in two branches
+      // (the moment aggregate and the ranked join), so the corpus-wide
+      // seasonal window re-ran per branch — materialize the narrow
+      // (event, series, residual) table once instead.
       val res0 = Tables.spreadKeyed(
           Tables.events(s, d).where(col("value").isNotNull), col("user_id"))
         .withColumn("r", graft.functions.CleanFunctions.round4(
           col("value") - graft.functions.CleanFunctions.exactMeanOver(col("value"), seasW)))
         .select("event_id", "user_id", "r")
+        .localCheckpoint()
       def esdRound(i: Int, prev: DataFrame): (DataFrame, DataFrame) = {
         val m = prev.groupBy("user_id").agg(
           count(col("r")).cast(DoubleType).as("n"),
@@ -855,11 +860,17 @@ object TimeSeriesQueries {
       import org.apache.spark.sql.expressions.Window
       val seasW = Window.partitionBy(col("user_id"), hour(col("ts")))
       // Same spreadKeyed rationale as ts_esd_anomalies above.
+      // localCheckpoint (r17): round 1 references res0 in three branches
+      // (per-series median, the MAD aggregate via withMed, the ranked
+      // join), so the corpus-wide seasonal-median window re-ran per
+      // branch (28 events scans in the before-plan) — materialize the
+      // narrow residual table once instead.
       val res0 = Tables.spreadKeyed(
           Tables.events(s, d).where(col("value").isNotNull), col("user_id"))
         .withColumn("r", graft.functions.CleanFunctions.round4(
           col("value") - median(col("value")).over(seasW)))
         .select("event_id", "user_id", "r")
+        .localCheckpoint()
       def shesdRound(i: Int, prev: DataFrame): (DataFrame, DataFrame) = {
         val med = prev.groupBy("user_id").agg(median(col("r")).as("med"))
         val withMed = prev.join(broadcast(med), "user_id")
