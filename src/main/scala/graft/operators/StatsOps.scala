@@ -173,9 +173,16 @@ object StatsOps {
     */
   def rankedCumShare(df: DataFrame, key: Column, value: Column,
                      bands: Int = 64): DataFrame = {
+    // localCheckpoint (r17): the input is referenced by three branches
+    // (global stats, band sums, the final banded join) whose column
+    // pruning defeats exchange reuse, so an expensive input subtree ran
+    // three times (both callers pass a corpus-scale grouped aggregate).
+    // One materialization of the O(keys) (key, value) aggregate replaces
+    // the repeats.
+    val dfm = df.localCheckpoint()
     val vd = value.cast(DoubleType)
-    val stats = df.agg(max(vd).as("_cs_mx"), sum(value).as("_cs_tot"))
-    val banded = df.crossJoin(broadcast(stats))
+    val stats = dfm.agg(max(vd).as("_cs_mx"), sum(value).as("_cs_tot"))
+    val banded = dfm.crossJoin(broadcast(stats))
       .withColumn("_cs_band",
         when(col("_cs_mx") <= lit(0.0), lit(0L))
           .otherwise(least(lit(bands - 1L), floor(vd / (col("_cs_mx") / bands))))

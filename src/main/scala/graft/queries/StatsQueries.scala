@@ -467,6 +467,11 @@ object StatsQueries {
     // aggregate; the 3×3 cell rollup re-aggregates O(parts) rows.
     "part_abc_xyz" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
+      // MEASURED NEGATIVE (r17, kept so it isn't re-tried): fusing rev +
+      // monthly into one (part, month) partial with a localCheckpoint
+      // made this entry 2.9 -> 4.4 s — the partial has parts x months
+      // rows (bigger than either original aggregate's output), so the
+      // materialization barrier costs more than the saved lineitem scan.
       val rev = li.groupBy("l_partkey")
         .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2))).as("rev"))
       val abc = StatsOps.rankedCumShare(rev, col("l_partkey"), col("rev"))
